@@ -1,13 +1,301 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is a batch twin of a reference pipeline (SURVEY.md §2,
+  * cites inside the operator objects) or a training-data extension operator,
+  * with matching ANSI SQL in `oracleSql` for the DuckDB hash-compare. Window /
+  * gap / threshold parameters are hour-scale because the driver's `events`
+  * table spans 30 days (the reference used seconds over a ~30-second demo
+  * stream; the operator semantics are parameter-independent).
+  *
+  * All epoch outputs are bigint milliseconds and all money sums accumulate in
+  * DECIMAL (CoreOps.exactSum) so results are bit-identical across engines and
+  * partitionings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val H  = 3600000L  // 1 hour in ms
+  private val D  = 86400000L // 1 day in ms
+
+  // Stopword profiles for language-ID / quality scoring (function words).
+  private val stopEn = Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  private val stopFr = Seq("le", "les", "et", "de", "un", "une", "est", "pour", "que", "dans")
+  private val stopEs = Seq("el", "los", "las", "y", "de", "un", "una", "es", "para", "por")
+  private val stopZh = Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这")
+  private val langProfiles = Map(
+    "en" -> stopEn, "de" -> stopDe, "fr" -> stopFr, "es" -> stopEs, "zh" -> stopZh)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. TPC-H Q1-style
+    * pricing summary — exercises scan, pushdown, partial agg, decimal sums. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Agg(spark, "/root/testdata/sf0.001")
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        CoreOps.exactSum(col("l_quantity")).as("sum_qty"),
+        CoreOps.exactSum(col("l_extendedprice")).as("sum_base_price"),
+        CoreOps.exactSumFloor(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── flagship ──────────────────────────────────────────────────────────
+    "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
+
+    // ── §2.5 aggregations (E1, E2, E4, E8) ────────────────────────────────
+    "q_keyed_sum" -> ((s, dir) =>
+      CoreOps.keyedSum(Tables.events(s, dir), "user_id", "value", "total_value")),
+    "q_running_sum" -> ((s, dir) =>
+      CoreOps.runningSum(Tables.events(s, dir), "user_id", "ts", "event_id",
+          "value", "running_value")
+        .select(col("event_id"), col("user_id"), col("running_value"))),
+    "q_tumbling_count" -> ((s, dir) =>
+      CoreOps.tumblingCount(Tables.events(s, dir), "ts", "1 hour")),
+    "q_sliding_summary" -> ((s, dir) =>
+      CoreOps.slidingSummary(Tables.events(s, dir), "ts", "2 hours", "1 hour")),
+    "q_session_summary" -> ((s, dir) =>
+      CoreOps.sessionSummary(Tables.events(s, dir), "user_id", "ts", "2 hours")),
+    "q_keyed_window_count" -> ((s, dir) =>
+      CoreOps.keyedWindowCount(Tables.events(s, dir), Seq("user_id", "event_type"),
+        "ts", "1 day")),
+
+    // ── §2.6 windowed stream-stream join (E5) ─────────────────────────────
+    "q_window_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      CoreOps.windowJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", "ts", "1 day")
+    }),
+
+    // ── §2.7/§2.8 split + tagged merge (E3) ───────────────────────────────
+    "q_split_merge" -> ((s, dir) => {
+      val (err, rest) = CoreOps.splitBy(Tables.events(s, dir),
+        col("event_type") === "error")
+      CoreOps.taggedUnion(err, "Stream-Error", rest, "Stream-Normal", Seq("user_id"))
+        .groupBy(col("stream"), col("user_id")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ── §2.9 keyed state machines (E7, E8b) ───────────────────────────────
+    "q_interval_alert" -> ((s, dir) =>
+      StatefulTwins.intervalAlert(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", "error", D)),
+    "q_action_durations" -> ((s, dir) =>
+      StatefulTwins.actionDurations(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", "signup", "purchase")),
+
+    // ── §2.10 event time, watermarks, late data (E6) ──────────────────────
+    "q_late_flag" -> ((s, dir) =>
+      StatefulTwins.withLateFlag(withArrival(s, dir), "ts", "arr_ms", "event_id", H)
+        .select(col("event_id"), col("arr_ms"), col("is_late"))),
+    "q_event_time_count" -> ((s, dir) =>
+      StatefulTwins.eventTimeCount(withArrival(s, dir), "ts", "arr_ms",
+        "event_id", H, "1 hour")),
+    "q_late_rows" -> ((s, dir) =>
+      StatefulTwins.lateRows(withArrival(s, dir), "ts", "arr_ms", "event_id", H)
+        .select(col("event_id"), col("arr_ms"))),
+
+    // ── extensions: dedup / text / similarity ─────────────────────────────
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")),
+    "q_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(Tables.documents(s, dir), "doc_id", "text")),
+    "q_quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)),
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.languageId(Tables.documents(s, dir), "doc_id", "text", langProfiles)),
+    "q_ann_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5)
+    }),
+  )
+
+  /** Deterministic out-of-order arrival simulation for the E6 twins: each
+    * event is delayed by (event_id mod 5) * 30 min, so ~4/5 of rows arrive
+    * out of ts order and the watermark logic has real work to do. */
+  private def withArrival(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("arr_ms", unix_millis(col("ts")) + (col("event_id") % 5) * lit(1800000L))
+
+  // ───────────────────────────────────────────────────────────────────────
+  // DuckDB oracles. Table names = parquet file stems. epoch_ms(ts) matches
+  // the Spark side exactly because Tables.events truncates ts to ms.
+  // ───────────────────────────────────────────────────────────────────────
+
+  /** Shared SQL fragments. */
+  private val evMs   = "epoch_ms(ts)"
+  private val arrCte =
+    s"SELECT event_id, $evMs AS ms, $evMs + (event_id % 5) * 1800000 AS arr_ms FROM events"
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  private val toksSql =
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS DECIMAL(28,0))) AS DOUBLE) / 100 AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_keyed_sum" ->
+      """SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_running_sum" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY user_id ORDER BY $evMs, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+         |FROM events""".stripMargin,
+
+    "q_tumbling_count" ->
+      s"""SELECT $evMs - $evMs % 3600000 AS window_start_ms, COUNT(*) AS cnt,
+         |  MIN($evMs) AS min_ms, MAX($evMs) AS max_ms
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_sliding_summary" ->
+      s"""WITH t AS (SELECT $evMs AS ms FROM events),
+         |x AS (SELECT ms, ms - ms % 3600000 AS w FROM t
+         |      UNION ALL SELECT ms, ms - ms % 3600000 - 3600000 AS w FROM t)
+         |SELECT w AS window_start_ms, COUNT(*) AS cnt, MIN(ms) AS min_ms, MAX(ms) AS max_ms
+         |FROM x GROUP BY w""".stripMargin,
+
+    "q_session_summary" ->
+      s"""WITH e AS (SELECT user_id, $evMs AS ms FROM events),
+         |g AS (SELECT user_id, ms,
+         |        CASE WHEN lag(ms) OVER w IS NULL
+         |               OR ms - lag(ms) OVER w >= 7200000 THEN 1 ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+         |s AS (SELECT user_id, ms, SUM(brk) OVER (
+         |        PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+         |SELECT user_id, MIN(ms) AS session_start_ms, COUNT(*) AS cnt, MAX(ms) AS max_ms
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q_keyed_window_count" ->
+      s"""SELECT user_id, event_type, $evMs - $evMs % 86400000 AS window_start_ms,
+         |  COUNT(*) AS cnt
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_window_join" ->
+      s"""WITH l AS (SELECT user_id, $evMs - $evMs % 86400000 AS w, event_id AS left_id
+         |           FROM events WHERE event_type = 'click'),
+         |r AS (SELECT user_id, $evMs - $evMs % 86400000 AS w, event_id AS right_id
+         |      FROM events WHERE event_type = 'purchase')
+         |SELECT l.user_id AS user_id, l.w AS window_start_ms, left_id, right_id
+         |FROM l JOIN r ON l.user_id = r.user_id AND l.w = r.w""".stripMargin,
+
+    "q_split_merge" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'Stream-Error'
+        |            ELSE 'Stream-Normal' END AS stream,
+        |  user_id, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_interval_alert" ->
+      s"""WITH d AS (SELECT user_id, $evMs AS ms, event_id FROM events
+         |           WHERE event_type = 'error'),
+         |l AS (SELECT user_id, ms,
+         |        lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+         |      FROM d)
+         |SELECT user_id, ms AS ts_ms, ms - prev AS gap_ms
+         |FROM l WHERE prev IS NOT NULL AND ms - prev < 86400000""".stripMargin,
+
+    "q_action_durations" ->
+      s"""WITH l AS (SELECT user_id, event_type, $evMs AS ms,
+         |        lag(event_type) OVER w AS prev_type, lag($evMs) OVER w AS prev_ms
+         |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY $evMs, event_id))
+         |SELECT user_id, prev_type AS action, ms - prev_ms AS duration_ms
+         |FROM l WHERE prev_type IS NOT NULL AND prev_type <> 'purchase'
+         |  AND event_type <> 'signup'""".stripMargin,
+
+    "q_late_flag" ->
+      s"""WITH e AS ($arrCte),
+         |m AS (SELECT event_id, ms, arr_ms,
+         |        MAX(ms) OVER (ORDER BY arr_ms, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 3600000 AS wm
+         |      FROM e)
+         |SELECT event_id, arr_ms, (wm IS NOT NULL AND ms < wm) AS is_late FROM m""".stripMargin,
+
+    "q_event_time_count" ->
+      s"""WITH e AS ($arrCte),
+         |m AS (SELECT event_id, ms, arr_ms,
+         |        MAX(ms) OVER (ORDER BY arr_ms, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 3600000 AS wm
+         |      FROM e),
+         |ontime AS (SELECT ms FROM m WHERE NOT (wm IS NOT NULL AND ms < wm))
+         |SELECT ms - ms % 3600000 AS window_start_ms, COUNT(*) AS cnt,
+         |  MIN(ms) AS min_ms, MAX(ms) AS max_ms
+         |FROM ontime GROUP BY 1""".stripMargin,
+
+    "q_late_rows" ->
+      s"""WITH e AS ($arrCte),
+         |m AS (SELECT event_id, ms, arr_ms,
+         |        MAX(ms) OVER (ORDER BY arr_ms, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 3600000 AS wm
+         |      FROM e)
+         |SELECT event_id, arr_ms FROM m WHERE wm IS NOT NULL AND ms < wm""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT md5(norm) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+         |FROM (SELECT doc_id, $normSql AS norm FROM documents) GROUP BY 1""".stripMargin,
+
+    "q_token_stats" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_token_chars
+         |FROM documents""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, text, len(toks) AS n_tokens,
+         |        len(list_filter(toks, x -> x IN ${inList(stopEn)})) AS n_stopwords,
+         |        length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+         |      FROM t)
+         |SELECT doc_id, n_tokens, n_stopwords, n_punct,
+         |  CASE WHEN n_tokens > 0
+         |       THEN floor(CAST(n_stopwords AS DOUBLE) / n_tokens * 1000000) / 1000000 ELSE 0.0 END AS stopword_ratio,
+         |  CASE WHEN length(text) > 0
+         |       THEN floor(CAST(n_punct AS DOUBLE) / length(text) * 1000000) / 1000000 ELSE 0.0 END AS punct_ratio
+         |FROM c""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+         |      FROM documents),
+         |h AS (SELECT doc_id,
+         |        len(list_filter(toks, x -> x IN ${inList(stopEn)})) AS h_en,
+         |        len(list_filter(toks, x -> x IN ${inList(stopDe)})) AS h_de,
+         |        len(list_filter(toks, x -> x IN ${inList(stopFr)})) AS h_fr,
+         |        len(list_filter(toks, x -> x IN ${inList(stopEs)})) AS h_es,
+         |        len(list_filter(toks, x -> x IN ${inList(stopZh)})) AS h_zh
+         |      FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN h_zh = m THEN 'zh' WHEN h_fr = m THEN 'fr' WHEN h_es = m THEN 'es'
+         |       WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_pred,
+         |  m AS lang_hits
+         |FROM (SELECT *, GREATEST(h_en, h_de, h_fr, h_es, h_zh) AS m FROM h)""".stripMargin,
+
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(q.qe, e.embedding) AS score
+        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+  )
 }

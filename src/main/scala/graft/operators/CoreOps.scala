@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity relational + window operators, re-expressed Spark-first.
+  *
+  * Every operator is a pure `DataFrame => DataFrame` transformation built from
+  * Column expressions only (no UDFs) so Catalyst can push filters/projections
+  * into the parquet scan, choose broadcast vs shuffle joins, and keep the whole
+  * pipeline inside whole-stage codegen. The same functions run on batch
+  * (`spark.read`) and streaming (`spark.readStream`) inputs.
+  *
+  * Reference semantics (file:line into /root/reference/):
+  *  - keyed running reduce: chapter2/KeyedStreamOperations.java:76-78
+  *  - global tumbling count: chapter2/BasicStreamingOperations.java:84-91,
+  *    common/MapCountPrinter.java:12-34
+  *  - sliding count/min/max: chapter3/WindowOperations.java:85-100
+  *  - keyed (user,action) window count: chapter6_exercise/AnalyzeBrowserEvents.java:83-96
+  *  - windowed stream-stream equi-join (cartesian per key+window):
+  *    chapter3/WindowJoin.java:119-158
+  *  - predicate split via side output: chapter2/StreamSplitAndMerge.java:68-102
+  *  - connect/CoMap tagged merge: chapter2/StreamSplitAndMerge.java:120-153
+  */
+object CoreOps {
+
+  /** Exact money/measure sums: accumulate in DECIMAL so the result is
+    * order-independent and identical on any engine, then return DOUBLE.
+    * Double summation order varies with partitioning at scale; decimal makes
+    * the aggregate deterministic under any degree of parallelism. */
+  def exactSum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** exactSum for *computed* double expressions (e.g. price * (1-discount)).
+    * Cast-to-decimal rounding of a computed double can land exactly on a
+    * representable .xx5 boundary, where engines disagree (HALF_UP vs
+    * HALF_EVEN). floor() of an identical IEEE double is identical everywhere,
+    * so truncate to cents first, then sum exactly. */
+  def exactSumFloor(c: Column): Column =
+    (sum(floor(c * 100).cast("decimal(28,0)")).cast("double") / 100).cast("double")
+
+  /** Epoch milliseconds of a timestamp column (truncating, like DuckDB epoch_ms). */
+  def ms(c: Column): Column = unix_millis(c)
+
+  // ─── §2.5 aggregations ────────────────────────────────────────────────────
+
+  /** Keyed total: Flink `keyBy(user).reduce(sum)` collapsed to its final value
+    * per key (chapter2/KeyedStreamOperations.java:76-78). Partial aggregation
+    * (map-side combine) + single hash shuffle on the key — the same exchange
+    * Flink's keyBy performs. */
+  def keyedSum(df: DataFrame, key: String, value: String, out: String): DataFrame =
+    df.groupBy(col(key)).agg(exactSum(col(value)).as(out))
+
+  /** Per-event running total — the faithful twin of Flink's keyed reduce,
+    * which emits one output per input. Window function with a deterministic
+    * (ts, tiebreak) ordering; state is one partial sum per key, linear scan
+    * per partition after a single shuffle+sort on the key. */
+  def runningSum(df: DataFrame, key: String, ts: String, tiebreak: String,
+                 value: String, out: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, sum(col(value).cast("decimal(18,2)")).over(w).cast("double"))
+  }
+
+  /** Global tumbling-window count (chapter2/BasicStreamingOperations.java:84-91).
+    * Flink's `timeWindowAll` is key-less; in Spark we just group by the window
+    * column alone — which still parallelizes (hash on window bucket) instead of
+    * Flink's forced parallelism-1 all-window. */
+  def tumblingCount(df: DataFrame, ts: String, duration: String): DataFrame =
+    df.groupBy(window(col(ts), duration))
+      .agg(count(lit(1)).as("cnt"), min(ms(col(ts))).as("min_ms"), max(ms(col(ts))).as("max_ms"))
+      .select(ms(col("window.start")).as("window_start_ms"),
+        col("cnt"), col("min_ms"), col("max_ms"))
+
+  /** Sliding-window count+min+max (chapter3/WindowOperations.java:85-100):
+    * 10s window / 5s slide in the reference; size and slide are parameters.
+    * Spark's window() replicates each row into size/slide buckets before the
+    * hash aggregate — same cost model as Flink's sliding pane assignment. */
+  def slidingSummary(df: DataFrame, ts: String, size: String, slide: String): DataFrame =
+    df.groupBy(window(col(ts), size, slide))
+      .agg(count(lit(1)).as("cnt"), min(ms(col(ts))).as("min_ms"), max(ms(col(ts))).as("max_ms"))
+      .select(ms(col("window.start")).as("window_start_ms"),
+        col("cnt"), col("min_ms"), col("max_ms"))
+
+  /** Keyed tumbling-window count by composite key
+    * (chapter6_exercise/AnalyzeBrowserEvents.java:83-96: keyBy(user, action)). */
+  def keyedWindowCount(df: DataFrame, keys: Seq[String], ts: String, duration: String): DataFrame =
+    df.groupBy(keys.map(col) :+ window(col(ts), duration): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(keys.map(col) :+ ms(col("window.start")).as("window_start_ms") :+ col("cnt"): _*)
+
+  /** Session-window summary keyed by `key` with inactivity gap
+    * (chapter3/WindowOperations.java:124-138; semantics
+    * chapter3/About Windowing.md:15-19): a session closes when the key sees no
+    * event for `gap`. Uses Spark's native session_window (state-store merge of
+    * overlapping sessions in streaming; sort-based merge in batch). Output
+    * reports min/max event time rather than the [start, last+gap) window struct
+    * so results are engine-convention independent. */
+  def sessionSummary(df: DataFrame, key: String, ts: String, gap: String): DataFrame =
+    df.groupBy(col(key), session_window(col(ts), gap))
+      .agg(count(lit(1)).as("cnt"), min(ms(col(ts))).as("min_ms"), max(ms(col(ts))).as("max_ms"))
+      .select(col(key), col("min_ms").as("session_start_ms"), col("cnt"), col("max_ms"))
+
+  // ─── §2.6 join ────────────────────────────────────────────────────────────
+
+  /** Windowed stream-stream equi-join (chapter3/WindowJoin.java:119-158).
+    * Within a (key, window) bucket the output is the cartesian product of the
+    * matching rows from each side (comment at :142-145) — exactly an inner
+    * equi-join on (key, window_bucket). Spark picks SMJ/shuffled-hash/broadcast
+    * physically; both sides shuffle once on (key, window). */
+  def windowJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+                 duration: String): DataFrame = {
+    val l = left.select(col(key).as("k"), window(col(ts), duration)("start").as("w"),
+      col("event_id").as("left_id"))
+    val r = right.select(col(key).as("k"), window(col(ts), duration)("start").as("w"),
+      col("event_id").as("right_id"))
+    l.join(r, Seq("k", "w"), "inner")
+      .select(col("k").as(key), ms(col("w")).as("window_start_ms"),
+        col("left_id"), col("right_id"))
+  }
+
+  // ─── §2.7 / §2.8 split & merge ────────────────────────────────────────────
+
+  /** Predicate split (chapter2/StreamSplitAndMerge.java:68-102). Spark has no
+    * side outputs; idiomatic form is two filters over one (cached/shared)
+    * source — Catalyst reuses the scan, and in streaming the two branches can
+    * run as two queries over the same source or one foreachBatch fan-out. */
+  def splitBy(df: DataFrame, pred: Column): (DataFrame, DataFrame) =
+    (df.filter(pred), df.filter(!pred))
+
+  /** Tagged union — Flink connect + CoMapFunction to a common shape
+    * (chapter2/StreamSplitAndMerge.java:120-153). Each side is projected to the
+    * common schema with a stream tag, then vertically merged. Union is a
+    * zero-shuffle operator in Spark (plan concatenation). */
+  def taggedUnion(a: DataFrame, tagA: String, b: DataFrame, tagB: String,
+                  cols: Seq[String]): DataFrame = {
+    def shape(df: DataFrame, tag: String) =
+      df.select(lit(tag).as("stream") +: cols.map(col): _*)
+    shape(a, tagA).unionByName(shape(b, tagB))
+  }
+}

