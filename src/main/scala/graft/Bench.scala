@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR.
+  *
+  * A warm-up pass runs first so the timed pass measures plan execution, not
+  * JVM/codegen/JIT startup (round-1 numbers were ~90% harness overhead).
+  * Failures are NOT swallowed: a broken query must fail the bench loudly
+  * rather than record a fast -1. The JSON line is written both to stdout
+  * (unprefixed — build.sbt routes forked run output straight through) and to
+  * BENCH.json so the driver can machine-read it either way.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +18,23 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+    val queries = SparkEntry.queries.toSeq
+    queries.foreach { case (_, fn) => fn(spark, sfDir).count() } // warm-up
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      fn(spark, sfDir).count()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("BENCH.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }
