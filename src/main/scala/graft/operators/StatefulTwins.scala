@@ -61,17 +61,49 @@ object StatefulTwins {
     * the reference tags an event late when its event time is older than the
     * watermark = (max event time seen so far) - lateness. In arrival order
     * (`arrivalCol`, ties broken by `tiebreak`), that is a running max over all
-    * *previous* rows. Returns the input plus `is_late`. The running max over
-    * arrival order is inherently sequential; on a cluster this is the one twin
-    * that needs a single ordered pass (the streaming form distributes instead:
-    * withWatermark() drops the rows and reports numRowsDroppedByWatermark). */
+    * *previous* rows. Returns the input plus `is_late`.
+    *
+    * A running max over a global order is the classic distributed prefix-scan:
+    * a single `Window.orderBy` (no partitionBy) would funnel every row through
+    * one task. Instead:
+    *   1. bucket rows by arrival-time range (bounds from an O(1) aggregate, so
+    *      bucketing is deterministic — no sampling);
+    *   2. per-bucket running max via a hash-partitioned window (distributed);
+    *   3. per-bucket maxima — O(nBuckets) rows — come to the driver, where the
+    *      exclusive prefix max per bucket is computed and broadcast-joined back.
+    * Every earlier bucket holds strictly smaller arrival times, so
+    * max(local running max, prefix max of earlier buckets) = the exact running
+    * max over all preceding rows. Driver traffic is O(buckets), never O(rows),
+    * which holds at any scale (the streaming form instead uses withWatermark()
+    * and reports drops via numRowsDroppedByWatermark). */
   def withLateFlag(df: DataFrame, ts: String, arrivalCol: String, tiebreak: String,
                    latenessMs: Long): DataFrame = {
-    val w = Window.orderBy(col(arrivalCol), col(tiebreak))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBuckets = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val arrL = col(arrivalCol).cast("long")
+    val bounds = df.agg(min(arrL).as("lo"), max(arrL).as("hi")).head()
+    if (bounds.isNullAt(0)) return df.withColumn("is_late", lit(false))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max((hi - lo) / nBuckets + 1, 1L)
+    val bucket = least(floor((arrL - lit(lo)) / lit(width)), lit(nBuckets - 1)).cast("int")
+    val b = df.withColumn("_bucket", bucket)
+    // exclusive prefix max across buckets, from an O(nBuckets) aggregate
+    val bucketMax = b.groupBy(col("_bucket")).agg(max(ms(col(ts))).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var running = Long.MinValue
+    val prefix = bucketMax.map { case (bk, mx) =>
+      val before = running; running = math.max(running, mx); (bk, before)
+    }.filter(_._2 != Long.MinValue).toSeq
+    val prefixDf = prefix.toDF("_bucket", "_earlier_max")
+    val wLocal = Window.partitionBy(col("_bucket"))
+      .orderBy(col(arrivalCol), col(tiebreak))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("wm_ms", max(ms(col(ts))).over(w) - latenessMs)
-      .withColumn("is_late", col("wm_ms").isNotNull && ms(col(ts)) < col("wm_ms"))
-      .drop("wm_ms")
+    b.join(broadcast(prefixDf), Seq("_bucket"), "left")
+      .withColumn("_prev_max", greatest(max(ms(col(ts))).over(wLocal), col("_earlier_max")))
+      .withColumn("is_late",
+        col("_prev_max").isNotNull && ms(col(ts)) < col("_prev_max") - latenessMs)
+      .select(df.columns.map(col) :+ col("is_late"): _*)
   }
 
   /** Event-time windowed count excluding late rows — the E6 pipeline
