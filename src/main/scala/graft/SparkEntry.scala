@@ -116,7 +116,34 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 5)
     }),
+
+    // ── extensions: approximate dedup / similarity tier ───────────────────
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        MhK, MhBands, MhRows, 0.5)),
+    "q_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.minhashPairs(docs, "doc_id", "text", MhK, MhBands, MhRows, 0.0)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.jaccardPairs(docs, "doc_id", "text", MhK, cands, 0.5)
+    }),
+    "q_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb, "vec_id", "embedding", EmbDims, LshPlanes, 3)
+    }),
+    "q_cosine_dup" -> ((s, dir) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        EmbDims, LshPlanes, 0.3)),
   )
+
+  // Approximate-tier parameters, shared between the Spark queries and the
+  // generated oracle SQL so both engines hash with the same family.
+  private val MhK = 3; private val MhBands = 8; private val MhRows = 2
+  private val MhN = MhBands * MhRows
+  private val EmbDims = 64; private val LshPlanes = 8
 
   /** Deterministic out-of-order arrival simulation for the E6 twins: each
     * event is delayed by (event_id mod 5) * 30 min, so ~4/5 of rows arrive
@@ -131,6 +158,60 @@ object SparkEntry {
   // ───────────────────────────────────────────────────────────────────────
 
   /** Shared SQL fragments. */
+  private def sqlMd5Int(x: String)  = s"('0x' || substr(md5($x),1,8))::BIGINT"
+  private def sqlMd5Long(x: String) = s"('0x' || substr(md5($x),1,15))::BIGINT"
+
+  /** MinHash signature pipeline (norm → tokens → shingles → hashes → sig) as
+    * DuckDB CTEs, mirroring Dedup.minhashSignature hash-for-hash. */
+  private def sqlMinhashCtes: String = {
+    val perms = (0 until MhN).map { i =>
+      val a = 1117 * (i + 1) + 31
+      val b = 271828 * (i + 1) + 1828
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647)) AS s$i"
+    }.mkString(", ")
+    s"""norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |tk AS (SELECT doc_id, nt,
+       |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM norm),
+       |shg AS (SELECT doc_id,
+       |        CASE WHEN len(toks) >= $MhK
+       |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
+       |                   for i in range(0, len(toks)-$MhK+1)]
+       |             ELSE [nt] END AS shingles FROM tk),
+       |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM shg),
+       |sig AS (SELECT doc_id, [${(0 until MhN).map("s" + _).mkString(", ")}] AS sig
+       |        FROM (SELECT doc_id, $perms FROM hsh)),
+       |banded AS (SELECT doc_id, sig,
+       |        b.b::VARCHAR || '_' ||
+       |          array_to_string(list_slice(sig, b.b*$MhRows+1, (b.b+1)*$MhRows), ',') AS bucket
+       |        FROM sig, (SELECT unnest(range(0,$MhBands)) AS b) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        len([i for i in range(1,${MhN + 1}) if a.sig[i] = b.sig[i]])::DOUBLE / $MhN AS est_jaccard
+       |        FROM banded a JOIN banded b USING (bucket) WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Hyperplane-LSH bucket + exact sequential cosine as DuckDB CTEs,
+    * mirroring Similarity.hyperplaneSig / Similarity.cosine fold-for-fold
+    * (left fold from 0.0 over doubles → bit-identical IEEE results). */
+  private def sqlEmbSigCte: String = {
+    val sigBits = (0 until LshPlanes).map { p =>
+      val planeDot =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           |          [CASE WHEN ${sqlMd5Int(s"($p::VARCHAR || ':' || d::VARCHAR)")} & 1 = 1
+           |                THEN embedding[d+1]::DOUBLE ELSE -(embedding[d+1]::DOUBLE) END
+           |           for d in range(0,$EmbDims)]), (a,b) -> a+b)""".stripMargin
+      s"(CASE WHEN $planeDot >= 0 THEN ${1L << p}::BIGINT ELSE 0 END)"
+    }.mkString(" + ")
+    s"esig AS (SELECT vec_id, embedding, $sigBits AS bucket FROM embeddings)"
+  }
+
+  /** Sequential-fold cosine between two embedding columns in DuckDB. */
+  private def sqlCosine(a: String, b: String): String = {
+    def dotSql(x: String, y: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |      [$x[i+1]::DOUBLE * $y[i+1]::DOUBLE for i in range(0,$EmbDims)]), (p,q) -> p+q)""".stripMargin
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  }
+
   private val evMs   = "epoch_ms(ts)"
   private val arrCte =
     s"SELECT event_id, $evMs AS ms, $evMs + (event_id % 5) * 1800000 AS arr_ms FROM events"
@@ -289,13 +370,54 @@ object SparkEntry {
          |FROM (SELECT *, GREATEST(h_en, h_de, h_fr, h_es, h_zh) AS m FROM h)""".stripMargin,
 
     "q_ann_cosine" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
-        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |        list_cosine_similarity(q.qe, e.embedding) AS score
-        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-        |      FROM s)
-        |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        ${sqlCosine("q.qe", "e.embedding")} AS score
+         |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |      FROM s)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_minhash_pairs" ->
+      s"""WITH $sqlMinhashCtes
+         |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5""".stripMargin,
+
+    "q_simhash" -> {
+      val bits = (0 until 60).map { j =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}::BIGINT ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |hsh AS (SELECT doc_id, list_transform(toks, t -> ${sqlMd5Long("t")}) AS hs FROM tk)
+         |SELECT doc_id, $bits AS simhash FROM hsh""".stripMargin
+    },
+
+    "q_jaccard_pairs" ->
+      s"""WITH $sqlMinhashCtes,
+         |shs AS (SELECT doc_id, list_distinct(shingles) AS sh FROM shg)
+         |SELECT c.doc_a, c.doc_b,
+         |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+         |FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5""".stripMargin,
+
+    "q_lsh_topk" ->
+      s"""WITH $sqlEmbSigCte,
+         |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        ${sqlCosine("a.embedding", "b.embedding")} AS score
+         |        FROM esig a JOIN esig b USING (bucket) WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+
+    "q_cosine_dup" ->
+      s"""WITH $sqlEmbSigCte,
+         |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |        ${sqlCosine("a.embedding", "b.embedding")} AS cos
+         |      FROM esig a JOIN esig b USING (bucket) WHERE a.vec_id < b.vec_id)
+         |SELECT doc_a, doc_b, floor(cos * 1000000) / 1000000 AS cos_sim
+         |FROM p WHERE cos >= 0.3""".stripMargin,
   )
 }

@@ -22,6 +22,13 @@ object Dedup {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** 32-bit variant (first 8 hex chars, < 2^32). Used wherever the hash is
+    * multiplied by another constant: the product stays < 2^48, so the same
+    * arithmetic is exact int64 in every engine (no silent Java wraparound,
+    * no DuckDB overflow error). */
+  def md5Int(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** Exact dedup: group by the normalized-text fingerprint, keep the smallest
     * id as the canonical representative. Output one row per distinct content
     * with its duplicate count. */
@@ -32,23 +39,25 @@ object Dedup {
 
   /** Word k-shingles of the normalized text: the standard MinHash input unit. */
   def shingles(text: Column, k: Int): Column = {
-    val toks = split(TextOps.normalized(text), " ")
+    val norm = TextOps.normalized(text)
+    val toks = split(norm, " ")
     // shingle starts 0..size-k (1-based slice below), size-k+1 shingles total
     val starts = sequence(lit(0), size(toks) - k)
     when(size(toks) >= k,
       transform(starts, i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array(TextOps.normalized(text)))
+      .otherwise(array(norm))
   }
 
   /** MinHash signature: for each of `numHashes` permutations, the minimum of
-    * (a_i * h(shingle) + b_i) mod p over all shingles, where h = md5Long.
+    * (a_i * h(shingle) + b_i) mod p over all shingles, where h = md5Int.
     * Returns an array<long> signature column. The permutation constants are
     * deterministic functions of the hash index, so Spark and the SQL oracle
-    * can generate identical families. */
+    * generate identical families; h < 2^32 and a_i < 2^16 keep every product
+    * comfortably inside int64 on any engine. */
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
     val sh = shingles(text, k)
-    val hashes = transform(sh, s => md5Long(s))
+    val hashes = transform(sh, s => md5Int(s))
     val sigs = (0 until numHashes).map { i =>
       val a = 1117 * (i + 1) + 31
       val b = 271828 * (i + 1) + 1828

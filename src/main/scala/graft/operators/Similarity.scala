@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Sequential left-fold dot product in double precision. Operands are cast
+    * to double BEFORE the multiply (float→double widening is exact), and the
+    * fold order is fixed, so the result is bit-identical on any engine that
+    * folds left — which makes cosine scores, ranks, and thresholds
+    * oracle-reproducible instead of ulp-flaky. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -45,12 +50,15 @@ object Similarity {
 
   /** Random-hyperplane signature: bit i = sign of dot(vec, plane_i), planes
     * derived deterministically from md5 of (plane index, dimension index).
-    * Vectors with equal signatures are near-certain cosine neighbors. */
+    * Vectors with equal signatures are near-certain cosine neighbors. The
+    * per-plane dot is the same exact sequential double fold as `dot`, so the
+    * sign — and therefore the bucket — is engine-independent. */
   def hyperplaneSig(vec: Column, dims: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       // plane vector components in {-1, +1} from a deterministic hash
       val s = aggregate(
-        zip_with(vec, plane(p, dims), (x, h) => x * h), lit(0.0d), (a, v) => a + v)
+        zip_with(vec, plane(p, dims), (x, h) => x.cast("double") * h),
+        lit(0.0d), (a, v) => a + v)
       when(s >= 0, lit(1L << p)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -58,7 +66,7 @@ object Similarity {
 
   private def plane(p: Int, dims: Int): Column =
     transform(sequence(lit(0), lit(dims - 1)),
-      d => when(Dedup.md5Long(concat_ws(":", lit(p), d.cast("string")))
+      d => when(Dedup.md5Int(concat_ws(":", lit(p), d.cast("string")))
         .bitwiseAND(1) === 1, lit(1.0d)).otherwise(lit(-1.0d)))
 
   /** LSH-bucketed approximate top-k: both sides hashed to `planes`-bit
@@ -93,6 +101,9 @@ object Similarity {
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= minCos)
-      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos_sim"))
+      // floor-truncate: floor of an identical IEEE double is identical on
+      // every engine, unlike round() at .xx5 representable boundaries
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("cos") * 1000000d) / 1000000d).as("cos_sim"))
   }
 }
