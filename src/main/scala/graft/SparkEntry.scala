@@ -91,6 +91,22 @@ object SparkEntry {
       StatefulTwins.actionDurations(Tables.events(s, dir), "user_id", "ts",
         "event_id", "event_type", "signup", "purchase")),
 
+    // ── §2.9 streaming state machines, batch-mode (same oracle as twins) ──
+    // flatMapGroupsWithState executes in batch too; hash-matching the lag()
+    // twins' oracle proves the streaming state walk emits identical rows.
+    "q_interval_alert_stream" -> ((s, dir) => {
+      val ke = graft.streaming.StateMachines.keyedEvents(Tables.events(s, dir),
+        col("user_id"), unix_millis(col("ts")), col("event_id"), col("event_type"))
+      graft.streaming.StateMachines.intervalAlerts(ke, "error", D)
+        .select(col("key").cast("long").as("user_id"), col("ts_ms"), col("gap_ms"))
+    }),
+    "q_action_durations_stream" -> ((s, dir) => {
+      val ke = graft.streaming.StateMachines.keyedEvents(Tables.events(s, dir),
+        col("user_id"), unix_millis(col("ts")), col("event_id"), col("event_type"))
+      graft.streaming.StateMachines.actionDurations(ke, "signup", "purchase")
+        .select(col("key").cast("long").as("user_id"), col("action"), col("duration_ms"))
+    }),
+
     // ── §2.10 event time, watermarks, late data (E6) ──────────────────────
     "q_late_flag" -> ((s, dir) =>
       StatefulTwins.withLateFlag(withArrival(s, dir), "ts", "arr_ms", "event_id", H)
@@ -295,6 +311,23 @@ object SparkEntry {
          |FROM l WHERE prev IS NOT NULL AND ms - prev < 86400000""".stripMargin,
 
     "q_action_durations" ->
+      s"""WITH l AS (SELECT user_id, event_type, $evMs AS ms,
+         |        lag(event_type) OVER w AS prev_type, lag($evMs) OVER w AS prev_ms
+         |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY $evMs, event_id))
+         |SELECT user_id, prev_type AS action, ms - prev_ms AS duration_ms
+         |FROM l WHERE prev_type IS NOT NULL AND prev_type <> 'purchase'
+         |  AND event_type <> 'signup'""".stripMargin,
+
+    "q_interval_alert_stream" ->
+      s"""WITH d AS (SELECT user_id, $evMs AS ms, event_id FROM events
+         |           WHERE event_type = 'error'),
+         |l AS (SELECT user_id, ms,
+         |        lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+         |      FROM d)
+         |SELECT user_id, ms AS ts_ms, ms - prev AS gap_ms
+         |FROM l WHERE prev IS NOT NULL AND ms - prev < 86400000""".stripMargin,
+
+    "q_action_durations_stream" ->
       s"""WITH l AS (SELECT user_id, event_type, $evMs AS ms,
          |        lag(event_type) OVER w AS prev_type, lag($evMs) OVER w AS prev_ms
          |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY $evMs, event_id))

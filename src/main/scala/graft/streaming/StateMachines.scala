@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.mutable.ArrayBuffer
+
+/** Canonical keyed-event input for the stateful operators. Keys are strings —
+  * the generic superset (numeric keys cast in, and back out at the query
+  * layer); `tiebreak` makes per-key ordering total and deterministic. */
+case class KeyedEvent(key: String, tsMs: Long, tiebreak: Long, kind: String)
+
+case class IntervalAlert(key: String, ts_ms: Long, gap_ms: Long)
+case class ActionDuration(key: String, action: String, duration_ms: Long)
+
+/** One remembered event per key — the twin of Flink's ValueState pair. */
+case class LastSeen(kind: String, tsMs: Long)
+
+/** Streaming forms of the reference's keyed state machines (§2.9), as
+  * `flatMapGroupsWithState` over `GroupState` — the Spark-native equivalent of
+  * Flink's RichFunction + ValueState. The same functions run in BATCH mode
+  * (Spark executes flatMapGroupsWithState over a one-shot groupBy with empty
+  * initial state), which is how the oracle-checked `*_stream` queries in
+  * SparkEntry prove these emit exactly what the lag()-based batch twins emit.
+  *
+  * Ordering: within each invocation the group's events are sorted by
+  * (tsMs, tiebreak) before the state walk — micro-batches deliver per-key
+  * iterators in no guaranteed order. Across micro-batches, arrival order
+  * governs, matching the reference's processing-order semantics. The sort is
+  * per key per batch, so memory is bounded by a key's per-batch volume, not
+  * by the stream.
+  */
+object StateMachines {
+
+  implicit val keyedEventEnc: Encoder[KeyedEvent]       = Encoders.product[KeyedEvent]
+  implicit val intervalAlertEnc: Encoder[IntervalAlert] = Encoders.product[IntervalAlert]
+  implicit val actionDurationEnc: Encoder[ActionDuration] = Encoders.product[ActionDuration]
+  implicit val lastSeenEnc: Encoder[LastSeen]           = Encoders.product[LastSeen]
+  implicit val stringEnc: Encoder[String]               = Encoders.STRING
+
+  /** Project any DataFrame (batch or streaming) onto the canonical shape. */
+  def keyedEvents(df: DataFrame, key: Column, tsMs: Column, tiebreak: Column,
+                  kind: Column): Dataset[KeyedEvent] =
+    df.select(key.cast("string").as("key"), tsMs.cast("long").as("tsMs"),
+      tiebreak.cast("long").as("tiebreak"), kind.cast("string").as("kind"))
+      .as[KeyedEvent]
+
+  /** Delete-interval alert (chapter5/StatefulOperations.java:83-128): per key,
+    * remember the last `deleteKind` event's timestamp in state; a new one
+    * within `thresholdMs` emits (key, ts, gap). The reference's "No-Alerts"
+    * sentinel is unnecessary here — flatMap semantics emit zero-or-more
+    * (the reference filters the sentinel right back out at :129-143). */
+  def intervalAlerts(events: Dataset[KeyedEvent], deleteKind: String,
+                     thresholdMs: Long): Dataset[IntervalAlert] =
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: String, it: Iterator[KeyedEvent], state: GroupState[LastSeen]) =>
+        val out = ArrayBuffer.empty[IntervalAlert]
+        var last = state.getOption
+        it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+          if (e.kind == deleteKind) {
+            last.foreach { prev =>
+              val gap = e.tsMs - prev.tsMs
+              if (gap < thresholdMs) out += IntervalAlert(key, e.tsMs, gap)
+            }
+            last = Some(LastSeen(e.kind, e.tsMs))
+          }
+        }
+        last match {
+          case Some(s) => state.update(s)
+          case None    =>
+        }
+        out.iterator
+    }
+
+  /** Per-key action-duration tracker
+    * (chapter6_exercise/AnalyzeBrowserEvents.java:115-181): on each event,
+    * unless state is empty or the event is a `loginKind`, emit
+    * (key, lastAction, now - lastStart); a `logoutKind` clears the state
+    * (session end), anything else replaces it with the current event. */
+  def actionDurations(events: Dataset[KeyedEvent], loginKind: String,
+                      logoutKind: String): Dataset[ActionDuration] =
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: String, it: Iterator[KeyedEvent], state: GroupState[LastSeen]) =>
+        val out = ArrayBuffer.empty[ActionDuration]
+        var last = state.getOption
+        it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+          last.foreach { prev =>
+            if (e.kind != loginKind)
+              out += ActionDuration(key, prev.kind, e.tsMs - prev.tsMs)
+          }
+          last = if (e.kind == logoutKind) None else Some(LastSeen(e.kind, e.tsMs))
+        }
+        last match {
+          case Some(s) => state.update(s)
+          case None    => if (state.exists) state.remove()
+        }
+        out.iterator
+    }
+}

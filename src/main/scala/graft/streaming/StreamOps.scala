@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.CoreOps
+
+/** Streaming forms of the window pipelines — thin compositions over the SAME
+  * Column cores as the batch twins (CoreOps), applied to `readStream` inputs.
+  * The one genuinely streaming-only ingredient is the declarative watermark.
+  */
+object StreamOps {
+
+  /** E6: event-time tumbling count under a watermark
+    * (chapter4/EventTimeOperations.java:136-149). Rows later than
+    * (max event time − lateness) are dropped by the state store; the drop
+    * count is observable via StreamingQueryProgress.stateOperators
+    * .numRowsDroppedByWatermark — the declarative counterpart of the
+    * reference's late-data side output (:146, :174-175). Semantics delta vs
+    * the punctuated wall-clock watermark (:102-124) documented in SURVEY §7.3.
+    */
+  def eventTimeTumblingCount(df: DataFrame, ts: String, lateness: String,
+                             duration: String): DataFrame =
+    CoreOps.tumblingCount(df.withWatermark(ts, lateness), ts, duration)
+
+  /** E2: keyed running totals (chapter2/KeyedStreamOperations.java:76-78).
+    * In streaming this is plain groupBy().sum() with an `update`-mode sink:
+    * each micro-batch emits refreshed totals for keys it touched — per-batch
+    * granularity instead of Flink's per-record emission (SURVEY §7.3 delta). */
+  def keyedRunningTotal(df: DataFrame, key: String, value: String,
+                        out: String): DataFrame =
+    CoreOps.keyedSum(df, key, value, out)
+
+  /** E4: keyed session-window summary (chapter3/WindowOperations.java:124-138)
+    * — session_window works identically over a watermarked stream. */
+  def sessionSummary(df: DataFrame, key: String, ts: String, lateness: String,
+                     gap: String): DataFrame =
+    CoreOps.sessionSummary(df.withWatermark(ts, lateness), key, ts, gap)
+
+  /** E5: windowed stream-stream equi-join (chapter3/WindowJoin.java:119-158).
+    * Both sides carry a watermark so the state store can expire buckets;
+    * within a (key, window) bucket the output is the cartesian of matches —
+    * identical to the batch twin (CoreOps.windowJoin). */
+  def windowJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+                 lateness: String, duration: String): DataFrame =
+    CoreOps.windowJoin(
+      left.withWatermark(ts, lateness),
+      right.withWatermark(ts, lateness), key, ts, duration)
+}

@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.sources.ReferenceData
+import graft.streaming.{StateMachines, StreamOps, StreamSinks}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** End-to-end streaming demo ≙ the reference's E1 + E8 pipelines: feed the
+  * reference's own CSV records through the file-monitor source one file at a
+  * time (like datasource/FileStreamDataGenerator.java), run the windowed
+  * count and the stateful session analysis continuously, print each
+  * micro-batch. Usage: runMain graft.tools.StreamDemo [srcDir]. */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.nonEmpty) args(0)
+      else "src/test/resources/fixtures/raw_browser_events"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val watched = Files.createTempDirectory("graft_stream_demo")
+    val stream = ReferenceData.browserFileStream(spark, watched.toString, 1)
+
+    // E1 shape: global tumbling count on event time (the record's own ts)
+    val counts = StreamOps.eventTimeTumblingCount(
+      ReferenceData.withEventTime(stream), "event_time", "2 seconds", "3 seconds")
+    val q1 = counts.writeStream.outputMode("update").format("console")
+      .option("truncate", false).start()
+
+    // E8 shape: per-user action durations via keyed state
+    val durations = StateMachines.actionDurations(
+      StateMachines.keyedEvents(stream, col("user"), col("timestamp"),
+        col("id"), col("action")), "Login", "Logout")
+    val q2 = StreamSinks.console(durations.toDF())
+
+    // replay the fixture files into the watched dir like the generator thread
+    val files = Files.list(Paths.get(srcDir)).iterator()
+    var n = 0
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.toString.endsWith(".csv")) {
+        Files.copy(f, watched.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING)
+        n += 1
+        if (n % 8 == 0) { q1.processAllAvailable(); q2.processAllAvailable() }
+      }
+    }
+    q1.processAllAvailable(); q2.processAllAvailable()
+    println(s"[demo] streamed $n files from $srcDir through 2 continuous queries")
+    q1.stop(); q2.stop(); spark.stop()
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.CoreOps
+import org.apache.spark.sql.functions._
+
+/** Unit suites for the relational/window core (SURVEY §2.3–§2.8) on inline
+  * frames with hand-computed expectations. */
+class CoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("event_id", "ms", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+
+  test("keyedSum collapses to one exact total per key") {
+    val df = ev((1, 1000, 1, "a", 1.10), (2, 2000, 1, "a", 2.20), (3, 3000, 2, "a", 5.00))
+    val got = CoreOps.keyedSum(df, "user_id", "value", "total")
+      .orderBy("user_id").as[(Long, Double)].collect.toSeq
+    assert(got == Seq((1L, 3.30), (2L, 5.00)))
+  }
+
+  test("runningSum emits one output per input in (ts, tiebreak) order") {
+    val df = ev((2, 1000, 1, "a", 2.0), (1, 1000, 1, "a", 1.0), (3, 2000, 1, "a", 4.0))
+    val got = CoreOps.runningSum(df, "user_id", "ts", "event_id", "value", "run")
+      .select("event_id", "run").orderBy("event_id").as[(Long, Double)].collect.toSeq
+    // tie at ms=1000 broken by event_id: 1.0, then +2.0, then +4.0
+    assert(got == Seq((1L, 1.0), (2L, 3.0), (3L, 7.0)))
+  }
+
+  test("tumblingCount buckets by window start with min/max") {
+    val df = ev((1, 0, 1, "a", 0), (2, 2999, 1, "a", 0), (3, 3000, 1, "a", 0))
+    val got = CoreOps.tumblingCount(df, "ts", "3 seconds")
+      .orderBy("window_start_ms").as[(Long, Long, Long, Long)].collect.toSeq
+    assert(got == Seq((0L, 2L, 0L, 2999L), (3000L, 1L, 3000L, 3000L)))
+  }
+
+  test("slidingSummary assigns each row to size/slide windows") {
+    val df = ev((1, 5000, 1, "a", 0))
+    val got = CoreOps.slidingSummary(df, "ts", "10 seconds", "5 seconds")
+      .orderBy("window_start_ms").as[(Long, Long, Long, Long)].collect.toSeq
+    // a row at 5s lands in windows starting at -5s (bucket 0 here: [0,10s)) and [5s,15s)
+    assert(got == Seq((0L, 1L, 5000L, 5000L), (5000L, 1L, 5000L, 5000L)))
+  }
+
+  test("sessionSummary closes a session after the gap and reports min/max") {
+    val gapMs = 5000
+    val df = ev((1, 0, 1, "a", 0), (2, 4000, 1, "a", 0), // same session (gap 4s < 5s)
+      (3, 10000, 1, "a", 0), // new session (gap 6s)
+      (4, 0, 2, "a", 0)) // other key, own session
+    val got = CoreOps.sessionSummary(df, "user_id", "ts", s"$gapMs milliseconds")
+      .orderBy("user_id", "session_start_ms").as[(Long, Long, Long, Long)].collect.toSeq
+    assert(got == Seq((1L, 0L, 2L, 4000L), (1L, 10000L, 1L, 10000L), (2L, 0L, 1L, 0L)))
+  }
+
+  test("windowJoin is the cartesian of matches within each (key, window)") {
+    val l = ev((1, 1000, 1, "click", 0), (2, 2000, 1, "click", 0), (3, 1000, 2, "click", 0))
+    val r = ev((10, 1500, 1, "buy", 0), (11, 2500, 1, "buy", 0), (12, 99999, 2, "buy", 0))
+    val got = CoreOps.windowJoin(l, r, "user_id", "ts", "1 minute")
+    // user 1: 2 left x 2 right in the same 1-min bucket = 4 rows; user 2: right is in another bucket
+    assert(got.count() == 4)
+    assert(got.filter(col("user_id") === 2).count() == 0)
+  }
+
+  test("splitBy + taggedUnion partition and re-merge every row exactly once") {
+    val df = ev((1, 0, 1, "error", 0), (2, 0, 2, "view", 0), (3, 0, 3, "error", 0))
+    val (err, rest) = CoreOps.splitBy(df, col("event_type") === "error")
+    assert(err.count() == 2 && rest.count() == 1)
+    val merged = CoreOps.taggedUnion(err, "E", rest, "N", Seq("user_id"))
+    assert(merged.count() == 3)
+    assert(merged.filter(col("stream") === "E").count() == 2)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.CoreOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck properties over randomly generated event sets (SURVEY §5). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(10)
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val eventsGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    ms <- Gen.listOfN(n, Gen.choose(0L, 50000L))
+  } yield ms.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+
+  test("property: tumbling-window counts always sum to the input row count") {
+    check(Prop.forAll(eventsGen) { rows =>
+      val df = rows.toDF("event_id", "ms").withColumn("ts", timestamp_millis(col("ms")))
+      val total = CoreOps.tumblingCount(df, "ts", "3 seconds")
+        .agg(sum("cnt")).as[Long].head()
+      total == rows.size
+    })
+  }
+
+  test("property: session count per key equals 1 + number of gaps >= gap") {
+    val gapMs = 5000L
+    check(Prop.forAll(eventsGen) { rows =>
+      val df = rows.toDF("event_id", "ms")
+        .withColumn("ts", timestamp_millis(col("ms")))
+        .withColumn("user_id", lit(1L))
+      val sessions = CoreOps.sessionSummary(df, "user_id", "ts", "5 seconds").count()
+      val sorted = rows.map(_._2).sorted
+      val expected = 1 + sorted.zip(sorted.tail).count { case (a, b) => b - a >= gapMs }
+      sessions == expected
+    })
+  }
+
+  test("property: window join size = sum over (key, bucket) of |L| * |R|") {
+    val pairGen = for {
+      l <- eventsGen; r <- eventsGen
+      keys <- Gen.listOfN(l.size max r.size, Gen.choose(1L, 4L))
+    } yield (l.zip(keys).map { case ((id, ms), k) => (id, ms, k) },
+             r.zip(keys.reverse).map { case ((id, ms), k) => (id, ms, k) })
+    check(Prop.forAll(pairGen) { case (lRows, rRows) =>
+      def df(rows: List[(Long, Long, Long)]) = rows.toDF("event_id", "ms", "user_id")
+        .withColumn("ts", timestamp_millis(col("ms")))
+      val bucket = (ms: Long) => ms - ms % 10000
+      val lCnt = lRows.groupBy(e => (e._3, bucket(e._2))).view.mapValues(_.size)
+      val rCnt = rRows.groupBy(e => (e._3, bucket(e._2))).view.mapValues(_.size)
+      val expected = lCnt.map { case (k, n) => n.toLong * rCnt.getOrElse(k, 0) }.sum
+      CoreOps.windowJoin(df(lRows), df(rRows), "user_id", "ts", "10 seconds")
+        .count() == expected
+    })
+  }
+
+  test("property: split partitions are disjoint and exhaustive") {
+    check(Prop.forAll(eventsGen) { rows =>
+      val df = rows.toDF("event_id", "ms")
+      val (a, b) = CoreOps.splitBy(df, col("ms") % 2 === 0)
+      a.count() + b.count() == rows.size
+    })
+  }
+}

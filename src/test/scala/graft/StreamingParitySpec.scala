@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.StatefulTwins
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming forms must emit exactly what the (oracle-checked) batch twins
+  * emit on the same data — including state carried across micro-batches. */
+class StreamingParitySpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def batchDf(events: Seq[KeyedEvent]) =
+    events.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+
+  test("intervalAlerts(streaming) == intervalAlert(batch twin), state spans batches") {
+    val batch1 = Seq(
+      KeyedEvent("1", 1000, 1, "error"), KeyedEvent("1", 5000, 2, "error"),
+      KeyedEvent("2", 2000, 3, "error"), KeyedEvent("1", 6000, 4, "view"))
+    val batch2 = Seq( // user 2's second delete arrives a batch later: alert
+      KeyedEvent("2", 7000, 5, "error"), KeyedEvent("1", 40000, 6, "error"))
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.intervalAlerts(input.toDS(), "error", 10000)
+      .writeStream.outputMode("append").format("memory").queryName("ia_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("ia_par").as[IntervalAlert].collect().toSet
+      val twin = StatefulTwins.intervalAlert(batchDf(batch1 ++ batch2),
+          "key", "ts", "tiebreak", "kind", "error", 10000)
+        .select(col("key"), col("ts_ms"), col("gap_ms"))
+        .as[IntervalAlert].collect().toSet
+      assert(streamed == twin)
+      assert(streamed.contains(IntervalAlert("2", 7000, 5000))) // the cross-batch alert
+    } finally q.stop()
+  }
+
+  test("actionDurations(streaming) == batch twin, logout clears state across batches") {
+    val batch1 = Seq(
+      KeyedEvent("1", 1000, 1, "signup"), KeyedEvent("1", 3000, 2, "view"),
+      KeyedEvent("1", 6000, 3, "purchase")) // logout-kind → clears state
+    val batch2 = Seq(
+      KeyedEvent("1", 9000, 4, "view"), // state empty → no emission
+      KeyedEvent("1", 9500, 5, "click")) // prev=view → (view, 500)
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.actionDurations(input.toDS(), "signup", "purchase")
+      .writeStream.outputMode("append").format("memory").queryName("ad_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("ad_par").as[ActionDuration].collect().toSet
+      val twin = StatefulTwins.actionDurations(batchDf(batch1 ++ batch2),
+          "key", "ts", "tiebreak", "kind", "signup", "purchase")
+        .select(col("key"), col("action"), col("duration_ms"))
+        .as[ActionDuration].collect().toSet
+      assert(streamed == twin)
+      assert(streamed == Set(
+        ActionDuration("1", "signup", 2000), ActionDuration("1", "view", 3000),
+        ActionDuration("1", "view", 500)))
+    } finally q.stop()
+  }
+
+  test("eventTimeTumblingCount drops late rows past the watermark and reports them") {
+    val input = MemoryStream[(Long, Timestamp)]
+    val df = input.toDF().toDF("event_id", "ts")
+    val q = StreamOps.eventTimeTumblingCount(df, "ts", "0 seconds", "10 seconds")
+      .writeStream.outputMode("update").format("memory").queryName("wm_cnt").start()
+    try {
+      input.addData((1L, new Timestamp(100000)), (2L, new Timestamp(101000)))
+      q.processAllAvailable() // watermark after this batch: 101s
+      input.addData((3L, new Timestamp(5000)), (4L, new Timestamp(102000)))
+      q.processAllAvailable() // 5s row is far older than the watermark → dropped
+      val dropped = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1, s"expected >=1 dropped row, got $dropped")
+      val windows = spark.table("wm_cnt").select("window_start_ms")
+        .as[Long].collect().toSet
+      assert(windows == Set(100000L)) // no window materialized for the late 5s row
+    } finally q.stop()
+  }
+
+  test("file-monitor CSV source picks up files incrementally (E1 shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit_stream")
+    def writeFile(name: String, rows: String*): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), rows.mkString("\n"))
+    writeFile("audit_0.csv", "\"0\",\"Harry\",\"SalesRep\",\"Modify\",\"1712637005879\",\"5\",\"3\"")
+    val st = graft.sources.ReferenceData.auditFileStream(spark, dir.toString, 1)
+    val q = st.groupBy("user").count()
+      .writeStream.outputMode("complete").format("memory").queryName("audit_cnt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("audit_cnt").as[(String, Long)].collect().toSet ==
+        Set(("Harry", 1L)))
+      writeFile("audit_1.csv",
+        "\"1\",\"Tom\",\"Customer\",\"Create\",\"1712637006000\",\"2\",\"1\"",
+        "\"2\",\"Harry\",\"Customer\",\"Query\",\"1712637007000\",\"1\",\"2\"")
+      q.processAllAvailable() // the monitor sees the new file without restart
+      assert(spark.table("audit_cnt").as[(String, Long)].collect().toSet ==
+        Set(("Harry", 2L), ("Tom", 1L)))
+    } finally q.stop()
+  }
+
+  test("split sink fans one micro-batch out to both sides exactly once") {
+    val input = MemoryStream[KeyedEvent]
+    val a = scala.collection.mutable.ArrayBuffer.empty[String]
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = StreamSinks.split(input.toDF(), col("kind") === "error") { m =>
+      a ++= m.select("key").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    } { r =>
+      b ++= r.select("key").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    }
+    try {
+      input.addData(KeyedEvent("1", 1, 1, "error"), KeyedEvent("2", 2, 2, "view"),
+        KeyedEvent("3", 3, 3, "error"))
+      q.processAllAvailable()
+      assert(a.sorted == Seq("1", "3") && b.sorted == Seq("2"))
+    } finally q.stop()
+  }
+}

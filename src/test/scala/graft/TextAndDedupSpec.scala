@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+class TextAndDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens trims, splits on whitespace runs, drops empties") {
+    val got = Seq("  a  b\tc ", "", "   ").toDF("text")
+      .select(size(TextOps.tokens(col("text")))).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 0))
+  }
+
+  test("normalization folds case, punctuation and whitespace for dedup") {
+    val df = Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other doc")).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df, "doc_id", "text").orderBy("canonical_id")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L))) // doc 2 collapses into doc 1
+  }
+
+  test("qualityScore ratios are exact integer fractions") {
+    val got = TextOps.qualityScore(Seq((1L, "the cat, the hat")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("the"))
+      .select("n_tokens", "n_stopwords", "n_punct", "stopword_ratio")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((4L, 2L, 1L, 0.5)))
+  }
+
+  test("languageId picks the profile with the most stopword hits") {
+    val profiles = Map("en" -> Seq("the", "and"), "de" -> Seq("der", "und"))
+    val df = Seq((1L, "the cat and the hat"), (2L, "der Hund und der Berg")).toDF("doc_id", "text")
+    val got = TextOps.languageId(df, "doc_id", "text", profiles)
+      .orderBy("doc_id").select("lang_pred").as[String].collect().toSeq
+    assert(got == Seq("en", "de"))
+  }
+
+  test("shingles yields n-k+1 word k-grams, whole text when shorter") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+    val got = df.select(Dedup.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("minhash signatures: identical texts identical, length = numHashes, within field") {
+    val df = Seq((1L, "spark flink join window agg"), (2L, "spark flink join window agg"),
+      (3L, "completely different words here now")).toDF("doc_id", "text")
+    val sigs = df.select(Dedup.minhashSignature(col("text"), 3, 16)).as[Seq[Long]].collect()
+    assert(sigs.forall(_.size == 16))
+    assert(sigs.forall(_.forall(v => v >= 0 && v < 2147483647L)))
+    assert(sigs(0) == sigs(1) && sigs(0) != sigs(2))
+  }
+
+  test("minhashPairs surfaces identical docs with est_jaccard 1.0, skips unrelated") {
+    val df = Seq((1L, "spark flink join window agg merge sort"),
+      (2L, "spark flink join window agg merge sort"),
+      (3L, "totally unrelated content about cats and dogs")).toDF("doc_id", "text")
+    val got = Dedup.minhashPairs(df, "doc_id", "text", 3, 8, 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("jaccard is |intersection| / |union| of distinct shingle sets") {
+    val a = Seq(Seq("x", "y", "z"))
+    val b = Seq(Seq("y", "z", "w"))
+    val got = a.zip(b).toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b"))).as[Double].head()
+    assert(got == 0.5) // 2 shared / 4 total
+  }
+
+  test("simhash: equal texts collide, disjoint-vocabulary texts differ") {
+    val df = Seq("alpha beta gamma", "alpha beta gamma", "delta epsilon zeta").toDF("text")
+    val got = df.select(Dedup.simhash(col("text"))).as[Long].collect()
+    assert(got(0) == got(1) && got(0) != got(2))
+  }
+}
