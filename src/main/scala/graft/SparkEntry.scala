@@ -153,6 +153,18 @@ object SparkEntry {
     "q_cosine_dup" -> ((s, dir) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         EmbDims, LshPlanes, 0.3)),
+
+    // ── extensions: multimodal binary columns ─────────────────────────────
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.imageMeta(
+        Tables.documents(s, dir).withColumn("img",
+          Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
+        "doc_id", "img")),
+    "q_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeImagesStub(
+        Tables.documents(s, dir).withColumn("img",
+          Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
+        "doc_id", "img").toDF()),
   )
 
   // Approximate-tier parameters, shared between the Spark queries and the
@@ -452,5 +464,28 @@ object SparkEntry {
          |      FROM esig a JOIN esig b USING (bucket) WHERE a.vec_id < b.vec_id)
          |SELECT doc_a, doc_b, floor(cos * 1000000) / 1000000 AS cos_sim
          |FROM p WHERE cos >= 0.3""".stripMargin,
+
+    // the fake payload's hex image: md5(text) plus 0/8/16 chars of md5(text||'x')
+    "q_multimodal_meta" ->
+      s"""WITH hx AS (SELECT doc_id,
+         |        upper(md5(text) || substr(md5(text || 'x'), 1, ((doc_id % 3) * 8)::INT)) AS h
+         |      FROM documents)
+         |SELECT doc_id, (length(h) / 2)::BIGINT AS n_bytes,
+         |  CASE WHEN ('0x' || substr(h,1,2))::BIGINT < 64 THEN 'png'
+         |       WHEN ('0x' || substr(h,1,2))::BIGINT < 128 THEN 'jpeg'
+         |       WHEN ('0x' || substr(h,1,2))::BIGINT < 192 THEN 'gif'
+         |       ELSE 'webp' END AS format,
+         |  ('0x' || substr(h,1,4))::BIGINT AS width,
+         |  ('0x' || substr(h,5,4))::BIGINT AS height
+         |FROM hx""".stripMargin,
+
+    "q_multimodal_decode" ->
+      s"""WITH hx AS (SELECT doc_id,
+         |        upper(md5(text) || substr(md5(text || 'x'), 1, ((doc_id % 3) * 8)::INT)) AS h
+         |      FROM documents)
+         |SELECT doc_id, (length(h) / 2)::BIGINT AS n_bytes,
+         |  list_sum([('0x' || substr(h, 2*i+1, 2))::BIGINT
+         |            for i in range(0, (length(h) / 2)::INT)])::BIGINT AS byte_sum
+         |FROM hx""".stripMargin,
   )
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withImg =
+    Seq((0L, "doc zero"), (1L, "doc one"), (2L, "doc two")).toDF("doc_id", "text")
+      .withColumn("img", Multimodal.fakeImageBytes(col("text"), col("doc_id")))
+
+  test("fakeImageBytes is a real BinaryType column with id-keyed lengths 16/20/24") {
+    val df = withImg
+    assert(df.schema("img").dataType == BinaryType)
+    val lens = df.select(col("doc_id"), Multimodal.byteLength(col("img")))
+      .as[(Long, Long)].collect().toMap
+    assert(lens == Map(0L -> 16L, 1L -> 20L, 2L -> 24L))
+  }
+
+  test("imageMeta extracts big-endian header fields consistent with the raw bytes") {
+    val meta = Multimodal.imageMeta(withImg, "doc_id", "img")
+    val rows = meta.as[(Long, Long, String, Long, Long)].collect()
+    val raw = withImg.select("doc_id", "img").as[(Long, Array[Byte])].collect().toMap
+    rows.foreach { case (id, nBytes, fmt, width, height) =>
+      val b = raw(id)
+      assert(nBytes == b.length)
+      assert(width == ((b(0) & 0xff) << 8 | (b(1) & 0xff)))
+      assert(height == ((b(2) & 0xff) << 8 | (b(3) & 0xff)))
+      assert(Set("png", "jpeg", "gif", "webp").contains(fmt))
+    }
+  }
+
+  test("decodeImagesStub emits one typed record per payload with exact byte stats") {
+    val got = Multimodal.decodeImagesStub(withImg, "doc_id", "img").collect()
+    val raw = withImg.select("doc_id", "img").as[(Long, Array[Byte])].collect().toMap
+    assert(got.length == 3)
+    got.foreach { d =>
+      val b = raw(d.doc_id)
+      assert(d.n_bytes == b.length)
+      assert(d.byte_sum == b.map(x => (x & 0xff).toLong).sum)
+    }
+  }
+}
