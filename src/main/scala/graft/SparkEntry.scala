@@ -138,8 +138,11 @@ object SparkEntry {
       Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
         MhK, MhBands, MhRows, 0.5)),
     "q_simhash" -> ((s, dir) =>
+      // staged: hash tokens once per row, then the 60 bit-votes read the
+      // materialized array (see Dedup.tokenHashes scaladoc)
       Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+        .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("hs"))
+        .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("simhash"))),
     "q_jaccard_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val cands = Dedup.minhashPairs(docs, "doc_id", "text", MhK, MhBands, MhRows, 0.0)
@@ -439,7 +442,7 @@ object SparkEntry {
 
     "q_jaccard_pairs" ->
       s"""WITH $sqlMinhashCtes,
-         |shs AS (SELECT doc_id, list_distinct(shingles) AS sh FROM shg)
+         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)
          |SELECT c.doc_a, c.doc_b,
          |  len(list_intersect(a.sh, b.sh))::DOUBLE /
          |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard

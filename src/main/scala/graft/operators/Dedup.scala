@@ -48,16 +48,21 @@ object Dedup {
       .otherwise(array(norm))
   }
 
-  /** MinHash signature: for each of `numHashes` permutations, the minimum of
-    * (a_i * h(shingle) + b_i) mod p over all shingles, where h = md5Int.
-    * Returns an array<long> signature column. The permutation constants are
-    * deterministic functions of the hash index, so Spark and the SQL oracle
-    * generate identical families; h < 2^32 and a_i < 2^16 keep every product
-    * comfortably inside int64 on any engine. */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+  /** md5Int of every k-shingle — the expensive half of MinHash, exposed as
+    * its own column so callers materialize it in a SEPARATE projection from
+    * the signature. Higher-order functions evaluate interpreted (no codegen),
+    * and inlining this subtree into each of the `numHashes` permutation
+    * expressions would re-hash every shingle numHashes times per row. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), s => md5Int(s))
+
+  /** MinHash signature over a previously-materialized `shingleHashes` column:
+    * for each of `numHashes` permutations, min of (a_i * h + b_i) mod p.
+    * The permutation constants are deterministic functions of the hash index,
+    * so Spark and the SQL oracle generate identical families; h < 2^32 and
+    * a_i < 2^16 keep every product comfortably inside int64 on any engine. */
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column = {
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
-    val sh = shingles(text, k)
-    val hashes = transform(sh, s => md5Int(s))
     val sigs = (0 until numHashes).map { i =>
       val a = 1117 * (i + 1) + 31
       val b = 271828 * (i + 1) + 1828
@@ -66,40 +71,68 @@ object Dedup {
     array(sigs: _*)
   }
 
+  /** One-shot convenience form (hash + permute in a single expression) — for
+    * small inputs/tests; pipelines should stage via shingleHashes. */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    minhashFromHashes(shingleHashes(text, k), numHashes)
+
   /** MinHash-LSH near-duplicate pairs: band the signature (`numHashes` =
     * bands * rowsPerBand), bucket docs by (band index, band slice), and emit
     * candidate pairs that share a bucket, deduplicated, with their exact
     * estimated Jaccard = fraction of matching signature positions.
     *
-    * Plan shape: map (signature) → explode bands (xbands rows per doc) →
-    * shuffle on band key → self-join within buckets (tiny groups) → distinct
-    * pairs. No all-pairs product at any point. */
+    * Plan shape: map (signature, staged so the shingle hashing happens once)
+    * → explode band keys (bands rows per doc, built by direct array indexing
+    * so the whole band stage stays in codegen) → ONE shuffle on the bucket →
+    * collect the tiny bucket membership and expand pairs in place. Grouping
+    * instead of a self-join halves the work (a self-join recomputes the
+    * signature subtree once per side) and never builds an all-pairs product.
+    * Per-bucket memory is bounded by bucket size — tiny by construction; for
+    * degenerate corpora (thousands of identical docs) cap bucket size
+    * upstream, the standard LSH "too-common" cutoff (see SCALE.md). */
   def minhashPairs(docs: DataFrame, id: String, text: String, k: Int,
                    bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
     val n = bands * rowsPerBand
-    val withSig = docs.select(col(id).as("doc"), minhashSignature(col(text), k, n).as("sig"))
+    val withSig = spread(docs).select(col(id).as("doc"),
+        shingleHashes(col(text), k).as("hs"))
+      .select(col("doc"), minhashFromHashes(col("hs"), n).as("sig"))
+    val bucketCols = (0 until bands).map { b =>
+      concat(lit(s"${b}_"), concat_ws(",",
+        (0 until rowsPerBand).map(j => col("sig")(b * rowsPerBand + j).cast("string")): _*))
+    }
     val banded = withSig.select(col("doc"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-          .cast("array<string>").as("key")))).as("bk"))
-      .select(col("doc"), col("sig"),
-        concat_ws("_", col("bk.band").cast("string"),
-          concat_ws(",", col("bk.key"))).as("bucket"))
-    val l = banded.select(col("bucket"), col("doc").as("doc_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("bucket"), col("doc").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("bucket")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      explode(array(bucketCols: _*)).as("bucket"))
+    banded.groupBy(col("bucket"))
+      .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           m => m)).cast("double") / n).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minJaccard)
   }
 
-  /** SimHash: 64-bit locality-sensitive fingerprint — bit j of the output is
-    * the sign of the sum over tokens of (+1 if bit j of md5Long(token) else
-    * -1). Near-dup docs differ in few bits (Hamming distance). Pure map. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextOps.tokens(text), t => md5Long(t))
+  /** Round-robin repartition when the incoming scan has fewer partitions
+    * than the session's parallelism — tiny files arrive as one split, which
+    * would serialize the (interpreted, per-row-expensive) signature maps onto
+    * one core. At real scale the scan already supplies enough partitions and
+    * this is a no-op. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** md5Long of every whitespace token — staged separately for the same
+    * reason as shingleHashes (simhash's 60 bit-votes each walk this array). */
+  def tokenHashes(text: Column): Column =
+    transform(TextOps.tokens(text), t => md5Long(t))
+
+  /** SimHash from a materialized token-hash array: bit j of the output is
+    * the sign of the sum over tokens of (+1 if bit j of the hash else -1). */
+  def simhashFromHashes(hashes: Column): Column = {
     val bits = (0 until 60).map { j =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -107,6 +140,11 @@ object Dedup {
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** One-shot convenience form (hash + vote in a single expression) — for
+    * small inputs/tests; pipelines should stage via tokenHashes. Near-dup
+    * docs differ in few bits (Hamming distance). Pure map. */
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
   /** n-gram Jaccard similarity of two already-tokenized shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -116,10 +154,15 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs over a candidate set — candidates
     * come from LSH buckets (minhashPairs) so the exact pass touches only
-    * bucket-mates, never all pairs. */
+    * bucket-mates, never all pairs. The set math runs over distinct shingle
+    * HASHES rather than shingle strings: identical results on any engine
+    * (both sides hash with the same md5-derived family, so even a collision
+    * affects both identically), int64 set ops instead of string set ops, and
+    * a far smaller join payload. */
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
                    candidates: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = docs.select(col(id).as("d"), array_distinct(shingles(col(text), k)).as("sh"))
+    val sh = spread(docs).select(col(id).as("d"),
+      array_distinct(shingleHashes(col(text), k)).as("sh"))
     candidates
       .join(sh.select(col("d").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("d").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

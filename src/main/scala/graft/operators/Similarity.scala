@@ -64,10 +64,18 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  private def plane(p: Int, dims: Int): Column =
-    transform(sequence(lit(0), lit(dims - 1)),
-      d => when(Dedup.md5Int(concat_ws(":", lit(p), d.cast("string")))
-        .bitwiseAND(1) === 1, lit(1.0d)).otherwise(lit(-1.0d)))
+  /** Plane p's ±1 components, derived from md5("p:d") exactly like the SQL
+    * oracle (first-8-hex-chars value & 1 = low bit of digest byte 3) — but
+    * computed ONCE driver-side and embedded as an array literal. The previous
+    * in-plan form re-derived 64 md5s per plane per ROW, because higher-order
+    * function subtrees are neither constant-folded nor codegen'd. */
+  private def plane(p: Int, dims: Int): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    typedLit((0 until dims).map { d =>
+      val dig = md.digest(s"$p:$d".getBytes("UTF-8"))
+      if ((dig(3) & 1) == 1) 1.0d else -1.0d
+    })
+  }
 
   /** LSH-bucketed approximate top-k: both sides hashed to `planes`-bit
     * signatures, exact cosine only within matching buckets. Recall grows with

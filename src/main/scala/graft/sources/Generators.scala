@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import scala.util.Random
+
+/** Seeded synthetic fixture generators mirroring the reference's
+  * datasource generators — same record shapes, domains and one-record-per-file
+  * cadence, but reproducible: the reference used an unseeded `new Random()`
+  * (datasource/FileStreamDataGenerator.java:56), which SURVEY §5 flags as the
+  * weakness to fix. Timestamps are a deterministic function of the record
+  * index instead of wall clock, so generated fixtures are stable inputs for
+  * golden tests.
+  *
+  * Record formats:
+  *  - audit  (datasource/FileStreamDataGenerator.java:38-75):
+  *    "id","user","entity","operation","timestamp","duration","count"
+  *  - browser (datasource/BrowserStreamDataGenerator.java:34-78):
+  *    "id","user","action","timestamp"
+  *  - Kafka values (datasource/KafkaStreamDataGenerator.java:75-101):
+  *    key = timestamp string, value = comma-joined audit record
+  */
+object Generators {
+  private val users      = Vector("Tom", "Harry", "Bob")
+  private val operations = Vector("Create", "Modify", "Query", "Delete")
+  private val entities   = Vector("Customer", "SalesRep")
+  private val actions    = Vector("Login", "ViewVideo", "ViewLink", "ViewReview", "Logout")
+
+  private def q(fields: Seq[Any]): String = fields.map(f => s""""$f"""").mkString(",")
+
+  /** One audit record as the quoted-CSV line the reference writes. */
+  def auditRecord(rnd: Random, id: Int, tsMs: Long): String =
+    q(Seq(id, users(rnd.nextInt(users.size)), entities(rnd.nextInt(entities.size)),
+      operations(rnd.nextInt(operations.size)), tsMs,
+      1 + rnd.nextInt(10), 1 + rnd.nextInt(4)))
+
+  def browserRecord(rnd: Random, id: Int, tsMs: Long): String =
+    q(Seq(id, users(rnd.nextInt(users.size)), actions(rnd.nextInt(actions.size)), tsMs))
+
+  /** n one-record CSV files (audit_trail_<i>.csv), ≤1s apart like the
+    * reference's sleep(1..1000); returns the written paths in order. */
+  def writeAuditFiles(dir: String, n: Int, seed: Long,
+                      baseTsMs: Long = 1700000000000L): Seq[Path] = {
+    val rnd = new Random(seed)
+    Files.createDirectories(Paths.get(dir))
+    (0 until n).map { i =>
+      val ts = baseTsMs + (0 until i).map(_ => 1 + rnd.nextInt(1000)).sum
+      Files.writeString(Paths.get(dir, s"audit_trail_$i.csv"),
+        auditRecord(rnd, i, ts))
+    }
+  }
+
+  def writeBrowserFiles(dir: String, n: Int, seed: Long,
+                        baseTsMs: Long = 1700000000000L): Seq[Path] = {
+    val rnd = new Random(seed)
+    Files.createDirectories(Paths.get(dir))
+    (0 until n).map { i =>
+      val ts = baseTsMs + (0 until i).map(_ => 1 + rnd.nextInt(2000)).sum
+      Files.writeString(Paths.get(dir, s"browser_events$i.csv"),
+        browserRecord(rnd, i, ts))
+    }
+  }
+
+  /** The Kafka generator's (key, value) pairs, broker-free: feed them to a
+    * MemoryStream / producer of your choice and parse with
+    * ReferenceData.parseAuditLines. */
+  def auditKafkaValues(n: Int, seed: Long,
+                       baseTsMs: Long = 1700000000000L): Seq[(String, String)] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      val ts = baseTsMs + i * 500L
+      (ts.toString, auditRecord(rnd, i, ts))
+    }
+  }
+}
