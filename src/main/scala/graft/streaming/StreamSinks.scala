@@ -34,4 +34,14 @@ object StreamSinks {
   /** In-memory sink for tests and interactive inspection. */
   def memory(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
     df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+
+  /** Side-effecting record-count observer ≙ the reference's pretty-printing
+    * map stages (common/MapCountPrinter.java:26-32 and friends). Spark-native
+    * form: `observe` attaches a named aggregate evaluated per micro-batch and
+    * surfaced in StreamingQueryProgress.observedMetrics — observability
+    * without a second pass over the data (the reference paid an extra map). */
+  def observed(df: DataFrame, label: String): DataFrame =
+    df.observe(s"graft_$label",
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("records"))
 }

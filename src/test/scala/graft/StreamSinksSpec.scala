@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.{KeyedEvent, StreamOps, StreamSinks}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamSinksSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("csv file sink writes committed part files readable as a batch (E1 sink)") {
+    val out = Files.createTempDirectory("graft_sink_out").toString
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamSinks.csv(input.toDF(), out, ckpt)
+    try {
+      input.addData(KeyedEvent("1", 1000, 1, "a"), KeyedEvent("2", 2000, 2, "b"))
+      q.processAllAvailable()
+      input.addData(KeyedEvent("3", 3000, 3, "c"))
+      q.processAllAvailable()
+      // the sink's _spark_metadata commit log makes the directory an
+      // exactly-once readable table
+      val back = spark.read.schema(input.toDF().schema).csv(out)
+      assert(back.count() == 3)
+      assert(back.select("key").as[String].collect().toSet == Set("1", "2", "3"))
+    } finally q.stop()
+  }
+
+  test("streaming stream-stream window join matches the batch twin's cartesian semantics") {
+    val left = MemoryStream[(Long, Timestamp, Long)]
+    val right = MemoryStream[(Long, Timestamp, Long)]
+    def named(ms: MemoryStream[(Long, Timestamp, Long)]) =
+      ms.toDF().toDF("event_id", "ts", "user_id")
+    val joined = StreamOps.windowJoin(named(left), named(right),
+      "user_id", "ts", "10 seconds", "1 minute")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").start()
+    try {
+      // user 7: 2 left x 2 right in the same 1-min bucket → 4 rows
+      left.addData((1, new Timestamp(1000), 7), (2, new Timestamp(2000), 7),
+        (3, new Timestamp(1000), 8))
+      right.addData((10, new Timestamp(1500), 7), (11, new Timestamp(2500), 7),
+        (12, new Timestamp(500000), 8)) // other bucket → no match
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select("user_id", "left_id", "right_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((7L, 1L, 10L), (7L, 1L, 11L), (7L, 2L, 10L), (7L, 2L, 11L)))
+    } finally q.stop()
+  }
+
+  test("observed() surfaces per-batch record counts in query progress (print-observer twin)") {
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamSinks.memory(
+      StreamSinks.observed(input.toDF(), "parsed"), "obs_t")
+    try {
+      input.addData(KeyedEvent("1", 1, 1, "a"), KeyedEvent("2", 2, 2, "b"))
+      q.processAllAvailable()
+      val counts = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_parsed")).map(_.getLong(0)))
+      assert(counts.sum == 2, s"observed metrics: ${counts.toSeq}")
+    } finally q.stop()
+  }
+}
