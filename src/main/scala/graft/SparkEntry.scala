@@ -56,6 +56,11 @@ object SparkEntry {
       CoreOps.runningSum(Tables.events(s, dir), "user_id", "ts", "event_id",
           "value", "running_value")
         .select(col("event_id"), col("user_id"), col("running_value"))),
+    // skew-hardened twin, checked against the identical oracle
+    "q_running_sum_salted" -> ((s, dir) =>
+      CoreOps.runningSumSalted(Tables.events(s, dir), "user_id", "ts", "event_id",
+          "value", "running_value")
+        .select(col("event_id"), col("user_id"), col("running_value"))),
     "q_tumbling_count" -> ((s, dir) =>
       CoreOps.tumblingCount(Tables.events(s, dir), "ts", "1 hour")),
     "q_sliding_summary" -> ((s, dir) =>
@@ -268,6 +273,13 @@ object SparkEntry {
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q_running_sum" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY user_id ORDER BY $evMs, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+         |FROM events""".stripMargin,
+
+    "q_running_sum_salted" ->
       s"""SELECT event_id, user_id,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
          |    PARTITION BY user_id ORDER BY $evMs, event_id

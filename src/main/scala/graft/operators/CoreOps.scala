@@ -62,6 +62,42 @@ object CoreOps {
     df.withColumn(out, sum(col(value).cast("decimal(18,2)")).over(w).cast("double"))
   }
 
+  /** Skew-hardened runningSum: the same per-event running total, but a hot
+    * key no longer serializes into one task. Rows are bucketed by time range
+    * (bounds from an O(1) aggregate, deterministic); each (key, bucket) runs
+    * its local prefix sum in parallel, and per-bucket offsets are combined by
+    * a second window over the tiny (key, bucket) totals — O(keys × buckets)
+    * rows, never the data. Identical output to runningSum (decimal partials,
+    * exact adds). Costs one extra shuffle + join: use when a key-frequency
+    * profile shows real skew, the plain form otherwise (see SCALE.md). */
+  def runningSumSalted(df: DataFrame, key: String, ts: String, tiebreak: String,
+                       value: String, out: String, numBuckets: Int = 0): DataFrame = {
+    val n = if (numBuckets > 0) numBuckets
+      else math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val bounds = df.agg(min(ms(col(ts))).as("lo"), max(ms(col(ts))).as("hi")).head()
+    if (bounds.isNullAt(0)) return runningSum(df, key, ts, tiebreak, value, out)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max((hi - lo) / n + 1, 1L)
+    // bucket is a function of ts alone, so equal-ts rows share a bucket and
+    // the (ts, tiebreak) order is preserved across bucket boundaries
+    val bucket = least(floor((ms(col(ts)) - lit(lo)) / lit(width)), lit(n - 1)).cast("int")
+    val b = df.withColumn("_b", bucket)
+    val dec = col(value).cast("decimal(18,2)")
+    val wLocal = Window.partitionBy(col(key), col("_b"))
+      .orderBy(col(ts), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrefix = Window.partitionBy(col(key)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col(key), col("_b")).agg(sum(dec).as("_t"))
+      .withColumn("_off", sum(col("_t")).over(wPrefix))
+      .select(col(key), col("_b"), col("_off"))
+    b.withColumn("_local", sum(dec).over(wLocal))
+      .join(offsets, Seq(key, "_b"))
+      .withColumn(out,
+        (coalesce(col("_off"), lit(0).cast("decimal(18,2)")) + col("_local")).cast("double"))
+      .select(df.columns.map(col) :+ col(out): _*)
+  }
+
   /** Global tumbling-window count (chapter2/BasicStreamingOperations.java:84-91).
     * Flink's `timeWindowAll` is key-less; in Spark we just group by the window
     * column alone — which still parallelizes (hash on window bucket) instead of

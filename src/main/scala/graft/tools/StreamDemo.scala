@@ -26,9 +26,11 @@ object StreamDemo {
     val watched = Files.createTempDirectory("graft_stream_demo")
     val stream = ReferenceData.browserFileStream(spark, watched.toString, 1)
 
-    // E1 shape: global tumbling count on event time (the record's own ts)
+    // E1 shape: global tumbling count on event time (the record's own ts),
+    // with a per-batch record-count observer (the MapCountPrinter twin)
     val counts = StreamOps.eventTimeTumblingCount(
-      ReferenceData.withEventTime(stream), "event_time", "2 seconds", "3 seconds")
+      StreamSinks.observed(ReferenceData.withEventTime(stream), "ingested"),
+      "event_time", "2 seconds", "3 seconds")
     val q1 = counts.writeStream.outputMode("update").format("console")
       .option("truncate", false).start()
 
@@ -50,7 +52,10 @@ object StreamDemo {
       }
     }
     q1.processAllAvailable(); q2.processAllAvailable()
-    println(s"[demo] streamed $n files from $srcDir through 2 continuous queries")
+    val observed = q1.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("graft_ingested")).map(_.getLong(0))).sum
+    println(s"[demo] streamed $n files from $srcDir through 2 continuous queries" +
+      s" (observer counted $observed ingested records)")
     q1.stop(); q2.stop(); spark.stop()
   }
 }

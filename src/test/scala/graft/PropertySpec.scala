@@ -59,6 +59,26 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: salted running sum equals the plain running sum (incl. ties, hot keys)") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        ms <- Gen.choose(0L, 20000L) // narrow range → frequent equal-ts ties
+        k <- Gen.oneOf(1L, 1L, 1L, 2L) // key 1 is hot (75% of rows)
+        v <- Gen.choose(0, 10000)
+      } yield (ms, k, v / 100.0))
+    } yield rows.zipWithIndex.map { case ((m, k, v), i) => (i.toLong, m, k, v) }
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("event_id", "ms", "user_id", "value")
+        .withColumn("ts", timestamp_millis(col("ms")))
+      def result(d: org.apache.spark.sql.DataFrame) =
+        d.select("event_id", "run").as[(Long, Double)].collect().toMap
+      val plain = result(CoreOps.runningSum(df, "user_id", "ts", "event_id", "value", "run"))
+      val salted = result(CoreOps.runningSumSalted(df, "user_id", "ts", "event_id", "value", "run", 4))
+      plain == salted
+    })
+  }
+
   test("property: split partitions are disjoint and exhaustive") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = rows.toDF("event_id", "ms")

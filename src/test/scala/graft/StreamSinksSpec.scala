@@ -51,6 +51,26 @@ class StreamSinksSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session window finalizes after the watermark passes the gap (E4)") {
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id")
+    val q = StreamOps.sessionSummary(df, "user_id", "ts", "0 seconds", "5 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess_str").start()
+    try {
+      input.addData((1L, new Timestamp(0), 1L), (2L, new Timestamp(4000), 1L))
+      q.processAllAvailable()
+      // a later event advances the watermark past the session's close
+      input.addData((3L, new Timestamp(60000), 1L))
+      q.processAllAvailable()
+      input.addData((4L, new Timestamp(120000), 1L))
+      q.processAllAvailable()
+      val got = spark.table("sess_str")
+        .select("user_id", "session_start_ms", "cnt", "max_ms")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.contains((1L, 0L, 2L, 4000L)), s"got $got") // the finalized session
+    } finally q.stop()
+  }
+
   test("observed() surfaces per-batch record counts in query progress (print-observer twin)") {
     val input = MemoryStream[KeyedEvent]
     val q = StreamSinks.memory(
