@@ -68,6 +68,13 @@ class TextAndDedupSpec extends SparkSpec {
     assert(got == 0.5) // 2 shared / 4 total
   }
 
+  test("wordPieces splits on letter/digit vs punctuation boundaries (BPE proxy)") {
+    val got = Seq("don't stop-me now2day", "").toDF("text")
+      .select(TextOps.wordPieces(col("text"))).as[Seq[String]].collect()
+    assert(got(0) == Seq("don", "'", "t", "stop", "-", "me", "now2day"))
+    assert(got(1) == Seq())
+  }
+
   test("simhash: equal texts collide, disjoint-vocabulary texts differ") {
     val df = Seq("alpha beta gamma", "alpha beta gamma", "delta epsilon zeta").toDF("text")
     val got = df.select(Dedup.simhash(col("text"))).as[Long].collect()
