@@ -49,6 +49,17 @@ object SparkEntry {
     // ── flagship ──────────────────────────────────────────────────────────
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
 
+    // star-schema rollup: large-large shuffle join + broadcast dim + hash agg
+    // (exercises the full TPC-H-ish table set; Catalyst broadcasts nation
+    // automatically — AQE picks the strategy from observed sizes)
+    "q_nation_revenue" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          CoreOps.exactSum(col("o_totalprice")).as("total_revenue"))),
+
     // ── §2.5 aggregations (E1, E2, E4, E8) ────────────────────────────────
     "q_keyed_sum" -> ((s, dir) =>
       CoreOps.keyedSum(Tables.events(s, dir), "user_id", "value", "total_value")),
@@ -267,6 +278,14 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS DECIMAL(28,0))) AS DOUBLE) / 100 AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_nation_revenue" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
 
     "q_keyed_sum" ->
       """SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
