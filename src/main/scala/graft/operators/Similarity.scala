@@ -52,12 +52,15 @@ object Similarity {
     * derived deterministically from md5 of (plane index, dimension index).
     * Vectors with equal signatures are near-certain cosine neighbors. The
     * per-plane dot is the same exact sequential double fold as `dot`, so the
-    * sign — and therefore the bucket — is engine-independent. */
-  def hyperplaneSig(vec: Column, dims: Int, planes: Int): Column = {
+    * sign — and therefore the bucket — is engine-independent. `planeOffset`
+    * selects an independent plane family (offset plane indices), the
+    * multi-table recall knob used by lshTopKMulti. */
+  def hyperplaneSig(vec: Column, dims: Int, planes: Int,
+                    planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       // plane vector components in {-1, +1} from a deterministic hash
       val s = aggregate(
-        zip_with(vec, plane(p, dims), (x, h) => x.cast("double") * h),
+        zip_with(vec, plane(planeOffset + p, dims), (x, h) => x.cast("double") * h),
         lit(0.0d), (a, v) => a + v)
       when(s >= 0, lit(1L << p)).otherwise(0L)
     }
@@ -79,17 +82,40 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: both sides hashed to `planes`-bit
     * signatures, exact cosine only within matching buckets. Recall grows with
-    * fewer planes (bigger buckets) or multiple tables (call with different
-    * `table` seeds and union). */
+    * fewer planes (bigger buckets) or more tables (lshTopKMulti). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              dims: Int, planes: Int, k: Int): DataFrame = {
-    val sig = (c: Column) => hyperplaneSig(c, dims, planes)
+              dims: Int, planes: Int, k: Int): DataFrame =
+    rankCandidates(lshCandidates(corpus, queries, id, vec, dims, planes, 0), k)
+
+  /** Multi-table LSH top-k — the standard recall amplifier: `tables`
+    * independent plane families each propose bucket-mates, the union is
+    * deduplicated, and exact cosine ranks the merged candidate set. A pair
+    * missed by one family (split by an unlucky hyperplane) is found by
+    * another; recall → 1 as tables grow while each family's buckets stay
+    * tiny. Cost is linear in tables, still never all-pairs. */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                   dims: Int, planes: Int, k: Int, tables: Int): DataFrame = {
+    val cands = (0 until tables).map { t =>
+      lshCandidates(corpus, queries, id, vec, dims, planes, t * planes)
+    }.reduce(_.unionByName(_))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("score")).as("score")) // same exact fold in every table
+    rankCandidates(cands, k)
+  }
+
+  private def lshCandidates(corpus: DataFrame, queries: DataFrame, id: String,
+                            vec: String, dims: Int, planes: Int,
+                            planeOffset: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
-      sig(col(vec)).as("bucket"))
+      hyperplaneSig(col(vec), dims, planes, planeOffset).as("bucket"))
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"),
-      sig(col(vec)).as("bucket"))
-    val scored = c.join(q, Seq("bucket")).filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      hyperplaneSig(col(vec), dims, planes, planeOffset).as("bucket"))
+    c.join(q, Seq("bucket")).filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("score"))
+  }
+
+  private def rankCandidates(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

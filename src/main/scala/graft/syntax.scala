@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.operators._
+
+/** Fluent entry point: `import graft.syntax._` and every engine operator
+  * hangs off DataFrame, so a pipeline reads like the reference's chained
+  * DataStream style while remaining plain Column-expression Spark:
+  *
+  * {{{
+  * import graft.syntax._
+  * events.tumblingCount("ts", "3 seconds")              // E1
+  * events.runningSum("user", "ts", "id", "v", "total")  // E2
+  * docs.exactDedup("doc_id", "text")                    // dedup tier
+  * }}}
+  */
+object syntax {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ── §2.5 aggregations ──────────────────────────────────────────────────
+    def keyedSum(key: String, value: String, out: String): DataFrame =
+      CoreOps.keyedSum(df, key, value, out)
+    def runningSum(key: String, ts: String, tiebreak: String, value: String,
+                   out: String): DataFrame =
+      CoreOps.runningSum(df, key, ts, tiebreak, value, out)
+    def runningSumSalted(key: String, ts: String, tiebreak: String, value: String,
+                         out: String, buckets: Int = 0): DataFrame =
+      CoreOps.runningSumSalted(df, key, ts, tiebreak, value, out, buckets)
+    def tumblingCount(ts: String, duration: String): DataFrame =
+      CoreOps.tumblingCount(df, ts, duration)
+    def slidingSummary(ts: String, size: String, slide: String): DataFrame =
+      CoreOps.slidingSummary(df, ts, size, slide)
+    def sessionSummary(key: String, ts: String, gap: String): DataFrame =
+      CoreOps.sessionSummary(df, key, ts, gap)
+    def keyedWindowCount(keys: Seq[String], ts: String, duration: String): DataFrame =
+      CoreOps.keyedWindowCount(df, keys, ts, duration)
+
+    // ── §2.6–§2.8 joins, split, merge ─────────────────────────────────────
+    def windowJoin(right: DataFrame, key: String, ts: String,
+                   duration: String): DataFrame =
+      CoreOps.windowJoin(df, right, key, ts, duration)
+    def splitBy(pred: Column): (DataFrame, DataFrame) = CoreOps.splitBy(df, pred)
+    def taggedUnion(tag: String, other: DataFrame, otherTag: String,
+                    cols: Seq[String]): DataFrame =
+      CoreOps.taggedUnion(df, tag, other, otherTag, cols)
+
+    // ── §2.9/§2.10 stateful + event time (batch twins) ────────────────────
+    def intervalAlert(key: String, ts: String, tiebreak: String, typeCol: String,
+                      deleteType: String, thresholdMs: Long): DataFrame =
+      StatefulTwins.intervalAlert(df, key, ts, tiebreak, typeCol, deleteType, thresholdMs)
+    def actionDurations(key: String, ts: String, tiebreak: String, typeCol: String,
+                        loginType: String, logoutType: String): DataFrame =
+      StatefulTwins.actionDurations(df, key, ts, tiebreak, typeCol, loginType, logoutType)
+    def withLateFlag(ts: String, arrivalCol: String, tiebreak: String,
+                     latenessMs: Long): DataFrame =
+      StatefulTwins.withLateFlag(df, ts, arrivalCol, tiebreak, latenessMs)
+
+    // ── training-data extensions ──────────────────────────────────────────
+    def exactDedup(id: String, text: String): DataFrame =
+      Dedup.exactDedup(df, id, text)
+    def minhashPairs(id: String, text: String, k: Int, bands: Int,
+                     rowsPerBand: Int, minJaccard: Double): DataFrame =
+      Dedup.minhashPairs(df, id, text, k, bands, rowsPerBand, minJaccard)
+    def tokenStats(id: String, text: String): DataFrame =
+      TextOps.tokenStats(df, id, text)
+    def qualityScore(id: String, text: String, stopwords: Seq[String]): DataFrame =
+      TextOps.qualityScore(df, id, text, stopwords)
+    def languageId(id: String, text: String,
+                   profiles: Map[String, Seq[String]]): DataFrame =
+      TextOps.languageId(df, id, text, profiles)
+    def cosineTopK(queries: DataFrame, id: String, vec: String, k: Int): DataFrame =
+      Similarity.bruteForceTopK(df, queries, id, vec, k)
+    def imageMeta(id: String, bin: String): DataFrame =
+      Multimodal.imageMeta(df, id, bin)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.syntax._
+import org.apache.spark.sql.functions._
+
+/** The fluent facade must delegate to the same operators (spot checks). */
+class SyntaxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fluent pipeline composes like the reference's chained style") {
+    val events = Seq((1L, 1000L, 1L, "error", 2.5), (2L, 2000L, 1L, "view", 1.0),
+      (3L, 500000L, 2L, "error", 4.0))
+      .toDF("event_id", "ms", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+
+    assert(events.keyedSum("user_id", "value", "total").count() == 2)
+    assert(events.tumblingCount("ts", "3 seconds").count() == 2)
+    val (err, rest) = events.splitBy(col("event_type") === "error")
+    assert(err.taggedUnion("E", rest, "N", Seq("user_id")).count() == 3)
+
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat sat")).toDF("doc_id", "text")
+    assert(docs.exactDedup("doc_id", "text").count() == 1)
+    assert(docs.tokenStats("doc_id", "text").count() == 2)
+  }
+
+  test("multi-table LSH recall is a superset of single-table recall") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => (math.sin(i * 37 + d) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = pairs(graft.operators.Similarity.lshTopK(
+      vecs, vecs, "vec_id", "embedding", 8, 6, 40))
+    val multi = pairs(graft.operators.Similarity.lshTopKMulti(
+      vecs, vecs, "vec_id", "embedding", 8, 6, 40, 3))
+    assert(single.subsetOf(multi), "multi-table candidates must contain table 0's")
+    assert(multi.size >= single.size)
+  }
+}
