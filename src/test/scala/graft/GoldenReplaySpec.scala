@@ -59,6 +59,20 @@ class GoldenReplaySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("malformed records parse to nulls instead of crashing (delta vs the reference)") {
+    // the reference's positional Integer.valueOf parse throws on bad input
+    // (chapter2/AuditTrail.java:22-28); the engine's csv/from_csv path yields
+    // null fields so one poison record cannot kill a continuous pipeline
+    val lines = Seq(
+      "\"0\",\"Tom\",\"Customer\",\"Create\",\"1000\",\"1\",\"1\"", // well-formed
+      "\"not-a-number\",\"Bob\",\"Customer\",\"Query\",\"2000\",\"x\",\"1\"", // bad casts
+      "garbage without quotes or enough fields").toDF("value")
+    val parsed = ReferenceData.parseAuditLines(lines, "value")
+    assert(parsed.count() == 3) // every line yields a row...
+    assert(parsed.filter(col("id").isNotNull).count() == 1) // ...bad ids are null
+    assert(parsed.filter(col("user") === "Bob").count() == 1) // salvageable fields kept
+  }
+
   test("stateful session analysis over the reference's browser data (E8 end-to-end)") {
     val dir = fixture("raw_browser_events")
     val df = ReferenceData.browserFiles(spark, dir)
