@@ -1,0 +1,94 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+import java.security.MessageDigest
+
+/** Native md5-derived integer hashes — the hot primitive of the MinHash /
+  * SimHash / hyperplane-LSH tier (SURVEY §2 extension operators).
+  *
+  * The Column-function form `conv(substring(md5(x),1,N),16,10)` materializes
+  * a 32-char hex string per value and then parses it base-16; these
+  * expressions produce the same 32-/60-bit values straight from the digest
+  * bytes, evaluate inside whole-stage codegen (`doGenCode`) outside lambdas,
+  * and skip the string round trip inside interpreted higher-order lambdas.
+  * Bit-compatibility with the SQL form (and therefore with the DuckDB
+  * oracles) is pinned by Md5ExprSpec. */
+object Md5Hash {
+  private val digests = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  /** First 4 digest bytes as an unsigned big-endian int (< 2^32) —
+    * ≡ conv(substring(md5(x),1,8),16,10). */
+  def first32(s: UTF8String): Long = {
+    val d = digests.get(); d.reset()
+    val dig = d.digest(s.getBytes)
+    ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+  }
+
+  /** First 15 hex digits (60 bits): bytes 0..6 plus the high nibble of
+    * byte 7 — ≡ conv(substring(md5(x),1,15),16,10). */
+  def first60(s: UTF8String): Long = {
+    val d = digests.get(); d.reset()
+    val dig = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) >> 4) & 0xfL)
+  }
+}
+
+abstract class Md5HashExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  protected def javaCall: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5Hash.$javaCall($c)")
+}
+
+case class Md5Int(child: Expression) extends Md5HashExpression {
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Hash.first32(input.asInstanceOf[UTF8String])
+  override protected def javaCall: String = "first32"
+  override protected def withNewChildInternal(newChild: Expression): Md5Int =
+    copy(child = newChild)
+  override def prettyName: String = "graft_md5int"
+}
+
+case class Md5Long(child: Expression) extends Md5HashExpression {
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Hash.first60(input.asInstanceOf[UTF8String])
+  override protected def javaCall: String = "first60"
+  override protected def withNewChildInternal(newChild: Expression): Md5Long =
+    copy(child = newChild)
+  override def prettyName: String = "graft_md5long"
+}
+
+object Md5Expressions {
+  /** Column wrappers (work everywhere, including inside HOF lambdas). */
+  def md5Int(c: Column): Column =
+    GraftColumnBridge.column(Md5Int(GraftColumnBridge.expression(c)))
+  def md5Long(c: Column): Column =
+    GraftColumnBridge.column(Md5Long(GraftColumnBridge.expression(c)))
+}
+
+/** SQL-surface registration:
+  * `spark.sql.extensions=graft.expressions.GraftExtensions` exposes
+  * graft_md5int / graft_md5long to every SQL query in the session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_md5int"),
+      new ExpressionInfo(classOf[Md5Int].getName, "graft_md5int"),
+      (args: Seq[Expression]) => Md5Int(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_md5long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "graft_md5long"),
+      (args: Seq[Expression]) => Md5Long(args.head)))
+  }
+}

@@ -18,16 +18,17 @@ object Dedup {
 
   /** 64-bit integer hash of any string column, derived from md5 (first 15 hex
     * chars → always non-negative, < 2^60). Cross-engine reproducible, unlike
-    * Spark's murmur3 `hash()` / DuckDB's `hash()`. */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * Spark's murmur3 `hash()` / DuckDB's `hash()`. Backed by the native
+    * codegen'd expression (graft.expressions.Md5Long) — bit-identical to
+    * conv(substring(md5(c),1,15),16,10) without the hex round trip. */
+  def md5Long(c: Column): Column = graft.expressions.Md5Expressions.md5Long(c)
 
   /** 32-bit variant (first 8 hex chars, < 2^32). Used wherever the hash is
     * multiplied by another constant: the product stays < 2^48, so the same
     * arithmetic is exact int64 in every engine (no silent Java wraparound,
-    * no DuckDB overflow error). */
-  def md5Int(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    * no DuckDB overflow error). Native expression, same value as
+    * conv(substring(md5(c),1,8),16,10). */
+  def md5Int(c: Column): Column = graft.expressions.Md5Expressions.md5Int(c)
 
   /** Exact dedup: group by the normalized-text fingerprint, keep the smallest
     * id as the canonical representative. Output one row per distinct content
