@@ -159,12 +159,9 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("hs"))
         .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("simhash"))),
-    "q_jaccard_pairs" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val cands = Dedup.minhashPairs(docs, "doc_id", "text", MhK, MhBands, MhRows, 0.0)
-        .select(col("doc_a"), col("doc_b"))
-      Dedup.jaccardPairs(docs, "doc_id", "text", MhK, cands, 0.5)
-    }),
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.lshJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        MhK, MhBands, MhRows, 0.5)),
     "q_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb, "vec_id", "embedding", EmbDims, LshPlanes, 3)

@@ -153,13 +153,44 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** Exact n-gram Jaccard near-dup pairs over a candidate set — candidates
-    * come from LSH buckets (minhashPairs) so the exact pass touches only
-    * bucket-mates, never all pairs. The set math runs over distinct shingle
-    * HASHES rather than shingle strings: identical results on any engine
-    * (both sides hash with the same md5-derived family, so even a collision
-    * affects both identically), int64 set ops instead of string set ops, and
-    * a far smaller join payload. */
+  /** Fused exact-Jaccard over LSH buckets: one pass — signature, banding,
+    * bucket grouping, in-place pair expansion, exact Jaccard on the distinct
+    * shingle-hash sets carried through the shuffle. Output is identical to
+    * jaccardPairs(minhashPairs(minJaccard = 0), …) but with ONE shuffle and
+    * no candidate re-join: the bucket payload carries each doc's hash set
+    * (min over duplicates equals min over distinct, so the same array feeds
+    * both the signature and the set math). */
+  def lshJaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
+                      bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val n = bands * rowsPerBand
+    val staged = spread(docs).select(col(id).as("doc"),
+        shingleHashes(col(text), k).as("hs"))
+      .select(col("doc"), array_distinct(col("hs")).as("sh"),
+        minhashFromHashes(col("hs"), n).as("sig"))
+    val bucketCols = (0 until bands).map { b =>
+      concat(lit(s"${b}_"), concat_ws(",",
+        (0 until rowsPerBand).map(j => col("sig")(b * rowsPerBand + j).cast("string")): _*))
+    }
+    staged.select(col("doc"), col("sh"), explode(array(bucketCols: _*)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("doc"), col("sh"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs over a caller-supplied candidate
+    * set (any pair source). For LSH candidates prefer lshJaccardPairs, which
+    * fuses candidate generation and verification into one shuffle. The set
+    * math runs over distinct shingle HASHES rather than shingle strings:
+    * identical results on any engine (both sides hash with the same
+    * md5-derived family, so even a collision affects both identically),
+    * int64 set ops instead of string set ops, and a far smaller payload. */
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
                    candidates: DataFrame, minJaccard: Double): DataFrame = {
     val sh = spread(docs).select(col(id).as("d"),
