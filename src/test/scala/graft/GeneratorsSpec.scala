@@ -31,6 +31,25 @@ class GeneratorsSpec extends SparkSpec {
     assert(a != b)
   }
 
+  test("rate-source audit stream emits schema-true records from the generator domains") {
+    val q = Generators.auditRateStream(spark, rowsPerBatch = 5)
+      .writeStream.outputMode("append").format("memory").queryName("rate_audit").start()
+    try {
+      // a rate source never exhausts, so processAllAvailable would spin
+      // forever — poll until at least one batch has landed
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("rate_audit").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val rows = spark.table("rate_audit")
+      assert(rows.count() >= 5)
+      assert(rows.columns.toSeq ==
+        Seq("id", "user", "entity", "operation", "timestamp", "duration", "count"))
+      import org.apache.spark.sql.functions.col
+      assert(rows.filter(!col("user").isin("Tom", "Harry", "Bob")).count() == 0)
+      assert(rows.filter(col("duration") < 1 || col("duration") > 10).count() == 0)
+    } finally q.stop()
+  }
+
   test("kafka-value records parse through the string-record path") {
     val values = Generators.auditKafkaValues(20, seed = 7)
     val parsed = ReferenceData.parseAuditLines(
