@@ -169,6 +169,12 @@ object SparkEntry {
     "q_cosine_dup" -> ((s, dir) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         EmbDims, LshPlanes, 0.3)),
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 64),
+        Similarity.seedCentroids(emb, "vec_id", IvfNlist), "vec_id", "embedding",
+        3, IvfNprobe)
+    }),
 
     // ── extensions: multimodal binary columns ─────────────────────────────
     "q_multimodal_meta" -> ((s, dir) =>
@@ -188,6 +194,7 @@ object SparkEntry {
   private val MhK = 3; private val MhBands = 8; private val MhRows = 2
   private val MhN = MhBands * MhRows
   private val EmbDims = 64; private val LshPlanes = 8
+  private val IvfNlist = 8; private val IvfNprobe = 2
 
   /** Deterministic out-of-order arrival simulation for the E6 twins: each
     * event is delayed by (event_id mod 5) * 30 min, so ~4/5 of rows arrive
@@ -495,6 +502,29 @@ object SparkEntry {
          |      FROM esig a JOIN esig b USING (bucket) WHERE a.vec_id < b.vec_id)
          |SELECT doc_a, doc_b, floor(cos * 1000000) / 1000000 AS cos_sim
          |FROM p WHERE cos >= 0.3""".stripMargin,
+
+    "q_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $IvfNlist),
+         |asg AS (SELECT neighbor_id, cell_id FROM (
+         |  SELECT e.vec_id AS neighbor_id, c.cell_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlCosine("e.embedding", "c.embedding")} DESC, c.cell_id) AS rn
+         |  FROM embeddings e, cent c) WHERE rn = 1),
+         |prb AS (SELECT query_id, cell_id FROM (
+         |  SELECT q.vec_id AS query_id, c.cell_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC, c.cell_id) AS rn
+         |  FROM embeddings q, cent c WHERE q.vec_id < 64) WHERE rn <= $IvfNprobe),
+         |scored AS (SELECT p.query_id, a.neighbor_id,
+         |    ${sqlCosine("q.embedding", "e.embedding")} AS score
+         |  FROM prb p JOIN asg a ON p.cell_id = a.cell_id
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN embeddings e ON e.vec_id = a.neighbor_id
+         |  WHERE p.query_id <> a.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
 
     // the fake payload's hex image: md5(text) plus 0/8/16 chars of md5(text||'x')
     "q_multimodal_meta" ->

@@ -123,6 +123,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale path:
+    * every corpus vector is assigned to its nearest centroid cell once, and a
+    * query probes only its `nprobe` nearest cells, so search cost is
+    * |query| × (nprobe/nlist) × |corpus| instead of all-pairs.
+    *
+    * Plan shape: centroids broadcast to both sides; corpus assignment is a
+    * broadcast join + partial-aggregated max_by (one row per vector crosses
+    * the shuffle — never the corpus × centroid product); the search joins
+    * probed cells to assigned cells and ranks with a per-query group limit.
+    *
+    * `centroids` is any (id, vec) table — production trains k-means offline;
+    * `seedCentroids` below gives the deterministic assignment-only variant
+    * used for oracle checking. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
+    val cent = centroids.select(col(id).as("cell_id"), col(vec).as("cent_vec"))
+    val assigned = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"))
+      .join(broadcast(cent))
+      .withColumn("cscore", cosine(col("c_vec"), col("cent_vec")))
+      .groupBy(col("neighbor_id"))
+      .agg(
+        max_by(col("cell_id"), struct(col("cscore"), -col("cell_id"))).as("cell_id"),
+        first(col("c_vec")).as("c_vec"))
+    val probes = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+      .join(broadcast(cent))
+      .withColumn("cscore", cosine(col("q_vec"), col("cent_vec")))
+      .withColumn("crank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cscore").desc, col("cell_id"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("cell_id"))
+    val scored = probes.join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("score"))
+    rankCandidates(scored, k)
+  }
+
+  /** Deterministic seed centroids: the `nlist` lowest-id vectors. Stands in
+    * for trained centroids so the IVF path is reproducible and
+    * oracle-checkable end-to-end. */
+  def seedCentroids(emb: DataFrame, id: String, nlist: Int): DataFrame =
+    emb.filter(col(id) < nlist)
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed so only bucket-mates are compared. */
   def cosineDupPairs(emb: DataFrame, id: String, vec: String, dims: Int,

@@ -47,6 +47,19 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.forall { case (q, _, n) => q != n })
   }
 
+  test("ivfTopK searches only probed cells and finds the planted neighbor") {
+    // cells are seeded by vecs 0 and 1 (orthogonal); vec 2 ≈ vec 0's cell,
+    // vec 3 ≈ vec 1's cell — probing 1 cell must still find the same-cell
+    // neighbor and may legitimately miss the cross-cell one
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.95f, 0.05f)), (3L, Seq(0.05f, 0.95f))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(df, df.filter(col("vec_id") === 2),
+        Similarity.seedCentroids(df, "vec_id", 2), "vec_id", "embedding", 1, 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, 0L))) // nearest in vec 2's own cell is vec 0
+  }
+
   test("cosineDupPairs reports each qualifying pair once with truncated score") {
     val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
