@@ -81,6 +81,45 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed running totals in update mode refresh per micro-batch (E2 shape)") {
+    val input = MemoryStream[KeyedEvent]
+    val totals = StreamOps.keyedRunningTotal(
+      input.toDF().withColumn("value", col("tsMs").cast("double")), "key", "value", "total")
+    val q = totals.writeStream.outputMode("update").format("memory")
+      .queryName("e2_totals").start()
+    try {
+      input.addData(KeyedEvent("a", 10, 1, "x"), KeyedEvent("a", 20, 2, "x"),
+        KeyedEvent("b", 5, 3, "x"))
+      q.processAllAvailable()
+      def latest = spark.table("e2_totals").groupBy("key")
+        .agg(org.apache.spark.sql.functions.last("total").as("total"))
+        .as[(String, Double)].collect().toMap
+      assert(latest == Map("a" -> 30.0, "b" -> 5.0))
+      input.addData(KeyedEvent("a", 100, 4, "x")) // state carries: a → 130
+      q.processAllAvailable()
+      val rows = spark.table("e2_totals").as[(String, Double)].collect()
+      assert(rows.contains(("a", 130.0)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("Kafka-string records parse and aggregate in a continuous pipeline (E4 shape)") {
+    // the reference consumes quoted-CSV strings from Kafka; same records via
+    // MemoryStream exercise the identical parse + windowed-count pipeline
+    val input = MemoryStream[String]
+    val parsed = graft.sources.ReferenceData.parseAuditLines(
+      input.toDF().toDF("value"), "value")
+    val counts = parsed.groupBy("user").count()
+    val q = counts.writeStream.outputMode("complete").format("memory")
+      .queryName("kafka_parse").start()
+    try {
+      input.addData(graft.sources.Generators.auditKafkaValues(12, seed = 3).map(_._2): _*)
+      q.processAllAvailable()
+      val got = spark.table("kafka_parse").as[(String, Long)].collect().toMap
+      assert(got.values.sum == 12)
+      assert(got.keySet.subsetOf(Set("Tom", "Harry", "Bob")))
+    } finally q.stop()
+  }
+
   test("file-monitor CSV source picks up files incrementally (E1 shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_audit_stream")
     def writeFile(name: String, rows: String*): Unit =
