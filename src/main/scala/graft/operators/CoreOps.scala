@@ -42,6 +42,25 @@ object CoreOps {
   /** Epoch milliseconds of a timestamp column (truncating, like DuckDB epoch_ms). */
   def ms(c: Column): Column = unix_millis(c)
 
+  /** Deterministic range bucket over a long column, bounds from an O(1)
+    * aggregate (no sampling, so re-execution is stable). NULLs map to bucket
+    * 0 to match Window.orderBy's NULLS FIRST, so bucketed prefix-scan twins
+    * order exactly like their single-window forms. None when the input has
+    * no non-null values. Shared by runningSumSalted and
+    * StatefulTwins.withLateFlag. */
+  private[operators] def timeRangeBucket(df: DataFrame, longCol: Column,
+                                         n: Int): Option[Column] = {
+    val bounds = df.agg(min(longCol).as("lo"), max(longCol).as("hi")).head()
+    if (bounds.isNullAt(0)) None
+    else {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val width = math.max((hi - lo) / n + 1, 1L)
+      Some(when(longCol.isNull, lit(0))
+        .otherwise(least(floor((longCol - lit(lo)) / lit(width)), lit(n - 1)))
+        .cast("int"))
+    }
+  }
+
   // ─── §2.5 aggregations ────────────────────────────────────────────────────
 
   /** Keyed total: Flink `keyBy(user).reduce(sum)` collapsed to its final value
@@ -74,13 +93,10 @@ object CoreOps {
                        value: String, out: String, numBuckets: Int = 0): DataFrame = {
     val n = if (numBuckets > 0) numBuckets
       else math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val bounds = df.agg(min(ms(col(ts))).as("lo"), max(ms(col(ts))).as("hi")).head()
-    if (bounds.isNullAt(0)) return runningSum(df, key, ts, tiebreak, value, out)
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val width = math.max((hi - lo) / n + 1, 1L)
     // bucket is a function of ts alone, so equal-ts rows share a bucket and
     // the (ts, tiebreak) order is preserved across bucket boundaries
-    val bucket = least(floor((ms(col(ts)) - lit(lo)) / lit(width)), lit(n - 1)).cast("int")
+    val bucket = timeRangeBucket(df, ms(col(ts)), n)
+      .getOrElse(return runningSum(df, key, ts, tiebreak, value, out))
     val b = df.withColumn("_b", bucket)
     val dec = col(value).cast("decimal(18,2)")
     val wLocal = Window.partitionBy(col(key), col("_b"))
@@ -160,9 +176,12 @@ object CoreOps {
   /** Predicate split (chapter2/StreamSplitAndMerge.java:68-102). Spark has no
     * side outputs; idiomatic form is two filters over one (cached/shared)
     * source — Catalyst reuses the scan, and in streaming the two branches can
-    * run as two queries over the same source or one foreachBatch fan-out. */
+    * run as two queries over the same source or one foreachBatch fan-out.
+    * NULL predicates route to the "rest" side (the reference's else-branch
+    * catches everything non-matching): plain !pred would drop them, since
+    * both pred and !pred evaluate to NULL. */
   def splitBy(df: DataFrame, pred: Column): (DataFrame, DataFrame) =
-    (df.filter(pred), df.filter(!pred))
+    (df.filter(pred), df.filter(coalesce(!pred, lit(true))))
 
   /** Tagged union — Flink connect + CoMapFunction to a common shape
     * (chapter2/StreamSplitAndMerge.java:120-153). Each side is projected to the

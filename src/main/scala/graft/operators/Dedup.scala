@@ -112,8 +112,8 @@ object Dedup {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           m => m)).cast("double") / n).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard) // before distinct: shrink the shuffle
       .distinct()
-      .filter(col("est_jaccard") >= minJaccard)
   }
 
   /** Round-robin repartition when the incoming scan has fewer partitions
@@ -180,8 +180,8 @@ object Dedup {
       .filter(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard) // before distinct: shrink the shuffle
       .distinct()
-      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Exact n-gram Jaccard near-dup pairs over a caller-supplied candidate

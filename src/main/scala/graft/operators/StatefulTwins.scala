@@ -81,16 +81,15 @@ object StatefulTwins {
     val spark = df.sparkSession
     import spark.implicits._
     val nBuckets = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val arrL = col(arrivalCol).cast("long")
-    val bounds = df.agg(min(arrL).as("lo"), max(arrL).as("hi")).head()
-    if (bounds.isNullAt(0)) return df.withColumn("is_late", lit(false))
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val width = math.max((hi - lo) / nBuckets + 1, 1L)
-    val bucket = least(floor((arrL - lit(lo)) / lit(width)), lit(nBuckets - 1)).cast("int")
+    val bucket = CoreOps.timeRangeBucket(df, col(arrivalCol).cast("long"), nBuckets)
+      .getOrElse(return df.withColumn("is_late", lit(false)))
     val b = df.withColumn("_bucket", bucket)
-    // exclusive prefix max across buckets, from an O(nBuckets) aggregate
+    // exclusive prefix max across buckets, from an O(nBuckets) aggregate;
+    // a bucket whose rows all have NULL event time contributes nothing to
+    // the running max (max skips NULLs), so it is dropped here
     val bucketMax = b.groupBy(col("_bucket")).agg(max(ms(col(ts))).as("mx"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var running = Long.MinValue
     val prefix = bucketMax.map { case (bk, mx) =>
       val before = running; running = math.max(running, mx); (bk, before)

@@ -36,14 +36,17 @@ object Generators {
   def browserRecord(rnd: Random, id: Int, tsMs: Long): String =
     q(Seq(id, users(rnd.nextInt(users.size)), actions(rnd.nextInt(actions.size)), tsMs))
 
-  /** n one-record CSV files (audit_trail_<i>.csv), ≤1s apart like the
-    * reference's sleep(1..1000); returns the written paths in order. */
+  /** n one-record CSV files (audit_trail_<i>.csv), each 1..1000 ms after the
+    * previous like the reference's sleep(1..1000) — the running clock
+    * advances once per file, so timestamps are strictly monotone. Returns
+    * the written paths in order. */
   def writeAuditFiles(dir: String, n: Int, seed: Long,
                       baseTsMs: Long = 1700000000000L): Seq[Path] = {
     val rnd = new Random(seed)
     Files.createDirectories(Paths.get(dir))
+    var ts = baseTsMs
     (0 until n).map { i =>
-      val ts = baseTsMs + (0 until i).map(_ => 1 + rnd.nextInt(1000)).sum
+      ts += 1 + rnd.nextInt(1000)
       Files.writeString(Paths.get(dir, s"audit_trail_$i.csv"),
         auditRecord(rnd, i, ts))
     }
@@ -53,8 +56,9 @@ object Generators {
                         baseTsMs: Long = 1700000000000L): Seq[Path] = {
     val rnd = new Random(seed)
     Files.createDirectories(Paths.get(dir))
+    var ts = baseTsMs
     (0 until n).map { i =>
-      val ts = baseTsMs + (0 until i).map(_ => 1 + rnd.nextInt(2000)).sum
+      ts += 1 + rnd.nextInt(2000)
       Files.writeString(Paths.get(dir, s"browser_events$i.csv"),
         browserRecord(rnd, i, ts))
     }

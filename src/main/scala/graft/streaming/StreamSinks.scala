@@ -27,7 +27,12 @@ object StreamSinks {
     df.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val cached = batch.persist()
-        try { onMatch(cached.filter(pred)); onRest(cached.filter(!pred)) }
+        // NULL predicates go to the rest side — !pred alone would drop them
+        try {
+          onMatch(cached.filter(pred))
+          onRest(cached.filter(org.apache.spark.sql.functions.coalesce(
+            !pred, org.apache.spark.sql.functions.lit(true))))
+        }
         finally { cached.unpersist(); () }
     }.start()
 

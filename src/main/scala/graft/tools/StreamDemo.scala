@@ -40,16 +40,23 @@ object StreamDemo {
         col("id"), col("action")), "Login", "Logout")
     val q2 = StreamSinks.console(durations.toDF())
 
-    // replay the fixture files into the watched dir like the generator thread
-    val files = Files.list(Paths.get(srcDir)).iterator()
+    // replay the fixture files into the watched dir like the generator
+    // thread — in numeric index order (Files.list has no ordering guarantee,
+    // and cross-batch arrival order affects the state machines' output)
+    val listing = Files.list(Paths.get(srcDir))
+    val files = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.filter(_.toString.endsWith(".csv")).toSeq
+        .sortBy(p => p.getFileName.toString.replaceAll("[^0-9]", "").toLong)
+    } finally listing.close()
+    // drain after EVERY file: copies in one burst share an mtime, and the
+    // file source then orders them lexicographically (10 before 2), which
+    // would reintroduce out-of-order arrival the generator never produced
     var n = 0
-    while (files.hasNext) {
-      val f = files.next()
-      if (f.toString.endsWith(".csv")) {
-        Files.copy(f, watched.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING)
-        n += 1
-        if (n % 8 == 0) { q1.processAllAvailable(); q2.processAllAvailable() }
-      }
+    files.foreach { f =>
+      Files.copy(f, watched.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING)
+      n += 1
+      q1.processAllAvailable(); q2.processAllAvailable()
     }
     q1.processAllAvailable(); q2.processAllAvailable()
     val observed = q1.recentProgress.flatMap(p =>

@@ -61,6 +61,27 @@ class CoreOpsSpec extends SparkSpec {
     assert(got.filter(col("user_id") === 2).count() == 0)
   }
 
+  test("splitBy routes NULL-predicate rows to the rest side, never drops them") {
+    val df = Seq((1L, Some("error")), (2L, None), (3L, Some("view")))
+      .toDF("event_id", "event_type")
+    val (err, rest) = CoreOps.splitBy(df, col("event_type") === "error")
+    assert(err.count() + rest.count() == 3) // the NULL row must land somewhere
+    assert(rest.filter(col("event_type").isNull).count() == 1)
+  }
+
+  test("runningSumSalted handles NULL timestamps like the plain form (NULLS FIRST)") {
+    val df = Seq(
+      (1L, Some(1000L), 1L, 5.0), (2L, None, 1L, 10.0), (3L, Some(2000L), 1L, 1.0))
+      .toDF("event_id", "ms", "user_id", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    def res(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_id", "run").as[(Long, Double)].collect().toMap
+    val plain = res(CoreOps.runningSum(df, "user_id", "ts", "event_id", "value", "run"))
+    val salted = res(CoreOps.runningSumSalted(df, "user_id", "ts", "event_id", "value", "run", 3))
+    assert(plain == salted, s"plain=$plain salted=$salted")
+    assert(plain(1L) == 15.0) // NULL-ts row sorts first: 10, then +5, then +1
+  }
+
   test("splitBy + taggedUnion partition and re-merge every row exactly once") {
     val df = ev((1, 0, 1, "error", 0), (2, 0, 2, "view", 0), (3, 0, 3, "error", 0))
     val (err, rest) = CoreOps.splitBy(df, col("event_type") === "error")
