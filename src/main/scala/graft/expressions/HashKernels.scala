@@ -1,0 +1,266 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import java.security.MessageDigest
+
+/** Single-pass JVM kernels for the MinHash / SimHash tier.
+  *
+  * The Column-expression forms of these loops (`transform`/`aggregate`
+  * higher-order functions) evaluate in Spark's interpreted expression walker —
+  * no whole-stage codegen, no fusion — and dominated the round-2 bench
+  * (q_minhash_pairs + q_jaccard_pairs = 55% of total). Each kernel below does
+  * the identical arithmetic in one tight JIT'd loop and participates in
+  * whole-stage codegen through `doGenCode`. Bit-compatibility with the Column
+  * forms (and therefore with the DuckDB oracles) is pinned by HashKernelSpec.
+  *
+  * All four are pure per-row functions: they keep every dedup pipeline a
+  * codegen'd map stage followed by exactly one shuffle, which is what makes
+  * the design hold at 100 TB — the change here is per-row CPU cost only.
+  */
+object HashKernels {
+  private val digests = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  /** md5 of bytes [from, until) → first 4 digest bytes as unsigned int,
+    * ≡ Md5Hash.first32 of the corresponding substring. */
+  private def md5First32(bytes: Array[Byte], from: Int, until: Int): Long = {
+    val d = digests.get(); d.reset()
+    d.update(bytes, from, until - from)
+    val dig = d.digest()
+    ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+  }
+
+  /** md5 of bytes [from, until) → first 15 hex digits (60 bits),
+    * ≡ Md5Hash.first60 of the corresponding substring. */
+  private def md5First60(bytes: Array[Byte], from: Int, until: Int): Long = {
+    val d = digests.get(); d.reset()
+    d.update(bytes, from, until - from)
+    val dig = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) >> 4) & 0xfL)
+  }
+
+  /** md5Int of every word k-shingle of an (already normalized) string —
+    * ≡ transform(Dedup.shingles(norm, k), s => md5Int(s)).
+    *
+    * `split(norm, " ")` splits on single spaces, so consecutive tokens in the
+    * source buffer are separated by exactly one 0x20 byte, and the k-token
+    * shingle "tok_i … tok_{i+k-1}" joined with single spaces IS the contiguous
+    * byte range from tok_i's start to tok_{i+k-1}'s end — each shingle hashes
+    * straight off the input buffer with zero string allocation. UTF-8 is
+    * self-synchronizing for ASCII, so byte-level 0x20 scanning equals
+    * character-level splitting. Fewer than k tokens → one shingle = the whole
+    * string (the Column form's `otherwise(array(norm))` branch). */
+  def shingleHashes(norm: UTF8String, k: Int): ArrayData = {
+    val bytes = norm.getBytes
+    // token boundaries: starts[i] .. ends[i] (exclusive), split on single ' '
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < k) {
+      // < k tokens (note "" splits to one empty token): single whole-string shingle
+      return new GenericArrayData(Array[Long](md5First32(bytes, 0, bytes.length)))
+    }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = bytes.length
+    val out = new Array[Long](nTok - k + 1)
+    var s = 0
+    while (s <= nTok - k) {
+      out(s) = md5First32(bytes, starts(s), ends(s + k - 1))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def isAsciiSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** md5Long of every whitespace token —
+    * ≡ transform(TextOps.tokens(text), t => md5Long(t)), where tokens =
+    * filter(split(trim(text), "\\s+"), _ =!= ""). Tokens are the maximal runs
+    * of non-ASCII-whitespace bytes: Java's \s (no UNICODE_CHARACTER_CLASS)
+    * matches exactly {space, \t, \n, \x0B, \f, \r}, all single-byte in UTF-8,
+    * and the filter drops the empty fragments split() leaves at the edges. */
+  def tokenHashes(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    var n = 0
+    var i = 0
+    while (i < bytes.length) { // count token runs
+      if (!isAsciiSpace(bytes(i))) {
+        n += 1
+        while (i < bytes.length && !isAsciiSpace(bytes(i))) i += 1
+      } else i += 1
+    }
+    val out = new Array[Long](n)
+    var t = 0
+    i = 0
+    while (i < bytes.length) {
+      if (!isAsciiSpace(bytes(i))) {
+        val start = i
+        while (i < bytes.length && !isAsciiSpace(bytes(i))) i += 1
+        out(t) = md5First60(bytes, start, i)
+        t += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature: element i = min over h of (h*a_i + b_i) mod p with
+    * p = 2^31-1 and (a_i, b_i) the same index-derived family as the Column
+    * form — ≡ Dedup.minhashFromHashesColumnForm(hashes, n). One pass over the
+    * hash array computes all n permutation minima (the Column form walked the
+    * array n times through the interpreted evaluator). Overflow headroom:
+    * h < 2^32 and a_i = 1117(i+1)+31, so h*a_i + b_i < 2^32 · 1148·n — inside
+    * int64 for any n below ~1.6 million hash functions.
+    *
+    * Null elements are skipped like array_min does; an all-null or empty
+    * input yields null signature slots (matching array_min's null). */
+  def minhashSignature(hashes: ArrayData, n: Int): ArrayData = {
+    val p = 2147483647L
+    val a = new Array[Long](n)
+    val b = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = 1117L * (i + 1) + 31; b(i) = 271828L * (i + 1) + 1828; i += 1 }
+    val mins = new Array[Long](n)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    val len = hashes.numElements()
+    var j = 0
+    while (j < len) {
+      if (!hashes.isNullAt(j)) {
+        any = true
+        val h = hashes.getLong(j)
+        i = 0
+        while (i < n) {
+          val v = (h * a(i) + b(i)) % p
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) new GenericArrayData(new Array[Any](n)) // n nulls
+    else new GenericArrayData(mins)
+  }
+
+  /** SimHash 60-bit vote: bit j of the result is set iff the sum over
+    * elements of (+1 if bit j of the hash else -1) is positive —
+    * ≡ Dedup.simhashFromHashesColumnForm(hashes). A null element votes -1 on
+    * every bit (the Column form's `otherwise(-1)` under a null comparison),
+    * i.e. it counts in the total but never in the ones. */
+  def simhashVote(hashes: ArrayData): Long = {
+    val ones = new Array[Int](60)
+    val len = hashes.numElements()
+    var j = 0
+    while (j < len) {
+      if (!hashes.isNullAt(j)) {
+        val h = hashes.getLong(j)
+        var bit = 0
+        while (bit < 60) {
+          if (((h >> bit) & 1L) == 1L) ones(bit) += 1
+          bit += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 60) {
+      // vote = ones - (len - ones) > 0  ⟺  2·ones > len
+      if (2L * ones(bit) > len) out |= 1L << bit
+      bit += 1
+    }
+    out
+  }
+}
+
+/** string → array<long>: md5Int of every word k-shingle of a normalized
+  * string. Replaces the interpreted transform-over-slices pipeline in
+  * Dedup.shingleHashes (ref: training-data dedup tier, SURVEY §2 ext). */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "shingle size must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** string → array<long>: md5Long of every whitespace token. Replaces the
+  * interpreted transform in Dedup.tokenHashes. */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.tokenHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.tokenHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_hashes"
+}
+
+/** array<long> → array<long>: all n MinHash permutation minima in one pass. */
+case class MinhashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes >= 1, "signature needs at least one hash function")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSignature(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.HashKernels.minhashSignature($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_signature"
+}
+
+/** array<long> → long: single-pass 60-bit SimHash sign vote. */
+case class SimhashVote(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhashVote(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.simhashVote($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimhashVote =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash_vote"
+}
+
+object HashKernelExpressions {
+  /** Column wrappers. */
+  def shingleHashes(norm: Column, k: Int): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(norm), k))
+  def tokenHashes(text: Column): Column =
+    GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(text)))
+  def minhashSignature(hashes: Column, n: Int): Column =
+    GraftColumnBridge.column(MinhashSignature(GraftColumnBridge.expression(hashes), n))
+  def simhashVote(hashes: Column): Column =
+    GraftColumnBridge.column(SimhashVote(GraftColumnBridge.expression(hashes)))
+}

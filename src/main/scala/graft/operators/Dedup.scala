@@ -49,20 +49,35 @@ object Dedup {
       .otherwise(array(norm))
   }
 
-  /** md5Int of every k-shingle — the expensive half of MinHash, exposed as
-    * its own column so callers materialize it in a SEPARATE projection from
-    * the signature. Higher-order functions evaluate interpreted (no codegen),
-    * and inlining this subtree into each of the `numHashes` permutation
-    * expressions would re-hash every shingle numHashes times per row. */
+  /** md5Int of every k-shingle — the expensive half of MinHash. Runs as a
+    * native single-pass kernel (graft.expressions.ShingleHashes) that hashes
+    * each shingle straight off the normalized string's byte buffer inside
+    * whole-stage codegen; the previous transform-over-slices Column form
+    * evaluated in the interpreted HOF walker and dominated the round-2 bench.
+    * Still exposed as its own column so multi-consumer pipelines (signature +
+    * distinct-set) materialize it once. */
   def shingleHashes(text: Column, k: Int): Column =
+    graft.expressions.HashKernelExpressions.shingleHashes(TextOps.normalized(text), k)
+
+  /** Interpreted Column-expression form of shingleHashes — retained solely as
+    * the bit-parity oracle for HashKernelSpec (it is what the DuckDB oracle
+    * SQL mirrors shingle-for-shingle). */
+  private[graft] def shingleHashesColumnForm(text: Column, k: Int): Column =
     transform(shingles(text, k), s => md5Int(s))
 
   /** MinHash signature over a previously-materialized `shingleHashes` column:
-    * for each of `numHashes` permutations, min of (a_i * h + b_i) mod p.
-    * The permutation constants are deterministic functions of the hash index,
-    * so Spark and the SQL oracle generate identical families; h < 2^32 and
-    * a_i < 2^16 keep every product comfortably inside int64 on any engine. */
-  def minhashFromHashes(hashes: Column, numHashes: Int): Column = {
+    * for each of `numHashes` permutations, min of (a_i * h + b_i) mod p,
+    * p = 2^31-1. The permutation constants are deterministic functions of the
+    * hash index, so Spark and the SQL oracle generate identical families;
+    * h < 2^32 and a_i = 1117(i+1)+31 keep every product inside int64 for any
+    * family below ~1.6M hash functions. Native one-pass kernel
+    * (graft.expressions.MinhashSignature); the Column form walked the hash
+    * array numHashes times through the interpreted evaluator. */
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    graft.expressions.HashKernelExpressions.minhashSignature(hashes, numHashes)
+
+  /** Interpreted Column form of minhashFromHashes — HashKernelSpec oracle. */
+  private[graft] def minhashFromHashesColumnForm(hashes: Column, numHashes: Int): Column = {
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
     val sigs = (0 until numHashes).map { i =>
       val a = 1117 * (i + 1) + 31
@@ -126,14 +141,25 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** md5Long of every whitespace token — staged separately for the same
-    * reason as shingleHashes (simhash's 60 bit-votes each walk this array). */
+  /** md5Long of every whitespace token — native single-pass kernel
+    * (graft.expressions.TokenHashes); staged separately so multi-consumer
+    * pipelines materialize it once. */
   def tokenHashes(text: Column): Column =
+    graft.expressions.HashKernelExpressions.tokenHashes(text)
+
+  /** Interpreted Column form of tokenHashes — HashKernelSpec oracle. */
+  private[graft] def tokenHashesColumnForm(text: Column): Column =
     transform(TextOps.tokens(text), t => md5Long(t))
 
   /** SimHash from a materialized token-hash array: bit j of the output is
-    * the sign of the sum over tokens of (+1 if bit j of the hash else -1). */
-  def simhashFromHashes(hashes: Column): Column = {
+    * the sign of the sum over tokens of (+1 if bit j of the hash else -1).
+    * Native one-pass kernel (graft.expressions.SimhashVote); the Column form
+    * re-walked the token-hash array 60 times interpreted. */
+  def simhashFromHashes(hashes: Column): Column =
+    graft.expressions.HashKernelExpressions.simhashVote(hashes)
+
+  /** Interpreted Column form of simhashFromHashes — HashKernelSpec oracle. */
+  private[graft] def simhashFromHashesColumnForm(hashes: Column): Column = {
     val bits = (0 until 60).map { j =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))

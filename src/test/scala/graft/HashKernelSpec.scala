@@ -1,0 +1,123 @@
+package graft
+
+import graft.expressions.HashKernelExpressions
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** The native single-pass kernels (ShingleHashes / TokenHashes /
+  * MinhashSignature / SimhashVote) must be bit-identical to the interpreted
+  * Column-expression forms they replace — that equivalence is what keeps the
+  * DuckDB oracles (which mirror the Column forms) valid for q_minhash_pairs,
+  * q_jaccard_pairs and q_simhash. */
+class HashKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // strings with the shapes that exercise every branch: multi-space runs,
+  // tabs/newlines (ASCII \s), unicode, punctuation, empties, < k tokens
+  private val edgeCases = Seq(
+    "", " ", "   ", "a", "a b", "a  b", " a b ", "a\tb\nc", "héllo wörld",
+    "世界 你好 世界", "one two three four five six", "a,b.c!d", "🚀 🚀 🚀 x",
+    "trailing space ", "\ttab lead", "ab\fc\rd", "x:y z:w q:r")
+
+  private def textGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.asciiPrintableStr,
+    Gen.listOfN(8, Gen.oneOf("the", "quick brown", "fox,", "héllo", "世界", "",
+      " ", "a\tb", "🚀")).map(_.mkString(" ")))
+
+  test("shingle-hash kernel equals the Column form on edge cases, k in 1..4") {
+    for (k <- 1 to 4) {
+      val df = edgeCases.toDF("text").select(
+        col("text"),
+        Dedup.shingleHashes(col("text"), k).as("native"),
+        Dedup.shingleHashesColumnForm(col("text"), k).as("legacy"))
+      val bad = df.filter(not(col("native") <=> col("legacy"))).collect()
+      assert(bad.isEmpty, s"k=$k mismatches: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("property: shingle-hash kernel equals the Column form on arbitrary text") {
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    val r = SCTest.check(params, Prop.forAll(Gen.listOfN(20, textGen)) { strs =>
+      val df = strs.toDF("text")
+      df.select((Dedup.shingleHashes(col("text"), 3) <=>
+          Dedup.shingleHashesColumnForm(col("text"), 3)).as("ok"))
+        .as[Boolean].collect().forall(identity)
+    })
+    assert(r.passed, r.status.toString)
+  }
+
+  test("token-hash kernel equals the Column form (trim + \\s+ split + filter)") {
+    val df = edgeCases.toDF("text").select(
+      col("text"),
+      Dedup.tokenHashes(col("text")).as("native"),
+      Dedup.tokenHashesColumnForm(col("text")).as("legacy"))
+    val bad = df.filter(not(col("native") <=> col("legacy"))).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
+  }
+
+  test("property: token-hash kernel equals the Column form on arbitrary text") {
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    val r = SCTest.check(params, Prop.forAll(Gen.listOfN(20, textGen)) { strs =>
+      val df = strs.toDF("text")
+      df.select((Dedup.tokenHashes(col("text")) <=>
+          Dedup.tokenHashesColumnForm(col("text"))).as("ok"))
+        .as[Boolean].collect().forall(identity)
+    })
+    assert(r.passed, r.status.toString)
+  }
+
+  test("minhash-signature kernel equals the Column form, including empty arrays") {
+    val arrays: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long], Seq(0L), Seq(4294967295L), Seq(1L, 2L, 3L),
+      (0L until 50L).map(i => (i * 1103515245L + 12345L) % (1L << 32)),
+      (0L until 200L).map(i => (i * 2654435761L) % (1L << 32)))
+    val df = arrays.toDF("hs").select(
+      col("hs"),
+      Dedup.minhashFromHashes(col("hs"), 16).as("native"),
+      Dedup.minhashFromHashesColumnForm(col("hs"), 16).as("legacy"))
+    val bad = df.filter(not(col("native") <=> col("legacy"))).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
+  }
+
+  test("simhash-vote kernel equals the Column form, including empty arrays") {
+    val arrays: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long], Seq(0L), Seq((1L << 60) - 1), Seq(5L, 9L, 12L),
+      (0L until 100L).map(i => (i * 6364136223846793005L) & ((1L << 60) - 1)))
+    val df = arrays.toDF("hs").select(
+      col("hs"),
+      Dedup.simhashFromHashes(col("hs")).as("native"),
+      Dedup.simhashFromHashesColumnForm(col("hs")).as("legacy"))
+    val bad = df.filter(not(col("native") <=> col("legacy"))).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
+  }
+
+  test("end-to-end: kernel-backed pipeline equals Column-form pipeline on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = docs.select(col("doc_id"), col("text"),
+        Dedup.shingleHashes(col("text"), 3).as("hs"))
+      .select(col("doc_id"), Dedup.minhashFromHashes(col("hs"), 16).as("sig"),
+        Dedup.simhashFromHashes(Dedup.tokenHashes(col("text"))).as("sh"))
+    val legacy = docs.select(col("doc_id"), col("text"),
+        Dedup.shingleHashesColumnForm(col("text"), 3).as("hs"))
+      .select(col("doc_id"), Dedup.minhashFromHashesColumnForm(col("hs"), 16).as("sig"),
+        Dedup.simhashFromHashesColumnForm(Dedup.tokenHashesColumnForm(col("text"))).as("sh"))
+    val joined = native.as("n").join(legacy.as("l"), Seq("doc_id"))
+    val bad = joined.filter(
+      not(col("n.sig") <=> col("l.sig")) || not(col("n.sh") <=> col("l.sh"))).count()
+    assert(bad == 0, s"$bad docs diverge between kernel and Column form")
+    assert(native.count() > 0)
+  }
+
+  test("kernel expressions fuse into whole-stage codegen") {
+    val df = spark.range(8).select(
+      HashKernelExpressions.simhashVote(
+        HashKernelExpressions.tokenHashes(col("id").cast("string"))).as("v"),
+      HashKernelExpressions.minhashSignature(
+        HashKernelExpressions.shingleHashes(col("id").cast("string"), 2), 4).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"kernel project not codegen-fused:\n$plan")
+    assert(df.count() == 8)
+  }
+}
