@@ -23,8 +23,15 @@ object Similarity {
     * to double BEFORE the multiply (float→double widening is exact), and the
     * fold order is fixed, so the result is bit-identical on any engine that
     * folds left — which makes cosine scores, ranks, and thresholds
-    * oracle-reproducible instead of ulp-flaky. */
+    * oracle-reproducible instead of ulp-flaky. Runs as a native codegen'd
+    * kernel (graft.expressions.DotFold); the aggregate/zip_with Column form
+    * evaluated interpreted, three tree-walks per cosine. */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorKernelExpressions.dotFold(a, b)
+
+  /** Interpreted Column form of dot — VectorKernelSpec's bit-parity oracle
+    * (it is what the DuckDB list_reduce oracle mirrors fold-for-fold). */
+  private[graft] def dotColumnForm(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, v) => acc + v)
 
@@ -56,7 +63,13 @@ object Similarity {
     * selects an independent plane family (offset plane indices), the
     * multi-table recall knob used by lshTopKMulti. */
   def hyperplaneSig(vec: Column, dims: Int, planes: Int,
-                    planeOffset: Int = 0): Column = {
+                    planeOffset: Int = 0): Column =
+    graft.expressions.VectorKernelExpressions.hyperplaneSig(vec,
+      planeMatrix(planeOffset, planes, dims))
+
+  /** Interpreted Column form of hyperplaneSig — VectorKernelSpec oracle. */
+  private[graft] def hyperplaneSigColumnForm(vec: Column, dims: Int, planes: Int,
+                                             planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       // plane vector components in {-1, +1} from a deterministic hash
       val s = aggregate(
@@ -65,6 +78,18 @@ object Similarity {
       when(s >= 0, lit(1L << p)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** The full ±1 plane family as a driver-side matrix (row p = plane
+    * planeOffset+p), same md5 derivation as `plane`. */
+  private def planeMatrix(planeOffset: Int, planes: Int, dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        val dig = md.digest(s"${planeOffset + p}:$d".getBytes("UTF-8"))
+        if ((dig(3) & 1) == 1) 1.0d else -1.0d
+      }
+    }
   }
 
   /** Plane p's ±1 components, derived from md5("p:d") exactly like the SQL
