@@ -109,8 +109,13 @@ object CoreOps {
       .select(col(key), col("_b"), col("_off"))
     b.withColumn("_local", sum(dec).over(wLocal))
       .join(offsets, Seq(key, "_b"))
+      // NULL-prefix rows (every value so far in this bucket NULL) must fall
+      // back to the earlier-bucket total, exactly like the single-window
+      // form's sum-ignores-NULLs; off+NULL would wrongly null them out
       .withColumn(out,
-        (coalesce(col("_off"), lit(0).cast("decimal(18,2)")) + col("_local")).cast("double"))
+        when(col("_local").isNull, col("_off"))
+          .otherwise(coalesce(col("_off"), lit(0).cast("decimal(18,2)")) + col("_local"))
+          .cast("double"))
       .select(df.columns.map(col) :+ col(out): _*)
   }
 

@@ -137,6 +137,9 @@ object Dedup {
     * one core. At real scale the scan already supplies enough partitions and
     * this is a no-op. */
   private[operators] def spread(df: DataFrame): DataFrame = {
+    // partition introspection materializes an RDD, which a streaming frame
+    // cannot do — streaming callers keep the source's own parallelism
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -82,6 +82,25 @@ class CoreOpsSpec extends SparkSpec {
     assert(plain(1L) == 15.0) // NULL-ts row sorts first: 10, then +5, then +1
   }
 
+  test("runningSumSalted handles NULL values like the plain form (sum ignores NULLs)") {
+    // user 1: values NULL,5,NULL,NULL,3 spread across buckets — a bucket whose
+    // local prefix is all-NULL must fall back to the earlier buckets' total,
+    // and a leading all-NULL prefix must stay NULL (not become 0)
+    val df = Seq(
+      (1L, 1000L, 1L, Option.empty[Double]), (2L, 2000L, 1L, Some(5.0)),
+      (3L, 3000L, 1L, Option.empty[Double]), (4L, 4000L, 1L, Option.empty[Double]),
+      (5L, 5000L, 1L, Some(3.0)), (6L, 1000L, 2L, Option.empty[Double]))
+      .toDF("event_id", "ms", "user_id", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    def res(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_id", "run").as[(Long, Option[Double])].collect().toMap
+    // 3 tiny buckets over 1000..5000 ms put the all-NULL middle in its own bucket
+    val plain = res(CoreOps.runningSum(df, "user_id", "ts", "event_id", "value", "run"))
+    val salted = res(CoreOps.runningSumSalted(df, "user_id", "ts", "event_id", "value", "run", 3))
+    assert(plain == salted, s"plain=$plain salted=$salted")
+    assert(plain(1L).isEmpty && plain(3L).contains(5.0) && plain(6L).isEmpty)
+  }
+
   test("splitBy + taggedUnion partition and re-merge every row exactly once") {
     val df = ev((1, 0, 1, "error", 0), (2, 0, 2, "view", 0), (3, 0, 3, "error", 0))
     val (err, rest) = CoreOps.splitBy(df, col("event_type") === "error")
