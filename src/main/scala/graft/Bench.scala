@@ -31,22 +31,28 @@ object Bench {
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.foreach { case (_, fn) => run(fn) } // warm-up
-    // two timed passes, keep the per-query MIN: this machine shares cores
+    // three timed passes, keep the per-query MIN: this machine shares cores
     // with bursty co-tenants, and min-of-k is the standard estimator that
-    // reports plan cost rather than whoever else was running
+    // reports plan cost rather than whoever else was running. The per-query
+    // max-min "spread" is emitted alongside so a co-tenant burst is
+    // distinguishable from a real regression when two runs disagree.
     def timed(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       run(fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (p1, p2) = (timed().toMap, timed().toMap)
+    val passes = Seq(timed().toMap, timed().toMap, timed().toMap)
     val results = queries.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+      name -> passes.map(_(name)).min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val spreads = queries.map { case (name, _) =>
+      val ts = passes.map(_(name))
+      name -> (ts.max - ts.min)
+    }
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"spread":${obj(spreads)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     println(json)
     spark.stop()
