@@ -45,32 +45,55 @@ object StateMachines {
       tiebreak.cast("long").as("tiebreak"), kind.cast("string").as("kind"))
       .as[KeyedEvent]
 
+  /** Resolve the timeout mode for an optional TTL. */
+  private def timeoutConf(stateTtlMs: Option[Long]): GroupStateTimeout =
+    if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** Arm the processing-time TTL for a key whose state was just updated. */
+  private def armTtl(state: GroupState[LastSeen], stateTtlMs: Option[Long]): Unit =
+    stateTtlMs.foreach(state.setTimeoutDuration)
+
   /** Delete-interval alert (chapter5/StatefulOperations.java:83-128): per key,
     * remember the last `deleteKind` event's timestamp in state; a new one
     * within `thresholdMs` emits (key, ts, gap). The reference's "No-Alerts"
     * sentinel is unnecessary here — flatMap semantics emit zero-or-more
-    * (the reference filters the sentinel right back out at :129-143). */
+    * (the reference filters the sentinel right back out at :129-143).
+    *
+    * `stateTtlMs`: processing-time TTL after which an idle key's state is
+    * dropped. The reference's ValueState (like our default) never expires —
+    * fine for a demo, but a continuous run over an unbounded key space grows
+    * the state store forever; with a TTL, a key idle longer than the TTL
+    * forgets its last delete (so a later delete starts fresh — the standard
+    * TTL trade). Batch execution ignores timeouts, so the oracle-checked
+    * batch-mode output is identical with or without a TTL. */
   def intervalAlerts(events: Dataset[KeyedEvent], deleteKind: String,
-                     thresholdMs: Long): Dataset[IntervalAlert] =
+                     thresholdMs: Long,
+                     stateTtlMs: Option[Long] = None): Dataset[IntervalAlert] =
     events.groupByKey(_.key).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
       (key: String, it: Iterator[KeyedEvent], state: GroupState[LastSeen]) =>
-        val out = ArrayBuffer.empty[IntervalAlert]
-        var last = state.getOption
-        it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
-          if (e.kind == deleteKind) {
-            last.foreach { prev =>
-              val gap = e.tsMs - prev.tsMs
-              if (gap < thresholdMs) out += IntervalAlert(key, e.tsMs, gap)
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = ArrayBuffer.empty[IntervalAlert]
+          var last = state.getOption
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            if (e.kind == deleteKind) {
+              last.foreach { prev =>
+                val gap = e.tsMs - prev.tsMs
+                if (gap < thresholdMs) out += IntervalAlert(key, e.tsMs, gap)
+              }
+              last = Some(LastSeen(e.kind, e.tsMs))
             }
-            last = Some(LastSeen(e.kind, e.tsMs))
           }
+          last match {
+            case Some(s) => state.update(s); armTtl(state, stateTtlMs)
+            case None    =>
+          }
+          out.iterator
         }
-        last match {
-          case Some(s) => state.update(s)
-          case None    =>
-        }
-        out.iterator
     }
 
   /** Per-key action-duration tracker
@@ -79,23 +102,29 @@ object StateMachines {
     * (key, lastAction, now - lastStart); a `logoutKind` clears the state
     * (session end), anything else replaces it with the current event. */
   def actionDurations(events: Dataset[KeyedEvent], loginKind: String,
-                      logoutKind: String): Dataset[ActionDuration] =
+                      logoutKind: String,
+                      stateTtlMs: Option[Long] = None): Dataset[ActionDuration] =
     events.groupByKey(_.key).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
       (key: String, it: Iterator[KeyedEvent], state: GroupState[LastSeen]) =>
-        val out = ArrayBuffer.empty[ActionDuration]
-        var last = state.getOption
-        it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
-          last.foreach { prev =>
-            if (e.kind != loginKind)
-              out += ActionDuration(key, prev.kind, e.tsMs - prev.tsMs)
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = ArrayBuffer.empty[ActionDuration]
+          var last = state.getOption
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            last.foreach { prev =>
+              if (e.kind != loginKind)
+                out += ActionDuration(key, prev.kind, e.tsMs - prev.tsMs)
+            }
+            last = if (e.kind == logoutKind) None else Some(LastSeen(e.kind, e.tsMs))
           }
-          last = if (e.kind == logoutKind) None else Some(LastSeen(e.kind, e.tsMs))
+          last match {
+            case Some(s) => state.update(s); armTtl(state, stateTtlMs)
+            case None    => if (state.exists) state.remove()
+          }
+          out.iterator
         }
-        last match {
-          case Some(s) => state.update(s)
-          case None    => if (state.exists) state.remove()
-        }
-        out.iterator
     }
 }

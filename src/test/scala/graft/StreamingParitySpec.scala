@@ -62,6 +62,65 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state TTL expires idle keys and leaves live keys' emission unchanged") {
+    // With ProcessingTimeTimeout the engine keeps constructing wall-clock
+    // batches, so processAllAvailable never latches "no new data" — the test
+    // synchronizes by polling the memory sink / progress metrics instead.
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.intervalAlerts(input.toDS(), "error", 3600000,
+        stateTtlMs = Some(300L))
+      .writeStream.outputMode("append").format("memory").queryName("ia_ttl").start()
+    def awaitAlerts(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("ia_ttl").count() < n &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.table("ia_ttl").count() >= n, s"timed out waiting for $n alerts")
+    }
+    def awaitRemovals(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      def removed = Option(q.recentProgress).toSeq.flatten
+        .flatMap(p => p.stateOperators.map(_.numRowsRemoved)).sum
+      while (removed < n && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(removed >= n, s"timed out waiting for $n state removals")
+    }
+    try {
+      // phase 1+2 back-to-back (within TTL): consecutive deletes alert normally
+      input.addData(KeyedEvent("A", 1000, 1, "error"), KeyedEvent("B", 1000, 2, "error"))
+      input.addData(KeyedEvent("A", 1200, 3, "error"), KeyedEvent("B", 1300, 4, "error"))
+      awaitAlerts(2)
+      // phase 3: go idle past the TTL; the wall-clock batches fire both
+      // keys' timers and remove their state
+      Thread.sleep(1000)
+      awaitRemovals(2)
+      // phase 4: both keys' next delete finds EMPTY state → no alert; the
+      // immediately-following phase-5 deletes alert off the fresh state
+      input.addData(KeyedEvent("A", 1400, 5, "error"), KeyedEvent("B", 1500, 6, "error"))
+      input.addData(KeyedEvent("A", 1450, 7, "error"), KeyedEvent("B", 1550, 8, "error"))
+      awaitAlerts(4)
+      val alerts = spark.table("ia_ttl").as[IntervalAlert].collect().toSet
+      // had the state survived the idle gap, phase 4 would have alerted with
+      // ts 1400/1500 (gaps 200) — their absence is the expiry proof
+      assert(alerts == Set(
+        IntervalAlert("A", 1200, 200), IntervalAlert("B", 1300, 300),
+        IntervalAlert("A", 1450, 50), IntervalAlert("B", 1550, 50)), s"got $alerts")
+    } finally q.stop()
+  }
+
+  test("a TTL'd machine in batch mode emits exactly the no-TTL rows (oracle safety)") {
+    val events = Seq(
+      KeyedEvent("1", 1000, 1, "error"), KeyedEvent("1", 5000, 2, "error"),
+      KeyedEvent("2", 2000, 3, "error"), KeyedEvent("2", 7000, 4, "error"))
+    val ds = events.toDS()
+    val withTtl = StateMachines.intervalAlerts(ds, "error", 10000,
+      stateTtlMs = Some(60000L)).collect().toSet
+    val without = StateMachines.intervalAlerts(ds, "error", 10000).collect().toSet
+    assert(withTtl == without && withTtl.nonEmpty)
+    val adTtl = StateMachines.actionDurations(ds, "signup", "purchase",
+      stateTtlMs = Some(60000L)).collect().toSet
+    val adPlain = StateMachines.actionDurations(ds, "signup", "purchase").collect().toSet
+    assert(adTtl == adPlain)
+  }
+
   test("eventTimeTumblingCount drops late rows past the watermark and reports them") {
     val input = MemoryStream[(Long, Timestamp)]
     val df = input.toDF().toDF("event_id", "ts")
