@@ -166,6 +166,43 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb, "vec_id", "embedding", EmbDims, LshPlanes, 3)
     }),
+    // multi-table recall amplifier: two independent plane families, union of
+    // candidates, exact cosine rank over the merged set
+    "q_lsh_topk_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopKMulti(emb, emb, "vec_id", "embedding", EmbDims, LshPlanes,
+        3, LshTables)
+    }),
+    // SimHash-candidate near-dup pipeline: Hamming-LSH banding (60-bit
+    // fingerprint split into 3×20-bit bands, a shared band ⇒ candidate — the
+    // standard simhash near-dup trick: ≤2 differing bits always leaves one
+    // band intact by pigeonhole, and near-identical docs differ in far fewer;
+    // 15-bit bands collided by chance into quadratic buckets), verified with
+    // exact shingle-set Jaccard (jaccardPairs' caller-supplied-candidates
+    // form)
+    "q_simhash_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sims = docs
+        .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("hs"))
+        .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("sh"))
+      val bandCols = (0 until SimBands).map { b =>
+        concat(lit(s"${b}_"),
+          shiftright(col("sh"), b * 20).bitwiseAND(lit(1048575L)).cast("string"))
+      }
+      val banded = sims.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      val cands = banded.select(col("bk"), col("doc_id").as("doc_a"))
+        .join(banded.select(col("bk"), col("doc_id").as("doc_b")), Seq("bk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct() // pairs sharing several bands must verify once
+      Dedup.jaccardPairs(docs, "doc_id", "text", MhK, cands, 0.5)
+    }),
+    // BPE-ish subword-piece stats (wordPieces: alnum runs + single marks)
+    "q_word_pieces" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.wordPieces(col("text")).as("wp"))
+        .select(col("doc_id"), size(col("wp")).cast("long").as("n_pieces"),
+          aggregate(col("wp"), lit(0L), (acc, t) => acc + length(t)).as("n_piece_chars"))),
     "q_cosine_dup" -> ((s, dir) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         EmbDims, LshPlanes, 0.3)),
@@ -193,7 +230,8 @@ object SparkEntry {
   // generated oracle SQL so both engines hash with the same family.
   private val MhK = 3; private val MhBands = 8; private val MhRows = 2
   private val MhN = MhBands * MhRows
-  private val EmbDims = 64; private val LshPlanes = 8
+  private val SimBands = 3 // 60-bit simhash → 3 × 20-bit Hamming-LSH bands
+  private val EmbDims = 64; private val LshPlanes = 8; private val LshTables = 2
   private val IvfNlist = 8; private val IvfNprobe = 2
 
   /** Deterministic out-of-order arrival simulation for the E6 twins: each
@@ -211,6 +249,13 @@ object SparkEntry {
   /** Shared SQL fragments. */
   private def sqlMd5Int(x: String)  = s"('0x' || substr(md5($x),1,8))::BIGINT"
   private def sqlMd5Long(x: String) = s"('0x' || substr(md5($x),1,15))::BIGINT"
+
+  /** 60-bit SimHash sign vote over a token-hash list column, mirroring
+    * Dedup.simhashFromHashes bit-for-bit. */
+  private def sqlSimhashBits(hs: String): String =
+    (0 until 60).map { j =>
+      s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}::BIGINT ELSE 0 END)"
+    }.mkString(" + ")
 
   /** MinHash signature pipeline (norm → tokens → shingles → hashes → sig) as
     * DuckDB CTEs, mirroring Dedup.minhashSignature hash-for-hash. */
@@ -243,16 +288,20 @@ object SparkEntry {
   /** Hyperplane-LSH bucket + exact sequential cosine as DuckDB CTEs,
     * mirroring Similarity.hyperplaneSig / Similarity.cosine fold-for-fold
     * (left fold from 0.0 over doubles → bit-identical IEEE results). */
-  private def sqlEmbSigCte: String = {
+  private def sqlEmbSigCte: String = sqlEmbSigCteAt("esig", 0)
+
+  /** Same signature CTE under a caller-chosen name and plane-family offset
+    * (bit p uses plane offset+p, exactly like Similarity.hyperplaneSig). */
+  private def sqlEmbSigCteAt(name: String, planeOffset: Int): String = {
     val sigBits = (0 until LshPlanes).map { p =>
       val planeDot =
         s"""list_reduce(list_prepend(0.0::DOUBLE,
-           |          [CASE WHEN ${sqlMd5Int(s"($p::VARCHAR || ':' || d::VARCHAR)")} & 1 = 1
+           |          [CASE WHEN ${sqlMd5Int(s"(${planeOffset + p}::VARCHAR || ':' || d::VARCHAR)")} & 1 = 1
            |                THEN embedding[d+1]::DOUBLE ELSE -(embedding[d+1]::DOUBLE) END
            |           for d in range(0,$EmbDims)]), (a,b) -> a+b)""".stripMargin
       s"(CASE WHEN $planeDot >= 0 THEN ${1L << p}::BIGINT ELSE 0 END)"
     }.mkString(" + ")
-    s"esig AS (SELECT vec_id, embedding, $sigBits AS bucket FROM embeddings)"
+    s"$name AS (SELECT vec_id, embedding, $sigBits AS bucket FROM embeddings)"
   }
 
   /** Sequential-fold cosine between two embedding columns in DuckDB. */
@@ -466,14 +515,44 @@ object SparkEntry {
       s"""WITH $sqlMinhashCtes
          |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5""".stripMargin,
 
-    "q_simhash" -> {
-      val bits = (0 until 60).map { j =>
-        s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}::BIGINT ELSE 0 END)"
-      }.mkString(" + ")
+    "q_simhash" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |hsh AS (SELECT doc_id, list_transform(toks, t -> ${sqlMd5Long("t")}) AS hs FROM tk)
-         |SELECT doc_id, $bits AS simhash FROM hsh""".stripMargin
+         |SELECT doc_id, ${sqlSimhashBits("hs")} AS simhash FROM hsh""".stripMargin,
+
+    "q_simhash_jaccard" -> {
+      val jacc = "len(list_intersect(a.sh, b.sh))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
+      s"""WITH stk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh60 AS (SELECT doc_id, list_transform(toks, t -> ${sqlMd5Long("t")}) AS hs FROM stk),
+         |sims AS (SELECT doc_id, ${sqlSimhashBits("hs")} AS sh FROM sh60),
+         |banded AS (SELECT doc_id,
+         |        b.b::VARCHAR || '_' || ((sh >> (b.b * 20)) & 1048575)::VARCHAR AS bk
+         |        FROM sims, (SELECT unnest(range(0,$SimBands)) AS b) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM banded a JOIN banded b USING (bk) WHERE a.doc_id < b.doc_id),
+         |nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt,
+         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= $MhK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
+         |                   for i in range(0, len(toks)-$MhK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |shs AS (SELECT doc_id,
+         |        list_distinct(list_transform(shingles, s -> ${sqlMd5Int("s")})) AS sh FROM nshg)
+         |SELECT c.doc_a, c.doc_b, $jacc AS jaccard
+         |FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
+         |WHERE $jacc >= 0.5""".stripMargin
     },
+
+    "q_word_pieces" ->
+      """SELECT doc_id,
+        |  (len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+        |   + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))::BIGINT AS n_pieces,
+        |  (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+        |   + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))::BIGINT AS n_piece_chars
+        |FROM documents""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""WITH $sqlMinhashCtes,
@@ -494,6 +573,22 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |      FROM scored)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+
+    "q_lsh_topk_multi" -> {
+      def half(sig: String) =
+        s"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |        ${sqlCosine("a.embedding", "b.embedding")} AS score
+           |        FROM $sig a JOIN $sig b USING (bucket) WHERE a.vec_id <> b.vec_id""".stripMargin
+      s"""WITH ${sqlEmbSigCteAt("esig0", 0)},
+         |${sqlEmbSigCteAt("esig1", LshPlanes)},
+         |cand AS (${half("esig0")}
+         |  UNION
+         |  ${half("esig1")}),
+         |r AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |      FROM cand)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin
+    },
 
     "q_cosine_dup" ->
       s"""WITH $sqlEmbSigCte,
