@@ -212,6 +212,15 @@ object SparkEntry {
         Similarity.seedCentroids(emb, "vec_id", IvfNlist), "vec_id", "embedding",
         3, IvfNprobe)
     }),
+    // same search over DETERMINISTICALLY TRAINED centroids (Lloyd's k-means,
+    // sorted-fold means so every double is engine-identical)
+    "q_ivf_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        EmbDims, IvfNlist, IvfIters)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 64), trained,
+        "vec_id", "embedding", 3, IvfNprobe)
+    }),
 
     // ── extensions: multimodal binary columns ─────────────────────────────
     "q_multimodal_meta" -> ((s, dir) =>
@@ -232,7 +241,7 @@ object SparkEntry {
   private val MhN = MhBands * MhRows
   private val SimBands = 3 // 60-bit simhash → 3 × 20-bit Hamming-LSH bands
   private val EmbDims = 64; private val LshPlanes = 8; private val LshTables = 2
-  private val IvfNlist = 8; private val IvfNprobe = 2
+  private val IvfNlist = 8; private val IvfNprobe = 2; private val IvfIters = 2
 
   /** Deterministic out-of-order arrival simulation for the E6 twins: each
     * event is delayed by (event_id mod 5) * 30 min, so ~4/5 of rows arrive
@@ -302,6 +311,56 @@ object SparkEntry {
       s"(CASE WHEN $planeDot >= 0 THEN ${1L << p}::BIGINT ELSE 0 END)"
     }.mkString(" + ")
     s"$name AS (SELECT vec_id, embedding, $sigBits AS bucket FROM embeddings)"
+  }
+
+  /** IVF cell-probe search over any `cent(cell_id, embedding)` CTE —
+    * mirrors Similarity.ivfTopK assignment/probe/rank step-for-step. */
+  private def sqlIvfSearch(centDef: String): String =
+    s"""WITH $centDef,
+       |asg AS (SELECT neighbor_id, cell_id FROM (
+       |  SELECT e.vec_id AS neighbor_id, c.cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqlCosine("e.embedding", "c.embedding")} DESC, c.cell_id) AS rn
+       |  FROM embeddings e, cent c) WHERE rn = 1),
+       |prb AS (SELECT query_id, cell_id FROM (
+       |  SELECT q.vec_id AS query_id, c.cell_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC, c.cell_id) AS rn
+       |  FROM embeddings q, cent c WHERE q.vec_id < 64) WHERE rn <= $IvfNprobe),
+       |scored AS (SELECT p.query_id, a.neighbor_id,
+       |    ${sqlCosine("q.embedding", "e.embedding")} AS score
+       |  FROM prb p JOIN asg a ON p.cell_id = a.cell_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings e ON e.vec_id = a.neighbor_id
+       |  WHERE p.query_id <> a.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin
+
+  /** Deterministic Lloyd's k-means as chained CTEs, mirroring
+    * Similarity.kmeansCentroids round-for-round: cosine assignment with
+    * smaller-cell tiebreak, then per-cell element-wise means folded in
+    * sorted-id member order (list(… ORDER BY id) + sequential list_reduce),
+    * so every double matches Spark bit-for-bit. */
+  private def sqlKmeansCtes: String = {
+    val init = s"cent0 AS (SELECT vec_id AS cell_id, " +
+      s"[embedding[d+1]::DOUBLE for d in range(0,$EmbDims)] AS cvec " +
+      s"FROM embeddings WHERE vec_id < $IvfNlist)"
+    val rounds = (1 to IvfIters).map { t =>
+      val prev = s"cent${t - 1}"
+      s"""asg$t AS (SELECT id, cell_id, vec FROM (
+         |  SELECT e.vec_id AS id, c.cell_id, e.embedding AS vec,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cell_id) AS rn
+         |  FROM embeddings e, $prev c) WHERE rn = 1),
+         |mem$t AS (SELECT cell_id, list(vec ORDER BY id) AS vs FROM asg$t GROUP BY cell_id),
+         |cent$t AS (SELECT cell_id,
+         |  [list_reduce(list_prepend(0.0::DOUBLE,
+         |     [vs[m][d+1]::DOUBLE for m in range(1, len(vs)+1)]), (a,b) -> a+b)
+         |   / len(vs)::DOUBLE for d in range(0,$EmbDims)] AS cvec FROM mem$t)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
   }
 
   /** Sequential-fold cosine between two embedding columns in DuckDB. */
@@ -598,28 +657,12 @@ object SparkEntry {
          |SELECT doc_a, doc_b, floor(cos * 1000000) / 1000000 AS cos_sim
          |FROM p WHERE cos >= 0.3""".stripMargin,
 
-    "q_ivf_topk" ->
-      s"""WITH cent AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $IvfNlist),
-         |asg AS (SELECT neighbor_id, cell_id FROM (
-         |  SELECT e.vec_id AS neighbor_id, c.cell_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${sqlCosine("e.embedding", "c.embedding")} DESC, c.cell_id) AS rn
-         |  FROM embeddings e, cent c) WHERE rn = 1),
-         |prb AS (SELECT query_id, cell_id FROM (
-         |  SELECT q.vec_id AS query_id, c.cell_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${sqlCosine("q.embedding", "c.embedding")} DESC, c.cell_id) AS rn
-         |  FROM embeddings q, cent c WHERE q.vec_id < 64) WHERE rn <= $IvfNprobe),
-         |scored AS (SELECT p.query_id, a.neighbor_id,
-         |    ${sqlCosine("q.embedding", "e.embedding")} AS score
-         |  FROM prb p JOIN asg a ON p.cell_id = a.cell_id
-         |  JOIN embeddings q ON q.vec_id = p.query_id
-         |  JOIN embeddings e ON e.vec_id = a.neighbor_id
-         |  WHERE p.query_id <> a.neighbor_id),
-         |r AS (SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3""".stripMargin,
+    "q_ivf_topk" -> sqlIvfSearch(
+      s"cent AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $IvfNlist)"),
+
+    "q_ivf_trained" -> sqlIvfSearch(
+      s"""$sqlKmeansCtes,
+         |cent AS (SELECT cell_id, cvec AS embedding FROM cent$IvfIters)""".stripMargin),
 
     // the fake payload's hex image: md5(text) plus 0/8/16 chars of md5(text||'x')
     "q_multimodal_meta" ->

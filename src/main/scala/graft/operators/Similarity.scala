@@ -191,6 +191,49 @@ object Similarity {
   def seedCentroids(emb: DataFrame, id: String, nlist: Int): DataFrame =
     emb.filter(col(id) < nlist)
 
+  /** Deterministic Lloyd's k-means: seed-centroid init (lowest `nlist` ids),
+    * `iters` rounds of cosine assignment + element-wise mean update. Output
+    * columns are named (`id`, `vec`) so the result feeds ivfTopK directly.
+    *
+    * Determinism, the property that makes a float-vector trainer
+    * oracle-checkable at all: assignment ties break toward the smaller cell
+    * id, and each cell's mean folds its members' components in sorted-id
+    * order (sort_array over the collected list), so every double is the same
+    * IEEE value on every engine and every partitioning — cluster-parallel
+    * unordered SUMs would be run-to-run nondeterministic. Seeds are corpus
+    * vectors, so every cell retains at least its own seed and no
+    * empty-cell rule is needed.
+    *
+    * Scale: assignment is the same broadcast-join shape as ivfTopK (one row
+    * per vector through the shuffle); the update collects each cell's members
+    * into one row, which bounds per-cell memory by corpus/nlist — standard
+    * practice at 100 TB is to train on a sample (this is a coarse quantizer;
+    * recall needs representative centroids, not exhaustive ones), then assign
+    * the full corpus with the broadcast join. */
+  def kmeansCentroids(emb: DataFrame, id: String, vec: String, dims: Int,
+                      nlist: Int, iters: Int): DataFrame = {
+    var cent = seedCentroids(emb, id, nlist)
+      .select(col(id).as("cell_id"), col(vec).cast("array<double>").as("cent_vec"))
+    for (_ <- 1 to iters) {
+      val assigned = emb.select(col(id).as("_aid"), col(vec).as("_avec"))
+        .join(broadcast(cent))
+        .withColumn("cscore", cosine(col("_avec"), col("cent_vec")))
+        .groupBy(col("_aid"))
+        .agg(
+          max_by(col("cell_id"), struct(col("cscore"), -col("cell_id"))).as("cell_id"),
+          first(col("_avec")).as("_avec"))
+      val members = assigned.groupBy(col("cell_id"))
+        .agg(sort_array(collect_list(struct(col("_aid").as("i"), col("_avec").as("v"))))
+          .as("ms"))
+      val mean = transform(sequence(lit(0), lit(dims - 1)), d =>
+        aggregate(col("ms"), lit(0.0d),
+          (acc, m) => acc + element_at(m.getField("v"), d + 1).cast("double"))
+          / size(col("ms")).cast("double"))
+      cent = members.select(col("cell_id"), mean.as("cent_vec"))
+    }
+    cent.select(col("cell_id").as(id), col("cent_vec").as(vec))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed so only bucket-mates are compared. */
   def cosineDupPairs(emb: DataFrame, id: String, vec: String, dims: Int,

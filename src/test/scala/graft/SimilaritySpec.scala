@@ -37,6 +37,41 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs.toSeq == again.toSeq)
   }
 
+  test("kmeansCentroids: deterministic, keeps nlist cells, improves IVF recall") {
+    // clustered fixture: three axis-aligned clusters of 8 vectors each in 4 dims,
+    // cluster spread small vs inter-cluster angle; seeds (lowest 2 ids) both
+    // land in cluster 0, so seeded IVF mis-probes clusters 1/2 — training
+    // must migrate the two centroids toward real cluster structure
+    def gauss(seed: Int): Double = { // deterministic tiny jitter
+      val x = (seed * 2654435761L) % 1000
+      (x / 1000.0 - 0.5) * 0.1
+    }
+    val base = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+    val rows = (0 until 24).map { i =>
+      val c = i / 8
+      (i.toLong, base(c).zipWithIndex.map { case (v, d) => (v + gauss(i * 7 + d)).toFloat })
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, 2, 2)
+    // determinism: run twice, bit-identical centroids
+    val trained2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, 2, 2)
+    assert(trained.orderBy("vec_id").collect().toSeq ==
+      trained2.orderBy("vec_id").collect().toSeq)
+    assert(trained.count() == 2)
+    def recall(cent: org.apache.spark.sql.DataFrame): Double = {
+      val truth = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val got = Similarity.ivfTopK(emb, emb, cent, "vec_id", "embedding", 3, 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val seeded = recall(Similarity.seedCentroids(emb, "vec_id", 2))
+    val trainedRecall = recall(trained)
+    assert(trainedRecall >= seeded,
+      s"trained recall $trainedRecall < seeded $seeded")
+    assert(trainedRecall > 0.3, s"trained recall $trainedRecall unexpectedly low")
+  }
+
   test("lshTopK finds bucket-mates; results are a subset of brute-force pairs") {
     val df = vecs.toDF("vec_id", "embedding")
     val lsh = Similarity.lshTopK(df, df, "vec_id", "embedding", 4, 2, 2)
