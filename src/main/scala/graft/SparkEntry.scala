@@ -137,6 +137,13 @@ object SparkEntry {
     // ── extensions: dedup / text / similarity ─────────────────────────────
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")),
+    // per-(source, lang) duplication profile — exact distinct fingerprints
+    "q_dedup_profile" -> ((s, dir) =>
+      Dedup.dedupProfile(Tables.documents(s, dir), "text", Seq("source", "lang"))),
+    // HLL++ sketch twin: engine-specific estimates → rows-only check (no
+    // oracle SQL); the error bound vs exact is pinned by TextAndDedupSpec
+    "q_dedup_profile_approx" -> ((s, dir) =>
+      Dedup.dedupProfileApprox(Tables.documents(s, dir), "text", Seq("source", "lang"))),
     "q_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(Tables.documents(s, dir), "doc_id", "text")),
     "q_quality_score" -> ((s, dir) =>
@@ -523,6 +530,11 @@ object SparkEntry {
     "q_dedup_exact" ->
       s"""SELECT md5(norm) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
          |FROM (SELECT doc_id, $normSql AS norm FROM documents) GROUP BY 1""".stripMargin,
+
+    "q_dedup_profile" ->
+      s"""SELECT source, lang, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT md5($normSql)) AS n_distinct
+         |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q_token_stats" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,

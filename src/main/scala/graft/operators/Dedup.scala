@@ -38,6 +38,30 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-group duplication profile with EXACT distinct-fingerprint counts:
+    * (group dims…, n_docs, n_distinct). Exact count-distinct expands to a
+    * two-phase aggregate — shuffle on (dims, fp), then on dims — correct at
+    * any scale but the fp-level shuffle carries one row per distinct
+    * fingerprint per group. */
+  def dedupProfile(docs: DataFrame, text: String, dims: Seq[String]): DataFrame =
+    docs.select(dims.map(col) :+ TextOps.fingerprint(col(text)).as("fp"): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), count_distinct(col("fp")).as("n_distinct"))
+
+  /** The 100 TB form of dedupProfile: HyperLogLog++ approximate cardinality.
+    * The sketch is fixed-size per group and merges associatively, so the
+    * whole profile is one map-side-combined shuffle of O(groups) sketches —
+    * no per-fingerprint row ever crosses the network. `rsd` is the target
+    * relative standard deviation (Spark default 0.05). Sketch estimates are
+    * engine-specific, so this query registers with a rows-only check; the
+    * error bound vs the exact profile is pinned by TextAndDedupSpec. */
+  def dedupProfileApprox(docs: DataFrame, text: String, dims: Seq[String],
+                         rsd: Double = 0.05): DataFrame =
+    docs.select(dims.map(col) :+ TextOps.fingerprint(col(text)).as("fp"): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("fp"), rsd).as("n_distinct_approx"))
+
   /** Word k-shingles of the normalized text: the standard MinHash input unit. */
   def shingles(text: Column, k: Int): Column = {
     val norm = TextOps.normalized(text)

@@ -80,4 +80,29 @@ class TextAndDedupSpec extends SparkSpec {
     val got = df.select(Dedup.simhash(col("text"))).as[Long].collect()
     assert(got(0) == got(1) && got(0) != got(2))
   }
+
+  test("dedupProfileApprox tracks the exact profile within the HLL error bound") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rsd = 0.05
+    val exact = Dedup.dedupProfile(docs, "text", Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_distinct"))
+      .as[(String, String, Long, Long)].collect()
+      .map { case (s, l, d, n) => (s, l) -> (d, n) }.toMap
+    val approx = Dedup.dedupProfileApprox(docs, "text", Seq("source", "lang"), rsd)
+      .select(col("source"), col("lang"), col("n_docs"), col("n_distinct_approx"))
+      .as[(String, String, Long, Long)].collect()
+      .map { case (s, l, d, n) => (s, l) -> (d, n) }.toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (nDocs, est)) =>
+      val (exactDocs, exactDistinct) = exact(k)
+      assert(nDocs == exactDocs) // plain counts are exact in both forms
+      // HLL++ is within ~3·rsd relative error with overwhelming probability;
+      // Spark's implementation is dense-only (no sparse exact mode), so tiny
+      // groups can additionally be off by a count or two absolute
+      val absErr = math.abs(est - exactDistinct)
+      val relErr = absErr.toDouble / exactDistinct
+      assert(relErr <= 3 * rsd || absErr <= 2,
+        s"group $k: approx $est vs exact $exactDistinct")
+    }
+  }
 }
