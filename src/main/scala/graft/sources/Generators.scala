@@ -76,14 +76,13 @@ object Generators {
     }
   }
 
-  /** Continuous synthetic audit stream from Spark's deterministic
-    * rate-micro-batch source, mapped through the generator domains — the
-    * fully in-engine form of the reference's generator threads (no files,
-    * no broker). Each micro-batch yields `rowsPerBatch` records whose fields
-    * are md5-derived functions of the row index, so replays are identical. */
-  def auditRateStream(spark: org.apache.spark.sql.SparkSession,
-                      rowsPerBatch: Int,
-                      baseTsMs: Long = 1700000000000L): org.apache.spark.sql.DataFrame = {
+  /** Map a monotonically-increasing row-index column `value` onto the audit
+    * record domains — every field an md5-derived function of the index, so
+    * the stream form and the bounded batch twin below produce IDENTICAL
+    * records for the same index range (the property the rate-parity tests
+    * lean on). */
+  def auditColumns(df: org.apache.spark.sql.DataFrame,
+                   baseTsMs: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     def pick(domain: Vector[String], h: Column): Column =
@@ -91,15 +90,31 @@ object Generators {
         when(pmod(h, lit(domain.size)) === i, v).otherwise(acc)
       }
     val h = graft.operators.Dedup.md5Int(col("value").cast("string"))
-    spark.readStream.format("rate-micro-batch")
-      .option("rowsPerBatch", rowsPerBatch).load()
-      .select(
-        col("value").cast("int").as("id"),
-        pick(users, h).as("user"),
-        pick(entities, h + 7).as("entity"),
-        pick(operations, h + 13).as("operation"),
-        (lit(baseTsMs) + col("value") * 500).as("timestamp"),
-        (pmod(h, lit(10)) + 1).cast("int").as("duration"),
-        (pmod(h, lit(4)) + 1).cast("int").as("count"))
+    df.select(
+      col("value").cast("int").as("id"),
+      pick(users, h).as("user"),
+      pick(entities, h + 7).as("entity"),
+      pick(operations, h + 13).as("operation"),
+      (lit(baseTsMs) + col("value") * 500).as("timestamp"),
+      (pmod(h, lit(10)) + 1).cast("int").as("duration"),
+      (pmod(h, lit(4)) + 1).cast("int").as("count"))
   }
+
+  /** Continuous synthetic audit stream from Spark's deterministic
+    * rate-micro-batch source, mapped through the generator domains — the
+    * fully in-engine form of the reference's generator threads (no files,
+    * no broker). Each micro-batch yields `rowsPerBatch` records. */
+  def auditRateStream(spark: org.apache.spark.sql.SparkSession,
+                      rowsPerBatch: Int,
+                      baseTsMs: Long = 1700000000000L): org.apache.spark.sql.DataFrame =
+    auditColumns(
+      spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch).load(),
+      baseTsMs)
+
+  /** Bounded batch twin of auditRateStream: the identical records for row
+    * indices [0, n). */
+  def auditBatch(spark: org.apache.spark.sql.SparkSession, n: Int,
+                 baseTsMs: Long = 1700000000000L): org.apache.spark.sql.DataFrame =
+    auditColumns(spark.range(n).toDF("value"), baseTsMs)
 }

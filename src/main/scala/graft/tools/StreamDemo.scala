@@ -63,6 +63,33 @@ object StreamDemo {
       Option(p.observedMetrics.get("graft_ingested")).map(_.getLong(0))).sum
     println(s"[demo] streamed $n files from $srcDir through 2 continuous queries" +
       s" (observer counted $observed ingested records)")
-    q1.stop(); q2.stop(); spark.stop()
+    q1.stop(); q2.stop()
+
+    // E4 + E5 shapes on the in-engine rate source: continuous session
+    // summaries and a windowed Create↔Delete self-join over the synthetic
+    // audit stream, with per-batch observed metrics. Rate sources never
+    // exhaust, so the run is bounded by polling the observer, not by
+    // processAllAvailable (RateParitySpec pins these pipelines' outputs
+    // against the batch cores on the identical generated slice).
+    val audit = graft.sources.Generators.auditRateStream(spark, rowsPerBatch = 50)
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+    val q3 = StreamOps.sessionSummary(
+        StreamSinks.observed(audit, "audit_in"), "user", "event_time",
+        "1 second", "2 seconds")
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
+    def side(op: String) = audit.filter(col("operation") === op)
+      .select(col("user"), col("event_time"), col("id").as("event_id"))
+    val q4 = StreamOps.windowJoin(side("Create"), side("Delete"),
+        "user", "event_time", "1 second", "10 seconds")
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
+    def audited: Long = q3.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
+    val deadline = System.currentTimeMillis() + 30000
+    while (audited < 500 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    println(s"[demo] rate phase: observer counted $audited audit records through " +
+      "continuous session-window and stream-stream join queries")
+    q3.stop(); q4.stop(); spark.stop()
   }
 }
