@@ -80,15 +80,38 @@ object Md5Expressions {
 }
 
 /** SQL-surface registration:
-  * `spark.sql.extensions=graft.expressions.GraftExtensions` exposes
-  * graft_md5int / graft_md5long to every SQL query in the session. */
+  * `spark.sql.extensions=graft.expressions.GraftExtensions` exposes the
+  * native kernel expressions to every SQL query in the session:
+  * graft_md5int/long(str), graft_shingle_hashes(norm, k),
+  * graft_token_hashes(str), graft_minhash_signature(hashes, n),
+  * graft_simhash_vote(hashes). Literal integer parameters are extracted at
+  * resolution time (they parameterize the generated code). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_md5int"),
-      new ExpressionInfo(classOf[Md5Int].getName, "graft_md5int"),
-      (args: Seq[Expression]) => Md5Int(args.head)))
-    ext.injectFunction((FunctionIdentifier("graft_md5long"),
-      new ExpressionInfo(classOf[Md5Long].getName, "graft_md5long"),
-      (args: Seq[Expression]) => Md5Long(args.head)))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, (clazz, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer parameter, got $other")
   }
+
+  /** The injected function surface, exposed so tests can register the exact
+    * same builders into a plain function registry. */
+  val builders: Map[String, (Class[_], Seq[Expression] => Expression)] = Map(
+    "graft_md5int" -> (classOf[Md5Int], (args: Seq[Expression]) => Md5Int(args.head)),
+    "graft_md5long" -> (classOf[Md5Long], (args: Seq[Expression]) => Md5Long(args.head)),
+    "graft_shingle_hashes" -> (classOf[ShingleHashes], (args: Seq[Expression]) =>
+      ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes"))),
+    "graft_token_hashes" -> (classOf[TokenHashes], (args: Seq[Expression]) =>
+      TokenHashes(args.head)),
+    "graft_minhash_signature" -> (classOf[MinhashSignature], (args: Seq[Expression]) =>
+      MinhashSignature(args.head, intArg(args(1), "graft_minhash_signature"))),
+    "graft_simhash_vote" -> (classOf[SimhashVote], (args: Seq[Expression]) =>
+      SimhashVote(args.head)))
 }

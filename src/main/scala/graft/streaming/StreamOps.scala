@@ -36,6 +36,19 @@ object StreamOps {
                      gap: String): DataFrame =
     CoreOps.sessionSummary(df.withWatermark(ts, lateness), key, ts, gap)
 
+  /** Streaming exact dedup — the continuous twin of Dedup.exactDedup's
+    * fingerprint groupBy: emits the FIRST occurrence of each key, drops
+    * later duplicates. dropDuplicatesWithinWatermark expires a key's state
+    * once the watermark passes its event time, so state stays bounded by the
+    * lateness horizon — the property that matters on an unbounded 100 TB
+    * stream, where plain dropDuplicates would grow state forever. The trade:
+    * a duplicate arriving after its key's state expired is re-emitted
+    * (exact-once dedup within the horizon, at-least-once beyond it); a
+    * downstream batch Dedup.exactDedup pass compacts those if needed. */
+  def dedupStream(df: DataFrame, keys: Seq[String], ts: String,
+                  lateness: String): DataFrame =
+    df.withWatermark(ts, lateness).dropDuplicatesWithinWatermark(keys)
+
   /** E5: windowed stream-stream equi-join (chapter3/WindowJoin.java:119-158).
     * Both sides carry a watermark so the state store can expire buckets;
     * within a (key, window) bucket the output is the cartesian of matches —

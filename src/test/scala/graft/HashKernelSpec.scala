@@ -110,6 +110,31 @@ class HashKernelSpec extends SparkSpec {
     assert(native.count() > 0)
   }
 
+  test("the SQL function surface runs the whole minhash pipeline in one statement") {
+    // register the exact builders GraftExtensions injects (same literal-arg
+    // extraction path) and drive them through SQL resolution
+    val s2 = spark.newSession()
+    graft.expressions.GraftExtensions.builders.foreach { case (name, (_, b)) =>
+      s2.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+    val got = s2.sql(
+      """SELECT graft_minhash_signature(graft_shingle_hashes('the quick brown fox jumps', 3), 4) AS sig,
+        |       graft_simhash_vote(graft_token_hashes('the quick brown fox')) AS sh""".stripMargin)
+      .collect()(0)
+    val expected = Seq(("the quick brown fox jumps", "the quick brown fox")).toDF("a", "b")
+      .select(
+        Dedup.minhashFromHashes(Dedup.shingleHashes(col("a"), 3), 4).as("sig"),
+        Dedup.simhashFromHashes(Dedup.tokenHashes(col("b"))).as("sh"))
+      .collect()(0)
+    assert(got.getSeq[Long](0) == expected.getSeq[Long](0))
+    assert(got.getLong(1) == expected.getLong(1))
+    // a non-literal parameter must fail loudly, not silently misbehave
+    val err = intercept[Exception] {
+      s2.sql("SELECT graft_shingle_hashes('a b c', length('xx'))").collect()
+    }
+    assert(err.getMessage.contains("literal integer"), err.getMessage)
+  }
+
   test("kernel expressions fuse into whole-stage codegen") {
     val df = spark.range(8).select(
       HashKernelExpressions.simhashVote(

@@ -140,6 +140,28 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first occurrences, expires state past the watermark") {
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("fp", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = StreamOps.dedupStream(df, Seq("fp"), "ts", "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_s").start()
+    try {
+      input.addData(("a", 1000L), ("a", 2000L), ("b", 1000L)); q.processAllAvailable()
+      input.addData(("a", 3000L)); q.processAllAvailable() // within horizon → dropped
+      // an unrelated far-future key pushes the watermark past a's state…
+      input.addData(("c", 100000L)); q.processAllAvailable()
+      // …so a post-expiry duplicate re-emits (the documented bounded-state trade)
+      input.addData(("a", 200000L)); q.processAllAvailable()
+      val rows = spark.table("dedup_s").select("fp", "ts_ms")
+        .as[(String, Long)].collect().toSeq
+      assert(rows.count(_._1 == "a") == 2, s"got $rows")
+      assert(rows.contains(("a", 1000L)) && rows.contains(("b", 1000L)) &&
+        rows.contains(("a", 200000L)))
+      assert(!rows.contains(("a", 2000L)) && !rows.contains(("a", 3000L)))
+    } finally q.stop()
+  }
+
   test("keyed running totals in update mode refresh per micro-batch (E2 shape)") {
     val input = MemoryStream[KeyedEvent]
     val totals = StreamOps.keyedRunningTotal(
