@@ -241,6 +241,12 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("img",
           Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
         "doc_id", "img").toDF()),
+    // video-shaped frame decimation: every 2nd 8-byte frame as its own row
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Tables.documents(s, dir).withColumn("img",
+          Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
+        "doc_id", "img", 8, 2)),
   )
 
   // Approximate-tier parameters, shared between the Spark queries and the
@@ -712,5 +718,16 @@ object SparkEntry {
          |  list_sum([('0x' || substr(h, 2*i+1, 2))::BIGINT
          |            for i in range(0, (length(h) / 2)::INT)])::BIGINT AS byte_sum
          |FROM hx""".stripMargin,
+
+    // every 2nd 8-byte frame; the oracle slices the hex text (16 hex chars
+    // per frame) exactly where Spark slices the binary
+    "q_frame_sample" ->
+      s"""WITH hx AS (SELECT doc_id,
+         |        upper(md5(text) || substr(md5(text || 'x'), 1, ((doc_id % 3) * 8)::INT)) AS h
+         |      FROM documents),
+         |nf AS (SELECT doc_id, h, (length(h) / 16)::BIGINT AS n_frames FROM hx)
+         |SELECT doc_id, f.i AS frame_idx, substr(h, (f.i * 16 + 1)::INT, 16) AS frame_hex
+         |FROM nf, (SELECT unnest(range(0, 64, 2)) AS i) f
+         |WHERE n_frames > 0 AND f.i < n_frames""".stripMargin,
   )
 }

@@ -54,6 +54,28 @@ object Multimodal {
       beUint16(col(bin), 0).as("width"),
       beUint16(col(bin), 2).as("height"))
 
+  /** Video-shaped frame sampling: treat the payload as fixed-size frames and
+    * emit every `everyNth` frame as its own row — the standard decimation
+    * step before per-frame feature extraction. One row per SAMPLED frame
+    * (explode of a bounded sequence), binary slicing via substr-on-binary;
+    * payloads shorter than one frame produce no rows. The emitted frame is
+    * hex-encoded so the DuckDB oracle (which cannot slice blobs) reproduces
+    * it by slicing the hex text instead. Pure map + generate, zero shuffles —
+    * output volume is len/(frameBytes·everyNth) of the input, decided before
+    * any bytes move. */
+  def frameSample(df: DataFrame, id: String, bin: String, frameBytes: Int,
+                  everyNth: Int): DataFrame =
+    df.select(col(id), col(bin))
+      .withColumn("_nf", (byteLength(col(bin)) / frameBytes).cast("long"))
+      .filter(col("_nf") > 0)
+      .select(col(id),
+        explode(sequence(lit(0L), col("_nf") - 1, lit(everyNth.toLong))).as("frame_idx"),
+        col(bin))
+      .select(col(id), col("frame_idx"),
+        upper(hex(col(bin).substr(
+          (col("frame_idx") * frameBytes + 1).cast("int"), lit(frameBytes))))
+          .as("frame_hex"))
+
   case class DecodedImage(doc_id: Long, n_bytes: Long, byte_sum: Long)
   implicit val decodedImageEnc: Encoder[DecodedImage] = Encoders.product[DecodedImage]
   private implicit val rawEnc: Encoder[(Long, Array[Byte])] =

@@ -32,6 +32,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frameSample emits every Nth fixed-size frame, skips short payloads") {
+    val raw = withImg.select("doc_id", "img").as[(Long, Array[Byte])].collect().toMap
+    val got = Multimodal.frameSample(withImg, "doc_id", "img", 8, 2)
+      .as[(Long, Long, String)].collect()
+    got.foreach { case (id, idx, hexStr) =>
+      val b = raw(id)
+      assert(idx % 2 == 0 && idx < b.length / 8)
+      val expect = b.slice(idx.toInt * 8, idx.toInt * 8 + 8)
+        .map(x => f"${x & 0xff}%02X").mkString
+      assert(hexStr == expect, s"doc $id frame $idx")
+    }
+    // per-doc sampled-frame count = ceil((len/8) / 2); no doc shorter than a frame
+    val counts = got.groupBy(_._1).view.mapValues(_.length).toMap
+    raw.foreach { case (id, b) =>
+      val nf = b.length / 8
+      assert(counts.getOrElse(id, 0) == (nf + 1) / 2, s"doc $id")
+    }
+    // a sub-frame payload yields zero rows
+    val tiny = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "img")
+    assert(Multimodal.frameSample(tiny, "doc_id", "img", 8, 2).count() == 0)
+  }
+
   test("decodeImagesStub emits one typed record per payload with exact byte stats") {
     val got = Multimodal.decodeImagesStub(withImg, "doc_id", "img").collect()
     val raw = withImg.select("doc_id", "img").as[(Long, Array[Byte])].collect().toMap
