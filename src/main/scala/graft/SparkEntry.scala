@@ -205,6 +205,13 @@ object SparkEntry {
         .distinct() // pairs sharing several bands must verify once
       Dedup.jaccardPairs(docs, "doc_id", "text", MhK, cands, 0.5)
     }),
+    // winnowing (MOSS) rolling-hash fingerprints: one row per selected k-gram
+    "q_winnow_fp" -> ((s, dir) =>
+      Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+        MhK, WinnowW)),
+    // hot-key profiler: the input to the salt-or-not decision (SCALE.md)
+    "q_key_profile" -> ((s, dir) =>
+      CoreOps.keyProfile(Tables.events(s, dir), "user_id", 20)),
     // BPE-ish subword-piece stats (wordPieces: alnum runs + single marks)
     "q_word_pieces" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -254,6 +261,7 @@ object SparkEntry {
   private val MhK = 3; private val MhBands = 8; private val MhRows = 2
   private val MhN = MhBands * MhRows
   private val SimBands = 3 // 60-bit simhash → 3 × 20-bit Hamming-LSH bands
+  private val WinnowW = 4  // winnowing window (guarantee span = w+k-1 words)
   private val EmbDims = 64; private val LshPlanes = 8; private val LshTables = 2
   private val IvfNlist = 8; private val IvfNprobe = 2; private val IvfIters = 2
 
@@ -636,6 +644,27 @@ object SparkEntry {
          |FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
          |WHERE $jacc >= 0.5""".stripMargin
     },
+
+    "q_winnow_fp" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt,
+         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= $MhK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
+         |                   for i in range(0, len(toks)-$MhK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+         |wfp AS (SELECT doc_id,
+         |        CASE WHEN len(hs) < $WinnowW THEN [list_min(hs)]
+         |             ELSE list_distinct([list_min(list_slice(hs, i+1, i+$WinnowW))
+         |                                 for i in range(0, len(hs)-$WinnowW+1)]) END AS fps
+         |        FROM hsh)
+         |SELECT doc_id, unnest(fps) AS fp_hash FROM wfp""".stripMargin,
+
+    "q_key_profile" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+        |GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
 
     "q_word_pieces" ->
       """SELECT doc_id,

@@ -160,6 +160,46 @@ object HashKernels {
     else new GenericArrayData(mins)
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken's MOSS
+    * algorithm): slide a window of `w` consecutive k-gram hashes and select
+    * each window's minimum; the distinct selected values (sorted ascending
+    * for a canonical array form) are the document's fingerprints. Guarantees
+    * any shared substring of length >= w+k-1 contributes a shared
+    * fingerprint. Fewer than w hashes → the single global minimum (standard
+    * short-document degeneration). Null elements are skipped. */
+  def winnow(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    val vals = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) { vals(m) = hashes.getLong(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (m < w) {
+      var mn = Long.MaxValue
+      i = 0
+      while (i < m) { if (vals(i) < mn) mn = vals(i); i += 1 }
+      selected.add(mn)
+    } else {
+      var s = 0
+      while (s <= m - w) { // w is small (4-16): direct scan beats a deque
+        var mn = Long.MaxValue
+        i = s
+        while (i < s + w) { if (vals(i) < mn) mn = vals(i); i += 1 }
+        selected.add(mn)
+        s += 1
+      }
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** SimHash 60-bit vote: bit j of the result is set iff the sum over
     * elements of (+1 if bit j of the hash else -1) is positive —
     * ≡ Dedup.simhashFromHashesColumnForm(hashes). A null element votes -1 on
@@ -239,6 +279,22 @@ case class MinhashSignature(child: Expression, numHashes: Int)
   override def prettyName: String = "graft_minhash_signature"
 }
 
+/** array<long> → array<long>: winnowing fingerprint selection (sorted
+  * distinct window minima) over a k-gram hash array. */
+case class WinnowSelect(child: Expression, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window >= 1, "winnowing window must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.winnow(input.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.winnow($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow_select"
+}
+
 /** array<long> → long: single-pass 60-bit SimHash sign vote. */
 case class SimhashVote(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -263,4 +319,6 @@ object HashKernelExpressions {
     GraftColumnBridge.column(MinhashSignature(GraftColumnBridge.expression(hashes), n))
   def simhashVote(hashes: Column): Column =
     GraftColumnBridge.column(SimhashVote(GraftColumnBridge.expression(hashes)))
+  def winnowSelect(hashes: Column, w: Int): Column =
+    GraftColumnBridge.column(WinnowSelect(GraftColumnBridge.expression(hashes), w))
 }

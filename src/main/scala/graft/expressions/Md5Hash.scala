@@ -113,5 +113,7 @@ object GraftExtensions {
     "graft_minhash_signature" -> (classOf[MinhashSignature], (args: Seq[Expression]) =>
       MinhashSignature(args.head, intArg(args(1), "graft_minhash_signature"))),
     "graft_simhash_vote" -> (classOf[SimhashVote], (args: Seq[Expression]) =>
-      SimhashVote(args.head)))
+      SimhashVote(args.head)),
+    "graft_winnow_select" -> (classOf[WinnowSelect], (args: Seq[Expression]) =>
+      WinnowSelect(args.head, intArg(args(1), "graft_winnow_select"))))
 }

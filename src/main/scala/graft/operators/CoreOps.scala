@@ -119,6 +119,17 @@ object CoreOps {
       .select(df.columns.map(col) :+ col(out): _*)
   }
 
+  /** Hot-key profile: exact per-key counts, top N by frequency with a
+    * deterministic key tiebreak. Compiles to partial agg + one exchange +
+    * TakeOrderedAndProject — each partition keeps only its local top N, so
+    * no global sort materializes. This is the profiling step that decides
+    * whether a skewed key warrants the salted running-sum variant's extra
+    * shuffle (SCALE.md "Skew hardening"). */
+  def keyProfile(df: DataFrame, key: String, topN: Int): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col(key))
+      .limit(topN)
+
   /** Global tumbling-window count (chapter2/BasicStreamingOperations.java:84-91).
     * Flink's `timeWindowAll` is key-less; in Spark we just group by the window
     * column alone — which still parallelizes (hash on window bucket) instead of

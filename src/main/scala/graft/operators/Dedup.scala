@@ -116,6 +116,20 @@ object Dedup {
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
     minhashFromHashes(shingleHashes(text, k), numHashes)
 
+  /** Winnowing document fingerprints (the MOSS rolling-hash scheme): one row
+    * per selected k-gram hash, where selection takes each w-window's minimum
+    * over the shingle-hash sequence (native kernel, codegen'd). Any two docs
+    * sharing a word substring of length >= w+k-1 share a fingerprint row, so
+    * an equi-join on fp_hash is the candidate generator — the same
+    * bucket-join shape as every other approximate tier here (never
+    * all-pairs). Output volume is ~|shingles|/w per doc. */
+  def winnowFingerprints(docs: DataFrame, id: String, text: String,
+                         k: Int, w: Int): DataFrame =
+    docs.select(col(id), shingleHashes(col(text), k).as("hs"))
+      .select(col(id),
+        explode(graft.expressions.HashKernelExpressions.winnowSelect(col("hs"), w))
+          .as("fp_hash"))
+
   /** MinHash-LSH near-duplicate pairs: band the signature (`numHashes` =
     * bands * rowsPerBand), bucket docs by (band index, band slice), and emit
     * candidate pairs that share a bucket, deduplicated, with their exact

@@ -101,6 +101,16 @@ class CoreOpsSpec extends SparkSpec {
     assert(plain(1L).isEmpty && plain(3L).contains(5.0) && plain(6L).isEmpty)
   }
 
+  test("keyProfile returns exact top-N hot keys with deterministic tiebreak") {
+    val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(3)(3L) ++ Seq(4L))
+      .toDF("user_id")
+    val got = CoreOps.keyProfile(df, "user_id", 3).as[(Long, Long)].collect().toSeq
+    // ties (keys 2 and 3, both 3 events) break toward the smaller key
+    assert(got == Seq((1L, 5L), (2L, 3L), (3L, 3L)))
+    val plan = CoreOps.keyProfile(df, "user_id", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-N not pushed down:\n$plan")
+  }
+
   test("splitBy + taggedUnion partition and re-merge every row exactly once") {
     val df = ev((1, 0, 1, "error", 0), (2, 0, 2, "view", 0), (3, 0, 3, "error", 0))
     val (err, rest) = CoreOps.splitBy(df, col("event_type") === "error")

@@ -110,6 +110,39 @@ class HashKernelSpec extends SparkSpec {
     assert(native.count() > 0)
   }
 
+  test("winnow kernel selects sorted distinct window minima (independent reference)") {
+    // independent reimplementation of winnowing for the spec
+    def reference(hs: Seq[Long], w: Int): Seq[Long] =
+      if (hs.isEmpty) Seq.empty
+      else if (hs.size < w) Seq(hs.min)
+      else hs.sliding(w).map(_.min).toSeq.distinct.sorted
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long], Seq(7L), Seq(5L, 3L), Seq(9L, 1L, 8L, 1L, 7L, 6L),
+      (0L until 50L).map(i => (i * 2654435761L) % 1000),
+      Seq.fill(10)(42L)) // all-equal: one fingerprint
+    for (w <- Seq(1, 3, 4)) {
+      val df = cases.toDF("hs").select(col("hs"),
+        graft.expressions.HashKernelExpressions.winnowSelect(col("hs"), w).as("native"))
+      val got = df.as[(Seq[Long], Seq[Long])].collect()
+      got.foreach { case (in, out) =>
+        assert(out == reference(in, w), s"w=$w input=$in")
+      }
+    }
+  }
+
+  test("shared substrings of guarantee length share a winnow fingerprint") {
+    // docs 1 and 2 share a 6-word run = w+k-1 (w=4, k=3): the guarantee says
+    // they must share at least one selected fingerprint; doc 3 is disjoint
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two alpha beta gamma delta epsilon zeta nine ten"),
+      (3L, "totally different words everywhere here now")).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
   test("the SQL function surface runs the whole minhash pipeline in one statement") {
     // register the exact builders GraftExtensions injects (same literal-arg
     // extraction path) and drive them through SQL resolution
