@@ -56,12 +56,25 @@ object syntax {
                      latenessMs: Long): DataFrame =
       StatefulTwins.withLateFlag(df, ts, arrivalCol, tiebreak, latenessMs)
 
+    def keyProfile(key: String, topN: Int): DataFrame =
+      CoreOps.keyProfile(df, key, topN)
+
     // ── training-data extensions ──────────────────────────────────────────
     def exactDedup(id: String, text: String): DataFrame =
       Dedup.exactDedup(df, id, text)
+    def dedupProfile(text: String, dims: Seq[String]): DataFrame =
+      Dedup.dedupProfile(df, text, dims)
+    def dedupProfileApprox(text: String, dims: Seq[String],
+                           rsd: Double = 0.05): DataFrame =
+      Dedup.dedupProfileApprox(df, text, dims, rsd)
     def minhashPairs(id: String, text: String, k: Int, bands: Int,
                      rowsPerBand: Int, minJaccard: Double): DataFrame =
       Dedup.minhashPairs(df, id, text, k, bands, rowsPerBand, minJaccard)
+    def lshJaccardPairs(id: String, text: String, k: Int, bands: Int,
+                        rowsPerBand: Int, minJaccard: Double): DataFrame =
+      Dedup.lshJaccardPairs(df, id, text, k, bands, rowsPerBand, minJaccard)
+    def winnowFingerprints(id: String, text: String, k: Int, w: Int): DataFrame =
+      Dedup.winnowFingerprints(df, id, text, k, w)
     def tokenStats(id: String, text: String): DataFrame =
       TextOps.tokenStats(df, id, text)
     def qualityScore(id: String, text: String, stopwords: Seq[String]): DataFrame =
@@ -71,7 +84,19 @@ object syntax {
       TextOps.languageId(df, id, text, profiles)
     def cosineTopK(queries: DataFrame, id: String, vec: String, k: Int): DataFrame =
       Similarity.bruteForceTopK(df, queries, id, vec, k)
+    def lshTopK(queries: DataFrame, id: String, vec: String, dims: Int,
+                planes: Int, k: Int): DataFrame =
+      Similarity.lshTopK(df, queries, id, vec, dims, planes, k)
+    def ivfTopK(queries: DataFrame, centroids: DataFrame, id: String, vec: String,
+                k: Int, nprobe: Int): DataFrame =
+      Similarity.ivfTopK(df, queries, centroids, id, vec, k, nprobe)
+    def kmeansCentroids(id: String, vec: String, dims: Int, nlist: Int,
+                        iters: Int): DataFrame =
+      Similarity.kmeansCentroids(df, id, vec, dims, nlist, iters)
     def imageMeta(id: String, bin: String): DataFrame =
       Multimodal.imageMeta(df, id, bin)
+    def frameSample(id: String, bin: String, frameBytes: Int,
+                    everyNth: Int): DataFrame =
+      Multimodal.frameSample(df, id, bin, frameBytes, everyNth)
   }
 }

@@ -21,6 +21,19 @@ class SyntaxSpec extends SparkSpec {
     val docs = Seq((1L, "the cat sat"), (2L, "the cat sat")).toDF("doc_id", "text")
     assert(docs.exactDedup("doc_id", "text").count() == 1)
     assert(docs.tokenStats("doc_id", "text").count() == 2)
+
+    // round-3 additions delegate too
+    assert(events.keyProfile("user_id", 1).as[(Long, Long)].head() == ((1L, 2L)))
+    val withSrc = docs.withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    assert(withSrc.dedupProfile("text", Seq("source", "lang"))
+      .select("n_docs", "n_distinct").as[(Long, Long)].head() == ((2L, 1L)))
+    // identical docs share every winnow fingerprint
+    val fps = docs.winnowFingerprints("doc_id", "text", 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty)
+    val imgs = docs.withColumn("img",
+      graft.operators.Multimodal.fakeImageBytes(col("text"), col("doc_id")))
+    assert(imgs.frameSample("doc_id", "img", 8, 2).count() > 0)
   }
 
   test("multi-table LSH recall is a superset of single-table recall") {
