@@ -81,6 +81,26 @@ class HashKernelSpec extends SparkSpec {
     assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
   }
 
+  test("array kernels keep the Column forms' null-element semantics") {
+    // array_min skips nulls (all-null → null slots); the simhash `when`
+    // turns a null comparison into a -1 vote — the kernels must agree
+    val df = spark.range(1).select(
+      array(lit(null).cast("long"), lit(5L), lit(null).cast("long")).as("mixed"),
+      array(lit(null).cast("long")).as("allnull"))
+    val rows = df.select(
+      Dedup.minhashFromHashes(col("mixed"), 4).as("m_native"),
+      Dedup.minhashFromHashesColumnForm(col("mixed"), 4).as("m_legacy"),
+      Dedup.minhashFromHashes(col("allnull"), 4).as("n_native"),
+      Dedup.minhashFromHashesColumnForm(col("allnull"), 4).as("n_legacy"),
+      Dedup.simhashFromHashes(col("mixed")).as("s_native"),
+      Dedup.simhashFromHashesColumnForm(col("mixed")).as("s_legacy"))
+    val bad = rows.filter(
+      not(col("m_native") <=> col("m_legacy")) ||
+      not(col("n_native") <=> col("n_legacy")) ||
+      not(col("s_native") <=> col("s_legacy"))).count()
+    assert(bad == 0, rows.collect().mkString(";"))
+  }
+
   test("simhash-vote kernel equals the Column form, including empty arrays") {
     val arrays: Seq[Seq[Long]] = Seq(
       Seq.empty[Long], Seq(0L), Seq((1L << 60) - 1), Seq(5L, 9L, 12L),
