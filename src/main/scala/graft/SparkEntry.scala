@@ -91,6 +91,22 @@ object SparkEntry {
         "user_id", "ts", "1 day")
     }),
 
+    // as-of join (custom operator tier — Spark has no native ASOF): for each
+    // purchase, the latest error at-or-before it per user; DuckDB's native
+    // ASOF LEFT JOIN is the oracle
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_millis(col("ts")).as("err_ms"), col("event_id"))
+        .groupBy(col("user_id"), col("err_ms")) // unique (key, ts): deterministic tie
+        .agg(max(col("event_id")).as("err_event"))
+        .withColumn("ts", timestamp_millis(col("err_ms")))
+      CoreOps.asofJoin(purchases, errors, "user_id", "ts", Seq("err_ms", "err_event"))
+        .select(col("event_id"), col("user_id"), col("err_ms"), col("err_event"))
+    }),
+
     // ── §2.7/§2.8 split + tagged merge (E3) ───────────────────────────────
     "q_split_merge" -> ((s, dir) => {
       val (err, rest) = CoreOps.splitBy(Tables.events(s, dir),
@@ -487,6 +503,14 @@ object SparkEntry {
          |      FROM events WHERE event_type = 'purchase')
          |SELECT l.user_id AS user_id, l.w AS window_start_ms, left_id, right_id
          |FROM l JOIN r ON l.user_id = r.user_id AND l.w = r.w""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH p AS (SELECT user_id, $evMs AS ms, event_id FROM events
+         |           WHERE event_type = 'purchase'),
+         |e AS (SELECT user_id, $evMs AS err_ms, MAX(event_id) AS err_event
+         |      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+         |SELECT p.event_id, p.user_id, e.err_ms, e.err_event
+         |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.err_ms <= p.ms""".stripMargin,
 
     "q_split_merge" ->
       """SELECT CASE WHEN event_type = 'error' THEN 'Stream-Error'

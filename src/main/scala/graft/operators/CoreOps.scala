@@ -187,6 +187,41 @@ object CoreOps {
         col("left_id"), col("right_id"))
   }
 
+  /** As-of join: attach to each left row the LATEST right row with
+    * right.`ts` <= left.`ts` for the same key (inclusive) — the
+    * event-to-slowly-changing-metadata join every training pipeline needs
+    * and Spark has no native operator for. Scalable encoding: tag + union
+    * both sides, then per-key last-non-null carry-forward over one
+    * (ts, side) sort — ONE shuffle on the key, never a per-row range probe
+    * or an O(|L|·|R|) bucket product, so it scales exactly like runningSum.
+    * Right rows sort before left rows at equal ts, giving the inclusive
+    * bound. Left rows with no prior right row keep NULL payloads (left-join
+    * semantics).
+    *
+    * `right` must be unique per (key, ts) — pre-aggregate otherwise — or the
+    * tie chosen among equal-ts right rows is nondeterministic. Both inputs
+    * must share the `key` and `ts` column names; `rightCols` are the payload
+    * columns carried from `right` (alias right's own ts into the payload to
+    * know WHICH row matched). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val lNorm = left.select(
+      col(key) +: col(ts) +: lit(1).as("_side") +:
+        (leftCols.map(col) ++
+          rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val rNorm = right.select(
+      col(key) +: col(ts) +: lit(0).as("_side") +:
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rightCols.map(col)): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_side")
+  }
+
   // ─── §2.7 / §2.8 split & merge ────────────────────────────────────────────
 
   /** Predicate split (chapter2/StreamSplitAndMerge.java:68-102). Spark has no

@@ -40,6 +40,9 @@ object syntax {
     def windowJoin(right: DataFrame, key: String, ts: String,
                    duration: String): DataFrame =
       CoreOps.windowJoin(df, right, key, ts, duration)
+    def asofJoin(right: DataFrame, key: String, ts: String,
+                 rightCols: Seq[String]): DataFrame =
+      CoreOps.asofJoin(df, right, key, ts, rightCols)
     def splitBy(pred: Column): (DataFrame, DataFrame) = CoreOps.splitBy(df, pred)
     def taggedUnion(tag: String, other: DataFrame, otherTag: String,
                     cols: Seq[String]): DataFrame =

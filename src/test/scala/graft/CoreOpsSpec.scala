@@ -101,6 +101,21 @@ class CoreOpsSpec extends SparkSpec {
     assert(plain(1L).isEmpty && plain(3L).contains(5.0) && plain(6L).isEmpty)
   }
 
+  test("asofJoin attaches the latest right row at-or-before each left row") {
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L), (1L, 90L, 13L))
+      .toDF("k", "ms", "lid").withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val right = Seq((1L, 90L, 77L), (1L, 150L, 88L), (3L, 10L, 99L))
+      .toDF("k", "r_ms", "rid").withColumn("ts", timestamp_millis(col("r_ms")))
+    val got = CoreOps.asofJoin(left, right, "k", "ts", Seq("r_ms", "rid"))
+      .select("lid", "r_ms", "rid")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (10L, Some(90L), Some(77L)),  // 90 <= 100: inclusive bound
+      (11L, Some(150L), Some(88L)), // latest of {90, 150}
+      (13L, Some(90L), Some(77L)),  // equal-ts match (right sorts first)
+      (12L, None, None)))           // key 2 has no right rows: left-join NULLs
+  }
+
   test("keyProfile returns exact top-N hot keys with deterministic tiebreak") {
     val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(3)(3L) ++ Seq(4L))
       .toDF("user_id")
