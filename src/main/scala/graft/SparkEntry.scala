@@ -228,6 +228,10 @@ object SparkEntry {
     // hot-key profiler: the input to the salt-or-not decision (SCALE.md)
     "q_key_profile" -> ((s, dir) =>
       CoreOps.keyProfile(Tables.events(s, dir), "user_id", 20)),
+    // exact interpolated value percentiles per event type
+    "q_quantile_profile" -> ((s, dir) =>
+      CoreOps.quantileProfile(Tables.events(s, dir), "event_type", "value",
+        Seq(0.5, 0.95, 0.99))),
     // BPE-ish subword-piece stats (wordPieces: alnum runs + single marks)
     "q_word_pieces" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -689,6 +693,13 @@ object SparkEntry {
     "q_key_profile" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
+
+    "q_quantile_profile" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  floor(quantile_cont(value, 0.5)*1000000)/1000000 AS p50,
+        |  floor(quantile_cont(value, 0.95)*1000000)/1000000 AS p95,
+        |  floor(quantile_cont(value, 0.99)*1000000)/1000000 AS p99
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_word_pieces" ->
       """SELECT doc_id,

@@ -119,6 +119,25 @@ object CoreOps {
       .select(df.columns.map(col) :+ col(out): _*)
   }
 
+  /** Exact per-group quantile profile (continuous/interpolated, the classic
+    * latency-percentile report). Spark's `percentile` is an exact aggregate
+    * whose per-partition value maps merge map-side — one shuffle of
+    * O(groups × distinct values), not a global sort. Both Spark and the SQL
+    * oracle interpolate at rank (n-1)·p over the sorted values; outputs are
+    * floor-truncated to 6 decimals so the interpolated doubles hash-match
+    * across engines. For 100 TB telemetry where distinct-value maps get
+    * large, swap in approx_percentile (fixed-size sketch) the same way
+    * dedupProfileApprox twins dedupProfile. */
+  def quantileProfile(df: DataFrame, group: String, value: String,
+                      ps: Seq[Double]): DataFrame = {
+    val qs = ps.map { p =>
+      (floor(percentile(col(value), lit(p)) * 1e6) / 1e6)
+        .as(s"p${math.round(p * 100)}")
+    }
+    df.groupBy(col(group))
+      .agg(count(lit(1)).as("n"), qs: _*)
+  }
+
   /** Hot-key profile: exact per-key counts, top N by frequency with a
     * deterministic key tiebreak. Compiles to partial agg + one exchange +
     * TakeOrderedAndProject — each partition keeps only its local top N, so

@@ -61,6 +61,8 @@ object syntax {
 
     def keyProfile(key: String, topN: Int): DataFrame =
       CoreOps.keyProfile(df, key, topN)
+    def quantileProfile(group: String, value: String, ps: Seq[Double]): DataFrame =
+      CoreOps.quantileProfile(df, group, value, ps)
 
     // ── training-data extensions ──────────────────────────────────────────
     def exactDedup(id: String, text: String): DataFrame =

@@ -101,6 +101,13 @@ class CoreOpsSpec extends SparkSpec {
     assert(plain(1L).isEmpty && plain(3L).contains(5.0) && plain(6L).isEmpty)
   }
 
+  test("quantileProfile interpolates at rank (n-1)·p like the SQL oracle") {
+    val df = (1 to 5).map(v => ("a", v.toDouble)).toDF("g", "value")
+    val got = CoreOps.quantileProfile(df, "g", "value", Seq(0.5, 0.95))
+      .as[(String, Long, Double, Double)].head()
+    assert(got == (("a", 5L, 3.0, 4.8))) // (5-1)·0.95 = 3.8 → 4 + 0.8·(5-4)
+  }
+
   test("asofJoin attaches the latest right row at-or-before each left row") {
     val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L), (1L, 90L, 13L))
       .toDF("k", "ms", "lid").withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
