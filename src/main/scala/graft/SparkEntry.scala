@@ -60,6 +60,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           CoreOps.exactSum(col("o_totalprice")).as("total_revenue"))),
 
+    // TPC-H Q5-style regional rollup across EVERY relational table: two
+    // large-large shuffle joins (lineitem⋈orders, ⋈part via AQE's choice),
+    // broadcast hints only on the always-tiny dims (nation, region — the
+    // region filter prunes before the join), exact decimal revenue
+    "q_regional_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          CoreOps.exactSumFloor(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))),
+
     // ── §2.5 aggregations (E1, E2, E4, E8) ────────────────────────────────
     "q_keyed_sum" -> ((s, dir) =>
       CoreOps.keyedSum(Tables.events(s, dir), "user_id", "value", "total_value")),
@@ -453,6 +473,19 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q_regional_revenue" ->
+      """SELECT n_name, p_brand, COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS DECIMAL(28,0))) AS DOUBLE) / 100 AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_keyed_sum" ->
       """SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
