@@ -187,6 +187,9 @@ object SparkEntry {
       TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)),
     "q_lang_id" -> ((s, dir) =>
       TextOps.languageId(Tables.documents(s, dir), "doc_id", "text", langProfiles)),
+    // corpus bigram vocabulary (top 100, deterministic tiebreak)
+    "q_ngram_vocab" -> ((s, dir) =>
+      TextOps.ngramVocab(Tables.documents(s, dir), "text", 2, 100)),
     "q_ann_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -660,6 +663,15 @@ object SparkEntry {
          |       WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_pred,
          |  m AS lang_hits
          |FROM (SELECT *, GREATEST(h_en, h_de, h_fr, h_es, h_zh) AS m FROM h)""".stripMargin,
+
+    "q_ngram_vocab" ->
+      s"""WITH nrm AS (SELECT $normSql AS nt FROM documents),
+         |tk AS (SELECT list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |g AS (SELECT unnest([array_to_string(list_slice(toks, i+1, i+2), ' ')
+         |                     for i in range(0, len(toks)-2+1)]) AS gram
+         |      FROM tk WHERE len(toks) >= 2)
+         |SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY 1
+         |ORDER BY n_occurrences DESC, gram LIMIT 100""".stripMargin,
 
     "q_ann_cosine" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),

@@ -80,6 +80,24 @@ object TextOps {
       best.getField("hits").cast("long").as("lang_hits"))
   }
 
+  /** Corpus n-gram vocabulary: the `topN` most frequent word n-grams of the
+    * normalized text across all documents, with deterministic (count desc,
+    * gram asc) ordering — the vocabulary-building step of a training
+    * pipeline. Explode is map-side; the count is a partial-aggregated single
+    * shuffle on the gram; top-N compiles to TakeOrderedAndProject (each
+    * partition keeps only its local top N). Documents shorter than n words
+    * contribute nothing (a vocab wants real n-grams, not padded stubs). */
+  def ngramVocab(docs: DataFrame, text: String, n: Int, topN: Int): DataFrame = {
+    val toks = tokens(normalized(col(text)))
+    docs.select(explode(when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(topN)
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercased, whitespace
     * collapsed, punctuation stripped) — the exact-dedup key used by
     * Dedup.exactDedup. md5 is bit-identical across engines. */

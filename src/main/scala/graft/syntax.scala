@@ -87,6 +87,8 @@ object syntax {
     def languageId(id: String, text: String,
                    profiles: Map[String, Seq[String]]): DataFrame =
       TextOps.languageId(df, id, text, profiles)
+    def ngramVocab(text: String, n: Int, topN: Int): DataFrame =
+      TextOps.ngramVocab(df, text, n, topN)
     def cosineTopK(queries: DataFrame, id: String, vec: String, k: Int): DataFrame =
       Similarity.bruteForceTopK(df, queries, id, vec, k)
     def lshTopK(queries: DataFrame, id: String, vec: String, dims: Int,

@@ -81,6 +81,14 @@ class TextAndDedupSpec extends SparkSpec {
     assert(got(0) == got(1) && got(0) != got(2))
   }
 
+  test("ngramVocab counts word bigrams with deterministic top-N ordering") {
+    val docs = Seq("the cat sat", "the cat ran", "Cat!", "x").toDF("text")
+    val got = TextOps.ngramVocab(docs, "text", 2, 10)
+      .as[(String, Long)].collect().toSeq
+    // "Cat!" normalizes to one token (no bigram); "x" likewise
+    assert(got == Seq(("the cat", 2L), ("cat ran", 1L), ("cat sat", 1L)))
+  }
+
   test("dedupProfileApprox tracks the exact profile within the HLL error bound") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val rsd = 0.05
