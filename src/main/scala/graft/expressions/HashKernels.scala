@@ -89,6 +89,39 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** The word k-shingles of an (already normalized, single-space-separated)
+    * string as STRINGS — the vocabulary-building twin of shingleHashes,
+    * sharing its contiguous-byte-range trick: each shingle is a zero-copy
+    * UTF8String view over the input buffer. Unlike shingleHashes (which
+    * degrades to a whole-string shingle for MinHash stability), documents
+    * with fewer than k tokens yield an EMPTY array — a vocabulary wants real
+    * n-grams, not padded stubs. Empty input → empty array. */
+  def shingleStrings(norm: UTF8String, k: Int): ArrayData = {
+    val bytes = norm.getBytes
+    if (bytes.length == 0) return new GenericArrayData(Array.empty[Any])
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < k) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = bytes.length
+    val out = new Array[Any](nTok - k + 1)
+    var s = 0
+    while (s <= nTok - k) {
+      out(s) = UTF8String.fromBytes(bytes, starts(s), ends(s + k - 1) - starts(s))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def isAsciiSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
@@ -248,6 +281,22 @@ case class ShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** string → array<string>: the word k-shingles of a normalized string as
+  * zero-copy string views (empty for sub-k documents). */
+case class ShingleStrings(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "shingle size must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.shingleStrings(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.shingleStrings($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_strings"
+}
+
 /** string → array<long>: md5Long of every whitespace token. Replaces the
   * interpreted transform in Dedup.tokenHashes. */
 case class TokenHashes(child: Expression)
@@ -313,6 +362,8 @@ object HashKernelExpressions {
   /** Column wrappers. */
   def shingleHashes(norm: Column, k: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(norm), k))
+  def shingleStrings(norm: Column, k: Int): Column =
+    GraftColumnBridge.column(ShingleStrings(GraftColumnBridge.expression(norm), k))
   def tokenHashes(text: Column): Column =
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(text)))
   def minhashSignature(hashes: Column, n: Int): Column =

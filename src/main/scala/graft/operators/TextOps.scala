@@ -87,15 +87,21 @@ object TextOps {
     * shuffle on the gram; top-N compiles to TakeOrderedAndProject (each
     * partition keeps only its local top N). Documents shorter than n words
     * contribute nothing (a vocab wants real n-grams, not padded stubs). */
-  def ngramVocab(docs: DataFrame, text: String, n: Int, topN: Int): DataFrame = {
-    val toks = tokens(normalized(col(text)))
-    docs.select(explode(when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))).as("gram"))
+  def ngramVocab(docs: DataFrame, text: String, n: Int, topN: Int): DataFrame =
+    docs.select(explode(graft.expressions.HashKernelExpressions
+        .shingleStrings(normalized(col(text)), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(topN)
+
+  /** Interpreted Column form of the gram extraction — HashKernelSpec's
+    * parity oracle for ShingleStrings (it mirrors the DuckDB oracle SQL). */
+  private[graft] def ngramsColumnForm(text: Column, n: Int): Column = {
+    val toks = tokens(normalized(text))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Document fingerprint: md5 of the normalized text (lowercased, whitespace

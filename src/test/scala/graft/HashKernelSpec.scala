@@ -130,6 +130,18 @@ class HashKernelSpec extends SparkSpec {
     assert(native.count() > 0)
   }
 
+  test("shingle-string kernel equals the Column form on normalized text") {
+    for (k <- 1 to 3) {
+      val df = (edgeCases ++ Seq("one two three four", "a b")).toDF("text").select(
+        col("text"),
+        graft.expressions.HashKernelExpressions
+          .shingleStrings(TextOps.normalized(col("text")), k).as("native"),
+        TextOps.ngramsColumnForm(col("text"), k).as("legacy"))
+      val bad = df.filter(not(col("native") <=> col("legacy"))).collect()
+      assert(bad.isEmpty, s"k=$k mismatches: ${bad.mkString("; ")}")
+    }
+  }
+
   test("winnow kernel selects sorted distinct window minima (independent reference)") {
     // independent reimplementation of winnowing for the spec
     def reference(hs: Seq[Long], w: Int): Seq[Long] =
