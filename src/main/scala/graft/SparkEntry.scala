@@ -255,6 +255,11 @@ object SparkEntry {
     "q_quantile_profile" -> ((s, dir) =>
       CoreOps.quantileProfile(Tables.events(s, dir), "event_type", "value",
         Seq(0.5, 0.95, 0.99))),
+    // sketch twin: rows-only check (estimates are engine-specific; the
+    // error bound vs the exact profile is pinned by CoreOpsSpec)
+    "q_quantile_profile_approx" -> ((s, dir) =>
+      CoreOps.quantileProfileApprox(Tables.events(s, dir), "event_type", "value",
+        Seq(0.5, 0.95, 0.99))),
     // BPE-ish subword-piece stats (wordPieces: alnum runs + single marks)
     "q_word_pieces" -> ((s, dir) =>
       Tables.documents(s, dir)

@@ -138,6 +138,23 @@ object CoreOps {
       .agg(count(lit(1)).as("n"), qs: _*)
   }
 
+  /** The 100 TB twin of quantileProfile: approx_percentile's fixed-size
+    * KLL-style sketch merges map-side, so only O(groups) sketches cross the
+    * shuffle regardless of distinct-value count — the same exact-vs-sketch
+    * pairing as dedupProfile/dedupProfileApprox. Rank error is bounded by
+    * n/accuracy; estimates are engine-specific, so the registered query is
+    * rows-only checked and the error bound is pinned by a spec against the
+    * exact profile. */
+  def quantileProfileApprox(df: DataFrame, group: String, value: String,
+                            ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val qs = ps.map { p =>
+      approx_percentile(col(value), lit(p), lit(accuracy))
+        .as(s"p${math.round(p * 100)}_approx")
+    }
+    df.groupBy(col(group))
+      .agg(count(lit(1)).as("n"), qs: _*)
+  }
+
   /** Hot-key profile: exact per-key counts, top N by frequency with a
     * deterministic key tiebreak. Compiles to partial agg + one exchange +
     * TakeOrderedAndProject — each partition keeps only its local top N, so

@@ -101,6 +101,23 @@ class CoreOpsSpec extends SparkSpec {
     assert(plain(1L).isEmpty && plain(3L).contains(5.0) && plain(6L).isEmpty)
   }
 
+  test("quantileProfileApprox stays within the sketch's rank-error bound") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    // exact values at p ± 2% bracket the sketch estimate when the rank error
+    // n/accuracy (~60/10000) is far below 2%
+    val lo = CoreOps.quantileProfile(events, "event_type", "value", Seq(0.48, 0.93))
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    val hi = CoreOps.quantileProfile(events, "event_type", "value", Seq(0.52, 0.97))
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> (r._3, r._4)).toMap
+    val approx = CoreOps.quantileProfileApprox(events, "event_type", "value", Seq(0.5, 0.95))
+      .as[(String, Long, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (g, _, p50a, p95a) =>
+      assert(p50a >= lo(g)._1 && p50a <= hi(g)._1, s"$g p50 $p50a not in bracket")
+      assert(p95a >= lo(g)._2 && p95a <= hi(g)._2, s"$g p95 $p95a not in bracket")
+    }
+  }
+
   test("quantileProfile interpolates at rank (n-1)·p like the SQL oracle") {
     val df = (1 to 5).map(v => ("a", v.toDouble)).toDF("g", "value")
     val got = CoreOps.quantileProfile(df, "g", "value", Seq(0.5, 0.95))

@@ -79,6 +79,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: asofJoin equals the brute-force latest-at-or-before match") {
+    // keys 0..2, coarse timestamps so equal-ts collisions actually occur;
+    // right side made unique per (key, ts) as the operator requires
+    val sideGen: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 2L); ms <- Gen.choose(0L, 20L)
+      } yield (k, ms * 1000))
+    } yield rows.zipWithIndex.map { case ((k, ms), i) => (k, ms, i.toLong) }
+    check(Prop.forAll(sideGen, sideGen) { (lRows, rRowsRaw) =>
+      val rRows = rRowsRaw.groupBy(r => (r._1, r._2)).map { case ((k, ms), g) =>
+        (k, ms, g.map(_._3).max) }.toList // unique (key, ts), deterministic tie
+      val left = lRows.toDF("k", "ms", "lid")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      val right = rRows.toDF("k", "r_ms", "rid")
+        .withColumn("ts", timestamp_millis(col("r_ms")))
+      val got = CoreOps.asofJoin(left, right, "k", "ts", Seq("r_ms", "rid"))
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      val expected = lRows.map { case (k, ms, lid) =>
+        val cand = rRows.filter(r => r._1 == k && r._2 <= ms)
+        lid -> (if (cand.isEmpty) None
+                else Some(cand.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      got == expected
+    })
+  }
+
   test("property: split partitions are disjoint and exhaustive") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = rows.toDF("event_id", "ms")
