@@ -54,7 +54,12 @@ object Bench {
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"spread":${obj(spreads)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
-    println(json)
+    // stop FIRST so no Spark shutdown chatter can interleave after the JSON;
+    // full line, then a compact summary as the absolute last line — the
+    // driver's stdout tail capture always gets something parseable even if
+    // the per-query object outgrows its window (round-3 BENCH_r03 lesson)
     spark.stop()
+    println(json)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
   }
 }

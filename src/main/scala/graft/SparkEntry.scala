@@ -92,6 +92,13 @@ object SparkEntry {
       CoreOps.runningSumSalted(Tables.events(s, dir), "user_id", "ts", "event_id",
           "value", "running_value")
         .select(col("event_id"), col("user_id"), col("running_value"))),
+    // profile-driven form: measures the hottest key's share and picks the
+    // plain or salted plan itself (SCALE.md's salt-or-not decision as code);
+    // same oracle — the choice is purely physical
+    "q_running_sum_auto" -> ((s, dir) =>
+      CoreOps.runningSumAuto(Tables.events(s, dir), "user_id", "ts", "event_id",
+          "value", "running_value")
+        .select(col("event_id"), col("user_id"), col("running_value"))),
     "q_tumbling_count" -> ((s, dir) =>
       CoreOps.tumblingCount(Tables.events(s, dir), "ts", "1 hour")),
     "q_sliding_summary" -> ((s, dir) =>
@@ -108,7 +115,8 @@ object SparkEntry {
       CoreOps.windowJoin(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
-        "user_id", "ts", "1 day")
+        "user_id", "ts", "1 day",
+        Seq("event_id" -> "left_id"), Seq("event_id" -> "right_id"))
     }),
 
     // as-of join (custom operator tier — Spark has no native ASOF): for each
@@ -177,10 +185,12 @@ object SparkEntry {
     // per-(source, lang) duplication profile — exact distinct fingerprints
     "q_dedup_profile" -> ((s, dir) =>
       Dedup.dedupProfile(Tables.documents(s, dir), "text", Seq("source", "lang"))),
-    // HLL++ sketch twin: engine-specific estimates → rows-only check (no
-    // oracle SQL); the error bound vs exact is pinned by TextAndDedupSpec
+    // HLL++ sketch twin, fully oracle-checked: emits the exact distinct
+    // count plus a within-bound verdict on the sketch estimate (the estimate
+    // itself never leaves the engine), so DuckDB computes the exact side and
+    // hash-matches the whole row; the bound is also pinned by TextAndDedupSpec
     "q_dedup_profile_approx" -> ((s, dir) =>
-      Dedup.dedupProfileApprox(Tables.documents(s, dir), "text", Seq("source", "lang"))),
+      Dedup.dedupProfileChecked(Tables.documents(s, dir), "text", Seq("source", "lang"))),
     "q_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(Tables.documents(s, dir), "doc_id", "text")),
     "q_quality_score" -> ((s, dir) =>
@@ -248,6 +258,11 @@ object SparkEntry {
     "q_winnow_fp" -> ((s, dir) =>
       Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
         MhK, WinnowW)),
+    // the MOSS pipeline end-to-end: shared fingerprint → candidate pair →
+    // exact shingle-set Jaccard verification
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+        MhK, WinnowW, 0.5)),
     // hot-key profiler: the input to the salt-or-not decision (SCALE.md)
     "q_key_profile" -> ((s, dir) =>
       CoreOps.keyProfile(Tables.events(s, dir), "user_id", 20)),
@@ -255,10 +270,11 @@ object SparkEntry {
     "q_quantile_profile" -> ((s, dir) =>
       CoreOps.quantileProfile(Tables.events(s, dir), "event_type", "value",
         Seq(0.5, 0.95, 0.99))),
-    // sketch twin: rows-only check (estimates are engine-specific; the
-    // error bound vs the exact profile is pinned by CoreOpsSpec)
+    // sketch twin, fully oracle-checked: exact percentiles plus a rank-window
+    // verdict on each approx_percentile estimate (the estimate never leaves
+    // the engine); the bound is also pinned by CoreOpsSpec
     "q_quantile_profile_approx" -> ((s, dir) =>
-      CoreOps.quantileProfileApprox(Tables.events(s, dir), "event_type", "value",
+      CoreOps.quantileProfileChecked(Tables.events(s, dir), "event_type", "value",
         Seq(0.5, 0.95, 0.99))),
     // BPE-ish subword-piece stats (wordPieces: alnum runs + single marks)
     "q_word_pieces" -> ((s, dir) =>
@@ -281,6 +297,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
         EmbDims, IvfNlist, IvfIters)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 64), trained,
+        "vec_id", "embedding", 3, IvfNprobe)
+    }),
+    // the 100 TB training path: k-means over a deterministic md5 sample
+    // (~1/4 of the corpus + the seed rows), full-corpus assignment/search —
+    // the sample filter is one WHERE clause in the oracle's CTE chain
+    "q_ivf_trained_sample" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val trained = Similarity.kmeansCentroidsSampled(emb, "vec_id", "embedding",
+        EmbDims, IvfNlist, IvfIters, IvfSampleMod)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 64), trained,
         "vec_id", "embedding", 3, IvfNprobe)
     }),
@@ -312,6 +338,7 @@ object SparkEntry {
   private val WinnowW = 4  // winnowing window (guarantee span = w+k-1 words)
   private val EmbDims = 64; private val LshPlanes = 8; private val LshTables = 2
   private val IvfNlist = 8; private val IvfNprobe = 2; private val IvfIters = 2
+  private val IvfSampleMod = 4 // k-means trains on ~1/4 of the corpus + seeds
 
   /** Deterministic out-of-order arrival simulation for the E6 twins: each
     * event is delayed by (event_id mod 5) * 30 min, so ~4/5 of rows arrive
@@ -325,13 +352,23 @@ object SparkEntry {
     * (session, sf dir) and persist it, so a Verify/Bench run computes the
     * running max once instead of three times — the exact sharing a streaming
     * deployment gets for free from one watermarked stream feeding three
-    * sinks. */
+    * sinks. BENCH note: the three queries' per-query timings therefore
+    * measure one shared scan + cache reads, not three independent plans —
+    * comparable across rounds only as a group. Entries are evicted when
+    * their session's application ends, so stopped sessions don't stay
+    * strongly referenced in long-lived JVMs / test suites. */
   private val lateFlagCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def flaggedEvents(s: SparkSession, dir: String): DataFrame =
-    lateFlagCache.getOrElseUpdate((s, dir),
+    lateFlagCache.getOrElseUpdate((s, dir), {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          lateFlagCache.filterInPlace { case ((sess, _), _) => sess ne s }
+      })
       StatefulTwins.withLateFlag(withArrival(s, dir), "ts", "arr_ms", "event_id", H)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   // ───────────────────────────────────────────────────────────────────────
   // DuckDB oracles. Table names = parquet file stems. epoch_ms(ts) matches
@@ -426,7 +463,11 @@ object SparkEntry {
     * smaller-cell tiebreak, then per-cell element-wise means folded in
     * sorted-id member order (list(… ORDER BY id) + sequential list_reduce),
     * so every double matches Spark bit-for-bit. */
-  private def sqlKmeansCtes: String = {
+  private def sqlKmeansCtes: String = sqlKmeansCtesOver("embeddings")
+
+  /** Same k-means chain trained over an arbitrary source relation (the
+    * deterministic-sample variant passes a filtered subquery). */
+  private def sqlKmeansCtesOver(trainSrc: String): String = {
     val init = s"cent0 AS (SELECT vec_id AS cell_id, " +
       s"[embedding[d+1]::DOUBLE for d in range(0,$EmbDims)] AS cvec " +
       s"FROM embeddings WHERE vec_id < $IvfNlist)"
@@ -436,7 +477,7 @@ object SparkEntry {
          |  SELECT e.vec_id AS id, c.cell_id, e.embedding AS vec,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC, c.cell_id) AS rn
-         |  FROM embeddings e, $prev c) WHERE rn = 1),
+         |  FROM $trainSrc e, $prev c) WHERE rn = 1),
          |mem$t AS (SELECT cell_id, list(vec ORDER BY id) AS vs FROM asg$t GROUP BY cell_id),
          |cent$t AS (SELECT cell_id,
          |  [list_reduce(list_prepend(0.0::DOUBLE,
@@ -507,6 +548,13 @@ object SparkEntry {
          |FROM events""".stripMargin,
 
     "q_running_sum_salted" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY user_id ORDER BY $evMs, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+         |FROM events""".stripMargin,
+
+    "q_running_sum_auto" ->
       s"""SELECT event_id, user_id,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
          |    PARTITION BY user_id ORDER BY $evMs, event_id
@@ -633,6 +681,14 @@ object SparkEntry {
          |  COUNT(DISTINCT md5($normSql)) AS n_distinct
          |FROM documents GROUP BY 1, 2""".stripMargin,
 
+    // the sketch estimate never leaves the engine — the oracle computes the
+    // exact side and asserts the bound verdict is uniformly true, which the
+    // HLL++ tolerance in Dedup.dedupProfileChecked guarantees
+    "q_dedup_profile_approx" ->
+      s"""SELECT source, lang, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT md5($normSql)) AS n_distinct, TRUE AS within_bound
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+
     "q_token_stats" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars_measured,
@@ -740,6 +796,32 @@ object SparkEntry {
          |        FROM hsh)
          |SELECT doc_id, unnest(fps) AS fp_hash FROM wfp""".stripMargin,
 
+    "q_winnow_pairs" -> {
+      val jacc = "len(list_intersect(a.sh, b.sh))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt,
+         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= $MhK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
+         |                   for i in range(0, len(toks)-$MhK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+         |wfp AS (SELECT doc_id,
+         |        CASE WHEN len(hs) < $WinnowW THEN [list_min(hs)]
+         |             ELSE list_distinct([list_min(list_slice(hs, i+1, i+$WinnowW))
+         |                                 for i in range(0, len(hs)-$WinnowW+1)]) END AS fps
+         |        FROM hsh),
+         |fpr AS (SELECT doc_id, unnest(fps) AS fp_hash FROM wfp),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM fpr a JOIN fpr b USING (fp_hash) WHERE a.doc_id < b.doc_id),
+         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)
+         |SELECT c.doc_a, c.doc_b, $jacc AS jaccard
+         |FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
+         |WHERE $jacc >= 0.5""".stripMargin
+    },
+
     "q_key_profile" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events
         |GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
@@ -749,6 +831,16 @@ object SparkEntry {
         |  floor(quantile_cont(value, 0.5)*1000000)/1000000 AS p50,
         |  floor(quantile_cont(value, 0.95)*1000000)/1000000 AS p95,
         |  floor(quantile_cont(value, 0.99)*1000000)/1000000 AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // rank-window verdict on the sketch: guaranteed true by the
+    // approx_percentile accuracy contract, so the oracle emits TRUE
+    "q_quantile_profile_approx" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  floor(quantile_cont(value, 0.5)*1000000)/1000000 AS p50,
+        |  floor(quantile_cont(value, 0.95)*1000000)/1000000 AS p95,
+        |  floor(quantile_cont(value, 0.99)*1000000)/1000000 AS p99,
+        |  TRUE AS within_bound
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_word_pieces" ->
@@ -808,6 +900,11 @@ object SparkEntry {
 
     "q_ivf_trained" -> sqlIvfSearch(
       s"""$sqlKmeansCtes,
+         |cent AS (SELECT cell_id, cvec AS embedding FROM cent$IvfIters)""".stripMargin),
+
+    "q_ivf_trained_sample" -> sqlIvfSearch(
+      s"""${sqlKmeansCtesOver(
+             s"(SELECT * FROM embeddings WHERE ${sqlMd5Int("vec_id::VARCHAR")} % $IvfSampleMod = 0 OR vec_id < $IvfNlist)")},
          |cent AS (SELECT cell_id, cvec AS embedding FROM cent$IvfIters)""".stripMargin),
 
     // the fake payload's hex image: md5(text) plus 0/8/16 chars of md5(text||'x')

@@ -312,7 +312,13 @@ case class TokenHashes(child: Expression)
   override def prettyName: String = "graft_token_hashes"
 }
 
-/** array<long> → array<long>: all n MinHash permutation minima in one pass. */
+/** array<long> → array<long>: all n MinHash permutation minima in one pass.
+  *
+  * PRECONDITION: input elements must be < 2^32 (md5Int / ShingleHashes
+  * output). The int64 overflow headroom of h*a_i + b_i only holds for 32-bit
+  * h; feeding 60-bit TokenHashes values silently overflows into garbage
+  * signatures. Stated (not masked) so misuse differs loudly from the Column
+  * form rather than producing a plausible-but-wrong masked signature. */
 case class MinhashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(numHashes >= 1, "signature needs at least one hash function")
@@ -359,7 +365,15 @@ case class SimhashVote(child: Expression)
 }
 
 object HashKernelExpressions {
-  /** Column wrappers. */
+  /** Column wrappers. Preconditions (stated here because the Column type
+    * can't enforce them):
+    *  - shingleHashes/shingleStrings take NORMALIZED text — trimmed, tokens
+    *    separated by exactly one space (what TextOps.normalized produces);
+    *    raw text with tabs or doubled spaces yields empty-token shingles
+    *    that match neither the Column form nor a regexp tokenizer. Prefer
+    *    the normalizing entry points Dedup.shingleHashes / TextOps.ngramVocab.
+    *  - minhashSignature takes 32-bit hashes (md5Int / shingleHashes
+    *    output), NOT 60-bit tokenHashes values — see MinhashSignature. */
   def shingleHashes(norm: Column, k: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(norm), k))
   def shingleStrings(norm: Column, k: Int): Column =

@@ -90,7 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.builders.foreach { case (name, (clazz, builder)) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(clazz.getName, name), builder))
+        new ExpressionInfo(clazz.getName, null, name,
+          GraftExtensions.usage.getOrElse(name, ""),
+          "", "", "", "", "", "", "built-in"), builder))
     }
 }
 
@@ -100,6 +102,29 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal integer parameter, got $other")
   }
+
+  /** DESCRIBE FUNCTION text — states each kernel's input preconditions,
+    * which the SQL surface cannot enforce structurally. */
+  val usage: Map[String, String] = Map(
+    "graft_md5int" -> "graft_md5int(str) - first 32 bits of md5(str) as a non-negative BIGINT (< 2^32).",
+    "graft_md5long" -> "graft_md5long(str) - first 60 bits of md5(str) as a non-negative BIGINT (< 2^60).",
+    "graft_shingle_hashes" ->
+      ("graft_shingle_hashes(norm, k) - graft_md5int of every word k-shingle. " +
+        "PRECONDITION: `norm` must be normalized text — trimmed, tokens separated by " +
+        "exactly one space (lower/strip-punct/collapse-whitespace, as Dedup.shingleHashes " +
+        "and TextOps.normalized produce). Tabs or doubled/leading/trailing spaces create " +
+        "empty-token shingles that match neither the Column form nor a regexp tokenizer."),
+    "graft_token_hashes" ->
+      "graft_token_hashes(str) - graft_md5long (60-bit) of every whitespace-separated token; any string input.",
+    "graft_minhash_signature" ->
+      ("graft_minhash_signature(hashes, n) - n MinHash permutation minima over an array<bigint>. " +
+        "PRECONDITION: every element must be < 2^32 (e.g. graft_md5int / graft_shingle_hashes " +
+        "output). The permutation product h*a_i only stays inside int64 for 32-bit hashes; " +
+        "60-bit graft_token_hashes values silently overflow and yield garbage signatures."),
+    "graft_simhash_vote" ->
+      "graft_simhash_vote(hashes) - 60-bit SimHash sign vote over array<bigint> (made for graft_token_hashes output).",
+    "graft_winnow_select" ->
+      "graft_winnow_select(hashes, w) - winnowing fingerprints: sorted distinct minima of every w-window over a k-gram hash array.")
 
   /** The injected function surface, exposed so tests can register the exact
     * same builders into a plain function registry. */

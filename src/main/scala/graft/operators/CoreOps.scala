@@ -143,8 +143,8 @@ object CoreOps {
     * shuffle regardless of distinct-value count — the same exact-vs-sketch
     * pairing as dedupProfile/dedupProfileApprox. Rank error is bounded by
     * n/accuracy; estimates are engine-specific, so the registered query is
-    * rows-only checked and the error bound is pinned by a spec against the
-    * exact profile. */
+    * the `quantileProfileChecked` bound form and the error bound is also
+    * pinned by a spec against the exact profile. */
   def quantileProfileApprox(df: DataFrame, group: String, value: String,
                             ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
     val qs = ps.map { p =>
@@ -153,6 +153,47 @@ object CoreOps {
     }
     df.groupBy(col(group))
       .agg(count(lit(1)).as("n"), qs: _*)
+  }
+
+  /** Oracle-checkable form of the sketch profile: the exact interpolated
+    * percentiles (engine-independent) plus ONE boolean attesting that every
+    * sketch estimate honors its guaranteed RANK window. approx_percentile
+    * with `accuracy` returns an actual element of the column whose rank is
+    * within n/accuracy of the target rank p·n — that contract is about ranks,
+    * not values, so the check counts the estimate's rank interval
+    * [count(< est)+1, count(<= est)] and requires it to intersect
+    * p·n ± (n/accuracy + 1) (one rank of cushion for ceil conventions). A
+    * value-interval check would NOT be guaranteed: order-statistic gaps can
+    * be arbitrarily large, so rank is the only provable currency. The
+    * estimate itself never leaves the engine — only the exact percentiles
+    * and the bound verdict do — so a SQL oracle that computes the exact side
+    * hash-matches the whole row. Cost: one extra pass (estimate aggregate,
+    * broadcast back O(groups) rows, rank count) — a verification query, not
+    * the production profile. */
+  def quantileProfileChecked(df: DataFrame, group: String, value: String,
+                             ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val names = ps.map(p => s"p${math.round(p * 100)}")
+    val estAggs = ps.zip(names).map { case (p, nm) =>
+      approx_percentile(col(value), lit(p), lit(accuracy)).as(s"${nm}_est")
+    }
+    val est = df.groupBy(col(group)).agg(estAggs.head, estAggs.tail: _*)
+    val rankAggs = ps.zip(names).flatMap { case (_, nm) =>
+      Seq(sum(when(col(value) < col(s"${nm}_est"), 1L).otherwise(0L)).as(s"${nm}_lt"),
+          sum(when(col(value) <= col(s"${nm}_est"), 1L).otherwise(0L)).as(s"${nm}_le"))
+    }
+    val exactAggs = ps.zip(names).map { case (p, nm) =>
+      (floor(percentile(col(value), lit(p)) * 1e6) / 1e6).as(nm)
+    }
+    val aggs = count(col(value)).as("_nv") +: (rankAggs ++ exactAggs)
+    val joined = df.join(broadcast(est), Seq(group))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val within = ps.zip(names).map { case (p, nm) =>
+      val target = col("_nv") * lit(p)
+      val tol = col("_nv") / lit(accuracy.toDouble) + lit(1.0)
+      (col(s"${nm}_lt") + 1 <= target + tol) && (col(s"${nm}_le") >= target - tol)
+    }.reduce(_ && _).as("within_bound")
+    joined.select(col(group) +: col("n") +: names.map(col) :+ within: _*)
   }
 
   /** Hot-key profile: exact per-key counts, top N by frequency with a
@@ -165,6 +206,34 @@ object CoreOps {
     df.groupBy(col(key)).agg(count(lit(1)).as("n_events"))
       .orderBy(col("n_events").desc, col(key))
       .limit(topN)
+
+  /** Share of all rows held by the hottest key — the number the salt-or-not
+    * decision reads. One partial-agg pass (keyProfile(1)) plus an O(1) total;
+    * 0.0 on empty input. */
+  def topKeyShare(df: DataFrame, key: String): Double = {
+    val prof = df.groupBy(col(key)).agg(count(lit(1)).as("n_events"))
+      .agg(max(col("n_events")).as("top"), sum(col("n_events")).as("total"))
+      .head()
+    if (prof.isNullAt(0) || prof.getLong(1) == 0L) 0.0
+    else prof.getLong(0).toDouble / prof.getLong(1)
+  }
+
+  /** Profile-driven running sum: measures the hottest key's row share and
+    * picks runningSumSalted when it exceeds `saltThreshold`, runningSum
+    * otherwise — SCALE.md's "salt when a profile shows a hot key" decision as
+    * code. Both branches emit identical rows (PropertySpec), so the choice is
+    * purely physical. The default 0.05 threshold is ~the share where one
+    * key's prefix scan occupies a whole task on a 32-partition stage
+    * (1/32 ≈ 0.03) with margin: below it the plain form's single shuffle
+    * wins, above it the hot key serializes a task and the salted form's
+    * extra shuffle+join pays for itself. Costs one profiling pass at plan
+    * time — amortized trivially at 100 TB where the window pass dominates. */
+  def runningSumAuto(df: DataFrame, key: String, ts: String, tiebreak: String,
+                     value: String, out: String,
+                     saltThreshold: Double = 0.05): DataFrame =
+    if (topKeyShare(df, key) > saltThreshold)
+      runningSumSalted(df, key, ts, tiebreak, value, out)
+    else runningSum(df, key, ts, tiebreak, value, out)
 
   /** Global tumbling-window count (chapter2/BasicStreamingOperations.java:84-91).
     * Flink's `timeWindowAll` is key-less; in Spark we just group by the window
@@ -211,16 +280,22 @@ object CoreOps {
     * Within a (key, window) bucket the output is the cartesian product of the
     * matching rows from each side (comment at :142-145) — exactly an inner
     * equi-join on (key, window_bucket). Spark picks SMJ/shuffled-hash/broadcast
-    * physically; both sides shuffle once on (key, window). */
+    * physically; both sides shuffle once on (key, window).
+    *
+    * `leftProj` / `rightProj` name the payload columns each side carries into
+    * the output, as (source column → output alias) pairs — aliases must be
+    * disjoint across the two sides (and distinct from `key` /
+    * "window_start_ms"), exactly like the select list of a SQL join. */
   def windowJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-                 duration: String): DataFrame = {
-    val l = left.select(col(key).as("k"), window(col(ts), duration)("start").as("w"),
-      col("event_id").as("left_id"))
-    val r = right.select(col(key).as("k"), window(col(ts), duration)("start").as("w"),
-      col("event_id").as("right_id"))
-    l.join(r, Seq("k", "w"), "inner")
-      .select(col("k").as(key), ms(col("w")).as("window_start_ms"),
-        col("left_id"), col("right_id"))
+                 duration: String,
+                 leftProj: Seq[(String, String)],
+                 rightProj: Seq[(String, String)]): DataFrame = {
+    def side(df: DataFrame, proj: Seq[(String, String)]) =
+      df.select(col(key).as("k") +: window(col(ts), duration)("start").as("w") +:
+        proj.map { case (c, out) => col(c).as(out) }: _*)
+    side(left, leftProj).join(side(right, rightProj), Seq("k", "w"), "inner")
+      .select(col("k").as(key) +: ms(col("w")).as("window_start_ms") +:
+        (leftProj ++ rightProj).map { case (_, out) => col(out) }: _*)
   }
 
   /** As-of join: attach to each left row the LATEST right row with
@@ -238,24 +313,37 @@ object CoreOps {
     * tie chosen among equal-ts right rows is nondeterministic. Both inputs
     * must share the `key` and `ts` column names; `rightCols` are the payload
     * columns carried from `right` (alias right's own ts into the payload to
-    * know WHICH row matched). */
+    * know WHICH row matched).
+    *
+    * The payload travels as ONE struct column with a single
+    * last(ignoreNulls) carry, so every output field comes from the SAME
+    * matched right row — per-column carries would stitch a NULL payload
+    * field from an older row into a composite that never existed. NULL-ts
+    * rows follow SQL ASOF semantics (`r.ts <= l.ts` is never true when
+    * either side is NULL): NULL-ts right rows match nothing and are
+    * pre-filtered; NULL-ts left rows come through with NULL payloads. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val rStruct = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(right.schema.fieldIndex(c))))
     val lNorm = left.select(
       col(key) +: col(ts) +: lit(1).as("_side") +:
-        (leftCols.map(col) ++
-          rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
-    val rNorm = right.select(
+        (leftCols.map(col) :+ lit(null).cast(rStruct).as("_r")): _*)
+    val rNorm = right.filter(col(ts).isNotNull).select(
       col(key) +: col(ts) +: lit(0).as("_side") +:
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightCols.map(col)): _*)
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rightCols.map(col): _*).as("_r")): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(lNorm.unionByName(rNorm)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_side")
+    lNorm.unionByName(rNorm)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      // NULL-ts left rows sort NULLS FIRST and right NULL-ts rows are gone,
+      // so the carry is already NULL there; this guard states the intent
+      .withColumn("_r", when(col(ts).isNull, lit(null).cast(rStruct)).otherwise(col("_r")))
+      .select(col(key) +: col(ts) +: (leftCols.map(col) ++
+        rightCols.map(c => col("_r").getField(c).as(c))): _*)
   }
 
   // ─── §2.7 / §2.8 split & merge ────────────────────────────────────────────

@@ -62,6 +62,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         approx_count_distinct(col("fp"), rsd).as("n_distinct_approx"))
 
+  /** Oracle-checkable form of the sketch profile: exact n_distinct
+    * (engine-independent) plus a boolean attesting the HLL++ estimate lies
+    * within `tol` relative error of it. The estimate itself never leaves the
+    * engine — only exact values and the verdict do — so a SQL oracle that
+    * computes the exact side hash-matches the whole row. Both aggregates run
+    * in ONE groupBy (sketch and distinct-set merge map-side). `tol` defaults
+    * to 3×rsd (three standard deviations) with an absolute floor of 16,
+    * where HLL++'s sparse/linear-counting regime is effectively exact: rsd
+    * is a standard deviation, not a hard bound, so the margin is what makes
+    * the boolean deterministic-stable on a fixed corpus. */
+  def dedupProfileChecked(docs: DataFrame, text: String, dims: Seq[String],
+                          rsd: Double = 0.05, tol: Double = 0.15): DataFrame =
+    docs.select(dims.map(col) :+ TextOps.fingerprint(col(text)).as("fp"): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("fp")).as("n_distinct"),
+        (abs(approx_count_distinct(col("fp"), rsd) - count_distinct(col("fp")))
+          <= greatest(count_distinct(col("fp")) * tol, lit(16.0)))
+          .as("within_bound"))
+
   /** Word k-shingles of the normalized text: the standard MinHash input unit. */
   def shingles(text: Column, k: Int): Column = {
     val norm = TextOps.normalized(text)
@@ -129,6 +149,27 @@ object Dedup {
       .select(col(id),
         explode(graft.expressions.HashKernelExpressions.winnowSelect(col("hs"), w))
           .as("fp_hash"))
+
+  /** Winnowing near-dup pairs — the MOSS pipeline end-to-end: shared
+    * fingerprint ⇒ candidate pair (equi-join on fp_hash, the bucket-join
+    * candidate generator winnowFingerprints documents), then exact
+    * shingle-set Jaccard verification via jaccardPairs. Same
+    * never-all-pairs shape as minhashPairs, but the guarantee is
+    * substring-structural (any shared word run of length >= w+k-1 produces a
+    * shared fingerprint) instead of probabilistic. A fingerprint shared by
+    * many docs (boilerplate) expands quadratically inside its bucket — at
+    * real scale apply the same too-common cutoff documented in SCALE.md
+    * (drop fp_hash values above a doc-frequency cap) before the self-join. */
+  def winnowPairs(docs: DataFrame, id: String, text: String, k: Int, w: Int,
+                  minJaccard: Double): DataFrame = {
+    val fps = winnowFingerprints(docs, id, text, k, w)
+    val cands = fps.select(col("fp_hash"), col(id).as("doc_a"))
+      .join(fps.select(col("fp_hash"), col(id).as("doc_b")), Seq("fp_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct() // pairs sharing several fingerprints verify once
+    jaccardPairs(docs, id, text, k, cands, minJaccard)
+  }
 
   /** MinHash-LSH near-duplicate pairs: band the signature (`numHashes` =
     * bands * rowsPerBand), bucket docs by (band index, band slice), and emit

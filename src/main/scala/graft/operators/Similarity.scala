@@ -229,9 +229,31 @@ object Similarity {
         aggregate(col("ms"), lit(0.0d),
           (acc, m) => acc + element_at(m.getField("v"), d + 1).cast("double"))
           / size(col("ms")).cast("double"))
+      // eager localCheckpoint truncates the lineage each round: without it
+      // round t's plan re-derives rounds 1..t-1 (and broadcast(cent) is
+      // re-evaluated per use), growing recompute superlinearly with iters.
+      // Values are unchanged — only the plan is cut — so the trained doubles
+      // stay bit-identical to the chained-CTE oracle.
       cent = members.select(col("cell_id"), mean.as("cent_vec"))
+        .localCheckpoint(true)
     }
     cent.select(col("cell_id").as(id), col("cent_vec").as(vec))
+  }
+
+  /** The documented 100 TB training path: train the coarse quantizer on a
+    * DETERMINISTIC sample (md5 of the id — engine-reproducible, unlike
+    * Spark's `sample()` whose RNG is partitioning-dependent), then assign /
+    * search the full corpus with the broadcast join. Keeps roughly 1/`mod`
+    * of the corpus plus the seed rows (ids < nlist stay in so seeding is
+    * unchanged); a recall-grade quantizer needs representative centroids,
+    * not exhaustive ones. Oracle-checkable: the same filter is one WHERE
+    * clause in the k-means CTE chain. */
+  def kmeansCentroidsSampled(emb: DataFrame, id: String, vec: String, dims: Int,
+                             nlist: Int, iters: Int, mod: Int): DataFrame = {
+    val sampled = emb.filter(
+      graft.expressions.Md5Expressions.md5Int(col(id).cast("string")) % mod === 0
+        || col(id) < nlist)
+    kmeansCentroids(sampled, id, vec, dims, nlist, iters)
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

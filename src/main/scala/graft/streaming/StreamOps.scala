@@ -54,8 +54,28 @@ object StreamOps {
     * within a (key, window) bucket the output is the cartesian of matches —
     * identical to the batch twin (CoreOps.windowJoin). */
   def windowJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-                 lateness: String, duration: String): DataFrame =
+                 lateness: String, duration: String,
+                 leftProj: Seq[(String, String)],
+                 rightProj: Seq[(String, String)]): DataFrame =
     CoreOps.windowJoin(
       left.withWatermark(ts, lateness),
-      right.withWatermark(ts, lateness), key, ts, duration)
+      right.withWatermark(ts, lateness), key, ts, duration, leftProj, rightProj)
+
+  /** Streaming as-of join, stream-static form: each micro-batch of `left`
+    * runs the batch CoreOps.asofJoin against the CURRENT `right` relation
+    * and hands the result to `write`. Because as-of is per-left-row (key, ts
+    * vs the static right side), the output is independent of how rows split
+    * into micro-batches — batch/stream parity is exact (StreamingParitySpec),
+    * unlike watermark-dependent operators. `right` re-evaluates every
+    * trigger, so a slowly-changing metadata table (dimension snapshots,
+    * model-version registry) is picked up at trigger granularity; state is
+    * the sink's, not Spark's — no store to grow. For a right side too large
+    * to re-scan per trigger, snapshot it to a broadcast-friendly compact
+    * form upstream — same contract. */
+  def asofJoinEachBatch(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, rightCols: Seq[String])(
+      write: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    left.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      write(CoreOps.asofJoin(batch, right, key, ts, rightCols))
+    }
 }

@@ -27,6 +27,9 @@ object syntax {
     def runningSumSalted(key: String, ts: String, tiebreak: String, value: String,
                          out: String, buckets: Int = 0): DataFrame =
       CoreOps.runningSumSalted(df, key, ts, tiebreak, value, out, buckets)
+    def runningSumAuto(key: String, ts: String, tiebreak: String, value: String,
+                       out: String, saltThreshold: Double = 0.05): DataFrame =
+      CoreOps.runningSumAuto(df, key, ts, tiebreak, value, out, saltThreshold)
     def tumblingCount(ts: String, duration: String): DataFrame =
       CoreOps.tumblingCount(df, ts, duration)
     def slidingSummary(ts: String, size: String, slide: String): DataFrame =
@@ -37,9 +40,10 @@ object syntax {
       CoreOps.keyedWindowCount(df, keys, ts, duration)
 
     // ── §2.6–§2.8 joins, split, merge ─────────────────────────────────────
-    def windowJoin(right: DataFrame, key: String, ts: String,
-                   duration: String): DataFrame =
-      CoreOps.windowJoin(df, right, key, ts, duration)
+    def windowJoin(right: DataFrame, key: String, ts: String, duration: String,
+                   leftProj: Seq[(String, String)],
+                   rightProj: Seq[(String, String)]): DataFrame =
+      CoreOps.windowJoin(df, right, key, ts, duration, leftProj, rightProj)
     def asofJoin(right: DataFrame, key: String, ts: String,
                  rightCols: Seq[String]): DataFrame =
       CoreOps.asofJoin(df, right, key, ts, rightCols)
@@ -63,6 +67,9 @@ object syntax {
       CoreOps.keyProfile(df, key, topN)
     def quantileProfile(group: String, value: String, ps: Seq[Double]): DataFrame =
       CoreOps.quantileProfile(df, group, value, ps)
+    def quantileProfileChecked(group: String, value: String, ps: Seq[Double],
+                               accuracy: Int = 10000): DataFrame =
+      CoreOps.quantileProfileChecked(df, group, value, ps, accuracy)
 
     // ── training-data extensions ──────────────────────────────────────────
     def exactDedup(id: String, text: String): DataFrame =
@@ -72,6 +79,9 @@ object syntax {
     def dedupProfileApprox(text: String, dims: Seq[String],
                            rsd: Double = 0.05): DataFrame =
       Dedup.dedupProfileApprox(df, text, dims, rsd)
+    def dedupProfileChecked(text: String, dims: Seq[String], rsd: Double = 0.05,
+                            tol: Double = 0.15): DataFrame =
+      Dedup.dedupProfileChecked(df, text, dims, rsd, tol)
     def minhashPairs(id: String, text: String, k: Int, bands: Int,
                      rowsPerBand: Int, minJaccard: Double): DataFrame =
       Dedup.minhashPairs(df, id, text, k, bands, rowsPerBand, minJaccard)
@@ -80,6 +90,9 @@ object syntax {
       Dedup.lshJaccardPairs(df, id, text, k, bands, rowsPerBand, minJaccard)
     def winnowFingerprints(id: String, text: String, k: Int, w: Int): DataFrame =
       Dedup.winnowFingerprints(df, id, text, k, w)
+    def winnowPairs(id: String, text: String, k: Int, w: Int,
+                    minJaccard: Double): DataFrame =
+      Dedup.winnowPairs(df, id, text, k, w, minJaccard)
     def tokenStats(id: String, text: String): DataFrame =
       TextOps.tokenStats(df, id, text)
     def qualityScore(id: String, text: String, stopwords: Seq[String]): DataFrame =
@@ -100,6 +113,9 @@ object syntax {
     def kmeansCentroids(id: String, vec: String, dims: Int, nlist: Int,
                         iters: Int): DataFrame =
       Similarity.kmeansCentroids(df, id, vec, dims, nlist, iters)
+    def kmeansCentroidsSampled(id: String, vec: String, dims: Int, nlist: Int,
+                               iters: Int, mod: Int): DataFrame =
+      Similarity.kmeansCentroidsSampled(df, id, vec, dims, nlist, iters, mod)
     def imageMeta(id: String, bin: String): DataFrame =
       Multimodal.imageMeta(df, id, bin)
     def frameSample(id: String, bin: String, frameBytes: Int,

@@ -81,7 +81,8 @@ object StreamDemo {
     def side(op: String) = audit.filter(col("operation") === op)
       .select(col("user"), col("event_time"), col("id").as("event_id"))
     val q4 = StreamOps.windowJoin(side("Create"), side("Delete"),
-        "user", "event_time", "1 second", "10 seconds")
+        "user", "event_time", "1 second", "10 seconds",
+        Seq("event_id" -> "left_id"), Seq("event_id" -> "right_id"))
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
     def audited: Long = q3.recentProgress.flatMap(p =>

@@ -27,7 +27,8 @@ class BucketedJoinSpec extends SparkSpec {
     val joined = graft.operators.CoreOps.windowJoin(
       b.filter(col("event_type") === "click"),
       b.filter(col("event_type") === "purchase"),
-      "user_id", "ts", "1 hour")
+      "user_id", "ts", "1 hour",
+      Seq("event_id" -> "left_id"), Seq("event_id" -> "right_id"))
     // one AQE-final plan; bucketing must supply the (k) clustering. The
     // window-bucket column is derived per row, so Spark still shuffles only
     // if bucketing is ignored — assert the join keyed the scan's buckets.

@@ -55,7 +55,8 @@ class CoreOpsSpec extends SparkSpec {
   test("windowJoin is the cartesian of matches within each (key, window)") {
     val l = ev((1, 1000, 1, "click", 0), (2, 2000, 1, "click", 0), (3, 1000, 2, "click", 0))
     val r = ev((10, 1500, 1, "buy", 0), (11, 2500, 1, "buy", 0), (12, 99999, 2, "buy", 0))
-    val got = CoreOps.windowJoin(l, r, "user_id", "ts", "1 minute")
+    val got = CoreOps.windowJoin(l, r, "user_id", "ts", "1 minute",
+      Seq("event_id" -> "left_id"), Seq("event_id" -> "right_id"))
     // user 1: 2 left x 2 right in the same 1-min bucket = 4 rows; user 2: right is in another bucket
     assert(got.count() == 4)
     assert(got.filter(col("user_id") === 2).count() == 0)
@@ -138,6 +139,66 @@ class CoreOpsSpec extends SparkSpec {
       (11L, Some(150L), Some(88L)), // latest of {90, 150}
       (13L, Some(90L), Some(77L)),  // equal-ts match (right sorts first)
       (12L, None, None)))           // key 2 has no right rows: left-join NULLs
+  }
+
+  test("asofJoin carries the whole matched row: a NULL payload field stays NULL") {
+    val left = Seq((1L, 200L, 10L)).toDF("k", "ms", "lid")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val right = Seq((1L, 100L, Some(7L)), (1L, 150L, None))
+      .toDF("k", "r_ms", "aux").withColumn("ts", timestamp_millis(col("r_ms")))
+    // the matched row is ts=150 whose aux IS NULL — a per-column carry would
+    // back-fill 7 from ts=100 and emit a composite row that never existed
+    val got = CoreOps.asofJoin(left, right, "k", "ts", Seq("r_ms", "aux"))
+      .select("lid", "r_ms", "aux").as[(Long, Option[Long], Option[Long])].head()
+    assert(got == ((10L, Some(150L), None)))
+  }
+
+  test("asofJoin treats NULL timestamps as non-matching (ASOF predicate is never true)") {
+    val left = Seq((1L, Option.empty[Long], 10L), (1L, Some(500L), 11L))
+      .toDF("k", "ms", "lid").withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val right = Seq((1L, Option.empty[Long], 70L), (1L, Some(100L), 71L))
+      .toDF("k", "r_ms", "rid").withColumn("ts", timestamp_millis(col("r_ms")))
+    val got = CoreOps.asofJoin(left, right, "k", "ts", Seq("r_ms", "rid"))
+      .select("lid", "r_ms", "rid")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (l, a, b) => l -> ((a, b)) }.toMap
+    assert(got(10L) == ((None, None)))            // NULL-ts left row: no match
+    assert(got(11L) == ((Some(100L), Some(71L)))) // NULL-ts right row is invisible
+  }
+
+  test("quantileProfileChecked: verdict uniformly true, exact side identical to quantileProfile") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val ps = Seq(0.5, 0.95, 0.99)
+    val checked = CoreOps.quantileProfileChecked(events, "event_type", "value", ps)
+    assert(checked.filter(!col("within_bound")).count() == 0)
+    val exact = CoreOps.quantileProfile(events, "event_type", "value", ps)
+    assert(checked.drop("within_bound").exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(checked.drop("within_bound")).count() == 0)
+  }
+
+  test("runningSumAuto salts only when the hot-key share exceeds the threshold") {
+    def frame(rows: Seq[(Long, Long, Long, Double)]) =
+      rows.toDF("event_id", "ms", "user_id", "value")
+        .withColumn("ts", timestamp_millis(col("ms")))
+    val skewed = frame((1 to 50).map(i => (i.toLong, i * 1000L, 1L, 1.0)) ++
+      (51 to 60).map(i => (i.toLong, i * 1000L, i.toLong, 1.0)))
+    val uniform = frame((1 to 60).map(i => (i.toLong, i * 1000L, i.toLong, 1.0)))
+    assert(CoreOps.topKeyShare(skewed, "user_id") > 0.8)
+    assert(CoreOps.topKeyShare(uniform, "user_id") < 0.05)
+    val autoSkew = CoreOps.runningSumAuto(skewed, "user_id", "ts", "event_id", "value", "run")
+    val autoUni = CoreOps.runningSumAuto(uniform, "user_id", "ts", "event_id", "value", "run")
+    // the salted plan is recognizable by its per-bucket offsets join
+    assert(autoSkew.queryExecution.optimizedPlan.toString.contains("Join"),
+      "skewed input should pick the salted form")
+    assert(!autoUni.queryExecution.optimizedPlan.toString.contains("Join"),
+      "uniform input should pick the plain form")
+    // the choice is purely physical: rows match the plain form either way
+    def res(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_id", "run").as[(Long, Double)].collect().toMap
+    assert(res(autoSkew) ==
+      res(CoreOps.runningSum(skewed, "user_id", "ts", "event_id", "value", "run")))
+    assert(res(autoUni) ==
+      res(CoreOps.runningSum(uniform, "user_id", "ts", "event_id", "value", "run")))
   }
 
   test("keyProfile returns exact top-N hot keys with deterministic tiebreak") {

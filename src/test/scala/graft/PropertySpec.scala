@@ -54,7 +54,8 @@ class PropertySpec extends SparkSpec {
       val lCnt = lRows.groupBy(e => (e._3, bucket(e._2))).view.mapValues(_.size)
       val rCnt = rRows.groupBy(e => (e._3, bucket(e._2))).view.mapValues(_.size)
       val expected = lCnt.map { case (k, n) => n.toLong * rCnt.getOrElse(k, 0) }.sum
-      CoreOps.windowJoin(df(lRows), df(rRows), "user_id", "ts", "10 seconds")
+      CoreOps.windowJoin(df(lRows), df(rRows), "user_id", "ts", "10 seconds",
+        Seq("event_id" -> "left_id"), Seq("event_id" -> "right_id"))
         .count() == expected
     })
   }
@@ -79,28 +80,45 @@ class PropertySpec extends SparkSpec {
     })
   }
 
-  test("property: asofJoin equals the brute-force latest-at-or-before match") {
+  test("property: asofJoin equals the brute-force latest-at-or-before match " +
+      "(NULL ts and NULL payload fields included)") {
     // keys 0..2, coarse timestamps so equal-ts collisions actually occur;
-    // right side made unique per (key, ts) as the operator requires
-    val sideGen: Gen[List[(Long, Long, Long)]] = for {
+    // ~1/10 of rows on each side carry a NULL ts (ASOF: never matches);
+    // right side made unique per (key, ts) as the operator requires, and its
+    // `aux` payload field is NULL on every third row — the per-column-carry
+    // bug class stitches an older aux into the matched row
+    val sideGen: Gen[List[(Long, Option[Long], Long)]] = for {
       n <- Gen.choose(0, 40)
       rows <- Gen.listOfN(n, for {
-        k <- Gen.choose(0L, 2L); ms <- Gen.choose(0L, 20L)
-      } yield (k, ms * 1000))
+        k <- Gen.choose(0L, 2L)
+        ms <- Gen.frequency(
+          9 -> Gen.choose(0L, 20L).map(m => Option(m * 1000)),
+          1 -> Gen.const(Option.empty[Long]))
+      } yield (k, ms))
     } yield rows.zipWithIndex.map { case ((k, ms), i) => (k, ms, i.toLong) }
     check(Prop.forAll(sideGen, sideGen) { (lRows, rRowsRaw) =>
       val rRows = rRowsRaw.groupBy(r => (r._1, r._2)).map { case ((k, ms), g) =>
-        (k, ms, g.map(_._3).max) }.toList // unique (key, ts), deterministic tie
+        val rid = g.map(_._3).max // unique (key, ts), deterministic tie
+        (k, ms, rid, if (rid % 3 == 0) Option.empty[Long] else Some(rid * 10))
+      }.toList
       val left = lRows.toDF("k", "ms", "lid")
         .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
-      val right = rRows.toDF("k", "r_ms", "rid")
+      val right = rRows.toDF("k", "r_ms", "rid", "aux")
         .withColumn("ts", timestamp_millis(col("r_ms")))
-      val got = CoreOps.asofJoin(left, right, "k", "ts", Seq("r_ms", "rid"))
-        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      val got = CoreOps.asofJoin(left, right, "k", "ts", Seq("r_ms", "rid", "aux"))
+        .select("lid", "r_ms", "rid", "aux")
+        .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+        .map { case (l, m, r, a) => l -> ((m, r, a)) }.toMap
       val expected = lRows.map { case (k, ms, lid) =>
-        val cand = rRows.filter(r => r._1 == k && r._2 <= ms)
-        lid -> (if (cand.isEmpty) None
-                else Some(cand.maxBy(r => (r._2, r._3))._3))
+        val cand = ms match {
+          case None => Nil // NULL-ts left row matches nothing
+          case Some(m) => rRows.filter(r => r._1 == k && r._2.exists(_ <= m))
+        }
+        lid -> (if (cand.isEmpty) (None, None, None)
+                else {
+                  val m = cand.maxBy(r => (r._2.get, r._3))
+                  (m._2, Some(m._3), m._4)
+                })
       }.toMap
       got == expected
     })

@@ -82,7 +82,8 @@ class RateParitySpec extends SparkSpec {
       df.filter(col("operation") === op)
         .select(col("user"), col("event_time"), col("id").as("event_id"))
     val joined = StreamOps.windowJoin(side(stream, "Create"), side(stream, "Delete"),
-      "user", "event_time", "1 second", "10 seconds")
+      "user", "event_time", "1 second", "10 seconds",
+      Seq("event_id" -> "left_id"), Seq("event_id" -> "right_id"))
     val q = joined.writeStream.outputMode("append").format("memory")
       .queryName("rate_join").start()
     try {
@@ -94,7 +95,8 @@ class RateParitySpec extends SparkSpec {
       val batchAudit = Generators.auditBatch(spark, 300)
         .withColumn("event_time", timestamp_millis(col("timestamp")))
       val batch = CoreOps.windowJoin(side(batchAudit, "Create"), side(batchAudit, "Delete"),
-          "user", "event_time", "10 seconds")
+          "user", "event_time", "10 seconds",
+          Seq("event_id" -> "left_id"), Seq("event_id" -> "right_id"))
         .as[(String, Long, Int, Int)].collect().toSet
       assert(streamed == batch,
         s"streamed-only=${streamed -- batch}, batch-only=${batch -- streamed}")

@@ -72,6 +72,41 @@ class SimilaritySpec extends SparkSpec {
     assert(trainedRecall > 0.3, s"trained recall $trainedRecall unexpectedly low")
   }
 
+  test("kmeansCentroids at iters=8: lineage is cut per round, result stays deterministic") {
+    val rows = (0 until 24).map { i =>
+      (i.toLong, (0 until 4).map(d => (((i * 7 + d) * 2654435761L % 1000) / 1000.0).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, 2, 8)
+    // localCheckpoint truncates each round: the FINAL plan must not re-derive
+    // earlier rounds (no Aggregate/Join subtrees left — just the checkpointed
+    // RDD and a rename projection)
+    val plan = trained.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate") && !plan.contains("Join"),
+      s"iteration lineage not truncated:\n$plan")
+    val again = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, 2, 8)
+    assert(trained.orderBy("vec_id").collect().toSeq ==
+      again.orderBy("vec_id").collect().toSeq)
+  }
+
+  test("kmeansCentroidsSampled trains on the md5 sample but keeps all seed cells") {
+    val rows = (0 until 24).map { i =>
+      (i.toLong, (0 until 4).map(d => (((i * 7 + d) * 2654435761L % 1000) / 1000.0).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCentroidsSampled(emb, "vec_id", "embedding", 4, 2, 2, 4)
+    assert(trained.count() == 2) // every seed cell survives (seeds are in the sample)
+    // deterministic: same sample, same centroids, run to run
+    val again = Similarity.kmeansCentroidsSampled(emb, "vec_id", "embedding", 4, 2, 2, 4)
+    assert(trained.orderBy("vec_id").collect().toSeq ==
+      again.orderBy("vec_id").collect().toSeq)
+    // and it genuinely subsets the corpus: training on everything with the
+    // same seeds gives different centroids on this spread-out fixture
+    val full = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, 2, 2)
+    assert(trained.orderBy("vec_id").collect().toSeq !=
+      full.orderBy("vec_id").collect().toSeq)
+  }
+
   test("lshTopK finds bucket-mates; results are a subset of brute-force pairs") {
     val df = vecs.toDF("vec_id", "embedding")
     val lsh = Similarity.lshTopK(df, df, "vec_id", "embedding", 4, 2, 2)

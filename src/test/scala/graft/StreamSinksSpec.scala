@@ -34,7 +34,8 @@ class StreamSinksSpec extends SparkSpec {
     def named(ms: MemoryStream[(Long, Timestamp, Long)]) =
       ms.toDF().toDF("event_id", "ts", "user_id")
     val joined = StreamOps.windowJoin(named(left), named(right),
-      "user_id", "ts", "10 seconds", "1 minute")
+      "user_id", "ts", "10 seconds", "1 minute",
+      Seq("event_id" -> "left_id"), Seq("event_id" -> "right_id"))
     val q = joined.writeStream.outputMode("append").format("memory")
       .queryName("ss_join").start()
     try {

@@ -62,6 +62,38 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofJoinEachBatch(stream-static) == asofJoin(batch) regardless of batch split") {
+    // left events arrive in two micro-batches; right is a static metadata
+    // table. As-of is per-left-row vs the static right, so the union of the
+    // per-batch outputs must equal the one-shot batch join bit-for-bit.
+    val right = Seq((1L, 1000L, 100L), (1L, 5000L, 101L), (2L, 2000L, 102L))
+      .toDF("k", "r_ms", "rid").withColumn("ts", timestamp_millis(col("r_ms")))
+    val batch1 = Seq((1L, 1500L, 10L), (2L, 500L, 11L))
+    val batch2 = Seq((1L, 6000L, 12L), (2L, 2000L, 13L))
+    val input = MemoryStream[(Long, Long, Long)]
+    val stream = input.toDF().toDF("k", "ms", "lid")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Option[Long])]
+    val q = StreamOps.asofJoinEachBatch(stream, right, "k", "ts", Seq("r_ms", "rid")) {
+      out => sink.synchronized {
+        sink ++= out.select("lid", "r_ms", "rid")
+          .as[(Long, Option[Long], Option[Long])].collect()
+      }
+    }.start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val batchAll = (batch1 ++ batch2).toDF("k", "ms", "lid")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      val expected = graft.operators.CoreOps
+        .asofJoin(batchAll, right, "k", "ts", Seq("r_ms", "rid"))
+        .select("lid", "r_ms", "rid")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(sink.toSet == expected)
+      assert(sink.size == 4) // no duplicate emissions across triggers
+    } finally q.stop()
+  }
+
   test("state TTL expires idle keys and leaves live keys' emission unchanged") {
     // With ProcessingTimeTimeout the engine keeps constructing wall-clock
     // batches, so processAllAvailable never latches "no new data" — the test

@@ -113,4 +113,34 @@ class TextAndDedupSpec extends SparkSpec {
         s"group $k: approx $est vs exact $exactDistinct")
     }
   }
+
+  test("dedupProfileChecked: verdict uniformly true, exact side identical to dedupProfile") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val checked = Dedup.dedupProfileChecked(docs, "text", Seq("source", "lang"))
+    assert(checked.filter(!col("within_bound")).count() == 0)
+    val exact = Dedup.dedupProfile(docs, "text", Seq("source", "lang"))
+    assert(checked.drop("within_bound").exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(checked.drop("within_bound")).count() == 0)
+  }
+
+  test("winnowPairs finds shared-substring near-dups and verifies with exact Jaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "completely different words about entirely other topics and things"),
+      (4L, "short one")).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(docs, "doc_id", "text", 3, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    // docs 1/2 share an 11-word run (>= w+k-1 = 6 words ⇒ guaranteed shared
+    // fingerprint) and their shingle-set Jaccard is well above 0.5; no other
+    // pair passes verification
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(got.head._3 > 0.5)
+    // verification threshold really is exact Jaccard: pairs at minJaccard=0
+    // still include (1,2) with the same score
+    val loose = Dedup.winnowPairs(docs, "doc_id", "text", 3, 4, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(loose((1L, 2L)) == got.head._3)
+  }
 }
