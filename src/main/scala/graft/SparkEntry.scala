@@ -219,6 +219,15 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, dir) =>
       Dedup.lshJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         MhK, MhBands, MhRows, 0.5)),
+    // canonical-representative assignment over the verified near-dup pair
+    // graph: connected components via min-label propagation (transitive
+    // closure of the pairwise relation — the retention decision must be
+    // transitive even though near-dup similarity is not)
+    "q_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.lshJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          MhK, MhBands, MhRows, 0.5),
+        "doc_a", "doc_b")),
     "q_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb, "vec_id", "embedding", EmbDims, LshPlanes, 3)
@@ -850,6 +859,21 @@ object SparkEntry {
         |  (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
         |   + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))::BIGINT AS n_piece_chars
         |FROM documents""".stripMargin,
+
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $sqlMinhashCtes,
+         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh),
+         |verified AS (SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
+         |eg AS (SELECT doc_a AS s, doc_b AS d FROM verified
+         |       UNION SELECT doc_b, doc_a FROM verified),
+         |reach(node, lbl) AS (
+         |  SELECT s, s FROM eg
+         |  UNION
+         |  SELECT e.s, r.lbl FROM eg e JOIN reach r ON e.d = r.node)
+         |SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""WITH $sqlMinhashCtes,

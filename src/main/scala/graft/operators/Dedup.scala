@@ -162,9 +162,16 @@ object Dedup {
     * (drop fp_hash values above a doc-frequency cap) before the self-join. */
   def winnowPairs(docs: DataFrame, id: String, text: String, k: Int, w: Int,
                   minJaccard: Double): DataFrame = {
-    val fps = winnowFingerprints(docs, id, text, k, w)
-    val cands = fps.select(col("fp_hash"), col(id).as("doc_a"))
-      .join(fps.select(col("fp_hash"), col(id).as("doc_b")), Seq("fp_hash"))
+    // candidate pairs expand IN PLACE inside each fingerprint's collected
+    // bucket (the minhashPairs pattern): one fingerprint pass and ONE
+    // shuffle, where a fps-to-fps self-join would recompute the whole
+    // shingle+winnow map for each side and shuffle both
+    val cands = winnowFingerprints(docs, id, text, k, w)
+      .groupBy(col("fp_hash"))
+      .agg(collect_list(col(id)).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct() // pairs sharing several fingerprints verify once
@@ -221,6 +228,57 @@ object Dedup {
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Connected components over an undirected near-dup pair graph: every doc
+    * that appears in a pair is assigned cluster_id = the smallest doc id in
+    * its component — the canonical-representative assignment a dedup
+    * pipeline needs AFTER candidate pairs are verified (keep cluster_id,
+    * drop the rest). Transitivity matters: near-dup is not transitive, but
+    * retention decisions must be, or A~B, B~C keeps both A,C.
+    *
+    * Min-label propagation: labels start as the node id; each round every
+    * node takes the min of its own and its neighbors' labels. Labels only
+    * decrease, so sum(labels) strictly decreases until the fixpoint — the
+    * convergence test is one O(1) aggregate per round (the loop's only
+    * driver traffic). Rounds needed = component diameter; near-dup clusters
+    * are shallow (dozens of docs, not chains of millions), and `maxIters`
+    * caps the worst case. Each round is join + partial-agg'd min + join on
+    * uniform id keys — O(|edges|) through 2 shuffles — and
+    * localCheckpoint(eager) cuts the lineage like the k-means trainer. At
+    * extreme scale swap in the large-star/small-star contraction (O(log n)
+    * rounds) — same per-round plan shape, different edge rewiring. */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                  maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every round: never recompute the pair source
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint(true)
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prev = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbMin = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("cluster_id", "nb_label"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nb_label")).as("nb_min"))
+      labels = labels.join(nbMin, Seq("node"))
+        .select(col("node"), least(col("cluster_id"), col("nb_min")).as("cluster_id"))
+        .localCheckpoint(true)
+      val cur = labelSum(labels)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      it += 1
+    }
+    labels.select(col("node").as("doc_id"), col("cluster_id"))
   }
 
   /** md5Long of every whitespace token — native single-pass kernel

@@ -93,6 +93,8 @@ object syntax {
     def winnowPairs(id: String, text: String, k: Int, w: Int,
                     minJaccard: Double): DataFrame =
       Dedup.winnowPairs(df, id, text, k, w, minJaccard)
+    def dupClusters(aCol: String, bCol: String, maxIters: Int = 30): DataFrame =
+      Dedup.dupClusters(df, aCol, bCol, maxIters)
     def tokenStats(id: String, text: String): DataFrame =
       TextOps.tokenStats(df, id, text)
     def qualityScore(id: String, text: String, stopwords: Seq[String]): DataFrame =

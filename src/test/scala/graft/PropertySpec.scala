@@ -124,6 +124,34 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: dupClusters equals union-find components with min labels") {
+    val pairsGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 30)
+      ps <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b
+      } yield (a, b))
+    } yield ps
+    check(Prop.forAll(pairsGen) { pairs =>
+      val got = graft.operators.Dedup
+        .dupClusters(pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      // brute-force union-find over the same edges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+      // union-find roots ARE the component minima because unions keep the
+      // smaller root
+      got == expected
+    })
+  }
+
   test("property: split partitions are disjoint and exhaustive") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = rows.toDF("event_id", "ms")

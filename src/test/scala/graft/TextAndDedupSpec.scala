@@ -123,6 +123,17 @@ class TextAndDedupSpec extends SparkSpec {
     assert(exact.exceptAll(checked.drop("within_bound")).count() == 0)
   }
 
+  test("dupClusters assigns the min doc id transitively across chained pairs") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L), (5L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    // 1-2 and 2-3 chain into one component labeled 1 even though (1,3) was
+    // never a pair — the transitivity the retention decision requires
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("winnowPairs finds shared-substring near-dups and verifies with exact Jaccard") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
