@@ -320,6 +320,24 @@ object SparkEntry {
         "vec_id", "embedding", 3, IvfNprobe)
     }),
 
+    // ── extensions: sampling + curation composition ───────────────────────
+    // deterministic hash sample: keep iff md5(id||salt) < rate·2^32 — the
+    // reproducible, partitioning-independent form Spark's sample() is not
+    "q_doc_sample" -> ((s, dir) =>
+      Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.25, "s1")
+        .select(col("doc_id"), col("source"), col("lang"))),
+    // data-mixture rebalancing: downsample the dominant language to 10%,
+    // keep 60% of the rest — per-stratum rates, same deterministic decision
+    "q_doc_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 0.1), 0.6, "mix")
+        .select(col("doc_id"), col("lang"))),
+    // the tiers composed: quality gate + language gate + exact-dedup
+    // canonical keep in one Catalyst plan — the retention manifest
+    "q_curate" -> ((s, dir) =>
+      Curation.curate(Tables.documents(s, dir), "doc_id", "text",
+        stopEn, langProfiles, "en", 20, 80, 0.02)),
+
     // ── extensions: multimodal binary columns ─────────────────────────────
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.imageMeta(
@@ -830,6 +848,44 @@ object SparkEntry {
          |FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
          |WHERE $jacc >= 0.5""".stripMargin
     },
+
+    "q_doc_sample" ->
+      s"""SELECT doc_id, source, lang FROM documents
+         |WHERE ${sqlMd5Int("(doc_id::VARCHAR || 's1')")} < ${Sampling.threshold(0.25)}""".stripMargin,
+
+    "q_doc_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlMd5Int("(doc_id::VARCHAR || 'mix')")} <
+         |  CASE WHEN lang = 'en' THEN ${Sampling.threshold(0.1)}
+         |       ELSE ${Sampling.threshold(0.6)} END""".stripMargin,
+
+    "q_curate" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toksv FROM documents),
+         |cq AS (SELECT doc_id, len(toksv) AS n_tokens,
+         |        CASE WHEN len(toksv) > 0
+         |             THEN floor(len(list_filter(toksv, x -> x IN ${inList(stopEn)}))::DOUBLE
+         |                        / len(toksv) * 1000000) / 1000000
+         |             ELSE 0.0 END AS stopword_ratio FROM t),
+         |lt AS (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+         |      FROM documents),
+         |h AS (SELECT doc_id,
+         |        len(list_filter(toks, x -> x IN ${inList(stopEn)})) AS h_en,
+         |        len(list_filter(toks, x -> x IN ${inList(stopDe)})) AS h_de,
+         |        len(list_filter(toks, x -> x IN ${inList(stopFr)})) AS h_fr,
+         |        len(list_filter(toks, x -> x IN ${inList(stopEs)})) AS h_es,
+         |        len(list_filter(toks, x -> x IN ${inList(stopZh)})) AS h_zh
+         |      FROM lt),
+         |cl AS (SELECT doc_id,
+         |  CASE WHEN h_zh = m THEN 'zh' WHEN h_fr = m THEN 'fr' WHEN h_es = m THEN 'es'
+         |       WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_pred
+         |  FROM (SELECT *, GREATEST(h_en, h_de, h_fr, h_es, h_zh) AS m FROM h)),
+         |canon AS (SELECT MIN(doc_id) AS doc_id
+         |          FROM (SELECT doc_id, md5($normSql) AS fp FROM documents) GROUP BY fp)
+         |SELECT c.doc_id, cq.n_tokens
+         |FROM canon c JOIN cq ON c.doc_id = cq.doc_id JOIN cl ON c.doc_id = cl.doc_id
+         |WHERE cl.lang_pred = 'en' AND cq.n_tokens BETWEEN 20 AND 80
+         |  AND cq.stopword_ratio >= 0.02""".stripMargin,
 
     "q_key_profile" ->
       """SELECT user_id, COUNT(*) AS n_events FROM events

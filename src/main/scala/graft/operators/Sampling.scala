@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines (beyond the
+  * reference surface).
+  *
+  * Spark's own `sample()` draws from a partition-seeded RNG, so the kept set
+  * changes with partitioning, task retries, and engine — unusable when a
+  * sample must be reproducible, auditable, or consistent across reruns of a
+  * 100 TB curation job. These operators key the decision on md5 of the row's
+  * id instead: keep iff hash(id || salt) < rate · 2^32. The same row is kept
+  * by every engine, every partitioning, every rerun — and changing `salt`
+  * draws an independent sample. Pure codegen'd filter, no shuffle, pushes
+  * nothing but the id column ahead of the scan's other columns.
+  */
+object Sampling {
+
+  /** The 32-bit keep-decision hash for `id` under `salt`. */
+  private def keyHash(id: Column, salt: String): Column =
+    graft.expressions.Md5Expressions.md5Int(concat(id.cast("string"), lit(salt)))
+
+  /** Threshold for a keep-rate in [0, 1] over the 2^32 hash space — public
+    * so oracle SQL generators embed the identical integer. */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    (rate * 4294967296.0).toLong
+  }
+
+  /** Keep ~`rate` of rows, decided by md5(id || salt): deterministic,
+    * engine-reproducible, independent across salts. */
+  def hashSample(df: DataFrame, id: String, rate: Double,
+                 salt: String = ""): DataFrame =
+    df.filter(keyHash(col(id), salt) < threshold(rate))
+
+  /** Per-stratum keep rates — the data-mixture rebalancing step of a corpus
+    * pipeline (e.g. downsample the dominant language, keep the rest whole).
+    * `rates` maps stratum values to keep-rates; unlisted strata keep
+    * `defaultRate`. The decision stays a function of (id, salt) alone, so
+    * changing the mixture does not reshuffle which rows of an unchanged
+    * stratum survive — reruns touch only the strata whose rate moved. */
+  def stratifiedSample(df: DataFrame, stratum: String, id: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = ""): DataFrame = {
+    val cutoff = rates.foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (value, rate)) =>
+        when(col(stratum) === value, lit(threshold(rate))).otherwise(acc)
+    }
+    df.filter(keyHash(col(id), salt) < cutoff)
+  }
+}

@@ -95,6 +95,16 @@ object syntax {
       Dedup.winnowPairs(df, id, text, k, w, minJaccard)
     def dupClusters(aCol: String, bCol: String, maxIters: Int = 30): DataFrame =
       Dedup.dupClusters(df, aCol, bCol, maxIters)
+    def hashSample(id: String, rate: Double, salt: String = ""): DataFrame =
+      Sampling.hashSample(df, id, rate, salt)
+    def stratifiedSample(stratum: String, id: String, rates: Map[String, Double],
+                         defaultRate: Double, salt: String = ""): DataFrame =
+      Sampling.stratifiedSample(df, stratum, id, rates, defaultRate, salt)
+    def curate(id: String, text: String, stopwords: Seq[String],
+               profiles: Map[String, Seq[String]], lang: String,
+               minTokens: Long, maxTokens: Long, minStopRatio: Double): DataFrame =
+      Curation.curate(df, id, text, stopwords, profiles, lang,
+        minTokens, maxTokens, minStopRatio)
     def tokenStats(id: String, text: String): DataFrame =
       TextOps.tokenStats(df, id, text)
     def qualityScore(id: String, text: String, stopwords: Seq[String]): DataFrame =

@@ -152,6 +152,22 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: quantileProfileChecked's bound verdict holds on adversarial value sets") {
+    // heavy duplicates, huge order-statistic gaps, tiny groups — the shapes
+    // that break value-interval bounds; the rank-window check must stay true
+    val valuesGen: Gen[List[Double]] = for {
+      n <- Gen.choose(1, 80)
+      vs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(0.0, 1.0), Gen.const(42.0), Gen.const(1e12),
+        Gen.const(-1e9), Gen.choose(1e6, 2e6)))
+    } yield vs
+    check(Prop.forAll(valuesGen) { vs =>
+      val df = vs.map(("g", _)).toDF("g", "value")
+      CoreOps.quantileProfileChecked(df, "g", "value", Seq(0.5, 0.95, 0.99))
+        .filter(!col("within_bound")).count() == 0
+    })
+  }
+
   test("property: split partitions are disjoint and exhaustive") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = rows.toDF("event_id", "ms")

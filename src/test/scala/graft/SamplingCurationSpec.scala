@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Curation, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + the curation composition. */
+class SamplingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("hashSample is deterministic, partitioning-independent, ~rate-accurate") {
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").as[Long].collect().toSet
+    val a = ids(Sampling.hashSample(docs, "doc_id", 0.5, "t"))
+    val b = ids(Sampling.hashSample(docs.repartition(7), "doc_id", 0.5, "t"))
+    assert(a == b) // the keep decision is a function of (id, salt) alone
+    val n = docs.count()
+    assert(a.size > n / 4 && a.size < 3 * n / 4, s"${a.size} of $n at rate 0.5")
+    // independent draw under another salt
+    assert(a != ids(Sampling.hashSample(docs, "doc_id", 0.5, "u")))
+    // nested: a lower rate under the same salt is a subset (same hash, lower
+    // threshold) — growing a sample never un-keeps rows
+    val quarter = ids(Sampling.hashSample(docs, "doc_id", 0.25, "t"))
+    assert(quarter.subsetOf(a))
+  }
+
+  test("stratifiedSample applies per-stratum rates with stable decisions") {
+    val en = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.0), 1.0, "m")
+    assert(en.filter(col("lang") === "en").count() == 0) // rate 0 drops the stratum
+    assert(en.count() == docs.filter(col("lang") =!= "en").count()) // rate 1 keeps the rest
+    // raising one stratum's rate only ADDS rows of that stratum — decisions
+    // for unchanged strata never churn
+    def ids(r: Double) = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> r), 0.5, "m").select("doc_id").as[Long].collect().toSet
+    assert(ids(0.2).subsetOf(ids(0.8)))
+  }
+
+  test("curate composes dedup-canonical, language and quality gates") {
+    val fixture = Seq(
+      (1L, "the cat and the dog sat in the house for a while and it was good"),
+      (2L, "the cat and the dog sat in the house for a while and it was good"), // dup of 1
+      (3L, "der hund und die katze sind nicht mit dem mann in das haus und den garten gegangen heute"), // de
+      (4L, "too short"),
+      (5L, "a plain enough sentence that has the right number of words and is mostly it for the test")
+    ).toDF("doc_id", "text")
+    val kept = Curation.curate(fixture, "doc_id", "text",
+        Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+        Map("en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+            "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")),
+        "en", 5, 50, 0.05)
+      .as[(Long, Long)].collect().toMap
+    // doc 2 lost to doc 1 (canonical keep), doc 3 is German, doc 4 too short
+    assert(kept.keySet == Set(1L, 5L))
+    assert(kept(1L) == 16L)
+  }
+}
