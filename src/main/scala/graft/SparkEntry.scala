@@ -337,6 +337,13 @@ object SparkEntry {
     "q_curate" -> ((s, dir) =>
       Curation.curate(Tables.documents(s, dir), "doc_id", "text",
         stopEn, langProfiles, "en", 20, 80, 0.02)),
+    // fill a token budget with the best-scoring docs: global cumulative sum
+    // in priority order WITHOUT a single-task window (distributed prefix sum)
+    "q_token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(
+        TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)
+          .select(col("doc_id"), col("n_tokens"), col("stopword_ratio")),
+        "doc_id", "n_tokens", "stopword_ratio", 10000L)),
 
     // ── extensions: multimodal binary columns ─────────────────────────────
     "q_multimodal_meta" -> ((s, dir) =>
@@ -848,6 +855,18 @@ object SparkEntry {
          |FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
          |WHERE $jacc >= 0.5""".stripMargin
     },
+
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toksv FROM documents),
+         |c AS (SELECT doc_id, len(toksv) AS n_tokens,
+         |        CASE WHEN len(toksv) > 0
+         |             THEN floor(len(list_filter(toksv, x -> x IN ${inList(stopEn)}))::DOUBLE
+         |                        / len(toksv) * 1000000) / 1000000
+         |             ELSE 0.0 END AS sr FROM t),
+         |o AS (SELECT doc_id, n_tokens,
+         |        SUM(n_tokens) OVER (ORDER BY -floor(sr * 1000000), doc_id
+         |          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM c)
+         |SELECT doc_id, n_tokens, cum_tokens FROM o WHERE cum_tokens <= 10000""".stripMargin,
 
     "q_doc_sample" ->
       s"""SELECT doc_id, source, lang FROM documents

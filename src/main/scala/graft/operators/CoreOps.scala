@@ -218,6 +218,51 @@ object CoreOps {
     else prof.getLong(0).toDouble / prof.getLong(1)
   }
 
+  /** Globally-ordered prefix sum WITHOUT the single-task window: a plain
+    * `Window.orderBy` with no partition moves every row to one task (the
+    * classic scale-killer). Instead: deterministic range buckets over the
+    * long ordering key (O(1) bounds aggregate), per-bucket local prefix sums
+    * in parallel, and an exclusive running total over the tiny per-bucket
+    * sums joined back — the single-key form of runningSumSalted, and the
+    * same shape as StatefulTwins.withLateFlag. `value` sums as int64 (exact
+    * for counts; use the decimal forms for money). Ties in `ord` stay in one
+    * bucket and break by `tiebreak`. */
+  def orderedPrefixSum(df: DataFrame, ord: Column, tiebreak: String,
+                       value: String, out: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val d = df.withColumn("_ord", ord)
+    val bucket = timeRangeBucket(d, col("_ord"), n).getOrElse(lit(0))
+    val b = d.withColumn("_b", bucket)
+    // exclusive prefix totals across buckets: O(buckets) rows to the driver
+    // (the withLateFlag pattern — an unpartitioned window, even over a tiny
+    // frame, is the plan shape we ban), broadcast back
+    val bucketSums = b.groupBy(col("_b")).agg(sum(col(value)).as("_t"))
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    // NULL-prefix discipline (the runningSumSalted lesson): an all-NULL
+    // bucket passes the earlier total through, and rows before the first
+    // non-NULL value anywhere stay NULL rather than becoming 0
+    var running = 0L
+    var any = false
+    val prefix = bucketSums.map { case (bk, t) =>
+      val before = if (any) Some(running) else None
+      t.foreach { v => running += v; any = true }
+      (bk, before)
+    }.toSeq
+    val prefixDf = prefix.toDF("_b", "_off")
+    val wLocal = Window.partitionBy(col("_b")).orderBy(col("_ord"), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("_local", sum(col(value)).over(wLocal))
+      .join(broadcast(prefixDf), Seq("_b"), "left")
+      .withColumn(out,
+        when(col("_local").isNull, col("_off"))
+          .otherwise(coalesce(col("_off"), lit(0L)) + col("_local")))
+      .select(df.columns.map(col).toSeq :+ col(out): _*)
+  }
+
   /** Profile-driven running sum: measures the hottest key's row share and
     * picks runningSumSalted when it exceeds `saltThreshold`, runningSum
     * otherwise — SCALE.md's "salt when a profile shows a hot key" decision as

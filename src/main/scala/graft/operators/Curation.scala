@@ -36,4 +36,21 @@ object Curation {
         col("stopword_ratio") >= minStopRatio)
       .select(col(id), col("n_tokens"))
   }
+
+  /** Token-budget selection: keep the highest-`priority` docs whose running
+    * token total stays within `budget` — "fill a 10B-token training budget
+    * with the best documents" as one plan. Order is (priority DESC, id ASC),
+    * made engine-exact by the caller passing an already floor-truncated
+    * priority (e.g. qualityScore's stopword_ratio); the global cumulative
+    * sum runs through CoreOps.orderedPrefixSum, so no single-task window
+    * exists at any scale. Emits the manifest (id, n_tokens, cum_tokens). */
+  def tokenBudget(scored: DataFrame, id: String, tokensCol: String,
+                  priorityCol: String, budget: Long): DataFrame = {
+    // DESC priority as an ASC int64 range key: negate the micro-truncated
+    // score (the same 1e6 grid the quality ratios already live on)
+    val ord = -floor(col(priorityCol) * 1e6).cast("long")
+    CoreOps.orderedPrefixSum(scored, ord, id, tokensCol, "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .select(col(id), col(tokensCol), col("cum_tokens"))
+  }
 }

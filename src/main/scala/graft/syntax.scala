@@ -105,6 +105,12 @@ object syntax {
                minTokens: Long, maxTokens: Long, minStopRatio: Double): DataFrame =
       Curation.curate(df, id, text, stopwords, profiles, lang,
         minTokens, maxTokens, minStopRatio)
+    def orderedPrefixSum(ord: Column, tiebreak: String, value: String,
+                         out: String): DataFrame =
+      CoreOps.orderedPrefixSum(df, ord, tiebreak, value, out)
+    def tokenBudget(id: String, tokensCol: String, priorityCol: String,
+                    budget: Long): DataFrame =
+      Curation.tokenBudget(df, id, tokensCol, priorityCol, budget)
     def tokenStats(id: String, text: String): DataFrame =
       TextOps.tokenStats(df, id, text)
     def qualityScore(id: String, text: String, stopwords: Seq[String]): DataFrame =

@@ -168,6 +168,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: orderedPrefixSum equals the single-window global prefix sum (NULLs, ties)") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        o <- Gen.choose(0L, 12L) // narrow range → frequent order ties
+        v <- Gen.frequency(8 -> Gen.choose(0L, 100L).map(Option(_)),
+          2 -> Gen.const(Option.empty[Long]))
+      } yield (o, v))
+    } yield rows.zipWithIndex.map { case ((o, v), i) => (i.toLong, o, v) }
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("id", "ord", "v")
+      val got = CoreOps.orderedPrefixSum(df, col("ord"), "id", "v", "cum")
+        .select("id", "cum").as[(Long, Option[Long])].collect().toMap
+      // brute force: sort by (ord, id), running sum skipping NULLs, NULL
+      // until the first non-NULL value
+      var acc = 0L; var seen = false
+      val expected = rows.sortBy(r => (r._2, r._1)).map { case (id, _, v) =>
+        v.foreach { x => acc += x; seen = true }
+        id -> (if (seen) Some(acc) else None)
+      }.toMap
+      got == expected
+    })
+  }
+
   test("property: split partitions are disjoint and exhaustive") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = rows.toDF("event_id", "ms")

@@ -37,6 +37,17 @@ class SamplingCurationSpec extends SparkSpec {
     assert(ids(0.2).subsetOf(ids(0.8)))
   }
 
+  test("tokenBudget keeps the best-priority prefix within the budget") {
+    val scored = Seq(
+      (1L, 10L, 0.9), (2L, 10L, 0.8), (3L, 10L, 0.7), (4L, 10L, 0.7), (5L, 10L, 0.1))
+      .toDF("doc_id", "n_tokens", "score")
+    val got = Curation.tokenBudget(scored, "doc_id", "n_tokens", "score", 35L)
+      .as[(Long, Long, Long)].collect().map { case (d, _, c) => d -> c }.toMap
+    // priority order 1,2,3,4,5 (0.7 tie broken by id); cum 10,20,30,40 — doc 4
+    // would cross 35, doc 5 never reached
+    assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+  }
+
   test("curate composes dedup-canonical, language and quality gates") {
     val fixture = Seq(
       (1L, "the cat and the dog sat in the house for a while and it was good"),
