@@ -272,6 +272,11 @@ object SparkEntry {
     "q_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
         MhK, WinnowW, 0.5)),
+    // same pipeline under the too-common fingerprint cutoff — the candidate
+    // volume knob at corpus scale (SCALE.md), oracle-checked end to end
+    "q_winnow_pairs_capped" -> ((s, dir) =>
+      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+        MhK, WinnowW, 0.5, WinnowCap)),
     // hot-key profiler: the input to the salt-or-not decision (SCALE.md)
     "q_key_profile" -> ((s, dir) =>
       CoreOps.keyProfile(Tables.events(s, dir), "user_id", 20)),
@@ -370,6 +375,7 @@ object SparkEntry {
   private val MhN = MhBands * MhRows
   private val SimBands = 3 // 60-bit simhash → 3 × 20-bit Hamming-LSH bands
   private val WinnowW = 4  // winnowing window (guarantee span = w+k-1 words)
+  private val WinnowCap = 8 // too-common fp cutoff for the capped pairs query
   private val EmbDims = 64; private val LshPlanes = 8; private val LshTables = 2
   private val IvfNlist = 8; private val IvfNprobe = 2; private val IvfIters = 2
   private val IvfSampleMod = 4 // k-means trains on ~1/4 of the corpus + seeds
@@ -519,6 +525,35 @@ object SparkEntry {
          |   / len(vs)::DOUBLE for d in range(0,$EmbDims)] AS cvec FROM mem$t)""".stripMargin
     }
     (init +: rounds).mkString(",\n")
+  }
+
+  /** Winnowing pairs pipeline (normalize → shingle-hash → winnow select →
+    * fp equi-join candidates → exact Jaccard verify); `candFilter` appends
+    * the optional too-common fingerprint cutoff to the candidate CTE. */
+  private def sqlWinnowPairs(candFilter: String): String = {
+    val jacc = "len(list_intersect(a.sh, b.sh))::DOUBLE / " +
+      "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |ntk AS (SELECT doc_id, nt,
+       |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+       |nshg AS (SELECT doc_id,
+       |        CASE WHEN len(toks) >= $MhK
+       |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
+       |                   for i in range(0, len(toks)-$MhK+1)]
+       |             ELSE [nt] END AS shingles FROM ntk),
+       |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+       |wfp AS (SELECT doc_id,
+       |        CASE WHEN len(hs) < $WinnowW THEN [list_min(hs)]
+       |             ELSE list_distinct([list_min(list_slice(hs, i+1, i+$WinnowW))
+       |                                 for i in range(0, len(hs)-$WinnowW+1)]) END AS fps
+       |        FROM hsh),
+       |fpr AS (SELECT doc_id, unnest(fps) AS fp_hash FROM wfp),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM fpr a JOIN fpr b USING (fp_hash) WHERE a.doc_id < b.doc_id$candFilter),
+       |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)
+       |SELECT c.doc_a, c.doc_b, $jacc AS jaccard
+       |FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
+       |WHERE $jacc >= 0.5""".stripMargin
   }
 
   /** Sequential-fold cosine between two embedding columns in DuckDB. */
@@ -830,31 +865,9 @@ object SparkEntry {
          |        FROM hsh)
          |SELECT doc_id, unnest(fps) AS fp_hash FROM wfp""".stripMargin,
 
-    "q_winnow_pairs" -> {
-      val jacc = "len(list_intersect(a.sh, b.sh))::DOUBLE / " +
-        "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
-      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
-         |ntk AS (SELECT doc_id, nt,
-         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
-         |nshg AS (SELECT doc_id,
-         |        CASE WHEN len(toks) >= $MhK
-         |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
-         |                   for i in range(0, len(toks)-$MhK+1)]
-         |             ELSE [nt] END AS shingles FROM ntk),
-         |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
-         |wfp AS (SELECT doc_id,
-         |        CASE WHEN len(hs) < $WinnowW THEN [list_min(hs)]
-         |             ELSE list_distinct([list_min(list_slice(hs, i+1, i+$WinnowW))
-         |                                 for i in range(0, len(hs)-$WinnowW+1)]) END AS fps
-         |        FROM hsh),
-         |fpr AS (SELECT doc_id, unnest(fps) AS fp_hash FROM wfp),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM fpr a JOIN fpr b USING (fp_hash) WHERE a.doc_id < b.doc_id),
-         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)
-         |SELECT c.doc_a, c.doc_b, $jacc AS jaccard
-         |FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
-         |WHERE $jacc >= 0.5""".stripMargin
-    },
+    "q_winnow_pairs" -> sqlWinnowPairs(""),
+    "q_winnow_pairs_capped" -> sqlWinnowPairs(
+      s" AND fp_hash IN (SELECT fp_hash FROM fpr GROUP BY 1 HAVING COUNT(*) <= $WinnowCap)"),
 
     "q_token_budget" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toksv FROM documents),

@@ -154,4 +154,14 @@ class TextAndDedupSpec extends SparkSpec {
       .map(p => (p._1, p._2) -> p._3).toMap
     assert(loose((1L, 2L)) == got.head._3)
   }
+
+  test("winnowPairs too-common cutoff drops only pairs whose every shared fp is common") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(cap: Int) = Dedup.winnowPairs(docs, "doc_id", "text", 3, 4, 0.0, cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(0)
+    val capped = pairs(4)
+    assert(capped.subsetOf(uncapped)) // the cap only removes candidates
+    assert(capped.nonEmpty)
+  }
 }
