@@ -349,6 +349,15 @@ object SparkEntry {
         TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)
           .select(col("doc_id"), col("n_tokens"), col("stopword_ratio")),
         "doc_id", "n_tokens", "stopword_ratio", 10000L)),
+    // best 3 docs per (source, lang) by quality — compiles to
+    // WindowGroupLimit, so no group's full ranking ever materializes
+    "q_top_docs" -> ((s, dir) =>
+      CoreOps.groupTopK(
+        Tables.documents(s, dir)
+          .join(TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)
+            .select(col("doc_id"), col("stopword_ratio")), Seq("doc_id")),
+        Seq("source", "lang"), col("stopword_ratio"), "doc_id", 3)
+        .select(col("source"), col("lang"), col("rank"), col("doc_id"))),
 
     // ── extensions: multimodal binary columns ─────────────────────────────
     "q_multimodal_meta" -> ((s, dir) =>
@@ -880,6 +889,18 @@ object SparkEntry {
          |        SUM(n_tokens) OVER (ORDER BY -floor(sr * 1000000), doc_id
          |          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM c)
          |SELECT doc_id, n_tokens, cum_tokens FROM o WHERE cum_tokens <= 10000""".stripMargin,
+
+    "q_top_docs" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, $toksSql AS toksv FROM documents),
+         |c AS (SELECT doc_id, source, lang,
+         |        CASE WHEN len(toksv) > 0
+         |             THEN floor(len(list_filter(toksv, x -> x IN ${inList(stopEn)}))::DOUBLE
+         |                        / len(toksv) * 1000000) / 1000000
+         |             ELSE 0.0 END AS sr FROM t),
+         |r AS (SELECT source, lang, doc_id,
+         |        row_number() OVER (PARTITION BY source, lang
+         |          ORDER BY sr DESC, doc_id) AS rank FROM c)
+         |SELECT source, lang, rank, doc_id FROM r WHERE rank <= 3""".stripMargin,
 
     "q_doc_sample" ->
       s"""SELECT doc_id, source, lang FROM documents

@@ -218,6 +218,19 @@ object CoreOps {
     else prof.getLong(0).toDouble / prof.getLong(1)
   }
 
+  /** Per-GROUP top-N with a deterministic tiebreak — the "best K docs per
+    * (source, lang)" sampler. Unlike keyProfile's global top-N
+    * (TakeOrderedAndProject), this compiles to WindowGroupLimit: Spark
+    * pushes the per-group limit below the final sort, so each task retains
+    * at most N rows per group and no group's full ranking materializes. */
+  def groupTopK(df: DataFrame, groups: Seq[String], order: Column,
+                tiebreak: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(groups.map(col): _*)
+      .orderBy(order.desc, col(tiebreak))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Globally-ordered prefix sum WITHOUT the single-task window: a plain
     * `Window.orderBy` with no partition moves every row to one task (the
     * classic scale-killer). Instead: deterministic range buckets over the

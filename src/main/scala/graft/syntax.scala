@@ -65,6 +65,9 @@ object syntax {
 
     def keyProfile(key: String, topN: Int): DataFrame =
       CoreOps.keyProfile(df, key, topN)
+    def groupTopK(groups: Seq[String], order: Column, tiebreak: String,
+                  k: Int): DataFrame =
+      CoreOps.groupTopK(df, groups, order, tiebreak, k)
     def quantileProfile(group: String, value: String, ps: Seq[Double]): DataFrame =
       CoreOps.quantileProfile(df, group, value, ps)
     def quantileProfileChecked(group: String, value: String, ps: Seq[Double],

@@ -201,6 +201,19 @@ class CoreOpsSpec extends SparkSpec {
       res(CoreOps.runningSum(uniform, "user_id", "ts", "event_id", "value", "run")))
   }
 
+  test("groupTopK keeps N rows per group via WindowGroupLimit") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7), ("a", 4L, 0.8),
+      ("b", 5L, 0.1)).toDF("g", "id", "score")
+    val got = CoreOps.groupTopK(df, Seq("g"), col("score"), "id", 2)
+      .select("g", "rank", "id").as[(String, Long, Long)].collect().toSet
+    // group a: 0.9 → id 1, then the 0.8 tie breaks toward id 2
+    assert(got == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 5L)))
+    val plan = CoreOps.groupTopK(df, Seq("g"), col("score"), "id", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"per-group limit not pushed down:\n$plan")
+  }
+
   test("keyProfile returns exact top-N hot keys with deterministic tiebreak") {
     val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(3)(3L) ++ Seq(4L))
       .toDF("user_id")

@@ -53,4 +53,14 @@ class Md5ExprSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(got == expected)
   }
+
+  test("every injected SQL function documents its usage (preconditions included)") {
+    val usage = graft.expressions.GraftExtensions.usage
+    graft.expressions.GraftExtensions.builders.keys.foreach { name =>
+      assert(usage.contains(name) && usage(name).nonEmpty, s"no usage text for $name")
+    }
+    // the two load-bearing preconditions the type system cannot enforce
+    assert(usage("graft_minhash_signature").contains("2^32"))
+    assert(usage("graft_shingle_hashes").toLowerCase.contains("normalized"))
+  }
 }
