@@ -3,9 +3,9 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import java.security.MessageDigest
 
@@ -233,6 +233,51 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Jaccard similarity of two DISTINCT-element int64 arrays in one pass:
+    * |∩| via an open-addressing probe set over the smaller side, and
+    * |∪| = |a| + |b| − |∩| (exact because elements are distinct per side).
+    * The Column form (Dedup.jaccardColumnForm) builds three hash sets per
+    * pair — array_union twice (condition + else branch) plus
+    * array_intersect — which dominates LSH/winnow verification; this does
+    * one set build and one probe pass, no boxing. Both-empty → 0.0,
+    * matching the Column form's when-branch. PRECONDITION: each array's
+    * elements are distinct (array_distinct upstream) — duplicates would
+    * overcount the union. */
+  def jaccardDistinct(a: ArrayData, b: ArrayData): Double = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    if (la + lb == 0) return 0.0
+    val (small, big) = if (la <= lb) (a, b) else (b, a)
+    val n = small.numElements()
+    if (n == 0) return 0.0
+    // open-addressing long set, power-of-two capacity >= 2n, linear probing;
+    // `used` marks occupied slots so value 0 needs no sentinel trickery
+    var cap = 4
+    while (cap < 2 * n) cap <<= 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    var i = 0
+    while (i < n) {
+      val k = small.getLong(i)
+      var s = (java.lang.Long.hashCode(k * -7046029254386353131L) & mask)
+      while (used(s) && keys(s) != k) s = (s + 1) & mask
+      keys(s) = k; used(s) = true
+      i += 1
+    }
+    var inter = 0L
+    val m = big.numElements()
+    i = 0
+    while (i < m) {
+      val k = big.getLong(i)
+      var s = (java.lang.Long.hashCode(k * -7046029254386353131L) & mask)
+      while (used(s) && keys(s) != k) s = (s + 1) & mask
+      if (used(s)) inter += 1
+      i += 1
+    }
+    inter.toDouble / (la + lb - inter).toDouble
+  }
+
   /** SimHash 60-bit vote: bit j of the result is set iff the sum over
     * elements of (+1 if bit j of the hash else -1) is positive —
     * ≡ Dedup.simhashFromHashesColumnForm(hashes). A null element votes -1 on
@@ -350,6 +395,23 @@ case class WinnowSelect(child: Expression, window: Int)
   override def prettyName: String = "graft_winnow_select"
 }
 
+/** (array<long>, array<long>) → double: one-pass Jaccard over
+  * distinct-element int64 arrays — see HashKernels.jaccardDistinct for the
+  * distinct-elements precondition. */
+case class JaccardDistinct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaccardDistinct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.HashKernels.jaccardDistinct($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaccardDistinct = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jaccard_distinct"
+}
+
 /** array<long> → long: single-pass 60-bit SimHash sign vote. */
 case class SimhashVote(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -386,4 +448,7 @@ object HashKernelExpressions {
     GraftColumnBridge.column(SimhashVote(GraftColumnBridge.expression(hashes)))
   def winnowSelect(hashes: Column, w: Int): Column =
     GraftColumnBridge.column(WinnowSelect(GraftColumnBridge.expression(hashes), w))
+  def jaccardDistinct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(JaccardDistinct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

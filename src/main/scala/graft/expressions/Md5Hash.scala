@@ -124,7 +124,11 @@ object GraftExtensions {
     "graft_simhash_vote" ->
       "graft_simhash_vote(hashes) - 60-bit SimHash sign vote over array<bigint> (made for graft_token_hashes output).",
     "graft_winnow_select" ->
-      "graft_winnow_select(hashes, w) - winnowing fingerprints: sorted distinct minima of every w-window over a k-gram hash array.")
+      "graft_winnow_select(hashes, w) - winnowing fingerprints: sorted distinct minima of every w-window over a k-gram hash array.",
+    "graft_jaccard_distinct" ->
+      ("graft_jaccard_distinct(a, b) - Jaccard similarity |a∩b|/|a∪b| of two array<bigint> in one pass. " +
+        "PRECONDITION: each array's elements must be distinct (wrap with array_distinct otherwise) — " +
+        "the union is computed as |a|+|b|-|a∩b|, which overcounts under duplicates."))
 
   /** The injected function surface, exposed so tests can register the exact
     * same builders into a plain function registry. */
@@ -140,5 +144,7 @@ object GraftExtensions {
     "graft_simhash_vote" -> (classOf[SimhashVote], (args: Seq[Expression]) =>
       SimhashVote(args.head)),
     "graft_winnow_select" -> (classOf[WinnowSelect], (args: Seq[Expression]) =>
-      WinnowSelect(args.head, intArg(args(1), "graft_winnow_select"))))
+      WinnowSelect(args.head, intArg(args(1), "graft_winnow_select"))),
+    "graft_jaccard_distinct" -> (classOf[JaccardDistinct], (args: Seq[Expression]) =>
+      JaccardDistinct(args.head, args(1))))
 }

@@ -319,11 +319,24 @@ object Dedup {
     * docs differ in few bits (Hamming distance). Pure map. */
   def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
-  /** n-gram Jaccard similarity of two already-tokenized shingle arrays. */
+  /** n-gram Jaccard similarity of two already-tokenized arrays of any
+    * element type. The int64 verification paths below use the one-pass
+    * native kernel `jaccardHashes` instead — this generic Column form
+    * builds three hash sets per pair (array_union evaluated in both the
+    * condition and the else branch, plus array_intersect) and doubles as
+    * HashKernelSpec's bit-parity oracle for it. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) === 0, 0.0)
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
+
+  /** Jaccard over DISTINCT-element shingle-hash (int64) arrays as a native
+    * one-pass kernel (graft.expressions.JaccardDistinct): one set build +
+    * one probe pass per pair, |∪| = |a|+|b|−|∩|. Inputs must be
+    * element-distinct (array_distinct upstream) — exactly what every
+    * caller here produces. */
+  def jaccardHashes(a: Column, b: Column): Column =
+    graft.expressions.HashKernelExpressions.jaccardDistinct(a, b)
 
   /** Fused exact-Jaccard over LSH buckets: one pass — signature, banding,
     * bucket grouping, in-place pair expansion, exact Jaccard on the distinct
@@ -351,7 +364,7 @@ object Dedup {
       .select(col("a"), explode(col("ms")).as("b"))
       .filter(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        jaccardHashes(col("a.sh"), col("b.sh")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard) // before distinct: shrink the shuffle
       .distinct()
   }
@@ -371,7 +384,7 @@ object Dedup {
       .join(sh.select(col("d").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("d").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardHashes(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

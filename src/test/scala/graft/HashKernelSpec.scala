@@ -113,6 +113,28 @@ class HashKernelSpec extends SparkSpec {
     assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
   }
 
+  test("jaccard kernel equals the Column form on distinct int64 arrays (incl. property)") {
+    val edge: Seq[(Seq[Long], Seq[Long])] = Seq(
+      (Seq.empty[Long], Seq.empty[Long]), (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(0L), Seq(0L)), (Seq(1L, 2L, 3L), Seq(4L, 5L)),
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)), (Seq(Long.MaxValue, 0L), Seq(0L)))
+    val df = edge.toDF("a", "b").select(
+      col("a"), col("b"),
+      Dedup.jaccardHashes(col("a"), col("b")).as("native"),
+      Dedup.jaccard(col("a"), col("b")).as("legacy"))
+    val bad = df.filter(not(col("native") <=> col("legacy"))).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    val setGen = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct)
+    val r = SCTest.check(params, Prop.forAll(Gen.listOfN(12, Gen.zip(setGen, setGen))) { ps =>
+      val d = ps.map { case (a, b) => (a, b) }.toDF("a", "b")
+      d.select((Dedup.jaccardHashes(col("a"), col("b")) <=>
+          Dedup.jaccard(col("a"), col("b"))).as("ok"))
+        .as[Boolean].collect().forall(identity)
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("end-to-end: kernel-backed pipeline equals Column-form pipeline on real docs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val native = docs.select(col("doc_id"), col("text"),
