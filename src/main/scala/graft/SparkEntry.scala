@@ -228,6 +228,16 @@ object SparkEntry {
         Dedup.lshJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           MhK, MhBands, MhRows, 0.5),
         "doc_a", "doc_b")),
+    // the retained corpus: every near-dup cluster collapsed to its
+    // canonical representative, untouched docs pass through
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dupClusters(
+        Dedup.lshJaccardPairs(docs, "doc_id", "text", MhK, MhBands, MhRows, 0.5),
+        "doc_a", "doc_b")
+      Dedup.keepCanonical(docs, "doc_id", clusters)
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
     "q_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb, "vec_id", "embedding", EmbDims, LshPlanes, 3)
@@ -535,6 +545,23 @@ object SparkEntry {
     }
     (init +: rounds).mkString(",\n")
   }
+
+  /** Near-dup cluster CTE chain: minhash-LSH verified pairs, symmetric
+    * edges, and the recursive min-label closure (`reach`), shared by
+    * q_dup_clusters and q_dedup_keep. */
+  private def sqlDupClusterCtes: String =
+    s"""$sqlMinhashCtes,
+       |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh),
+       |verified AS (SELECT c.doc_a, c.doc_b
+       |  FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
+       |eg AS (SELECT doc_a AS s, doc_b AS d FROM verified
+       |       UNION SELECT doc_b, doc_a FROM verified),
+       |reach(node, lbl) AS (
+       |  SELECT s, s FROM eg
+       |  UNION
+       |  SELECT e.s, r.lbl FROM eg e JOIN reach r ON e.d = r.node)""".stripMargin
 
   /** Winnowing pairs pipeline (normalize → shingle-hash → winnow select →
     * fp equi-join candidates → exact Jaccard verify); `candFilter` appends
@@ -970,19 +997,14 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_dup_clusters" ->
-      s"""WITH RECURSIVE $sqlMinhashCtes,
-         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh),
-         |verified AS (SELECT c.doc_a, c.doc_b
-         |  FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
-         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-         |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
-         |eg AS (SELECT doc_a AS s, doc_b AS d FROM verified
-         |       UNION SELECT doc_b, doc_a FROM verified),
-         |reach(node, lbl) AS (
-         |  SELECT s, s FROM eg
-         |  UNION
-         |  SELECT e.s, r.lbl FROM eg e JOIN reach r ON e.d = r.node)
+      s"""WITH RECURSIVE $sqlDupClusterCtes
          |SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $sqlDupClusterCtes,
+         |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+         |SELECT doc_id, source, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE cluster_id <> doc_id)""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""WITH $sqlMinhashCtes,

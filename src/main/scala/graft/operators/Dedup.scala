@@ -243,17 +243,17 @@ object Dedup {
     * drop the rest). Transitivity matters: near-dup is not transitive, but
     * retention decisions must be, or A~B, B~C keeps both A,C.
     *
-    * Min-label propagation: labels start as the node id; each round every
-    * node takes the min of its own and its neighbors' labels. Labels only
-    * decrease, so sum(labels) strictly decreases until the fixpoint — the
-    * convergence test is one O(1) aggregate per round (the loop's only
-    * driver traffic). Rounds needed = component diameter; near-dup clusters
-    * are shallow (dozens of docs, not chains of millions), and `maxIters`
-    * caps the worst case. Each round is join + partial-agg'd min + join on
-    * uniform id keys — O(|edges|) through 2 shuffles — and
-    * localCheckpoint(eager) cuts the lineage like the k-means trainer. At
-    * extreme scale swap in the large-star/small-star contraction (O(log n)
-    * rounds) — same per-round plan shape, different edge rewiring. */
+    * Min-label propagation WITH pointer jumping: labels start as the node
+    * id; each round every node takes the min of its own label, its
+    * neighbors' labels, and its label's label (the pointer jump — label
+    * chains halve every round, so convergence is O(log diameter) rounds,
+    * not O(diameter): a million-node chain converges in ~20 rounds where
+    * plain propagation would need a million). Labels only decrease, so
+    * sum(labels) strictly decreases until the fixpoint — the convergence
+    * test is one O(1) aggregate per round (the loop's only driver traffic).
+    * Each round is two joins + a partial-agg'd min on uniform id keys —
+    * O(|edges| + |nodes|) through its shuffles — and localCheckpoint(eager)
+    * cuts the lineage like the k-means trainer. */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
                   maxIters: Int = 30): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -276,8 +276,16 @@ object Dedup {
           .withColumnRenamed("cluster_id", "nb_label"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("nb_label")).as("nb_min"))
+      // pointer jump: label(label(n)) — labels always point at nodes, so
+      // the self-join hits; left join guards the root's self-label anyway
+      val jump = labels.join(
+        labels.select(col("node").as("cluster_id"), col("cluster_id").as("jl")),
+        Seq("cluster_id"), "left")
+        .select(col("node"), coalesce(col("jl"), col("cluster_id")).as("jump_label"))
       labels = labels.join(nbMin, Seq("node"))
-        .select(col("node"), least(col("cluster_id"), col("nb_min")).as("cluster_id"))
+        .join(jump, Seq("node"))
+        .select(col("node"),
+          least(col("cluster_id"), col("nb_min"), col("jump_label")).as("cluster_id"))
         .localCheckpoint(true)
       val cur = labelSum(labels)
       converged = cur.compareTo(prev) == 0
@@ -286,6 +294,16 @@ object Dedup {
     }
     labels.select(col("node").as("doc_id"), col("cluster_id"))
   }
+
+  /** The retained corpus after near-dup clustering: drop every cluster
+    * member except its canonical representative (cluster_id == own id);
+    * docs in no cluster survive untouched. `clusters` is dupClusters
+    * output. Anti-join on the id — one shuffle, no payload movement. */
+  def keepCanonical(docs: DataFrame, id: String, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id").as(id)),
+      Seq(id), "left_anti")
 
   /** md5Long of every whitespace token — native single-pass kernel
     * (graft.expressions.TokenHashes); staged separately so multi-consumer

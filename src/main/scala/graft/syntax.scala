@@ -98,6 +98,8 @@ object syntax {
       Dedup.winnowPairs(df, id, text, k, w, minJaccard)
     def dupClusters(aCol: String, bCol: String, maxIters: Int = 30): DataFrame =
       Dedup.dupClusters(df, aCol, bCol, maxIters)
+    def keepCanonical(id: String, clusters: DataFrame): DataFrame =
+      Dedup.keepCanonical(df, id, clusters)
     def hashSample(id: String, rate: Double, salt: String = ""): DataFrame =
       Sampling.hashSample(df, id, rate, salt)
     def stratifiedSample(stratum: String, id: String, rates: Map[String, Double],

@@ -134,6 +134,26 @@ class TextAndDedupSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("keepCanonical retains one representative per cluster plus unclustered docs") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "y"), (6L, "z"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.keepCanonical(docs, "doc_id", clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L))
+  }
+
+  test("dupClusters converges on a 60-node chain within the round cap (pointer jumping)") {
+    // diameter 59 > maxIters 30: plain neighbor propagation would silently
+    // stop short; the pointer jump makes convergence O(log diameter)
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 60 && got.forall(_._2 == 0L),
+      s"unconverged labels: ${got.filter(_._2 != 0L).take(5).mkString(",")}")
+  }
+
   test("winnowPairs finds shared-substring near-dups and verifies with exact Jaccard") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
