@@ -128,7 +128,13 @@ object GraftExtensions {
     "graft_jaccard_distinct" ->
       ("graft_jaccard_distinct(a, b) - Jaccard similarity |a∩b|/|a∪b| of two array<bigint> in one pass. " +
         "PRECONDITION: each array's elements must be distinct (wrap with array_distinct otherwise) — " +
-        "the union is computed as |a|+|b|-|a∩b|, which overcounts under duplicates."))
+        "the union is computed as |a|+|b|-|a∩b|, which overcounts under duplicates."),
+    "graft_dot_fold" ->
+      ("graft_dot_fold(a, b) - sequential left-fold dot product of two array<double> (cast float " +
+        "embeddings with CAST(e AS ARRAY<DOUBLE>) — exact widening): fixed fold order makes the " +
+        "result bit-identical on every engine and partitioning (cosine = graft_dot_fold(a,b) / " +
+        "(sqrt(graft_dot_fold(a,a)) * sqrt(graft_dot_fold(b,b)))). NULL on length mismatch or " +
+        "null elements."))
 
   /** The injected function surface, exposed so tests can register the exact
     * same builders into a plain function registry. */
@@ -146,5 +152,7 @@ object GraftExtensions {
     "graft_winnow_select" -> (classOf[WinnowSelect], (args: Seq[Expression]) =>
       WinnowSelect(args.head, intArg(args(1), "graft_winnow_select"))),
     "graft_jaccard_distinct" -> (classOf[JaccardDistinct], (args: Seq[Expression]) =>
-      JaccardDistinct(args.head, args(1))))
+      JaccardDistinct(args.head, args(1))),
+    "graft_dot_fold" -> (classOf[DotFold], (args: Seq[Expression]) =>
+      DotFold(args.head, args(1))))
 }

@@ -85,12 +85,26 @@ object StreamDemo {
         Seq("event_id" -> "left_id"), Seq("event_id" -> "right_id"))
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // streaming as-of join, stream-static form: every audit event picks up
+    // the latest user-metadata snapshot at-or-before it per trigger
+    import spark.implicits._
+    val userMeta = Seq("Tom", "Harry", "Bob").zipWithIndex
+      .map { case (u, i) => (u, 0L, s"tier_${i % 2}") }
+      .toDF("user", "ms", "tier")
+      .select(col("user"), timestamp_millis(col("ms")).as("event_time"), col("tier"))
+    var asofRows = 0L
+    val q5 = StreamOps.asofJoinEachBatch(
+      audit.select(col("user"), col("event_time"), col("id")),
+      userMeta, "user", "event_time", Seq("tier")) { out =>
+      asofRows += out.count()
+    }.start()
     def audited: Long = q3.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
     val deadline = System.currentTimeMillis() + 30000
     while (audited < 500 && System.currentTimeMillis() < deadline) Thread.sleep(200)
     println(s"[demo] rate phase: observer counted $audited audit records through " +
-      "continuous session-window and stream-stream join queries")
-    q3.stop(); q4.stop(); spark.stop()
+      s"continuous session-window, stream-stream join and as-of join queries " +
+      s"($asofRows as-of rows emitted)")
+    q3.stop(); q4.stop(); q5.stop(); spark.stop()
   }
 }
