@@ -216,25 +216,20 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("hs"))
         .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("simhash"))),
-    "q_jaccard_pairs" -> ((s, dir) =>
-      Dedup.lshJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        MhK, MhBands, MhRows, 0.5)),
+    // the pairs/clusters/retained-corpus trio shares ONE persisted verified
+    // pair frame (see nearDupPairs) — the LSH pipeline runs once per run
+    "q_jaccard_pairs" -> ((s, dir) => nearDupPairs(s, dir)),
     // canonical-representative assignment over the verified near-dup pair
     // graph: connected components via min-label propagation (transitive
     // closure of the pairwise relation — the retention decision must be
     // transitive even though near-dup similarity is not)
     "q_dup_clusters" -> ((s, dir) =>
-      Dedup.dupClusters(
-        Dedup.lshJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          MhK, MhBands, MhRows, 0.5),
-        "doc_a", "doc_b")),
+      Dedup.dupClusters(nearDupPairs(s, dir), "doc_a", "doc_b")),
     // the retained corpus: every near-dup cluster collapsed to its
     // canonical representative, untouched docs pass through
     "q_dedup_keep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val clusters = Dedup.dupClusters(
-        Dedup.lshJaccardPairs(docs, "doc_id", "text", MhK, MhBands, MhRows, 0.5),
-        "doc_a", "doc_b")
+      val clusters = Dedup.dupClusters(nearDupPairs(s, dir), "doc_a", "doc_b")
       Dedup.keepCanonical(docs, "doc_id", clusters)
         .select(col("doc_id"), col("source"), col("lang"))
     }),
@@ -419,14 +414,34 @@ object SparkEntry {
   private val lateFlagCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def flaggedEvents(s: SparkSession, dir: String): DataFrame =
-    lateFlagCache.getOrElseUpdate((s, dir), {
+    memoPersist(lateFlagCache, s, dir)(
+      StatefulTwins.withLateFlag(withArrival(s, dir), "ts", "arr_ms", "event_id", H))
+
+  /** The three near-dup graph queries (pairs / clusters / retained corpus)
+    * are views over the SAME verified pair frame — memoized and persisted
+    * per (session, sf dir) like flaggedEvents, so the LSH signature pipeline
+    * runs once per Verify/Bench run instead of three times. Same BENCH
+    * caveat: the trio's per-query timings share one materialization. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    memoPersist(pairsCache, s, dir)(
+      Dedup.lshJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        MhK, MhBands, MhRows, 0.5))
+
+  /** Memoize-and-persist with eviction when the owning session's application
+    * ends, so stopped sessions don't stay strongly referenced in long-lived
+    * JVMs / test suites. */
+  private def memoPersist(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      s: SparkSession, dir: String)(frame: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((s, dir), {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          lateFlagCache.filterInPlace { case ((sess, _), _) => sess ne s }
+          cache.filterInPlace { case ((sess, _), _) => sess ne s }
       })
-      StatefulTwins.withLateFlag(withArrival(s, dir), "ts", "arr_ms", "event_id", H)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   // ───────────────────────────────────────────────────────────────────────
