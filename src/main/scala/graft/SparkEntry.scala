@@ -304,6 +304,17 @@ object SparkEntry {
     "q_cosine_dup" -> ((s, dir) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         EmbDims, LshPlanes, 0.3)),
+    // class centroids over the labeled embeddings — sorted-fold means, so
+    // every double hash-matches the oracle like the k-means trainer's.
+    // Exploded to one row per dimension: the driver's compare hashes scalar
+    // cells, not arrays
+    "q_label_centroids" -> ((s, dir) =>
+      Similarity.groupCentroids(Tables.embeddings(s, dir), "label", "vec_id",
+        "embedding", EmbDims)
+        .select(col("label"), col("n_vecs"),
+          posexplode(col("centroid")).as(Seq("dim", "component")))
+        .select(col("label"), col("n_vecs"), col("dim").cast("long").as("dim"),
+          col("component"))),
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 64),
@@ -1064,6 +1075,15 @@ object SparkEntry {
          |      FROM esig a JOIN esig b USING (bucket) WHERE a.vec_id < b.vec_id)
          |SELECT doc_a, doc_b, floor(cos * 1000000) / 1000000 AS cos_sim
          |FROM p WHERE cos >= 0.3""".stripMargin,
+
+    "q_label_centroids" ->
+      s"""WITH mem AS (SELECT label, list(embedding ORDER BY vec_id) AS vs
+         |             FROM embeddings GROUP BY label)
+         |SELECT label, len(vs)::BIGINT AS n_vecs, d.d AS dim,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |     [vs[m][d.d+1]::DOUBLE for m in range(1, len(vs)+1)]), (a,b) -> a+b)
+         |   / len(vs)::DOUBLE AS component
+         |FROM mem, (SELECT unnest(range(0,$EmbDims)) AS d) d""".stripMargin,
 
     "q_ivf_topk" -> sqlIvfSearch(
       s"cent AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $IvfNlist)"),

@@ -256,6 +256,26 @@ object Similarity {
     kmeansCentroids(sampled, id, vec, dims, nlist, iters)
   }
 
+  /** Per-group element-wise mean embedding — class centroids for a labeled
+    * dataset (classifier prototypes, cluster summaries, per-source style
+    * vectors). Same determinism contract as the k-means trainer: members
+    * fold in sorted-id order, so every centroid double is engine- and
+    * partitioning-identical. The per-group collect bounds memory by group
+    * size; at 100 TB trade the bit-exact fold for an unordered SUM-per-
+    * dimension aggregate (associative, one shuffle, not oracle-exact). */
+  def groupCentroids(emb: DataFrame, group: String, id: String, vec: String,
+                     dims: Int): DataFrame = {
+    val members = emb.groupBy(col(group))
+      .agg(count(lit(1)).as("n_vecs"),
+        sort_array(collect_list(struct(col(id).as("i"),
+          col(vec).cast("array<double>").as("v")))).as("ms"))
+    val mean = transform(sequence(lit(0), lit(dims - 1)), d =>
+      aggregate(col("ms"), lit(0.0d),
+        (acc, m) => acc + element_at(m.getField("v"), d + 1))
+        / size(col("ms")).cast("double"))
+    members.select(col(group), col("n_vecs"), mean.as("centroid"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed so only bucket-mates are compared. */
   def cosineDupPairs(emb: DataFrame, id: String, vec: String, dims: Int,

@@ -139,6 +139,9 @@ object syntax {
     def kmeansCentroidsSampled(id: String, vec: String, dims: Int, nlist: Int,
                                iters: Int, mod: Int): DataFrame =
       Similarity.kmeansCentroidsSampled(df, id, vec, dims, nlist, iters, mod)
+    def groupCentroids(group: String, id: String, vec: String,
+                       dims: Int): DataFrame =
+      Similarity.groupCentroids(df, group, id, vec, dims)
     def imageMeta(id: String, bin: String): DataFrame =
       Multimodal.imageMeta(df, id, bin)
     def frameSample(id: String, bin: String, frameBytes: Int,

@@ -107,6 +107,19 @@ class SimilaritySpec extends SparkSpec {
       full.orderBy("vec_id").collect().toSeq)
   }
 
+  test("groupCentroids: deterministic sorted-fold means per label") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.0f, 1.0f), 1),
+      (2L, Seq(4.0f, 4.0f), 2)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.groupCentroids(emb, "label", "vec_id", "embedding", 2)
+      .orderBy("label").as[(Int, Long, Seq[Double])].collect().toSeq
+    assert(got == Seq((1, 2L, Seq(0.5, 0.5)), (2, 1L, Seq(4.0, 4.0))))
+    // partitioning-independence: same doubles from a different layout
+    val again = Similarity.groupCentroids(emb.repartition(3), "label", "vec_id",
+      "embedding", 2).orderBy("label").as[(Int, Long, Seq[Double])].collect().toSeq
+    assert(got == again)
+  }
+
   test("lshTopK finds bucket-mates; results are a subset of brute-force pairs") {
     val df = vecs.toDF("vec_id", "embedding")
     val lsh = Similarity.lshTopK(df, df, "vec_id", "embedding", 4, 2, 2)
