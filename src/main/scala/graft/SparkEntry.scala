@@ -447,11 +447,15 @@ object SparkEntry {
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
       s: SparkSession, dir: String)(frame: => DataFrame): DataFrame =
     cache.getOrElseUpdate((s, dir), {
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          cache.filterInPlace { case ((sess, _), _) => sess ne s }
-      })
+      // one eviction listener per (cache, session) — checked before this
+      // entry is inserted, so a session touching many sf dirs doesn't stack
+      // duplicate listeners on the context
+      if (!cache.keys.exists(_._1 eq s))
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            cache.filterInPlace { case ((sess, _), _) => sess ne s }
+        })
       frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 

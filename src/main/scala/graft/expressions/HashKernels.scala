@@ -240,7 +240,9 @@ object HashKernels {
     * pair — array_union twice (condition + else branch) plus
     * array_intersect — which dominates LSH/winnow verification; this does
     * one set build and one probe pass, no boxing. Both-empty → 0.0,
-    * matching the Column form's when-branch. PRECONDITION: each array's
+    * matching the Column form's when-branch. A NULL element counts as its
+    * own distinct value (array_intersect/array_union semantics): it joins
+    * the intersection iff both sides carry one. PRECONDITION: each array's
     * elements are distinct (array_distinct upstream) — duplicates would
     * overcount the union. */
   def jaccardDistinct(a: ArrayData, b: ArrayData): Double = {
@@ -257,22 +259,29 @@ object HashKernels {
     val keys = new Array[Long](cap)
     val used = new Array[Boolean](cap)
     val mask = cap - 1
+    var nullSmall = false
     var i = 0
     while (i < n) {
-      val k = small.getLong(i)
-      var s = (java.lang.Long.hashCode(k * -7046029254386353131L) & mask)
-      while (used(s) && keys(s) != k) s = (s + 1) & mask
-      keys(s) = k; used(s) = true
+      if (small.isNullAt(i)) nullSmall = true
+      else {
+        val k = small.getLong(i)
+        var s = (java.lang.Long.hashCode(k * -7046029254386353131L) & mask)
+        while (used(s) && keys(s) != k) s = (s + 1) & mask
+        keys(s) = k; used(s) = true
+      }
       i += 1
     }
     var inter = 0L
     val m = big.numElements()
     i = 0
     while (i < m) {
-      val k = big.getLong(i)
-      var s = (java.lang.Long.hashCode(k * -7046029254386353131L) & mask)
-      while (used(s) && keys(s) != k) s = (s + 1) & mask
-      if (used(s)) inter += 1
+      if (big.isNullAt(i)) { if (nullSmall) inter += 1 }
+      else {
+        val k = big.getLong(i)
+        var s = (java.lang.Long.hashCode(k * -7046029254386353131L) & mask)
+        while (used(s) && keys(s) != k) s = (s + 1) & mask
+        if (used(s)) inter += 1
+      }
       i += 1
     }
     inter.toDouble / (la + lb - inter).toDouble

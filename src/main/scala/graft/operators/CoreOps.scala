@@ -185,7 +185,10 @@ object CoreOps {
       (floor(percentile(col(value), lit(p)) * 1e6) / 1e6).as(nm)
     }
     val aggs = count(col(value)).as("_nv") +: (rankAggs ++ exactAggs)
-    val joined = df.join(broadcast(est), Seq(group))
+    // null-safe join key: a NULL group must survive the estimate join the
+    // same way it survives quantileProfile's plain groupBy
+    val joined = df.join(broadcast(est.withColumnRenamed(group, "_g")),
+        col(group) <=> col("_g"))
       .groupBy(col(group))
       .agg(count(lit(1)).as("n"), aggs: _*)
     val within = ps.zip(names).map { case (p, nm) =>
@@ -225,6 +228,8 @@ object CoreOps {
     * at most N rows per group and no group's full ranking materializes. */
   def groupTopK(df: DataFrame, groups: Seq[String], order: Column,
                 tiebreak: String, k: Int): DataFrame = {
+    require(!df.columns.contains("rank"),
+      "groupTopK emits a 'rank' column; rename the input's existing one first")
     val w = Window.partitionBy(groups.map(col): _*)
       .orderBy(order.desc, col(tiebreak))
     df.withColumn("rank", row_number().over(w).cast("long"))
@@ -247,7 +252,11 @@ object CoreOps {
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val d = df.withColumn("_ord", ord)
     val bucket = timeRangeBucket(d, col("_ord"), n).getOrElse(lit(0))
-    val b = d.withColumn("_b", bucket)
+    // eager checkpoint: the bucketed frame feeds the per-bucket totals AND
+    // the final window+join, and the upstream can be an expensive map (the
+    // token-budget caller scores every document) — materialize once instead
+    // of re-deriving it per consumer
+    val b = d.withColumn("_b", bucket).localCheckpoint(true)
     // exclusive prefix totals across buckets: O(buckets) rows to the driver
     // (the withLateFlag pattern — an unpartitioned window, even over a tiny
     // frame, is the plan shape we ban), broadcast back

@@ -53,8 +53,9 @@ object Dedup {
     * whole profile is one map-side-combined shuffle of O(groups) sketches —
     * no per-fingerprint row ever crosses the network. `rsd` is the target
     * relative standard deviation (Spark default 0.05). Sketch estimates are
-    * engine-specific, so this query registers with a rows-only check; the
-    * error bound vs the exact profile is pinned by TextAndDedupSpec. */
+    * engine-specific, so the registered query is the `dedupProfileChecked`
+    * bound form below; the error bound vs the exact profile is also pinned
+    * by TextAndDedupSpec. */
   def dedupProfileApprox(docs: DataFrame, text: String, dims: Seq[String],
                          rsd: Double = 0.05): DataFrame =
     docs.select(dims.map(col) :+ TextOps.fingerprint(col(text)).as("fp"): _*)

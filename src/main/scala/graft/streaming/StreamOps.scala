@@ -71,11 +71,14 @@ object StreamOps {
     * model-version registry) is picked up at trigger granularity; state is
     * the sink's, not Spark's — no store to grow. For a right side too large
     * to re-scan per trigger, snapshot it to a broadcast-friendly compact
-    * form upstream — same contract. */
+    * form upstream — same contract. The callback receives the epoch's
+    * batchId so sinks can commit idempotently: after a failure/restart the
+    * engine re-runs the last uncommitted batch with the SAME id, and a sink
+    * that records committed ids drops the replay. */
   def asofJoinEachBatch(left: DataFrame, right: DataFrame, key: String,
                         ts: String, rightCols: Seq[String])(
-      write: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    left.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      write(CoreOps.asofJoin(batch, right, key, ts, rightCols))
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    left.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      write(CoreOps.asofJoin(batch, right, key, ts, rightCols), batchId)
     }
 }

@@ -92,11 +92,11 @@ object StreamDemo {
       .map { case (u, i) => (u, 0L, s"tier_${i % 2}") }
       .toDF("user", "ms", "tier")
       .select(col("user"), timestamp_millis(col("ms")).as("event_time"), col("tier"))
-    var asofRows = 0L
+    val asofRows = new java.util.concurrent.atomic.AtomicLong(0L)
     val q5 = StreamOps.asofJoinEachBatch(
       audit.select(col("user"), col("event_time"), col("id")),
-      userMeta, "user", "event_time", Seq("tier")) { out =>
-      asofRows += out.count()
+      userMeta, "user", "event_time", Seq("tier")) { (out, _) =>
+      asofRows.addAndGet(out.count())
     }.start()
     def audited: Long = q3.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
@@ -104,7 +104,7 @@ object StreamDemo {
     while (audited < 500 && System.currentTimeMillis() < deadline) Thread.sleep(200)
     println(s"[demo] rate phase: observer counted $audited audit records through " +
       s"continuous session-window, stream-stream join and as-of join queries " +
-      s"($asofRows as-of rows emitted)")
+      s"(${asofRows.get()} as-of rows emitted)")
     q3.stop(); q4.stop(); q5.stop(); spark.stop()
   }
 }

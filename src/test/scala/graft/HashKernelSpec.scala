@@ -124,6 +124,18 @@ class HashKernelSpec extends SparkSpec {
       Dedup.jaccard(col("a"), col("b")).as("legacy"))
     val bad = df.filter(not(col("native") <=> col("legacy"))).collect()
     assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
+    // NULL elements count as their own distinct value (array_intersect /
+    // array_union semantics) — the SQL surface can feed them even though the
+    // engine's own callers never do
+    val nullEdge = Seq(
+      (Seq(Option(1L), None), Seq(Option.empty[Long], Option(2L))),
+      (Seq(Option(1L), None), Seq(Option(1L))),
+      (Seq(Option.empty[Long]), Seq(Option.empty[Long])))
+      .toDF("a", "b").select(
+        Dedup.jaccardHashes(col("a"), col("b")).as("native"),
+        Dedup.jaccard(col("a"), col("b")).as("legacy"))
+    val badNull = nullEdge.filter(not(col("native") <=> col("legacy"))).collect()
+    assert(badNull.isEmpty, s"null-element mismatches: ${badNull.mkString("; ")}")
     val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
     val setGen = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct)
     val r = SCTest.check(params, Prop.forAll(Gen.listOfN(12, Gen.zip(setGen, setGen))) { ps =>

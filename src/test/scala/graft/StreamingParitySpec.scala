@@ -75,7 +75,7 @@ class StreamingParitySpec extends SparkSpec {
       .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
     val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], Option[Long])]
     val q = StreamOps.asofJoinEachBatch(stream, right, "k", "ts", Seq("r_ms", "rid")) {
-      out => sink.synchronized {
+      (out, _) => sink.synchronized {
         sink ++= out.select("lid", "r_ms", "rid")
           .as[(Long, Option[Long], Option[Long])].collect()
       }
