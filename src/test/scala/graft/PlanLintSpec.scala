@@ -1,30 +1,68 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Scale lint over EVERY registered query's physical plan: the two shapes
   * that silently stop scaling — a cartesian product (all-pairs work) and an
-  * unpartitioned window (every row through one task) — must never appear.
-  * BroadcastNestedLoopJoin is deliberately NOT banned: the ANN queries use
-  * it intentionally for broadcast-side non-equi joins, where the large side
-  * stays partition-parallel. This encodes SCALE.md's rules as a regression
-  * gate instead of a review convention. */
+  * unpartitioned window (every row through one task) — must never appear,
+  * and representative scans must show column pruning. AdaptiveSparkPlanExec
+  * is a LEAF node hiding the real tree from collect(), so the walker
+  * unwraps it (and subqueries) explicitly — without that the whole lint is
+  * vacuous. BroadcastNestedLoopJoin is deliberately NOT banned: the ANN
+  * queries use it intentionally for broadcast-side non-equi joins, where
+  * the large side stays partition-parallel. This encodes SCALE.md's rules
+  * as a regression gate instead of a review convention. */
 class PlanLintSpec extends SparkSpec {
+
+  /** All nodes of the plan, looking through AQE wrappers and subqueries. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+    case _ =>
+      p +: (p.children.flatMap(nodes) ++ p.subqueries.flatMap(nodes))
+  }
 
   test("no registered query plans a cartesian product or an unpartitioned window") {
     val dir = "/root/testdata/sf0.001"
+    var scanned = 0
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan
-      val cartesian = plan.collectWithSubqueries {
-        case c: CartesianProductExec => c
-      }
-      assert(cartesian.isEmpty, s"$name plans a CartesianProduct:\n$plan")
-      val unpartitioned = plan.collectWithSubqueries {
+      val all = nodes(fn(spark, dir).queryExecution.executedPlan)
+      scanned += all.size
+      val cartesian = all.collect { case c: CartesianProductExec => c }
+      assert(cartesian.isEmpty, s"$name plans a CartesianProduct")
+      val unpartitioned = all.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
         case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
       }
-      assert(unpartitioned.isEmpty, s"$name plans an unpartitioned window:\n$plan")
+      assert(unpartitioned.isEmpty, s"$name plans an unpartitioned window")
+    }
+    // guard against the walker going vacuous again: 57 real plans have
+    // hundreds of nodes between them
+    assert(scanned > 500, s"plan walker saw only $scanned nodes — unwrap broken?")
+  }
+
+  test("column pruning reaches the parquet scans (projection pushdown proof)") {
+    // representative map/agg queries: the scan must read only the columns
+    // the query touches, not the table's full schema — a scan that reads
+    // everything for a two-column aggregate multiplies IO at 100 TB
+    val dir = "/root/testdata/sf0.001"
+    val expected = Map(
+      "q_keyed_sum" -> Set("user_id", "value"),           // events has 6 cols
+      "q_dedup_exact" -> Set("doc_id", "text"),           // documents has more
+      "q_doc_sample" -> Set("doc_id", "source", "lang"),  // filter + 3-col project
+      "q_simhash" -> Set("doc_id", "text"))
+    expected.foreach { case (name, cols) =>
+      val all = nodes(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+      val scans = all.collect {
+        case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSet
+      }
+      assert(scans.nonEmpty, s"$name has no parquet scan")
+      scans.foreach { read =>
+        assert(read.subsetOf(cols), s"$name scan reads unpruned columns: $read")
+      }
     }
   }
 }
