@@ -272,6 +272,16 @@ object SparkEntry {
     "q_winnow_fp" -> ((s, dir) =>
       Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
         MhK, WinnowW)),
+    // benchmark decontamination: flag corpus docs containing a benchmark
+    // doc's content (winnow-fp candidates, shingle-set CONTAINMENT verify —
+    // a short benchmark item inside a long doc scores 1.0 where Jaccard
+    // stays near 0); the stand-in benchmark is the 20 lowest doc ids
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationPairs(docs, docs.filter(col("doc_id") < 20),
+          "doc_id", "text", MhK, WinnowW, 0.6)
+        .filter(col("doc_id") =!= col("bench_id")) // the stand-in overlaps itself
+    }),
     // the MOSS pipeline end-to-end: shared fingerprint → candidate pair →
     // exact shingle-set Jaccard verification
     "q_winnow_pairs" -> ((s, dir) =>
@@ -934,6 +944,33 @@ object SparkEntry {
     "q_winnow_pairs" -> sqlWinnowPairs(""),
     "q_winnow_pairs_capped" -> sqlWinnowPairs(
       s" AND fp_hash IN (SELECT fp_hash FROM fpr GROUP BY 1 HAVING COUNT(*) <= $WinnowCap)"),
+
+    "q_decontaminate" -> {
+      val containment =
+        "len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)::DOUBLE"
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt,
+         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= $MhK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
+         |                   for i in range(0, len(toks)-$MhK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+         |wfp AS (SELECT doc_id,
+         |        CASE WHEN len(hs) < $WinnowW THEN [list_min(hs)]
+         |             ELSE list_distinct([list_min(list_slice(hs, i+1, i+$WinnowW))
+         |                                 for i in range(0, len(hs)-$WinnowW+1)]) END AS fps
+         |        FROM hsh),
+         |fpr AS (SELECT doc_id, unnest(fps) AS fp_hash FROM wfp),
+         |bfp AS (SELECT doc_id AS bench_id, unnest(fps) AS fp_hash FROM wfp WHERE doc_id < 20),
+         |cand AS (SELECT DISTINCT c.doc_id, b.bench_id
+         |         FROM fpr c JOIN bfp b USING (fp_hash)),
+         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)
+         |SELECT c.doc_id, c.bench_id, $containment AS containment
+         |FROM cand c JOIN shs a ON c.doc_id = a.doc_id JOIN shs b ON c.bench_id = b.doc_id
+         |WHERE $containment >= 0.6 AND c.doc_id <> c.bench_id""".stripMargin
+    },
 
     "q_token_budget" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toksv FROM documents),

@@ -287,6 +287,50 @@ object HashKernels {
     inter.toDouble / (la + lb - inter).toDouble
   }
 
+  /** Containment |a∩b| / |b| of two DISTINCT-element int64 arrays — the
+    * decontamination metric: how much of benchmark doc `b` appears in
+    * corpus doc `a`. Deliberately asymmetric (a short benchmark item buried
+    * in a long document has low Jaccard but full containment). Same
+    * open-addressing probe-set pass as jaccardDistinct; NULL elements count
+    * as their own distinct value; |b| = 0 → 0.0 (nothing to contain). Same
+    * distinct-elements precondition. */
+  def containmentDistinct(a: ArrayData, b: ArrayData): Double = {
+    val lb = b.numElements()
+    if (lb == 0) return 0.0
+    val n = a.numElements()
+    if (n == 0) return 0.0
+    var cap = 4
+    while (cap < 2 * n) cap <<= 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    var nullA = false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) nullA = true
+      else {
+        val k = a.getLong(i)
+        var s = (java.lang.Long.hashCode(k * -7046029254386353131L) & mask)
+        while (used(s) && keys(s) != k) s = (s + 1) & mask
+        keys(s) = k; used(s) = true
+      }
+      i += 1
+    }
+    var inter = 0L
+    i = 0
+    while (i < lb) {
+      if (b.isNullAt(i)) { if (nullA) inter += 1 }
+      else {
+        val k = b.getLong(i)
+        var s = (java.lang.Long.hashCode(k * -7046029254386353131L) & mask)
+        while (used(s) && keys(s) != k) s = (s + 1) & mask
+        if (used(s)) inter += 1
+      }
+      i += 1
+    }
+    inter.toDouble / lb.toDouble
+  }
+
   /** SimHash 60-bit vote: bit j of the result is set iff the sum over
     * elements of (+1 if bit j of the hash else -1) is positive —
     * ≡ Dedup.simhashFromHashesColumnForm(hashes). A null element votes -1 on
@@ -421,6 +465,22 @@ case class JaccardDistinct(left: Expression, right: Expression)
   override def prettyName: String = "graft_jaccard_distinct"
 }
 
+/** (array<long>, array<long>) → double: one-pass containment |a∩b|/|b| over
+  * distinct-element int64 arrays — see HashKernels.containmentDistinct. */
+case class ContainmentDistinct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.containmentDistinct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.HashKernels.containmentDistinct($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ContainmentDistinct = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_containment_distinct"
+}
+
 /** array<long> → long: single-pass 60-bit SimHash sign vote. */
 case class SimhashVote(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -459,5 +519,8 @@ object HashKernelExpressions {
     GraftColumnBridge.column(WinnowSelect(GraftColumnBridge.expression(hashes), w))
   def jaccardDistinct(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaccardDistinct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def containmentDistinct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(ContainmentDistinct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

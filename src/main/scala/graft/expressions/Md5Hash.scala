@@ -134,7 +134,11 @@ object GraftExtensions {
         "embeddings with CAST(e AS ARRAY<DOUBLE>) — exact widening): fixed fold order makes the " +
         "result bit-identical on every engine and partitioning (cosine = graft_dot_fold(a,b) / " +
         "(sqrt(graft_dot_fold(a,a)) * sqrt(graft_dot_fold(b,b)))). NULL on length mismatch or " +
-        "null elements."))
+        "null elements."),
+    "graft_containment_distinct" ->
+      ("graft_containment_distinct(a, b) - containment |a∩b|/|b| of two array<bigint> in one pass " +
+        "(the decontamination metric: how much of b appears in a; 0.0 when b is empty). " +
+        "PRECONDITION: each array's elements must be distinct (wrap with array_distinct otherwise)."))
 
   /** The injected function surface, exposed so tests can register the exact
     * same builders into a plain function registry. */
@@ -154,5 +158,7 @@ object GraftExtensions {
     "graft_jaccard_distinct" -> (classOf[JaccardDistinct], (args: Seq[Expression]) =>
       JaccardDistinct(args.head, args(1))),
     "graft_dot_fold" -> (classOf[DotFold], (args: Seq[Expression]) =>
-      DotFold(args.head, args(1))))
+      DotFold(args.head, args(1))),
+    "graft_containment_distinct" -> (classOf[ContainmentDistinct], (args: Seq[Expression]) =>
+      ContainmentDistinct(args.head, args(1))))
 }

@@ -357,6 +357,47 @@ object Dedup {
   def jaccardHashes(a: Column, b: Column): Column =
     graft.expressions.HashKernelExpressions.jaccardDistinct(a, b)
 
+  /** Containment |a∩b| / |b| over distinct shingle-hash arrays (native
+    * kernel) — the decontamination metric: a short benchmark item fully
+    * embedded in a long document scores 1.0 where Jaccard stays near 0. */
+  def containmentHashes(a: Column, b: Column): Column =
+    graft.expressions.HashKernelExpressions.containmentDistinct(a, b)
+
+  /** Interpreted Column form of containmentHashes — HashKernelSpec oracle. */
+  private[graft] def containmentColumnForm(a: Column, b: Column): Column =
+    when(size(b) === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(b).cast("double"))
+
+  /** Benchmark decontamination: flag corpus docs containing a benchmark
+    * document's content. Candidates come from the winnowing fingerprint
+    * equi-join (any shared word run of length >= w+k-1 produces a shared
+    * fingerprint, so a verbatim benchmark inclusion is guaranteed to become
+    * a candidate); verification scores shingle-set CONTAINMENT of the
+    * benchmark side in the corpus doc. Plan shape: both fingerprint maps
+    * are codegen'd single passes, the candidate join keys on fp_hash (the
+    * usual bucket join — never corpus × benchmark), and only candidate
+    * pairs carry shingle sets. The benchmark side is typically tiny; the
+    * corpus side never shuffles more than its flagged candidates. */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame, id: String,
+                         text: String, k: Int, w: Int,
+                         minContainment: Double): DataFrame = {
+    val cfp = winnowFingerprints(corpus, id, text, k, w)
+      .select(col(id).as("doc_id"), col("fp_hash"))
+    val bfp = winnowFingerprints(bench, id, text, k, w)
+      .select(col(id).as("bench_id"), col("fp_hash"))
+    val cands = cfp.join(bfp, Seq("fp_hash"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val csh = spread(corpus).select(col(id).as("doc_id"),
+      array_distinct(shingleHashes(col(text), k)).as("c_sh"))
+    val bsh = bench.select(col(id).as("bench_id"),
+      array_distinct(shingleHashes(col(text), k)).as("b_sh"))
+    cands.join(csh, Seq("doc_id")).join(bsh, Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"),
+        containmentHashes(col("c_sh"), col("b_sh")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Fused exact-Jaccard over LSH buckets: one pass — signature, banding,
     * bucket grouping, in-place pair expansion, exact Jaccard on the distinct
     * shingle-hash sets carried through the shuffle. Output is identical to

@@ -100,6 +100,9 @@ object syntax {
       Dedup.dupClusters(df, aCol, bCol, maxIters)
     def keepCanonical(id: String, clusters: DataFrame): DataFrame =
       Dedup.keepCanonical(df, id, clusters)
+    def contaminationPairs(bench: DataFrame, id: String, text: String, k: Int,
+                           w: Int, minContainment: Double): DataFrame =
+      Dedup.contaminationPairs(df, bench, id, text, k, w, minContainment)
     def hashSample(id: String, rate: Double, salt: String = ""): DataFrame =
       Sampling.hashSample(df, id, rate, salt)
     def stratifiedSample(stratum: String, id: String, rates: Map[String, Double],

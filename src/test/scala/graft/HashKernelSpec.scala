@@ -147,6 +147,28 @@ class HashKernelSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("containment kernel equals the Column form on distinct int64 arrays") {
+    val edge: Seq[(Seq[Long], Seq[Long])] = Seq(
+      (Seq.empty[Long], Seq.empty[Long]), (Seq(1L, 2L), Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L)), (Seq(1L, 2L, 3L, 4L), Seq(2L, 3L)),
+      (Seq(1L), Seq(2L)), (Seq(0L, 5L), Seq(0L, 5L)))
+    val df = edge.toDF("a", "b").select(
+      col("a"), col("b"),
+      Dedup.containmentHashes(col("a"), col("b")).as("native"),
+      Dedup.containmentColumnForm(col("a"), col("b")).as("legacy"))
+    val bad = df.filter(not(col("native") <=> col("legacy"))).collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.mkString("; ")}")
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    val setGen = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct)
+    val r = SCTest.check(params, Prop.forAll(Gen.listOfN(12, Gen.zip(setGen, setGen))) { ps =>
+      val d = ps.toDF("a", "b")
+      d.select((Dedup.containmentHashes(col("a"), col("b")) <=>
+          Dedup.containmentColumnForm(col("a"), col("b"))).as("ok"))
+        .as[Boolean].collect().forall(identity)
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("end-to-end: kernel-backed pipeline equals Column-form pipeline on real docs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val native = docs.select(col("doc_id"), col("text"),

@@ -134,6 +134,30 @@ class TextAndDedupSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("contaminationPairs flags an embedded benchmark doc that Jaccard would miss") {
+    val benchText = "the quick brown fox jumps over the lazy dog"
+    val corpus = Seq(
+      (100L, "intro words before it " + benchText + " and then a very long tail " +
+        "of unrelated filler content that goes on about many other topics " +
+        "entirely unconnected to the benchmark sentence in any way at all"),
+      (101L, "completely unrelated document about different things altogether")
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(corpus, bench, "doc_id", "text", 3, 4, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 100 fully contains the benchmark (containment 1.0) even though
+    // its Jaccard vs the benchmark is low; doc 101 is clean
+    assert(got.map(g => (g._1, g._2)) == Seq((100L, 1L)))
+    assert(got.head._3 == 1.0)
+    // sanity: symmetric Jaccard on the same pair is far below the threshold
+    val jac = Seq((corpus.filter(col("doc_id") === 100).select("text").as[String].head(),
+        benchText)).toDF("a", "b")
+      .select(Dedup.jaccardHashes(
+        array_distinct(Dedup.shingleHashes(col("a"), 3)),
+        array_distinct(Dedup.shingleHashes(col("b"), 3)))).as[Double].head()
+    assert(jac < 0.5, s"fixture too similar for the point: jaccard=$jac")
+  }
+
   test("keepCanonical retains one representative per cluster plus unclustered docs") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "y"), (6L, "z"))
       .toDF("doc_id", "text")
