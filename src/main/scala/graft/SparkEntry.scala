@@ -279,7 +279,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.contaminationPairs(docs, docs.filter(col("doc_id") < 20),
-          "doc_id", "text", MhK, WinnowW, 0.6)
+          "doc_id", "text", MhK, WinnowW, 0.05)
         .filter(col("doc_id") =!= col("bench_id")) // the stand-in overlaps itself
     }),
     // the MOSS pipeline end-to-end: shared fingerprint → candidate pair →
@@ -969,7 +969,7 @@ object SparkEntry {
          |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)
          |SELECT c.doc_id, c.bench_id, $containment AS containment
          |FROM cand c JOIN shs a ON c.doc_id = a.doc_id JOIN shs b ON c.bench_id = b.doc_id
-         |WHERE $containment >= 0.6 AND c.doc_id <> c.bench_id""".stripMargin
+         |WHERE $containment >= 0.05 AND c.doc_id <> c.bench_id""".stripMargin
     },
 
     "q_token_budget" ->
