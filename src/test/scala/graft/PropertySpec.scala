@@ -125,11 +125,14 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: dupClusters equals union-find components with min labels") {
+    // a != b by construction — a `filter` here would discard ~86% of cases
+    // (each of up to 30 pairs fails w.p. 1/16) and intermittently trip
+    // ScalaCheck's max-discard-ratio "gave up" failure
     val pairsGen: Gen[List[(Long, Long)]] = for {
       n <- Gen.choose(0, 30)
       ps <- Gen.listOfN(n, for {
-        a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b
-      } yield (a, b))
+        a <- Gen.choose(0L, 15L); d <- Gen.choose(1L, 15L)
+      } yield (a, (a + d) % 16))
     } yield ps
     check(Prop.forAll(pairsGen) { pairs =>
       val got = graft.operators.Dedup
@@ -188,6 +191,27 @@ class PropertySpec extends SparkSpec {
         v.foreach { x => acc += x; seen = true }
         id -> (if (seen) Some(acc) else None)
       }.toMap
+      got == expected
+    })
+  }
+
+  test("property: groupTopK equals the brute-force per-group ranking") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0L, 3L)
+        s <- Gen.choose(0, 5).map(_ / 4.0) // coarse scores → frequent ties
+      } yield (g, s))
+      k <- Gen.choose(1, 4)
+    } yield (rows.zipWithIndex.map { case ((g, s), i) => (i.toLong, g, s) }, k)
+    check(Prop.forAll(gen) { case (rows, k) =>
+      val got = CoreOps.groupTopK(rows.toDF("id", "g", "score"), Seq("g"),
+          col("score"), "id", k)
+        .select("g", "rank", "id").as[(Long, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._2).flatMap { case (g, members) =>
+        members.sortBy(r => (-r._3, r._1)).take(k).zipWithIndex
+          .map { case (r, i) => (g, (i + 1).toLong, r._1) }
+      }.toSet
       got == expected
     })
   }
