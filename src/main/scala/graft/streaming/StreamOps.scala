@@ -81,4 +81,22 @@ object StreamOps {
     left.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       write(CoreOps.asofJoin(batch, right, key, ts, rightCols), batchId)
     }
+
+  /** Streaming decontamination, stream-static form: every micro-batch of
+    * incoming docs is checked against the CURRENT benchmark relation with
+    * the batch Dedup.contaminationPairs — gate documents against eval sets
+    * at ingest time instead of in a later sweep. Contamination is per-doc
+    * vs the static benchmark, so output is independent of the micro-batch
+    * split (parity with the batch operator is exact); the benchmark
+    * re-evaluates per trigger, picking up newly registered eval sets. Same
+    * idempotent-sink contract as asofJoinEachBatch: the callback gets the
+    * epoch's batchId. */
+  def decontaminateEachBatch(docs: DataFrame, bench: DataFrame, id: String,
+                             text: String, k: Int, w: Int,
+                             minContainment: Double)(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      write(graft.operators.Dedup.contaminationPairs(
+        batch, bench, id, text, k, w, minContainment), batchId)
+    }
 }

@@ -94,6 +94,32 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateEachBatch(stream-static) == contaminationPairs(batch) across splits") {
+    val benchText = "the quick brown fox jumps over the lazy dog"
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val batch1 = Seq((100L, "prefix words " + benchText + " and a long unrelated tail " +
+      "about completely different topics that dilute the jaccard similarity heavily"))
+    val batch2 = Seq((101L, "clean document about other things"),
+      (102L, benchText + " copied almost verbatim here"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = StreamOps.decontaminateEachBatch(stream, bench, "doc_id", "text",
+        3, 4, 0.9) { (out, _) =>
+      sink.synchronized { sink ++= out.as[(Long, Long, Double)].collect() }
+    }.start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val batchAll = (batch1 ++ batch2).toDF("doc_id", "text")
+      val expected = graft.operators.Dedup
+        .contaminationPairs(batchAll, bench, "doc_id", "text", 3, 4, 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(sink.toSet == expected)
+      assert(sink.map(_._1).toSet == Set(100L, 102L)) // 101 is clean
+    } finally q.stop()
+  }
+
   test("state TTL expires idle keys and leaves live keys' emission unchanged") {
     // With ProcessingTimeTimeout the engine keeps constructing wall-clock
     // batches, so processAllAvailable never latches "no new data" — the test
