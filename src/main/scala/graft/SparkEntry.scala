@@ -456,18 +456,24 @@ object SparkEntry {
   private def memoPersist(
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
       s: SparkSession, dir: String)(frame: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((s, dir), {
-      // one eviction listener per (cache, session) — checked before this
-      // entry is inserted, so a session touching many sf dirs doesn't stack
-      // duplicate listeners on the context
-      if (!cache.keys.exists(_._1 eq s))
-        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            cache.filterInPlace { case ((sess, _), _) => sess ne s }
-        })
-      frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    // TrieMap.getOrElseUpdate's thunk is NOT atomic: two threads racing on
+    // the same key would both persist (one cached frame leaks unpersisted)
+    // and both register the eviction listener. The caches see a handful of
+    // plan-time lookups per run, so a plain monitor costs nothing
+    cache.synchronized {
+      cache.getOrElseUpdate((s, dir), {
+        // one eviction listener per (cache, session) — checked before this
+        // entry is inserted, so a session touching many sf dirs doesn't
+        // stack duplicate listeners on the context
+        if (!cache.keys.exists(_._1 eq s))
+          s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              cache.filterInPlace { case ((sess, _), _) => sess ne s }
+          })
+        frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
 
   // ───────────────────────────────────────────────────────────────────────
   // DuckDB oracles. Table names = parquet file stems. epoch_ms(ts) matches

@@ -247,6 +247,20 @@ object CoreOps {
     * bucket and break by `tiebreak`. */
   def orderedPrefixSum(df: DataFrame, ord: Column, tiebreak: String,
                        value: String, out: String): DataFrame = {
+    val internal = Seq("_ord", "_b", "_off", "_local")
+    val clash = df.columns.intersect(internal)
+    require(clash.isEmpty,
+      s"orderedPrefixSum uses internal columns ${internal.mkString(", ")}; " +
+        s"rename the input's ${clash.mkString(", ")} first")
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+    val vt = df.schema(value).dataType
+    require(integral.contains(vt),
+      s"orderedPrefixSum sums '$value' as int64 (exact for counts); got " +
+        s"$vt — cast explicitly, or use a decimal running-sum form for money")
     val spark = df.sparkSession
     import spark.implicits._
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)

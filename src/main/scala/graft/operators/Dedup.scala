@@ -293,6 +293,14 @@ object Dedup {
       prev = cur
       it += 1
     }
+    // pointer jumping converges in O(log diameter) rounds, so hitting the
+    // cap means the graph is pathologically deep for maxIters — the labels
+    // are then only partially collapsed and keepCanonical would under-drop
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters stopped at maxIters=$maxIters before the label " +
+          "fixpoint; cluster ids are partially propagated and downstream " +
+          "canonical-keep will under-collapse. Raise maxIters.")
     labels.select(col("node").as("doc_id"), col("cluster_id"))
   }
 

@@ -224,6 +224,19 @@ class CoreOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-N not pushed down:\n$plan")
   }
 
+  test("orderedPrefixSum rejects internal-name collisions and non-integral values") {
+    val clash = Seq((1L, 2L, 3L)).toDF("id", "ord", "_local")
+    val e1 = intercept[IllegalArgumentException] {
+      CoreOps.orderedPrefixSum(clash, col("ord"), "id", "id", "cum")
+    }
+    assert(e1.getMessage.contains("_local"))
+    val dbl = Seq((1L, 2L, 3.5)).toDF("id", "ord", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      CoreOps.orderedPrefixSum(dbl, col("ord"), "id", "v", "cum")
+    }
+    assert(e2.getMessage.contains("int64"))
+  }
+
   test("splitBy + taggedUnion partition and re-merge every row exactly once") {
     val df = ev((1, 0, 1, "error", 0), (2, 0, 2, "view", 0), (3, 0, 3, "error", 0))
     val (err, rest) = CoreOps.splitBy(df, col("event_type") === "error")
