@@ -385,6 +385,45 @@ object SparkEntry {
         Seq("source", "lang"), col("stopword_ratio"), "doc_id", 3)
         .select(col("source"), col("lang"), col("rank"), col("doc_id"))),
 
+    // ── extensions: repetition / chunking / mixing / redaction tier ───────
+    // Gopher-style repetitiousness: top-bigram share + distinct-token ratio
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetitionProfile(Tables.documents(s, dir), "doc_id", "text", 2)),
+    // context-window packing: 40-token chunks every 30 tokens (10 overlap)
+    "q_chunks" -> ((s, dir) =>
+      TextOps.chunk(Tables.documents(s, dir), "doc_id", "text",
+        ChunkWindow, ChunkStride)),
+    // epochs-per-domain mixture: downsample en to 0.3 copies, upsample zh to
+    // 2.5, one epoch for the rest — fractional repeats decided by md5(id)
+    "q_mixture" -> ((s, dir) =>
+      Sampling.mixtureRepeat(Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 0.3, "zh" -> 2.5), 1.0, "ep")
+        .select(col("doc_id"), col("lang"), col("copy"))),
+    // PII scrubbing probe: the corpus is synthetic and PII-free, so each doc
+    // is first augmented with a deterministic doc_id-derived email + phone
+    // (both sides build the identical string), then counted and masked
+    "q_redact" -> ((s, dir) =>
+      TextOps.redactPii(
+        Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text")),
+        "doc_id", "text")),
+    // TPC-H Q4-shaped existence rollup: orders with any lineitem shipped
+    // >90 days after the order date, counted by priority — a shuffled
+    // LEFT SEMI on the order key with a non-equi residual (the semi-join
+    // stops probing an order at its first qualifying lineitem, and no
+    // lineitem payload survives the join)
+    "q_priority_semi" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // ── extensions: multimodal binary columns ─────────────────────────────
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.imageMeta(
@@ -414,6 +453,7 @@ object SparkEntry {
   private val EmbDims = 64; private val LshPlanes = 8; private val LshTables = 2
   private val IvfNlist = 8; private val IvfNprobe = 2; private val IvfIters = 2
   private val IvfSampleMod = 4 // k-means trains on ~1/4 of the corpus + seeds
+  private val ChunkWindow = 40; private val ChunkStride = 30
 
   /** Deterministic out-of-order arrival simulation for the E6 twins: each
     * event is delayed by (event_id mod 5) * 30 min, so ~4/5 of rows arrive
@@ -1011,6 +1051,71 @@ object SparkEntry {
          |WHERE ${sqlMd5Int("(doc_id::VARCHAR || 'mix')")} <
          |  CASE WHEN lang = 'en' THEN ${Sampling.threshold(0.1)}
          |       ELSE ${Sampling.threshold(0.6)} END""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |tk AS (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |st AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |        len(list_distinct(toks))::BIGINT AS n_distinct, toks FROM tk),
+         |g AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i+1, i+2), ' ')
+         |                             for i in range(0, len(toks)-1)]) AS gram
+         |      FROM st WHERE len(toks) >= 2),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         |top AS (SELECT doc_id, gram, c FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                     ORDER BY c DESC, gram) AS rn FROM gc) WHERE rn = 1)
+         |SELECT st.doc_id, st.n_tokens, GREATEST(st.n_tokens - 1, 0) AS n_grams,
+         |  t.gram AS top_gram, COALESCE(t.c, 0)::BIGINT AS top_gram_count,
+         |  CASE WHEN st.n_tokens > 1
+         |       THEN floor(COALESCE(t.c, 0)::DOUBLE / (st.n_tokens - 1) * 1000000) / 1000000
+         |       ELSE 0.0 END AS top_gram_share,
+         |  CASE WHEN st.n_tokens > 0
+         |       THEN floor(st.n_distinct::DOUBLE / st.n_tokens * 1000000) / 1000000
+         |       ELSE 0.0 END AS distinct_ratio
+         |FROM st LEFT JOIN top t ON st.doc_id = t.doc_id""".stripMargin,
+
+    "q_chunks" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        unnest(range(0, len(toks), $ChunkStride)) AS start
+         |      FROM tk WHERE len(toks) > 0)
+         |SELECT doc_id, (start // $ChunkStride)::BIGINT AS chunk_id,
+         |  LEAST($ChunkWindow, len(toks) - start)::BIGINT AS n_chunk_tokens,
+         |  array_to_string(list_slice(toks, start + 1, start + $ChunkWindow), ' ') AS chunk_text
+         |FROM c""".stripMargin,
+
+    "q_mixture" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |        CASE WHEN lang = 'en' THEN 0 WHEN lang = 'zh' THEN 2 ELSE 1 END
+         |        + CASE WHEN ${sqlMd5Int("(doc_id::VARCHAR || 'ep')")} <
+         |            CASE WHEN lang = 'en' THEN ${Sampling.threshold(0.3)}
+         |                 WHEN lang = 'zh' THEN ${Sampling.threshold(0.5)}
+         |                 ELSE 0 END
+         |          THEN 1 ELSE 0 END AS n
+         |      FROM documents)
+         |SELECT doc_id, lang, unnest(range(0, n)) AS copy FROM w WHERE n > 0""".stripMargin,
+
+    "q_redact" -> {
+      val aug = "text || ' contact user' || doc_id::VARCHAR || " +
+        "'@mail.example.com or +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?\\d[\\d-]{6,}\\d"
+      s"""WITH a AS (SELECT doc_id, $aug AS t FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$email'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(t, '$phone'))::BIGINT AS n_phones,
+         |  regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+         |                 '$phone', '<PHONE>', 'g') AS redacted
+         |FROM a""".stripMargin
+    },
+
+    "q_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q_curate" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toksv FROM documents),

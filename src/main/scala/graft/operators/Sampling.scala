@@ -49,4 +49,34 @@ object Sampling {
     }
     df.filter(keyHash(col(id), salt) < cutoff)
   }
+
+  /** Fractional repeat-factor mixing — the "epochs per domain" step of an
+    * LLM data mixture (e.g. code ×2.5, web ×0.3): each row is emitted
+    * `floor(weight)` times, plus one more iff md5(id || salt) falls under
+    * the fractional remainder, so a stratum with weight 2.5 averages 2.5
+    * copies with the SAME deterministic guarantees as the samplers above
+    * (weights < 1 downsample, weights > 1 upsample — one operator covers
+    * both directions). Emits a 0-based `copy` column so downstream shuffles
+    * can distinguish repeats. Fractional thresholds are computed driver-side
+    * from the literal weight map — never per-row float arithmetic, so every
+    * engine agrees on the boundary rows. Output volume is decided
+    * row-locally (explode over a ≤⌈weight⌉-element sequence): a pure map
+    * stage, no shuffle, no skew beyond the weights themselves. */
+  def mixtureRepeat(df: DataFrame, stratum: String, id: String,
+                    weights: Map[String, Double], defaultWeight: Double,
+                    salt: String = ""): DataFrame = {
+    require(!df.columns.contains("copy"),
+      "mixtureRepeat emits a 'copy' column; rename the input's existing one first")
+    def copiesFor(w: Double): Column = {
+      require(w >= 0.0, s"mixture weight must be >= 0, got $w")
+      lit(math.floor(w).toLong) +
+        when(keyHash(col(id), salt) < threshold(w - math.floor(w)), lit(1L))
+          .otherwise(lit(0L))
+    }
+    val n = weights.toSeq.sortBy(_._1).foldLeft(copiesFor(defaultWeight)) {
+      case (acc, (value, w)) => when(col(stratum) === value, copiesFor(w)).otherwise(acc)
+    }
+    df.withColumn("copy",
+      explode(when(n > 0, sequence(lit(0L), n - 1)).otherwise(array().cast("array<long>"))))
+  }
 }

@@ -104,6 +104,97 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Repetition profile — the Gopher-style repetitiousness heuristics used
+    * to drop boilerplate/spam from web corpora, at the token level (the
+    * corpus is single-line): per document, the share of n-gram slots covered
+    * by the single most frequent n-gram, and the distinct-token ratio. A
+    * high top-gram share or a low distinct ratio flags machine-generated
+    * repetition that per-token quality scores miss.
+    *
+    * Shape: one staged tokenize projection (native ShingleStrings kernel for
+    * the grams), explode, then two partial-aggregated shuffles both keyed on
+    * the uniform doc id — no per-doc window, no skew. The top gram's
+    * deterministic tiebreak (most frequent, then lexicographically smallest)
+    * is a `min(struct(-count, gram))` aggregate, so each partition keeps one
+    * candidate per doc before the shuffle. Docs with fewer than n tokens
+    * emit a NULL top gram and zero counts (explode_outer keeps them). */
+  def repetitionProfile(docs: DataFrame, id: String, text: String,
+                        n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val tk = docs.select(col(id),
+      graft.expressions.HashKernelExpressions
+        .shingleStrings(normalized(col(text)), n).as("_grams"),
+      tokens(normalized(col(text))).as("_toks"))
+    val exploded = tk.select(col(id),
+      size(col("_toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("_toks"))).cast("long").as("n_distinct"),
+      explode_outer(col("_grams")).as("gram"))
+    val slots = greatest(col("n_tokens") - (n - 1), lit(0L))
+    exploded
+      .groupBy(col(id), col("n_tokens"), col("n_distinct"), col("gram"))
+      .agg(count(col("gram")).as("c")) // count(gram): the NULL outer row → 0
+      .groupBy(col(id), col("n_tokens"), col("n_distinct"))
+      .agg(min(struct((-col("c")).as("nc"), col("gram").as("g"))).as("_top"))
+      .select(col(id), col("n_tokens"), slots.as("n_grams"),
+        col("_top.g").as("top_gram"),
+        (-col("_top.nc")).as("top_gram_count"),
+        when(slots > 0,
+          trunc6((-col("_top.nc")).cast("double") / slots.cast("double")))
+          .otherwise(lit(0.0)).as("top_gram_share"),
+        when(col("n_tokens") > 0,
+          trunc6(col("n_distinct").cast("double") / col("n_tokens").cast("double")))
+          .otherwise(lit(0.0)).as("distinct_ratio"))
+  }
+
+  /** Overlapping token-window chunking: split each document's token stream
+    * into windows of `window` tokens starting every `stride` tokens — the
+    * context-length packing step between curation and tokenization. Emits
+    * (id, chunk_id, n_chunk_tokens, chunk_text); the final chunk may be
+    * short (a packer wants the tail, not silent truncation). Empty docs
+    * emit nothing.
+    *
+    * Pure map stage: the token array is staged once per row, chunk starts
+    * come from `sequence` (codegen'd), and each output row slices the staged
+    * array — no shuffle, output volume decided row-locally, so the operator
+    * scales with input partitions like any projection. */
+  def chunk(docs: DataFrame, id: String, text: String,
+            window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1,
+      s"window and stride must be >= 1, got window=$window stride=$stride")
+    docs.select(col(id), tokens(col(text)).as("_toks"))
+      .select(col(id), col("_toks"),
+        explode(when(size(col("_toks")) > 0,
+          sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("_start"))
+      .select(col(id),
+        (col("_start") / stride).cast("long").as("chunk_id"),
+        least(lit(window), size(col("_toks")) - col("_start"))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
+  /** Email-looking spans: local@domain.tld with the common local/domain
+    * character classes — deliberately simple so the Java and RE2 regex
+    * engines agree (no backtracking-only constructs). */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-looking spans: an optional +, then 8+ digits/dashes bounded by
+    * digits — matches +1-555-0042 without swallowing short numerics. */
+  val PhonePattern: String = "\\+?\\d[\\d-]{6,}\\d"
+
+  /** PII-style redaction: count and mask email- and phone-shaped spans —
+    * the scrubbing pass a training corpus gets before packing. Counts are
+    * taken on the raw text, then emails are masked before phones (the
+    * placeholders contain no digits, so the passes cannot interact). One
+    * codegen'd map stage, no shuffle. */
+  def redactPii(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id),
+      regexp_count(col(text), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col(text), lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col(text), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("redacted"))
+
   /** Document fingerprint: md5 of the normalized text (lowercased, whitespace
     * collapsed, punctuation stripped) — the exact-dedup key used by
     * Dedup.exactDedup. md5 is bit-identical across engines. */

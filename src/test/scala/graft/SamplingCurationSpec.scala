@@ -37,6 +37,37 @@ class SamplingCurationSpec extends SparkSpec {
     assert(ids(0.2).subsetOf(ids(0.8)))
   }
 
+  test("mixtureRepeat: whole epochs exact, fractional epochs deterministic") {
+    import org.apache.spark.sql.DataFrame
+    def copies(d: DataFrame) =
+      d.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // integer weights: exactly w copies, 0 drops the stratum entirely
+    val whole = Sampling.mixtureRepeat(docs, "lang", "doc_id",
+      Map("en" -> 2.0, "de" -> 0.0), 1.0, "w")
+    val langOf = docs.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val byId = copies(whole)
+    langOf.foreach { case (id, lang) =>
+      val expect = lang match { case "en" => Some(2L); case "de" => None; case _ => Some(1L) }
+      assert(byId.get(id) == expect, s"doc $id lang $lang")
+    }
+    // fractional weight 1.5: every row 1 or 2 copies, decision = the same
+    // md5 gate hashSample uses, so it is partitioning-independent
+    val frac = Sampling.mixtureRepeat(docs, "lang", "doc_id",
+      Map.empty, 1.5, "f")
+    val fracRe = Sampling.mixtureRepeat(docs.repartition(7), "lang", "doc_id",
+      Map.empty, 1.5, "f")
+    assert(copies(frac) == copies(fracRe))
+    assert(copies(frac).values.forall(c => c == 1L || c == 2L))
+    val extra = copies(frac).values.count(_ == 2L)
+    val n = langOf.size
+    assert(extra > n / 4 && extra < 3 * n / 4, s"$extra of $n at +0.5")
+    // copy ids are 0-based and dense
+    assert(whole.filter(col("lang") === "en").groupBy("doc_id")
+      .agg(collect_set(col("copy")).as("cs"))
+      .filter(not(col("cs") === array(lit(0L), lit(1L)) ||
+        col("cs") === array(lit(1L), lit(0L)))).count() == 0)
+  }
+
   test("tokenBudget keeps the best-priority prefix within the budget") {
     val scored = Seq(
       (1L, 10L, 0.9), (2L, 10L, 0.8), (3L, 10L, 0.7), (4L, 10L, 0.7), (5L, 10L, 0.1))

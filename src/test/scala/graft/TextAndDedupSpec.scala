@@ -89,6 +89,54 @@ class TextAndDedupSpec extends SparkSpec {
     assert(got == Seq(("the cat", 2L), ("cat ran", 1L), ("cat sat", 1L)))
   }
 
+  test("repetitionProfile: top-gram share, distinct ratio, short-doc edges") {
+    val docs = Seq(
+      (1L, "go go go go"),           // top bigram "go go" ×3 of 3 slots
+      (2L, "a b a b c"),             // "a b" ×2 of 4 slots, 3 distinct of 5
+      (3L, "one"),                   // no bigram slots
+      (4L, ""),                      // empty doc
+      (5L, "x y x z")                // tie (x y, y x, x z all ×1) → "x y"
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionProfile(docs, "doc_id", "text", 2)
+      .select("doc_id", "n_tokens", "n_grams", "top_gram", "top_gram_count",
+        "top_gram_share", "distinct_ratio")
+      .as[(Long, Long, Long, Option[String], Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 3L, Some("go go"), 3L, 1.0, 0.25)))
+    assert(got(2L) == ((2L, 5L, 4L, Some("a b"), 2L, 0.5, 0.6)))
+    assert(got(3L) == ((3L, 1L, 0L, None, 0L, 0.0, 1.0)))
+    assert(got(4L) == ((4L, 0L, 0L, None, 0L, 0.0, 0.0)))
+    // ties break toward the lexicographically smallest gram (oracle parity)
+    assert(got(5L) == ((5L, 4L, 3L, Some("x y"), 1L,
+      math.floor(1.0 / 3.0 * 1e6) / 1e6, 0.75)))
+  }
+
+  test("chunk: overlapping windows, short tail, empty doc emits nothing") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // window 3 stride 2 → starts 0,2,4,6
+      (2L, "a b"),                  // shorter than the window → one chunk
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunk(docs, "doc_id", "text", 3, 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 3L, "t0 t1 t2"), (1L, 1L, 3L, "t2 t3 t4"),
+      (1L, 2L, 3L, "t4 t5 t6"), (1L, 3L, 1L, "t6"),
+      (2L, 0L, 2L, "a b")))
+  }
+
+  test("redactPii counts and masks emails then phones, leaves clean text") {
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org or call +1-555-0042 today"),
+      (2L, "digits 1234 stay, 12-34 stays, no pii here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redactPii(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L,
+      "mail <EMAIL> and <EMAIL> or call <PHONE> today")))
+    assert(got(2L) == ((2L, 0L, 0L, "digits 1234 stay, 12-34 stays, no pii here")))
+  }
+
   test("dedupProfileApprox tracks the exact profile within the HLL error bound") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val rsd = 0.05
