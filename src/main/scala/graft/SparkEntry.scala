@@ -424,6 +424,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // skew-fallback salted join: events ⋈ customer on (user_id = c_custkey)
+    // with the hot left side salted 8 ways and the dim replicated ×8 —
+    // row-identical to the plain join (the oracle IS the plain join)
+    "q_salted_join" -> ((s, dir) =>
+      CoreOps.saltedJoin(Tables.events(s, dir), Tables.customer(s, dir),
+          "user_id", "c_custkey", "event_id", 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          CoreOps.exactSum(col("value")).as("total_value"))),
+    // per-event trailing feature windows: 1-hour and 1-day behavioral
+    // aggregates as of each event, one keyed exchange for both widths
+    "q_rolling_features" -> ((s, dir) =>
+      CoreOps.rollingFeatures(Tables.events(s, dir), "user_id", "ts", "value",
+          Seq(3600, 86400))
+        .select(col("event_id"), col("user_id"),
+          col("cnt_3600s"), col("sum_3600s"),
+          col("cnt_86400s"), col("sum_86400s"))),
+
     // ── extensions: multimodal binary columns ─────────────────────────────
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.imageMeta(
@@ -1116,6 +1134,27 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // the salted join must emit exactly the plain join's rows — the oracle
+    // is the UNSALTED join, so the whole salt/replicate/drop cycle is what
+    // gets hash-checked
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_rolling_features" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w1 AS cnt_3600s,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w1 AS DOUBLE) AS sum_3600s,
+        |  count(*) OVER w2 AS cnt_86400s,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w2 AS DOUBLE) AS sum_86400s
+        |FROM events
+        |WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |              RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |              RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_curate" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toksv FROM documents),

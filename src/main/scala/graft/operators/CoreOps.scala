@@ -236,6 +236,55 @@ object CoreOps {
       .filter(col("rank") <= k)
   }
 
+  /** Skew-hardened inner equi-join: a plain hash join sends every row of a
+    * hot key to one task; AQE's skew-join split fixes this for sort-merge
+    * joins it can re-plan, but not when the skewed stage is pinned (cached
+    * input, streaming foreachBatch, or a non-splittable partition). This is
+    * the explicit fallback: the left (big, skewed) side gets a deterministic
+    * salt in [0, salts) from md5 of its `rowTag` column, the right side is
+    * replicated ×salts with every salt value, and the join key becomes
+    * (key, salt) — a hot key now spreads over `salts` tasks. Replication
+    * multiplies the right side, so it suits joins whose right side is small
+    * enough to replicate but too big (or too pinned) to broadcast. Inner
+    * join only; emits exactly the plain join's rows (PropertySpec). */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 rowTag: String, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!(left.columns ++ right.columns).contains("_salt"),
+      "saltedJoin uses an internal '_salt' column; rename the input's first")
+    val l = left.withColumn("_salt",
+      pmod(graft.expressions.Md5Expressions.md5Int(col(rowTag).cast("string")),
+        lit(salts)))
+    val r = right.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, l(leftKey) === r(rightKey) && l("_salt") === r("_salt"))
+      .drop(l("_salt")).drop(r("_salt"))
+  }
+
+  /** Per-event trailing range-window features — the feature-engineering step
+    * of a behavioral pipeline ("this user's event count / value sum over the
+    * last N seconds, as of each event"). One hash exchange on the key plus a
+    * per-partition sort, shared by every requested window width; sums run in
+    * decimal so the result is identical under any within-frame order (ties
+    * at one timestamp are peers of a RANGE frame — both engines include the
+    * whole peer group, and decimal addition makes the total order-proof).
+    * Skew note: one partition per key value, like every keyed window — salt
+    * via the prefix-scan pattern (SCALE.md) if a key dominates. */
+  def rollingFeatures(df: DataFrame, key: String, ts: String, value: String,
+                      windowsSec: Seq[Int]): DataFrame = {
+    require(windowsSec.nonEmpty && windowsSec.forall(_ >= 1),
+      s"window widths must be >= 1s, got $windowsSec")
+    val ord = unix_millis(col(ts))
+    val feats = windowsSec.flatMap { w =>
+      val win = Window.partitionBy(col(key)).orderBy(ord)
+        .rangeBetween(-(w * 1000L - 1), Window.currentRow)
+      Seq(count(lit(1)).over(win).as(s"cnt_${w}s"),
+        sum(col(value).cast("decimal(18,2)")).over(win).cast("double")
+          .as(s"sum_${w}s"))
+    }
+    df.select(df.columns.map(col).toIndexedSeq ++ feats: _*)
+  }
+
   /** Globally-ordered prefix sum WITHOUT the single-task window: a plain
     * `Window.orderBy` with no partition moves every row to one task (the
     * classic scale-killer). Instead: deterministic range buckets over the

@@ -224,6 +224,24 @@ class CoreOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-N not pushed down:\n$plan")
   }
 
+  test("rollingFeatures: trailing range windows include peers, exact sums") {
+    // user 1: events at 0s, 30s, 3600s — the 3600s event's 1h window spans
+    // (0.999s, 3600s], so it sees the 30s event but NOT the 0s event
+    val df = ev((1, 0L, 1, "a", 1.10), (2, 30000L, 1, "a", 2.20),
+      (3, 3600000L, 1, "a", 4.40),
+      // user 2: two events at the SAME timestamp are RANGE peers — each
+      // sees both
+      (4, 5000L, 2, "a", 1.00), (5, 5000L, 2, "a", 2.00))
+    val got = CoreOps.rollingFeatures(df, "user_id", "ts", "value", Seq(3600))
+      .select("event_id", "cnt_3600s", "sum_3600s")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 1.10)))
+    assert(got(2L) == ((2L, 2L, 3.30)))
+    assert(got(3L) == ((3L, 2L, 6.60)))
+    assert(got(4L) == ((4L, 2L, 3.00)))
+    assert(got(5L) == ((5L, 2L, 3.00)))
+  }
+
   test("orderedPrefixSum rejects internal-name collisions and non-integral values") {
     val clash = Seq((1L, 2L, 3L)).toDF("id", "ord", "_local")
     val e1 = intercept[IllegalArgumentException] {

@@ -171,6 +171,32 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: saltedJoin emits exactly the plain inner join's rows") {
+    // skewed left keys (most rows hit key 0), duplicate keys on BOTH sides,
+    // and right keys that sometimes miss — the salt must never add, drop,
+    // or re-pair a row
+    val gen = for {
+      nl <- Gen.choose(1, 50)
+      lk <- Gen.listOfN(nl, Gen.frequency(6 -> Gen.const(0L), 4 -> Gen.choose(0L, 5L)))
+      nr <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(nr, for {
+        k <- Gen.choose(0L, 7L)
+        p <- Gen.choose(0L, 99L)
+      } yield (k, p))
+    } yield (lk.zipWithIndex.map { case (k, i) => (i.toLong, k) }, rows)
+    check(Prop.forAll(gen) { case (lrows, rrows) =>
+      val left = lrows.toDF("event_id", "k")
+      val right = rrows.toDF("rk", "payload")
+      val salted = CoreOps.saltedJoin(left, right, "k", "rk", "event_id", 4)
+        .select("event_id", "k", "rk", "payload")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val plain = left.join(right, col("k") === col("rk"))
+        .select("event_id", "k", "rk", "payload")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      salted == plain
+    })
+  }
+
   test("property: orderedPrefixSum equals the single-window global prefix sum (NULLs, ties)") {
     val gen = for {
       n <- Gen.choose(1, 60)
