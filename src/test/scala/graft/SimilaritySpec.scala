@@ -143,6 +143,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((2L, 1L, 0L))) // nearest in vec 2's own cell is vec 0
   }
 
+  test("sqEncode/sqDequant: int8 round trip within one quantization step") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sqBounds(df, "embedding", 4)
+    assert(mins == Seq(0.0, 0.0, 0.0, 0.0) && maxs == Seq(1.0, 1.0, 1.0, 0.0))
+    val enc = df.select(col("vec_id"),
+      Similarity.sqEncode(col("embedding"), mins, maxs).as("code"))
+    // codes are genuine TINYINT (1 byte/dim at rest)
+    assert(enc.schema("code").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
+    val codes = enc.as[(Long, Seq[Byte])].collect().toMap
+    assert(codes(0L) == Seq[Byte](127, -128, -128, -128)) // max→127, min→-128
+    // dequantized values sit within one step (span/255) of the input; the
+    // degenerate dim 3 (span 0) reconstructs exactly at its pinned value
+    val deq = df.select(col("vec_id"),
+        Similarity.sqDequant(
+          Similarity.sqEncode(col("embedding"), mins, maxs), mins, maxs).as("d"),
+        col("embedding"))
+      .as[(Long, Seq[Double], Seq[Float])].collect()
+    deq.foreach { case (_, d, orig) =>
+      d.zip(orig).zipWithIndex.foreach { case ((dv, ov), i) =>
+        val step = (maxs(i) - mins(i)) / 255.0
+        assert(math.abs(dv - ov) <= step + 1e-12, s"dim $i: $dv vs $ov")
+      }
+    }
+  }
+
+  test("sqTopK ranks like brute force when quantization error cannot flip ranks") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.sqTopK(df, df.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 2, 4)
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._3) == Seq(1L, 2L))
+  }
+
   test("cosineDupPairs reports each qualifying pair once with truncated score") {
     val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
