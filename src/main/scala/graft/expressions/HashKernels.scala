@@ -122,6 +122,57 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** One-pass repetition statistics over an (already normalized,
+    * single-space-separated) string: token count, distinct-token count, and
+    * the most frequent word k-gram with its count, ties broken toward the
+    * binary-smallest gram (≡ Spark's and DuckDB's default string order).
+    * Replaces an explode + two-shuffle groupBy pipeline with a per-row map:
+    * one token scan, one distinct set, one gram-count map, all over
+    * zero-copy views of the input buffer. Sub-k documents (and empty input)
+    * report a NULL top gram with count 0. */
+  def repetitionStats(norm: UTF8String, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = norm.getBytes
+    if (bytes.length == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, null, 0L))
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = bytes.length
+    val distinct = new java.util.HashSet[UTF8String]()
+    i = 0
+    while (i < nTok) {
+      distinct.add(UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i)))
+      i += 1
+    }
+    if (nTok < k)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nTok.toLong, distinct.size.toLong, null, 0L))
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var best: UTF8String = null
+    var bestC = 0
+    var s = 0
+    while (s <= nTok - k) {
+      val g = UTF8String.fromBytes(bytes, starts(s), ends(s + k - 1) - starts(s))
+      val prev = counts.get(g)
+      val c = if (prev == null) 1 else prev + 1
+      counts.put(g, c)
+      if (c > bestC || (c == bestC && g.compareTo(best) < 0)) { best = g; bestC = c }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok.toLong, distinct.size.toLong, best, bestC.toLong))
+  }
+
   private def isAsciiSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
@@ -481,6 +532,26 @@ case class ContainmentDistinct(left: Expression, right: Expression)
   override def prettyName: String = "graft_containment_distinct"
 }
 
+/** string → struct(n_tokens, n_distinct, top_gram, top_count): one-pass
+  * per-document repetition statistics — see HashKernels.repetitionStats. */
+case class RepetitionStats(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "gram size must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_gram", StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("top_count", LongType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.repetitionStats(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.repetitionStats($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_repetition_stats"
+}
+
 /** array<long> → long: single-pass 60-bit SimHash sign vote. */
 case class SimhashVote(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -515,6 +586,8 @@ object HashKernelExpressions {
     GraftColumnBridge.column(MinhashSignature(GraftColumnBridge.expression(hashes), n))
   def simhashVote(hashes: Column): Column =
     GraftColumnBridge.column(SimhashVote(GraftColumnBridge.expression(hashes)))
+  def repetitionStats(norm: Column, k: Int): Column =
+    GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(norm), k))
   def winnowSelect(hashes: Column, w: Int): Column =
     GraftColumnBridge.column(WinnowSelect(GraftColumnBridge.expression(hashes), w))
   def jaccardDistinct(a: Column, b: Column): Column =

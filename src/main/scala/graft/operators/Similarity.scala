@@ -323,20 +323,40 @@ object Similarity {
     })
   }
 
-  /** Top-k search over the QUANTIZED corpus: encode → dequantize is staged
-    * as its own projection below the join (the interpreted HOF pair runs
-    * once per corpus row — the staging discipline every kernel caller here
-    * follows), and the per-pair score is the native DotFold kernel against
-    * the broadcast query vectors. At 100 TB this is the memory-footprint
-    * path: the corpus rides in RAM/cache at 1 byte per dimension and only
-    * dequantizes on the fly, trading ~0.4% per-dim quantization error for
-    * 4× more corpus per executor. Bounds come from one O(dims) training
-    * aggregate at plan time (like runningSumAuto's profiling pass). */
+  /** Fused encode → int8 round trip → decode in ONE per-dimension lambda.
+    * Composing sqDequant(sqEncode(...)) — even across two selects — is an
+    * O(dims²) trap: CollapseProject merges the projections and the whole
+    * 64-dim encode re-inlines under every element_at of the dequant lambda
+    * (measured: 20× the fused form at sf0.1). Here each dimension's code is
+    * computed and consumed once, with arithmetic IDENTICAL to the
+    * sqEncode/sqDequant pair (same clamp, same TINYINT cast, same factor
+    * order), so the oracle and the storage-facing pair stay in sync. */
+  def sqReconstruct(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mn = typedlit(mins); val mx = typedlit(maxs)
+    transform(sequence(lit(0), lit(mins.size - 1)), i => {
+      val v = element_at(vec, i + 1).cast("double")
+      val lo = element_at(mn, i + 1)
+      val span = element_at(mx, i + 1) - lo
+      val code = (when(span > 0,
+        least(lit(255L), greatest(lit(0L), floor((v - lo) / span * 255))))
+        .otherwise(lit(0L)) - 128).cast("tinyint")
+      lo + (code.cast("double") + 128.0d) * (span / 255.0d)
+    })
+  }
+
+  /** Top-k search over the QUANTIZED corpus: the fused reconstruct runs as
+    * its own projection below the join (once per corpus row), and the
+    * per-pair score is the native DotFold kernel against the broadcast
+    * query vectors. At 100 TB this is the memory-footprint path: the corpus
+    * rides in RAM/cache at 1 byte per dimension (sqEncode) and dequantizes
+    * on the fly, trading ~0.4% per-dim quantization error for 4× more
+    * corpus per executor. Bounds come from one O(dims) training aggregate
+    * at plan time (like runningSumAuto's profiling pass). */
   def sqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
              k: Int, dims: Int): DataFrame = {
     val (mins, maxs) = sqBounds(corpus, vec, dims)
-    val enc = corpus.select(col(id).as("neighbor_id"),
-      sqDequant(sqEncode(col(vec), mins, maxs), mins, maxs).as("deq"))
+    val enc = corpus
+      .select(col(id).as("neighbor_id"), sqReconstruct(col(vec), mins, maxs).as("deq"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))

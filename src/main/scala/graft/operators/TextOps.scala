@@ -121,6 +121,28 @@ object TextOps {
   def repetitionProfile(docs: DataFrame, id: String, text: String,
                         n: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val st = docs.select(col(id),
+      graft.expressions.HashKernelExpressions
+        .repetitionStats(normalized(col(text)), n).as("_r"))
+    val nTokens = col("_r.n_tokens")
+    val slots = greatest(nTokens - (n - 1), lit(0L))
+    st.select(col(id), nTokens.as("n_tokens"), slots.as("n_grams"),
+      col("_r.top_gram").as("top_gram"),
+      col("_r.top_count").as("top_gram_count"),
+      when(slots > 0,
+        trunc6(col("_r.top_count").cast("double") / slots.cast("double")))
+        .otherwise(lit(0.0)).as("top_gram_share"),
+      when(nTokens > 0,
+        trunc6(col("_r.n_distinct").cast("double") / nTokens.cast("double")))
+        .otherwise(lit(0.0)).as("distinct_ratio"))
+  }
+
+  /** Interpreted explode + two-shuffle groupBy form of repetitionProfile —
+    * the RepetitionStats kernel's parity oracle (it mirrors the DuckDB
+    * oracle SQL's window shape). Kept private: the kernel form is a
+    * zero-shuffle map stage, this one ships every gram through an exchange. */
+  private[graft] def repetitionProfileColumnForm(docs: DataFrame, id: String,
+                                                text: String, n: Int): DataFrame = {
     val tk = docs.select(col(id),
       graft.expressions.HashKernelExpressions
         .shingleStrings(normalized(col(text)), n).as("_grams"),

@@ -169,6 +169,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sqReconstruct is bit-identical to the staged sqDequant(sqEncode) pair") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (mins, maxs) = Similarity.sqBounds(emb, "embedding", 64)
+    val staged = emb.select(col("vec_id"),
+        Similarity.sqEncode(col("embedding"), mins, maxs).as("c"))
+      .select(col("vec_id"), Similarity.sqDequant(col("c"), mins, maxs).as("d"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val fused = emb.select(col("vec_id"),
+        Similarity.sqReconstruct(col("embedding"), mins, maxs).as("d"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(staged.keySet == fused.keySet)
+    staged.foreach { case (id, d) => assert(d == fused(id), s"vec $id") }
+  }
+
   test("sqTopK ranks like brute force when quantization error cannot flip ranks") {
     val df = vecs.toDF("vec_id", "embedding")
     val got = Similarity.sqTopK(df, df.filter(col("vec_id") === 0),

@@ -111,6 +111,19 @@ class TextAndDedupSpec extends SparkSpec {
       math.floor(1.0 / 3.0 * 1e6) / 1e6, 0.75)))
   }
 
+  test("repetitionProfile kernel matches the exploded Column form on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Option[String], Long, Double, Double)].collect().toSet
+    val kernel = rows(TextOps.repetitionProfile(docs, "doc_id", "text", 2))
+    val column = rows(TextOps.repetitionProfileColumnForm(docs, "doc_id", "text", 2))
+    assert(kernel == column)
+    // and for trigrams (different slot count and tie population)
+    val k3 = rows(TextOps.repetitionProfile(docs, "doc_id", "text", 3))
+    val c3 = rows(TextOps.repetitionProfileColumnForm(docs, "doc_id", "text", 3))
+    assert(k3 == c3)
+  }
+
   test("chunk: overlapping windows, short tail, empty doc emits nothing") {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6"), // window 3 stride 2 → starts 0,2,4,6
