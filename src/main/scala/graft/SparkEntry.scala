@@ -450,6 +450,26 @@ object SparkEntry {
           col("cnt_3600s"), col("sum_3600s"),
           col("cnt_86400s"), col("sum_86400s"))),
 
+    // pivot: one count column per event type, one hash agg (the explicit
+    // value list keeps the schema static — mandatory on a stream, and at
+    // scale it skips the extra distinct-values job)
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)),
+    // rollup: revenue at (returnflag, linestatus), per-flag subtotal, grand
+    // total in ONE pass — Spark expands grouping sets inside a single
+    // partial-agg'd exchange instead of three scans
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n_items"),
+          CoreOps.exactSum(col("l_extendedprice")).as("revenue"))),
+
     // ── extensions: multimodal binary columns ─────────────────────────────
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.imageMeta(
@@ -1181,6 +1201,23 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag)::BIGINT AS g_flag,
+        |  GROUPING(l_linestatus)::BIGINT AS g_status,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_rolling_features" ->
       """SELECT event_id, user_id,

@@ -138,7 +138,13 @@ object GraftExtensions {
     "graft_containment_distinct" ->
       ("graft_containment_distinct(a, b) - containment |a∩b|/|b| of two array<bigint> in one pass " +
         "(the decontamination metric: how much of b appears in a; 0.0 when b is empty). " +
-        "PRECONDITION: each array's elements must be distinct (wrap with array_distinct otherwise)."))
+        "PRECONDITION: each array's elements must be distinct (wrap with array_distinct otherwise)."),
+    "graft_repetition_stats" ->
+      ("graft_repetition_stats(norm, k) - struct(n_tokens, n_distinct, top_gram, top_count): " +
+        "one-pass token count, distinct-token count and most frequent word k-gram " +
+        "(ties break to the binary-smallest gram; NULL top_gram below k tokens). " +
+        "PRECONDITION: `norm` must be normalized text — trimmed, single-space-separated " +
+        "(as TextOps.normalized produces); raw whitespace creates empty tokens."))
 
   /** The injected function surface, exposed so tests can register the exact
     * same builders into a plain function registry. */
@@ -160,5 +166,7 @@ object GraftExtensions {
     "graft_dot_fold" -> (classOf[DotFold], (args: Seq[Expression]) =>
       DotFold(args.head, args(1))),
     "graft_containment_distinct" -> (classOf[ContainmentDistinct], (args: Seq[Expression]) =>
-      ContainmentDistinct(args.head, args(1))))
+      ContainmentDistinct(args.head, args(1))),
+    "graft_repetition_stats" -> (classOf[RepetitionStats], (args: Seq[Expression]) =>
+      RepetitionStats(args.head, intArg(args(1), "graft_repetition_stats"))))
 }

@@ -54,6 +54,18 @@ class Md5ExprSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("graft_repetition_stats resolves through its SQL builder with a literal k") {
+    val s2 = spark.newSession()
+    val (_, builder) = graft.expressions.GraftExtensions.builders("graft_repetition_stats")
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_repetition_stats", args => builder(args), "built-in")
+    val r = s2.sql("SELECT graft_repetition_stats('go go go', 2) AS r")
+      .selectExpr("r.n_tokens", "r.n_distinct", "r.top_gram", "r.top_count")
+      .collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1 &&
+      r.getString(2) == "go go" && r.getLong(3) == 2)
+  }
+
   test("every injected SQL function documents its usage (preconditions included)") {
     val usage = graft.expressions.GraftExtensions.usage
     graft.expressions.GraftExtensions.builders.keys.foreach { name =>
