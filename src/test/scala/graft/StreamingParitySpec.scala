@@ -120,6 +120,36 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunk and redactPii run unchanged on a stream (stateless map parity)") {
+    val rows1 = Seq((1L, "t0 t1 t2 t3 t4 mail a@b.co"), (2L, ""))
+    val rows2 = Seq((3L, "x y z"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // the operators are pure map stages, so the SAME code object accepts a
+    // streaming frame — no twin needed
+    val chunked = graft.operators.TextOps.chunk(stream, "doc_id", "text", 3, 2)
+    val redacted = graft.operators.TextOps.redactPii(stream, "doc_id", "text")
+    val q1 = chunked.writeStream.format("memory").queryName("chunk_sink")
+      .outputMode("append").start()
+    val q2 = redacted.writeStream.format("memory").queryName("redact_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(rows1); q1.processAllAvailable(); q2.processAllAvailable()
+      input.addData(rows2); q1.processAllAvailable(); q2.processAllAvailable()
+      val all = (rows1 ++ rows2).toDF("doc_id", "text")
+      val expChunks = graft.operators.TextOps.chunk(all, "doc_id", "text", 3, 2)
+        .as[(Long, Long, Long, String)].collect().toSet
+      val gotChunks = spark.table("chunk_sink")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(gotChunks == expChunks)
+      val expRed = graft.operators.TextOps.redactPii(all, "doc_id", "text")
+        .as[(Long, Long, Long, String)].collect().toSet
+      val gotRed = spark.table("redact_sink")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(gotRed == expRed)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("state TTL expires idle keys and leaves live keys' emission unchanged") {
     // With ProcessingTimeTimeout the engine keeps constructing wall-clock
     // batches, so processAllAvailable never latches "no new data" — the test
