@@ -340,6 +340,14 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 64), trained,
         "vec_id", "embedding", 3, IvfNprobe)
     }),
+    // product-quantized search: the deep-compression rung — 4 codebooks
+    // trained with the SAME deterministic Lloyd's runs as the IVF tier on
+    // 16-dim slices, corpus reconstructed per subspace in one kernel pass
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5, EmbDims, PqM, IvfNlist, IvfIters)
+    }),
     // int8 scalar-quantized search: the memory-footprint path — corpus at
     // 1 byte/dim (4× vs float32), dequantized on the fly, scored with the
     // native DotFold kernel against broadcast queries
@@ -499,6 +507,7 @@ object SparkEntry {
   private val EmbDims = 64; private val LshPlanes = 8; private val LshTables = 2
   private val IvfNlist = 8; private val IvfNprobe = 2; private val IvfIters = 2
   private val IvfSampleMod = 4 // k-means trains on ~1/4 of the corpus + seeds
+  private val PqM = 4 // PQ subspaces (EmbDims/PqM dims each, IvfNlist cells)
   private val ChunkWindow = 40; private val ChunkStride = 30
 
   /** Deterministic out-of-order arrival simulation for the E6 twins: each
@@ -654,6 +663,54 @@ object SparkEntry {
     * smaller-cell tiebreak, then per-cell element-wise means folded in
     * sorted-id member order (list(… ORDER BY id) + sequential list_reduce),
     * so every double matches Spark bit-for-bit. */
+  /** PQ chain: one sliced k-means CTE chain per subspace (same shape as
+    * sqlKmeansCtesOver, with every vector access offset into its slice),
+    * then per-subspace nearest-centroid assignment, reconstruction by list
+    * concatenation, and full-dimension fold scoring — mirrors
+    * Similarity.pqTopK / VectorKernels.pqReconstruct stage for stage. */
+  private def sqlPqCtes: String = {
+    val sub = EmbDims / PqM
+    def dot2(x: String, xo: Int, y: String, yo: Int) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$x[$xo + i + 1]::DOUBLE * " +
+        s"$y[$yo + i + 1]::DOUBLE for i in range(0,$sub)]), (p,q) -> p+q)"
+    def cosSlice(x: String, xo: Int, y: String) =
+      s"${dot2(x, xo, y, 0)} / (sqrt(${dot2(x, xo, x, xo)}) * sqrt(${dot2(y, 0, y, 0)}))"
+    val chains = (0 until PqM).map { mi =>
+      val off = mi * sub
+      val init = s"cent0_m$mi AS (SELECT vec_id AS cell_id, " +
+        s"[embedding[$off+d+1]::DOUBLE for d in range(0,$sub)] AS cvec " +
+        s"FROM embeddings WHERE vec_id < $IvfNlist)"
+      val rounds = (1 to IvfIters).map { t =>
+        val prev = s"cent${t - 1}_m$mi"
+        s"""asg${t}_m$mi AS (SELECT id, cell_id, vec FROM (
+           |  SELECT e.vec_id AS id, c.cell_id, e.embedding AS vec,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSlice("e.embedding", off, "c.cvec")} DESC, c.cell_id) AS rn
+           |  FROM embeddings e, $prev c) WHERE rn = 1),
+           |mem${t}_m$mi AS (SELECT cell_id, list(vec ORDER BY id) AS vs
+           |                 FROM asg${t}_m$mi GROUP BY cell_id),
+           |cent${t}_m$mi AS (SELECT cell_id,
+           |  [list_reduce(list_prepend(0.0::DOUBLE,
+           |     [vs[m][$off+d+1]::DOUBLE for m in range(1, len(vs)+1)]), (a,b) -> a+b)
+           |   / len(vs)::DOUBLE for d in range(0,$sub)] AS cvec FROM mem${t}_m$mi)""".stripMargin
+      }
+      (init +: rounds).mkString(",\n")
+    }
+    val encs = (0 until PqM).map { mi =>
+      val off = mi * sub
+      s"""enc_m$mi AS (SELECT vec_id, cvec FROM (
+         |  SELECT e.vec_id, c.cvec,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSlice("e.embedding", off, "c.cvec")} DESC, c.cell_id) AS rn
+         |  FROM embeddings e, cent${IvfIters}_m$mi c) WHERE rn = 1)""".stripMargin
+    }
+    val recon = s"recon AS (SELECT e0.vec_id, " +
+      (0 until PqM).map(mi => s"e$mi.cvec").mkString(" || ") +
+      " AS rv FROM enc_m0 e0 " +
+      (1 until PqM).map(mi => s"JOIN enc_m$mi e$mi USING (vec_id)").mkString(" ") + ")"
+    (chains ++ encs :+ recon).mkString(",\n")
+  }
+
   private def sqlKmeansCtes: String = sqlKmeansCtesOver("embeddings")
 
   /** Same k-means chain trained over an arbitrary source relation (the
@@ -984,6 +1041,19 @@ object SparkEntry {
     "q_minhash_pairs" ->
       s"""WITH $sqlMinhashCtes
          |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5""".stripMargin,
+
+    "q_pq_topk" ->
+      s"""WITH $sqlPqCtes,
+         |s AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |        list_reduce(list_prepend(0.0::DOUBLE,
+         |          [r.rv[i+1] * q.embedding[i+1]::DOUBLE for i in range(0, $EmbDims)]),
+         |          (p, q) -> p + q) AS score
+         |      FROM recon r, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+         |      WHERE r.vec_id <> q.vec_id),
+         |rk AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= 5""".stripMargin,
 
     // mirrors sqEncode/sqDequant arithmetic token-for-token: the TINYINT
     // round trip, the clamp, and the (span/255) factor are all inside the

@@ -35,6 +35,56 @@ object VectorKernels {
     java.lang.Double.valueOf(s)
   }
 
+  /** Product-quantization reconstruct: for each subspace, pick the codebook
+    * centroid with the highest cosine against the vector's slice (sequential
+    * fold, same operand order as dotFold; ties toward the smallest cell id —
+    * iterating cells in ascending id order with a strict > keeps the first)
+    * and copy it into the output — the decode-side of PQ encoding fused into
+    * one pass, like Similarity.sqReconstruct. `codebooks(m)` holds subspace
+    * m's surviving (cellId-ascending) centroids; all centroids of a subspace
+    * share the slice width. Null elements or a width mismatch null the whole
+    * reconstruction (the Column consumers treat that as a dropped row). */
+  def pqReconstruct(vec: ArrayData,
+                    codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    if (vec.numElements() != m * sub) return null
+    val out = new Array[Double](m * sub)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * sub
+      var na = 0.0d
+      var j = 0
+      while (j < sub) {
+        if (vec.isNullAt(off + j)) return null
+        val v = vec.getDouble(off + j)
+        na += v * v
+        j += 1
+      }
+      val cells = codebooks(mi)
+      var best = -1
+      var bestCos = 0.0d
+      var c = 0
+      while (c < cells.length) {
+        val cb = cells(c)
+        var dot = 0.0d
+        var nb = 0.0d
+        j = 0
+        while (j < sub) {
+          dot += vec.getDouble(off + j) * cb(j)
+          nb += cb(j) * cb(j)
+          j += 1
+        }
+        val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (best == -1 || cos > bestCos) { best = c; bestCos = cos }
+        c += 1
+      }
+      System.arraycopy(cells(best), 0, out, off, sub)
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Whole hyperplane signature in one pass: bit p is set iff the sequential
     * fold of vec·plane_p is >= 0 — ≡ the per-plane
     * when(aggregate(zip_with(...)) >= 0, 1L << p) bits OR'd together. A null
@@ -106,6 +156,34 @@ case class HyperplaneSigExpr(child: Expression, planes: Seq[Seq[Double]])
   override def prettyName: String = "graft_hyperplane_sig"
 }
 
+/** array<double> → array<double>: per-subspace nearest-codebook-centroid
+  * reconstruction — see VectorKernels.pqReconstruct. Codebooks ride into
+  * generated code as a reference object like HyperplaneSigExpr's planes. */
+case class PqReconstructExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "every subspace needs at least one centroid")
+  @transient private lazy val cbs: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.pqReconstruct(input.asInstanceOf[ArrayData], cbs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCodebooks", cbs, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.expressions.VectorKernels.pqReconstruct($v, $ref);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqReconstructExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_reconstruct"
+}
+
 object VectorKernelExpressions {
   private def asDoubles(c: Column): Column = c.cast("array<double>")
   /** Column wrappers; float arrays are widened to double (exact) up front so
@@ -117,4 +195,7 @@ object VectorKernelExpressions {
   def hyperplaneSig(vec: Column, planes: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(HyperplaneSigExpr(
       GraftColumnBridge.expression(asDoubles(vec)), planes))
+  def pqReconstruct(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    GraftColumnBridge.column(PqReconstructExpr(
+      GraftColumnBridge.expression(asDoubles(vec)), codebooks))
 }

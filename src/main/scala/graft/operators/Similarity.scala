@@ -367,6 +367,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  // ── product quantization: per-subspace codebook compression ────────────
+
+  /** Train one codebook per subspace: the embedding is cut into `m`
+    * contiguous slices of dims/m dimensions, and each slice space gets its
+    * own deterministic Lloyd's run (the SAME kmeansCentroids every IVF
+    * query uses, on a sliced projection — so the per-subspace chains are
+    * oracle-reproducible CTE-for-CTE). Returns, per subspace, the surviving
+    * centroids in ascending cell-id order (a cell can lose all members).
+    * O(m · k · dims/m) doubles to the driver — the codebooks are the
+    * point: m bytes per vector replace dims floats downstream. */
+  def pqCodebooks(emb: DataFrame, id: String, vec: String, dims: Int,
+                  m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    (0 until m).map { mi =>
+      val slicedEmb = emb.select(col(id), slice(col(vec), mi * sub + 1, sub).as(vec))
+      kmeansCentroids(slicedEmb, id, vec, sub, k, iters)
+        .orderBy(col(id))
+        .select(col(vec))
+        .collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+    }
+  }
+
+  /** Top-k search over the PQ-RECONSTRUCTED corpus: each vector is replaced
+    * by the concatenation of its nearest codebook centroid per subspace
+    * (one fused kernel pass — encode and decode never materialize an
+    * intermediate code column in the query; the `m`-byte codes are the
+    * at-rest artifact), then scored with the native DotFold kernel against
+    * the broadcast queries. At 100 TB this is the ANN memory ladder's next
+    * rung below int8: m bytes per vector (e.g. 4 vs 64 floats = 64×) at the
+    * cost of coarser score quantization. Training cost is m sliced Lloyd's
+    * runs at plan time; use the md5-sampled trainer corpus for the 100 TB
+    * path like q_ivf_trained_sample. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             k: Int, dims: Int, m: Int, kCent: Int, iters: Int): DataFrame = {
+    val cbs = pqCodebooks(corpus, id, vec, dims, m, kCent, iters)
+    val enc = corpus.select(col(id).as("neighbor_id"),
+      graft.expressions.VectorKernelExpressions
+        .pqReconstruct(col(vec), cbs).as("recon"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    enc.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", dot(col("recon"), col("q_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed so only bucket-mates are compared. */
   def cosineDupPairs(emb: DataFrame, id: String, vec: String, dims: Int,

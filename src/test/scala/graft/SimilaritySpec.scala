@@ -191,6 +191,43 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3) == Seq(1L, 2L))
   }
 
+  test("pqReconstruct snaps each slice to its nearest centroid, ties to first") {
+    import graft.expressions.VectorKernelExpressions
+    // subspace 0: centroids along x and y; subspace 1: two diagonal cells
+    val cbs: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq(Seq(1.0, 1.0), Seq(-1.0, 1.0)))
+    val df = Seq(
+      (1L, Seq(0.9f, 0.1f, 2.0f, 2.1f)),  // → x-centroid, then (1,1)
+      (2L, Seq(0.1f, 0.9f, -3.0f, 3.0f))) // → y-centroid, then (-1,1)
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        VectorKernelExpressions.pqReconstruct(col("embedding"), cbs).as("r"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq(1.0, 0.0, 1.0, 1.0))
+    assert(got(2L) == Seq(0.0, 1.0, -1.0, 1.0))
+    // a cosine tie (45° between the two subspace-0 centroids) keeps the
+    // FIRST (smallest cell id) centroid — the oracle's row_number tiebreak
+    val tie = Seq((3L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val t = tie.select(VectorKernelExpressions.pqReconstruct(col("embedding"), cbs))
+      .as[Seq[Double]].head()
+    assert(t.take(2) == Seq(1.0, 0.0))
+  }
+
+  test("pqCodebooks trains one codebook per subspace; pqTopK keeps the planted neighbor") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", 64, 4, 8, 1)
+    assert(cbs.size == 4)
+    cbs.foreach { cb =>
+      assert(cb.nonEmpty && cb.size <= 8)
+      cb.foreach(c => assert(c.size == 16))
+    }
+    val got = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 2),
+        "vec_id", "embedding", 5, 64, 4, 8, 1)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 5L, 1L -> 5L))
+  }
+
   test("cosineDupPairs reports each qualifying pair once with truncated score") {
     val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
