@@ -342,12 +342,26 @@ object SparkEntry {
     }),
     // product-quantized search: the deep-compression rung — 4 codebooks
     // trained with the SAME deterministic Lloyd's runs as the IVF tier on
-    // 16-dim slices, corpus reconstructed per subspace in one kernel pass
-    "q_pq_topk" -> ((s, dir) => {
+    // 16-dim slices, corpus reconstructed per subspace in one kernel pass.
+    // Shares ONE persisted result frame with q_pq_recall (pqTopKShared), so
+    // the codebook training runs once per Verify/Bench run
+    "q_pq_topk" -> ((s, dir) => pqTopKShared(s, dir)),
+    // recall@5 of the PQ search vs exact brute force — the quality gauge
+    // published next to the compression ratio; all 8 queries' exact
+    // neighbor sets come from the same broadcast brute-force pass
+    "q_pq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", 5, EmbDims, PqM, IvfNlist, IvfIters)
+      Similarity.recallAtK(
+        pqTopKShared(s, dir),
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5),
+        "query_id", "neighbor_id", 5)
     }),
+    // exact per-stratum quota: 20 docs per lang in deterministic md5 draw
+    // order (WindowGroupLimit — no group's full ranking materializes)
+    "q_quota_sample" -> ((s, dir) =>
+      Sampling.quotaSample(Tables.documents(s, dir), "lang", "doc_id", 20, "q")
+        .select(col("lang"), col("rank"), col("doc_id"))),
     // int8 scalar-quantized search: the memory-footprint path — corpus at
     // 1 byte/dim (4× vs float32), dequantized on the fly, scored with the
     // native DotFold kernel against broadcast queries
@@ -544,6 +558,19 @@ object SparkEntry {
     memoPersist(pairsCache, s, dir)(
       Dedup.lshJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         MhK, MhBands, MhRows, 0.5))
+
+  /** q_pq_topk and q_pq_recall are views over the same PQ search result —
+    * memoized like nearDupPairs so the 4 × IvfIters codebook training rounds
+    * run once per Verify/Bench run. Same BENCH caveat: the pair's per-query
+    * timings share one materialization. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def pqTopKShared(s: SparkSession, dir: String): DataFrame =
+    memoPersist(pqCache, s, dir)({
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5, EmbDims, PqM, IvfNlist, IvfIters)
+    })
 
   /** Memoize-and-persist with eviction when the owning session's application
     * ends, so stopped sessions don't stay strongly referenced in long-lived
@@ -1054,6 +1081,38 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id
          |          ORDER BY score DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= 5""".stripMargin,
+
+    "q_pq_recall" ->
+      s"""WITH $sqlPqCtes,
+         |s AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |        list_reduce(list_prepend(0.0::DOUBLE,
+         |          [r.rv[i+1] * q.embedding[i+1]::DOUBLE for i in range(0, $EmbDims)]),
+         |          (p, q) -> p + q) AS score
+         |      FROM recon r, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+         |      WHERE r.vec_id <> q.vec_id),
+         |pq AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5),
+         |bs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |        ${sqlCosine("q.embedding", "e.embedding")} AS score
+         |      FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+         |      WHERE e.vec_id <> q.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM bs) WHERE rank <= 5)
+         |SELECT ex.query_id,
+         |  (SUM(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5) AS recall
+         |FROM ex LEFT JOIN pq ON ex.query_id = pq.query_id
+         |  AND ex.neighbor_id = pq.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin,
+
+    "q_quota_sample" ->
+      s"""SELECT lang, rank, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${sqlMd5Int("(doc_id::VARCHAR || 'q')")} DESC, doc_id) AS rank
+         |  FROM documents)
+         |WHERE rank <= 20""".stripMargin,
 
     // mirrors sqEncode/sqDequant arithmetic token-for-token: the TINYINT
     // round trip, the clamp, and the (span/255) factor are all inside the

@@ -50,6 +50,18 @@ object Sampling {
     df.filter(keyHash(col(id), salt) < cutoff)
   }
 
+  /** Per-group QUOTA sampling: exactly `n` rows per stratum (fewer when the
+    * stratum is smaller), drawn in deterministic md5 order — "keep 1000
+    * documents per source" where the rate-based samplers can't promise a
+    * count. Composes CoreOps.groupTopK, so it compiles to WindowGroupLimit:
+    * each task retains at most n rows per group before the exchange, and no
+    * group's full ranking materializes. Emits `rank` (1-based draw order) —
+    * nested quotas (a smaller n under the same salt) are prefixes of larger
+    * ones, the same auditability hashSample gives rates. */
+  def quotaSample(df: DataFrame, stratum: String, id: String, n: Int,
+                  salt: String = ""): DataFrame =
+    CoreOps.groupTopK(df, Seq(stratum), keyHash(col(id), salt), id, n)
+
   /** Fractional repeat-factor mixing — the "epochs per domain" step of an
     * LLM data mixture (e.g. code ×2.5, web ×0.3): each row is emitted
     * `floor(weight)` times, plus one more iff md5(id || salt) falls under

@@ -367,6 +367,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * quality gauge every compressed/bucketed ANN tier should publish next
+    * to its speed. Both inputs are (query, neighbor) frames (rank columns
+    * ignored); output is one row per exact-side query with the fraction of
+    * its exact neighbors the approximate search recovered. One equi-join on
+    * (query, neighbor) + one tiny aggregate — O(queries · k) rows end to
+    * end, independent of corpus size. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, query: String,
+                neighbor: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    exact.select(col(query), col(neighbor))
+      .join(approx.select(col(query), col(neighbor)).withColumn("_hit", lit(1)),
+        Seq(query, neighbor), "left")
+      .groupBy(col(query))
+      .agg((sum(coalesce(col("_hit"), lit(0))).cast("double") / k).as("recall"))
+  }
+
   // ── product quantization: per-subspace codebook compression ────────────
 
   /** Train one codebook per subspace: the embedding is cut into `m`

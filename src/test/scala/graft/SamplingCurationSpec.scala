@@ -37,6 +37,22 @@ class SamplingCurationSpec extends SparkSpec {
     assert(ids(0.2).subsetOf(ids(0.8)))
   }
 
+  test("quotaSample: exact per-stratum counts, nested prefixes, group-limit plan") {
+    val q10 = Sampling.quotaSample(docs, "lang", "doc_id", 10, "t")
+    val counts = q10.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val strataSizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    strataSizes.foreach { case (lang, n) =>
+      assert(counts(lang) == math.min(10L, n), s"$lang: ${counts(lang)}")
+    }
+    // a smaller quota under the same salt is a prefix of the larger draw
+    val q5 = Sampling.quotaSample(docs, "lang", "doc_id", 5, "t")
+      .select("doc_id").as[Long].collect().toSet
+    val q10ids = q10.select("doc_id").as[Long].collect().toSet
+    assert(q5.subsetOf(q10ids))
+    val plan = q10.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"per-group limit not pushed:\n$plan")
+  }
+
   test("mixtureRepeat: whole epochs exact, fractional epochs deterministic") {
     import org.apache.spark.sql.DataFrame
     def copies(d: DataFrame) =

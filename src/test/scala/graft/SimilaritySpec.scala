@@ -228,6 +228,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(0L -> 5L, 1L -> 5L))
   }
 
+  test("recallAtK counts recovered exact neighbors per query") {
+    val exact = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 4L), (20L, 5L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((10L, 2L), (10L, 3L), (10L, 9L), (20L, 7L), (20L, 8L), (20L, 9L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact, "query_id", "neighbor_id", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(10L -> (2.0 / 3), 20L -> 0.0))
+  }
+
   test("cosineDupPairs reports each qualifying pair once with truncated score") {
     val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
