@@ -472,6 +472,13 @@ object SparkEntry {
           col("cnt_3600s"), col("sum_3600s"),
           col("cnt_86400s"), col("sum_86400s"))),
 
+    // staged conversion funnel: users whose earliest view precedes a later
+    // click precedes a later purchase, with the stage times — every join
+    // lands on the same user_id partitioning
+    "q_funnel" -> ((s, dir) =>
+      CoreOps.funnel(Tables.events(s, dir), "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))),
     // pivot: one count column per event type, one hash agg (the explicit
     // value list keeps the schema static — mandatory on a stream, and at
     // scale it skips the extra distinct-values job)
@@ -1330,6 +1337,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.t0, min(epoch_ms(e.ts)) AS t1
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t0
+        |      GROUP BY e.user_id, v.t0)
+        |SELECT e.user_id, c.t0, c.t1, min(epoch_ms(e.ts)) AS t2
+        |FROM events e JOIN c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t1
+        |GROUP BY e.user_id, c.t0, c.t1""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

@@ -236,6 +236,37 @@ object CoreOps {
       .filter(col("rank") <= k)
   }
 
+  /** Staged conversion funnel — "users who did A, then B after A, then C
+    * after B", with each key's earliest completion time per stage. Stage i
+    * is satisfied by the key's EARLIEST event matching predicate i that is
+    * strictly later than its stage-(i−1) time, so out-of-order occurrences
+    * (a purchase before any view) don't count. Emits one row per key that
+    * completes ALL stages, with epoch-ms stage times `t0..t{n-1}` (partial
+    * funnels are the complement on t0's stage — compute them by running a
+    * prefix of `stages`).
+    *
+    * Shape: one filtered min-aggregate per stage, each joined to the
+    * running result ON THE KEY — every shuffle lands on the same uniform
+    * key partitioning, so AQE reuses the exchange and the whole funnel is
+    * stages × (map + co-partitioned join + partial agg). No window over
+    * per-key event lists, no collect of event sequences — the funnel state
+    * per key is just the stage timestamps. */
+  def funnel(df: DataFrame, key: String, ts: String,
+             stages: Seq[Column]): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got ${stages.size}")
+    val ms = unix_millis(col(ts))
+    var acc = df.filter(stages.head).groupBy(col(key)).agg(min(ms).as("t0"))
+    stages.tail.zipWithIndex.foreach { case (pred, i) =>
+      val carried = (0 to i).map(j => col(s"t$j"))
+      acc = df.filter(pred).select(col(key), ms.as("_ms"))
+        .join(acc, Seq(key))
+        .filter(col("_ms") > col(s"t$i"))
+        .groupBy((col(key) +: carried): _*)
+        .agg(min(col("_ms")).as(s"t${i + 1}"))
+    }
+    acc
+  }
+
   /** Skew-hardened inner equi-join: a plain hash join sends every row of a
     * hot key to one task; AQE's skew-join split fixes this for sort-merge
     * joins it can re-plan, but not when the skewed stage is pinned (cached

@@ -224,6 +224,23 @@ class CoreOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-N not pushed down:\n$plan")
   }
 
+  test("funnel: ordered stage completion only, earliest qualifying times") {
+    val df = ev(
+      // user 1 completes in order: view@1s, click@3s, purchase@5s — and an
+      // earlier out-of-order purchase@2s must NOT satisfy stage 3
+      (1, 1000L, 1, "view", 0), (2, 2000L, 1, "purchase", 0),
+      (3, 3000L, 1, "click", 0), (4, 5000L, 1, "purchase", 0),
+      // user 2 never clicks → excluded
+      (5, 1000L, 2, "view", 0), (6, 2000L, 2, "purchase", 0),
+      // user 3 clicks BEFORE viewing → click doesn't count, no later click
+      (7, 2000L, 3, "view", 0), (8, 1000L, 3, "click", 0))
+    val got = CoreOps.funnel(df, "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1000L, 3000L, 5000L)))
+  }
+
   test("rollingFeatures: trailing range windows include peers, exact sums") {
     // user 1: events at 0s, 30s, 3600s — the 3600s event's 1h window spans
     // (0.999s, 3600s], so it sees the 30s event but NOT the 0s event
