@@ -362,6 +362,13 @@ object SparkEntry {
     "q_quota_sample" -> ((s, dir) =>
       Sampling.quotaSample(Tables.documents(s, dir), "lang", "doc_id", 20, "q")
         .select(col("lang"), col("rank"), col("doc_id"))),
+    // PQ trained on the deterministic md5 sample, full corpus searched —
+    // the same 100 TB training discipline as q_ivf_trained_sample
+    "q_pq_topk_sample" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopKSampled(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5, EmbDims, PqM, IvfNlist, IvfIters, IvfSampleMod)
+    }),
     // int8 scalar-quantized search: the memory-footprint path — corpus at
     // 1 byte/dim (4× vs float32), dequantized on the fly, scored with the
     // native DotFold kernel against broadcast queries
@@ -479,6 +486,18 @@ object SparkEntry {
       CoreOps.funnel(Tables.events(s, dir), "user_id", "ts",
         Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"))),
+    // the flatMapGroupsWithState form vs the SAME oracle: in batch mode each
+    // key's events arrive in one sorted invocation, so the state walk equals
+    // the join-chain exactly
+    "q_funnel_stream" -> ((s, dir) => {
+      val ke = graft.streaming.StateMachines.keyedEvents(Tables.events(s, dir),
+        col("user_id"), unix_millis(col("ts")), col("event_id"), col("event_type"))
+      graft.streaming.StateMachines.funnelStages(ke, Seq("view", "click", "purchase"))
+        .select(col("key").cast("long").as("user_id"),
+          element_at(col("times"), 1).as("t0"),
+          element_at(col("times"), 2).as("t1"),
+          element_at(col("times"), 3).as("t2"))
+    }),
     // pivot: one count column per event type, one hash agg (the explicit
     // value list keeps the schema static — mandatory on a stream, and at
     // scale it skips the extra distinct-values job)
@@ -702,7 +721,9 @@ object SparkEntry {
     * then per-subspace nearest-centroid assignment, reconstruction by list
     * concatenation, and full-dimension fold scoring — mirrors
     * Similarity.pqTopK / VectorKernels.pqReconstruct stage for stage. */
-  private def sqlPqCtes: String = {
+  private def sqlPqCtes: String = sqlPqCtesOver("embeddings")
+
+  private def sqlPqCtesOver(trainSrc: String): String = {
     val sub = EmbDims / PqM
     def dot2(x: String, xo: Int, y: String, yo: Int) =
       s"list_reduce(list_prepend(0.0::DOUBLE, [$x[$xo + i + 1]::DOUBLE * " +
@@ -711,16 +732,16 @@ object SparkEntry {
       s"${dot2(x, xo, y, 0)} / (sqrt(${dot2(x, xo, x, xo)}) * sqrt(${dot2(y, 0, y, 0)}))"
     val chains = (0 until PqM).map { mi =>
       val off = mi * sub
-      val init = s"cent0_m$mi AS (SELECT vec_id AS cell_id, " +
-        s"[embedding[$off+d+1]::DOUBLE for d in range(0,$sub)] AS cvec " +
-        s"FROM embeddings WHERE vec_id < $IvfNlist)"
+      val init = s"cent0_m$mi AS (SELECT se.vec_id AS cell_id, " +
+        s"[se.embedding[$off+d+1]::DOUBLE for d in range(0,$sub)] AS cvec " +
+        s"FROM $trainSrc se WHERE se.vec_id < $IvfNlist)"
       val rounds = (1 to IvfIters).map { t =>
         val prev = s"cent${t - 1}_m$mi"
         s"""asg${t}_m$mi AS (SELECT id, cell_id, vec FROM (
            |  SELECT e.vec_id AS id, c.cell_id, e.embedding AS vec,
            |    row_number() OVER (PARTITION BY e.vec_id
            |      ORDER BY ${cosSlice("e.embedding", off, "c.cvec")} DESC, c.cell_id) AS rn
-           |  FROM embeddings e, $prev c) WHERE rn = 1),
+           |  FROM $trainSrc e, $prev c) WHERE rn = 1),
            |mem${t}_m$mi AS (SELECT cell_id, list(vec ORDER BY id) AS vs
            |                 FROM asg${t}_m$mi GROUP BY cell_id),
            |cent${t}_m$mi AS (SELECT cell_id,
@@ -1089,6 +1110,20 @@ object SparkEntry {
          |          ORDER BY score DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= 5""".stripMargin,
 
+    "q_pq_topk_sample" ->
+      s"""WITH ${sqlPqCtesOver(
+             s"(SELECT * FROM embeddings WHERE ${sqlMd5Int("vec_id::VARCHAR")} % $IvfSampleMod = 0 OR vec_id < $IvfNlist)")},
+         |s AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |        list_reduce(list_prepend(0.0::DOUBLE,
+         |          [r.rv[i+1] * q.embedding[i+1]::DOUBLE for i in range(0, $EmbDims)]),
+         |          (p, q) -> p + q) AS score
+         |      FROM recon r, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+         |      WHERE r.vec_id <> q.vec_id),
+         |rk AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= 5""".stripMargin,
+
     "q_pq_recall" ->
       s"""WITH $sqlPqCtes,
          |s AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
@@ -1339,6 +1374,18 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.t0, min(epoch_ms(e.ts)) AS t1
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t0
+        |      GROUP BY e.user_id, v.t0)
+        |SELECT e.user_id, c.t0, c.t1, min(epoch_ms(e.ts)) AS t2
+        |FROM events e JOIN c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t1
+        |GROUP BY e.user_id, c.t0, c.t1""".stripMargin,
+
+    "q_funnel_stream" ->
       """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
         |c AS (SELECT e.user_id, v.t0, min(epoch_ms(e.ts)) AS t1

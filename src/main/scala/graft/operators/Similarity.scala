@@ -419,8 +419,27 @@ object Similarity {
     * runs at plan time; use the md5-sampled trainer corpus for the 100 TB
     * path like q_ivf_trained_sample. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-             k: Int, dims: Int, m: Int, kCent: Int, iters: Int): DataFrame = {
-    val cbs = pqCodebooks(corpus, id, vec, dims, m, kCent, iters)
+             k: Int, dims: Int, m: Int, kCent: Int, iters: Int): DataFrame =
+    pqSearch(corpus, queries, id, vec, k,
+      pqCodebooks(corpus, id, vec, dims, m, kCent, iters))
+
+  /** The 100 TB PQ training path: codebooks from the deterministic md5
+    * sample (≈1/mod of the corpus plus the seed rows, exactly like
+    * kmeansCentroidsSampled), full corpus reconstructed and searched — the
+    * sample filter is one WHERE clause per subspace chain in the oracle. */
+  def pqTopKSampled(corpus: DataFrame, queries: DataFrame, id: String,
+                    vec: String, k: Int, dims: Int, m: Int, kCent: Int,
+                    iters: Int, mod: Int): DataFrame = {
+    val sampled = corpus.filter(
+      graft.expressions.Md5Expressions.md5Int(col(id).cast("string")) % mod === 0
+        || col(id) < kCent)
+    pqSearch(corpus, queries, id, vec, k,
+      pqCodebooks(sampled, id, vec, dims, m, kCent, iters))
+  }
+
+  private def pqSearch(corpus: DataFrame, queries: DataFrame, id: String,
+                       vec: String, k: Int,
+                       cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
     val enc = corpus.select(col(id).as("neighbor_id"),
       graft.expressions.VectorKernelExpressions
         .pqReconstruct(col(vec), cbs).as("recon"))

@@ -12,6 +12,8 @@ case class KeyedEvent(key: String, tsMs: Long, tiebreak: Long, kind: String)
 
 case class IntervalAlert(key: String, ts_ms: Long, gap_ms: Long)
 case class ActionDuration(key: String, action: String, duration_ms: Long)
+case class FunnelState(times: Seq[Long], done: Boolean)
+case class FunnelCompletion(key: String, times: Seq[Long])
 
 /** One remembered event per key — the twin of Flink's ValueState pair. */
 case class LastSeen(kind: String, tsMs: Long)
@@ -95,6 +97,56 @@ object StateMachines {
           out.iterator
         }
     }
+
+  implicit val funnelStateEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+  implicit val funnelCompletionEnc: Encoder[FunnelCompletion] =
+    Encoders.product[FunnelCompletion]
+
+  /** Streaming form of CoreOps.funnel: per key, state is just the stage
+    * times completed so far; an event advances the funnel iff it matches
+    * the NEXT stage's kind and is strictly later than the previous stage
+    * time; completing the last stage emits (key, times) once and freezes
+    * the key. In batch mode every key's events arrive in one sorted
+    * invocation, so the output equals the batch funnel exactly (the same
+    * oracle checks both). On a live stream, arrival order governs across
+    * micro-batches like the other machines here: a late-arriving EARLIER
+    * first-stage event cannot retract an already-advanced funnel — the
+    * standard append-mode trade, documented rather than hidden. */
+  def funnelStages(events: Dataset[KeyedEvent], stages: Seq[String],
+                   stateTtlMs: Option[Long] = None): Dataset[FunnelCompletion] = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got ${stages.size}")
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[KeyedEvent], state: GroupState[FunnelState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val st = state.getOption.getOrElse(FunnelState(Nil, done = false))
+          var times = st.times
+          var done = st.done
+          val out = ArrayBuffer.empty[FunnelCompletion]
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            if (!done && e.kind == stages(times.size) &&
+                (times.isEmpty || e.tsMs > times.last)) {
+              times = times :+ e.tsMs
+              if (times.size == stages.size) {
+                done = true
+                out += FunnelCompletion(key, times)
+              }
+            }
+          }
+          state.update(FunnelState(times, done))
+          armTtl2(state, stateTtlMs)
+          out.iterator
+        }
+    }
+  }
+
+  /** Arm the processing-time TTL (FunnelState-typed twin of armTtl). */
+  private def armTtl2(state: GroupState[FunnelState],
+                      stateTtlMs: Option[Long]): Unit =
+    stateTtlMs.foreach(state.setTimeoutDuration)
 
   /** Per-key action-duration tracker
     * (chapter6_exercise/AnalyzeBrowserEvents.java:115-181): on each event,

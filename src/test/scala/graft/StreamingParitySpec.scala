@@ -120,6 +120,27 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStages(streaming) completes across batches, emits once, in order only") {
+    val batch1 = Seq(
+      KeyedEvent("1", 1000, 1, "view"), KeyedEvent("1", 2000, 2, "click"),
+      KeyedEvent("2", 1000, 3, "purchase"), // out of order: must not count
+      KeyedEvent("3", 1000, 4, "view"))
+    val batch2 = Seq(
+      KeyedEvent("1", 3000, 5, "purchase"),  // completes user 1 cross-batch
+      KeyedEvent("1", 4000, 6, "purchase"),  // after completion: no re-emit
+      KeyedEvent("2", 2000, 7, "view"), KeyedEvent("2", 3000, 8, "click"),
+      KeyedEvent("3", 500, 9, "click"))      // arrives late AND earlier: skipped
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.funnelStages(input.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.outputMode("append").format("memory").queryName("fn_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val got = spark.table("fn_par").as[FunnelCompletion].collect().toSeq
+      assert(got == Seq(FunnelCompletion("1", Seq(1000L, 2000L, 3000L))))
+    } finally q.stop()
+  }
+
   test("chunk and redactPii run unchanged on a stream (stateless map parity)") {
     val rows1 = Seq((1L, "t0 t1 t2 t3 t4 mail a@b.co"), (2L, ""))
     val rows2 = Seq((3L, "x y z"))
