@@ -373,6 +373,16 @@ object SparkEntry {
       Similarity.sqTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 5, EmbDims)
     }),
+    // recall@5 of the int8 rung — published next to PQ's so the ladder's
+    // quality/compression trade reads off the two gauges side by side
+    "q_sq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.recallAtK(
+        Similarity.sqTopK(emb, queries, "vec_id", "embedding", 5, EmbDims),
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5),
+        "query_id", "neighbor_id", 5)
+    }),
     // the 100 TB training path: k-means over a deterministic md5 sample
     // (~1/4 of the corpus + the seed rows), full-corpus assignment/search —
     // the sample filter is one WHERE clause in the oracle's CTE chain
@@ -774,6 +784,30 @@ object SparkEntry {
     (chains ++ encs :+ recon).mkString(",\n")
   }
 
+  /** Scalar-quantization chain through the per-pair scores `s` (queries =
+    * vec_id < 8) — shared by q_sq_topk and q_sq_recall. */
+  private def sqlSqCtes: String = {
+    val span = "(b.maxs[i+1] - b.mins[i+1])"
+    s"""d AS (SELECT unnest(range(0, $EmbDims)) AS dim),
+       |pb AS (SELECT d.dim, min(e.embedding[d.dim+1]::DOUBLE) AS mn,
+       |         max(e.embedding[d.dim+1]::DOUBLE) AS mx
+       |       FROM embeddings e, d GROUP BY d.dim),
+       |b AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM pb),
+       |enc AS (SELECT e.vec_id AS neighbor_id,
+       |        [b.mins[i+1] + ((CASE WHEN $span > 0
+       |             THEN LEAST(255, GREATEST(0,
+       |               floor((e.embedding[i+1]::DOUBLE - b.mins[i+1]) / $span * 255)))
+       |             ELSE 0 END - 128)::TINYINT::DOUBLE + 128.0) * ($span / 255.0)
+       |          for i in range(0, $EmbDims)] AS deq
+       |        FROM embeddings e, b),
+       |s AS (SELECT q.vec_id AS query_id, n.neighbor_id,
+       |        list_reduce(list_prepend(0.0::DOUBLE,
+       |          [n.deq[i+1] * q.embedding[i+1]::DOUBLE for i in range(0, $EmbDims)]),
+       |          (p, q) -> p + q) AS score
+       |      FROM enc n, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+       |      WHERE n.neighbor_id <> q.vec_id)""".stripMargin
+  }
+
   private def sqlKmeansCtes: String = sqlKmeansCtesOver("embeddings")
 
   /** Same k-means chain trained over an arbitrary source relation (the
@@ -1168,31 +1202,30 @@ object SparkEntry {
     // round trip, the clamp, and the (span/255) factor are all inside the
     // hash check. DuckDB's double→int cast rounds, but floor() already
     // yields an integral double, so the cast is exact
-    "q_sq_topk" -> {
-      val span = "(b.maxs[i+1] - b.mins[i+1])"
-      s"""WITH d AS (SELECT unnest(range(0, $EmbDims)) AS dim),
-         |pb AS (SELECT d.dim, min(e.embedding[d.dim+1]::DOUBLE) AS mn,
-         |         max(e.embedding[d.dim+1]::DOUBLE) AS mx
-         |       FROM embeddings e, d GROUP BY d.dim),
-         |b AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM pb),
-         |enc AS (SELECT e.vec_id AS neighbor_id,
-         |        [b.mins[i+1] + ((CASE WHEN $span > 0
-         |             THEN LEAST(255, GREATEST(0,
-         |               floor((e.embedding[i+1]::DOUBLE - b.mins[i+1]) / $span * 255)))
-         |             ELSE 0 END - 128)::TINYINT::DOUBLE + 128.0) * ($span / 255.0)
-         |          for i in range(0, $EmbDims)] AS deq
-         |        FROM embeddings e, b),
-         |s AS (SELECT q.vec_id AS query_id, n.neighbor_id,
-         |        list_reduce(list_prepend(0.0::DOUBLE,
-         |          [n.deq[i+1] * q.embedding[i+1]::DOUBLE for i in range(0, $EmbDims)]),
-         |          (p, q) -> p + q) AS score
-         |      FROM enc n, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
-         |      WHERE n.neighbor_id <> q.vec_id),
+    "q_sq_topk" ->
+      s"""WITH $sqlSqCtes,
          |r AS (SELECT query_id, neighbor_id,
          |        row_number() OVER (PARTITION BY query_id
          |          ORDER BY score DESC, neighbor_id) AS rank FROM s)
-         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin
-    },
+         |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_sq_recall" ->
+      s"""WITH $sqlSqCtes,
+         |sq AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM s) WHERE rank <= 5),
+         |bs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |        ${sqlCosine("q.embedding", "e.embedding")} AS score
+         |      FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+         |      WHERE e.vec_id <> q.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM bs) WHERE rank <= 5)
+         |SELECT ex.query_id,
+         |  (SUM(CASE WHEN sq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5) AS recall
+         |FROM ex LEFT JOIN sq ON ex.query_id = sq.query_id
+         |  AND ex.neighbor_id = sq.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
