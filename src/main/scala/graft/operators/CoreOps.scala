@@ -254,6 +254,8 @@ object CoreOps {
   def funnel(df: DataFrame, key: String, ts: String,
              stages: Seq[Column]): DataFrame = {
     require(stages.size >= 2, s"a funnel needs >= 2 stages, got ${stages.size}")
+    // no internal-name guard needed: every stage projects to (key, _ms) or
+    // aggregates to (key, t0..ti), so input columns never ride along
     val ms = unix_millis(col(ts))
     var acc = df.filter(stages.head).groupBy(col(key)).agg(min(ms).as("t0"))
     stages.tail.zipWithIndex.foreach { case (pred, i) =>
@@ -305,6 +307,11 @@ object CoreOps {
                       windowsSec: Seq[Int]): DataFrame = {
     require(windowsSec.nonEmpty && windowsSec.forall(_ >= 1),
       s"window widths must be >= 1s, got $windowsSec")
+    val emitted = windowsSec.flatMap(w => Seq(s"cnt_${w}s", s"sum_${w}s"))
+    val clash = df.columns.intersect(emitted)
+    require(clash.isEmpty,
+      s"rollingFeatures emits ${emitted.mkString(", ")}; rename the input's " +
+        s"${clash.mkString(", ")} first")
     val ord = unix_millis(col(ts))
     val feats = windowsSec.flatMap { w =>
       val win = Window.partitionBy(col(key)).orderBy(ord)

@@ -289,6 +289,9 @@ object Similarity {
         max(element_at(col(vec), i + 1).cast("double")).as(s"_mx$i"))
     }
     val r = corpus.agg(aggs.head, aggs.tail: _*).head()
+    require(!r.isNullAt(0),
+      "sqBounds: the corpus is empty (or the vector column is all-NULL) — " +
+        "no quantization range exists")
     ((0 until dims).map(i => r.getDouble(2 * i)),
       (0 until dims).map(i => r.getDouble(2 * i + 1)))
   }
@@ -377,6 +380,8 @@ object Similarity {
   def recallAtK(approx: DataFrame, exact: DataFrame, query: String,
                 neighbor: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(query != "_hit" && neighbor != "_hit",
+      "recallAtK uses an internal '_hit' column; rename the key columns first")
     exact.select(col(query), col(neighbor))
       .join(approx.select(col(query), col(neighbor)).withColumn("_hit", lit(1)),
         Seq(query, neighbor), "left")
