@@ -21,6 +21,8 @@ object SparkEntry {
 
   private val H  = 3600000L  // 1 hour in ms
   private val D  = 86400000L // 1 day in ms
+  private val RangeWindowMs = 600000L // 10-min incident window (range join)
+  private val RangeDayMs    = D       // 1-day keyed incident window
 
   // Stopword profiles for language-ID / quality scoring (function words).
   private val stopEn = Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for")
@@ -476,6 +478,36 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
           CoreOps.exactSum(col("value")).as("total_value"))),
+    // point-in-interval range join: every error event opens a 10-minute
+    // incident window; count+sum the events landing inside each window.
+    // The grain-bucketed encoding turns what Spark would plan as a
+    // broadcast-nested-loop inequality join into one equi-shuffle
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val iv = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          unix_millis(col("ts")).as("w_start"),
+          (unix_millis(col("ts")) + lit(RangeWindowMs)).as("w_end"))
+      CoreOps.rangeJoin(ev.select(col("event_id"), col("ts"), col("value")),
+          "ts", iv, "w_start", "w_end", RangeWindowMs)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"),
+          CoreOps.exactSum(col("value")).as("total_value"))
+    }),
+    // keyed variant: the interval carries its user and only that user's
+    // events can land in it — the cell key becomes (user_id, day cell), so
+    // a hot day no longer funnels every user into one task
+    "q_range_join_keyed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val iv = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("incident_id"),
+          unix_millis(col("ts")).as("w_start"),
+          (unix_millis(col("ts")) + lit(RangeDayMs)).as("w_end"))
+      CoreOps.rangeJoin(ev.select(col("event_id"), col("user_id"), col("ts")),
+          "ts", iv, "w_start", "w_end", RangeDayMs, Seq("user_id"))
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
     // per-event trailing feature windows: 1-hour and 1-day behavioral
     // aggregates as of each event, one keyed exchange for both widths
     "q_rolling_features" -> ((s, dir) =>
@@ -1413,6 +1445,26 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH iv AS (SELECT event_id AS incident_id, $evMs AS w_start,
+         |              $evMs + $RangeWindowMs AS w_end
+         |            FROM events WHERE event_type = 'error')
+         |SELECT incident_id, count(*) AS n_events,
+         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM events e JOIN iv
+         |  ON epoch_ms(e.ts) >= iv.w_start AND epoch_ms(e.ts) < iv.w_end
+         |GROUP BY incident_id""".stripMargin,
+
+    "q_range_join_keyed" ->
+      s"""WITH iv AS (SELECT user_id, event_id AS incident_id,
+         |              $evMs AS w_start, $evMs + $RangeDayMs AS w_end
+         |            FROM events WHERE event_type = 'error')
+         |SELECT incident_id, count(*) AS n_events
+         |FROM events e JOIN iv
+         |  ON e.user_id = iv.user_id
+         | AND epoch_ms(e.ts) >= iv.w_start AND epoch_ms(e.ts) < iv.w_end
+         |GROUP BY incident_id""".stripMargin,
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events

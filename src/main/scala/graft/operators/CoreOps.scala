@@ -514,6 +514,53 @@ object CoreOps {
         rightCols.map(c => col("_r").getField(c).as(c))): _*)
   }
 
+  /** Point-in-interval range join: pair every `points` row whose event time
+    * falls in [`startCol`, `endCol`) with that interval — the "events inside
+    * incident/maintenance/session windows" join, which Spark's planner can
+    * only express as a broadcast-nested-loop (all-pairs) without an equi key.
+    * Scalable encoding: bucket time into `grainMs` cells, explode each
+    * interval into the cells it covers, equi-join points to cells (plus any
+    * `keys` columns), then apply the exact range residual. Every
+    * (point, interval) pair meets in EXACTLY one cell — the point's own —
+    * so no distinct() is needed and the output is the precise inequality
+    * join, produced by one hash-partitioned shuffle instead of a cartesian
+    * product.
+    *
+    * Pick `grainMs` near the typical interval length: replication factor is
+    * len/grain + 1 cells per interval, while a too-coarse grain packs many
+    * intervals AND points into one cell and the residual filter does the
+    * work a finer grain would have done in the join. Intervals with
+    * `end <= start` are empty by the half-open contract and are dropped.
+    * `pointTs` is a timestamp column; `startCol`/`endCol` are epoch-ms
+    * longs (callers windowing around an event pass
+    * `unix_millis(ts) ± delta`). NULL ts/start/end rows match nothing,
+    * exactly like the SQL inequality join. */
+  def rangeJoin(points: DataFrame, pointTs: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                grainMs: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(grainMs > 0, s"grainMs must be positive, got $grainMs")
+    val internal = Seq("_pms", "_cell")
+    val clash = (points.columns ++ intervals.columns).intersect(internal)
+    require(clash.isEmpty,
+      s"rangeJoin uses internal columns ${internal.mkString(", ")}; " +
+        s"rename the input's ${clash.mkString(", ")} first")
+    // floor-division in exact integer space: the numerator is made divisible
+    // by grainMs first, so the long→double→long round trip cannot straddle a
+    // cell boundary the way floor(ms / grain) in binary floating point can
+    def cellOf(c: Column): Column =
+      ((c - pmod(c, lit(grainMs))) / lit(grainMs)).cast("long")
+    val p = points
+      .withColumn("_pms", ms(col(pointTs)))
+      .withColumn("_cell", cellOf(col("_pms")))
+    val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol) > col(startCol))
+      .withColumn("_cell",
+        explode(sequence(cellOf(col(startCol)), cellOf(col(endCol) - 1))))
+    p.join(iv, (keys :+ "_cell").toSeq, "inner")
+      .filter(col("_pms") >= col(startCol) && col("_pms") < col(endCol))
+      .drop("_pms", "_cell")
+  }
+
   // ─── §2.7 / §2.8 split & merge ────────────────────────────────────────────
 
   /** Predicate split (chapter2/StreamSplitAndMerge.java:68-102). Spark has no

@@ -47,6 +47,10 @@ object syntax {
     def asofJoin(right: DataFrame, key: String, ts: String,
                  rightCols: Seq[String]): DataFrame =
       CoreOps.asofJoin(df, right, key, ts, rightCols)
+    def rangeJoin(intervals: DataFrame, pointTs: String, startCol: String,
+                  endCol: String, grainMs: Long,
+                  keys: Seq[String] = Nil): DataFrame =
+      CoreOps.rangeJoin(df, pointTs, intervals, startCol, endCol, grainMs, keys)
     def splitBy(pred: Column): (DataFrame, DataFrame) = CoreOps.splitBy(df, pred)
     def taggedUnion(tag: String, other: DataFrame, otherTag: String,
                     cols: Seq[String]): DataFrame =

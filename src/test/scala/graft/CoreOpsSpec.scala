@@ -42,6 +42,19 @@ class CoreOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 5000L, 5000L), (5000L, 1L, 5000L, 5000L)))
   }
 
+  test("rangeJoin is half-open [start, end) and guards its internal names") {
+    val points = ev((1, 1000, 1, "a", 0), (2, 2000, 1, "a", 0), (3, 1999, 1, "a", 0))
+    val iv = Seq((10L, 1000L, 2000L), (11L, 5000L, 5000L)) // second: empty
+      .toDF("iid", "s", "e")
+    val got = CoreOps.rangeJoin(points, "ts", iv, "s", "e", 700)
+      .select("event_id", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (3L, 10L))) // ts=start in, ts=end out
+    assertThrows[IllegalArgumentException](
+      CoreOps.rangeJoin(points.withColumn("_cell", lit(1)), "ts", iv, "s", "e", 700))
+    assertThrows[IllegalArgumentException](
+      CoreOps.rangeJoin(points, "ts", iv, "s", "e", 0))
+  }
+
   test("sessionSummary closes a session after the gap and reports min/max") {
     val gapMs = 5000
     val df = ev((1, 0, 1, "a", 0), (2, 4000, 1, "a", 0), // same session (gap 4s < 5s)

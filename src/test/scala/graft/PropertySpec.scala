@@ -242,6 +242,49 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: rangeJoin equals the brute-force inequality join " +
+      "(empty/NULL intervals, boundary hits, keyed and keyless, both grains)") {
+    // coarse ms values so points land exactly ON start/end boundaries often;
+    // interval lengths can be zero or negative (dropped by the half-open
+    // contract) and ~1/10 of starts are NULL (match nothing)
+    val pointGen = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 2L)
+        ms <- Gen.choose(0L, 30L).map(_ * 1000)
+      } yield (k, ms))
+    } yield rows.zipWithIndex.map { case ((k, m), i) => (i.toLong, k, m) }
+    val ivGen = for {
+      n <- Gen.choose(0, 15)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 2L)
+        s <- Gen.frequency(
+          9 -> Gen.choose(0L, 30L).map(v => Option(v * 1000)),
+          1 -> Gen.const(Option.empty[Long]))
+        len <- Gen.choose(-2L, 12L).map(_ * 1000)
+      } yield (k, s, s.map(_ + len)))
+    } yield rows.zipWithIndex.map { case ((k, s, e), i) => (i.toLong, k, s, e) }
+    check(Prop.forAll(pointGen, ivGen, Gen.oneOf(700L, 4000L, 60000L)) {
+      (pts, ivs, grain) =>
+        val points = pts.toDF("pid", "k", "ms")
+          .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+        val intervals = ivs.toDF("iid", "k", "s", "e")
+        def expected(keyed: Boolean) = (for {
+          (pid, pk, pms) <- pts
+          (iid, ik, s, e) <- ivs
+          if !keyed || pk == ik
+          if s.exists(pms >= _) && e.exists(pms < _) && s.exists(e.get > _)
+        } yield (pid, iid)).toSet
+        val keyless = CoreOps.rangeJoin(points, "ts",
+            intervals.drop("k"), "s", "e", grain)
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        val keyed = CoreOps.rangeJoin(points, "ts",
+            intervals, "s", "e", grain, Seq("k"))
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        keyless == expected(keyed = false) && keyed == expected(keyed = true)
+    })
+  }
+
   test("property: split partitions are disjoint and exhaustive") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = rows.toDF("event_id", "ms")
