@@ -508,6 +508,27 @@ object SparkEntry {
         .groupBy(col("incident_id"))
         .agg(count(lit(1)).as("n_events"))
     }),
+    // bloom-pruned semi-join: events by customers in one market segment —
+    // the big side is pruned by a codegen'd driver-built Bloom probe before
+    // its shuffle, then exact-verified (output = the plain semi-join)
+    "q_bloom_semi" -> ((s, dir) =>
+      CoreOps.bloomSemiJoin(Tables.events(s, dir),
+          Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
+          "user_id", "c_custkey", 1000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          CoreOps.exactSum(col("value")).as("total_value"))),
+    // bloom-pruned anti-join (the decontamination drop): lineitems whose
+    // order is NOT urgent-priority — bloom misses pass with zero shuffle,
+    // only probe hits pay the exact anti-join
+    "q_bloom_anti" -> ((s, dir) =>
+      CoreOps.bloomAntiJoin(Tables.lineitem(s, dir),
+          Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+          "l_orderkey", "o_orderkey", 10000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          CoreOps.exactSum(col("l_quantity")).as("sum_qty"))),
     // per-event trailing feature windows: 1-hour and 1-day behavioral
     // aggregates as of each event, one keyed exchange for both widths
     "q_rolling_features" -> ((s, dir) =>
@@ -1465,6 +1486,22 @@ object SparkEntry {
          |  ON e.user_id = iv.user_id
          | AND epoch_ms(e.ts) >= iv.w_start AND epoch_ms(e.ts) < iv.w_end
          |GROUP BY incident_id""".stripMargin,
+
+    "q_bloom_semi" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE user_id IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY event_type""".stripMargin,
+
+    "q_bloom_anti" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o
+        |   WHERE o.o_orderkey = l.l_orderkey
+        |     AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events

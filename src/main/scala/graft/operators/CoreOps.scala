@@ -514,6 +514,55 @@ object CoreOps {
         rightCols.map(c => col("_r").getField(c).as(c))): _*)
   }
 
+  /** Bloom-pruned LEFT SEMI join on int64 keys: build a Bloom filter over
+    * the small side's keys driver-side (one aggregate, O(bits) to the
+    * driver), prune the big side with a codegen'd probe
+    * (expressions.BloomProbeExpr) BEFORE its shuffle, then exact-verify the
+    * survivors with a real semi-join. The output is EXACTLY the plain
+    * semi-join's rows — the filter's false positives are caught by the
+    * verify join, and false negatives don't exist — but only matching rows
+    * plus an fpp-fraction of non-matching ones ever pay the exchange.
+    *
+    * This is the decontamination/allowlist shape at 100 TB: Spark's own
+    * runtime bloom filter (`spark.sql.optimizer.runtime.bloomFilter.*`)
+    * plans the same trick for joins it can rewrite, but not for pinned
+    * inputs (cached frames, foreachBatch batches) or when the filter should
+    * be BUILT ONCE and reused across many queries — this operator is that
+    * explicit form. `expectedItems`/`fpp` size the filter; at default fpp
+    * 1e-3 the filter is ~14.4 bits per distinct key (120 MB per 10^8 keys —
+    * driver- and broadcast-friendly well past dimension-table scale). */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame,
+                    bigKey: String, smallKey: String,
+                    expectedItems: Long, fpp: Double = 1e-3): DataFrame = {
+    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val probe = graft.expressions.BloomProbeExpressions
+      .mightContain(big(bigKey), bloom)
+    // NULL keys: probe → NULL → dropped, = the semi-join's NULL-never-equal
+    big.filter(coalesce(probe, lit(false)))
+      .join(small.select(col(smallKey)), big(bigKey) === small(smallKey),
+        "left_semi")
+  }
+
+  /** Bloom-pruned LEFT ANTI join — the decontamination drop itself: rows
+    * whose key misses the filter are DEFINITELY not in `small` (no false
+    * negatives) and pass through with zero shuffle; only the fpp-fraction
+    * probe hits pay the exact anti-join that separates true matches from
+    * false positives. Output = the plain anti-join's rows, including
+    * NULL-key big rows (NULL never equals, so anti keeps them — they route
+    * to the zero-shuffle branch here). The union is plan concatenation, not
+    * a shuffle. */
+  def bloomAntiJoin(big: DataFrame, small: DataFrame,
+                    bigKey: String, smallKey: String,
+                    expectedItems: Long, fpp: Double = 1e-3): DataFrame = {
+    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val probe = graft.expressions.BloomProbeExpressions
+      .mightContain(big(bigKey), bloom)
+    val hit = coalesce(probe, lit(false))
+    big.filter(!hit).unionByName(
+      big.filter(hit).join(small.select(col(smallKey)),
+        big(bigKey) === small(smallKey), "left_anti"))
+  }
+
   /** Point-in-interval range join: pair every `points` row whose event time
     * falls in [`startCol`, `endCol`) with that interval — the "events inside
     * incident/maintenance/session windows" join, which Spark's planner can

@@ -51,6 +51,12 @@ object syntax {
                   endCol: String, grainMs: Long,
                   keys: Seq[String] = Nil): DataFrame =
       CoreOps.rangeJoin(df, pointTs, intervals, startCol, endCol, grainMs, keys)
+    def bloomSemiJoin(small: DataFrame, bigKey: String, smallKey: String,
+                      expectedItems: Long, fpp: Double = 1e-3): DataFrame =
+      CoreOps.bloomSemiJoin(df, small, bigKey, smallKey, expectedItems, fpp)
+    def bloomAntiJoin(small: DataFrame, bigKey: String, smallKey: String,
+                      expectedItems: Long, fpp: Double = 1e-3): DataFrame =
+      CoreOps.bloomAntiJoin(df, small, bigKey, smallKey, expectedItems, fpp)
     def splitBy(pred: Column): (DataFrame, DataFrame) = CoreOps.splitBy(df, pred)
     def taggedUnion(tag: String, other: DataFrame, otherTag: String,
                     cols: Seq[String]): DataFrame =

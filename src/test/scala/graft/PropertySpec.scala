@@ -285,6 +285,36 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: bloom semi/anti joins emit exactly the plain join's rows " +
+      "(NULL keys, empty small side, fpp high enough to force false positives)") {
+    val bigGen = for {
+      n <- Gen.choose(0, 50)
+      rows <- Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.choose(0L, 30L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long])))
+    } yield rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val smallGen = for {
+      n <- Gen.choose(0, 12)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 30L))
+    } yield ks.distinct
+    check(Prop.forAll(bigGen, smallGen) { (bigRows, smallKeys) =>
+      val big = bigRows.toDF("rid", "k")
+      val small = smallKeys.toDF("sk")
+      // fpp 0.3 makes false positives near-certain across runs, so the
+      // exact-verify stage is genuinely load-bearing in this test
+      val semi = CoreOps.bloomSemiJoin(big, small, "k", "sk",
+          math.max(smallKeys.size.toLong, 1), 0.3)
+        .select("rid").as[Long].collect().toSet
+      val anti = CoreOps.bloomAntiJoin(big, small, "k", "sk",
+          math.max(smallKeys.size.toLong, 1), 0.3)
+        .select("rid").as[Long].collect().toSet
+      val inSmall = smallKeys.toSet
+      val expectedSemi = bigRows.filter(_._2.exists(inSmall)).map(_._1).toSet
+      val expectedAnti = bigRows.map(_._1).toSet -- expectedSemi
+      semi == expectedSemi && anti == expectedAnti
+    })
+  }
+
   test("property: split partitions are disjoint and exhaustive") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = rows.toDF("event_id", "ms")
