@@ -23,6 +23,8 @@ object SparkEntry {
   private val D  = 86400000L // 1 day in ms
   private val RangeWindowMs = 600000L // 10-min incident window (range join)
   private val RangeDayMs    = D       // 1-day keyed incident window
+  private val BmTerms = Seq("join", "scan", "window") // BM25 query terms
+  private val BmK1 = 1.2; private val BmB = 0.75
 
   // Stopword profiles for language-ID / quality scoring (function words).
   private val stopEn = Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for")
@@ -529,6 +531,21 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"),
           CoreOps.exactSum(col("l_quantity")).as("sum_qty"))),
+    // BM25 relevance against a fixed term list (rational Robertson idf —
+    // see TextOps.bm25): one corpus-stats aggregate broadcast back, then a
+    // pure map stage
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25(Tables.documents(s, dir), "doc_id", "text",
+        BmTerms, BmK1, BmB)),
+    // multi-dimensional cube: revenue at every (flag, status) subset — all
+    // four grouping sets expand inside ONE partial-agg'd exchange
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n_items"),
+          CoreOps.exactSum(col("l_extendedprice")).as("revenue"))),
     // per-event trailing feature windows: 1-hour and 1-day behavioral
     // aggregates as of each event, one keyed exchange for both widths
     "q_rolling_features" -> ((s, dir) =>
@@ -1502,6 +1519,38 @@ object SparkEntry {
         |   WHERE o.o_orderkey = l.l_orderkey
         |     AND o.o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_bm25" -> {
+      // generated from BmTerms so the Spark plan and the oracle can't drift;
+      // every arithmetic step mirrors TextOps.bm25's operand order exactly
+      // (rational idf: +,*,/ only — bit-identical on any IEEE engine)
+      val dfCols = BmTerms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)::BIGINT AS df_$i"
+      }.mkString(", ")
+      val dlNorm =
+        s"($BmK1 * (${1 - BmB} + $BmB * (dl::DOUBLE / (sumdl::DOUBLE / n::DOUBLE))))"
+      val score = BmTerms.zipWithIndex.map { case (t, i) =>
+        val tf = s"len(list_filter(toks, x -> x = '$t'))::DOUBLE"
+        s"(((n - df_$i)::DOUBLE + 0.5) / (df_$i::DOUBLE + 0.5)) * " +
+          s"(($tf * ${BmK1 + 1}) / ($tf + $dlNorm))"
+      }.mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |                    x -> x <> '') AS toks
+         |      FROM documents),
+         |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM tk),
+         |s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl, $dfCols FROM d)
+         |SELECT doc_id, dl, floor(($score) * 1000000) / 1000000 AS bm25
+         |FROM d, s""".stripMargin
+    },
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag)::BIGINT AS g_flag,
+        |  GROUPING(l_linestatus)::BIGINT AS g_status,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events

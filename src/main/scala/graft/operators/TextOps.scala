@@ -61,6 +61,52 @@ object TextOps {
         .otherwise(lit(0.0)).as("punct_ratio"))
   }
 
+  /** BM25 relevance of every document against a fixed term list — the
+    * retrieval-quality scoring a curation pipeline uses to mine topical
+    * subsets out of a web corpus. Distributed shape: one corpus-stats
+    * aggregate (N, Σdl, per-term document frequency — a single partial-agg'd
+    * pass collapsing to ONE row), broadcast back via crossJoin, then a pure
+    * map stage computes per-doc scores — no per-term shuffle, no inverted
+    * index build, linear in corpus size.
+    *
+    * Uses the rational Robertson idf `(N - df + 0.5) / (df + 0.5)` rather
+    * than its logarithm: every arithmetic step is then an IEEE-754 basic op
+    * (+,*,/), which any engine rounds identically, so scores are
+    * bit-reproducible cross-engine (ln is NOT specified to the ulp and
+    * would make results engine-dependent). Ranking is unchanged for a
+    * single term and near-identical in practice; swapping `ln(...)` in is a
+    * one-line change where reproducibility matters less than the classic
+    * scale. Term-absent docs contribute tf=0 → 0, so scores are defined for
+    * every doc. */
+  def bm25(docs: DataFrame, id: String, text: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "bm25 needs a non-empty, duplicate-free term list")
+    val internal = Seq("_toks", "_dl", "_n", "_sumdl") ++
+      terms.indices.map(i => s"_df_$i")
+    val clash = docs.columns.intersect(internal)
+    require(clash.isEmpty,
+      s"bm25 uses internal columns; rename the input's ${clash.mkString(", ")}")
+    val toks = tokens(lower(col(text)))
+    val base = docs.select(col(id), toks.as("_toks"),
+      size(toks).cast("long").as("_dl"))
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("_toks"), t), 1L).otherwise(0L)).as(s"_df_$i")
+    }
+    val stats = base.agg(count(lit(1)).as("_n"),
+      (sum(col("_dl")).as("_sumdl") +: dfAggs): _*)
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val dlNorm = lit(k1) * (lit(1 - b) + lit(b) * (col("_dl").cast("double") / avgdl))
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("_toks"), x => x === t)).cast("double")
+      val idf = ((col("_n") - col(s"_df_$i")).cast("double") + lit(0.5)) /
+        (col(s"_df_$i").cast("double") + lit(0.5))
+      idf * ((tf * lit(k1 + 1)) / (tf + dlNorm))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col(id), col("_dl").as("dl"), trunc6(score).as("bm25"))
+  }
+
   /** Language ID via stopword-hit counting: the classic cheap n-gram/function-
     * word heuristic. `profiles` maps language code → its function words; the
     * language with the most token hits wins (ties broken by language code).

@@ -133,6 +133,9 @@ object syntax {
       TextOps.tokenStats(df, id, text)
     def qualityScore(id: String, text: String, stopwords: Seq[String]): DataFrame =
       TextOps.qualityScore(df, id, text, stopwords)
+    def bm25(id: String, text: String, terms: Seq[String],
+             k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      TextOps.bm25(df, id, text, terms, k1, b)
     def languageId(id: String, text: String,
                    profiles: Map[String, Seq[String]]): DataFrame =
       TextOps.languageId(df, id, text, profiles)

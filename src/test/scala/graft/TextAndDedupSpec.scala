@@ -27,6 +27,28 @@ class TextAndDedupSpec extends SparkSpec {
     assert(got == ((4L, 2L, 1L, 0.5)))
   }
 
+  test("bm25 matches the hand-computed rational-idf formula (absent term = 0)") {
+    val docs = Seq((1L, "b B a a"), (2L, "b c"), (3L, "d")).toDF("doc_id", "text")
+    val k1 = 1.2; val b = 0.75
+    // N=3, Σdl=4+2+1=7, df(b)=2; doc 3 has tf=0 → score 0
+    val n = 3L; val sumdl = 7L; val dfB = 2L
+    val avgdl = sumdl.toDouble / n.toDouble
+    def score(tf: Long, dl: Long): Double = {
+      val idf = ((n - dfB).toDouble + 0.5) / (dfB.toDouble + 0.5)
+      val dlNorm = k1 * ((1 - b) + b * (dl.toDouble / avgdl))
+      val s = idf * ((tf.toDouble * (k1 + 1)) / (tf.toDouble + dlNorm))
+      math.floor(s * 1000000d) / 1000000d
+    }
+    val got = TextOps.bm25(docs, "doc_id", "text", Seq("b"), k1, b)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, score(2, 4)), (2L, 2L, score(1, 2)),
+      (3L, 1L, 0.0)))
+    assertThrows[IllegalArgumentException](
+      TextOps.bm25(docs, "doc_id", "text", Seq.empty))
+    assertThrows[IllegalArgumentException](
+      TextOps.bm25(docs.withColumn("_dl", lit(1)), "doc_id", "text", Seq("b")))
+  }
+
   test("languageId picks the profile with the most stopword hits") {
     val profiles = Map("en" -> Seq("the", "and"), "de" -> Seq("der", "und"))
     val df = Seq((1L, "the cat and the hat"), (2L, "der Hund und der Berg")).toDF("doc_id", "text")
