@@ -61,6 +61,37 @@ object StreamOps {
       left.withWatermark(ts, lateness),
       right.withWatermark(ts, lateness), key, ts, duration, leftProj, rightProj)
 
+  /** Stream-stream interval join: pair every point with the anchors of the
+    * same key whose window [anchor_ts, anchor_ts + windowMs) contains the
+    * point's event time — the continuous form of CoreOps.rangeJoin for
+    * anchor-opened windows (StreamingParitySpec pins the parity). Both
+    * sides carry a watermark and the join condition bounds each side's
+    * event time by the other's, which is exactly what Spark's state store
+    * needs to EXPIRE buffered rows: a point older than
+    * (anchor watermark + window) can never match a future anchor, so state
+    * stays bounded by lateness + window instead of growing with the stream.
+    * `pointProj`/`anchorProj` carry payload columns under output aliases,
+    * disjoint like windowJoin's. */
+  def intervalJoin(points: DataFrame, anchors: DataFrame, key: String,
+                   ts: String, lateness: String, windowMs: Long,
+                   pointProj: Seq[(String, String)],
+                   anchorProj: Seq[(String, String)]): DataFrame = {
+    val p = points.withWatermark(ts, lateness).select(
+      col(key).as("k") +: col(ts).as("p_ts") +:
+        pointProj.map { case (c, o) => col(c).as(o) }: _*)
+    val a = anchors.withWatermark(ts, lateness).select(
+      col(key).as("_ak") +: col(ts).as("a_ts") +:
+        anchorProj.map { case (c, o) => col(c).as(o) }: _*)
+    p.join(a,
+        col("k") === col("_ak") &&
+          col("p_ts") >= col("a_ts") &&
+          col("p_ts") < col("a_ts") + expr(s"INTERVAL $windowMs MILLISECONDS"),
+        "inner")
+      .select(col("k").as(key) +: CoreOps.ms(col("p_ts")).as("point_ts_ms") +:
+        CoreOps.ms(col("a_ts")).as("anchor_ts_ms") +:
+        (pointProj ++ anchorProj).map { case (_, o) => col(o) }: _*)
+  }
+
   /** Streaming as-of join, stream-static form: each micro-batch of `left`
     * runs the batch CoreOps.asofJoin against the CURRENT `right` relation
     * and hands the result to `write`. Because as-of is per-left-row (key, ts

@@ -62,6 +62,42 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin(stream-stream) == rangeJoin(batch) on the same slice, " +
+      "matches spanning micro-batches") {
+    val batch1 = Seq(
+      KeyedEvent("1", 1000, 1, "error"), KeyedEvent("1", 2500, 2, "view"),
+      KeyedEvent("2", 3000, 3, "view"))
+    val batch2 = Seq( // view at 9000 lands in no window; error at 6000 opens
+      // one that catches user 2's click a batch later; 1000+5000=6000 is OUT
+      KeyedEvent("1", 6000, 4, "view"), KeyedEvent("2", 6000, 5, "error"),
+      KeyedEvent("2", 7000, 6, "click"))
+    val windowMs = 5000L
+    val input = MemoryStream[KeyedEvent]
+    val pts = input.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+    val joined = StreamOps.intervalJoin(pts,
+      pts.filter(col("kind") === "error"), "key", "ts", "1 second", windowMs,
+      Seq("tiebreak" -> "point_id"), Seq("tiebreak" -> "anchor_id"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ij_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("ij_par").select("point_id", "anchor_id")
+        .as[(Long, Long)].collect().toSet
+      val all = batchDf(batch1 ++ batch2)
+      val iv = all.filter(col("kind") === "error").select(
+        col("key"), col("tiebreak").as("anchor_id"),
+        col("tsMs").as("s"), (col("tsMs") + windowMs).as("e"))
+      val twin = graft.operators.CoreOps.rangeJoin(
+          all.select(col("key"), col("ts"), col("tiebreak").as("point_id")),
+          "ts", iv, "s", "e", windowMs, Seq("key"))
+        .select("point_id", "anchor_id").as[(Long, Long)].collect().toSet
+      assert(streamed == twin)
+      assert(streamed.contains((6L, 5L))) // the cross-batch interval match
+      assert(!streamed.contains((4L, 1L))) // half-open: ts == window end
+    } finally q.stop()
+  }
+
   test("asofJoinEachBatch(stream-static) == asofJoin(batch) regardless of batch split") {
     // left events arrive in two micro-batches; right is a static metadata
     // table. As-of is per-left-row vs the static right, so the union of the
