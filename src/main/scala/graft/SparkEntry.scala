@@ -25,6 +25,7 @@ object SparkEntry {
   private val RangeDayMs    = D       // 1-day keyed incident window
   private val BmTerms = Seq("join", "scan", "window") // BM25 query terms
   private val BmK1 = 1.2; private val BmB = 0.75
+  private val JourneyMax = 20 // events kept per user journey
 
   // Stopword profiles for language-ID / quality scoring (function words).
   private val stopEn = Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for")
@@ -546,6 +547,24 @@ object SparkEntry {
           grouping(col("l_linestatus")).cast("long").as("g_status"),
           count(lit(1)).as("n_items"),
           CoreOps.exactSum(col("l_extendedprice")).as("revenue"))),
+    // per-user ordered journey: first 20 events as a '>'-joined sequence —
+    // WindowGroupLimit caps a hot key's shipped rows at 20 before the
+    // exchange
+    "q_user_journey" -> ((s, dir) =>
+      CoreOps.eventSequence(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", JourneyMax)),
+    // semi-structured extraction: the JSON props column's k value, bucketed
+    // — get_json_object runs inside codegen; the scan prunes to 2 columns
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n_events"),
+          CoreOps.exactSum(col("value")).as("total_value"))),
+    // bigram LM table: p(w2|w1) for the top-100 bigrams — prefix totals via
+    // a window over POST-aggregation vocab rows, never the corpus
+    "q_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramLm(Tables.documents(s, dir), "text", 100)),
     // per-event trailing feature windows: 1-hour and 1-day behavioral
     // aggregates as of each event, one keyed exchange for both widths
     "q_rolling_features" -> ((s, dir) =>
@@ -1551,6 +1570,35 @@ object SparkEntry {
         |  COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_user_journey" ->
+      s"""WITH r AS (SELECT user_id, event_type,
+         |        row_number() OVER (PARTITION BY user_id
+         |                           ORDER BY epoch_ms(ts), event_id) AS rn
+         |      FROM events)
+         |SELECT user_id, count(*) AS n_events,
+         |  array_to_string(list(event_type ORDER BY rn), '>') AS journey
+         |FROM r WHERE rn <= $JourneyMax GROUP BY user_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_bigram_lm" ->
+      s"""WITH nrm AS (SELECT $normSql AS nt FROM documents),
+         |tk AS (SELECT list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |g AS (SELECT unnest([array_to_string(list_slice(toks, i+1, i+2), ' ')
+         |                     for i in range(0, len(toks)-2+1)]) AS gram
+         |      FROM tk WHERE len(toks) >= 2),
+         |c AS (SELECT gram, COUNT(*)::BIGINT AS n_gram FROM g GROUP BY 1),
+         |p AS (SELECT gram, n_gram,
+         |        (sum(n_gram) OVER (PARTITION BY split_part(gram, ' ', 1)))::BIGINT AS n_prefix
+         |      FROM c)
+         |SELECT gram, n_gram, n_prefix,
+         |  floor((n_gram::DOUBLE / n_prefix::DOUBLE) * 1000000) / 1000000 AS p
+         |FROM p ORDER BY n_gram DESC, gram LIMIT 100""".stripMargin,
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events

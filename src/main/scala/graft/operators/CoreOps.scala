@@ -269,6 +269,34 @@ object CoreOps {
     acc
   }
 
+  /** Per-key ordered event sequence — the "user journey" extraction that
+    * turns an event log into training sequences: each key's first
+    * `maxEvents` payload values in (ts, tiebreak) order, joined into one
+    * separator-delimited string (a string, not an array, so the output is
+    * byte-identical on any engine — array rendering is not). The
+    * row_number + filter pair compiles to WindowGroupLimit: each task keeps
+    * at most `maxEvents` rows per key BEFORE the exchange, so a hot key
+    * ships `maxEvents` rows, not its history. One keyed shuffle total (the
+    * groupBy lands on the window's partitioning, so AQE reuses the
+    * exchange). The payload must not contain the separator — require()d
+    * against the corpus is the caller's job; the default '>' suits
+    * enum-like event types. */
+  def eventSequence(df: DataFrame, key: String, ts: String, tiebreak: String,
+                    payload: String, maxEvents: Int,
+                    sep: String = ">"): DataFrame = {
+    require(maxEvents >= 1, s"maxEvents must be >= 1, got $maxEvents")
+    require(!df.columns.contains("rn"),
+      "eventSequence emits an internal 'rn' column; rename the input's first")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxEvents)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("rn"), col(payload)))),
+            x => x.getField(payload))).as("journey"))
+  }
+
   /** Skew-hardened inner equi-join: a plain hash join sends every row of a
     * hot key to one task; AQE's skew-join split fixes this for sort-merge
     * joins it can re-plan, but not when the skewed stage is pinned (cached

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline, built
@@ -139,6 +140,30 @@ object TextOps {
       .groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(topN)
+
+  /** Corpus bigram language-model table: for the `topN` most frequent word
+    * bigrams, the conditional probability p(w2 | w1) = bigram count over the
+    * first word's total continuation count — the n-gram LM / next-token
+    * statistic a data pipeline mines for perplexity filtering and synthetic
+    * detection. One partial-agg'd shuffle counts the grams (same explode
+    * shape as ngramVocab); the prefix totals are a window sum over the
+    * POST-aggregation gram rows partitioned by w1 — O(vocab²) rows at most,
+    * never the corpus. p is a single exact-integer division so any engine
+    * agrees bit-for-bit (floor-truncated to 6 decimals like every ratio). */
+  def bigramLm(docs: DataFrame, text: String, topN: Int): DataFrame = {
+    val counts = docs.select(explode(graft.expressions.HashKernelExpressions
+        .shingleStrings(normalized(col(text)), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_gram"))
+    counts
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("n_prefix",
+        sum(col("n_gram")).over(Window.partitionBy(col("w1"))))
+      .select(col("gram"), col("n_gram"), col("n_prefix"),
+        trunc6(col("n_gram").cast("double") / col("n_prefix").cast("double"))
+          .as("p"))
+      .orderBy(col("n_gram").desc, col("gram"))
+      .limit(topN)
+  }
 
   /** Interpreted Column form of the gram extraction — HashKernelSpec's
     * parity oracle for ShingleStrings (it mirrors the DuckDB oracle SQL). */

@@ -57,6 +57,10 @@ object syntax {
     def bloomAntiJoin(small: DataFrame, bigKey: String, smallKey: String,
                       expectedItems: Long, fpp: Double = 1e-3): DataFrame =
       CoreOps.bloomAntiJoin(df, small, bigKey, smallKey, expectedItems, fpp)
+    def eventSequence(key: String, ts: String, tiebreak: String,
+                      payload: String, maxEvents: Int,
+                      sep: String = ">"): DataFrame =
+      CoreOps.eventSequence(df, key, ts, tiebreak, payload, maxEvents, sep)
     def splitBy(pred: Column): (DataFrame, DataFrame) = CoreOps.splitBy(df, pred)
     def taggedUnion(tag: String, other: DataFrame, otherTag: String,
                     cols: Seq[String]): DataFrame =
@@ -136,6 +140,8 @@ object syntax {
     def bm25(id: String, text: String, terms: Seq[String],
              k1: Double = 1.2, b: Double = 0.75): DataFrame =
       TextOps.bm25(df, id, text, terms, k1, b)
+    def bigramLm(text: String, topN: Int): DataFrame =
+      TextOps.bigramLm(df, text, topN)
     def languageId(id: String, text: String,
                    profiles: Map[String, Seq[String]]): DataFrame =
       TextOps.languageId(df, id, text, profiles)

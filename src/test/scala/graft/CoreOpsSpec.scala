@@ -55,6 +55,20 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.rangeJoin(points, "ts", iv, "s", "e", 0))
   }
 
+  test("eventSequence orders by (ts, tiebreak), caps per key, joins with sep") {
+    val df = ev((3, 2000, 1, "c", 0), (1, 1000, 1, "a", 0), (2, 1000, 1, "b", 0),
+      (4, 3000, 1, "d", 0), (5, 500, 2, "x", 0))
+    val got = CoreOps.eventSequence(df, "user_id", "ts", "event_id",
+        "event_type", 3)
+      .orderBy("user_id").select("user_id", "n_events", "journey")
+      .as[(Long, Long, String)].collect().toSeq
+    // tie at 1000 broken by event_id (a before b); cap drops user 1's 'd'
+    assert(got == Seq((1L, 3L, "a>b>c"), (2L, 1L, "x")))
+    assertThrows[IllegalArgumentException](
+      CoreOps.eventSequence(df.withColumn("rn", lit(1)), "user_id", "ts",
+        "event_id", "event_type", 3))
+  }
+
   test("sessionSummary closes a session after the gap and reports min/max") {
     val gapMs = 5000
     val df = ev((1, 0, 1, "a", 0), (2, 4000, 1, "a", 0), // same session (gap 4s < 5s)

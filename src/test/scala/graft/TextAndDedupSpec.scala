@@ -49,6 +49,18 @@ class TextAndDedupSpec extends SparkSpec {
       TextOps.bm25(docs.withColumn("_dl", lit(1)), "doc_id", "text", Seq("b")))
   }
 
+  test("bigramLm emits exact conditional probabilities with prefix totals") {
+    // grams: "a b"×2 (docs 1,2), "b a"×1, "a c"×1 → prefix a: 3, prefix b: 1
+    val docs = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.bigramLm(docs, "text", 10)
+      .select("gram", "n_gram", "n_prefix", "p")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a b", 2L, 3L, math.floor(2.0 / 3.0 * 1000000d) / 1000000d),
+      ("a c", 1L, 3L, math.floor(1.0 / 3.0 * 1000000d) / 1000000d),
+      ("b a", 1L, 1L, 1.0)))
+  }
+
   test("languageId picks the profile with the most stopword hits") {
     val profiles = Map("en" -> Seq("the", "and"), "de" -> Seq("der", "und"))
     val df = Seq((1L, "the cat and the hat"), (2L, "der Hund und der Berg")).toDF("doc_id", "text")
