@@ -26,6 +26,7 @@ object SparkEntry {
   private val BmTerms = Seq("join", "scan", "window") // BM25 query terms
   private val BmK1 = 1.2; private val BmB = 0.75
   private val JourneyMax = 20 // events kept per user journey
+  private val CmsD = 4; private val CmsW = 512 // count-min sketch shape
 
   // Stopword profiles for language-ID / quality scoring (function words).
   private val stopEn = Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for")
@@ -547,6 +548,12 @@ object SparkEntry {
           grouping(col("l_linestatus")).cast("long").as("g_status"),
           count(lit(1)).as("n_items"),
           CoreOps.exactSum(col("l_extendedprice")).as("revenue"))),
+    // Count-Min heavy hitters: per-event-type estimates from one fixed-size
+    // mergeable sketch (custom TypedImperativeAggregate, md5 cells the
+    // oracle rebuilds cell-for-cell)
+    "q_heavy_hitters" -> ((s, dir) =>
+      CoreOps.heavyHittersCms(Tables.events(s, dir), "event_type",
+        CmsD, CmsW)),
     // per-user ordered journey: first 20 events as a '>'-joined sequence —
     // WindowGroupLimit caps a hot key's shipped rows at 20 before the
     // exchange
@@ -1570,6 +1577,24 @@ object SparkEntry {
         |  COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_heavy_hitters" -> {
+      // rebuild the d×w counter table cell-for-cell: same md5 cell hash,
+      // same counts, same min-over-rows probe as CmsAggregate/cmsMin
+      val cellOf = (k: String) => s"${sqlMd5Int(s"(r.i::VARCHAR || ':' || $k)")} % $CmsW"
+      s"""WITH rows_ AS (SELECT unnest(range(0, $CmsD)) AS i),
+         |cells AS (SELECT r.i, ${cellOf("e.event_type")} AS cell
+         |          FROM events e CROSS JOIN rows_ r),
+         |counts AS (SELECT i, cell, count(*)::BIGINT AS cnt
+         |           FROM cells GROUP BY 1, 2),
+         |probe AS (SELECT DISTINCT k.event_type, r.i, ${cellOf("k.event_type")} AS cell
+         |          FROM (SELECT DISTINCT event_type FROM events
+         |                WHERE event_type IS NOT NULL) k
+         |          CROSS JOIN rows_ r)
+         |SELECT p.event_type, min(c.cnt) AS est_count
+         |FROM probe p JOIN counts c ON p.i = c.i AND p.cell = c.cell
+         |GROUP BY p.event_type""".stripMargin
+    },
 
     "q_user_journey" ->
       s"""WITH r AS (SELECT user_id, event_type,

@@ -205,6 +205,26 @@ object CoreOps {
     * no global sort materializes. This is the profiling step that decides
     * whether a skewed key warrants the salted running-sum variant's extra
     * shuffle (SCALE.md "Skew hardening"). */
+  /** Count-Min heavy-hitter profile: estimated occurrence count per
+    * candidate key from ONE fixed-size sketch aggregate
+    * (expressions.CmsAggregate — d·w longs per partition, regardless of
+    * row count or key cardinality), broadcast back and probed with the
+    * codegen'd md5 cell expression. Estimates are exact-or-over by ≤ εN
+    * (ε ≈ e/w), never under. Candidates here are the distinct keys (cheap
+    * for enum-like columns); at an unbounded key space feed candidates
+    * from a per-partition pre-filter instead — the sketch itself never
+    * grows. keyProfile is the exact twin; this is the mergeable/streaming
+    * form of the same decision input. NULL keys are skipped by the sketch
+    * and excluded from the candidates. */
+  def heavyHittersCms(df: DataFrame, key: String, d: Int, w: Int): DataFrame = {
+    val tbl = df.agg(graft.expressions.CountMinExpressions
+      .cmsTable(col(key), d, w).as("_cms"))
+    df.select(col(key)).filter(col(key).isNotNull).distinct()
+      .crossJoin(broadcast(tbl))
+      .select(col(key), graft.expressions.CountMinExpressions
+        .cmsMin(col("_cms"), col(key), d, w).as("est_count"))
+  }
+
   def keyProfile(df: DataFrame, key: String, topN: Int): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n_events"))
       .orderBy(col("n_events").desc, col(key))
@@ -562,12 +582,17 @@ object CoreOps {
   def bloomSemiJoin(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
                     expectedItems: Long, fpp: Double = 1e-3): DataFrame = {
-    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    // NULL small keys never equal anything, and stat.bloomFilter NPEs on a
+    // relation that contributes no values — pre-filter and short-circuit
+    // (the isEmpty probe is one limit-1 job against the pruned scan)
+    val keys = small.filter(col(smallKey).isNotNull)
+    if (keys.isEmpty) return big.limit(0)
+    val bloom = keys.stat.bloomFilter(smallKey, expectedItems, fpp)
     val probe = graft.expressions.BloomProbeExpressions
       .mightContain(big(bigKey), bloom)
-    // NULL keys: probe → NULL → dropped, = the semi-join's NULL-never-equal
+    // NULL big keys: probe → NULL → dropped, = the semi-join's NULL-never-equal
     big.filter(coalesce(probe, lit(false)))
-      .join(small.select(col(smallKey)), big(bigKey) === small(smallKey),
+      .join(keys.select(col(smallKey)), big(bigKey) === keys(smallKey),
         "left_semi")
   }
 
@@ -582,13 +607,16 @@ object CoreOps {
   def bloomAntiJoin(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
                     expectedItems: Long, fpp: Double = 1e-3): DataFrame = {
-    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    // same empty/NULL guard as bloomSemiJoin: nothing to block → identity
+    val keys = small.filter(col(smallKey).isNotNull)
+    if (keys.isEmpty) return big
+    val bloom = keys.stat.bloomFilter(smallKey, expectedItems, fpp)
     val probe = graft.expressions.BloomProbeExpressions
       .mightContain(big(bigKey), bloom)
     val hit = coalesce(probe, lit(false))
     big.filter(!hit).unionByName(
-      big.filter(hit).join(small.select(col(smallKey)),
-        big(bigKey) === small(smallKey), "left_anti"))
+      big.filter(hit).join(keys.select(col(smallKey)),
+        big(bigKey) === keys(smallKey), "left_anti"))
   }
 
   /** Point-in-interval range join: pair every `points` row whose event time

@@ -113,6 +113,25 @@ object StreamOps {
       write(CoreOps.asofJoin(batch, right, key, ts, rightCols), batchId)
     }
 
+  /** Streaming allowlist/blocklist gate, stream-static form: every
+    * micro-batch of `big` runs the batch CoreOps.bloomAntiJoin against the
+    * CURRENT `small` relation — drop rows whose key appears in a
+    * (slowly-changing) block table, with the Bloom prune keeping the
+    * per-trigger cost at one small-side aggregate + a join over only the
+    * probe hits. Per-row semantics against a static right side → output
+    * independent of the micro-batch split (parity in StreamingParitySpec);
+    * same idempotent-sink contract as asofJoinEachBatch. For a block table
+    * that changes rarely, build the BloomFilter once outside and filter
+    * with BloomProbeExpressions.mightContain directly instead. */
+  def bloomAntiJoinEachBatch(big: DataFrame, small: DataFrame,
+                             bigKey: String, smallKey: String,
+                             expectedItems: Long, fpp: Double = 1e-3)(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    big.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      write(CoreOps.bloomAntiJoin(batch, small, bigKey, smallKey,
+        expectedItems, fpp), batchId)
+    }
+
   /** Streaming decontamination, stream-static form: every micro-batch of
     * incoming docs is checked against the CURRENT benchmark relation with
     * the batch Dedup.contaminationPairs — gate documents against eval sets

@@ -61,6 +61,8 @@ object syntax {
                       payload: String, maxEvents: Int,
                       sep: String = ">"): DataFrame =
       CoreOps.eventSequence(df, key, ts, tiebreak, payload, maxEvents, sep)
+    def heavyHittersCms(key: String, d: Int, w: Int): DataFrame =
+      CoreOps.heavyHittersCms(df, key, d, w)
     def splitBy(pred: Column): (DataFrame, DataFrame) = CoreOps.splitBy(df, pred)
     def taggedUnion(tag: String, other: DataFrame, otherTag: String,
                     cols: Seq[String]): DataFrame =

@@ -315,6 +315,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: CMS estimates are exact-or-over, exact at wide w, and " +
+      "invariant to partitioning (element-wise-sum merge)") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, Gen.choose(0L, 12L).map(k => s"k$k"))
+      parts <- Gen.choose(1, 5)
+    } yield (rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }, parts)
+    check(Prop.forAll(gen) { case (rows, parts) =>
+      val df = rows.toDF("rid", "k")
+      val exact = rows.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+      // w=8 forces collisions: estimates may only ever OVERcount
+      val narrow = CoreOps.heavyHittersCms(df, "k", 2, 8)
+        .as[(String, Long)].collect().toMap
+      // w=1024 over ≤13 keys: collisions are possible but astronomically
+      // unlikely for this fixed key set; md5 is deterministic, so this
+      // either always passes or never does — and it passes
+      val wide = CoreOps.heavyHittersCms(df.repartition(parts), "k", 4, 1024)
+        .as[(String, Long)].collect().toMap
+      narrow.keySet == exact.keySet && wide.keySet == exact.keySet &&
+        exact.forall { case (k, c) => narrow(k) >= c } &&
+        exact.forall { case (k, c) => wide(k) == c }
+    })
+  }
+
   test("property: split partitions are disjoint and exhaustive") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = rows.toDF("event_id", "ms")

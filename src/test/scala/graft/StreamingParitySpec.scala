@@ -130,6 +130,26 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomAntiJoinEachBatch(stream-static) == plain anti join across splits") {
+    val block = Seq(2L, 4L).toDF("bk")
+    val batch1 = Seq((10L, 1L), (11L, 2L), (12L, 3L))
+    val batch2 = Seq((13L, 4L), (14L, 5L), (15L, 2L))
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("rid", "k")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.bloomAntiJoinEachBatch(stream, block, "k", "bk", 2L) {
+      (out, _) => sink.synchronized {
+        sink ++= out.select("rid").as[Long].collect()
+      }
+    }.start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      assert(sink.toSet == Set(10L, 12L, 14L)) // blocked keys 2 and 4 dropped
+      assert(sink.size == 3) // exactly-once per surviving row
+    } finally q.stop()
+  }
+
   test("decontaminateEachBatch(stream-static) == contaminationPairs(batch) across splits") {
     val benchText = "the quick brown fox jumps over the lazy dog"
     val bench = Seq((1L, benchText)).toDF("doc_id", "text")
