@@ -548,6 +548,22 @@ object SparkEntry {
           grouping(col("l_linestatus")).cast("long").as("g_status"),
           count(lit(1)).as("n_items"),
           CoreOps.exactSum(col("l_extendedprice")).as("revenue"))),
+    // per-event sessionization: 1-day-gap session index on every event —
+    // the per-event twin of the session-window aggregate
+    "q_sessionize" -> ((s, dir) =>
+      CoreOps.sessionize(Tables.events(s, dir), "user_id", "ts", "event_id", D)
+        .select(col("event_id"), col("user_id"), col("session_seq"))),
+    // percent-rank normalization of doc length within language — exact
+    // rational (rank-1)/(n-1), bit-identical on any engine
+    "q_rank_norm" -> ((s, dir) =>
+      CoreOps.rankNormalize(Tables.documents(s, dir), "lang", "n_chars", "pr")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("pr"))),
+    // robust median/MAD outlier flags on event values per type — the
+    // heavy-tail-safe curation filter
+    "q_outliers" -> ((s, dir) =>
+      CoreOps.robustOutliers(Tables.events(s, dir), "event_type", "value", 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("robust_z"), col("is_outlier"))),
     // Count-Min heavy hitters: per-event-type estimates from one fixed-size
     // mergeable sketch (custom TypedImperativeAggregate, md5 cells the
     // oracle rebuilds cell-for-cell)
@@ -1577,6 +1593,37 @@ object SparkEntry {
         |  COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH x AS (SELECT event_id, user_id, $evMs AS ms,
+         |        lag($evMs) OVER (PARTITION BY user_id
+         |                         ORDER BY $evMs, event_id) AS prev
+         |      FROM events)
+         |SELECT event_id, user_id,
+         |  (sum(CASE WHEN prev IS NULL OR ms - prev > $D THEN 1 ELSE 0 END)
+         |     OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+         |FROM x""".stripMargin,
+
+    "q_rank_norm" ->
+      """SELECT doc_id, lang, n_chars,
+        |  floor(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+        |        * 1000000) / 1000000 AS pr
+        |FROM documents""".stripMargin,
+
+    "q_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+        |             FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+        |        FROM events e JOIN med USING (event_type) GROUP BY 1),
+        |z AS (SELECT e.event_id, e.event_type, e.value,
+        |        CASE WHEN mad.d > 0
+        |             THEN floor((0.6745 * (e.value - med.m) / mad.d) * 1000000) / 1000000
+        |        END AS robust_z
+        |      FROM events e JOIN med USING (event_type) JOIN mad USING (event_type))
+        |SELECT event_id, event_type, value, robust_z,
+        |  COALESCE(abs(robust_z) > 3.5, false) AS is_outlier
+        |FROM z""".stripMargin,
 
     "q_heavy_hitters" -> {
       // rebuild the d×w counter table cell-for-cell: same md5 cell hash,

@@ -289,6 +289,72 @@ object CoreOps {
     acc
   }
 
+  /** Per-event sessionization: label every row with its key's 1-based
+    * session index, where a new session starts after a silence longer than
+    * `gapMs` — the per-EVENT twin of sessionSummary's per-session
+    * aggregate, for pipelines that need the session id ON the event (for
+    * downstream grouping, journey splitting, or session-scoped features).
+    * One keyed exchange + sort: the lag and the running sum share the same
+    * window ordering, so Catalyst evaluates both in a single WindowExec
+    * pass. Boundary contract: a silence STRICTLY greater than gapMs splits
+    * (an event exactly gapMs after its predecessor stays in-session) —
+    * note this differs from session_window's half-open [start, start+gap)
+    * by that one boundary instant. */
+  def sessionize(df: DataFrame, key: String, ts: String, tiebreak: String,
+                 gapMs: Long): DataFrame = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    require(!df.columns.contains("session_seq"),
+      "sessionize emits a 'session_seq' column; rename the input's first")
+    val w = Window.partitionBy(col(key)).orderBy(ms(col(ts)), col(tiebreak))
+    val prev = lag(ms(col(ts)), 1).over(w)
+    df.withColumn("session_seq",
+      sum(when(prev.isNull || (ms(col(ts)) - prev) > gapMs, 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-group percent-rank normalization: map `value` to its empirical
+    * CDF position in [0, 1] within each group — the scale-free form
+    * quality scores are combined in (a length score and a stopword score
+    * on wildly different scales become comparable ranks). percent_rank is
+    * (rank−1)/(n−1), a single exact integer division, so any engine agrees
+    * bit-for-bit; ties share a rank. One keyed exchange + sort. */
+  def rankNormalize(df: DataFrame, group: String, value: String,
+                    out: String): DataFrame = {
+    require(!df.columns.contains(out),
+      s"rankNormalize emits '$out'; rename the input's first")
+    val pr = percent_rank()
+      .over(Window.partitionBy(col(group)).orderBy(col(value)))
+    df.withColumn(out, floor(pr * 1000000d) / 1000000d)
+  }
+
+  /** Robust per-group outlier flags via median/MAD — the curation filter
+    * that survives the heavy-tailed distributions mean/stddev z-scores
+    * drown in: robust_z = 0.6745 · (x − median) / MAD, flagged when
+    * |robust_z| > cutoff. Two grouped exact-percentile aggregates
+    * (O(groups) rows each, broadcast back by AQE) + a pure map stage.
+    * A zero MAD (≥ half the group at the median) yields NULL z and never
+    * flags — the standard convention, stated rather than implied. */
+  def robustOutliers(df: DataFrame, group: String, value: String,
+                     cutoff: Double): DataFrame = {
+    val internal = Seq("_med", "_mad", "robust_z", "is_outlier")
+    val clash = df.columns.intersect(internal)
+    require(clash.isEmpty,
+      s"robustOutliers uses ${internal.mkString(", ")}; " +
+        s"rename the input's ${clash.mkString(", ")} first")
+    val med = df.groupBy(col(group))
+      .agg(percentile(col(value), lit(0.5)).as("_med"))
+    val withMed = df.join(med, Seq(group))
+    val mad = withMed.groupBy(col(group))
+      .agg(percentile(abs(col(value) - col("_med")), lit(0.5)).as("_mad"))
+    val z = lit(0.6745) * (col(value) - col("_med")) / col("_mad")
+    withMed.join(mad, Seq(group))
+      .withColumn("robust_z",
+        when(col("_mad") > 0, floor(z * 1000000d) / 1000000d))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > cutoff, lit(false)))
+      .drop("_med", "_mad")
+  }
+
   /** Per-key ordered event sequence — the "user journey" extraction that
     * turns an event log into training sequences: each key's first
     * `maxEvents` payload values in (ts, tiebreak) order, joined into one

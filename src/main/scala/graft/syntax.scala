@@ -63,6 +63,13 @@ object syntax {
       CoreOps.eventSequence(df, key, ts, tiebreak, payload, maxEvents, sep)
     def heavyHittersCms(key: String, d: Int, w: Int): DataFrame =
       CoreOps.heavyHittersCms(df, key, d, w)
+    def sessionize(key: String, ts: String, tiebreak: String,
+                   gapMs: Long): DataFrame =
+      CoreOps.sessionize(df, key, ts, tiebreak, gapMs)
+    def rankNormalize(group: String, value: String, out: String): DataFrame =
+      CoreOps.rankNormalize(df, group, value, out)
+    def robustOutliers(group: String, value: String, cutoff: Double): DataFrame =
+      CoreOps.robustOutliers(df, group, value, cutoff)
     def splitBy(pred: Column): (DataFrame, DataFrame) = CoreOps.splitBy(df, pred)
     def taggedUnion(tag: String, other: DataFrame, otherTag: String,
                     cols: Seq[String]): DataFrame =

@@ -69,6 +69,36 @@ class CoreOpsSpec extends SparkSpec {
         "event_id", "event_type", 3))
   }
 
+  test("sessionize assigns 1-based per-key session indexes at strict gaps") {
+    val gap = 5000L
+    val df = ev((1, 0, 1, "a", 0), (2, 5000, 1, "a", 0), // gap == 5000: same
+      (3, 10001, 1, "a", 0), // gap 5001 > 5000: new session
+      (4, 0, 2, "a", 0))
+    val got = CoreOps.sessionize(df, "user_id", "ts", "event_id", gap)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("rankNormalize maps values to exact (rank-1)/(n-1) with shared ties") {
+    val df = ev((1, 0, 1, "a", 1.0), (2, 0, 1, "a", 2.0), (3, 0, 1, "a", 2.0),
+      (4, 0, 1, "a", 5.0), (5, 0, 2, "a", 9.0))
+    val got = CoreOps.rankNormalize(df, "user_id", "value", "pr")
+      .select("event_id", "pr").as[(Long, Double)].collect().toMap
+    val third = math.floor(1.0 / 3.0 * 1000000d) / 1000000d
+    assert(got == Map(1L -> 0.0, 2L -> third, 3L -> third, 4L -> 1.0,
+      5L -> 0.0)) // singleton group: percent_rank 0
+  }
+
+  test("robustOutliers flags |0.6745(x-med)/MAD| > cutoff, zero MAD never flags") {
+    val df = ev((1, 0, 1, "a", 1.0), (2, 0, 1, "a", 2.0), (3, 0, 1, "a", 3.0),
+      (4, 0, 1, "a", 100.0), // med=2.5, MAD=1.0 → z(100)=65.77… outlier
+      (5, 0, 1, "b", 7.0), (6, 0, 1, "b", 7.0)) // MAD=0 → null z, no flag
+    val got = CoreOps.robustOutliers(df, "event_type", "value", 3.5)
+      .select("event_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true,
+      5L -> false, 6L -> false))
+  }
+
   test("sessionSummary closes a session after the gap and reports min/max") {
     val gapMs = 5000
     val df = ev((1, 0, 1, "a", 0), (2, 4000, 1, "a", 0), // same session (gap 4s < 5s)
