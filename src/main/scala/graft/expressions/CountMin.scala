@@ -90,6 +90,50 @@ object CmsAggregate {
     * SQL oracle and by the Column-side probe (CountMinExpressions.cmsMin). */
   def cell(i: Int, key: String, w: Int): Int =
     (Md5Hash.first32(UTF8String.fromString(i + ":" + key)) % w).toInt
+
+  /** min over the key's d cells — the estimate; shared by interpreted eval
+    * and generated code. */
+  def probe(tbl: org.apache.spark.sql.catalyst.util.ArrayData,
+            key: UTF8String, d: Int, w: Int): Long = {
+    val k = key.toString
+    var best = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val c = tbl.getLong(i * w + cell(i, k, w))
+      if (c < best) best = c
+      i += 1
+    }
+    best
+  }
+}
+
+/** (array<long> table, string key) → bigint estimate: the point probe for a
+  * CmsAggregate table with the same (d, w). Native twin of the Column
+  * composition (CountMinExpressions.cmsMinColumnForm — parity pinned in
+  * CoreOpsSpec): one pass, d md5 calls, no element_at chain. */
+case class CmsMinProbe(table: Expression, key: Expression, d: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  require(d >= 1 && w >= 1, s"need d >= 1 and w >= 1, got d=$d w=$w")
+  override def left: Expression = table
+  override def right: Expression = key
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any, k: Any): Any =
+    CmsAggregate.probe(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k.asInstanceOf[UTF8String], d, w)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (t, k) =>
+      s"graft.expressions.CmsAggregate.probe($t, $k, $d, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsMinProbe =
+    copy(table = newLeft, key = newRight)
+  override def prettyName: String = "graft_cms_min"
 }
 
 object CountMinExpressions {
@@ -102,9 +146,17 @@ object CountMinExpressions {
         .toAggregateExpression())
 
   /** Point estimate for `key` against a table column produced by cmsTable
-    * with the same (d, w): min over the key's d cells. Pure Column
-    * composition over the codegen'd md5 kernel — no UDF. */
+    * with the same (d, w): min over the key's d cells, as one native
+    * codegen'd probe. */
   def cmsMin(table: Column, key: Column, d: Int, w: Int): Column =
+    GraftColumnBridge.column(CmsMinProbe(
+      GraftColumnBridge.expression(table),
+      GraftColumnBridge.expression(key), d, w))
+
+  /** Interpreted Column composition of the probe — CoreOpsSpec's parity
+    * oracle for CmsMinProbe (it mirrors the DuckDB oracle SQL). */
+  private[graft] def cmsMinColumnForm(table: Column, key: Column,
+                                      d: Int, w: Int): Column =
     (0 until d).map { i =>
       element_at(table,
         (pmod(Md5Expressions.md5Int(concat(lit(s"$i:"), key)), lit(w)) +

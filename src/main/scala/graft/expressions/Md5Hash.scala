@@ -144,7 +144,16 @@ object GraftExtensions {
         "one-pass token count, distinct-token count and most frequent word k-gram " +
         "(ties break to the binary-smallest gram; NULL top_gram below k tokens). " +
         "PRECONDITION: `norm` must be normalized text — trimmed, single-space-separated " +
-        "(as TextOps.normalized produces); raw whitespace creates empty tokens."))
+        "(as TextOps.normalized produces); raw whitespace creates empty tokens."),
+    "graft_cms_table" ->
+      ("graft_cms_table(key, d, w) - AGGREGATE: Count-Min sketch of a string key as the " +
+        "flattened d*w counter table (array<bigint>, row-major). Cells are " +
+        "graft_md5int(i || ':' || key) % w, so any engine can rebuild the table; merge is " +
+        "element-wise sum (order-independent). d and w must be literal integers."),
+    "graft_cms_min" ->
+      ("graft_cms_min(table, key, d, w) - point estimate for `key` against a graft_cms_table " +
+        "result built with the SAME literal (d, w): min over the key's d cells. " +
+        "Exact-or-over, never under; mismatched (d, w) silently probes wrong cells."))
 
   /** The injected function surface, exposed so tests can register the exact
     * same builders into a plain function registry. */
@@ -168,5 +177,11 @@ object GraftExtensions {
     "graft_containment_distinct" -> (classOf[ContainmentDistinct], (args: Seq[Expression]) =>
       ContainmentDistinct(args.head, args(1))),
     "graft_repetition_stats" -> (classOf[RepetitionStats], (args: Seq[Expression]) =>
-      RepetitionStats(args.head, intArg(args(1), "graft_repetition_stats"))))
+      RepetitionStats(args.head, intArg(args(1), "graft_repetition_stats"))),
+    "graft_cms_table" -> (classOf[CmsAggregate], (args: Seq[Expression]) =>
+      CmsAggregate(args.head, intArg(args(1), "graft_cms_table"),
+        intArg(args(2), "graft_cms_table"))),
+    "graft_cms_min" -> (classOf[CmsMinProbe], (args: Seq[Expression]) =>
+      CmsMinProbe(args.head, args(1), intArg(args(2), "graft_cms_min"),
+        intArg(args(3), "graft_cms_min"))))
 }

@@ -217,6 +217,8 @@ object CoreOps {
     * form of the same decision input. NULL keys are skipped by the sketch
     * and excluded from the candidates. */
   def heavyHittersCms(df: DataFrame, key: String, d: Int, w: Int): DataFrame = {
+    require(key != "_cms" && !df.columns.contains("est_count"),
+      "heavyHittersCms uses '_cms' internally and emits 'est_count'; rename first")
     val tbl = df.agg(graft.expressions.CountMinExpressions
       .cmsTable(col(key), d, w).as("_cms"))
     df.select(col(key)).filter(col(key).isNotNull).distinct()

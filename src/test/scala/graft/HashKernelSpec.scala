@@ -256,6 +256,39 @@ class HashKernelSpec extends SparkSpec {
     assert(err.getMessage.contains("literal integer"), err.getMessage)
   }
 
+  test("CmsMinProbe matches the Column-composition probe and never undercounts") {
+    import graft.expressions.CountMinExpressions
+    val df = Seq.tabulate(60)(i => "k" + (i % 7)).toDF("k")
+    val tbl = df.agg(CountMinExpressions.cmsTable(col("k"), 3, 16).as("t"))
+    val probes = df.distinct().crossJoin(broadcast(tbl))
+      .select(col("k"),
+        CountMinExpressions.cmsMin(col("t"), col("k"), 3, 16).as("native"),
+        CountMinExpressions.cmsMinColumnForm(col("t"), col("k"), 3, 16).as("cf"))
+      .as[(String, Long, Long)].collect()
+    assert(probes.nonEmpty && probes.forall { case (_, n, c) => n == c })
+    val exact = Seq.tabulate(60)(i => "k" + (i % 7)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(probes.forall { case (k, n, _) => n >= exact(k) })
+  }
+
+  test("the CMS SQL surface aggregates and probes through literal (d, w)") {
+    val s2 = spark.newSession()
+    graft.expressions.GraftExtensions.builders.foreach { case (name, (_, b)) =>
+      s2.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+    // temp views are session-scoped, so feed s2 with inline VALUES
+    val in = "(VALUES ('a'), ('b'), ('a'), ('c'), ('a')) AS v(k)"
+    val got = s2.sql(
+      s"""SELECT graft_cms_min(t, 'a', 4, 32) AS est
+         |FROM (SELECT graft_cms_table(k, 4, 32) AS t FROM $in)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(got == 3L) // no collisions at w=32 over 3 keys
+    val err = intercept[Exception] {
+      s2.sql(s"SELECT graft_cms_table(k, length('xx'), 32) FROM $in").collect()
+    }
+    assert(err.getMessage.contains("literal integer"), err.getMessage)
+  }
+
   test("kernel expressions fuse into whole-stage codegen") {
     val df = spark.range(8).select(
       HashKernelExpressions.simhashVote(
