@@ -335,7 +335,11 @@ object CoreOps {
     * |robust_z| > cutoff. Two grouped exact-percentile aggregates
     * (O(groups) rows each, broadcast back by AQE) + a pure map stage.
     * A zero MAD (≥ half the group at the median) yields NULL z and never
-    * flags — the standard convention, stated rather than implied. */
+    * flags — the standard convention, stated rather than implied. Exact
+    * `percentile` buffers a count-map per group; for value domains too
+    * large for that (unbounded doubles at corpus scale), swap in
+    * approx_percentile exactly as quantileProfileApprox twins
+    * quantileProfile — the join/map shape is unchanged. */
   def robustOutliers(df: DataFrame, group: String, value: String,
                      cutoff: Double): DataFrame = {
     val internal = Seq("_med", "_mad", "robust_z", "is_outlier")

@@ -105,13 +105,24 @@ object StreamDemo {
       userMeta, "user", "event_time", Seq("tier")) { (out, _) =>
       asofRows.addAndGet(out.count())
     }.start()
+    // stream-stream interval join, continuously: every Delete opens a 10s
+    // incident window over the same user's events (state expires at
+    // lateness + window — see StreamOps.intervalJoin)
+    val q6 = StreamOps.intervalJoin(
+        audit.select(col("user"), col("event_time"), col("id")),
+        audit.filter(col("operation") === "Delete")
+          .select(col("user"), col("event_time"), col("id")),
+        "user", "event_time", "1 second", 10000,
+        Seq("id" -> "event_id"), Seq("id" -> "incident_id"))
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     def audited: Long = q3.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
     val deadline = System.currentTimeMillis() + 30000
     while (audited < 500 && System.currentTimeMillis() < deadline) Thread.sleep(200)
     println(s"[demo] rate phase: observer counted $audited audit records through " +
-      s"continuous session-window, stream-stream join and as-of join queries " +
-      s"(${asofRows.get()} as-of rows emitted)")
-    q3.stop(); q4.stop(); q5.stop(); spark.stop()
+      s"continuous session-window, stream-stream window-join, as-of join and " +
+      s"interval-join queries (${asofRows.get()} as-of rows emitted)")
+    q3.stop(); q4.stop(); q5.stop(); q6.stop(); spark.stop()
   }
 }
