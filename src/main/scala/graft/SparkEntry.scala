@@ -588,6 +588,10 @@ object SparkEntry {
     // a window over POST-aggregation vocab rows, never the corpus
     "q_bigram_lm" -> ((s, dir) =>
       TextOps.bigramLm(Tables.documents(s, dir), "text", 100)),
+    // out-of-vocabulary rate vs the top-100 bigram vocabulary — the novelty
+    // signal next to q_repetition's boilerplate signal
+    "q_oov" -> ((s, dir) =>
+      TextOps.oovRate(Tables.documents(s, dir), "doc_id", "text", 2, 100)),
     // per-event trailing feature windows: 1-hour and 1-day behavioral
     // aggregates as of each event, one keyed exchange for both widths
     "q_rolling_features" -> ((s, dir) =>
@@ -1593,6 +1597,25 @@ object SparkEntry {
         |  COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_oov" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |tk AS (SELECT doc_id, list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |dg AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i+1, i+2), ' ')
+         |                              for i in range(0, len(toks)-2+1)]) AS gram
+         |       FROM tk WHERE len(toks) >= 2),
+         |vocab AS (SELECT gram FROM dg GROUP BY 1
+         |          ORDER BY COUNT(*) DESC, gram LIMIT 100),
+         |cnt AS (SELECT dg.doc_id, count(*)::BIGINT AS n_grams,
+         |          count(vocab.gram)::BIGINT AS n_in_vocab
+         |        FROM dg LEFT JOIN vocab USING (gram) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(cnt.n_grams, 0) AS n_grams,
+         |  COALESCE(cnt.n_in_vocab, 0) AS n_in_vocab,
+         |  CASE WHEN cnt.n_grams > 0
+         |       THEN floor(((cnt.n_grams - cnt.n_in_vocab)::DOUBLE
+         |                   / cnt.n_grams::DOUBLE) * 1000000) / 1000000
+         |  END AS oov_rate
+         |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH x AS (SELECT event_id, user_id, $evMs AS ms,

@@ -165,6 +165,35 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Out-of-vocabulary rate: per document, the share of its word n-grams
+    * NOT in the corpus's top-`topN` n-gram vocabulary — high OOV flags
+    * novel-or-garbage text that per-token quality scores miss (the novelty
+    * signal next to repetitionProfile's boilerplate signal). Shape: the
+    * vocabulary is one ngramVocab pass (already bounded to topN rows) and
+    * broadcast; per-doc grams explode map-side and collapse in ONE
+    * partial-agg'd shuffle on the uniform doc id, counting vocab hits via
+    * the broadcast join — the corpus never joins itself. The rate is one
+    * exact integer division (floor-truncated); documents shorter than n
+    * words have no grams and emit NULL (novelty is undefined, not zero). */
+  def oovRate(docs: DataFrame, id: String, text: String, n: Int,
+              topN: Int): DataFrame = {
+    require(id != "gram" && id != "_hit",
+      s"oovRate uses 'gram' and '_hit' internally; rename the id column")
+    val vocab = ngramVocab(docs, text, n, topN)
+      .select(col("gram"), lit(1L).as("_hit"))
+    val grams = docs.select(col(id), explode_outer(
+      graft.expressions.HashKernelExpressions
+        .shingleStrings(normalized(col(text)), n)).as("gram"))
+    grams.join(broadcast(vocab), Seq("gram"), "left")
+      .groupBy(col(id))
+      .agg(count(col("gram")).as("n_grams"),
+        count(col("_hit")).as("n_in_vocab"))
+      .withColumn("oov_rate",
+        when(col("n_grams") > 0,
+          trunc6((col("n_grams") - col("n_in_vocab")).cast("double") /
+            col("n_grams").cast("double"))))
+  }
+
   /** Interpreted Column form of the gram extraction — HashKernelSpec's
     * parity oracle for ShingleStrings (it mirrors the DuckDB oracle SQL). */
   private[graft] def ngramsColumnForm(text: Column, n: Int): Column = {

@@ -151,6 +151,8 @@ object syntax {
       TextOps.bm25(df, id, text, terms, k1, b)
     def bigramLm(text: String, topN: Int): DataFrame =
       TextOps.bigramLm(df, text, topN)
+    def oovRate(id: String, text: String, n: Int, topN: Int): DataFrame =
+      TextOps.oovRate(df, id, text, n, topN)
     def languageId(id: String, text: String,
                    profiles: Map[String, Seq[String]]): DataFrame =
       TextOps.languageId(df, id, text, profiles)

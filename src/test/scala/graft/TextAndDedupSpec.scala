@@ -61,6 +61,20 @@ class TextAndDedupSpec extends SparkSpec {
       ("b a", 1L, 1L, 1.0)))
   }
 
+  test("oovRate counts grams outside the top vocab; gramless docs are NULL") {
+    // vocab (top 2 bigrams): "a b" (×2) and "a c"/"b a"? counts: "a b"=2,
+    // "b a"=1, "a c"=1 → top-2 = {"a b", "a c"} (count desc, gram asc)
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
+    val got = TextOps.oovRate(docs, "doc_id", "text", 2, 2)
+      .select("doc_id", "n_grams", "n_in_vocab", "oov_rate")
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    val third = math.floor(1.0 / 3.0 * 1000000d) / 1000000d
+    assert(got == Set(
+      (1L, 3L, 2L, Some(third)), // "b a" is OOV
+      (2L, 1L, 1L, Some(0.0)),
+      (3L, 0L, 0L, None))) // single token: no grams → NULL, not 0
+  }
+
   test("languageId picks the profile with the most stopword hits") {
     val profiles = Map("en" -> Seq("the", "and"), "de" -> Seq("der", "und"))
     val df = Seq((1L, "the cat and the hat"), (2L, "der Hund und der Berg")).toDF("doc_id", "text")
