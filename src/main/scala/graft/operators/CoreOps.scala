@@ -372,7 +372,10 @@ object CoreOps {
     * groupBy lands on the window's partitioning, so AQE reuses the
     * exchange). The payload must not contain the separator — require()d
     * against the corpus is the caller's job; the default '>' suits
-    * enum-like event types. */
+    * enum-like event types. NULL payload values are omitted from the
+    * string by concat_ws while still counting toward n_events and the
+    * cap — filter them upstream if the journey must be positionally
+    * aligned with the count. */
   def eventSequence(df: DataFrame, key: String, ts: String, tiebreak: String,
                     payload: String, maxEvents: Int,
                     sep: String = ">"): DataFrame = {
