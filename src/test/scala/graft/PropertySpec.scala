@@ -339,6 +339,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: sessionize equals the sequential fold over sorted events") {
+    val gen = for {
+      n <- Gen.choose(0, 50)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 2L)
+        ms <- Gen.choose(0L, 20L).map(_ * 1000) // coarse → boundary gaps occur
+      } yield (k, ms))
+      gap <- Gen.oneOf(1000L, 3000L, 5000L)
+    } yield (rows.zipWithIndex.map { case ((k, m), i) => (i.toLong, k, m) }, gap)
+    check(Prop.forAll(gen) { case (rows, gap) =>
+      val df = rows.toDF("event_id", "user_id", "ms")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      val got = CoreOps.sessionize(df, "user_id", "ts", "event_id", gap)
+        .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+      val expected = rows.groupBy(_._2).flatMap { case (_, g) =>
+        val sorted = g.sortBy(r => (r._3, r._1))
+        var seq = 0L; var prev = Option.empty[Long]
+        sorted.map { case (id, _, m) =>
+          if (prev.forall(p => m - p > gap)) seq += 1
+          prev = Some(m)
+          id -> seq
+        }
+      }
+      got == expected
+    })
+  }
+
   test("property: split partitions are disjoint and exhaustive") {
     check(Prop.forAll(eventsGen) { rows =>
       val df = rows.toDF("event_id", "ms")

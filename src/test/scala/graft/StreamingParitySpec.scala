@@ -130,6 +130,29 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the CMS aggregate merges across micro-batches == one batch sketch") {
+    // complete-mode streaming aggregation exercises partial buffers +
+    // element-wise merge across triggers; the table must equal the batch
+    // sketch over the union — the "mergeable profile" property
+    val batch1 = Seq("a", "b", "a"); val batch2 = Seq("c", "a", "b")
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("k").agg(
+      graft.expressions.CountMinExpressions.cmsTable(col("k"), 3, 16).as("t"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("cms_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("cms_par").select("t")
+        .as[Seq[Long]].collect().head
+      val batch = (batch1 ++ batch2).toDF("k").agg(
+          graft.expressions.CountMinExpressions.cmsTable(col("k"), 3, 16))
+        .as[Seq[Long]].collect().head
+      assert(streamed == batch)
+      assert(streamed.sum == 3L * 6) // every row increments one cell per hash row
+    } finally q.stop()
+  }
+
   test("bloomAntiJoinEachBatch(stream-static) == plain anti join across splits") {
     val block = Seq(2L, 4L).toDF("bk")
     val batch1 = Seq((10L, 1L), (11L, 2L), (12L, 3L))
