@@ -27,6 +27,8 @@ object SparkEntry {
   private val BmK1 = 1.2; private val BmB = 0.75
   private val JourneyMax = 20 // events kept per user journey
   private val CmsD = 4; private val CmsW = 512 // count-min sketch shape
+  private val SplitFracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val SplitSalt = "sp"
 
   // Stopword profiles for language-ID / quality scoring (function words).
   private val stopEn = Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for")
@@ -592,6 +594,12 @@ object SparkEntry {
     // signal next to q_repetition's boilerplate signal
     "q_oov" -> ((s, dir) =>
       TextOps.oovRate(Tables.documents(s, dir), "doc_id", "text", 2, 100)),
+    // leakage-safe train/val/test assignment: md5 hash bands, so a row's
+    // split never changes as the corpus grows
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(Tables.documents(s, dir), "doc_id", SplitFracs,
+          salt = SplitSalt)
+        .select(col("doc_id"), col("split"))),
     // per-event trailing feature windows: 1-hour and 1-day behavioral
     // aggregates as of each event, one keyed exchange for both widths
     "q_rolling_features" -> ((s, dir) =>
@@ -1616,6 +1624,18 @@ object SparkEntry {
          |                   / cnt.n_grams::DOUBLE) * 1000000) / 1000000
          |  END AS oov_rate
          |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin,
+
+    "q_split_assign" -> {
+      // identical cumulative-threshold arithmetic as Sampling.splitAssign
+      val cuts = operators.Sampling.cumulativeThresholds(SplitFracs.map(_._2))
+      val h = sqlMd5Int(s"(doc_id::VARCHAR || '$SplitSalt')")
+      val cases = SplitFracs.map(_._1).zip(cuts).init
+        .map { case (name, cut) => s"WHEN $h < $cut THEN '$name'" }
+        .mkString(" ")
+      s"""SELECT doc_id,
+         |  CASE $cases ELSE '${SplitFracs.last._1}' END AS split
+         |FROM documents""".stripMargin
+    },
 
     "q_sessionize" ->
       s"""WITH x AS (SELECT event_id, user_id, $evMs AS ms,

@@ -28,6 +28,14 @@ object Sampling {
     (rate * 4294967296.0).toLong
   }
 
+  /** Cumulative band cutoffs for splitAssign's fractions, clamped so float
+    * accumulation error cannot push an intermediate sum past 1.0 — public
+    * so oracle SQL generators run the IDENTICAL arithmetic and embed the
+    * identical integers. */
+  def cumulativeThresholds(fractions: Seq[Double]): Seq[Long] =
+    fractions.scanLeft(0.0)(_ + _).tail
+      .map(c => threshold(math.min(c, 1.0)))
+
   /** Keep ~`rate` of rows, decided by md5(id || salt): deterministic,
     * engine-reproducible, independent across salts. */
   def hashSample(df: DataFrame, id: String, rate: Double,
@@ -48,6 +56,33 @@ object Sampling {
         when(col(stratum) === value, lit(threshold(rate))).otherwise(acc)
     }
     df.filter(keyHash(col(id), salt) < cutoff)
+  }
+
+  /** Deterministic train/val/test split assignment: label every row with
+    * the FIRST split whose cumulative hash band contains md5(id || salt) —
+    * bands partition the 2^32 hash space in the given order, so fractions
+    * are disjoint and exhaustive (the last split absorbs rounding
+    * remainder; fractions must sum to ~1). The same row lands in the same
+    * split on every engine, partitioning, and rerun — and because the
+    * decision is a pure function of (id, salt), growing the corpus NEVER
+    * moves an existing row between splits (the leakage-safety property a
+    * random split lacks: yesterday's training doc cannot become tomorrow's
+    * eval doc). Pure codegen'd map, zero shuffle. */
+  def splitAssign(df: DataFrame, id: String,
+                  splits: Seq[(String, Double)], out: String = "split",
+                  salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must be non-negative and sum to 1, got $splits")
+    require(!df.columns.contains(out),
+      s"splitAssign emits '$out'; rename the input's first")
+    val h = keyHash(col(id), salt)
+    val cuts = cumulativeThresholds(splits.map(_._2))
+    val labeled = splits.map(_._1).zip(cuts).init
+      .foldRight(lit(splits.last._1)) { case ((name, cut), rest) =>
+        when(h < cut, name) otherwise rest
+      }
+    df.withColumn(out, labeled)
   }
 
   /** Per-group QUOTA sampling: exactly `n` rows per stratum (fewer when the

@@ -153,6 +153,9 @@ object syntax {
       TextOps.bigramLm(df, text, topN)
     def oovRate(id: String, text: String, n: Int, topN: Int): DataFrame =
       TextOps.oovRate(df, id, text, n, topN)
+    def splitAssign(id: String, splits: Seq[(String, Double)],
+                    out: String = "split", salt: String = ""): DataFrame =
+      Sampling.splitAssign(df, id, splits, out, salt)
     def languageId(id: String, text: String,
                    profiles: Map[String, Seq[String]]): DataFrame =
       TextOps.languageId(df, id, text, profiles)

@@ -53,6 +53,24 @@ class SamplingCurationSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"per-group limit not pushed:\n$plan")
   }
 
+  test("splitAssign: disjoint+exhaustive bands, rows never move as the corpus grows") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val all = Sampling.splitAssign(docs, "doc_id", fr, salt = "t")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(all.size == docs.count()) // exactly one label per row
+    assert(all.values.toSet.subsetOf(Set("train", "val", "test")))
+    // ~fractions at this corpus size (loose band: 500 docs)
+    val share = all.values.groupBy(identity).view.mapValues(_.size / 500.0)
+    assert(share("train") > 0.7 && share("train") < 0.9)
+    // leakage safety: assignment over HALF the corpus agrees row-for-row
+    val half = Sampling.splitAssign(docs.filter(col("doc_id") < 250),
+        "doc_id", fr, salt = "t")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(half.forall { case (id, s) => all(id) == s })
+    assertThrows[IllegalArgumentException](
+      Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.6)))
+  }
+
   test("mixtureRepeat: whole epochs exact, fractional epochs deterministic") {
     import org.apache.spark.sql.DataFrame
     def copies(d: DataFrame) =
