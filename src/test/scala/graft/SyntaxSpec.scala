@@ -34,6 +34,23 @@ class SyntaxSpec extends SparkSpec {
     val imgs = docs.withColumn("img",
       graft.operators.Multimodal.fakeImageBytes(col("text"), col("doc_id")))
     assert(imgs.frameSample("doc_id", "img", 8, 2).count() > 0)
+
+    // round-6 additions delegate too
+    val iv = Seq((9L, 900L, 1500L)).toDF("iid", "s", "e")
+    assert(events.rangeJoin(iv, "ts", "s", "e", 1000).count() == 1)
+    assert(events.bloomSemiJoin(Seq(1L).toDF("k"), "user_id", "k", 1).count() == 2)
+    assert(events.bloomAntiJoin(Seq(1L).toDF("k"), "user_id", "k", 1).count() == 1)
+    assert(events.eventSequence("user_id", "ts", "event_id", "event_type", 9)
+      .count() == 2)
+    assert(events.sessionize("user_id", "ts", "event_id", 500)
+      .agg(max("session_seq")).as[Long].head() == 2) // 1000ms gap > 500 splits
+    assert(events.heavyHittersCms("event_type", 2, 32).count() == 2)
+    assert(events.rankNormalize("user_id", "value", "pr").count() == 3)
+    assert(events.robustOutliers("event_type", "value", 3.5).count() == 3)
+    assert(docs.bm25("doc_id", "text", Seq("cat")).count() == 2)
+    assert(docs.bigramLm("text", 5).count() == 2) // "the cat", "cat sat"
+    assert(docs.oovRate("doc_id", "text", 2, 5).count() == 2)
+    assert(docs.splitAssign("doc_id", Seq("a" -> 0.5, "b" -> 0.5)).count() == 2)
   }
 
   test("multi-table LSH recall is a superset of single-table recall") {
