@@ -561,10 +561,16 @@ object SparkEntry {
       CoreOps.rankNormalize(Tables.documents(s, dir), "lang", "n_chars", "pr")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("pr"))),
     // robust median/MAD outlier flags on event values per type — the
-    // heavy-tail-safe curation filter
+    // heavy-tail-safe curation filter. Values are scaled to integer cents
+    // first: with integer-valued inputs, ANY percentile interpolation
+    // formula is exact (all intermediates representable), so the medians
+    // are bit-identical on every engine; robust_z is scale-invariant
     "q_outliers" -> ((s, dir) =>
-      CoreOps.robustOutliers(Tables.events(s, dir), "event_type", "value", 3.5)
-        .select(col("event_id"), col("event_type"), col("value"),
+      CoreOps.robustOutliers(
+          Tables.events(s, dir).withColumn("value_c",
+            round(col("value") * 100).cast("long")),
+          "event_type", "value_c", 3.5)
+        .select(col("event_id"), col("event_type"), col("value_c"),
           col("robust_z"), col("is_outlier"))),
     // Count-Min heavy hitters: per-event-type estimates from one fixed-size
     // mergeable sketch (custom TypedImperativeAggregate, md5 cells the
@@ -1655,16 +1661,18 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_outliers" ->
-      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
-        |             FROM events GROUP BY 1),
-        |mad AS (SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
-        |        FROM events e JOIN med USING (event_type) GROUP BY 1),
-        |z AS (SELECT e.event_id, e.event_type, e.value,
+      """WITH ec AS (SELECT event_id, event_type,
+        |        round(value * 100)::BIGINT AS value_c FROM events),
+        |med AS (SELECT event_type, quantile_cont(value_c, 0.5) AS m
+        |        FROM ec GROUP BY 1),
+        |mad AS (SELECT e.event_type, quantile_cont(abs(e.value_c - med.m), 0.5) AS d
+        |        FROM ec e JOIN med USING (event_type) GROUP BY 1),
+        |z AS (SELECT e.event_id, e.event_type, e.value_c,
         |        CASE WHEN mad.d > 0
-        |             THEN floor((0.6745 * (e.value - med.m) / mad.d) * 1000000) / 1000000
+        |             THEN floor((0.6745 * (e.value_c - med.m) / mad.d) * 1000000) / 1000000
         |        END AS robust_z
-        |      FROM events e JOIN med USING (event_type) JOIN mad USING (event_type))
-        |SELECT event_id, event_type, value, robust_z,
+        |      FROM ec e JOIN med USING (event_type) JOIN mad USING (event_type))
+        |SELECT event_id, event_type, value_c, robust_z,
         |  COALESCE(abs(robust_z) > 3.5, false) AS is_outlier
         |FROM z""".stripMargin,
 

@@ -199,12 +199,6 @@ object CoreOps {
     joined.select(col(group) +: col("n") +: names.map(col) :+ within: _*)
   }
 
-  /** Hot-key profile: exact per-key counts, top N by frequency with a
-    * deterministic key tiebreak. Compiles to partial agg + one exchange +
-    * TakeOrderedAndProject — each partition keeps only its local top N, so
-    * no global sort materializes. This is the profiling step that decides
-    * whether a skewed key warrants the salted running-sum variant's extra
-    * shuffle (SCALE.md "Skew hardening"). */
   /** Count-Min heavy-hitter profile: estimated occurrence count per
     * candidate key from ONE fixed-size sketch aggregate
     * (expressions.CmsAggregate — d·w longs per partition, regardless of
@@ -227,6 +221,12 @@ object CoreOps {
         .cmsMin(col("_cms"), col(key), d, w).as("est_count"))
   }
 
+  /** Hot-key profile: exact per-key counts, top N by frequency with a
+    * deterministic key tiebreak. Compiles to partial agg + one exchange +
+    * TakeOrderedAndProject — each partition keeps only its local top N, so
+    * no global sort materializes. This is the profiling step that decides
+    * whether a skewed key warrants the salted running-sum variant's extra
+    * shuffle (SCALE.md "Skew hardening"). */
   def keyProfile(df: DataFrame, key: String, topN: Int): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n_events"))
       .orderBy(col("n_events").desc, col(key))
@@ -307,7 +307,10 @@ object CoreOps {
     require(gapMs > 0, s"gapMs must be positive, got $gapMs")
     require(!df.columns.contains("session_seq"),
       "sessionize emits a 'session_seq' column; rename the input's first")
-    val w = Window.partitionBy(col(key)).orderBy(ms(col(ts)), col(tiebreak))
+    // NULLS LAST pins NULL-ts rows to the same position on every engine
+    // (Spark defaults NULLS FIRST ascending, DuckDB NULLS LAST)
+    val w = Window.partitionBy(col(key))
+      .orderBy(ms(col(ts)).asc_nulls_last, col(tiebreak))
     val prev = lag(ms(col(ts)), 1).over(w)
     df.withColumn("session_seq",
       sum(when(prev.isNull || (ms(col(ts)) - prev) > gapMs, 1L).otherwise(0L))
@@ -324,8 +327,12 @@ object CoreOps {
                     out: String): DataFrame = {
     require(!df.columns.contains(out),
       s"rankNormalize emits '$out'; rename the input's first")
+    // NULLS LAST explicitly: Spark's ascending default is NULLS FIRST but
+    // DuckDB's (and the ANSI common case) is NULLS LAST — unpinned, one
+    // NULL value would shift every non-null row's rank differently per
+    // engine
     val pr = percent_rank()
-      .over(Window.partitionBy(col(group)).orderBy(col(value)))
+      .over(Window.partitionBy(col(group)).orderBy(col(value).asc_nulls_last))
     df.withColumn(out, floor(pr * 1000000d) / 1000000d)
   }
 
@@ -339,7 +346,12 @@ object CoreOps {
     * `percentile` buffers a count-map per group; for value domains too
     * large for that (unbounded doubles at corpus scale), swap in
     * approx_percentile exactly as quantileProfileApprox twins
-    * quantileProfile — the join/map shape is unchanged. */
+    * quantileProfile — the join/map shape is unchanged. Cross-engine
+    * reproducibility note: percentile INTERPOLATION formulas may differ by
+    * an ulp between engines on fractional inputs; feeding integer-valued
+    * measures (q_outliers scales money to cents) makes every interpolation
+    * intermediate exactly representable, so medians — and therefore z —
+    * are bit-identical everywhere. */
   def robustOutliers(df: DataFrame, group: String, value: String,
                      cutoff: Double): DataFrame = {
     val internal = Seq("_med", "_mad", "robust_z", "is_outlier")
@@ -382,7 +394,10 @@ object CoreOps {
     require(maxEvents >= 1, s"maxEvents must be >= 1, got $maxEvents")
     require(!df.columns.contains("rn"),
       "eventSequence emits an internal 'rn' column; rename the input's first")
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    // NULLS LAST: cross-engine rank parity if ts is ever NULL (see
+    // rankNormalize)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc_nulls_last, col(tiebreak))
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxEvents)
       .groupBy(col(key))
@@ -654,15 +669,40 @@ object CoreOps {
     * explicit form. `expectedItems`/`fpp` size the filter; at default fpp
     * 1e-3 the filter is ~14.4 bits per distinct key (120 MB per 10^8 keys —
     * driver- and broadcast-friendly well past dimension-table scale). */
+  /** Both key columns must be integral: the filter is BUILT from long
+    * insertions and PROBED with mightContainLong, and a string-keyed build
+    * would hash different bytes than the probe — every probe would miss
+    * and the anti form would silently keep blocked rows (a false negative
+    * the exact-verify stage cannot repair). Fail fast instead. */
+  private def requireIntegralKeys(big: DataFrame, bigKey: String,
+                                  small: DataFrame, smallKey: String,
+                                  op: String): Unit = {
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+    Seq(big.schema(bigKey) -> bigKey, small.schema(smallKey) -> smallKey)
+      .foreach { case (f, name) =>
+        require(integral.contains(f.dataType),
+          s"$op probes int64 keys; '$name' is ${f.dataType} — md5-hash " +
+            "string keys to graft_md5long first, or use a plain join")
+      }
+  }
+
   def bloomSemiJoin(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
                     expectedItems: Long, fpp: Double = 1e-3): DataFrame = {
+    requireIntegralKeys(big, bigKey, small, smallKey, "bloomSemiJoin")
     // NULL small keys never equal anything, and stat.bloomFilter NPEs on a
     // relation that contributes no values — pre-filter and short-circuit
     // (the isEmpty probe is one limit-1 job against the pruned scan)
     val keys = small.filter(col(smallKey).isNotNull)
     if (keys.isEmpty) return big.limit(0)
-    val bloom = keys.stat.bloomFilter(smallKey, expectedItems, fpp)
+    // build on the widened-to-long column so build and probe hash the same
+    // 8 bytes even when the declared widths differ (int dim key, long fact)
+    val bloom = keys.select(col(smallKey).cast("long").as(smallKey))
+      .stat.bloomFilter(smallKey, expectedItems, fpp)
     val probe = graft.expressions.BloomProbeExpressions
       .mightContain(big(bigKey), bloom)
     // NULL big keys: probe → NULL → dropped, = the semi-join's NULL-never-equal
@@ -682,10 +722,12 @@ object CoreOps {
   def bloomAntiJoin(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
                     expectedItems: Long, fpp: Double = 1e-3): DataFrame = {
+    requireIntegralKeys(big, bigKey, small, smallKey, "bloomAntiJoin")
     // same empty/NULL guard as bloomSemiJoin: nothing to block → identity
     val keys = small.filter(col(smallKey).isNotNull)
     if (keys.isEmpty) return big
-    val bloom = keys.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bloom = keys.select(col(smallKey).cast("long").as(smallKey))
+      .stat.bloomFilter(smallKey, expectedItems, fpp)
     val probe = graft.expressions.BloomProbeExpressions
       .mightContain(big(bigKey), bloom)
     val hit = coalesce(probe, lit(false))

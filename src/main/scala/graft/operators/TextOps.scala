@@ -83,11 +83,11 @@ object TextOps {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "bm25 needs a non-empty, duplicate-free term list")
-    val internal = Seq("_toks", "_dl", "_n", "_sumdl") ++
+    val internal = Seq("_toks", "_dl", "_n", "_sumdl", "dl", "bm25") ++
       terms.indices.map(i => s"_df_$i")
-    val clash = docs.columns.intersect(internal)
+    val clash = (docs.columns :+ id).distinct.intersect(internal)
     require(clash.isEmpty,
-      s"bm25 uses internal columns; rename the input's ${clash.mkString(", ")}")
+      s"bm25 uses internal columns and emits dl/bm25; rename ${clash.mkString(", ")}")
     val toks = tokens(lower(col(text)))
     val base = docs.select(col(id), toks.as("_toks"),
       size(toks).cast("long").as("_dl"))
@@ -177,8 +177,10 @@ object TextOps {
     * words have no grams and emit NULL (novelty is undefined, not zero). */
   def oovRate(docs: DataFrame, id: String, text: String, n: Int,
               topN: Int): DataFrame = {
-    require(id != "gram" && id != "_hit",
-      s"oovRate uses 'gram' and '_hit' internally; rename the id column")
+    require(!Seq("gram", "_hit", "n_grams", "n_in_vocab", "oov_rate")
+        .contains(id),
+      "oovRate uses 'gram'/'_hit' internally and emits n_grams/n_in_vocab/" +
+        "oov_rate; rename the id column")
     val vocab = ngramVocab(docs, text, n, topN)
       .select(col("gram"), lit(1L).as("_hit"))
     val grams = docs.select(col(id), explode_outer(

@@ -76,6 +76,14 @@ object StreamOps {
                    ts: String, lateness: String, windowMs: Long,
                    pointProj: Seq[(String, String)],
                    anchorProj: Seq[(String, String)]): DataFrame = {
+    val aliases = (pointProj ++ anchorProj).map(_._2)
+    val reserved = Seq("k", "_ak", "p_ts", "a_ts", "point_ts_ms",
+      "anchor_ts_ms", key)
+    val clash = aliases.intersect(reserved) ++
+      aliases.diff(aliases.distinct).distinct
+    require(clash.isEmpty,
+      s"intervalJoin output aliases must be unique and avoid " +
+        s"${reserved.mkString(", ")}; rename ${clash.mkString(", ")}")
     val p = points.withWatermark(ts, lateness).select(
       col(key).as("k") +: col(ts).as("p_ts") +:
         pointProj.map { case (c, o) => col(c).as(o) }: _*)
@@ -117,8 +125,10 @@ object StreamOps {
     * micro-batch of `big` runs the batch CoreOps.bloomAntiJoin against the
     * CURRENT `small` relation — drop rows whose key appears in a
     * (slowly-changing) block table, with the Bloom prune keeping the
-    * per-trigger cost at one small-side aggregate + a join over only the
-    * probe hits. Per-row semantics against a static right side → output
+    * per-trigger cost at one small-side isEmpty probe + one bloom-build
+    * aggregate + a join over only the probe hits. That per-trigger rebuild
+    * is the price of picking up block-table changes at trigger
+    * granularity; it dominates at sub-second triggers over a static table. Per-row semantics against a static right side → output
     * independent of the micro-batch split (parity in StreamingParitySpec);
     * same idempotent-sink contract as asofJoinEachBatch. For a block table
     * that changes rarely, build the BloomFilter once outside and filter

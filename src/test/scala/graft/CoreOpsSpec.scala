@@ -55,6 +55,17 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.rangeJoin(points, "ts", iv, "s", "e", 0))
   }
 
+  test("bloom joins reject non-integral key columns loudly") {
+    val big = ev((1, 1000, 1, "a", 0))
+    val smallStr = Seq("1").toDF("k") // string key would hash different
+    val err = intercept[IllegalArgumentException](
+      CoreOps.bloomAntiJoin(big, smallStr, "user_id", "k", 1))
+    assert(err.getMessage.contains("int64"))
+    assertThrows[IllegalArgumentException](
+      CoreOps.bloomSemiJoin(big.withColumn("u", col("user_id").cast("string")),
+        Seq(1L).toDF("k"), "u", "k", 1))
+  }
+
   test("eventSequence orders by (ts, tiebreak), caps per key, joins with sep") {
     val df = ev((3, 2000, 1, "c", 0), (1, 1000, 1, "a", 0), (2, 1000, 1, "b", 0),
       (4, 3000, 1, "d", 0), (5, 500, 2, "x", 0))
