@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
 
@@ -572,6 +573,20 @@ object SparkEntry {
           "event_type", "value_c", 3.5)
         .select(col("event_id"), col("event_type"), col("value_c"),
           col("robust_z"), col("is_outlier"))),
+    // exact distributed correlation: decimal moment sums (order-independent)
+    // then one fixed double formula — reproducible where corr() is not
+    "q_corr" -> ((s, dir) =>
+      CoreOps.exactCorr(
+        Tables.documents(s, dir).withColumn("n_tokens",
+          size(TextOps.tokens(col("text"))).cast("long")),
+        "lang", "n_chars", "n_tokens")),
+    // decile assignment within language by doc length — ntile with a full
+    // deterministic (n_chars, doc_id) ordering
+    "q_ntile" -> ((s, dir) =>
+      Tables.documents(s, dir).withColumn("decile",
+        ntile(10).over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").asc_nulls_last, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("decile"))),
     // Count-Min heavy hitters: per-event-type estimates from one fixed-size
     // mergeable sketch (custom TypedImperativeAggregate, md5 cells the
     // oracle rebuilds cell-for-cell)
@@ -1675,6 +1690,29 @@ object SparkEntry {
         |SELECT event_id, event_type, value_c, robust_z,
         |  COALESCE(abs(robust_z) > 3.5, false) AS is_outlier
         |FROM z""".stripMargin,
+
+    "q_corr" ->
+      s"""WITH t AS (SELECT lang, n_chars, len($toksSql)::BIGINT AS n_tokens
+         |           FROM documents),
+         |s AS (SELECT lang, count(*)::DOUBLE AS n,
+         |        sum(n_chars)::DOUBLE AS sx, sum(n_tokens)::DOUBLE AS sy,
+         |        sum(n_chars * n_tokens)::DOUBLE AS sxy,
+         |        sum(n_chars * n_chars)::DOUBLE AS sxx,
+         |        sum(n_tokens * n_tokens)::DOUBLE AS syy
+         |      FROM t GROUP BY 1)
+         |SELECT lang, n::BIGINT AS n,
+         |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |       THEN floor((n * sxy - sx * sy)
+         |                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         |                  * 1000000) / 1000000
+         |  END AS corr
+         |FROM s""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT doc_id, lang, n_chars,
+        |  ntile(10) OVER (PARTITION BY lang
+        |                  ORDER BY n_chars, doc_id)::BIGINT AS decile
+        |FROM documents""".stripMargin,
 
     "q_heavy_hitters" -> {
       // rebuild the d×w counter table cell-for-cell: same md5 cell hash,

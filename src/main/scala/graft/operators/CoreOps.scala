@@ -336,6 +336,45 @@ object CoreOps {
     df.withColumn(out, floor(pr * 1000000d) / 1000000d)
   }
 
+  /** Deterministic per-group Pearson correlation over INTEGRAL columns —
+    * the feature-vs-feature diagnostic (does doc length track token
+    * count?) that Spark's own `corr` cannot give reproducibly: its double
+    * partial sums reorder with partitioning, so the last bits differ run
+    * to run. Here the five moment sums accumulate EXACTLY (decimal — sums
+    * of int64 products are order-independent), and only then does a fixed
+    * double formula run: every +,*,/,sqrt is correctly rounded over
+    * identical operands in identical order, so the result is bit-identical
+    * on any engine and any partitioning. One partial-agg'd shuffle,
+    * O(groups) output. Rows with a NULL in either column are excluded
+    * (pairwise semantics); zero-variance groups yield NULL. Inputs must be
+    * integral with |x| < 10^19 (the decimal(38,0) product bound). */
+  def exactCorr(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+    Seq(x, y).foreach { c =>
+      require(integral.contains(df.schema(c).dataType),
+        s"exactCorr needs integral columns (exact sums); '$c' is " +
+          s"${df.schema(c).dataType} — scale to integer units first")
+    }
+    val (xd, yd) = (col(x).cast("decimal(19,0)"), col(y).cast("decimal(19,0)"))
+    val stats = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(xd).cast("double").as("_sx"), sum(yd).cast("double").as("_sy"),
+        sum(xd * yd).cast("double").as("_sxy"),
+        sum(xd * xd).cast("double").as("_sxx"),
+        sum(yd * yd).cast("double").as("_syy"))
+    val va = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val vb = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val num = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    stats.select(col(group), col("_n").cast("long").as("n"),
+      when(va > 0 && vb > 0,
+        floor(num / (sqrt(va) * sqrt(vb)) * 1000000d) / 1000000d).as("corr"))
+  }
+
   /** Robust per-group outlier flags via median/MAD — the curation filter
     * that survives the heavy-tailed distributions mean/stddev z-scores
     * drown in: robust_z = 0.6745 · (x − median) / MAD, flagged when

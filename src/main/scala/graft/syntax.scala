@@ -70,6 +70,8 @@ object syntax {
       CoreOps.rankNormalize(df, group, value, out)
     def robustOutliers(group: String, value: String, cutoff: Double): DataFrame =
       CoreOps.robustOutliers(df, group, value, cutoff)
+    def exactCorr(group: String, x: String, y: String): DataFrame =
+      CoreOps.exactCorr(df, group, x, y)
     def splitBy(pred: Column): (DataFrame, DataFrame) = CoreOps.splitBy(df, pred)
     def taggedUnion(tag: String, other: DataFrame, otherTag: String,
                     cols: Seq[String]): DataFrame =

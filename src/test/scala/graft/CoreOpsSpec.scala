@@ -55,6 +55,22 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.rangeJoin(points, "ts", iv, "s", "e", 0))
   }
 
+  test("exactCorr matches the closed-form Pearson r, any partitioning") {
+    // y = 2x exactly → r = 1; the 'b' group is anti-correlated
+    val rows = Seq((1L, "a", 1L, 2L), (2L, "a", 2L, 4L), (3L, "a", 3L, 6L),
+      (4L, "b", 1L, 3L), (5L, "b", 2L, 1L),
+      (6L, "c", 7L, 7L)) // singleton: zero variance → NULL
+    val df = rows.toDF("id", "g", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CoreOps.exactCorr(d, "g", "x", "y")
+        .select("g", "corr").as[(String, Option[Double])].collect().toMap
+    val got = run(df)
+    assert(got("a").contains(1.0) && got("b").contains(-1.0) && got("c").isEmpty)
+    assert(run(df.repartition(5)) == got) // decimal sums: order-independent
+    assertThrows[IllegalArgumentException](
+      CoreOps.exactCorr(df.withColumn("x", col("x").cast("double")), "g", "x", "y"))
+  }
+
   test("bloom joins reject non-integral key columns loudly") {
     val big = ev((1, 1000, 1, "a", 0))
     val smallStr = Seq("1").toDF("k") // string key would hash different
