@@ -573,6 +573,20 @@ object SparkEntry {
           "event_type", "value_c", 3.5)
         .select(col("event_id"), col("event_type"), col("value_c"),
           col("robust_z"), col("is_outlier"))),
+    // daily distinct users, exact + HLL sketch in ONE groupBy, with the
+    // same checked-twin bound verdict as q_dedup_profile_approx — the
+    // sketch the streaming form keeps per open window at scale
+    "q_window_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          (abs(approx_count_distinct(col("user_id"), 0.05) -
+              count_distinct(col("user_id")))
+            <= greatest(count_distinct(col("user_id")) * 0.15, lit(16.0)))
+            .as("within_bound"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("n_events"), col("n_users"), col("within_bound"))),
     // exact distributed correlation: decimal moment sums (order-independent)
     // then one fixed double formula — reproducible where corr() is not
     "q_corr" -> ((s, dir) =>
@@ -1690,6 +1704,12 @@ object SparkEntry {
         |SELECT event_id, event_type, value_c, robust_z,
         |  COALESCE(abs(robust_z) > 3.5, false) AS is_outlier
         |FROM z""".stripMargin,
+
+    "q_window_users" ->
+      s"""SELECT $evMs - $evMs % $D AS window_start_ms,
+         |  count(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+         |  TRUE AS within_bound
+         |FROM events GROUP BY 1""".stripMargin,
 
     "q_corr" ->
       s"""WITH t AS (SELECT lang, n_chars, len($toksSql)::BIGINT AS n_tokens
