@@ -594,6 +594,13 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("n_tokens",
           size(TextOps.tokens(col("text"))).cast("long")),
         "lang", "n_chars", "n_tokens")),
+    // least-squares tokens-per-char line per language — same exact
+    // moment-sum determinism as q_corr
+    "q_regression" -> ((s, dir) =>
+      CoreOps.exactRegression(
+        Tables.documents(s, dir).withColumn("n_tokens",
+          size(TextOps.tokens(col("text"))).cast("long")),
+        "lang", "n_chars", "n_tokens")),
     // decile assignment within language by doc length — ntile with a full
     // deterministic (n_chars, doc_id) ordering
     "q_ntile" -> ((s, dir) =>
@@ -1726,6 +1733,25 @@ object SparkEntry {
          |                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
          |                  * 1000000) / 1000000
          |  END AS corr
+         |FROM s""".stripMargin,
+
+    "q_regression" ->
+      s"""WITH t AS (SELECT lang, n_chars, len($toksSql)::BIGINT AS n_tokens
+         |           FROM documents),
+         |s AS (SELECT lang, count(*)::DOUBLE AS n,
+         |        sum(n_chars)::DOUBLE AS sx, sum(n_tokens)::DOUBLE AS sy,
+         |        sum(n_chars * n_tokens)::DOUBLE AS sxy,
+         |        sum(n_chars * n_chars)::DOUBLE AS sxx
+         |      FROM t GROUP BY 1)
+         |SELECT lang, n::BIGINT AS n,
+         |  CASE WHEN (n * sxx - sx * sx) > 0
+         |       THEN floor(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+         |                  * 1000000) / 1000000
+         |  END AS slope,
+         |  CASE WHEN (n * sxx - sx * sx) > 0
+         |       THEN floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+         |                  * 1000000) / 1000000
+         |  END AS intercept
          |FROM s""".stripMargin,
 
     "q_ntile" ->

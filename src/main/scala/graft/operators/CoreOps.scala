@@ -375,6 +375,39 @@ object CoreOps {
         floor(num / (sqrt(va) * sqrt(vb)) * 1000000d) / 1000000d).as("corr"))
   }
 
+  /** Per-group least-squares line (slope + intercept) over integral
+    * columns — the trend diagnostic next to exactCorr (is token count
+    * growing per char across a corpus slice?), deterministic the same way:
+    * exact decimal moment sums, then one fixed double formula. Same
+    * contract: pairwise NULL exclusion, zero-variance groups yield NULL,
+    * integral inputs required. One partial-agg'd shuffle, O(groups) out. */
+  def exactRegression(df: DataFrame, group: String, x: String,
+                      y: String): DataFrame = {
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+    Seq(x, y).foreach { c =>
+      require(integral.contains(df.schema(c).dataType),
+        s"exactRegression needs integral columns; '$c' is " +
+          s"${df.schema(c).dataType} — scale to integer units first")
+    }
+    val (xd, yd) = (col(x).cast("decimal(19,0)"), col(y).cast("decimal(19,0)"))
+    val stats = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).cast("double").as("_n"),
+        sum(xd).cast("double").as("_sx"), sum(yd).cast("double").as("_sy"),
+        sum(xd * yd).cast("double").as("_sxy"),
+        sum(xd * xd).cast("double").as("_sxx"))
+    val va = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy")) / va
+    val intercept = (col("_sy") - slope * col("_sx")) / col("_n")
+    stats.select(col(group), col("_n").cast("long").as("n"),
+      when(va > 0, floor(slope * 1000000d) / 1000000d).as("slope"),
+      when(va > 0, floor(intercept * 1000000d) / 1000000d).as("intercept"))
+  }
+
   /** Robust per-group outlier flags via median/MAD — the curation filter
     * that survives the heavy-tailed distributions mean/stddev z-scores
     * drown in: robust_z = 0.6745 · (x − median) / MAD, flagged when

@@ -72,6 +72,8 @@ object syntax {
       CoreOps.robustOutliers(df, group, value, cutoff)
     def exactCorr(group: String, x: String, y: String): DataFrame =
       CoreOps.exactCorr(df, group, x, y)
+    def exactRegression(group: String, x: String, y: String): DataFrame =
+      CoreOps.exactRegression(df, group, x, y)
     def splitBy(pred: Column): (DataFrame, DataFrame) = CoreOps.splitBy(df, pred)
     def taggedUnion(tag: String, other: DataFrame, otherTag: String,
                     cols: Seq[String]): DataFrame =

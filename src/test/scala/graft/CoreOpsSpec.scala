@@ -71,6 +71,19 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.exactCorr(df.withColumn("x", col("x").cast("double")), "g", "x", "y"))
   }
 
+  test("exactRegression recovers the exact line on collinear points") {
+    // y = 2x + 1 exactly → slope 2, intercept 1
+    val df = Seq((1L, "a", 1L, 3L), (2L, "a", 2L, 5L), (3L, "a", 3L, 7L),
+      (4L, "b", 4L, 4L)) // singleton: NULL line
+      .toDF("id", "g", "x", "y")
+    val got = CoreOps.exactRegression(df, "g", "x", "y")
+      .select("g", "slope", "intercept")
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map { case (g, s, i) => g -> ((s, i)) }.toMap
+    assert(got("a") == ((Some(2.0), Some(1.0))))
+    assert(got("b") == ((None, None)))
+  }
+
   test("bloom joins reject non-integral key columns loudly") {
     val big = ev((1, 1000, 1, "a", 0))
     val smallStr = Seq("1").toDF("k") // string key would hash different
