@@ -632,6 +632,10 @@ object SparkEntry {
     // a window over POST-aggregation vocab rows, never the corpus
     "q_bigram_lm" -> ((s, dir) =>
       TextOps.bigramLm(Tables.documents(s, dir), "text", 100)),
+    // corpus character histogram (top 50) — the char-level tokenizer
+    // trainer's input table
+    "q_char_hist" -> ((s, dir) =>
+      TextOps.charHistogram(Tables.documents(s, dir), "text", 50)),
     // out-of-vocabulary rate vs the top-100 bigram vocabulary — the novelty
     // signal next to q_repetition's boilerplate signal
     "q_oov" -> ((s, dir) =>
@@ -1647,6 +1651,12 @@ object SparkEntry {
         |  COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_char_hist" ->
+      """SELECT c AS ch, count(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, '')) AS c FROM documents)
+        |WHERE c <> ''
+        |GROUP BY 1 ORDER BY n_occurrences DESC, ch LIMIT 50""".stripMargin,
 
     "q_oov" ->
       s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),

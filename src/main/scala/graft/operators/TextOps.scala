@@ -165,6 +165,22 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Corpus character histogram — the input a byte/char-level tokenizer
+    * trainer (or a charset/mojibake audit) starts from: the `topN` most
+    * frequent characters with counts, deterministically ordered
+    * (count desc, char asc). Explode is map-side, the count is one
+    * partial-agg'd shuffle on the character, top-N compiles to
+    * TakeOrderedAndProject. Caveat: Spark's empty-pattern split is
+    * UTF-16-code-unit based, so supplementary-plane characters (emoji)
+    * split into surrogate halves — strip or pre-filter them for
+    * multi-plane corpora (BMP text, including CJK, is handled correctly). */
+  def charHistogram(docs: DataFrame, text: String, topN: Int): DataFrame =
+    docs.select(explode(split(col(text), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("ch")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ch"))
+      .limit(topN)
+
   /** Out-of-vocabulary rate: per document, the share of its word n-grams
     * NOT in the corpus's top-`topN` n-gram vocabulary — high OOV flags
     * novel-or-garbage text that per-token quality scores miss (the novelty

@@ -61,6 +61,26 @@ object StreamOps {
       left.withWatermark(ts, lateness),
       right.withWatermark(ts, lateness), key, ts, duration, leftProj, rightProj)
 
+  /** Continuous windowed distinct-key estimate — the streaming form of
+    * q_window_users: per event-time window, an event count and an HLL++
+    * distinct estimate under a watermark. The sketch is the point at
+    * scale: exact count_distinct keeps the full key set per OPEN window in
+    * the state store, while approx_count_distinct keeps one fixed-size
+    * sketch per window regardless of key cardinality — the same
+    * fixed-state argument as the CMS aggregate. Append mode emits each
+    * window once, when the watermark closes it. At small per-window
+    * cardinalities HLL++'s sparse mode is exact, which is what the parity
+    * test pins against the batch distinct. */
+  def windowedUsersApprox(df: DataFrame, key: String, ts: String,
+                          lateness: String, duration: String,
+                          rsd: Double = 0.05): DataFrame =
+    df.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), duration))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col(key), rsd).as("n_keys_approx"))
+      .select(CoreOps.ms(col("window.start")).as("window_start_ms"),
+        col("n_events"), col("n_keys_approx"))
+
   /** Stream-stream interval join: pair every point with the anchors of the
     * same key whose window [anchor_ts, anchor_ts + windowMs) contains the
     * point's event time — the continuous form of CoreOps.rangeJoin for

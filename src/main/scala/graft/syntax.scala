@@ -157,6 +157,8 @@ object syntax {
       TextOps.bigramLm(df, text, topN)
     def oovRate(id: String, text: String, n: Int, topN: Int): DataFrame =
       TextOps.oovRate(df, id, text, n, topN)
+    def charHistogram(text: String, topN: Int): DataFrame =
+      TextOps.charHistogram(df, text, topN)
     def splitAssign(id: String, splits: Seq[(String, Double)],
                     out: String = "split", salt: String = ""): DataFrame =
       Sampling.splitAssign(df, id, splits, out, salt)

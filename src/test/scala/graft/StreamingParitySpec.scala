@@ -130,6 +130,30 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedUsersApprox finalizes windows == batch distinct (sparse-exact)") {
+    val batch1 = Seq(
+      KeyedEvent("1", 1000, 1, "a"), KeyedEvent("2", 1500, 2, "a"),
+      KeyedEvent("1", 2500, 3, "a")) // window [0,3s): 2 distinct keys
+    val batch2 = Seq( // watermark past 3s finalizes the first window
+      KeyedEvent("3", 9000, 4, "a"), KeyedEvent("3", 9500, 5, "a"),
+      KeyedEvent("1", 20000, 6, "a")) // pushes watermark past [9,12s) too
+    val input = MemoryStream[KeyedEvent]
+    val stream = input.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+    val q = StreamOps.windowedUsersApprox(stream, "key", "ts", "1 second",
+        "3 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wu_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val got = spark.table("wu_par")
+        .select("window_start_ms", "n_events", "n_keys_approx")
+        .as[(Long, Long, Long)].collect().toSet
+      // HLL sparse mode is exact at these cardinalities → exact parity
+      assert(got == Set((0L, 3L, 2L), (9000L, 2L, 1L)))
+    } finally q.stop()
+  }
+
   test("the CMS aggregate merges across micro-batches == one batch sketch") {
     // complete-mode streaming aggregation exercises partial buffers +
     // element-wise merge across triggers; the table must equal the batch
