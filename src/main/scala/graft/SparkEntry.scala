@@ -1736,7 +1736,9 @@ object SparkEntry {
          |        sum(n_chars * n_tokens)::DOUBLE AS sxy,
          |        sum(n_chars * n_chars)::DOUBLE AS sxx,
          |        sum(n_tokens * n_tokens)::DOUBLE AS syy
-         |      FROM t GROUP BY 1)
+         |      FROM t
+         |      WHERE n_chars IS NOT NULL AND n_tokens IS NOT NULL
+         |      GROUP BY 1)
          |SELECT lang, n::BIGINT AS n,
          |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
          |       THEN floor((n * sxy - sx * sy)
@@ -1752,7 +1754,9 @@ object SparkEntry {
          |        sum(n_chars)::DOUBLE AS sx, sum(n_tokens)::DOUBLE AS sy,
          |        sum(n_chars * n_tokens)::DOUBLE AS sxy,
          |        sum(n_chars * n_chars)::DOUBLE AS sxx
-         |      FROM t GROUP BY 1)
+         |      FROM t
+         |      WHERE n_chars IS NOT NULL AND n_tokens IS NOT NULL
+         |      GROUP BY 1)
          |SELECT lang, n::BIGINT AS n,
          |  CASE WHEN (n * sxx - sx * sx) > 0
          |       THEN floor(((n * sxy - sx * sy) / (n * sxx - sx * sx))

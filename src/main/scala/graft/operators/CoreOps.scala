@@ -42,6 +42,23 @@ object CoreOps {
   /** Epoch milliseconds of a timestamp column (truncating, like DuckDB epoch_ms). */
   def ms(c: Column): Column = unix_millis(c)
 
+  /** The integral SQL types — the shared whitelist for every operator whose
+    * exactness contract needs integer inputs (bloom probes, prefix sums,
+    * moment sums). */
+  private[operators] val integralTypes: Set[org.apache.spark.sql.types.DataType] =
+    Set(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+
+  private[operators] def requireIntegralCols(df: DataFrame, cols: Seq[String],
+                                             op: String): Unit =
+    cols.foreach { c =>
+      require(integralTypes.contains(df.schema(c).dataType),
+        s"$op needs integral columns (exact arithmetic); '$c' is " +
+          s"${df.schema(c).dataType} — scale to integer units first")
+    }
+
   /** Deterministic range bucket over a long column, bounds from an O(1)
     * aggregate (no sampling, so re-execution is stable). NULLs map to bucket
     * 0 to match Window.orderBy's NULLS FIRST, so bucketed prefix-scan twins
@@ -336,6 +353,28 @@ object CoreOps {
     df.withColumn(out, floor(pr * 1000000d) / 1000000d)
   }
 
+  /** Shared exact moment sums for exactCorr/exactRegression: count and
+    * Σx, Σy, Σxy, Σxx(, Σyy) accumulated in decimal (order-independent),
+    * cast to double only after the aggregate. */
+  private def momentSums(df: DataFrame, group: String, x: String, y: String,
+                         withSyy: Boolean, op: String): DataFrame = {
+    requireIntegralCols(df, Seq(x, y), op)
+    val emitted = Seq("n", "corr", "slope", "intercept",
+      "_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")
+    require(!emitted.contains(group),
+      s"$op uses/emits ${emitted.mkString(", ")}; rename the group column")
+    val (xd, yd) = (col(x).cast("decimal(19,0)"), col(y).cast("decimal(19,0)"))
+    val base = Seq(sum(xd).cast("double").as("_sx"),
+      sum(yd).cast("double").as("_sy"),
+      sum(xd * yd).cast("double").as("_sxy"),
+      sum(xd * xd).cast("double").as("_sxx"))
+    val aggs = if (withSyy) base :+ sum(yd * yd).cast("double").as("_syy")
+      else base
+    df.filter(col(x).isNotNull && col(y).isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).cast("double").as("_n"), aggs: _*)
+  }
+
   /** Deterministic per-group Pearson correlation over INTEGRAL columns —
     * the feature-vs-feature diagnostic (does doc length track token
     * count?) that Spark's own `corr` cannot give reproducibly: its double
@@ -347,26 +386,12 @@ object CoreOps {
     * on any engine and any partitioning. One partial-agg'd shuffle,
     * O(groups) output. Rows with a NULL in either column are excluded
     * (pairwise semantics); zero-variance groups yield NULL. Inputs must be
-    * integral with |x| < 10^19 (the decimal(38,0) product bound). */
+    * integral, and every per-group moment sum (including Σx², Σy²) must stay
+    * under 10^38 — true for counts/lengths/cents at corpus scale, NOT for
+    * epoch-nanos-squared; pre-scale such columns. Overflow fails loud
+    * under Spark's default ANSI mode rather than silently nulling. */
   def exactCorr(df: DataFrame, group: String, x: String, y: String): DataFrame = {
-    val integral: Set[org.apache.spark.sql.types.DataType] =
-      Set(org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType)
-    Seq(x, y).foreach { c =>
-      require(integral.contains(df.schema(c).dataType),
-        s"exactCorr needs integral columns (exact sums); '$c' is " +
-          s"${df.schema(c).dataType} — scale to integer units first")
-    }
-    val (xd, yd) = (col(x).cast("decimal(19,0)"), col(y).cast("decimal(19,0)"))
-    val stats = df.filter(col(x).isNotNull && col(y).isNotNull)
-      .groupBy(col(group))
-      .agg(count(lit(1)).cast("double").as("_n"),
-        sum(xd).cast("double").as("_sx"), sum(yd).cast("double").as("_sy"),
-        sum(xd * yd).cast("double").as("_sxy"),
-        sum(xd * xd).cast("double").as("_sxx"),
-        sum(yd * yd).cast("double").as("_syy"))
+    val stats = momentSums(df, group, x, y, withSyy = true, "exactCorr")
     val va = col("_n") * col("_sxx") - col("_sx") * col("_sx")
     val vb = col("_n") * col("_syy") - col("_sy") * col("_sy")
     val num = col("_n") * col("_sxy") - col("_sx") * col("_sy")
@@ -374,6 +399,7 @@ object CoreOps {
       when(va > 0 && vb > 0,
         floor(num / (sqrt(va) * sqrt(vb)) * 1000000d) / 1000000d).as("corr"))
   }
+
 
   /** Per-group least-squares line (slope + intercept) over integral
     * columns — the trend diagnostic next to exactCorr (is token count
@@ -383,23 +409,7 @@ object CoreOps {
     * integral inputs required. One partial-agg'd shuffle, O(groups) out. */
   def exactRegression(df: DataFrame, group: String, x: String,
                       y: String): DataFrame = {
-    val integral: Set[org.apache.spark.sql.types.DataType] =
-      Set(org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType)
-    Seq(x, y).foreach { c =>
-      require(integral.contains(df.schema(c).dataType),
-        s"exactRegression needs integral columns; '$c' is " +
-          s"${df.schema(c).dataType} — scale to integer units first")
-    }
-    val (xd, yd) = (col(x).cast("decimal(19,0)"), col(y).cast("decimal(19,0)"))
-    val stats = df.filter(col(x).isNotNull && col(y).isNotNull)
-      .groupBy(col(group))
-      .agg(count(lit(1)).cast("double").as("_n"),
-        sum(xd).cast("double").as("_sx"), sum(yd).cast("double").as("_sy"),
-        sum(xd * yd).cast("double").as("_sxy"),
-        sum(xd * xd).cast("double").as("_sxx"))
+    val stats = momentSums(df, group, x, y, withSyy = false, "exactRegression")
     val va = col("_n") * col("_sxx") - col("_sx") * col("_sx")
     val slope = (col("_n") * col("_sxy") - col("_sx") * col("_sy")) / va
     val intercept = (col("_sy") - slope * col("_sx")) / col("_n")
@@ -549,13 +559,8 @@ object CoreOps {
     require(clash.isEmpty,
       s"orderedPrefixSum uses internal columns ${internal.mkString(", ")}; " +
         s"rename the input's ${clash.mkString(", ")} first")
-    val integral: Set[org.apache.spark.sql.types.DataType] =
-      Set(org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType)
     val vt = df.schema(value).dataType
-    require(integral.contains(vt),
+    require(integralTypes.contains(vt),
       s"orderedPrefixSum sums '$value' as int64 (exact for counts); got " +
         s"$vt — cast explicitly, or use a decimal running-sum form for money")
     val spark = df.sparkSession
@@ -749,14 +754,9 @@ object CoreOps {
   private def requireIntegralKeys(big: DataFrame, bigKey: String,
                                   small: DataFrame, smallKey: String,
                                   op: String): Unit = {
-    val integral: Set[org.apache.spark.sql.types.DataType] =
-      Set(org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType)
     Seq(big.schema(bigKey) -> bigKey, small.schema(smallKey) -> smallKey)
       .foreach { case (f, name) =>
-        require(integral.contains(f.dataType),
+        require(integralTypes.contains(f.dataType),
           s"$op probes int64 keys; '$name' is ${f.dataType} — md5-hash " +
             "string keys to graft_md5long first, or use a plain join")
       }

@@ -69,6 +69,8 @@ class CoreOpsSpec extends SparkSpec {
     assert(run(df.repartition(5)) == got) // decimal sums: order-independent
     assertThrows[IllegalArgumentException](
       CoreOps.exactCorr(df.withColumn("x", col("x").cast("double")), "g", "x", "y"))
+    assertThrows[IllegalArgumentException]( // reserved group name
+      CoreOps.exactCorr(df.withColumnRenamed("g", "corr"), "corr", "x", "y"))
   }
 
   test("exactRegression recovers the exact line on collinear points") {
