@@ -53,7 +53,15 @@ class PlanLintSpec extends SparkSpec {
       "q_keyed_sum" -> Set("user_id", "value"),           // events has 6 cols
       "q_dedup_exact" -> Set("doc_id", "text"),           // documents has more
       "q_doc_sample" -> Set("doc_id", "source", "lang"),  // filter + 3-col project
-      "q_simhash" -> Set("doc_id", "text"))
+      "q_simhash" -> Set("doc_id", "text"),
+      // round-6 operators: every scan stays minimal
+      "q_json_extract" -> Set("props", "value"),          // no event_id/user/ts
+      "q_char_hist" -> Set("text"),
+      "q_bm25" -> Set("doc_id", "text"),
+      "q_range_join" -> Set("event_id", "ts", "value", "event_type"),
+      "q_sessionize" -> Set("event_id", "user_id", "ts"),
+      "q_rank_norm" -> Set("doc_id", "lang", "n_chars"),
+      "q_heavy_hitters" -> Set("event_type"))
     expected.foreach { case (name, cols) =>
       val all = nodes(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
       val scans = all.collect {
