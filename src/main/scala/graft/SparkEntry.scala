@@ -28,6 +28,7 @@ object SparkEntry {
   private val BmK1 = 1.2; private val BmB = 0.75
   private val JourneyMax = 20 // events kept per user journey
   private val CmsD = 4; private val CmsW = 512 // count-min sketch shape
+  private val HotKeyTopN = 50 // candidates probed by q_heavy_hitters_hot
   private val SplitFracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val SplitSalt = "sp"
 
@@ -614,6 +615,17 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, dir) =>
       CoreOps.heavyHittersCms(Tables.events(s, dir), "event_type",
         CmsD, CmsW)),
+    // high-cardinality form: candidates come from keyProfile's bounded
+    // top-N (TakeOrderedAndProject), NOT a full distinct over user_id —
+    // the exact n_events rides along as a sketch-error gauge
+    "q_heavy_hitters_hot" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // NULL keys are excluded BEFORE the top-N so the candidate cut
+      // matches the sketch's NULL-skipping insert semantics
+      CoreOps.heavyHittersCms(ev, "user_id", CmsD, CmsW,
+        CoreOps.keyProfile(ev.filter(col("user_id").isNotNull),
+          "user_id", HotKeyTopN))
+    }),
     // per-user ordered journey: first 20 events as a '>'-joined sequence —
     // WindowGroupLimit caps a hot key's shipped rows at 20 before the
     // exchange
@@ -1790,6 +1802,27 @@ object SparkEntry {
          |SELECT p.event_type, min(c.cnt) AS est_count
          |FROM probe p JOIN counts c ON p.i = c.i AND p.cell = c.cell
          |GROUP BY p.event_type""".stripMargin
+    },
+
+    "q_heavy_hitters_hot" -> {
+      // same cell-for-cell CMS rebuild over user_id, probed by the exact
+      // top-N candidate set (count-desc, key tiebreak — keyProfile's order)
+      val cellOf = (k: String) => s"${sqlMd5Int(s"(r.i::VARCHAR || ':' || $k)")} % $CmsW"
+      s"""WITH rows_ AS (SELECT unnest(range(0, $CmsD)) AS i),
+         |cells AS (SELECT r.i, ${cellOf("e.user_id")} AS cell
+         |          FROM events e CROSS JOIN rows_ r
+         |          WHERE e.user_id IS NOT NULL),
+         |counts AS (SELECT i, cell, count(*)::BIGINT AS cnt
+         |           FROM cells GROUP BY 1, 2),
+         |cand AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events
+         |         WHERE user_id IS NOT NULL
+         |         GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT $HotKeyTopN),
+         |probe AS (SELECT c.user_id, c.n_events, r.i,
+         |                 ${cellOf("c.user_id")} AS cell
+         |          FROM cand c CROSS JOIN rows_ r)
+         |SELECT p.user_id, p.n_events, min(ct.cnt) AS est_count
+         |FROM probe p JOIN counts ct ON p.i = ct.i AND p.cell = ct.cell
+         |GROUP BY p.user_id, p.n_events""".stripMargin
     },
 
     "q_user_journey" ->

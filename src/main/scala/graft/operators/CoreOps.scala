@@ -226,16 +226,45 @@ object CoreOps {
     * from a per-partition pre-filter instead — the sketch itself never
     * grows. keyProfile is the exact twin; this is the mergeable/streaming
     * form of the same decision input. NULL keys are skipped by the sketch
-    * and excluded from the candidates. */
-  def heavyHittersCms(df: DataFrame, key: String, d: Int, w: Int): DataFrame = {
-    require(key != "_cms" && !df.columns.contains("est_count"),
+    * and excluded from the candidates.
+    *
+    * This no-candidates form derives candidates as `distinct()` over the
+    * key — a full-cardinality shuffle that is cheap ONLY for enum-like
+    * columns (event types, status codes). For an unbounded key space
+    * (user ids, documents) use the `candidates` overload below, which
+    * keeps the whole pipeline bounded. */
+  def heavyHittersCms(df: DataFrame, key: String, d: Int, w: Int): DataFrame =
+    heavyHittersCms(df, key, d, w,
+      df.select(col(key)).filter(col(key).isNotNull).distinct())
+
+  /** External-candidates form for unbounded key spaces: probes the same
+    * fixed-size d·w sketch, but the candidate set arrives as a BOUNDED
+    * DataFrame the caller controls — e.g. keyProfile's top-N, which
+    * compiles to partial agg + TakeOrderedAndProject and never
+    * materializes the full key cardinality. Every candidate column rides
+    * along (so an exact `n_events` can sit next to `est_count` for a
+    * sketch-error gauge); NULL candidate keys are dropped to mirror the
+    * sketch, which skips NULL on insert. The sketch side stays one
+    * fixed-size aggregate regardless of df's size; the probe side is
+    * |candidates| rows against a broadcast 1-row table — no shuffle keyed
+    * on the big column anywhere. */
+  def heavyHittersCms(df: DataFrame, key: String, d: Int, w: Int,
+                      candidates: DataFrame): DataFrame = {
+    require(candidates.columns.contains(key),
+      s"candidates must carry the probed key column '$key'")
+    require(key != "_cms" && !candidates.columns.contains("_cms") &&
+        !candidates.columns.contains("est_count"),
       "heavyHittersCms uses '_cms' internally and emits 'est_count'; rename first")
+    // the sketch kernel hashes strings; cast once on insert AND probe so
+    // non-string keys (user ids) work — a long's canonical decimal string
+    // is what DuckDB's || coercion produces too, keeping the oracle's
+    // cell hashes identical. The output keeps the caller's key type.
     val tbl = df.agg(graft.expressions.CountMinExpressions
-      .cmsTable(col(key), d, w).as("_cms"))
-    df.select(col(key)).filter(col(key).isNotNull).distinct()
+      .cmsTable(col(key).cast("string"), d, w).as("_cms"))
+    candidates.filter(col(key).isNotNull)
       .crossJoin(broadcast(tbl))
-      .select(col(key), graft.expressions.CountMinExpressions
-        .cmsMin(col("_cms"), col(key), d, w).as("est_count"))
+      .select(candidates.columns.map(col) :+ graft.expressions.CountMinExpressions
+        .cmsMin(col("_cms"), col(key).cast("string"), d, w).as("est_count"): _*)
   }
 
   /** Hot-key profile: exact per-key counts, top N by frequency with a

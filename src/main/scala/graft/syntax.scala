@@ -63,6 +63,9 @@ object syntax {
       CoreOps.eventSequence(df, key, ts, tiebreak, payload, maxEvents, sep)
     def heavyHittersCms(key: String, d: Int, w: Int): DataFrame =
       CoreOps.heavyHittersCms(df, key, d, w)
+    def heavyHittersCms(key: String, d: Int, w: Int,
+                        candidates: DataFrame): DataFrame =
+      CoreOps.heavyHittersCms(df, key, d, w, candidates)
     def sessionize(key: String, ts: String, tiebreak: String,
                    gapMs: Long): DataFrame =
       CoreOps.sessionize(df, key, ts, tiebreak, gapMs)

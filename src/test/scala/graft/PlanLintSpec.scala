@@ -61,7 +61,9 @@ class PlanLintSpec extends SparkSpec {
       "q_range_join" -> Set("event_id", "ts", "value", "event_type"),
       "q_sessionize" -> Set("event_id", "user_id", "ts"),
       "q_rank_norm" -> Set("doc_id", "lang", "n_chars"),
-      "q_heavy_hitters" -> Set("event_type"))
+      "q_heavy_hitters" -> Set("event_type"),
+      // both scans (sketch side + keyProfile candidate side) read only the key
+      "q_heavy_hitters_hot" -> Set("user_id"))
     expected.foreach { case (name, cols) =>
       val all = nodes(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
       val scans = all.collect {

@@ -339,6 +339,39 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: external-candidates CMS matches the distinct-candidates " +
+      "form on shared keys, carries candidate columns, drops NULL keys") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.choose(0L, 12L).map(k => s"k$k"))
+      topN <- Gen.choose(1, 6)
+    } yield (rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }, topN)
+    check(Prop.forAll(gen) { case (rows, topN) =>
+      val df = rows.toDF("rid", "k")
+      val full = CoreOps.heavyHittersCms(df, "k", 4, 1024)
+        .as[(String, Long)].collect().toMap
+      val cand = CoreOps.keyProfile(df, "k", topN)
+        .union(Seq((null.asInstanceOf[String], 0L)).toDF("k", "n_events"))
+      val got = CoreOps.heavyHittersCms(df, "k", 4, 1024, cand)
+        .select("k", "n_events", "est_count")
+        .as[(String, Long, Long)].collect()
+      val exact = rows.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+      got.length == math.min(topN, exact.size) && // NULL candidate dropped
+        got.forall { case (k, n, est) => exact(k) == n && full(k) == est }
+    })
+  }
+
+  test("external-candidates CMS plan has no full-cardinality distinct when " +
+      "fed from keyProfile") {
+    val df = (0L until 100L).map(i => (i, s"u${i % 10}")).toDF("rid", "k")
+    val plan = CoreOps.heavyHittersCms(df, "k", 4, 64,
+      CoreOps.keyProfile(df, "k", 3)).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    // the only aggregate over the raw key is keyProfile's bounded top-N —
+    // the sketch side is one global (groupless) aggregate
+    assert(!plan.toLowerCase.contains("distinct"))
+  }
+
   test("property: sessionize equals the sequential fold over sorted events") {
     val gen = for {
       n <- Gen.choose(0, 50)
