@@ -428,6 +428,16 @@ object SparkEntry {
         TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)
           .select(col("doc_id"), col("n_tokens"), col("stopword_ratio")),
         "doc_id", "n_tokens", "stopword_ratio", 10000L)),
+    // globally-ordered cumulative spend in exact DECIMAL — the money form
+    // of the distributed prefix sum (fractional values, no drift, no
+    // single-task window); output cast to double only at the edge
+    "q_cum_spend" -> ((s, dir) =>
+      CoreOps.orderedPrefixSumDecimal(
+          Tables.events(s, dir).select(col("event_id"),
+            unix_millis(col("ts")).as("ts_ms"), col("value")),
+          col("ts_ms"), "event_id", "value", "cum_spend")
+        .select(col("event_id"), col("ts_ms"),
+          col("cum_spend").cast("double").as("cum_spend"))),
     // best 3 docs per (source, lang) by quality — compiles to
     // WindowGroupLimit, so no group's full ranking ever materializes
     "q_top_docs" -> ((s, dir) =>
@@ -574,6 +584,14 @@ object SparkEntry {
           "event_type", "value_c", 3.5)
         .select(col("event_id"), col("event_type"), col("value_c"),
           col("robust_z"), col("is_outlier"))),
+    // sketch twin of q_outliers, fully oracle-checked: exact median/MAD
+    // (the q_outliers inputs) plus a rank-window verdict on BOTH
+    // approx_percentile estimates — the estimates never leave the engine
+    "q_outliers_approx" -> ((s, dir) =>
+      CoreOps.robustOutliersChecked(
+        Tables.events(s, dir).withColumn("value_c",
+          round(col("value") * 100).cast("long")),
+        "event_type", "value_c")),
     // daily distinct users, exact + HLL sketch in ONE groupBy, with the
     // same checked-twin bound verdict as q_dedup_profile_approx — the
     // sketch the streaming form keeps per open window at scale
@@ -1488,6 +1506,15 @@ object SparkEntry {
          |WHERE $containment >= 0.05 AND c.doc_id <> c.bench_id""".stripMargin
     },
 
+    // both engines window-sum DECIMAL(18,2) (exact), casting the identical
+    // rational to DOUBLE only at the edge
+    "q_cum_spend" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |         OVER (ORDER BY epoch_ms(ts), event_id
+        |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+        |FROM events""".stripMargin,
+
     "q_token_budget" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toksv FROM documents),
          |c AS (SELECT doc_id, len(toksv) AS n_tokens,
@@ -1734,6 +1761,22 @@ object SparkEntry {
         |  COALESCE(abs(robust_z) > 3.5, false) AS is_outlier
         |FROM z""".stripMargin,
 
+    // checked-twin convention (see q_window_users): the oracle recomputes
+    // the exact side and asserts the engine-side sketch verdict is TRUE
+    "q_outliers_approx" ->
+      """WITH ec AS (SELECT event_type,
+        |        round(value * 100)::BIGINT AS value_c FROM events),
+        |med AS (SELECT event_type, count(*)::BIGINT AS n,
+        |        quantile_cont(value_c, 0.5) AS m
+        |        FROM ec GROUP BY 1),
+        |mad AS (SELECT e.event_type, quantile_cont(abs(e.value_c - med.m), 0.5) AS d
+        |        FROM ec e JOIN med USING (event_type) GROUP BY 1)
+        |SELECT med.event_type, med.n,
+        |  floor(med.m * 1000000) / 1000000 AS med,
+        |  floor(mad.d * 1000000) / 1000000 AS mad,
+        |  TRUE AS within_bound
+        |FROM med JOIN mad USING (event_type)""".stripMargin,
+
     "q_window_users" ->
       s"""SELECT $evMs - $evMs % $D AS window_start_ms,
          |  count(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
@@ -1834,8 +1877,13 @@ object SparkEntry {
          |  array_to_string(list(event_type ORDER BY rn), '>') AS journey
          |FROM r WHERE rn <= $JourneyMax GROUP BY user_id""".stripMargin,
 
+    // json_valid guard: Spark's get_json_object returns NULL on malformed
+    // JSON where DuckDB's json_extract_string raises — the guard gives the
+    // oracle the same NULL-on-bad-row semantics instead of a crash
     "q_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      """SELECT CAST(CASE WHEN json_valid(props)
+        |            THEN json_extract_string(props, '$.k') END AS BIGINT)
+        |    % 10 AS k_mod,
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin,

@@ -455,9 +455,9 @@ object CoreOps {
     * A zero MAD (≥ half the group at the median) yields NULL z and never
     * flags — the standard convention, stated rather than implied. Exact
     * `percentile` buffers a count-map per group; for value domains too
-    * large for that (unbounded doubles at corpus scale), swap in
-    * approx_percentile exactly as quantileProfileApprox twins
-    * quantileProfile — the join/map shape is unchanged. Cross-engine
+    * large for that (unbounded doubles at corpus scale), use
+    * robustOutliersApprox below — same join/map shape, fixed-size
+    * sketches, with robustOutliersChecked as its bound form. Cross-engine
     * reproducibility note: percentile INTERPOLATION formulas may differ by
     * an ulp between engines on fractional inputs; feeding integer-valued
     * measures (q_outliers scales money to cents) makes every interpolation
@@ -482,6 +482,101 @@ object CoreOps {
       .withColumn("is_outlier",
         coalesce(abs(col("robust_z")) > cutoff, lit(false)))
       .drop("_med", "_mad")
+  }
+
+  /** The 100 TB twin of robustOutliers: median and MAD come from
+    * approx_percentile's fixed-size KLL-style sketch, which merges
+    * map-side — O(groups) sketches cross each shuffle no matter how many
+    * DISTINCT values the column holds, where exact `percentile` buffers a
+    * per-group count-map (fine for cents-scaled money, unbounded for raw
+    * double telemetry). Join/map shape is identical to robustOutliers.
+    * Sketch estimates are engine-specific, so the registered query is the
+    * `robustOutliersChecked` bound form — this per-row twin is the
+    * production operator. */
+  def robustOutliersApprox(df: DataFrame, group: String, value: String,
+                           cutoff: Double, accuracy: Int = 10000): DataFrame = {
+    val internal = Seq("_med", "_mad", "robust_z", "is_outlier")
+    val clash = df.columns.intersect(internal)
+    require(clash.isEmpty,
+      s"robustOutliersApprox uses ${internal.mkString(", ")}; " +
+        s"rename the input's ${clash.mkString(", ")} first")
+    val med = df.groupBy(col(group))
+      .agg(approx_percentile(col(value), lit(0.5), lit(accuracy)).as("_med"))
+    val withMed = df.join(med, Seq(group))
+    val mad = withMed.groupBy(col(group))
+      .agg(approx_percentile(abs(col(value) - col("_med")), lit(0.5),
+        lit(accuracy)).as("_mad"))
+    val z = lit(0.6745) * (col(value) - col("_med")) / col("_mad")
+    withMed.join(mad, Seq(group))
+      .withColumn("robust_z",
+        when(col("_mad") > 0, floor(z * 1000000d) / 1000000d))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > cutoff, lit(false)))
+      .drop("_med", "_mad")
+  }
+
+  /** Oracle-checkable form of the sketch outlier profile: per group, the
+    * EXACT median and MAD (engine-independent with integer-valued inputs —
+    * see robustOutliers) plus ONE boolean attesting that BOTH sketch
+    * estimates honor approx_percentile's guaranteed rank window, the same
+    * rank-interval argument as quantileProfileChecked (rank, not value, is
+    * the only provable currency). Subtlety the MAD check must respect: the
+    * sketch MAD is the median of |x − med_SKETCH|, so its rank interval is
+    * counted over THAT deviation distribution — not |x − exact median| —
+    * because the sketch's contract binds to its own input. The estimates
+    * never leave the engine; only exact percentiles and the verdict do, so
+    * a SQL oracle computing the exact side hash-matches the whole row.
+    * Cost: three aggregate passes (estimate, estimate+exact+med-ranks,
+    * exact-MAD+mad-ranks) with O(groups) broadcasts between — a
+    * verification query, not the production profile. */
+  def robustOutliersChecked(df: DataFrame, group: String, value: String,
+                            accuracy: Int = 10000): DataFrame = {
+    val internal = Seq("_g1", "_g2", "_med_est", "_mad_est", "_med_exact",
+      "_nv", "_med_lt", "_med_le", "_nd", "_mad_lt", "_mad_le")
+    val clash = df.columns.intersect(internal ++ Seq("n", "med", "mad",
+      "within_bound"))
+    require(clash.isEmpty,
+      s"robustOutliersChecked reserves ${clash.mkString(", ")}; rename first")
+    val estMed = df.groupBy(col(group))
+      .agg(approx_percentile(col(value), lit(0.5), lit(accuracy))
+        .as("_med_est"))
+    // null-safe keys throughout: a NULL group survives like any other
+    val second = df
+      .join(broadcast(estMed.withColumnRenamed(group, "_g1")),
+        col(group) <=> col("_g1"))
+      .groupBy(col(group))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col(value)).as("_nv"),
+        (floor(percentile(col(value), lit(0.5)) * 1e6) / 1e6).as("med"),
+        percentile(col(value), lit(0.5)).as("_med_exact"),
+        max(col("_med_est")).as("_med_est"),
+        approx_percentile(abs(col(value) - col("_med_est")), lit(0.5),
+          lit(accuracy)).as("_mad_est"),
+        sum(when(col(value) < col("_med_est"), 1L).otherwise(0L)).as("_med_lt"),
+        sum(when(col(value) <= col("_med_est"), 1L).otherwise(0L)).as("_med_le"))
+    val dev = abs(col(value) - col("_med_est"))
+    val third = df
+      .join(broadcast(second.select(col(group).as("_g2"), col("_med_est"),
+        col("_mad_est"), col("_med_exact"))), col(group) <=> col("_g2"))
+      .groupBy(col(group))
+      .agg(
+        (floor(percentile(abs(col(value) - col("_med_exact")), lit(0.5))
+          * 1e6) / 1e6).as("mad"),
+        count(dev).as("_nd"),
+        sum(when(dev < col("_mad_est"), 1L).otherwise(0L)).as("_mad_lt"),
+        sum(when(dev <= col("_mad_est"), 1L).otherwise(0L)).as("_mad_le"))
+    def bound(lt: Column, le: Column, nv: Column): Column = {
+      val target = nv * lit(0.5)
+      val tol = nv / lit(accuracy.toDouble) + lit(1.0)
+      (lt + 1 <= target + tol) && (le >= target - tol)
+    }
+    second.join(third.withColumnRenamed(group, "_g2"),
+        col(group) <=> col("_g2"))
+      .select(col(group), col("n"), col("med"), col("mad"),
+        (bound(col("_med_lt"), col("_med_le"), col("_nv")) &&
+          bound(col("_mad_lt"), col("_mad_le"), col("_nd")))
+          .as("within_bound"))
   }
 
   /** Per-key ordered event sequence — the "user journey" extraction that
@@ -579,8 +674,8 @@ object CoreOps {
     * in parallel, and an exclusive running total over the tiny per-bucket
     * sums joined back — the single-key form of runningSumSalted, and the
     * same shape as StatefulTwins.withLateFlag. `value` sums as int64 (exact
-    * for counts; use the decimal forms for money). Ties in `ord` stay in one
-    * bucket and break by `tiebreak`. */
+    * for counts; orderedPrefixSumDecimal is the money form). Ties in `ord`
+    * stay in one bucket and break by `tiebreak`. */
   def orderedPrefixSum(df: DataFrame, ord: Column, tiebreak: String,
                        value: String, out: String): DataFrame = {
     val internal = Seq("_ord", "_b", "_off", "_local")
@@ -591,7 +686,7 @@ object CoreOps {
     val vt = df.schema(value).dataType
     require(integralTypes.contains(vt),
       s"orderedPrefixSum sums '$value' as int64 (exact for counts); got " +
-        s"$vt — cast explicitly, or use a decimal running-sum form for money")
+        s"$vt — cast explicitly, or use orderedPrefixSumDecimal for money")
     val spark = df.sparkSession
     import spark.implicits._
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
@@ -627,6 +722,66 @@ object CoreOps {
       .withColumn(out,
         when(col("_local").isNull, col("_off"))
           .otherwise(coalesce(col("_off"), lit(0L)) + col("_local")))
+      .select(df.columns.map(col).toSeq :+ col(out): _*)
+  }
+
+  /** The money form of orderedPrefixSum — the decimal running-sum variant
+    * its int64 require() points at: same deterministic bucket scheme
+    * (range buckets from an O(1) bounds aggregate, parallel per-bucket
+    * local prefix sums, exclusive bucket offsets joined back — never a
+    * single-task global window), but `value` accumulates as
+    * DECIMAL(18,2), so fractional monetary values sum exactly and
+    * order-independently where a double sum would drift with partitioning.
+    * The driver-side offset accumulation runs in BigDecimal (exact); the
+    * emitted column is DECIMAL(38,2) — cents-exact to 10^36, far past any
+    * corpus spend, and an overflow under ANSI fails loud rather than
+    * wrapping. NULL discipline identical to the int64 form: rows before
+    * the first non-NULL value anywhere stay NULL, NULL values pass the
+    * running total through. O(buckets) driver rows, like every bucket
+    * collect here. */
+  def orderedPrefixSumDecimal(df: DataFrame, ord: Column, tiebreak: String,
+                              value: String, out: String): DataFrame = {
+    val internal = Seq("_ord", "_b", "_off", "_local")
+    val clash = df.columns.intersect(internal)
+    require(clash.isEmpty,
+      s"orderedPrefixSumDecimal uses internal columns " +
+        s"${internal.mkString(", ")}; rename the input's " +
+        s"${clash.mkString(", ")} first")
+    require(df.schema(value).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"orderedPrefixSumDecimal sums a numeric '$value'; got " +
+        s"${df.schema(value).dataType}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val d = df.withColumn("_ord", ord)
+    val bucket = timeRangeBucket(d, col("_ord"), n).getOrElse(lit(0))
+    val b = d.withColumn("_b", bucket).localCheckpoint(true)
+    val dec = col(value).cast("decimal(18,2)")
+    val bucketSums = b.groupBy(col("_b")).agg(sum(dec).as("_t"))
+      .collect()
+      .map(r => (r.getInt(0), Option(r.getDecimal(1))))
+      .sortBy(_._1)
+    var running = java.math.BigDecimal.ZERO
+    var any = false
+    val prefix = bucketSums.map { case (bk, t) =>
+      val before = if (any) Some(scala.math.BigDecimal(running)) else None
+      t.foreach { v => running = running.add(v); any = true }
+      (bk, before)
+    }.toSeq
+    // the Scala BigDecimal encoder defaults to decimal(38,18); pin the
+    // money scale so the addition below stays within precision
+    val prefixDf = prefix.toDF("_b", "_off")
+      .withColumn("_off", col("_off").cast("decimal(38,2)"))
+    val wLocal = Window.partitionBy(col("_b")).orderBy(col("_ord"), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("_local", sum(dec).over(wLocal))
+      .join(broadcast(prefixDf), Seq("_b"), "left")
+      .withColumn(out,
+        when(col("_local").isNull, col("_off"))
+          .otherwise(coalesce(col("_off"), lit(0).cast("decimal(38,2)")) +
+            col("_local"))
+          .cast("decimal(38,2)"))
       .select(df.columns.map(col).toSeq :+ col(out): _*)
   }
 
@@ -774,7 +929,10 @@ object CoreOps {
     * be BUILT ONCE and reused across many queries — this operator is that
     * explicit form. `expectedItems`/`fpp` size the filter; at default fpp
     * 1e-3 the filter is ~14.4 bits per distinct key (120 MB per 10^8 keys —
-    * driver- and broadcast-friendly well past dimension-table scale). */
+    * driver- and broadcast-friendly well past dimension-table scale).
+    * `small` must be a BATCH DataFrame (the filter build is one eager
+    * driver-side aggregate — the only eager job these constructors run);
+    * for a streaming big side use StreamOps.bloomAntiJoinEachBatch. */
   /** Both key columns must be integral: the filter is BUILT from long
     * insertions and PROBED with mightContainLong, and a string-keyed build
     * would hash different bytes than the probe — every probe would miss
@@ -791,19 +949,36 @@ object CoreOps {
       }
   }
 
+  /** Driver-side filter build shared by both Bloom joins. Builds on the
+    * widened-to-long column so build and probe hash the same 8 bytes even
+    * when the declared widths differ (int dim key, long fact). An empty —
+    * or all-NULL-key — small side yields a ZERO-INSERTION filter (every
+    * probe misses, which downstream plans into the correct empty-semi /
+    * identity-anti results) instead of the NPE stat.bloomFilter throws on
+    * a relation contributing no values; folding that case into the build
+    * keeps the join constructors down to THIS one eager job (it matters
+    * per-trigger in bloomAntiJoinEachBatch). `small` must be a BATCH
+    * frame — the build is a driver-side aggregate, so a streaming small
+    * side throws at this aggregate, not at analysis. */
+  private def buildBloomFilter(keys: DataFrame, smallKey: String,
+                               expectedItems: Long, fpp: Double)
+      : org.apache.spark.util.sketch.BloomFilter =
+    try keys.select(col(smallKey).cast("long").as(smallKey))
+      .stat.bloomFilter(smallKey, expectedItems, fpp)
+    catch {
+      // stat.bloomFilter's internal treeAggregate NPEs when no partition
+      // contributed a value — the empty-relation case, not a code bug
+      case _: NullPointerException =>
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    }
+
   def bloomSemiJoin(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
                     expectedItems: Long, fpp: Double = 1e-3): DataFrame = {
     requireIntegralKeys(big, bigKey, small, smallKey, "bloomSemiJoin")
-    // NULL small keys never equal anything, and stat.bloomFilter NPEs on a
-    // relation that contributes no values — pre-filter and short-circuit
-    // (the isEmpty probe is one limit-1 job against the pruned scan)
+    // NULL small keys never equal anything
     val keys = small.filter(col(smallKey).isNotNull)
-    if (keys.isEmpty) return big.limit(0)
-    // build on the widened-to-long column so build and probe hash the same
-    // 8 bytes even when the declared widths differ (int dim key, long fact)
-    val bloom = keys.select(col(smallKey).cast("long").as(smallKey))
-      .stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bloom = buildBloomFilter(keys, smallKey, expectedItems, fpp)
     val probe = graft.expressions.BloomProbeExpressions
       .mightContain(big(bigKey), bloom)
     // NULL big keys: probe → NULL → dropped, = the semi-join's NULL-never-equal
@@ -824,11 +999,10 @@ object CoreOps {
                     bigKey: String, smallKey: String,
                     expectedItems: Long, fpp: Double = 1e-3): DataFrame = {
     requireIntegralKeys(big, bigKey, small, smallKey, "bloomAntiJoin")
-    // same empty/NULL guard as bloomSemiJoin: nothing to block → identity
+    // NULL small keys never block anything; an empty small side builds a
+    // zero-insertion filter → every row routes to the zero-shuffle branch
     val keys = small.filter(col(smallKey).isNotNull)
-    if (keys.isEmpty) return big
-    val bloom = keys.select(col(smallKey).cast("long").as(smallKey))
-      .stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bloom = buildBloomFilter(keys, smallKey, expectedItems, fpp)
     val probe = graft.expressions.BloomProbeExpressions
       .mightContain(big(bigKey), bloom)
     val hit = coalesce(probe, lit(false))
@@ -857,11 +1031,24 @@ object CoreOps {
     * `pointTs` is a timestamp column; `startCol`/`endCol` are epoch-ms
     * longs (callers windowing around an event pass
     * `unix_millis(ts) ± delta`). NULL ts/start/end rows match nothing,
-    * exactly like the SQL inequality join. */
+    * exactly like the SQL inequality join.
+    *
+    * Replication guard: an interval whose span wildly exceeds the grain
+    * (a corrupt end timestamp, a year-long interval at a minute grain)
+    * would silently explode into len/grain + 1 rows — an
+    * OOM-by-data-bug at ingest scale. Any interval covering more than
+    * `maxCellsPerInterval` cells therefore fails the job LOUDLY with a
+    * diagnostic naming the bound, like every other guard here; raise the
+    * cap (or widen the grain) deliberately if such spans are real. The
+    * check runs executor-side per interval and is NULL-safe, so filter
+    * reordering can never trip it on rows the validity filter drops. */
   def rangeJoin(points: DataFrame, pointTs: String,
                 intervals: DataFrame, startCol: String, endCol: String,
-                grainMs: Long, keys: Seq[String] = Nil): DataFrame = {
+                grainMs: Long, keys: Seq[String] = Nil,
+                maxCellsPerInterval: Long = 10000L): DataFrame = {
     require(grainMs > 0, s"grainMs must be positive, got $grainMs")
+    require(maxCellsPerInterval > 0,
+      s"maxCellsPerInterval must be positive, got $maxCellsPerInterval")
     val internal = Seq("_pms", "_cell")
     val clash = (points.columns ++ intervals.columns).intersect(internal)
     require(clash.isEmpty,
@@ -875,7 +1062,21 @@ object CoreOps {
     val p = points
       .withColumn("_pms", ms(col(pointTs)))
       .withColumn("_cell", cellOf(col("_pms")))
+    val nCells = cellOf(col(endCol) - 1) - cellOf(col(startCol)) + 1
+    // NULL-safe: NULL start/end rows pass the guard vacuously (the validity
+    // filter drops them) — assert_true on a NULL condition would throw
+    val guard = assert_true(
+      col(startCol).isNull || col(endCol).isNull ||
+        nCells <= lit(maxCellsPerInterval),
+      concat(lit("rangeJoin: interval covers "), nCells,
+        lit(s" cells > maxCellsPerInterval=$maxCellsPerInterval at " +
+          s"grainMs=$grainMs (start="), col(startCol), lit(", end="),
+        col(endCol), lit(") — corrupt timestamp or too-fine grain; widen " +
+          "grainMs or raise maxCellsPerInterval deliberately")))
     val iv = intervals
+      // .isNull keeps the assertion in the plan: a projected-then-dropped
+      // column would be pruned away before it ever ran
+      .filter(guard.isNull)
       .filter(col(startCol).isNotNull && col(endCol) > col(startCol))
       .withColumn("_cell",
         explode(sequence(cellOf(col(startCol)), cellOf(col(endCol) - 1))))

@@ -68,7 +68,11 @@ object TextOps {
     * aggregate (N, Σdl, per-term document frequency — a single partial-agg'd
     * pass collapsing to ONE row), broadcast back via crossJoin, then a pure
     * map stage computes per-doc scores — no per-term shuffle, no inverted
-    * index build, linear in corpus size.
+    * index build, linear in corpus size. Crossover: per-doc cost is
+    * O(|terms| × doc length) because each term rescans the token array, and
+    * the plan widens by two expressions per term — right up to a few dozen
+    * probe terms; past ~a hundred use `bm25Explode`, which pays two keyed
+    * shuffles to stay O(doc length) per doc.
     *
     * Uses the rational Robertson idf `(N - df + 0.5) / (df + 0.5)` rather
     * than its logarithm: every arithmetic step is then an IEEE-754 basic op
@@ -106,6 +110,63 @@ object TextOps {
     }.reduce(_ + _)
     base.crossJoin(broadcast(stats))
       .select(col(id), col("_dl").as("dl"), trunc6(score).as("bm25"))
+  }
+
+  /** Explode-and-join BM25 for LARGE term lists — the crossover form of
+    * `bm25`. The fixed-column form scans each document's token array once
+    * per term (O(|terms| × doc length) per doc) and widens the plan by two
+    * expressions per term: right for a handful of probe terms, quadratic
+    * waste by a few hundred. This form explodes tokens ONCE, keeps term
+    * matches via a broadcast join against the term table (which can itself
+    * be an ngramVocab output), and aggregates tf over (doc, term) rows —
+    * O(doc length) per doc regardless of term count. Corpus-scale
+    * shuffles: the (doc, term) tf aggregate and the per-doc score
+    * aggregate; document frequencies collapse to O(|terms|) rows and
+    * broadcast back, and the 1-row corpus stats broadcast like `bm25`'s.
+    *
+    * Determinism: per-doc contributions are summed by a left-fold over the
+    * term-ASC-sorted contribution list (bounded by |terms| elements, so
+    * per-group state is bounded), NOT a float `sum()` whose addition order
+    * would follow partitioning. Same rational Robertson idf; called with
+    * an ascending term list, `bm25` produces bit-identical scores
+    * (TextAndDedupSpec pins this). Docs matching no term score 0. */
+  def bm25Explode(docs: DataFrame, id: String, text: String,
+                  terms: DataFrame, k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
+    require(terms.columns.contains("term"),
+      "bm25Explode expects the term list as a 'term' column")
+    val internal = Seq("term", "_toks", "_dl", "_n", "_sumdl", "_tf", "_df",
+      "_c", "_score", "dl", "bm25")
+    val clash = (docs.columns :+ id).distinct.intersect(internal)
+    require(clash.isEmpty,
+      s"bm25Explode uses internal columns and emits dl/bm25; " +
+        s"rename ${clash.mkString(", ")}")
+    val toks = tokens(lower(col(text)))
+    val base = docs.select(col(id), toks.as("_toks"),
+      size(toks).cast("long").as("_dl"))
+    val stats = base.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl"))
+    val tf = base.select(col(id), explode(col("_toks")).as("term"))
+      .join(broadcast(terms.select(col("term")).filter(col("term").isNotNull)
+        .distinct()), Seq("term"))
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val dlNorm = lit(k1) * (lit(1 - b) + lit(b) * (col("_dl").cast("double") / avgdl))
+    val idf = ((col("_n") - col("_df")).cast("double") + lit(0.5)) /
+      (col("_df").cast("double") + lit(0.5))
+    val contrib = idf * ((col("_tf") * lit(k1 + 1)) / (col("_tf") + dlNorm))
+    val perDoc = tf.join(broadcast(dfT), Seq("term"))
+      .join(base.select(col(id), col("_dl")), Seq(id))
+      .crossJoin(broadcast(stats))
+      .select(col(id), struct(col("term"), contrib.as("_c")).as("_c"))
+      .groupBy(col(id))
+      .agg(aggregate(array_sort(collect_list(col("_c"))), lit(0.0d),
+        (acc, x) => acc + x.getField("_c")).as("_score"))
+    base.select(col(id), col("_dl"))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id), col("_dl").as("dl"),
+        trunc6(coalesce(col("_score"), lit(0.0d))).as("bm25"))
   }
 
   /** Language ID via stopword-hit counting: the classic cheap n-gram/function-
@@ -170,13 +231,16 @@ object TextOps {
     * frequent characters with counts, deterministically ordered
     * (count desc, char asc). Explode is map-side, the count is one
     * partial-agg'd shuffle on the character, top-N compiles to
-    * TakeOrderedAndProject. Caveat: Spark's empty-pattern split is
-    * UTF-16-code-unit based, so supplementary-plane characters (emoji)
-    * split into surrogate halves — strip or pre-filter them for
-    * multi-plane corpora (BMP text, including CJK, is handled correctly). */
+    * TakeOrderedAndProject. Characters are Unicode CODE POINTS, not
+    * UTF-16 code units: java.util.regex matches `.` against a full code
+    * point, so a supplementary-plane character (emoji) stays one row
+    * instead of shattering into surrogate halves — the same unit DuckDB's
+    * codepoint split counts, so the oracle parity holds for ANY corpus,
+    * and the count-desc/char-asc tiebreak compares well-formed UTF-8 on
+    * both engines. regexp_extract_all runs inside codegen. */
   def charHistogram(docs: DataFrame, text: String, topN: Int): DataFrame =
-    docs.select(explode(split(col(text), "")).as("ch"))
-      .filter(col("ch") =!= "")
+    docs.select(explode(regexp_extract_all(col(text), lit("(?s)."), lit(0)))
+        .as("ch"))
       .groupBy(col("ch")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ch"))
       .limit(topN)

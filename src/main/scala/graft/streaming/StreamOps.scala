@@ -96,6 +96,9 @@ object StreamOps {
                    ts: String, lateness: String, windowMs: Long,
                    pointProj: Seq[(String, String)],
                    anchorProj: Seq[(String, String)]): DataFrame = {
+    // fail-loud like the batch twin's grainMs guard: a zero/negative window
+    // would silently produce an empty (never-matching) join
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
     val aliases = (pointProj ++ anchorProj).map(_._2)
     val reserved = Seq("k", "_ak", "p_ts", "a_ts", "point_ts_ms",
       "anchor_ts_ms", key)

@@ -73,6 +73,12 @@ object syntax {
       CoreOps.rankNormalize(df, group, value, out)
     def robustOutliers(group: String, value: String, cutoff: Double): DataFrame =
       CoreOps.robustOutliers(df, group, value, cutoff)
+    def robustOutliersApprox(group: String, value: String, cutoff: Double,
+                             accuracy: Int = 10000): DataFrame =
+      CoreOps.robustOutliersApprox(df, group, value, cutoff, accuracy)
+    def robustOutliersChecked(group: String, value: String,
+                              accuracy: Int = 10000): DataFrame =
+      CoreOps.robustOutliersChecked(df, group, value, accuracy)
     def exactCorr(group: String, x: String, y: String): DataFrame =
       CoreOps.exactCorr(df, group, x, y)
     def exactRegression(group: String, x: String, y: String): DataFrame =
@@ -143,6 +149,9 @@ object syntax {
                minTokens: Long, maxTokens: Long, minStopRatio: Double): DataFrame =
       Curation.curate(df, id, text, stopwords, profiles, lang,
         minTokens, maxTokens, minStopRatio)
+    def orderedPrefixSumDecimal(ord: Column, tiebreak: String, value: String,
+                                out: String): DataFrame =
+      CoreOps.orderedPrefixSumDecimal(df, ord, tiebreak, value, out)
     def orderedPrefixSum(ord: Column, tiebreak: String, value: String,
                          out: String): DataFrame =
       CoreOps.orderedPrefixSum(df, ord, tiebreak, value, out)
@@ -156,6 +165,9 @@ object syntax {
     def bm25(id: String, text: String, terms: Seq[String],
              k1: Double = 1.2, b: Double = 0.75): DataFrame =
       TextOps.bm25(df, id, text, terms, k1, b)
+    def bm25Explode(id: String, text: String, terms: DataFrame,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      TextOps.bm25Explode(df, id, text, terms, k1, b)
     def bigramLm(text: String, topN: Int): DataFrame =
       TextOps.bigramLm(df, text, topN)
     def oovRate(id: String, text: String, n: Int, topN: Int): DataFrame =

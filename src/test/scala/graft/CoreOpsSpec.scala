@@ -55,6 +55,25 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.rangeJoin(points, "ts", iv, "s", "e", 0))
   }
 
+  test("rangeJoin fails loudly on an interval exceeding the cell cap, " +
+      "NULL intervals never trip the guard") {
+    val points = ev((1, 1000, 1, "a", 0))
+    // a year-long interval at a 1-minute grain: ~525k cells >> the cap
+    val corrupt = Seq(
+      (10L, Option(0L), 365L * 24 * 3600 * 1000L),
+      (11L, Option.empty[Long], 99L)).toDF("iid", "s", "e")
+    val err = intercept[Exception] {
+      CoreOps.rangeJoin(points, "ts", corrupt, "s", "e", 60000).collect()
+    }
+    assert(err.getMessage.contains("maxCellsPerInterval") ||
+      Option(err.getCause).exists(_.getMessage.contains("maxCellsPerInterval")))
+    // same data under a deliberate higher cap: runs, and the NULL-start
+    // interval row is dropped without ever reaching the assertion
+    val ok = CoreOps.rangeJoin(points, "ts", corrupt, "s", "e", 60000,
+      maxCellsPerInterval = 1000000L)
+    assert(ok.select("iid").as[Long].collect().toSet == Set(10L))
+  }
+
   test("exactCorr matches the closed-form Pearson r, any partitioning") {
     // y = 2x exactly → r = 1; the 'b' group is anti-correlated
     val rows = Seq((1L, "a", 1L, 2L), (2L, "a", 2L, 4L), (3L, "a", 3L, 6L),
@@ -84,6 +103,18 @@ class CoreOpsSpec extends SparkSpec {
       .map { case (g, s, i) => g -> ((s, i)) }.toMap
     assert(got("a") == ((Some(2.0), Some(1.0))))
     assert(got("b") == ((None, None)))
+  }
+
+  test("bloom joins handle an empty/all-NULL small side: semi is empty, " +
+      "anti is identity (zero-insertion filter, no extra short-circuit job)") {
+    val big = ev((1, 1000, 1, "a", 0), (2, 2000, 2, "b", 0))
+    val empty = Seq.empty[Long].toDF("k")
+    val allNull = Seq(Option.empty[Long]).toDF("k")
+    for (small <- Seq(empty, allNull)) {
+      assert(CoreOps.bloomSemiJoin(big, small, "user_id", "k", 4L).count() == 0)
+      assert(CoreOps.bloomAntiJoin(big, small, "user_id", "k", 4L)
+        .select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+    }
   }
 
   test("bloom joins reject non-integral key columns loudly") {
@@ -139,6 +170,36 @@ class CoreOpsSpec extends SparkSpec {
       .select("event_id", "is_outlier").as[(Long, Boolean)].collect().toMap
     assert(got == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true,
       5L -> false, 6L -> false))
+  }
+
+  test("robustOutliersApprox matches the exact form when sizes are odd " +
+      "(element == interpolation), flags the same outlier") {
+    // odd group size AND odd deviation count: every exact median is an
+    // actual element, so the sketch (which returns elements) agrees exactly
+    val df = ev((1, 0, 1, "a", 1.0), (2, 0, 1, "a", 2.0), (3, 0, 1, "a", 3.0),
+      (4, 0, 1, "a", 4.0), (5, 0, 1, "a", 100.0)) // med=3, MAD=1, z(100)=65.4…
+    val exact = CoreOps.robustOutliers(df, "event_type", "value", 3.5)
+      .select("event_id", "robust_z", "is_outlier")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val approx = CoreOps.robustOutliersApprox(df, "event_type", "value", 3.5)
+      .select("event_id", "robust_z", "is_outlier")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(approx == exact)
+    assert(approx(5L)._2 === true)
+  }
+
+  test("robustOutliersChecked: verdict uniformly true, exact side matches " +
+      "a brute-force median/MAD, NULL-value groups survive") {
+    val df = ev((1, 0, 1, "a", 1.0), (2, 0, 1, "a", 2.0), (3, 0, 1, "a", 3.0),
+      (4, 0, 1, "a", 100.0), // even size: med=2.5, MAD=1.0 (interpolated)
+      (5, 0, 1, "b", 7.0), (6, 0, 1, "b", 7.0)) // MAD=0 group
+    val got = CoreOps.robustOutliersChecked(df, "event_type", "value")
+      .as[(String, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 4L, 2.5, 1.0, true)))
+    assert(got("b") == (("b", 2L, 7.0, 0.0, true)))
   }
 
   test("sessionSummary closes a session after the gap and reports min/max") {

@@ -221,6 +221,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: orderedPrefixSumDecimal equals the BigDecimal fold " +
+      "(fractional money, NULLs, ties, any partitioning)") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        o <- Gen.choose(0L, 12L) // narrow range → frequent order ties
+        // cents-grained money, incl. negatives (refunds)
+        v <- Gen.frequency(8 -> Gen.choose(-10000L, 10000L)
+          .map(c => Option(c / 100.0)), 2 -> Gen.const(Option.empty[Double]))
+      } yield (o, v))
+      parts <- Gen.choose(1, 5)
+    } yield (rows.zipWithIndex.map { case ((o, v), i) => (i.toLong, o, v) },
+      parts)
+    check(Prop.forAll(gen) { case (rows, parts) =>
+      val df = rows.toDF("id", "ord", "v").repartition(parts)
+      val got = CoreOps.orderedPrefixSumDecimal(df, col("ord"), "id", "v", "cum")
+        .select("id", "cum").as[(Long, Option[BigDecimal])].collect().toMap
+      var acc = BigDecimal(0); var seen = false
+      val expected = rows.sortBy(r => (r._2, r._1)).map { case (id, _, v) =>
+        v.foreach { x => acc += BigDecimal(x).setScale(2); seen = true }
+        id -> (if (seen) Some(acc) else None)
+      }.toMap
+      got.keySet == expected.keySet && got.forall { case (id, c) =>
+        (c, expected(id)) match {
+          case (Some(a), Some(b)) => a.compare(b) == 0 // scale-insensitive
+          case (a, b) => a == b
+        }
+      }
+    })
+  }
+
   test("property: groupTopK equals the brute-force per-group ranking") {
     val gen = for {
       n <- Gen.choose(0, 60)

@@ -95,6 +95,11 @@ class StreamingParitySpec extends SparkSpec {
       assert(streamed == twin)
       assert(streamed.contains((6L, 5L))) // the cross-batch interval match
       assert(!streamed.contains((4L, 1L))) // half-open: ts == window end
+      // fail-loud contract parity with rangeJoin's grainMs guard: a
+      // zero/negative window must throw, not silently never match
+      assertThrows[IllegalArgumentException](StreamOps.intervalJoin(pts,
+        pts.filter(col("kind") === "error"), "key", "ts", "1 second", 0L,
+        Seq("tiebreak" -> "point_id"), Seq("tiebreak" -> "anchor_id")))
     } finally q.stop()
   }
 

@@ -49,6 +49,25 @@ class TextAndDedupSpec extends SparkSpec {
       TextOps.bm25(docs.withColumn("_dl", lit(1)), "doc_id", "text", Seq("b")))
   }
 
+  test("bm25Explode is bit-identical to bm25 on an ascending term list, " +
+      "no-match docs score 0, repartitioning doesn't change scores") {
+    val docs = Seq((1L, "b B a a c c c"), (2L, "b c e"), (3L, "d"),
+      (4L, "a e e b c"), (5L, "")).toDF("doc_id", "text")
+    val terms = Seq("a", "b", "c", "e", "zzz").sorted // ascending = fold order
+    val fixed = TextOps.bm25(docs, "doc_id", "text", terms)
+      .as[(Long, Long, Double)].collect().toSet
+    val termsDf = terms.toDF("term")
+    val exploded = TextOps.bm25Explode(docs, "doc_id", "text", termsDf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exploded == fixed) // exact double equality — the fold is ordered
+    val repart = TextOps.bm25Explode(docs.repartition(7), "doc_id", "text",
+      termsDf.repartition(3)).as[(Long, Long, Double)].collect().toSet
+    assert(repart == fixed)
+    assert(exploded.find(_._1 == 3L).get._3 == 0.0) // 'd' matches no term
+    assertThrows[IllegalArgumentException](
+      TextOps.bm25Explode(docs, "doc_id", "text", termsDf.withColumnRenamed("term", "t")))
+  }
+
   test("bigramLm emits exact conditional probabilities with prefix totals") {
     // grams: "a b"×2 (docs 1,2), "b a"×1, "a c"×1 → prefix a: 3, prefix b: 1
     val docs = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
@@ -196,6 +215,26 @@ class TextAndDedupSpec extends SparkSpec {
     assert(got(1L) == ((1L, 2L, 1L,
       "mail <EMAIL> and <EMAIL> or call <PHONE> today")))
     assert(got(2L) == ((2L, 0L, 0L, "digits 1234 stay, 12-34 stays, no pii here")))
+  }
+
+  test("charHistogram counts code points: surrogate pairs stay whole, " +
+      "newlines counted, deterministic tiebreak") {
+    val docs = Seq(
+      (1L, "ab\na"),            // BMP with a line terminator ((?s) must match it)
+      (2L, "😀b😀"), // 😀b😀 — supplementary plane
+      (3L, "你好")      // CJK (BMP, 3-byte UTF-8)
+    ).toDF("doc_id", "text")
+    val got = TextOps.charHistogram(docs, "text", 10)
+      .as[(String, Long)].collect().toSeq
+    val expected = Seq("a" -> 2L, "😀" -> 2L, "b" -> 2L,
+      "\n" -> 1L, "你" -> 1L, "好" -> 1L)
+    // count desc, then char asc by string comparison — emoji sorts after
+    // ASCII; no lone surrogate halves appear anywhere
+    assert(got.toMap == expected.toMap)
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+    assert(got.forall { case (ch, _) =>
+      !ch.exists(c => Character.isSurrogate(c)) || ch.codePointCount(0, ch.length) == 1
+    })
   }
 
   test("dedupProfileApprox tracks the exact profile within the HLL error bound") {
