@@ -81,6 +81,40 @@ object StreamOps {
       .select(CoreOps.ms(col("window.start")).as("window_start_ms"),
         col("n_events"), col("n_keys_approx"))
 
+  /** Continuous windowed heavy hitters — CoreOps.heavyHittersCms composed
+    * per event-time window under a watermark: ONE Count-Min table (d·w
+    * longs) of state per open window regardless of key cardinality — the
+    * same fixed-state argument as windowedUsersApprox — probed for a
+    * bounded `candidates` list as the window closes. Candidates are an
+    * explicit argument for exactly the reason the batch operator grew its
+    * external-candidates overload: deriving them per window with a
+    * distinct would rebuild the unbounded per-window key set the sketch
+    * exists to avoid (feed them from a batch keyProfile over history, or a
+    * known enum). Append mode emits each (window, candidate) row once, on
+    * watermark close; the merge across micro-batches is CmsAggregate's
+    * element-wise buffer merge, and StreamingParitySpec pins finalized
+    * windows against the identical batch per-window sketch. Estimates
+    * carry the usual CMS one-sided bound: true ≤ est ≤ true + εN. */
+  def windowedHeavyHitters(df: DataFrame, key: String, ts: String,
+                           lateness: String, duration: String,
+                           candidates: Seq[String], d: Int, w: Int)
+      : DataFrame = {
+    require(candidates.nonEmpty,
+      "windowedHeavyHitters probes an explicit bounded candidate list; got none")
+    require(!Seq("window_start_ms", "est_count").contains(key),
+      s"windowedHeavyHitters emits window_start_ms and est_count; rename '$key'")
+    val cms = graft.expressions.CountMinExpressions
+    df.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), duration))
+      .agg(cms.cmsTable(col(key).cast("string"), d, w).as("_cms"))
+      .select(CoreOps.ms(col("window.start")).as("window_start_ms"),
+        explode(array(candidates.distinct.map(c =>
+          struct(lit(c).as("_k"),
+            cms.cmsMin(col("_cms"), lit(c), d, w).as("_est"))): _*)).as("_hh"))
+      .select(col("window_start_ms"), col("_hh._k").as(key),
+        col("_hh._est").as("est_count"))
+  }
+
   /** Stream-stream interval join: pair every point with the anchors of the
     * same key whose window [anchor_ts, anchor_ts + windowMs) contains the
     * point's event time — the continuous form of CoreOps.rangeJoin for

@@ -116,13 +116,23 @@ object StreamDemo {
         Seq("id" -> "event_id"), Seq("id" -> "incident_id"))
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // windowed heavy hitters, continuously: one Count-Min sketch per open
+    // 5s window (fixed d·w state however many users appear), probed for the
+    // known-user candidate list as the watermark closes each window
+    val q7 = StreamOps.windowedHeavyHitters(
+        audit.select(col("user"), col("event_time")),
+        "user", "event_time", "1 second", "5 seconds",
+        Seq("Tom", "Harry", "Bob"), d = 4, w = 64)
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     def audited: Long = q3.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
     val deadline = System.currentTimeMillis() + 30000
     while (audited < 500 && System.currentTimeMillis() < deadline) Thread.sleep(200)
     println(s"[demo] rate phase: observer counted $audited audit records through " +
-      s"continuous session-window, stream-stream window-join, as-of join and " +
-      s"interval-join queries (${asofRows.get()} as-of rows emitted)")
-    q3.stop(); q4.stop(); q5.stop(); q6.stop(); spark.stop()
+      s"continuous session-window, stream-stream window-join, as-of join, " +
+      s"interval-join and windowed heavy-hitter queries " +
+      s"(${asofRows.get()} as-of rows emitted)")
+    q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); spark.stop()
   }
 }

@@ -159,6 +159,48 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHeavyHitters finalizes windows == batch per-window sketch, " +
+      "cross-batch cell merge included") {
+    val batch1 = Seq( // window [0,3s): a×2, b×1 — split across batches
+      KeyedEvent("a", 1000, 1, "x"), KeyedEvent("b", 1500, 2, "x"))
+    val batch2 = Seq(
+      KeyedEvent("a", 2500, 3, "x"), // lands back in [0,3s): merge, not replace
+      KeyedEvent("c", 9000, 4, "x"), // window [9,12s)
+      KeyedEvent("a", 20000, 5, "x")) // watermark past both windows
+    val candidates = Seq("a", "b", "zzz") // zzz: absent key → CMS est 0 here
+    val input = MemoryStream[KeyedEvent]
+    val stream = input.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+    val q = StreamOps.windowedHeavyHitters(stream, "key", "ts", "1 second",
+        "3 seconds", candidates, 3, 16)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("whh_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("whh_par")
+        .as[(Long, String, Long)].collect().toSet
+      // the batch twin: identical sketch + probe per tumbling window over
+      // the union — the oracle-checked shape of q_heavy_hitters, windowed
+      val cms = graft.expressions.CountMinExpressions
+      val expected = batchDf(batch1 ++ batch2)
+        .groupBy(window(col("ts"), "3 seconds"))
+        .agg(cms.cmsTable(col("key"), 3, 16).as("t"))
+        .select(unix_millis(col("window.start")).as("w"),
+          explode(array(candidates.map(c => struct(lit(c).as("k"),
+            cms.cmsMin(col("t"), lit(c), 3, 16).as("e"))): _*)).as("hh"))
+        .select(col("w"), col("hh.k"), col("hh.e"))
+        .as[(Long, String, Long)].collect().toSet
+      // only finalized windows stream out: [0,3s) and [9,12s), not [18,21s)
+      val finalized = expected.filter(_._1 < 12000)
+      assert(streamed == finalized)
+      assert(streamed.contains((0L, "a", 2L))) // merged across micro-batches
+      assert(streamed.contains((0L, "b", 1L)))
+      assert(streamed.filter(_._2 == "zzz").forall(_._3 == 0L))
+      assertThrows[IllegalArgumentException](StreamOps.windowedHeavyHitters(
+        stream, "key", "ts", "1 second", "3 seconds", Nil, 3, 16))
+    } finally q.stop()
+  }
+
   test("the CMS aggregate merges across micro-batches == one batch sketch") {
     // complete-mode streaming aggregation exercises partial buffers +
     // element-wise merge across triggers; the table must equal the batch
