@@ -553,6 +553,14 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       TextOps.bm25(Tables.documents(s, dir), "doc_id", "text",
         BmTerms, BmK1, BmB)),
+    // the large-term-list BM25 form: explode tokens once, broadcast-join the
+    // term table, O(doc length) per doc however many terms — same scores as
+    // q_bm25 (BmTerms is ascending = the explode form's fold order)
+    "q_bm25_explode" -> ((s, dir) => {
+      import s.implicits._
+      TextOps.bm25Explode(Tables.documents(s, dir), "doc_id", "text",
+        BmTerms.toDF("term"), BmK1, BmB)
+    }),
     // multi-dimensional cube: revenue at every (flag, status) subset — all
     // four grouping sets expand inside ONE partial-agg'd exchange
     "q_cube" -> ((s, dir) =>
@@ -848,6 +856,32 @@ object SparkEntry {
 
   /** Shared SQL fragments. */
   private def sqlMd5Int(x: String)  = s"('0x' || substr(md5($x),1,8))::BIGINT"
+
+  /** The BM25 oracle, shared by q_bm25 and q_bm25_explode (the two plans
+    * produce bit-identical scores on the ascending BmTerms list). Generated
+    * from BmTerms so the Spark plans and the oracle can't drift; every
+    * arithmetic step mirrors TextOps.bm25's operand order exactly
+    * (rational idf: +,*,/ only — bit-identical on any IEEE engine). */
+  private lazy val bm25OracleSql: String = {
+    val dfCols = BmTerms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)::BIGINT AS df_$i"
+    }.mkString(", ")
+    val dlNorm =
+      s"($BmK1 * (${1 - BmB} + $BmB * (dl::DOUBLE / (sumdl::DOUBLE / n::DOUBLE))))"
+    val score = BmTerms.zipWithIndex.map { case (t, i) =>
+      val tf = s"len(list_filter(toks, x -> x = '$t'))::DOUBLE"
+      s"(((n - df_$i)::DOUBLE + 0.5) / (df_$i::DOUBLE + 0.5)) * " +
+        s"(($tf * ${BmK1 + 1}) / ($tf + $dlNorm))"
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id,
+       |        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                    x -> x <> '') AS toks
+       |      FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM tk),
+       |s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl, $dfCols FROM d)
+       |SELECT doc_id, dl, floor(($score) * 1000000) / 1000000 AS bm25
+       |FROM d, s""".stripMargin
+  }
   private def sqlMd5Long(x: String) = s"('0x' || substr(md5($x),1,15))::BIGINT"
 
   /** 60-bit SimHash sign vote over a token-hash list column, mirroring
@@ -1659,29 +1693,12 @@ object SparkEntry {
         |     AND o.o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag""".stripMargin,
 
-    "q_bm25" -> {
-      // generated from BmTerms so the Spark plan and the oracle can't drift;
-      // every arithmetic step mirrors TextOps.bm25's operand order exactly
-      // (rational idf: +,*,/ only — bit-identical on any IEEE engine)
-      val dfCols = BmTerms.zipWithIndex.map { case (t, i) =>
-        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)::BIGINT AS df_$i"
-      }.mkString(", ")
-      val dlNorm =
-        s"($BmK1 * (${1 - BmB} + $BmB * (dl::DOUBLE / (sumdl::DOUBLE / n::DOUBLE))))"
-      val score = BmTerms.zipWithIndex.map { case (t, i) =>
-        val tf = s"len(list_filter(toks, x -> x = '$t'))::DOUBLE"
-        s"(((n - df_$i)::DOUBLE + 0.5) / (df_$i::DOUBLE + 0.5)) * " +
-          s"(($tf * ${BmK1 + 1}) / ($tf + $dlNorm))"
-      }.mkString(" + ")
-      s"""WITH tk AS (SELECT doc_id,
-         |        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-         |                    x -> x <> '') AS toks
-         |      FROM documents),
-         |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM tk),
-         |s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl, $dfCols FROM d)
-         |SELECT doc_id, dl, floor(($score) * 1000000) / 1000000 AS bm25
-         |FROM d, s""".stripMargin
-    },
+    "q_bm25" -> bm25OracleSql,
+
+    // bm25Explode folds per-doc contributions in term-ASC order and BmTerms
+    // is ascending, so its scores are bit-identical to the fixed-column
+    // form (TextAndDedupSpec pins this) — the SAME oracle checks both plans
+    "q_bm25_explode" -> bm25OracleSql,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
