@@ -29,6 +29,7 @@ object SparkEntry {
   private val JourneyMax = 20 // events kept per user journey
   private val CmsD = 4; private val CmsW = 512 // count-min sketch shape
   private val HotKeyTopN = 50 // candidates probed by q_heavy_hitters_hot
+  private val PackTokens = 512L // training-example length for q_pack
   private val SplitFracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val SplitSalt = "sp"
 
@@ -428,6 +429,15 @@ object SparkEntry {
         TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)
           .select(col("doc_id"), col("n_tokens"), col("stopword_ratio")),
         "doc_id", "n_tokens", "stopword_ratio", 10000L)),
+    // concat-and-chunk sequence packing: the corpus as one doc_id-ordered
+    // token stream sliced into 512-token training examples — each doc's
+    // pack range and in-pack offset from ONE distributed prefix scan plus
+    // a pure int64 map stage (no single-task window, exact on any engine)
+    "q_pack" -> ((s, dir) =>
+      Curation.concatPack(
+        TextOps.tokenStats(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens")),
+        col("doc_id"), "doc_id", "n_tokens", PackTokens)),
     // globally-ordered cumulative spend in exact DECIMAL — the money form
     // of the distributed prefix sum (fractional values, no drift, no
     // single-task window); output cast to double only at the edge
@@ -1539,6 +1549,20 @@ object SparkEntry {
          |FROM cand c JOIN shs a ON c.doc_id = a.doc_id JOIN shs b ON c.bench_id = b.doc_id
          |WHERE $containment >= 0.05 AND c.doc_id <> c.bench_id""".stripMargin
     },
+
+    // pure integer arithmetic end to end: the window sum, the floor
+    // divisions and the modulo are exact on both engines by construction
+    "q_pack" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        (SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |         - n_tokens)::BIGINT AS excl FROM t)
+         |SELECT doc_id, n_tokens,
+         |  (excl // $PackTokens)::BIGINT AS pack_first,
+         |  (CASE WHEN n_tokens > 0 THEN (excl + n_tokens - 1) // $PackTokens
+         |        ELSE excl // $PackTokens END)::BIGINT AS pack_last,
+         |  (excl % $PackTokens)::BIGINT AS offset_in_pack
+         |FROM c""".stripMargin,
 
     // both engines window-sum DECIMAL(18,2) (exact), casting the identical
     // rational to DOUBLE only at the edge

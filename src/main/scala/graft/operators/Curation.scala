@@ -53,4 +53,52 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
       .select(col(id), col(tokensCol), col("cum_tokens"))
   }
+
+  /** Concat-and-chunk sequence packing — the step that turns a curated
+    * corpus into fixed-length training examples: documents are laid out in
+    * (`ord`, `id`) order as one virtual token stream and sliced every
+    * `packTokens` tokens; each doc gets the pack range it lands in. Emits
+    * `pack_first`/`pack_last` (a doc longer than the residual pack space
+    * spans `(offset + tokens - 1) / packTokens` slices — the standard
+    * concat-then-chunk semantics, where examples cross document boundaries
+    * and long docs split) and `offset_in_pack` (the doc's first token's
+    * position inside its first pack — what an example-builder needs to cut
+    * attention-mask segments). A zero-token doc occupies no space: it maps
+    * to the pack where the stream currently stands.
+    *
+    * Scale shape: the global cumulative position comes from
+    * CoreOps.orderedPrefixSum's bucketed prefix scan (never a single-task
+    * window), and everything after it is a pure int64 map stage — packing
+    * 100 TB is exactly one prefix scan. Determinism: pack assignment is a
+    * function of the (ord, id) total order and token counts alone — integer
+    * arithmetic end to end, so any engine agrees bit-for-bit. Fails loud on
+    * NULL or negative token counts (a packing manifest with holes is a
+    * training-data bug, not a warning): the executor-side guard names the
+    * offending value. */
+  def concatPack(docs: DataFrame, ord: org.apache.spark.sql.Column,
+                 id: String, tokensCol: String, packTokens: Long): DataFrame = {
+    require(packTokens > 0, s"packTokens must be positive, got $packTokens")
+    val emitted = Seq("pack_first", "pack_last", "offset_in_pack")
+    val internal = Seq("_cum", "_excl")
+    val clash = docs.columns.intersect(emitted ++ internal)
+    require(clash.isEmpty,
+      s"concatPack emits ${emitted.mkString(", ")} and uses " +
+        s"${internal.mkString(", ")}; rename the input's ${clash.mkString(", ")}")
+    // NULL-safe fail-loud guard, same shape as rangeJoin's: assert_true
+    // returns NULL on success, so .isNull keeps it in the plan un-pruned
+    val bad = col(tokensCol).isNull || col(tokensCol) < 0
+    val guard = assert_true(!bad,
+      concat(lit(s"concatPack: '$tokensCol' must be non-NULL and >= 0, got "),
+        coalesce(col(tokensCol).cast("string"), lit("NULL"))))
+    val clean = docs.filter(guard.isNull)
+    CoreOps.orderedPrefixSum(clean, ord, id, tokensCol, "_cum")
+      .withColumn("_excl", col("_cum") - col(tokensCol))
+      .withColumn("pack_first", expr(s"_excl div ${packTokens}L"))
+      .withColumn("pack_last",
+        when(col(tokensCol) > 0,
+          expr(s"(_excl + `$tokensCol` - 1) div ${packTokens}L"))
+          .otherwise(col("pack_first")))
+      .withColumn("offset_in_pack", pmod(col("_excl"), lit(packTokens)))
+      .select(docs.columns.map(col).toSeq ++ emitted.map(col): _*)
+  }
 }

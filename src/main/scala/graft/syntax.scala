@@ -152,6 +152,9 @@ object syntax {
     def orderedPrefixSumDecimal(ord: Column, tiebreak: String, value: String,
                                 out: String): DataFrame =
       CoreOps.orderedPrefixSumDecimal(df, ord, tiebreak, value, out)
+    def concatPack(ord: Column, id: String, tokensCol: String,
+                   packTokens: Long): DataFrame =
+      Curation.concatPack(df, ord, id, tokensCol, packTokens)
     def orderedPrefixSum(ord: Column, tiebreak: String, value: String,
                          out: String): DataFrame =
       CoreOps.orderedPrefixSum(df, ord, tiebreak, value, out)

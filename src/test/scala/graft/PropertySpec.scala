@@ -252,6 +252,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: concatPack equals the sequential concat-then-chunk fold, " +
+      "any partitioning") {
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      toks <- Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.choose(0L, 40L), 1 -> Gen.const(0L), 1 -> Gen.choose(100L, 300L)))
+      pack <- Gen.choose(1L, 64L)
+      parts <- Gen.choose(1, 5)
+    } yield (toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }, pack, parts)
+    check(Prop.forAll(gen) { case (rows, pack, parts) =>
+      val df = rows.toDF("id", "tok").repartition(parts)
+      val got = graft.operators.Curation
+        .concatPack(df, col("id"), "id", "tok", pack)
+        .select("id", "pack_first", "pack_last", "offset_in_pack")
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      var pos = 0L
+      val expected = rows.sortBy(_._1).map { case (id, t) =>
+        val first = pos / pack
+        val last = if (t > 0) (pos + t - 1) / pack else first
+        val off = pos % pack
+        pos += t
+        id -> ((id, first, last, off))
+      }.toMap
+      got == expected
+    })
+  }
+
   test("property: groupTopK equals the brute-force per-group ranking") {
     val gen = for {
       n <- Gen.choose(0, 60)

@@ -113,6 +113,31 @@ class SamplingCurationSpec extends SparkSpec {
     assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
   }
 
+  test("concatPack assigns pack ranges like concat-then-chunk: spans, exact " +
+      "boundaries, zero-token docs, fail-loud on NULL/negative counts") {
+    val d = Seq(
+      (1L, 300L), // [0,300)    → pack 0, offset 0
+      (2L, 212L), // [300,512)  → pack 0, offset 300 — ends EXACTLY at the edge
+      (3L, 0L),   // zero-width at 512 → pack 1, offset 0, occupies nothing
+      (4L, 1200L) // [512,1712) → packs 1..3 (spans three)
+    ).toDF("doc_id", "n_tokens")
+    val got = Curation.concatPack(d, col("doc_id"), "doc_id", "n_tokens", 512L)
+      .select("doc_id", "pack_first", "pack_last", "offset_in_pack")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0L, 0L, 0L)))
+    assert(got(2L) == ((2L, 0L, 0L, 300L)))
+    assert(got(3L) == ((3L, 1L, 1L, 0L)))
+    assert(got(4L) == ((4L, 1L, 3L, 0L)))
+    val bad = Seq((1L, Option(5L)), (2L, Option.empty[Long])).toDF("doc_id", "n_tokens")
+    val err = intercept[Exception] {
+      Curation.concatPack(bad, col("doc_id"), "doc_id", "n_tokens", 512L).collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("non-NULL"))
+    assertThrows[IllegalArgumentException](
+      Curation.concatPack(d, col("doc_id"), "doc_id", "n_tokens", 0L))
+  }
+
   test("curate composes dedup-canonical, language and quality gates") {
     val fixture = Seq(
       (1L, "the cat and the dog sat in the house for a while and it was good"),
