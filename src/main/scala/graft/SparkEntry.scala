@@ -244,6 +244,16 @@ object SparkEntry {
       Dedup.keepCanonical(docs, "doc_id", clusters)
         .select(col("doc_id"), col("source"), col("lang"))
     }),
+    // priority retention: per duplicate cluster keep the LONGEST member
+    // (token count desc, id asc) — the policy production pipelines want;
+    // the ranking windows over cluster members only, never the corpus
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dupClusters(nearDupPairs(s, dir), "doc_a", "doc_b")
+      Dedup.keepBest(docs, "doc_id", clusters,
+          size(TextOps.tokens(col("text"))).cast("long"))
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
     "q_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb, "vec_id", "embedding", EmbDims, LshPlanes, 3)
@@ -2062,6 +2072,20 @@ object SparkEntry {
          |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
          |SELECT doc_id, source, lang FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE cluster_id <> doc_id)""".stripMargin,
+
+    // same cluster closure; the kept member is the (token count DESC,
+    // doc_id ASC) argmax per cluster — the integer token count makes the
+    // ordering engine-exact (q_token_stats pins the count parity)
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $sqlDupClusterCtes,
+         |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |ntk AS (SELECT doc_id, len($toksSql) AS nt FROM documents),
+         |m AS (SELECT cl.doc_id,
+         |        row_number() OVER (PARTITION BY cl.cluster_id
+         |                           ORDER BY ntk.nt DESC, cl.doc_id) AS rn
+         |      FROM cl JOIN ntk USING (doc_id))
+         |SELECT doc_id, source, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM m WHERE rn > 1)""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""WITH $sqlMinhashCtes,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (beyond the reference
@@ -313,6 +314,38 @@ object Dedup {
       clusters.filter(col("cluster_id") =!= col("doc_id"))
         .select(col("doc_id").as(id)),
       Seq(id), "left_anti")
+
+  /** Priority retention over near-dup clusters: keep each cluster's BEST
+    * member by (`priority` DESC, id ASC) instead of keepCanonical's min-id
+    * representative — "of every duplicate cluster keep the longest /
+    * highest-quality doc", the retention policy production corpus pipelines
+    * actually want (the canonical form is the cheap default; this one costs
+    * one extra window over cluster MEMBERS only). Docs in no cluster
+    * survive untouched. Distributed shape: `priority` is evaluated on the
+    * docs scan, the per-cluster ranking windows over O(cluster-member) rows
+    * (never the corpus — the inner join with `clusters` prunes first), and
+    * the losers anti-join ships ids only. Determinism: pass an integer or
+    * floor-truncated priority (the 1e6 grid the quality ratios live on) so
+    * cross-engine ordering has no float ambiguity; ties break by id ASC.
+    * `clusters` is dupClusters output ((doc_id, cluster_id) rows). */
+  def keepBest(docs: DataFrame, id: String, clusters: DataFrame,
+               priority: Column): DataFrame = {
+    val internal = Seq("_prio", "_rn")
+    val clash = docs.columns.intersect(internal)
+    require(clash.isEmpty,
+      s"keepBest uses internal columns ${internal.mkString(", ")}; " +
+        s"rename the input's ${clash.mkString(", ")} first")
+    require(clusters.columns.contains("doc_id") &&
+        clusters.columns.contains("cluster_id"),
+      "keepBest expects dupClusters output: (doc_id, cluster_id)")
+    val members = docs.select(col(id), priority.as("_prio"))
+      .join(clusters.select(col("doc_id").as(id), col("cluster_id")), Seq(id))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("_prio").desc, col(id))
+    val losers = members.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1).select(col(id))
+    docs.join(losers, Seq(id), "left_anti")
+  }
 
   /** md5Long of every whitespace token — native single-pass kernel
     * (graft.expressions.TokenHashes); staged separately so multi-consumer

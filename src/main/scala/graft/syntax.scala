@@ -136,6 +136,8 @@ object syntax {
       Dedup.dupClusters(df, aCol, bCol, maxIters)
     def keepCanonical(id: String, clusters: DataFrame): DataFrame =
       Dedup.keepCanonical(df, id, clusters)
+    def keepBest(id: String, clusters: DataFrame, priority: Column): DataFrame =
+      Dedup.keepBest(df, id, clusters, priority)
     def contaminationPairs(bench: DataFrame, id: String, text: String, k: Int,
                            w: Int, minContainment: Double): DataFrame =
       Dedup.contaminationPairs(df, bench, id, text, k, w, minContainment)

@@ -316,6 +316,23 @@ class TextAndDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 6L))
   }
 
+  test("keepBest retains the highest-priority member per cluster, " +
+      "id-asc ties, unclustered docs untouched") {
+    val docs = Seq(
+      (1L, "aa"), (2L, "aaaa"), (3L, "aaaa"), // cluster 1: 2 and 3 tie on length → 2 wins
+      (4L, "bbb"), (5L, "b"),                 // cluster 4: 4 wins (longer)
+      (6L, "z")                               // unclustered: survives
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.keepBest(docs, "doc_id", clusters,
+        length(col("text")).cast("long"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L)) // NOT the min-id canonical (1, 4, 6)
+    assertThrows[IllegalArgumentException](Dedup.keepBest(
+      docs.withColumn("_rn", lit(1)), "doc_id", clusters, length(col("text"))))
+  }
+
   test("dupClusters converges on a 60-node chain within the round cap (pointer jumping)") {
     // diameter 59 > maxIters 30: plain neighbor propagation would silently
     // stop short; the pointer jump makes convergence O(log diameter)
