@@ -421,6 +421,15 @@ object SparkEntry {
     "q_doc_sample" -> ((s, dir) =>
       Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.25, "s1")
         .select(col("doc_id"), col("source"), col("lang"))),
+    // importance-weighted sampling: keep probability = 4× the (floor-
+    // truncated) stopword ratio, clamped to 1 — the continuous form of the
+    // stratified sampler, biasing retention toward natural-language docs;
+    // same deterministic (id, salt) hash decision, pure codegen'd filter
+    "q_doc_sample_weighted" -> ((s, dir) =>
+      Sampling.hashSampleWeighted(
+        TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)
+          .select(col("doc_id"), col("stopword_ratio")),
+        "doc_id", least(lit(1.0), col("stopword_ratio") * 4), "w1")),
     // data-mixture rebalancing: downsample the dominant language to 10%,
     // keep 60% of the rest — per-stratum rates, same deterministic decision
     "q_doc_sample_stratified" -> ((s, dir) =>
@@ -1610,6 +1619,20 @@ object SparkEntry {
     "q_doc_sample" ->
       s"""SELECT doc_id, source, lang FROM documents
          |WHERE ${sqlMd5Int("(doc_id::VARCHAR || 's1')")} < ${Sampling.threshold(0.25)}""".stripMargin,
+
+    // the same stopword-ratio arithmetic as q_quality_score (floor-truncated
+    // ratio, then IEEE-exact *4 and clamp), so the keep threshold is the
+    // identical double on both engines
+    "q_doc_sample_weighted" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toksv, text FROM documents),
+         |c AS (SELECT doc_id,
+         |        CASE WHEN len(toksv) > 0
+         |             THEN floor(len(list_filter(toksv, x -> x IN ${inList(stopEn)}))::DOUBLE
+         |                        / len(toksv) * 1000000) / 1000000
+         |             ELSE 0.0 END AS stopword_ratio FROM t)
+         |SELECT doc_id, stopword_ratio FROM c
+         |WHERE ${sqlMd5Int("(doc_id::VARCHAR || 'w1')")}::DOUBLE <
+         |      least(1.0, stopword_ratio * 4) * 4294967296.0""".stripMargin,
 
     "q_doc_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

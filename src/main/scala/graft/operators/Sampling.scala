@@ -42,6 +42,26 @@ object Sampling {
                  salt: String = ""): DataFrame =
     df.filter(keyHash(col(id), salt) < threshold(rate))
 
+  /** Per-ROW keep probability — importance/quality-weighted deterministic
+    * sampling: keep iff md5(id || salt) < rate(row) · 2^32, where `rate` is
+    * any Column in [0, 1] (values below 0 keep nothing, above 1 keep
+    * everything — the hash-band comparison clamps naturally; a NULL rate
+    * drops the row, like a NULL predicate). The continuous generalization
+    * of stratifiedSample: weight retention by a quality score instead of a
+    * finite stratum map (importance-sampling the corpus toward high-quality
+    * docs). The decision hash is still a function of (id, salt) alone, so
+    * RAISING a row's rate can only ADD it — rows kept under a lower rate
+    * never churn out — and the kept set is identical on every engine and
+    * partitioning. Cross-engine exactness: feed an exactly-representable
+    * rate (integer-count fractions on the 1e6 floor-truncation grid, like
+    * qualityScore's ratios, possibly rescaled by IEEE-exact ops); the
+    * threshold multiply is then the same double everywhere. Pure codegen'd
+    * filter, zero shuffle. */
+  def hashSampleWeighted(df: DataFrame, id: String, rate: Column,
+                         salt: String = ""): DataFrame =
+    df.filter(keyHash(col(id), salt).cast("double") <
+      rate.cast("double") * lit(4294967296.0))
+
   /** Per-stratum keep rates — the data-mixture rebalancing step of a corpus
     * pipeline (e.g. downsample the dominant language, keep the rest whole).
     * `rates` maps stratum values to keep-rates; unlisted strata keep
@@ -67,7 +87,11 @@ object Sampling {
     * decision is a pure function of (id, salt), growing the corpus NEVER
     * moves an existing row between splits (the leakage-safety property a
     * random split lacks: yesterday's training doc cannot become tomorrow's
-    * eval doc). Pure codegen'd map, zero shuffle. */
+    * eval doc). Pure codegen'd map, zero shuffle. For GROUP-level holdout
+    * (all docs of one author/domain in the same split — leakage-safe when
+    * near-identical docs cluster within groups), pass the group column as
+    * `id`: the band decision then keys on the group value, so members can
+    * never straddle splits. */
   def splitAssign(df: DataFrame, id: String,
                   splits: Seq[(String, Double)], out: String = "split",
                   salt: String = ""): DataFrame = {

@@ -143,6 +143,8 @@ object syntax {
       Dedup.contaminationPairs(df, bench, id, text, k, w, minContainment)
     def hashSample(id: String, rate: Double, salt: String = ""): DataFrame =
       Sampling.hashSample(df, id, rate, salt)
+    def hashSampleWeighted(id: String, rate: Column, salt: String = ""): DataFrame =
+      Sampling.hashSampleWeighted(df, id, rate, salt)
     def stratifiedSample(stratum: String, id: String, rates: Map[String, Double],
                          defaultRate: Double, salt: String = ""): DataFrame =
       Sampling.stratifiedSample(df, stratum, id, rates, defaultRate, salt)

@@ -25,6 +25,38 @@ class SamplingCurationSpec extends SparkSpec {
     assert(quarter.subsetOf(a))
   }
 
+  test("hashSampleWeighted: per-row rates, monotone in rate, deterministic, " +
+      "NULL rate drops, out-of-range rates clamp") {
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").as[Long].collect().toSet
+    val rated = docs.withColumn("r",
+      when(col("lang") === "en", 0.9).otherwise(0.1))
+    val a = ids(Sampling.hashSampleWeighted(rated, "doc_id", col("r"), "t"))
+    // deterministic + partitioning-independent
+    assert(a == ids(Sampling.hashSampleWeighted(rated.repartition(7), "doc_id",
+      col("r"), "t")))
+    // rate 0 keeps nothing, rate 1 keeps everything, negative/super-1 clamp
+    assert(ids(Sampling.hashSampleWeighted(docs, "doc_id", lit(0.0), "t")).isEmpty)
+    assert(ids(Sampling.hashSampleWeighted(docs, "doc_id", lit(1.0), "t")).size
+      == docs.count())
+    assert(ids(Sampling.hashSampleWeighted(docs, "doc_id", lit(-3.0), "t")).isEmpty)
+    assert(ids(Sampling.hashSampleWeighted(docs, "doc_id", lit(7.0), "t")).size
+      == docs.count())
+    // NULL rate drops the row like a NULL predicate
+    assert(ids(Sampling.hashSampleWeighted(docs, "doc_id",
+      lit(null).cast("double"), "t")).isEmpty)
+    // monotone: raising every row's rate only ADDS rows (same hash, higher
+    // threshold) — kept rows never churn out as quality scores drift up
+    val lower = ids(Sampling.hashSampleWeighted(rated, "doc_id",
+      col("r") * 0.5, "t"))
+    assert(lower.subsetOf(a))
+    // the per-row rate actually differentiates: en kept at ~0.9, rest ~0.1
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val keptEn = Sampling.hashSampleWeighted(rated, "doc_id", col("r"), "t")
+      .filter(col("lang") === "en").count().toDouble
+    assert(keptEn / en > 0.6, s"en keep rate ${keptEn / en} << 0.9")
+  }
+
   test("stratifiedSample applies per-stratum rates with stable decisions") {
     val en = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map("en" -> 0.0), 1.0, "m")
