@@ -123,6 +123,8 @@ object TextOps {
     * shuffles: the (doc, term) tf aggregate and the per-doc score
     * aggregate; document frequencies collapse to O(|terms|) rows and
     * broadcast back, and the 1-row corpus stats broadcast like `bm25`'s.
+    * The post-agg tf frame is checkpointed so its two consumers (scores,
+    * document frequencies) cost ONE corpus pass, not two.
     *
     * Determinism: per-doc contributions are summed by a left-fold over the
     * term-ASC-sorted contribution list (bounded by |terms| elements, so
@@ -145,11 +147,20 @@ object TextOps {
     val base = docs.select(col(id), toks.as("_toks"),
       size(toks).cast("long").as("_dl"))
     val stats = base.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl"))
-    val tf = base.select(col(id), explode(col("_toks")).as("term"))
+    // tf feeds BOTH the per-doc scores and the document frequencies; without
+    // the checkpoint Catalyst plans the corpus explode+join+agg subtree
+    // twice (no exchange reuse across the two consumers — verified on the
+    // formatted plan), i.e. two full corpus passes at scale. The checkpoint
+    // holds only the post-agg (doc, term, tf) rows — bounded by matching
+    // doc-term pairs, far smaller than the corpus it saves re-scanning.
+    val tf = base.select(col(id), col("_dl"), explode(col("_toks")).as("term"))
       .join(broadcast(terms.select(col("term")).filter(col("term").isNotNull)
         .distinct()), Seq("term"))
       .groupBy(col(id), col("term"))
-      .agg(count(lit(1)).cast("double").as("_tf"))
+      // _dl rides through the aggregate (constant per doc) so the scoring
+      // side never has to re-scan the corpus for it
+      .agg(count(lit(1)).cast("double").as("_tf"), max(col("_dl")).as("_dl"))
+      .localCheckpoint(true)
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
     val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
     val dlNorm = lit(k1) * (lit(1 - b) + lit(b) * (col("_dl").cast("double") / avgdl))
@@ -157,7 +168,6 @@ object TextOps {
       (col("_df").cast("double") + lit(0.5))
     val contrib = idf * ((col("_tf") * lit(k1 + 1)) / (col("_tf") + dlNorm))
     val perDoc = tf.join(broadcast(dfT), Seq("term"))
-      .join(base.select(col(id), col("_dl")), Seq(id))
       .crossJoin(broadcast(stats))
       .select(col(id), struct(col("term"), contrib.as("_c")).as("_c"))
       .groupBy(col(id))
