@@ -236,6 +236,16 @@ object SparkEntry {
     // transitive even though near-dup similarity is not)
     "q_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(nearDupPairs(s, dir), "doc_a", "doc_b")),
+    // fuzzy string self-join: doc-head pairs within 2 edits via q-gram
+    // prefix filtering (provable recall) + banded levenshtein verify. The
+    // oracle is the brute-force all-pairs join — a candidate-generation
+    // recall bug would hash-mismatch, not silently lose pairs
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      val heads = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+        .filter(length(col("head")) >= 9) // (maxDist+1)*k — the guard's bound
+      Dedup.fuzzyPairs(heads, "doc_id", "head", 3, 2)
+    }),
     // the retained corpus: every near-dup cluster collapsed to its
     // canonical representative, untouched docs pass through
     "q_dedup_keep" -> ((s, dir) => {
@@ -2095,6 +2105,16 @@ object SparkEntry {
          |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
          |SELECT doc_id, source, lang FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE cluster_id <> doc_id)""".stripMargin,
+
+    // brute force on purpose: recall of the Spark side's prefix-filter
+    // candidate generation is part of what this row checks
+    "q_fuzzy_pairs" ->
+      """WITH st AS (SELECT doc_id, substr(text, 1, 24) AS head FROM documents
+        |            WHERE length(substr(text, 1, 24)) >= 9)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(a.head, b.head)::BIGINT AS dist
+        |FROM st a JOIN st b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 2""".stripMargin,
 
     // same cluster closure; the kept member is the (token count DESC,
     // doc_id ASC) argmax per cluster — the integer token count makes the

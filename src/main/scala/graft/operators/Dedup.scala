@@ -225,6 +225,85 @@ object Dedup {
       .distinct()
   }
 
+  /** Edit-distance similarity self-join — fuzzy pairs of strings within
+    * `maxDist` Levenshtein edits (entity resolution: near-identical titles,
+    * URLs, names at corpus scale). Candidate generation is q-gram PREFIX
+    * FILTERING with a provable recall guarantee, then an exact banded
+    * Levenshtein verify:
+    *
+    *  1. Each string's char k-grams are occurrence-NUMBERED (the j-th copy
+    *     of a gram is a distinct token), so set intersection of tokens
+    *     equals bag intersection of grams — the form the count bound needs.
+    *  2. Count filtering (Gravano et al., q-gram filters): one edit
+    *     destroys at most k grams, so ed(s,t) ≤ d ⇒ the bags share
+    *     ≥ max(|s|,|t|) − k + 1 − d·k grams.
+    *  3. Prefix filtering: order all tokens by (global document frequency
+    *     ASC, token ASC); two strings overlapping that much MUST share a
+    *     token among their first d·k + 1 tokens in that order. Only those
+    *     prefix tokens are indexed — the rarest grams, which is what keeps
+    *     buckets small where naive gram indexing drowns in "the "/"ing "
+    *     stopgrams.
+    *  4. Bucket-group pair expansion (the minhashPairs idiom: group by
+    *     token, expand inside the bucket — never a corpus self-join),
+    *     verify with threshold-banded levenshtein, O(d·len) per pair.
+    *
+    * The count bound is vacuous for strings shorter than (d+1)·k, so those
+    * FAIL LOUDLY (executor-side guard) — pre-filter or bucket short strings
+    * separately (they are cheap to compare exactly). NULL strings are
+    * dropped. Emits (doc_a, doc_b, dist), doc_a < doc_b, each pair once.
+    * Recall is exact by construction — the DuckDB oracle for q_fuzzy_pairs
+    * is the brute-force all-pairs join, so a missed pair is a hash
+    * mismatch, not a silent quality loss. Shuffles: token frequency agg,
+    * two bounded windows (per-string gram numbering / prefix rank), the
+    * token-bucket group — all over gram-sized rows (strings here are short
+    * keys, not documents); a pair sharing multiple prefix tokens verifies
+    * once per shared token before `distinct` (same trade minhashPairs
+    * makes — levenshtein on short strings is cheaper than a join back). */
+  def fuzzyPairs(docs: DataFrame, id: String, str: String,
+                 k: Int, maxDist: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(id != "_st" && str != "_st",
+      "fuzzyPairs uses '_st' internally; rename the input column")
+    val minLen = (maxDist + 1) * k
+    val prefixLen = maxDist * k + 1
+    val s = col(str)
+    // NULL-safe fail-loud guard (rangeJoin's assert_true idiom): the q-gram
+    // count bound cannot promise recall below minLen — refuse, don't miss
+    val guard = assert_true(s.isNull || length(s) >= minLen,
+      concat(lit(s"fuzzyPairs: length('$str') must be >= $minLen " +
+        s"(= (maxDist+1)*k) for the q-gram bound to guarantee recall; got '"),
+        s, lit("'")))
+    val base = docs.select(col(id).as("doc"), s.as("_st"))
+      .filter(guard.isNull).filter(col("_st").isNotNull)
+    val gramArr = transform(sequence(lit(0), length(col("_st")) - k),
+      i => col("_st").substr(i + lit(1), lit(k)))
+    val grams = base.select(col("doc"), col("_st"),
+        posexplode(gramArr).as(Seq("_pos", "_g")))
+    val occ = Window.partitionBy(col("doc"), col("_g")).orderBy(col("_pos"))
+    val tokens = grams.select(col("doc"), col("_st"),
+      struct(col("_g"), row_number().over(occ).as("_occ")).as("_tok"))
+    val freq = tokens.groupBy(col("_tok")).agg(count(lit(1)).as("_freq"))
+    val rank = Window.partitionBy(col("doc"))
+      .orderBy(col("_freq"), col("_tok"))
+    val prefix = tokens.join(freq, Seq("_tok"))
+      .select(col("doc"), col("_st"), col("_tok"), col("_freq"))
+      .withColumn("_rn", row_number().over(rank))
+      .filter(col("_rn") <= prefixLen)
+    val dist = levenshtein(col("a._st"), col("b._st"), maxDist)
+    prefix.groupBy(col("_tok"))
+      .agg(collect_list(struct(col("doc"), col("_st"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc") < col("b.doc"))
+      // threshold-banded DP: O(maxDist·len) per pair, -1 = over threshold
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        dist.cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+      .distinct()
+  }
+
   /** Round-robin repartition when the incoming scan has fewer partitions
     * than the session's parallelism — tiny files arrive as one split, which
     * would serialize the (interpreted, per-row-expensive) signature maps onto

@@ -138,6 +138,8 @@ object syntax {
       Dedup.keepCanonical(df, id, clusters)
     def keepBest(id: String, clusters: DataFrame, priority: Column): DataFrame =
       Dedup.keepBest(df, id, clusters, priority)
+    def fuzzyPairs(id: String, str: String, k: Int, maxDist: Int): DataFrame =
+      Dedup.fuzzyPairs(df, id, str, k, maxDist)
     def contaminationPairs(bench: DataFrame, id: String, text: String, k: Int,
                            w: Int, minContainment: Double): DataFrame =
       Dedup.contaminationPairs(df, bench, id, text, k, w, minContainment)

@@ -333,6 +333,31 @@ class TextAndDedupSpec extends SparkSpec {
       docs.withColumn("_rn", lit(1)), "doc_id", clusters, length(col("text"))))
   }
 
+  test("fuzzyPairs finds exactly the pairs within maxDist edits: identity, " +
+      "substitutions, repeated-gram strings, over-threshold excluded, " +
+      "short strings fail loud") {
+    val docs = Seq(
+      (1L, "weekly report 2024"),
+      (2L, "weekly report 2025"),   // 1 sub of doc 1
+      (3L, "weekly reports 2025"),  // 1 insert of doc 2, 2 edits from doc 1
+      (4L, "quarterly digest 9"),   // far from everything
+      (5L, "aaaaaaaaaa"),           // repeated grams: occurrence numbering
+      (6L, "aaaabaaaaa")            // 1 sub of doc 5
+    ).toDF("doc_id", "head")
+    val got = Dedup.fuzzyPairs(docs, "doc_id", "head", 3, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 2L), (5L, 6L, 1L)))
+    // a string below (maxDist+1)*k chars voids the recall bound → loud
+    val short = Seq((1L, "tiny")).toDF("doc_id", "head")
+    val err = intercept[Exception] {
+      Dedup.fuzzyPairs(short, "doc_id", "head", 3, 2).collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("guarantee recall"))
+    assertThrows[IllegalArgumentException](
+      Dedup.fuzzyPairs(docs, "doc_id", "head", 0, 2))
+  }
+
   test("dupClusters converges on a 60-node chain within the round cap (pointer jumping)") {
     // diameter 59 > maxIters 30: plain neighbor propagation would silently
     // stop short; the pointer jump makes convergence O(log diameter)
