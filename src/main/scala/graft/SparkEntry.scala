@@ -246,6 +246,20 @@ object SparkEntry {
         .filter(length(col("head")) >= 9) // (maxDist+1)*k — the guard's bound
       Dedup.fuzzyPairs(heads, "doc_id", "head", 3, 2)
     }),
+    // cross-corpus entity resolution: every doc head resolved against the
+    // RETAINED canonical corpus within 2 edits — the lookup a dedup'd
+    // registry serves at ingest; union-frequency prefix filtering keeps
+    // the same recall guarantee across the two frames
+    "q_fuzzy_resolve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def heads(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+          .filter(length(col("head")) >= 9)
+      val clusters = Dedup.dupClusters(nearDupPairs(s, dir), "doc_a", "doc_b")
+      Dedup.fuzzyJoin(heads(docs),
+        heads(Dedup.keepCanonical(docs, "doc_id", clusters)),
+        "doc_id", "head", "doc_id", "head", 3, 2)
+    }),
     // the retained corpus: every near-dup cluster collapsed to its
     // canonical representative, untouched docs pass through
     "q_dedup_keep" -> ((s, dir) => {
@@ -2115,6 +2129,18 @@ object SparkEntry {
         |       levenshtein(a.head, b.head)::BIGINT AS dist
         |FROM st a JOIN st b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.head, b.head) <= 2""".stripMargin,
+
+    // cluster closure for the canonical keep set + brute-force fuzzy join
+    "q_fuzzy_resolve" ->
+      s"""WITH RECURSIVE $sqlDupClusterCtes,
+         |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |lh AS (SELECT doc_id, substr(text, 1, 24) AS head FROM documents
+         |       WHERE length(substr(text, 1, 24)) >= 9),
+         |rh AS (SELECT doc_id, head FROM lh
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE cluster_id <> doc_id))
+         |SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+         |       levenshtein(l.head, r.head)::BIGINT AS dist
+         |FROM lh l JOIN rh r ON levenshtein(l.head, r.head) <= 2""".stripMargin,
 
     // same cluster closure; the kept member is the (token count DESC,
     // doc_id ASC) argmax per cluster — the integer token count makes the

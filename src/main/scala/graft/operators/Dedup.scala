@@ -263,33 +263,9 @@ object Dedup {
                  k: Int, maxDist: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    require(id != "_st" && str != "_st",
-      "fuzzyPairs uses '_st' internally; rename the input column")
-    val minLen = (maxDist + 1) * k
-    val prefixLen = maxDist * k + 1
-    val s = col(str)
-    // NULL-safe fail-loud guard (rangeJoin's assert_true idiom): the q-gram
-    // count bound cannot promise recall below minLen — refuse, don't miss
-    val guard = assert_true(s.isNull || length(s) >= minLen,
-      concat(lit(s"fuzzyPairs: length('$str') must be >= $minLen " +
-        s"(= (maxDist+1)*k) for the q-gram bound to guarantee recall; got '"),
-        s, lit("'")))
-    val base = docs.select(col(id).as("doc"), s.as("_st"))
-      .filter(guard.isNull).filter(col("_st").isNotNull)
-    val gramArr = transform(sequence(lit(0), length(col("_st")) - k),
-      i => col("_st").substr(i + lit(1), lit(k)))
-    val grams = base.select(col("doc"), col("_st"),
-        posexplode(gramArr).as(Seq("_pos", "_g")))
-    val occ = Window.partitionBy(col("doc"), col("_g")).orderBy(col("_pos"))
-    val tokens = grams.select(col("doc"), col("_st"),
-      struct(col("_g"), row_number().over(occ).as("_occ")).as("_tok"))
+    val tokens = fuzzyTokens(docs, id, str, k, maxDist, "fuzzyPairs")
     val freq = tokens.groupBy(col("_tok")).agg(count(lit(1)).as("_freq"))
-    val rank = Window.partitionBy(col("doc"))
-      .orderBy(col("_freq"), col("_tok"))
-    val prefix = tokens.join(freq, Seq("_tok"))
-      .select(col("doc"), col("_st"), col("_tok"), col("_freq"))
-      .withColumn("_rn", row_number().over(rank))
-      .filter(col("_rn") <= prefixLen)
+    val prefix = fuzzyPrefix(tokens, freq, maxDist * k + 1)
     val dist = levenshtein(col("a._st"), col("b._st"), maxDist)
     prefix.groupBy(col("_tok"))
       .agg(collect_list(struct(col("doc"), col("_st"))).as("ms"))
@@ -302,6 +278,80 @@ object Dedup {
         dist.cast("long").as("dist"))
       .filter(col("dist") >= 0)
       .distinct()
+  }
+
+  /** Cross-corpus form of fuzzyPairs — resolve `left` strings against
+    * `right` within `maxDist` edits (the entity-resolution join: raw
+    * records vs a canonical registry). Same machinery and the same recall
+    * guarantee, with one load-bearing difference: the global token order
+    * that prefix filtering requires must be ONE total order shared by both
+    * sides, so document frequencies aggregate over the UNION of both
+    * token sets before either side's prefixes are chosen (per-side
+    * frequencies would order tokens differently per side and void the
+    * lemma). Emits (left_id, right_id, dist), every qualifying pair once —
+    * including exact hits at dist 0. Same fail-loud minimum-length guard
+    * per side; same brute-force-oracle checkability. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                idL: String, strL: String, idR: String, strR: String,
+                k: Int, maxDist: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val tokL = fuzzyTokens(left, idL, strL, k, maxDist, "fuzzyJoin(left)")
+    val tokR = fuzzyTokens(right, idR, strR, k, maxDist, "fuzzyJoin(right)")
+    val freq = tokL.select(col("_tok")).unionAll(tokR.select(col("_tok")))
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_freq"))
+    val p = maxDist * k + 1
+    val dist = levenshtein(col("_lst"), col("_rst"), maxDist)
+    fuzzyPrefix(tokL, freq, p)
+      .select(col("doc").as("left_id"), col("_st").as("_lst"), col("_tok"))
+      .join(fuzzyPrefix(tokR, freq, p)
+        .select(col("doc").as("right_id"), col("_st").as("_rst"), col("_tok")),
+        Seq("_tok"))
+      .select(col("left_id"), col("right_id"), dist.cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+      .distinct()
+  }
+
+  /** Occurrence-numbered q-gram tokens of one frame: (doc, _st, _tok) rows
+    * with the fail-loud minimum-length guard. Shared by fuzzyPairs and
+    * fuzzyJoin. */
+  private def fuzzyTokens(docs: DataFrame, id: String, str: String,
+                          k: Int, maxDist: Int, opName: String): DataFrame = {
+    require(id != "_st" && str != "_st",
+      s"$opName uses '_st' internally; rename the input column")
+    val minLen = (maxDist + 1) * k
+    val s = col(str)
+    // NULL-safe fail-loud guard (rangeJoin's assert_true idiom): the q-gram
+    // count bound cannot promise recall below minLen — refuse, don't miss
+    val guard = assert_true(s.isNull || length(s) >= minLen,
+      concat(lit(s"$opName: length('$str') must be >= $minLen " +
+        s"(= (maxDist+1)*k) for the q-gram bound to guarantee recall; got '"),
+        s, lit("'")))
+    val base = docs.select(col(id).as("doc"), s.as("_st"))
+      .filter(guard.isNull).filter(col("_st").isNotNull)
+    val gramArr = transform(sequence(lit(0), length(col("_st")) - k),
+      i => col("_st").substr(i + lit(1), lit(k)))
+    // occurrence numbers computed INSIDE the array (occ of gram i = copies
+    // of it at positions ≤ i): O(len²) char compares per row beats the
+    // exchange+sort a per-(doc, gram) window would cost — keys are short
+    val tokArr = transform(gramArr, (g, i) =>
+      struct(g.as("_g"),
+        size(filter(slice(gramArr, lit(1), i + 1), x => x === g)).as("_occ")))
+    base.select(col("doc"), col("_st"), explode(tokArr).as("_tok"))
+  }
+
+  /** Each string's first `prefixLen` tokens under the shared global
+    * (frequency ASC, token ASC) order — the only tokens prefix filtering
+    * needs to index. */
+  private def fuzzyPrefix(tokens: DataFrame, freq: DataFrame,
+                          prefixLen: Int): DataFrame = {
+    val rank = Window.partitionBy(col("doc"))
+      .orderBy(col("_freq"), col("_tok"))
+    tokens.join(freq, Seq("_tok"))
+      .select(col("doc"), col("_st"), col("_tok"), col("_freq"))
+      .withColumn("_rn", row_number().over(rank))
+      .filter(col("_rn") <= prefixLen)
+      .drop("_freq", "_rn")
   }
 
   /** Round-robin repartition when the incoming scan has fewer partitions

@@ -140,6 +140,9 @@ object syntax {
       Dedup.keepBest(df, id, clusters, priority)
     def fuzzyPairs(id: String, str: String, k: Int, maxDist: Int): DataFrame =
       Dedup.fuzzyPairs(df, id, str, k, maxDist)
+    def fuzzyJoin(right: DataFrame, idL: String, strL: String, idR: String,
+                  strR: String, k: Int, maxDist: Int): DataFrame =
+      Dedup.fuzzyJoin(df, right, idL, strL, idR, strR, k, maxDist)
     def contaminationPairs(bench: DataFrame, id: String, text: String, k: Int,
                            w: Int, minContainment: Double): DataFrame =
       Dedup.contaminationPairs(df, bench, id, text, k, w, minContainment)

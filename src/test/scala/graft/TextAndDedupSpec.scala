@@ -358,6 +358,35 @@ class TextAndDedupSpec extends SparkSpec {
       Dedup.fuzzyPairs(docs, "doc_id", "head", 0, 2))
   }
 
+  test("fuzzyJoin resolves left against right across frames: exact hits at " +
+      "dist 0, union-frequency order, per-side guard") {
+    val left = Seq(
+      (1L, "weekly report 2024"),
+      (2L, "weekly report 2025"),
+      (3L, "quarterly digest 9")).toDF("doc_id", "head")
+    val registry = Seq(
+      (100L, "weekly report 2024"),  // exact hit for 1, 1 edit from 2
+      (101L, "monthly summary 77")).toDF("rid", "name")
+    val got = Dedup.fuzzyJoin(left, registry, "doc_id", "head", "rid", "name",
+        3, 2).as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L, 0L), (2L, 100L, 1L)))
+    // brute-force cross-check on a narrow-alphabet clash set (hot tokens on
+    // one side only — exercises the UNION frequency order)
+    val l2 = Seq((1L, "aaaabaaaa"), (2L, "ccccccccc")).toDF("id", "st")
+    val r2 = Seq((10L, "aaaaaaaaa"), (11L, "aaaacaaaa"), (12L, "bbbbbbbbb"))
+      .toDF("id", "st")
+    val got2 = Dedup.fuzzyJoin(l2, r2, "id", "st", "id", "st", 3, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 10L, 1L), (1L, 11L, 1L)))
+    val short = Seq((1L, "tiny")).toDF("rid", "name")
+    val err = intercept[Exception] {
+      Dedup.fuzzyJoin(left, short, "doc_id", "head", "rid", "name", 3, 2)
+        .collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("fuzzyJoin(right)"))
+  }
+
   test("dupClusters converges on a 60-node chain within the round cap (pointer jumping)") {
     // diameter 59 > maxIters 30: plain neighbor propagation would silently
     // stop short; the pointer jump makes convergence O(log diameter)
