@@ -216,6 +216,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 5)
     }),
+    // JL random projection 64 -> 8 dims: a pure map of codegen'd DotFolds
+    // against the deterministic +-1 plane family (offset 1000 keeps it
+    // disjoint from the LSH planes); the oracle rebuilds the matrix and
+    // folds bit-for-bit
+    "q_rand_project" -> ((s, dir) => {
+      val proj = Similarity.randomProject(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")),
+        "embedding", EmbDims, RpDims, RpOffset)
+      proj.select(col("vec_id") +: (0 until RpDims).map(j =>
+        (floor(col(s"rp_$j") * 1000000d) / 1000000d).as(s"rp_$j")): _*)
+    }),
 
     // ── extensions: approximate dedup / similarity tier ───────────────────
     "q_minhash_pairs" -> ((s, dir) =>
@@ -812,6 +823,7 @@ object SparkEntry {
   private val WinnowW = 4  // winnowing window (guarantee span = w+k-1 words)
   private val WinnowCap = 8 // too-common fp cutoff for the capped pairs query
   private val EmbDims = 64; private val LshPlanes = 8; private val LshTables = 2
+  private val RpDims = 8; private val RpOffset = 1000 // JL matrix, disjoint from LSH planes
   private val IvfNlist = 8; private val IvfNprobe = 2; private val IvfIters = 2
   private val IvfSampleMod = 4 // k-means trains on ~1/4 of the corpus + seeds
   private val PqM = 4 // PQ subspaces (EmbDims/PqM dims each, IvfNlist cells)
@@ -1421,6 +1433,21 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |      FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+
+    // the identical ±1 matrix from md5(plane:dim), the identical left fold
+    // from 0.0 — every projected double is bit-for-bit reproducible, then
+    // floor-truncated on both sides
+    "q_rand_project" -> {
+      val cols = (0 until RpDims).map { j =>
+        val dot =
+          s"""list_reduce(list_prepend(0.0::DOUBLE,
+             |      [CASE WHEN ${sqlMd5Int(s"(${RpOffset + j}::VARCHAR || ':' || d::VARCHAR)")} & 1 = 1
+             |            THEN embedding[d+1]::DOUBLE ELSE -(embedding[d+1]::DOUBLE) END
+             |       for d in range(0,$EmbDims)]), (a,b) -> a+b)""".stripMargin
+        s"floor(($dot) * 1000000) / 1000000 AS rp_$j"
+      }.mkString(",\n  ")
+      s"SELECT vec_id,\n  $cols\nFROM embeddings"
+    },
 
     "q_minhash_pairs" ->
       s"""WITH $sqlMinhashCtes

@@ -55,6 +55,37 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Johnson–Lindenstrauss random projection: reduce `vec` to `m` dense
+    * features `rp_0..rp_{m-1}`, each the exact sequential-fold dot against
+    * a deterministic ±1 plane — the database-friendly JL matrix
+    * (Achlioptas): with m = O(log n / ε²) planes, pairwise distances are
+    * preserved within (1 ± ε) w.h.p. This is hyperplaneSig's dense
+    * sibling: the signature keeps only the SIGN bits for bucketing, the
+    * projection keeps the dot values so downstream exact/IVF search runs
+    * in m dims instead of `dims` (project 768-dim embeddings to 64 before
+    * the ANN tier — the standard 100 TB preamble). Map-only, zero shuffle;
+    * each component is one codegen'd DotFold against a plan-literal plane,
+    * and the ±1 entries derive from the same md5(plane:dim) recipe as the
+    * LSH family, so any engine rebuilds the matrix bit-for-bit
+    * (q_rand_project's oracle does). Raw dots are emitted — the 1/√m JL
+    * scale is a constant that cancels in cosine; apply it downstream if
+    * calibrated distances are needed. `planeOffset` selects an independent
+    * matrix, disjoint from LSH's planes if both run on one corpus. */
+  def randomProject(df: DataFrame, vec: String, dims: Int, m: Int,
+                    planeOffset: Int = 0, prefix: String = "rp_"): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    require(m > 0, s"m (output dims) must be positive, got $m")
+    val names = (0 until m).map(j => s"$prefix$j")
+    val clash = df.columns.intersect(names)
+    require(clash.isEmpty,
+      s"randomProject emits ${prefix}0..$prefix${m - 1}; " +
+        s"rename the input's ${clash.mkString(", ")}")
+    df.select(df.columns.map(col) ++ (0 until m).map { j =>
+      graft.expressions.VectorKernelExpressions
+        .dotFold(col(vec), plane(planeOffset + j, dims)).as(names(j))
+    }: _*)
+  }
+
   /** Random-hyperplane signature: bit i = sign of dot(vec, plane_i), planes
     * derived deterministically from md5 of (plane index, dimension index).
     * Vectors with equal signatures are near-certain cosine neighbors. The

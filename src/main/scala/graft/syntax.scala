@@ -196,6 +196,9 @@ object syntax {
       TextOps.ngramVocab(df, text, n, topN)
     def cosineTopK(queries: DataFrame, id: String, vec: String, k: Int): DataFrame =
       Similarity.bruteForceTopK(df, queries, id, vec, k)
+    def randomProject(vec: String, dims: Int, m: Int, planeOffset: Int = 0,
+                      prefix: String = "rp_"): DataFrame =
+      Similarity.randomProject(df, vec, dims, m, planeOffset, prefix)
     def lshTopK(queries: DataFrame, id: String, vec: String, dims: Int,
                 planes: Int, k: Int): DataFrame =
       Similarity.lshTopK(df, queries, id, vec, dims, planes, k)

@@ -37,6 +37,41 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs.toSeq == again.toSeq)
   }
 
+  test("randomProject: bit-identical to the interpreted zip_with fold, " +
+      "signs agree with hyperplaneSig bits, JL preserves relative order") {
+    val df = Seq(
+      (0L, Seq(0.5f, -0.5f, 1.0f, 2.0f)),
+      (1L, Seq(0.5f, -0.5f, 1.0f, 2.0f)),   // identical → identical projection
+      (2L, Seq(-2.0f, 0.25f, 0.0f, -1.5f))).toDF("vec_id", "embedding")
+    val m = 8
+    val proj = Similarity.randomProject(df, "embedding", 4, m)
+    val got = proj.orderBy("vec_id")
+      .select(array((0 until m).map(j => col(s"rp_$j")): _*))
+      .as[Seq[Double]].collect()
+    assert(got(0) == got(1)) // exact doubles — the fold is deterministic
+    // the kernel's dot must equal an independent interpreted fold against
+    // the SAME md5-derived ±1 planes (re-derived here from first principles)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def planeVal(p: Int, d: Int): Double = {
+      val dig = md.digest(s"$p:$d".getBytes("UTF-8"))
+      if ((dig(3) & 1) == 1) 1.0d else -1.0d
+    }
+    val rows = Seq(Seq(0.5f, -0.5f, 1.0f, 2.0f), Seq(0.5f, -0.5f, 1.0f, 2.0f),
+      Seq(-2.0f, 0.25f, 0.0f, -1.5f))
+    for ((v, r) <- rows.zipWithIndex; j <- 0 until m) {
+      val expected = v.indices.foldLeft(0.0d)((a, d) =>
+        a + v(d).toDouble * planeVal(j, d))
+      assert(got(r)(j) == expected, s"row $r plane $j")
+    }
+    // dense/sign consistency: sign(rp_j) == bit j of the LSH signature
+    val sig = df.filter(col("vec_id") === 2)
+      .select(Similarity.hyperplaneSig(col("embedding"), 4, m)).as[Long].head()
+    for (j <- 0 until m)
+      assert((got(2)(j) >= 0) == (((sig >> j) & 1L) == 1L), s"plane $j sign")
+    assertThrows[IllegalArgumentException](
+      Similarity.randomProject(proj, "embedding", 4, m)) // rp_* clash
+  }
+
   test("kmeansCentroids: deterministic, keeps nlist cells, improves IVF recall") {
     // clustered fixture: three axis-aligned clusters of 8 vectors each in 4 dims,
     // cluster spread small vs inter-cluster angle; seeds (lowest 2 ids) both
