@@ -216,6 +216,22 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 5)
     }),
+    // recall@5 of cosine search in the 8-dim PROJECTED space vs exact
+    // 64-dim search — the same gauge q_sq_recall/q_pq_recall give their
+    // compression tiers, so the JL path's quality is measured, not assumed
+    "q_rp_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val proj = Similarity.randomProject(emb, "embedding", EmbDims, RpDims,
+          RpOffset)
+        .select(col("vec_id"),
+          array((0 until RpDims).map(j => col(s"rp_$j")): _*).as("pvec"))
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(proj, proj.filter(col("vec_id") < 8),
+          "vec_id", "pvec", 5),
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5),
+        "query_id", "neighbor_id", 5)
+    }),
     // JL random projection 64 -> 8 dims: a pure map of codegen'd DotFolds
     // against the deterministic +-1 plane family (offset 1000 keeps it
     // disjoint from the LSH planes); the oracle rebuilds the matrix and
@@ -1433,6 +1449,43 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |      FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+
+    // projection + 8-dim cosine + exact 64-dim cosine, all fold-exact; the
+    // recall join mirrors q_sq_recall's
+    "q_rp_recall" -> {
+      val rpArr = (0 until RpDims).map { j =>
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+           |      [CASE WHEN ${sqlMd5Int(s"(${RpOffset + j}::VARCHAR || ':' || d::VARCHAR)")} & 1 = 1
+           |            THEN embedding[d+1]::DOUBLE ELSE -(embedding[d+1]::DOUBLE) END
+           |       for d in range(0,$EmbDims)]), (a,b) -> a+b)""".stripMargin
+      }.mkString("[", ",\n      ", "]")
+      def pcos(a: String, b: String) = {
+        def dot(x: String, y: String) =
+          s"list_reduce(list_prepend(0.0::DOUBLE, [$x[i+1] * $y[i+1] " +
+            s"for i in range(0,$RpDims)]), (p,q) -> p+q)"
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      }
+      s"""WITH prj AS (SELECT vec_id, $rpArr AS pv FROM embeddings),
+         |ps AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |        ${pcos("q.pv", "e.pv")} AS score
+         |      FROM prj e, (SELECT * FROM prj WHERE vec_id < 8) q
+         |      WHERE e.vec_id <> q.vec_id),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM ps) WHERE rank <= 5),
+         |bs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |        ${sqlCosine("q.embedding", "e.embedding")} AS score
+         |      FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+         |      WHERE e.vec_id <> q.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM bs) WHERE rank <= 5)
+         |SELECT ex.query_id,
+         |  (SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5) AS recall
+         |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+         |  AND ex.neighbor_id = ap.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin
+    },
 
     // the identical ±1 matrix from md5(plane:dim), the identical left fold
     // from 0.0 — every projected double is bit-for-bit reproducible, then
