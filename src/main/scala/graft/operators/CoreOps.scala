@@ -754,7 +754,16 @@ object CoreOps {
     val spark = df.sparkSession
     import spark.implicits._
     val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val d = df.withColumn("_ord", ord)
+    // fail loud where the DECIMAL(18,2) ingest cast would silently NULL:
+    // a |value| ≥ 10^16 overflows the cast, which non-ANSI Spark turns into
+    // NULL (passed through the running total as if absent) while the DuckDB
+    // oracle's identical cast ERRORS — a silent cross-engine divergence on
+    // exactly the corrupt-magnitude rows that should stop the job
+    val overflowGuard = assert_true(
+      col(value).isNull || abs(col(value).cast("double")) < lit(1e16),
+      concat(lit(s"orderedPrefixSumDecimal: |$value| must stay below 10^16 " +
+        "(DECIMAL(18,2) ingest bound); got "), col(value).cast("string")))
+    val d = df.filter(overflowGuard.isNull).withColumn("_ord", ord)
     val bucket = timeRangeBucket(d, col("_ord"), n).getOrElse(lit(0))
     val b = d.withColumn("_b", bucket).localCheckpoint(true)
     val dec = col(value).cast("decimal(18,2)")

@@ -101,6 +101,8 @@ object StreamOps {
       : DataFrame = {
     require(candidates.nonEmpty,
       "windowedHeavyHitters probes an explicit bounded candidate list; got none")
+    require(candidates.forall(_ != null),
+      "windowedHeavyHitters candidates must be non-null keys")
     require(!Seq("window_start_ms", "est_count").contains(key),
       s"windowedHeavyHitters emits window_start_ms and est_count; rename '$key'")
     val cms = graft.expressions.CountMinExpressions

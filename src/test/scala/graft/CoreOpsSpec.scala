@@ -74,6 +74,16 @@ class CoreOpsSpec extends SparkSpec {
     assert(ok.select("iid").as[Long].collect().toSet == Set(10L))
   }
 
+  test("orderedPrefixSumDecimal fails loud on values past the DECIMAL(18,2) " +
+      "ingest bound instead of silently NULLing them") {
+    val bad = Seq((1L, 5.0), (2L, 1e17)).toDF("id", "v")
+    val err = intercept[Exception] {
+      CoreOps.orderedPrefixSumDecimal(bad, col("id"), "id", "v", "cum").collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("10^16"))
+  }
+
   test("exactCorr matches the closed-form Pearson r, any partitioning") {
     // y = 2x exactly → r = 1; the 'b' group is anti-correlated
     val rows = Seq((1L, "a", 1L, 2L), (2L, "a", 2L, 4L), (3L, "a", 3L, 6L),
