@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composition the individual tiers exist
@@ -52,6 +53,72 @@ object Curation {
     CoreOps.orderedPrefixSum(scored, ord, id, tokensCol, "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .select(col(id), col(tokensCol), col("cum_tokens"))
+  }
+
+  /** Length-bucketed micro-batching — the padding-minimizing batcher: rows
+    * are grouped into fixed-size batches of similar token length, so a
+    * fixed-shape inference/training step pads each row only to its BATCH
+    * max instead of the corpus max. `boundaries` are ascending exclusive
+    * upper bounds; a row's bucket is the first boundary above its token
+    * count (an overflow bucket catches the rest). Within a bucket, rows
+    * order by (tokens, id) and chunk into `batchSize` batches; emits
+    * `bucket`, `batch` (per-bucket index) and `batch_pos`.
+    *
+    * Scale shape: the naive form is a row_number window partitioned by
+    * bucket — a handful of buckets means a handful of TASKS, the classic
+    * serialization. This uses runningSumSalted's scheme instead: rows
+    * sub-bucket by a deterministic token-range split (equal token counts
+    * share a sub-bucket, so the (tokens, id) order is preserved across
+    * boundaries), each (bucket, sub-bucket) slice numbers its rows in
+    * parallel, and slice offsets come from a second window over the tiny
+    * (bucket, sub-bucket) COUNTS — O(buckets × slices) rows, never the
+    * data. Assignment is a pure function of the sorted order — integer
+    * arithmetic end to end, engine-exact. Fails loud on NULL/negative
+    * token counts like concatPack. */
+  def batchByLength(df: DataFrame, id: String, tokensCol: String,
+                    boundaries: Seq[Long], batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be ascending and distinct, got $boundaries")
+    val emitted = Seq("bucket", "batch", "batch_pos")
+    val internal = Seq("_b", "_lrn", "_cnt", "_off", "_rn0")
+    val clash = df.columns.intersect(emitted ++ internal)
+    require(clash.isEmpty,
+      s"batchByLength emits ${emitted.mkString(", ")} and uses " +
+        s"${internal.mkString(", ")}; rename the input's ${clash.mkString(", ")}")
+    val bad = col(tokensCol).isNull || col(tokensCol) < 0
+    val guard = assert_true(!bad,
+      concat(lit(s"batchByLength: '$tokensCol' must be non-NULL and >= 0, got "),
+        coalesce(col(tokensCol).cast("string"), lit("NULL"))))
+    val clean = df.filter(guard.isNull)
+    val bucketExpr = boundaries.zipWithIndex.foldRight(
+      lit(boundaries.size).cast("int")) { case ((bound, i), rest) =>
+      when(col(tokensCol) < bound, lit(i).cast("int")).otherwise(rest)
+    }
+    val spark = df.sparkSession
+    val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val d = clean.withColumn("bucket", bucketExpr)
+    // sub-bucket is a function of the token count alone → equal counts share
+    // a slice and the (tokens, id) order survives slice boundaries
+    val sub = CoreOps.timeRangeBucket(d, col(tokensCol).cast("long"), n)
+      .getOrElse(lit(0))
+    val b = d.withColumn("_b", sub).localCheckpoint(true)
+    val wLocal = Window.partitionBy(col("bucket"), col("_b"))
+      .orderBy(col(tokensCol), col(id))
+    val wPrefix = Window.partitionBy(col("bucket")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col("bucket"), col("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", sum(col("_cnt")).over(wPrefix))
+      .select(col("bucket"), col("_b"), col("_off"))
+    b.withColumn("_lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("bucket", "_b"))
+      .withColumn("_rn0", coalesce(col("_off"), lit(0L)) + col("_lrn") - 1)
+      .withColumn("batch", expr(s"_rn0 div ${batchSize}L"))
+      .withColumn("batch_pos", pmod(col("_rn0"), lit(batchSize.toLong)))
+      .select(df.columns.map(col).toSeq ++
+        Seq(col("bucket"), col("batch"), col("batch_pos")): _*)
   }
 
   /** Concat-and-chunk sequence packing — the step that turns a curated

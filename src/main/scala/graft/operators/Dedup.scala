@@ -333,10 +333,15 @@ object Dedup {
       i => col("_st").substr(i + lit(1), lit(k)))
     // occurrence numbers computed INSIDE the array (occ of gram i = copies
     // of it at positions ≤ i): O(len²) char compares per row beats the
-    // exchange+sort a per-(doc, gram) window would cost — keys are short
+    // exchange+sort a per-(doc, gram) window would cost — keys are short.
+    // Tokens are STRINGS g + "#" + occ (not structs): string keys keep the
+    // downstream frequency aggregate and token join in codegen'd
+    // HashAggregate/sort paths, and the encoding is unambiguous because occ
+    // is digit-only — splitting at the LAST '#' recovers (g, occ) uniquely
     val tokArr = transform(gramArr, (g, i) =>
-      struct(g.as("_g"),
-        size(filter(slice(gramArr, lit(1), i + 1), x => x === g)).as("_occ")))
+      concat(g, lit("#"),
+        size(filter(slice(gramArr, lit(1), i + 1), x => x === g))
+          .cast("string")))
     base.select(col("doc"), col("_st"), explode(tokArr).as("_tok"))
   }
 

@@ -164,6 +164,9 @@ object syntax {
     def concatPack(ord: Column, id: String, tokensCol: String,
                    packTokens: Long): DataFrame =
       Curation.concatPack(df, ord, id, tokensCol, packTokens)
+    def batchByLength(id: String, tokensCol: String, boundaries: Seq[Long],
+                      batchSize: Int): DataFrame =
+      Curation.batchByLength(df, id, tokensCol, boundaries, batchSize)
     def orderedPrefixSum(ord: Column, tiebreak: String, value: String,
                          out: String): DataFrame =
       CoreOps.orderedPrefixSum(df, ord, tiebreak, value, out)

@@ -170,6 +170,34 @@ class SamplingCurationSpec extends SparkSpec {
       Curation.concatPack(d, col("doc_id"), "doc_id", "n_tokens", 0L))
   }
 
+  test("batchByLength groups by length bucket and chunks deterministically, " +
+      "equals the plain per-bucket ranking under any partitioning") {
+    val rows = (1L to 23L).map(i => (i, (i * 7) % 95)) // token counts 0..94
+    val df = rows.toDF("doc_id", "n_tokens").repartition(5)
+    val got = Curation.batchByLength(df, "doc_id", "n_tokens", Seq(30L, 60L), 4)
+      .select("doc_id", "bucket", "batch", "batch_pos")
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // brute force: per bucket, sort by (tokens, id), number, chunk by 4
+    val expected = rows.groupBy { case (_, t) =>
+      if (t < 30) 0 else if (t < 60) 1 else 2
+    }.flatMap { case (bk, rs) =>
+      rs.sortBy { case (id, t) => (t, id) }.zipWithIndex.map {
+        case ((id, _), rn) => id -> ((id, bk, rn.toLong / 4, rn.toLong % 4))
+      }
+    }
+    assert(got == expected)
+    val bad = Seq((1L, Option.empty[Long])).toDF("doc_id", "n_tokens")
+    val err = intercept[Exception] {
+      Curation.batchByLength(bad, "doc_id", "n_tokens", Seq(10L), 4).collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("non-NULL"))
+    assertThrows[IllegalArgumentException](
+      Curation.batchByLength(df, "doc_id", "n_tokens", Seq(60L, 30L), 4))
+    assertThrows[IllegalArgumentException](
+      Curation.batchByLength(df, "doc_id", "n_tokens", Seq(30L), 0))
+  }
+
   test("curate composes dedup-canonical, language and quality gates") {
     val fixture = Seq(
       (1L, "the cat and the dog sat in the house for a while and it was good"),
