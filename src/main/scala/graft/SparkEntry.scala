@@ -266,12 +266,17 @@ object SparkEntry {
     // fuzzy string self-join: doc-head pairs within 2 edits via q-gram
     // prefix filtering (provable recall) + banded levenshtein verify. The
     // oracle is the brute-force all-pairs join — a candidate-generation
-    // recall bug would hash-mismatch, not silently lose pairs
+    // recall bug would hash-mismatch, not silently lose pairs. k=5: on
+    // this corpus's small vocabulary 3-grams are so common the prefix
+    // filter kept 3.4M candidates at sf0.1; 5-grams are rare enough to
+    // keep 1.1M for the same exact output (k never changes the result,
+    // only the candidate set — the guard bound (maxDist+1)*k=15 still
+    // clears every 24-char head)
     "q_fuzzy_pairs" -> ((s, dir) => {
       val heads = Tables.documents(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
-        .filter(length(col("head")) >= 9) // (maxDist+1)*k — the guard's bound
-      Dedup.fuzzyPairs(heads, "doc_id", "head", 3, 2)
+        .filter(length(col("head")) >= 15) // (maxDist+1)*k — the guard's bound
+      Dedup.fuzzyPairs(heads, "doc_id", "head", 5, 2)
     }),
     // cross-corpus entity resolution: every doc head resolved against the
     // RETAINED canonical corpus within 2 edits — the lookup a dedup'd
@@ -281,11 +286,11 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       def heads(d: org.apache.spark.sql.DataFrame) =
         d.select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
-          .filter(length(col("head")) >= 9)
+          .filter(length(col("head")) >= 15)
       val clusters = dupClustersShared(s, dir)
       Dedup.fuzzyJoin(heads(docs),
         heads(Dedup.keepCanonical(docs, "doc_id", clusters)),
-        "doc_id", "head", "doc_id", "head", 3, 2)
+        "doc_id", "head", "doc_id", "head", 5, 2)
     }),
     // the retained corpus: every near-dup cluster collapsed to its
     // canonical representative, untouched docs pass through
@@ -2237,7 +2242,7 @@ object SparkEntry {
     // candidate generation is part of what this row checks
     "q_fuzzy_pairs" ->
       """WITH st AS (SELECT doc_id, substr(text, 1, 24) AS head FROM documents
-        |            WHERE length(substr(text, 1, 24)) >= 9)
+        |            WHERE length(substr(text, 1, 24)) >= 15)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       levenshtein(a.head, b.head)::BIGINT AS dist
         |FROM st a JOIN st b ON a.doc_id < b.doc_id
@@ -2248,7 +2253,7 @@ object SparkEntry {
       s"""WITH RECURSIVE $sqlDupClusterCtes,
          |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
          |lh AS (SELECT doc_id, substr(text, 1, 24) AS head FROM documents
-         |       WHERE length(substr(text, 1, 24)) >= 9),
+         |       WHERE length(substr(text, 1, 24)) >= 15),
          |rh AS (SELECT doc_id, head FROM lh
          |       WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE cluster_id <> doc_id))
          |SELECT l.doc_id AS left_id, r.doc_id AS right_id,
