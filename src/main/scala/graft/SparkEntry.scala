@@ -278,6 +278,16 @@ object SparkEntry {
         .filter(length(col("head")) >= 15) // (maxDist+1)*k — the guard's bound
       Dedup.fuzzyPairs(heads, "doc_id", "head", 5, 2)
     }),
+    // the same pair set via the Pass-Join segment scheme (pigeonhole:
+    // 2 edits can't touch all 3 segments) — 81k candidates where the
+    // 5-gram prefix filter generates 1.1M at sf0.1. Same brute-force
+    // oracle: the two candidate schemes must land on the same rows
+    "q_fuzzy_pairs_seg" -> ((s, dir) => {
+      val heads = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+        .filter(length(col("head")) >= 15)
+      Dedup.segmentPairs(heads, "doc_id", "head", 2)
+    }),
     // cross-corpus entity resolution: every doc head resolved against the
     // RETAINED canonical corpus within 2 edits — the lookup a dedup'd
     // registry serves at ingest; union-frequency prefix filtering keeps
@@ -291,6 +301,19 @@ object SparkEntry {
       Dedup.fuzzyJoin(heads(docs),
         heads(Dedup.keepCanonical(docs, "doc_id", clusters)),
         "doc_id", "head", "doc_id", "head", 5, 2)
+    }),
+    // the same resolve via segment probing — the registry side is
+    // segmented, raw heads only generate probe substrings; no shared
+    // frequency state across the corpora at all
+    "q_fuzzy_resolve_seg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def heads(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+          .filter(length(col("head")) >= 15)
+      val clusters = dupClustersShared(s, dir)
+      Dedup.segmentJoin(heads(docs),
+        heads(Dedup.keepCanonical(docs, "doc_id", clusters)),
+        "doc_id", "head", "doc_id", "head", 2)
     }),
     // the retained corpus: every near-dup cluster collapsed to its
     // canonical representative, untouched docs pass through
@@ -1187,6 +1210,28 @@ object SparkEntry {
        |  SELECT s, s FROM eg
        |  UNION
        |  SELECT e.s, r.lbl FROM eg e JOIN reach r ON e.d = r.node)""".stripMargin
+
+  /** Brute-force edit-distance oracles, shared verbatim by the
+    * prefix-filter queries and their segment-scheme twins — both candidate
+    * generations must reproduce the exact all-pairs result. */
+  private def sqlFuzzyPairsOracle: String =
+    """WITH st AS (SELECT doc_id, substr(text, 1, 24) AS head FROM documents
+      |            WHERE length(substr(text, 1, 24)) >= 15)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       levenshtein(a.head, b.head)::BIGINT AS dist
+      |FROM st a JOIN st b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.head, b.head) <= 2""".stripMargin
+
+  private def sqlFuzzyResolveOracle: String =
+    s"""WITH RECURSIVE $sqlDupClusterCtes,
+       |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+       |lh AS (SELECT doc_id, substr(text, 1, 24) AS head FROM documents
+       |       WHERE length(substr(text, 1, 24)) >= 15),
+       |rh AS (SELECT doc_id, head FROM lh
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE cluster_id <> doc_id))
+       |SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+       |       levenshtein(l.head, r.head)::BIGINT AS dist
+       |FROM lh l JOIN rh r ON levenshtein(l.head, r.head) <= 2""".stripMargin
 
   /** Winnowing pairs pipeline (normalize → shingle-hash → winnow select →
     * fp equi-join candidates → exact Jaccard verify); `candFilter` appends
@@ -2240,25 +2285,14 @@ object SparkEntry {
 
     // brute force on purpose: recall of the Spark side's prefix-filter
     // candidate generation is part of what this row checks
-    "q_fuzzy_pairs" ->
-      """WITH st AS (SELECT doc_id, substr(text, 1, 24) AS head FROM documents
-        |            WHERE length(substr(text, 1, 24)) >= 15)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       levenshtein(a.head, b.head)::BIGINT AS dist
-        |FROM st a JOIN st b ON a.doc_id < b.doc_id
-        |WHERE levenshtein(a.head, b.head) <= 2""".stripMargin,
+    "q_fuzzy_pairs" -> sqlFuzzyPairsOracle,
+    // the segment-scheme twin checks against the IDENTICAL brute force:
+    // both candidate schemes must land on the same exact pair set
+    "q_fuzzy_pairs_seg" -> sqlFuzzyPairsOracle,
 
     // cluster closure for the canonical keep set + brute-force fuzzy join
-    "q_fuzzy_resolve" ->
-      s"""WITH RECURSIVE $sqlDupClusterCtes,
-         |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
-         |lh AS (SELECT doc_id, substr(text, 1, 24) AS head FROM documents
-         |       WHERE length(substr(text, 1, 24)) >= 15),
-         |rh AS (SELECT doc_id, head FROM lh
-         |       WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE cluster_id <> doc_id))
-         |SELECT l.doc_id AS left_id, r.doc_id AS right_id,
-         |       levenshtein(l.head, r.head)::BIGINT AS dist
-         |FROM lh l JOIN rh r ON levenshtein(l.head, r.head) <= 2""".stripMargin,
+    "q_fuzzy_resolve" -> sqlFuzzyResolveOracle,
+    "q_fuzzy_resolve_seg" -> sqlFuzzyResolveOracle,
 
     // same cluster closure; the kept member is the (token count DESC,
     // doc_id ASC) argmax per cluster — the integer token count makes the

@@ -359,6 +359,129 @@ object Dedup {
       .drop("_freq", "_rn")
   }
 
+  /** Partition-based fuzzy self-join — same contract and output as
+    * fuzzyPairs (pairs within `maxDist` edits, doc_a < doc_b, exact
+    * recall), with the Pass-Join candidate scheme (Li, Deng & Feng,
+    * PVLDB 2011) instead of q-gram prefix filtering: each string splits
+    * into maxDist+1 near-equal segments, and the pigeonhole principle says
+    * `d` edits cannot touch all `d+1` segments — so for every true pair
+    * some segment of one string survives VERBATIM in the other, shifted by
+    * at most `d` positions (net indels before it). Candidates are exact
+    * substring-equality hits on (target length, segment index, segment),
+    * which on real text are far rarer than shared q-grams: at sf0.1 this
+    * generates 81k candidates where 5-gram prefix filtering generates
+    * 1.1M, for the same provably-complete pair set.
+    *
+    * Distributed shape: one tiny distinct-lengths aggregate (broadcast —
+    * O(max string length) rows at ANY corpus size), then map-side segment
+    * and probe-substring generation, ONE equi-join on the
+    * (length, segment index, substring) key, a distinct, and the banded
+    * levenshtein verify. No windows and no frequency table — the two
+    * per-string ranking windows prefix filtering needs don't exist here.
+    * Probe fan-out is bounded: ≤ (d+1) segments × (2d+1) target lengths ×
+    * (2d+1) shifts per string, independent of string length or corpus
+    * size. Index strings shorter than maxDist+1 chars FAIL LOUDLY (a
+    * zero-length segment would match everywhere — recall holds but the
+    * bucket degenerates); probe-side strings have no length bound: the
+    * surviving segment is a substring of the probe by construction, so the
+    * clipped shift window always covers it. NULL strings drop. */
+  def segmentPairs(docs: DataFrame, id: String, str: String,
+                   maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val segs = segmentIndex(docs, id, str, maxDist, "segmentPairs")
+    val lens = segs.select(col("_lt")).distinct()
+    val dist = levenshtein(col("_pst"), col("_ist"), maxDist)
+    segmentProbes(docs, id, str, lens, maxDist)
+      .join(segs, Seq("_lt", "_i", "_sub"))
+      .filter(col("_pdoc") < col("_idoc"))
+      .select(col("_pdoc").as("doc_a"), col("_idoc").as("doc_b"),
+        col("_pst"), col("_ist"))
+      .distinct() // candidates are rare enough to dedupe BEFORE the verify
+      .select(col("doc_a"), col("doc_b"), dist.cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** Cross-corpus form of segmentPairs — resolve `left` strings against
+    * `right` within `maxDist` edits, same contract as fuzzyJoin. The
+    * pigeonhole guarantee is directional and this uses the direction that
+    * needs no shared global state at all: a surviving segment of the RIGHT
+    * string appears verbatim in the LEFT string, so `right` is segmented
+    * (the registry — typically the smaller, deduplicated side) and `left`
+    * only generates probe substrings against the registry's distinct
+    * lengths. Unlike fuzzyJoin there is no union-frequency aggregate over
+    * both corpora — the only shared state is the broadcast length list. */
+  def segmentJoin(left: DataFrame, right: DataFrame,
+                  idL: String, strL: String, idR: String, strR: String,
+                  maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val segs = segmentIndex(right, idR, strR, maxDist, "segmentJoin(right)")
+    val lens = segs.select(col("_lt")).distinct()
+    val dist = levenshtein(col("_pst"), col("_ist"), maxDist)
+    segmentProbes(left, idL, strL, lens, maxDist)
+      .join(segs, Seq("_lt", "_i", "_sub"))
+      .select(col("_pdoc").as("left_id"), col("_idoc").as("right_id"),
+        col("_pst"), col("_ist"))
+      .distinct()
+      .select(col("left_id"), col("right_id"), dist.cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** Even partition of each index-side string into maxDist+1 segments:
+    * (_lt = owner length, _i = segment index, _sub = segment, _idoc, _ist)
+    * rows. Segment i of a length-l string starts at 1 + i·⌊l/(d+1)⌋ +
+    * min(i, l mod (d+1)) and spans ⌊l/(d+1)⌋ (+1 for the first l mod (d+1)
+    * segments) chars — the boundaries are a pure function of (l, i), which
+    * is what lets the probe side reconstruct them without seeing the
+    * strings. */
+  private def segmentIndex(docs: DataFrame, id: String, str: String,
+                           maxDist: Int, opName: String): DataFrame = {
+    val parts = maxDist + 1
+    val s = col(str)
+    val guard = assert_true(s.isNull || length(s) >= parts,
+      concat(lit(s"$opName: length('$str') must be >= $parts (= maxDist+1) " +
+        "so every pigeonhole segment is non-empty; got '"), s, lit("'")))
+    val q = expr(s"_lt div $parts")
+    val r = expr(s"_lt % $parts")
+    docs.select(col(id).as("_idoc"), s.as("_ist"))
+      .filter(guard.isNull).filter(col("_ist").isNotNull)
+      .withColumn("_lt", length(col("_ist")))
+      .select(col("_idoc"), col("_ist"), col("_lt"),
+        explode(sequence(lit(0), lit(maxDist))).as("_i"))
+      .withColumn("_p", lit(1) + col("_i") * q + least(col("_i"), r))
+      .withColumn("_m", q + when(col("_i") < r, lit(1)).otherwise(lit(0)))
+      .select(col("_idoc"), col("_ist"), col("_lt"), col("_i"),
+        col("_ist").substr(col("_p"), col("_m")).as("_sub"))
+  }
+
+  /** Probe substrings of one frame against the index side's distinct
+    * lengths: for each target length within ±d of the probe's own length,
+    * each segment index, and each valid start within ±d of that segment's
+    * position, one (_lt, _i, _sub, _pdoc, _pst) row. All map-side; `lens`
+    * is broadcast. */
+  private def segmentProbes(docs: DataFrame, id: String, str: String,
+                            lens: DataFrame, maxDist: Int): DataFrame = {
+    val parts = maxDist + 1
+    val q = expr(s"_lt div $parts")
+    val r = expr(s"_lt % $parts")
+    docs.select(col(id).as("_pdoc"), col(str).as("_pst"))
+      .filter(col("_pst").isNotNull)
+      .withColumn("_pl", length(col("_pst")))
+      .join(broadcast(lens),
+        col("_lt").between(col("_pl") - maxDist, col("_pl") + maxDist))
+      .select(col("_pdoc"), col("_pst"), col("_pl"), col("_lt"),
+        explode(sequence(lit(0), lit(maxDist))).as("_i"))
+      .withColumn("_p", lit(1) + col("_i") * q + least(col("_i"), r))
+      .withColumn("_m", q + when(col("_i") < r, lit(1)).otherwise(lit(0)))
+      .withColumn("_lo", greatest(lit(1), col("_p") - maxDist))
+      .withColumn("_hi",
+        least(col("_p") + maxDist, col("_pl") - col("_m") + 1))
+      .filter(col("_lo") <= col("_hi"))
+      .select(col("_pdoc"), col("_pst"), col("_lt"), col("_i"), col("_m"),
+        explode(sequence(col("_lo"), col("_hi"))).as("_pp"))
+      .select(col("_pdoc"), col("_pst"), col("_lt"), col("_i"),
+        col("_pst").substr(col("_pp"), col("_m")).as("_sub"))
+  }
+
   /** Round-robin repartition when the incoming scan has fewer partitions
     * than the session's parallelism — tiny files arrive as one split, which
     * would serialize the (interpreted, per-row-expensive) signature maps onto

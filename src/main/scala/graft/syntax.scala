@@ -140,6 +140,11 @@ object syntax {
       Dedup.keepBest(df, id, clusters, priority)
     def fuzzyPairs(id: String, str: String, k: Int, maxDist: Int): DataFrame =
       Dedup.fuzzyPairs(df, id, str, k, maxDist)
+    def segmentPairs(id: String, str: String, maxDist: Int): DataFrame =
+      Dedup.segmentPairs(df, id, str, maxDist)
+    def segmentJoin(right: DataFrame, idL: String, strL: String,
+                    idR: String, strR: String, maxDist: Int): DataFrame =
+      Dedup.segmentJoin(df, right, idL, strL, idR, strR, maxDist)
     def fuzzyJoin(right: DataFrame, idL: String, strL: String, idR: String,
                   strR: String, k: Int, maxDist: Int): DataFrame =
       Dedup.fuzzyJoin(df, right, idL, strL, idR, strR, k, maxDist)

@@ -387,6 +387,78 @@ class TextAndDedupSpec extends SparkSpec {
       .contains("fuzzyJoin(right)"))
   }
 
+  test("segmentPairs equals brute force on a seeded random corpus with " +
+      "varied lengths; short index strings fail loud") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    // base strings + mutated copies: substitutions, indels, length 3..16
+    val bases = Seq.fill(12)((3 + rnd.nextInt(14), rnd))
+      .map { case (n, r) => Seq.fill(n)(('a' + r.nextInt(4)).toChar).mkString }
+    val strs = bases.flatMap { s =>
+      val chars = s.toCharArray.toSeq
+      val mut = chars.updated(rnd.nextInt(s.length),
+        ('a' + rnd.nextInt(4)).toChar).mkString
+      val ins = (chars.take(1 + rnd.nextInt(s.length)) ++
+        Seq(('a' + rnd.nextInt(4)).toChar) ++
+        chars.drop(1 + rnd.nextInt(s.length))).mkString
+      Seq(s, mut, ins)
+    }.filter(_.length >= 3) // maxDist+1: every string is index-eligible
+    val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val docs = rows.toDF("doc_id", "head").repartition(4)
+    val got = Dedup.segmentPairs(docs, "doc_id", "head", 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      x <- rows; y <- rows if x._1 < y._1
+      d = lev(x._2, y._2) if d <= 2
+    } yield (x._1, y._1, d.toLong)).toSet
+    assert(got == want && want.nonEmpty)
+    val short = Seq((1L, "ab")).toDF("doc_id", "head") // < maxDist+1 = 3
+    val err = intercept[Exception] {
+      Dedup.segmentPairs(short, "doc_id", "head", 2).collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("segment"))
+    assertThrows[IllegalArgumentException](
+      Dedup.segmentPairs(docs, "doc_id", "head", -1))
+  }
+
+  test("segmentJoin resolves left against right; probe side has no length " +
+      "bound; only the right (index) side guards") {
+    val left = Seq(
+      (1L, "weekly report 2024"),
+      (2L, "weekly report 2025"),
+      (3L, "quarterly digest 9"),
+      (4L, "ab")).toDF("doc_id", "head") // 2 chars: probe-eligible, matches nothing
+    val registry = Seq(
+      (100L, "weekly report 2024"),
+      (101L, "monthly summary 77")).toDF("rid", "name")
+    val got = Dedup.segmentJoin(left, registry, "doc_id", "head",
+        "rid", "name", 2).as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L, 0L), (2L, 100L, 1L)))
+    // a left string within d of a right string but shorter than d+1 still
+    // resolves: the probe side carries no guard
+    val tiny = Seq((7L, "abc")).toDF("doc_id", "head")
+    val reg2 = Seq((200L, "abcde")).toDF("rid", "name")
+    val got2 = Dedup.segmentJoin(tiny, reg2, "doc_id", "head",
+        "rid", "name", 2).as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((7L, 200L, 2L)))
+    val short = Seq((1L, "ab")).toDF("rid", "name")
+    val err = intercept[Exception] {
+      Dedup.segmentJoin(left, short, "doc_id", "head", "rid", "name", 2)
+        .collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("segmentJoin(right)"))
+  }
+
   test("dupClusters converges on a 60-node chain within the round cap (pointer jumping)") {
     // diameter 59 > maxIters 30: plain neighbor propagation would silently
     // stop short; the pointer jump makes convergence O(log diameter)
