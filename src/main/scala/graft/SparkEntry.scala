@@ -333,6 +333,25 @@ object SparkEntry {
           size(TextOps.tokens(col("text"))).cast("long"))
         .select(col("doc_id"), col("source"), col("lang"))
     }),
+    // the curation run's closing summary: per source, how many docs
+    // arrived, how many survive canonical retention, the dup rate
+    "q_dedup_report" -> ((s, dir) =>
+      Dedup.dedupReport(Tables.documents(s, dir), "doc_id",
+        dupClustersShared(s, dir), "source")),
+    // crawl-over-crawl delta: the new snapshot drops doc_id%10==0,
+    // rewrites %10==1, and adds %10==2 under shifted ids — the diff ships
+    // (id, md5 fingerprint) pairs only, never content
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val kept = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 10 === 1,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val added = docs.filter(col("doc_id") % 10 === 2)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      CoreOps.snapshotDiff(docs, kept.unionByName(added), "doc_id",
+        Seq("text", "lang", "source"))
+    }),
     "q_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb, "vec_id", "embedding", EmbDims, LshPlanes, 3)
@@ -677,6 +696,20 @@ object SparkEntry {
       TextOps.bm25Explode(Tables.documents(s, dir), "doc_id", "text",
         BmTerms.toDF("term"), BmK1, BmB)
     }),
+    // per-doc top-3 TF-IDF keywords: rational Robertson idf (the bm25
+    // trick — no ln), full-vocab df joins back on the term key (NOT a
+    // broadcast: the vocabulary is corpus-sized), WindowGroupLimit caps
+    // each doc at 3 rows below the sort
+    "q_tfidf_top" -> ((s, dir) =>
+      TextOps.tfidfTop(Tables.documents(s, dir), "doc_id", "text", 3)),
+    // upsert compaction: the latest event per user via ONE max_by hash
+    // aggregate — map-side combine ships one candidate row per (task,
+    // key), where the window form would shuffle and sort the whole log
+    "q_latest_state" -> ((s, dir) =>
+      CoreOps.latestState(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type"), col("value")),
+        Seq("user_id"), Seq("ms", "event_id"))),
     // multi-dimensional cube: revenue at every (flag, status) subset — all
     // four grouping sets expand inside ONE partial-agg'd exchange
     "q_cube" -> ((s, dir) =>
@@ -1944,6 +1977,35 @@ object SparkEntry {
     // form (TextAndDedupSpec pins this) — the SAME oracle checks both plans
     "q_bm25_explode" -> bm25OracleSql,
 
+    // rational idf again (no ln); rank and tiebreak come from the EXACT
+    // score (bit-identical double arithmetic), trunc6 only at emission
+    "q_tfidf_top" ->
+      """WITH tk AS (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                    x -> x <> '') AS toks
+        |      FROM documents),
+        |ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tfv FROM ex GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*)::BIGINT AS dfv FROM tf GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT AS n FROM tk),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |         tfv::DOUBLE * (((n - dfv)::DOUBLE + 0.5) / (dfv::DOUBLE + 0.5)) AS score
+        |       FROM tf JOIN dfq USING (term), s),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, term, rank::BIGINT AS rank,
+        |       floor(score * 1000000) / 1000000 AS score
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // the compaction spec: last row per user by (ms, event_id)
+    "q_latest_state" ->
+      """SELECT user_id, event_id, ms, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  GROUPING(l_returnflag)::BIGINT AS g_flag,
@@ -2307,6 +2369,41 @@ object SparkEntry {
          |      FROM cl JOIN ntk USING (doc_id))
          |SELECT doc_id, source, lang FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM m WHERE rn > 1)""".stripMargin,
+
+    // same cluster closure; per-source arrival/survival counts and the
+    // dup rate (int64 counts exact; ONE double division, trunc6 both sides)
+    "q_dedup_report" ->
+      s"""WITH RECURSIVE $sqlDupClusterCtes,
+         |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |dr AS (SELECT doc_id FROM cl WHERE cluster_id <> doc_id),
+         |agg AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |          sum(CASE WHEN d.doc_id IN (SELECT doc_id FROM dr)
+         |              THEN 0 ELSE 1 END)::BIGINT AS n_kept
+         |        FROM documents d GROUP BY source)
+         |SELECT source, n_docs, n_kept,
+         |  floor((1.0::DOUBLE - n_kept::DOUBLE / n_docs::DOUBLE) * 1000000)
+         |    / 1000000 AS dup_rate
+         |FROM agg""".stripMargin,
+
+    // the diff statuses recomputed from CONTENT equality — the Spark side
+    // compares md5 fingerprints, so this row also checks the fingerprint
+    // never collides or misses on real data
+    "q_snapshot_diff" ->
+      """WITH oldc AS (SELECT doc_id, text, lang, source FROM documents),
+        |newc AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END AS text,
+        |           lang, source FROM documents WHERE doc_id % 10 <> 0
+        |         UNION ALL
+        |         SELECT doc_id + 10000000, text, lang, source FROM documents
+        |         WHERE doc_id % 10 = 2)
+        |SELECT doc_id, status FROM (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text <> n.text OR o.lang <> n.lang
+        |              OR o.source <> n.source THEN 'changed' END AS status
+        |  FROM oldc o FULL JOIN newc n ON o.doc_id = n.doc_id)
+        |WHERE status IS NOT NULL""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""WITH $sqlMinhashCtes,

@@ -1116,4 +1116,76 @@ object CoreOps {
       df.select(lit(tag).as("stream") +: cols.map(col): _*)
     shape(a, tagA).unionByName(shape(b, tagB))
   }
+
+  /** Upsert compaction — the latest full row per key, the step that turns
+    * an append-only change log into a current-state table. `ord` columns
+    * define the recency order LEXICOGRAPHICALLY and must form a total
+    * order within each key (e.g. (ts, unique event id)); a tie would make
+    * the kept row partitioning-dependent, so rows with a NULL in any `ord`
+    * column FAIL LOUDLY (NULL compares make max_by's choice
+    * engine-ambiguous) rather than silently win or lose.
+    *
+    * Distributed shape: ONE hash aggregate with `max_by(struct(payload),
+    * struct(ord))` — partial aggregation means each map task ships at most
+    * one candidate row per key it saw, so a 100 TB log with a 10^9-key
+    * state compacts through a shuffle of O(tasks × keys-per-task) single
+    * rows. The window alternative (row_number over key ORDER BY ord DESC)
+    * shuffles and sorts EVERY log row; this never materializes more than
+    * one row per (task, key). */
+  def latestState(df: DataFrame, keys: Seq[String],
+                  ord: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && ord.nonEmpty,
+      s"latestState needs key and order columns; got keys=$keys ord=$ord")
+    require(keys.intersect(ord).isEmpty,
+      s"key and order columns must be disjoint; both contain " +
+        s"${keys.intersect(ord).mkString(", ")}")
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    val nullOrd = ord.map(col(_).isNull).reduce(_ || _)
+    val guard = assert_true(!nullOrd,
+      concat(lit(s"latestState: order columns (${ord.mkString(", ")}) must " +
+        "be non-NULL for a deterministic winner; got ("),
+        concat_ws(", ", ord.map(c => coalesce(col(c).cast("string"),
+          lit("NULL"))): _*), lit(")")))
+    df.filter(guard.isNull)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(ord.map(col): _*)).as("_latest"))
+      .select(keys.map(col) ++ payload.map(c => col(s"_latest.$c")): _*)
+  }
+
+  /** Two-snapshot corpus delta — which ids were added, removed, or changed
+    * between an old and a new snapshot (the crawl-over-crawl diff that
+    * decides what to re-process). Rows are compared by an md5 fingerprint
+    * of `contentCols`, so the join ships (id, 8-byte hash) pairs ONLY —
+    * diffing two 100 TB snapshots moves O(ids) tiny rows, never content.
+    * One full-outer hash join on the id; unchanged rows are dropped by
+    * default (at crawl scale they are the overwhelming majority — emitting
+    * them would make the diff as big as the corpus). Emits (id, status)
+    * with status ∈ added | removed | changed. NULL ids fail loudly on
+    * either side: a full-outer join silently pairs nothing with them, and
+    * an id-less row in a snapshot is a data bug upstream. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, id: String,
+                   contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff needs content columns")
+    require(!contentCols.contains(id),
+      s"'$id' is the join key; fingerprint content columns only")
+    def fp(df: DataFrame, side: String) = {
+      val guard = assert_true(col(id).isNotNull,
+        lit(s"snapshotDiff: NULL $id in the $side snapshot — ids must be " +
+          "non-NULL for the diff to pair rows"))
+      // the u0001 joint and u0002 NULL marker: ("ab","c") vs ("a","bc") and
+      // NULL vs '' must fingerprint differently
+      df.filter(guard.isNull).select(col(id),
+        graft.expressions.Md5Expressions.md5Long(
+          concat_ws("\u0001", contentCols.map(c =>
+            coalesce(col(c).cast("string"), lit("\u0002"))): _*)).as(s"_fp_$side"))
+    }
+    fp(oldSnap, "old").join(fp(newSnap, "new"), Seq(id), "full_outer")
+      .withColumn("status",
+        when(col("_fp_old").isNull, lit("added"))
+          .when(col("_fp_new").isNull, lit("removed"))
+          .when(col("_fp_old") =!= col("_fp_new"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(id), col("status"))
+  }
 }

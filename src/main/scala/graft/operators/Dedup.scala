@@ -604,6 +604,39 @@ object Dedup {
     docs.join(losers, Seq(id), "left_anti")
   }
 
+  /** Per-dimension dedup report — the corpus-health summary a curation run
+    * ends with: for each value of `dim` (source, language, date…), how
+    * many docs arrived, how many survive canonical near-dup retention, and
+    * the duplicate rate. `clusters` is dupClusters output; a doc is
+    * dropped iff its cluster id is some OTHER doc (keepCanonical's rule).
+    *
+    * Distributed shape: the dropped set ships ids only (the cluster frame
+    * is already id-sized), ONE id-keyed join tags docs, ONE partial-agg'd
+    * groupBy on `dim` collapses to O(distinct dims) rows. dup_rate =
+    * 1 − kept/total, floor-truncated to 6 decimals — the int64 counts are
+    * exact, the one double division is IEEE-identical cross-engine. */
+  def dedupReport(docs: DataFrame, id: String, clusters: DataFrame,
+                  dim: String): DataFrame = {
+    val emitted = Seq("n_docs", "n_kept", "dup_rate", "_dropped")
+    val clash = docs.columns.intersect(emitted)
+    require(clash.isEmpty,
+      s"dedupReport emits ${emitted.mkString(", ")}; " +
+        s"rename the input's ${clash.mkString(", ")} first")
+    require(clusters.columns.contains("doc_id") &&
+        clusters.columns.contains("cluster_id"),
+      "dedupReport expects dupClusters output: (doc_id, cluster_id)")
+    val dropped = clusters.filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as(id), lit(true).as("_dropped"))
+    docs.select(col(id), col(dim))
+      .join(dropped, Seq(id), "left")
+      .groupBy(col(dim))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_dropped").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("dup_rate",
+        floor((lit(1.0) - col("n_kept").cast("double") /
+          col("n_docs").cast("double")) * 1000000d) / 1000000d)
+  }
+
   /** md5Long of every whitespace token — native single-pass kernel
     * (graft.expressions.TokenHashes); staged separately so multi-consumer
     * pipelines materialize it once. */

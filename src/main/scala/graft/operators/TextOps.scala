@@ -179,6 +179,55 @@ object TextOps {
         trunc6(coalesce(col("_score"), lit(0.0d))).as("bm25"))
   }
 
+  /** Per-document top-K terms by TF-IDF — the keyword/feature extraction
+    * every corpus indexing or topic-labeling pass needs. Uses the same
+    * rational Robertson idf as bm25 ((N − df + 0.5)/(df + 0.5) — only
+    * `+ * /` with one fixed association order, so scores are bit-identical
+    * cross-engine; ln is not ulp-specified) and score = tf · idf.
+    *
+    * Distributed shape: tokens explode ONCE; the (doc, term, tf) aggregate
+    * is checkpointed because it feeds BOTH the document-frequency table
+    * and the scores (the bm25Explode one-corpus-pass argument verbatim);
+    * document frequencies join back on the term key — a SHUFFLE join, not
+    * a broadcast, because unlike bm25Explode's bounded probe-term list
+    * this table is the full corpus vocabulary, which at web scale does not
+    * fit a broadcast. Only the 1-row doc count broadcasts. The per-doc
+    * top-K is a rank window
+    * partitioned by doc — WindowGroupLimit pushes the K cutoff below the
+    * sort, so each task keeps ≤ K rows per doc. Ties break by term ASC
+    * (identical tf and df ⇒ bit-identical score on both engines, so the
+    * tiebreak is engine-exact). Emits (id, term, rank, score) with score
+    * floor-truncated to 6 decimals; rank and term come from the EXACT
+    * score. Docs with no tokens emit nothing. */
+  def tfidfTop(docs: DataFrame, id: String, text: String,
+               topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val internal = Seq("term", "rank", "score", "_tf", "_df", "_n", "_score")
+    val clash = Seq(id).intersect(internal)
+    require(clash.isEmpty,
+      s"tfidfTop emits term/rank/score; rename the id column '$id'")
+    val toks = tokens(lower(col(text)))
+    val base = docs.select(col(id), toks.as("_toks"))
+    val n = base.agg(count(lit(1)).as("_n"))
+    val tf = base.select(col(id), explode(col("_toks")).as("term"))
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("_tf"))
+      .localCheckpoint(true)
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val idf = ((col("_n") - col("_df")).cast("double") + lit(0.5)) /
+      (col("_df").cast("double") + lit(0.5))
+    val score = col("_tf").cast("double") * idf
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("_score").desc, col("term"))
+    tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(id), col("term"), score.as("_score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(id), col("term"), col("rank"),
+        trunc6(col("_score")).as("score"))
+  }
+
   /** Language ID via stopword-hit counting: the classic cheap n-gram/function-
     * word heuristic. `profiles` maps language code → its function words; the
     * language with the most token hits wins (ties broken by language code).

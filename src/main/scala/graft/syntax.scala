@@ -138,6 +138,8 @@ object syntax {
       Dedup.keepCanonical(df, id, clusters)
     def keepBest(id: String, clusters: DataFrame, priority: Column): DataFrame =
       Dedup.keepBest(df, id, clusters, priority)
+    def dedupReport(id: String, clusters: DataFrame, dim: String): DataFrame =
+      Dedup.dedupReport(df, id, clusters, dim)
     def fuzzyPairs(id: String, str: String, k: Int, maxDist: Int): DataFrame =
       Dedup.fuzzyPairs(df, id, str, k, maxDist)
     def segmentPairs(id: String, str: String, maxDist: Int): DataFrame =
@@ -188,6 +190,13 @@ object syntax {
     def bm25Explode(id: String, text: String, terms: DataFrame,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame =
       TextOps.bm25Explode(df, id, text, terms, k1, b)
+    def tfidfTop(id: String, text: String, topK: Int): DataFrame =
+      TextOps.tfidfTop(df, id, text, topK)
+    def latestState(keys: Seq[String], ord: Seq[String]): DataFrame =
+      CoreOps.latestState(df, keys, ord)
+    def snapshotDiff(newSnap: DataFrame, id: String,
+                     contentCols: Seq[String]): DataFrame =
+      CoreOps.snapshotDiff(df, newSnap, id, contentCols)
     def bigramLm(text: String, topN: Int): DataFrame =
       TextOps.bigramLm(df, text, topN)
     def oovRate(id: String, text: String, n: Int, topN: Int): DataFrame =

@@ -450,4 +450,63 @@ class CoreOpsSpec extends SparkSpec {
     assert(merged.count() == 3)
     assert(merged.filter(col("stream") === "E").count() == 2)
   }
+
+  test("latestState keeps the lexicographically latest row per key under " +
+      "any partitioning; NULL order columns fail loud") {
+    val df = Seq(
+      (1L, 10L, 100L, "a", 1.0),
+      (2L, 20L, 100L, "b", 2.0),  // winner for 100 (later ms)
+      (3L, 20L, 200L, "c", 3.0),
+      (4L, 20L, 200L, "d", 4.0),  // winner for 200 (same ms, higher id)
+      (5L, 5L,  300L, "e", 5.0)   // sole row for 300
+    ).toDF("event_id", "ms", "user_id", "event_type", "value").repartition(7)
+    val got = CoreOps.latestState(df, Seq("user_id"), Seq("ms", "event_id"))
+      .select("user_id", "event_id", "event_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((100L, 2L, "b"), (200L, 4L, "d"), (300L, 5L, "e")))
+    val bad = Seq((Option(1L), Option.empty[Long], 1L))
+      .toDF("event_id", "ms", "user_id")
+    val err = intercept[Exception] {
+      CoreOps.latestState(bad, Seq("user_id"), Seq("ms", "event_id")).collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("non-NULL"))
+    assertThrows[IllegalArgumentException](
+      CoreOps.latestState(df, Seq("user_id"), Seq("user_id", "ms")))
+    assertThrows[IllegalArgumentException](
+      CoreOps.latestState(df, Seq.empty, Seq("ms")))
+  }
+
+  test("snapshotDiff classifies added/removed/changed, drops unchanged, " +
+      "distinguishes NULL from empty and column boundaries") {
+    val old = Seq(
+      (1L, Option("a"), Option("x")),
+      (2L, Option("b"), Option("y")),   // will change
+      (3L, Option("c"), Option("z")),   // will be removed
+      (4L, Option("ab"), Option("c")),  // boundary probe vs ("a","bc")
+      (5L, Option.empty[String], Option("w"))  // NULL vs "" probe
+    ).toDF("id", "t", "s")
+    val neu = Seq(
+      (1L, Option("a"), Option("x")),
+      (2L, Option("B"), Option("y")),
+      (4L, Option("a"), Option("bc")),
+      (5L, Option(""), Option("w")),
+      (6L, Option("new"), Option("n"))
+    ).toDF("id", "t", "s")
+    val got = CoreOps.snapshotDiff(old, neu, "id", Seq("t", "s"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "changed"),
+      (5L, "changed"), (6L, "added")))
+    val badId = Seq((Option.empty[Long], "a")).toDF("id", "t")
+    val err = intercept[Exception] {
+      CoreOps.snapshotDiff(badId, neu.select(col("id"), col("t")), "id",
+        Seq("t")).collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("NULL id"))
+    assertThrows[IllegalArgumentException](
+      CoreOps.snapshotDiff(old, neu, "id", Seq.empty))
+    assertThrows[IllegalArgumentException](
+      CoreOps.snapshotDiff(old, neu, "id", Seq("id", "t")))
+  }
 }

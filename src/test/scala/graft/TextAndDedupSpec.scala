@@ -459,6 +459,40 @@ class TextAndDedupSpec extends SparkSpec {
       .contains("segmentJoin(right)"))
   }
 
+  test("tfidfTop ranks per-doc terms by tf x rational idf with term-ASC " +
+      "tiebreak") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple date")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTop(docs, "doc_id", "text", 3)
+      .as[(Long, String, Long, Double)].collect().toSet
+    // N=3; df(apple)=df(banana)=2 -> idf=1.5/2.5=0.6; df(cherry)=df(date)=1
+    // -> idf=2.5/1.5=1.6666...; trunc6 floors to 1.666666
+    assert(got == Set(
+      (1L, "apple", 1L, 1.2), (1L, "banana", 2L, 0.6),
+      (2L, "cherry", 1L, 1.666666), (2L, "banana", 2L, 0.6),
+      (3L, "date", 1L, 1.666666), (3L, "apple", 2L, 0.6)))
+    assertThrows[IllegalArgumentException](
+      TextOps.tfidfTop(docs, "doc_id", "text", 0))
+  }
+
+  test("dedupReport counts arrivals, survivors and the dup rate per " +
+      "dimension value") {
+    val docs = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"))
+      .toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.dedupReport(docs, "doc_id", clusters, "source")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == Set(("A", 3L, 2L, 0.333333), ("B", 2L, 1L, 0.5)))
+    assertThrows[IllegalArgumentException](Dedup.dedupReport(
+      docs.withColumn("n_docs", lit(1)), "doc_id", clusters, "source"))
+    assertThrows[IllegalArgumentException](Dedup.dedupReport(
+      docs, "doc_id", clusters.withColumnRenamed("cluster_id", "c"), "source"))
+  }
+
   test("dupClusters converges on a 60-node chain within the round cap (pointer jumping)") {
     // diameter 59 > maxIters 30: plain neighbor propagation would silently
     // stop short; the pointer jump makes convergence O(log diameter)
