@@ -710,6 +710,15 @@ object SparkEntry {
         Tables.events(s, dir).select(col("user_id"), col("event_id"),
           unix_millis(col("ts")).as("ms"), col("event_type"), col("value")),
         Seq("user_id"), Seq("ms", "event_id"))),
+    // Morton codes for the multi-dim clustered layout: pure integer bit
+    // interleaving the oracle rebuilds term for term (writeZOrdered
+    // range-partitions on this value; CorpusLayoutSpec measures the
+    // per-dimension file pruning it buys)
+    "q_zorder" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        graft.sources.CorpusLayout.zValue(
+          Seq(col("user_id"), pmod(col("event_id"), lit(1048576L))), 20)
+          .as("z"))),
     // multi-dimensional cube: revenue at every (flag, status) subset — all
     // four grouping sets expand inside ONE partial-agg'd exchange
     "q_cube" -> ((s, dir) =>
@@ -1997,6 +2006,16 @@ object SparkEntry {
         |SELECT doc_id, term, rank::BIGINT AS rank,
         |       floor(score * 1000000) / 1000000 AS score
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // bit-for-bit Morton rebuild: same shifts, same disjoint-bit sum
+    "q_zorder" -> {
+      val dims = Seq("user_id", "e20")
+      val terms = (for { j <- 0 until 20; (x, i) <- dims.zipWithIndex }
+        yield s"((($x >> $j) & 1) << ${j * dims.size + i})").mkString(" + ")
+      s"""WITH b AS (SELECT event_id, user_id,
+         |            event_id % 1048576 AS e20 FROM events)
+         |SELECT event_id, ($terms)::BIGINT AS z FROM b""".stripMargin
+    },
 
     // the compaction spec: last row per user by (ms, event_id)
     "q_latest_state" ->

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Physical layout for a curated corpus at rest — the write side of a
   * 100 TB pipeline, where the layout decisions (partition directories,
@@ -39,6 +39,63 @@ object CorpusLayout {
     val laid = df.repartition(partitionCols.map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
     val writer = laid.write.mode("overwrite").partitionBy(partitionCols: _*)
+    (if (maxRecordsPerFile > 0L)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer)
+      .parquet(path)
+  }
+
+  /** Z-order (Morton) code of n non-negative integer dimensions, `bits`
+    * low bits each, interleaved into one long: bit j of dimension i lands
+    * at position j·n + i. Sorting by this single value tiles the space
+    * with axis-aligned blocks, so a file holding a CONTIGUOUS z-range has
+    * a tight min/max bounding box in EVERY dimension — the multi-column
+    * data-skipping layout a single-column sort cannot give (sort by x and
+    * the per-file y ranges all span the full domain; no y predicate ever
+    * skips a file).
+    *
+    * Pure integer Column arithmetic (shifts + masks + disjoint-bit adds),
+    * identical in any engine — the q_zorder oracle rebuilds it bit for
+    * bit. Values outside [0, 2^bits) FAIL LOUDLY: silently masking high
+    * bits would scatter out-of-range rows across the curve and quietly
+    * destroy the locality the layout promises — bucketize or mod the
+    * dimension explicitly first. */
+  def zValue(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"z-ordering needs >= 2 dimensions, got $n")
+    require(bits > 0 && bits * n <= 63,
+      s"bits * dims must fit a long: got $bits * $n = ${bits * n} > 63")
+    val lim = 1L << bits
+    val guarded = dims.map { d =>
+      val ok = d.isNotNull && d >= 0 && d < lim
+      when(assert_true(ok,
+        concat(lit(s"zValue: every dimension must be in [0, $lim); got "),
+          coalesce(d.cast("string"), lit("NULL")))).isNull, d.cast("long"))
+    }
+    (for { j <- 0 until bits; (d, i) <- guarded.zipWithIndex }
+      yield shiftleft(shiftright(d, j).bitwiseAND(lit(1L)), j * n + i))
+      .reduce(_ + _) // disjoint bit positions: + is OR, and SUM mirrors in SQL
+  }
+
+  /** Write `df` as parquet files tiling the z-curve: range-partition on
+    * the z-value of `zDims` (so each file owns a contiguous z-range = a
+    * bounded box in every dimension), sort within files by it (tight
+    * row-group stats), drop the helper column. Point/range predicates on
+    * ANY of the z dimensions then prune most files via parquet footer
+    * min/max — CorpusLayoutSpec measures exactly that. `numFiles` sizes
+    * the tiling; at scale pick data-size/file-band like
+    * writePartitioned's guidance. */
+  def writeZOrdered(df: DataFrame, path: String, zDims: Seq[String],
+                    bits: Int, numFiles: Int,
+                    maxRecordsPerFile: Long = 0L): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(!df.columns.contains("_z"),
+      "writeZOrdered uses '_z' internally; rename the input column")
+    val laid = df.withColumn("_z", zValue(zDims.map(col), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+    val writer = laid.write.mode("overwrite")
     (if (maxRecordsPerFile > 0L)
        writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer)

@@ -206,6 +206,10 @@ object syntax {
     def splitAssign(id: String, splits: Seq[(String, Double)],
                     out: String = "split", salt: String = ""): DataFrame =
       Sampling.splitAssign(df, id, splits, out, salt)
+    def writeZOrdered(path: String, zDims: Seq[String], bits: Int,
+                      numFiles: Int, maxRecordsPerFile: Long = 0L): Unit =
+      graft.sources.CorpusLayout.writeZOrdered(df, path, zDims, bits,
+        numFiles, maxRecordsPerFile)
     def languageId(id: String, text: String,
                    profiles: Map[String, Seq[String]]): DataFrame =
       TextOps.languageId(df, id, text, profiles)

@@ -48,4 +48,70 @@ class CorpusLayoutSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
   }
+
+  test("zValue interleaves bits; guards reject out-of-range and bad shapes") {
+    val df = Seq((3L, 1L), (0L, 0L), (5L, 6L)).toDF("x", "y")
+    val got = df.select(CorpusLayout.zValue(Seq(col("x"), col("y")), 3).as("z"))
+      .as[Long].collect().toSeq
+    // x bits land at even positions, y at odd: (3,1)->0b0111=7;
+    // (5,6)->x:1<<0|1<<4, y:1<<3|1<<5 = 0b111001 = 57
+    assert(got == Seq(7L, 0L, 57L))
+    val err = intercept[Exception] {
+      df.select(CorpusLayout.zValue(Seq(col("x"), col("y")), 2)).collect()
+    } // 5 and 6 exceed 2 bits
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("[0, 4)"))
+    assertThrows[IllegalArgumentException](
+      CorpusLayout.zValue(Seq(col("x")), 3))
+    assertThrows[IllegalArgumentException](
+      CorpusLayout.zValue(Seq(col("x"), col("y")), 32))
+  }
+
+  test("writeZOrdered files prune on EVERY z dimension where a plain sort " +
+      "prunes on one") {
+    // full 64x64 grid: every (x, y) once
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y").repartition(8)
+    val zOut = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val sOut = java.nio.file.Files.createTempDirectory("graft_s").toString
+    try {
+      CorpusLayout.writeZOrdered(grid, zOut, Seq("x", "y"), 6, 16)
+      // baseline: the same data range-partitioned + sorted on x alone
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(sOut)
+      def spans(path: String) = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .as[(String, Long, Long, Long, Long)].collect()
+      def pruneFrac(s: Seq[(String, Long, Long, Long, Long)],
+                    lo: (String, Long, Long, Long, Long) => Long,
+                    hi: (String, Long, Long, Long, Long) => Long): Double = {
+        // fraction of files a point probe can SKIP, averaged over probes
+        val probes = Seq(5L, 21L, 40L, 59L)
+        probes.map { p =>
+          s.count(f => p < lo.tupled(f) || p > hi.tupled(f)).toDouble / s.size
+        }.sum / probes.size
+      }
+      val z = spans(zOut)
+      val x1 = spans(sOut)
+      assert(z.length > 8 && x1.length > 8)
+      // plain x-sort: x probes skip most files, y probes skip ~none
+      assert(pruneFrac(x1, (_, a, _, _, _) => a, (_, _, b, _, _) => b) > 0.7)
+      assert(pruneFrac(x1, (_, _, _, c, _) => c, (_, _, _, _, d) => d) < 0.1)
+      // z-order: BOTH dimensions prune substantially
+      assert(pruneFrac(z, (_, a, _, _, _) => a, (_, _, b, _, _) => b) > 0.4)
+      assert(pruneFrac(z, (_, _, _, c, _) => c, (_, _, _, _, d) => d) > 0.4)
+      // lossless round trip
+      assert(spark.read.parquet(zOut).as[(Long, Long)].collect().toSet ==
+        grid.as[(Long, Long)].collect().toSet)
+      assertThrows[IllegalArgumentException](
+        CorpusLayout.writeZOrdered(grid, zOut, Seq("x", "y"), 6, 0))
+      assertThrows[IllegalArgumentException](CorpusLayout.writeZOrdered(
+        grid.withColumn("_z", lit(1)), zOut, Seq("x", "y"), 6, 4))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zOut))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sOut))
+    }
+  }
 }
