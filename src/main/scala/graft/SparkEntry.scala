@@ -248,6 +248,16 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
         MhK, MhBands, MhRows, 0.5)),
+    // the ingest-time dedup gate: a fresh crawl slice (doc_id%7==3)
+    // LSH-joined against the standing corpus (the rest) — no batch
+    // self-pairs, no shared state across the two sides
+    "q_minhash_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.lshJaccardJoin(
+        docs.filter(col("doc_id") % 7 === 3),
+        docs.filter(col("doc_id") % 7 =!= 3),
+        "doc_id", "text", "doc_id", "text", MhK, MhBands, MhRows, 0.5)
+    }),
     "q_simhash" -> ((s, dir) =>
       // staged: hash tokens once per row, then the 60 bit-votes read the
       // materialized array (see Dedup.tokenHashes scaladoc)
@@ -1616,6 +1626,22 @@ object SparkEntry {
     "q_minhash_pairs" ->
       s"""WITH $sqlMinhashCtes
          |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5""".stripMargin,
+
+    // same signature/band CTEs; candidates cross the slice boundary and
+    // the verify is the exact distinct-hash Jaccard both engines share
+    "q_minhash_join" ->
+      s"""WITH $sqlMinhashCtes,
+         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh),
+         |cc AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |       FROM banded a JOIN banded b USING (bucket)
+         |       WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3)
+         |SELECT left_id, right_id, jacc AS jaccard FROM (
+         |  SELECT c.left_id, c.right_id,
+         |    len(list_intersect(x.sh, y.sh))::DOUBLE /
+         |      len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE AS jacc
+         |  FROM cc c JOIN shs x ON c.left_id = x.doc_id
+         |            JOIN shs y ON c.right_id = y.doc_id)
+         |WHERE jacc >= 0.5""".stripMargin,
 
     "q_pq_topk" ->
       s"""WITH $sqlPqCtes,

@@ -760,6 +760,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus MinHash-LSH near-dup join — match an incoming batch
+    * (`left`) against an existing corpus (`right`) above `minJaccard`,
+    * WITHOUT comparing the batch to itself: the ingest-time dedup gate a
+    * growing corpus runs on every new crawl slice. Same signature pipeline
+    * as lshJaccardPairs on each side — the md5-derived hash family is a
+    * pure function of the text, so unlike fuzzyJoin's union-frequency
+    * order there is NO shared state to compute across the corpora; the
+    * two sides only meet at the band-bucket equi-join. Verification is
+    * the exact distinct-shingle-hash Jaccard, fused before `distinct` so
+    * multi-band hits shrink in the same shuffle. Emits
+    * (left_id, right_id, jaccard) — every qualifying cross pair once.
+    * Scale shape: one bucket-keyed hash join (candidates only ever expand
+    * inside shared buckets — never corpus × batch), then the verify is a
+    * map stage over candidate rows. The standard too-common-bucket cutoff
+    * applies upstream for degenerate corpora (see SCALE.md). */
+  def lshJaccardJoin(left: DataFrame, right: DataFrame,
+                     idL: String, textL: String, idR: String, textR: String,
+                     k: Int, bands: Int, rowsPerBand: Int,
+                     minJaccard: Double): DataFrame = {
+    val n = bands * rowsPerBand
+    def staged(df: DataFrame, id: String, text: String) =
+      spread(df).select(col(id).as("doc"),
+          shingleHashes(col(text), k).as("hs"))
+        .select(col("doc"), array_distinct(col("hs")).as("sh"),
+          minhashFromHashes(col("hs"), n).as("sig"))
+    def banded(df: DataFrame) = {
+      val bucketCols = (0 until bands).map { b =>
+        concat(lit(s"${b}_"), concat_ws(",",
+          (0 until rowsPerBand).map(j =>
+            col("sig")(b * rowsPerBand + j).cast("string")): _*))
+      }
+      df.select(col("doc"), col("sh"),
+        explode(array(bucketCols: _*)).as("bucket"))
+    }
+    banded(staged(left, idL, textL))
+      .select(col("bucket"), col("doc").as("left_id"), col("sh").as("sh_l"))
+      .join(banded(staged(right, idR, textR))
+        .select(col("bucket"), col("doc").as("right_id"),
+          col("sh").as("sh_r")),
+        Seq("bucket"))
+      .select(col("left_id"), col("right_id"),
+        jaccardHashes(col("sh_l"), col("sh_r")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard) // before distinct: shrink the shuffle
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard near-dup pairs over a caller-supplied candidate
     * set (any pair source). For LSH candidates prefer lshJaccardPairs, which
     * fuses candidate generation and verification into one shuffle. The set

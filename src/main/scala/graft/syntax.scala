@@ -150,6 +150,11 @@ object syntax {
     def fuzzyJoin(right: DataFrame, idL: String, strL: String, idR: String,
                   strR: String, k: Int, maxDist: Int): DataFrame =
       Dedup.fuzzyJoin(df, right, idL, strL, idR, strR, k, maxDist)
+    def lshJaccardJoin(right: DataFrame, idL: String, textL: String,
+                       idR: String, textR: String, k: Int, bands: Int,
+                       rowsPerBand: Int, minJaccard: Double): DataFrame =
+      Dedup.lshJaccardJoin(df, right, idL, textL, idR, textR, k, bands,
+        rowsPerBand, minJaccard)
     def contaminationPairs(bench: DataFrame, id: String, text: String, k: Int,
                            w: Int, minContainment: Double): DataFrame =
       Dedup.contaminationPairs(df, bench, id, text, k, w, minContainment)

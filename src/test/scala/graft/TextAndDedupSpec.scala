@@ -459,6 +459,28 @@ class TextAndDedupSpec extends SparkSpec {
       .contains("segmentJoin(right)"))
   }
 
+  test("lshJaccardJoin matches batch docs against the corpus only — no " +
+      "batch self-pairs, exact jaccard verify") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (11L, "completely different content about spark and parquet files"),
+      (12L, "another unrelated doc on streaming watermarks and state")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (3L, "nothing like anything in the corpus at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lshJaccardJoin(batch, corpus, "doc_id", "text",
+        "doc_id", "text", 3, 8, 2, 0.5)
+      .as[(Long, Long, Double)].collect()
+    // docs 1 and 2 both hit corpus doc 10 at jaccard 1.0; crucially the
+    // identical batch pair (1,2) is NOT emitted — the gate never compares
+    // the batch to itself
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 10L), (2L, 10L)))
+    assert(got.forall(_._3 == 1.0))
+  }
+
   test("tfidfTop ranks per-doc terms by tf x rational idf with term-ASC " +
       "tiebreak") {
     val docs = Seq(
