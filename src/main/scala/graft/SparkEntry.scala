@@ -348,6 +348,15 @@ object SparkEntry {
     "q_dedup_report" -> ((s, dir) =>
       Dedup.dedupReport(Tables.documents(s, dir), "doc_id",
         dupClustersShared(s, dir), "source")),
+    // contrastive hard negatives: 4 per anchor from a 200-doc hash pool,
+    // never the anchor's own near-dup cluster — all choices pure functions
+    // of (ids, salt), so the draw is identical on any engine/partitioning
+    "q_negative_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.negativeSample(docs, "doc_id",
+        docs.filter(col("doc_id") % 11 === 0),
+        dupClustersShared(s, dir), 200, 4)
+    }),
     // crawl-over-crawl delta: the new snapshot drops doc_id%10==0,
     // rewrites %10==1, and adds %10==2 under shifted ids — the diff ships
     // (id, md5 fingerprint) pairs only, never content
@@ -2414,6 +2423,30 @@ object SparkEntry {
          |      FROM cl JOIN ntk USING (doc_id))
          |SELECT doc_id, source, lang FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM m WHERE rn > 1)""".stripMargin,
+
+    // same cluster closure; pool = smallest-200 md5 ids, per-anchor rank =
+    // md5(anchor|neg|) — the identical integers on both engines
+    "q_negative_sample" ->
+      s"""WITH RECURSIVE $sqlDupClusterCtes,
+         |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |pool AS (SELECT doc_id AS neg_id FROM documents
+         |         ORDER BY ${sqlMd5Int("doc_id::VARCHAR || ':'")}, doc_id
+         |         LIMIT 200),
+         |poolc AS (SELECT neg_id, COALESCE(c.cluster_id, neg_id) AS ncl
+         |          FROM pool LEFT JOIN cl c ON pool.neg_id = c.doc_id),
+         |anch AS (SELECT d.doc_id AS anchor_id,
+         |           COALESCE(c.cluster_id, d.doc_id) AS acl
+         |         FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id
+         |         WHERE d.doc_id % 11 = 0),
+         |negcand AS (SELECT anchor_id, neg_id,
+         |           ${sqlMd5Int("anchor_id::VARCHAR || '|' || neg_id::VARCHAR || '|'")} AS r
+         |         FROM anch, poolc
+         |         WHERE anchor_id <> neg_id AND acl <> ncl),
+         |rk AS (SELECT anchor_id, neg_id,
+         |         row_number() OVER (PARTITION BY anchor_id
+         |                            ORDER BY r, neg_id) AS rank FROM negcand)
+         |SELECT anchor_id, neg_id, rank::BIGINT AS rank
+         |FROM rk WHERE rank <= 4""".stripMargin,
 
     // same cluster closure; per-source arrival/survival counts and the
     // dup rate (int64 counts exact; ONE double division, trunc6 both sides)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling for training-data pipelines (beyond the
@@ -149,5 +150,58 @@ object Sampling {
     }
     df.withColumn("copy",
       explode(when(n > 0, sequence(lit(0L), n - 1)).otherwise(array().cast("array<long>"))))
+  }
+
+  /** Deterministic hard-negative sampling for contrastive training: for
+    * each anchor, `k` pseudo-random negatives drawn from a bounded
+    * candidate pool, excluding the anchor itself AND anything in the
+    * anchor's near-dup cluster (a near-dup labelled "negative" poisons a
+    * contrastive objective — that exclusion is the whole point of wiring
+    * `clusters` in). Every choice is a pure function of (ids, salt):
+    * the pool is the `poolSize` corpus ids with the smallest
+    * md5(id || ':' salt), and each anchor ranks pool members by
+    * md5(anchor '|' neg '|' salt) — so reruns, engines, and partitionings
+    * all agree row for row, and growing the corpus only perturbs the pool
+    * at the hash boundary.
+    *
+    * Scale shape: the pool is a TakeOrderedAndProject (top-poolSize by
+    * hash — no full sort) joined to cluster ids and BROADCAST; per-anchor
+    * candidate generation is a map-side nested-loop over poolSize rows,
+    * and the per-anchor top-k is a rank window that WindowGroupLimit caps
+    * at k rows per anchor per task. Driver/broadcast traffic is
+    * O(poolSize); nothing anchors-sized ever collects. `clusters` is
+    * dupClusters output; docs in no cluster count as their own cluster.
+    * Emits (anchor_id, neg_id, rank). */
+  def negativeSample(corpus: DataFrame, id: String, anchors: DataFrame,
+                     clusters: DataFrame, poolSize: Int, k: Int,
+                     salt: String = ""): DataFrame = {
+    require(poolSize > 0 && k > 0,
+      s"poolSize and k must be positive, got $poolSize, $k")
+    require(clusters.columns.contains("doc_id") &&
+        clusters.columns.contains("cluster_id"),
+      "negativeSample expects dupClusters output: (doc_id, cluster_id)")
+    val cl = clusters.select(col("doc_id"), col("cluster_id"))
+    val pool = corpus.select(col(id).as("neg_id"))
+      .withColumn("_ord", keyHash(col("neg_id"), ":" + salt))
+      .orderBy(col("_ord"), col("neg_id")).limit(poolSize)
+      .join(cl.select(col("doc_id").as("neg_id"),
+        col("cluster_id").as("_ncl")), Seq("neg_id"), "left")
+      .select(col("neg_id"), coalesce(col("_ncl"), col("neg_id")).as("_ncl"))
+    val anch = anchors.select(col(id).as("anchor_id"))
+      .join(cl.select(col("doc_id").as("anchor_id"),
+        col("cluster_id").as("_acl")), Seq("anchor_id"), "left")
+      .select(col("anchor_id"), coalesce(col("_acl"), col("anchor_id")).as("_acl"))
+    val pairHash = graft.expressions.Md5Expressions.md5Int(
+      concat(col("anchor_id").cast("string"), lit("|"),
+        col("neg_id").cast("string"), lit("|" + salt)))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("_r"), col("neg_id"))
+    anch.crossJoin(broadcast(pool))
+      .filter(col("anchor_id") =!= col("neg_id") &&
+        col("_acl") =!= col("_ncl"))
+      .withColumn("_r", pairHash)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("rank"))
   }
 }

@@ -162,6 +162,9 @@ object syntax {
       Sampling.hashSample(df, id, rate, salt)
     def hashSampleWeighted(id: String, rate: Column, salt: String = ""): DataFrame =
       Sampling.hashSampleWeighted(df, id, rate, salt)
+    def negativeSample(id: String, anchors: DataFrame, clusters: DataFrame,
+                       poolSize: Int, k: Int, salt: String = ""): DataFrame =
+      Sampling.negativeSample(df, id, anchors, clusters, poolSize, k, salt)
     def stratifiedSample(stratum: String, id: String, rates: Map[String, Double],
                          defaultRate: Double, salt: String = ""): DataFrame =
       Sampling.stratifiedSample(df, stratum, id, rates, defaultRate, salt)

@@ -198,6 +198,38 @@ class SamplingCurationSpec extends SparkSpec {
       Curation.batchByLength(df, "doc_id", "n_tokens", Seq(30L), 0))
   }
 
+  test("negativeSample draws k deterministic negatives per anchor, never " +
+      "the anchor or its dup cluster, invariant under partitioning") {
+    val corpus = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val anchors = corpus.filter(col("doc_id") <= 3)
+    // anchors 1 and 2 share a cluster with docs 10, 11; doc 3 unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val got = Sampling.negativeSample(corpus, "doc_id", anchors, clusters,
+        50, 5).as[(Long, Long, Long)].collect()
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.keySet == Set(1L, 2L, 3L))
+    byAnchor.foreach { case (a, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(!rows.map(_._2).contains(a)) // never the anchor itself
+    }
+    // cluster-mates of anchors 1/2 (docs 1, 2, 10, 11) are never negatives
+    Seq(1L, 2L).foreach { a =>
+      assert(byAnchor(a).map(_._2).toSet
+        .intersect(Set(1L, 2L, 10L, 11L)).isEmpty)
+    }
+    // the unclustered anchor may draw clustered docs, just not itself
+    val again = Sampling.negativeSample(corpus.repartition(13), "doc_id",
+        anchors.repartition(3), clusters, 50, 5)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSet == again.toSet)
+    assertThrows[IllegalArgumentException](Sampling.negativeSample(
+      corpus, "doc_id", anchors, clusters, 0, 5))
+    assertThrows[IllegalArgumentException](Sampling.negativeSample(
+      corpus, "doc_id", anchors,
+      clusters.withColumnRenamed("cluster_id", "c"), 50, 5))
+  }
+
   test("curate composes dedup-canonical, language and quality gates") {
     val fixture = Seq(
       (1L, "the cat and the dog sat in the house for a while and it was good"),
