@@ -91,6 +91,30 @@ object SparkEntry {
           CoreOps.exactSumFloor(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"))),
 
+    // TPC-H Q3 shape (shipping priority): selective filters reach all
+    // three scans BEFORE the joins (PushedFilters), the grouped revenue
+    // uses the exact floor-cents decimal sum, and the top-10 is a
+    // TakeOrderedAndProject — never a global sort
+    "q_ship_priority" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1995-06-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(CoreOps.exactSumFloor(
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        // the parquet column is TIMESTAMP_NTZ; session TZ is UTC, so the
+        // cast reads it as the same instant DuckDB's epoch_ms sees
+        .select(col("l_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)),
+
     // ── §2.5 aggregations (E1, E2, E4, E8) ────────────────────────────────
     "q_keyed_sum" -> ((s, dir) =>
       CoreOps.keyedSum(Tables.events(s, dir), "user_id", "value", "total_value")),
@@ -2041,6 +2065,20 @@ object SparkEntry {
         |SELECT doc_id, term, rank::BIGINT AS rank,
         |       floor(score * 1000000) / 1000000 AS score
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // exact floor-cents revenue; the set of top-10 rows is deterministic
+    // (revenue DESC, orderkey) so the sorted-rows hash compare holds
+    "q_ship_priority" ->
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS odate_ms, o_orderpriority,
+        |  CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+        |    AS DECIMAL(28,0))) AS DOUBLE) / 100 AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-06-01'
+        |  AND l_shipdate > TIMESTAMP '1995-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     // bit-for-bit Morton rebuild: same shifts, same disjoint-bit sum
     "q_zorder" -> {

@@ -135,6 +135,36 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestState runs unchanged on a stream: complete-mode state table " +
+      "== batch compaction, late rows lose across batches") {
+    val batch1 = Seq(
+      KeyedEvent("1", 1000, 1, "a"), KeyedEvent("2", 2000, 2, "b"))
+    val batch2 = Seq(
+      KeyedEvent("1", 5000, 3, "c"),  // newer: replaces key 1's state
+      KeyedEvent("2", 1500, 4, "d"))  // older than (2000, 2): must lose
+    val input = MemoryStream[KeyedEvent]
+    // the BATCH operator applied verbatim to a stream — max_by aggregation
+    // is streaming-compatible, state is one row per key (bounded by key
+    // cardinality, no watermark needed for correctness)
+    val q = graft.operators.CoreOps
+      .latestState(input.toDS().toDF(), Seq("key"), Seq("tsMs", "tiebreak"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ls_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("ls_par")
+        .select("key", "tsMs", "tiebreak", "kind")
+        .as[(String, Long, Long, String)].collect().toSet
+      val twin = graft.operators.CoreOps
+        .latestState((batch1 ++ batch2).toDF(), Seq("key"), Seq("tsMs", "tiebreak"))
+        .select("key", "tsMs", "tiebreak", "kind")
+        .as[(String, Long, Long, String)].collect().toSet
+      assert(streamed == twin)
+      assert(streamed == Set(("1", 5000L, 3L, "c"), ("2", 2000L, 2L, "b")))
+    } finally q.stop()
+  }
+
   test("windowedUsersApprox finalizes windows == batch distinct (sparse-exact)") {
     val batch1 = Seq(
       KeyedEvent("1", 1000, 1, "a"), KeyedEvent("2", 1500, 2, "a"),
