@@ -115,6 +115,22 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)),
 
+    // one-pass Deequ-style profile of the event table's numeric columns:
+    // every metric for every column in ONE aggregate job (the distinct
+    // counts are the only shuffle — one Expand hash agg, q_cube's shape)
+    "q_numeric_profile" -> ((s, dir) =>
+      CoreOps.numericProfile(Tables.events(s, dir),
+        Seq("event_id", "user_id", "value"))),
+    // the data-quality gate as a report: row checks share one corpus
+    // pass, the uniqueness check is one partial-agg'd groupBy
+    "q_constraints" -> ((s, dir) =>
+      CoreOps.constraintReport(Tables.events(s, dir),
+        Seq("ts_not_null" -> col("ts").isNotNull,
+          "value_non_negative" -> (col("value") >= 0),
+          "known_event_type" -> col("event_type").isin(
+            "view", "click", "purchase", "signup", "error")),
+        Seq("event_id"))),
+
     // ── §2.5 aggregations (E1, E2, E4, E8) ────────────────────────────────
     "q_keyed_sum" -> ((s, dir) =>
       CoreOps.keyedSum(Tables.events(s, dir), "user_id", "value", "total_value")),
@@ -2065,6 +2081,35 @@ object SparkEntry {
         |SELECT doc_id, term, rank::BIGINT AS rank,
         |       floor(score * 1000000) / 1000000 AS score
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // per-column metrics as independent aggregates, stacked — int64 counts
+    // and integral-valued doubles, exact everywhere
+    "q_numeric_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::DOUBLE AS min_v, max($c)::DOUBLE AS max_v FROM events""".stripMargin
+      Seq("event_id", "user_id", "value").map(one).mkString("\nUNION ALL\n")
+    },
+
+    // row checks as conditional sums; uniqueness = rows of keys seen twice
+    "q_constraints" ->
+      """SELECT 'ts_not_null' AS "check",
+        |  sum(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS violations
+        |FROM events
+        |UNION ALL
+        |SELECT 'value_non_negative',
+        |  sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END)::BIGINT FROM events
+        |UNION ALL
+        |SELECT 'known_event_type',
+        |  sum(CASE WHEN event_type IN ('view','click','purchase','signup','error')
+        |      THEN 0 ELSE 1 END)::BIGINT FROM events
+        |UNION ALL
+        |SELECT 'unique(event_id)',
+        |  COALESCE(sum(CASE WHEN n > 1 THEN n END), 0)::BIGINT
+        |FROM (SELECT event_id, count(*) AS n FROM events
+        |      WHERE event_id IS NOT NULL GROUP BY 1)""".stripMargin,
 
     // exact floor-cents revenue; the set of top-10 rows is deterministic
     // (revenue DESC, orderkey) so the sorted-rows hash compare holds

@@ -289,6 +289,77 @@ object CoreOps {
     else prof.getLong(0).toDouble / prof.getLong(1)
   }
 
+  /** One-pass numeric column profiler — the Deequ-style table summary a
+    * pipeline logs before/after every stage: per column, row count, NULL
+    * count, exact distinct count, min and max (as double). ONE aggregate
+    * job computes every metric for every column; the single result row is
+    * localCheckpointed and the per-column output rows are projections of
+    * it — profiling a 100 TB table is exactly one scan, however many
+    * columns. The distinct counts compile to one Expand (×columns) hash
+    * aggregate — the same plan shape as q_cube, linear in columns, and the
+    * only part of the profile that shuffles. Columns must be numeric
+    * (min/max round-trip through double exactly; strings' min/max collate
+    * engine-specifically and are deliberately excluded). */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
+    val numeric = Set("ByteType", "ShortType", "IntegerType", "LongType",
+      "FloatType", "DoubleType")
+    cols.foreach { c =>
+      val f = df.schema(c)
+      require(numeric.contains(f.dataType.toString) ||
+          f.dataType.toString.startsWith("DecimalType"),
+        s"numericProfile profiles numeric columns; '$c' is ${f.dataType}")
+    }
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$i"),
+        countDistinct(col(c)).as(s"_nd_$i"),
+        min(col(c)).cast("double").as(s"_mn_$i"),
+        max(col(c)).cast("double").as(s"_mx_$i"))
+    }
+    val row = df.agg(count(lit(1)).as("_n"), aggs: _*).localCheckpoint(true)
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"), col("_n").as("n_rows"),
+        col(s"_nn_$i").as("n_nulls"), col(s"_nd_$i").as("n_distinct"),
+        col(s"_mn_$i").as("min_v"), col(s"_mx_$i").as("max_v"))
+    }
+    row.select(explode(array(stacked: _*)).as("_p")).select(col("_p.*"))
+  }
+
+  /** Declarative data-quality gate — count violations of named row
+    * predicates plus key-uniqueness constraints, as a REPORT rather than a
+    * fail-loud assert (the guards elsewhere stop a job; this one feeds the
+    * dashboard that decides whether to ship the output). Row checks share
+    * ONE corpus pass (a single aggregate of conditional sums); each
+    * uniqueness check is one extra partial-agg'd groupBy counting keys
+    * seen more than once (NULL keys ignored, like SQL UNIQUE). Emits
+    * (check, violations) — one row per named check, zero meaning pass. */
+  def constraintReport(df: DataFrame, rowChecks: Seq[(String, Column)],
+                       uniqueKeys: Seq[String] = Seq.empty): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueKeys.nonEmpty,
+      "constraintReport needs at least one check")
+    val names = rowChecks.map(_._1) ++ uniqueKeys.map(k => s"unique($k)")
+    require(names.distinct == names, s"duplicate check names in $names")
+    val rowPart = if (rowChecks.isEmpty) None else Some {
+      val aggs = rowChecks.zipWithIndex.map { case ((_, pred), i) =>
+        // a NULL predicate is a violation too: the check didn't hold
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_v_$i")
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      val stacked = rowChecks.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("check"), col(s"_v_$i").as("violations"))
+      }
+      row.select(explode(array(stacked: _*)).as("_c")).select(col("_c.*"))
+    }
+    val uniqueParts = uniqueKeys.map { k =>
+      df.filter(col(k).isNotNull).groupBy(col(k))
+        .agg(count(lit(1)).as("_n"))
+        .agg(coalesce(sum(when(col("_n") > 1L, col("_n"))), lit(0L))
+          .as("violations"))
+        .select(lit(s"unique($k)").as("check"), col("violations"))
+    }
+    (rowPart.toSeq ++ uniqueParts).reduce(_ unionByName _)
+  }
+
   /** Per-GROUP top-N with a deterministic tiebreak — the "best K docs per
     * (source, lang)" sampler. Unlike keyProfile's global top-N
     * (TakeOrderedAndProject), this compiles to WindowGroupLimit: Spark

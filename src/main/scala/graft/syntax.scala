@@ -202,6 +202,11 @@ object syntax {
       TextOps.tfidfTop(df, id, text, topK)
     def latestState(keys: Seq[String], ord: Seq[String]): DataFrame =
       CoreOps.latestState(df, keys, ord)
+    def numericProfile(cols: Seq[String]): DataFrame =
+      CoreOps.numericProfile(df, cols)
+    def constraintReport(rowChecks: Seq[(String, Column)],
+                         uniqueKeys: Seq[String] = Seq.empty): DataFrame =
+      CoreOps.constraintReport(df, rowChecks, uniqueKeys)
     def snapshotDiff(newSnap: DataFrame, id: String,
                      contentCols: Seq[String]): DataFrame =
       CoreOps.snapshotDiff(df, newSnap, id, contentCols)

@@ -451,6 +451,43 @@ class CoreOpsSpec extends SparkSpec {
     assert(merged.filter(col("stream") === "E").count() == 2)
   }
 
+  test("numericProfile computes all metrics for all columns in one pass") {
+    val df = Seq(
+      (Option(1L), Option(1.5)), (Option(2L), Option(-2.0)),
+      (Option(2L), Option.empty[Double]), (Option.empty[Long], Option(1.5))
+    ).toDF("k", "v")
+    val got = CoreOps.numericProfile(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      ("k", 4L, 1L, 2L, Some(1.0), Some(2.0)),
+      ("v", 4L, 1L, 2L, Some(-2.0), Some(1.5))))
+    assertThrows[IllegalArgumentException](
+      CoreOps.numericProfile(df.withColumn("s", lit("x")), Seq("s")))
+    assertThrows[IllegalArgumentException](
+      CoreOps.numericProfile(df, Seq.empty))
+  }
+
+  test("constraintReport counts violations per named check; NULL predicates " +
+      "violate; uniqueness counts rows of duplicated keys") {
+    val df = Seq(
+      (Option(1L), Option(5.0)), (Option(2L), Option(-1.0)),
+      (Option(2L), Option.empty[Double]), (Option(2L), Option(3.0)),
+      (Option.empty[Long], Option(1.0))
+    ).toDF("id", "v")
+    val got = CoreOps.constraintReport(df,
+        Seq("v_pos" -> (col("v") >= 0), "id_set" -> col("id").isNotNull),
+        Seq("id"))
+      .as[(String, Long)].collect().toMap
+    // v_pos: -1.0 and NULL violate = 2; id_set: one NULL = 1;
+    // unique(id): key 2 has 3 rows = 3 (NULL ids ignored)
+    assert(got == Map("v_pos" -> 2L, "id_set" -> 1L, "unique(id)" -> 3L))
+    assertThrows[IllegalArgumentException](
+      CoreOps.constraintReport(df, Seq.empty, Seq.empty))
+    assertThrows[IllegalArgumentException](CoreOps.constraintReport(df,
+      Seq("unique(id)" -> col("v").isNotNull), Seq("id")))
+  }
+
   test("latestState keeps the lexicographically latest row per key under " +
       "any partitioning; NULL order columns fail loud") {
     val df = Seq(
