@@ -180,6 +180,26 @@ object StreamOps {
       write(CoreOps.asofJoin(batch, right, key, ts, rightCols), batchId)
     }
 
+  /** Streaming fuzzy entity resolution, stream-static form: every
+    * micro-batch of incoming strings resolves against the CURRENT
+    * registry with the batch Dedup.segmentJoin — the ingest-time "is this
+    * title/name/url within d edits of something we know" lookup, running
+    * continuously. Per-row semantics against a static right side, so the
+    * union of per-batch outputs equals the one-shot batch join regardless
+    * of the micro-batch split (StreamingParitySpec pins this). The
+    * registry's segment index and distinct-length list rebuild per
+    * trigger — the price of picking up registry changes at trigger
+    * granularity; for a frozen registry, precompute outside. Same
+    * idempotent-sink contract as asofJoinEachBatch. */
+  def segmentJoinEachBatch(left: DataFrame, right: DataFrame,
+                           idL: String, strL: String, idR: String,
+                           strR: String, maxDist: Int)(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    left.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      write(graft.operators.Dedup.segmentJoin(batch, right, idL, strL,
+        idR, strR, maxDist), batchId)
+    }
+
   /** Streaming allowlist/blocklist gate, stream-static form: every
     * micro-batch of `big` runs the batch CoreOps.bloomAntiJoin against the
     * CURRENT `small` relation — drop rows whose key appears in a

@@ -135,6 +135,33 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("segmentJoinEachBatch(stream-static) == segmentJoin(batch) across " +
+      "batch splits") {
+    val registry = Seq((100L, "weekly report 2024"), (101L, "monthly digest"))
+      .toDF("rid", "name")
+    val batch1 = Seq((1L, "weekly report 2025"), (2L, "unrelated text here"))
+    val batch2 = Seq((3L, "weekly report 2024"), (4L, "monthly digest!"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "head")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = StreamOps.segmentJoinEachBatch(stream, registry,
+        "doc_id", "head", "rid", "name", 2) { (out, _) =>
+      sink.synchronized {
+        sink ++= out.as[(Long, Long, Long)].collect()
+      }
+    }.start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val expected = graft.operators.Dedup.segmentJoin(
+          (batch1 ++ batch2).toDF("doc_id", "head"), registry,
+          "doc_id", "head", "rid", "name", 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sink.toSet == expected)
+      assert(sink.toSet == Set((1L, 100L, 1L), (3L, 100L, 0L), (4L, 101L, 1L)))
+    } finally q.stop()
+  }
+
   test("latestState runs unchanged on a stream: complete-mode state table " +
       "== batch compaction, late rows lose across batches") {
     val batch1 = Seq(
