@@ -838,6 +838,21 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("n_tokens",
           size(TextOps.tokens(col("text"))).cast("long")),
         "lang", "n_chars", "n_tokens")),
+    // every feature-pair correlation in ONE aggregate pass (the
+    // numericProfile stacking shape over exactCorr's decimal moments)
+    "q_corr_matrix" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      CoreOps.corrMatrix(
+        Tables.documents(s, dir).select(col("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_uniq")),
+        Seq("n_chars", "n_tokens", "n_uniq"))
+    }),
+    // the user-lifecycle curve: daily cohorts of first activity, distinct
+    // actives per (cohort, offset), trunc6'd retention ratio
+    "q_retention" -> ((s, dir) =>
+      CoreOps.retentionCohorts(Tables.events(s, dir), "user_id", "ts",
+        86400000L)),
     // least-squares tokens-per-char line per language — same exact
     // moment-sum determinism as q_corr
     "q_regression" -> ((s, dir) =>
@@ -2261,6 +2276,41 @@ object SparkEntry {
          |                  * 1000000) / 1000000
          |  END AS corr
          |FROM s""".stripMargin,
+
+    // per pair, the identical moment-sum skeleton as q_corr, stacked
+    "q_corr_matrix" -> {
+      def pair(a: String, b: String) =
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n::BIGINT AS n,
+           |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+           |       THEN floor((n * sxy - sx * sy)
+           |                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           |                  * 1000000) / 1000000 END AS corr
+           |FROM (SELECT count(*)::DOUBLE AS n, sum($a)::DOUBLE AS sx,
+           |        sum($b)::DOUBLE AS sy, sum($a * $b)::DOUBLE AS sxy,
+           |        sum($a * $a)::DOUBLE AS sxx, sum($b * $b)::DOUBLE AS syy
+           |      FROM t WHERE $a IS NOT NULL AND $b IS NOT NULL)""".stripMargin
+      s"""WITH t AS (SELECT n_chars, len($toksSql)::BIGINT AS n_tokens,
+         |            len(list_distinct($toksSql))::BIGINT AS n_uniq
+         |           FROM documents)
+         |${Seq(("n_chars", "n_tokens"), ("n_chars", "n_uniq"),
+               ("n_tokens", "n_uniq"))
+          .map { case (a, b) => pair(a, b) }.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // integer grain arithmetic end to end; one trunc6'd division
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+        |           FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, cohort, day - cohort AS day_offset
+        |      FROM e JOIN f USING (user_id)),
+        |s AS (SELECT cohort, count(*)::BIGINT AS n_cohort FROM f GROUP BY 1),
+        |r AS (SELECT cohort, day_offset, count(*)::BIGINT AS n_active
+        |      FROM a GROUP BY 1, 2)
+        |SELECT r.cohort, r.day_offset, n_active, n_cohort,
+        |  floor(n_active::DOUBLE / n_cohort::DOUBLE * 1000000) / 1000000
+        |    AS retention
+        |FROM r JOIN s USING (cohort)""".stripMargin,
 
     "q_regression" ->
       s"""WITH t AS (SELECT lang, n_chars, len($toksSql)::BIGINT AS n_tokens

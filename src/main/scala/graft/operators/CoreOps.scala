@@ -501,6 +501,96 @@ object CoreOps {
   }
 
 
+  /** Full pairwise correlation matrix over integral columns in ONE
+    * aggregate pass — exactCorr generalized to every column pair at once:
+    * all C(k,2) pairs' moment sums (each with its OWN pairwise-non-NULL
+    * filter) accumulate in one job over one scan, the single result row is
+    * checkpointed, and the per-pair output rows are projections of it —
+    * the numericProfile shape. Same determinism contract as exactCorr:
+    * decimal moment sums are order-independent, the closing double formula
+    * is fixed, results bit-identical on any engine or partitioning. Same
+    * bounds: integral inputs, per-pair moment sums under 10^38, ANSI fails
+    * loud on overflow. Emits (col_a, col_b, n, corr), col_a before col_b
+    * in the given order; zero-variance or empty pairs yield NULL corr. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs >= 2 columns, got $cols")
+    require(cols.distinct == cols, s"duplicate columns in $cols")
+    requireIntegralCols(df, cols, "corrMatrix")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (i, j)
+    val aggs = pairs.flatMap { case (i, j) =>
+      val (x, y) = (col(cols(i)), col(cols(j)))
+      val both = x.isNotNull && y.isNotNull
+      val (xd, yd) = (x.cast("decimal(19,0)"), y.cast("decimal(19,0)"))
+      def s(c: Column, nm: String) =
+        sum(when(both, c)).cast("double").as(nm)
+      Seq(sum(when(both, 1L)).cast("double").as(s"_n_${i}_$j"),
+        s(xd, s"_sx_${i}_$j"), s(yd, s"_sy_${i}_$j"),
+        s(xd * yd, s"_sxy_${i}_$j"), s(xd * xd, s"_sxx_${i}_$j"),
+        s(yd * yd, s"_syy_${i}_$j"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    val stacked = pairs.map { case (i, j) =>
+      val n = col(s"_n_${i}_$j")
+      val (sx, sy) = (col(s"_sx_${i}_$j"), col(s"_sy_${i}_$j"))
+      val (sxy, sxx, syy) =
+        (col(s"_sxy_${i}_$j"), col(s"_sxx_${i}_$j"), col(s"_syy_${i}_$j"))
+      val va = n * sxx - sx * sx
+      val vb = n * syy - sy * sy
+      val num = n * sxy - sx * sy
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        coalesce(n, lit(0.0d)).cast("long").as("n"),
+        when(va > 0 && vb > 0,
+          floor(num / (sqrt(va) * sqrt(vb)) * 1000000d) / 1000000d)
+          .as("corr"))
+    }
+    row.select(explode(array(stacked: _*)).as("_p")).select(col("_p.*"))
+  }
+
+  /** Cohort retention — the user-lifecycle curve: bucket every key's FIRST
+    * activity into a `grainMs` cohort, then for each (cohort, offset)
+    * count the distinct keys active `offset` grains later and divide by
+    * the cohort size. Three partial-agg'd shuffles (first-activity per
+    * key, distinct (key, cohort, offset), the cohort rollup) — each
+    * O(keys) or smaller, never row-count-sized state. Integer grain
+    * arithmetic end to end; the one retention division is trunc6'd.
+    * NULL timestamps drop (no activity instant); NEGATIVE epoch-ms
+    * timestamps FAIL LOUDLY — truncating and flooring division disagree
+    * below zero, so a pre-1970 row would silently land in a different
+    * cohort per engine. */
+  def retentionCohorts(df: DataFrame, key: String, ts: String,
+                       grainMs: Long): DataFrame = {
+    require(grainMs > 0, s"grainMs must be positive, got $grainMs")
+    val emitted = Seq("cohort", "day_offset", "n_active", "n_cohort",
+      "retention", "_day")
+    require(!emitted.contains(key),
+      s"retentionCohorts emits ${emitted.mkString(", ")}; rename '$key'")
+    val msCol = ms(col(ts))
+    val guard = assert_true(msCol.isNull || msCol >= 0,
+      concat(lit(s"retentionCohorts: '$ts' must be >= epoch (trunc vs " +
+        "floor division diverge below zero); got ms="),
+        msCol.cast("string")))
+    val ev = df.filter(guard.isNull).filter(col(ts).isNotNull)
+      .select(col(key),
+        ((msCol - pmod(msCol, lit(grainMs))) / lit(grainMs))
+          .cast("long").as("_day"))
+    val first = ev.groupBy(col(key)).agg(min(col("_day")).as("cohort"))
+    val active = ev.join(first, Seq(key))
+      .select(col(key), col("cohort"),
+        (col("_day") - col("cohort")).as("day_offset"))
+      .distinct()
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    active.groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .withColumn("retention",
+        floor(col("n_active").cast("double") / col("n_cohort").cast("double")
+          * 1000000d) / 1000000d)
+      .select(col("cohort"), col("day_offset"), col("n_active"),
+        col("n_cohort"), col("retention"))
+  }
+
   /** Per-group least-squares line (slope + intercept) over integral
     * columns — the trend diagnostic next to exactCorr (is token count
     * growing per char across a corpus slice?), deterministic the same way:

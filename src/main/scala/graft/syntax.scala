@@ -204,6 +204,10 @@ object syntax {
       CoreOps.latestState(df, keys, ord)
     def numericProfile(cols: Seq[String]): DataFrame =
       CoreOps.numericProfile(df, cols)
+    def corrMatrix(cols: Seq[String]): DataFrame =
+      CoreOps.corrMatrix(df, cols)
+    def retentionCohorts(key: String, ts: String, grainMs: Long): DataFrame =
+      CoreOps.retentionCohorts(df, key, ts, grainMs)
     def constraintReport(rowChecks: Seq[(String, Column)],
                          uniqueKeys: Seq[String] = Seq.empty): DataFrame =
       CoreOps.constraintReport(df, rowChecks, uniqueKeys)

@@ -451,6 +451,53 @@ class CoreOpsSpec extends SparkSpec {
     assert(merged.filter(col("stream") === "E").count() == 2)
   }
 
+  test("corrMatrix equals exactCorr per pair, pairwise NULL exclusion, " +
+      "degenerate pairs yield NULL") {
+    val df = Seq(
+      (Option(1L), Option(2L), Option(7L)),
+      (Option(2L), Option(4L), Option(7L)),
+      (Option(3L), Option(6L), Option(7L)),
+      (Option(4L), Option.empty[Long], Option(7L))
+    ).toDF("a", "b", "c")
+    val got = CoreOps.corrMatrix(df, Seq("a", "b", "c"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("a", "b")) == (3L, Some(1.0)))    // perfect linear, NULL row excluded
+    assert(got(("a", "c")) == (4L, None))         // c constant: zero variance
+    assert(got(("b", "c")) == (3L, None))
+    // per-pair values equal the single-pair operator's
+    val single = CoreOps.exactCorr(df.withColumn("g", lit(1)), "g", "a", "b")
+      .select("n", "corr").as[(Long, Option[Double])].head()
+    assert(single == got(("a", "b")))
+    assertThrows[IllegalArgumentException](CoreOps.corrMatrix(df, Seq("a")))
+    assertThrows[IllegalArgumentException](
+      CoreOps.corrMatrix(df, Seq("a", "a")))
+  }
+
+  test("retentionCohorts buckets first activity and counts distinct " +
+      "returners; negative timestamps fail loud") {
+    val g = 1000L // 1s grain for the test
+    val df = Seq(
+      (1L, 0L), (1L, 2500L), (1L, 2700L), // cohort 0, returns at offset 2 (once)
+      (2L, 1000L), (2L, 2000L),           // cohort 1, returns at offset 1
+      (3L, 1500L)                          // cohort 1, never returns
+    ).toDF("user_id", "ms").withColumn("ts", timestamp_millis(col("ms")))
+    val got = CoreOps.retentionCohorts(df, "user_id", "ts", g)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 1L, 1L, 1.0), (0L, 2L, 1L, 1L, 1.0),
+      (1L, 0L, 2L, 2L, 1.0), (1L, 1L, 1L, 2L, 0.5)))
+    val neg = Seq((1L, -5000L)).toDF("user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val err = intercept[Exception] {
+      CoreOps.retentionCohorts(neg, "user_id", "ts", g).collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("epoch"))
+    assertThrows[IllegalArgumentException](
+      CoreOps.retentionCohorts(df, "user_id", "ts", 0L))
+  }
+
   test("numericProfile computes all metrics for all columns in one pass") {
     val df = Seq(
       (Option(1L), Option(1.5)), (Option(2L), Option(-2.0)),
