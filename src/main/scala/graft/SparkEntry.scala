@@ -761,6 +761,14 @@ object SparkEntry {
     // each doc at 3 rows below the sort
     "q_tfidf_top" -> ((s, dir) =>
       TextOps.tfidfTop(Tables.documents(s, dir), "doc_id", "text", 3)),
+    // fluency scoring under the corpus's own top-500 bigram LM: 6-dp
+    // probabilities recover exact decimals, so per-doc sums are
+    // order-independent — no ln anywhere
+    "q_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.lmScore(docs, "doc_id", "text",
+        TextOps.bigramLm(docs, "text", 500))
+    }),
     // upsert compaction: the latest event per user via ONE max_by hash
     // aggregate — map-side combine ships one candidate row per (task,
     // key), where the window form would shuffle and sort the whole log
@@ -2075,6 +2083,37 @@ object SparkEntry {
     // is ascending, so its scores are bit-identical to the fixed-column
     // form (TextAndDedupSpec pins this) — the SAME oracle checks both plans
     "q_bm25_explode" -> bm25OracleSql,
+
+    // the LM CTE is q_bigram_lm's skeleton at top-500; scoring recovers
+    // each 6-dp probability as DECIMAL(18,6) so the per-doc sum is exact
+    "q_lm_score" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |tk AS (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |g AS (SELECT unnest([array_to_string(list_slice(toks, i+1, i+2), ' ')
+         |                     for i in range(0, len(toks)-2+1)]) AS gram
+         |      FROM tk WHERE len(toks) >= 2),
+         |c AS (SELECT gram, COUNT(*)::BIGINT AS n_gram FROM g GROUP BY 1),
+         |pp AS (SELECT gram, n_gram,
+         |        (sum(n_gram) OVER (PARTITION BY split_part(gram, ' ', 1)))::BIGINT AS n_prefix
+         |      FROM c),
+         |lm AS (SELECT gram,
+         |         floor((n_gram::DOUBLE / n_prefix::DOUBLE) * 1000000) / 1000000 AS p
+         |       FROM pp ORDER BY n_gram DESC, gram LIMIT 500),
+         |dg AS (SELECT doc_id,
+         |         unnest([array_to_string(list_slice(toks, i+1, i+2), ' ')
+         |                 for i in range(0, len(toks)-2+1)]) AS gram
+         |       FROM tk WHERE len(toks) >= 2),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |          count(p)::BIGINT AS n_known,
+         |          sum(CAST(p AS DECIMAL(18,6))) AS sp
+         |        FROM dg LEFT JOIN lm USING (gram) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  COALESCE(n_known, 0)::BIGINT AS n_known,
+         |  CASE WHEN n_known > 0
+         |       THEN floor(sp::DOUBLE / n_known::DOUBLE * 1000000) / 1000000
+         |  END AS avg_p
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // rational idf again (no ln); rank and tiebreak come from the EXACT
     // score (bit-identical double arithmetic), trunc6 only at emission

@@ -285,6 +285,42 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Score documents under a bigram language model — the fluency/
+    * typicality signal a curation pass ranks docs by: per doc, how many
+    * bigrams it has, how many the LM knows, and the average model
+    * probability over the known ones. `lm` is bigramLm output (gram, p) —
+    * a TOP-N table, so it is bounded and the join against it stays
+    * broadcastable at any corpus size (AQE picks that up; the doc side
+    * only ever explodes map-side).
+    *
+    * Determinism without ln: probabilities are already 6-dp floor
+    * truncations, so casting to DECIMAL(18,6) recovers the exact rational
+    * and the per-doc sum is order-independent under any partitioning; the
+    * single closing division runs over exact operands and trunc6s. Docs
+    * with fewer than two tokens emit (0, 0, NULL) — absent evidence is not
+    * a zero score. */
+  def lmScore(docs: DataFrame, id: String, text: String,
+              lm: DataFrame): DataFrame = {
+    require(lm.columns.contains("gram") && lm.columns.contains("p"),
+      "lmScore expects bigramLm output with 'gram' and 'p' columns")
+    val emitted = Seq("gram", "n_bigrams", "n_known", "avg_p", "_sp")
+    val clash = Seq(id).intersect(emitted)
+    require(clash.isEmpty,
+      s"lmScore emits ${emitted.mkString(", ")}; rename the id column")
+    val grams = docs.select(col(id),
+      explode_outer(graft.expressions.HashKernelExpressions
+        .shingleStrings(normalized(col(text)), 2)).as("gram"))
+    grams.join(lm.select(col("gram"), col("p")), Seq("gram"), "left")
+      .groupBy(col(id))
+      .agg(count(col("gram")).as("n_bigrams"),
+        count(col("p")).as("n_known"),
+        sum(col("p").cast("decimal(18,6)")).as("_sp"))
+      .withColumn("avg_p", when(col("n_known") > 0,
+        floor(col("_sp").cast("double") / col("n_known").cast("double")
+          * 1000000d) / 1000000d))
+      .select(col(id), col("n_bigrams"), col("n_known"), col("avg_p"))
+  }
+
   /** Corpus character histogram — the input a byte/char-level tokenizer
     * trainer (or a charset/mojibake audit) starts from: the `topN` most
     * frequent characters with counts, deterministically ordered

@@ -216,6 +216,8 @@ object syntax {
       CoreOps.snapshotDiff(df, newSnap, id, contentCols)
     def bigramLm(text: String, topN: Int): DataFrame =
       TextOps.bigramLm(df, text, topN)
+    def lmScore(id: String, text: String, lm: DataFrame): DataFrame =
+      TextOps.lmScore(df, id, text, lm)
     def oovRate(id: String, text: String, n: Int, topN: Int): DataFrame =
       TextOps.oovRate(df, id, text, n, topN)
     def charHistogram(text: String, topN: Int): DataFrame =

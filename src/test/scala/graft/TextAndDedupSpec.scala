@@ -499,6 +499,31 @@ class TextAndDedupSpec extends SparkSpec {
       TextOps.tfidfTop(docs, "doc_id", "text", 0))
   }
 
+  test("lmScore averages known-bigram probabilities exactly; short docs " +
+      "emit NULL, unknown bigrams count but don't score") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: "a b", "b a", "a b"
+      (2L, "a b zzz"),   // "a b" known, "b zzz" unknown (below topN? no — in LM)
+      (3L, "solo")       // no bigrams
+    ).toDF("doc_id", "text")
+    val lm = TextOps.bigramLm(docs, "text", 2) // top-2 grams only
+    // counts: "a b"x3, "b a"x1, "b zzz"x1 → top2 = "a b"(3), "b a"(1)
+    // prefixes: a→4 ("a b"x3 + ... a prefix rows: "a b"x3) wait: prefix of
+    // "a b" is "a": n_prefix = count of grams starting "a" = 3; "b a"+"b zzz"
+    // start "b" → n_prefix = 2. So p("a b")=1.0, p("b a")=0.5
+    val got = TextOps.lmScore(docs, "doc_id", "text", lm)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    // doc1: 3 bigrams, known: "a b"(1.0)x2 + "b a"(0.5) → avg 2.5/3
+    // doc2: 2 bigrams, known: "a b"(1.0) → avg 1.0; "b zzz" not in top-2
+    val exp1 = math.floor(2.5 / 3.0 * 1000000) / 1000000
+    assert(got == Set(
+      (1L, 3L, 3L, Some(exp1)),
+      (2L, 2L, 1L, Some(1.0)),
+      (3L, 0L, 0L, None)))
+    assertThrows[IllegalArgumentException](TextOps.lmScore(
+      docs, "doc_id", "text", lm.withColumnRenamed("p", "prob")))
+  }
+
   test("dedupReport counts arrivals, survivors and the dup rate per " +
       "dimension value") {
     val docs = Seq(
