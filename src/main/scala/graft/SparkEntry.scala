@@ -861,6 +861,34 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       CoreOps.retentionCohorts(Tables.events(s, dir), "user_id", "ts",
         86400000L)),
+    // volume anomaly flags: per-type daily counts through the robust
+    // median/MAD detector (integer counts → exact percentiles, the
+    // q_outliers argument without the cents scaling)
+    "q_volume_outliers" -> ((s, dir) => {
+      val msCol = unix_millis(col("ts"))
+      val daily = Tables.events(s, dir).select(col("event_type"),
+          ((msCol - pmod(msCol, lit(86400000L))) / lit(86400000L))
+            .cast("long").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      CoreOps.robustOutliers(daily, "event_type", "n", 3.5)
+        .select(col("event_type"), col("day"), col("n"),
+          col("robust_z"), col("is_outlier"))
+    }),
+    // lag-1 autocorrelation of the daily event volume: consecutive-day
+    // pairs via a day+1 self-join (no single-task window), then the exact
+    // decimal-moment correlation
+    "q_autocorr" -> ((s, dir) => {
+      val msCol = unix_millis(col("ts"))
+      val daily = Tables.events(s, dir).select(
+          ((msCol - pmod(msCol, lit(86400000L))) / lit(86400000L))
+            .cast("long").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("x"))
+      val next = daily.select((col("day") - 1).as("day"), col("x").as("y"))
+      CoreOps.exactCorr(
+        daily.join(next, Seq("day")).withColumn("series", lit("lag1")),
+        "series", "x", "y")
+    }),
     // least-squares tokens-per-char line per language — same exact
     // moment-sum determinism as q_corr
     "q_regression" -> ((s, dir) =>
@@ -2335,6 +2363,38 @@ object SparkEntry {
                ("n_tokens", "n_uniq"))
           .map { case (a, b) => pair(a, b) }.mkString("\nUNION ALL\n")}""".stripMargin
     },
+
+    // q_outliers' skeleton over per-type daily counts
+    "q_volume_outliers" ->
+      """WITH dc AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |              count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS m FROM dc GROUP BY 1),
+        |mad AS (SELECT d.event_type, quantile_cont(abs(d.n - med.m), 0.5) AS md
+        |        FROM dc d JOIN med USING (event_type) GROUP BY 1),
+        |z AS (SELECT d.event_type, d.day, d.n,
+        |        CASE WHEN mad.md > 0
+        |             THEN floor((0.6745 * (d.n - med.m) / mad.md) * 1000000) / 1000000
+        |        END AS robust_z
+        |      FROM dc d JOIN med USING (event_type) JOIN mad USING (event_type))
+        |SELECT event_type, day, n, robust_z,
+        |  COALESCE(abs(robust_z) > 3.5, false) AS is_outlier
+        |FROM z""".stripMargin,
+
+    // q_corr's moment skeleton over consecutive-day volume pairs
+    "q_autocorr" ->
+      """WITH dc AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |              count(*)::BIGINT AS x FROM events GROUP BY 1),
+        |pr AS (SELECT a.x AS x, b.x AS y FROM dc a JOIN dc b ON b.day = a.day + 1),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+        |        sum(y)::DOUBLE AS sy, sum(x * y)::DOUBLE AS sxy,
+        |        sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy FROM pr)
+        |SELECT 'lag1' AS series, n::BIGINT AS n,
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |       THEN floor((n * sxy - sx * sy)
+        |                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |                  * 1000000) / 1000000
+        |  END AS corr
+        |FROM s""".stripMargin,
 
     // integer grain arithmetic end to end; one trunc6'd division
     "q_retention" ->
