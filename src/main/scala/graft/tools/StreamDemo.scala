@@ -125,14 +125,39 @@ object StreamDemo {
         Seq("Tom", "Harry", "Bob"), d = 4, w = 64)
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // upsert compaction, continuously: the BATCH latestState plan running
+    // verbatim in update mode — current state per user, one row of state
+    // per key however long the stream runs
+    val q8 = graft.operators.CoreOps.latestState(
+        audit.select(col("user"), unix_millis(col("event_time")).as("ms"),
+          col("id"), col("operation")),
+        Seq("user"), Seq("ms", "id"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("demo_state").start()
+    // continuous fuzzy entity resolution: every micro-batch of user names
+    // resolves against a small canonical registry within 1 edit
+    val registry = Seq((1L, "Tommy"), (2L, "Harry"), (3L, "Bobby"))
+      .toDF("rid", "name")
+    val fuzzyRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q9 = StreamOps.segmentJoinEachBatch(
+      audit.select(col("id"), col("user")), registry,
+      "id", "user", "rid", "name", 1) { (out, _) =>
+      fuzzyRows.addAndGet(out.count())
+    }.start()
     def audited: Long = q3.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
     val deadline = System.currentTimeMillis() + 30000
     while (audited < 500 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    // NO processAllAvailable on a rate-source query — the source never
+    // exhausts, so "drained" never arrives; the polled observer above
+    // already bounded the run, and the state table is read mid-stream
+    val stateRows = spark.table("demo_state").count()
     println(s"[demo] rate phase: observer counted $audited audit records through " +
       s"continuous session-window, stream-stream window-join, as-of join, " +
-      s"interval-join and windowed heavy-hitter queries " +
-      s"(${asofRows.get()} as-of rows emitted)")
-    q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); spark.stop()
+      s"interval-join, windowed heavy-hitter, upsert-compaction and fuzzy-" +
+      s"resolve queries (${asofRows.get()} as-of rows, $stateRows state rows, " +
+      s"${fuzzyRows.get()} fuzzy matches)")
+    q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
+    spark.stop()
   }
 }
