@@ -28,6 +28,40 @@ object SparkEntry {
   private val BmK1 = 1.2; private val BmB = 0.75
   private val JourneyMax = 20 // events kept per user journey
   private val CmsD = 4; private val CmsW = 512 // count-min sketch shape
+  private val PrIters = 5          // pagerank fixed-point iterations
+  private val PrScale = 1000000000000L // pagerank integer mass scale
+  private val LiftSupport = 2L     // basket-lift min pair support
+  private val LiftMaxBasket = 32   // basket-lift size cap (OOM guard)
+  private val HistLo = 0d; private val HistWidth = 5000d; private val HistBins = 20
+
+  /** Unrolled-CTE DuckDB twin of Graph.pagerankFixed over the bidirected
+    * supplier-part co-sourcing graph. Every arithmetic step is the SAME
+    * integer op as the Spark side (`//` ≡ `div` on non-negative operands),
+    * so after `iters` rounds the scaled ranks match bit-for-bit; the final
+    * `pr` is one double division with both operands exactly representable. */
+  private def pagerankOracleSql(iters: Int, scale: Long): String = {
+    val head =
+      s"""WITH sp AS (SELECT DISTINCT 's:' || l_suppkey AS src,
+         |        'p:' || l_partkey AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM sp
+         |      UNION SELECT dst AS src, src AS dst FROM sp),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, $scale // (SELECT n FROM nn) AS pr FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nd.node,
+         |    (($scale // (SELECT n FROM nn)) * 15) // 100
+         |    + (COALESCE(s.s, 0) * 85) // 100 AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.pr // d.deg)::BIGINT AS s
+         |    FROM e JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) s ON s.node = nd.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, pr AS pr_scaled, pr::DOUBLE / CAST($scale AS DOUBLE) AS pr FROM r$iters"
+  }
   private val HotKeyTopN = 50 // candidates probed by q_heavy_hitters_hot
   private val PackTokens = 512L // training-example length for q_pack
   private val SplitFracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -888,6 +922,46 @@ object SparkEntry {
       CoreOps.exactCorr(
         daily.join(next, Seq("day")).withColumn("series", lit("lag1")),
         "series", "x", "y")
+    }),
+    // first-order Markov transitions over each user's event sequence —
+    // the (ts, event_id) tiebreak makes tied instants deterministic, so
+    // the pair set is engine-exact; probs are one trunc6'd count ratio
+    "q_transitions" -> ((s, dir) =>
+      CoreOps.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type")),
+    // SCD-2 historization: one keyed lead window turns every update into
+    // a validity interval; each user's latest row stays open
+    "q_scd2" -> ((s, dir) =>
+      CoreOps.scd2(Tables.events(s, dir), "user_id", "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("valid_from_ms"), col("valid_to_ms"), col("is_current"))),
+    // equal-width histogram with clamped edge bins: one map + one
+    // O(nBins) hash agg; the bin arithmetic is identical IEEE both engines
+    "q_value_hist" -> ((s, dir) =>
+      CoreOps.valueHistogram(Tables.lineitem(s, dir), "l_extendedprice",
+        HistLo, HistWidth, HistBins)),
+    // log-free label-diversity score: rational Gini impurity from integer
+    // counts — the entropy stand-in that needs no ln()
+    "q_gini" -> ((s, dir) =>
+      CoreOps.giniImpurity(Tables.events(s, dir), "user_id", "event_type")),
+    // co-order association lift over (order, part) baskets: the pair
+    // expansion is a basket-keyed self-join bounded by the size cap;
+    // lift is one double division of two BIGINT products
+    "q_basket_lift" -> ((s, dir) =>
+      Graph.basketLift(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", LiftSupport, LiftMaxBasket)),
+    // integer fixed-point PageRank over the bidirected supplier-part
+    // co-sourcing graph: 5 synchronous iterations, every division
+    // integral, so the scaled ranks are bit-identical to the oracle's
+    // unrolled CTE iterations
+    "q_pagerank" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir).select(
+        concat(lit("s:"), col("l_suppkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst"))
+      Graph.pagerankFixed(
+        sp.union(sp.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst", PrIters, PrScale)
     }),
     // least-squares tokens-per-char line per language — same exact
     // moment-sum determinism as q_corr
@@ -2395,6 +2469,84 @@ object SparkEntry {
         |                  * 1000000) / 1000000
         |  END AS corr
         |FROM s""".stripMargin,
+
+    // lag window with the same (epoch-ms, event_id) tie order; trunc6 ratio
+    "q_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_ms(ts), event_id) AS prev
+        |      FROM events
+        |      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |        AND user_id IS NOT NULL),
+        |c AS (SELECT prev AS from_state, event_type AS to_state,
+        |        count(*)::BIGINT AS n
+        |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, sum(n)::BIGINT AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, n, n_from,
+        |  floor(n::DOUBLE / n_from::DOUBLE * 1000000) / 1000000 AS prob
+        |FROM c JOIN t USING (from_state)""".stripMargin,
+
+    // the same lead window; the open interval is the NULL lead
+    "q_scd2" ->
+      """SELECT event_id, user_id, event_type,
+        |  epoch_ms(ts) AS valid_from_ms,
+        |  lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id) AS valid_to_ms,
+        |  lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
+
+    // identical IEEE bin arithmetic; edge bins clamp, never drop
+    "q_value_hist" ->
+      s"""WITH b AS (SELECT greatest(least(
+         |        floor((l_extendedprice - CAST($HistLo AS DOUBLE))
+         |              / CAST($HistWidth AS DOUBLE)),
+         |        CAST(${HistBins - 1} AS DOUBLE)), CAST(0 AS DOUBLE))::BIGINT
+         |        AS bin,
+         |      l_extendedprice AS v
+         |    FROM lineitem WHERE l_extendedprice IS NOT NULL)
+         |SELECT bin,
+         |  CAST($HistLo AS DOUBLE) + CAST(bin AS DOUBLE) * CAST($HistWidth AS DOUBLE)
+         |    AS bin_lo,
+         |  count(*)::BIGINT AS n, min(v) AS v_min, max(v) AS v_max
+         |FROM b GROUP BY 1""".stripMargin,
+
+    // rational impurity from integer counts; one trunc6'd division
+    "q_gini" ->
+      """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT user_id, sum(n)::BIGINT AS n,
+        |        count(*)::BIGINT AS n_labels, sum(n * n)::BIGINT AS s2
+        |      FROM c GROUP BY 1)
+        |SELECT user_id, n, n_labels,
+        |  floor((n * n - s2)::DOUBLE / (n * n)::DOUBLE * 1000000) / 1000000
+        |    AS gini
+        |FROM g""".stripMargin,
+
+    // the same distinct/size-cap/self-join/support pipeline; lift is one
+    // double division of two BIGINT products
+    "q_basket_lift" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |    FROM lineitem
+         |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |kept AS (SELECT i.bk, i.it FROM items i JOIN (
+         |    SELECT bk FROM items GROUP BY bk
+         |    HAVING count(*) <= $LiftMaxBasket) s USING (bk)),
+         |tot AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM kept),
+         |freq AS (SELECT it, count(*)::BIGINT AS n FROM kept GROUP BY 1),
+         |pairs AS (SELECT a.it AS item_a, b.it AS item_b,
+         |        count(*)::BIGINT AS n_ab
+         |      FROM kept a JOIN kept b USING (bk) WHERE a.it < b.it
+         |      GROUP BY 1, 2 HAVING count(*) >= $LiftSupport)
+         |SELECT item_a, item_b, n_ab, fa.n AS n_a, fb.n AS n_b, n_baskets,
+         |  floor((n_ab * n_baskets)::DOUBLE / (fa.n * fb.n)::DOUBLE
+         |        * 1000000) / 1000000 AS lift
+         |FROM pairs
+         |JOIN freq fa ON fa.it = item_a
+         |JOIN freq fb ON fb.it = item_b
+         |CROSS JOIN tot""".stripMargin,
+
+    "q_pagerank" -> pagerankOracleSql(PrIters, PrScale),
 
     // integer grain arithmetic end to end; one trunc6'd division
     "q_retention" ->

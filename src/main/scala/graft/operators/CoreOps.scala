@@ -1349,4 +1349,125 @@ object CoreOps {
       .filter(col("status").isNotNull)
       .select(col(id), col("status"))
   }
+
+  /** First-order Markov transition matrix over per-key event sequences —
+    * which state follows which, and how often (the behavioral fingerprint
+    * behind session modeling and synthetic-trace generation). Consecutive
+    * pairs come from `lag` over a PARTITIONED window ordered by
+    * (epoch-ms, tiebreak) — the tiebreak makes tied timestamps
+    * deterministic, so the pair set is engine- and partitioning-exact.
+    * Then two hash aggs: (from,to) counts and per-from totals, joined back
+    * (O(states²) rows — tiny) for a trunc6'd row probability.
+    *
+    * At 100 TB the only row-count-sized stage is the keyed window — the
+    * same single exchange + sort as runningSum, uniform in the key; both
+    * aggs ship O(states²) rows. NULL timestamps and NULL states drop
+    * before pairing (a NULL cannot order or label a transition). Each
+    * key's first event has no predecessor and emits nothing. */
+  def transitionMatrix(df: DataFrame, key: String, ts: String,
+                       tiebreak: String, state: String): DataFrame = {
+    val emitted = Seq("from_state", "to_state", "n", "n_from", "prob", "_prev")
+    require(!emitted.exists(df.columns.contains),
+      s"transitionMatrix emits ${emitted.mkString(", ")}; rename inputs")
+    val w = Window.partitionBy(col(key))
+      .orderBy(ms(col(ts)).asc, col(tiebreak).asc)
+    val counts = df
+      .filter(col(ts).isNotNull && col(state).isNotNull && col(key).isNotNull)
+      .withColumn("_prev", lag(col(state), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_state"), col(state).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .join(counts.groupBy(col("from_state")).agg(sum(col("n")).as("n_from")),
+        Seq("from_state"))
+      .withColumn("prob",
+        floor(col("n").cast("double") / col("n_from").cast("double")
+          * 1000000d) / 1000000d)
+      .select(col("from_state"), col("to_state"), col("n"), col("n_from"),
+        col("prob"))
+  }
+
+  /** Slowly-changing-dimension type-2 intervals from an update log: each
+    * (key, update) row becomes a validity interval [valid_from_ms,
+    * valid_to_ms) closed by the NEXT update of the same key; the latest
+    * update per key stays open (valid_to_ms NULL, is_current true). The
+    * historization step every warehouse ingest needs, as ONE `lead` over a
+    * keyed window ordered by (epoch-ms, tiebreak) — deterministic under
+    * ties, single exchange + per-partition sort (the runningSum shape),
+    * no self-join. Tied timestamps within a key produce zero-length
+    * intervals in tiebreak order — the honest rendering of same-instant
+    * updates (only the last one is ever "current"). NULL timestamps fail
+    * loudly: an update that cannot be placed on the timeline would
+    * silently corrupt every interval after it. Payload columns pass
+    * through untouched. */
+  def scd2(df: DataFrame, key: String, ts: String,
+           tiebreak: String): DataFrame = {
+    val emitted = Seq("valid_from_ms", "valid_to_ms", "is_current")
+    require(!emitted.exists(df.columns.contains),
+      s"scd2 emits ${emitted.mkString(", ")}; rename inputs")
+    val guard = assert_true(col(ts).isNotNull,
+      lit(s"scd2: NULL '$ts' — every update needs a timeline position"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(ms(col(ts)).asc, col(tiebreak).asc)
+    df.filter(guard.isNull)
+      .withColumn("valid_from_ms", ms(col(ts)))
+      .withColumn("valid_to_ms", lead(ms(col(ts)), 1).over(w))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+  }
+
+  /** Equal-width histogram with edge-bin clamping — the one-pass value
+    * profile (distribution shape, spike detection) that needs no sort and
+    * no percentile state: bin = clamp(floor((x − lo)/width), 0, nBins−1),
+    * a single map expression, then ONE hash agg keyed by bin (≤ nBins
+    * rows out, partial agg map-side). Underflow/overflow rows land in the
+    * edge bins (counted, not lost — the standard profiling convention,
+    * stated). Per-bin min/max ride along, so a clamped edge bin is
+    * self-describing. The bin expression is one IEEE subtract + divide +
+    * floor, identical on every engine; bin_lo = lo + bin·width likewise.
+    * NULL values drop (a NULL has no position on the axis). At 100 TB
+    * this is scan + map + O(nBins) shuffle rows per task — nothing else. */
+  def valueHistogram(df: DataFrame, value: String, lo: Double, width: Double,
+                     nBins: Int): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(nBins >= 1 && nBins <= 100000,
+      s"nBins must be in [1, 100000], got $nBins")
+    val emitted = Seq("bin", "bin_lo", "n", "v_min", "v_max")
+    require(!emitted.contains(value),
+      s"valueHistogram emits ${emitted.mkString(", ")}; rename '$value'")
+    df.filter(col(value).isNotNull)
+      .select(greatest(least(floor((col(value) - lo) / width),
+        lit((nBins - 1).toDouble)), lit(0d)).cast("long").as("bin"),
+        col(value))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col(value)).as("v_min"),
+        max(col(value)).as("v_max"))
+      .select(col("bin"), (lit(lo) + col("bin") * width).as("bin_lo"),
+        col("n"), col("v_min"), col("v_max"))
+  }
+
+  /** Per-group Gini impurity of a label distribution — the log-free
+    * diversity score (1 − Σ pᵢ²) for mixture monitoring: how concentrated
+    * is each slice's label mix? Entropy needs `ln`, which is not
+    * ulp-specified across engines; Gini is RATIONAL — computed here as
+    * (n² − Σ nᵢ²) / n² from integer counts, so the only float op is one
+    * trunc6'd division, engine-exact. Two hash aggs: (group, label)
+    * counts (partial map-side), then per-group rollup — O(groups·labels)
+    * rows through the second shuffle. ANSI mode fails the n² BIGINT
+    * product loudly past ~3·10⁹ rows per group rather than wrapping.
+    * NULL labels drop (documented; a NULL is absence, not a category);
+    * single-label groups score exactly 0.0. */
+  def giniImpurity(df: DataFrame, group: String, label: String): DataFrame = {
+    val emitted = Seq("n", "n_labels", "gini", "_n")
+    require(!emitted.contains(group) && !emitted.contains(label),
+      s"giniImpurity emits ${emitted.mkString(", ")}; rename inputs")
+    df.filter(col(label).isNotNull)
+      .groupBy(col(group), col(label)).agg(count(lit(1)).as("_n"))
+      .groupBy(col(group))
+      .agg(sum(col("_n")).as("n"), count(lit(1)).as("n_labels"),
+        sum(col("_n") * col("_n")).as("_s2"))
+      .select(col(group), col("n"), col("n_labels"),
+        (floor((col("n") * col("n") - col("_s2")).cast("double")
+          / (col("n") * col("n")).cast("double") * 1000000d) / 1000000d)
+          .as("gini"))
+  }
 }

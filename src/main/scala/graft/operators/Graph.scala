@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph / association analytics over edge- and basket-shaped frames.
+  *
+  * Extension tier beyond the reference surface (the reference is a linear
+  * stream pipeline — ref chapter2/BasicStreamingOperations.java:56-115 — with
+  * no graph operators); these are the iterative/self-join shapes a
+  * training-data pipeline needs for link analysis (document/source importance
+  * for sampling weights) and co-occurrence mining (curriculum pairing,
+  * dataset mixing diagnostics).
+  *
+  * Both operators follow the house determinism rule: every arithmetic step
+  * that crosses the engine boundary is integer-only (`div` here ≡ DuckDB `//`
+  * on non-negative operands), so results are bit-identical under any
+  * partitioning and on any engine — the same argument as exactCorr's decimal
+  * moments, taken all the way to an iterative fixpoint.
+  */
+object Graph {
+
+  /** PageRank by fixed-point INTEGER arithmetic: rank mass is carried as a
+    * BIGINT in units of 1/`scale`, every division is integral (`div`), so
+    * after any number of iterations the scaled ranks are exactly reproducible
+    * — across engines, partitionings, and reruns. (Float PageRank cannot
+    * promise this: the per-node contribution sum is order-dependent.)
+    *
+    * Semantics: standard damped PageRank over the DISTINCT directed edge set,
+    * 5-ish synchronous iterations, damping 85/100, uniform integer init
+    * `scale div N`. Each iteration:
+    *   pr'(v) = ((scale div N) * 15) div 100
+    *          + (Σ_{u→v} (pr(u) div outdeg(u)) * 85) div 100
+    * Truncating divisions leak a few units of mass per node per round (bounded
+    * by outdeg·iters units of 1/scale ≈ 1e-12 — far below the trunc-6 emit
+    * precision); sink nodes (outdeg 0) leak their damped mass entirely, the
+    * classic simplification, documented rather than redistributed.
+    *
+    * Distributed shape: per iteration, one hash join of ranks onto the
+    * (edge ⋈ outdeg) frame (both shuffled on src — co-partitioned after the
+    * first round) + one hash agg on dst + one left join back to nodes:
+    * O(|E| + |V|) through every exchange, never a materialized matrix. The
+    * edge and node frames are localCheckpoint'd once and reused every round;
+    * ranks are checkpointed per round to cut lineage (the dupClusters
+    * pattern, Dedup.scala). Driver traffic: zero per round (the iteration
+    * count is fixed, not convergence-tested — rank deltas need no action).
+    * At 100 TB: |E| shuffles dominate; iters is a constant ≤ 50.
+    *
+    * Self-loops contribute to their own node (kept, documented). Parallel
+    * edges collapse via distinct — this is unweighted PageRank. NULL
+    * endpoints drop. Emits (node, pr_scaled, pr) where pr = pr_scaled/scale
+    * in ONE double division (both operands exactly representable, identical
+    * IEEE result on every engine — no trunc needed).
+    */
+  def pagerankFixed(edges: DataFrame, src: String, dst: String, iters: Int,
+                    scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(scale >= 1000000L, s"scale must be >= 1e6, got $scale")
+    val emitted = Seq("node", "pr_scaled", "pr", "_src", "_dst", "_deg", "_s")
+    require(!emitted.contains(src) && !emitted.contains(dst),
+      s"pagerankFixed emits/uses ${emitted.mkString(", ")}; rename inputs")
+
+    val e = edges
+      .select(col(src).cast("string").as("_src"),
+        col(dst).cast("string").as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // reused every round: never recompute the source
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val withDeg = e
+      .join(e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")), Seq("_src"))
+      .localCheckpoint(true)
+    // 1-row totals frame: N stays declarative (no driver count action)
+    val ntotal = nodes.groupBy().agg(count(lit(1)).as("_nn"))
+
+    var ranks = nodes.crossJoin(broadcast(ntotal))
+      .select(col("node"), expr(s"CAST($scale AS BIGINT) div _nn")
+        .as("pr_scaled"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val sums = withDeg
+        .join(ranks, withDeg("_src") === ranks("node"))
+        .select(col("_dst"), expr("pr_scaled div _deg").as("_c"))
+        .groupBy(col("_dst")).agg(sum(col("_c")).as("_s"))
+      ranks = nodes.join(sums, nodes("node") === sums("_dst"), "left")
+        .crossJoin(broadcast(ntotal))
+        .select(nodes("node"),
+          (expr(s"((CAST($scale AS BIGINT) div _nn) * 15) div 100")
+            + expr("(coalesce(_s, CAST(0 AS BIGINT)) * 85) div 100"))
+            .as("pr_scaled"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("pr_scaled"),
+      (col("pr_scaled").cast("double") / lit(scale.toDouble)).as("pr"))
+  }
+
+  /** Market-basket association lift over (basket, item) rows — which item
+    * pairs co-occur more than independence predicts. The mixing/curriculum
+    * diagnostic: lift(a,b) = P(a,b) / (P(a)·P(b)) =
+    * (n_ab · n_baskets) / (n_a · n_b), computed as ONE double division of two
+    * BIGINT products (trunc6'd) so the score is engine-exact. Products stay
+    * below 2^53 up to ~3e9 baskets with typical supports — past that, ANSI
+    * mode fails the BIGINT product loudly rather than wrapping.
+    *
+    * Distributed shape: distinct (basket, item), basket-size filter, then the
+    * pair expansion is a SELF-JOIN ON BASKET — shuffle on the basket key,
+    * expansion bounded by `maxBasketSize`² per basket (the require'd cap
+    * makes a degenerate mega-basket a diagnostic, not an executor OOM — the
+    * rangeJoin replication-guard argument). Support filtering (`minSupport`)
+    * happens straight after the pair count, so low-support pairs never reach
+    * the two item-frequency joins. The n_baskets total rides in as a 1-row
+    * broadcast. At 100 TB: pairs ≤ baskets · maxBasketSize², uniform in the
+    * pair key; no all-pairs product anywhere.
+    *
+    * Baskets larger than `maxBasketSize` are EXCLUDED entirely (their
+    * distinct-item count exceeds the cap) — the standard mining cutoff;
+    * n_baskets counts only surviving baskets so probabilities stay
+    * consistent. NULL baskets/items drop. Output ordered by the caller.
+    */
+  def basketLift(df: DataFrame, basket: String, item: String,
+                 minSupport: Long, maxBasketSize: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val emitted = Seq("item_a", "item_b", "n_ab", "n_a", "n_b", "n_baskets",
+      "lift", "_bk", "_it", "_bsize")
+    require(!emitted.contains(basket) && !emitted.contains(item),
+      s"basketLift emits/uses ${emitted.mkString(", ")}; rename inputs")
+
+    val items = df
+      .select(col(basket).as("_bk"), col(item).as("_it"))
+      .filter(col("_bk").isNotNull && col("_it").isNotNull)
+      .distinct()
+    val kept = items.join(
+      items.groupBy(col("_bk")).agg(count(lit(1)).as("_bsize"))
+        .filter(col("_bsize") <= maxBasketSize)
+        .select(col("_bk")),
+      Seq("_bk"))
+    val totals = kept.groupBy()
+      .agg(count_distinct(col("_bk")).as("n_baskets")) // 1 row
+    val freq = kept.groupBy(col("_it")).agg(count(lit(1)).as("_n"))
+    val pairs = kept.select(col("_bk"), col("_it").as("item_a"))
+      .join(kept.select(col("_bk"), col("_it").as("item_b")), Seq("_bk"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(freq.select(col("_it").as("item_a"), col("_n").as("n_a")),
+        Seq("item_a"))
+      .join(freq.select(col("_it").as("item_b"), col("_n").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift",
+        floor((col("n_ab") * col("n_baskets")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double") * 1000000d) / 1000000d)
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"), col("lift"))
+  }
+}

@@ -254,6 +254,21 @@ object syntax {
     def groupCentroids(group: String, id: String, vec: String,
                        dims: Int): DataFrame =
       Similarity.groupCentroids(df, group, id, vec, dims)
+    def transitionMatrix(key: String, ts: String, tiebreak: String,
+                         state: String): DataFrame =
+      CoreOps.transitionMatrix(df, key, ts, tiebreak, state)
+    def scd2(key: String, ts: String, tiebreak: String): DataFrame =
+      CoreOps.scd2(df, key, ts, tiebreak)
+    def valueHistogram(value: String, lo: Double, width: Double,
+                       nBins: Int): DataFrame =
+      CoreOps.valueHistogram(df, value, lo, width, nBins)
+    def giniImpurity(group: String, label: String): DataFrame =
+      CoreOps.giniImpurity(df, group, label)
+    def pagerankFixed(src: String, dst: String, iters: Int): DataFrame =
+      Graph.pagerankFixed(df, src, dst, iters)
+    def basketLift(basket: String, item: String, minSupport: Long,
+                   maxBasketSize: Int): DataFrame =
+      Graph.basketLift(df, basket, item, minSupport, maxBasketSize)
     def imageMeta(id: String, bin: String): DataFrame =
       Multimodal.imageMeta(df, id, bin)
     def frameSample(id: String, bin: String, frameBytes: Int,

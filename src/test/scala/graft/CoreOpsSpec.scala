@@ -593,4 +593,88 @@ class CoreOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       CoreOps.snapshotDiff(old, neu, "id", Seq("id", "t")))
   }
+
+  test("transitionMatrix counts consecutive pairs with deterministic tie order") {
+    val df = ev(
+      (1, 1000, 1, "a", 0), (2, 2000, 1, "b", 0), (3, 3000, 1, "a", 0),
+      (4, 4000, 1, "c", 0),                      // user 1: a>b>a>c
+      (6, 5000, 2, "b", 0), (5, 5000, 2, "a", 0) // tie at 5000: id 5 first
+    )
+    val got = CoreOps.transitionMatrix(df, "user_id", "ts", "event_id",
+      "event_type")
+      .orderBy("from_state", "to_state")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // a->b twice (users 1 and 2), a->c once, b->a once
+    assert(got == Seq(("a", "b", 2L, 3L, 0.666666), ("a", "c", 1L, 3L, 0.333333),
+      ("b", "a", 1L, 1L, 1.0)))
+  }
+
+  test("transitionMatrix drops NULL states and guards emitted names") {
+    val df = ev((1, 1000, 1, "a", 0), (2, 2000, 1, "b", 0))
+      .withColumn("event_type",
+        when(col("event_id") === 2, lit(null: String)).otherwise(col("event_type")))
+    // the NULL state can neither end nor start a transition: no pairs at all
+    assert(CoreOps.transitionMatrix(df, "user_id", "ts", "event_id",
+      "event_type").isEmpty)
+    assertThrows[IllegalArgumentException](
+      CoreOps.transitionMatrix(df.withColumn("prob", lit(1)), "user_id", "ts",
+        "event_id", "event_type"))
+  }
+
+  test("scd2 chains validity intervals and keeps the latest row open") {
+    val df = ev((1, 1000, 1, "a", 0), (2, 3000, 1, "b", 0), (3, 7000, 1, "c", 0),
+      (4, 500, 2, "x", 0))
+    val got = CoreOps.scd2(df, "user_id", "ts", "event_id")
+      .select("event_id", "valid_from_ms", "valid_to_ms", "is_current")
+      .orderBy("event_id")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq((1L, 1000L, Some(3000L), false),
+      (2L, 3000L, Some(7000L), false), (3L, 7000L, None, true),
+      (4L, 500L, None, true)))
+  }
+
+  test("scd2 orders tied instants by tiebreak and fails loudly on NULL ts") {
+    val tied = ev((2, 1000, 1, "b", 0), (1, 1000, 1, "a", 0))
+    val got = CoreOps.scd2(tied, "user_id", "ts", "event_id")
+      .select("event_id", "valid_to_ms", "is_current").orderBy("event_id")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    // id 1 closes at the same instant (zero-length interval); id 2 is current
+    assert(got == Seq((1L, Some(1000L), false), (2L, None, true)))
+    val bad = tied.withColumn("ts",
+      when(col("event_id") === 1, lit(null).cast("timestamp")).otherwise(col("ts")))
+    val err = intercept[Exception] {
+      CoreOps.scd2(bad, "user_id", "ts", "event_id").collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("NULL 'ts'"))
+  }
+
+  test("valueHistogram clamps edge bins and keeps exact per-bin extremes") {
+    val df = Seq(-3.0, 0.0, 4.9, 5.0, 7.5, 102.0).toDF("v")
+    val got = CoreOps.valueHistogram(df, "v", 0d, 5d, 3)
+      .orderBy("bin").as[(Long, Double, Long, Double, Double)].collect().toSeq
+    // bin 0: clamped -3.0 plus [0,5); bin 1: [5,10); bin 2 clamps 102.0
+    assert(got == Seq((0L, 0.0, 3L, -3.0, 4.9), (1L, 5.0, 2L, 5.0, 7.5),
+      (2L, 10.0, 1L, 102.0, 102.0)))
+    assert(CoreOps.valueHistogram(
+      Seq(Option.empty[Double]).toDF("v"), "v", 0d, 5d, 3).isEmpty)
+    assertThrows[IllegalArgumentException](
+      CoreOps.valueHistogram(df, "v", 0d, 0d, 3))
+    assertThrows[IllegalArgumentException](
+      CoreOps.valueHistogram(df, "v", 0d, 5d, 0))
+  }
+
+  test("giniImpurity is 0 for pure groups and the exact ratio otherwise") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "b"), (3L, "c"),
+      (4L, Option.empty[String].orNull)).toDF("g", "lab")
+    val got = CoreOps.giniImpurity(df.filter(col("lab").isNotNull ||
+        col("g") === 4), "g", "lab")
+      .orderBy("g").as[(Long, Long, Long, Double)].collect().toSeq
+    // g=3: counts (a:1,b:2,c:1), n=4, s2=6 -> (16-6)/16 = 0.625
+    assert(got == Seq((1L, 2L, 1L, 0.0), (2L, 2L, 2L, 0.5),
+      (3L, 4L, 3L, 0.625)))
+    assertThrows[IllegalArgumentException](
+      CoreOps.giniImpurity(df.withColumnRenamed("g", "gini"), "gini", "lab"))
+  }
 }

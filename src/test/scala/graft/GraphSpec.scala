@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Graph/association tier: integer fixed-point PageRank and basket lift on
+  * hand-computed frames — every expectation derived by doing the same
+  * integer arithmetic by hand. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  test("pagerankFixed: a 2-cycle is a fixed point at scale/2 per node") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("s", "d")
+    val got = Graph.pagerankFixed(edges, "s", "d", 5, Scale)
+      .as[(String, Long, Double)].collect().toMap2
+    // init scale/2 each; every round: base (scale/2*15) div 100 plus damped
+    // (scale/2*85) div 100 = scale/2 again — exact fixed point
+    assert(got == Map("a" -> (500000000000L, 0.5), "b" -> (500000000000L, 0.5)))
+  }
+
+  test("pagerankFixed: sinks leak, hub keeps only its base share") {
+    // a -> b, a -> c; b and c are sinks (outdeg 0)
+    val edges = Seq(("a", "b"), ("a", "c")).toDF("s", "d")
+    val got = Graph.pagerankFixed(edges, "s", "d", 1, Scale)
+      .select("node", "pr_scaled").as[(String, Long)].collect().toMap
+    val init = Scale / 3              // 333333333333
+    val base = (init * 15) / 100      // 49999999999
+    val half = init / 2               // 166666666666
+    val leaf = base + (half * 85) / 100
+    assert(got == Map("a" -> base, "b" -> leaf, "c" -> leaf))
+  }
+
+  test("pagerankFixed: total mass is bounded by scale and ranks stay positive") {
+    val edges = (1 to 60).map(i => (s"n${i % 10}", s"n${(i * 7) % 10}"))
+      .toDF("s", "d")
+    val rs = Graph.pagerankFixed(edges, "s", "d", 8, Scale)
+      .select("pr_scaled").as[Long].collect()
+    assert(rs.sum <= Scale && rs.forall(_ > 0))
+  }
+
+  test("pagerankFixed is partitioning-invariant and collapses parallel edges") {
+    val base = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+    val e1 = base.toDF("s", "d")
+    val e2 = (base ++ base).toDF("s", "d").repartition(7) // dup edges + reshuffle
+    val r1 = Graph.pagerankFixed(e1, "s", "d", 4, Scale)
+      .as[(String, Long, Double)].collect().toSet
+    val r2 = Graph.pagerankFixed(e2, "s", "d", 4, Scale)
+      .as[(String, Long, Double)].collect().toSet
+    assert(r1 == r2)
+  }
+
+  test("pagerankFixed drops NULL endpoints and guards its parameters") {
+    val edges = Seq((Option("a"), Option("b")), (Option.empty[String], Option("x")),
+      (Option("y"), Option.empty[String])).toDF("s", "d")
+    val nodes = Graph.pagerankFixed(edges, "s", "d", 1, Scale)
+      .select("node").as[String].collect().toSet
+    assert(nodes == Set("a", "b")) // x/y rode in on NULL-endpoint edges only
+    assertThrows[IllegalArgumentException](
+      Graph.pagerankFixed(edges, "s", "d", 0, Scale))
+    assertThrows[IllegalArgumentException](
+      Graph.pagerankFixed(edges, "s", "d", 51, Scale))
+    assertThrows[IllegalArgumentException](
+      Graph.pagerankFixed(edges, "s", "d", 5, 1000L))
+    assertThrows[IllegalArgumentException](
+      Graph.pagerankFixed(edges.withColumnRenamed("s", "node"), "node", "d", 5))
+  }
+
+  test("basketLift computes the hand-checked lift and applies minSupport") {
+    val rows = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y")).toDF("bk", "it") // (2,y) duplicated
+    val got = Graph.basketLift(rows, "bk", "it", 2L, 10)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect().toSeq
+    // only (x,y) reaches support 2: lift = (2*4)/(3*3) = 0.888888 trunc6
+    assert(got == Seq(("x", "y", 2L, 3L, 3L, 4L, 0.888888)))
+  }
+
+  test("basketLift excludes oversize baskets entirely and recounts totals") {
+    val rows = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (9L, "x"), (9L, "y"), (9L, "z")).toDF("bk", "it")
+    val got = Graph.basketLift(rows, "bk", "it", 1L, 2)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect().toSeq
+    // basket 9 (3 items > cap 2) vanishes: 2 baskets, x/y freq 2 each,
+    // lift = (2*2)/(2*2) = 1.0
+    assert(got == Seq(("x", "y", 2L, 2L, 2L, 2L, 1.0)))
+    assertThrows[IllegalArgumentException](
+      Graph.basketLift(rows, "bk", "it", 0L, 10))
+    assertThrows[IllegalArgumentException](
+      Graph.basketLift(rows, "bk", "it", 1L, 1))
+    assertThrows[IllegalArgumentException](
+      Graph.basketLift(rows.withColumnRenamed("it", "lift"), "bk", "lift", 1L, 2))
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+}
