@@ -33,6 +33,7 @@ object SparkEntry {
   private val LiftSupport = 2L     // basket-lift min pair support
   private val LiftMaxBasket = 32   // basket-lift size cap (OOM guard)
   private val HistLo = 0d; private val HistWidth = 5000d; private val HistBins = 20
+  private val DegLo = 0d; private val DegWidth = 16d; private val DegBins = 64
 
   /** Unrolled-CTE DuckDB twin of Graph.pagerankFixed over the bidirected
     * supplier-part co-sourcing graph. Every arithmetic step is the SAME
@@ -951,6 +952,40 @@ object SparkEntry {
       Graph.basketLift(
         Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
         "l_orderkey", "l_partkey", LiftSupport, LiftMaxBasket)),
+    // triangle census of the support-filtered co-order graph: the Spark
+    // side counts via degree-oriented wedges (hub-proof); the oracle
+    // brute-forces the same census with a canonical 3-way join
+    "q_triangles" -> ((s, dir) => {
+      val it = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .distinct()
+      val pairs = it.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(it.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= LiftSupport)
+      Graph.triangleStats(pairs, "pa", "pb")
+    }),
+    // degree histogram of the supplier-part graph: the graph-shape
+    // profile as a composition — degrees through valueHistogram
+    "q_degree_hist" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select(
+          concat(lit("s:"), col("l_suppkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"))
+        .distinct()
+      val deg = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).cast("double").as("degree"))
+      CoreOps.valueHistogram(deg, "degree", DegLo, DegWidth, DegBins)
+    }),
+    // first-touch attribution: every purchase credited to the first event
+    // of its session — session firsts via map-side min_by, never a
+    // per-session sort
+    "q_attribution" -> ((s, dir) =>
+      CoreOps.firstTouchAttribution(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", D, col("event_type") === "purchase")),
     // integer fixed-point PageRank over the bidirected supplier-part
     // co-sourcing graph: 5 synchronous iterations, every division
     // integral, so the scaled ranks are bit-identical to the oracle's
@@ -2547,6 +2582,74 @@ object SparkEntry {
          |CROSS JOIN tot""".stripMargin,
 
     "q_pagerank" -> pagerankOracleSql(PrIters, PrScale),
+
+    // brute-force canonical 3-way triangle join (the oracle may explode on
+    // hubs; the Spark side's degree orientation is the scale path)
+    "q_triangles" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |    FROM lineitem
+         |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |ce AS (SELECT a.it AS a, b.it AS b
+         |       FROM items a JOIN items b USING (bk) WHERE a.it < b.it
+         |       GROUP BY 1, 2 HAVING count(*) >= $LiftSupport),
+         |deg AS (SELECT node, count(*)::BIGINT AS d FROM (
+         |          SELECT a AS node FROM ce UNION ALL SELECT b FROM ce) t
+         |        GROUP BY 1),
+         |tri AS (SELECT count(*)::BIGINT AS t FROM ce e1
+         |        JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |ns AS (SELECT count(*)::BIGINT AS n_nodes,
+         |         (sum(d * (d - 1)) // 2)::BIGINT AS n_wedges FROM deg),
+         |es AS (SELECT count(*)::BIGINT AS n_edges FROM ce)
+         |SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+         |  CASE WHEN n_wedges > 0
+         |       THEN floor((t * 3)::DOUBLE / n_wedges::DOUBLE * 1000000)
+         |            / 1000000
+         |  END AS clustering
+         |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin,
+
+    // the q_value_hist bin pipeline over bipartite node degrees
+    "q_degree_hist" ->
+      s"""WITH e AS (SELECT DISTINCT 's:' || l_suppkey AS src,
+         |        'p:' || l_partkey AS dst FROM lineitem),
+         |d AS (SELECT node, count(*)::DOUBLE AS degree FROM (
+         |        SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t
+         |      GROUP BY 1),
+         |b AS (SELECT greatest(least(
+         |        floor((degree - CAST($DegLo AS DOUBLE))
+         |              / CAST($DegWidth AS DOUBLE)),
+         |        CAST(${DegBins - 1} AS DOUBLE)), CAST(0 AS DOUBLE))::BIGINT
+         |        AS bin,
+         |      degree AS v FROM d)
+         |SELECT bin,
+         |  CAST($DegLo AS DOUBLE) + CAST(bin AS DOUBLE) * CAST($DegWidth AS DOUBLE)
+         |    AS bin_lo,
+         |  count(*)::BIGINT AS n, min(v) AS v_min, max(v) AS v_max
+         |FROM b GROUP BY 1""".stripMargin,
+
+    // the q_sessionize skeleton + a row_number=1 session-first pick
+    "q_attribution" ->
+      s"""WITH x AS (SELECT event_id, user_id, event_type, $evMs AS ms,
+         |        lag($evMs) OVER (PARTITION BY user_id
+         |                         ORDER BY $evMs, event_id) AS prev
+         |      FROM events WHERE ts IS NOT NULL),
+         |s AS (SELECT event_id, user_id, event_type, ms,
+         |        (sum(CASE WHEN prev IS NULL OR ms - prev > $D
+         |                  THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+         |      FROM x),
+         |f AS (SELECT user_id, session_seq, first_touch, first_ms FROM (
+         |        SELECT user_id, session_seq, event_type AS first_touch,
+         |          ms AS first_ms,
+         |          row_number() OVER (PARTITION BY user_id, session_seq
+         |                             ORDER BY ms, event_id) AS rn
+         |        FROM s) r WHERE rn = 1)
+         |SELECT c.user_id, c.event_id, c.session_seq, c.ms AS conv_ms,
+         |  f.first_touch, f.first_ms, c.ms - f.first_ms AS time_to_convert_ms
+         |FROM s c JOIN f ON f.user_id = c.user_id
+         |  AND f.session_seq = c.session_seq
+         |WHERE c.event_type = 'purchase'""".stripMargin,
 
     // integer grain arithmetic end to end; one trunc6'd division
     "q_retention" ->

@@ -1350,6 +1350,43 @@ object CoreOps {
       .select(col(id), col("status"))
   }
 
+  /** First-touch attribution: for every conversion row, find the FIRST event
+    * of the same (key, session) and attribute the conversion to its `attr`
+    * value (the marketing-channel question, and in pipeline terms the
+    * provenance question: which entry point led to this outcome?). Sessions
+    * come from `sessionize` (same gap semantics, same deterministic
+    * (ts, tiebreak) order); session firsts are a map-side-combinable
+    * `min_by(struct(attr, ms), struct(ms, tiebreak))` — one row per
+    * (task, session) through the shuffle, the latestState argument, NOT a
+    * per-session sort. The conversions-to-firsts join is keyed on
+    * (key, session_seq): both sides already hash-partition on the key, and
+    * the firsts side is one row per session. time_to_convert_ms is exact
+    * int64 arithmetic. NULL timestamps drop before sessionization (an
+    * unplaceable event belongs to no session); conversions are whatever
+    * rows satisfy `isConversion`, evaluated after sessionization so the
+    * predicate may reference session_seq. */
+  def firstTouchAttribution(df: DataFrame, key: String, ts: String,
+                            tiebreak: String, attr: String, gapMs: Long,
+                            isConversion: Column): DataFrame = {
+    val emitted = Seq("conv_ms", "first_touch", "first_ms",
+      "time_to_convert_ms", "_ft")
+    require(!emitted.exists(df.columns.contains),
+      s"firstTouchAttribution emits ${emitted.mkString(", ")}; rename inputs")
+    val sess = sessionize(df.filter(col(ts).isNotNull), key, ts, tiebreak,
+      gapMs)
+    val msCol = ms(col(ts))
+    val firsts = sess.groupBy(col(key), col("session_seq"))
+      .agg(min_by(struct(col(attr).as("a"), msCol.as("m")),
+        struct(msCol, col(tiebreak))).as("_ft"))
+      .select(col(key), col("session_seq"),
+        col("_ft.a").as("first_touch"), col("_ft.m").as("first_ms"))
+    sess.filter(isConversion)
+      .select(col(key), col(tiebreak), col("session_seq"),
+        msCol.as("conv_ms"))
+      .join(firsts, Seq(key, "session_seq"))
+      .withColumn("time_to_convert_ms", col("conv_ms") - col("first_ms"))
+  }
+
   /** First-order Markov transition matrix over per-key event sequences —
     * which state follows which, and how often (the behavioral fingerprint
     * behind session modeling and synthetic-trace generation). Consecutive

@@ -266,6 +266,13 @@ object syntax {
       CoreOps.giniImpurity(df, group, label)
     def pagerankFixed(src: String, dst: String, iters: Int): DataFrame =
       Graph.pagerankFixed(df, src, dst, iters)
+    def triangleStats(src: String, dst: String): DataFrame =
+      Graph.triangleStats(df, src, dst)
+    def firstTouchAttribution(key: String, ts: String, tiebreak: String,
+                              attr: String, gapMs: Long,
+                              isConversion: Column): DataFrame =
+      CoreOps.firstTouchAttribution(df, key, ts, tiebreak, attr, gapMs,
+        isConversion)
     def basketLift(basket: String, item: String, minSupport: Long,
                    maxBasketSize: Int): DataFrame =
       Graph.basketLift(df, basket, item, minSupport, maxBasketSize)

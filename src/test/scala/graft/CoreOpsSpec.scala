@@ -594,6 +594,32 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.snapshotDiff(old, neu, "id", Seq("id", "t")))
   }
 
+  test("firstTouchAttribution credits each conversion to its session's first event") {
+    val df = ev(
+      (1, 1000, 1, "view", 0), (2, 2000, 1, "click", 0),
+      (3, 3000, 1, "purchase", 0),              // session 1: credit 'view'
+      (4, 5004000, 1, "click", 0), (5, 5005000, 1, "purchase", 0), // session 2
+      (6, 9000, 2, "purchase", 0))              // conversion IS the first
+    val got = CoreOps.firstTouchAttribution(df, "user_id", "ts", "event_id",
+      "event_type", 5000000L, col("event_type") === "purchase")
+      .select("event_id", "session_seq", "first_touch", "time_to_convert_ms")
+      .orderBy("event_id").as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq((3L, 1L, "view", 2000L), (5L, 2L, "click", 1000L),
+      (6L, 1L, "purchase", 0L)))
+  }
+
+  test("firstTouchAttribution breaks session-start ties by tiebreak and guards names") {
+    val df = ev((2, 1000, 1, "b", 0), (1, 1000, 1, "a", 0),
+      (3, 2000, 1, "purchase", 0))
+    val got = CoreOps.firstTouchAttribution(df, "user_id", "ts", "event_id",
+      "event_type", 10000L, col("event_type") === "purchase")
+      .select("first_touch").as[String].collect().toSeq
+    assert(got == Seq("a")) // id 1 wins the ms=1000 tie
+    assertThrows[IllegalArgumentException](
+      CoreOps.firstTouchAttribution(df.withColumn("conv_ms", lit(1)),
+        "user_id", "ts", "event_id", "event_type", 10000L, lit(true)))
+  }
+
   test("transitionMatrix counts consecutive pairs with deterministic tie order") {
     val df = ev(
       (1, 1000, 1, "a", 0), (2, 2000, 1, "b", 0), (3, 3000, 1, "a", 0),

@@ -67,6 +67,32 @@ class GraphSpec extends SparkSpec {
       Graph.pagerankFixed(edges.withColumnRenamed("s", "node"), "node", "d", 5))
   }
 
+  test("triangleStats counts K4 exactly; dups, self-loops, NULLs drop") {
+    val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b) yield (Option(a), Option(b))
+    val noisy = k4 ++ Seq((Option("b"), Option("a")), // dup, reversed
+      (Option("c"), Option("c")),                      // self-loop
+      (Option.empty[String], Option("a")))             // NULL endpoint
+    val got = Graph.triangleStats(noisy.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    // K4: 6 edges, deg 3 each -> wedges 4*3 = 12, triangles 4, 12/12 = 1.0
+    assert(got == ((4L, 6L, 12L, 4L, 1.0)))
+  }
+
+  test("triangleStats: triangle plus pendant gives clustering 3/5") {
+    val df = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")).toDF("s", "d")
+    val got = Graph.triangleStats(df, "s", "d")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    // degrees a2 b2 c3 d1 -> wedges 1+1+3+0 = 5; one triangle; 3/5 = 0.6
+    assert(got == ((4L, 4L, 5L, 1L, 0.6)))
+    val bip = Seq(("u1", "v1"), ("u1", "v2"), ("u2", "v1")).toDF("s", "d")
+    val none = Graph.triangleStats(bip, "s", "d")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(none._4 == 0L && none._5 == 0.0) // bipartite: no triangles
+    assertThrows[IllegalArgumentException](
+      Graph.triangleStats(df.withColumnRenamed("s", "node"), "node", "d"))
+  }
+
   test("basketLift computes the hand-checked lift and applies minSupport") {
     val rows = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (2L, "y"),
       (3L, "x"), (3L, "z"), (4L, "y")).toDF("bk", "it") // (2,y) duplicated
