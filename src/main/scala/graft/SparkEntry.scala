@@ -980,6 +980,22 @@ object SparkEntry {
         .groupBy(col("node")).agg(count(lit(1)).cast("double").as("degree"))
       CoreOps.valueHistogram(deg, "degree", DegLo, DegWidth, DegBins)
     }),
+    // 2-D Pareto frontier of (recency, value): the distributed suffix-max
+    // scan replaces the naive all-pairs NOT EXISTS — dominance is
+    // comparison-only, so doubles stay engine-exact
+    "q_skyline" -> ((s, dir) =>
+      CoreOps.skylineMax2D(
+        Tables.events(s, dir).select(col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("value")),
+        "ms", "value")),
+    // per-customer coverage of 30-day order-validity intervals: islands
+    // from one keyed ordered window scan, never an overlap self-join
+    "q_coverage" -> ((s, dir) =>
+      CoreOps.intervalUnionLength(
+        Tables.orders(s, dir).select(col("o_custkey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("iv_start"))
+          .withColumn("iv_end", col("iv_start") + lit(30L * D)),
+        "o_custkey", "iv_start", "iv_end")),
     // first-touch attribution: every purchase credited to the first event
     // of its session — session firsts via map-side min_by, never a
     // per-session sort
@@ -2626,6 +2642,41 @@ object SparkEntry {
          |    AS bin_lo,
          |  count(*)::BIGINT AS n, min(v) AS v_min, max(v) AS v_max
          |FROM b GROUP BY 1""".stripMargin,
+
+    // brute-force window twin: strict-later and peer-inclusive suffix
+    // maxima via RANGE frames in descending ms
+    "q_skyline" ->
+      """WITH p AS (SELECT event_id, epoch_ms(ts) AS ms, value FROM events
+        |           WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT event_id, ms, value,
+        |        max(value) OVER (ORDER BY ms DESC
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sm,
+        |        max(value) OVER (ORDER BY ms DESC
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS im
+        |      FROM p)
+        |SELECT event_id, ms, value FROM m
+        |WHERE NOT (im > value) AND (sm IS NULL OR sm < value)""".stripMargin,
+
+    // the same island construction: running max end, island breaks, then
+    // per-island extents rolled up per key
+    "q_coverage" ->
+      s"""WITH iv AS (SELECT o_custkey, epoch_ms(o_orderdate) AS s,
+         |        epoch_ms(o_orderdate) + ${30L * D} AS e FROM orders),
+         |w AS (SELECT o_custkey, s, e,
+         |        max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM iv),
+         |isl AS (SELECT o_custkey, s, e,
+         |        sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY o_custkey ORDER BY s, e
+         |                ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM w),
+         |g AS (SELECT o_custkey, island, count(*)::BIGINT AS cnt,
+         |        (max(e) - min(s))::BIGINT AS len
+         |      FROM isl GROUP BY 1, 2)
+         |SELECT o_custkey, sum(cnt)::BIGINT AS n_intervals,
+         |  count(*)::BIGINT AS n_islands, sum(len)::BIGINT AS covered
+         |FROM g GROUP BY 1""".stripMargin,
 
     // the q_sessionize skeleton + a row_number=1 session-first pick
     "q_attribution" ->

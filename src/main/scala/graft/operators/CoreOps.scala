@@ -1507,4 +1507,110 @@ object CoreOps {
           / (col("n") * col("n")).cast("double") * 1000000d) / 1000000d)
           .as("gini"))
   }
+
+  /** 2-D Pareto frontier (skyline), maximizing both dimensions: keep the
+    * rows no other row beats weakly in both `x` and `y` and strictly in at
+    * least one — the "best trade-offs" query (recency × quality, cost ×
+    * score) that naively needs an all-pairs NOT EXISTS. Here it is the
+    * distributed suffix-max scan (withLateFlag's bucket scheme, run in
+    * descending x): range-bucket on x, per-bucket max-y aggregate, an
+    * O(buckets) driver suffix-max broadcast back, then two PARTITIONED
+    * range-frame windows per bucket — a row is dominated iff some x-peer
+    * (or any later x) carries a strictly larger y, or any strictly-later x
+    * carries y at least as large. No all-pairs product at any scale; the
+    * only row-count-sized stage is one bucket-keyed window sort.
+    *
+    * `x` must be INTEGRAL: the strict "later x" frame is RANGE … TO −1,
+    * which is exactly x′ ≥ x+1 only on unit-spaced ordinals (epoch-ms,
+    * ids, counts). `y` may be any numeric; dominance compares it as
+    * DOUBLE (comparisons only, no arithmetic — engine-exact). Rows with
+    * NULL x or y drop: they have no position on the frontier. Equal
+    * (x, y) duplicates do not dominate each other — all survive, the
+    * standard skyline convention. Emits the surviving input rows
+    * unchanged. */
+  def skylineMax2D(df: DataFrame, x: String, y: String): DataFrame = {
+    require(integralTypes.contains(df.schema(x).dataType),
+      s"skylineMax2D needs an integral x for the strict range frame; " +
+        s"'$x' is ${df.schema(x).dataType} — bucket or scale it to int64")
+    val emitted = Seq("_bucket", "_later_max", "_dom")
+    require(!emitted.exists(df.columns.contains),
+      s"skylineMax2D uses ${emitted.mkString(", ")} internally; rename inputs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clean = df.filter(col(x).isNotNull && col(y).isNotNull)
+    val nBuckets = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val bucket = timeRangeBucket(clean, col(x).cast("long"), nBuckets)
+      .getOrElse(return clean) // no non-NULL rows: empty frontier
+    val b = clean.withColumn("_bucket", bucket)
+    // exclusive SUFFIX max of y across buckets: later buckets hold
+    // strictly larger x, so their max-y dominates by the strict rule
+    val bucketMax = b.groupBy(col("_bucket"))
+      .agg(max(col(y).cast("double")).as("mx"))
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(-_._1)
+    var running = Double.NegativeInfinity
+    val suffix = bucketMax.map { case (bk, mx) =>
+      val after = running; running = math.max(running, mx); (bk, after)
+    }.filter(!_._2.isNegInfinity).toSeq
+    val suffixDf = suffix.toDF("_bucket", "_later_max")
+    val yd = col(y).cast("double")
+    val wStrict = Window.partitionBy(col("_bucket")).orderBy(col(x).desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.partitionBy(col("_bucket")).orderBy(col(x).desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val strictAll = greatest(max(yd).over(wStrict), col("_later_max"))
+    b.join(broadcast(suffixDf), Seq("_bucket"), "left")
+      .withColumn("_dom", (max(yd).over(wIncl) > yd) ||
+        (strictAll.isNotNull && strictAll >= yd))
+      .filter(!col("_dom"))
+      .select(clean.columns.map(col).toSeq: _*)
+  }
+
+  /** Per-key union length of half-open [start, end) intervals — the
+    * coverage question (how much wall-clock was this key active, how many
+    * contiguous stretches?) that a naive per-pair overlap join answers
+    * quadratically. One keyed (start, end)-ordered window sort does it
+    * linearly: a row opens a new ISLAND iff its start exceeds the running
+    * max end of all earlier rows in its key; island extent is max(end) −
+    * min(start) because coverage inside an island is contiguous by
+    * construction. Both window passes share ONE exchange + sort (same
+    * partition/order); then two hash aggs of O(islands) rows. Tie order
+    * among equal starts cannot change the result (an interval can never
+    * break away from an equal-start peer — its start is not past the
+    * peer's end), so no tiebreak column is needed for determinism.
+    * Integral bounds required (coverage is exact int64 arithmetic);
+    * NULL or non-positive-length intervals FAIL LOUDLY — a boundless or
+    * empty interval in a coverage sum is an upstream data bug, and
+    * dropping it silently would understate coverage. */
+  def intervalUnionLength(df: DataFrame, key: String, start: String,
+                          end: String): DataFrame = {
+    Seq(start, end).foreach(c => require(
+      integralTypes.contains(df.schema(c).dataType),
+      s"intervalUnionLength needs integral bounds; '$c' is " +
+        s"${df.schema(c).dataType} — convert to epoch-ms first"))
+    val emitted = Seq("n_intervals", "n_islands", "covered", "_pm", "_island")
+    require(!emitted.exists(df.columns.contains),
+      s"intervalUnionLength emits ${emitted.mkString(", ")}; rename inputs")
+    val guard = assert_true(
+      col(start).isNotNull && col(end).isNotNull && col(end) > col(start),
+      concat(lit(s"intervalUnionLength: need non-NULL '$start' < '$end'; " +
+        "got ["), coalesce(col(start).cast("string"), lit("NULL")), lit(", "),
+        coalesce(col(end).cast("string"), lit("NULL")), lit(")")))
+    val ord = Seq(col(start).asc, col(end).asc)
+    val wPrev = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(guard.isNull)
+      .withColumn("_pm", max(col(end)).over(wPrev))
+      .withColumn("_island",
+        sum(when(col("_pm").isNull || col(start) > col("_pm"), 1)
+          .otherwise(0)).over(wRun))
+      .groupBy(col(key), col("_island"))
+      .agg(count(lit(1)).as("_cnt"),
+        (max(col(end)) - min(col(start))).as("_len"))
+      .groupBy(col(key))
+      .agg(sum(col("_cnt")).as("n_intervals"),
+        count(lit(1)).as("n_islands"), sum(col("_len")).as("covered"))
+  }
 }

@@ -268,6 +268,10 @@ object syntax {
       Graph.pagerankFixed(df, src, dst, iters)
     def triangleStats(src: String, dst: String): DataFrame =
       Graph.triangleStats(df, src, dst)
+    def skylineMax2D(x: String, y: String): DataFrame =
+      CoreOps.skylineMax2D(df, x, y)
+    def intervalUnionLength(key: String, start: String, end: String): DataFrame =
+      CoreOps.intervalUnionLength(df, key, start, end)
     def firstTouchAttribution(key: String, ts: String, tiebreak: String,
                               attr: String, gapMs: Long,
                               isConversion: Column): DataFrame =

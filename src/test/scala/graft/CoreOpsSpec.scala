@@ -594,6 +594,66 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.snapshotDiff(old, neu, "id", Seq("id", "t")))
   }
 
+  test("skylineMax2D keeps exactly the non-dominated points") {
+    val df = Seq((1L, 10L, 5.0), (2L, 20L, 3.0), (3L, 20L, 7.0),
+      (4L, 30L, 4.0), (5L, 5L, 9.0)).toDF("id", "x", "y")
+    val got = CoreOps.skylineMax2D(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    // (20,3) loses to peer (20,7); (10,5) loses to later (20,7)
+    assert(got == Set(3L, 4L, 5L))
+    // equal (x, y) duplicates do not dominate each other: both survive
+    val dup = Seq((1L, 10L, 5.0), (2L, 10L, 5.0), (3L, 5L, 1.0))
+      .toDF("id", "x", "y")
+    assert(CoreOps.skylineMax2D(dup, "x", "y")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assertThrows[IllegalArgumentException](
+      CoreOps.skylineMax2D(df.withColumn("x", col("x").cast("double")),
+        "x", "y"))
+  }
+
+  test("skylineMax2D matches an all-pairs check under any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, (rnd.nextInt(1000) / 100.0)))
+    val expected = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        (qx > x && qy >= y) || (qx >= x && qy > y) }
+    }.map(_._1).toSet
+    val got = CoreOps.skylineMax2D(
+      pts.toDF("id", "x", "y").repartition(7), "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
+  test("intervalUnionLength merges islands, counts them, and sums coverage") {
+    val df = Seq(("a", 0L, 10L), ("a", 5L, 12L), ("a", 20L, 25L),
+      ("b", 1L, 2L)).toDF("k", "s", "e")
+    val got = CoreOps.intervalUnionLength(df, "k", "s", "e")
+      .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 2L, 17L), ("b", 1L, 1L, 1L)))
+    // half-open adjacency merges; containment never double-counts
+    val adj = Seq(("a", 0L, 5L), ("a", 5L, 10L), ("c", 0L, 100L),
+      ("c", 10L, 20L)).toDF("k", "s", "e")
+    val got2 = CoreOps.intervalUnionLength(adj, "k", "s", "e")
+      .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got2 == Seq(("a", 2L, 1L, 10L), ("c", 2L, 1L, 100L)))
+  }
+
+  test("intervalUnionLength fails loudly on empty or boundless intervals") {
+    val bad = Seq(("a", 5L, 5L)).toDF("k", "s", "e")
+    val err = intercept[Exception] {
+      CoreOps.intervalUnionLength(bad, "k", "s", "e").collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("intervalUnionLength"))
+    val nul = Seq(("a", Option(5L), Option.empty[Long])).toDF("k", "s", "e")
+    assertThrows[Exception](
+      CoreOps.intervalUnionLength(nul, "k", "s", "e").collect())
+    assertThrows[IllegalArgumentException](
+      CoreOps.intervalUnionLength(
+        Seq(("a", 1.0, 2L)).toDF("k", "s", "e"), "k", "s", "e"))
+  }
+
   test("firstTouchAttribution credits each conversion to its session's first event") {
     val df = ev(
       (1, 1000, 1, "view", 0), (2, 2000, 1, "click", 0),
