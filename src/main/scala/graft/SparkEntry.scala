@@ -35,6 +35,23 @@ object SparkEntry {
   private val HistLo = 0d; private val HistWidth = 5000d; private val HistBins = 20
   private val DegLo = 0d; private val DegWidth = 16d; private val DegBins = 64
 
+  /** Shared by q_transitions (batch lag twin) and q_transitions_stream
+    * (state machine in batch mode): both must emit this exact matrix. */
+  private val transitionsOracle =
+    """WITH seq AS (SELECT user_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY epoch_ms(ts), event_id) AS prev
+      |      FROM events
+      |      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |        AND user_id IS NOT NULL),
+      |c AS (SELECT prev AS from_state, event_type AS to_state,
+      |        count(*)::BIGINT AS n
+      |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_state, sum(n)::BIGINT AS n_from FROM c GROUP BY 1)
+      |SELECT c.from_state, c.to_state, n, n_from,
+      |  floor(n::DOUBLE / n_from::DOUBLE * 1000000) / 1000000 AS prob
+      |FROM c JOIN t USING (from_state)""".stripMargin
+
   /** Unrolled-CTE DuckDB twin of Graph.pagerankFixed over the bidirected
     * supplier-part co-sourcing graph. Every arithmetic step is the SAME
     * integer op as the Spark side (`//` ≡ `div` on non-negative operands),
@@ -979,6 +996,35 @@ object SparkEntry {
         .union(e.select(col("dst").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).cast("double").as("degree"))
       CoreOps.valueHistogram(deg, "degree", DegLo, DegWidth, DegBins)
+    }),
+    // the SAME transitions via the streaming state machine run in batch
+    // mode (one remembered kind per key), checked against the SAME oracle
+    // as q_transitions — the interval-alert twin-proof pattern
+    "q_transitions_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("ts").isNotNull
+        && col("event_type").isNotNull && col("user_id").isNotNull)
+      val counts = graft.streaming.StateMachines.transitionPairs(
+          graft.streaming.StateMachines.keyedEvents(ev, col("user_id"),
+            unix_millis(col("ts")), col("event_id"), col("event_type")))
+        .groupBy(col("from_state"), col("to_state"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .join(counts.groupBy(col("from_state"))
+          .agg(sum(col("n")).as("n_from")), Seq("from_state"))
+        .withColumn("prob",
+          floor(col("n").cast("double") / col("n_from").cast("double")
+            * 1000000d) / 1000000d)
+        .select(col("from_state"), col("to_state"), col("n"), col("n_from"),
+          col("prob"))
+    }),
+    // drift report: the one-pass stacked profile on each of two user
+    // cohorts, joined on column name — counts exact, deltas single IEEE
+    // subtractions
+    "q_profile_diff" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      CoreOps.profileDiff(ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        ev.filter(pmod(col("user_id"), lit(2)) === 1),
+        Seq("event_id", "user_id", "value"))
     }),
     // 2-D Pareto frontier of (recency, value): the distributed suffix-max
     // scan replaces the naive all-pairs NOT EXISTS — dominance is
@@ -2522,20 +2568,33 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     // lag window with the same (epoch-ms, event_id) tie order; trunc6 ratio
-    "q_transitions" ->
-      """WITH seq AS (SELECT user_id, event_type,
-        |        lag(event_type) OVER (PARTITION BY user_id
-        |          ORDER BY epoch_ms(ts), event_id) AS prev
-        |      FROM events
-        |      WHERE ts IS NOT NULL AND event_type IS NOT NULL
-        |        AND user_id IS NOT NULL),
-        |c AS (SELECT prev AS from_state, event_type AS to_state,
-        |        count(*)::BIGINT AS n
-        |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT from_state, sum(n)::BIGINT AS n_from FROM c GROUP BY 1)
-        |SELECT c.from_state, c.to_state, n, n_from,
-        |  floor(n::DOUBLE / n_from::DOUBLE * 1000000) / 1000000 AS prob
-        |FROM c JOIN t USING (from_state)""".stripMargin,
+    "q_transitions" -> transitionsOracle,
+    // the state machine must emit the SAME pair multiset → same oracle
+    "q_transitions_stream" -> transitionsOracle,
+
+    // two cohort slices through the q_numeric_profile skeleton, joined on
+    // the column name
+    "q_profile_diff" -> {
+      def side(c: String, m: Int) =
+        s"""SELECT '$c' AS col_, count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::DOUBLE AS min_v, max($c)::DOUBLE AS max_v
+           |FROM events WHERE user_id % 2 = $m""".stripMargin
+      def union(m: Int) = Seq("event_id", "user_id", "value")
+        .map(side(_, m)).mkString("\nUNION ALL\n")
+      s"""WITH pa AS (${union(0)}),
+         |pb AS (${union(1)})
+         |SELECT pa.col_ AS "column",
+         |  pa.n_rows AS n_rows_a, pa.n_nulls AS n_nulls_a,
+         |  pa.n_distinct AS n_distinct_a, pa.min_v AS min_a,
+         |  pa.max_v AS max_a,
+         |  pb.n_rows AS n_rows_b, pb.n_nulls AS n_nulls_b,
+         |  pb.n_distinct AS n_distinct_b, pb.min_v AS min_b,
+         |  pb.max_v AS max_b,
+         |  pb.min_v - pa.min_v AS min_delta, pb.max_v - pa.max_v AS max_delta
+         |FROM pa JOIN pb ON pb.col_ = pa.col_""".stripMargin
+    },
 
     // the same lead window; the open interval is the NULL lead
     "q_scd2" ->

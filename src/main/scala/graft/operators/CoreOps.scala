@@ -1508,6 +1508,27 @@ object CoreOps {
           .as("gini"))
   }
 
+  /** Side-by-side numericProfile of two slices — the data-drift monitor
+    * (did this week's feed change shape vs last week's? does cohort B look
+    * like cohort A?). Each side is the one-pass stacked profile aggregate
+    * (numericProfile: one job, Expand for the distinct counts); the
+    * comparison join is on the column NAME — O(columns) rows, broadcast.
+    * min/max deltas are single IEEE subtractions of values read straight
+    * from the scans (engine-exact); counts are exact integers. A column
+    * numeric in one slice but not the other fails numericProfile's own
+    * require — a schema drift that deep should stop the job, not feed a
+    * dashboard. */
+  def profileDiff(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, s: String) =
+      numericProfile(df, cols).select(col("column"),
+        col("n_rows").as(s"n_rows_$s"), col("n_nulls").as(s"n_nulls_$s"),
+        col("n_distinct").as(s"n_distinct_$s"),
+        col("min_v").as(s"min_$s"), col("max_v").as(s"max_$s"))
+    side(a, "a").join(side(b, "b"), Seq("column"))
+      .withColumn("min_delta", col("min_b") - col("min_a"))
+      .withColumn("max_delta", col("max_b") - col("max_a"))
+  }
+
   /** 2-D Pareto frontier (skyline), maximizing both dimensions: keep the
     * rows no other row beats weakly in both `x` and `y` and strictly in at
     * least one — the "best trade-offs" query (recency × quality, cost ×

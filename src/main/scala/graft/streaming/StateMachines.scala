@@ -11,6 +11,7 @@ import scala.collection.mutable.ArrayBuffer
 case class KeyedEvent(key: String, tsMs: Long, tiebreak: Long, kind: String)
 
 case class IntervalAlert(key: String, ts_ms: Long, gap_ms: Long)
+case class TransitionPair(key: String, from_state: String, to_state: String)
 case class ActionDuration(key: String, action: String, duration_ms: Long)
 case class FunnelState(times: Seq[Long], done: Boolean)
 case class FunnelCompletion(key: String, times: Seq[Long])
@@ -38,6 +39,7 @@ object StateMachines {
   implicit val intervalAlertEnc: Encoder[IntervalAlert] = Encoders.product[IntervalAlert]
   implicit val actionDurationEnc: Encoder[ActionDuration] = Encoders.product[ActionDuration]
   implicit val lastSeenEnc: Encoder[LastSeen]           = Encoders.product[LastSeen]
+  implicit val transitionPairEnc: Encoder[TransitionPair] = Encoders.product[TransitionPair]
   implicit val stringEnc: Encoder[String]               = Encoders.STRING
 
   /** Project any DataFrame (batch or streaming) onto the canonical shape. */
@@ -89,6 +91,40 @@ object StateMachines {
               }
               last = Some(LastSeen(e.kind, e.tsMs))
             }
+          }
+          last match {
+            case Some(s) => state.update(s); armTtl(state, stateTtlMs)
+            case None    =>
+          }
+          out.iterator
+        }
+    }
+
+  /** Streaming form of CoreOps.transitionMatrix's pair extraction: per key,
+    * remember the last event's kind in state; each new event emits the
+    * (from, to) transition from its predecessor — across micro-batches, so
+    * a key's first event in batch N+1 continues the chain from batch N
+    * (exactly what a lag() over the whole history computes in batch mode).
+    * Counting/normalizing into the matrix happens downstream as a plain
+    * streaming-compatible aggregate. In batch mode each key arrives in one
+    * sorted invocation, so the emitted pair multiset equals the batch lag
+    * twin's — the SAME DuckDB oracle checks both (q_transitions /
+    * q_transitions_stream). State is ONE LastSeen per key, TTL-boundable
+    * like every machine here. */
+  def transitionPairs(events: Dataset[KeyedEvent],
+                      stateTtlMs: Option[Long] = None): Dataset[TransitionPair] =
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[KeyedEvent], state: GroupState[LastSeen]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = ArrayBuffer.empty[TransitionPair]
+          var last = state.getOption
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            last.foreach(prev => out += TransitionPair(key, prev.kind, e.kind))
+            last = Some(LastSeen(e.kind, e.tsMs))
           }
           last match {
             case Some(s) => state.update(s); armTtl(state, stateTtlMs)

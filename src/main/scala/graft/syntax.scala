@@ -272,6 +272,8 @@ object syntax {
       CoreOps.skylineMax2D(df, x, y)
     def intervalUnionLength(key: String, start: String, end: String): DataFrame =
       CoreOps.intervalUnionLength(df, key, start, end)
+    def profileDiff(other: DataFrame, cols: Seq[String]): DataFrame =
+      CoreOps.profileDiff(df, other, cols)
     def firstTouchAttribution(key: String, ts: String, tiebreak: String,
                               attr: String, gapMs: Long,
                               isConversion: Column): DataFrame =

@@ -594,6 +594,18 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.snapshotDiff(old, neu, "id", Seq("id", "t")))
   }
 
+  test("profileDiff lines up per-column stats of two slices with exact deltas") {
+    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val b = Seq((3L, 15.0), (4L, 35.0), (5L, Double.NaN)).toDF("id", "v")
+      .withColumn("v", when(col("id") === 5, lit(null).cast("double"))
+        .otherwise(col("v")))
+    val got = CoreOps.profileDiff(a, b, Seq("v"))
+      .select("column", "n_rows_a", "n_rows_b", "n_nulls_b", "min_delta",
+        "max_delta")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("v", 2L, 3L, 1L, 5.0, 15.0)))
+  }
+
   test("skylineMax2D keeps exactly the non-dominated points") {
     val df = Seq((1L, 10L, 5.0), (2L, 20L, 3.0), (3L, 20L, 7.0),
       (4L, 30L, 4.0), (5L, 5L, 9.0)).toDF("id", "x", "y")

@@ -37,6 +37,33 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionPairs(streaming) == batch lag twin, chain spans batches") {
+    val batch1 = Seq(
+      KeyedEvent("1", 1000, 1, "a"), KeyedEvent("1", 2000, 2, "b"),
+      KeyedEvent("2", 1500, 3, "x"))
+    val batch2 = Seq( // user 1's chain continues from the remembered "b"
+      KeyedEvent("1", 3000, 4, "c"), KeyedEvent("2", 4000, 5, "y"))
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.transitionPairs(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("tp_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("tp_par").as[TransitionPair].collect().toSet
+      assert(streamed == Set(TransitionPair("1", "a", "b"),
+        TransitionPair("1", "b", "c"), TransitionPair("2", "x", "y")))
+      // aggregated, the streamed pairs ARE the batch transition matrix
+      val fromStream = spark.table("tp_par")
+        .groupBy("from_state", "to_state").count()
+        .as[(String, String, Long)].collect().toSet
+      val fromBatch = graft.operators.CoreOps.transitionMatrix(
+          batchDf(batch1 ++ batch2), "key", "ts", "tiebreak", "kind")
+        .select(col("from_state"), col("to_state"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(fromStream == fromBatch)
+    } finally q.stop()
+  }
+
   test("actionDurations(streaming) == batch twin, logout clears state across batches") {
     val batch1 = Seq(
       KeyedEvent("1", 1000, 1, "signup"), KeyedEvent("1", 3000, 2, "view"),
