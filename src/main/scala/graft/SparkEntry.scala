@@ -34,6 +34,7 @@ object SparkEntry {
   private val LiftMaxBasket = 32   // basket-lift size cap (OOM guard)
   private val HistLo = 0d; private val HistWidth = 5000d; private val HistBins = 20
   private val DegLo = 0d; private val DegWidth = 16d; private val DegBins = 64
+  private val SessLiftMaxTypes = 5 // distinct event types bound session baskets
 
   /** Shared by q_transitions (batch lag twin) and q_transitions_stream
     * (state machine in batch mode): both must emit this exact matrix. */
@@ -59,8 +60,8 @@ object SparkEntry {
     * `pr` is one double division with both operands exactly representable. */
   private def pagerankOracleSql(iters: Int, scale: Long): String = {
     val head =
-      s"""WITH sp AS (SELECT DISTINCT 's:' || l_suppkey AS src,
-         |        'p:' || l_partkey AS dst FROM lineitem),
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey * 2 AS src,
+         |        l_partkey * 2 + 1 AS dst FROM lineitem),
          |e AS (SELECT src, dst FROM sp
          |      UNION SELECT dst AS src, src AS dst FROM sp),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
@@ -966,35 +967,26 @@ object SparkEntry {
     // expansion is a basket-keyed self-join bounded by the size cap;
     // lift is one double division of two BIGINT products
     "q_basket_lift" -> ((s, dir) =>
-      Graph.basketLift(
-        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+      Graph.basketLift(coorderItems(s, dir),
         "l_orderkey", "l_partkey", LiftSupport, LiftMaxBasket)),
     // triangle census of the support-filtered co-order graph: the Spark
     // side counts via degree-oriented wedges (hub-proof); the oracle
     // brute-forces the same census with a canonical 3-way join
-    "q_triangles" -> ((s, dir) => {
-      val it = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-        .distinct()
-      val pairs = it.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(it.select(col("l_orderkey"), col("l_partkey").as("pb")),
-          Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= LiftSupport)
-      Graph.triangleStats(pairs, "pa", "pb")
-    }),
+    "q_triangles" -> ((s, dir) =>
+      Graph.triangleStats(coorderPairs(s, dir), "pa", "pb")),
     // degree histogram of the supplier-part graph: the graph-shape
     // profile as a composition — degrees through valueHistogram
     "q_degree_hist" -> ((s, dir) => {
-      val e = Tables.lineitem(s, dir).select(
-          concat(lit("s:"), col("l_suppkey")).as("src"),
-          concat(lit("p:"), col("l_partkey")).as("dst"))
-        .distinct()
-      val deg = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).cast("double").as("degree"))
+      // degrees aggregate on the LONG keys (the bipartite sides cannot
+      // collide), so the big distinct/agg never touches strings — labels
+      // attach to the O(nodes) degree rows only
+      val e = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+      val deg = e.groupBy(col("l_suppkey")).agg(count(lit(1)).as("d"))
+        .select(concat(lit("s:"), col("l_suppkey")).as("node"), col("d"))
+        .union(e.groupBy(col("l_partkey")).agg(count(lit(1)).as("d"))
+          .select(concat(lit("p:"), col("l_partkey")).as("node"), col("d")))
+        .select(col("node"), col("d").cast("double").as("degree"))
       CoreOps.valueHistogram(deg, "degree", DegLo, DegWidth, DegBins)
     }),
     // the SAME transitions via the streaming state machine run in batch
@@ -1026,6 +1018,34 @@ object SparkEntry {
         ev.filter(pmod(col("user_id"), lit(2)) === 1),
         Seq("event_id", "user_id", "value"))
     }),
+    // χ² independence of event type vs day-of-week: per-cell rational
+    // contributions, cross-cell sum in integer micro-units — the one step
+    // plain doubles make partitioning-dependent
+    "q_chi2" -> ((s, dir) => {
+      val msCol = unix_millis(col("ts"))
+      CoreOps.chiSquareIndependence(
+        Tables.events(s, dir).select(col("event_type"),
+          pmod(((msCol - pmod(msCol, lit(D))) / lit(D)).cast("long"), lit(7L))
+            .as("dow")),
+        "event_type", "dow")
+    }),
+    // per-language min-max scaling of doc length — grouped min/max
+    // broadcast back, pure map, no window
+    "q_minmax_norm" -> ((s, dir) =>
+      CoreOps.minMaxNormalize(Tables.documents(s, dir), "lang", "n_chars",
+        "nc_norm")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("nc_norm"))),
+    // which event types co-occur in the same session beyond chance:
+    // basketLift composed over sessionize — baskets are sessions
+    "q_session_lift" -> ((s, dir) => {
+      val sess = CoreOps.sessionize(
+        Tables.events(s, dir).filter(col("ts").isNotNull), "user_id", "ts",
+        "event_id", D)
+      Graph.basketLift(
+        sess.select(concat(col("user_id"), lit(":"), col("session_seq"))
+          .as("bk"), col("event_type")),
+        "bk", "event_type", LiftSupport, SessLiftMaxTypes)
+    }),
     // 2-D Pareto frontier of (recency, value): the distributed suffix-max
     // scan replaces the naive all-pairs NOT EXISTS — dominance is
     // comparison-only, so doubles stay engine-exact
@@ -1053,9 +1073,11 @@ object SparkEntry {
     // integral, so the scaled ranks are bit-identical to the oracle's
     // unrolled CTE iterations
     "q_pagerank" -> ((s, dir) => {
+      // long node ids — suppliers at 2k, parts at 2k+1 (disjoint, and the
+      // per-round joins/aggs shuffle 8-byte keys, never strings)
       val sp = Tables.lineitem(s, dir).select(
-        concat(lit("s:"), col("l_suppkey")).as("src"),
-        concat(lit("p:"), col("l_partkey")).as("dst"))
+        (col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
       Graph.pagerankFixed(
         sp.union(sp.select(col("dst").as("src"), col("src").as("dst"))),
         "src", "dst", PrIters, PrScale)
@@ -1238,6 +1260,32 @@ object SparkEntry {
     memoPersist(pairsCache, s, dir)(
       Dedup.lshJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         MhK, MhBands, MhRows, 0.5))
+
+  /** Distinct (order, part) basket rows, memoized: the co-order association
+    * queries (q_basket_lift, q_triangles) share one scan + distinct. */
+  private val coorderItemsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def coorderItems(s: SparkSession, dir: String): DataFrame =
+    memoPersist(coorderItemsCache, s, dir)(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .distinct())
+
+  /** The support-filtered co-order pair edges over those baskets, memoized:
+    * the pair expansion (the basket self-join) is the dominant stage of
+    * both graph queries, and the edge set they derive is identical. */
+  private val coorderPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def coorderPairs(s: SparkSession, dir: String): DataFrame =
+    memoPersist(coorderPairsCache, s, dir)({
+      val it = coorderItems(s, dir)
+      it.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(it.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= LiftSupport)
+    })
 
   /** The cluster assignment over those pairs, memoized for the same reason:
     * dupClusters runs its propagation rounds EAGERLY (per-round convergence
@@ -2701,6 +2749,69 @@ object SparkEntry {
          |    AS bin_lo,
          |  count(*)::BIGINT AS n, min(v) AS v_min, max(v) AS v_max
          |FROM b GROUP BY 1""".stripMargin,
+
+    // same rational per-cell formula, same left-assoc double pipeline,
+    // same integer micro-unit summation
+    "q_chi2" ->
+      """WITH base AS (SELECT event_type AS a,
+        |        (epoch_ms(ts) // 86400000) % 7 AS b
+        |      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT a, b, count(*)::BIGINT AS o FROM base GROUP BY 1, 2),
+        |r AS (SELECT a, sum(o)::BIGINT AS rr FROM cells GROUP BY 1),
+        |c AS (SELECT b, sum(o)::BIGINT AS cc FROM cells GROUP BY 1),
+        |t AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT a)::BIGINT AS na,
+        |        count(DISTINCT b)::BIGINT AS nb FROM cells),
+        |cell AS (SELECT n, na, nb,
+        |    floor((o * n - rr * cc)::DOUBLE * (o * n - rr * cc)::DOUBLE
+        |          / (rr * cc * n)::DOUBLE * 1000000)::BIGINT AS micro
+        |  FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN t)
+        |SELECT n, (na - 1) * (nb - 1) AS dof,
+        |  sum(micro)::BIGINT::DOUBLE / 1000000 AS chi2
+        |FROM cell GROUP BY n, na, nb""".stripMargin,
+
+    // grouped extremes joined back; one trunc6'd division per row
+    "q_minmax_norm" ->
+      """WITH m AS (SELECT lang, min(n_chars) AS mn, max(n_chars) AS mx
+        |           FROM documents GROUP BY 1)
+        |SELECT doc_id, d.lang, n_chars,
+        |  CASE WHEN mx > mn
+        |       THEN floor((n_chars - mn)::DOUBLE / (mx - mn)::DOUBLE
+        |                  * 1000000) / 1000000
+        |  END AS nc_norm
+        |FROM documents d JOIN m ON m.lang = d.lang""".stripMargin,
+
+    // the q_sessionize skeleton feeding the q_basket_lift pipeline:
+    // baskets are (user, session) composites
+    "q_session_lift" ->
+      s"""WITH x AS (SELECT user_id, event_type, event_id, $evMs AS ms,
+         |        lag($evMs) OVER (PARTITION BY user_id
+         |                         ORDER BY $evMs, event_id) AS prev
+         |      FROM events WHERE ts IS NOT NULL),
+         |s AS (SELECT user_id, event_type,
+         |        (sum(CASE WHEN prev IS NULL OR ms - prev > $D
+         |                  THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+         |      FROM x),
+         |items AS (SELECT DISTINCT user_id || ':' || session_seq AS bk,
+         |        event_type AS it
+         |      FROM s WHERE event_type IS NOT NULL),
+         |kept AS (SELECT i.bk, i.it FROM items i JOIN (
+         |    SELECT bk FROM items GROUP BY bk
+         |    HAVING count(*) <= $SessLiftMaxTypes) z USING (bk)),
+         |tot AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM kept),
+         |freq AS (SELECT it, count(*)::BIGINT AS n FROM kept GROUP BY 1),
+         |pairs AS (SELECT a.it AS item_a, b.it AS item_b,
+         |        count(*)::BIGINT AS n_ab
+         |      FROM kept a JOIN kept b USING (bk) WHERE a.it < b.it
+         |      GROUP BY 1, 2 HAVING count(*) >= $LiftSupport)
+         |SELECT item_a, item_b, n_ab, fa.n AS n_a, fb.n AS n_b, n_baskets,
+         |  floor((n_ab * n_baskets)::DOUBLE / (fa.n * fb.n)::DOUBLE
+         |        * 1000000) / 1000000 AS lift
+         |FROM pairs
+         |JOIN freq fa ON fa.it = item_a
+         |JOIN freq fb ON fb.it = item_b
+         |CROSS JOIN tot""".stripMargin,
 
     // brute-force window twin: strict-later and peer-inclusive suffix
     // maxima via RANGE frames in descending ms

@@ -1508,6 +1508,72 @@ object CoreOps {
           .as("gini"))
   }
 
+  /** Pearson χ² test of independence between two categorical columns — the
+    * mixture diagnostic (is label distribution independent of source? did
+    * the split leak?) with the house determinism discipline. Per cell,
+    * (O−E)²/E is rewritten rationally as (O·n − rᵢ·cⱼ)² / (rᵢ·cⱼ·n):
+    * numerator and denominator are EXACT decimal integer products, each
+    * cast once to double (IEEE-identical on any engine), one multiply +
+    * one divide per cell. Cross-cell summation — the step plain doubles
+    * make partitioning-dependent — happens in integer MICRO-UNITS:
+    * floor(cell·10⁶) per cell, summed as BIGINT (order-independent), so
+    * chi2 is exact to 10⁻⁶·cells and bit-identical everywhere. Shuffles:
+    * one (a,b) cell agg, two tiny margin aggs joined back, a 1-row total
+    * broadcast — O(cells) rows after the first agg. DECIMAL(38,0)
+    * intermediates hold to ~10¹⁹ rows; ANSI fails loud past that. NULL
+    * categories drop (absence is not a category, same as giniImpurity).
+    * Emits one row: (n, dof, chi2). Degenerate 1×k tables get dof 0 and
+    * chi2 0 — independence is vacuous there, stated not implied. */
+  def chiSquareIndependence(df: DataFrame, a: String, b: String): DataFrame = {
+    require(a != b, s"chi-square needs two distinct columns, got '$a' twice")
+    val emitted = Seq("n", "dof", "chi2", "_o", "_r", "_c", "_cell")
+    require(!emitted.contains(a) && !emitted.contains(b),
+      s"chiSquareIndependence emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a), col(b)).agg(count(lit(1)).as("_o"))
+      .localCheckpoint(true) // shared by margins and the cell pass
+    val rows = cells.groupBy(col(a)).agg(sum(col("_o")).as("_r"))
+    val colsM = cells.groupBy(col(b)).agg(sum(col("_o")).as("_c"))
+    val tot = cells.groupBy().agg(sum(col("_o")).as("n"),
+      count_distinct(col(a)).as("_na"), count_distinct(col(b)).as("_nb"))
+    val dec = "decimal(38,0)"
+    val num = (col("_o").cast(dec) * col("n").cast(dec)
+      - col("_r").cast(dec) * col("_c").cast(dec)).cast("double")
+    val den = (col("_r").cast(dec) * col("_c").cast(dec)
+      * col("n").cast(dec)).cast("double")
+    cells.join(rows, Seq(a)).join(colsM, Seq(b)).crossJoin(broadcast(tot))
+      .select(col("n"), col("_na"), col("_nb"),
+        floor(num * num / den * 1000000d).cast("long").as("_cell"))
+      .groupBy(col("n"), col("_na"), col("_nb"))
+      .agg(sum(col("_cell")).as("_micro"))
+      .select(col("n"),
+        ((col("_na") - 1) * (col("_nb") - 1)).as("dof"),
+        (col("_micro").cast("double") / 1000000d).as("chi2"))
+  }
+
+  /** Per-group min-max feature scaling: x ↦ (x − min)/(max − min),
+    * trunc6'd — the normalization step before mixing heterogeneous score
+    * columns. One grouped min/max aggregate (O(groups) rows, broadcast
+    * back by AQE) + a pure map stage; no window, no sort. Constant groups
+    * (max = min) yield NULL, not 0/0 noise; NULL values pass through as
+    * NULL. The subtraction/division run on values read straight from the
+    * scan — identical IEEE on every engine. */
+  def minMaxNormalize(df: DataFrame, group: String, value: String,
+                      out: String): DataFrame = {
+    require(!df.columns.contains(out),
+      s"minMaxNormalize output column '$out' already exists; rename it")
+    val emitted = Seq("_mn", "_mx")
+    require(!emitted.exists(df.columns.contains),
+      s"minMaxNormalize uses ${emitted.mkString(", ")} internally; rename inputs")
+    df.join(df.groupBy(col(group)).agg(min(col(value)).as("_mn"),
+        max(col(value)).as("_mx")), Seq(group))
+      .withColumn(out,
+        when(col("_mx") > col("_mn"),
+          floor((col(value) - col("_mn")) / (col("_mx") - col("_mn"))
+            * 1000000d) / 1000000d))
+      .drop("_mn", "_mx")
+  }
+
   /** Side-by-side numericProfile of two slices — the data-drift monitor
     * (did this week's feed change shape vs last week's? does cohort B look
     * like cohort A?). Each side is the one-pass stacked profile aggregate

@@ -40,10 +40,12 @@ object Graph {
     * (edge ⋈ outdeg) frame (both shuffled on src — co-partitioned after the
     * first round) + one hash agg on dst + one left join back to nodes:
     * O(|E| + |V|) through every exchange, never a materialized matrix. The
-    * edge and node frames are localCheckpoint'd once and reused every round;
-    * ranks are checkpointed per round to cut lineage (the dupClusters
-    * pattern, Dedup.scala). Driver traffic: zero per round (the iteration
-    * count is fixed, not convergence-tested — rank deltas need no action).
+    * edge and node frames are localCheckpoint'd once and reused every round.
+    * Driver traffic: ONE node count at build (folds N into plan literals);
+    * zero per round — the iteration count is fixed, not convergence-tested,
+    * so rank frames feed forward linearly through one lazy plan, with a
+    * lineage cut only every 8th round (each rank frame is consumed exactly
+    * once — nothing is recomputed, nothing eagerly materialized per round).
     * At 100 TB: |E| shuffles dominate; iters is a constant ≤ 50.
     *
     * Self-loops contribute to their own node (kept, documented). Parallel
@@ -51,6 +53,12 @@ object Graph {
     * endpoints drop. Emits (node, pr_scaled, pr) where pr = pr_scaled/scale
     * in ONE double division (both operands exactly representable, identical
     * IEEE result on every engine — no trunc needed).
+    *
+    * Node identity keeps the INPUT type (src and dst must match): every
+    * round joins and aggregates on the node key, and an 8-byte long key
+    * shuffles several times faster than a string — callers with multiple
+    * id spaces should pack them into disjoint integer ranges rather than
+    * tag with string prefixes.
     */
   def pagerankFixed(edges: DataFrame, src: String, dst: String, iters: Int,
                     scale: Long = 1000000000000L): DataFrame = {
@@ -59,10 +67,12 @@ object Graph {
     val emitted = Seq("node", "pr_scaled", "pr", "_src", "_dst", "_deg", "_s")
     require(!emitted.contains(src) && !emitted.contains(dst),
       s"pagerankFixed emits/uses ${emitted.mkString(", ")}; rename inputs")
+    require(edges.schema(src).dataType == edges.schema(dst).dataType,
+      s"src/dst must share one node type; got ${edges.schema(src).dataType} " +
+        s"vs ${edges.schema(dst).dataType}")
 
     val e = edges
-      .select(col(src).cast("string").as("_src"),
-        col(dst).cast("string").as("_dst"))
+      .select(col(src).as("_src"), col(dst).as("_dst"))
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
       .distinct()
       .localCheckpoint(true) // reused every round: never recompute the source
@@ -73,25 +83,31 @@ object Graph {
     val withDeg = e
       .join(e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")), Seq("_src"))
       .localCheckpoint(true)
-    // 1-row totals frame: N stays declarative (no driver count action)
-    val ntotal = nodes.groupBy().agg(count(lit(1)).as("_nn"))
-
-    var ranks = nodes.crossJoin(broadcast(ntotal))
-      .select(col("node"), expr(s"CAST($scale AS BIGINT) div _nn")
-        .as("pr_scaled"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    // N as ONE O(1)-result driver action on the checkpointed node frame:
+    // `scale div N` and the per-round teleport base then fold into plan
+    // literals, so an iteration adds NO driver round-trip, no 1-row
+    // broadcast join, and no eager materialization — the whole fixpoint is
+    // one lazy plan (ranks feed forward linearly; nothing is recomputed)
+    val nNodes = nodes.count()
+    if (nNodes == 0L)
+      return nodes.select(col("node"), lit(0L).as("pr_scaled"),
+        lit(0d).as("pr"))
+    val init = scale / nNodes       // Scala Long division ≡ div on positives
+    val base = (init * 15L) / 100L
+    var ranks = nodes.select(col("node"), lit(init).as("pr_scaled"))
+    for (i <- 1 to iters) {
       val sums = withDeg
         .join(ranks, withDeg("_src") === ranks("node"))
         .select(col("_dst"), expr("pr_scaled div _deg").as("_c"))
         .groupBy(col("_dst")).agg(sum(col("_c")).as("_s"))
       ranks = nodes.join(sums, nodes("node") === sums("_dst"), "left")
-        .crossJoin(broadcast(ntotal))
         .select(nodes("node"),
-          (expr(s"((CAST($scale AS BIGINT) div _nn) * 15) div 100")
+          (lit(base)
             + expr("(coalesce(_s, CAST(0 AS BIGINT)) * 85) div 100"))
             .as("pr_scaled"))
-        .localCheckpoint(true)
+      // cut lineage only every few rounds: at small iters the chain stays
+      // one job; at the 50-iter cap depth never exceeds 8 joins per segment
+      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), col("pr_scaled"),
       (col("pr_scaled").cast("double") / lit(scale.toDouble)).as("pr"))

@@ -274,6 +274,10 @@ object syntax {
       CoreOps.intervalUnionLength(df, key, start, end)
     def profileDiff(other: DataFrame, cols: Seq[String]): DataFrame =
       CoreOps.profileDiff(df, other, cols)
+    def chiSquareIndependence(a: String, b: String): DataFrame =
+      CoreOps.chiSquareIndependence(df, a, b)
+    def minMaxNormalize(group: String, value: String, out: String): DataFrame =
+      CoreOps.minMaxNormalize(df, group, value, out)
     def firstTouchAttribution(key: String, ts: String, tiebreak: String,
                               attr: String, gapMs: Long,
                               isConversion: Column): DataFrame =

@@ -47,6 +47,13 @@ object StreamDemo {
         col("id"), col("action")), Seq("Login", "ViewVideo", "Logout"))
     val q2b = StreamSinks.console(funnels.toDF())
 
+    // cross-batch Markov transitions, continuously: each user's action
+    // chain continues from the one remembered kind per key
+    val transitions = StateMachines.transitionPairs(
+      StateMachines.keyedEvents(stream, col("user"), col("timestamp"),
+        col("id"), col("action")))
+    val q2c = StreamSinks.console(transitions.toDF())
+
     // replay the fixture files into the watched dir like the generator
     // thread — in numeric index order (Files.list has no ordering guarantee,
     // and cross-batch arrival order affects the state machines' output)
@@ -63,14 +70,16 @@ object StreamDemo {
     files.foreach { f =>
       Files.copy(f, watched.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING)
       n += 1
-      q1.processAllAvailable(); q2.processAllAvailable(); q2b.processAllAvailable()
+      q1.processAllAvailable(); q2.processAllAvailable()
+      q2b.processAllAvailable(); q2c.processAllAvailable()
     }
-    q1.processAllAvailable(); q2.processAllAvailable(); q2b.processAllAvailable()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q2b.processAllAvailable(); q2c.processAllAvailable()
     val observed = q1.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_ingested")).map(_.getLong(0))).sum
-    println(s"[demo] streamed $n files from $srcDir through 3 continuous queries" +
+    println(s"[demo] streamed $n files from $srcDir through 4 continuous queries" +
       s" (observer counted $observed ingested records)")
-    q1.stop(); q2.stop(); q2b.stop()
+    q1.stop(); q2.stop(); q2b.stop(); q2c.stop()
 
     // E4 + E5 shapes on the in-engine rate source: continuous session
     // summaries and a windowed Create↔Delete self-join over the synthetic

@@ -594,6 +594,37 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.snapshotDiff(old, neu, "id", Seq("id", "t")))
   }
 
+  test("chiSquareIndependence matches the textbook 2x2 statistic exactly") {
+    // O = [[30,10],[10,30]]: E = 20 everywhere, chi2 = 4 * 100/20 = 20
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val got = CoreOps.chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double)].collect().head
+    assert(got == ((80L, 1L, 20.0)))
+    // perfectly proportional table -> 0; single row-category -> dof 0
+    val prop = Seq.fill(20)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(40)(("y", "p")) ++ Seq.fill(20)(("y", "q"))
+    assert(CoreOps.chiSquareIndependence(prop.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double)].collect().head == ((90L, 1L, 0.0)))
+    val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(CoreOps.chiSquareIndependence(one, "a", "b")
+      .as[(Long, Long, Double)].collect().head == ((2L, 0L, 0.0)))
+    assertThrows[IllegalArgumentException](
+      CoreOps.chiSquareIndependence(one, "a", "a"))
+  }
+
+  test("minMaxNormalize scales per group; constant groups yield NULL") {
+    val df = Seq(("g1", 10.0), ("g1", 15.0), ("g1", 20.0),
+      ("g2", 7.0), ("g2", 7.0)).toDF("g", "v")
+    val got = CoreOps.minMaxNormalize(df, "g", "v", "norm")
+      .select("g", "v", "norm").orderBy("g", "v")
+      .as[(String, Double, Option[Double])].collect().toSeq
+    assert(got == Seq(("g1", 10.0, Some(0.0)), ("g1", 15.0, Some(0.5)),
+      ("g1", 20.0, Some(1.0)), ("g2", 7.0, None), ("g2", 7.0, None)))
+    assertThrows[IllegalArgumentException](
+      CoreOps.minMaxNormalize(df, "g", "v", "v"))
+  }
+
   test("profileDiff lines up per-column stats of two slices with exact deltas") {
     val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
     val b = Seq((3L, 15.0), (4L, 35.0), (5L, Double.NaN)).toDF("id", "v")
