@@ -35,6 +35,8 @@ object SparkEntry {
   private val HistLo = 0d; private val HistWidth = 5000d; private val HistBins = 20
   private val DegLo = 0d; private val DegWidth = 16d; private val DegBins = 64
   private val SessLiftMaxTypes = 5 // distinct event types bound session baskets
+  private val KfoldK = 5           // cross-validation fold count
+  private val KfoldSalt = "cv"
 
   /** Shared by q_transitions (batch lag twin) and q_transitions_stream
     * (state machine in batch mode): both must emit this exact matrix. */
@@ -52,6 +54,26 @@ object SparkEntry {
       |SELECT c.from_state, c.to_state, n, n_from,
       |  floor(n::DOUBLE / n_from::DOUBLE * 1000000) / 1000000 AS prob
       |FROM c JOIN t USING (from_state)""".stripMargin
+
+  /** Shared by q_chi2 and q_cramers_v (the effect size is a projection of
+    * the same engine-exact contingency pipeline): rational per-cell
+    * (O·n − r·c)²/(r·c·n), summed cross-cell in integer micro-units. */
+  private val chi2OracleCte =
+    """WITH base AS (SELECT event_type AS a,
+      |        (epoch_ms(ts) // 86400000) % 7 AS b
+      |      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      |cells AS (SELECT a, b, count(*)::BIGINT AS o FROM base GROUP BY 1, 2),
+      |r AS (SELECT a, sum(o)::BIGINT AS rr FROM cells GROUP BY 1),
+      |c AS (SELECT b, sum(o)::BIGINT AS cc FROM cells GROUP BY 1),
+      |t AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT a)::BIGINT AS na,
+      |        count(DISTINCT b)::BIGINT AS nb FROM cells),
+      |cell AS (SELECT n, na, nb,
+      |    floor((o * n - rr * cc)::DOUBLE * (o * n - rr * cc)::DOUBLE
+      |          / (rr * cc * n)::DOUBLE * 1000000)::BIGINT AS micro
+      |  FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN t),
+      |agg AS (SELECT n, na, nb, (na - 1) * (nb - 1) AS dof,
+      |    sum(micro)::BIGINT::DOUBLE / 1000000 AS chi2
+      |  FROM cell GROUP BY n, na, nb)""".stripMargin
 
   /** Unrolled-CTE DuckDB twin of Graph.pagerankFixed over the bidirected
     * supplier-part co-sourcing graph. Every arithmetic step is the SAME
@@ -1021,14 +1043,35 @@ object SparkEntry {
     // χ² independence of event type vs day-of-week: per-cell rational
     // contributions, cross-cell sum in integer micro-units — the one step
     // plain doubles make partitioning-dependent
-    "q_chi2" -> ((s, dir) => {
-      val msCol = unix_millis(col("ts"))
-      CoreOps.chiSquareIndependence(
-        Tables.events(s, dir).select(col("event_type"),
-          pmod(((msCol - pmod(msCol, lit(D))) / lit(D)).cast("long"), lit(7L))
-            .as("dow")),
-        "event_type", "dow")
+    "q_chi2" -> ((s, dir) =>
+      CoreOps.chiSquareIndependence(typeByDow(s, dir), "event_type", "dow")),
+    // the [0,1]-normalized effect size over the same contingency table:
+    // division and square root are correctly-rounded IEEE ops, so the
+    // engines agree bit-for-bit (ln/exp could not promise this)
+    "q_cramers_v" -> ((s, dir) =>
+      CoreOps.cramersV(typeByDow(s, dir), "event_type", "dow")),
+    // total-variation drift of the event-type mix between user cohorts:
+    // exact decimal cross-products and an exact decimal sum — one final
+    // correctly-rounded division; no log, zero-count categories welcome
+    "q_tvd_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      CoreOps.categoricalDrift(
+        ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        ev.filter(pmod(col("user_id"), lit(2)) === 1),
+        "event_type")
     }),
+    // per-user time-weighted average event value (step interpolation):
+    // the mean plain avg() gets wrong when sampling density correlates
+    // with value; cents-exact weighted sums, one shuffle total
+    "q_twap" -> ((s, dir) =>
+      CoreOps.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "value")),
+    // leakage-safe k-fold assignment: fold = md5(doc_id||salt) mod k —
+    // corpus growth can never move an existing row between folds
+    "q_kfold" -> ((s, dir) =>
+      Sampling.kfoldAssign(Tables.documents(s, dir), "doc_id", KfoldK,
+          salt = KfoldSalt)
+        .select(col("doc_id"), col("fold"))),
     // per-language min-max scaling of doc length — grouped min/max
     // broadcast back, pure map, no window
     "q_minmax_norm" -> ((s, dir) =>
@@ -1260,6 +1303,16 @@ object SparkEntry {
     memoPersist(pairsCache, s, dir)(
       Dedup.lshJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         MhK, MhBands, MhRows, 0.5))
+
+  /** The (event_type, day-of-week) contingency frame shared by q_chi2 and
+    * q_cramers_v: dow from floor-division of truncated epoch-ms (engine-
+    * exact integer arithmetic, mirroring the oracle's `//` and `%`). */
+  private def typeByDow(s: SparkSession, dir: String): DataFrame = {
+    val msCol = unix_millis(col("ts"))
+    Tables.events(s, dir).select(col("event_type"),
+      pmod(((msCol - pmod(msCol, lit(D))) / lit(D)).cast("long"), lit(7L))
+        .as("dow"))
+  }
 
   /** Distinct (order, part) basket rows, memoized: the co-order association
     * queries (q_basket_lift, q_triangles) share one scan + distinct. */
@@ -2752,22 +2805,64 @@ object SparkEntry {
 
     // same rational per-cell formula, same left-assoc double pipeline,
     // same integer micro-unit summation
-    "q_chi2" ->
-      """WITH base AS (SELECT event_type AS a,
-        |        (epoch_ms(ts) // 86400000) % 7 AS b
-        |      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
-        |cells AS (SELECT a, b, count(*)::BIGINT AS o FROM base GROUP BY 1, 2),
-        |r AS (SELECT a, sum(o)::BIGINT AS rr FROM cells GROUP BY 1),
-        |c AS (SELECT b, sum(o)::BIGINT AS cc FROM cells GROUP BY 1),
-        |t AS (SELECT sum(o)::BIGINT AS n, count(DISTINCT a)::BIGINT AS na,
-        |        count(DISTINCT b)::BIGINT AS nb FROM cells),
-        |cell AS (SELECT n, na, nb,
-        |    floor((o * n - rr * cc)::DOUBLE * (o * n - rr * cc)::DOUBLE
-        |          / (rr * cc * n)::DOUBLE * 1000000)::BIGINT AS micro
-        |  FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN t)
-        |SELECT n, (na - 1) * (nb - 1) AS dof,
-        |  sum(micro)::BIGINT::DOUBLE / 1000000 AS chi2
-        |FROM cell GROUP BY n, na, nb""".stripMargin,
+    "q_chi2" -> s"$chi2OracleCte\nSELECT n, dof, chi2 FROM agg",
+
+    // the same pipeline plus one correctly-rounded divide and sqrt —
+    // operand order mirrors CoreOps.cramersV exactly
+    "q_cramers_v" ->
+      s"""$chi2OracleCte
+         |SELECT n, dof, chi2,
+         |  CASE WHEN dof > 0 AND n > 0
+         |       THEN sqrt(chi2 / (n * least(na - 1, nb - 1))::DOUBLE)
+         |  END AS v
+         |FROM agg""".stripMargin,
+
+    // exact 128-bit cross-products and an exact integer sum; one final
+    // correctly-rounded division — mirrors categoricalDrift's decimal path
+    "q_tvd_drift" ->
+      """WITH a AS (SELECT event_type AS c, count(*)::BIGINT AS na
+        |      FROM events WHERE user_id % 2 = 0 AND event_type IS NOT NULL
+        |      GROUP BY 1),
+        |b AS (SELECT event_type AS c, count(*)::BIGINT AS nb
+        |      FROM events WHERE user_id % 2 = 1 AND event_type IS NOT NULL
+        |      GROUP BY 1),
+        |j AS (SELECT coalesce(na, 0)::BIGINT AS na, coalesce(nb, 0)::BIGINT AS nb
+        |      FROM a FULL OUTER JOIN b USING (c)),
+        |t AS (SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
+        |        count(*)::BIGINT AS n_categories FROM j),
+        |s AS (SELECT sum(abs(na::HUGEINT * t.n_b::HUGEINT
+        |                     - nb::HUGEINT * t.n_a::HUGEINT)) AS sm
+        |      FROM j CROSS JOIN t)
+        |SELECT n_a, n_b, n_categories,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN sm::DOUBLE
+        |            / (2::HUGEINT * n_a::HUGEINT * n_b::HUGEINT)::DOUBLE
+        |  END AS tvd
+        |FROM t CROSS JOIN s""".stripMargin,
+
+    // the same lead-window step weights: cents-exact v·Δt sums, exact
+    // integer span, one trunc6'd division
+    "q_twap" ->
+      s"""WITH x AS (SELECT user_id, $evMs AS msv, event_id,
+         |        CAST(value AS DECIMAL(18,2)) AS v
+         |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |d AS (SELECT user_id, msv, v,
+         |        lead(msv) OVER (PARTITION BY user_id
+         |                        ORDER BY msv, event_id) - msv AS dt
+         |      FROM x)
+         |SELECT user_id, count(*)::BIGINT AS n_samples,
+         |  (max(msv) - min(msv))::BIGINT AS span_ms,
+         |  CASE WHEN max(msv) > min(msv)
+         |       THEN floor(sum(v * dt)::DOUBLE
+         |                  / (max(msv) - min(msv))::DOUBLE * 1000000) / 1000000
+         |  END AS twap
+         |FROM d GROUP BY 1""".stripMargin,
+
+    // identical md5-band arithmetic as Sampling.kfoldAssign
+    "q_kfold" ->
+      s"""SELECT doc_id,
+         |  ${sqlMd5Int(s"(doc_id::VARCHAR || '$KfoldSalt')")} % $KfoldK AS fold
+         |FROM documents""".stripMargin,
 
     // grouped extremes joined back; one trunc6'd division per row
     "q_minmax_norm" ->

@@ -1524,9 +1524,31 @@ object CoreOps {
     * categories drop (absence is not a category, same as giniImpurity).
     * Emits one row: (n, dof, chi2). Degenerate 1×k tables get dof 0 and
     * chi2 0 — independence is vacuous there, stated not implied. */
-  def chiSquareIndependence(df: DataFrame, a: String, b: String): DataFrame = {
+  def chiSquareIndependence(df: DataFrame, a: String, b: String): DataFrame =
+    chiSquareCore(df, a, b).select(col("n"), col("dof"), col("chi2"))
+
+  /** Cramér's V effect size on top of the same χ² machinery:
+    * V = √(χ² / (n · min(nₐ−1, n_b−1))) — the [0, 1]-normalized strength
+    * of association a raw χ² (which grows with n) cannot convey. Built on
+    * chiSquareIndependence's engine-exact chi2; the division and the
+    * square root are both CORRECTLY-ROUNDED IEEE operations, so applied
+    * in the same order to identical inputs they are bit-identical on any
+    * engine — √ is in the exactness contract, ln/exp are not. Degenerate
+    * 1×k tables (dof 0) emit NULL v, not a 0/0. Same plan as
+    * chiSquareIndependence: one cell agg, two margin joins, a 1-row
+    * broadcast. Emits one row: (n, dof, chi2, v). */
+  def cramersV(df: DataFrame, a: String, b: String): DataFrame =
+    chiSquareCore(df, a, b).select(col("n"), col("dof"), col("chi2"),
+      when(col("dof") > 0 && col("n") > 0,
+        sqrt(col("chi2")
+          / (col("n") * least(col("_na") - 1, col("_nb") - 1)).cast("double")))
+        .as("v"))
+
+  /** Shared χ² pipeline: emits (n, dof, chi2, _na, _nb) for the public
+    * projections above. */
+  private def chiSquareCore(df: DataFrame, a: String, b: String): DataFrame = {
     require(a != b, s"chi-square needs two distinct columns, got '$a' twice")
-    val emitted = Seq("n", "dof", "chi2", "_o", "_r", "_c", "_cell")
+    val emitted = Seq("n", "dof", "chi2", "v", "_o", "_r", "_c", "_cell")
     require(!emitted.contains(a) && !emitted.contains(b),
       s"chiSquareIndependence emits/uses ${emitted.mkString(", ")}; rename inputs")
     val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
@@ -1548,7 +1570,8 @@ object CoreOps {
       .agg(sum(col("_cell")).as("_micro"))
       .select(col("n"),
         ((col("_na") - 1) * (col("_nb") - 1)).as("dof"),
-        (col("_micro").cast("double") / 1000000d).as("chi2"))
+        (col("_micro").cast("double") / 1000000d).as("chi2"),
+        col("_na"), col("_nb"))
   }
 
   /** Per-group min-max feature scaling: x ↦ (x − min)/(max − min),
@@ -1593,6 +1616,91 @@ object CoreOps {
     side(a, "a").join(side(b, "b"), Seq("column"))
       .withColumn("min_delta", col("min_b") - col("min_a"))
       .withColumn("max_delta", col("max_b") - col("max_a"))
+  }
+
+  /** Total-variation distance between two slices' CATEGORICAL
+    * distributions — profileDiff's counterpart for label/source/language
+    * columns (how far did this week's event-type mix move from last
+    * week's?). TVD = ½ Σ_c |pₐ(c) − p_b(c)|, the largest probability gap
+    * any event set can have, in [0, 1] — and unlike KL it needs no log
+    * and tolerates zero-count categories. Rewritten rationally:
+    * Σ_c |nₐ(c)·N_b − n_b(c)·Nₐ| / (2·Nₐ·N_b) — every term is an EXACT
+    * decimal integer product, the cross-category sum is exact decimal
+    * (order-independent under any partitioning — the step plain doubles
+    * cannot promise), and the single division at the end casts each exact
+    * operand to double once (correctly rounded, engine-identical).
+    * Shuffles: one count agg per slice, a full-outer join on the category
+    * (absent-in-one-side categories count as zero, as TVD requires), a
+    * 1-row totals broadcast, one final 1-row agg — O(categories) rows
+    * after the first aggs. DECIMAL(38,0) holds to ~10¹⁹ rows; ANSI fails
+    * loud past that. NULL categories drop on both sides (absence is not a
+    * category, the chiSquareIndependence convention). An empty slice
+    * yields NULL tvd, not a 0/0. Emits one row:
+    * (n_a, n_b, n_categories, tvd). */
+  def categoricalDrift(a: DataFrame, b: DataFrame, category: String): DataFrame = {
+    val emitted = Seq("n_a", "n_b", "n_categories", "tvd", "_na", "_nb", "_t")
+    require(!emitted.contains(category),
+      s"categoricalDrift emits/uses ${emitted.mkString(", ")}; rename the input")
+    def cnt(df: DataFrame, out: String) =
+      df.filter(col(category).isNotNull)
+        .groupBy(col(category)).agg(count(lit(1)).as(out))
+    val joined = cnt(a, "_na").join(cnt(b, "_nb"), Seq(category), "full_outer")
+      .select(coalesce(col("_na"), lit(0L)).as("_na"),
+        coalesce(col("_nb"), lit(0L)).as("_nb"))
+      .localCheckpoint(true) // shared by the totals and the term pass
+    val tot = joined.groupBy().agg(sum(col("_na")).as("n_a"),
+      sum(col("_nb")).as("n_b"), count(lit(1)).as("n_categories"))
+    val dec = "decimal(38,0)"
+    val term = abs(col("_na").cast(dec) * col("n_b").cast(dec)
+      - col("_nb").cast(dec) * col("n_a").cast(dec))
+    joined.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("n_categories"), term.as("_t"))
+      .groupBy(col("n_a"), col("n_b"), col("n_categories"))
+      .agg(sum(col("_t")).as("_sum"))
+      .select(col("n_a"), col("n_b"), col("n_categories"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("_sum").cast("double")
+            / (lit(2L).cast(dec) * col("n_a").cast(dec) * col("n_b").cast(dec))
+              .cast("double"))
+          .as("tvd"))
+  }
+
+  /** Per-key TIME-weighted average over irregularly-sampled values (step
+    * interpolation): each sample holds until the next one, so
+    * twap = Σᵢ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first) — the mean a plain
+    * avg() gets wrong whenever sampling density correlates with value
+    * (bursty metrics, trade prices, sensor feeds). Exactness: values
+    * truncate to cents (decimal(18,2), the exactSum convention), each
+    * vᵢ·Δtᵢ is an exact decimal·int64 product, the per-key sum is exact
+    * decimal (order-independent under any partitioning), the denominator
+    * is an exact int64 span, and the single final division is trunc6'd on
+    * both engines. One keyed window exchange (the lead) and a keyed agg
+    * that REUSES the same partitioning — one shuffle total. Ties on `ts`
+    * order by `tiebreak` (deterministic cross-engine; tied samples get
+    * Δt 0 and drop out regardless). Keys with one sample (span 0) emit
+    * NULL twap — there is no interval to average over. NULL ts/value rows
+    * drop. Emits (key, n_samples, span_ms, twap). */
+  def timeWeightedAvg(df: DataFrame, key: String, ts: String, tiebreak: String,
+                      value: String): DataFrame = {
+    val emitted = Seq("n_samples", "span_ms", "twap", "_ms", "_dt", "_wv")
+    require(!emitted.exists(df.columns.contains),
+      s"timeWeightedAvg emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val base = df.filter(col(ts).isNotNull && col(value).isNotNull)
+      .withColumn("_ms", ms(col(ts)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ms").asc, col(tiebreak))
+    base
+      .withColumn("_dt", lead(col("_ms"), 1).over(w) - col("_ms"))
+      .withColumn("_wv", col(value).cast("decimal(18,2)") * col("_dt"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_samples"),
+        (max(col("_ms")) - min(col("_ms"))).as("span_ms"),
+        sum(col("_wv")).as("_swv"))
+      .select(col(key), col("n_samples"), col("span_ms"),
+        when(col("span_ms") > 0,
+          floor(col("_swv").cast("double") / col("span_ms").cast("double")
+            * 1000000d) / 1000000d)
+          .as("twap"))
   }
 
   /** 2-D Pareto frontier (skyline), maximizing both dimensions: keep the

@@ -110,6 +110,26 @@ object Sampling {
     df.withColumn(out, labeled)
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * md5(id || salt) mod k — the same leakage-safety contract as
+    * splitAssign (a pure function of (id, salt): the same row lands in
+    * the same fold on every engine, partitioning, and rerun, and growing
+    * the corpus never moves an existing row between folds). Folds are
+    * 0-based and near-equal-sized (each ≈ 1/k of the 2^32 hash space).
+    * Pure codegen'd map, zero shuffle. For GROUP-level folds (all docs of
+    * one author in one fold), pass the group column as `id`. Distinct
+    * salts give independent fold systems — repeated CV without reusing
+    * yesterday's boundaries. */
+  def kfoldAssign(df: DataFrame, id: String, k: Int,
+                  out: String = "fold", salt: String = ""): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    require(!df.columns.contains(out),
+      s"kfoldAssign emits '$out'; rename the input's first")
+    // keyHash is non-negative (a 32-bit value in a long), so % ≡ pmod —
+    // the expression mirrors the oracle's BIGINT % literally
+    df.withColumn(out, keyHash(col(id), salt) % lit(k.toLong))
+  }
+
   /** Per-group QUOTA sampling: exactly `n` rows per stratum (fewer when the
     * stratum is smaller), drawn in deterministic md5 order — "keep 1000
     * documents per source" where the rate-based samplers can't promise a

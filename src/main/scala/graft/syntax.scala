@@ -225,6 +225,9 @@ object syntax {
     def splitAssign(id: String, splits: Seq[(String, Double)],
                     out: String = "split", salt: String = ""): DataFrame =
       Sampling.splitAssign(df, id, splits, out, salt)
+    def kfoldAssign(id: String, k: Int, out: String = "fold",
+                    salt: String = ""): DataFrame =
+      Sampling.kfoldAssign(df, id, k, out, salt)
     def writeZOrdered(path: String, zDims: Seq[String], bits: Int,
                       numFiles: Int, maxRecordsPerFile: Long = 0L): Unit =
       graft.sources.CorpusLayout.writeZOrdered(df, path, zDims, bits,
@@ -276,6 +279,13 @@ object syntax {
       CoreOps.profileDiff(df, other, cols)
     def chiSquareIndependence(a: String, b: String): DataFrame =
       CoreOps.chiSquareIndependence(df, a, b)
+    def cramersV(a: String, b: String): DataFrame =
+      CoreOps.cramersV(df, a, b)
+    def categoricalDrift(other: DataFrame, category: String): DataFrame =
+      CoreOps.categoricalDrift(df, other, category)
+    def timeWeightedAvg(key: String, ts: String, tiebreak: String,
+                        value: String): DataFrame =
+      CoreOps.timeWeightedAvg(df, key, ts, tiebreak, value)
     def minMaxNormalize(group: String, value: String, out: String): DataFrame =
       CoreOps.minMaxNormalize(df, group, value, out)
     def firstTouchAttribution(key: String, ts: String, tiebreak: String,

@@ -613,6 +613,54 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.chiSquareIndependence(one, "a", "a"))
   }
 
+  test("cramersV: known 2x2 effect size; dof-0 tables yield NULL v") {
+    // chi2 = 20 on n = 80 with min(na-1, nb-1) = 1 -> V = sqrt(1/4) = 0.5
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    assert(CoreOps.cramersV(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Option[Double])].collect().head ==
+      ((80L, 1L, 20.0, Some(0.5))))
+    val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(CoreOps.cramersV(one, "a", "b")
+      .as[(Long, Long, Double, Option[Double])].collect().head ==
+      ((2L, 0L, 0.0, None)))
+  }
+
+  test("categoricalDrift: exact TVD incl. one-sided categories; empty side " +
+      "yields NULL") {
+    // pa = (.75, .25, 0), pb = (.25, .25, .5) -> TVD = .5*(.5 + 0 + .5) = .5
+    val a = (Seq.fill(3)("x") ++ Seq("y")).toDF("c")
+    val b = Seq("x", "y", "z", "z").toDF("c")
+    assert(CoreOps.categoricalDrift(a, b, "c")
+      .as[(Long, Long, Long, Option[Double])].collect().head ==
+      ((4L, 4L, 3L, Some(0.5))))
+    // identical distributions -> 0; an empty slice -> NULL, not 0/0
+    assert(CoreOps.categoricalDrift(a, a, "c")
+      .as[(Long, Long, Long, Option[Double])].collect().head ==
+      ((4L, 4L, 2L, Some(0.0))))
+    assert(CoreOps.categoricalDrift(a, b.limit(0), "c")
+      .as[(Long, Long, Long, Option[Double])].collect().head._4.isEmpty)
+  }
+
+  test("timeWeightedAvg: step-interpolated mean, ties drop, single sample " +
+      "yields NULL") {
+    val df = Seq(
+      ("k1", 0L, 1L, 10.0), ("k1", 10L, 2L, 20.0), ("k1", 40L, 3L, 2.0),
+      ("k2", 5L, 4L, 9.0),
+      // tied timestamps: only the tiebreak-last value carries weight
+      ("k3", 0L, 5L, 100.0), ("k3", 0L, 6L, 4.0), ("k3", 10L, 7L, 8.0))
+      .toDF("k", "msr", "eid", "v")
+      .withColumn("ts", timestamp_millis(col("msr"))).drop("msr")
+    val got = CoreOps.timeWeightedAvg(df, "k", "ts", "eid", "v")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // k1: (10*10 + 20*30) / 40 = 17.5
+    assert(got("k1") == ((3L, 40L, Some(17.5))))
+    assert(got("k2") == ((1L, 0L, None)))
+    // k3: first tied row gets dt 0, second spans to t=10: 4*10/10 = 4
+    assert(got("k3") == ((3L, 10L, Some(4.0))))
+  }
+
   test("minMaxNormalize scales per group; constant groups yield NULL") {
     val df = Seq(("g1", 10.0), ("g1", 15.0), ("g1", 20.0),
       ("g2", 7.0), ("g2", 7.0)).toDF("g", "v")

@@ -103,6 +103,28 @@ class SamplingCurationSpec extends SparkSpec {
       Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.6)))
   }
 
+  test("kfoldAssign: folds in [0,k), deterministic, partition-independent, " +
+      "near-balanced, never moved by corpus growth") {
+    def folds(d: org.apache.spark.sql.DataFrame) =
+      Sampling.kfoldAssign(d, "doc_id", 5, salt = "cv")
+        .select("doc_id", "fold").as[(Long, Long)].collect().toMap
+    val a = folds(docs)
+    assert(a.values.forall(f => f >= 0 && f < 5))
+    assert(a == folds(docs.repartition(7))) // pure function of (id, salt)
+    // growing the corpus never moves an existing row between folds
+    val grown = folds(docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L)))
+    assert(a.forall { case (id, f) => grown(id) == f })
+    // near-balanced: each fold within 2x of fair share on 500 docs
+    val sizes = a.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 5 && sizes.min > a.size / 10, s"fold sizes $sizes")
+    // another salt is an independent fold system
+    assert(a != Sampling.kfoldAssign(docs, "doc_id", 5, salt = "cv2")
+      .select("doc_id", "fold").as[(Long, Long)].collect().toMap)
+    assertThrows[IllegalArgumentException](
+      Sampling.kfoldAssign(docs, "doc_id", 1))
+  }
+
   test("mixtureRepeat: whole epochs exact, fractional epochs deterministic") {
     import org.apache.spark.sql.DataFrame
     def copies(d: DataFrame) =
