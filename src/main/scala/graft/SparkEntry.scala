@@ -1060,6 +1060,18 @@ object SparkEntry {
         ev.filter(pmod(col("user_id"), lit(2)) === 1),
         "event_type")
     }),
+    // Mann-Whitney/AUC value shift between user cohorts: integer rank
+    // arithmetic end-to-end on the cents grid — P(a-cohort value beats
+    // b-cohort value) with zero float summation
+    "q_auc_shift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), floor(col("value") * 100).cast("long")
+          .as("cents"))
+      CoreOps.rankSumAuc(
+        ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        ev.filter(pmod(col("user_id"), lit(2)) === 1),
+        "cents")
+    }),
     // per-user time-weighted average event value (step interpolation):
     // the mean plain avg() gets wrong when sampling density correlates
     // with value; cents-exact weighted sums, one shuffle total
@@ -2839,6 +2851,34 @@ object SparkEntry {
         |            / (2::HUGEINT * n_a::HUGEINT * n_b::HUGEINT)::DOUBLE
         |  END AS tvd
         |FROM t CROSS JOIN s""".stripMargin,
+
+    // the same doubled rank-sum identity on the distinct-value grid:
+    // 2U_a = Σ_v ca·(2·cbBelow + cb), all integer until the last division
+    "q_auc_shift" ->
+      """WITH av AS (SELECT floor(value * 100)::BIGINT AS v FROM events
+        |      WHERE user_id % 2 = 0 AND value IS NOT NULL),
+        |bv AS (SELECT floor(value * 100)::BIGINT AS v FROM events
+        |      WHERE user_id % 2 = 1 AND value IS NOT NULL),
+        |ca AS (SELECT v, count(*)::BIGINT AS ca FROM av GROUP BY 1),
+        |cb AS (SELECT v, count(*)::BIGINT AS cb FROM bv GROUP BY 1),
+        |m AS (SELECT v, coalesce(ca, 0)::BIGINT AS ca,
+        |        coalesce(cb, 0)::BIGINT AS cb
+        |      FROM ca FULL OUTER JOIN cb USING (v)),
+        |p AS (SELECT ca, cb,
+        |        (sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |         - cb)::BIGINT AS pcb
+        |      FROM m),
+        |t AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+        |        sum(ca::HUGEINT * (2::HUGEINT * pcb::HUGEINT
+        |                           + cb::HUGEINT)) AS u2
+        |      FROM p)
+        |SELECT n_a, n_b, u2::BIGINT AS u2_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN floor(u2::DOUBLE
+        |                  / (2::HUGEINT * n_a::HUGEINT * n_b::HUGEINT)::DOUBLE
+        |                  * 1000000) / 1000000
+        |  END AS auc_a
+        |FROM t""".stripMargin,
 
     // the same lead-window step weights: cents-exact v·Δt sums, exact
     // integer span, one trunc6'd division

@@ -1665,6 +1665,59 @@ object CoreOps {
           .as("tvd"))
   }
 
+  /** Mann-Whitney rank-sum statistic and its AUC normalization between two
+    * slices' VALUE distributions — the nonparametric "did scores shift?"
+    * test (quality scores this week vs last, treatment vs control spend)
+    * that needs no distributional assumption and, unlike a mean diff, no
+    * float summation at all. U_a counts pairs where the a-value beats the
+    * b-value (ties half); auc_a = U_a/(nₐ·n_b) is the common-language
+    * effect size — literally P(random a > random b), the AUC. Exactness:
+    * everything up to the last division is INTEGER. Doubled to keep ties
+    * integral: 2·U_a = Σ_v cₐ(v)·(2·cbBelow(v) + c_b(v)), accumulated in
+    * exact decimal — partitioning-independent where rank-sum-via-window
+    * arithmetic on doubles would not be. Scale shape: one count agg per
+    * slice to the DISTINCT-value grid, a full-outer join on value, then
+    * cbBelow via orderedPrefixSum's bucket scheme (parallel per-bucket
+    * scans + an O(buckets) driver offset pass — never a single-task
+    * global window), one final 1-row agg. `value` must be integral in
+    * both slices (the robustOutliers argument: put doubles on an exact
+    * integer grid first — cents — so engines agree and prefix buckets
+    * have exact bounds). Emits one row: (n_a, n_b, u2_a, auc_a) with
+    * u2_a = 2·U_a as int64 (fails loud past ~4.6·10¹⁸ pairs ≈ 2·10⁹ rows
+    * per side; auc_a stays correct far beyond). Empty slices emit NULL
+    * auc_a. NULL values drop. */
+  def rankSumAuc(a: DataFrame, b: DataFrame, value: String): DataFrame = {
+    Seq("a" -> a, "b" -> b).foreach { case (side, df) =>
+      require(integralTypes.contains(df.schema(value).dataType),
+        s"rankSumAuc ranks '$value' on an exact integer grid; side $side " +
+          s"has ${df.schema(value).dataType} — scale to cents/int64 first")
+    }
+    def cnt(df: DataFrame, out: String) =
+      df.filter(col(value).isNotNull)
+        .groupBy(col(value).cast("long").as("_v"))
+        .agg(count(lit(1)).as(out))
+    val m = cnt(a, "_ca").join(cnt(b, "_cb"), Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    // inclusive prefix of c_b over ascending value; exclusive = minus own.
+    // _cb is never NULL (coalesced), so the prefix is defined on every row
+    val p = orderedPrefixSum(m, col("_v"), "_v", "_cb", "_pcb")
+    val dec = "decimal(38,0)"
+    val u2 = col("_ca").cast(dec) *
+      (lit(2L).cast(dec) * (col("_pcb") - col("_cb")).cast(dec)
+        + col("_cb").cast(dec))
+    p.groupBy()
+      .agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
+        sum(u2).as("_u2s"))
+      .select(col("n_a"), col("n_b"),
+        col("_u2s").cast("long").as("u2_a"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(col("_u2s").cast("double")
+            / (lit(2L).cast(dec) * col("n_a").cast(dec) * col("n_b").cast(dec))
+              .cast("double") * 1000000d) / 1000000d)
+          .as("auc_a"))
+  }
+
   /** Per-key TIME-weighted average over irregularly-sampled values (step
     * interpolation): each sample holds until the next one, so
     * twap = Σᵢ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first) — the mean a plain

@@ -283,6 +283,8 @@ object syntax {
       CoreOps.cramersV(df, a, b)
     def categoricalDrift(other: DataFrame, category: String): DataFrame =
       CoreOps.categoricalDrift(df, other, category)
+    def rankSumAuc(other: DataFrame, value: String): DataFrame =
+      CoreOps.rankSumAuc(df, other, value)
     def timeWeightedAvg(key: String, ts: String, tiebreak: String,
                         value: String): DataFrame =
       CoreOps.timeWeightedAvg(df, key, ts, tiebreak, value)

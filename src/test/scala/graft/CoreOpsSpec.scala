@@ -642,6 +642,28 @@ class CoreOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Double])].collect().head._4.isEmpty)
   }
 
+  test("rankSumAuc: hand-checked U and AUC incl. ties; empty side yields " +
+      "NULL; non-integral values rejected") {
+    // a = [3, 5], b = [1, 3, 4]: U_a = 1 + 0.5 + 0 + 3 = 4.5 -> 2U = 9,
+    // auc = 4.5/6 = 0.75
+    val a = Seq(3L, 5L).toDF("v")
+    val b = Seq(1L, 3L, 4L).toDF("v")
+    assert(CoreOps.rankSumAuc(a, b, "v")
+      .as[(Long, Long, Long, Option[Double])].collect().head ==
+      ((2L, 3L, 9L, Some(0.75))))
+    // symmetry: u2_a + u2_b = 2 * n_a * n_b
+    val rev = CoreOps.rankSumAuc(b, a, "v")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(rev._3 == 2 * 2 * 3 - 9 && rev._4 == Some(0.25))
+    // identical distributions -> auc 0.5; empty side -> NULL
+    assert(CoreOps.rankSumAuc(a, a, "v")
+      .as[(Long, Long, Long, Option[Double])].collect().head._4 == Some(0.5))
+    assert(CoreOps.rankSumAuc(a, b.limit(0), "v")
+      .as[(Long, Long, Long, Option[Double])].collect().head._4.isEmpty)
+    assertThrows[IllegalArgumentException](
+      CoreOps.rankSumAuc(a.select(col("v").cast("double").as("v")), b, "v"))
+  }
+
   test("timeWeightedAvg: step-interpolated mean, ties drop, single sample " +
       "yields NULL") {
     val df = Seq(
