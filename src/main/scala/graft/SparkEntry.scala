@@ -1060,6 +1060,18 @@ object SparkEntry {
         ev.filter(pmod(col("user_id"), lit(2)) === 1),
         "event_type")
     }),
+    // per-day event-type drift vs the corpus baseline: the grouped TVD —
+    // every day scored against ALL baseline categories (zero counts
+    // included), exact integer arithmetic per group; the batch twin of
+    // the streaming windowed drift monitor
+    "q_drift_by_day" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val msCol = unix_millis(col("ts"))
+      CoreOps.categoricalDriftByGroup(
+        ev.select(((msCol - pmod(msCol, lit(D))) / lit(D)).cast("long")
+          .as("day"), col("event_type")),
+        "day", "event_type", ev.select(col("event_type")))
+    }),
     // Mann-Whitney/AUC value shift between user cohorts: integer rank
     // arithmetic end-to-end on the cents grid — P(a-cohort value beats
     // b-cohort value) with zero float summation
@@ -2851,6 +2863,32 @@ object SparkEntry {
         |            / (2::HUGEINT * n_a::HUGEINT * n_b::HUGEINT)::DOUBLE
         |  END AS tvd
         |FROM t CROSS JOIN s""".stripMargin,
+
+    // the same grid alignment (every day x every baseline category) and
+    // the same 128-bit cross-product sum per day
+    "q_drift_by_day" ->
+      """WITH a AS (SELECT (epoch_ms(ts) // 86400000) AS day,
+        |        event_type AS c
+        |      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |wc AS (SELECT day, c, count(*)::BIGINT AS na FROM a GROUP BY 1, 2),
+        |rc AS (SELECT event_type AS c, count(*)::BIGINT AS nb FROM events
+        |      WHERE event_type IS NOT NULL GROUP BY 1),
+        |grid AS (SELECT day, c, nb
+        |      FROM (SELECT DISTINCT day FROM wc) CROSS JOIN rc),
+        |j AS (SELECT day, c, coalesce(na, 0)::BIGINT AS na,
+        |        coalesce(nb, 0)::BIGINT AS nb
+        |      FROM wc FULL OUTER JOIN grid USING (day, c)),
+        |ta AS (SELECT day, sum(na)::BIGINT AS n_a,
+        |        count(*)::BIGINT AS n_categories FROM j GROUP BY 1),
+        |tb AS (SELECT coalesce(sum(nb), 0)::BIGINT AS n_b FROM rc)
+        |SELECT day, n_a, n_b, n_categories,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN sum(abs(na::HUGEINT * n_b::HUGEINT
+        |                    - nb::HUGEINT * n_a::HUGEINT))::DOUBLE
+        |            / (2::HUGEINT * n_a::HUGEINT * n_b::HUGEINT)::DOUBLE
+        |  END AS tvd
+        |FROM j JOIN ta USING (day) CROSS JOIN tb
+        |GROUP BY day, n_a, n_b, n_categories""".stripMargin,
 
     // the same doubled rank-sum identity on the distinct-value grid:
     // 2U_a = Σ_v ca·(2·cbBelow + cb), all integer until the last division

@@ -1665,6 +1665,75 @@ object CoreOps {
           .as("tvd"))
   }
 
+  /** Per-GROUP total-variation drift against one static reference mix —
+    * categoricalDrift run for every group at once (each day's event-type
+    * mix vs the corpus baseline; each source's label mix vs the approved
+    * distribution). Same exact-arithmetic contract as categoricalDrift:
+    * integer cross-products and sums in exact decimal, one correctly-
+    * rounded division per group at the end. Scale shape: one (group,
+    * category) count agg over `df`, one category count agg over `ref`
+    * (tiny — BROADCAST into a groups×refCategories grid so every group
+    * scores against ALL reference categories, zero-count included), a
+    * full-outer join aligning the two, and two O(groups·categories) aggs.
+    * The only row-count-sized stage is the first count agg. Groups whose
+    * every category is NULL vanish (no mix to compare); reference
+    * categories absent from a group count as zero on the group side, and
+    * vice versa. An empty reference yields NULL tvd everywhere. Emits
+    * (group, n_a, n_b, n_categories, tvd) — n_b is the reference total,
+    * repeated per group; n_categories counts the union per group. This is
+    * also the batch twin of StreamOps.windowedDriftEachBatch (parity
+    * pinned in StreamingParitySpec). */
+  def categoricalDriftByGroup(df: DataFrame, group: String, category: String,
+                              ref: DataFrame): DataFrame =
+    driftByGroupCore(
+      df.filter(col(category).isNotNull && col(group).isNotNull)
+        .groupBy(col(group), col(category)).agg(count(lit(1)).as("_na")),
+      group, category, ref)
+
+  /** The pre-counted form: `counts` already holds one row per (group,
+    * category) with the group-side count in `countCol` — the shape a
+    * streaming windowed count aggregation finalizes (StreamOps.
+    * windowedDriftEachBatch feeds it verbatim). Identical math and output
+    * as categoricalDriftByGroup. */
+  def categoricalDriftByGroupCounts(counts: DataFrame, group: String,
+                                    category: String, countCol: String,
+                                    ref: DataFrame): DataFrame =
+    driftByGroupCore(
+      counts.filter(col(category).isNotNull && col(group).isNotNull)
+        .select(col(group), col(category), col(countCol).cast("long").as("_na")),
+      group, category, ref)
+
+  private def driftByGroupCore(wcRaw: DataFrame, group: String,
+                               category: String, ref: DataFrame): DataFrame = {
+    val emitted = Seq("n_a", "n_b", "n_categories", "tvd", "_na", "_nb", "_t")
+    require(!emitted.contains(group) && !emitted.contains(category),
+      s"categoricalDriftByGroup emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val wc = wcRaw.localCheckpoint(true) // shared: groups list, grid join, totals
+    val rc = ref.filter(col(category).isNotNull)
+      .groupBy(col(category)).agg(count(lit(1)).as("_nb"))
+    val grid = wc.select(col(group)).distinct().crossJoin(broadcast(rc))
+    val j = wc.join(grid, Seq(group, category), "full_outer")
+      .select(col(group), coalesce(col("_na"), lit(0L)).as("_na"),
+        coalesce(col("_nb"), lit(0L)).as("_nb"))
+    val totA = j.groupBy(col(group)).agg(sum(col("_na")).as("n_a"),
+      count(lit(1)).as("n_categories"))
+    val totB = rc.groupBy().agg(coalesce(sum(col("_nb")), lit(0L)).as("n_b"))
+    val dec = "decimal(38,0)"
+    val term = abs(col("_na").cast(dec) * col("n_b").cast(dec)
+      - col("_nb").cast(dec) * col("n_a").cast(dec))
+    j.join(totA, Seq(group)).crossJoin(broadcast(totB))
+      .select(col(group), col("n_a"), col("n_b"), col("n_categories"),
+        term.as("_t"))
+      .groupBy(col(group), col("n_a"), col("n_b"), col("n_categories"))
+      .agg(sum(col("_t")).as("_sum"))
+      .select(col(group), col("n_a"), col("n_b"), col("n_categories"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("_sum").cast("double")
+            / (lit(2L).cast(dec) * col("n_a").cast(dec) * col("n_b").cast(dec))
+              .cast("double"))
+          .as("tvd"))
+  }
+
   /** Mann-Whitney rank-sum statistic and its AUC normalization between two
     * slices' VALUE distributions — the nonparametric "did scores shift?"
     * test (quality scores this week vs last, treatment vs control spend)

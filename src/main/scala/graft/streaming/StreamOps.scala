@@ -191,6 +191,37 @@ object StreamOps {
     * trigger — the price of picking up registry changes at trigger
     * granularity; for a frozen registry, precompute outside. Same
     * idempotent-sink contract as asofJoinEachBatch. */
+  /** Continuous drift monitor: per event-time window, the total-variation
+    * distance between the window's category mix and a STATIC reference
+    * mix — "alert when an hour's event-type distribution diverges from
+    * the corpus baseline", running at ingest. The stream side is a
+    * watermarked windowed count in APPEND mode, so a window's (category,
+    * count) rows finalize together when the watermark passes its end and
+    * are emitted exactly once — output is independent of the micro-batch
+    * split, and each finalized window's drift row equals the batch
+    * categoricalDriftByGroup on the same data (StreamingParitySpec pins
+    * this). The TVD itself is the batch categoricalDriftByGroupCounts on
+    * the finalized counts — O(categories) rows per window by the time it
+    * runs. State is bounded by the watermark horizon (open windows ×
+    * categories). The reference re-evaluates per trigger. Same
+    * idempotent-sink contract as asofJoinEachBatch; emits
+    * (window_start_ms, n_a, n_b, n_categories, tvd) rows per finalized
+    * window. */
+  def windowedDriftEachBatch(stream: DataFrame, ref: DataFrame,
+                             category: String, ts: String, lateness: String,
+                             duration: String)(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), duration), col(category))
+      .agg(count(lit(1)).as("_wn"))
+      .select(CoreOps.ms(col("window.start")).as("window_start_ms"),
+        col(category), col("_wn"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        write(CoreOps.categoricalDriftByGroupCounts(batch, "window_start_ms",
+          category, "_wn", ref), batchId)
+      }
+
   def segmentJoinEachBatch(left: DataFrame, right: DataFrame,
                            idL: String, strL: String, idR: String,
                            strR: String, maxDist: Int)(

@@ -285,6 +285,9 @@ object syntax {
       CoreOps.categoricalDrift(df, other, category)
     def rankSumAuc(other: DataFrame, value: String): DataFrame =
       CoreOps.rankSumAuc(df, other, value)
+    def categoricalDriftByGroup(group: String, category: String,
+                                ref: DataFrame): DataFrame =
+      CoreOps.categoricalDriftByGroup(df, group, category, ref)
     def timeWeightedAvg(key: String, ts: String, tiebreak: String,
                         value: String): DataFrame =
       CoreOps.timeWeightedAvg(df, key, ts, tiebreak, value)

@@ -153,6 +153,15 @@ object StreamDemo {
       "id", "user", "rid", "name", 1) { (out, _) =>
       fuzzyRows.addAndGet(out.count())
     }.start()
+    // continuous drift monitor: each finalized 5s window's operation mix
+    // scored (total-variation distance) against a static baseline mix
+    val baseline = Seq("Create", "Modify", "Delete").toDF("operation")
+    val driftRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q10 = StreamOps.windowedDriftEachBatch(
+      audit.select(col("operation"), col("event_time")), baseline,
+      "operation", "event_time", "1 second", "5 seconds") { (out, _) =>
+      driftRows.addAndGet(out.count())
+    }.start()
     def audited: Long = q3.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
     val deadline = System.currentTimeMillis() + 30000
@@ -163,10 +172,12 @@ object StreamDemo {
     val stateRows = spark.table("demo_state").count()
     println(s"[demo] rate phase: observer counted $audited audit records through " +
       s"continuous session-window, stream-stream window-join, as-of join, " +
-      s"interval-join, windowed heavy-hitter, upsert-compaction and fuzzy-" +
-      s"resolve queries (${asofRows.get()} as-of rows, $stateRows state rows, " +
-      s"${fuzzyRows.get()} fuzzy matches)")
+      s"interval-join, windowed heavy-hitter, upsert-compaction, fuzzy-" +
+      s"resolve and windowed-drift queries (${asofRows.get()} as-of rows, " +
+      s"$stateRows state rows, ${fuzzyRows.get()} fuzzy matches, " +
+      s"${driftRows.get()} drift rows)")
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
+    q10.stop()
     spark.stop()
   }
 }

@@ -642,6 +642,26 @@ class CoreOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Double])].collect().head._4.isEmpty)
   }
 
+  test("categoricalDriftByGroup: per-group TVD vs one reference; counts " +
+      "form is equivalent") {
+    val ref = Seq("x", "y", "z", "z").toDF("c")
+    // g1 mirrors the reference mix exactly; g2 is fully disjoint
+    val df = Seq("g1" -> "x", "g1" -> "y", "g1" -> "z", "g1" -> "z",
+      "g2" -> "w", "g2" -> "w").toDF("g", "c")
+    val got = CoreOps.categoricalDriftByGroup(df, "g", "c", ref)
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSet
+    assert(got == Set(("g1", 4L, 4L, 3L, Some(0.0)),
+      ("g2", 2L, 4L, 4L, Some(1.0))))
+    // the pre-counted form computes the identical table
+    val counts = df.groupBy("g", "c").agg(count(lit(1)).as("n"))
+    assert(CoreOps.categoricalDriftByGroupCounts(counts, "g", "c", "n", ref)
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSet == got)
+    // empty reference: NULL tvd, all categories from the group side
+    assert(CoreOps.categoricalDriftByGroup(df, "g", "c", ref.limit(0))
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .forall(r => r._3 == 0L && r._5.isEmpty))
+  }
+
   test("rankSumAuc: hand-checked U and AUC incl. ties; empty side yields " +
       "NULL; non-integral values rejected") {
     // a = [3, 5], b = [1, 3, 4]: U_a = 1 + 0.5 + 0 + 3 = 4.5 -> 2U = 9,

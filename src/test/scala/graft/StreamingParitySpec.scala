@@ -243,6 +243,38 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDriftEachBatch finalizes windows == categoricalDriftByGroup " +
+      "on the same slice") {
+    val ref = Seq("a", "b").toDF("kind") // 50/50 baseline mix
+    val batch1 = Seq( // window [0,3s): a×2, b×1
+      KeyedEvent("1", 1000, 1, "a"), KeyedEvent("2", 1500, 2, "a"),
+      KeyedEvent("1", 2500, 3, "b"))
+    val batch2 = Seq(
+      KeyedEvent("3", 9000, 4, "b"), // window [9,12s): b only
+      KeyedEvent("1", 20000, 5, "a")) // watermark past both windows
+    val input = MemoryStream[KeyedEvent]
+    val stream = input.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+    val out = scala.collection.mutable.Set
+      .empty[(Long, Long, Long, Long, Option[Double])]
+    val q = StreamOps.windowedDriftEachBatch(stream, ref, "kind", "ts",
+        "1 second", "3 seconds") { (df, _) =>
+        out ++= df.as[(Long, Long, Long, Long, Option[Double])].collect()
+      }.start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    // the batch twin over the finalized slice, grouped by window start
+    val twin = operators.CoreOps.categoricalDriftByGroup(
+        batchDf(batch1 ++ batch2).filter(col("tsMs") < 12000)
+          .withColumn("w", col("tsMs") - col("tsMs") % 3000),
+        "w", "kind", ref)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet
+    assert(out.toSet == twin && twin.size == 2)
+    // hand check: [9,12s) is pure b vs a 50/50 baseline -> TVD 1/2
+    assert(out.toSet.contains((9000L, 1L, 2L, 2L, Some(0.5))))
+  }
+
   test("windowedHeavyHitters finalizes windows == batch per-window sketch, " +
       "cross-batch cell merge included") {
     val batch1 = Seq( // window [0,3s): a×2, b×1 — split across batches
