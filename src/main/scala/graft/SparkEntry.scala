@@ -1084,6 +1084,18 @@ object SparkEntry {
         ev.filter(pmod(col("user_id"), lit(2)) === 1),
         "cents")
     }),
+    // Kolmogorov-Smirnov max-CDF-gap on the same cents grid: catches the
+    // concentrated shift (truncated tail, new mode) AUC averages away —
+    // exact integer cross-products under a MAX, one division at the end
+    "q_ks_shift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), floor(col("value") * 100).cast("long")
+          .as("cents"))
+      CoreOps.ksStatistic(
+        ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        ev.filter(pmod(col("user_id"), lit(2)) === 1),
+        "cents")
+    }),
     // per-user time-weighted average event value (step interpolation):
     // the mean plain avg() gets wrong when sampling density correlates
     // with value; cents-exact weighted sums, one shuffle total
@@ -2917,6 +2929,34 @@ object SparkEntry {
         |                  * 1000000) / 1000000
         |  END AS auc_a
         |FROM t""".stripMargin,
+
+    // the same cumulative-count gap maximized over the distinct-value
+    // grid; max needs no summation-order care at all
+    "q_ks_shift" ->
+      """WITH av AS (SELECT floor(value * 100)::BIGINT AS v FROM events
+        |      WHERE user_id % 2 = 0 AND value IS NOT NULL),
+        |bv AS (SELECT floor(value * 100)::BIGINT AS v FROM events
+        |      WHERE user_id % 2 = 1 AND value IS NOT NULL),
+        |ca AS (SELECT v, count(*)::BIGINT AS ca FROM av GROUP BY 1),
+        |cb AS (SELECT v, count(*)::BIGINT AS cb FROM bv GROUP BY 1),
+        |m AS (SELECT v, coalesce(ca, 0)::BIGINT AS ca,
+        |        coalesce(cb, 0)::BIGINT AS cb
+        |      FROM ca FULL OUTER JOIN cb USING (v)),
+        |p AS (SELECT sum(ca) OVER w::BIGINT AS cca,
+        |        sum(cb) OVER w::BIGINT AS ccb
+        |      FROM m WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT coalesce(sum(ca), 0)::BIGINT AS n_a,
+        |        coalesce(sum(cb), 0)::BIGINT AS n_b FROM m),
+        |d AS (SELECT max(abs(cca::HUGEINT * n_b::HUGEINT
+        |                     - ccb::HUGEINT * n_a::HUGEINT)) AS dmax
+        |      FROM p CROSS JOIN t)
+        |SELECT n_a, n_b, dmax::BIGINT AS d_num,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN floor(dmax::DOUBLE
+        |                  / (n_a::HUGEINT * n_b::HUGEINT)::DOUBLE
+        |                  * 1000000) / 1000000
+        |  END AS ks
+        |FROM t CROSS JOIN d""".stripMargin,
 
     // the same lead-window step weights: cents-exact v·Δt sums, exact
     // integer span, one trunc6'd division

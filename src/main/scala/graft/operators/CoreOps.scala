@@ -1787,6 +1787,57 @@ object CoreOps {
           .as("auc_a"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic between two slices' VALUE
+    * distributions — the MAX vertical gap between the empirical CDFs,
+    * where rankSumAuc reports the average shift: KS catches a
+    * distribution change concentrated in one region (a truncated tail, a
+    * new mode) that leaves the AUC near ½. Both belong in a drift
+    * dashboard; they fail differently. Exactness: the CDFs only change at
+    * sample points, so the supremum is a MAX over the distinct-value
+    * grid of |cumₐ(v)·n_b − cum_b(v)·nₐ| — exact decimal products, and
+    * max (unlike a float sum) is order-independent by nature; ONE
+    * correctly-rounded trunc6'd division at the end. Scale shape: the
+    * rankSumAuc grid (one count agg per slice + full-outer join), then
+    * TWO orderedPrefixSum bucket scans over the grid (one per side's
+    * cumulative — parallel per-bucket scans + O(buckets) driver offsets,
+    * never a single-task global window), a 1-row totals broadcast, one
+    * max agg. `value` must be integral in both slices (cents-grid, the
+    * rankSumAuc contract). Emits one row: (n_a, n_b, d_num, ks) with
+    * ks = d_num/(nₐ·n_b) ∈ [0, 1] and d_num int64 (fails loud past
+    * ~9.2·10¹⁸ cross-pairs; ks stays correct beyond). Empty slices emit
+    * NULL ks. NULL values drop. */
+  def ksStatistic(a: DataFrame, b: DataFrame, value: String): DataFrame = {
+    Seq("a" -> a, "b" -> b).foreach { case (side, df) =>
+      require(integralTypes.contains(df.schema(value).dataType),
+        s"ksStatistic ranks '$value' on an exact integer grid; side $side " +
+          s"has ${df.schema(value).dataType} — scale to cents/int64 first")
+    }
+    def cnt(df: DataFrame, out: String) =
+      df.filter(col(value).isNotNull)
+        .groupBy(col(value).cast("long").as("_v"))
+        .agg(count(lit(1)).as(out))
+    val m = cnt(a, "_ca").join(cnt(b, "_cb"), Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val p = orderedPrefixSum(
+      orderedPrefixSum(m, col("_v"), "_v", "_ca", "_cca"),
+      col("_v"), "_v", "_cb", "_ccb")
+    val tot = m.groupBy().agg(coalesce(sum(col("_ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_cb")), lit(0L)).as("n_b"))
+    val dec = "decimal(38,0)"
+    val gap = abs(col("_cca").cast(dec) * col("n_b").cast(dec)
+      - col("_ccb").cast(dec) * col("n_a").cast(dec))
+    p.crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(gap).as("_d"))
+      .select(col("n_a"), col("n_b"), col("_d").cast("long").as("d_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(col("_d").cast("double")
+            / (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double")
+            * 1000000d) / 1000000d)
+          .as("ks"))
+  }
+
   /** Per-key TIME-weighted average over irregularly-sampled values (step
     * interpolation): each sample holds until the next one, so
     * twap = Σᵢ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first) — the mean a plain

@@ -285,6 +285,8 @@ object syntax {
       CoreOps.categoricalDrift(df, other, category)
     def rankSumAuc(other: DataFrame, value: String): DataFrame =
       CoreOps.rankSumAuc(df, other, value)
+    def ksStatistic(other: DataFrame, value: String): DataFrame =
+      CoreOps.ksStatistic(df, other, value)
     def categoricalDriftByGroup(group: String, category: String,
                                 ref: DataFrame): DataFrame =
       CoreOps.categoricalDriftByGroup(df, group, category, ref)

@@ -684,6 +684,26 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.rankSumAuc(a.select(col("v").cast("double").as("v")), b, "v"))
   }
 
+  test("ksStatistic: hand-checked max CDF gap; identical slices give 0; " +
+      "disjoint give 1") {
+    // a = [3, 5], b = [1, 3, 4]: gap peaks at v=4 -> |3*1 - 2*3|/6 = 0.5
+    val a = Seq(3L, 5L).toDF("v")
+    val b = Seq(1L, 3L, 4L).toDF("v")
+    assert(CoreOps.ksStatistic(a, b, "v")
+      .as[(Long, Long, Long, Option[Double])].collect().head ==
+      ((2L, 3L, 3L, Some(0.5))))
+    assert(CoreOps.ksStatistic(a, a, "v")
+      .as[(Long, Long, Long, Option[Double])].collect().head._4 == Some(0.0))
+    // fully separated distributions -> KS = 1
+    val lo = Seq(1L, 2L).toDF("v"); val hi = Seq(10L, 11L).toDF("v")
+    assert(CoreOps.ksStatistic(lo, hi, "v")
+      .as[(Long, Long, Long, Option[Double])].collect().head._4 == Some(1.0))
+    assert(CoreOps.ksStatistic(a, b.limit(0), "v")
+      .as[(Long, Long, Long, Option[Double])].collect().head._4.isEmpty)
+    assertThrows[IllegalArgumentException](
+      CoreOps.ksStatistic(a.select(col("v").cast("double").as("v")), b, "v"))
+  }
+
   test("timeWeightedAvg: step-interpolated mean, ties drop, single sample " +
       "yields NULL") {
     val df = Seq(
