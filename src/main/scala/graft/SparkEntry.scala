@@ -1084,6 +1084,19 @@ object SparkEntry {
         ev.filter(pmod(col("user_id"), lit(2)) === 1),
         "cents")
     }),
+    // bounded-cardinality breakdown: top-3 event types + one __other__
+    // rollup row computed from totals (no second pass), shares trunc6'd
+    "q_top_categories" -> ((s, dir) =>
+      CoreOps.topCategoriesWithOther(Tables.events(s, dir), "event_type", 3)),
+    // deepest sustained decline of each user's cumulative signed value:
+    // running sum, running peak, and their gap all exact int64 on the
+    // cents grid — one keyed window exchange carries both frames
+    "q_drawdown" -> ((s, dir) =>
+      CoreOps.maxDrawdown(
+        Tables.events(s, dir).withColumn("cents",
+          (floor(col("value") * 100).cast("long")
+            * when(pmod(col("event_id"), lit(3)) === 0, -1L).otherwise(1L))),
+        "user_id", "ts", "event_id", "cents")),
     // Kolmogorov-Smirnov max-CDF-gap on the same cents grid: catches the
     // concentrated shift (truncated tail, new mode) AUC averages away —
     // exact integer cross-products under a MAX, one division at the end
@@ -2929,6 +2942,44 @@ object SparkEntry {
         |                  * 1000000) / 1000000
         |  END AS auc_a
         |FROM t""".stripMargin,
+
+    // same top-k order (n desc, category asc), same totals-derived other
+    // row, same trunc6'd shares
+    "q_top_categories" ->
+      """WITH c AS (SELECT event_type, count(*)::BIGINT AS n
+        |      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |t AS (SELECT coalesce(sum(n), 0)::BIGINT AS total,
+        |        count(*)::BIGINT AS ncat FROM c),
+        |k AS (SELECT event_type, n FROM c ORDER BY n DESC, event_type LIMIT 3),
+        |u AS (SELECT event_type, n FROM k
+        |      UNION ALL
+        |      SELECT '__other__' AS event_type,
+        |        (total - (SELECT sum(n) FROM k))::BIGINT AS n
+        |      FROM t WHERE ncat > 3)
+        |SELECT event_type, n,
+        |  CASE WHEN total > 0
+        |       THEN floor(n::DOUBLE / total::DOUBLE * 1000000) / 1000000
+        |  END AS share
+        |FROM u CROSS JOIN t""".stripMargin,
+
+    // the same two stacked running windows (cum, then peak over cum) and
+    // the same integer gap
+    "q_drawdown" ->
+      s"""WITH x AS (SELECT user_id, $evMs AS msv, event_id,
+         |        (floor(value * 100)::BIGINT
+         |         * CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END) AS c
+         |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |s AS (SELECT user_id, msv, event_id, c,
+         |        sum(c) OVER (PARTITION BY user_id ORDER BY msv, event_id
+         |                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |      FROM x),
+         |p AS (SELECT user_id, cum,
+         |        max(cum) OVER (PARTITION BY user_id ORDER BY msv, event_id
+         |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS peak
+         |      FROM s)
+         |SELECT user_id, count(*)::BIGINT AS n_events,
+         |  max(peak - cum)::BIGINT AS max_drawdown
+         |FROM p GROUP BY 1""".stripMargin,
 
     // the same cumulative-count gap maximized over the distinct-value
     // grid; max needs no summation-order care at all

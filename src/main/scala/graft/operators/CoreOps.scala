@@ -828,6 +828,41 @@ object CoreOps {
     df.select(df.columns.map(col).toIndexedSeq ++ feats: _*)
   }
 
+  /** Per-key maximum drawdown: the largest peak-to-trough fall of the
+    * key's cumulative value series in event-time order — the monitoring
+    * shape for "which accounts/feeds had the deepest sustained decline",
+    * and the classic risk metric when value is signed cash flow. All
+    * INTEGER: `value` must be integral (cents grid — the rankSumAuc
+    * contract), so the running sum, the running peak, and peak − cum are
+    * exact int64 on any engine; no float enters at any step. Plan shape:
+    * one keyed window exchange carries BOTH running frames (the peak is a
+    * running max OVER the running sum — same partitioning, same sort, no
+    * second exchange), then a keyed agg that reuses the partitioning.
+    * Ties on `ts` order by `tiebreak` (deterministic cross-engine).
+    * Emits (key, n_events, max_drawdown) — 0 for monotone non-decreasing
+    * series. NULL ts/value rows drop. Int64 overflow of the cumulative
+    * fails loud under ANSI (~9.2·10¹⁸ cents). */
+  def maxDrawdown(df: DataFrame, key: String, ts: String, tiebreak: String,
+                  value: String): DataFrame = {
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"maxDrawdown accumulates '$value' as exact int64; got " +
+        s"${df.schema(value).dataType} — scale to cents/int64 first")
+    val emitted = Seq("n_events", "max_drawdown", "_ms", "_cum", "_peak")
+    require(!emitted.exists(df.columns.contains),
+      s"maxDrawdown emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val base = df.filter(col(ts).isNotNull && col(value).isNotNull)
+      .withColumn("_ms", ms(col(ts)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ms").asc, col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("_cum", sum(col(value).cast("long")).over(w))
+      .withColumn("_peak", max(col("_cum")).over(w))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("_peak") - col("_cum")).as("max_drawdown"))
+  }
+
   /** Globally-ordered prefix sum WITHOUT the single-task window: a plain
     * `Window.orderBy` with no partition moves every row to one task (the
     * classic scale-killer). Instead: deterministic range buckets over the
@@ -1595,6 +1630,50 @@ object CoreOps {
           floor((col(value) - col("_mn")) / (col("_mx") - col("_mn"))
             * 1000000d) / 1000000d))
       .drop("_mn", "_mx")
+  }
+
+  /** Top-k categories by frequency with everything else rolled into one
+    * `otherLabel` row — the bounded-cardinality breakdown every report
+    * needs over an unbounded category column (domains, user agents,
+    * languages) without ever shipping the full category list anywhere.
+    * Scale shape: one count agg (the only row-count-sized stage), then
+    * top-k as sort+limit — Spark compiles that to TakeOrderedAndProject
+    * (per-partition top-k, driver merges k·partitions rows — the
+    * keyProfile pattern), NOT a global sort. The "other" row is computed
+    * from TOTALS (total − Σ top-k), an O(1) arithmetic step — no second
+    * pass, no anti-join against the kept set. Ties at the boundary break
+    * by category ascending (deterministic cross-engine). Shares are
+    * trunc6'd single divisions. Categories equal to `otherLabel` would
+    * silently merge with the rollup row — pick a sentinel outside the
+    * domain (documented, not checked: verifying would cost a pass).
+    * Emits (category, n, share), k+1 rows at most; the other row appears
+    * only when more than k categories exist. NULL categories drop. */
+  def topCategoriesWithOther(df: DataFrame, category: String, k: Int,
+                             otherLabel: String = "__other__"): DataFrame = {
+    require(k >= 1, s"topCategoriesWithOther needs k >= 1, got $k")
+    require(otherLabel != null, "otherLabel must be non-null")
+    val emitted = Seq("n", "share", "_total", "_ncat", "_ts")
+    require(!emitted.contains(category),
+      s"topCategoriesWithOther emits/uses ${emitted.mkString(", ")}; rename input")
+    val counts = df.filter(col(category).isNotNull)
+      .groupBy(col(category)).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // shared by top-k, totals, and the top-k sum
+    val topk = counts.orderBy(col("n").desc, col(category).asc).limit(k)
+      .localCheckpoint(true) // shared by the union and the top-k sum
+    val tot = counts.groupBy().agg(coalesce(sum(col("n")), lit(0L)).as("_total"),
+      count(lit(1)).as("_ncat"))
+    val other = tot
+      .crossJoin(broadcast(
+        topk.groupBy().agg(coalesce(sum(col("n")), lit(0L)).as("_ts"))))
+      .filter(col("_ncat") > k)
+      .select(lit(otherLabel).as(category), (col("_total") - col("_ts")).as("n"))
+    topk.unionByName(other)
+      .crossJoin(broadcast(tot))
+      .select(col(category), col("n"),
+        when(col("_total") > 0,
+          floor(col("n").cast("double") / col("_total").cast("double")
+            * 1000000d) / 1000000d)
+          .as("share"))
   }
 
   /** Side-by-side numericProfile of two slices — the data-drift monitor

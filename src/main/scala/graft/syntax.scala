@@ -287,6 +287,12 @@ object syntax {
       CoreOps.rankSumAuc(df, other, value)
     def ksStatistic(other: DataFrame, value: String): DataFrame =
       CoreOps.ksStatistic(df, other, value)
+    def topCategoriesWithOther(category: String, k: Int,
+                               otherLabel: String = "__other__"): DataFrame =
+      CoreOps.topCategoriesWithOther(df, category, k, otherLabel)
+    def maxDrawdown(key: String, ts: String, tiebreak: String,
+                    value: String): DataFrame =
+      CoreOps.maxDrawdown(df, key, ts, tiebreak, value)
     def categoricalDriftByGroup(group: String, category: String,
                                 ref: DataFrame): DataFrame =
       CoreOps.categoricalDriftByGroup(df, group, category, ref)

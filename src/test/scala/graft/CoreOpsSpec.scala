@@ -704,6 +704,40 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.ksStatistic(a.select(col("v").cast("double").as("v")), b, "v"))
   }
 
+  test("topCategoriesWithOther: deterministic top-k + totals-derived other; " +
+      "no other row when k covers all") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(1)("d")).toDF("cat")
+    val got = CoreOps.topCategoriesWithOther(df, "cat", 2)
+      .as[(String, Long, Double)].collect().toSet
+    // tie at the boundary (b=c=3) breaks by category asc: b stays, c rolls
+    assert(got == Set(("a", 5L, 0.416666), ("b", 3L, 0.25),
+      ("__other__", 4L, 0.333333)))
+    val all = CoreOps.topCategoriesWithOther(df, "cat", 10)
+      .as[(String, Long, Double)].collect()
+    assert(all.length == 4 && !all.exists(_._1 == "__other__"))
+    assertThrows[IllegalArgumentException](
+      CoreOps.topCategoriesWithOther(df, "cat", 0))
+  }
+
+  test("maxDrawdown: peak-to-trough on the cumulative series; monotone " +
+      "series give 0") {
+    val df = Seq(
+      // k1 cum: 10, 30, 5, 20 -> peak 30 at t2, trough 5 -> dd 25
+      ("k1", 0L, 1L, 10L), ("k1", 1L, 2L, 20L), ("k1", 2L, 3L, -25L),
+      ("k1", 3L, 4L, 15L),
+      // k2: never declines
+      ("k2", 0L, 5L, 5L), ("k2", 1L, 6L, 5L))
+      .toDF("k", "msr", "eid", "c")
+      .withColumn("ts", timestamp_millis(col("msr"))).drop("msr")
+    val got = CoreOps.maxDrawdown(df, "k", "ts", "eid", "c")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("k1" -> ((4L, 25L)), "k2" -> ((2L, 0L))))
+    assertThrows[IllegalArgumentException](
+      CoreOps.maxDrawdown(df.withColumn("c", col("c").cast("double")),
+        "k", "ts", "eid", "c"))
+  }
+
   test("timeWeightedAvg: step-interpolated mean, ties drop, single sample " +
       "yields NULL") {
     val df = Seq(
