@@ -1084,6 +1084,16 @@ object SparkEntry {
         ev.filter(pmod(col("user_id"), lit(2)) === 1),
         "cents")
     }),
+    // ordered funnel question per user: did a view EVENTUALLY lead to a
+    // purchase? — the journey string against a regex-common-core pattern
+    "q_journey_pattern" -> ((s, dir) =>
+      CoreOps.journeyPattern(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type", JourneyMax, "view.*purchase")),
+    // per-user consecutive-active-day streaks: gaps-and-islands on the
+    // deduplicated (user, day) grid — day − row_number is constant within
+    // a run; everything int64
+    "q_streaks" -> ((s, dir) =>
+      CoreOps.longestStreak(Tables.events(s, dir), "user_id", "ts")),
     // bounded-cardinality breakdown: top-3 event types + one __other__
     // rollup row computed from totals (no second pass), shares trunc6'd
     "q_top_categories" -> ((s, dir) =>
@@ -3225,6 +3235,35 @@ object SparkEntry {
          |SELECT user_id, count(*) AS n_events,
          |  array_to_string(list(event_type ORDER BY rn), '>') AS journey
          |FROM r WHERE rn <= $JourneyMax GROUP BY user_id""".stripMargin,
+
+    // the same journey string through the regex-common core (Java regex on
+    // the Spark side, RE2 here — identical on this subset)
+    "q_journey_pattern" ->
+      s"""WITH r AS (SELECT user_id, event_type,
+         |        row_number() OVER (PARTITION BY user_id
+         |                           ORDER BY epoch_ms(ts), event_id) AS rn
+         |      FROM events),
+         |j AS (SELECT user_id, count(*) AS n_events,
+         |        array_to_string(list(event_type ORDER BY rn), '>') AS journey
+         |      FROM r WHERE rn <= $JourneyMax GROUP BY user_id)
+         |SELECT user_id, n_events, journey,
+         |  regexp_matches(journey, 'view.*purchase') AS matched
+         |FROM j""".stripMargin,
+
+    // the same island trick: day − row_number constant per consecutive run
+    "q_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |        (epoch_ms(ts) // 86400000) AS day
+        |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |i AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |          AS isl
+        |      FROM d),
+        |runs AS (SELECT user_id, isl, count(*)::BIGINT AS len
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, sum(len)::BIGINT AS n_active_days,
+        |  count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest_streak
+        |FROM runs GROUP BY 1""".stripMargin,
 
     // json_valid guard: Spark's get_json_object returns NULL on malformed
     // JSON where DuckDB's json_extract_string raises — the guard gives the

@@ -774,6 +774,59 @@ object CoreOps {
             x => x.getField(payload))).as("journey"))
   }
 
+  /** Per-key journey pattern flag: eventSequence's ordered payload string
+    * tested against a regex — funnel questions that ORDER makes ("did a
+    * view EVENTUALLY lead to a purchase?") where set-membership filters
+    * cannot. Same plan as eventSequence (WindowGroupLimit caps hot keys
+    * before the one keyed exchange) plus a codegen'd regexp per KEY (one
+    * bounded string each, not per event). Keep the pattern to the
+    * regex-common core (literals, `.` `*` `+` `[...]` alternation):
+    * Spark matches with Java regex, other engines may use RE2 — exotic
+    * constructs (backreferences, lookahead) are where they diverge.
+    * Emits (key, n_events, journey, matched). */
+  def journeyPattern(df: DataFrame, key: String, ts: String, tiebreak: String,
+                     payload: String, maxEvents: Int, pattern: String,
+                     sep: String = ">"): DataFrame = {
+    require(pattern.nonEmpty, "journeyPattern needs a non-empty pattern")
+    eventSequence(df, key, ts, tiebreak, payload, maxEvents, sep)
+      .withColumn("matched", col("journey").rlike(pattern))
+  }
+
+  /** Per-key longest run of CONSECUTIVE active days (streaks) — the
+    * engagement shape (retention dashboards, habit metrics) that a plain
+    * active-day count hides. Gaps-and-islands with the integer trick:
+    * after deduplicating to (key, day), day − row_number() is CONSTANT
+    * within a consecutive run and distinct across runs — all int64
+    * arithmetic, no float, engine-exact by construction. Shuffles: one
+    * distinct agg to the (key, day) grid (the only row-count-sized
+    * stage), one keyed window (row_number), two keyed aggs that reuse its
+    * partitioning. A key's rows after the distinct are its ACTIVE DAYS —
+    * bounded by the calendar, not the event volume, so the window sort is
+    * safe even for a key with a billion events. Emits (key,
+    * n_active_days, n_streaks, longest_streak). NULL ts rows drop. */
+  def longestStreak(df: DataFrame, key: String, ts: String,
+                    dayMs: Long = 86400000L): DataFrame = {
+    require(dayMs > 0, s"dayMs must be positive, got $dayMs")
+    val emitted = Seq("n_active_days", "n_streaks", "longest_streak",
+      "_day", "_isl", "_len")
+    require(!emitted.exists(df.columns.contains),
+      s"longestStreak emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val msCol = ms(col(ts))
+    val days = df.filter(col(ts).isNotNull && col(key).isNotNull)
+      .select(col(key),
+        ((msCol - pmod(msCol, lit(dayMs))) / lit(dayMs)).cast("long")
+          .as("_day"))
+      .distinct()
+    val w = Window.partitionBy(col(key)).orderBy(col("_day"))
+    days
+      .withColumn("_isl", col("_day") - row_number().over(w))
+      .groupBy(col(key), col("_isl")).agg(count(lit(1)).as("_len"))
+      .groupBy(col(key))
+      .agg(sum(col("_len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("_len")).as("longest_streak"))
+  }
+
   /** Skew-hardened inner equi-join: a plain hash join sends every row of a
     * hot key to one task; AQE's skew-join split fixes this for sort-merge
     * joins it can re-plan, but not when the skewed stage is pinned (cached

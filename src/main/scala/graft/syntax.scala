@@ -293,6 +293,14 @@ object syntax {
     def maxDrawdown(key: String, ts: String, tiebreak: String,
                     value: String): DataFrame =
       CoreOps.maxDrawdown(df, key, ts, tiebreak, value)
+    def journeyPattern(key: String, ts: String, tiebreak: String,
+                       payload: String, maxEvents: Int, pattern: String,
+                       sep: String = ">"): DataFrame =
+      CoreOps.journeyPattern(df, key, ts, tiebreak, payload, maxEvents,
+        pattern, sep)
+    def longestStreak(key: String, ts: String,
+                      dayMs: Long = 86400000L): DataFrame =
+      CoreOps.longestStreak(df, key, ts, dayMs)
     def categoricalDriftByGroup(group: String, category: String,
                                 ref: DataFrame): DataFrame =
       CoreOps.categoricalDriftByGroup(df, group, category, ref)

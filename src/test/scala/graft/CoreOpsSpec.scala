@@ -704,6 +704,36 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.ksStatistic(a.select(col("v").cast("double").as("v")), b, "v"))
   }
 
+  test("longestStreak: islands of consecutive days; duplicate same-day " +
+      "events collapse") {
+    def ts(day: Long, off: Long = 0L) = day * 86400000L + off
+    val df = Seq(
+      // u1: days 1,2,3 then 7,8 -> streaks 3 and 2
+      ("u1", ts(1)), ("u1", ts(2)), ("u1", ts(2, 5000)), ("u1", ts(3)),
+      ("u1", ts(7)), ("u1", ts(8)),
+      // u2: one active day
+      ("u2", ts(10)))
+      .toDF("u", "msr").withColumn("ts", timestamp_millis(col("msr")))
+    val got = CoreOps.longestStreak(df, "u", "ts")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("u1" -> ((5L, 2L, 3L)), "u2" -> ((1L, 1L, 1L))))
+  }
+
+  test("journeyPattern flags ordered funnels the event SET cannot") {
+    def ev(u: String, msr: Long, id: Long, t: String) = (u, msr, id, t)
+    val df = Seq(
+      ev("u1", 0, 1, "view"), ev("u1", 10, 2, "click"),
+      ev("u1", 20, 3, "purchase"), // view -> ... -> purchase: match
+      ev("u2", 0, 4, "purchase"), ev("u2", 10, 5, "view")) // wrong order
+      .toDF("u", "msr", "eid", "etype")
+      .withColumn("ts", timestamp_millis(col("msr")))
+    val got = CoreOps.journeyPattern(df, "u", "ts", "eid", "etype", 10,
+        "view.*purchase")
+      .select("u", "matched").as[(String, Boolean)].collect().toMap
+    assert(got == Map("u1" -> true, "u2" -> false))
+  }
+
   test("topCategoriesWithOther: deterministic top-k + totals-derived other; " +
       "no other row when k covers all") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
