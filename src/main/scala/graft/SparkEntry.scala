@@ -1107,6 +1107,16 @@ object SparkEntry {
           (floor(col("value") * 100).cast("long")
             * when(pmod(col("event_id"), lit(3)) === 0, -1L).otherwise(1L))),
         "user_id", "ts", "event_id", "cents")),
+    // the grouped KS: length-distribution shift between doc-id cohorts,
+    // for every language in ONE fully-partitioned plan (no driver pass)
+    "q_ks_by_lang" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars"))
+      CoreOps.ksStatisticByGroup(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "lang", "n_chars")
+    }),
     // Kolmogorov-Smirnov max-CDF-gap on the same cents grid: catches the
     // concentrated shift (truncated tail, new mode) AUC averages away —
     // exact integer cross-products under a MAX, one division at the end
@@ -2990,6 +3000,38 @@ object SparkEntry {
          |SELECT user_id, count(*)::BIGINT AS n_events,
          |  max(peak - cum)::BIGINT AS max_drawdown
          |FROM p GROUP BY 1""".stripMargin,
+
+    // the same per-group cumulative gap via partitioned windows
+    "q_ks_by_lang" ->
+      """WITH av AS (SELECT lang, n_chars AS v FROM documents
+        |      WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |        AND lang IS NOT NULL),
+        |bv AS (SELECT lang, n_chars AS v FROM documents
+        |      WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+        |        AND lang IS NOT NULL),
+        |ca AS (SELECT lang, v, count(*)::BIGINT AS ca FROM av GROUP BY 1, 2),
+        |cb AS (SELECT lang, v, count(*)::BIGINT AS cb FROM bv GROUP BY 1, 2),
+        |m AS (SELECT lang, v, coalesce(ca, 0)::BIGINT AS ca,
+        |        coalesce(cb, 0)::BIGINT AS cb
+        |      FROM ca FULL OUTER JOIN cb USING (lang, v)),
+        |p AS (SELECT lang,
+        |        sum(ca) OVER (PARTITION BY lang ORDER BY v
+        |                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cca,
+        |        sum(cb) OVER (PARTITION BY lang ORDER BY v
+        |                      ROWS UNBOUNDED PRECEDING)::BIGINT AS ccb,
+        |        sum(ca) OVER (PARTITION BY lang)::BIGINT AS n_a,
+        |        sum(cb) OVER (PARTITION BY lang)::BIGINT AS n_b
+        |      FROM m)
+        |SELECT lang, n_a, n_b,
+        |  max(abs(cca::HUGEINT * n_b::HUGEINT
+        |          - ccb::HUGEINT * n_a::HUGEINT))::BIGINT AS d_num,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN floor(max(abs(cca::HUGEINT * n_b::HUGEINT
+        |                          - ccb::HUGEINT * n_a::HUGEINT))::DOUBLE
+        |                  / (n_a::HUGEINT * n_b::HUGEINT)::DOUBLE
+        |                  * 1000000) / 1000000
+        |  END AS ks
+        |FROM p GROUP BY lang, n_a, n_b""".stripMargin,
 
     // the same cumulative-count gap maximized over the distinct-value
     // grid; max needs no summation-order care at all

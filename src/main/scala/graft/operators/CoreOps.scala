@@ -1970,6 +1970,57 @@ object CoreOps {
           .as("ks"))
   }
 
+  /** ksStatistic computed PER GROUP in one plan — "did the length
+    * distribution shift, for every language at once?" Where the global
+    * form needs the bucketed prefix scan (one total order), the grouped
+    * form is fully PARTITIONED: cumulative counts, group totals, and the
+    * max gap are all windows/aggs keyed by the group — zero driver
+    * participation, hub-proof as long as one group's distinct values fit
+    * a task's sort (they are distinct VALUES, not rows — bounded by the
+    * value domain, the longestStreak argument). Same exact-decimal gap
+    * arithmetic and trunc6'd division as ksStatistic. Groups missing from
+    * one slice emit NULL ks (n of the absent side 0) rather than
+    * vanishing — absence of a whole group IS drift worth seeing. Emits
+    * (group, n_a, n_b, d_num, ks). */
+  def ksStatisticByGroup(a: DataFrame, b: DataFrame, group: String,
+                         value: String): DataFrame = {
+    Seq("a" -> a, "b" -> b).foreach { case (side, df) =>
+      require(integralTypes.contains(df.schema(value).dataType),
+        s"ksStatisticByGroup ranks '$value' on an exact integer grid; side " +
+          s"$side has ${df.schema(value).dataType} — scale to int64 first")
+    }
+    val emitted = Seq("n_a", "n_b", "d_num", "ks",
+      "_v", "_ca", "_cb", "_cca", "_ccb", "_d")
+    require(!emitted.contains(group),
+      s"ksStatisticByGroup emits/uses ${emitted.mkString(", ")}; rename inputs")
+    def cnt(df: DataFrame, out: String) =
+      df.filter(col(value).isNotNull && col(group).isNotNull)
+        .groupBy(col(group), col(value).cast("long").as("_v"))
+        .agg(count(lit(1)).as(out))
+    val m = cnt(a, "_ca").join(cnt(b, "_cb"), Seq(group, "_v"), "full_outer")
+      .select(col(group), col("_v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val wCum = Window.partitionBy(col(group)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(group)) // whole-group frame
+    val dec = "decimal(38,0)"
+    val p = m
+      .withColumn("_cca", sum(col("_ca")).over(wCum))
+      .withColumn("_ccb", sum(col("_cb")).over(wCum))
+      .withColumn("n_a", sum(col("_ca")).over(wAll))
+      .withColumn("n_b", sum(col("_cb")).over(wAll))
+    p.groupBy(col(group), col("n_a"), col("n_b"))
+      .agg(max(abs(col("_cca").cast(dec) * col("n_b").cast(dec)
+        - col("_ccb").cast(dec) * col("n_a").cast(dec))).as("_d"))
+      .select(col(group), col("n_a"), col("n_b"),
+        col("_d").cast("long").as("d_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(col("_d").cast("double")
+            / (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double")
+            * 1000000d) / 1000000d)
+          .as("ks"))
+  }
+
   /** Per-key TIME-weighted average over irregularly-sampled values (step
     * interpolation): each sample holds until the next one, so
     * twap = Σᵢ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first) — the mean a plain

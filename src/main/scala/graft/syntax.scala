@@ -287,6 +287,9 @@ object syntax {
       CoreOps.rankSumAuc(df, other, value)
     def ksStatistic(other: DataFrame, value: String): DataFrame =
       CoreOps.ksStatistic(df, other, value)
+    def ksStatisticByGroup(other: DataFrame, group: String,
+                           value: String): DataFrame =
+      CoreOps.ksStatisticByGroup(df, other, group, value)
     def topCategoriesWithOther(category: String, k: Int,
                                otherLabel: String = "__other__"): DataFrame =
       CoreOps.topCategoriesWithOther(df, category, k, otherLabel)

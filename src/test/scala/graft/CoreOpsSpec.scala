@@ -704,6 +704,26 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.ksStatistic(a.select(col("v").cast("double").as("v")), b, "v"))
   }
 
+  test("ksStatisticByGroup: per-group gaps match the global operator run " +
+      "per group; one-sided groups emit NULL") {
+    val a = Seq("g1" -> 3L, "g1" -> 5L, "g2" -> 1L, "g3" -> 9L).toDF("g", "v")
+    val b = Seq("g1" -> 1L, "g1" -> 3L, "g1" -> 4L, "g2" -> 1L).toDF("g", "v")
+    val got = CoreOps.ksStatisticByGroup(a, b, "g", "v")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // g1 is the ksStatistic hand case; g2 identical; g3 only in slice a
+    assert(got("g1") == ((2L, 3L, 3L, Some(0.5))))
+    assert(got("g2") == ((1L, 1L, 0L, Some(0.0))))
+    assert(got("g3") == ((1L, 0L, 0L, None)))
+    // cross-check every two-sided group against the global operator
+    for (g <- Seq("g1", "g2")) {
+      val single = CoreOps.ksStatistic(a.filter(col("g") === g),
+          b.filter(col("g") === g), "v")
+        .as[(Long, Long, Long, Option[Double])].collect().head
+      assert(got(g) == ((single._1, single._2, single._3, single._4)))
+    }
+  }
+
   test("longestStreak: islands of consecutive days; duplicate same-day " +
       "events collapse") {
     def ts(day: Long, off: Long = 0L) = day * 86400000L + off
