@@ -1107,12 +1107,34 @@ object SparkEntry {
           (floor(col("value") * 100).cast("long")
             * when(pmod(col("event_id"), lit(3)) === 0, -1L).otherwise(1L))),
         "user_id", "ts", "event_id", "cents")),
+    // most frequent event type per user, deterministic tiebreak — the
+    // per-group frequency table never ships (WindowGroupLimit)
+    "q_mode" -> ((s, dir) =>
+      CoreOps.modeByGroup(Tables.events(s, dir), "user_id", "event_type")),
+    // per-language length winsorization on exact order statistics: rank
+    // selection, not interpolation — bounds are actual data values,
+    // clipped output bit-exact int64
+    "q_winsorize" -> ((s, dir) =>
+      CoreOps.winsorizeRank(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "lang", "n_chars", 0.05, 0.95, "nc_w")),
     // the grouped KS: length-distribution shift between doc-id cohorts,
     // for every language in ONE fully-partitioned plan (no driver pass)
     "q_ks_by_lang" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         col("n_chars"))
       CoreOps.ksStatisticByGroup(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "lang", "n_chars")
+    }),
+    // the grouped AUC over the same grid: typical shift per language where
+    // KS reports the worst gap — run both on a drift dashboard
+    "q_auc_by_lang" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars"))
+      CoreOps.rankSumAucByGroup(
         d.filter(pmod(col("doc_id"), lit(2)) === 0),
         d.filter(pmod(col("doc_id"), lit(2)) === 1),
         "lang", "n_chars")
@@ -3000,6 +3022,67 @@ object SparkEntry {
          |SELECT user_id, count(*)::BIGINT AS n_events,
          |  max(peak - cum)::BIGINT AS max_drawdown
          |FROM p GROUP BY 1""".stripMargin,
+
+    // the same count agg under a deterministic (n desc, value asc) pick
+    "q_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+        |      FROM events
+        |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |      GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY n DESC, event_type) AS rn
+        |      FROM c)
+        |SELECT user_id, event_type, n FROM r WHERE rn = 1""".stripMargin,
+
+    // the same rank selection: k = ceil(p·n) in IEEE doubles both sides,
+    // bounds are actual data values, clipping is comparison-only
+    "q_winsorize" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY n_chars NULLS LAST) AS rn,
+        |        count(n_chars) OVER (PARTITION BY lang) AS n
+        |      FROM documents WHERE lang IS NOT NULL),
+        |b AS (SELECT lang,
+        |        max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+        |                 THEN n_chars END) AS lo,
+        |        max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |                 THEN n_chars END) AS hi
+        |      FROM r GROUP BY 1)
+        |SELECT doc_id, r.lang, n_chars,
+        |  CASE WHEN n_chars IS NOT NULL
+        |       THEN least(greatest(n_chars, lo), hi) END AS nc_w
+        |FROM r JOIN b ON b.lang = r.lang""".stripMargin,
+
+    // the same per-group doubled rank-sum via partitioned windows
+    "q_auc_by_lang" ->
+      """WITH av AS (SELECT lang, n_chars AS v FROM documents
+        |      WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |        AND lang IS NOT NULL),
+        |bv AS (SELECT lang, n_chars AS v FROM documents
+        |      WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+        |        AND lang IS NOT NULL),
+        |ca AS (SELECT lang, v, count(*)::BIGINT AS ca FROM av GROUP BY 1, 2),
+        |cb AS (SELECT lang, v, count(*)::BIGINT AS cb FROM bv GROUP BY 1, 2),
+        |m AS (SELECT lang, v, coalesce(ca, 0)::BIGINT AS ca,
+        |        coalesce(cb, 0)::BIGINT AS cb
+        |      FROM ca FULL OUTER JOIN cb USING (lang, v)),
+        |p AS (SELECT lang, ca, cb,
+        |        (sum(cb) OVER (PARTITION BY lang ORDER BY v
+        |                       ROWS UNBOUNDED PRECEDING) - cb)::BIGINT AS pcb,
+        |        sum(ca) OVER (PARTITION BY lang)::BIGINT AS n_a,
+        |        sum(cb) OVER (PARTITION BY lang)::BIGINT AS n_b
+        |      FROM m)
+        |SELECT lang, n_a, n_b,
+        |  sum(ca::HUGEINT * (2::HUGEINT * pcb::HUGEINT + cb::HUGEINT))
+        |    ::BIGINT AS u2_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN floor(sum(ca::HUGEINT * (2::HUGEINT * pcb::HUGEINT
+        |                                     + cb::HUGEINT))::DOUBLE
+        |                  / (2::HUGEINT * n_a::HUGEINT * n_b::HUGEINT)::DOUBLE
+        |                  * 1000000) / 1000000
+        |  END AS auc_a
+        |FROM p GROUP BY lang, n_a, n_b""".stripMargin,
 
     // the same per-group cumulative gap via partitioned windows
     "q_ks_by_lang" ->

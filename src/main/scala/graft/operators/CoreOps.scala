@@ -375,6 +375,77 @@ object CoreOps {
       .filter(col("rank") <= k)
   }
 
+  /** Per-group MODE — the most frequent value, with a deterministic
+    * tiebreak (higher count wins, equal counts break by ascending value),
+    * so every engine and every partitioning names the same winner. A thin
+    * composition: one (group, value) count agg, then groupTopK(k=1) —
+    * which compiles to WindowGroupLimit, so each task forwards at most
+    * one candidate per group before the exchange; the full per-group
+    * frequency table never ships. Emits (group, value, n). NULL values
+    * drop (absence is not a mode). */
+  def modeByGroup(df: DataFrame, group: String, value: String): DataFrame = {
+    val emitted = Seq("n", "rank")
+    require(!emitted.contains(group) && !emitted.contains(value),
+      s"modeByGroup emits/uses ${emitted.mkString(", ")}; rename inputs")
+    // orderBy(n desc, value asc): groupTopK's tiebreak column is ascending
+    groupTopK(
+      df.filter(col(value).isNotNull && col(group).isNotNull)
+        .groupBy(col(group), col(value)).agg(count(lit(1)).as("n")),
+      Seq(group), col("n"), value, 1)
+      .select(col(group), col(value), col("n"))
+  }
+
+  /** Per-group winsorization on exact ORDER STATISTICS: clamp `value`
+    * into [k_lo-th smallest, k_hi-th smallest] of its group, where
+    * k = ceil(p·n) — rank selection, NOT interpolation, so on integral
+    * inputs every bound is an actual data value and the clipped output is
+    * bit-exact on any engine (interpolated percentiles agree only to
+    * float tolerance at awkward fractions; trunc6 can still straddle a
+    * truncation boundary at the clip edge). The tail treatment that keeps
+    * a corrupted sensor reading from dominating a sum, without dropping
+    * the row like an outlier filter would. Plan shape: ONE keyed window
+    * exchange carries rank and group size (two frames, same sort), the
+    * k-th rows filter down to O(groups) bound rows joined back, then a
+    * pure comparison map — comparisons only, no arithmetic on the values.
+    * `value` must be integral (the rankSumAuc grid argument). Ties rank
+    * arbitrarily but the k-th order STATISTIC is tie-order-independent —
+    * a multiset position. Emits the input plus `out` (clipped, int64).
+    * NULL values pass through as NULL; NULL groups drop. */
+  def winsorizeRank(df: DataFrame, group: String, value: String,
+                    lo: Double, hi: Double, out: String): DataFrame = {
+    require(lo > 0 && hi < 1 && lo < hi,
+      s"winsorizeRank needs 0 < lo < hi < 1, got ($lo, $hi)")
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"winsorizeRank clips '$value' by exact order statistics; got " +
+        s"${df.schema(value).dataType} — scale to an integer grid first")
+    require(!df.columns.contains(out),
+      s"winsorizeRank emits '$out'; rename the input's first")
+    val emitted = Seq("_rn", "_n", "_lo", "_hi")
+    require(!emitted.exists(df.columns.contains),
+      s"winsorizeRank uses ${emitted.mkString(", ")} internally; rename inputs")
+    val base = df.filter(col(group).isNotNull)
+    val wOrd = Window.partitionBy(col(group)).orderBy(col(value).asc_nulls_last)
+    val wAll = Window.partitionBy(col(group))
+    // NULLS LAST + count over non-null only: ranks 1..n cover the non-null
+    // values, NULL rows rank past n and never match a k-th row
+    val ranked = base
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_n", count(col(value)).over(wAll))
+    // ceil(p·n) in IEEE doubles on BOTH engines — identical k everywhere
+    def kOf(p: Double) = ceil(lit(p) * col("_n")).cast("long")
+    val bounds = ranked
+      .groupBy(col(group))
+      .agg(max(when(col("_rn") === kOf(lo), col(value))).as("_lo"),
+        max(when(col("_rn") === kOf(hi), col(value))).as("_hi"))
+    // join the RANKED frame (not a second scan of df): same rows, and the
+    // bounds join lands on the window's group partitioning
+    ranked.join(bounds, Seq(group))
+      .withColumn(out,
+        when(col(value).isNotNull,
+          least(greatest(col(value), col("_lo")), col("_hi"))))
+      .drop("_rn", "_n", "_lo", "_hi")
+  }
+
   /** Staged conversion funnel — "users who did A, then B after A, then C
     * after B", with each key's earliest completion time per stage. Stage i
     * is satisfied by the key's EARLIEST event matching predicate i that is
@@ -2019,6 +2090,54 @@ object CoreOps {
             / (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double")
             * 1000000d) / 1000000d)
           .as("ks"))
+  }
+
+  /** rankSumAuc computed PER GROUP in one plan — the grouped companion of
+    * ksStatisticByGroup, same fully-PARTITIONED shape (cumulatives and
+    * totals from group-keyed windows, zero driver participation) with the
+    * rank-sum identity instead of the max gap: per group,
+    * 2·U_a = Σ_v cₐ(v)·(2·cbBelow(v) + c_b(v)), summed in exact decimal.
+    * AUC answers "how big is the typical shift" per group where KS
+    * answers "how big is the worst gap" — run both over the same grid.
+    * `value` must be integral in both slices. Emits (group, n_a, n_b,
+    * u2_a, auc_a); one-sided groups emit NULL auc_a. */
+  def rankSumAucByGroup(a: DataFrame, b: DataFrame, group: String,
+                        value: String): DataFrame = {
+    Seq("a" -> a, "b" -> b).foreach { case (side, df) =>
+      require(integralTypes.contains(df.schema(value).dataType),
+        s"rankSumAucByGroup ranks '$value' on an exact integer grid; side " +
+          s"$side has ${df.schema(value).dataType} — scale to int64 first")
+    }
+    val emitted = Seq("n_a", "n_b", "u2_a", "auc_a",
+      "_v", "_ca", "_cb", "_ccb", "_u2")
+    require(!emitted.contains(group),
+      s"rankSumAucByGroup emits/uses ${emitted.mkString(", ")}; rename inputs")
+    def cnt(df: DataFrame, out: String) =
+      df.filter(col(value).isNotNull && col(group).isNotNull)
+        .groupBy(col(group), col(value).cast("long").as("_v"))
+        .agg(count(lit(1)).as(out))
+    val m = cnt(a, "_ca").join(cnt(b, "_cb"), Seq(group, "_v"), "full_outer")
+      .select(col(group), col("_v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val wCum = Window.partitionBy(col(group)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(group))
+    val dec = "decimal(38,0)"
+    val u2 = col("_ca").cast(dec) *
+      (lit(2L).cast(dec) * (col("_ccb") - col("_cb")).cast(dec)
+        + col("_cb").cast(dec))
+    m.withColumn("_ccb", sum(col("_cb")).over(wCum))
+      .withColumn("n_a", sum(col("_ca")).over(wAll))
+      .withColumn("n_b", sum(col("_cb")).over(wAll))
+      .groupBy(col(group), col("n_a"), col("n_b"))
+      .agg(sum(u2).as("_u2s"))
+      .select(col(group), col("n_a"), col("n_b"),
+        col("_u2s").cast("long").as("u2_a"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(col("_u2s").cast("double")
+            / (lit(2L).cast(dec) * col("n_a").cast(dec) * col("n_b").cast(dec))
+              .cast("double") * 1000000d) / 1000000d)
+          .as("auc_a"))
   }
 
   /** Per-key TIME-weighted average over irregularly-sampled values (step

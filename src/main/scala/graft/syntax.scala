@@ -290,6 +290,9 @@ object syntax {
     def ksStatisticByGroup(other: DataFrame, group: String,
                            value: String): DataFrame =
       CoreOps.ksStatisticByGroup(df, other, group, value)
+    def rankSumAucByGroup(other: DataFrame, group: String,
+                          value: String): DataFrame =
+      CoreOps.rankSumAucByGroup(df, other, group, value)
     def topCategoriesWithOther(category: String, k: Int,
                                otherLabel: String = "__other__"): DataFrame =
       CoreOps.topCategoriesWithOther(df, category, k, otherLabel)
@@ -304,6 +307,11 @@ object syntax {
     def longestStreak(key: String, ts: String,
                       dayMs: Long = 86400000L): DataFrame =
       CoreOps.longestStreak(df, key, ts, dayMs)
+    def modeByGroup(group: String, value: String): DataFrame =
+      CoreOps.modeByGroup(df, group, value)
+    def winsorizeRank(group: String, value: String, lo: Double, hi: Double,
+                      out: String): DataFrame =
+      CoreOps.winsorizeRank(df, group, value, lo, hi, out)
     def categoricalDriftByGroup(group: String, category: String,
                                 ref: DataFrame): DataFrame =
       CoreOps.categoricalDriftByGroup(df, group, category, ref)

@@ -704,6 +704,34 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.ksStatistic(a.select(col("v").cast("double").as("v")), b, "v"))
   }
 
+  test("modeByGroup picks the most frequent value with ascending tiebreak") {
+    val df = Seq("u1" -> "b", "u1" -> "b", "u1" -> "a",
+      "u2" -> "z", "u2" -> "a").toDF("u", "v") // u2: tie -> 'a' wins
+    assert(CoreOps.modeByGroup(df, "u", "v")
+      .as[(String, String, Long)].collect().toSet ==
+      Set(("u1", "b", 2L), ("u2", "a", 1L)))
+  }
+
+  test("winsorizeRank clips at exact order statistics; NULLs pass through") {
+    // g: values 1..10 -> k05 = ceil(.5)=1 -> lo=1; k95 = ceil(9.5)=10 ->
+    // hi=10 (n=10 leaves 5%/95% inside the data); tighter on (0.25, 0.75)
+    val df = ((1L to 10L).map(("g", _)) :+ (("g", -100L)) :+ (("g", 999L)))
+      .toDF("grp", "v")
+    val got = CoreOps.winsorizeRank(df, "grp", "v", 0.25, 0.75, "w")
+      .select("v", "w").as[(Long, Long)].collect().toMap
+    // n=12: k_lo = ceil(3) = 3 -> 3rd smallest = 2; k_hi = ceil(9) = 9 ->
+    // 9th smallest = 8
+    assert(got(-100L) == 2L && got(999L) == 8L)
+    assert(got(5L) == 5L && got(2L) == 2L && got(8L) == 8L)
+    val withNull = Seq(("g", Some(1L)), ("g", Some(2L)), ("g", None))
+      .toDF("grp", "v")
+    val gotN = CoreOps.winsorizeRank(withNull, "grp", "v", 0.25, 0.75, "w")
+      .select("v", "w").as[(Option[Long], Option[Long])].collect()
+    assert(gotN.contains((None, None)))
+    assertThrows[IllegalArgumentException](
+      CoreOps.winsorizeRank(df, "grp", "v", 0.0, 0.9, "w"))
+  }
+
   test("ksStatisticByGroup: per-group gaps match the global operator run " +
       "per group; one-sided groups emit NULL") {
     val a = Seq("g1" -> 3L, "g1" -> 5L, "g2" -> 1L, "g3" -> 9L).toDF("g", "v")
@@ -718,6 +746,22 @@ class CoreOpsSpec extends SparkSpec {
     // cross-check every two-sided group against the global operator
     for (g <- Seq("g1", "g2")) {
       val single = CoreOps.ksStatistic(a.filter(col("g") === g),
+          b.filter(col("g") === g), "v")
+        .as[(Long, Long, Long, Option[Double])].collect().head
+      assert(got(g) == ((single._1, single._2, single._3, single._4)))
+    }
+  }
+
+  test("rankSumAucByGroup matches the global operator per group") {
+    val a = Seq("g1" -> 3L, "g1" -> 5L, "g2" -> 1L).toDF("g", "v")
+    val b = Seq("g1" -> 1L, "g1" -> 3L, "g1" -> 4L, "g2" -> 2L).toDF("g", "v")
+    val got = CoreOps.rankSumAucByGroup(a, b, "g", "v")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("g1") == ((2L, 3L, 9L, Some(0.75)))) // the rankSumAuc case
+    assert(got("g2") == ((1L, 1L, 0L, Some(0.0))))  // a < b everywhere
+    for (g <- Seq("g1", "g2")) {
+      val single = CoreOps.rankSumAuc(a.filter(col("g") === g),
           b.filter(col("g") === g), "v")
         .as[(Long, Long, Long, Option[Double])].collect().head
       assert(got(g) == ((single._1, single._2, single._3, single._4)))
