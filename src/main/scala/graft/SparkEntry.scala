@@ -37,6 +37,7 @@ object SparkEntry {
   private val SessLiftMaxTypes = 5 // distinct event types bound session baskets
   private val KfoldK = 5           // cross-validation fold count
   private val KfoldSalt = "cv"
+  private val OverlapMaxDf = 10    // source-overlap ubiquitous-token cutoff
 
   /** Shared by q_transitions (batch lag twin) and q_transitions_stream
     * (state machine in batch mode): both must emit this exact matrix. */
@@ -319,6 +320,16 @@ object SparkEntry {
       Dedup.dedupProfileChecked(Tables.documents(s, dir), "text", Seq("source", "lang"))),
     "q_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(Tables.documents(s, dir), "doc_id", "text")),
+    // vocabulary richness per doc: TTR + hapax rate — the boilerplate/spam
+    // separator that length and punctuation heuristics miss
+    "q_lexical_diversity" -> ((s, dir) =>
+      TextOps.lexicalDiversity(Tables.documents(s, dir), "doc_id", "text")),
+    // which sources mirror each other's content: pairwise exact Jaccard
+    // over per-source bigram-shingle sets, ubiquitous shingles excluded
+    // BEFORE the bucketed pair expansion (the scale bound AND the signal)
+    "q_source_overlap" -> ((s, dir) =>
+      TextOps.sourceOverlap(Tables.documents(s, dir), "source", "text",
+        2, OverlapMaxDf)),
     "q_quality_score" -> ((s, dir) =>
       TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)),
     "q_lang_id" -> ((s, dir) =>
@@ -1978,6 +1989,47 @@ object SparkEntry {
       s"""SELECT source, lang, COUNT(*) AS n_docs,
          |  COUNT(DISTINCT md5($normSql)) AS n_distinct, TRUE AS within_bound
          |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // same (doc, token) counts; docs with no tokens absent on both sides
+    "q_lexical_diversity" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+         |a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         |        count(*)::BIGINT AS n_types,
+         |        sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         |  floor(n_types::DOUBLE / n_tokens::DOUBLE * 1000000) / 1000000
+         |    AS ttr,
+         |  floor(n_hapax::DOUBLE / n_tokens::DOUBLE * 1000000) / 1000000
+         |    AS hapax_rate
+         |FROM a""".stripMargin,
+
+    // same filtered shingle universe on both sides of the pair expansion;
+    // the q_ngram_vocab shingle recipe
+    "q_source_overlap" ->
+      s"""WITH nrm AS (SELECT source, $normSql AS nt FROM documents
+         |      WHERE source IS NOT NULL),
+         |tk AS (SELECT source, list_filter(regexp_split_to_array(nt, '\\s+'),
+         |        x -> x <> '') AS toks FROM nrm),
+         |st AS (SELECT DISTINCT source, tok
+         |      FROM (SELECT source,
+         |              unnest([array_to_string(list_slice(toks, i+1, i+2), ' ')
+         |                      for i in range(0, len(toks)-2+1)]) AS tok
+         |            FROM tk WHERE len(toks) >= 2)),
+         |d AS (SELECT tok FROM st GROUP BY tok
+         |      HAVING count(*) <= $OverlapMaxDf),
+         |k AS (SELECT st.source, st.tok FROM st JOIN d USING (tok)),
+         |sz AS (SELECT source, count(*)::BIGINT AS n FROM k GROUP BY 1),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |        count(*)::BIGINT AS n_common
+         |      FROM k a JOIN k b USING (tok) WHERE a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+         |  floor(n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE
+         |        * 1000000) / 1000000 AS jaccard
+         |FROM p JOIN sz sa ON sa.source = source_a
+         |JOIN sz sb ON sb.source = source_b""".stripMargin,
 
     "q_token_stats" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,

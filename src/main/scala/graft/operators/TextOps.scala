@@ -40,6 +40,87 @@ object TextOps {
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("n_token_chars"))
   }
 
+  /** Per-document lexical diversity: type-token ratio and hapax rate —
+    * the vocabulary-richness signals that separate natural prose (high
+    * TTR, many once-used words) from template/boilerplate/spam text
+    * (low TTR) where length and punctuation heuristics pass. Shape: one
+    * explode to (doc, token), a partial-agg'd (doc, token) count (the
+    * only row-count-sized exchange — map-side combine collapses repeats
+    * before the shuffle), one per-doc agg. All counts exact int64;
+    * ratios are trunc6'd single divisions. Documents with zero tokens
+    * are ABSENT from the output (no vocabulary to measure — same
+    * convention both engines reach naturally). Emits (id, n_tokens,
+    * n_types, n_hapax, ttr, hapax_rate). */
+  def lexicalDiversity(docs: DataFrame, id: String, text: String): DataFrame = {
+    val emitted = Seq("n_tokens", "n_types", "n_hapax", "ttr", "hapax_rate",
+      "_tok", "_c")
+    require(!emitted.contains(id),
+      s"lexicalDiversity emits/uses ${emitted.mkString(", ")}; rename inputs")
+    docs.select(col(id), explode(tokens(col(text))).as("_tok"))
+      .groupBy(col(id), col("_tok")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(id))
+      .agg(sum(col("_c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(id), col("n_tokens"), col("n_types"), col("n_hapax"),
+        trunc6(col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        trunc6(col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("hapax_rate"))
+  }
+
+  /** Pairwise exact Jaccard overlap between GROUPS' n-gram shingle sets
+    * (which sources mirror each other's content?) — corpus governance at
+    * the source level, where the doc-level dedup pipelines are overkill.
+    * Shingles (the winnowing unit, n normalized tokens) discriminate
+    * where single tokens saturate — a shared vocabulary makes every
+    * token ubiquitous while n-grams still separate sources. Shingles
+    * appearing in MORE than `maxDfGroups` groups are excluded BEFORE the
+    * pair expansion: that is simultaneously the scale bound (per-shingle
+    * pair fan-out is |groups(shingle)|², and a boilerplate phrase present
+    * everywhere would go quadratic in the group count) and the signal
+    * choice (ubiquitous content carries no overlap information) — the
+    * basket-lift cap argument, as a filter because exclusion is the
+    * SEMANTICS here, not an error. Group sizes count the SAME filtered
+    * universe, so jaccard = inter/(nₐ+n_b−inter) is consistent over it.
+    * Shapes: one distinct to (group, shingle), a shingle-keyed df count
+    * + filter join, the shingle-bucketed pair self-join (never all-pairs
+    * of rows), two size joins — O(groups²) output. Exact integers + one
+    * trunc6'd division. Emits (source_a, source_b, n_a, n_b, n_common,
+    * jaccard), a < b; pairs sharing NO kept shingle are absent (their
+    * jaccard is 0 by definition — emitting groups² zero rows would
+    * defeat the point). */
+  def sourceOverlap(docs: DataFrame, group: String, text: String,
+                    n: Int, maxDfGroups: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(maxDfGroups >= 1, s"maxDfGroups must be >= 1, got $maxDfGroups")
+    val st = docs.filter(col(group).isNotNull)
+      .select(col(group), explode(graft.expressions.HashKernelExpressions
+        .shingleStrings(normalized(col(text)), n)).as("_tok"))
+      .distinct()
+      .localCheckpoint(true) // shared: df filter, sizes, both pair sides
+    val kept = st.join(
+        st.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDfGroups).drop("_df"),
+        Seq("_tok"))
+      .localCheckpoint(true)
+    val sizes = kept.groupBy(col(group)).agg(count(lit(1)).as("_n"))
+    val pairs = kept.select(col(group).as("source_a"), col("_tok"))
+      .join(kept.select(col(group).as("source_b"), col("_tok")), Seq("_tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col(group).as("source_a"), col("_n").as("n_a")),
+        Seq("source_a"))
+      .join(sizes.select(col(group).as("source_b"), col("_n").as("n_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        trunc6(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
     * length — the standard cheap heuristics used to pre-filter web corpora.
     * All ratios are exact integer-count fractions so any engine agrees. */

@@ -222,6 +222,11 @@ object syntax {
       TextOps.oovRate(df, id, text, n, topN)
     def charHistogram(text: String, topN: Int): DataFrame =
       TextOps.charHistogram(df, text, topN)
+    def lexicalDiversity(id: String, text: String): DataFrame =
+      TextOps.lexicalDiversity(df, id, text)
+    def sourceOverlap(group: String, text: String, n: Int,
+                      maxDfGroups: Int): DataFrame =
+      TextOps.sourceOverlap(df, group, text, n, maxDfGroups)
     def splitAssign(id: String, splits: Seq[(String, Double)],
                     out: String = "split", salt: String = ""): DataFrame =
       Sampling.splitAssign(df, id, splits, out, salt)

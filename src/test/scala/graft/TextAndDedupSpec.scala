@@ -6,6 +6,34 @@ import org.apache.spark.sql.functions._
 class TextAndDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lexicalDiversity: TTR and hapax from (doc, token) counts; empty " +
+      "docs absent") {
+    val docs = Seq((1L, "a b a c"), (2L, "x x x"), (3L, "  ")).toDF("doc_id", "text")
+    val got = TextOps.lexicalDiversity(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 3L, 2L, 0.75, 0.5)))
+    assert(got(2L) == ((2L, 3L, 1L, 0L, 0.333333, 0.0)))
+    assert(!got.contains(3L)) // no tokens, no vocabulary to measure
+  }
+
+  test("sourceOverlap: filtered-vocab Jaccard; ubiquitous tokens excluded " +
+      "before the pair expansion") {
+    val docs = Seq(("s1", "x y z"), ("s2", "x y w"), ("s3", "q"),
+      ("s1", "z")).toDF("source", "text") // duplicate token in s1: distinct
+    val got = TextOps.sourceOverlap(docs, "source", "text", 1, 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    // kept vocab: all (every df <= 2); only s1-s2 share tokens {x, y}
+    assert(got == Set(("s1", "s2", 3L, 3L, 2L, 0.5)))
+    // maxDf 1 drops x and y: no pair shares a kept token
+    assert(TextOps.sourceOverlap(docs, "source", "text", 1, 1).count() == 0L)
+    // bigram shingles separate where tokens saturate: s1 and s2 share the
+    // "x y" shingle but not "y z"/"y w"
+    assert(TextOps.sourceOverlap(docs, "source", "text", 2, 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet ==
+      Set(("s1", "s2", 2L, 2L, 1L, 0.333333)))
+  }
+
   test("tokens trims, splits on whitespace runs, drops empties") {
     val got = Seq("  a  b\tc ", "", "   ").toDF("text")
       .select(size(TextOps.tokens(col("text")))).as[Int].collect().toSeq
