@@ -1118,6 +1118,11 @@ object SparkEntry {
           (floor(col("value") * 100).cast("long")
             * when(pmod(col("event_id"), lit(3)) === 0, -1L).otherwise(1L))),
         "user_id", "ts", "event_id", "cents")),
+    // signup-cohort LTV curves: exact cents from scan to cumulative, one
+    // float division at the very end — the revenue twin of q_retention
+    "q_ltv" -> ((s, dir) =>
+      CoreOps.cohortValueCurve(Tables.events(s, dir), "user_id", "ts",
+        "value", D)),
     // most frequent event type per user, deterministic tiebreak — the
     // per-group frequency table never ships (WindowGroupLimit)
     "q_mode" -> ((s, dir) =>
@@ -3074,6 +3079,22 @@ object SparkEntry {
          |SELECT user_id, count(*)::BIGINT AS n_events,
          |  max(peak - cum)::BIGINT AS max_drawdown
          |FROM p GROUP BY 1""".stripMargin,
+
+    // the same cents-from-scan pipeline and cohort-partitioned cumulative
+    "q_ltv" ->
+      """WITH ev AS (SELECT user_id, (epoch_ms(ts) // 86400000) AS d,
+        |        floor(value * 100)::BIGINT AS c
+        |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |f AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1),
+        |p AS (SELECT cohort, (d - cohort)::BIGINT AS age,
+        |        sum(c)::BIGINT AS period_cents
+        |      FROM ev JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort, age, period_cents,
+        |  (sum(period_cents) OVER (PARTITION BY cohort ORDER BY age
+        |     ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_cents,
+        |  (sum(period_cents) OVER (PARTITION BY cohort ORDER BY age
+        |     ROWS UNBOUNDED PRECEDING))::DOUBLE / 100 AS cum_value
+        |FROM p""".stripMargin,
 
     // the same count agg under a deterministic (n desc, value asc) pick
     "q_mode" ->

@@ -662,6 +662,50 @@ object CoreOps {
         col("n_cohort"), col("retention"))
   }
 
+  /** Cohort cumulative-value (LTV) curves — retentionCohorts' revenue
+    * companion: for each cohort (keys sharing a first-spend grain), the
+    * exact per-age spend and its running total, the "how much has the
+    * March cohort produced by day 30" curve. Exactness: values truncate
+    * to cents at the scan (floor(v·100), the exactSumFloor convention),
+    * every later step — period sums, the cumulative — is int64, and the
+    * only float op is the final cents→currency division by 100
+    * (correctly rounded, identical everywhere). Shape: one keyed
+    * first-grain agg joined back ON THE KEY (co-partitioned), one
+    * (cohort, age) agg, one cohort-partitioned window over the O(cohorts
+    * × ages) agg rows — the window never sees raw events. Ages with no
+    * spend emit no row (the cumulative is still correct at every present
+    * age). Keys enter at their first non-NULL-value event; NULL
+    * ts/value rows drop. Emits (cohort, age, period_cents, cum_cents,
+    * cum_value). Same >= epoch guard as retentionCohorts. */
+  def cohortValueCurve(df: DataFrame, key: String, ts: String, value: String,
+                       grainMs: Long): DataFrame = {
+    require(grainMs > 0, s"grainMs must be positive, got $grainMs")
+    val emitted = Seq("cohort", "age", "period_cents", "cum_cents",
+      "cum_value", "_day", "_c")
+    require(!emitted.contains(key),
+      s"cohortValueCurve emits ${emitted.mkString(", ")}; rename '$key'")
+    val msCol = ms(col(ts))
+    val guard = assert_true(msCol.isNull || msCol >= 0,
+      concat(lit(s"cohortValueCurve: '$ts' must be >= epoch (trunc vs " +
+        "floor division diverge below zero); got ms="),
+        msCol.cast("string")))
+    val ev = df.filter(guard.isNull)
+      .filter(col(ts).isNotNull && col(value).isNotNull)
+      .select(col(key),
+        ((msCol - pmod(msCol, lit(grainMs))) / lit(grainMs))
+          .cast("long").as("_day"),
+        floor(col(value) * 100).cast("long").as("_c"))
+    val first = ev.groupBy(col(key)).agg(min(col("_day")).as("cohort"))
+    val period = ev.join(first, Seq(key))
+      .groupBy(col("cohort"), (col("_day") - col("cohort")).as("age"))
+      .agg(sum(col("_c")).as("period_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    period
+      .withColumn("cum_cents", sum(col("period_cents")).over(w))
+      .withColumn("cum_value", col("cum_cents").cast("double") / lit(100d))
+  }
+
   /** Per-group least-squares line (slope + intercept) over integral
     * columns — the trend diagnostic next to exactCorr (is token count
     * growing per char across a corpus slice?), deterministic the same way:

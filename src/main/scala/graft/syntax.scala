@@ -314,6 +314,9 @@ object syntax {
       CoreOps.longestStreak(df, key, ts, dayMs)
     def modeByGroup(group: String, value: String): DataFrame =
       CoreOps.modeByGroup(df, group, value)
+    def cohortValueCurve(key: String, ts: String, value: String,
+                         grainMs: Long): DataFrame =
+      CoreOps.cohortValueCurve(df, key, ts, value, grainMs)
     def winsorizeRank(group: String, value: String, lo: Double, hi: Double,
                       out: String): DataFrame =
       CoreOps.winsorizeRank(df, group, value, lo, hi, out)

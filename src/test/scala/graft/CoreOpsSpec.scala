@@ -704,6 +704,24 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.ksStatistic(a.select(col("v").cast("double").as("v")), b, "v"))
   }
 
+  test("cohortValueCurve: exact cents cumulative per cohort age") {
+    def ts(day: Long) = day * 86400000L
+    val df = Seq(
+      // u1 enters day 1: spends 10.50, then 2.25 on day 3 (age 2)
+      ("u1", ts(1), 10.50), ("u1", ts(3), 2.25),
+      // u2 same cohort day 1: 1.00 on day 1, 0.75 on day 3
+      ("u2", ts(1), 1.00), ("u2", ts(3), 0.75),
+      // u3 enters day 5 (its own cohort)
+      ("u3", ts(5), 5.00))
+      .toDF("u", "msr", "v").withColumn("ts", timestamp_millis(col("msr")))
+    val got = CoreOps.cohortValueCurve(df, "u", "ts", "v", 86400000L)
+      .select("cohort", "age", "period_cents", "cum_cents", "cum_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 1150L, 1150L, 11.50), (1L, 2L, 300L, 1450L, 14.50),
+      (5L, 0L, 500L, 500L, 5.00)))
+  }
+
   test("modeByGroup picks the most frequent value with ascending tiebreak") {
     val df = Seq("u1" -> "b", "u1" -> "b", "u1" -> "a",
       "u2" -> "z", "u2" -> "a").toDF("u", "v") // u2: tie -> 'a' wins
