@@ -63,7 +63,18 @@ class PlanLintSpec extends SparkSpec {
       "q_rank_norm" -> Set("doc_id", "lang", "n_chars"),
       "q_heavy_hitters" -> Set("event_type"),
       // both scans (sketch side + keyProfile candidate side) read only the key
-      "q_heavy_hitters_hot" -> Set("user_id"))
+      "q_heavy_hitters_hot" -> Set("user_id"),
+      // round-7 operators: statistics/drift tier scans stay minimal
+      // (q_chi2/q_tvd_drift/q_auc_shift/q_top_categories eagerly checkpoint
+      // their aggregated frames, so their parquet scans sit upstream of the
+      // final plan — pruned the same way, but not assertable from here)
+      "q_twap" -> Set("user_id", "ts", "event_id", "value"),
+      "q_kfold" -> Set("doc_id"),
+      "q_streaks" -> Set("user_id", "ts"),
+      "q_drawdown" -> Set("user_id", "ts", "event_id", "value"),
+      "q_ltv" -> Set("user_id", "ts", "value"),
+      "q_mode" -> Set("user_id", "event_type"),
+      "q_lexical_diversity" -> Set("doc_id", "text"))
     expected.foreach { case (name, cols) =>
       val all = nodes(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
       val scans = all.collect {
