@@ -1118,6 +1118,17 @@ object SparkEntry {
           (floor(col("value") * 100).cast("long")
             * when(pmod(col("event_id"), lit(3)) === 0, -1L).otherwise(1L))),
         "user_id", "ts", "event_id", "cents")),
+    // leave-one-out target encoding of event type by value: the leakage
+    // guard is in the formula — a row never sees its own target
+    "q_target_encode" -> ((s, dir) =>
+      CoreOps.targetEncodeLoo(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"),
+          col("value")),
+        "event_type", "value", "te")),
+    // trailing 7-day distinct actives per day: the sliding distinct as a
+    // bounded x7 explosion over the (user, day) grid — no window function
+    "q_rolling_wau" -> ((s, dir) =>
+      CoreOps.rollingActiveUsers(Tables.events(s, dir), "user_id", "ts", 7)),
     // signup-cohort LTV curves: exact cents from scan to cumulative, one
     // float division at the very end — the revenue twin of q_retention
     "q_ltv" -> ((s, dir) =>
@@ -3079,6 +3090,30 @@ object SparkEntry {
          |SELECT user_id, count(*)::BIGINT AS n_events,
          |  max(peak - cum)::BIGINT AS max_drawdown
          |FROM p GROUP BY 1""".stripMargin,
+
+    // same cents scan, same (sum − own)/(n − 1)/100 left-assoc pipeline
+    "q_target_encode" ->
+      """WITH c AS (SELECT event_id, event_type, value,
+        |        floor(value * 100)::BIGINT AS cts FROM events),
+        |s AS (SELECT event_type, sum(cts)::BIGINT AS sm,
+        |        count(*)::BIGINT AS n
+        |      FROM c WHERE event_type IS NOT NULL AND cts IS NOT NULL
+        |      GROUP BY 1)
+        |SELECT event_id, c.event_type, value,
+        |  CASE WHEN cts IS NOT NULL AND n > 1
+        |       THEN floor((sm - cts)::DOUBLE / (n - 1)::DOUBLE / 100
+        |                  * 1000000) / 1000000
+        |  END AS te
+        |FROM c LEFT JOIN s ON s.event_type = c.event_type""".stripMargin,
+
+    // the same bounded day explosion and distinct count
+    "q_rolling_wau" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |        (epoch_ms(ts) // 86400000) AS day
+        |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |e AS (SELECT user_id, unnest(range(day, day + 7)) AS day FROM d)
+        |SELECT day, count(DISTINCT user_id)::BIGINT AS n_active_trailing
+        |FROM e GROUP BY 1""".stripMargin,
 
     // the same cents-from-scan pipeline and cohort-partitioned cumulative
     "q_ltv" ->

@@ -375,6 +375,41 @@ object CoreOps {
       .filter(col("rank") <= k)
   }
 
+  /** Leave-one-out target encoding: each row's category becomes the mean
+    * outcome of the OTHER rows in its category — the standard high-
+    * cardinality categorical encoder, with the leakage guard built into
+    * the formula ((Σ_c − own)/(n_c − 1)): a row never sees its own
+    * target, so the feature is safe to train on. Exactness: outcomes
+    * truncate to cents at the scan (floor(v·100), the cents-grid
+    * convention), category sums are int64 (order-independent), and the
+    * per-row division is one trunc6'd float op. Shape: one category agg
+    * (O(categories) rows) joined back — AQE broadcasts it — then a pure
+    * map; no window, no sort. Singleton categories (n_c = 1) yield NULL:
+    * there are no other rows to borrow a mean from, and imputing the
+    * global prior silently is a modeling choice the caller should make
+    * explicitly. NULL category/outcome rows pass through with NULL
+    * encoding. Emits the input plus `out` (the encoded value, in
+    * currency units). */
+  def targetEncodeLoo(df: DataFrame, category: String, outcome: String,
+                      out: String): DataFrame = {
+    require(!df.columns.contains(out),
+      s"targetEncodeLoo emits '$out'; rename the input's first")
+    val emitted = Seq("_c", "_sum", "_n")
+    require(!emitted.exists(df.columns.contains),
+      s"targetEncodeLoo uses ${emitted.mkString(", ")} internally; rename inputs")
+    val withCents = df.withColumn("_c",
+      floor(col(outcome) * 100).cast("long"))
+    val stats = withCents.filter(col(category).isNotNull && col("_c").isNotNull)
+      .groupBy(col(category))
+      .agg(sum(col("_c")).as("_sum"), count(lit(1)).as("_n"))
+    withCents.join(stats, Seq(category), "left")
+      .withColumn(out,
+        when(col("_c").isNotNull && col("_n") > 1,
+          floor((col("_sum") - col("_c")).cast("double")
+            / (col("_n") - 1).cast("double") / 100d * 1000000d) / 1000000d))
+      .drop("_c", "_sum", "_n")
+  }
+
   /** Per-group MODE — the most frequent value, with a deterministic
     * tiebreak (higher count wins, equal counts break by ascending value),
     * so every engine and every partitioning names the same winner. A thin
@@ -905,6 +940,41 @@ object CoreOps {
     require(pattern.nonEmpty, "journeyPattern needs a non-empty pattern")
     eventSequence(df, key, ts, tiebreak, payload, maxEvents, sep)
       .withColumn("matched", col("journey").rlike(pattern))
+  }
+
+  /** Trailing-window distinct actives per day (rolling WAU/MAU): for each
+    * day, how many distinct keys were active in the previous `windowDays`
+    * days — the engagement headline a plain daily-distinct misses. The
+    * sliding distinct is rewritten as a BOUNDED EXPLOSION: dedupe to the
+    * (key, day) grid, then each active day contributes its key to the
+    * `windowDays` report days it falls inside — expansion factor is
+    * exactly the window width (7 for WAU, 30 for MAU), a constant, after
+    * which one distinct-count agg finishes it. No window function at all,
+    * so no per-key sort and no state proportional to the window span;
+    * every stage after the first distinct is O(active-days × windowDays).
+    * All integer day arithmetic. Report days within windowDays after the
+    * last activity still appear (the trailing window legitimately covers
+    * them — the curve decays to zero rather than stopping mid-air). Emits
+    * (day, n_active_trailing). NULL key/ts rows drop. */
+  def rollingActiveUsers(df: DataFrame, key: String, ts: String,
+                         windowDays: Int,
+                         dayMs: Long = 86400000L): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(dayMs > 0, s"dayMs must be positive, got $dayMs")
+    val emitted = Seq("day", "n_active_trailing", "_day")
+    require(!emitted.contains(key),
+      s"rollingActiveUsers emits/uses ${emitted.mkString(", ")}; rename '$key'")
+    val msCol = ms(col(ts))
+    df.filter(col(ts).isNotNull && col(key).isNotNull)
+      .select(col(key),
+        ((msCol - pmod(msCol, lit(dayMs))) / lit(dayMs)).cast("long")
+          .as("_day"))
+      .distinct()
+      .select(col(key),
+        explode(sequence(col("_day"), col("_day") + (windowDays - 1)))
+          .as("day"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col(key)).as("n_active_trailing"))
   }
 
   /** Per-key longest run of CONSECUTIVE active days (streaks) — the

@@ -317,6 +317,12 @@ object syntax {
     def cohortValueCurve(key: String, ts: String, value: String,
                          grainMs: Long): DataFrame =
       CoreOps.cohortValueCurve(df, key, ts, value, grainMs)
+    def targetEncodeLoo(category: String, outcome: String,
+                        out: String): DataFrame =
+      CoreOps.targetEncodeLoo(df, category, outcome, out)
+    def rollingActiveUsers(key: String, ts: String, windowDays: Int,
+                           dayMs: Long = 86400000L): DataFrame =
+      CoreOps.rollingActiveUsers(df, key, ts, windowDays, dayMs)
     def winsorizeRank(group: String, value: String, lo: Double, hi: Double,
                       out: String): DataFrame =
       CoreOps.winsorizeRank(df, group, value, lo, hi, out)

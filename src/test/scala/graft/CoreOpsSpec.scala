@@ -704,6 +704,27 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.ksStatistic(a.select(col("v").cast("double").as("v")), b, "v"))
   }
 
+  test("targetEncodeLoo: own row excluded; singleton categories NULL") {
+    val df = Seq((1L, "a", 1.00), (2L, "a", 2.00), (3L, "a", 6.00),
+      (4L, "b", 5.00)).toDF("id", "cat", "v")
+    val got = CoreOps.targetEncodeLoo(df, "cat", "v", "te")
+      .select("id", "te").as[(Long, Option[Double])].collect().toMap
+    // id 1: (200+600)/2/100 = 4.0; id 2: (100+600)/2/100 = 3.5
+    assert(got == Map(1L -> Some(4.0), 2L -> Some(3.5), 3L -> Some(1.5),
+      4L -> None))
+  }
+
+  test("rollingActiveUsers: trailing-window distinct via bounded explosion") {
+    def ts(day: Long) = day * 86400000L
+    // u1 active days 1, 2; u2 active day 3 only (twice: dedup)
+    val df = Seq(("u1", ts(1)), ("u1", ts(2)), ("u2", ts(3)), ("u2", ts(3)))
+      .toDF("u", "msr").withColumn("ts", timestamp_millis(col("msr")))
+    val got = CoreOps.rollingActiveUsers(df, "u", "ts", 3)
+      .as[(Long, Long)].collect().toMap
+    // window 3: day 3 sees u1 (active day 2 >= 1) and u2; day 5 only u2
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("cohortValueCurve: exact cents cumulative per cohort age") {
     def ts(day: Long) = day * 86400000L
     val df = Seq(
