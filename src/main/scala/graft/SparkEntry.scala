@@ -1118,6 +1118,19 @@ object SparkEntry {
           (floor(col("value") * 100).cast("long")
             * when(pmod(col("event_id"), lit(3)) === 0, -1L).otherwise(1L))),
         "user_id", "ts", "event_id", "cents")),
+    // A/B conversion z-test between user cohorts: one conditional-count
+    // pass, then a fixed chain of correctly-rounded IEEE ops (sqrt is in
+    // the exactness contract)
+    "q_ab_test" -> ((s, dir) =>
+      CoreOps.abProportionTest(
+        Tables.events(s, dir).select(col("user_id"), col("event_type")),
+        pmod(col("user_id"), lit(2)) === 0,
+        col("event_type") === "purchase")),
+    // spend concentration across users: Gini from rank-weighted exact
+    // cents sums — ranks via the bucketed prefix scan, ties provably
+    // order-invariant
+    "q_gini_spend" -> ((s, dir) =>
+      CoreOps.giniConcentration(Tables.events(s, dir), "user_id", "value")),
     // leave-one-out target encoding of event type by value: the leakage
     // guard is in the formula — a row never sees its own target
     "q_target_encode" -> ((s, dir) =>
@@ -3090,6 +3103,55 @@ object SparkEntry {
          |SELECT user_id, count(*)::BIGINT AS n_events,
          |  max(peak - cum)::BIGINT AS max_drawdown
          |FROM p GROUP BY 1""".stripMargin,
+
+    // the same conditional-count pass and the same left-assoc z pipeline
+    "q_ab_test" ->
+      """WITH t AS (SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |             THEN 1 ELSE 0 END)::BIGINT AS conv_a,
+        |    sum(CASE WHEN NOT (user_id % 2 = 0) THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_b,
+        |    sum(CASE WHEN NOT (user_id % 2 = 0) AND event_type = 'purchase'
+        |             THEN 1 ELSE 0 END)::BIGINT AS conv_b
+        |  FROM events)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN n_a > 0
+        |       THEN floor(conv_a::DOUBLE / n_a::DOUBLE * 1000000) / 1000000
+        |  END AS p_a,
+        |  CASE WHEN n_b > 0
+        |       THEN floor(conv_b::DOUBLE / n_b::DOUBLE * 1000000) / 1000000
+        |  END AS p_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+        |        AND conv_a + conv_b < n_a + n_b
+        |       THEN floor((conv_a::DOUBLE / n_a::DOUBLE
+        |                   - conv_b::DOUBLE / n_b::DOUBLE)
+        |             / sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE
+        |                    * (1 - (conv_a + conv_b)::DOUBLE
+        |                           / (n_a + n_b)::DOUBLE)
+        |                    * (1 / n_a::DOUBLE + 1 / n_b::DOUBLE))
+        |             * 1000000) / 1000000
+        |  END AS z
+        |FROM t""".stripMargin,
+
+    // the same rank-weighted cents sums; ties provably order-invariant
+    "q_gini_spend" ->
+      """WITH t AS (SELECT user_id,
+        |        coalesce(sum(floor(value * 100)::BIGINT), 0)::BIGINT AS c
+        |      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS rank
+        |      FROM t),
+        |a AS (SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT
+        |        AS total_cents, sum(rank::HUGEINT * c::HUGEINT) AS rx
+        |      FROM r)
+        |SELECT n_keys, total_cents,
+        |  CASE WHEN n_keys > 0 AND total_cents > 0
+        |       THEN floor((2 * rx::DOUBLE
+        |                   / (n_keys::HUGEINT * total_cents::HUGEINT)::DOUBLE
+        |                   - (n_keys + 1)::DOUBLE / n_keys::DOUBLE)
+        |                  * 1000000) / 1000000
+        |  END AS gini
+        |FROM a""".stripMargin,
 
     // same cents scan, same (sum − own)/(n − 1)/100 left-assoc pipeline
     "q_target_encode" ->

@@ -2051,6 +2051,89 @@ object CoreOps {
           .as("tvd"))
   }
 
+  /** Two-proportion z-test between two slices — the A/B conversion-rate
+    * readout (did the treatment arm convert more, and is the gap beyond
+    * noise?). `success` is any boolean Column over the rows. ONE pass:
+    * both arms' totals and successes come from a single aggregate with
+    * conditional counts — no join, no second scan; `armA` selects the
+    * A arm, everything else is B. Determinism: counts are exact int64,
+    * and the z pipeline (two rates, the pooled rate, the standard error,
+    * one sqrt, one division) is a fixed chain of correctly-rounded IEEE
+    * ops applied to identical inputs in identical order on any engine —
+    * sqrt is in the exactness contract. p's and z trunc6'd at the edge.
+    * Degenerate arms (empty, or pooled rate 0 or 1 — zero variance)
+    * yield NULL z. Emits one row:
+    * (n_a, conv_a, n_b, conv_b, p_a, p_b, z). */
+  def abProportionTest(df: DataFrame, armA: Column,
+                       success: Column): DataFrame = {
+    val agg = df.groupBy().agg(
+      sum(when(armA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(armA && success, 1L).otherwise(0L)).as("conv_a"),
+      sum(when(!armA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!armA && success, 1L).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1d) - pp)
+      * (lit(1d) / col("n_a").cast("double")
+        + lit(1d) / col("n_b").cast("double")))
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0, floor(pa * 1000000d) / 1000000d).as("p_a"),
+      when(col("n_b") > 0, floor(pb * 1000000d) / 1000000d).as("p_b"),
+      when(col("n_a") > 0 && col("n_b") > 0
+          && col("conv_a") + col("conv_b") > 0
+          && col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+        floor((pa - pb) / se * 1000000d) / 1000000d)
+        .as("z"))
+  }
+
+  /** Gini coefficient of a value's concentration across keys — "what
+    * share of total spend sits with the top users", the inequality
+    * readout over per-key totals (monitoring revenue concentration,
+    * corpus domination by a few sources). Formula on ascending-sorted
+    * totals x₁…x_n: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n. Exactness: per-key
+    * totals are cents-int64; global ranks come from orderedPrefixSum's
+    * bucket scheme (counting 1 per row — parallel per-bucket scans +
+    * O(buckets) driver offsets, never a single-task window); Σ i·xᵢ and
+    * Σx accumulate in exact decimal; ties in xᵢ occupy consecutive ranks
+    * whose SUM is permutation-invariant, so tie order cannot change the
+    * result. The final expression is a fixed chain of correctly-rounded
+    * double ops, trunc6'd. Emits one row: (n_keys, total_cents, gini) —
+    * 0 = perfectly equal, →1 = one key holds everything. Negative totals
+    * are rejected (Gini is defined on non-negative quantities; a refund
+    * model should net them out first). NULL value rows count as zero
+    * spend for their key; keys absent from `df` do not exist. */
+  def giniConcentration(df: DataFrame, key: String,
+                        value: String): DataFrame = {
+    val emitted = Seq("n_keys", "total_cents", "gini", "_c", "_one", "_rank")
+    require(!emitted.contains(key),
+      s"giniConcentration emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val totals = df.filter(col(key).isNotNull)
+      .groupBy(col(key))
+      .agg(coalesce(sum(floor(col(value) * 100).cast("long")), lit(0L))
+        .as("_c"))
+    val guard = assert_true(col("_c") >= 0,
+      concat(lit("giniConcentration: negative per-key total (net refunds " +
+        "out first); key="), col(key).cast("string")))
+    val ranked = orderedPrefixSum(
+      totals.filter(guard.isNull).withColumn("_one", lit(1L)),
+      col("_c"), key, "_one", "_rank")
+    val dec = "decimal(38,0)"
+    ranked.groupBy()
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("_c")).as("total_cents"),
+        sum(col("_rank").cast(dec) * col("_c").cast(dec)).as("_rx"))
+      .select(col("n_keys"), col("total_cents"),
+        when(col("n_keys") > 0 && col("total_cents") > 0,
+          floor((lit(2d) * col("_rx").cast("double")
+            / (col("n_keys").cast(dec) * col("total_cents").cast(dec))
+              .cast("double")
+            - (col("n_keys") + 1).cast("double")
+              / col("n_keys").cast("double")) * 1000000d) / 1000000d)
+          .as("gini"))
+  }
+
   /** Mann-Whitney rank-sum statistic and its AUC normalization between two
     * slices' VALUE distributions — the nonparametric "did scores shift?"
     * test (quality scores this week vs last, treatment vs control spend)

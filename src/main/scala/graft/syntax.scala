@@ -320,6 +320,10 @@ object syntax {
     def targetEncodeLoo(category: String, outcome: String,
                         out: String): DataFrame =
       CoreOps.targetEncodeLoo(df, category, outcome, out)
+    def abProportionTest(armA: Column, success: Column): DataFrame =
+      CoreOps.abProportionTest(df, armA, success)
+    def giniConcentration(key: String, value: String): DataFrame =
+      CoreOps.giniConcentration(df, key, value)
     def rollingActiveUsers(key: String, ts: String, windowDays: Int,
                            dayMs: Long = 86400000L): DataFrame =
       CoreOps.rollingActiveUsers(df, key, ts, windowDays, dayMs)

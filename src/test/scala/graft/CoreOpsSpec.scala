@@ -704,6 +704,39 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.ksStatistic(a.select(col("v").cast("double").as("v")), b, "v"))
   }
 
+  test("abProportionTest: one-pass conditional counts, textbook z") {
+    val df = (Seq.fill(2)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(1)(("b", true)) ++ Seq.fill(3)(("b", false))).toDF("arm", "ok")
+    val got = CoreOps.abProportionTest(df, col("arm") === "a", col("ok"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    val se = math.sqrt(0.375 * (1 - 0.375) * (1.0 / 4 + 1.0 / 4))
+    val z = math.floor((0.5 - 0.25) / se * 1e6) / 1e6
+    assert(got == ((4L, 2L, 4L, 1L, Some(0.5), Some(0.25), Some(z))))
+    // zero-variance pool (nobody converts): NULL z, rates still emitted
+    val none = Seq(("a", false), ("b", false)).toDF("arm", "ok")
+    assert(CoreOps.abProportionTest(none, col("arm") === "a", col("ok"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head._7.isEmpty)
+  }
+
+  test("giniConcentration: equality -> 0, concentration -> (n-1)/n, " +
+      "hand case exact") {
+    def mk(rows: (String, Double)*) = rows.toDF("k", "v")
+    def gini(df: org.apache.spark.sql.DataFrame) =
+      CoreOps.giniConcentration(df, "k", "v")
+        .as[(Long, Long, Option[Double])].collect().head
+    assert(gini(mk("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)) ==
+      ((3L, 300L, Some(0.0))))
+    // one key holds everything: G = (n-1)/n = 2/3
+    assert(gini(mk("a" -> 0.0, "b" -> 0.0, "c" -> 10.0))._3 == Some(0.666666))
+    // [1, 1, 2]: 2*900/(3*400) - 4/3 = 1/6
+    assert(gini(mk("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))._3 == Some(0.166666))
+    val e = intercept[Exception](gini(mk("a" -> -5.0, "b" -> 1.0)))
+    assert(e.getMessage.contains("negative per-key total"),
+      s"wrong failure: ${e.getMessage.take(200)}")
+  }
+
   test("targetEncodeLoo: own row excluded; singleton categories NULL") {
     val df = Seq((1L, "a", 1.00), (2L, "a", 2.00), (3L, "a", 6.00),
       (4L, "b", 5.00)).toDF("id", "cat", "v")
