@@ -191,6 +191,50 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)),
 
+    // TPC-H Q10 shape (returned-item report): which customers drove the
+    // most returned revenue in one order year. The R-flag filter and the
+    // order-date year both reach their scans BEFORE the joins
+    // (PushedFilters); nation broadcasts; the top-20 is a
+    // TakeOrderedAndProject, never a global sort
+    "q_returned_top" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(CoreOps.exactSumFloor(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("lost_revenue"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // TPC-H Q18 shape (large-volume orders): the agg→join-back pattern —
+    // qualify orders by an aggregate (total quantity > threshold), then
+    // rejoin the tiny qualifying set to orders/customer for the report.
+    // The qualifier is partial-agg'd (map-side combine on l_orderkey);
+    // the join-back re-lands on the same orderkey partitioning, and AQE
+    // broadcasts the qualifying side once its observed size is small
+    "q_large_orders" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(CoreOps.exactSum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250d)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("o_orderkey"),
+          // parquet column is TIMESTAMP_NTZ; session TZ is UTC, so this
+          // cast reads the same instant DuckDB's epoch_ms sees
+          unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)),
+
     // one-pass Deequ-style profile of the event table's numeric columns:
     // every metric for every column in ONE aggregate job (the distinct
     // counts are the only shuffle — one Expand hash agg, q_cube's shape)
@@ -2650,6 +2694,33 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1995-06-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // same exact floor-cents revenue; top-20 set deterministic under
+    // (lost_revenue DESC, c_custkey) — custkey is unique per group
+    "q_returned_top" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+        |    AS DECIMAL(28,0))) AS DOUBLE) / 100 AS DOUBLE) AS lost_revenue
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // same exact decimal quantity sum; top-20 set deterministic under
+    // (total_qty DESC, o_orderkey) — orderkey is unique
+    "q_large_orders" ->
+      """WITH q AS (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |          AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING total_qty > 250)
+        |SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate)
+        |    AS odate_ms, o_totalprice, total_qty
+        |FROM q JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
 
     // bit-for-bit Morton rebuild: same shifts, same disjoint-bit sum
     "q_zorder" -> {
