@@ -1162,6 +1162,15 @@ object SparkEntry {
           (floor(col("value") * 100).cast("long")
             * when(pmod(col("event_id"), lit(3)) === 0, -1L).otherwise(1L))),
         "user_id", "ts", "event_id", "cents")),
+    // CUSUM level-shift detection per user: where did the spend level
+    // change? max |n·S_i − i·T| over the prefix sums on the exact cents
+    // grid — integer until ONE final trunc6'd division; earliest-argmax
+    // tiebreak is deterministic cross-engine
+    "q_changepoint" -> ((s, dir) =>
+      CoreOps.cusumChangepoint(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "user_id", "ts", "event_id", "cents")),
     // A/B conversion z-test between user cohorts: one conditional-count
     // pass, then a fixed chain of correctly-rounded IEEE ops (sqrt is in
     // the exactness contract)
@@ -3174,6 +3183,30 @@ object SparkEntry {
          |SELECT user_id, count(*)::BIGINT AS n_events,
          |  max(peak - cum)::BIGINT AS max_drawdown
          |FROM p GROUP BY 1""".stripMargin,
+
+    // the same integer D_i = n·S_i − i·T grid in HUGEINT, the same
+    // earliest-argmax tiebreak, the same left-assoc final division
+    "q_changepoint" ->
+      """WITH s AS (SELECT user_id, epoch_ms(ts) AS msv, event_id,
+        |        floor(value * 100)::BIGINT AS c
+        |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |p AS (SELECT user_id, msv,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY msv, event_id) AS i,
+        |        sum(c) OVER (PARTITION BY user_id ORDER BY msv, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sm,
+        |        count(*) OVER (PARTITION BY user_id) AS n,
+        |        sum(c) OVER (PARTITION BY user_id) AS t
+        |      FROM s),
+        |d AS (SELECT user_id, msv, i, n, t,
+        |        abs(n::HUGEINT * sm::HUGEINT - i::HUGEINT * t::HUGEINT) AS dv
+        |      FROM p),
+        |m AS (SELECT *, max(dv) OVER (PARTITION BY user_id) AS mx FROM d)
+        |SELECT user_id, max(n)::BIGINT AS n_events, max(t)::BIGINT AS total,
+        |  min(i)::BIGINT AS change_idx, min_by(msv, i) AS change_ms,
+        |  floor(max(mx)::DOUBLE / max(n)::DOUBLE / 100 * 1000000) / 1000000
+        |    AS cusum
+        |FROM m WHERE dv = mx GROUP BY 1""".stripMargin,
 
     // the same conditional-count pass and the same left-assoc z pipeline
     "q_ab_test" ->

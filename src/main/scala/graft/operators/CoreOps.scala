@@ -2480,4 +2480,61 @@ object CoreOps {
       .agg(sum(col("_cnt")).as("n_intervals"),
         count(lit(1)).as("n_islands"), sum(col("_len")).as("covered"))
   }
+
+  /** Per-key CUSUM changepoint: where in a key's event-time series did the
+    * level shift? The statistic is max over positions i of
+    * |S_i − (i/n)·T| — the gap between the observed prefix sum and the
+    * no-change straight line — and the changepoint estimate is the
+    * earliest position attaining it. Exactness: multiply the deviation
+    * through by n so D_i = n·S_i − i·T stays INTEGER (exact decimal(38,0)
+    * products — n·|S| bounded by 10³⁸, far past any real series); the
+    * single reported double is max|D_i|/n/100 (cents → value units), a
+    * fixed correctly-rounded chain trunc6'd on both engines. `value` must
+    * be integral (cents grid, the rankSumAuc contract). Plan shape: one
+    * keyed window exchange carries the row number, the running sum, AND
+    * the whole-series n/T (same partitioning, same sort — rank frames and
+    * the unbounded frame share one WindowExec pass), a second window pass
+    * on the SAME partitioning takes the per-key max, then a keyed agg
+    * reuses it once more — one shuffle total, zero driver participation.
+    * Argmax tie (two positions with equal |D|) resolves to the EARLIEST
+    * (ms, tiebreak) — deterministic cross-engine. Ties on ts order by
+    * `tiebreak`. Single-event keys emit cusum 0 at their only row.
+    * NULL ts/value rows drop. Emits
+    * (key, n_events, total, change_idx, change_ms, cusum). */
+  def cusumChangepoint(df: DataFrame, key: String, ts: String,
+                       tiebreak: String, value: String): DataFrame = {
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"cusumChangepoint accumulates '$value' as exact integers; got " +
+        s"${df.schema(value).dataType} — scale to cents/int64 first")
+    val emitted = Seq("n_events", "total", "change_idx", "change_ms", "cusum",
+      "_ms", "_i", "_s", "_n", "_t", "_d", "_mx")
+    require(!emitted.exists(df.columns.contains),
+      s"cusumChangepoint emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(ts).isNotNull && col(value).isNotNull)
+      .withColumn("_ms", ms(col(ts)))
+    val ord = Seq(col("_ms").asc, col(tiebreak))
+    val wRun = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(key)) // whole-series frame
+    base
+      .withColumn("_i", row_number().over(
+        Window.partitionBy(col(key)).orderBy(ord: _*)))
+      .withColumn("_s", sum(col(value).cast("long")).over(wRun))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_t", sum(col(value).cast("long")).over(wAll))
+      .withColumn("_d", abs(col("_n").cast(dec) * col("_s").cast(dec)
+        - col("_i").cast(dec) * col("_t").cast(dec)))
+      .withColumn("_mx", max(col("_d")).over(wAll))
+      .filter(col("_d") === col("_mx"))
+      .groupBy(col(key))
+      .agg(max(col("_n")).as("n_events"), max(col("_t")).as("total"),
+        min(col("_i")).as("change_idx"),
+        min_by(col("_ms"), col("_i")).as("change_ms"),
+        max(col("_mx")).as("_m"))
+      .select(col(key), col("n_events"), col("total"),
+        col("change_idx").cast("long").as("change_idx"), col("change_ms"),
+        (floor(col("_m").cast("double") / col("n_events").cast("double")
+          / 100d * 1000000d) / 1000000d).as("cusum"))
+  }
 }

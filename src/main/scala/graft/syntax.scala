@@ -304,6 +304,9 @@ object syntax {
     def maxDrawdown(key: String, ts: String, tiebreak: String,
                     value: String): DataFrame =
       CoreOps.maxDrawdown(df, key, ts, tiebreak, value)
+    def cusumChangepoint(key: String, ts: String, tiebreak: String,
+                         value: String): DataFrame =
+      CoreOps.cusumChangepoint(df, key, ts, tiebreak, value)
     def journeyPattern(key: String, ts: String, tiebreak: String,
                        payload: String, maxEvents: Int, pattern: String,
                        sep: String = ">"): DataFrame =

@@ -904,6 +904,29 @@ class CoreOpsSpec extends SparkSpec {
         "k", "ts", "eid", "c"))
   }
 
+  test("cusumChangepoint: level shift found at the last pre-shift point; " +
+      "flat series give 0 at the earliest row") {
+    val df = Seq(
+      // k1: 0,0,0,100,100,100 cents -> D = 300,600,900,600,300,0 -> argmax i=3
+      ("k1", 0L, 1L, 0L), ("k1", 1L, 2L, 0L), ("k1", 2L, 3L, 0L),
+      ("k1", 3L, 4L, 100L), ("k1", 4L, 5L, 100L), ("k1", 5L, 6L, 100L),
+      // k2: constant -> D = 0 everywhere -> earliest row wins the tie
+      ("k2", 0L, 7L, 50L), ("k2", 1L, 8L, 50L),
+      // k3: 0,100 -> D = 100, 0 -> shift right after the first row
+      ("k3", 0L, 9L, 0L), ("k3", 1L, 10L, 100L))
+      .toDF("k", "msr", "eid", "c")
+      .withColumn("ts", timestamp_millis(col("msr"))).drop("msr")
+    val got = CoreOps.cusumChangepoint(df, "k", "ts", "eid", "c")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("k1") == ((6L, 300L, 3L, 2L, 1.5))) // 900/6/100
+    assert(got("k2") == ((2L, 100L, 1L, 0L, 0.0)))
+    assert(got("k3") == ((2L, 100L, 1L, 0L, 0.5))) // 100/2/100
+    assertThrows[IllegalArgumentException](
+      CoreOps.cusumChangepoint(df.withColumn("c", col("c").cast("double")),
+        "k", "ts", "eid", "c"))
+  }
+
   test("timeWeightedAvg: step-interpolated mean, ties drop, single sample " +
       "yields NULL") {
     val df = Seq(
