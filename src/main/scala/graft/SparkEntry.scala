@@ -1184,6 +1184,15 @@ object SparkEntry {
     // order-invariant
     "q_gini_spend" -> ((s, dir) =>
       CoreOps.giniConcentration(Tables.events(s, dir), "user_id", "value")),
+    // Benford first-digit audit of spend amounts: leading-digit counts of
+    // the cents grid vs the log10(1+1/d) law — the expected shares are
+    // Scala-computed literals shared bit-for-bit by both engines (a
+    // constant, never per-row transcendental math)
+    "q_benford" -> ((s, dir) =>
+      CoreOps.benfordFirstDigit(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "cents")),
     // leave-one-out target encoding of event type by value: the leakage
     // guard is in the formula — a row never sees its own target
     "q_target_encode" -> ((s, dir) =>
@@ -3256,6 +3265,30 @@ object SparkEntry {
         |                  * 1000000) / 1000000
         |  END AS gini
         |FROM a""".stripMargin,
+
+    // same digit grid; the expected-share CASE carries the SAME Scala
+    // double literals the Column plan uses (shortest-round-trip rendering
+    // parses back to identical bits)
+    "q_benford" -> {
+      // literals go through a STRING cast: DuckDB parses bare numeric
+      // literals as DECIMAL first (quantizing the bits), while '…'::DOUBLE
+      // is correctly-rounded strtod — the shortest-round-trip guarantee
+      val cases = graft.operators.CoreOps.benfordExpected.zipWithIndex
+        .map { case (l, i) => s"WHEN ${i + 1} THEN CAST('$l' AS DOUBLE)" }
+        .mkString(" ")
+      val expCase = s"CASE digit $cases END"
+      s"""WITH c AS (SELECT floor(value * 100)::BIGINT AS v FROM events
+         |      WHERE value IS NOT NULL AND floor(value * 100)::BIGINT > 0),
+         |g AS (SELECT substr(v::VARCHAR, 1, 1)::INT AS digit,
+         |        count(*)::BIGINT AS n FROM c GROUP BY 1),
+         |t AS (SELECT sum(n)::BIGINT AS tot FROM g)
+         |SELECT digit, n,
+         |  floor(n::DOUBLE / tot::DOUBLE * 1000000) / 1000000 AS share,
+         |  $expCase AS expected,
+         |  floor((n::DOUBLE / tot::DOUBLE - $expCase) * 1000000) / 1000000
+         |    AS dev
+         |FROM g, t""".stripMargin
+    },
 
     // same cents scan, same (sum − own)/(n − 1)/100 left-assoc pipeline
     "q_target_encode" ->

@@ -2537,4 +2537,52 @@ object CoreOps {
         (floor(col("_m").cast("double") / col("n_events").cast("double")
           / 100d * 1000000d) / 1000000d).as("cusum"))
   }
+
+  /** Benford's-law expected share of first significant digit d:
+    * log10(1 + 1/d), computed ONCE in Scala so the identical IEEE double
+    * reaches both the Column plan (as a literal) and the oracle SQL text
+    * (as its shortest-round-trip rendering — parses back to the same
+    * bits). The one place a transcendental is safe: it is a compile-time
+    * CONSTANT, never per-row engine math. */
+  private[graft] val benfordExpected: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1d + 1d / d))
+
+  /** First-significant-digit (Benford) audit of a positive integer-grid
+    * measure — the fraud/data-bug screen: organically-generated amounts
+    * follow log10(1+1/d) per leading digit; fabricated or clipped ones
+    * don't. `value` must be integral (cents grid — first significant
+    * digit is invariant under the ×100 scaling) and only values > 0
+    * participate (zero/negative amounts have no leading digit; the cents
+    * floor drops sub-cent noise by design). Exactness: counts are
+    * integers; the leading digit is string head of the int64 decimal
+    * rendering (identical on every engine — no float log); share and
+    * dev = share − expected are single correctly-rounded divisions
+    * against the shared literal, trunc6'd. Plan shape: one partial-agg'd
+    * groupBy on the digit (≤ 9 rows), a 1-row total broadcast back —
+    * nothing scales with rows but the scan. Emits (digit, n, share,
+    * expected, dev) for the digits that OCCUR (absent digits are absent
+    * on both engines — a digit with zero support is itself a red flag
+    * worth seeing in the report's row count). */
+  def benfordFirstDigit(df: DataFrame, value: String): DataFrame = {
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"benfordFirstDigit reads '$value' on an exact integer grid; got " +
+        s"${df.schema(value).dataType} — scale to cents/int64 first")
+    val emitted = Seq("digit", "n", "share", "expected", "dev", "_tot")
+    require(!emitted.exists(df.columns.contains),
+      s"benfordFirstDigit emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val counts = df
+      .filter(col(value).isNotNull && col(value) > 0)
+      .groupBy(substring(col(value).cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy()
+      .agg(coalesce(sum(col("n")), lit(0L)).as("_tot"))
+    val exp = element_at(array(benfordExpected.map(lit): _*), col("digit"))
+    val share = col("n").cast("double") / col("_tot").cast("double")
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (floor(share * 1000000d) / 1000000d).as("share"),
+        exp.as("expected"),
+        (floor((share - exp) * 1000000d) / 1000000d).as("dev"))
+  }
 }

@@ -307,6 +307,8 @@ object syntax {
     def cusumChangepoint(key: String, ts: String, tiebreak: String,
                          value: String): DataFrame =
       CoreOps.cusumChangepoint(df, key, ts, tiebreak, value)
+    def benfordFirstDigit(value: String): DataFrame =
+      CoreOps.benfordFirstDigit(df, value)
     def journeyPattern(key: String, ts: String, tiebreak: String,
                        payload: String, maxEvents: Int, pattern: String,
                        sep: String = ">"): DataFrame =

@@ -927,6 +927,24 @@ class CoreOpsSpec extends SparkSpec {
         "k", "ts", "eid", "c"))
   }
 
+  test("benfordFirstDigit: leading-digit shares vs the shared literal law; " +
+      "non-positive and NULL rows drop") {
+    val df = Seq(Some(1L), Some(19L), Some(25L), Some(900L), Some(0L),
+      Some(-7L), None).toDF("c")
+    val got = CoreOps.benfordFirstDigit(df, "c")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def exp(d: Int) = CoreOps.benfordExpected(d - 1)
+    def t6(x: Double) = math.floor(x * 1000000d) / 1000000d
+    assert(got.keySet == Set(1, 2, 9))
+    assert(got(1) == ((2L, 0.5, exp(1), t6(2d / 4d - exp(1)))))
+    assert(got(2) == ((1L, 0.25, exp(2), t6(1d / 4d - exp(2)))))
+    assert(got(9) == ((1L, 0.25, exp(9), t6(1d / 4d - exp(9)))))
+    assertThrows[IllegalArgumentException](
+      CoreOps.benfordFirstDigit(df.withColumn("c", col("c").cast("double")),
+        "c"))
+  }
+
   test("timeWeightedAvg: step-interpolated mean, ties drop, single sample " +
       "yields NULL") {
     val df = Seq(
