@@ -1193,6 +1193,15 @@ object SparkEntry {
         Tables.events(s, dir).withColumn("cents",
           floor(col("value") * 100).cast("long")),
         "cents")),
+    // quantity-weighted median price per return flag: the volume-weighted
+    // center, chosen by INTEGER comparisons (2·cumW ≥ totalW) on the
+    // (flag, price-cents) grid — an actual data value, never interpolated
+    "q_weighted_median" -> ((s, dir) =>
+      CoreOps.weightedMedian(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          floor(col("l_quantity")).cast("long").as("qty")),
+        "l_returnflag", "price_cents", "qty")),
     // leave-one-out target encoding of event type by value: the leakage
     // guard is in the formula — a row never sees its own target
     "q_target_encode" -> ((s, dir) =>
@@ -3289,6 +3298,24 @@ object SparkEntry {
          |    AS dev
          |FROM g, t""".stripMargin
     },
+
+    // the same (flag, cents) grid, the same integer half-weight rule
+    "q_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag,
+        |        floor(l_extendedprice * 100)::BIGINT AS v,
+        |        floor(l_quantity)::BIGINT AS w
+        |      FROM lineitem
+        |      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |g AS (SELECT l_returnflag, v, sum(w)::BIGINT AS w FROM b
+        |      GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v,
+        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |                     ROWS UNBOUNDED PRECEDING) AS cw,
+        |        sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |      FROM g)
+        |SELECT l_returnflag, max(tw)::BIGINT AS total_weight,
+        |  min(v)::BIGINT AS wmedian
+        |FROM c WHERE 2 * cw >= tw GROUP BY 1""".stripMargin,
 
     // same cents scan, same (sum − own)/(n − 1)/100 left-assoc pipeline
     "q_target_encode" ->

@@ -2585,4 +2585,47 @@ object CoreOps {
         exp.as("expected"),
         (floor((share - exp) * 1000000d) / 1000000d).as("dev"))
   }
+
+  /** Per-group LOWER WEIGHTED median: the smallest value v whose
+    * cumulative weight reaches half the group's total — "the price at
+    * which half the shipped QUANTITY sits below", the volume-weighted
+    * center a row-median gets wrong whenever weight correlates with
+    * value. Rank-exact, not interpolated (the winsorizeRank argument):
+    * the answer is an actual data value chosen by INTEGER comparisons —
+    * 2·cumW ≥ totalW — so there is no float anywhere and no engine can
+    * disagree. `value` and `weight` must be integral (cents/count
+    * grids); NULL value/weight rows drop; a non-positive weight FAILS
+    * LOUDLY (a zero or negative weight in a median is an upstream data
+    * bug — silently dropping it would move the median). Plan shape: one
+    * partial-agg'd groupBy onto the (group, value) grid — the shuffle
+    * carries distinct values per group, not rows — then one group-keyed
+    * window pass (cumulative and total share the partitioning+sort) and
+    * a keyed agg that reuses it. 2·cumW fails loud past ~4.6·10¹⁸ total
+    * weight under ANSI. Emits (group, total_weight, wmedian). */
+  def weightedMedian(df: DataFrame, group: String, value: String,
+                     weight: String): DataFrame = {
+    Seq(value, weight).foreach(c => require(
+      integralTypes.contains(df.schema(c).dataType),
+      s"weightedMedian needs integral '$c'; got ${df.schema(c).dataType} " +
+        "— scale to cents/int64 first"))
+    val emitted = Seq("total_weight", "wmedian", "_v", "_w", "_cw", "_tw")
+    require(!emitted.contains(group) && !df.columns.exists(emitted.contains),
+      s"weightedMedian emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val guard = assert_true(col(weight) > 0,
+      concat(lit("weightedMedian: non-positive weight (an upstream data " +
+        "bug — dropping it silently would move the median); got "),
+        col(weight).cast("string")))
+    val g = df.filter(col(value).isNotNull && col(weight).isNotNull)
+      .filter(guard.isNull)
+      .groupBy(col(group), col(value).cast("long").as("_v"))
+      .agg(sum(col(weight).cast("long")).as("_w"))
+    val wCum = Window.partitionBy(col(group)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(group))
+    g.withColumn("_cw", sum(col("_w")).over(wCum))
+      .withColumn("_tw", sum(col("_w")).over(wAll))
+      .filter(lit(2L) * col("_cw") >= col("_tw"))
+      .groupBy(col(group))
+      .agg(max(col("_tw")).as("total_weight"), min(col("_v")).as("wmedian"))
+  }
 }

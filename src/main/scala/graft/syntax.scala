@@ -309,6 +309,9 @@ object syntax {
       CoreOps.cusumChangepoint(df, key, ts, tiebreak, value)
     def benfordFirstDigit(value: String): DataFrame =
       CoreOps.benfordFirstDigit(df, value)
+    def weightedMedian(group: String, value: String,
+                       weight: String): DataFrame =
+      CoreOps.weightedMedian(df, group, value, weight)
     def journeyPattern(key: String, ts: String, tiebreak: String,
                        payload: String, maxEvents: Int, pattern: String,
                        sep: String = ">"): DataFrame =

@@ -945,6 +945,27 @@ class CoreOpsSpec extends SparkSpec {
         "c"))
   }
 
+  test("weightedMedian: lower weighted median by integer half-weight rule; " +
+      "non-positive weights fail loud") {
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 3L, 1L), ("a", 5L, 1L), // total 3 -> v=3
+      ("b", 10L, 9L), ("b", 100L, 1L),             // heavy low value -> 10
+      ("c", 1L, 1L), ("c", 2L, 1L))                // even split -> lower = 1
+      .toDF("g", "v", "w")
+    val got = CoreOps.weightedMedian(df, "g", "v", "w")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("a" -> ((3L, 3L)), "b" -> ((10L, 10L)),
+      "c" -> ((2L, 1L))))
+    assertThrows[Exception]( // assert_true surfaces as a runtime error
+      CoreOps.weightedMedian(df.withColumn("w",
+        when(col("v") === 100L, 0L).otherwise(col("w"))), "g", "v", "w")
+        .collect())
+    assertThrows[IllegalArgumentException](
+      CoreOps.weightedMedian(df.withColumn("v", col("v").cast("double")),
+        "g", "v", "w"))
+  }
+
   test("timeWeightedAvg: step-interpolated mean, ties drop, single sample " +
       "yields NULL") {
     val df = Seq(
