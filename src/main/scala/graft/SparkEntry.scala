@@ -1202,6 +1202,12 @@ object SparkEntry {
           floor(col("l_extendedprice") * 100).cast("long").as("price_cents"),
           floor(col("l_quantity")).cast("long").as("qty")),
         "l_returnflag", "price_cents", "qty")),
+    // spend concentration per event type, HHI form: Σ(cᵢ/T)² = Σcᵢ²/T²
+    // keeps it integer to one trunc6'd division — squaring weighs the top
+    // of the distribution where q_gini_spend weighs the whole rank curve
+    "q_hhi" -> ((s, dir) =>
+      CoreOps.hhiConcentration(Tables.events(s, dir), "event_type",
+        "user_id", "value")),
     // leave-one-out target encoding of event type by value: the leakage
     // guard is in the formula — a row never sees its own target
     "q_target_encode" -> ((s, dir) =>
@@ -3316,6 +3322,23 @@ object SparkEntry {
         |SELECT l_returnflag, max(tw)::BIGINT AS total_weight,
         |  min(v)::BIGINT AS wmedian
         |FROM c WHERE 2 * cw >= tw GROUP BY 1""".stripMargin,
+
+    // the same per-key cents totals; squares and T² in HUGEINT
+    "q_hhi" ->
+      """WITH t AS (SELECT event_type, user_id,
+        |        coalesce(sum(floor(value * 100)::BIGINT), 0)::BIGINT AS c
+        |      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_keys,
+        |        sum(c)::BIGINT AS total_cents,
+        |        sum(c::HUGEINT * c::HUGEINT) AS ss
+        |      FROM t GROUP BY 1)
+        |SELECT event_type, n_keys, total_cents,
+        |  CASE WHEN total_cents > 0
+        |       THEN floor(ss::DOUBLE
+        |             / (total_cents::HUGEINT * total_cents::HUGEINT)::DOUBLE
+        |             * 1000000) / 1000000
+        |  END AS hhi
+        |FROM a""".stripMargin,
 
     // same cents scan, same (sum − own)/(n − 1)/100 left-assoc pipeline
     "q_target_encode" ->

@@ -2134,6 +2134,47 @@ object CoreOps {
           .as("gini"))
   }
 
+  /** Per-group Herfindahl–Hirschman concentration index: Σᵢ shareᵢ² over
+    * the keys i inside each group — the market-concentration readout
+    * (1/n_keys = perfectly spread, 1 = one key holds everything) that
+    * complements giniConcentration: HHI weighs the TOP of the
+    * distribution (squaring), Gini the whole rank curve; a dashboard
+    * wants both. Identity Σ(cᵢ/T)² = Σcᵢ²/T² keeps everything INTEGER:
+    * per-key cents totals are int64, their squares and T² exact
+    * decimal(38,0) products (safe to ~10¹⁹ cents per key/group), ONE
+    * correctly-rounded trunc6'd division at the edge. Plan shape: two
+    * partial-agg'd hash aggs — (group, key) totals, then O(keys) rows
+    * collapse per group; zero driver participation, no window at all.
+    * Negative per-key totals fail loud (shares of a negative quantity
+    * are meaningless — net refunds out first, the Gini contract); NULL
+    * value rows count as zero spend; NULL keys drop. Zero-total groups
+    * emit NULL hhi. Emits (group, n_keys, total_cents, hhi). */
+  def hhiConcentration(df: DataFrame, group: String, key: String,
+                       value: String): DataFrame = {
+    val emitted = Seq("n_keys", "total_cents", "hhi", "_c", "_ss")
+    require(!emitted.contains(group) && !emitted.contains(key),
+      s"hhiConcentration emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val dec = "decimal(38,0)"
+    val totals = df.filter(col(key).isNotNull)
+      .groupBy(col(group), col(key))
+      .agg(coalesce(sum(floor(col(value) * 100).cast("long")), lit(0L))
+        .as("_c"))
+    val guard = assert_true(col("_c") >= 0,
+      concat(lit("hhiConcentration: negative per-key total (net refunds " +
+        "out first); key="), col(key).cast("string")))
+    totals.filter(guard.isNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("_c")).as("total_cents"),
+        sum(col("_c").cast(dec) * col("_c").cast(dec)).as("_ss"))
+      .select(col(group), col("n_keys"), col("total_cents"),
+        when(col("total_cents") > 0,
+          floor(col("_ss").cast("double")
+            / (col("total_cents").cast(dec) * col("total_cents").cast(dec))
+              .cast("double") * 1000000d) / 1000000d)
+          .as("hhi"))
+  }
+
   /** Mann-Whitney rank-sum statistic and its AUC normalization between two
     * slices' VALUE distributions — the nonparametric "did scores shift?"
     * test (quality scores this week vs last, treatment vs control spend)

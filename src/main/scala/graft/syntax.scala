@@ -332,6 +332,9 @@ object syntax {
       CoreOps.abProportionTest(df, armA, success)
     def giniConcentration(key: String, value: String): DataFrame =
       CoreOps.giniConcentration(df, key, value)
+    def hhiConcentration(group: String, key: String,
+                         value: String): DataFrame =
+      CoreOps.hhiConcentration(df, group, key, value)
     def rollingActiveUsers(key: String, ts: String, windowDays: Int,
                            dayMs: Long = 86400000L): DataFrame =
       CoreOps.rollingActiveUsers(df, key, ts, windowDays, dayMs)

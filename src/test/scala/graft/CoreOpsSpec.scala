@@ -945,6 +945,25 @@ class CoreOpsSpec extends SparkSpec {
         "c"))
   }
 
+  test("hhiConcentration: equal spread -> 1/n, single key -> 1, zero-total " +
+      "group -> NULL, negative totals fail loud") {
+    val df = Seq(
+      ("g1", "a", 1.0), ("g1", "b", 1.0), ("g1", "c", 2.0),
+      ("g2", "x", 5.0),
+      ("g3", "y", 0.0))
+      .toDF("g", "k", "v")
+    val got = CoreOps.hhiConcentration(df, "g", "k", "v")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // g1: shares (¼, ¼, ½) -> 1/16 + 1/16 + 1/4 = 0.375
+    assert(got("g1") == ((3L, 400L, Some(0.375))))
+    assert(got("g2") == ((1L, 500L, Some(1.0))))
+    assert(got("g3") == ((1L, 0L, None)))
+    assertThrows[Exception](
+      CoreOps.hhiConcentration(df.withColumn("v", lit(-1.0)), "g", "k", "v")
+        .collect())
+  }
+
   test("weightedMedian: lower weighted median by integer half-weight rule; " +
       "non-positive weights fail loud") {
     val df = Seq(
