@@ -1202,6 +1202,11 @@ object SparkEntry {
           floor(col("l_extendedprice") * 100).cast("long").as("price_cents"),
           floor(col("l_quantity")).cast("long").as("qty")),
         "l_returnflag", "price_cents", "qty")),
+    // per-type event cadence: exact p50/p90 of per-user inter-event ms
+    // gaps — integer gap grid, quantileProfile's trunc6'd interpolation
+    "q_event_gaps" -> ((s, dir) =>
+      CoreOps.interEventGaps(Tables.events(s, dir), "event_type", "user_id",
+        "ts", "event_id", Seq(0.5, 0.9))),
     // spend concentration per event type, HHI form: Σ(cᵢ/T)² = Σcᵢ²/T²
     // keeps it integer to one trunc6'd division — squaring weighs the top
     // of the distribution where q_gini_spend weighs the whole rank curve
@@ -3322,6 +3327,20 @@ object SparkEntry {
         |SELECT l_returnflag, max(tw)::BIGINT AS total_weight,
         |  min(v)::BIGINT AS wmedian
         |FROM c WHERE 2 * cw >= tw GROUP BY 1""".stripMargin,
+
+    // the same integer gap grid; quantile_cont interpolates at the same
+    // (n−1)·p rank, trunc6 on both engines
+    "q_event_gaps" ->
+      """WITH s AS (SELECT event_type, user_id, epoch_ms(ts) AS msv, event_id
+        |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (SELECT event_type,
+        |        msv - lag(msv) OVER (PARTITION BY event_type, user_id
+        |                             ORDER BY msv, event_id) AS gap
+        |      FROM s)
+        |SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |  floor(quantile_cont(gap, 0.5) * 1000000) / 1000000 AS p50_ms,
+        |  floor(quantile_cont(gap, 0.9) * 1000000) / 1000000 AS p90_ms
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
 
     // the same per-key cents totals; squares and T² in HUGEINT
     "q_hhi" ->

@@ -2134,6 +2134,46 @@ object CoreOps {
           .as("gini"))
   }
 
+  /** Per-group INTER-EVENT-GAP percentiles: how long between consecutive
+    * events of each type, per user — the cadence/latency profile
+    * (session pacing, sensor heartbeat SLOs, bot detection via
+    * inhumanly-regular gaps). The gap grid is exact integer epoch-ms
+    * (lag over the (group, key) sequence), so the exact `percentile`
+    * interpolation runs on integers and the quantileProfile
+    * trunc6-on-both-engines contract applies verbatim. Plan shape: ONE
+    * (group, key)-keyed window exchange (the lag), then a grouped exact
+    * percentile agg whose per-partition value maps merge map-side —
+    * O(groups × distinct gaps) crosses the shuffle, not rows. Unbounded
+    * gap domains at extreme scale: swap approx_percentile, the
+    * quantileProfileChecked pattern. First events of each (group, key)
+    * sequence have no predecessor and contribute no gap; groups with no
+    * 2-event sequence at all disappear (they HAVE no cadence — a NULL
+    * row would fake one). Ties on ts order by `tiebreak`, deterministic
+    * cross-engine. NULL ts/key rows drop. Emits
+    * (group, n_gaps, p{P}_ms…). */
+  def interEventGaps(df: DataFrame, group: String, key: String, ts: String,
+                     tiebreak: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"percentiles must lie in (0, 1), got $ps")
+    val names = ps.map(p => s"p${math.round(p * 100)}_ms")
+    require(names.distinct == names,
+      s"percentiles collapse to duplicate names $names — space them out")
+    val emitted = Seq("n_gaps", "_ms", "_gap") ++ names
+    require(!emitted.contains(group) && !df.columns.exists(emitted.contains),
+      s"interEventGaps emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val base = df.filter(col(ts).isNotNull && col(key).isNotNull)
+      .withColumn("_ms", ms(col(ts)))
+    val w = Window.partitionBy(col(group), col(key))
+      .orderBy(col("_ms").asc, col(tiebreak))
+    val qs = ps.zip(names).map { case (p, nm) =>
+      (floor(percentile(col("_gap"), lit(p)) * 1e6) / 1e6).as(nm)
+    }
+    base.withColumn("_gap", col("_ms") - lag(col("_ms"), 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_gaps"), qs: _*)
+  }
+
   /** Per-group Herfindahl–Hirschman concentration index: Σᵢ shareᵢ² over
     * the keys i inside each group — the market-concentration readout
     * (1/n_keys = perfectly spread, 1 = one key holds everything) that

@@ -335,6 +335,9 @@ object syntax {
     def hhiConcentration(group: String, key: String,
                          value: String): DataFrame =
       CoreOps.hhiConcentration(df, group, key, value)
+    def interEventGaps(group: String, key: String, ts: String,
+                       tiebreak: String, ps: Seq[Double]): DataFrame =
+      CoreOps.interEventGaps(df, group, key, ts, tiebreak, ps)
     def rollingActiveUsers(key: String, ts: String, windowDays: Int,
                            dayMs: Long = 86400000L): DataFrame =
       CoreOps.rollingActiveUsers(df, key, ts, windowDays, dayMs)

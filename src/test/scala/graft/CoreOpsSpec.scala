@@ -945,6 +945,23 @@ class CoreOpsSpec extends SparkSpec {
         "c"))
   }
 
+  test("interEventGaps: per-user gaps pooled per group; gapless groups " +
+      "disappear; no cross-user gaps") {
+    val df = Seq(
+      ("t", "u1", 0L, 1L), ("t", "u1", 10L, 2L), ("t", "u1", 30L, 3L),
+      ("t", "u2", 100L, 4L), ("t", "u2", 105L, 5L),
+      ("s", "u3", 7L, 6L)) // single event: no gap, group vanishes
+      .toDF("g", "u", "msr", "eid")
+      .withColumn("ts", timestamp_millis(col("msr"))).drop("msr")
+    val got = CoreOps.interEventGaps(df, "g", "u", "ts", "eid", Seq(0.5, 0.9))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // t gaps: u1 -> 10, 20; u2 -> 5; pooled sorted [5, 10, 20]
+    assert(got == Map("t" -> ((3L, 10.0, 18.0)))) // p90 = 10 + 0.8·10
+    assertThrows[IllegalArgumentException](
+      CoreOps.interEventGaps(df, "g", "u", "ts", "eid", Seq(1.5)))
+  }
+
   test("hhiConcentration: equal spread -> 1/n, single key -> 1, zero-total " +
       "group -> NULL, negative totals fail loud") {
     val df = Seq(
