@@ -1202,6 +1202,14 @@ object SparkEntry {
           floor(col("l_extendedprice") * 100).cast("long").as("price_cents"),
           floor(col("l_quantity")).cast("long").as("qty")),
         "l_returnflag", "price_cents", "qty")),
+    // hourly OHLC candles per event type on the cents grid: ONE windowless
+    // hash agg — open/close via min_by/max_by on the unique (ms, event_id)
+    // ordering, map-side combined
+    "q_ohlc" -> ((s, dir) =>
+      CoreOps.ohlcBars(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "event_type", "ts", "event_id", "cents", 3600000L)),
     // per-type event cadence: exact p50/p90 of per-user inter-event ms
     // gaps — integer gap grid, quantileProfile's trunc6'd interpolation
     "q_event_gaps" -> ((s, dir) =>
@@ -3327,6 +3335,28 @@ object SparkEntry {
         |SELECT l_returnflag, max(tw)::BIGINT AS total_weight,
         |  min(v)::BIGINT AS wmedian
         |FROM c WHERE 2 * cw >= tw GROUP BY 1""".stripMargin,
+
+    // open/close rebuilt as rank-1 rows of the same unique ordering; the
+    // sign-safe double-mod floors the bar start exactly like pmod
+    "q_ohlc" ->
+      """WITH b AS (SELECT event_type, epoch_ms(ts) AS msv, event_id,
+        |        floor(value * 100)::BIGINT AS c
+        |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT *,
+        |        (msv - ((msv % 3600000 + 3600000) % 3600000)) AS bar_start_ms,
+        |        row_number() OVER (PARTITION BY event_type,
+        |            msv - ((msv % 3600000 + 3600000) % 3600000)
+        |          ORDER BY msv, event_id) AS ra,
+        |        row_number() OVER (PARTITION BY event_type,
+        |            msv - ((msv % 3600000 + 3600000) % 3600000)
+        |          ORDER BY msv DESC, event_id DESC) AS rd
+        |      FROM b)
+        |SELECT event_type, bar_start_ms,
+        |  max(CASE WHEN ra = 1 THEN c END)::BIGINT AS open,
+        |  max(c)::BIGINT AS high, min(c)::BIGINT AS low,
+        |  max(CASE WHEN rd = 1 THEN c END)::BIGINT AS close,
+        |  count(*)::BIGINT AS n_events, sum(c)::BIGINT AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     // the same integer gap grid; quantile_cont interpolates at the same
     // (n−1)·p rank, trunc6 on both engines

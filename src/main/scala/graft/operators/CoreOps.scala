@@ -2134,6 +2134,43 @@ object CoreOps {
           .as("gini"))
   }
 
+  /** Per-key OHLC time bars: open/high/low/close/count/sum of an
+    * integer-grid measure per fixed time bucket — the candlestick
+    * compaction that turns a raw tick/event stream into a bounded
+    * per-(key, bar) summary table (price bars, per-feed telemetry bars,
+    * rate-limit dashboards). Exactness: the measure is integral (cents),
+    * open/close are min_by/max_by over the UNIQUE (epoch-ms, tiebreak)
+    * ordering struct — deterministic on any engine — and the bar start is
+    * ms − pmod(ms, barMs), pure integer arithmetic that floors correctly
+    * for any sign. Plan shape: ONE partial-agg'd hash agg — no window, no
+    * sort; every aggregate (min_by/max_by included) combines map-side, so
+    * the shuffle carries O(keys × bars) summary rows, not events. The
+    * oracle reproduces open/close with rank-1 window rows — same rows,
+    * windowless here. NULL ts/value rows drop. Emits (key, bar_start_ms,
+    * open, high, low, close, n_events, sum_value). */
+  def ohlcBars(df: DataFrame, key: String, ts: String, tiebreak: String,
+               value: String, barMs: Long): DataFrame = {
+    require(barMs > 0, s"barMs must be positive, got $barMs")
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"ohlcBars reads '$value' on an exact integer grid; got " +
+        s"${df.schema(value).dataType} — scale to cents/int64 first")
+    val emitted = Seq("bar_start_ms", "open", "high", "low", "close",
+      "n_events", "sum_value", "_ms")
+    require(!emitted.contains(key) && !df.columns.exists(emitted.contains),
+      s"ohlcBars emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val base = df.filter(col(ts).isNotNull && col(value).isNotNull)
+      .withColumn("_ms", ms(col(ts)))
+    val ord = struct(col("_ms"), col(tiebreak))
+    base
+      .groupBy(col(key),
+        (col("_ms") - pmod(col("_ms"), lit(barMs))).as("bar_start_ms"))
+      .agg(min_by(col(value), ord).as("open"),
+        max(col(value)).as("high"), min(col(value)).as("low"),
+        max_by(col(value), ord).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col(value).cast("long")).as("sum_value"))
+  }
+
   /** Per-group INTER-EVENT-GAP percentiles: how long between consecutive
     * events of each type, per user — the cadence/latency profile
     * (session pacing, sensor heartbeat SLOs, bot detection via

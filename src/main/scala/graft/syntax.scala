@@ -338,6 +338,9 @@ object syntax {
     def interEventGaps(group: String, key: String, ts: String,
                        tiebreak: String, ps: Seq[Double]): DataFrame =
       CoreOps.interEventGaps(df, group, key, ts, tiebreak, ps)
+    def ohlcBars(key: String, ts: String, tiebreak: String, value: String,
+                 barMs: Long): DataFrame =
+      CoreOps.ohlcBars(df, key, ts, tiebreak, value, barMs)
     def rollingActiveUsers(key: String, ts: String, windowDays: Int,
                            dayMs: Long = 86400000L): DataFrame =
       CoreOps.rollingActiveUsers(df, key, ts, windowDays, dayMs)
