@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's deterministic parquet tables (TESTDATA.md).
   *
@@ -23,19 +23,27 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default ([PARQUET_TYPE_ILLEGAL]). We read it
-    * via the documented escape hatch (nanosAsLong) and normalize to a
-    * millisecond-precision TimestampType column. Millisecond truncation also
-    * makes every downstream window/session/lag computation bit-identical to
-    * the DuckDB oracle's epoch_ms(ts), removing sub-ms boundary flakes. */
+  /** events.parquet's `ts` physical type has varied across driver data
+    * generations — parquet TIMESTAMP(NANOS) (which Spark's reader rejects by
+    * default, [PARQUET_TYPE_ILLEGAL]; read via the documented nanosAsLong
+    * escape hatch), TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark 4
+    * infers as TIMESTAMP_NTZ), or a plain UTC timestamp. All three are
+    * normalized here to ONE millisecond-precision TimestampType column so
+    * every downstream window/session/lag computation is bit-identical to the
+    * DuckDB oracle's epoch_ms(ts) regardless of which writer produced the
+    * file, removing sub-ms boundary flakes. The NTZ cast maps wall-clock to
+    * instant through the session time zone, which every entry point (and
+    * SparkSpec) pins to UTC — the same naive-as-UTC reading DuckDB applies. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => // nanos since epoch
         raw.withColumn("ts", timestamp_millis(expr("ts div 1000000")))
-      case _ =>        // already a timestamp; truncate to ms for determinism
+      case TimestampNTZType => // naive micros; session TZ is pinned UTC
+        raw.withColumn("ts",
+          timestamp_millis(unix_millis(col("ts").cast(TimestampType))))
+      case _ =>        // already an instant; truncate to ms for determinism
         raw.withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
     }
   }
