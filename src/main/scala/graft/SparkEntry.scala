@@ -1179,6 +1179,31 @@ object SparkEntry {
         Tables.events(s, dir).select(col("user_id"), col("event_type")),
         pmod(col("user_id"), lit(2)) === 0,
         col("event_type") === "purchase")),
+    // Welch's unequal-variance t² between the same cohorts' spend cents:
+    // both slices' moment sums in ONE conditional-count pass (no join),
+    // exact decimal accumulation, then the fixed mirrored double chain
+    "q_welch" -> ((s, dir) =>
+      CoreOps.welchTTest(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        pmod(col("user_id"), lit(2)) === 0,
+        "cents")),
+    // 5%-each-side trimmed mean of spend cents per event type: rank-exact
+    // trim cut (row_number on the (cents, event_id) total order), kept-side
+    // decimal sum, one keyed window + agg on the same partitioning
+    "q_trimmed_mean" -> ((s, dir) =>
+      CoreOps.trimmedMean(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "event_type", "cents", "event_id", 50)),
+    // expanding-window 3σ anomalies per user: the flag predicate is exact
+    // integer ((v·n−S)² > 9·(n·SS−S²) in decimal) over prior-prefix
+    // moments — one keyed window exchange, then a pure filter
+    "q_anomaly" -> ((s, dir) =>
+      CoreOps.expandingAnomaly(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "user_id", "ts", "event_id", "cents", 3, 5)),
     // spend concentration across users: Gini from rank-weighted exact
     // cents sums — ranks via the bucketed prefix scan, ties provably
     // order-invariant
@@ -3274,6 +3299,87 @@ object SparkEntry {
         |             * 1000000) / 1000000
         |  END AS z
         |FROM t""".stripMargin,
+
+    // the same exact-moments-then-fixed-double-chain contract as q_corr:
+    // per-cohort n/Σc/Σc² accumulate exactly, every double op mirrored
+    "q_welch" ->
+      """WITH s AS (SELECT floor(value * 100)::BIGINT AS c,
+        |        user_id % 2 = 0 AS a
+        |      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |t AS (SELECT
+        |        count(CASE WHEN a THEN 1 END)::DOUBLE AS na,
+        |        sum(CASE WHEN a THEN c END)::DOUBLE AS sa,
+        |        sum(CASE WHEN a THEN c::HUGEINT * c END)::DOUBLE AS ssa,
+        |        count(CASE WHEN NOT a THEN 1 END)::DOUBLE AS nb,
+        |        sum(CASE WHEN NOT a THEN c END)::DOUBLE AS sb,
+        |        sum(CASE WHEN NOT a THEN c::HUGEINT * c END)::DOUBLE AS ssb
+        |      FROM s),
+        |u AS (SELECT *, na * ssa - sa * sa AS va,
+        |        nb * ssb - sb * sb AS vb FROM t),
+        |v AS (SELECT *, va / (na - 1) / na / na AS sna,
+        |        vb / (nb - 1) / nb / nb AS snb FROM u),
+        |w AS (SELECT *, sna + snb AS den, sa / na - sb / nb AS d FROM v)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  CASE WHEN na > 0
+        |       THEN floor(sa / na * 1000000) / 1000000 END AS mean_a,
+        |  CASE WHEN nb > 0
+        |       THEN floor(sb / nb * 1000000) / 1000000 END AS mean_b,
+        |  CASE WHEN na > 1 AND nb > 1 AND den > 0
+        |       THEN floor(d * d / den * 1000000) / 1000000 END AS t2,
+        |  CASE WHEN na > 1 AND nb > 1 AND den > 0
+        |       THEN floor(den * den
+        |                  / (sna * sna / (na - 1) + snb * snb / (nb - 1))
+        |                  * 1000000) / 1000000 END AS df_welch
+        |FROM w""".stripMargin,
+
+    // the same deterministic (cents, event_id) total order; the trim cut
+    // is integer arithmetic on ranks, the kept-side sum exact
+    "q_trimmed_mean" ->
+      """WITH s AS (SELECT event_type, floor(value * 100)::BIGINT AS c,
+        |        event_id
+        |      FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, c,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY c, event_id) AS r,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM s),
+        |t AS (SELECT *, n * 50 // 1000 AS t FROM r)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  count(CASE WHEN r > t AND r <= n - t THEN 1 END)::BIGINT
+        |    AS n_kept,
+        |  CASE WHEN count(CASE WHEN r > t AND r <= n - t THEN 1 END) > 0
+        |       THEN floor(
+        |         sum(CASE WHEN r > t AND r <= n - t THEN c END)::DOUBLE
+        |         / count(CASE WHEN r > t AND r <= n - t THEN 1 END)::DOUBLE
+        |         * 1000000) / 1000000 END AS trimmed_mean
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // the same prior-prefix integer moments; the flag predicate compares
+    // HUGEINTs, so rounding can never flip a flag on either engine
+    "q_anomaly" ->
+      """WITH s AS (SELECT user_id, epoch_ms(ts) AS msv, event_id,
+        |        floor(value * 100)::BIGINT AS c
+        |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |p AS (SELECT user_id, msv, event_id, c,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY msv, event_id) AS i,
+        |        sum(c) OVER (PARTITION BY user_id ORDER BY msv, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cs,
+        |        sum(c::HUGEINT * c) OVER (PARTITION BY user_id
+        |                     ORDER BY msv, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS css
+        |      FROM s),
+        |d AS (SELECT user_id, event_id, msv, c, i - 1 AS n,
+        |        cs - c AS sm, css - c::HUGEINT * c AS ss
+        |      FROM p),
+        |e AS (SELECT *, c::HUGEINT * n - sm AS dev,
+        |        n::HUGEINT * ss - sm::HUGEINT * sm AS var FROM d)
+        |SELECT user_id, event_id, msv AS anomaly_ms, c AS cents,
+        |  n::BIGINT AS n_prior,
+        |  floor(dev::DOUBLE / sqrt(var::DOUBLE) * 1000000) / 1000000 AS z
+        |FROM e
+        |WHERE n >= 5 AND var > 0 AND dev::HUGEINT * dev > 9 * var"""
+        .stripMargin,
 
     // the same rank-weighted cents sums; ties provably order-invariant
     "q_gini_spend" ->

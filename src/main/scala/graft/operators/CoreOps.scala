@@ -2746,4 +2746,165 @@ object CoreOps {
       .groupBy(col(group))
       .agg(max(col("_tw")).as("total_weight"), min(col("_v")).as("wmedian"))
   }
+
+  /** Welch's two-sample t² between the VALUE distributions of two cohorts
+    * of ONE frame — the unequal-variance "did the mean move?" test that
+    * complements rankSumAuc (average rank shift) and ksStatistic (max CDF
+    * gap) with the classical parametric effect size. Cohorts come as a
+    * boolean Column over the same scan (the q_ab_test shape) so both
+    * slices' moment sums accumulate in ONE conditional-count aggregate
+    * pass — no join, no second scan; NULL-cohort and NULL-value rows
+    * drop. Exactness: per-cohort n/Σv/Σv² accumulate EXACTLY (decimal
+    * sums of int64 products — order-independent under any partitioning),
+    * and only then does a fixed double chain run: t² = d²/(s²ₐ/nₐ+s²_b/n_b)
+    * and the Welch–Satterthwaite df, every +,*,/,sqrt correctly rounded
+    * over identical operands in identical order, trunc6'd — bit-identical
+    * on any engine. `value` must be integral (cents grid), and Σv² must
+    * stay under 10^38 (true for cents at corpus scale); overflow fails
+    * loud under ANSI. Emits ONE row
+    * (n_a, n_b, mean_a, mean_b, t2, df_welch) in INPUT units; cohorts
+    * with n ≤ 1 or zero pooled variance yield NULL t2/df_welch, empty
+    * cohorts also NULL means. */
+  def welchTTest(df: DataFrame, cohortA: Column, value: String): DataFrame = {
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"welchTTest accumulates '$value' as exact integers; got " +
+        s"${df.schema(value).dataType} — scale to cents/int64 first")
+    val vd = col(value).cast("decimal(19,0)")
+    val stats = df.filter(col(value).isNotNull && cohortA.isNotNull)
+      .agg(
+        count(when(cohortA, lit(1))).cast("double").as("_na"),
+        sum(when(cohortA, vd)).cast("double").as("_sa"),
+        sum(when(cohortA, vd * vd)).cast("double").as("_ssa"),
+        count(when(!cohortA, lit(1))).cast("double").as("_nb"),
+        sum(when(!cohortA, vd)).cast("double").as("_sb"),
+        sum(when(!cohortA, vd * vd)).cast("double").as("_ssb"))
+    // fixed left-assoc chains, mirrored verbatim in the oracle SQL
+    val va = col("_na") * col("_ssa") - col("_sa") * col("_sa")
+    val vb = col("_nb") * col("_ssb") - col("_sb") * col("_sb")
+    val sna = va / (col("_na") - 1d) / col("_na") / col("_na")
+    val snb = vb / (col("_nb") - 1d) / col("_nb") / col("_nb")
+    val den = sna + snb
+    val d = col("_sa") / col("_na") - col("_sb") / col("_nb")
+    val ok = col("_na") > 1d && col("_nb") > 1d && den > 0d
+    stats.select(
+      col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
+      when(col("_na") > 0d,
+        floor(col("_sa") / col("_na") * 1000000d) / 1000000d).as("mean_a"),
+      when(col("_nb") > 0d,
+        floor(col("_sb") / col("_nb") * 1000000d) / 1000000d).as("mean_b"),
+      when(ok, floor(d * d / den * 1000000d) / 1000000d).as("t2"),
+      when(ok, floor(den * den
+          / (sna * sna / (col("_na") - 1d) + snb * snb / (col("_nb") - 1d))
+          * 1000000d) / 1000000d)
+        .as("df_welch"))
+  }
+
+  /** Per-group trimmed mean — the robust location estimate between the
+    * median (throws away everything but rank n/2) and the mean (lets one
+    * corrupt amount move the answer): drop the lowest and highest
+    * ⌊trimPerMille·n/1000⌋ values, average the rest. Rank-exact: rows get
+    * a DETERMINISTIC total order (value, then `tiebreak`) via row_number,
+    * the trim cut is integer arithmetic on that rank, and the kept-side
+    * sum accumulates exactly in decimal — so the result is bit-identical
+    * on any engine/partitioning, with ONE trunc6'd division at the edge.
+    * Plan shape: one keyed window exchange (rank + group size share the
+    * same partitioning+sort), then a keyed agg REUSING that partitioning
+    * — one shuffle total. Value ties cannot change the answer: however
+    * the tiebreak orders equal values across the cut, the dropped
+    * multiset is the same. For trimPerMille < 500 the kept side is never
+    * empty (2·⌊n·t/1000⌋ < n), so every group keeps its row; the NULL
+    * guard on the mean is belt-and-braces. `value` must be integral
+    * (cents grid). NULL values drop.
+    * Emits (group, n, n_kept, trimmed_mean) in INPUT units. */
+  def trimmedMean(df: DataFrame, group: String, value: String,
+                  tiebreak: String, trimPerMille: Int): DataFrame = {
+    require(trimPerMille >= 0 && trimPerMille < 500,
+      s"trimPerMille must be in [0, 500), got $trimPerMille")
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"trimmedMean accumulates '$value' as exact integers; got " +
+        s"${df.schema(value).dataType} — scale to cents/int64 first")
+    val emitted = Seq("n", "n_kept", "trimmed_mean", "_r", "_n", "_t")
+    require(!emitted.contains(group) && !df.columns.exists(emitted.contains),
+      s"trimmedMean emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val ord = Seq(col(value).asc, col(tiebreak).asc)
+    val base = df.filter(col(value).isNotNull)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(group)).orderBy(ord: _*)).cast("long"))
+      .withColumn("_n", count(lit(1))
+        .over(Window.partitionBy(col(group))))
+      .withColumn("_t", (col("_n") * trimPerMille / 1000L).cast("long"))
+    val kept = col("_r") > col("_t") && col("_r") <= col("_n") - col("_t")
+    base.groupBy(col(group))
+      .agg(max(col("_n")).as("n"),
+        count(when(kept, lit(1))).as("n_kept"),
+        sum(when(kept, col(value).cast("decimal(19,0)")))
+          .cast("double").as("_s"))
+      .select(col(group), col("n"), col("n_kept"),
+        when(col("n_kept") > 0,
+          floor(col("_s") / col("n_kept").cast("double") * 1000000d)
+            / 1000000d).as("trimmed_mean"))
+  }
+
+  /** Per-key expanding-window anomaly flags — "which events sit more than
+    * k·σ from the running mean of everything BEFORE them?", the
+    * sequential data-quality screen that robustOutliers (whole-group
+    * percentiles) cannot express: an early regime is judged only by its
+    * own past, so a level shift flags at the shift, not retroactively.
+    * The comparison is EXACT INTEGER — the flag predicate
+    * (v·n − S)² > k²·(n·SS − S²) is the k·σ test multiplied through by
+    * n², evaluated wholly in decimal(38,0) on the prior-prefix count n,
+    * sum S and sum-of-squares SS — so partitioning or float rounding can
+    * NEVER flip a flag; the single reported double z = dev/√var is a
+    * fixed correctly-rounded chain trunc6'd on both engines. Plan shape:
+    * ONE keyed window exchange (row_number + both running sums share the
+    * same partitioning+sort), then a pure filter/project — no second
+    * shuffle, no driver participation, output bounded by the flag rate.
+    * Events order by (ts ms, `tiebreak`) — deterministic cross-engine.
+    * Rows with fewer than `minPrior` predecessors or zero prior variance
+    * never flag (cold start / constant prefix). `value` must be integral
+    * (cents grid) with n·Σv² under 10^38 per key — true for cents at
+    * corpus scale; overflow fails loud under ANSI. NULL ts/value rows
+    * drop. Emits flagged rows only:
+    * (key, tiebreak, anomaly_ms, value, n_prior, z). */
+  def expandingAnomaly(df: DataFrame, key: String, ts: String,
+                       tiebreak: String, value: String,
+                       k: Int, minPrior: Int): DataFrame = {
+    require(k > 0, s"k (σ multiplier) must be positive, got $k")
+    require(minPrior >= 2, s"minPrior must be >= 2 (variance needs 2 prior " +
+      s"points), got $minPrior")
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"expandingAnomaly accumulates '$value' as exact integers; got " +
+        s"${df.schema(value).dataType} — scale to cents/int64 first")
+    val emitted = Seq("anomaly_ms", "n_prior", "z",
+      "_ms", "_i", "_cs", "_css", "_n", "_s", "_ss", "_dev", "_var")
+    require(!emitted.exists(df.columns.contains),
+      s"expandingAnomaly emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val dec = "decimal(38,0)"
+    val vd = col(value).cast("decimal(19,0)")
+    val ord = Seq(col("_ms").asc, col(tiebreak).asc)
+    val wRun = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.filter(col(ts).isNotNull && col(value).isNotNull)
+      .withColumn("_ms", ms(col(ts)))
+      .withColumn("_i", row_number().over(
+        Window.partitionBy(col(key)).orderBy(ord: _*)).cast("long"))
+      .withColumn("_cs", sum(vd).over(wRun))
+      .withColumn("_css", sum(vd * vd).over(wRun))
+      // prior-prefix moments: everything strictly before this row
+      .withColumn("_n", (col("_i") - 1L).cast(dec))
+      .withColumn("_s", (col("_cs") - vd).cast(dec))
+      .withColumn("_ss", (col("_css") - vd * vd).cast(dec))
+      .withColumn("_dev", vd.cast(dec) * col("_n") - col("_s"))
+      .withColumn("_var",
+        col("_n") * col("_ss") - col("_s") * col("_s"))
+    base
+      .filter(col("_i") - 1L >= minPrior && col("_var") > 0 &&
+        col("_dev") * col("_dev") >
+          lit(k.toLong * k).cast(dec) * col("_var"))
+      .select(col(key), col(tiebreak), col("_ms").as("anomaly_ms"),
+        col(value),
+        (col("_i") - 1L).as("n_prior"),
+        (floor(col("_dev").cast("double")
+          / sqrt(col("_var").cast("double")) * 1000000d) / 1000000d).as("z"))
+  }
 }

@@ -312,6 +312,14 @@ object syntax {
     def weightedMedian(group: String, value: String,
                        weight: String): DataFrame =
       CoreOps.weightedMedian(df, group, value, weight)
+    def welchTTest(cohortA: Column, value: String): DataFrame =
+      CoreOps.welchTTest(df, cohortA, value)
+    def trimmedMean(group: String, value: String, tiebreak: String,
+                    trimPerMille: Int): DataFrame =
+      CoreOps.trimmedMean(df, group, value, tiebreak, trimPerMille)
+    def expandingAnomaly(key: String, ts: String, tiebreak: String,
+                         value: String, k: Int, minPrior: Int): DataFrame =
+      CoreOps.expandingAnomaly(df, key, ts, tiebreak, value, k, minPrior)
     def journeyPattern(key: String, ts: String, tiebreak: String,
                        payload: String, maxEvents: Int, pattern: String,
                        sep: String = ">"): DataFrame =

@@ -1214,4 +1214,93 @@ class CoreOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       CoreOps.giniImpurity(df.withColumnRenamed("g", "gini"), "gini", "lab"))
   }
+
+  test("welchTTest: hand-checked t2/df against the same double chain; " +
+      "n<=1 cohorts yield NULL stats; integral guard") {
+    val df = Seq((true, 10L), (true, 20L),
+      (false, 30L), (false, 40L), (false, 50L)).toDF("a", "c")
+    val got = CoreOps.welchTTest(df, col("a"), "c")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    // expectations via the operator's own fixed left-assoc double chain
+    val (na, sa, ssa) = (2d, 30d, 500d)
+    val (nb, sb, ssb) = (3d, 120d, 5000d)
+    val va = na * ssa - sa * sa; val vb = nb * ssb - sb * sb
+    val sna = va / (na - 1) / na / na; val snb = vb / (nb - 1) / nb / nb
+    val den = sna + snb; val d = sa / na - sb / nb
+    def t6(x: Double) = math.floor(x * 1000000d) / 1000000d
+    assert(got == ((2L, 3L, Some(t6(15d)), Some(t6(40d)),
+      Some(t6(d * d / den)),
+      Some(t6(den * den / (sna * sna / (na - 1) + snb * snb / (nb - 1)))))))
+    // a 1-row cohort has no variance: t2/df NULL, means still emitted
+    val one = CoreOps.welchTTest(
+      Seq((true, 10L), (false, 30L), (false, 40L)).toDF("a", "c"),
+      col("a"), "c")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(one == ((1L, 2L, Some(10.0), Some(35.0), None, None)))
+    assertThrows[IllegalArgumentException](
+      CoreOps.welchTTest(df.withColumn("c", col("c").cast("double")),
+        col("a"), "c"))
+  }
+
+  test("trimmedMean: 10% trim drops exactly the rank tails; tiny groups " +
+      "keep everything; NULL values drop; bounds guard") {
+    val df = ((1L to 10L).map(v => ("g1", v, v)) ++
+      Seq(("g2", 11L, 7L), ("g2", 12L, 9L)) ++
+      Seq(("g3", 13L, 5L))).toDF("g", "eid", "c")
+    val got = CoreOps.trimmedMean(df, "g", "c", "eid", 100)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // g1: n=10, t=1 -> keep ranks 2..9 = values 2..9, mean 44/8 = 5.5
+    assert(got("g1") == ((10L, 8L, Some(5.5))))
+    assert(got("g2") == ((2L, 2L, Some(8.0)))) // t=0: untrimmed mean
+    assert(got("g3") == ((1L, 1L, Some(5.0))))
+    // NULL values drop before ranking: g3 stays a 1-row group
+    val withNull = CoreOps.trimmedMean(
+      df.union(Seq(("g3", 14L)).toDF("g", "eid")
+        .withColumn("c", lit(null).cast("long"))
+        .select("g", "eid", "c")),
+      "g", "c", "eid", 100)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(withNull("g3") == ((1L, 1L, Some(5.0))))
+    assertThrows[IllegalArgumentException](
+      CoreOps.trimmedMean(df, "g", "c", "eid", 500))
+    assertThrows[IllegalArgumentException](
+      CoreOps.trimmedMean(df, "g", "c", "eid", -1))
+    assertThrows[IllegalArgumentException](
+      CoreOps.trimmedMean(df.withColumn("c", col("c").cast("double")),
+        "g", "c", "eid", 100))
+  }
+
+  test("expandingAnomaly: spike past 3 sigma of the PRIOR prefix flags with " +
+      "the exact-integer predicate; constant prefixes and cold starts never " +
+      "flag") {
+    val df = Seq(
+      // k1: alternating 10/12 (variance > 0), then a spike
+      ("k1", 0L, 1L, 10L), ("k1", 1L, 2L, 12L), ("k1", 2L, 3L, 10L),
+      ("k1", 3L, 4L, 12L), ("k1", 4L, 5L, 10L), ("k1", 5L, 6L, 12L),
+      ("k1", 6L, 7L, 100L),
+      // k2: spike arrives with only 4 predecessors -> below minPrior
+      ("k2", 0L, 8L, 10L), ("k2", 1L, 9L, 12L), ("k2", 2L, 10L, 10L),
+      ("k2", 3L, 11L, 12L), ("k2", 4L, 12L, 500L),
+      // k3: constant prefix -> zero variance -> never flags
+      ("k3", 0L, 13L, 10L), ("k3", 1L, 14L, 10L), ("k3", 2L, 15L, 10L),
+      ("k3", 3L, 16L, 10L), ("k3", 4L, 17L, 10L), ("k3", 5L, 18L, 10L),
+      ("k3", 6L, 19L, 999L))
+      .toDF("k", "msr", "eid", "c")
+      .withColumn("ts", timestamp_millis(col("msr"))).drop("msr")
+    val got = CoreOps.expandingAnomaly(df, "k", "ts", "eid", "c", 3, 5)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // k1 spike: n=6, S=66, SS=732 -> dev=534, var=36, z=534/6=89 exactly
+    assert(got == Seq(("k1", 7L, 6L, 100L, 6L, 89.0)))
+    assertThrows[IllegalArgumentException](
+      CoreOps.expandingAnomaly(df.withColumn("c", col("c").cast("double")),
+        "k", "ts", "eid", "c", 3, 5))
+    assertThrows[IllegalArgumentException](
+      CoreOps.expandingAnomaly(df, "k", "ts", "eid", "c", 0, 5))
+    assertThrows[IllegalArgumentException](
+      CoreOps.expandingAnomaly(df, "k", "ts", "eid", "c", 3, 1))
+  }
 }
