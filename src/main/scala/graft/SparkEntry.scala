@@ -1204,6 +1204,15 @@ object SparkEntry {
         Tables.events(s, dir).withColumn("cents",
           floor(col("value") * 100).cast("long")),
         "user_id", "ts", "event_id", "cents", 3, 5)),
+    // map each event type's spend distribution onto the global one:
+    // rank-exact quantile normalization — the target rank ⌈r·N/n⌉ is
+    // integer arithmetic, the lookup a rank-cell equi-join (rangeJoin's
+    // trick in rank space), the result an actual data value
+    "q_quantile_norm" -> ((s, dir) =>
+      CoreOps.quantileNormalize(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "event_type", "cents", "event_id")),
     // spend concentration across users: Gini from rank-weighted exact
     // cents sums — ranks via the bucketed prefix scan, ties provably
     // order-invariant
@@ -3379,6 +3388,28 @@ object SparkEntry {
         |  floor(dev::DOUBLE / sqrt(var::DOUBLE) * 1000000) / 1000000 AS z
         |FROM e
         |WHERE n >= 5 AND var > 0 AND dev::HUGEINT * dev > 9 * var"""
+        .stripMargin,
+
+    // the same ⌈r·N/n⌉ integer target rank; the rank→value lookup is a
+    // plain non-equi join here (DuckDB's planner handles it at oracle
+    // scale; the engine side buckets it into rank cells)
+    "q_quantile_norm" ->
+      """WITH s AS (SELECT event_type, event_id,
+        |        floor(value * 100)::BIGINT AS c
+        |      FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, event_id, c,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY c, event_id) AS r,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM s),
+        |tot AS (SELECT count(*)::BIGINT AS nn FROM s),
+        |grid AS (SELECT c AS v, count(*) AS cnt FROM s GROUP BY 1),
+        |gp AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS pc FROM grid),
+        |t AS (SELECT event_type, event_id, c,
+        |        (r::HUGEINT * nn + n - 1) // n AS tr FROM r, tot)
+        |SELECT t.event_type, t.event_id, t.c AS cents,
+        |  gp.v::BIGINT AS qn_value
+        |FROM t JOIN gp ON t.tr > gp.pc - gp.cnt AND t.tr <= gp.pc"""
         .stripMargin,
 
     // the same rank-weighted cents sums; ties provably order-invariant

@@ -2907,4 +2907,71 @@ object CoreOps {
         (floor(col("_dev").cast("double")
           / sqrt(col("_var").cast("double")) * 1000000d) / 1000000d).as("z"))
   }
+
+  /** Quantile normalization — map every row's value to the GLOBAL
+    * distribution's value at the same quantile, the classic cross-group
+    * feature alignment (make each language's quality scores comparable by
+    * forcing every group onto one reference distribution). Rank-exact,
+    * no interpolation, no floats anywhere: a row at within-group rank r
+    * of n maps to the global value at rank ⌈r·N/n⌉ — an ACTUAL data
+    * value chosen by integer comparisons, so engines cannot disagree.
+    * The target rank is computed in decimal (exact past the ~3·10⁹-row
+    * point where r·N would overflow int64). Scale shape: one group-keyed
+    * window exchange (rank + size share one partitioning+sort); the
+    * global side collapses to the DISTINCT-value grid (one partial-agg'd
+    * hash agg), gets inclusive cumulative counts via orderedPrefixSum's
+    * bucket scheme (parallel per-bucket scans + O(buckets) driver
+    * offsets — never a single-task global window), and N comes from the
+    * same grid (O(1) driver traffic). The rank→value lookup is the
+    * rangeJoin trick transplanted to RANK space: each grid value covers
+    * the rank interval (cum−cnt, cum]; explode it into ⌈len/grain⌉
+    * rank-cells, equi-join rows on their target rank's cell (+ exact
+    * residual) — every row meets its value in EXACTLY one cell, fan-out
+    * per row bounded by grain+1 candidates, never all-pairs. `value`
+    * must be integral (cents grid). NULL values drop. Emits
+    * (group, tiebreak, value, qn_value). */
+  def quantileNormalize(df: DataFrame, group: String, value: String,
+                        tiebreak: String,
+                        grainRanks: Long = 1024L): DataFrame = {
+    require(grainRanks > 0, s"grainRanks must be positive, got $grainRanks")
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"quantileNormalize ranks '$value' on an exact integer grid; got " +
+        s"${df.schema(value).dataType} — scale to cents/int64 first")
+    val emitted = Seq("qn_value",
+      "_r", "_n", "_v", "_c", "_pc", "_lo", "_t", "_cell")
+    require(!emitted.exists(df.columns.contains),
+      s"quantileNormalize emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val base = df.filter(col(value).isNotNull)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(group))
+          .orderBy(col(value).asc, col(tiebreak).asc)).cast("long"))
+      .withColumn("_n", count(lit(1))
+        .over(Window.partitionBy(col(group))))
+    val grid = df.filter(col(value).isNotNull)
+      .groupBy(col(value).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val gridP = orderedPrefixSum(grid, col("_v"), "_v", "_c", "_pc")
+    // O(1) driver traffic, same contract as timeRangeBucket's bounds agg
+    val nTotal = grid.agg(coalesce(sum(col("_c")), lit(0L))).head().getLong(0)
+    if (nTotal == 0L)
+      return base.select(col(group), col(tiebreak), col(value),
+        lit(null).cast("long").as("qn_value"))
+    val dec = "decimal(38,0)"
+    // ⌈r·N/n⌉ in exact decimal, then back to long (target rank ≤ N)
+    val rN = col("_r").cast(dec) * lit(nTotal).cast(dec) +
+      col("_n").cast(dec) - 1
+    val tRank = ((rN - pmod(rN, col("_n").cast(dec))) / col("_n").cast(dec))
+      .cast("long")
+    def cellOf(c: Column): Column =
+      ((c - pmod(c, lit(grainRanks))) / lit(grainRanks)).cast("long")
+    val rows = base.withColumn("_t", tRank)
+      .withColumn("_cell", cellOf(col("_t") - 1L))
+    val cells = gridP.withColumn("_lo", col("_pc") - col("_c"))
+      .withColumn("_cell",
+        explode(sequence(cellOf(col("_lo")), cellOf(col("_pc") - 1L))))
+    rows.join(cells, Seq("_cell"))
+      .filter(col("_t") > col("_lo") && col("_t") <= col("_pc"))
+      .select(col(group), col(tiebreak), col(value),
+        col("_v").as("qn_value"))
+  }
 }

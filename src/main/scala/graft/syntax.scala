@@ -320,6 +320,9 @@ object syntax {
     def expandingAnomaly(key: String, ts: String, tiebreak: String,
                          value: String, k: Int, minPrior: Int): DataFrame =
       CoreOps.expandingAnomaly(df, key, ts, tiebreak, value, k, minPrior)
+    def quantileNormalize(group: String, value: String, tiebreak: String,
+                          grainRanks: Long = 1024L): DataFrame =
+      CoreOps.quantileNormalize(df, group, value, tiebreak, grainRanks)
     def journeyPattern(key: String, ts: String, tiebreak: String,
                        payload: String, maxEvents: Int, pattern: String,
                        sep: String = ">"): DataFrame =

@@ -1303,4 +1303,27 @@ class CoreOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       CoreOps.expandingAnomaly(df, "k", "ts", "eid", "c", 3, 1))
   }
+
+  test("quantileNormalize: rank-exact mapping onto the global grid, " +
+      "hand-checked targets; tiny grain exercises multi-cell intervals") {
+    // global sorted: [1, 2, 3, 10, 20, 30]  (N = 6)
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("b", 4L, 10L), ("b", 5L, 20L), ("b", 6L, 30L))
+      .toDF("g", "eid", "c")
+    def run(grain: Long) =
+      CoreOps.quantileNormalize(df, "g", "c", "eid", grain)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._2 -> r._4).toMap
+    // both groups have n=3: r=1,2,3 -> target ranks ceil(rN/n) = 2,4,6
+    //   -> global values at ranks 2,4,6 = 2, 10, 30 for EACH group
+    val want = Map(1L -> 2L, 2L -> 10L, 3L -> 30L,
+      4L -> 2L, 5L -> 10L, 6L -> 30L)
+    assert(run(1024L) == want)
+    assert(run(1L) == want) // one cell per rank: max interval splitting
+    assertThrows[IllegalArgumentException](
+      CoreOps.quantileNormalize(df.withColumn("c", col("c").cast("double")),
+        "g", "c", "eid"))
+    assertThrows[IllegalArgumentException](
+      CoreOps.quantileNormalize(df, "g", "c", "eid", 0L))
+  }
 }
