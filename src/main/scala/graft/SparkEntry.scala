@@ -39,6 +39,35 @@ object SparkEntry {
   private val KfoldSalt = "cv"
   private val OverlapMaxDf = 10    // source-overlap ubiquitous-token cutoff
 
+  /** Shared by q_anomaly (window-function batch twin) and q_anomaly_stream
+    * (moment-state machine in batch mode): both must emit these exact
+    * flags — the predicate compares HUGEINTs, so rounding can never flip
+    * a flag on any engine. */
+  private val anomalyOracle =
+    """WITH s AS (SELECT user_id, epoch_ms(ts) AS msv, event_id,
+      |        floor(value * 100)::BIGINT AS c
+      |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |p AS (SELECT user_id, msv, event_id, c,
+      |        row_number() OVER (PARTITION BY user_id
+      |                           ORDER BY msv, event_id) AS i,
+      |        sum(c) OVER (PARTITION BY user_id ORDER BY msv, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS cs,
+      |        sum(c::HUGEINT * c) OVER (PARTITION BY user_id
+      |                     ORDER BY msv, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS css
+      |      FROM s),
+      |d AS (SELECT user_id, event_id, msv, c, i - 1 AS n,
+      |        cs - c AS sm, css - c::HUGEINT * c AS ss
+      |      FROM p),
+      |e AS (SELECT *, c::HUGEINT * n - sm AS dev,
+      |        n::HUGEINT * ss - sm::HUGEINT * sm AS var FROM d)
+      |SELECT user_id, event_id, msv AS anomaly_ms, c AS cents,
+      |  n::BIGINT AS n_prior,
+      |  floor(dev::DOUBLE / sqrt(var::DOUBLE) * 1000000) / 1000000 AS z
+      |FROM e
+      |WHERE n >= 5 AND var > 0 AND dev::HUGEINT * dev > 9 * var"""
+      .stripMargin
+
   /** Shared by q_transitions (batch lag twin) and q_transitions_stream
     * (state machine in batch mode): both must emit this exact matrix. */
   private val transitionsOracle =
@@ -1204,6 +1233,19 @@ object SparkEntry {
         Tables.events(s, dir).withColumn("cents",
           floor(col("value") * 100).cast("long")),
         "user_id", "ts", "event_id", "cents", 3, 5)),
+    // the SAME flags from the streaming moment-state machine run in batch
+    // mode — per-key state is three int64 moments, fixed-size forever
+    "q_anomaly_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      graft.streaming.StateMachines.expandingAnomalies(
+          graft.streaming.StateMachines.valuedEvents(ev, col("user_id"),
+            unix_millis(col("ts")), col("event_id"), col("cents")), 3, 5)
+        .select(col("key").cast("long").as("user_id"),
+          col("tiebreak").as("event_id"), col("anomaly_ms"),
+          col("value").as("cents"), col("n_prior"), col("z"))
+    }),
     // map each event type's spend distribution onto the global one:
     // rank-exact quantile normalization — the target rank ⌈r·N/n⌉ is
     // integer arithmetic, the lookup a rank-cell equi-join (rangeJoin's
@@ -3363,32 +3405,9 @@ object SparkEntry {
         |         * 1000000) / 1000000 END AS trimmed_mean
         |FROM t GROUP BY 1""".stripMargin,
 
-    // the same prior-prefix integer moments; the flag predicate compares
-    // HUGEINTs, so rounding can never flip a flag on either engine
-    "q_anomaly" ->
-      """WITH s AS (SELECT user_id, epoch_ms(ts) AS msv, event_id,
-        |        floor(value * 100)::BIGINT AS c
-        |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-        |p AS (SELECT user_id, msv, event_id, c,
-        |        row_number() OVER (PARTITION BY user_id
-        |                           ORDER BY msv, event_id) AS i,
-        |        sum(c) OVER (PARTITION BY user_id ORDER BY msv, event_id
-        |                     ROWS UNBOUNDED PRECEDING) AS cs,
-        |        sum(c::HUGEINT * c) OVER (PARTITION BY user_id
-        |                     ORDER BY msv, event_id
-        |                     ROWS UNBOUNDED PRECEDING) AS css
-        |      FROM s),
-        |d AS (SELECT user_id, event_id, msv, c, i - 1 AS n,
-        |        cs - c AS sm, css - c::HUGEINT * c AS ss
-        |      FROM p),
-        |e AS (SELECT *, c::HUGEINT * n - sm AS dev,
-        |        n::HUGEINT * ss - sm::HUGEINT * sm AS var FROM d)
-        |SELECT user_id, event_id, msv AS anomaly_ms, c AS cents,
-        |  n::BIGINT AS n_prior,
-        |  floor(dev::DOUBLE / sqrt(var::DOUBLE) * 1000000) / 1000000 AS z
-        |FROM e
-        |WHERE n >= 5 AND var > 0 AND dev::HUGEINT * dev > 9 * var"""
-        .stripMargin,
+    // the shared prior-prefix integer-moment oracle checks both forms
+    "q_anomaly" -> anomalyOracle,
+    "q_anomaly_stream" -> anomalyOracle,
 
     // the same ⌈r·N/n⌉ integer target rank; the rank→value lookup is a
     // plain non-equi join here (DuckDB's planner handles it at oracle

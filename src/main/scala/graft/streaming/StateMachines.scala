@@ -10,6 +10,15 @@ import scala.collection.mutable.ArrayBuffer
   * layer); `tiebreak` makes per-key ordering total and deterministic. */
 case class KeyedEvent(key: String, tsMs: Long, tiebreak: Long, kind: String)
 
+/** Value-carrying twin of KeyedEvent for the moment-sum machines. */
+case class ValuedEvent(key: String, tsMs: Long, tiebreak: Long, value: Long)
+
+/** Running prior-prefix moments for expandingAnomalies: count, Σv, Σv². */
+case class MomentState(n: Long, s: Long, ss: Long)
+
+case class AnomalyFlag(key: String, tiebreak: Long, anomaly_ms: Long,
+                       value: Long, n_prior: Long, z: Double)
+
 case class IntervalAlert(key: String, ts_ms: Long, gap_ms: Long)
 case class TransitionPair(key: String, from_state: String, to_state: String)
 case class ActionDuration(key: String, action: String, duration_ms: Long)
@@ -48,6 +57,17 @@ object StateMachines {
     df.select(key.cast("string").as("key"), tsMs.cast("long").as("tsMs"),
       tiebreak.cast("long").as("tiebreak"), kind.cast("string").as("kind"))
       .as[KeyedEvent]
+
+  implicit val valuedEventEnc: Encoder[ValuedEvent] = Encoders.product[ValuedEvent]
+  implicit val momentStateEnc: Encoder[MomentState] = Encoders.product[MomentState]
+  implicit val anomalyFlagEnc: Encoder[AnomalyFlag] = Encoders.product[AnomalyFlag]
+
+  /** Value-carrying projection for the moment-sum machines. */
+  def valuedEvents(df: DataFrame, key: Column, tsMs: Column, tiebreak: Column,
+                   value: Column): Dataset[ValuedEvent] =
+    df.select(key.cast("string").as("key"), tsMs.cast("long").as("tsMs"),
+      tiebreak.cast("long").as("tiebreak"), value.cast("long").as("value"))
+      .as[ValuedEvent]
 
   /** Resolve the timeout mode for an optional TTL. */
   private def timeoutConf(stateTtlMs: Option[Long]): GroupStateTimeout =
@@ -215,4 +235,57 @@ object StateMachines {
           out.iterator
         }
     }
+
+  /** Streaming form of CoreOps.expandingAnomaly: per key, state is THREE
+    * int64 moments of everything seen so far (count, Σv, Σv²) — fixed-size
+    * per key regardless of stream length. Each event is judged against the
+    * PRIOR moments with the batch twin's exact-integer predicate
+    * (v·n − S)² > k²·(n·SS − S²), evaluated here in BigInt (the executor-
+    * side equivalent of the Column form's decimal(38,0) — no rounding can
+    * flip a flag), then folded in. The reported z mirrors the batch
+    * trunc6 chain operand-for-operand: BigInteger→double and
+    * decimal(38,0)→double are both correctly rounded, so batch and stream
+    * agree bit-for-bit. In batch mode each key's whole history arrives in
+    * one sorted invocation, so the output EQUALS CoreOps.expandingAnomaly
+    * and the SAME DuckDB oracle checks both (q_anomaly /
+    * q_anomaly_stream). On a live stream, arrival order governs across
+    * micro-batches (the transitionPairs contract). State-sum overflow
+    * (per-key Σv² past ~9.2·10¹⁸ — |v| beyond the ~3·10⁹-cent grid) fails
+    * LOUD via addExact/multiplyExact rather than wrapping into silent
+    * wrong flags. */
+  def expandingAnomalies(events: Dataset[ValuedEvent], k: Int, minPrior: Int,
+                         stateTtlMs: Option[Long] = None)
+      : Dataset[AnomalyFlag] = {
+    require(k > 0, s"k (σ multiplier) must be positive, got $k")
+    require(minPrior >= 2, s"minPrior must be >= 2, got $minPrior")
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[ValuedEvent],
+       state: GroupState[MomentState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = ArrayBuffer.empty[AnomalyFlag]
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            if (st.n >= minPrior) {
+              val dev = BigInt(e.value) * st.n - st.s
+              val vr = BigInt(st.n) * st.ss - BigInt(st.s) * st.s
+              if (vr > 0 && dev * dev > BigInt(k.toLong * k) * vr) {
+                val z = math.floor(dev.toDouble / math.sqrt(vr.toDouble)
+                  * 1000000d) / 1000000d
+                out += AnomalyFlag(key, e.tiebreak, e.tsMs, e.value, st.n, z)
+              }
+            }
+            st = MomentState(Math.addExact(st.n, 1L),
+              Math.addExact(st.s, e.value),
+              Math.addExact(st.ss, Math.multiplyExact(e.value, e.value)))
+          }
+          state.update(st)
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          out.iterator
+        }
+    }
+  }
 }

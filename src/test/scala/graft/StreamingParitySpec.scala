@@ -37,6 +37,37 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("expandingAnomalies(streaming) == expandingAnomaly(batch twin), " +
+      "moments span batches") {
+    // alternating 10/12 prefix in batch 1; the spike arrives in batch 2,
+    // judged against moments REMEMBERED from batch 1
+    val batch1 = Seq(
+      ValuedEvent("1", 0, 1, 10), ValuedEvent("1", 1, 2, 12),
+      ValuedEvent("1", 2, 3, 10), ValuedEvent("1", 3, 4, 12),
+      ValuedEvent("1", 4, 5, 10))
+    val batch2 = Seq(
+      ValuedEvent("1", 5, 6, 12), ValuedEvent("1", 6, 7, 100),
+      ValuedEvent("2", 0, 8, 50)) // cold start: never flags
+    val input = MemoryStream[ValuedEvent]
+    val q = StateMachines.expandingAnomalies(input.toDS(), 3, 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ea_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("ea_par").as[AnomalyFlag].collect().toSet
+      val twin = graft.operators.CoreOps.expandingAnomaly(
+          (batch1 ++ batch2).toDF()
+            .withColumn("ts", timestamp_millis(col("tsMs"))).drop("tsMs"),
+          "key", "ts", "tiebreak", "value", 3, 5)
+        .select(col("key"), col("tiebreak"), col("anomaly_ms"),
+          col("value"), col("n_prior"), col("z"))
+        .as[AnomalyFlag].collect().toSet
+      assert(streamed == twin)
+      assert(streamed.map(f => (f.key, f.tiebreak)) == Set(("1", 7L)))
+    } finally q.stop()
+  }
+
   test("transitionPairs(streaming) == batch lag twin, chain spans batches") {
     val batch1 = Seq(
       KeyedEvent("1", 1000, 1, "a"), KeyedEvent("1", 2000, 2, "b"),
