@@ -1246,6 +1246,20 @@ object SparkEntry {
           col("tiebreak").as("event_id"), col("anomaly_ms"),
           col("value").as("cents"), col("n_prior"), col("z"))
     }),
+    // the same Welch machinery per event type — one partial-agg'd keyed
+    // shuffle, one row per segment: did the cohort mean move, and WHERE?
+    "q_welch_by_type" -> ((s, dir) =>
+      CoreOps.welchTTestByGroup(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "event_type", pmod(col("user_id"), lit(2)) === 0, "cents")),
+    // calibration curve: spend cents binned on an exact integer grid vs
+    // the purchase rate per bin — ONE hash agg onto <= 10 rows
+    "q_calibration" -> ((s, dir) =>
+      CoreOps.calibrationCurve(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "cents", col("event_type") === "purchase", 0L, 50000L, 10)),
     // map each event type's spend distribution onto the global one:
     // rank-exact quantile normalization — the target rank ⌈r·N/n⌉ is
     // integer arithmetic, the lookup a rank-cell equi-join (rangeJoin's
@@ -3408,6 +3422,53 @@ object SparkEntry {
     // the shared prior-prefix integer-moment oracle checks both forms
     "q_anomaly" -> anomalyOracle,
     "q_anomaly_stream" -> anomalyOracle,
+
+    // the same per-cohort moment sums with a GROUP BY; chains identical
+    "q_welch_by_type" ->
+      """WITH s AS (SELECT event_type, floor(value * 100)::BIGINT AS c,
+        |        user_id % 2 = 0 AS a
+        |      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |t AS (SELECT event_type,
+        |        count(CASE WHEN a THEN 1 END)::DOUBLE AS na,
+        |        sum(CASE WHEN a THEN c END)::DOUBLE AS sa,
+        |        sum(CASE WHEN a THEN c::HUGEINT * c END)::DOUBLE AS ssa,
+        |        count(CASE WHEN NOT a THEN 1 END)::DOUBLE AS nb,
+        |        sum(CASE WHEN NOT a THEN c END)::DOUBLE AS sb,
+        |        sum(CASE WHEN NOT a THEN c::HUGEINT * c END)::DOUBLE AS ssb
+        |      FROM s GROUP BY 1),
+        |u AS (SELECT *, na * ssa - sa * sa AS va,
+        |        nb * ssb - sb * sb AS vb FROM t),
+        |v AS (SELECT *, va / (na - 1) / na / na AS sna,
+        |        vb / (nb - 1) / nb / nb AS snb FROM u),
+        |w AS (SELECT *, sna + snb AS den, sa / na - sb / nb AS d FROM v)
+        |SELECT event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  CASE WHEN na > 0
+        |       THEN floor(sa / na * 1000000) / 1000000 END AS mean_a,
+        |  CASE WHEN nb > 0
+        |       THEN floor(sb / nb * 1000000) / 1000000 END AS mean_b,
+        |  CASE WHEN na > 1 AND nb > 1 AND den > 0
+        |       THEN floor(d * d / den * 1000000) / 1000000 END AS t2,
+        |  CASE WHEN na > 1 AND nb > 1 AND den > 0
+        |       THEN floor(den * den
+        |                  / (sna * sna / (na - 1) + snb * snb / (nb - 1))
+        |                  * 1000000) / 1000000 END AS df_welch
+        |FROM w""".stripMargin,
+
+    // the same exact-integer bin edges; out-of-range scores clamp
+    "q_calibration" ->
+      """WITH s AS (SELECT floor(value * 100)::BIGINT AS c,
+        |        event_type = 'purchase' AS y
+        |      FROM events
+        |      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT least(greatest((c - 0) * 10 // 50000, 0), 9) AS bin,
+        |        c, y FROM s)
+        |SELECT bin, count(*)::BIGINT AS n,
+        |  count(CASE WHEN y THEN 1 END)::BIGINT AS n_pos,
+        |  floor(sum(c)::DOUBLE / count(*)::DOUBLE * 1000000) / 1000000
+        |    AS mean_score,
+        |  floor(count(CASE WHEN y THEN 1 END)::DOUBLE / count(*)::DOUBLE
+        |        * 1000000) / 1000000 AS pos_rate
+        |FROM b GROUP BY 1""".stripMargin,
 
     // the same ⌈r·N/n⌉ integer target rank; the rank→value lookup is a
     // plain non-equi join here (DuckDB's planner handles it at oracle

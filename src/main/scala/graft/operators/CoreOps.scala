@@ -2765,19 +2765,41 @@ object CoreOps {
     * (n_a, n_b, mean_a, mean_b, t2, df_welch) in INPUT units; cohorts
     * with n ≤ 1 or zero pooled variance yield NULL t2/df_welch, empty
     * cohorts also NULL means. */
-  def welchTTest(df: DataFrame, cohortA: Column, value: String): DataFrame = {
+  def welchTTest(df: DataFrame, cohortA: Column, value: String): DataFrame =
+    welchStats(df, Nil, cohortA, value)
+
+  /** Per-group Welch's t² — welchTTest once per group value in the same
+    * single conditional-count pass (one partial-agg'd keyed shuffle, one
+    * row per group), the ksStatisticByGroup pattern: did the cohort mean
+    * move, and in WHICH segment? Same exactness contract and NULL
+    * discipline as welchTTest. Emits
+    * (group, n_a, n_b, mean_a, mean_b, t2, df_welch). */
+  def welchTTestByGroup(df: DataFrame, group: String, cohortA: Column,
+                        value: String): DataFrame = {
+    val emitted = Seq("n_a", "n_b", "mean_a", "mean_b", "t2", "df_welch")
+    require(!emitted.contains(group),
+      s"welchTTestByGroup emits ${emitted.mkString(", ")}; rename the " +
+        "group column")
+    welchStats(df, Seq(col(group)), cohortA, value)
+  }
+
+  private def welchStats(df: DataFrame, groupCols: Seq[Column],
+                         cohortA: Column, value: String): DataFrame = {
     require(integralTypes.contains(df.schema(value).dataType),
       s"welchTTest accumulates '$value' as exact integers; got " +
         s"${df.schema(value).dataType} — scale to cents/int64 first")
     val vd = col(value).cast("decimal(19,0)")
-    val stats = df.filter(col(value).isNotNull && cohortA.isNotNull)
-      .agg(
-        count(when(cohortA, lit(1))).cast("double").as("_na"),
-        sum(when(cohortA, vd)).cast("double").as("_sa"),
-        sum(when(cohortA, vd * vd)).cast("double").as("_ssa"),
-        count(when(!cohortA, lit(1))).cast("double").as("_nb"),
-        sum(when(!cohortA, vd)).cast("double").as("_sb"),
-        sum(when(!cohortA, vd * vd)).cast("double").as("_ssb"))
+    val aggs = Seq(
+      count(when(cohortA, lit(1))).cast("double").as("_na"),
+      sum(when(cohortA, vd)).cast("double").as("_sa"),
+      sum(when(cohortA, vd * vd)).cast("double").as("_ssa"),
+      count(when(!cohortA, lit(1))).cast("double").as("_nb"),
+      sum(when(!cohortA, vd)).cast("double").as("_sb"),
+      sum(when(!cohortA, vd * vd)).cast("double").as("_ssb"))
+    val filtered = df.filter(col(value).isNotNull && cohortA.isNotNull)
+    val stats =
+      if (groupCols.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
+      else filtered.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
     // fixed left-assoc chains, mirrored verbatim in the oracle SQL
     val va = col("_na") * col("_ssa") - col("_sa") * col("_sa")
     val vb = col("_nb") * col("_ssb") - col("_sb") * col("_sb")
@@ -2786,7 +2808,7 @@ object CoreOps {
     val den = sna + snb
     val d = col("_sa") / col("_na") - col("_sb") / col("_nb")
     val ok = col("_na") > 1d && col("_nb") > 1d && den > 0d
-    stats.select(
+    stats.select(groupCols ++ Seq(
       col("_na").cast("long").as("n_a"), col("_nb").cast("long").as("n_b"),
       when(col("_na") > 0d,
         floor(col("_sa") / col("_na") * 1000000d) / 1000000d).as("mean_a"),
@@ -2796,7 +2818,7 @@ object CoreOps {
       when(ok, floor(den * den
           / (sna * sna / (col("_na") - 1d) + snb * snb / (col("_nb") - 1d))
           * 1000000d) / 1000000d)
-        .as("df_welch"))
+        .as("df_welch")): _*)
   }
 
   /** Per-group trimmed mean — the robust location estimate between the
@@ -2973,5 +2995,49 @@ object CoreOps {
       .filter(col("_t") > col("_lo") && col("_t") <= col("_pc"))
       .select(col(group), col(tiebreak), col(value),
         col("_v").as("qn_value"))
+  }
+
+  /** Calibration / reliability curve — bucket an integral SCORE into
+    * `nBins` equal-width bins over [lo, hi) and report, per bin, how the
+    * observed positive rate tracks the mean score: the "is the model's
+    * confidence honest?" diagnostic read before trusting scores as
+    * probabilities downstream (quality-score gating, curation thresholds).
+    * Bin assignment is EXACT integer arithmetic — ⌊(s−lo)·bins/(hi−lo)⌋
+    * via the make-divisible-then-divide trick, so a score can never
+    * straddle a bin edge through float rounding; out-of-range scores
+    * clamp into the edge bins (they carry signal — a spike at the clamp
+    * is itself a red flag — and dropping them silently would fake
+    * coverage). Counts and score sums accumulate exactly (int64 +
+    * decimal); mean score and positive rate are single trunc6'd
+    * divisions. Plan shape: ONE partial-agg'd hash agg onto ≤ nBins rows
+    * — nothing scales with input but the scan. NULL scores/outcomes
+    * drop. Emits (bin, n, n_pos, mean_score, pos_rate) for bins that
+    * OCCUR, in INPUT units. */
+  def calibrationCurve(df: DataFrame, score: String, outcome: Column,
+                       lo: Long, hi: Long, nBins: Int): DataFrame = {
+    require(hi > lo, s"need lo < hi, got [$lo, $hi)")
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(integralTypes.contains(df.schema(score).dataType),
+      s"calibrationCurve bins '$score' on an exact integer grid; got " +
+        s"${df.schema(score).dataType} — scale to cents/int64 first")
+    val emitted = Seq("bin", "n", "n_pos", "mean_score", "pos_rate")
+    require(!df.columns.exists(emitted.contains),
+      s"calibrationCurve emits ${emitted.mkString(", ")}; rename inputs")
+    val width = hi - lo
+    // exact: (s−lo)·bins made divisible by width before the divide, then
+    // clamped into [0, nBins)
+    val num = (col(score).cast("long") - lo) * nBins.toLong
+    val rawBin = ((num - pmod(num, lit(width))) / lit(width)).cast("long")
+    val bin = least(greatest(rawBin, lit(0L)), lit(nBins.toLong - 1L))
+    df.filter(col(score).isNotNull && outcome.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        count(when(outcome, lit(1))).as("n_pos"),
+        sum(col(score).cast("decimal(19,0)")).cast("double").as("_s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (floor(col("_s") / col("n").cast("double") * 1000000d) / 1000000d)
+          .as("mean_score"),
+        (floor(col("n_pos").cast("double") / col("n").cast("double")
+          * 1000000d) / 1000000d).as("pos_rate"))
   }
 }

@@ -323,6 +323,12 @@ object syntax {
     def quantileNormalize(group: String, value: String, tiebreak: String,
                           grainRanks: Long = 1024L): DataFrame =
       CoreOps.quantileNormalize(df, group, value, tiebreak, grainRanks)
+    def welchTTestByGroup(group: String, cohortA: Column,
+                          value: String): DataFrame =
+      CoreOps.welchTTestByGroup(df, group, cohortA, value)
+    def calibrationCurve(score: String, outcome: Column, lo: Long, hi: Long,
+                         nBins: Int): DataFrame =
+      CoreOps.calibrationCurve(df, score, outcome, lo, hi, nBins)
     def journeyPattern(key: String, ts: String, tiebreak: String,
                        payload: String, maxEvents: Int, pattern: String,
                        sep: String = ">"): DataFrame =

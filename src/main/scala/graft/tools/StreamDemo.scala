@@ -162,6 +162,15 @@ object StreamDemo {
       "operation", "event_time", "1 second", "5 seconds") { (out, _) =>
       driftRows.addAndGet(out.count())
     }.start()
+    // continuous expanding-window anomaly flags: each user's duration is
+    // judged against the running moments of everything BEFORE it — three
+    // int64s of state per key however long the stream runs
+    val q11 = StateMachines.expandingAnomalies(
+        StateMachines.valuedEvents(audit, col("user"),
+          unix_millis(col("event_time")), col("id"), col("duration")),
+        3, 5)
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     def audited: Long = q3.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
     val deadline = System.currentTimeMillis() + 30000
@@ -173,11 +182,12 @@ object StreamDemo {
     println(s"[demo] rate phase: observer counted $audited audit records through " +
       s"continuous session-window, stream-stream window-join, as-of join, " +
       s"interval-join, windowed heavy-hitter, upsert-compaction, fuzzy-" +
-      s"resolve and windowed-drift queries (${asofRows.get()} as-of rows, " +
+      s"resolve, windowed-drift and expanding-anomaly queries " +
+      s"(${asofRows.get()} as-of rows, " +
       s"$stateRows state rows, ${fuzzyRows.get()} fuzzy matches, " +
       s"${driftRows.get()} drift rows)")
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
-    q10.stop()
+    q10.stop(); q11.stop()
     spark.stop()
   }
 }

@@ -1326,4 +1326,47 @@ class CoreOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       CoreOps.quantileNormalize(df, "g", "c", "eid", 0L))
   }
+
+  test("welchTTestByGroup: each group's stats equal the single-group run " +
+      "on that slice") {
+    val df = Seq(("x", true, 10L), ("x", true, 20L), ("x", false, 30L),
+      ("x", false, 40L), ("x", false, 50L),
+      ("y", true, 1L), ("y", true, 5L), ("y", false, 2L), ("y", false, 8L))
+      .toDF("g", "a", "c")
+    val byGroup = CoreOps.welchTTestByGroup(df, "g", col("a"), "c")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    Seq("x", "y").foreach { g =>
+      val single = CoreOps.welchTTest(df.filter(col("g") === g),
+        col("a"), "c")
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+          Option[Double])].collect().head
+      assert(byGroup(g) == single, s"group $g")
+    }
+    assertThrows[IllegalArgumentException](
+      CoreOps.welchTTestByGroup(df.withColumnRenamed("g", "t2"),
+        "t2", col("a"), "c"))
+  }
+
+  test("calibrationCurve: exact integer bin edges, clamped out-of-range, " +
+      "per-bin positive rates") {
+    val df = Seq((5L, true), (5L, false), (15L, true), (25L, false),
+      (-3L, false), (105L, true)) // -3 clamps to bin 0, 105 to bin 9
+      .toDF("s", "y")
+    val got = CoreOps.calibrationCurve(df, "s", col("y"), 0L, 100L, 10)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def t6(x: Double) = math.floor(x * 1000000d) / 1000000d
+    assert(got.keySet == Set(0L, 1L, 2L, 9L))
+    assert(got(0L) == ((3L, 1L, t6(7d / 3d), t6(1d / 3d)))) // 5,5,-3
+    assert(got(1L) == ((1L, 1L, 15.0, 1.0)))
+    assert(got(2L) == ((1L, 0L, 25.0, 0.0)))
+    assert(got(9L) == ((1L, 1L, 105.0, 1.0)))
+    assertThrows[IllegalArgumentException](
+      CoreOps.calibrationCurve(df, "s", col("y"), 0L, 0L, 10))
+    assertThrows[IllegalArgumentException](
+      CoreOps.calibrationCurve(df.withColumn("s", col("s").cast("double")),
+        "s", col("y"), 0L, 100L, 10))
+  }
 }
