@@ -415,6 +415,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 5)
     }),
+    // noisy-label screen: each audited point's 10 exact-cosine neighbors
+    // vote on its label — the audit slice is a deterministic hash pick
+    // (broadcast), the corpus scan embarrassingly parallel
+    "q_knn_disagree" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnLabelDisagreement(emb,
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+        "vec_id", "embedding", "label", 10)
+    }),
     // recall@5 of cosine search in the 8-dim PROJECTED space vs exact
     // 64-dim search — the same gauge q_sq_recall/q_pq_recall give their
     // compression tiers, so the JL path's quality is measured, not assumed
@@ -2294,6 +2303,26 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |      FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+
+    // the same fold-exact cosine ranking; NULL neighbor labels count
+    // toward k but not disagreement on both engines
+    "q_knn_disagree" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |        label AS qlab
+         |      FROM embeddings WHERE vec_id % 10 = 0 AND label IS NOT NULL),
+         |s AS (SELECT q.query_id, q.qlab, e.vec_id AS neighbor_id,
+         |        e.label AS nlab,
+         |        ${sqlCosine("q.qe", "e.embedding")} AS score
+         |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, qlab, nlab,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, neighbor_id) AS rank
+         |      FROM s)
+         |SELECT query_id, max(qlab) AS label, count(*)::BIGINT AS k_actual,
+         |  count(CASE WHEN nlab <> qlab THEN 1 END)::BIGINT AS n_disagree,
+         |  floor(count(CASE WHEN nlab <> qlab THEN 1 END)::DOUBLE
+         |        / count(*)::DOUBLE * 1000000) / 1000000 AS disagree_rate
+         |FROM r WHERE rank <= 10 GROUP BY 1""".stripMargin,
 
     // projection + 8-dim cosine + exact 64-dim cosine, all fold-exact; the
     // recall join mirrors q_sq_recall's

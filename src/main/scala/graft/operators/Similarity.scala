@@ -55,6 +55,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** k-NN label disagreement — the noisy-label screen: for each audited
+    * point, how many of its k nearest neighbors (exact cosine) carry a
+    * DIFFERENT label? A high rate marks the point for relabel/drop review
+    * before it poisons training. `queries` is the audit slice and must be
+    * small (broadcast — pick it with the deterministic hash-sample
+    * pattern, the docSample contract: the audit is a QA gauge, so a
+    * seeded sample is the 100 TB shape; a FULL self-audit composes the
+    * lshTopKMulti candidate join instead of this broadcast). Neighbor
+    * ranking is bruteForceTopK's exactly: fold-exact cosine, score-desc
+    * with id tiebreak, self-matches excluded. NULL-label query points
+    * drop (nothing to disagree with); NULL-label NEIGHBORS count toward
+    * k but not toward disagreement (unknown ≠ different — flagging on
+    * missing labels would conflate two data bugs). `k_actual` ≤ k when
+    * the corpus is small. Emits
+    * (query_id, label, k_actual, n_disagree, disagree_rate). */
+  def knnLabelDisagreement(corpus: DataFrame, queries: DataFrame,
+                           id: String, vec: String, label: String,
+                           k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.filter(col(label).isNotNull)
+      .select(col(id).as("query_id"), col(vec).as("_qv"),
+        col(label).as("_qlab"))
+    val scored = corpus
+      .select(col(id).as("neighbor_id"), col(vec).as("_cv"),
+        col(label).as("_nlab"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("_score", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_score").desc, col("neighbor_id"))
+    scored.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(max(col("_qlab")).as("label"),
+        count(lit(1)).as("k_actual"),
+        count(when(col("_nlab") =!= col("_qlab"), lit(1)))
+          .as("n_disagree"))
+      .select(col("query_id"), col("label"), col("k_actual"),
+        col("n_disagree"),
+        (floor(col("n_disagree").cast("double")
+          / col("k_actual").cast("double") * 1000000d) / 1000000d)
+          .as("disagree_rate"))
+  }
+
   /** Johnson–Lindenstrauss random projection: reduce `vec` to `m` dense
     * features `rp_0..rp_{m-1}`, each the exact sequential-fold dot against
     * a deterministic ±1 plane — the database-friendly JL matrix

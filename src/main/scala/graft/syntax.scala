@@ -244,6 +244,9 @@ object syntax {
       TextOps.ngramVocab(df, text, n, topN)
     def cosineTopK(queries: DataFrame, id: String, vec: String, k: Int): DataFrame =
       Similarity.bruteForceTopK(df, queries, id, vec, k)
+    def knnLabelDisagreement(queries: DataFrame, id: String, vec: String,
+                             label: String, k: Int): DataFrame =
+      Similarity.knnLabelDisagreement(df, queries, id, vec, label, k)
     def randomProject(vec: String, dims: Int, m: Int, planeOffset: Int = 0,
                       prefix: String = "rp_"): DataFrame =
       Similarity.randomProject(df, vec, dims, m, planeOffset, prefix)

@@ -28,6 +28,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3) == Seq(1L, 2L)) // nearest is vec 1, then the tie (2,3) → id 2
   }
 
+  test("knnLabelDisagreement: neighbor labels vote against the query's; " +
+      "NULL neighbor labels count toward k but not disagreement") {
+    // labels: 0 -> A, 1 -> A, 2 -> B, 3 -> NULL
+    val df = vecs.toDF("vec_id", "embedding").withColumn("label",
+      when(col("vec_id") < 2, "A").when(col("vec_id") === 2, "B"))
+    val got = Similarity.knnLabelDisagreement(df,
+        df.filter(col("vec_id") === 0), "vec_id", "embedding", "label", 2)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    // vec 0's 2 nearest: vec 1 (A, agrees), vec 2 (B, disagrees) -> rate 0.5
+    assert(got == Seq((0L, "A", 2L, 1L, 0.5)))
+    // k above corpus size: all 3 neighbors, the NULL-label one not counted
+    val all = Similarity.knnLabelDisagreement(df,
+        df.filter(col("vec_id") === 0), "vec_id", "embedding", "label", 10)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(all == Seq((0L, "A", 3L,
+      1L, math.floor(1d / 3d * 1000000d) / 1000000d)))
+    // NULL-label query points drop
+    assert(Similarity.knnLabelDisagreement(df,
+      df.filter(col("vec_id") === 3), "vec_id", "embedding", "label", 2)
+      .isEmpty)
+    assertThrows[IllegalArgumentException](
+      Similarity.knnLabelDisagreement(df, df, "vec_id", "embedding",
+        "label", 0))
+  }
+
   test("hyperplaneSig: identical vectors share a bucket; sig is deterministic") {
     val df = Seq((0L, Seq(0.5f, -0.5f, 1.0f, 2.0f)), (1L, Seq(0.5f, -0.5f, 1.0f, 2.0f)))
       .toDF("vec_id", "embedding")
