@@ -2764,7 +2764,9 @@ object CoreOps {
     * loud under ANSI. Emits ONE row
     * (n_a, n_b, mean_a, mean_b, t2, df_welch) in INPUT units; cohorts
     * with n ≤ 1 or zero pooled variance yield NULL t2/df_welch, empty
-    * cohorts also NULL means. */
+    * cohorts also NULL means. The plan is streaming-compatible VERBATIM
+    * (complete mode — one conditional agg; StreamingParitySpec pins the
+    * final table to the batch run). */
   def welchTTest(df: DataFrame, cohortA: Column, value: String): DataFrame =
     welchStats(df, Nil, cohortA, value)
 
@@ -3012,7 +3014,8 @@ object CoreOps {
     * divisions. Plan shape: ONE partial-agg'd hash agg onto ≤ nBins rows
     * — nothing scales with input but the scan. NULL scores/outcomes
     * drop. Emits (bin, n, n_pos, mean_score, pos_rate) for bins that
-    * OCCUR, in INPUT units. */
+    * OCCUR, in INPUT units. Streaming-compatible VERBATIM (complete/
+    * update mode — one hash agg on ≤ nBins keys; StreamingParitySpec). */
   def calibrationCurve(df: DataFrame, score: String, outcome: Column,
                        lo: Long, hi: Long, nBins: Int): DataFrame = {
     require(hi > lo, s"need lo < hi, got [$lo, $hi)")

@@ -74,7 +74,14 @@ class PlanLintSpec extends SparkSpec {
       "q_drawdown" -> Set("user_id", "ts", "event_id", "value"),
       "q_ltv" -> Set("user_id", "ts", "value"),
       "q_mode" -> Set("user_id", "event_type"),
-      "q_lexical_diversity" -> Set("doc_id", "text"))
+      "q_lexical_diversity" -> Set("doc_id", "text"),
+      // this round's statistics-tier scans stay minimal too
+      "q_welch" -> Set("user_id", "value"),
+      "q_welch_by_type" -> Set("user_id", "event_type", "value"),
+      "q_trimmed_mean" -> Set("event_type", "event_id", "value"),
+      "q_anomaly" -> Set("user_id", "ts", "event_id", "value"),
+      "q_calibration" -> Set("event_type", "value"),
+      "q_knn_disagree" -> Set("vec_id", "embedding", "label"))
     expected.foreach { case (name, cols) =>
       val all = nodes(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
       val scans = all.collect {

@@ -68,6 +68,32 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("welchTTest and calibrationCurve run UNCHANGED on a stream " +
+      "(complete mode): the final table equals the batch run") {
+    val rows = Seq((true, 10L), (true, 20L), (false, 30L), (false, 40L),
+      (false, 50L))
+    val input = MemoryStream[(Boolean, Long)]
+    val sdf = input.toDF().toDF("a", "c")
+    val qw = graft.operators.CoreOps.welchTTest(sdf, col("a"), "c")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wt_par").start()
+    val qc = graft.operators.CoreOps.calibrationCurve(sdf, "c", col("a"),
+        0L, 100L, 10)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cc_par").start()
+    try {
+      input.addData(rows.take(2)); qw.processAllAvailable(); qc.processAllAvailable()
+      input.addData(rows.drop(2)); qw.processAllAvailable(); qc.processAllAvailable()
+      val batch = rows.toDF("a", "c")
+      assert(spark.table("wt_par").collect().toSet ==
+        graft.operators.CoreOps.welchTTest(batch, col("a"), "c")
+          .collect().toSet)
+      assert(spark.table("cc_par").collect().toSet ==
+        graft.operators.CoreOps.calibrationCurve(batch, "c", col("a"),
+          0L, 100L, 10).collect().toSet)
+    } finally { qw.stop(); qc.stop() }
+  }
+
   test("transitionPairs(streaming) == batch lag twin, chain spans batches") {
     val batch1 = Seq(
       KeyedEvent("1", 1000, 1, "a"), KeyedEvent("1", 2000, 2, "b"),
