@@ -1452,6 +1452,18 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("n_tokens",
           size(TextOps.tokens(col("text"))).cast("long")),
         "lang", "n_chars", "n_tokens")),
+    // price on quantity CONTROLLING for discount: two-regressor OLS via
+    // Cramer's rule on the exact-decimal 3×3 Gram moments — the fixed
+    // double chain mirrored operand-for-operand in the oracle
+    "q_regression2" -> ((s, dir) =>
+      CoreOps.exactRegression2(
+        Tables.lineitem(s, dir)
+          .withColumn("price_cents",
+            floor(col("l_extendedprice") * 100).cast("long"))
+          .withColumn("qty", floor(col("l_quantity")).cast("long"))
+          .withColumn("disc_pct",
+            floor(col("l_discount") * 100).cast("long")),
+        "l_returnflag", "price_cents", "qty", "disc_pct")),
     // decile assignment within language by doc length — ntile with a full
     // deterministic (n_chars, doc_id) ordering
     "q_ntile" -> ((s, dir) =>
@@ -3958,6 +3970,48 @@ object SparkEntry {
          |                  * 1000000) / 1000000
          |  END AS intercept
          |FROM s""".stripMargin,
+
+    // the same nine exact moments; Cramer determinants expanded in the
+    // IDENTICAL operand order as the Column chain
+    "q_regression2" ->
+      """WITH s AS (SELECT l_returnflag AS g,
+        |        floor(l_extendedprice * 100)::BIGINT AS yv,
+        |        floor(l_quantity)::BIGINT AS x1,
+        |        floor(l_discount * 100)::BIGINT AS x2
+        |      FROM lineitem
+        |      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |        AND l_discount IS NOT NULL),
+        |m AS (SELECT g, count(*)::DOUBLE AS n,
+        |        sum(x1)::DOUBLE AS s1, sum(x2)::DOUBLE AS s2,
+        |        sum(yv)::DOUBLE AS sy,
+        |        sum(x1::HUGEINT * x1)::DOUBLE AS s11,
+        |        sum(x1::HUGEINT * x2)::DOUBLE AS s12,
+        |        sum(x2::HUGEINT * x2)::DOUBLE AS s22,
+        |        sum(x1::HUGEINT * yv)::DOUBLE AS s1y,
+        |        sum(x2::HUGEINT * yv)::DOUBLE AS s2y,
+        |        sum(yv::HUGEINT * yv)::DOUBLE AS syy
+        |      FROM s GROUP BY 1),
+        |d AS (SELECT *,
+        |        n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |          + s2 * (s1 * s12 - s11 * s2) AS dd,
+        |        sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |          + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        |        n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |          + s2 * (s1 * s2y - s1y * s2) AS d1,
+        |        n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |          + sy * (s1 * s12 - s11 * s2) AS d2
+        |      FROM m),
+        |b AS (SELECT *, d0 / dd AS b0, d1 / dd AS b1, d2 / dd AS b2,
+        |        syy - sy * sy / n AS sst FROM d)
+        |SELECT g AS l_returnflag, n::BIGINT AS n,
+        |  CASE WHEN dd > 0 THEN floor(b0 * 1000000) / 1000000 END AS b0,
+        |  CASE WHEN dd > 0 THEN floor(b1 * 1000000) / 1000000 END AS b1,
+        |  CASE WHEN dd > 0 THEN floor(b2 * 1000000) / 1000000 END AS b2,
+        |  CASE WHEN dd > 0 AND sst > 0
+        |       THEN floor((1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+        |                         / sst) * 1000000) / 1000000
+        |  END AS r2
+        |FROM b""".stripMargin,
 
     "q_ntile" ->
       """SELECT doc_id, lang, n_chars,

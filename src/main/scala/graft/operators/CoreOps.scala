@@ -758,6 +758,66 @@ object CoreOps {
       when(va > 0, floor(intercept * 1000000d) / 1000000d).as("intercept"))
   }
 
+  /** Two-regressor least squares per group — y = b0 + b1·x1 + b2·x2 via
+    * the normal equations, the "does x1 still matter once x2 is
+    * controlled for?" question simple regression cannot answer (price on
+    * quantity controlling for discount). Same determinism contract as
+    * exactCorr: the NINE moment sums accumulate EXACTLY (decimal sums of
+    * int64 products — order-independent under any partitioning), then a
+    * fixed double chain — Cramer's rule on the 3×3 Gram determinant,
+    * every ±,*,/ correctly rounded over identical operands in identical
+    * order, mirrored operand-for-operand in the oracle, trunc6'd — so
+    * results are bit-identical on any engine/partitioning. One
+    * partial-agg'd keyed shuffle, O(groups) output. Pairwise-non-NULL
+    * rows only (a NULL in ANY of the three columns drops the row);
+    * groups whose Gram determinant is ≤ 0 (collinear or degenerate
+    * regressors, n < 3) emit NULL coefficients; zero-variance y emits
+    * NULL r2. Inputs integral with per-group moment sums (incl. Σx²,
+    * Σy²) under 10^38 — pre-scale epoch-sized columns; ANSI fails loud.
+    * Emits (group, n, b0, b1, b2, r2). */
+  def exactRegression2(df: DataFrame, group: String, y: String,
+                       x1: String, x2: String): DataFrame = {
+    requireIntegralCols(df, Seq(y, x1, x2), "exactRegression2")
+    val emitted = Seq("n", "b0", "b1", "b2", "r2")
+    require(!emitted.contains(group),
+      s"exactRegression2 emits ${emitted.mkString(", ")}; rename the " +
+        "group column")
+    val all = col(y).isNotNull && col(x1).isNotNull && col(x2).isNotNull
+    val (yd, x1d, x2d) = (col(y).cast("decimal(19,0)"),
+      col(x1).cast("decimal(19,0)"), col(x2).cast("decimal(19,0)"))
+    val stats = df.filter(all).groupBy(col(group)).agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(x1d).cast("double").as("_s1"),
+      sum(x2d).cast("double").as("_s2"),
+      sum(yd).cast("double").as("_sy"),
+      sum(x1d * x1d).cast("double").as("_s11"),
+      sum(x1d * x2d).cast("double").as("_s12"),
+      sum(x2d * x2d).cast("double").as("_s22"),
+      sum(x1d * yd).cast("double").as("_s1y"),
+      sum(x2d * yd).cast("double").as("_s2y"),
+      sum(yd * yd).cast("double").as("_syy"))
+    // 3×3 determinant, fixed expansion order — mirrored in the oracle
+    def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+             f: Column, g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val (n, s1, s2, sy) = (col("_n"), col("_s1"), col("_s2"), col("_sy"))
+    val (s11, s12, s22) = (col("_s11"), col("_s12"), col("_s22"))
+    val (s1y, s2y, syy) = (col("_s1y"), col("_s2y"), col("_syy"))
+    val dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    val (b0, b1, b2) = (d0 / dd, d1 / dd, d2 / dd)
+    val sst = syy - sy * sy / n
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    def t6(c: Column) = floor(c * 1000000d) / 1000000d
+    stats.select(col(group), n.cast("long").as("n"),
+      when(dd > 0d, t6(b0)).as("b0"),
+      when(dd > 0d, t6(b1)).as("b1"),
+      when(dd > 0d, t6(b2)).as("b2"),
+      when(dd > 0d && sst > 0d, t6(lit(1.0d) - sse / sst)).as("r2"))
+  }
+
   /** Robust per-group outlier flags via median/MAD — the curation filter
     * that survives the heavy-tailed distributions mean/stddev z-scores
     * drown in: robust_z = 0.6745 · (x − median) / MAD, flagged when

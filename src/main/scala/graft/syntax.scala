@@ -332,6 +332,9 @@ object syntax {
     def calibrationCurve(score: String, outcome: Column, lo: Long, hi: Long,
                          nBins: Int): DataFrame =
       CoreOps.calibrationCurve(df, score, outcome, lo, hi, nBins)
+    def exactRegression2(group: String, y: String, x1: String,
+                         x2: String): DataFrame =
+      CoreOps.exactRegression2(df, group, y, x1, x2)
     def journeyPattern(key: String, ts: String, tiebreak: String,
                        payload: String, maxEvents: Int, pattern: String,
                        sep: String = ">"): DataFrame =

@@ -1327,6 +1327,43 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.quantileNormalize(df, "g", "c", "eid", 0L))
   }
 
+  test("exactRegression2: recovers an exact planar fit; collinear and " +
+      "tiny groups yield NULL coefficients; integral guard") {
+    // y = 2 + 3·x1 + 5·x2 exactly -> b=(2,3,5), sse=0
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 1L))
+    val df = pts.map { case (a, b) => ("g", 2 + 3 * a + 5 * b, a, b) }
+      .toDF("g", "y", "x1", "x2")
+    val got = CoreOps.exactRegression2(df, "g", "y", "x1", "x2")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    def t6(x: Double) = math.floor(x * 1000000d) / 1000000d
+    // expectations through the operator's own fixed double chain
+    val (n, s1, s2, sy) = (5d, 4d, 3d, 37d)
+    val (s11, s12, s22) = (6d, 3d, 3d)
+    val (s1y, s2y, syy) = (41d, 30d, 347d)
+    def det3(a: Double, b: Double, c: Double, d: Double, e: Double,
+             f: Double, g: Double, h: Double, i: Double) =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / dd
+    val b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / dd
+    val b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / dd
+    val sst = syy - sy * sy / n
+    val r2 = 1.0d - (syy - b0 * sy - b1 * s1y - b2 * s2y) / sst
+    assert(got == (("g", 5L, Some(t6(b0)), Some(t6(b1)), Some(t6(b2)),
+      Some(t6(r2)))))
+    // collinear regressors (x2 = 2·x1): Gram determinant exactly 0
+    val coll = Seq(1L, 2L, 3L, 4L)
+      .map(a => ("c", a, a, 2 * a)).toDF("g", "y", "x1", "x2")
+    val gc = CoreOps.exactRegression2(coll, "g", "y", "x1", "x2")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(gc == (("c", 4L, None, None, None, None)))
+    assertThrows[IllegalArgumentException](
+      CoreOps.exactRegression2(df.withColumn("y", col("y").cast("double")),
+        "g", "y", "x1", "x2"))
+  }
+
   test("welchTTestByGroup: each group's stats equal the single-group run " +
       "on that slice") {
     val df = Seq(("x", true, 10L), ("x", true, 20L), ("x", false, 30L),
