@@ -497,4 +497,82 @@ class PropertySpec extends SparkSpec {
       a.count() + b.count() == rows.size
     })
   }
+
+  // (key, ms, unique eid, small signed value) — shared by the round-7
+  // statistics properties
+  private val keyedValsGen: Gen[List[(String, Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("a", "b", "c")
+      ms <- Gen.choose(0L, 1000L)
+      v <- Gen.choose(-50L, 50L)
+    } yield (k, ms, v))
+  } yield rows.zipWithIndex.map { case ((k, ms, v), i) => (k, ms, i.toLong, v) }
+
+  test("property: expandingAnomaly flags equal the BigInt brute force " +
+      "under any partitioning") {
+    check(Prop.forAll(keyedValsGen, Gen.choose(1, 7)) { (rows, nPart) =>
+      val df = rows.toDF("k", "ms", "eid", "v")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+        .repartition(nPart)
+      val got = CoreOps.expandingAnomaly(df, "k", "ts", "eid", "v", 2, 3)
+        .select("k", "eid").as[(String, Long)].collect().toSet
+      val want = rows.groupBy(_._1).toList.flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        var n = 0L; var s = BigInt(0); var ss = BigInt(0)
+        sorted.flatMap { case (_, _, eid, v) =>
+          val flag = n >= 3 && {
+            val dev = BigInt(v) * n - s
+            val vr = BigInt(n) * ss - s * s
+            vr > 0 && dev * dev > BigInt(4) * vr
+          }
+          n += 1; s += v; ss += BigInt(v) * v
+          if (flag) Some((k, eid)) else None
+        }
+      }.toSet
+      got == want
+    })
+  }
+
+  test("property: trimmedMean equals the sorted-trim fold (ties, any " +
+      "trim fraction)") {
+    check(Prop.forAll(keyedValsGen, Gen.choose(0, 499)) { (rows, trim) =>
+      val df = rows.toDF("g", "ms", "eid", "v").drop("ms")
+      val got = CoreOps.trimmedMean(df, "g", "v", "eid", trim)
+        .as[(String, Long, Long, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(r => (r._4, r._3)).sorted
+        val n = sorted.size
+        val t = n * trim / 1000
+        val kept = sorted.slice(t, n - t).map(_._1)
+        val mean =
+          if (kept.isEmpty) None
+          else Some(math.floor(kept.map(BigInt(_)).sum.toDouble
+            / kept.size.toDouble * 1000000d) / 1000000d)
+        g -> ((n.toLong, kept.size.toLong, mean))
+      }
+      got == want
+    })
+  }
+
+  test("property: quantileNormalize maps within-group rank r of n to the " +
+      "global value at rank ceil(r*N/n), at any grain") {
+    check(Prop.forAll(keyedValsGen, Gen.oneOf(1L, 7L, 1024L)) { (rows, grain) =>
+      val df = rows.toDF("g", "ms", "eid", "v").drop("ms")
+      val got = CoreOps.quantileNormalize(df, "g", "v", "eid", grain)
+        .select("eid", "qn_value").as[(Long, Long)].collect().toMap
+      val globalSorted = rows.map(_._4).sorted
+      val nn = globalSorted.size
+      val want = rows.groupBy(_._1).toList.flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._4, r._3))
+        val n = sorted.size
+        sorted.zipWithIndex.map { case ((_, _, eid, _), i) =>
+          val t = ((i + 1).toLong * nn + n - 1) / n
+          eid -> globalSorted((t - 1).toInt)
+        }
+      }.toMap
+      got == want
+    })
+  }
 }
