@@ -1536,6 +1536,12 @@ object SparkEntry {
       CoreOps.funnel(Tables.events(s, dir), "user_id", "ts",
         Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"))),
+    // the same funnel under a 24h per-stage conversion deadline — the
+    // attribution-window form; all-integer ms comparisons
+    "q_funnel_timed" -> ((s, dir) =>
+      CoreOps.funnelTimed(Tables.events(s, dir), "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), 86400000L)),
     // the flatMapGroupsWithState form vs the SAME oracle: in batch mode each
     // key's events arrive in one sorted invocation, so the state walk equals
     // the join-chain exactly
@@ -4131,6 +4137,21 @@ object SparkEntry {
         |SELECT e.user_id, c.t0, c.t1, min(epoch_ms(e.ts)) AS t2
         |FROM events e JOIN c ON e.user_id = c.user_id
         |WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t1
+        |GROUP BY e.user_id, c.t0, c.t1""".stripMargin,
+
+    // the same greedy chain with the 24h per-stage deadline on each hop
+    "q_funnel_timed" ->
+      """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.t0, min(epoch_ms(e.ts)) AS t1
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t0
+        |        AND epoch_ms(e.ts) - v.t0 <= 86400000
+        |      GROUP BY e.user_id, v.t0)
+        |SELECT e.user_id, c.t0, c.t1, min(epoch_ms(e.ts)) AS t2
+        |FROM events e JOIN c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t1
+        |  AND epoch_ms(e.ts) - c.t1 <= 86400000
         |GROUP BY e.user_id, c.t0, c.t1""".stripMargin,
 
     "q_funnel_stream" ->

@@ -497,7 +497,31 @@ object CoreOps {
     * per-key event lists, no collect of event sequences — the funnel state
     * per key is just the stage timestamps. */
   def funnel(df: DataFrame, key: String, ts: String,
-             stages: Seq[Column]): DataFrame = {
+             stages: Seq[Column]): DataFrame =
+    funnelImpl(df, key, ts, stages, None)
+
+  /** Timed conversion funnel — funnel with a per-stage deadline: stage
+    * i+1 must land within `maxGapMs` of stage i's time or the chain does
+    * not advance (the "purchase within 72h of click" attribution-window
+    * semantics every real funnel report carries; the unbounded form
+    * credits conversions a year late). Same greedy earliest-chain
+    * contract as funnel — t0 is the key's FIRST stage-0 event and each
+    * t_{i+1} the earliest qualifying successor, so a later stage-0
+    * occurrence that would have completed inside the window is not
+    * explored (documented, matches the streaming machine's
+    * first-match-wins walk). Same plan shape: one aggregate per stage,
+    * each a keyed equi-join + min — per-key state is the carried stage
+    * times, never an event list. All-integer ms comparisons; engines
+    * cannot disagree. */
+  def funnelTimed(df: DataFrame, key: String, ts: String,
+                  stages: Seq[Column], maxGapMs: Long): DataFrame = {
+    require(maxGapMs > 0, s"maxGapMs must be positive, got $maxGapMs")
+    funnelImpl(df, key, ts, stages, Some(maxGapMs))
+  }
+
+  private def funnelImpl(df: DataFrame, key: String, ts: String,
+                         stages: Seq[Column],
+                         maxGapMs: Option[Long]): DataFrame = {
     require(stages.size >= 2, s"a funnel needs >= 2 stages, got ${stages.size}")
     // no internal-name guard needed: every stage projects to (key, _ms) or
     // aggregates to (key, t0..ti), so input columns never ride along
@@ -505,9 +529,11 @@ object CoreOps {
     var acc = df.filter(stages.head).groupBy(col(key)).agg(min(ms).as("t0"))
     stages.tail.zipWithIndex.foreach { case (pred, i) =>
       val carried = (0 to i).map(j => col(s"t$j"))
+      val inWindow = maxGapMs.map(g => col("_ms") - col(s"t$i") <= g)
+        .getOrElse(lit(true))
       acc = df.filter(pred).select(col(key), ms.as("_ms"))
         .join(acc, Seq(key))
-        .filter(col("_ms") > col(s"t$i"))
+        .filter(col("_ms") > col(s"t$i") && inWindow)
         .groupBy((col(key) +: carried): _*)
         .agg(min(col("_ms")).as(s"t${i + 1}"))
     }

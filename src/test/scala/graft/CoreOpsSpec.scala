@@ -1327,6 +1327,30 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.quantileNormalize(df, "g", "c", "eid", 0L))
   }
 
+  test("funnelTimed: a stage landing past the deadline stops the chain; " +
+      "inside it the timed funnel equals the unbounded one") {
+    val df = Seq(
+      // u1: view@0 -> click@50 -> purchase@80: all inside a 100ms window
+      (1L, 0L, "view"), (1L, 50L, "click"), (1L, 80L, "purchase"),
+      // u2: click arrives 200ms after view -> chain stops at stage 0
+      (2L, 0L, "view"), (2L, 200L, "click"), (2L, 250L, "purchase"),
+      // u3: click in time, purchase 150ms after the click -> 2 stages only
+      (3L, 0L, "view"), (3L, 90L, "click"), (3L, 240L, "purchase"))
+      .toDF("u", "msr", "et")
+      .withColumn("ts", timestamp_millis(col("msr"))).drop("msr")
+    val stages = Seq(col("et") === "view", col("et") === "click",
+      col("et") === "purchase")
+    val timed = CoreOps.funnelTimed(df, "u", "ts", stages, 100L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(timed == Seq((1L, 0L, 50L, 80L))) // only u1 completes
+    // u1 completes in the unbounded funnel too, identically
+    val free = CoreOps.funnel(df.filter(col("u") === 1L), "u", "ts", stages)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(free == Seq((1L, 0L, 50L, 80L)))
+    assertThrows[IllegalArgumentException](
+      CoreOps.funnelTimed(df, "u", "ts", stages, 0L))
+  }
+
   test("exactRegression2: recovers an exact planar fit; collinear and " +
       "tiny groups yield NULL coefficients; integral guard") {
     // y = 2 + 3·x1 + 5·x2 exactly -> b=(2,3,5), sse=0
