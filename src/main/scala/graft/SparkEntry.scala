@@ -68,6 +68,23 @@ object SparkEntry {
       |WHERE n >= 5 AND var > 0 AND dev::HUGEINT * dev > 9 * var"""
       .stripMargin
 
+  /** Shared by q_funnel_timed (batch join-chain) and
+    * q_funnel_timed_stream (state machine in batch mode): the greedy
+    * earliest-chain under a 24h per-stage deadline. */
+  private val funnelTimedOracle =
+    """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, v.t0, min(epoch_ms(e.ts)) AS t1
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t0
+      |        AND epoch_ms(e.ts) - v.t0 <= 86400000
+      |      GROUP BY e.user_id, v.t0)
+      |SELECT e.user_id, c.t0, c.t1, min(epoch_ms(e.ts)) AS t2
+      |FROM events e JOIN c ON e.user_id = c.user_id
+      |WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t1
+      |  AND epoch_ms(e.ts) - c.t1 <= 86400000
+      |GROUP BY e.user_id, c.t0, c.t1""".stripMargin
+
   /** Shared by q_transitions (batch lag twin) and q_transitions_stream
     * (state machine in batch mode): both must emit this exact matrix. */
   private val transitionsOracle =
@@ -1549,6 +1566,17 @@ object SparkEntry {
       val ke = graft.streaming.StateMachines.keyedEvents(Tables.events(s, dir),
         col("user_id"), unix_millis(col("ts")), col("event_id"), col("event_type"))
       graft.streaming.StateMachines.funnelStages(ke, Seq("view", "click", "purchase"))
+        .select(col("key").cast("long").as("user_id"),
+          element_at(col("times"), 1).as("t0"),
+          element_at(col("times"), 2).as("t1"),
+          element_at(col("times"), 3).as("t2"))
+    }),
+    // the timed state machine in batch mode vs the SAME deadline oracle
+    "q_funnel_timed_stream" -> ((s, dir) => {
+      val ke = graft.streaming.StateMachines.keyedEvents(Tables.events(s, dir),
+        col("user_id"), unix_millis(col("ts")), col("event_id"), col("event_type"))
+      graft.streaming.StateMachines.funnelStages(ke,
+          Seq("view", "click", "purchase"), maxGapMs = Some(86400000L))
         .select(col("key").cast("long").as("user_id"),
           element_at(col("times"), 1).as("t0"),
           element_at(col("times"), 2).as("t1"),
@@ -4139,20 +4167,10 @@ object SparkEntry {
         |WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t1
         |GROUP BY e.user_id, c.t0, c.t1""".stripMargin,
 
-    // the same greedy chain with the 24h per-stage deadline on each hop
-    "q_funnel_timed" ->
-      """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
-        |           WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT e.user_id, v.t0, min(epoch_ms(e.ts)) AS t1
-        |      FROM events e JOIN v ON e.user_id = v.user_id
-        |      WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t0
-        |        AND epoch_ms(e.ts) - v.t0 <= 86400000
-        |      GROUP BY e.user_id, v.t0)
-        |SELECT e.user_id, c.t0, c.t1, min(epoch_ms(e.ts)) AS t2
-        |FROM events e JOIN c ON e.user_id = c.user_id
-        |WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t1
-        |  AND epoch_ms(e.ts) - c.t1 <= 86400000
-        |GROUP BY e.user_id, c.t0, c.t1""".stripMargin,
+    // the same greedy chain with the 24h per-stage deadline on each hop;
+    // the batch join-chain and the state machine must both emit it
+    "q_funnel_timed" -> funnelTimedOracle,
+    "q_funnel_timed_stream" -> funnelTimedOracle,
 
     "q_funnel_stream" ->
       """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events

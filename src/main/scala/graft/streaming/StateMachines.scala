@@ -162,15 +162,22 @@ object StateMachines {
     * times completed so far; an event advances the funnel iff it matches
     * the NEXT stage's kind and is strictly later than the previous stage
     * time; completing the last stage emits (key, times) once and freezes
-    * the key. In batch mode every key's events arrive in one sorted
-    * invocation, so the output equals the batch funnel exactly (the same
-    * oracle checks both). On a live stream, arrival order governs across
-    * micro-batches like the other machines here: a late-arriving EARLIER
-    * first-stage event cannot retract an already-advanced funnel — the
-    * standard append-mode trade, documented rather than hidden. */
+    * the key. With `maxGapMs` set it is the streaming form of
+    * CoreOps.funnelTimed instead: the event must ALSO land within the
+    * deadline of the previous stage time or the walk does not advance
+    * (first-match-wins, the batch twin's greedy contract). In batch mode
+    * every key's events arrive in one sorted invocation, so the output
+    * equals the matching batch funnel exactly (the same oracle checks
+    * both). On a live stream, arrival order governs across micro-batches
+    * like the other machines here: a late-arriving EARLIER first-stage
+    * event cannot retract an already-advanced funnel — the standard
+    * append-mode trade, documented rather than hidden. */
   def funnelStages(events: Dataset[KeyedEvent], stages: Seq[String],
-                   stateTtlMs: Option[Long] = None): Dataset[FunnelCompletion] = {
+                   stateTtlMs: Option[Long] = None,
+                   maxGapMs: Option[Long] = None): Dataset[FunnelCompletion] = {
     require(stages.size >= 2, s"a funnel needs >= 2 stages, got ${stages.size}")
+    require(maxGapMs.forall(_ > 0),
+      s"maxGapMs must be positive, got $maxGapMs")
     events.groupByKey(_.key).flatMapGroupsWithState(
       OutputMode.Append, timeoutConf(stateTtlMs)) {
       (key: String, it: Iterator[KeyedEvent], state: GroupState[FunnelState]) =>
@@ -184,7 +191,8 @@ object StateMachines {
           val out = ArrayBuffer.empty[FunnelCompletion]
           it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
             if (!done && e.kind == stages(times.size) &&
-                (times.isEmpty || e.tsMs > times.last)) {
+                (times.isEmpty || (e.tsMs > times.last &&
+                  maxGapMs.forall(g => e.tsMs - times.last <= g)))) {
               times = times :+ e.tsMs
               if (times.size == stages.size) {
                 done = true
