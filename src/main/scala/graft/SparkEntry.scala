@@ -1101,6 +1101,14 @@ object SparkEntry {
     "q_basket_lift" -> ((s, dir) =>
       Graph.basketLift(coorderItems(s, dir),
         "l_orderkey", "l_partkey", LiftSupport, LiftMaxBasket)),
+    // token collocations are basketLift VERBATIM over (doc, token) —
+    // which word pairs co-occur in documents beyond independence; the
+    // same self-join-on-basket bound, tokens as items
+    "q_token_lift" -> ((s, dir) =>
+      Graph.basketLift(
+        Tables.documents(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        "doc_id", "tok", 20L, 40)),
     // triangle census of the support-filtered co-order graph: the Spark
     // side counts via degree-oriented wedges (hub-proof); the oracle
     // brute-forces the same census with a canonical 3-way join
@@ -3203,6 +3211,28 @@ object SparkEntry {
          |        count(*)::BIGINT AS n_ab
          |      FROM kept a JOIN kept b USING (bk) WHERE a.it < b.it
          |      GROUP BY 1, 2 HAVING count(*) >= $LiftSupport)
+         |SELECT item_a, item_b, n_ab, fa.n AS n_a, fb.n AS n_b, n_baskets,
+         |  floor((n_ab * n_baskets)::DOUBLE / (fa.n * fb.n)::DOUBLE
+         |        * 1000000) / 1000000 AS lift
+         |FROM pairs
+         |JOIN freq fa ON fa.it = item_a
+         |JOIN freq fb ON fb.it = item_b
+         |CROSS JOIN tot""".stripMargin,
+
+    // the same basketLift SQL over the (doc, token) incidence
+    "q_token_lift" ->
+      s"""WITH items AS (SELECT DISTINCT doc_id AS bk, tok AS it
+         |    FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |    WHERE doc_id IS NOT NULL AND tok IS NOT NULL),
+         |kept AS (SELECT i.bk, i.it FROM items i JOIN (
+         |    SELECT bk FROM items GROUP BY bk
+         |    HAVING count(*) <= 40) s USING (bk)),
+         |tot AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM kept),
+         |freq AS (SELECT it, count(*)::BIGINT AS n FROM kept GROUP BY 1),
+         |pairs AS (SELECT a.it AS item_a, b.it AS item_b,
+         |        count(*)::BIGINT AS n_ab
+         |      FROM kept a JOIN kept b USING (bk) WHERE a.it < b.it
+         |      GROUP BY 1, 2 HAVING count(*) >= 20)
          |SELECT item_a, item_b, n_ab, fa.n AS n_a, fb.n AS n_b, n_baskets,
          |  floor((n_ab * n_baskets)::DOUBLE / (fa.n * fb.n)::DOUBLE
          |        * 1000000) / 1000000 AS lift
