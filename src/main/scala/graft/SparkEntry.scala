@@ -432,6 +432,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 5)
     }),
+    // per-label embedding drift between two hash slices of the corpus:
+    // two ordered centroid folds + one fold-exact cosine per label
+    "q_centroid_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.centroidDrift(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "label", "vec_id", "embedding", EmbDims)
+    }),
     // noisy-label screen: each audited point's 10 exact-cosine neighbors
     // vote on its label — the audit slice is a deterministic hash pick
     // (broadcast), the corpus scan embarrassingly parallel
@@ -2357,6 +2366,32 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |      FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+
+    // the same ordered centroid folds per slice, then the shared cosine
+    // chain on the two DOUBLE centroids
+    "q_centroid_drift" ->
+      s"""WITH ma AS (SELECT label, count(*)::BIGINT AS n_a,
+         |        list(embedding ORDER BY vec_id) AS vs
+         |      FROM embeddings WHERE vec_id % 2 = 0 GROUP BY label),
+         |mb AS (SELECT label, count(*)::BIGINT AS n_b,
+         |        list(embedding ORDER BY vec_id) AS vs
+         |      FROM embeddings WHERE vec_id % 2 = 1 GROUP BY label),
+         |ca AS (SELECT label, n_a,
+         |        [list_reduce(list_prepend(0.0::DOUBLE,
+         |           [vs[m][d+1]::DOUBLE for m in range(1, len(vs)+1)]),
+         |           (a,b) -> a+b) / len(vs)::DOUBLE
+         |         for d in range(0,$EmbDims)] AS c
+         |      FROM ma),
+         |cb AS (SELECT label, n_b,
+         |        [list_reduce(list_prepend(0.0::DOUBLE,
+         |           [vs[m][d+1]::DOUBLE for m in range(1, len(vs)+1)]),
+         |           (a,b) -> a+b) / len(vs)::DOUBLE
+         |         for d in range(0,$EmbDims)] AS c
+         |      FROM mb)
+         |SELECT ca.label, n_a, n_b,
+         |  floor(${sqlCosine("ca.c", "cb.c")} * 1000000) / 1000000
+         |    AS drift_cos
+         |FROM ca JOIN cb ON ca.label = cb.label""".stripMargin,
 
     // the same fold-exact cosine ranking; NULL neighbor labels count
     // toward k but not disagreement on both engines

@@ -350,6 +350,31 @@ object Similarity {
     members.select(col(group), col("n_vecs"), mean.as("centroid"))
   }
 
+  /** Embedding drift between two corpus slices, per label — "did this
+    * class's embedding distribution move between last week's crawl and
+    * this week's?", the ML-ops monitor that catches encoder upgrades,
+    * topic shift, and poisoning before a model trains on it. Each
+    * slice's per-label centroid is groupCentroids VERBATIM (the ordered
+    * member fold keeps every component bit-reproducible), then ONE
+    * fold-exact cosine between the two centroids per label, trunc6'd —
+    * drift_cos near 1 means stable, lower means the class moved. Labels
+    * present in only one slice drop (inner join — nothing to compare;
+    * their arrival/departure is q_snapshot_diff's job). Scale shape: two
+    * grouped collect-fold aggregates (O(labels·dims) state), a keyed
+    * join on O(labels) rows, a map — nothing scales with corpus size
+    * but the two scans. Emits (group, n_a, n_b, drift_cos). */
+  def centroidDrift(a: DataFrame, b: DataFrame, group: String, id: String,
+                    vec: String, dims: Int): DataFrame = {
+    val ca = groupCentroids(a, group, id, vec, dims)
+      .select(col(group), col("n_vecs").as("n_a"), col("centroid").as("_ca"))
+    val cb = groupCentroids(b, group, id, vec, dims)
+      .select(col(group), col("n_vecs").as("n_b"), col("centroid").as("_cb"))
+    ca.join(cb, Seq(group))
+      .select(col(group), col("n_a"), col("n_b"),
+        (floor(cosine(col("_ca"), col("_cb")) * 1000000d) / 1000000d)
+          .as("drift_cos"))
+  }
+
   // ── scalar quantization: int8-per-dimension compression ────────────────
 
   /** Per-dimension [min, max] bounds over the corpus — the training pass of

@@ -247,6 +247,9 @@ object syntax {
     def knnLabelDisagreement(queries: DataFrame, id: String, vec: String,
                              label: String, k: Int): DataFrame =
       Similarity.knnLabelDisagreement(df, queries, id, vec, label, k)
+    def centroidDrift(other: DataFrame, group: String, id: String,
+                      vec: String, dims: Int): DataFrame =
+      Similarity.centroidDrift(df, other, group, id, vec, dims)
     def randomProject(vec: String, dims: Int, m: Int, planeOffset: Int = 0,
                       prefix: String = "rp_"): DataFrame =
       Similarity.randomProject(df, vec, dims, m, planeOffset, prefix)

@@ -53,6 +53,23 @@ class SimilaritySpec extends SparkSpec {
         "label", 0))
   }
 
+  test("centroidDrift: per-label centroid cosine between slices; labels " +
+      "in only one slice drop") {
+    val a = Seq((0L, Seq(1.0f, 0.0f), "X"), (2L, Seq(0.0f, 1.0f), "X"),
+      (4L, Seq(1.0f, 0.0f), "Y")).toDF("vec_id", "embedding", "label")
+    val b = Seq((1L, Seq(1.0f, 1.0f), "X")).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(a, b, "label", "vec_id",
+        "embedding", 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // centroid A(X) = (0.5, 0.5), B(X) = (1, 1); expectation through the
+    // operator's own fold/sqrt/divide chain
+    def dotF(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).foldLeft(0.0d) { case (acc, (p, q)) => acc + p * q }
+    val (ca, cb) = (Seq(0.5d, 0.5d), Seq(1.0d, 1.0d))
+    val cos = dotF(ca, cb) / (math.sqrt(dotF(ca, ca)) * math.sqrt(dotF(cb, cb)))
+    assert(got == Seq(("X", 2L, 1L, math.floor(cos * 1000000d) / 1000000d)))
+  }
+
   test("hyperplaneSig: identical vectors share a bucket; sig is deterministic") {
     val df = Seq((0L, Seq(0.5f, -0.5f, 1.0f, 2.0f)), (1L, Seq(0.5f, -0.5f, 1.0f, 2.0f)))
       .toDF("vec_id", "embedding")
