@@ -745,6 +745,17 @@ object SparkEntry {
       Similarity.sqTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 5, EmbDims)
     }),
+    // hybrid retrieval: exact-cosine and int8-compressed rank lists for
+    // the same queries fused by reciprocal rank — per-query partitioned
+    // end-to-end, no global sort
+    "q_rrf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 8)
+      Similarity.rrfFuse(
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+        Similarity.sqTopK(emb, q, "vec_id", "embedding", 5, EmbDims),
+        Seq("query_id"), "neighbor_id", "rank", 60)
+    }),
     // recall@5 of the int8 rung — published next to PQ's so the ladder's
     // quality/compression trade reads off the two gauges side by side
     "q_sq_recall" -> ((s, dir) => {
@@ -2554,6 +2565,35 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id
          |          ORDER BY score DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+
+    // exact and SQ rank CTEs fused: full-outer on (query, neighbor),
+    // absent rank contributes 0, the same two-division chain
+    "q_rrf" ->
+      s"""WITH $sqlSqCtes,
+         |sqr AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM s)
+         |      , sq5 AS (SELECT * FROM sqr WHERE rank <= 5),
+         |bq AS (SELECT vec_id AS query_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id < 8),
+         |bs AS (SELECT bq.query_id, e.vec_id AS neighbor_id,
+         |        ${sqlCosine("bq.qe", "e.embedding")} AS score
+         |      FROM bq, embeddings e WHERE e.vec_id <> bq.query_id),
+         |br AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank FROM bs),
+         |b5 AS (SELECT * FROM br WHERE rank <= 5)
+         |SELECT coalesce(b5.query_id, sq5.query_id) AS query_id,
+         |  coalesce(b5.neighbor_id, sq5.neighbor_id) AS neighbor_id,
+         |  b5.rank AS rank_a, sq5.rank AS rank_b,
+         |  floor((CASE WHEN b5.rank IS NOT NULL
+         |              THEN 1.0 / (60.0 + b5.rank::DOUBLE) ELSE 0.0 END
+         |         + CASE WHEN sq5.rank IS NOT NULL
+         |                THEN 1.0 / (60.0 + sq5.rank::DOUBLE) ELSE 0.0 END)
+         |        * 1000000) / 1000000 AS rrf_score
+         |FROM b5 FULL OUTER JOIN sq5
+         |  ON b5.query_id = sq5.query_id
+         |  AND b5.neighbor_id = sq5.neighbor_id""".stripMargin,
 
     "q_sq_recall" ->
       s"""WITH $sqlSqCtes,

@@ -375,6 +375,39 @@ object Similarity {
           .as("drift_cos"))
   }
 
+  /** Reciprocal-rank fusion — merge two ranked retrieval lists into one
+    * hybrid score: rrf(d) = Σ over lists containing d of 1/(k + rank_d),
+    * the standard trick for fusing rankings whose raw scores are not
+    * comparable (BM25 vs cosine, exact vs compressed search). Join on
+    * (`keys`, `id`) — keys carry the query id so every fused list stays
+    * PARTITIONED (no global sort, no unpartitioned window anywhere);
+    * items present in only one list keep their one term (full-outer
+    * join, absent rank contributes 0 — the canonical formulation).
+    * The score is a fixed double chain (two divisions, one add,
+    * mirrored operand-for-operand), trunc6'd; final ordering is the
+    * consumer's ORDER BY (rrf_score DESC, id) — deliberately not a
+    * window here so the operator composes into further per-query work
+    * without forcing a sort. Emits (keys…, id, rank_a, rank_b,
+    * rrf_score). */
+  def rrfFuse(a: DataFrame, b: DataFrame, keys: Seq[String], id: String,
+              rank: String, kRrf: Int): DataFrame = {
+    require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    val emitted = Seq("rank_a", "rank_b", "rrf_score")
+    val clash = (keys :+ id).intersect(emitted)
+    require(clash.isEmpty,
+      s"rrfFuse emits ${emitted.mkString(", ")}; rename ${clash.mkString(", ")}")
+    val on = keys :+ id
+    val ja = a.select((on.map(col) :+ col(rank).as("rank_a")): _*)
+    val jb = b.select((on.map(col) :+ col(rank).as("rank_b")): _*)
+    def term(r: Column): Column =
+      when(r.isNotNull, lit(1.0d) / (lit(kRrf.toDouble) + r.cast("double")))
+        .otherwise(lit(0.0d))
+    ja.join(jb, on, "full_outer")
+      .select(on.map(col) ++ Seq(col("rank_a"), col("rank_b"),
+        (floor((term(col("rank_a")) + term(col("rank_b"))) * 1000000d)
+          / 1000000d).as("rrf_score")): _*)
+  }
+
   // ── scalar quantization: int8-per-dimension compression ────────────────
 
   /** Per-dimension [min, max] bounds over the corpus — the training pass of

@@ -250,6 +250,9 @@ object syntax {
     def centroidDrift(other: DataFrame, group: String, id: String,
                       vec: String, dims: Int): DataFrame =
       Similarity.centroidDrift(df, other, group, id, vec, dims)
+    def rrfFuse(other: DataFrame, keys: Seq[String], id: String,
+                rank: String, kRrf: Int = 60): DataFrame =
+      Similarity.rrfFuse(df, other, keys, id, rank, kRrf)
     def randomProject(vec: String, dims: Int, m: Int, planeOffset: Int = 0,
                       prefix: String = "rp_"): DataFrame =
       Similarity.randomProject(df, vec, dims, m, planeOffset, prefix)

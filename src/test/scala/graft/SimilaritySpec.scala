@@ -70,6 +70,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(("X", 2L, 1L, math.floor(cos * 1000000d) / 1000000d)))
   }
 
+  test("rrfFuse: shared items sum both reciprocal terms, one-list items " +
+      "keep one; per-query partitioned join") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((0L, 10L, 2L), (0L, 12L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rrfFuse(a, b, Seq("query_id"), "neighbor_id",
+        "rank", 60)
+      .as[(Long, Long, Option[Long], Option[Long], Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    def t6(x: Double) = math.floor(x * 1000000d) / 1000000d
+    assert(got((0L, 10L)) ==
+      ((Some(1L), Some(2L), t6(1.0 / 61.0 + 1.0 / 62.0))))
+    assert(got((0L, 11L)) == ((Some(2L), None, t6(1.0 / 62.0 + 0.0))))
+    assert(got((0L, 12L)) == ((None, Some(1L), t6(0.0 + 1.0 / 61.0))))
+    assert(got((1L, 20L)) == ((Some(1L), None, t6(1.0 / 61.0 + 0.0))))
+    assertThrows[IllegalArgumentException](
+      Similarity.rrfFuse(a, b, Seq("query_id"), "neighbor_id", "rank", 0))
+  }
+
   test("hyperplaneSig: identical vectors share a bucket; sig is deterministic") {
     val df = Seq((0L, Seq(0.5f, -0.5f, 1.0f, 2.0f)), (1L, Seq(0.5f, -0.5f, 1.0f, 2.0f)))
       .toDF("vec_id", "embedding")
