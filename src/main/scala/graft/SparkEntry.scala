@@ -351,6 +351,21 @@ object SparkEntry {
       CoreOps.asofJoin(purchases, errors, "user_id", "ts", Seq("err_ms", "err_event"))
         .select(col("event_id"), col("user_id"), col("err_ms"), col("err_event"))
     }),
+    // the same as-of carry under a 1h staleness bound: a last-error match
+    // older than an hour is no usable context and nulls out
+    "q_asof_tolerant" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_millis(col("ts")).as("err_ms"), col("event_id"))
+        .groupBy(col("user_id"), col("err_ms"))
+        .agg(max(col("event_id")).as("err_event"))
+        .withColumn("ts", timestamp_millis(col("err_ms")))
+      CoreOps.asofJoinTolerant(purchases, errors, "user_id", "ts",
+          Seq("err_ms", "err_event"), 3600000L)
+        .select(col("event_id"), col("user_id"), col("err_ms"), col("err_event"))
+    }),
 
     // ── §2.7/§2.8 split + tagged merge (E3) ───────────────────────────────
     "q_split_merge" -> ((s, dir) => {
@@ -2196,6 +2211,19 @@ object SparkEntry {
          |e AS (SELECT user_id, $evMs AS err_ms, MAX(event_id) AS err_event
          |      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
          |SELECT p.event_id, p.user_id, e.err_ms, e.err_event
+         |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.err_ms <= p.ms""".stripMargin,
+
+    // the ASOF match is the latest at-or-before; if IT is stale every
+    // candidate is staler, so the bound is a post-join null-out
+    "q_asof_tolerant" ->
+      s"""WITH p AS (SELECT user_id, $evMs AS ms, event_id FROM events
+         |           WHERE event_type = 'purchase'),
+         |e AS (SELECT user_id, $evMs AS err_ms, MAX(event_id) AS err_event
+         |      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+         |SELECT p.event_id, p.user_id,
+         |  CASE WHEN p.ms - e.err_ms <= 3600000 THEN e.err_ms END AS err_ms,
+         |  CASE WHEN p.ms - e.err_ms <= 3600000 THEN e.err_event END
+         |    AS err_event
          |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.err_ms <= p.ms""".stripMargin,
 
     "q_split_merge" ->

@@ -1419,25 +1419,56 @@ object CoreOps {
     * either side is NULL): NULL-ts right rows match nothing and are
     * pre-filtered; NULL-ts left rows come through with NULL payloads. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, ts, rightCols, None)
+
+  /** As-of join with a STALENESS BOUND — the match must be no older than
+    * `maxAgeMs` or the left row keeps NULL payloads, exactly as if no
+    * right row existed: a quote from last Tuesday is not a usable price,
+    * a metadata snapshot from before the schema change must not dress
+    * today's event. Implementation is asofJoin's single-sort carry with
+    * the matched right timestamp carried ALONGSIDE the payload (same
+    * window pass), then one integer ms comparison nulls stale matches —
+    * correct because the as-of match is already the LATEST at-or-before
+    * candidate: if IT is stale, every other candidate is staler. Same
+    * one-shuffle contract and NULL semantics as asofJoin. */
+  def asofJoinTolerant(left: DataFrame, right: DataFrame, key: String,
+                       ts: String, rightCols: Seq[String],
+                       maxAgeMs: Long): DataFrame = {
+    require(maxAgeMs > 0, s"maxAgeMs must be positive, got $maxAgeMs")
+    asofImpl(left, right, key, ts, rightCols, Some(maxAgeMs))
+  }
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       ts: String, rightCols: Seq[String],
+                       maxAgeMs: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
     val rStruct = org.apache.spark.sql.types.StructType(
       rightCols.map(c => right.schema(right.schema.fieldIndex(c))))
     val lNorm = left.select(
       col(key) +: col(ts) +: lit(1).as("_side") +:
-        (leftCols.map(col) :+ lit(null).cast(rStruct).as("_r")): _*)
+        (leftCols.map(col) ++ Seq(lit(null).cast(rStruct).as("_r"),
+          lit(null).cast("long").as("_rts"))): _*)
     val rNorm = right.filter(col(ts).isNotNull).select(
       col(key) +: col(ts) +: lit(0).as("_side") +:
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-          struct(rightCols.map(col): _*).as("_r")): _*)
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(struct(rightCols.map(col): _*).as("_r"),
+            ms(col(ts)).as("_rts"))): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lNorm.unionByName(rNorm)
+    val carried = lNorm.unionByName(rNorm)
       .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .withColumn("_rts", last(col("_rts"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      // NULL-ts left rows sort NULLS FIRST and right NULL-ts rows are gone,
-      // so the carry is already NULL there; this guard states the intent
-      .withColumn("_r", when(col(ts).isNull, lit(null).cast(rStruct)).otherwise(col("_r")))
+    // NULL-ts left rows sort NULLS FIRST and right NULL-ts rows are gone,
+    // so the carry is already NULL there; this guard states the intent.
+    // The staleness bound nulls a carried match older than maxAgeMs.
+    val stale = maxAgeMs.map(g =>
+      col("_rts").isNull || ms(col(ts)) - col("_rts") > g)
+      .getOrElse(lit(false))
+    carried
+      .withColumn("_r", when(col(ts).isNull || stale,
+        lit(null).cast(rStruct)).otherwise(col("_r")))
       .select(col(key) +: col(ts) +: (leftCols.map(col) ++
         rightCols.map(c => col("_r").getField(c).as(c))): _*)
   }

@@ -47,6 +47,9 @@ object syntax {
     def asofJoin(right: DataFrame, key: String, ts: String,
                  rightCols: Seq[String]): DataFrame =
       CoreOps.asofJoin(df, right, key, ts, rightCols)
+    def asofJoinTolerant(right: DataFrame, key: String, ts: String,
+                         rightCols: Seq[String], maxAgeMs: Long): DataFrame =
+      CoreOps.asofJoinTolerant(df, right, key, ts, rightCols, maxAgeMs)
     def rangeJoin(intervals: DataFrame, pointTs: String, startCol: String,
                   endCol: String, grainMs: Long,
                   keys: Seq[String] = Nil): DataFrame =

@@ -1327,6 +1327,32 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.quantileNormalize(df, "g", "c", "eid", 0L))
   }
 
+  test("asofJoinTolerant: fresh matches carry, stale matches null out " +
+      "exactly like no-match; bound guard") {
+    val left = Seq((1L, 100L, 10L), (1L, 500L, 11L), (2L, 100L, 12L))
+      .toDF("k", "msr", "lid")
+      .withColumn("ts", timestamp_millis(col("msr"))).drop("msr")
+    val right = Seq((1L, 90L, 20L), (2L, 5L, 21L))
+      .toDF("k", "rms", "rid")
+      .withColumn("ts", timestamp_millis(col("rms")))
+    val got = CoreOps.asofJoinTolerant(left, right, "k", "ts",
+        Seq("rms", "rid"), 50L)
+      .select("lid", "rms", "rid")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // lid 10: match at 90, age 10 <= 50 -> carries
+    // lid 11: same match, age 410 > 50 -> nulls
+    // lid 12: match at 5, age 95 > 50 -> nulls
+    assert(got == Map(10L -> ((Some(90L), Some(20L))),
+      11L -> ((None, None)), 12L -> ((None, None))))
+    // the unbounded join still carries all three
+    val free = CoreOps.asofJoin(left, right, "k", "ts", Seq("rms", "rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(free == Map(10L -> Some(20L), 11L -> Some(20L), 12L -> Some(21L)))
+    assertThrows[IllegalArgumentException](
+      CoreOps.asofJoinTolerant(left, right, "k", "ts", Seq("rms", "rid"), 0L))
+  }
+
   test("funnelTimed: a stage landing past the deadline stops the chain; " +
       "inside it the timed funnel equals the unbounded one") {
     val df = Seq(
