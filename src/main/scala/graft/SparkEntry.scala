@@ -522,6 +522,16 @@ object SparkEntry {
     // transitive even though near-dup similarity is not)
     "q_dup_clusters" -> ((s, dir) =>
       dupClustersShared(s, dir)),
+    // entity resolution end-to-end: edit-distance pairs (provable-recall
+    // prefix filter) fed into the SAME pointer-jumping closure — records
+    // within 2 edits transitively collapse to one canonical id
+    "q_entity_clusters" -> ((s, dir) => {
+      val heads = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+        .filter(length(col("head")) >= 15)
+      Dedup.dupClusters(Dedup.fuzzyPairs(heads, "doc_id", "head", 5, 2),
+        "doc_a", "doc_b")
+    }),
     // fuzzy string self-join: doc-head pairs within 2 edits via q-gram
     // prefix filtering (provable recall) + banded levenshtein verify. The
     // oracle is the brute-force all-pairs join — a candidate-generation
@@ -4406,6 +4416,23 @@ object SparkEntry {
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $sqlDupClusterCtes
          |SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+
+    // transitive closure over the brute-force edit-distance pair set —
+    // the fuzzy-pairs oracle's graph under the dup-clusters reach CTE
+    "q_entity_clusters" ->
+      """WITH RECURSIVE st AS (SELECT doc_id, substr(text, 1, 24) AS head
+        |      FROM documents WHERE length(substr(text, 1, 24)) >= 15),
+        |fp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM st a JOIN st b ON a.doc_id < b.doc_id
+        |       WHERE levenshtein(a.head, b.head) <= 2),
+        |eg AS (SELECT doc_a AS s, doc_b AS d FROM fp
+        |       UNION SELECT doc_b, doc_a FROM fp),
+        |reach(node, lbl) AS (
+        |  SELECT s, s FROM eg
+        |  UNION
+        |  SELECT e.s, r.lbl FROM eg e JOIN reach r ON e.d = r.node)
+        |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin,
 
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $sqlDupClusterCtes,
