@@ -81,7 +81,18 @@ class PlanLintSpec extends SparkSpec {
       "q_trimmed_mean" -> Set("event_type", "event_id", "value"),
       "q_anomaly" -> Set("user_id", "ts", "event_id", "value"),
       "q_calibration" -> Set("event_type", "value"),
-      "q_knn_disagree" -> Set("vec_id", "embedding", "label"))
+      "q_knn_disagree" -> Set("vec_id", "embedding", "label"),
+      // hybrid-retrieval/join/funnel batch (q_entity_clusters checkpoints
+      // at construction — its scans sit upstream, same caveat as q_chi2;
+      // q_rrf's SQ bounds run as an eager construction-time agg, the
+      // remaining plan's scans still prune)
+      "q_funnel_timed" -> Set("user_id", "ts", "event_type"),
+      "q_asof_tolerant" -> Set("user_id", "ts", "event_id", "event_type"),
+      "q_token_lift" -> Set("doc_id", "text"),
+      "q_regression2" ->
+        Set("l_returnflag", "l_extendedprice", "l_quantity", "l_discount"),
+      "q_centroid_drift" -> Set("vec_id", "embedding", "label"),
+      "q_rrf" -> Set("vec_id", "embedding"))
     expected.foreach { case (name, cols) =>
       val all = nodes(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
       val scans = all.collect {
