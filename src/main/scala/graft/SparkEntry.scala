@@ -1125,6 +1125,19 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       CoreOps.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
         "event_id", "event_type")),
+    // next-event prediction table: each from_state's top-2 successors by
+    // count — the transition matrix composed with a PARTITIONED
+    // WindowGroupLimit rank, deterministic (n desc, to_state) tiebreak
+    "q_next_event" -> ((s, dir) => {
+      val w = Window.partitionBy(col("from_state"))
+        .orderBy(col("n").desc, col("to_state"))
+      CoreOps.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
+          "event_id", "event_type")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 2)
+        .select(col("from_state"), col("rk"), col("to_state"), col("n"),
+          col("prob"))
+    }),
     // SCD-2 historization: one keyed lead window turns every update into
     // a validity interval; each user's latest row stays open
     "q_scd2" -> ((s, dir) =>
@@ -3247,6 +3260,14 @@ object SparkEntry {
     "q_transitions" -> transitionsOracle,
     // the state machine must emit the SAME pair multiset → same oracle
     "q_transitions_stream" -> transitionsOracle,
+    // the transition matrix ranked inside each from_state
+    "q_next_event" ->
+      s"""WITH base AS ($transitionsOracle),
+         |r AS (SELECT from_state, to_state, n, prob,
+         |        row_number() OVER (PARTITION BY from_state
+         |          ORDER BY n DESC, to_state) AS rk FROM base)
+         |SELECT from_state, rk, to_state, n, prob FROM r WHERE rk <= 2"""
+        .stripMargin,
 
     // two cohort slices through the q_numeric_profile skeleton, joined on
     // the column name
