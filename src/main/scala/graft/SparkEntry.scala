@@ -1125,6 +1125,11 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       CoreOps.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
         "event_id", "event_type")),
+    // Markov-2: p(next | last TWO states) — both lags share one window
+    // pass, aggregation on O(states³) rows
+    "q_transitions2" -> ((s, dir) =>
+      CoreOps.transitionMatrix2(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type")),
     // next-event prediction table: each from_state's top-2 successors by
     // count — the transition matrix composed with a PARTITIONED
     // WindowGroupLimit rank, deterministic (n desc, to_state) tiebreak
@@ -3260,6 +3265,26 @@ object SparkEntry {
     "q_transitions" -> transitionsOracle,
     // the state machine must emit the SAME pair multiset → same oracle
     "q_transitions_stream" -> transitionsOracle,
+    // the same lag chain one step deeper; mirrored grouping
+    "q_transitions2" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |        lag(event_type, 1) OVER w AS p1,
+        |        lag(event_type, 2) OVER w AS p2
+        |      FROM events
+        |      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |        AND user_id IS NOT NULL
+        |      WINDOW w AS (PARTITION BY user_id
+        |                   ORDER BY epoch_ms(ts), event_id)),
+        |c AS (SELECT p2 AS from2_state, p1 AS from1_state,
+        |        event_type AS to_state, count(*)::BIGINT AS n
+        |      FROM seq WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+        |      GROUP BY 1, 2, 3),
+        |t AS (SELECT from2_state, from1_state, sum(n)::BIGINT AS n_from
+        |      FROM c GROUP BY 1, 2)
+        |SELECT c.from2_state, c.from1_state, c.to_state, n, n_from,
+        |  floor(n::DOUBLE / n_from::DOUBLE * 1000000) / 1000000 AS prob
+        |FROM c JOIN t USING (from2_state, from1_state)""".stripMargin,
+
     // the transition matrix ranked inside each from_state
     "q_next_event" ->
       s"""WITH base AS ($transitionsOracle),

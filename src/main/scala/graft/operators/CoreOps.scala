@@ -1814,6 +1814,43 @@ object CoreOps {
         col("prob"))
   }
 
+  /** Second-order (Markov-2) transition table — p(next | the last TWO
+    * states), the sharper next-event model when one step of history is
+    * not enough ("view→click means purchase; error→click means retry").
+    * Same shape as transitionMatrix with one more lag over the SAME
+    * keyed window (both lags share one WindowExec pass), so the cost is
+    * identical: one keyed exchange + two hash aggs on O(states³) rows.
+    * Keys with fewer than three events contribute nothing. Counts are
+    * exact int64; prob is the one trunc6'd division. Deterministic
+    * (ts ms, tiebreak) order. Emits
+    * (from2_state, from1_state, to_state, n, n_from, prob). */
+  def transitionMatrix2(df: DataFrame, key: String, ts: String,
+                        tiebreak: String, state: String): DataFrame = {
+    val emitted = Seq("from2_state", "from1_state", "to_state", "n",
+      "n_from", "prob", "_p1", "_p2")
+    require(!emitted.exists(df.columns.contains),
+      s"transitionMatrix2 emits ${emitted.mkString(", ")}; rename inputs")
+    val w = Window.partitionBy(col(key))
+      .orderBy(ms(col(ts)).asc, col(tiebreak).asc)
+    val counts = df
+      .filter(col(ts).isNotNull && col(state).isNotNull && col(key).isNotNull)
+      .withColumn("_p1", lag(col(state), 1).over(w))
+      .withColumn("_p2", lag(col(state), 2).over(w))
+      .filter(col("_p1").isNotNull && col("_p2").isNotNull)
+      .groupBy(col("_p2").as("from2_state"), col("_p1").as("from1_state"),
+        col(state).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .join(counts.groupBy(col("from2_state"), col("from1_state"))
+        .agg(sum(col("n")).as("n_from")),
+        Seq("from2_state", "from1_state"))
+      .withColumn("prob",
+        floor(col("n").cast("double") / col("n_from").cast("double")
+          * 1000000d) / 1000000d)
+      .select(col("from2_state"), col("from1_state"), col("to_state"),
+        col("n"), col("n_from"), col("prob"))
+  }
+
   /** Slowly-changing-dimension type-2 intervals from an update log: each
     * (key, update) row becomes a validity interval [valid_from_ms,
     * valid_to_ms) closed by the NEXT update of the same key; the latest

@@ -274,6 +274,9 @@ object syntax {
     def groupCentroids(group: String, id: String, vec: String,
                        dims: Int): DataFrame =
       Similarity.groupCentroids(df, group, id, vec, dims)
+    def transitionMatrix2(key: String, ts: String, tiebreak: String,
+                          state: String): DataFrame =
+      CoreOps.transitionMatrix2(df, key, ts, tiebreak, state)
     def transitionMatrix(key: String, ts: String, tiebreak: String,
                          state: String): DataFrame =
       CoreOps.transitionMatrix(df, key, ts, tiebreak, state)

@@ -1146,6 +1146,22 @@ class CoreOpsSpec extends SparkSpec {
       ("b", "a", 1L, 1L, 1.0)))
   }
 
+  test("transitionMatrix2 counts trigram chains; two-event keys contribute " +
+      "nothing") {
+    val df = ev(
+      (1, 1000, 1, "a", 0), (2, 2000, 1, "b", 0), (3, 3000, 1, "a", 0),
+      (4, 4000, 1, "c", 0),                       // user 1: a>b>a>c
+      (5, 1000, 2, "a", 0), (6, 2000, 2, "b", 0), // user 2: only 2 events
+      (7, 1000, 3, "a", 0), (8, 2000, 3, "b", 0), (9, 3000, 3, "a", 0))
+    val got = CoreOps.transitionMatrix2(df, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy("from2_state", "from1_state", "to_state")
+      .as[(String, String, String, Long, Long, Double)].collect().toSeq
+    // trigrams: u1 (a,b)->a, (b,a)->c; u3 (a,b)->a
+    assert(got == Seq(("a", "b", "a", 2L, 2L, 1.0),
+      ("b", "a", "c", 1L, 1L, 1.0)))
+  }
+
   test("transitionMatrix drops NULL states and guards emitted names") {
     val df = ev((1, 1000, 1, "a", 0), (2, 2000, 1, "b", 0))
       .withColumn("event_type",
