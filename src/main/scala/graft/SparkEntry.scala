@@ -1125,6 +1125,18 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       CoreOps.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
         "event_id", "event_type")),
+    // within-session conversion funnel: sessionize assigns the session
+    // id, then the funnel chain runs keyed by (user, session) — a
+    // conversion cannot span a silence gap
+    "q_session_funnel" -> ((s, dir) => {
+      val sess = CoreOps.sessionize(Tables.events(s, dir), "user_id", "ts",
+          "event_id", D)
+        .withColumn("skey",
+          concat_ws(":", col("user_id"), col("session_seq")))
+      CoreOps.funnel(sess, "skey", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+    }),
     // Markov-2: p(next | last TWO states) — both lags share one window
     // pass, aggregation on O(states³) rows
     "q_transitions2" -> ((s, dir) =>
@@ -3265,6 +3277,32 @@ object SparkEntry {
     "q_transitions" -> transitionsOracle,
     // the state machine must emit the SAME pair multiset → same oracle
     "q_transitions_stream" -> transitionsOracle,
+    // the sessionize island scan feeding the funnel chain keyed by
+    // (user, session) — concat matches Spark's concat_ws(":")
+    "q_session_funnel" ->
+      s"""WITH x AS (SELECT event_id, user_id, event_type, $evMs AS ms,
+         |        lag($evMs) OVER (PARTITION BY user_id
+         |                         ORDER BY $evMs, event_id) AS prev
+         |      FROM events),
+         |sx AS (SELECT event_id, user_id, event_type, ms,
+         |        (sum(CASE WHEN prev IS NULL OR ms - prev > $D
+         |                  THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+         |      FROM x),
+         |sk AS (SELECT user_id::VARCHAR || ':' || session_seq::VARCHAR
+         |          AS skey, event_type, ms FROM sx),
+         |v AS (SELECT skey, min(ms) AS t0 FROM sk
+         |      WHERE event_type = 'view' GROUP BY skey),
+         |c AS (SELECT e.skey, v.t0, min(e.ms) AS t1
+         |      FROM sk e JOIN v ON e.skey = v.skey
+         |      WHERE e.event_type = 'click' AND e.ms > v.t0
+         |      GROUP BY e.skey, v.t0)
+         |SELECT e.skey, c.t0, c.t1, min(e.ms) AS t2
+         |FROM sk e JOIN c ON e.skey = c.skey
+         |WHERE e.event_type = 'purchase' AND e.ms > c.t1
+         |GROUP BY e.skey, c.t0, c.t1""".stripMargin,
+
     // the same lag chain one step deeper; mirrored grouping
     "q_transitions2" ->
       """WITH seq AS (SELECT user_id, event_type,
