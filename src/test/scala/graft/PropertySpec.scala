@@ -556,6 +556,38 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: funnelTimed equals the greedy earliest-chain brute force " +
+      "under any deadline") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        ms <- Gen.choose(0L, 200L)
+        st <- Gen.oneOf("s0", "s1", "s2")
+      } yield (k, ms, st))
+      gap <- Gen.choose(1L, 100L)
+    } yield (rows.zipWithIndex.map { case ((k, ms, st), i) =>
+      (k, ms, i.toLong, st) }, gap)
+    check(Prop.forAll(gen) { case (rows, gap) =>
+      val df = rows.toDF("k", "ms", "eid", "st")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      val stages = Seq(col("st") === "s0", col("st") === "s1",
+        col("st") === "s2")
+      val got = CoreOps.funnelTimed(df, "k", "ts", stages, gap)
+        .as[(String, Long, Long, Long)].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        def next(kind: String, after: Long): Option[Long] =
+          rs.filter(r => r._4 == kind && r._2 > after && r._2 - after <= gap)
+            .map(_._2).minOption
+        val t0 = rs.filter(_._4 == "s0").map(_._2).minOption
+        val t1 = t0.flatMap(next("s1", _))
+        val t2 = t1.flatMap(next("s2", _))
+        for { a <- t0; b <- t1; c <- t2 } yield (k, a, b, c)
+      }.toSet
+      got == want
+    })
+  }
+
   test("property: quantileNormalize maps within-group rank r of n to the " +
       "global value at rank ceil(r*N/n), at any grain") {
     check(Prop.forAll(keyedValsGen, Gen.oneOf(1L, 7L, 1024L)) { (rows, grain) =>
