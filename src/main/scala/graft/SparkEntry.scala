@@ -127,7 +127,7 @@ object SparkEntry {
     * integer op as the Spark side (`//` ≡ `div` on non-negative operands),
     * so after `iters` rounds the scaled ranks match bit-for-bit; the final
     * `pr` is one double division with both operands exactly representable. */
-  private def pagerankOracleSql(iters: Int, scale: Long): String = {
+  private def pagerankOracleCtes(iters: Int, scale: Long): String = {
     val head =
       s"""WITH sp AS (SELECT DISTINCT l_suppkey * 2 AS src,
          |        l_partkey * 2 + 1 AS dst FROM lineitem),
@@ -147,9 +147,23 @@ object SparkEntry {
          |    JOIN deg d ON d.src = e.src
          |    GROUP BY 1) s ON s.node = nd.node)""".stripMargin
     }
-    (head +: rounds).mkString(",\n") +
-      s"\nSELECT node, pr AS pr_scaled, pr::DOUBLE / CAST($scale AS DOUBLE) AS pr FROM r$iters"
+    (head +: rounds).mkString(",\n")
   }
+
+  private def pagerankOracleSql(iters: Int, scale: Long): String =
+    pagerankOracleCtes(iters, scale) +
+      s"\nSELECT node, pr AS pr_scaled, pr::DOUBLE / CAST($scale AS DOUBLE) AS pr FROM r$iters"
+
+  /** Convergence gauge twin: the L1 diff of the LAST TWO unrolled rounds —
+    * same integer chain, one extra join + global sum. */
+  private def pagerankResidualOracleSql(iters: Int, scale: Long): String =
+    pagerankOracleCtes(iters, scale) +
+      s"""
+         |SELECT count(*)::BIGINT AS n_nodes,
+         |  COALESCE(sum(abs(a.pr - b.pr)), 0)::BIGINT AS l1_scaled,
+         |  COALESCE(sum(abs(a.pr - b.pr)), 0)::BIGINT::DOUBLE
+         |    / CAST($scale AS DOUBLE) AS l1
+         |FROM r$iters a JOIN r${iters - 1} b ON a.node = b.node""".stripMargin
   private val HotKeyTopN = 50 // candidates probed by q_heavy_hitters_hot
   private val PackTokens = 512L // training-example length for q_pack
   private val SplitFracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1129,19 +1143,62 @@ object SparkEntry {
     // id, then the funnel chain runs keyed by (user, session) — a
     // conversion cannot span a silence gap
     "q_session_funnel" -> ((s, dir) => {
-      val sess = CoreOps.sessionize(Tables.events(s, dir), "user_id", "ts",
-          "event_id", D)
+      // user_id IS NOT NULL up front (the events-oracle convention):
+      // concat_ws would silently SKIP a NULL user_id and mint a usable
+      // ":seq" key where the oracle's || propagates NULL — latent today,
+      // wrong the day the data grows NULL users
+      val sess = CoreOps.sessionize(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          "user_id", "ts", "event_id", D)
         .withColumn("skey",
           concat_ws(":", col("user_id"), col("session_seq")))
       CoreOps.funnel(sess, "skey", "ts",
         Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"))
     }),
+    // the session-boundary-aware state machine vs the SAME oracle: per
+    // user, state carries (session index, gap anchor, funnel progress);
+    // in batch mode each user's history arrives in one sorted invocation,
+    // so the session indices reproduce the lag-scan's boundary count and
+    // the emitted skey/times rows equal the batch composition exactly
+    "q_session_funnel_stream" -> ((s, dir) => {
+      val ke = graft.streaming.StateMachines.keyedEvents(
+        Tables.events(s, dir).filter(col("user_id").isNotNull),
+        col("user_id"), unix_millis(col("ts")), col("event_id"),
+        col("event_type"))
+      graft.streaming.StateMachines.sessionFunnelStages(ke,
+          Seq("view", "click", "purchase"), D)
+        .select(col("key").as("skey"),
+          element_at(col("times"), 1).as("t0"),
+          element_at(col("times"), 2).as("t1"),
+          element_at(col("times"), 3).as("t2"))
+    }),
     // Markov-2: p(next | last TWO states) — both lags share one window
     // pass, aggregation on O(states³) rows
     "q_transitions2" -> ((s, dir) =>
       CoreOps.transitionMatrix2(Tables.events(s, dir), "user_id", "ts",
         "event_id", "event_type")),
+    // the same Markov-2 matrix via the streaming state machine in batch
+    // mode (last TWO kinds per key), checked against the SAME oracle as
+    // q_transitions2 — the q_transitions_stream twin-proof pattern
+    "q_transitions2_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("ts").isNotNull
+        && col("event_type").isNotNull && col("user_id").isNotNull)
+      val counts = graft.streaming.StateMachines.transitionPairs2(
+          graft.streaming.StateMachines.keyedEvents(ev, col("user_id"),
+            unix_millis(col("ts")), col("event_id"), col("event_type")))
+        .groupBy(col("from2_state"), col("from1_state"), col("to_state"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .join(counts.groupBy(col("from2_state"), col("from1_state"))
+          .agg(sum(col("n")).as("n_from")),
+          Seq("from2_state", "from1_state"))
+        .withColumn("prob",
+          floor(col("n").cast("double") / col("n_from").cast("double")
+            * 1000000d) / 1000000d)
+        .select(col("from2_state"), col("from1_state"), col("to_state"),
+          col("n"), col("n_from"), col("prob"))
+    }),
     // next-event prediction table: each from_state's top-2 successors by
     // count — the transition matrix composed with a PARTITIONED
     // WindowGroupLimit rank, deterministic (n desc, to_state) tiebreak
@@ -1378,6 +1435,15 @@ object SparkEntry {
         Tables.events(s, dir).withColumn("cents",
           floor(col("value") * 100).cast("long")),
         "event_type", "cents", "event_id")),
+    // sketch twin, fully oracle-checked (the q_outliers_approx pattern):
+    // the exact qn_value plus a rank-space verdict on the
+    // approx_percentile-grid estimate — the estimate never leaves the
+    // engine; quantileNormalizeApprox alone is the 100 TB path (SCALE.md)
+    "q_quantile_norm_approx" -> ((s, dir) =>
+      CoreOps.quantileNormalizeChecked(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "event_type", "cents", "event_id")),
     // spend concentration across users: Gini from rank-weighted exact
     // cents sums — ranks via the bucketed prefix scan, ties provably
     // order-invariant
@@ -1542,6 +1608,17 @@ object SparkEntry {
         (col("l_suppkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst"))
       Graph.pagerankFixed(
+        sp.union(sp.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst", PrIters, PrScale)
+    }),
+    // "was PrIters enough?" — the L1 residual between the last two
+    // integer rounds, one summary row; same bit-exact arithmetic, so the
+    // oracle reproduces it from the unrolled CTE digit for digit
+    "q_pagerank_residual" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir).select(
+        (col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      Graph.pagerankResidual(
         sp.union(sp.select(col("dst").as("src"), col("src").as("dst"))),
         "src", "dst", PrIters, PrScale)
     }),
@@ -2153,6 +2230,78 @@ object SparkEntry {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Shared by q_session_funnel (batch sessionize ∘ funnel) and
+    * q_session_funnel_stream (session-aware state machine in batch mode):
+    * both must emit this exact (skey, t0, t1, t2) set. user_id IS NOT NULL
+    * up front — the events-oracle convention (and the Spark side's
+    * concat_ws would otherwise skip a NULL the || here propagates). */
+  private val sessionFunnelOracle =
+    s"""WITH x AS (SELECT event_id, user_id, event_type, $evMs AS ms,
+       |        lag($evMs) OVER (PARTITION BY user_id
+       |                         ORDER BY $evMs, event_id) AS prev
+       |      FROM events WHERE user_id IS NOT NULL),
+       |sx AS (SELECT event_id, user_id, event_type, ms,
+       |        (sum(CASE WHEN prev IS NULL OR ms - prev > $D
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+       |      FROM x),
+       |sk AS (SELECT user_id::VARCHAR || ':' || session_seq::VARCHAR
+       |          AS skey, event_type, ms FROM sx),
+       |v AS (SELECT skey, min(ms) AS t0 FROM sk
+       |      WHERE event_type = 'view' GROUP BY skey),
+       |c AS (SELECT e.skey, v.t0, min(e.ms) AS t1
+       |      FROM sk e JOIN v ON e.skey = v.skey
+       |      WHERE e.event_type = 'click' AND e.ms > v.t0
+       |      GROUP BY e.skey, v.t0)
+       |SELECT e.skey, c.t0, c.t1, min(e.ms) AS t2
+       |FROM sk e JOIN c ON e.skey = c.skey
+       |WHERE e.event_type = 'purchase' AND e.ms > c.t1
+       |GROUP BY e.skey, c.t0, c.t1""".stripMargin
+
+  /** Shared by q_transitions2 (batch lag pair) and q_transitions2_stream
+    * (last-two-kinds state machine in batch mode). */
+  private val transitions2Oracle =
+    """WITH seq AS (SELECT user_id, event_type,
+      |        lag(event_type, 1) OVER w AS p1,
+      |        lag(event_type, 2) OVER w AS p2
+      |      FROM events
+      |      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |        AND user_id IS NOT NULL
+      |      WINDOW w AS (PARTITION BY user_id
+      |                   ORDER BY epoch_ms(ts), event_id)),
+      |c AS (SELECT p2 AS from2_state, p1 AS from1_state,
+      |        event_type AS to_state, count(*)::BIGINT AS n
+      |      FROM seq WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+      |      GROUP BY 1, 2, 3),
+      |t AS (SELECT from2_state, from1_state, sum(n)::BIGINT AS n_from
+      |      FROM c GROUP BY 1, 2)
+      |SELECT c.from2_state, c.from1_state, c.to_state, n, n_from,
+      |  floor(n::DOUBLE / n_from::DOUBLE * 1000000) / 1000000 AS prob
+      |FROM c JOIN t USING (from2_state, from1_state)""".stripMargin
+
+  /** Shared by q_quantile_norm and its checked sketch twin (which appends
+    * the guaranteed-TRUE rank-space verdict, the q_outliers_approx
+    * convention — the approx estimate itself never leaves the engine). */
+  private def quantileNormOracleSql(withBound: Boolean): String =
+    s"""WITH s AS (SELECT event_type, event_id,
+       |        floor(value * 100)::BIGINT AS c
+       |      FROM events WHERE value IS NOT NULL),
+       |r AS (SELECT event_type, event_id, c,
+       |        row_number() OVER (PARTITION BY event_type
+       |                           ORDER BY c, event_id) AS r,
+       |        count(*) OVER (PARTITION BY event_type) AS n
+       |      FROM s),
+       |tot AS (SELECT count(*)::BIGINT AS nn FROM s),
+       |grid AS (SELECT c AS v, count(*) AS cnt FROM s GROUP BY 1),
+       |gp AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS pc FROM grid),
+       |t AS (SELECT event_type, event_id, c,
+       |        (r::HUGEINT * nn + n - 1) // n AS tr FROM r, tot)
+       |SELECT t.event_type, t.event_id, t.c AS cents,
+       |  gp.v::BIGINT AS qn_value${if (withBound) ",\n  TRUE AS within_bound" else ""}
+       |FROM t JOIN gp ON t.tr > gp.pc - gp.cnt AND t.tr <= gp.pc"""
+      .stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -3279,49 +3428,14 @@ object SparkEntry {
     "q_transitions_stream" -> transitionsOracle,
     // the sessionize island scan feeding the funnel chain keyed by
     // (user, session) — concat matches Spark's concat_ws(":")
-    "q_session_funnel" ->
-      s"""WITH x AS (SELECT event_id, user_id, event_type, $evMs AS ms,
-         |        lag($evMs) OVER (PARTITION BY user_id
-         |                         ORDER BY $evMs, event_id) AS prev
-         |      FROM events),
-         |sx AS (SELECT event_id, user_id, event_type, ms,
-         |        (sum(CASE WHEN prev IS NULL OR ms - prev > $D
-         |                  THEN 1 ELSE 0 END)
-         |           OVER (PARTITION BY user_id ORDER BY ms, event_id
-         |                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
-         |      FROM x),
-         |sk AS (SELECT user_id::VARCHAR || ':' || session_seq::VARCHAR
-         |          AS skey, event_type, ms FROM sx),
-         |v AS (SELECT skey, min(ms) AS t0 FROM sk
-         |      WHERE event_type = 'view' GROUP BY skey),
-         |c AS (SELECT e.skey, v.t0, min(e.ms) AS t1
-         |      FROM sk e JOIN v ON e.skey = v.skey
-         |      WHERE e.event_type = 'click' AND e.ms > v.t0
-         |      GROUP BY e.skey, v.t0)
-         |SELECT e.skey, c.t0, c.t1, min(e.ms) AS t2
-         |FROM sk e JOIN c ON e.skey = c.skey
-         |WHERE e.event_type = 'purchase' AND e.ms > c.t1
-         |GROUP BY e.skey, c.t0, c.t1""".stripMargin,
+    "q_session_funnel" -> sessionFunnelOracle,
+    // the session-aware state machine must emit the SAME rows
+    "q_session_funnel_stream" -> sessionFunnelOracle,
 
     // the same lag chain one step deeper; mirrored grouping
-    "q_transitions2" ->
-      """WITH seq AS (SELECT user_id, event_type,
-        |        lag(event_type, 1) OVER w AS p1,
-        |        lag(event_type, 2) OVER w AS p2
-        |      FROM events
-        |      WHERE ts IS NOT NULL AND event_type IS NOT NULL
-        |        AND user_id IS NOT NULL
-        |      WINDOW w AS (PARTITION BY user_id
-        |                   ORDER BY epoch_ms(ts), event_id)),
-        |c AS (SELECT p2 AS from2_state, p1 AS from1_state,
-        |        event_type AS to_state, count(*)::BIGINT AS n
-        |      FROM seq WHERE p1 IS NOT NULL AND p2 IS NOT NULL
-        |      GROUP BY 1, 2, 3),
-        |t AS (SELECT from2_state, from1_state, sum(n)::BIGINT AS n_from
-        |      FROM c GROUP BY 1, 2)
-        |SELECT c.from2_state, c.from1_state, c.to_state, n, n_from,
-        |  floor(n::DOUBLE / n_from::DOUBLE * 1000000) / 1000000 AS prob
-        |FROM c JOIN t USING (from2_state, from1_state)""".stripMargin,
+    "q_transitions2" -> transitions2Oracle,
+    // the last-two-kinds state machine must emit the SAME matrix
+    "q_transitions2_stream" -> transitions2Oracle,
 
     // the transition matrix ranked inside each from_state
     "q_next_event" ->
@@ -3439,6 +3553,7 @@ object SparkEntry {
          |CROSS JOIN tot""".stripMargin,
 
     "q_pagerank" -> pagerankOracleSql(PrIters, PrScale),
+    "q_pagerank_residual" -> pagerankResidualOracleSql(PrIters, PrScale),
 
     // brute-force canonical 3-way triangle join (the oracle may explode on
     // hubs; the Spark side's degree orientation is the scale path)
@@ -3775,24 +3890,9 @@ object SparkEntry {
     // the same ⌈r·N/n⌉ integer target rank; the rank→value lookup is a
     // plain non-equi join here (DuckDB's planner handles it at oracle
     // scale; the engine side buckets it into rank cells)
-    "q_quantile_norm" ->
-      """WITH s AS (SELECT event_type, event_id,
-        |        floor(value * 100)::BIGINT AS c
-        |      FROM events WHERE value IS NOT NULL),
-        |r AS (SELECT event_type, event_id, c,
-        |        row_number() OVER (PARTITION BY event_type
-        |                           ORDER BY c, event_id) AS r,
-        |        count(*) OVER (PARTITION BY event_type) AS n
-        |      FROM s),
-        |tot AS (SELECT count(*)::BIGINT AS nn FROM s),
-        |grid AS (SELECT c AS v, count(*) AS cnt FROM s GROUP BY 1),
-        |gp AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS pc FROM grid),
-        |t AS (SELECT event_type, event_id, c,
-        |        (r::HUGEINT * nn + n - 1) // n AS tr FROM r, tot)
-        |SELECT t.event_type, t.event_id, t.c AS cents,
-        |  gp.v::BIGINT AS qn_value
-        |FROM t JOIN gp ON t.tr > gp.pc - gp.cnt AND t.tr <= gp.pc"""
-        .stripMargin,
+    "q_quantile_norm" -> quantileNormOracleSql(withBound = false),
+    // checked sketch twin: exact side + guaranteed-TRUE rank verdict
+    "q_quantile_norm_approx" -> quantileNormOracleSql(withBound = true),
 
     // the same rank-weighted cents sums; ties provably order-invariant
     "q_gini_spend" ->

@@ -1442,6 +1442,12 @@ object CoreOps {
   private def asofImpl(left: DataFrame, right: DataFrame, key: String,
                        ts: String, rightCols: Seq[String],
                        maxAgeMs: Option[Long]): DataFrame = {
+    // internal-name guard (the expandingAnomaly/quantileNormalize idiom): a
+    // left frame already carrying _r/_rts/_side would collide in the carry
+    val internal = Seq("_r", "_rts", "_side")
+    require(!internal.exists(c =>
+        left.columns.contains(c) || right.columns.contains(c)),
+      s"asofJoin uses ${internal.mkString(", ")} internally; rename inputs")
     val leftCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
     val rStruct = org.apache.spark.sql.types.StructType(
       rightCols.map(c => right.schema(right.schema.fieldIndex(c))))
@@ -3010,7 +3016,10 @@ object CoreOps {
         Window.partitionBy(col(group)).orderBy(ord: _*)).cast("long"))
       .withColumn("_n", count(lit(1))
         .over(Window.partitionBy(col(group))))
-      .withColumn("_t", (col("_n") * trimPerMille / 1000L).cast("long"))
+      // genuinely integral `div` (≡ DuckDB //), not double-promoting `/`:
+      // exact at any n, matching the make-divisible convention elsewhere
+      .withColumn("_t",
+        expr(s"(_n * CAST($trimPerMille AS BIGINT)) div CAST(1000 AS BIGINT)"))
     val kept = col("_r") > col("_t") && col("_r") <= col("_n") - col("_t")
     base.groupBy(col(group))
       .agg(max(col("_n")).as("n"),
@@ -3151,6 +3160,117 @@ object CoreOps {
       .filter(col("_t") > col("_lo") && col("_t") <= col("_pc"))
       .select(col(group), col(tiebreak), col(value),
         col("_v").as("qn_value"))
+  }
+
+  /** Sketch twin of quantileNormalize — the 100 TB fast path: instead of
+    * the exact distinct-value grid + rank-cell join, the global
+    * distribution collapses to ONE approx_percentile sketch row of
+    * `gridQuantiles`+1 values (one partial-agg'd aggregate to a single
+    * row, broadcast back), and each row maps to the sketch value at its
+    * group quantile rounded to the 1/gridQuantiles grid — a map-only
+    * lookup into a plan-literal-sized array, zero extra shuffle beyond
+    * the one group-keyed rank window the exact form also pays. Accuracy:
+    * the emitted value's GLOBAL rank is within
+    * N·(1/accuracy + 1/gridQuantiles) + O(1) of the exact target rank
+    * ⌈r·N/n⌉ (sketch rank error + quantile-grid quantization) — feature
+    * alignment quality, not oracle-exact placement. The estimate is an
+    * ACTUAL data value (the sketch stores observed values). For the
+    * oracle-checkable form see quantileNormalizeChecked; this is the
+    * production path (SCALE.md). `value` must be integral (cents grid).
+    * NULL values drop. Emits (group, tiebreak, value, qn_approx). */
+  def quantileNormalizeApprox(df: DataFrame, group: String, value: String,
+                              tiebreak: String, gridQuantiles: Int = 1000,
+                              accuracy: Int = 10000): DataFrame = {
+    require(gridQuantiles > 0,
+      s"gridQuantiles must be positive, got $gridQuantiles")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"quantileNormalizeApprox ranks '$value' on an exact integer grid; " +
+        s"got ${df.schema(value).dataType} — scale to cents/int64 first")
+    val emitted = Seq("qn_approx", "_r", "_n", "_qs", "_idx")
+    require(!emitted.exists(df.columns.contains),
+      s"quantileNormalizeApprox emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
+    val base = df.filter(col(value).isNotNull)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(group))
+          .orderBy(col(value).asc, col(tiebreak).asc)).cast("long"))
+      .withColumn("_n", count(lit(1))
+        .over(Window.partitionBy(col(group))))
+    val probs = (0 to gridQuantiles).map(j => lit(j.toDouble / gridQuantiles))
+    val sketch = df.filter(col(value).isNotNull)
+      .agg(percentile_approx(col(value), array(probs: _*),
+        lit(accuracy)).as("_qs")) // ONE row: the whole global distribution
+    // grid index round(r·B/n) in pure integer arithmetic:
+    // ⌊(2rB + n) / 2n⌋ — partitioning-independent like the exact form
+    val b2 = 2L * gridQuantiles
+    base.crossJoin(broadcast(sketch))
+      .withColumn("_idx",
+        expr(s"(_r * CAST($b2 AS BIGINT) + _n) div (CAST(2 AS BIGINT) * _n)"))
+      .select(col(group), col(tiebreak), col(value),
+        element_at(col("_qs"), (col("_idx") + 1L).cast("int"))
+          .as("qn_approx"))
+  }
+
+  /** Oracle-checkable composition of the exact and sketch quantile
+    * normalizations (the q_outliers_approx / q_quantile_profile_approx
+    * checked-twin convention): emits the EXACT qn_value per row plus a
+    * `within_bound` verdict on the sketch estimate — the estimate itself
+    * never leaves the engine, so DuckDB can oracle the row by recomputing
+    * the exact side and asserting TRUE. The verdict is computed in RANK
+    * space, where the sketch has a contract: the approx value's global
+    * rank interval (its cumulative span in the distinct-value grid) must
+    * come within `slack` ranks of the exact target rank ⌈r·N/n⌉, with
+    * slack = ⌈N/accuracy⌉ (sketch rank error) + ⌈N/gridQuantiles⌉
+    * (quantile-grid quantization) + 4 (boundary conventions) — guaranteed
+    * by the approx_percentile accuracy contract, so a FALSE here is an
+    * engine bug, not noise. Cost: the exact path + the sketch path + one
+    * equi-join of the approx values onto the grid — the TEST harness
+    * shape; production runs quantileNormalizeApprox alone. */
+  def quantileNormalizeChecked(df: DataFrame, group: String, value: String,
+                               tiebreak: String, gridQuantiles: Int = 1000,
+                               accuracy: Int = 10000): DataFrame = {
+    val emitted = Seq("within_bound", "_qa", "_alo", "_apc", "_t2")
+    require(!emitted.exists(df.columns.contains),
+      s"quantileNormalizeChecked emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
+    val exact = quantileNormalize(df, group, value, tiebreak)
+    val approx = quantileNormalizeApprox(df, group, value, tiebreak,
+        gridQuantiles, accuracy)
+      .select(col(group), col(tiebreak), col("qn_approx").as("_qa"))
+    val grid = df.filter(col(value).isNotNull)
+      .groupBy(col(value).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val gridP = orderedPrefixSum(grid, col("_v"), "_v", "_c", "_pc")
+      .withColumn("_alo", col("_pc") - col("_c"))
+      .select(col("_v").as("_qa"), col("_alo"), col("_pc").as("_apc"))
+    val nTotal = grid.agg(coalesce(sum(col("_c")), lit(0L))).head().getLong(0)
+    if (nTotal == 0L)
+      return exact.withColumn("within_bound", lit(true))
+    val slack = nTotal / accuracy + nTotal / gridQuantiles + 6L
+    // recompute the exact target rank on the joined frame: same integer
+    // formula as quantileNormalize (⌈r·N/n⌉ in decimal)
+    val base = df.filter(col(value).isNotNull)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(group))
+          .orderBy(col(value).asc, col(tiebreak).asc)).cast("long"))
+      .withColumn("_n", count(lit(1))
+        .over(Window.partitionBy(col(group))))
+    val dec = "decimal(38,0)"
+    val rN = col("_r").cast(dec) * lit(nTotal).cast(dec) +
+      col("_n").cast(dec) - 1
+    val tRank = ((rN - pmod(rN, col("_n").cast(dec))) / col("_n").cast(dec))
+      .cast("long")
+    val verdicts = base.select(col(group), col(tiebreak),
+        tRank.as("_t2"))
+      .join(approx, Seq(group, tiebreak))
+      .join(gridP, Seq("_qa")) // sketch values are observed values → hit
+      .select(col(group), col(tiebreak),
+        (col("_apc") >= col("_t2") - slack &&
+          col("_alo") < col("_t2") + slack).as("within_bound"))
+    exact.join(verdicts, Seq(group, tiebreak))
+      .select(col(group), col(tiebreak), col(value), col("qn_value"),
+        col("within_bound"))
   }
 
   /** Calibration / reliability curve — bucket an integral SCORE into

@@ -258,17 +258,40 @@ object Dedup {
     * token-bucket group — all over gram-sized rows (strings here are short
     * keys, not documents); a pair sharing multiple prefix tokens verifies
     * once per shared token before `distinct` (same trade minhashPairs
-    * makes — levenshtein on short strings is cheaper than a join back). */
+    * makes — levenshtein on short strings is cheaper than a join back).
+    *
+    * `maxBucket` is the FAIL-LOUD bound on one prefix-token bucket (the
+    * rangeJoin `maxCellsPerInterval` / basketLift `maxBasketSize` idiom):
+    * prefix filtering picks the RAREST grams, which keeps buckets small on
+    * real text, but nothing in the math enforces it — a templated corpus
+    * (thousands of strings sharing one otherwise-rare q-gram) would make
+    * one bucket quadratic. Dropping hot tokens instead would VOID the
+    * recall lemma (a dropped token can be the ONLY shared prefix token of
+    * a true pair), so the contract is a diagnostic, never a silent drop:
+    * the guard names the token and the bucket size; raise `maxBucket`
+    * deliberately or pre-split the templated strings. Recall is untouched
+    * — nothing is filtered, the operator either runs exact or refuses. */
   def fuzzyPairs(docs: DataFrame, id: String, str: String,
-                 k: Int, maxDist: Int): DataFrame = {
+                 k: Int, maxDist: Int, maxBucket: Int = 10000): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val tokens = fuzzyTokens(docs, id, str, k, maxDist, "fuzzyPairs")
     val freq = tokens.groupBy(col("_tok")).agg(count(lit(1)).as("_freq"))
     val prefix = fuzzyPrefix(tokens, freq, maxDist * k + 1)
     val dist = levenshtein(col("a._st"), col("b._st"), maxDist)
+    // executor-side cap check rides the already-collected bucket — zero
+    // extra pass, zero extra shuffle
+    val capGuard = assert_true(size(col("ms")) <= maxBucket,
+      concat(lit("fuzzyPairs: prefix-token bucket '"), col("_tok"),
+        lit("' holds "), size(col("ms")).cast("string"),
+        lit(s" strings (> maxBucket=$maxBucket) — pair expansion would be " +
+          "quadratic. Raise maxBucket deliberately or pre-split " +
+          "templated/low-entropy strings; dropping the token would lose " +
+          "recall, so this operator refuses instead.")))
     prefix.groupBy(col("_tok"))
       .agg(collect_list(struct(col("doc"), col("_st"))).as("ms"))
+      .filter(capGuard.isNull)
       .filter(size(col("ms")) > 1)
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
@@ -290,21 +313,38 @@ object Dedup {
     * frequencies would order tokens differently per side and void the
     * lemma). Emits (left_id, right_id, dist), every qualifying pair once —
     * including exact hits at dist 0. Same fail-loud minimum-length guard
-    * per side; same brute-force-oracle checkability. */
+    * per side; same brute-force-oracle checkability; same fail-loud
+    * `maxBucket` cap per SIDE of a prefix-token bucket as fuzzyPairs (the
+    * bucket join's expansion is |L_tok|·|R_tok| ≤ maxBucket², a
+    * diagnostic instead of a quadratic stall — dropping the token would
+    * void the recall lemma, so the operator refuses instead). The cap
+    * check is a count over the per-token window the bucket join already
+    * shuffles on — no extra exchange. */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 idL: String, strL: String, idR: String, strR: String,
-                k: Int, maxDist: Int): DataFrame = {
+                k: Int, maxDist: Int, maxBucket: Int = 10000): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val tokL = fuzzyTokens(left, idL, strL, k, maxDist, "fuzzyJoin(left)")
     val tokR = fuzzyTokens(right, idR, strR, k, maxDist, "fuzzyJoin(right)")
     val freq = tokL.select(col("_tok")).unionAll(tokR.select(col("_tok")))
       .groupBy(col("_tok")).agg(count(lit(1)).as("_freq"))
     val p = maxDist * k + 1
     val dist = levenshtein(col("_lst"), col("_rst"), maxDist)
-    fuzzyPrefix(tokL, freq, p)
+    def capside(pref: DataFrame, side: String): DataFrame = {
+      val w = Window.partitionBy(col("_tok"))
+      val g = assert_true(count(lit(1)).over(w) <= maxBucket.toLong,
+        concat(lit(s"fuzzyJoin($side): prefix-token bucket '"), col("_tok"),
+          lit(s"' exceeds maxBucket=$maxBucket — the bucket join would go " +
+            "quadratic. Raise maxBucket deliberately or pre-split " +
+            "templated/low-entropy strings; dropping the token would lose " +
+            "recall, so this operator refuses instead.")))
+      pref.withColumn("_cap", g).filter(col("_cap").isNull).drop("_cap")
+    }
+    capside(fuzzyPrefix(tokL, freq, p), "left")
       .select(col("doc").as("left_id"), col("_st").as("_lst"), col("_tok"))
-      .join(fuzzyPrefix(tokR, freq, p)
+      .join(capside(fuzzyPrefix(tokR, freq, p), "right")
         .select(col("doc").as("right_id"), col("_st").as("_rst"), col("_tok")),
         Seq("_tok"))
       .select(col("left_id"), col("right_id"), dist.cast("long").as("dist"))

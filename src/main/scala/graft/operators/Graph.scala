@@ -60,17 +60,21 @@ object Graph {
     * id spaces should pack them into disjoint integer ranges rather than
     * tag with string prefixes.
     */
-  def pagerankFixed(edges: DataFrame, src: String, dst: String, iters: Int,
-                    scale: Long = 1000000000000L): DataFrame = {
-    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+  /** Shared setup for the PageRank family: checkpointed distinct edge /
+    * node / (edge ⋈ outdeg) frames plus the ONE O(1)-result driver count
+    * that folds N into plan literals. nNodes == 0 ⇒ the graph is empty. */
+  private case class PrSetup(nodes: DataFrame, withDeg: DataFrame,
+                             nNodes: Long, init: Long, base: Long)
+
+  private def prSetup(edges: DataFrame, src: String, dst: String,
+                      scale: Long, op: String): PrSetup = {
     require(scale >= 1000000L, s"scale must be >= 1e6, got $scale")
     val emitted = Seq("node", "pr_scaled", "pr", "_src", "_dst", "_deg", "_s")
     require(!emitted.contains(src) && !emitted.contains(dst),
-      s"pagerankFixed emits/uses ${emitted.mkString(", ")}; rename inputs")
+      s"$op emits/uses ${emitted.mkString(", ")}; rename inputs")
     require(edges.schema(src).dataType == edges.schema(dst).dataType,
       s"src/dst must share one node type; got ${edges.schema(src).dataType} " +
         s"vs ${edges.schema(dst).dataType}")
-
     val e = edges
       .select(col(src).as("_src"), col(dst).as("_dst"))
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
@@ -89,28 +93,79 @@ object Graph {
     // broadcast join, and no eager materialization — the whole fixpoint is
     // one lazy plan (ranks feed forward linearly; nothing is recomputed)
     val nNodes = nodes.count()
-    if (nNodes == 0L)
-      return nodes.select(col("node"), lit(0L).as("pr_scaled"),
+    val init = if (nNodes == 0L) 0L else scale / nNodes // Long div ≡ div
+    PrSetup(nodes, withDeg, nNodes, init, (init * 15L) / 100L)
+  }
+
+  /** One synchronous PageRank round:
+    * pr'(v) = base + (Σ_{u→v} (pr(u) div outdeg(u)) * 85) div 100. */
+  private def prStep(s: PrSetup)(ranks: DataFrame): DataFrame = {
+    val sums = s.withDeg
+      .join(ranks, s.withDeg("_src") === ranks("node"))
+      .select(col("_dst"), expr("pr_scaled div _deg").as("_c"))
+      .groupBy(col("_dst")).agg(sum(col("_c")).as("_s"))
+    s.nodes.join(sums, s.nodes("node") === sums("_dst"), "left")
+      .select(s.nodes("node"),
+        (lit(s.base)
+          + expr("(coalesce(_s, CAST(0 AS BIGINT)) * 85) div 100"))
+          .as("pr_scaled"))
+  }
+
+  def pagerankFixed(edges: DataFrame, src: String, dst: String, iters: Int,
+                    scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val s = prSetup(edges, src, dst, scale, "pagerankFixed")
+    if (s.nNodes == 0L)
+      return s.nodes.select(col("node"), lit(0L).as("pr_scaled"),
         lit(0d).as("pr"))
-    val init = scale / nNodes       // Scala Long division ≡ div on positives
-    val base = (init * 15L) / 100L
-    var ranks = nodes.select(col("node"), lit(init).as("pr_scaled"))
+    var ranks = s.nodes.select(col("node"), lit(s.init).as("pr_scaled"))
     for (i <- 1 to iters) {
-      val sums = withDeg
-        .join(ranks, withDeg("_src") === ranks("node"))
-        .select(col("_dst"), expr("pr_scaled div _deg").as("_c"))
-        .groupBy(col("_dst")).agg(sum(col("_c")).as("_s"))
-      ranks = nodes.join(sums, nodes("node") === sums("_dst"), "left")
-        .select(nodes("node"),
-          (lit(base)
-            + expr("(coalesce(_s, CAST(0 AS BIGINT)) * 85) div 100"))
-            .as("pr_scaled"))
+      ranks = prStep(s)(ranks)
       // cut lineage only every few rounds: at small iters the chain stays
       // one job; at the 50-iter cap depth never exceeds 8 joins per segment
       if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), col("pr_scaled"),
       (col("pr_scaled").cast("double") / lit(scale.toDouble)).as("pr"))
+  }
+
+  /** Convergence gauge for pagerankFixed — "was `iters` enough?": the L1
+    * residual Σ_v |pr_iters(v) − pr_{iters−1}(v)| between the LAST TWO
+    * rounds, as one summary row. Fixed-iteration PageRank is the right
+    * oracle-checkable core (bit-exact integer arithmetic, zero per-round
+    * driver traffic), but it reports no movement signal; this companion
+    * runs the SAME integer rounds (so the oracle reproduces it digit for
+    * digit), localCheckpoints the penultimate rank frame — it has two
+    * consumers, the last step and the diff, so the cut prevents a
+    * re-execution of the whole chain, at the cost of one materialization —
+    * and folds the diff through one co-partitioned join + one global agg.
+    * Reading: residual ≈ 0 ⇒ converged; large ⇒ raise iters. The scaled
+    * residual is exact BIGINT; `l1` is one double division. Emits ONE row
+    * (n_nodes, l1_scaled, l1). Empty graph ⇒ (0, 0, 0.0). */
+  def pagerankResidual(edges: DataFrame, src: String, dst: String,
+                       iters: Int,
+                       scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val s = prSetup(edges, src, dst, scale, "pagerankResidual")
+    val spark = edges.sparkSession
+    if (s.nNodes == 0L) {
+      import spark.implicits._
+      return Seq((0L, 0L, 0d)).toDF("n_nodes", "l1_scaled", "l1")
+    }
+    var prev = s.nodes.select(col("node"), lit(s.init).as("pr_scaled"))
+    for (i <- 1 until iters) {
+      prev = prStep(s)(prev)
+      if (i % 8 == 0) prev = prev.localCheckpoint(true)
+    }
+    prev = prev.localCheckpoint(true) // two consumers: last step + the diff
+    val last = prStep(s)(prev)
+    prev.select(col("node"), col("pr_scaled").as("_prev"))
+      .join(last, Seq("node"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(abs(col("pr_scaled") - col("_prev"))), lit(0L))
+          .as("l1_scaled"))
+      .select(col("n_nodes"), col("l1_scaled"),
+        (col("l1_scaled").cast("double") / lit(scale.toDouble)).as("l1"))
   }
 
   /** Global triangle census of an undirected graph — node/edge/wedge/triangle

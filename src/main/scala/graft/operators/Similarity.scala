@@ -39,11 +39,33 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fail-loud size contract for a query side about to be BROADCAST: probe
+    * at most cap+1 rows (`limit` bounds the scan — the check costs O(cap)
+    * regardless of how big the slice actually is, never a full count) and
+    * refuse with a diagnostic instead of letting an oversized audit slice
+    * OOM the driver inside the broadcast build. The HotKeyTopN idiom:
+    * "small" is a coded bound, not a docstring convention. */
+  private def requireBroadcastable(queries: DataFrame, cap: Int,
+                                   op: String): Unit = {
+    require(cap > 0, s"$op: maxQueries must be positive, got $cap")
+    val probed = queries.limit(cap + 1).count()
+    require(probed <= cap,
+      s"$op: query side holds more than maxQueries=$cap rows — it is " +
+        "broadcast to every executor, so an unbounded slice is a driver " +
+        "OOM, not a slow query. Hash-sample the audit slice (docSample), " +
+        "route a full self-audit through the lshTopKMulti candidate join, " +
+        "or raise maxQueries deliberately.")
+  }
+
   /** Exact cosine top-k neighbors for each query vector. `queries` must be
-    * small (it is broadcast); the corpus scan is embarrassingly parallel.
+    * small — it is broadcast, and the `maxQueries` cap enforces that as a
+    * fail-loud diagnostic (bounded limit-probe, not a full count) instead
+    * of a docstring convention; the corpus scan is embarrassingly parallel.
     * Ties broken by neighbor id; self-matches excluded by id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
-                     vec: String, k: Int): DataFrame = {
+                     vec: String, k: Int,
+                     maxQueries: Int = 16384): DataFrame = {
+    requireBroadcastable(queries, maxQueries, "bruteForceTopK")
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
     val scored = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
@@ -72,8 +94,9 @@ object Similarity {
     * (query_id, label, k_actual, n_disagree, disagree_rate). */
   def knnLabelDisagreement(corpus: DataFrame, queries: DataFrame,
                            id: String, vec: String, label: String,
-                           k: Int): DataFrame = {
+                           k: Int, maxQueries: Int = 16384): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    requireBroadcastable(queries, maxQueries, "knnLabelDisagreement")
     val q = queries.filter(col(label).isNotNull)
       .select(col(id).as("query_id"), col(vec).as("_qv"),
         col(label).as("_qlab"))

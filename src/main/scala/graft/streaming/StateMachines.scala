@@ -25,6 +25,18 @@ case class ActionDuration(key: String, action: String, duration_ms: Long)
 case class FunnelState(times: Seq[Long], done: Boolean)
 case class FunnelCompletion(key: String, times: Seq[Long])
 
+/** Session-aware funnel state: the current session's index (1-based, 0 =
+  * "no event seen yet"), the key's last event time (the silence-gap
+  * anchor), and the in-session funnel progress. */
+case class SessionFunnelState(sessionSeq: Long, lastTs: Long,
+                              times: Seq[Long], done: Boolean)
+
+/** The last TWO event kinds per key for second-order transitions; `k1` is
+  * the older of the two (null until two events have been seen). */
+case class LastTwo(k1: String, k2: String, tsMs: Long)
+case class Transition2(key: String, from2_state: String, from1_state: String,
+                       to_state: String)
+
 /** One remembered event per key — the twin of Flink's ValueState pair. */
 case class LastSeen(kind: String, tsMs: Long)
 
@@ -211,6 +223,108 @@ object StateMachines {
   private def armTtl2(state: GroupState[FunnelState],
                       stateTtlMs: Option[Long]): Unit =
     stateTtlMs.foreach(state.setTimeoutDuration)
+
+  implicit val sessionFunnelStateEnc: Encoder[SessionFunnelState] =
+    Encoders.product[SessionFunnelState]
+  implicit val transition2Enc: Encoder[Transition2] =
+    Encoders.product[Transition2]
+  implicit val lastTwoEnc: Encoder[LastTwo] = Encoders.product[LastTwo]
+
+  /** Session-boundary-aware streaming funnel — the streaming twin of the
+    * batch `sessionize ∘ funnel` composition (q_session_funnel): per USER
+    * key, the state carries the current session index and last event time;
+    * an event more than `gapMs` after its predecessor OPENS A NEW SESSION
+    * (resetting the funnel walk), exactly the silence-gap rule the batch
+    * sessionize's lag-scan applies, and the funnel itself is funnelStages'
+    * greedy walk confined to the current session. Completions emit the
+    * composite "user:sessionSeq" key — the same `skey` the batch twin
+    * builds — so the SAME DuckDB oracle checks both: in batch mode each
+    * user's whole history arrives in one sorted invocation and the session
+    * indices reproduce the lag-scan's 1-based running boundary count.
+    *
+    * State per key is O(stages) regardless of stream length (no event
+    * buffer — just the gap anchor and the stage times), and the TTL bound
+    * applies as usual. On a live stream, arrival order governs across
+    * micro-batches (the funnelStages contract): an out-of-order event
+    * arriving after a later event already moved the gap anchor sees a
+    * non-positive gap and stays in the current session — the append-mode
+    * trade, documented rather than hidden. */
+  def sessionFunnelStages(events: Dataset[KeyedEvent], stages: Seq[String],
+                          gapMs: Long, stateTtlMs: Option[Long] = None)
+      : Dataset[FunnelCompletion] = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got ${stages.size}")
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[KeyedEvent],
+       state: GroupState[SessionFunnelState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(
+            SessionFunnelState(0L, 0L, Nil, done = false))
+          val out = ArrayBuffer.empty[FunnelCompletion]
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            // silence gap ⇒ new session: bump the index, reset the walk
+            // (sessionSeq 0 is the "never seen" sentinel ⇒ first session)
+            val st1 =
+              if (st.sessionSeq == 0L || e.tsMs - st.lastTs > gapMs)
+                SessionFunnelState(st.sessionSeq + 1L, e.tsMs, Nil,
+                  done = false)
+              else st
+            var times = st1.times
+            var done = st1.done
+            if (!done && e.kind == stages(times.size) &&
+                (times.isEmpty || e.tsMs > times.last)) {
+              times = times :+ e.tsMs
+              if (times.size == stages.size) {
+                done = true
+                out += FunnelCompletion(s"$key:${st1.sessionSeq}", times)
+              }
+            }
+            st = SessionFunnelState(st1.sessionSeq, e.tsMs, times, done)
+          }
+          state.update(st)
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          out.iterator
+        }
+    }
+  }
+
+  /** Second-order streaming transitions — transitionPairs one lag deeper:
+    * per key, state is the last TWO event kinds; each event with two
+    * predecessors emits (key, from2, from1, to), the exact triple the
+    * batch lag(2)/lag(1) window pair produces, continued across
+    * micro-batches. In batch mode each key arrives in one sorted
+    * invocation, so the triple multiset equals the batch twin's and the
+    * SAME DuckDB oracle checks both (q_transitions2 /
+    * q_transitions2_stream). State is ONE LastTwo per key. */
+  def transitionPairs2(events: Dataset[KeyedEvent],
+                       stateTtlMs: Option[Long] = None): Dataset[Transition2] =
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[KeyedEvent], state: GroupState[LastTwo]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = ArrayBuffer.empty[Transition2]
+          var last = state.getOption
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            last.foreach { lt =>
+              if (lt.k1 != null) out += Transition2(key, lt.k1, lt.k2, e.kind)
+            }
+            last = Some(LastTwo(last.map(_.k2).orNull, e.kind, e.tsMs))
+          }
+          last match {
+            case Some(s) =>
+              state.update(s); stateTtlMs.foreach(state.setTimeoutDuration)
+            case None =>
+          }
+          out.iterator
+        }
+    }
 
   /** Per-key action-duration tracker
     * (chapter6_exercise/AnalyzeBrowserEvents.java:115-181): on each event,

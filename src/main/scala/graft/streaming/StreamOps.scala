@@ -117,6 +117,39 @@ object StreamOps {
         col("_hh._est").as("est_count"))
   }
 
+  /** Continuous windowed quantile profile — the streaming form of
+    * CoreOps.quantileProfileApprox per event-time window: per window, an
+    * event count plus approx_percentile sketch estimates at `ps`. The
+    * sketch is the point at scale (the windowedUsersApprox argument): an
+    * exact per-window percentile would buffer every value of every OPEN
+    * window in the state store, while the KLL-style sketch keeps one
+    * fixed-size buffer per window regardless of row count, merging
+    * map-side across micro-batches. Estimates carry the
+    * approx_percentile rank contract (within n/accuracy ranks of the
+    * target — the bound quantileProfileChecked machine-checks on the
+    * batch twin, and StreamingParitySpec pins finalized windows against
+    * the identical batch sketch). Append mode emits each window once on
+    * watermark close. Column naming mirrors quantileProfileApprox
+    * (`p50_approx`, ...). */
+  def windowedQuantileProfile(df: DataFrame, value: String, ts: String,
+                              lateness: String, duration: String,
+                              ps: Seq[Double],
+                              accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty, "windowedQuantileProfile needs >= 1 percentile")
+    require(ps.forall(p => p >= 0d && p <= 1d),
+      s"percentiles must be in [0,1], got $ps")
+    val qs = ps.map { p =>
+      approx_percentile(col(value), lit(p), lit(accuracy))
+        .as(s"p${math.round(p * 100)}_approx")
+    }
+    df.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), duration))
+      .agg(count(col(value)).as("n"), qs: _*)
+      .select(CoreOps.ms(col("window.start")).as("window_start_ms") +:
+        col("n") +:
+        ps.map(p => col(s"p${math.round(p * 100)}_approx")): _*)
+  }
+
   /** Stream-stream interval join: pair every point with the anchors of the
     * same key whose window [anchor_ts, anchor_ts + windowMs) contains the
     * point's event time — the continuous form of CoreOps.rangeJoin for

@@ -1472,4 +1472,38 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.calibrationCurve(df.withColumn("s", col("s").cast("double")),
         "s", col("y"), 0L, 100L, 10))
   }
+
+  test("quantileNormalizeApprox emits actual global values; the checked " +
+      "twin's rank-space verdict holds on every row") {
+    val df = (1L to 100L)
+      .map(i => (if (i % 2 == 0) "a" else "b", i, i))
+      .toDF("g", "tb", "v")
+    val approx = CoreOps.quantileNormalizeApprox(df, "g", "v", "tb")
+      .as[(String, Long, Long, Long)].collect()
+    assert(approx.length == 100)
+    val vals = (1L to 100L).toSet
+    assert(approx.forall(r => vals.contains(r._4))) // sketch returns data
+    val checked = CoreOps.quantileNormalizeChecked(df, "g", "v", "tb")
+    assert(checked.count() == 100L)
+    assert(checked.filter(!col("within_bound")).count() == 0L)
+    // exact twin agrees with quantileNormalize on the shared columns
+    val exact = CoreOps.quantileNormalize(df, "g", "v", "tb")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(checked.select("g", "tb", "v", "qn_value")
+      .as[(String, Long, Long, Long)].collect().toSet == exact)
+    assertThrows[IllegalArgumentException](
+      CoreOps.quantileNormalizeApprox(
+        df.withColumn("v", col("v").cast("double")), "g", "v", "tb"))
+  }
+
+  test("asofJoin guards its internal carry columns (_r, _rts, _side)") {
+    val l = Seq((1L, 1000L, "x")).toDF("k", "t", "_rts")
+    val r = Seq((1L, 500L, "m")).toDF("k", "t", "payload")
+    val e = intercept[IllegalArgumentException](
+      CoreOps.asofJoin(l, r, "k", "t", Seq("payload")))
+    assert(e.getMessage.contains("_rts"))
+    assertThrows[IllegalArgumentException](
+      CoreOps.asofJoin(l.withColumnRenamed("_rts", "a"),
+        r.withColumnRenamed("payload", "_side"), "k", "t", Seq("_side")))
+  }
 }

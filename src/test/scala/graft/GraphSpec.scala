@@ -118,6 +118,33 @@ class GraphSpec extends SparkSpec {
       Graph.basketLift(rows.withColumnRenamed("it", "lift"), "bk", "lift", 1L, 2))
   }
 
+  test("pagerankResidual: a 2-cycle fixed point has zero residual; a " +
+      "non-symmetric graph's residual shrinks as iters grow") {
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("s", "d")
+    val r0 = Graph.pagerankResidual(cyc, "s", "d", 3, Scale)
+      .as[(Long, Long, Double)].head()
+    assert(r0 == ((2L, 0L, 0.0))) // exact fixed point from round 0
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+      .toDF("s", "d")
+    def l1(iters: Int): Long = Graph.pagerankResidual(edges, "s", "d",
+      iters, Scale).as[(Long, Long, Double)].head()._2
+    assert(l1(12) < l1(2)) // damping contracts the iteration
+    // the gauge's last round must agree with pagerankFixed: residual
+    // recomputed by hand from the two fixed runs
+    val p1 = Graph.pagerankFixed(edges, "s", "d", 3, Scale)
+      .select("node", "pr_scaled").as[(String, Long)].collect().toMap
+    val p2 = Graph.pagerankFixed(edges, "s", "d", 4, Scale)
+      .select("node", "pr_scaled").as[(String, Long)].collect().toMap
+    val want = p1.keys.map(k => math.abs(p2(k) - p1(k))).sum
+    assert(l1(4) == want)
+  }
+
+  test("pagerankResidual: empty graph emits the (0, 0, 0.0) row") {
+    val empty = Seq.empty[(String, String)].toDF("s", "d")
+    assert(Graph.pagerankResidual(empty, "s", "d", 3, Scale)
+      .as[(Long, Long, Double)].head() == ((0L, 0L, 0.0)))
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

@@ -342,4 +342,24 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((0L, 1L, 1.0)))
   }
+
+  test("bruteForceTopK / knnLabelDisagreement refuse an oversized query " +
+      "side with a diagnostic instead of broadcasting it") {
+    val corpus = vecs.toDF("id", "vec")
+    val big = vecs.toDF("id", "vec") // 4 rows > cap 3
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, big, "id", "vec", 2, maxQueries = 3)
+    }
+    assert(e1.getMessage.contains("maxQueries=3"))
+    val labeled = vecs.map { case (i, v) => (i, v, s"l$i") }
+      .toDF("id", "vec", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.knnLabelDisagreement(labeled, labeled, "id", "vec", "label",
+        2, maxQueries = 3)
+    }
+    assert(e2.getMessage.contains("broadcast"))
+    // within the cap both run: the probe is bounded, not a full count
+    assert(Similarity.bruteForceTopK(corpus, big, "id", "vec", 1,
+      maxQueries = 4).count() == 4L)
+  }
 }

@@ -670,4 +670,89 @@ class StreamingParitySpec extends SparkSpec {
       assert(a.sorted == Seq("1", "3") && b.sorted == Seq("2"))
     } finally q.stop()
   }
+
+  test("sessionFunnelStages(streaming) == sessionize∘funnel(batch), " +
+      "sessions and funnel progress span batches") {
+    val gap = 10000L
+    val batch1 = Seq(
+      KeyedEvent("1", 1000, 1, "view"), KeyedEvent("1", 2000, 2, "click"),
+      KeyedEvent("2", 1000, 3, "view"), KeyedEvent("2", 2000, 4, "click"),
+      KeyedEvent("2", 3000, 5, "purchase")) // "2:1" completes in batch 1
+    val batch2 = Seq(
+      KeyedEvent("1", 3000, 6, "purchase"),  // completes "1:1" CROSS-BATCH
+      KeyedEvent("1", 50000, 7, "view"),     // silence gap → session "1:2"
+      KeyedEvent("1", 51000, 8, "click"),
+      KeyedEvent("1", 52000, 9, "purchase"), // completes "1:2"
+      KeyedEvent("2", 40000, 10, "purchase"),// new session, no view: nothing
+      KeyedEvent("3", 1000, 11, "view"), KeyedEvent("3", 2000, 12, "click"))
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.sessionFunnelStages(input.toDS(),
+        Seq("view", "click", "purchase"), gap)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sf_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("sf_par").as[FunnelCompletion].collect()
+        .map(c => (c.key, c.times(0), c.times(1), c.times(2))).toSet
+      // the batch composition the oracle checks: sessionize then funnel
+      val sess = graft.operators.CoreOps.sessionize(
+          batchDf(batch1 ++ batch2), "key", "ts", "tiebreak", gap)
+        .withColumn("skey", concat_ws(":", col("key"), col("session_seq")))
+      val twin = graft.operators.CoreOps.funnel(sess, "skey", "ts",
+          Seq(col("kind") === "view", col("kind") === "click",
+            col("kind") === "purchase"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamed == twin)
+      assert(streamed == Set(
+        ("1:1", 1000L, 2000L, 3000L),
+        ("1:2", 50000L, 51000L, 52000L),
+        ("2:1", 1000L, 2000L, 3000L)))
+    } finally q.stop()
+  }
+
+  test("transitionPairs2(streaming): last-two state spans batches; a key " +
+      "with fewer than three events emits nothing") {
+    val batch1 = Seq(
+      KeyedEvent("1", 1000, 1, "a"), KeyedEvent("1", 2000, 2, "b"))
+    val batch2 = Seq(
+      KeyedEvent("1", 3000, 3, "c"),  // (a,b)→c needs state from batch 1
+      KeyedEvent("1", 4000, 4, "a"),
+      KeyedEvent("2", 1000, 5, "x"), KeyedEvent("2", 2000, 6, "y"))
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.transitionPairs2(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t2_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val got = spark.table("t2_par").as[Transition2].collect().toSet
+      assert(got == Set(
+        Transition2("1", "a", "b", "c"), Transition2("1", "b", "c", "a")))
+    } finally q.stop()
+  }
+
+  test("windowedQuantileProfile finalizes windows == hand-computed " +
+      "sketch-exact percentiles (small windows keep the sketch exact)") {
+    val batch1 = Seq(
+      ValuedEvent("1", 1000, 1, 10), ValuedEvent("1", 1500, 2, 20),
+      ValuedEvent("1", 2500, 3, 30)) // window [0,3s): n=3
+    val batch2 = Seq( // watermark past 3s finalizes [0,3s); then past 12s
+      ValuedEvent("1", 9000, 4, 5),
+      ValuedEvent("1", 20000, 5, 7))
+    val input = MemoryStream[ValuedEvent]
+    val stream = input.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+    val q = StreamOps.windowedQuantileProfile(stream, "value", "ts",
+        "1 second", "3 seconds", Seq(0.5, 0.95))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wq_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val got = spark.table("wq_par")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // [18,21s) stays open (watermark 19s < 21s) — append emits it later
+      assert(got == Set((0L, 3L, 20L, 30L), (9000L, 1L, 5L, 5L)))
+    } finally q.stop()
+  }
 }

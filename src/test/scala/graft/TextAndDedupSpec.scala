@@ -608,4 +608,39 @@ class TextAndDedupSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped)) // the cap only removes candidates
     assert(capped.nonEmpty)
   }
+
+  test("fuzzyPairs maxBucket: a pathological corpus (one shared prefix " +
+      "token across many strings) is a diagnostic, not a quadratic bucket") {
+    // 30 identical strings: every prefix token's bucket holds all 30
+    val docs = (1L to 30L).map(i => (i, "abcdefgh")).toDF("doc_id", "head")
+    val err = intercept[Exception] {
+      Dedup.fuzzyPairs(docs, "doc_id", "head", 2, 1, maxBucket = 8).collect()
+    }
+    def msg(e: Throwable): String =
+      (Option(e.getMessage) ++ Option(e.getCause).map(msg)).mkString(" ")
+    assert(msg(err).contains("prefix-token bucket"))
+    // under the cap the same corpus runs exact: 30 identical strings
+    // → C(30,2) = 435 dist-0 pairs
+    val ok = Dedup.fuzzyPairs(docs, "doc_id", "head", 2, 1, maxBucket = 30)
+    assert(ok.count() == 435L)
+    assertThrows[IllegalArgumentException](
+      Dedup.fuzzyPairs(docs, "doc_id", "head", 2, 1, maxBucket = 1))
+  }
+
+  test("fuzzyJoin maxBucket: per-side bucket cap fails loud with the " +
+      "offending side named") {
+    val left = (1L to 20L).map(i => (i, "abcdefgh")).toDF("doc_id", "head")
+    val registry = Seq((100L, "abcdefgh")).toDF("rid", "name")
+    val err = intercept[Exception] {
+      Dedup.fuzzyJoin(left, registry, "doc_id", "head", "rid", "name",
+        2, 1, maxBucket = 5).collect()
+    }
+    def msg(e: Throwable): String =
+      (Option(e.getMessage) ++ Option(e.getCause).map(msg)).mkString(" ")
+    assert(msg(err).contains("fuzzyJoin(left)"))
+    // under the cap: every left row resolves at dist 0
+    val ok = Dedup.fuzzyJoin(left, registry, "doc_id", "head", "rid", "name",
+      2, 1, maxBucket = 20)
+    assert(ok.count() == 20L)
+  }
 }
