@@ -171,6 +171,24 @@ object StreamDemo {
         3, 5)
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // continuous windowed quantile profile: per finalized 5s window, the
+    // duration distribution as one fixed-size percentile sketch — the
+    // streaming observability face of the stats tier
+    val q12 = StreamOps.windowedQuantileProfile(
+        audit.select(col("duration"), col("event_time")),
+        "duration", "event_time", "1 second", "5 seconds",
+        Seq(0.5, 0.95))
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
+    // continuous session-aware conversion funnel: per user, the session
+    // index and funnel progress live in O(stages) state; a completion row
+    // is (user:session, stage times)
+    val q13 = StateMachines.sessionFunnelStages(
+        StateMachines.keyedEvents(audit, col("user"),
+          unix_millis(col("event_time")), col("id"), col("operation")),
+        Seq("Create", "Modify", "Delete"), gapMs = 5000L)
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     def audited: Long = q3.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
     val deadline = System.currentTimeMillis() + 30000
@@ -182,12 +200,13 @@ object StreamDemo {
     println(s"[demo] rate phase: observer counted $audited audit records through " +
       s"continuous session-window, stream-stream window-join, as-of join, " +
       s"interval-join, windowed heavy-hitter, upsert-compaction, fuzzy-" +
-      s"resolve, windowed-drift and expanding-anomaly queries " +
+      s"resolve, windowed-drift, expanding-anomaly, windowed-quantile " +
+      s"and session-funnel queries " +
       s"(${asofRows.get()} as-of rows, " +
       s"$stateRows state rows, ${fuzzyRows.get()} fuzzy matches, " +
       s"${driftRows.get()} drift rows)")
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
-    q10.stop(); q11.stop()
+    q10.stop(); q11.stop(); q12.stop(); q13.stop()
     spark.stop()
   }
 }
