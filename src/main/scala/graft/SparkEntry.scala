@@ -725,6 +725,16 @@ object SparkEntry {
     "q_cosine_dup" -> ((s, dir) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         EmbDims, LshPlanes, 0.3)),
+    // SEMANTIC dedup clusters: the embedding-cosine near-dup pair graph
+    // fed into the same pointer-jumping closure the text tiers use — pure
+    // composition, zero new operator code; the oracle recomputes the
+    // closure over the bucketed pair graph with a recursive CTE
+    "q_embed_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+          Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id",
+            "embedding", EmbDims, LshPlanes, 0.3),
+          "doc_a", "doc_b")
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))),
     // class centroids over the labeled embeddings — sorted-fold means, so
     // every double hash-matches the oracle like the k-means trainer's.
     // Exploded to one row per dimension: the driver's compare hashes scalar
@@ -1087,6 +1097,14 @@ object SparkEntry {
     // then one fixed double formula — reproducible where corr() is not
     "q_corr" -> ((s, dir) =>
       CoreOps.exactCorr(
+        Tables.documents(s, dir).withColumn("n_tokens",
+          size(TextOps.tokens(col("text"))).cast("long")),
+        "lang", "n_chars", "n_tokens")),
+    // Spearman on the SAME columns as q_corr: monotonic association via
+    // doubled average ranks (exact int64 — no fractional tie rank ever
+    // exists), then the identical decimal-moment Pearson chain
+    "q_spearman" -> ((s, dir) =>
+      CoreOps.spearmanCorr(
         Tables.documents(s, dir).withColumn("n_tokens",
           size(TextOps.tokens(col("text"))).cast("long")),
         "lang", "n_chars", "n_tokens")),
@@ -3370,6 +3388,39 @@ object SparkEntry {
          |  END AS corr
          |FROM s""".stripMargin,
 
+    // doubled average ranks (2·cum − cnt + 1, exact BIGINT) through the
+    // identical moment skeleton — Pearson is ×2-scale-invariant
+    "q_spearman" ->
+      s"""WITH t AS (SELECT lang, n_chars, len($toksSql)::BIGINT AS n_tokens
+         |           FROM documents
+         |           WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         |cx AS (SELECT lang, n_chars, count(*)::BIGINT AS c
+         |       FROM t GROUP BY 1, 2),
+         |rx AS (SELECT lang, n_chars,
+         |        2 * sum(c) OVER (PARTITION BY lang ORDER BY n_chars)
+         |          - c + 1 AS r2x FROM cx),
+         |cy AS (SELECT lang, n_tokens, count(*)::BIGINT AS c
+         |       FROM t GROUP BY 1, 2),
+         |ry AS (SELECT lang, n_tokens,
+         |        2 * sum(c) OVER (PARTITION BY lang ORDER BY n_tokens)
+         |          - c + 1 AS r2y FROM cy),
+         |j AS (SELECT t.lang, rx.r2x, ry.r2y
+         |      FROM t JOIN rx USING (lang, n_chars)
+         |      JOIN ry USING (lang, n_tokens)),
+         |s AS (SELECT lang, count(*)::DOUBLE AS n,
+         |        sum(r2x)::DOUBLE AS sx, sum(r2y)::DOUBLE AS sy,
+         |        sum(r2x * r2y)::DOUBLE AS sxy,
+         |        sum(r2x * r2x)::DOUBLE AS sxx,
+         |        sum(r2y * r2y)::DOUBLE AS syy
+         |      FROM j GROUP BY 1)
+         |SELECT lang, n::BIGINT AS n,
+         |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |       THEN floor((n * sxy - sx * sy)
+         |                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         |                  * 1000000) / 1000000
+         |  END AS spearman
+         |FROM s""".stripMargin,
+
     // per pair, the identical moment-sum skeleton as q_corr, stacked
     "q_corr_matrix" -> {
       def pair(a: String, b: String) =
@@ -4751,6 +4802,22 @@ object SparkEntry {
          |      FROM esig a JOIN esig b USING (bucket) WHERE a.vec_id < b.vec_id)
          |SELECT doc_a, doc_b, floor(cos * 1000000) / 1000000 AS cos_sim
          |FROM p WHERE cos >= 0.3""".stripMargin,
+
+    // the q_cosine_dup pair graph under the q_dup_clusters reach closure
+    "q_embed_clusters" ->
+      s"""WITH RECURSIVE $sqlEmbSigCte,
+         |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |      FROM esig a JOIN esig b USING (bucket)
+         |      WHERE a.vec_id < b.vec_id
+         |        AND ${sqlCosine("a.embedding", "b.embedding")} >= 0.3),
+         |eg AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |       UNION SELECT doc_b, doc_a FROM p),
+         |reach(node, lbl) AS (
+         |  SELECT s, s FROM eg
+         |  UNION
+         |  SELECT e.s, r.lbl FROM eg e JOIN reach r ON e.d = r.node)
+         |SELECT node AS vec_id, MIN(lbl) AS cluster_id
+         |FROM reach GROUP BY node""".stripMargin,
 
     "q_label_centroids" ->
       s"""WITH mem AS (SELECT label, list(embedding ORDER BY vec_id) AS vs

@@ -632,6 +632,47 @@ object CoreOps {
         floor(num / (sqrt(va) * sqrt(vb)) * 1000000d) / 1000000d).as("corr"))
   }
 
+  /** Per-group SPEARMAN rank correlation — the monotonic-association
+    * diagnostic Pearson misses (a perfectly monotonic but curved relation
+    * scores 1.0 here): Pearson over AVERAGE ranks with the tie convention
+    * statisticians expect. Engine-exact end to end: ranks come from
+    * integer comparisons only (per-(group, value) counts + one cumulative
+    * over the DISTINCT-value grid), and the tied-rank average
+    * (cum − cnt/2 + 1/2) is carried DOUBLED — r2 = 2·cum − cnt + 1, an
+    * exact int64 — so no fraction ever exists; Pearson is invariant under
+    * the common ×2 scaling, and the closing formula is exactCorr's fixed
+    * double chain over exact decimal moments. Unlike exactCorr the inputs
+    * need NOT be integral: ranks only compare values, never do arithmetic
+    * on them, so doubles are safe (identical IEEE comparisons on every
+    * engine). Plan shape: per axis one (group, value) partial-agg'd count
+    * + one group-partitioned window over distinct VALUES (bounded by the
+    * value domain, not row count — the q_ks_by_lang argument) + one
+    * equi-join back on (group, value); then the single exactCorr moment
+    * agg. Per-group moment bound: Σ(2r)² ≤ 4n³ < 10^38 ⇒ n under ~10^11
+    * rows per group; overflow fails loud under ANSI. NULL-in-either rows
+    * drop (pairwise); constant-in-either groups yield NULL. Emits
+    * (group, n, spearman). */
+  def spearmanCorr(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    require(x != y, s"spearmanCorr needs two distinct columns, got '$x' twice")
+    val internal = Seq("_c", "_cum", "_r2x", "_r2y", "n", "spearman")
+    require(!internal.exists(df.columns.contains),
+      s"spearmanCorr emits/uses ${internal.mkString(", ")}; rename inputs")
+    val base = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .select(col(group), col(x), col(y))
+    def rank2(axis: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(group)).orderBy(col(axis))
+      base.groupBy(col(group), col(axis)).agg(count(lit(1)).as("_c"))
+        .withColumn("_cum", sum(col("_c")).over(w))
+        .select(col(group), col(axis),
+          (lit(2L) * col("_cum") - col("_c") + 1L).cast("long").as(out))
+    }
+    val ranked = base
+      .join(rank2(x, "_r2x"), Seq(group, x))
+      .join(rank2(y, "_r2y"), Seq(group, y))
+    exactCorr(ranked, group, "_r2x", "_r2y")
+      .select(col(group), col("n"), col("corr").as("spearman"))
+  }
+
 
   /** Full pairwise correlation matrix over integral columns in ONE
     * aggregate pass — exactCorr generalized to every column pair at once:

@@ -1496,6 +1496,44 @@ class CoreOpsSpec extends SparkSpec {
         df.withColumn("v", col("v").cast("double")), "g", "v", "tb"))
   }
 
+  test("spearmanCorr: monotonic-but-curved ≈ 1, reversed ≈ -1, ties use " +
+      "average ranks (doubled-int encoding); expectations mirror the " +
+      "exact double chain") {
+    // the operator's closing chain verbatim (num/va/vb are exact ints)
+    def expect(num: Double, va: Double, vb: Double): Double =
+      math.floor(num / (math.sqrt(va) * math.sqrt(vb)) * 1e6) / 1e6
+    // x strictly increasing, y = x³ (monotone, nonlinear): Spearman 1.
+    // r2 = (2,4,..,12) both axes → num = va = vb = 420
+    val mono = (1L to 6L).map(i => ("m", i, i * i * i)).toDF("g", "x", "y")
+    assert(CoreOps.spearmanCorr(mono, "g", "x", "y")
+      .as[(String, Long, Double)].head() == (("m", 6L, expect(420, 420, 420))))
+    // reversed: same ranks opposite order → num = −420
+    val rev = (1L to 6L).map(i => ("r", i, -i)).toDF("g", "x", "y")
+    assert(CoreOps.spearmanCorr(rev, "g", "x", "y")
+      .as[(String, Long, Double)].head() == (("r", 6L, expect(-420, 420, 420))))
+    // ties on both axes: x=(1,2,2,3) → r2=(2,5,5,8) (avg rank 2.5 for the
+    // tied pair); identical on y → num = va = vb = 72
+    val tied = Seq(("t", 1L, 10L), ("t", 2L, 20L), ("t", 2L, 20L),
+      ("t", 3L, 30L)).toDF("g", "x", "y")
+    assert(CoreOps.spearmanCorr(tied, "g", "x", "y")
+      .as[(String, Long, Double)].head() == (("t", 4L, expect(72, 72, 72))))
+    // tie asymmetry: x=(1,2,3,4) → r2x=(2,4,6,8); y=(10,10,20,30) →
+    // r2y=(3,3,6,8). num = 4·118−400 = 72, va = 4·120−400 = 80, vb = 72
+    val mixed = Seq(("h", 1L, 10L), ("h", 2L, 10L), ("h", 3L, 20L),
+      ("h", 4L, 30L)).toDF("g", "x", "y")
+    val got = CoreOps.spearmanCorr(mixed, "g", "x", "y")
+      .as[(String, Long, Double)].head()
+    assert(got == (("h", 4L, expect(72, 80, 72))))
+    assert(got._3 > 0.94 && got._3 < 0.95) // sanity on the hand value
+    // doubles are legal inputs (comparison-only ranks): r2=(2,4,6) → V=24
+    val dbl = Seq(("d", 0.5, 5L), ("d", 1.5, 7L), ("d", 2.5, 9L))
+      .toDF("g", "x", "y")
+    assert(CoreOps.spearmanCorr(dbl, "g", "x", "y")
+      .as[(String, Long, Double)].head()._3 == expect(24, 24, 24))
+    assertThrows[IllegalArgumentException](
+      CoreOps.spearmanCorr(mixed, "g", "x", "x"))
+  }
+
   test("asofJoin guards its internal carry columns (_r, _rts, _side)") {
     val l = Seq((1L, 1000L, "x")).toDF("k", "t", "_rts")
     val r = Seq((1L, 500L, "m")).toDF("k", "t", "payload")
