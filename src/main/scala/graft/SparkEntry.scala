@@ -165,6 +165,8 @@ object SparkEntry {
          |    / CAST($scale AS DOUBLE) AS l1
          |FROM r$iters a JOIN r${iters - 1} b ON a.node = b.node""".stripMargin
   private val HotKeyTopN = 50 // candidates probed by q_heavy_hitters_hot
+  // doc-id checkpoints for the q_vocab_growth Heaps-law gauge
+  private val VocabCps = Seq(50L, 100L, 200L, 350L, 500L)
   private val PackTokens = 512L // training-example length for q_pack
   private val SplitFracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private val SplitSalt = "sp"
@@ -456,6 +458,16 @@ object SparkEntry {
     // corpus bigram vocabulary (top 100, deterministic tiebreak)
     "q_ngram_vocab" -> ((s, dir) =>
       TextOps.ngramVocab(Tables.documents(s, dir), "text", 2, 100)),
+    // Heaps-law saturation gauge: per doc-id checkpoint, cumulative docs,
+    // token occurrences and DISTINCT vocabulary — "does more crawl still
+    // add new language?"; one token-keyed min agg, constant-size cumsum
+    "q_vocab_growth" -> ((s, dir) =>
+      TextOps.vocabGrowth(Tables.documents(s, dir), "doc_id", "text",
+        VocabCps)),
+    // row-level novelty: which docs FIRST introduce their token types —
+    // boilerplate clones score ~0 even when no dedup pair fired
+    "q_doc_novelty" -> ((s, dir) =>
+      TextOps.docNovelty(Tables.documents(s, dir), "doc_id", "text")),
     "q_ann_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -1190,6 +1202,20 @@ object SparkEntry {
           element_at(col("times"), 1).as("t0"),
           element_at(col("times"), 2).as("t1"),
           element_at(col("times"), 3).as("t2"))
+    }),
+    // peak-load gauge: how many sessions are ACTIVE at each hour boundary
+    // — sessionize's intervals through the distributed sweep (delta
+    // events + bucketed prefix sum), never an O(n·boundaries) range join
+    "q_session_concurrency" -> ((s, dir) => {
+      val sess = CoreOps.sessionize(
+        Tables.events(s, dir).filter(col("user_id").isNotNull),
+        "user_id", "ts", "event_id", D)
+      val iv = sess
+        .select(col("user_id"), col("session_seq"),
+          unix_millis(col("ts")).as("ms"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ms")).as("s_ms"), max(col("ms")).as("e_ms"))
+      CoreOps.concurrencyProfile(iv, "s_ms", "e_ms", 3600000L)
     }),
     // Markov-2: p(next | last TWO states) — both lags share one window
     // pass, aggregation on O(states³) rows
@@ -2603,6 +2629,33 @@ object SparkEntry {
          |SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY 1
          |ORDER BY n_occurrences DESC, gram LIMIT 100""".stripMargin,
 
+    // first-doc-per-token min agg + cumulative counts at each checkpoint
+    "q_vocab_growth" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |ft AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY t),
+         |cps AS (SELECT unnest([${VocabCps.mkString(", ")}]::BIGINT[])
+         |          AS checkpoint)
+         |SELECT checkpoint,
+         |  (SELECT count(*) FROM documents
+         |   WHERE doc_id <= checkpoint)::BIGINT AS n_docs,
+         |  (SELECT count(*) FROM tok
+         |   WHERE doc_id <= checkpoint)::BIGINT AS n_tokens,
+         |  (SELECT count(*) FROM ft WHERE fd <= checkpoint)::BIGINT AS vocab
+         |FROM cps""".stripMargin,
+
+    // distinct (doc, type) grid + first-doc min + per-doc new-type ratio
+    "q_doc_novelty" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, t
+         |            FROM (SELECT doc_id, unnest($toksSql) AS t
+         |                  FROM documents)),
+         |ft AS (SELECT t, min(doc_id) AS fd FROM dt GROUP BY t)
+         |SELECT d.doc_id, count(*)::BIGINT AS n_types,
+         |  count(CASE WHEN ft.fd = d.doc_id THEN 1 END)::BIGINT
+         |    AS n_new_types,
+         |  floor(count(CASE WHEN ft.fd = d.doc_id THEN 1 END)::DOUBLE
+         |        / count(*)::DOUBLE * 1000000) / 1000000 AS novelty
+         |FROM dt d JOIN ft ON d.t = ft.t GROUP BY 1""".stripMargin,
+
     "q_ann_cosine" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
          |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -3480,6 +3533,31 @@ object SparkEntry {
     // the sessionize island scan feeding the funnel chain keyed by
     // (user, session) — concat matches Spark's concat_ws(":")
     "q_session_funnel" -> sessionFunnelOracle,
+    // sessionize intervals → sweep deltas → window cumsum (the engine
+    // side replaces the cumsum with the bucketed prefix scan)
+    "q_session_concurrency" -> {
+      val g = 3600000L
+      s"""WITH x AS (SELECT event_id, user_id, $evMs AS ms,
+         |        lag($evMs) OVER (PARTITION BY user_id
+         |                         ORDER BY $evMs, event_id) AS prev
+         |      FROM events WHERE user_id IS NOT NULL),
+         |sx AS (SELECT user_id, ms,
+         |        (sum(CASE WHEN prev IS NULL OR ms - prev > $D
+         |                  THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+         |      FROM x),
+         |iv AS (SELECT user_id, session_seq, min(ms) AS s, max(ms) AS e
+         |       FROM sx GROUP BY 1, 2),
+         |d AS (SELECT (s + ${g - 1}) - (s + ${g - 1}) % $g AS t,
+         |        1::BIGINT AS dd FROM iv
+         |      UNION ALL
+         |      SELECT (e + $g) - (e + $g) % $g, -1::BIGINT FROM iv),
+         |b AS (SELECT t, sum(dd)::BIGINT AS delta FROM d GROUP BY 1)
+         |SELECT t AS boundary_ms,
+         |  (sum(delta) OVER (ORDER BY t))::BIGINT AS active
+         |FROM b""".stripMargin
+    },
     // the session-aware state machine must emit the SAME rows
     "q_session_funnel_stream" -> sessionFunnelOracle,
 

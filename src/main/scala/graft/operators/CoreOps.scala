@@ -2372,6 +2372,53 @@ object CoreOps {
         sum(col(value).cast("long")).as("sum_value"))
   }
 
+  /** Interval CONCURRENCY profile — how many intervals are active at each
+    * grain boundary: the capacity/telemetry gauge (peak simultaneous
+    * sessions, concurrent jobs, open connections) that the naive
+    * per-boundary COUNT(overlapping) computes as an O(n·boundaries) range
+    * join. Here it is the classic sweep encoded distributively: every
+    * interval contributes +1 at the first boundary ≥ start and −1 at the
+    * first boundary > end (intervals are INCLUSIVE of `end` — a
+    * zero-length interval is active at its own boundary), deltas collapse
+    * to one row per CHANGED boundary (a partial-agg'd hash agg — quiet
+    * boundaries never exist as rows), and the running active count is
+    * orderedPrefixSum's bucket scheme — parallel per-bucket scans,
+    * O(buckets) driver offsets, never a single-task window. All integer
+    * ms arithmetic; `start`/`end` must be epoch-ms longs. NULL or
+    * inverted intervals FAIL LOUD (the coverage convention — silently
+    * dropping them would understate load). Emits (boundary_ms, active),
+    * one row per boundary where the count changes; the count holds until
+    * the next emitted boundary. */
+  def concurrencyProfile(df: DataFrame, start: String, end: String,
+                         grainMs: Long): DataFrame = {
+    require(grainMs > 0, s"grainMs must be positive, got $grainMs")
+    val internal = Seq("_t", "_d", "boundary_ms", "active")
+    require(!df.columns.exists(internal.contains),
+      s"concurrencyProfile emits/uses ${internal.mkString(", ")}; " +
+        "rename inputs")
+    require(integralTypes.contains(df.schema(start).dataType) &&
+        integralTypes.contains(df.schema(end).dataType),
+      s"concurrencyProfile reads epoch-ms longs; got " +
+        s"${df.schema(start).dataType}/${df.schema(end).dataType}")
+    val guard = assert_true(
+      col(start).isNotNull && col(end).isNotNull &&
+        col(end) >= col(start),
+      concat(lit("concurrencyProfile: interval must be non-NULL with " +
+        s"$end >= $start; got ["), col(start).cast("string"), lit(", "),
+        col(end).cast("string"), lit("]")))
+    val iv = df.filter(guard.isNull)
+    def ceilG(c: Column): Column = {
+      val shifted = c + lit(grainMs - 1)
+      shifted - pmod(shifted, lit(grainMs))
+    }
+    val deltas = iv.select(ceilG(col(start)).as("_t"), lit(1L).as("_d"))
+      .unionAll(iv.select(ceilG(col(end) + 1L).as("_t"),
+        lit(-1L).as("_d")))
+      .groupBy(col("_t")).agg(sum(col("_d")).as("_d"))
+    orderedPrefixSum(deltas, col("_t"), "_t", "_d", "active")
+      .select(col("_t").as("boundary_ms"), col("active"))
+  }
+
   /** Per-group INTER-EVENT-GAP percentiles: how long between consecutive
     * events of each type, per user — the cadence/latency profile
     * (session pacing, sensor heartbeat SLOs, bot detection via

@@ -584,4 +584,97 @@ object TextOps {
   /** Normalization used for near/exact dedup. */
   def normalized(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "), "\\s+", " "))
+
+  /** Vocabulary growth curve — the Heaps-law saturation gauge a corpus
+    * curator reads before deciding whether more crawl adds new language or
+    * just more of the same: at each doc-id checkpoint, how many docs and
+    * token occurrences have been ingested and how large the DISTINCT
+    * vocabulary has grown. A flattening vocab column means saturation; a
+    * still-linear one means the corpus is far from covering its domain.
+    *
+    * Exact and engine-reproducible: vocabulary at checkpoint c counts
+    * tokens whose FIRST document id ≤ c (one min-aggregate per token —
+    * the only vocabulary-sized stage, partial-agg'd), and all cumulative
+    * sums run over the ≤|checkpoints| bucket rows via a broadcast
+    * triangular self-join — never an unpartitioned window, never a
+    * driver-side scan. Plan shape: one explode + (token) hash agg + one
+    * per-doc map agg, then constant-size arithmetic; at 100 TB the token
+    * agg is the same single shuffle every dedup pass pays. Checkpoints
+    * must be strictly increasing; docs beyond the last checkpoint don't
+    * contribute (extend the list to cover them). NULL ids drop; NULL
+    * texts count as zero-token docs. Emits one row per checkpoint:
+    * (checkpoint, n_docs, n_tokens, vocab). */
+  /** Per-document NOVELTY — vocabGrowth's row-level face: for each doc,
+    * how many of its distinct token types appear here FIRST (no earlier
+    * doc id used them), and what fraction of its type set that is. The
+    * curation read: near-zero novelty marks template/boilerplate clones
+    * worth down-sampling even when no dedup pair fired; high novelty
+    * marks domain-expanding material. "First" is by the id order —
+    * deterministic, engine-exact (min over int ids), no arrival-time
+    * ambiguity. Plan shape: distinct (doc, type) pairs, ONE token-keyed
+    * min agg (the dedup-pass-sized stage), join back on the token key,
+    * one per-doc agg — all hash, no windows. Zero-type docs are absent
+    * (no type set to score — the lexicalDiversity convention). NULL ids
+    * drop. Emits (doc_id-named id, n_types, n_new_types, novelty). */
+  def docNovelty(docs: DataFrame, id: String, text: String): DataFrame = {
+    val internal = Seq("_t", "_fd", "n_types", "n_new_types", "novelty")
+    require(!internal.contains(id) && !docs.columns.exists(internal.contains),
+      s"docNovelty emits/uses ${internal.mkString(", ")}; rename inputs")
+    val dt = docs.filter(col(id).isNotNull)
+      .select(col(id), explode(tokens(col(text))).as("_t"))
+      .distinct()
+    val ft = dt.groupBy(col("_t")).agg(min(col(id)).as("_fd"))
+    dt.join(ft, Seq("_t"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_types"),
+        count(when(col("_fd") === col(id), lit(1))).as("n_new_types"))
+      .select(col(id), col("n_types"), col("n_new_types"),
+        (floor(col("n_new_types").cast("double")
+          / col("n_types").cast("double") * 1000000d) / 1000000d)
+          .as("novelty"))
+  }
+
+  def vocabGrowth(docs: DataFrame, id: String, text: String,
+                  checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "vocabGrowth needs >= 1 checkpoint")
+    require(checkpoints == checkpoints.sorted &&
+        checkpoints.distinct == checkpoints,
+      s"checkpoints must be strictly increasing, got $checkpoints")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cps = checkpoints.zipWithIndex
+    // smallest checkpoint >= v (NULL beyond the last → row excluded)
+    def bucketOf(c: Column): Column =
+      cps.reverse.foldLeft(lit(null).cast("int")) {
+        case (acc, (cp, i)) => when(c <= cp, lit(i)).otherwise(acc)
+      }
+    val tok = docs
+      .select(col(id).as("_d"), explode(tokens(col(text))).as("_t"))
+    val vocabByBucket = tok.groupBy(col("_t")).agg(min(col("_d")).as("_fd"))
+      .select(bucketOf(col("_fd")).as("_b"))
+      .filter(col("_b").isNotNull)
+      .groupBy(col("_b")).agg(count(lit(1)).as("_v"))
+    val nt = when(col(text).isNull, lit(0L))
+      .otherwise(size(tokens(col(text))).cast("long"))
+    val docStats = docs
+      .select(bucketOf(col(id)).as("_b"), nt.as("_nt"))
+      .filter(col("_b").isNotNull)
+      .groupBy(col("_b")).agg(count(lit(1)).as("_nd"), sum(col("_nt")).as("_ntok"))
+    val base = cps.map { case (cp, i) => (i, cp) }.toDF("_b", "checkpoint")
+      .join(vocabByBucket, Seq("_b"), "left")
+      .join(docStats, Seq("_b"), "left")
+      .select(col("_b"), col("checkpoint"),
+        coalesce(col("_v"), lit(0L)).as("_v"),
+        coalesce(col("_nd"), lit(0L)).as("_nd"),
+        coalesce(col("_ntok"), lit(0L)).as("_ntok"))
+    // cumulative over ≤|checkpoints| rows: broadcast triangular self-join
+    // (the tiny-frame house pattern — no unpartitioned window anywhere)
+    base.select(col("_b").as("_ab"), col("checkpoint"))
+      .join(broadcast(base.select(col("_b").as("_bb"), col("_v"),
+        col("_nd"), col("_ntok"))), col("_bb") <= col("_ab"))
+      .groupBy(col("_ab"), col("checkpoint"))
+      .agg(sum(col("_nd")).as("n_docs"), sum(col("_ntok")).as("n_tokens"),
+        sum(col("_v")).as("vocab"))
+      .select(col("checkpoint"), col("n_docs"), col("n_tokens"), col("vocab"))
+  }
 }

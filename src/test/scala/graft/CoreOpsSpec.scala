@@ -1534,6 +1534,25 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.spearmanCorr(mixed, "g", "x", "x"))
   }
 
+  test("concurrencyProfile: sweep deltas at grain boundaries, inclusive " +
+      "ends, zero-length intervals active at their own boundary") {
+    // grain 10: A[5,23] → +@10, −@30; B[10,10] → +@10, −@20; C[0,9] →
+    // +@0, −@10. Active: 0→1, 10→2, 20→1, 30→0
+    val iv = Seq((5L, 23L), (10L, 10L), (0L, 9L)).toDF("s", "e")
+    val got = CoreOps.concurrencyProfile(iv, "s", "e", 10L)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 1L), (10L, 2L), (20L, 1L), (30L, 0L)))
+    val bad = Seq((23L, 5L)).toDF("s", "e")
+    val err = intercept[Exception] {
+      CoreOps.concurrencyProfile(bad, "s", "e", 10L).collect()
+    }
+    def msg(e: Throwable): String =
+      (Option(e.getMessage) ++ Option(e.getCause).map(msg)).mkString(" ")
+    assert(msg(err).contains("concurrencyProfile"))
+    assertThrows[IllegalArgumentException](
+      CoreOps.concurrencyProfile(iv, "s", "e", 0L))
+  }
+
   test("asofJoin guards its internal carry columns (_r, _rts, _side)") {
     val l = Seq((1L, 1000L, "x")).toDF("k", "t", "_rts")
     val r = Seq((1L, 500L, "m")).toDF("k", "t", "payload")

@@ -732,6 +732,36 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ohlcBars runs verbatim on a stream (complete mode): a late-batch " +
+      "earlier row reopens the bar, a later row moves the close") {
+    val batch1 = Seq(
+      ValuedEvent("k", 1000, 1, 10), ValuedEvent("k", 2000, 2, 30))
+    val batch2 = Seq(
+      ValuedEvent("k", 500, 3, 7),   // earlier arrival → new open
+      ValuedEvent("k", 2500, 4, 20)) // later → new close
+    val input = MemoryStream[ValuedEvent]
+    val stream = input.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+    val q = graft.operators.CoreOps.ohlcBars(stream, "key", "ts", "tiebreak",
+        "value", 10000L)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ohlc_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("ohlc_par")
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      val twin = graft.operators.CoreOps.ohlcBars(
+          (batch1 ++ batch2).toDF()
+            .withColumn("ts", timestamp_millis(col("tsMs"))),
+          "key", "ts", "tiebreak", "value", 10000L)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(streamed == twin)
+      assert(streamed == Set(("k", 0L, 7L, 30L, 7L, 20L, 4L, 67L)))
+    } finally q.stop()
+  }
+
   test("windowedQuantileProfile finalizes windows == hand-computed " +
       "sketch-exact percentiles (small windows keep the sketch exact)") {
     val batch1 = Seq(

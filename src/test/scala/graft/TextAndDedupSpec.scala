@@ -643,4 +643,31 @@ class TextAndDedupSpec extends SparkSpec {
       2, 1, maxBucket = 20)
     assert(ok.count() == 20L)
   }
+
+  test("vocabGrowth: cumulative docs/tokens/vocab at checkpoints; docs " +
+      "beyond the last checkpoint excluded; vocab counts FIRST occurrence") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (4L, "d d"), (6L, "e"))
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(docs, "doc_id", "text", Seq(2L, 5L))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // cp 2: docs {1,2} → 4 token occurrences, vocab {a,b,c}
+    // cp 5: + doc 4 ("d d") → 6 occurrences, vocab + {d}; doc 6 excluded
+    assert(got.toSeq == Seq((2L, 2L, 4L, 3L), (5L, 3L, 6L, 4L)))
+    assertThrows[IllegalArgumentException](
+      TextOps.vocabGrowth(docs, "doc_id", "text", Seq(5L, 2L)))
+    assertThrows[IllegalArgumentException](
+      TextOps.vocabGrowth(docs, "doc_id", "text", Nil))
+  }
+
+  test("docNovelty: new-type fraction per doc by first-id order; " +
+      "zero-type docs absent") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "x"), (4L, " "))
+      .toDF("doc_id", "text")
+    val got = TextOps.docNovelty(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 2L, 1.0)))   // {a,b} both first here
+    assert(got(2L) == ((2L, 2L, 1L, 0.5)))   // a seen, c new
+    assert(got(3L) == ((3L, 1L, 1L, 1.0)))
+    assert(!got.contains(4L))                // no types, no score
+  }
 }
