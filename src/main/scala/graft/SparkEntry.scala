@@ -1388,6 +1388,25 @@ object SparkEntry {
     // a run; everything int64
     "q_streaks" -> ((s, dir) =>
       CoreOps.longestStreak(Tables.events(s, dir), "user_id", "ts")),
+    // one row per CLOSED streak (a later active day proved the gap); the
+    // still-open final island is excluded — the contract that lets the
+    // SAME oracle check the streaming state machine below
+    "q_streak_ends" -> ((s, dir) =>
+      CoreOps.completedStreaks(Tables.events(s, dir), "user_id", "ts")),
+    // the two-long state machine in batch mode vs the SAME oracle; a
+    // closed streak emits exactly once, append-safe on a live stream
+    "q_streak_ends_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      val msCol = unix_millis(col("ts"))
+      val day = ((msCol - pmod(msCol, lit(86400000L))) / lit(86400000L))
+        .cast("long")
+      graft.streaming.StateMachines.streakEnds(
+          graft.streaming.StateMachines.keyedEvents(ev, col("user_id"),
+            day, col("event_id"), col("event_type")))
+        .select(col("key").cast("long").as("user_id"), col("start_day"),
+          col("end_day"), col("len"))
+    }),
     // bounded-cardinality breakdown: top-3 event types + one __other__
     // rollup row computed from totals (no second pass), shares trunc6'd
     "q_top_categories" -> ((s, dir) =>
@@ -2324,6 +2343,25 @@ object SparkEntry {
       |SELECT c.from2_state, c.from1_state, c.to_state, n, n_from,
       |  floor(n::DOUBLE / n_from::DOUBLE * 1000000) / 1000000 AS prob
       |FROM c JOIN t USING (from2_state, from1_state)""".stripMargin
+
+  /** Shared by q_streak_ends (batch islands) and q_streak_ends_stream
+    * (two-long state machine in batch mode): closed runs only — each
+    * user's final island is still open and excluded by both forms. */
+  private val streakEndsOracle =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |        (epoch_ms(ts) // 86400000) AS day
+      |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |i AS (SELECT user_id, day,
+      |        day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |          AS isl
+      |      FROM d),
+      |runs AS (SELECT user_id, isl, min(day)::BIGINT AS start_day,
+      |        max(day)::BIGINT AS end_day, count(*)::BIGINT AS len
+      |      FROM i GROUP BY 1, 2),
+      |mx AS (SELECT user_id, max(end_day) AS me FROM runs GROUP BY 1)
+      |SELECT r.user_id, r.start_day, r.end_day, r.len
+      |FROM runs r JOIN mx ON r.user_id = mx.user_id AND r.end_day < mx.me"""
+      .stripMargin
 
   /** Shared by q_quantile_norm and its checked sketch twin (which appends
     * the guaranteed-TRUE rank-space verdict, the q_outliers_approx
@@ -4585,6 +4623,11 @@ object SparkEntry {
         |SELECT user_id, sum(len)::BIGINT AS n_active_days,
         |  count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest_streak
         |FROM runs GROUP BY 1""".stripMargin,
+
+    // island runs minus each user's still-open final island — shared by
+    // the batch form and the streaming state machine in batch mode
+    "q_streak_ends" -> streakEndsOracle,
+    "q_streak_ends_stream" -> streakEndsOracle,
 
     // json_valid guard: Spark's get_json_object returns NULL on malformed
     // JSON where DuckDB's json_extract_string raises — the guard gives the

@@ -2372,6 +2372,38 @@ object CoreOps {
         sum(col(value).cast("long")).as("sum_value"))
   }
 
+  /** COMPLETED consecutive-day streaks per key — longestStreak's
+    * event-level face: one row per CLOSED activity run (a run is closed
+    * once a later active day proves the gap), with its start/end day and
+    * length. The retention-analytics export ("streak broke after N
+    * days") and the exact batch twin of the streaming streakEnds state
+    * machine: each key's LAST island is still open — no later day has
+    * closed it — so it is EXCLUDED by both forms, which is what lets one
+    * oracle check batch and stream. Islands via the gaps-and-islands
+    * trick (day − row_number constant within a run) over the distinct
+    * (key, day) grid; the open-island exclusion is one key-partitioned
+    * max window over RUN rows (O(runs), not events). All int64 day
+    * arithmetic. NULL key/ts rows drop. Emits
+    * (key, start_day, end_day, len). */
+  def completedStreaks(df: DataFrame, key: String, ts: String): DataFrame = {
+    val internal = Seq("_day", "_isl", "_me", "start_day", "end_day", "len")
+    require(!internal.contains(key) && !df.columns.exists(internal.contains),
+      s"completedStreaks emits/uses ${internal.mkString(", ")}; rename inputs")
+    val m = ms(col(ts))
+    val day = ((m - pmod(m, lit(86400000L))) / lit(86400000L)).cast("long")
+    val d = df.filter(col(ts).isNotNull && col(key).isNotNull)
+      .select(col(key), day.as("_day")).distinct()
+    val w = Window.partitionBy(col(key)).orderBy(col("_day"))
+    val runs = d.withColumn("_isl", col("_day") - row_number().over(w))
+      .groupBy(col(key), col("_isl"))
+      .agg(min(col("_day")).as("start_day"), max(col("_day")).as("end_day"),
+        count(lit(1)).as("len"))
+    runs.withColumn("_me",
+        max(col("end_day")).over(Window.partitionBy(col(key))))
+      .filter(col("end_day") < col("_me"))
+      .select(col(key), col("start_day"), col("end_day"), col("len"))
+  }
+
   /** Interval CONCURRENCY profile — how many intervals are active at each
     * grain boundary: the capacity/telemetry gauge (peak simultaneous
     * sessions, concurrent jobs, open connections) that the naive

@@ -37,6 +37,10 @@ case class LastTwo(k1: String, k2: String, tsMs: Long)
 case class Transition2(key: String, from2_state: String, from1_state: String,
                        to_state: String)
 
+/** Open activity run per key for streakEnds: first and latest active day. */
+case class StreakState(startDay: Long, lastDay: Long)
+case class StreakEnd(key: String, start_day: Long, end_day: Long, len: Long)
+
 /** One remembered event per key — the twin of Flink's ValueState pair. */
 case class LastSeen(kind: String, tsMs: Long)
 
@@ -291,6 +295,51 @@ object StateMachines {
         }
     }
   }
+
+  implicit val streakStateEnc: Encoder[StreakState] =
+    Encoders.product[StreakState]
+  implicit val streakEndEnc: Encoder[StreakEnd] = Encoders.product[StreakEnd]
+
+  /** Streaming CLOSED-streak extraction — the continuous twin of
+    * CoreOps.completedStreaks: per key, state is the open run's (first,
+    * latest) active day — two longs, however long the stream runs. An
+    * event's day (`tsMs` carries the DAY INDEX, not epoch ms — the
+    * caller divides once) extends the run if it is the next day, is a
+    * no-op if the day is already covered (same day, or an out-of-order
+    * arrival behind the frontier — the arrival-order trade, stated), and
+    * CLOSES the run if it jumps a gap: the closed streak emits exactly
+    * once, append-safe, and a fresh run opens. The still-open run never
+    * emits — which is precisely what lets the SAME oracle check this
+    * machine in batch mode against completedStreaks (both exclude each
+    * key's final island). TTL-boundable like every machine here. */
+  def streakEnds(events: Dataset[KeyedEvent],
+                 stateTtlMs: Option[Long] = None): Dataset[StreakEnd] =
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[KeyedEvent], state: GroupState[StreakState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = ArrayBuffer.empty[StreakEnd]
+          var st = state.getOption.orNull
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            val d = e.tsMs
+            if (st == null) st = StreakState(d, d)
+            else if (d == st.lastDay + 1L) st = StreakState(st.startDay, d)
+            else if (d > st.lastDay + 1L) {
+              out += StreakEnd(key, st.startDay, st.lastDay,
+                st.lastDay - st.startDay + 1L)
+              st = StreakState(d, d)
+            } // d <= lastDay: day already covered / behind the frontier
+          }
+          if (st != null) {
+            state.update(st)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+          }
+          out.iterator
+        }
+    }
 
   /** Second-order streaming transitions — transitionPairs one lag deeper:
     * per key, state is the last TWO event kinds; each event with two

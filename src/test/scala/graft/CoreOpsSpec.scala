@@ -1534,6 +1534,21 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.spearmanCorr(mixed, "g", "x", "x"))
   }
 
+  test("completedStreaks: closed islands only, duplicate days collapse, " +
+      "a single-run user emits nothing") {
+    def ts(day: Long, h: Long) = (day * 86400000L + h * 3600000L)
+    val df = Seq(
+      (1L, ts(1, 1)), (1L, ts(1, 5)), (1L, ts(2, 0)),  // run 1-2 (dupe day)
+      (1L, ts(4, 0)),                                  // run 4 (closes 1-2)
+      (1L, ts(9, 0)),                                  // open run: excluded
+      (2L, ts(5, 0)), (2L, ts(6, 0)))                  // one open run only
+      .toDF("user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val got = CoreOps.completedStreaks(df, "user_id", "ts")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 2L), (1L, 4L, 4L, 1L)))
+  }
+
   test("concurrencyProfile: sweep deltas at grain boundaries, inclusive " +
       "ends, zero-length intervals active at their own boundary") {
     // grain 10: A[5,23] → +@10, −@30; B[10,10] → +@10, −@20; C[0,9] →

@@ -607,4 +607,23 @@ class PropertySpec extends SparkSpec {
       got == want
     })
   }
+
+  test("property: spearmanCorr is invariant under strictly monotone " +
+      "transforms of either axis (ranks see order, never magnitude)") {
+    val xyGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(3, 40)
+      xs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+      ys <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield xs.zip(ys)
+    check(Prop.forAll(xyGen) { rows =>
+      val df = rows.toDF("x", "y").withColumn("g", lit("g"))
+      // x → 2x³ + 7 is strictly monotone: rank order identical
+      val tf = df.withColumn("x", col("x") * col("x") * col("x") * 2 + 7)
+      val a = CoreOps.spearmanCorr(df, "g", "x", "y")
+        .as[(String, Long, Option[Double])].head()
+      val b = CoreOps.spearmanCorr(tf, "g", "x", "y")
+        .as[(String, Long, Option[Double])].head()
+      a == b
+    })
+  }
 }

@@ -732,6 +732,38 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streakEnds(streaming): a gap closes the run exactly once across " +
+      "batches; the open run never emits; == completedStreaks(batch)") {
+    // tsMs carries the DAY index. user 1: days 1,2 | gap | 4 | gap | 9
+    // (open). user 2: 5 then 6 — one unbroken open run, nothing emits.
+    val batch1 = Seq(
+      KeyedEvent("1", 1, 1, "a"), KeyedEvent("1", 2, 2, "a"),
+      KeyedEvent("2", 5, 3, "a"))
+    val batch2 = Seq(
+      KeyedEvent("1", 4, 4, "a"),  // closes (1,2) CROSS-BATCH
+      KeyedEvent("1", 9, 5, "a"),  // closes (4,4)
+      KeyedEvent("2", 6, 6, "a"),  // extends, no emit
+      KeyedEvent("1", 2, 7, "a"))  // behind the frontier: no-op
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.streakEnds(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("se_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("se_par").as[StreakEnd].collect().toSet
+      assert(streamed == Set(
+        StreakEnd("1", 1L, 2L, 2L), StreakEnd("1", 4L, 4L, 1L)))
+      // batch twin over the same days (ts = day · 86400000 ms)
+      val twin = graft.operators.CoreOps.completedStreaks(
+          (batch1 ++ batch2).toDF()
+            .withColumn("ts", timestamp_millis(col("tsMs") * 86400000L)),
+          "key", "ts")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(twin == streamed.map(s => (s.key, s.start_day, s.end_day, s.len)))
+    } finally q.stop()
+  }
+
   test("ohlcBars runs verbatim on a stream (complete mode): a late-batch " +
       "earlier row reopens the bar, a later row moves the close") {
     val batch1 = Seq(
