@@ -1664,27 +1664,14 @@ object SparkEntry {
     // co-sourcing graph: 5 synchronous iterations, every division
     // integral, so the scaled ranks are bit-identical to the oracle's
     // unrolled CTE iterations
-    "q_pagerank" -> ((s, dir) => {
-      // long node ids — suppliers at 2k, parts at 2k+1 (disjoint, and the
-      // per-round joins/aggs shuffle 8-byte keys, never strings)
-      val sp = Tables.lineitem(s, dir).select(
-        (col("l_suppkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
-      Graph.pagerankFixed(
-        sp.union(sp.select(col("dst").as("src"), col("src").as("dst"))),
-        "src", "dst", PrIters, PrScale)
-    }),
+    // long node ids — suppliers at 2k, parts at 2k+1 (disjoint, and the
+    // per-round joins/aggs shuffle 8-byte keys, never strings); the rank
+    // frame and the residual gauge share ONE memoized fixpoint prefix
+    "q_pagerank" -> ((s, dir) => pagerankShared(s, dir)._1),
     // "was PrIters enough?" — the L1 residual between the last two
     // integer rounds, one summary row; same bit-exact arithmetic, so the
     // oracle reproduces it from the unrolled CTE digit for digit
-    "q_pagerank_residual" -> ((s, dir) => {
-      val sp = Tables.lineitem(s, dir).select(
-        (col("l_suppkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
-      Graph.pagerankResidual(
-        sp.union(sp.select(col("dst").as("src"), col("src").as("dst"))),
-        "src", "dst", PrIters, PrScale)
-    }),
+    "q_pagerank_residual" -> ((s, dir) => pagerankShared(s, dir)._2),
     // least-squares tokens-per-char line per language — same exact
     // moment-sum determinism as q_corr
     "q_regression" -> ((s, dir) =>
@@ -1940,6 +1927,25 @@ object SparkEntry {
     memoPersist(clustersCache, s, dir)(
       Dedup.dupClusters(nearDupPairs(s, dir), "doc_a", "doc_b"))
 
+  /** q_pagerank and q_pagerank_residual are views over ONE fixpoint: the
+    * shared prefix of rounds is eagerly checkpointed inside
+    * pagerankWithResidual, so the residual gauge costs one extra join +
+    * 1-row agg instead of a second full iteration. Same BENCH caveat as
+    * nearDupPairs: the pair's per-query timings share one
+    * materialization. */
+  private val prPairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def pagerankShared(s: SparkSession,
+                             dir: String): (DataFrame, DataFrame) =
+    memoShared(prPairCache, s, dir)({
+      val sp = Tables.lineitem(s, dir).select(
+        (col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      Graph.pagerankWithResidual(
+        sp.union(sp.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst", PrIters, PrScale)
+    })
+
   /** q_pq_topk and q_pq_recall are views over the same PQ search result —
     * memoized like nearDupPairs so the 4 × IvfIters codebook training rounds
     * run once per Verify/Bench run. Same BENCH caveat: the pair's per-query
@@ -1968,12 +1974,15 @@ object SparkEntry {
   /** Memoize-and-persist with eviction when the owning session's application
     * ends, so stopped sessions don't stay strongly referenced in long-lived
     * JVMs / test suites. */
-  private def memoPersist(
-      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
-      s: SparkSession, dir: String)(frame: => DataFrame): DataFrame =
+  /** Memoize any per-(session, sf-dir) value with eviction when the owning
+    * session's application ends — the generic core of memoPersist, also
+    * used for multi-frame shares (the pagerank pair). */
+  private def memoShared[T](
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), T],
+      s: SparkSession, dir: String)(build: => T): T =
     // TrieMap.getOrElseUpdate's thunk is NOT atomic: two threads racing on
-    // the same key would both persist (one cached frame leaks unpersisted)
-    // and both register the eviction listener. The caches see a handful of
+    // the same key would both build (one cached value leaks) and both
+    // register the eviction listener. The caches see a handful of
     // plan-time lookups per run, so a plain monitor costs nothing
     cache.synchronized {
       cache.getOrElseUpdate((s, dir), {
@@ -1986,9 +1995,15 @@ object SparkEntry {
                 e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
               cache.filterInPlace { case ((sess, _), _) => sess ne s }
           })
-        frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        build
       })
     }
+
+  private def memoPersist(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      s: SparkSession, dir: String)(frame: => DataFrame): DataFrame =
+    memoShared(cache, s, dir)(
+      frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   // ───────────────────────────────────────────────────────────────────────
   // DuckDB oracles. Table names = parquet file stems. epoch_ms(ts) matches

@@ -129,6 +129,45 @@ object Graph {
       (col("pr_scaled").cast("double") / lit(scale.toDouble)).as("pr"))
   }
 
+  /** The (ranks, residual) PAIR over ONE shared fixpoint prefix — for a
+    * registry exposing both queries: iters−1 rounds run once (the
+    * penultimate frame is eagerly checkpointed; it feeds both the final
+    * step and the diff), the final frame likewise (it feeds the rank
+    * output and the diff). Outputs are exactly pagerankFixed's and
+    * pagerankResidual's — the same integer arithmetic, so the same
+    * oracles hold — at one fixpoint's cost instead of two. Construction
+    * is EAGER (the checkpoints materialize now); one-shot callers who
+    * want a lazy single plan use the individual forms. */
+  def pagerankWithResidual(edges: DataFrame, src: String, dst: String,
+                           iters: Int, scale: Long = 1000000000000L)
+      : (DataFrame, DataFrame) = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val s = prSetup(edges, src, dst, scale, "pagerankWithResidual")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (s.nNodes == 0L)
+      return (s.nodes.select(col("node"), lit(0L).as("pr_scaled"),
+          lit(0d).as("pr")),
+        Seq((0L, 0L, 0d)).toDF("n_nodes", "l1_scaled", "l1"))
+    var prev = s.nodes.select(col("node"), lit(s.init).as("pr_scaled"))
+    for (i <- 1 until iters) {
+      prev = prStep(s)(prev)
+      if (i % 8 == 0) prev = prev.localCheckpoint(true)
+    }
+    prev = prev.localCheckpoint(true)
+    val last = prStep(s)(prev).localCheckpoint(true)
+    val ranks = last.select(col("node"), col("pr_scaled"),
+      (col("pr_scaled").cast("double") / lit(scale.toDouble)).as("pr"))
+    val residual = prev.select(col("node"), col("pr_scaled").as("_prev"))
+      .join(last.select(col("node"), col("pr_scaled")), Seq("node"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(abs(col("pr_scaled") - col("_prev"))), lit(0L))
+          .as("l1_scaled"))
+      .select(col("n_nodes"), col("l1_scaled"),
+        (col("l1_scaled").cast("double") / lit(scale.toDouble)).as("l1"))
+    (ranks, residual)
+  }
+
   /** Convergence gauge for pagerankFixed — "was `iters` enough?": the L1
     * residual Σ_v |pr_iters(v) − pr_{iters−1}(v)| between the LAST TWO
     * rounds, as one summary row. Fixed-iteration PageRank is the right

@@ -139,6 +139,19 @@ class GraphSpec extends SparkSpec {
     assert(l1(4) == want)
   }
 
+  test("pagerankWithResidual == (pagerankFixed, pagerankResidual) on the " +
+      "shared prefix — one fixpoint, identical outputs") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+      .toDF("s", "d")
+    val (ranks, residual) = Graph.pagerankWithResidual(edges, "s", "d", 4, Scale)
+    val fixed = Graph.pagerankFixed(edges, "s", "d", 4, Scale)
+      .as[(String, Long, Double)].collect().toSet
+    assert(ranks.as[(String, Long, Double)].collect().toSet == fixed)
+    val solo = Graph.pagerankResidual(edges, "s", "d", 4, Scale)
+      .as[(Long, Long, Double)].head()
+    assert(residual.as[(Long, Long, Double)].head() == solo)
+  }
+
   test("pagerankResidual: empty graph emits the (0, 0, 0.0) row") {
     val empty = Seq.empty[(String, String)].toDF("s", "d")
     assert(Graph.pagerankResidual(empty, "s", "d", 3, Scale)
