@@ -1130,6 +1130,42 @@ object SparkEntry {
           size(array_distinct(toks)).cast("long").as("n_uniq")),
         Seq("n_chars", "n_tokens", "n_uniq"))
     }),
+    // ── information-theory tier: every ln is quantized AT THE TERM
+    // (qlog = floor(ln·10⁶) BIGINT) and summed exactly, so the emitted
+    // statistic is partitioning/engine-independent by construction
+    // (InfoTheory scaladoc) ─────────────────────────────────────────────
+    // token-distribution Shannon entropy per language — corpus diversity
+    // gauge; join-free H·N = N·lnN − Σc·lnc identity, one count shuffle
+    "q_token_entropy" -> ((s, dir) =>
+      InfoTheory.entropy(
+        Tables.documents(s, dir).select(col("lang"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        "lang", "tok")),
+    // directed token-distribution drift KL(even‖odd doc halves), add-one
+    // smoothed over the union vocabulary — one count shuffle builds both
+    // sides' counts in the same row, totals ride a 1-row broadcast
+    "q_kl_drift" -> ((s, dir) =>
+      InfoTheory.klDrift(
+        Tables.documents(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        "tok", pmod(col("doc_id"), lit(2)) === 0)),
+    // does language predict source? — mutual information over the
+    // (lang, source) contingency cells; margins are partitioned window
+    // sums over the O(cells) table, never the corpus
+    "q_mutual_info" -> ((s, dir) =>
+      InfoTheory.mutualInfo(Tables.documents(s, dir), "lang", "source")),
+    // bigram PMI collocations (≥5 occurrences): which adjacent token
+    // pairs co-occur beyond chance — positional margins via partitioned
+    // windows over the bigramLm-shaped gram table
+    "q_pmi" -> ((s, dir) =>
+      InfoTheory.pmiCollocations(Tables.documents(s, dir), "text", 5L)),
+    // Zipf rank-frequency slope per language (natural text ≈ −1):
+    // quantized log-log coordinates through the exactRegression moment
+    // chain — the whole regression runs on exact integers
+    "q_zipf" -> ((s, dir) =>
+      CoreOps.exactRegression(
+        InfoTheory.zipfLogLog(Tables.documents(s, dir), "lang", "text"),
+        "lang", "log_rank", "log_freq")),
     // the user-lifecycle curve: daily cohorts of first activity, distinct
     // actives per (cohort, offset), trunc6'd retention ratio
     "q_retention" -> ((s, dir) =>
@@ -3546,6 +3582,106 @@ object SparkEntry {
                ("n_tokens", "n_uniq"))
           .map { case (a, b) => pair(a, b) }.mkString("\nUNION ALL\n")}""".stripMargin
     },
+
+    // ── information-theory tier: every ln mirrors Spark's qlog —
+    // floor(ln(x)·10⁶)::BIGINT on an integer argument, summed exactly,
+    // one double division per output row ─────────────────────────────────
+    "q_token_entropy" ->
+      s"""WITH t AS (SELECT lang, unnest($toksSql) AS tok FROM documents
+         |           WHERE lang IS NOT NULL),
+         |c AS (SELECT lang, tok, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+         |g AS (SELECT lang, sum(c)::BIGINT AS tot,
+         |        count(*)::BIGINT AS n_categories,
+         |        sum(c * floor(ln(c::DOUBLE) * 1000000)::BIGINT)::BIGINT AS sclc
+         |      FROM c GROUP BY 1)
+         |SELECT lang, tot AS n_total, n_categories,
+         |  (tot * floor(ln(tot::DOUBLE) * 1000000)::BIGINT - sclc)::BIGINT
+         |    AS entropy_scaled,
+         |  (tot * floor(ln(tot::DOUBLE) * 1000000)::BIGINT - sclc)::DOUBLE
+         |    / (tot::DOUBLE * 1000000) AS entropy
+         |FROM g""".stripMargin,
+
+    // add-one smoothed over the union vocabulary; quantized term
+    // cp'·(qlog(cp'·NQ') − qlog(cq'·NP')) summed exactly
+    "q_kl_drift" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok,
+         |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS cp,
+         |        sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS cq
+         |      FROM t GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS k, sum(cp)::BIGINT AS tp,
+         |          sum(cq)::BIGINT AS tq FROM c),
+         |s AS (SELECT k, tp, tq,
+         |        sum((cp + 1)
+         |          * (floor(ln(((cp + 1) * (tq + k))::DOUBLE) * 1000000)::BIGINT
+         |           - floor(ln(((cq + 1) * (tp + k))::DOUBLE) * 1000000)::BIGINT)
+         |        )::BIGINT AS kl_scaled
+         |      FROM c CROSS JOIN tot GROUP BY 1, 2, 3)
+         |SELECT k AS n_categories, tp AS n_p, tq AS n_q, kl_scaled,
+         |  kl_scaled::DOUBLE / ((tp + k)::DOUBLE * 1000000) AS kl
+         |FROM s""".stripMargin,
+
+    // margins as partitioned window sums over the O(cells) table; grand
+    // total via CROSS JOIN of a 1-row aggregate
+    "q_mutual_info" ->
+      """WITH c AS (SELECT lang, source, count(*)::BIGINT AS c FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL
+        |           GROUP BY 1, 2),
+        |m AS (SELECT c,
+        |        sum(c) OVER (PARTITION BY lang)::BIGINT AS ca,
+        |        sum(c) OVER (PARTITION BY source)::BIGINT AS cb FROM c),
+        |tot AS (SELECT sum(c)::BIGINT AS nn FROM c),
+        |s AS (SELECT nn, count(*)::BIGINT AS n_cells,
+        |        sum(c * (floor(ln((c * nn)::DOUBLE) * 1000000)::BIGINT
+        |               - floor(ln((ca * cb)::DOUBLE) * 1000000)::BIGINT)
+        |        )::BIGINT AS mi_scaled
+        |      FROM m CROSS JOIN tot GROUP BY 1)
+        |SELECT nn AS n, n_cells, mi_scaled,
+        |  mi_scaled::DOUBLE / (nn::DOUBLE * 1000000) AS mi FROM s""".stripMargin,
+
+    // the q_bigram_lm gram extraction, positional margins by window,
+    // pmi as a quantized-log difference over exact counts
+    "q_pmi" ->
+      s"""WITH nrm AS (SELECT $normSql AS nt FROM documents),
+         |tk AS (SELECT list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |g AS (SELECT unnest([array_to_string(list_slice(toks, i+1, i+2), ' ')
+         |                     for i in range(0, len(toks)-2+1)]) AS gram
+         |      FROM tk WHERE len(toks) >= 2),
+         |c AS (SELECT gram, count(*)::BIGINT AS n_ab FROM g GROUP BY 1),
+         |sp AS (SELECT n_ab, split_part(gram, ' ', 1) AS w1,
+         |         split_part(gram, ' ', 2) AS w2 FROM c),
+         |m AS (SELECT w1, w2, n_ab,
+         |        sum(n_ab) OVER (PARTITION BY w1)::BIGINT AS n_w1,
+         |        sum(n_ab) OVER (PARTITION BY w2)::BIGINT AS n_w2 FROM sp),
+         |tot AS (SELECT sum(n_ab)::BIGINT AS n_total FROM c)
+         |SELECT w1, w2, n_ab, n_w1, n_w2, n_total,
+         |  (floor(ln((n_ab * n_total)::DOUBLE) * 1000000)::BIGINT
+         |   - floor(ln((n_w1 * n_w2)::DOUBLE) * 1000000)::BIGINT)::DOUBLE
+         |    / 1000000 AS pmi
+         |FROM m CROSS JOIN tot WHERE n_ab >= 5""".stripMargin,
+
+    // quantized log-log coordinates through the q_regression skeleton
+    "q_zipf" ->
+      s"""WITH t AS (SELECT lang, unnest($toksSql) AS tok FROM documents
+         |           WHERE lang IS NOT NULL),
+         |f AS (SELECT lang, tok, count(*)::BIGINT AS f FROM t GROUP BY 1, 2),
+         |r AS (SELECT lang, f, tok, row_number() OVER
+         |        (PARTITION BY lang ORDER BY f DESC, tok) AS rnk FROM f),
+         |x AS (SELECT lang, floor(ln(rnk::DOUBLE) * 1000000)::BIGINT AS lx,
+         |        floor(ln(f::DOUBLE) * 1000000)::BIGINT AS ly FROM r),
+         |s AS (SELECT lang, count(*)::DOUBLE AS n, sum(lx)::DOUBLE AS sx,
+         |        sum(ly)::DOUBLE AS sy, sum(lx * ly)::DOUBLE AS sxy,
+         |        sum(lx * lx)::DOUBLE AS sxx FROM x GROUP BY 1)
+         |SELECT lang, n::BIGINT AS n,
+         |  CASE WHEN (n * sxx - sx * sx) > 0
+         |       THEN floor(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+         |                  * 1000000) / 1000000
+         |  END AS slope,
+         |  CASE WHEN (n * sxx - sx * sx) > 0
+         |       THEN floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+         |                  * 1000000) / 1000000
+         |  END AS intercept
+         |FROM s""".stripMargin,
 
     // q_outliers' skeleton over per-type daily counts
     "q_volume_outliers" ->

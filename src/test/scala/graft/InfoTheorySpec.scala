@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CoreOps, InfoTheory, TextOps}
+
+/** InfoTheory operators vs brute-force Scala references computing the SAME
+  * quantized-log statistic (qlog = floor(ln·10⁶)) — any partitioning or
+  * plan change that altered a term or a sum would diverge from the fold. */
+class InfoTheorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def qlog(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+
+  test("entropy matches the brute-force quantized fold, and is 0 for a " +
+    "single-category group") {
+    val rows = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"), ("a", "z"), ("a", "z"), ("a", "z"),
+      ("b", "only"), ("b", "only"),
+      ("c", "u"), ("c", "v"))
+    val df = rows.toDF("g", "cat").repartition(4)
+    val got = InfoTheory.entropy(df, "g", "cat")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+    // brute force per group
+    val want = rows.groupBy(_._1).map { case (g, gs) =>
+      val counts = gs.groupBy(_._2).map(_._2.size.toLong).toSeq
+      val tot = counts.sum
+      val hs = tot * qlog(tot) - counts.map(c => c * qlog(c)).sum
+      g -> ((tot, counts.size.toLong, hs, hs.toDouble / (tot.toDouble * 1e6)))
+    }
+    assert(got == want)
+    assert(got("b")._3 == 0L) // single category ⇒ exactly zero, no residue
+  }
+
+  test("entropy drops NULL groups and categories") {
+    val df = Seq((Some("a"), Some("x")), (Some("a"), None),
+      (None, Some("y")), (Some("a"), Some("x"))).toDF("g", "cat")
+    val out = InfoTheory.entropy(df, "g", "cat").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 2L) // only the two (a, x) rows
+  }
+
+  test("klDrift matches the brute-force smoothed fold and is ~0 for " +
+    "identical sides") {
+    val cats = Seq("x", "x", "x", "y", "y", "z")
+    val df = (cats.map(c => (c, true)) ++ cats.map(c => (c, false)))
+      .toDF("cat", "p").repartition(3)
+    val out = InfoTheory.klDrift(df, "cat", col("p")).collect().head
+    // identical sides: every term is qlog(m) − qlog(m) = 0 exactly
+    assert(out.getLong(3) == 0L && out.getDouble(4) == 0d)
+    assert(out.getLong(0) == 3L && out.getLong(1) == 6L && out.getLong(2) == 6L)
+
+    val skew = Seq(("x", true), ("x", true), ("x", true), ("y", true),
+      ("x", false), ("y", false), ("y", false), ("z", false))
+    val got = InfoTheory.klDrift(skew.toDF("cat", "p"), "cat", col("p"))
+      .collect().head
+    val cp = Map("x" -> 3L, "y" -> 1L, "z" -> 0L)
+    val cq = Map("x" -> 1L, "y" -> 2L, "z" -> 1L)
+    val (k, tp, tq) = (3L, 4L, 4L)
+    val klScaled = cp.keys.map { c =>
+      (cp(c) + 1) * (qlog((cp(c) + 1) * (tq + k)) - qlog((cq(c) + 1) * (tp + k)))
+    }.sum
+    assert(got.getLong(3) == klScaled)
+    assert(got.getDouble(4) == klScaled.toDouble / ((tp + k).toDouble * 1e6))
+  }
+
+  test("mutualInfo matches the brute-force fold; independent columns give " +
+    "~0 and a bijective pairing gives entropy-sized MI") {
+    // independent: every (a, b) cell has the same count
+    val ind = (for (a <- Seq("a1", "a2"); b <- Seq("b1", "b2"); _ <- 1 to 3)
+      yield (a, b)).toDF("a", "b").repartition(4)
+    val indRow = InfoTheory.mutualInfo(ind, "a", "b").collect().head
+    // uniform cells: c·N = 3·12, ca·cb = 6·6 = 36 = c·N ⇒ every term 0
+    assert(indRow.getLong(2) == 0L && indRow.getDouble(3) == 0d)
+
+    val dep = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"))
+      .toDF("a", "b").repartition(2)
+    val got = InfoTheory.mutualInfo(dep, "a", "b").collect().head
+    val cells = Map(("a1", "b1") -> 2L, ("a2", "b2") -> 1L)
+    val ca = Map("a1" -> 2L, "a2" -> 1L); val cb = Map("b1" -> 2L, "b2" -> 1L)
+    val n = 3L
+    val miScaled = cells.map { case ((a, b), c) =>
+      c * (qlog(c * n) - qlog(ca(a) * cb(b)))
+    }.sum
+    assert(got.getLong(0) == n && got.getLong(1) == 2L)
+    assert(got.getLong(2) == miScaled)
+    assert(got.getDouble(3) == miScaled.toDouble / (n.toDouble * 1e6))
+  }
+
+  test("mutualInfo on empty input emits zero rows") {
+    val df = Seq.empty[(String, String)].toDF("a", "b")
+    assert(InfoTheory.mutualInfo(df, "a", "b").collect().isEmpty)
+  }
+
+  test("pmiCollocations matches the brute-force fold over a tiny corpus") {
+    val docs = Seq("the cat sat", "the cat ran", "a cat sat").toDF("text")
+    val got = InfoTheory.pmiCollocations(docs, "text", 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+
+    val grams = Seq("the cat", "cat sat", "the cat", "cat ran",
+      "a cat", "cat sat")
+    val nAb = grams.groupBy(identity).map { case (g, gs) => g -> gs.size.toLong }
+    val n = grams.size.toLong
+    val nW1 = grams.map(_.split(" ")(0)).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val nW2 = grams.map(_.split(" ")(1)).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val want = nAb.map { case (g, c) =>
+      val Array(w1, w2) = g.split(" ")
+      (w1, w2) -> ((c, nW1(w1), nW2(w2), n,
+        (qlog(c * n) - qlog(nW1(w1) * nW2(w2))).toDouble / 1e6))
+    }
+    assert(got == want)
+  }
+
+  test("pmiCollocations minCount prunes output but keeps margins corpus-true") {
+    val docs = Seq("x y", "x y", "x z").toDF("text")
+    val out = InfoTheory.pmiCollocations(docs, "text", 2L).collect()
+    assert(out.length == 1) // only "x y" (count 2) survives
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == ("x", "y"))
+    assert(r.getLong(3) == 3L) // n_w1 for x counts the pruned "x z" gram too
+  }
+
+  test("zipf slope through exactRegression is exactly -1 for a perfect " +
+    "power-law corpus, quantization aside") {
+    // token k appears floor(60/k) times, k = 1..6 → freq ≈ c/rank
+    val words = (1 to 6).flatMap(k => Seq.fill(60 / k)(s"w$k"))
+    val docs = Seq(words.mkString(" ")).toDF("text")
+      .withColumn("lang", lit("en"))
+    val reg = CoreOps.exactRegression(
+      InfoTheory.zipfLogLog(docs, "lang", "text"), "lang",
+      "log_rank", "log_freq").collect().head
+    assert(reg.getLong(1) == 6L)
+    val slope = reg.getDouble(2)
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope not ~ -1")
+  }
+
+  test("zipfLogLog ranks deterministically (freq desc, token asc) and " +
+    "quantizes both coordinates") {
+    val docs = Seq("b b a a c").toDF("text").withColumn("lang", lit("xx"))
+    val rows = InfoTheory.zipfLogLog(docs, "lang", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // a (freq 2) rank 1, b (freq 2) rank 2, c (freq 1) rank 3
+    assert(rows == Set((qlog(1), qlog(2)), (qlog(2), qlog(2)),
+      (qlog(3), qlog(1))))
+  }
+}
