@@ -30,6 +30,10 @@ object SparkEntry {
   private val CmsD = 4; private val CmsW = 512 // count-min sketch shape
   private val PrIters = 5          // pagerank fixed-point iterations
   private val PrScale = 1000000000000L // pagerank integer mass scale
+  private val HitsIters = 5        // HITS fixed-point iterations
+  private val HitsScale = 1000000L // HITS integer score scale (see hitsFixed)
+  private val BfsSeedMod = 50L     // every 50th supplier seeds the BFS
+  private val BfsRounds = 4        // BFS hop cap
   private val LiftSupport = 2L     // basket-lift min pair support
   private val LiftMaxBasket = 32   // basket-lift size cap (OOM guard)
   private val HistLo = 0d; private val HistWidth = 5000d; private val HistBins = 20
@@ -164,6 +168,65 @@ object SparkEntry {
          |  COALESCE(sum(abs(a.pr - b.pr)), 0)::BIGINT::DOUBLE
          |    / CAST($scale AS DOUBLE) AS l1
          |FROM r$iters a JOIN r${iters - 1} b ON a.node = b.node""".stripMargin
+  /** Unrolled-CTE DuckDB twin of Graph.hitsFixed over the DIRECTED
+    * supplier→part edges. Each half-step mirrors the Spark side's
+    * integer ops exactly: Σ incoming scores, then (s·scale) // total
+    * with zero-score nodes kept by the LEFT JOIN onto the node frame.
+    * CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    * references its predecessor ~3×, so inlining would expand the scan
+    * tree 3^iters-fold (observed as an fd-exhaustion failure). */
+  private def hitsOracleSql(iters: Int, scale: Long): String = {
+    val head =
+      s"""WITH sp AS MATERIALIZED (SELECT DISTINCT l_suppkey * 2 AS src,
+         |        l_partkey * 2 + 1 AS dst FROM lineitem),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM sp UNION SELECT dst FROM sp),
+         |h0 AS MATERIALIZED (SELECT node, CAST($scale AS BIGINT) AS sc FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""ap$i AS MATERIALIZED (SELECT e.dst AS node, sum(h.sc)::BIGINT AS s
+         |  FROM sp e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT nd.node,
+         |    CASE WHEN (SELECT sum(s)::BIGINT FROM ap$i) > 0
+         |         THEN (COALESCE(p.s, 0) * $scale)
+         |              // (SELECT sum(s)::BIGINT FROM ap$i)
+         |         ELSE 0 END AS sc
+         |  FROM nodes nd LEFT JOIN ap$i p ON p.node = nd.node),
+         |hp$i AS MATERIALIZED (SELECT e.src AS node, sum(a.sc)::BIGINT AS s
+         |  FROM sp e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |h$i AS MATERIALIZED (SELECT nd.node,
+         |    CASE WHEN (SELECT sum(s)::BIGINT FROM hp$i) > 0
+         |         THEN (COALESCE(p.s, 0) * $scale)
+         |              // (SELECT sum(s)::BIGINT FROM hp$i)
+         |         ELSE 0 END AS sc
+         |  FROM nodes nd LEFT JOIN hp$i p ON p.node = nd.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""
+         |SELECT h.node, h.sc AS hub_scaled, a.sc AS auth_scaled,
+         |  h.sc::DOUBLE / CAST($scale AS DOUBLE) AS hub,
+         |  a.sc::DOUBLE / CAST($scale AS DOUBLE) AS auth
+         |FROM h$iters h JOIN a$iters a ON a.node = h.node""".stripMargin
+  }
+
+  /** Unrolled-CTE twin of Graph.bfsDistances: seeds at dist 0, `rounds`
+    * synchronous min/+1 relaxations over the bidirected sourcing edges. */
+  private def bfsOracleSql(rounds: Int, seedMod: Long): String = {
+    val head =
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey * 2 AS src,
+         |        l_partkey * 2 + 1 AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM sp
+         |      UNION SELECT dst AS src, src AS dst FROM sp),
+         |d0 AS (SELECT DISTINCT l_suppkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+         |       FROM lineitem WHERE l_suppkey % $seedMod = 0)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} d ON d.node = e.src) GROUP BY 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT node, dist FROM d$rounds"
+  }
+
   private val HotKeyTopN = 50 // candidates probed by q_heavy_hitters_hot
   // doc-id checkpoints for the q_vocab_growth Heaps-law gauge
   private val VocabCps = Seq(50L, 100L, 200L, 350L, 500L)
@@ -1708,6 +1771,30 @@ object SparkEntry {
     // integer rounds, one summary row; same bit-exact arithmetic, so the
     // oracle reproduces it from the unrolled CTE digit for digit
     "q_pagerank_residual" -> ((s, dir) => pagerankShared(s, dir)._2),
+    // HITS over the DIRECTED supplier→part sourcing edges: suppliers are
+    // hubs, parts authorities — the two-sided importance PageRank's
+    // bidirected walk conflates; sum-normalized integer half-steps, so
+    // the oracle's unrolled CTE reproduces every score bit-for-bit
+    "q_hits" -> ((s, dir) =>
+      Graph.hitsFixed(
+        Tables.lineitem(s, dir).select(
+          (col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")),
+        "src", "dst", HitsIters, HitsScale)),
+    // multi-source BFS hop distances from every 50th supplier over the
+    // bidirected sourcing graph, capped at BfsRounds — pure integer
+    // min/+1 relaxation, nodes beyond the cap absent by contract
+    "q_bfs_dist" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sp = li.select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      Graph.bfsDistances(
+        sp.union(sp.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst",
+        li.filter(pmod(col("l_suppkey"), lit(BfsSeedMod)) === 0)
+          .select((col("l_suppkey") * 2).as("node")).distinct(),
+        BfsRounds)
+    }),
     // least-squares tokens-per-char line per language — same exact
     // moment-sum determinism as q_corr
     "q_regression" -> ((s, dir) =>
@@ -3872,6 +3959,8 @@ object SparkEntry {
 
     "q_pagerank" -> pagerankOracleSql(PrIters, PrScale),
     "q_pagerank_residual" -> pagerankResidualOracleSql(PrIters, PrScale),
+    "q_hits" -> hitsOracleSql(HitsIters, HitsScale),
+    "q_bfs_dist" -> bfsOracleSql(BfsRounds, BfsSeedMod),
 
     // brute-force canonical 3-way triangle join (the oracle may explode on
     // hubs; the Spark side's degree orientation is the scale path)

@@ -207,6 +207,142 @@ object Graph {
         (col("l1_scaled").cast("double") / lit(scale.toDouble)).as("l1"))
   }
 
+  /** HITS hubs & authorities by fixed-point INTEGER arithmetic — the
+    * bipartite-importance twin of pagerankFixed: on a directed graph
+    * (e.g. supplier→part sourcing edges) hubs are good pointers and
+    * authorities are well-pointed-at targets, the two-sided importance
+    * signal one PageRank score conflates. Kleinberg's iteration with
+    * SUM-normalization each half-step, all arithmetic integral:
+    *   a'(v) = Σ_{u→v} h(u);  a(v) = (a'(v)·scale) div Σ_w a'(w)
+    *   h'(u) = Σ_{u→v} a(v);  h(u) = (h'(u)·scale) div Σ_w h'(w)
+    * so after any number of rounds the scaled scores are bit-identical
+    * across engines/partitionings (the pagerankFixed argument; float HITS
+    * is order-dependent in both the sums and the norm).
+    *
+    * Distributed shape per round: two co-partitioned hash joins (scores
+    * onto edges by src, then by dst) + two hash aggs + two 1-row
+    * normalizer aggs that ride back as broadcast crossJoins — O(|E|+|V|)
+    * per exchange, zero driver traffic. Unlike pagerankFixed (whose
+    * rank frame has ONE consumer per round) the pre-normalization sum
+    * frame here feeds BOTH the normalizer and the join back, so each
+    * half-step eagerly localCheckpoints it — 2·iters materializations
+    * of O(|V|) frames, which also keeps lineage depth constant.
+    * Bounds: normalized scores sum to ≤ scale, so pre-normalized sums
+    * obey a'(v) ≤ scale·indeg(v) and the scale-up product needs
+    * scale²·maxdeg < 2⁶³ — at the default scale 10⁶ that admits degrees
+    * to ~9·10⁶; past it ANSI fails loud (raise by pre-bucketing hubs or
+    * lowering scale). Zero-edge graphs emit all-zero scores; nodes with
+    * no in-edges (resp. out-edges) hold authority (resp. hub) exactly 0.
+    * Self-loops kept; parallel edges collapse; NULL endpoints drop.
+    * Emits (node, hub_scaled, auth_scaled, hub, auth) — the doubles are
+    * one exact division each. */
+  def hitsFixed(edges: DataFrame, src: String, dst: String, iters: Int,
+                scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(scale >= 1000000L && scale <= 1000000000L,
+      s"scale must be in [1e6, 1e9], got $scale")
+    val emitted = Seq("node", "hub_scaled", "auth_scaled", "hub", "auth",
+      "_src", "_dst", "_s", "_t")
+    require(!emitted.contains(src) && !emitted.contains(dst),
+      s"hitsFixed emits/uses ${emitted.mkString(", ")}; rename inputs")
+    require(edges.schema(src).dataType == edges.schema(dst).dataType,
+      s"src/dst must share one node type; got ${edges.schema(src).dataType} " +
+        s"vs ${edges.schema(dst).dataType}")
+    val e = edges
+      .select(col(src).as("_src"), col(dst).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+
+    // Σ over the incoming frame, scale-normalize, keep zero-score nodes:
+    // the left join back onto the checkpointed node frame preserves the
+    // full node set every half-step (authority-less hubs and vice versa).
+    // The pre-normalization sum frame has TWO consumers — the 1-row
+    // normalizer total and the join back — so it is localCheckpoint'd
+    // (the pagerankResidual two-consumer rule); without the cut each
+    // round re-executes its whole prefix through both consumers and the
+    // fixpoint goes exponential in iters.
+    def halfStep(scores: DataFrame, joinKey: String, aggKey: String)
+        : DataFrame = {
+      val sums = e.join(scores, e(joinKey) === scores("node"))
+        .select(col(aggKey).as("_t"), col("_sc"))
+        .groupBy(col("_t")).agg(sum(col("_sc")).as("_s"))
+        .localCheckpoint(true)
+      val total = sums.groupBy()
+        .agg(coalesce(sum(col("_s")), lit(0L)).as("_tot")) // 1 row
+      nodes.join(sums, nodes("node") === sums("_t"), "left")
+        .crossJoin(broadcast(total))
+        .select(nodes("node"),
+          when(col("_tot") > 0L,
+            expr(s"(coalesce(_s, CAST(0 AS BIGINT)) * CAST($scale AS BIGINT))" +
+              " div _tot"))
+            .otherwise(lit(0L)).as("_sc"))
+    }
+
+    var hubs = nodes.select(col("node"), lit(scale).as("_sc"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = halfStep(hubs, "_src", "_dst")  // authority from hub mass
+      hubs = halfStep(auths, "_dst", "_src")  // hub from authority mass
+    }
+    hubs.select(col("node"), col("_sc").as("hub_scaled"))
+      .join(auths.select(col("node"), col("_sc").as("auth_scaled")),
+        Seq("node"))
+      .select(col("node"), col("hub_scaled"), col("auth_scaled"),
+        (col("hub_scaled").cast("double") / lit(scale.toDouble)).as("hub"),
+        (col("auth_scaled").cast("double") / lit(scale.toDouble)).as("auth"))
+  }
+
+  /** Multi-source BFS hop distances — "how far is every node from the
+    * seed set?", the reachability/radius gauge behind contamination
+    * tracing (which documents sit within k derivation hops of a flagged
+    * source) and graph-radius sanity checks. Synchronous relaxation for
+    * a FIXED `rounds`: dist₀ = 0 on seeds; each round
+    *   dist'(v) = min(dist(v), min_{u→v} dist(u) + 1)
+    * — pure integer min/+1, so the result is exactly the true hop
+    * distance capped at `rounds`, bit-identical on any engine (oracle:
+    * unrolled CTE of the same rounds). Nodes beyond the cap are ABSENT
+    * (their distance is not yet determined — emitting ∞ would lie).
+    *
+    * Shape per round: one hash join of the current frontier frame onto
+    * the checkpointed edge frame (shuffle on the 8-byte node key), one
+    * hash agg (min on dst), one union + min-agg fold back — O(|E|+|V|)
+    * per exchange, zero driver traffic, fixed rounds ⇒ one lazy plan
+    * with a lineage cut every 4th round. `seeds` is a one-column
+    * ("node") frame; seed nodes absent from the edge set still emit
+    * dist 0 (they are legitimate sources). NULL endpoints/seeds drop;
+    * parallel edges collapse. Emits (node, dist). */
+  def bfsDistances(edges: DataFrame, src: String, dst: String,
+                   seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1,50], got $rounds")
+    require(seeds.columns.sameElements(Array("node")),
+      s"seeds must have exactly one column 'node'; got " +
+        seeds.columns.mkString(", "))
+    val emitted = Seq("node", "dist", "_src", "_dst", "_d")
+    require(!emitted.contains(src) && !emitted.contains(dst),
+      s"bfsDistances emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val e = edges
+      .select(col(src).as("_src"), col(dst).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var dist = seeds.filter(col("node").isNotNull).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+    for (i <- 1 to rounds) {
+      val relaxed = e.join(dist, e("_src") === dist("node"))
+        .select(col("_dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (i % 4 == 0 && i < rounds) dist = dist.localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Global triangle census of an undirected graph — node/edge/wedge/triangle
     * counts plus the global clustering coefficient, the structure summary
     * that says whether a similarity graph is clumpy (communities, duplicate

@@ -161,4 +161,65 @@ class GraphSpec extends SparkSpec {
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
+
+  /** Brute-force HITS with the SAME integer half-steps (Long `/` on
+    * non-negative operands ≡ `div`). */
+  private def bruteHits(edges: Set[(Long, Long)], iters: Int,
+                        scale: Long): Map[Long, (Long, Long)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    var h = nodes.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val ap = nodes.map(v =>
+        v -> edges.toSeq.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      val sa = ap.values.sum
+      a = nodes.map(v => v -> (if (sa > 0) ap(v) * scale / sa else 0L)).toMap
+      val hp = nodes.map(u =>
+        u -> edges.toSeq.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+      val sh = hp.values.sum
+      h = nodes.map(u => u -> (if (sh > 0) hp(u) * scale / sh else 0L)).toMap
+    }
+    nodes.map(n => n -> ((h(n), a(n)))).toMap
+  }
+
+  test("hitsFixed matches the brute-force integer half-steps; pure sources " +
+    "hold authority 0 and pure sinks hold hub 0") {
+    val edges = Set((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L), (3L, 12L),
+      (10L, 2L)) // 10 also points back at 2: mixed hub/authority
+    val df = edges.toSeq.toDF("s", "d").repartition(3)
+    val got = Graph.hitsFixed(df, "s", "d", 3)
+      .select("node", "hub_scaled", "auth_scaled")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(got == bruteHits(edges, 3, 1000000L))
+    assert(got(1L)._2 == 0L)  // nothing points at 1 ⇒ authority exactly 0
+    assert(got(12L)._1 == 0L) // 12 points at nothing ⇒ hub exactly 0
+  }
+
+  test("hitsFixed: parallel edges collapse and NULL endpoints drop") {
+    val df = Seq((Some(1L), Some(10L)), (Some(1L), Some(10L)),
+      (Some(1L), None), (None, Some(10L))).toDF("s", "d")
+    val got = Graph.hitsFixed(df, "s", "d", 2)
+      .select("node", "hub_scaled", "auth_scaled")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(got == bruteHits(Set((1L, 10L)), 2, 1000000L))
+  }
+
+  test("bfsDistances: true hop distances on a path, capped at rounds, " +
+    "beyond-cap nodes absent, isolated seed kept at 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("s", "d")
+    val seeds = Seq(1L, 99L).toDF("node") // 99 is not in the graph
+    val got = Graph.bfsDistances(edges, "s", "d", seeds, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      99L -> 0L)) // 6 is 5 hops out — absent under the cap
+  }
+
+  test("bfsDistances: multi-source takes the MIN over seeds and relaxes " +
+    "through cycles without double-counting") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 3L)).toDF("s", "d")
+    val got = Graph.bfsDistances(edges, "s", "d",
+      Seq(1L, 4L).toDF("node"), 3).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
 }
