@@ -30,6 +30,8 @@ object SparkEntry {
   private val CmsD = 4; private val CmsW = 512 // count-min sketch shape
   private val PrIters = 5          // pagerank fixed-point iterations
   private val PrScale = 1000000000000L // pagerank integer mass scale
+  private val EwmaNum = 1; private val EwmaDen = 8 // EWMA α = 1/8
+  private val EwmaScale = 1000000L // EWMA fixed-point value scale
   private val HitsIters = 5        // HITS fixed-point iterations
   private val HitsScale = 1000000L // HITS integer score scale (see hitsFixed)
   private val BfsSeedMod = 50L     // every 50th supplier seeds the BFS
@@ -1563,6 +1565,25 @@ object SparkEntry {
         "user_id", "ts", "event_id", "cents", 3, 5)),
     // the SAME flags from the streaming moment-state machine run in batch
     // mode — per-key state is three int64 moments, fixed-size forever
+    // per-user recency-weighted spend level: the EWMA integer recurrence
+    // (α = 1/8, adjust=false) no window function can express — each step
+    // divides truncating-ly, so only the state machine (batch mode here,
+    // same code on a live stream) and the oracle's recursive CTE agree
+    // bit-for-bit; one snapshot per user (final in batch)
+    "q_ewma_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull
+          && col("user_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      graft.streaming.StateMachines.ewmaSnapshots(
+          graft.streaming.StateMachines.valuedEvents(ev, col("user_id"),
+            unix_millis(col("ts")), col("event_id"), col("cents")),
+          EwmaNum, EwmaDen, EwmaScale)
+        .select(col("key").cast("long").as("user_id"), col("n_events"),
+          col("last_ms"), col("ewma_scaled"),
+          (col("ewma_scaled").cast("double")
+            / (EwmaScale.toDouble * 100d)).as("ewma"))
+    }),
     "q_anomaly_stream" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("ts").isNotNull && col("value").isNotNull)
@@ -4246,6 +4267,28 @@ object SparkEntry {
     // the shared prior-prefix integer-moment oracle checks both forms
     "q_anomaly" -> anomalyOracle,
     "q_anomaly_stream" -> anomalyOracle,
+    // the SAME integer recurrence the state machine walks, replayed as a
+    // recursive CTE per user in (ts, event_id) order; `//` ≡ Long `/`
+    // (both truncate toward zero), so every snapshot matches exactly
+    "q_ewma_stream" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, $evMs AS ms, floor(value * 100)::BIGINT AS vc,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY $evMs, event_id) AS rn
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+         |rec AS (
+         |  SELECT user_id, rn, ms, vc * $EwmaScale AS s FROM ev WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn, e.ms,
+         |    ($EwmaNum * e.vc * $EwmaScale + ${EwmaDen - EwmaNum} * r.s)
+         |      // $EwmaDen AS s
+         |  FROM ev e JOIN rec r ON r.user_id = e.user_id AND e.rn = r.rn + 1),
+         |fin AS (SELECT user_id, max(rn) AS n FROM rec GROUP BY 1)
+         |SELECT r.user_id, f.n AS n_events, r.ms AS last_ms,
+         |  r.s AS ewma_scaled,
+         |  r.s::DOUBLE / (${EwmaScale}::DOUBLE * 100) AS ewma
+         |FROM rec r JOIN fin f ON f.user_id = r.user_id AND f.n = r.rn""".stripMargin,
 
     // the same per-cohort moment sums with a GROUP BY; chains identical
     "q_welch_by_type" ->

@@ -41,6 +41,12 @@ case class Transition2(key: String, from2_state: String, from1_state: String,
 case class StreakState(startDay: Long, lastDay: Long)
 case class StreakEnd(key: String, start_day: Long, end_day: Long, len: Long)
 
+/** Running integer EWMA per key: event count, last event time, and the
+  * current smoothed value scaled by `valueScale`. */
+case class EwmaState(n: Long, lastMs: Long, s: Long)
+case class EwmaSnapshot(key: String, n_events: Long, last_ms: Long,
+                        ewma_scaled: Long)
+
 /** One remembered event per key — the twin of Flink's ValueState pair. */
 case class LastSeen(kind: String, tsMs: Long)
 
@@ -406,6 +412,62 @@ object StateMachines {
           out.iterator
         }
     }
+
+  implicit val ewmaStateEnc: Encoder[EwmaState]       = Encoders.product[EwmaState]
+  implicit val ewmaSnapshotEnc: Encoder[EwmaSnapshot] = Encoders.product[EwmaSnapshot]
+
+  /** Per-key exponentially weighted moving average as an INTEGER
+    * recurrence — the recency-weighted level gauge (typical spend now,
+    * not lifetime average) that no window function can express exactly,
+    * because each step divides truncating-ly:
+    *   s₁ = v₁·valueScale
+    *   sₙ = (αNum·vₙ·valueScale + (αDen−αNum)·sₙ₋₁) div αDen
+    * (adjust=false / recursive form, α = αNum/αDen). Everything is
+    * int64, so the trajectory is bit-identical on any engine — the
+    * DuckDB oracle replays the same recurrence as a recursive CTE.
+    * Emits ONE snapshot per key PER INVOCATION (current n, last event
+    * ms, scaled ewma): in batch mode each key's whole history arrives
+    * in one sorted invocation, so the output is the per-key FINAL ewma
+    * and the recursive-CTE oracle checks it exactly; on a live stream
+    * each micro-batch appends the key's current snapshot (the
+    * update-gauge reading). State is one fixed-size EwmaState per key.
+    * Negative values are fine (Long `/` and DuckDB `//` both truncate
+    * toward zero); overflow of αDen·|s| fails LOUD via multiplyExact —
+    * keep |v|·valueScale·αDen under 2⁶³ (cents at valueScale 10⁶ admit
+    * |v| to ~10⁹ cents with αDen 8). */
+  def ewmaSnapshots(events: Dataset[ValuedEvent], alphaNum: Int,
+                    alphaDen: Int, valueScale: Long = 1000000L,
+                    stateTtlMs: Option[Long] = None)
+      : Dataset[EwmaSnapshot] = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      s"need 0 < alphaNum <= alphaDen, got $alphaNum/$alphaDen")
+    require(valueScale >= 1L, s"valueScale must be >= 1, got $valueScale")
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[ValuedEvent], state: GroupState[EwmaState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(EwmaState(0L, 0L, 0L))
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            val vs = Math.multiplyExact(e.value, valueScale)
+            val s2 =
+              if (st.n == 0L) vs
+              else Math.addExact(Math.multiplyExact(alphaNum.toLong, vs),
+                Math.multiplyExact((alphaDen - alphaNum).toLong, st.s)) /
+                alphaDen
+            st = EwmaState(Math.addExact(st.n, 1L), e.tsMs, s2)
+          }
+          if (st.n == 0L) Iterator.empty
+          else {
+            state.update(st)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            Iterator.single(EwmaSnapshot(key, st.n, st.lastMs, st.s))
+          }
+        }
+    }
+  }
 
   /** Streaming form of CoreOps.expandingAnomaly: per key, state is THREE
     * int64 moments of everything seen so far (count, Σv, Σv²) — fixed-size

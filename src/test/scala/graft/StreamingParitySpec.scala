@@ -764,6 +764,43 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaSnapshots(streaming): the recurrence spans batches and emits " +
+      "one current snapshot per key per batch; final == batch-mode run") {
+    // α = 1/2, valueScale 10 for hand-checkable integers.
+    // key 1: 10, 20 in batch 1 → s = ((1·20·10)+(1·100))/2 = 150
+    //        then 30 in batch 2 → s = ((300)+(150))/2 = 225
+    val batch1 = Seq(ValuedEvent("1", 0, 1, 10), ValuedEvent("1", 1, 2, 20))
+    val batch2 = Seq(ValuedEvent("1", 2, 3, 30), ValuedEvent("2", 0, 4, 7))
+    val input = MemoryStream[ValuedEvent]
+    val q = StateMachines.ewmaSnapshots(input.toDS(), 1, 2, 10L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ew_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("ew_par").as[EwmaSnapshot].collect().toSet
+      assert(streamed == Set(
+        EwmaSnapshot("1", 2L, 1L, 150L),   // batch-1 snapshot
+        EwmaSnapshot("1", 3L, 2L, 225L),   // cross-batch continuation
+        EwmaSnapshot("2", 1L, 0L, 70L)))   // cold start: s₁ = v·scale
+      // batch mode: whole history in one invocation ⇒ final snapshots only
+      val finals = StateMachines.ewmaSnapshots(
+        (batch1 ++ batch2).toDS(), 1, 2, 10L).collect().toSet
+      assert(finals == Set(EwmaSnapshot("1", 3L, 2L, 225L),
+        EwmaSnapshot("2", 1L, 0L, 70L)))
+    } finally q.stop()
+  }
+
+  test("ewmaSnapshots orders within an invocation by (tsMs, tiebreak) and " +
+      "truncates toward zero like the oracle's //") {
+    // out-of-order arrival inside one batch must not change the walk
+    val evs = Seq(ValuedEvent("k", 5, 9, 3), ValuedEvent("k", 1, 1, 10))
+    val out = StateMachines.ewmaSnapshots(evs.toDS(), 1, 2, 1L)
+      .collect().toSet
+    // ordered walk: s₁ = 10, s₂ = (3 + 10) / 2 = 6 (trunc)
+    assert(out == Set(EwmaSnapshot("k", 2L, 5L, 6L)))
+  }
+
   test("ohlcBars runs verbatim on a stream (complete mode): a late-batch " +
       "earlier row reopens the bar, a later row moves the close") {
     val batch1 = Seq(
