@@ -588,6 +588,19 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
         MhK, MhBands, MhRows, 0.5)),
+    // exact-Jaccard pairs with PROVABLE recall (AllPairs/PPJoin prefix
+    // filter on the global frequency order) — unlike q_jaccard_pairs,
+    // no probabilistic blocker decides which pairs exist; the oracle is
+    // the brute-force all-pairs join, so recall loss = hash mismatch
+    "q_jaccard_allpairs" -> ((s, dir) =>
+      Dedup.jaccardAllPairs(Tables.documents(s, dir), "doc_id", "text",
+        MhK, 1, 2)),
+    // the blocker audit: MinHash banding's raw candidates graded against
+    // jaccardAllPairs ground truth — pairs completeness (blocker recall)
+    // and reduction ratio (pair-space pruning) in one summary row
+    "q_block_quality" -> ((s, dir) =>
+      Dedup.blockingQuality(Tables.documents(s, dir), "doc_id", "text",
+        MhK, MhBands, MhRows, 1, 2)),
     // the ingest-time dedup gate: a fresh crawl slice (doc_id%7==3)
     // LSH-joined against the standing corpus (the rest) — no batch
     // self-pairs, no shared state across the two sides
@@ -2980,6 +2993,46 @@ object SparkEntry {
          |  FROM cc c JOIN shs x ON c.left_id = x.doc_id
          |            JOIN shs y ON c.right_id = y.doc_id)
          |WHERE jacc >= 0.5""".stripMargin,
+
+    // brute-force all-pairs ground truth — the recall proof for the
+    // prefix-filtered Spark plan
+    "q_jaccard_allpairs" ->
+      s"""WITH $sqlMinhashCtes,
+         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)
+         |SELECT doc_a, doc_b, jacc AS jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jacc
+         |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
+         |WHERE jacc >= 0.5""".stripMargin,
+
+    // truth = brute force, candidates = the same banding CTEs the
+    // minhash oracles share; count arithmetic exact, ratios trunc6'd
+    "q_block_quality" ->
+      s"""WITH $sqlMinhashCtes,
+         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh),
+         |truth AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
+         |cd AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM cand),
+         |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents
+         |       WHERE doc_id IS NOT NULL),
+         |nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cd),
+         |nt AS (SELECT count(*)::BIGINT AS n_true_pairs FROM truth),
+         |ng AS (SELECT count(*)::BIGINT AS n_caught FROM truth t
+         |       WHERE EXISTS (SELECT 1 FROM cd c
+         |                     WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+         |SELECT n_docs, (n_docs * (n_docs - 1)) // 2 AS n_possible_pairs,
+         |  n_candidates, n_true_pairs, n_caught,
+         |  CASE WHEN (n_docs * (n_docs - 1)) // 2 > 0
+         |    THEN floor((1 - n_candidates::DOUBLE
+         |               / ((n_docs * (n_docs - 1)) // 2)::DOUBLE) * 1000000)
+         |         / 1000000 END AS reduction_ratio,
+         |  CASE WHEN n_true_pairs > 0
+         |    THEN floor(n_caught::DOUBLE / n_true_pairs::DOUBLE * 1000000)
+         |         / 1000000 END AS pairs_completeness
+         |FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN ng""".stripMargin,
 
     "q_pq_topk" ->
       s"""WITH $sqlPqCtes,

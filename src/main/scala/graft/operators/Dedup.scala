@@ -853,6 +853,125 @@ object Dedup {
     * identical results on any engine (both sides hash with the same
     * md5-derived family, so even a collision affects both identically),
     * int64 set ops instead of string set ops, and a far smaller payload. */
+  /** Exact-Jaccard self-join with PROVABLE recall — every pair of
+    * documents whose distinct-shingle-hash Jaccard is ≥ tNum/tDen, found
+    * WITHOUT trusting a probabilistic blocker. Candidate generation is
+    * the AllPairs/PPJoin prefix filter (Bayardo, Ma & Srikant WWW'07;
+    * Xiao et al. TODS'11, both public literature) on a GLOBAL
+    * (document-frequency ASC, hash ASC) token order:
+    *
+    *   J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ = α, and two sets sharing
+    *   α elements MUST share one among their first |s|−α+1 tokens in any
+    *   common total order — so each set indexes only its first
+    *   |s|−⌈t·|s|⌉+1 tokens (a superset of the needed prefix, since
+    *   ⌈t·|s|⌉ ≤ α), the RAREST shingles under the frequency order.
+    *
+    * The prefix length is computed in INTEGER arithmetic
+    * ((len·tNum + tDen−1) div tDen), so candidate generation is
+    * engine-exact; the verify is one jaccardHashes kernel per distinct
+    * candidate pair. Recall is exact by construction — the DuckDB oracle
+    * is the brute-force all-pairs join, so a missed pair is a hash
+    * mismatch, not a silent quality loss (the fuzzyPairs contract,
+    * transplanted from edit distance to set similarity).
+    *
+    * Same fail-loud `maxBucket` cap on a prefix-token bucket as
+    * fuzzyPairs: dropping a hot token would void the recall lemma, so a
+    * templated corpus is a named diagnostic, never a quadratic stall or
+    * a silent drop. Shuffles: shingle explode + frequency agg, one
+    * per-doc ranking window, the token-bucket group, the verify join —
+    * all bounded; never a corpus self-join. NULL ids/texts drop. Emits
+    * (doc_a, doc_b, jaccard), doc_a < doc_b, each pair once. */
+  def jaccardAllPairs(docs: DataFrame, id: String, text: String, k: Int,
+                      tNum: Int, tDen: Int,
+                      maxBucket: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(tNum > 0 && tNum <= tDen,
+      s"need 0 < tNum <= tDen, got $tNum/$tDen")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val sh = spread(docs).select(col(id).as("doc"),
+      array_distinct(shingleHashes(col(text), k)).as("_sh"))
+    val tokens = sh.select(col("doc"), size(col("_sh")).as("_len"),
+      explode(col("_sh")).as("_tok"))
+    val freq = tokens.groupBy(col("_tok")).agg(count(lit(1)).as("_freq"))
+    val rank = Window.partitionBy(col("doc"))
+      .orderBy(col("_freq"), col("_tok"))
+    val prefix = tokens.join(freq, Seq("_tok"))
+      .withColumn("_rn", row_number().over(rank))
+      .filter(col("_rn") <=
+        col("_len") - expr(s"(_len * $tNum + ${tDen - 1}) div $tDen") + 1)
+    val capGuard = assert_true(size(col("ms")) <= maxBucket,
+      concat(lit("jaccardAllPairs: prefix-token bucket '"),
+        col("_tok").cast("string"), lit("' holds "),
+        size(col("ms")).cast("string"),
+        lit(s" docs (> maxBucket=$maxBucket) — pair expansion would be " +
+          "quadratic. Raise maxBucket deliberately or pre-split " +
+          "templated/low-entropy documents; dropping the token would " +
+          "lose recall, so this operator refuses instead.")))
+    val candidates = prefix.groupBy(col("_tok"))
+      .agg(collect_list(col("doc")).as("ms"))
+      .filter(capGuard.isNull)
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("doc_a"), col("ms"))
+      .select(col("doc_a"), explode(col("ms")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    jaccardPairs(docs, id, text, k, candidates, tNum.toDouble / tDen)
+  }
+
+  /** Blocking-quality audit of the MinHash-LSH blocker against GROUND
+    * TRUTH — the two numbers a dedup pipeline owner reads before
+    * trusting banding parameters at 100 TB:
+    *
+    *   pairs_completeness = |candidates ∩ true pairs| / |true pairs|
+    *     (recall of the blocker: which true near-dups ever reach a
+    *      verifier), and
+    *   reduction_ratio = 1 − |candidates| / C(n,2)
+    *     (how much of the quadratic pair space the blocker prunes).
+    *
+    * Truth comes from jaccardAllPairs — provable recall, so the audit
+    * never grades the blocker against itself (a MinHash-derived "truth"
+    * would hide exactly the pairs the blocker loses). Candidates are the
+    * RAW banding collisions (minhashPairs at minJaccard 0 — before any
+    * signature-estimate filter, because that filter is part of the
+    * blocker being audited). Counts are exact int64; the two ratios are
+    * trunc6'd single divisions; n_possible_pairs = n·(n−1) div 2 exact.
+    * Groups with zero true pairs emit NULL completeness rather than a
+    * fake 1.0. ONE summary row; all totals ride 1-row broadcast
+    * crossJoins — zero driver traffic. At scale the all-pairs truth is
+    * the expensive side (that is inherent to a recall audit — candidate
+    * generation is still prefix-bounded, never quadratic); audit a
+    * hash-sampled slice if even that is too dear. */
+  def blockingQuality(docs: DataFrame, id: String, text: String, k: Int,
+                      bands: Int, rowsPerBand: Int, tNum: Int, tDen: Int,
+                      maxBucket: Int = 10000): DataFrame = {
+    val truth = jaccardAllPairs(docs, id, text, k, tNum, tDen, maxBucket)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true) // two consumers: n_true and the caught join
+    val cand = minhashPairs(docs, id, text, k, bands, rowsPerBand, 0.0)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true) // two consumers: n_candidates and caught
+    val nd = spread(docs).filter(col(id).isNotNull)
+      .groupBy().agg(count(lit(1)).as("n_docs"))
+    val nc = cand.groupBy().agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.groupBy().agg(count(lit(1)).as("n_true_pairs"))
+    val caught = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy().agg(count(lit(1)).as("n_caught"))
+    nd.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+      .crossJoin(broadcast(caught))
+      .select(col("n_docs"),
+        expr("(n_docs * (n_docs - CAST(1 AS BIGINT))) div CAST(2 AS BIGINT)")
+          .as("n_possible_pairs"),
+        col("n_candidates"), col("n_true_pairs"), col("n_caught"))
+      .withColumn("reduction_ratio",
+        when(col("n_possible_pairs") > 0,
+          floor((lit(1d) - col("n_candidates").cast("double")
+            / col("n_possible_pairs").cast("double")) * 1000000d) / 1000000d))
+      .withColumn("pairs_completeness",
+        when(col("n_true_pairs") > 0,
+          floor(col("n_caught").cast("double")
+            / col("n_true_pairs").cast("double") * 1000000d) / 1000000d))
+  }
+
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
                    candidates: DataFrame, minJaccard: Double): DataFrame = {
     val sh = spread(docs).select(col(id).as("d"),

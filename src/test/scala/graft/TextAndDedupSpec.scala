@@ -670,4 +670,64 @@ class TextAndDedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1L, 1L, 1.0)))
     assert(!got.contains(4L))                // no types, no score
   }
+
+  test("jaccardAllPairs == brute force over the collected shingle sets " +
+      "(provable recall, exact verify)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),     // near-dup of 1
+      (3L, "alpha beta gamma delta epsilon"),  // exact dup of 1
+      (4L, "totally different words entirely here"),
+      (5L, "beta gamma delta epsilon alpha"))  // same vocab as 1, reordered
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardAllPairs(docs, "doc_id", "text", 3, 1, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force on the SAME distinct shingle-hash sets
+    val sh = docs.select(col("doc_id"),
+        array_distinct(Dedup.shingleHashes(col("text"), 3)).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val ids = sh.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      inter = sh(i).toSet.intersect(sh(j).toSet).size
+      union = sh(i).toSet.union(sh(j).toSet).size
+      jac = inter.toDouble / union
+      if jac >= 0.5
+    } yield (i, j, jac)).toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the fixture actually exercises the verify
+    assert(got.map(p => (p._1, p._2)).contains((1L, 3L))) // exact dup caught
+  }
+
+  test("jaccardAllPairs refuses loudly when a prefix-token bucket exceeds " +
+      "maxBucket instead of going quadratic") {
+    val docs = (1L to 6L).map(i => (i, "same template text every time"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.jaccardAllPairs(docs, "doc_id", "text", 3, 1, 2, maxBucket = 3)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("jaccardAllPairs")))
+  }
+
+  test("blockingQuality grades banding against all-pairs truth: generous " +
+      "bands catch the exact dup; counts and ratios are exact") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup: every band collides
+      (3L, "totally different words entirely here"),
+      (4L, "yet another unrelated document body"))
+      .toDF("doc_id", "text")
+    val r = Dedup.blockingQuality(docs, "doc_id", "text", 3, 8, 2, 1, 2)
+      .collect().head
+    val (nDocs, nPossible, nCand, nTrue, nCaught) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nDocs == 4L && nPossible == 6L)
+    assert(nTrue == 1L && nCaught == 1L)     // the (1,2) dup, caught
+    assert(r.getDouble(6) == 1.0)            // pairs_completeness
+    assert(r.getDouble(5) ==
+      math.floor((1d - nCand.toDouble / 6d) * 1e6) / 1e6)
+  }
 }
