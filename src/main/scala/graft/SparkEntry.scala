@@ -209,6 +209,46 @@ object SparkEntry {
          |FROM h$iters h JOIN a$iters a ON a.node = h.node""".stripMargin
   }
 
+  /** Unrolled-CTE twin of Graph.pagerankPersonalized over the bidirected
+    * sourcing graph with the q_bfs_dist seed set: the pagerank CTE chain
+    * with the uniform base swapped for a seed-CASE'd one (S = surviving
+    * seeds via the LEFT JOIN flag, exactly the Spark side's set). */
+  private def pprOracleSql(iters: Int, scale: Long, seedMod: Long): String = {
+    val head =
+      s"""WITH sp AS MATERIALIZED (SELECT DISTINCT l_suppkey * 2 AS src,
+         |        l_partkey * 2 + 1 AS dst FROM lineitem),
+         |e AS MATERIALIZED (SELECT src, dst FROM sp
+         |      UNION SELECT dst AS src, src AS dst FROM sp),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e
+         |      UNION SELECT dst AS node FROM e),
+         |sv AS MATERIALIZED (SELECT DISTINCT l_suppkey * 2 AS node
+         |      FROM lineitem WHERE l_suppkey % $seedMod = 0),
+         |ns AS (SELECT count(*)::BIGINT AS s FROM sv),
+         |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg
+         |      FROM e GROUP BY 1),
+         |r0 AS (SELECT nd.node,
+         |    CASE WHEN v.node IS NOT NULL
+         |         THEN $scale // (SELECT s FROM ns) ELSE 0 END AS pr
+         |  FROM nodes nd LEFT JOIN sv v ON v.node = nd.node)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nd.node,
+         |    CASE WHEN v.node IS NOT NULL
+         |         THEN (($scale // (SELECT s FROM ns)) * 15) // 100
+         |         ELSE 0 END
+         |    + (COALESCE(s.s, 0) * 85) // 100 AS pr
+         |  FROM nodes nd
+         |  LEFT JOIN sv v ON v.node = nd.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.pr // d.deg)::BIGINT AS s
+         |    FROM e JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) s ON s.node = nd.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, pr AS pr_scaled, pr::DOUBLE / CAST($scale AS DOUBLE)" +
+      s" AS pr FROM r$iters"
+  }
+
   /** Unrolled-CTE twin of Graph.bfsDistances: seeds at dist 0, `rounds`
     * synchronous min/+1 relaxations over the bidirected sourcing edges. */
   private def bfsOracleSql(rounds: Int, seedMod: Long): String = {
@@ -1244,6 +1284,17 @@ object SparkEntry {
       CoreOps.exactRegression(
         InfoTheory.zipfLogLog(Tables.documents(s, dir), "lang", "text"),
         "lang", "log_rank", "log_freq")),
+    // the drift monitor's diversity axis: per-day Shannon entropy of the
+    // event-type mix — a collapsing entropy flags a traffic regime change
+    // even when TVD-vs-baseline is still small; pure composition of the
+    // quantized-log entropy over a day-floored window key
+    "q_entropy_by_window" -> ((s, dir) =>
+      InfoTheory.entropy(
+        Tables.events(s, dir).filter(col("ts").isNotNull)
+          .withColumn("window_start_ms",
+            (unix_millis(col("ts"))
+              - pmod(unix_millis(col("ts")), lit(D))).cast("long")),
+        "window_start_ms", "event_type")),
     // the user-lifecycle curve: daily cohorts of first activity, distinct
     // actives per (cohort, offset), trunc6'd retention ratio
     "q_retention" -> ((s, dir) =>
@@ -1815,6 +1866,22 @@ object SparkEntry {
           (col("l_suppkey") * 2).as("src"),
           (col("l_partkey") * 2 + 1).as("dst")),
         "src", "dst", HitsIters, HitsScale)),
+    // personalized PageRank: teleport mass restarts only at the audited
+    // seed suppliers (the q_bfs_dist seed set), so scores rank the whole
+    // graph by proximity-weighted reachability FROM them — the
+    // trust-propagation twin of q_bfs_dist's hop distances, same
+    // bit-exact integer rounds as q_pagerank with a CASE'd base
+    "q_ppr" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sp = li.select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      Graph.pagerankPersonalized(
+        sp.union(sp.select(col("dst").as("src"), col("src").as("dst"))),
+        "src", "dst",
+        li.filter(pmod(col("l_suppkey"), lit(BfsSeedMod)) === 0)
+          .select((col("l_suppkey") * 2).as("node")).distinct(),
+        PrIters, PrScale)
+    }),
     // multi-source BFS hop distances from every 50th supplier over the
     // bidirected sourcing graph, capped at BfsRounds — pure integer
     // min/+1 relaxation, nodes beyond the cap absent by contract
@@ -3762,6 +3829,23 @@ object SparkEntry {
          |    / (tot::DOUBLE * 1000000) AS entropy
          |FROM g""".stripMargin,
 
+    "q_entropy_by_window" ->
+      s"""WITH t AS (SELECT $evMs - $evMs % $D AS window_start_ms, event_type
+         |           FROM events
+         |           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |c AS (SELECT window_start_ms, event_type, count(*)::BIGINT AS c
+         |      FROM t GROUP BY 1, 2),
+         |g AS (SELECT window_start_ms, sum(c)::BIGINT AS tot,
+         |        count(*)::BIGINT AS n_categories,
+         |        sum(c * floor(ln(c::DOUBLE) * 1000000)::BIGINT)::BIGINT AS sclc
+         |      FROM c GROUP BY 1)
+         |SELECT window_start_ms, tot AS n_total, n_categories,
+         |  (tot * floor(ln(tot::DOUBLE) * 1000000)::BIGINT - sclc)::BIGINT
+         |    AS entropy_scaled,
+         |  (tot * floor(ln(tot::DOUBLE) * 1000000)::BIGINT - sclc)::DOUBLE
+         |    / (tot::DOUBLE * 1000000) AS entropy
+         |FROM g""".stripMargin,
+
     // add-one smoothed over the union vocabulary; quantized term
     // cp'·(qlog(cp'·NQ') − qlog(cq'·NP')) summed exactly
     "q_kl_drift" ->
@@ -4035,6 +4119,7 @@ object SparkEntry {
     "q_pagerank_residual" -> pagerankResidualOracleSql(PrIters, PrScale),
     "q_hits" -> hitsOracleSql(HitsIters, HitsScale),
     "q_bfs_dist" -> bfsOracleSql(BfsRounds, BfsSeedMod),
+    "q_ppr" -> pprOracleSql(PrIters, PrScale, BfsSeedMod),
 
     // brute-force canonical 3-way triangle join (the oracle may explode on
     // hubs; the Spark side's degree orientation is the scale path)

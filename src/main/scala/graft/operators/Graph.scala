@@ -129,6 +129,69 @@ object Graph {
       (col("pr_scaled").cast("double") / lit(scale.toDouble)).as("pr"))
   }
 
+  /** PERSONALIZED PageRank — importance relative to a trusted seed set,
+    * not the whole graph: teleport mass returns only to `seeds` (the
+    * "random surfer restarts at an audited supplier" walk), so scores
+    * rank nodes by proximity-weighted reachability FROM the seeds — the
+    * trust-propagation gauge behind source-quality weighting and
+    * contamination spread scoring. Same integer contract as
+    * pagerankFixed, with the uniform base swapped for a seed-conditional
+    * one:
+    *   init(v)  = scale div S        if v ∈ seeds else 0   (S = |seeds∩V|)
+    *   pr'(v)   = [v ∈ seeds]·((scale div S)·15) div 100
+    *            + (Σ_{u→v} (pr(u) div outdeg(u)) · 85) div 100
+    * Every op integral ⇒ bit-identical across engines/partitionings; the
+    * oracle unrolls the same rounds with a CASE'd base. Seeds outside
+    * the edge set are DROPPED (they hold mass the graph can never see;
+    * S counts survivors — the oracle must agree on the same set);
+    * an empty surviving seed set emits all-zero ranks. Per round: the
+    * identical one-join-one-agg-one-left-join shape as pagerankFixed —
+    * the seed flag rides the checkpointed node frame, costing nothing
+    * per round. Emits (node, pr_scaled, pr). */
+  def pagerankPersonalized(edges: DataFrame, src: String, dst: String,
+                           seeds: DataFrame, iters: Int,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(seeds.columns.sameElements(Array("node")),
+      s"seeds must have exactly one column 'node'; got " +
+        seeds.columns.mkString(", "))
+    val s = prSetup(edges, src, dst, scale, "pagerankPersonalized")
+    if (s.nNodes == 0L)
+      return s.nodes.select(col("node"), lit(0L).as("pr_scaled"),
+        lit(0d).as("pr"))
+    // seed flag onto the node frame, checkpointed once — the per-round
+    // join/agg shape is untouched; ONE O(1)-result count folds S into
+    // plan literals exactly like prSetup's N
+    val flagged = s.nodes.join(
+        seeds.filter(col("node").isNotNull).distinct()
+          .select(col("node"), lit(true).as("_seed")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
+      .localCheckpoint(true)
+    val nSeeds = flagged.filter(col("_seed")).count()
+    if (nSeeds == 0L)
+      return flagged.select(col("node"), lit(0L).as("pr_scaled"),
+        lit(0d).as("pr"))
+    val init = scale / nSeeds
+    val base = (init * 15L) / 100L
+    var ranks = flagged.select(col("node"),
+      when(col("_seed"), lit(init)).otherwise(lit(0L)).as("pr_scaled"))
+    for (i <- 1 to iters) {
+      val sums = s.withDeg
+        .join(ranks, s.withDeg("_src") === ranks("node"))
+        .select(col("_dst"), expr("pr_scaled div _deg").as("_c"))
+        .groupBy(col("_dst")).agg(sum(col("_c")).as("_s"))
+      ranks = flagged.join(sums, flagged("node") === sums("_dst"), "left")
+        .select(flagged("node"),
+          (when(col("_seed"), lit(base)).otherwise(lit(0L))
+            + expr("(coalesce(_s, CAST(0 AS BIGINT)) * 85) div 100"))
+            .as("pr_scaled"))
+      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("pr_scaled"),
+      (col("pr_scaled").cast("double") / lit(scale.toDouble)).as("pr"))
+  }
+
   /** The (ranks, residual) PAIR over ONE shared fixpoint prefix — for a
     * registry exposing both queries: iters−1 rounds run once (the
     * penultimate frame is eagerly checkpointed; it feeds both the final

@@ -215,6 +215,38 @@ class GraphSpec extends SparkSpec {
       99L -> 0L)) // 6 is 5 hops out — absent under the cap
   }
 
+  test("pagerankPersonalized matches the brute-force seed-based integer " +
+      "rounds; non-seed teleport mass is exactly 0 at init") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("s", "d")
+    val seeds = Seq("a", "zz").toDF("node") // zz is outside the edge set
+    val got = Graph.pagerankPersonalized(edges, "s", "d", seeds, 3, Scale)
+      .select("node", "pr_scaled").as[(String, Long)].collect().toMap
+    // brute force: S = 1 survivor (a); same integer ops
+    val es = Set(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val nodes = Set("a", "b", "c", "d")
+    val outdeg = es.groupBy(_._1).map { case (u, g) => u -> g.size.toLong }
+    val init = Scale / 1L; val base = (init * 15L) / 100L
+    var pr = nodes.map(n => n -> (if (n == "a") init else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val sums = nodes.map(v => v ->
+        es.toSeq.filter(_._2 == v).map(e => pr(e._1) / outdeg(e._1)).sum).toMap
+      pr = nodes.map(v => v ->
+        ((if (v == "a") base else 0L) + (sums(v) * 85L) / 100L)).toMap
+    }
+    assert(got == pr)
+    // d only RECEIVES mass (never teleports): strictly less than the seed
+    assert(got("d") < got("a"))
+  }
+
+  test("pagerankPersonalized: no surviving seeds emits all-zero ranks") {
+    val edges = Seq(("a", "b")).toDF("s", "d")
+    val got = Graph.pagerankPersonalized(edges, "s", "d",
+      Seq("nope").toDF("node"), 2, Scale)
+      .select("node", "pr_scaled").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 0L))
+  }
+
   test("bfsDistances: multi-source takes the MIN over seeds and relaxes " +
     "through cycles without double-counting") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 3L)).toDF("s", "d")
