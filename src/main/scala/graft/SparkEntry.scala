@@ -30,6 +30,12 @@ object SparkEntry {
   private val CmsD = 4; private val CmsW = 512 // count-min sketch shape
   private val PrIters = 5          // pagerank fixed-point iterations
   private val PrScale = 1000000000000L // pagerank integer mass scale
+  // the synthetic events table keeps nearly every user active to the
+  // corpus edge, so the registry uses the tightest churn horizon (quiet
+  // ≥ 1 day ⇒ churned) to exercise real death steps; the operator takes
+  // any horizon
+  private val KmGapDays = 1
+  private val KmCohortDays = 7 // weekly Kaplan-Meier signup cohorts
   private val EwmaNum = 1; private val EwmaDen = 8 // EWMA α = 1/8
   private val EwmaScale = 1000000L // EWMA fixed-point value scale
   private val HitsIters = 5        // HITS fixed-point iterations
@@ -1300,6 +1306,13 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       CoreOps.retentionCohorts(Tables.events(s, dir), "user_id", "ts",
         86400000L)),
+    // retention's principled sibling: Kaplan-Meier time-to-churn per
+    // weekly signup cohort with right-censoring done correctly — the
+    // survival product carried in quantized-log space (exact BIGINT
+    // prefix sums), one floor-quantized exp per emitted step
+    "q_survival" -> ((s, dir) =>
+      CoreOps.kaplanMeier(Tables.events(s, dir), "user_id", "ts",
+        KmGapDays, KmCohortDays)),
     // volume anomaly flags: per-type daily counts through the robust
     // median/MAD detector (integer counts → exact percentiles, the
     // q_outliers argument without the cents scaling)
@@ -4898,6 +4911,46 @@ object SparkEntry {
         |  floor(n_active::DOUBLE / n_cohort::DOUBLE * 1000000) / 1000000
         |    AS retention
         |FROM r JOIN s USING (cohort)""".stripMargin,
+
+    // the same quantized-log survival walk: qlog prefix sums per cohort,
+    // one floor-quantized exp per death step; `//` on the >= 0 days ≡
+    // the Spark side's floor division
+    "q_survival" ->
+      s"""WITH ev AS (SELECT user_id, $evMs // 86400000 AS day FROM events
+         |            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |u AS (SELECT user_id, min(day) AS f, max(day) AS l
+         |      FROM ev GROUP BY 1),
+         |m AS (SELECT max(l)::BIGINT AS mx FROM u),
+         |w AS (SELECT (f - f % $KmCohortDays)::BIGINT AS cohort_day,
+         |        (l - f)::BIGINT AS dur,
+         |        CASE WHEN l <= (SELECT mx FROM m) - $KmGapDays
+         |             THEN 1 ELSE 0 END AS death
+         |      FROM u),
+         |s AS (SELECT cohort_day, dur, sum(death)::BIGINT AS d,
+         |        count(*)::BIGINT AS uu FROM w GROUP BY 1, 2),
+         |r AS (SELECT cohort_day, dur, d, uu,
+         |        sum(uu) OVER (PARTITION BY cohort_day)::BIGINT
+         |        - COALESCE(sum(uu) OVER (PARTITION BY cohort_day
+         |            ORDER BY dur
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0)::BIGINT AS n_risk
+         |      FROM s),
+         |p AS (SELECT cohort_day, dur, d, uu, n_risk,
+         |        sum(CASE WHEN d > 0 AND n_risk > d
+         |              THEN floor(ln((n_risk - d)::DOUBLE) * 1000000)::BIGINT
+         |                 - floor(ln(n_risk::DOUBLE) * 1000000)::BIGINT
+         |              ELSE 0 END)
+         |          OVER (PARTITION BY cohort_day ORDER BY dur
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         |          )::BIGINT AS ls
+         |      FROM r)
+         |SELECT cohort_day, dur AS dur_days, n_risk, d AS n_deaths,
+         |  (uu - d)::BIGINT AS n_censored,
+         |  CASE WHEN n_risk > d THEN ls END AS logsurv_scaled,
+         |  CASE WHEN n_risk = d THEN 0.0
+         |       ELSE floor(exp(ls::DOUBLE / 1000000) * 1000000) / 1000000
+         |  END AS survival
+         |FROM p WHERE d > 0""".stripMargin,
 
     "q_regression" ->
       s"""WITH t AS (SELECT lang, n_chars, len($toksSql)::BIGINT AS n_tokens

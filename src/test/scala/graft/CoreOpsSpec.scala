@@ -1578,4 +1578,32 @@ class CoreOpsSpec extends SparkSpec {
       CoreOps.asofJoin(l.withColumnRenamed("_rts", "a"),
         r.withColumnRenamed("payload", "_side"), "k", "t", Seq("_side")))
   }
+
+  test("kaplanMeier: censoring shrinks risk sets without counting as " +
+      "death; the quantized-log walk matches the hand fold; a full-death " +
+      "step emits survival 0 with NULL logsurv") {
+    def qlog(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+    def ev(u: Long, days: Seq[Long]) = days.map(d => (u, d * 86400000L))
+    // global max day 30; churn gap 7 => observed churn iff last day <= 23
+    val rows =
+      ev(1, Seq(0, 1, 2)) ++ ev(2, Seq(0, 1)) ++ ev(3, Seq(0, 2)) ++
+      ev(4, 1L to 30L) ++ ev(5, Seq(0, 25)) ++ ev(6, Seq(7, 8))
+    val df = rows.toDF("user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val got = CoreOps.kaplanMeier(df, "user_id", "ts", 7, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          r.getDouble(6)))).toMap
+    // cohort 0: u1(dur 2, death) u2(1, death) u3(2, death)
+    //           u4(dur 29, censored: last=30) u5(dur 25, censored)
+    val ls1 = qlog(4) - qlog(5)            // dur 1: n=5, d=1
+    val ls2 = ls1 + (qlog(2) - qlog(4))    // dur 2: n=4, d=2
+    def surv(ls: Long) = math.floor(math.exp(ls.toDouble / 1e6) * 1e6) / 1e6
+    assert(got == Map(
+      (0L, 1L) -> ((5L, 1L, 0L, Some(ls1), surv(ls1))),
+      (0L, 2L) -> ((4L, 2L, 0L, Some(ls2), surv(ls2))),
+      // cohort 7: u6 alone, dies at dur 1 — whole risk set gone
+      (7L, 1L) -> ((1L, 1L, 0L, None, 0.0))))
+  }
 }
