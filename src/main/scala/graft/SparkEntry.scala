@@ -2000,6 +2000,14 @@ object SparkEntry {
       CoreOps.funnel(Tables.events(s, dir), "user_id", "ts",
         Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"))),
+    // the funnel as a decision-grade report: per-transition conversion
+    // rate with its Wilson 95% interval (exact counts from a NULL-
+    // carrying left-join chain, one fixed double chain per row, z as the
+    // literal 1.96/3.8416 on both engines)
+    "q_funnel_ci" -> ((s, dir) =>
+      CoreOps.funnelReport(Tables.events(s, dir), "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))),
     // the same funnel under a 24h per-stage conversion deadline — the
     // attribution-window form; all-integer ms comparisons
     "q_funnel_timed" -> ((s, dir) =>
@@ -5127,6 +5135,43 @@ object SparkEntry {
          |SELECT gram, n_gram, n_prefix,
          |  floor((n_gram::DOUBLE / n_prefix::DOUBLE) * 1000000) / 1000000 AS p
          |FROM p ORDER BY n_gram DESC, gram LIMIT 100""".stripMargin,
+
+    // the NULL-carrying left-join chain, then the identical Wilson
+    // double chain (z literals, never z·z) trunc6'd
+    "q_funnel_ci" ->
+      s"""WITH s0 AS (SELECT user_id, min($evMs) AS t0 FROM events
+         |            WHERE event_type = 'view' GROUP BY 1),
+         |s1 AS (SELECT s0.user_id, s0.t0,
+         |         min(CASE WHEN e.ms > s0.t0 THEN e.ms END) AS t1
+         |       FROM s0 LEFT JOIN (SELECT user_id, $evMs AS ms FROM events
+         |                          WHERE event_type = 'click') e
+         |         USING (user_id)
+         |       GROUP BY 1, 2),
+         |s2 AS (SELECT s1.user_id, s1.t0, s1.t1,
+         |         min(CASE WHEN e.ms > s1.t1 THEN e.ms END) AS t2
+         |       FROM s1 LEFT JOIN (SELECT user_id, $evMs AS ms FROM events
+         |                          WHERE event_type = 'purchase') e
+         |         USING (user_id)
+         |       GROUP BY 1, 2, 3),
+         |c AS (SELECT count(t0)::BIGINT AS n0, count(t1)::BIGINT AS n1,
+         |        count(t2)::BIGINT AS n2 FROM s2),
+         |t AS (SELECT CAST(1 AS BIGINT) AS stage, n0 AS n_prev,
+         |        n1 AS n_reached FROM c
+         |      UNION ALL SELECT CAST(2 AS BIGINT), n1, n2 FROM c),
+         |w AS (SELECT stage, n_prev, n_reached, n_prev::DOUBLE AS n,
+         |        CASE WHEN n_prev > 0
+         |             THEN n_reached::DOUBLE / n_prev::DOUBLE END AS p
+         |      FROM t),
+         |f AS (SELECT stage, n_prev, n_reached, p,
+         |        (p + 3.8416 / (2 * n)) / (1 + 3.8416 / n) AS center,
+         |        (1.96 / (1 + 3.8416 / n))
+         |          * sqrt(p * (1 - p) / n + 3.8416 / (4 * n * n)) AS half
+         |      FROM w)
+         |SELECT stage, n_prev, n_reached,
+         |  floor(p * 1000000) / 1000000 AS rate,
+         |  floor((center - half) * 1000000) / 1000000 AS ci_low,
+         |  floor((center + half) * 1000000) / 1000000 AS ci_high
+         |FROM f""".stripMargin,
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events

@@ -519,6 +519,65 @@ object CoreOps {
     funnelImpl(df, key, ts, stages, Some(maxGapMs))
   }
 
+  /** Funnel SUMMARY with uncertainty — per stage transition, the
+    * conversion rate and its Wilson 95% score interval, the "is
+    * view→click really 34%±?" report a point estimate funnel cannot
+    * give (at small n the naive ±z√(p(1−p)/n) interval escapes [0,1];
+    * Wilson does not — the standard fix, public literature: Wilson
+    * 1927, Brown/Cai/DasGupta 2001).
+    *
+    * Chaining semantics are funnel's greedy earliest-chain (t0 = first
+    * stage-0 event, each successor the earliest qualifying later event,
+    * optional per-stage deadline), but the chain is carried with LEFT
+    * joins so keys stopping at stage i keep NULL times downstream —
+    * that is what makes every per-stage count come from ONE final
+    * per-key frame (single lazy chain, each stage frame consumed once,
+    * no recompute fan-out). Counts are exact; rate and the CI bounds
+    * are a fixed double chain over (k, n) — z and z² enter as the
+    * DECIMAL LITERALS 1.96 / 3.8416 on both engines (never z·z, which
+    * could differ from the parsed literal in the last ulp) — trunc6'd,
+    * mirrored operand-for-operand in the oracle. Transitions with
+    * n_prev = 0 emit NULL rate/bounds. Emits one row per transition
+    * (stage 1-based, n_prev, n_reached, rate, ci_low, ci_high). */
+  def funnelReport(df: DataFrame, key: String, ts: String,
+                   stages: Seq[Column],
+                   maxGapMs: Option[Long] = None): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got ${stages.size}")
+    maxGapMs.foreach(g => require(g > 0, s"maxGapMs must be positive, got $g"))
+    val ms = unix_millis(col(ts))
+    var acc = df.filter(stages.head).groupBy(col(key)).agg(min(ms).as("t0"))
+    for (i <- 0 until stages.size - 1) {
+      val carried = (0 to i).map(j => col(s"t$j"))
+      val inWindow = maxGapMs.map(g => col("_ms") - col(s"t$i") <= g)
+        .getOrElse(lit(true))
+      acc = acc.join(df.filter(stages(i + 1)).select(col(key), ms.as("_ms")),
+          Seq(key), "left")
+        .groupBy((col(key) +: carried): _*)
+        .agg(min(when(col("_ms") > col(s"t$i") && inWindow, col("_ms")))
+          .as(s"t${i + 1}"))
+    }
+    val summary = acc.agg(
+      count(col("t0")).as("_n0"),
+      (1 until stages.size).map(i => count(col(s"t$i")).as(s"_n$i")): _*)
+    val trans = summary.select(explode(array(
+        (1 until stages.size).map(i => struct(lit(i.toLong).as("stage"),
+          col(s"_n${i - 1}").as("n_prev"),
+          col(s"_n$i").as("n_reached"))): _*)).as("_t"))
+      .select(col("_t.stage"), col("_t.n_prev"), col("_t.n_reached"))
+    val n = col("n_prev").cast("double")
+    val p = col("n_reached").cast("double") / n
+    val z = lit(1.96); val z2 = lit(3.8416)
+    val denom = lit(1d) + z2 / n
+    val center = (p + z2 / (lit(2d) * n)) / denom
+    val half = (z / denom) *
+      sqrt(p * (lit(1d) - p) / n + z2 / (lit(4d) * n * n))
+    def t6(c: Column): Column = floor(c * 1000000d) / 1000000d
+    trans.select(col("stage"), col("n_prev"), col("n_reached"),
+      when(col("n_prev") > 0, t6(p)).as("rate"),
+      when(col("n_prev") > 0, t6(center - half)).as("ci_low"),
+      when(col("n_prev") > 0, t6(center + half)).as("ci_high"))
+  }
+
   private def funnelImpl(df: DataFrame, key: String, ts: String,
                          stages: Seq[Column],
                          maxGapMs: Option[Long]): DataFrame = {

@@ -1606,4 +1606,50 @@ class CoreOpsSpec extends SparkSpec {
       // cohort 7: u6 alone, dies at dur 1 — whole risk set gone
       (7L, 1L) -> ((1L, 1L, 0L, None, 0.0))))
   }
+
+  test("funnelReport: NULL-carrying chain counts every stage from one " +
+      "frame; Wilson bounds match the hand formula and stay inside [0,1] " +
+      "at tiny n") {
+    def ev(u: Long, t: Long, k: String) = (u, t, k)
+    val rows = Seq(
+      ev(1, 10, "view"), ev(1, 20, "click"), ev(1, 30, "purchase"),
+      ev(2, 10, "view"), ev(2, 25, "click"),
+      ev(3, 10, "view"),
+      ev(4, 5, "click"), // click with no prior view: never enters
+      ev(5, 10, "view"), ev(5, 9, "click")) // click BEFORE view: no advance
+    val df = rows.toDF("user_id", "ms", "event_type")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val got = CoreOps.funnelReport(df, "user_id", "ts",
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    def wilson(k: Long, n: Long): (Double, Double, Double) = {
+      val nn = n.toDouble; val p = k.toDouble / nn
+      val z = 1.96; val z2 = 3.8416
+      val denom = 1d + z2 / nn
+      val center = (p + z2 / (2d * nn)) / denom
+      val half = (z / denom) * math.sqrt(p * (1d - p) / nn + z2 / (4d * nn * nn))
+      def t6(x: Double) = math.floor(x * 1e6) / 1e6
+      (t6(p), t6(center - half), t6(center + half))
+    }
+    val (r1, l1, h1) = wilson(2, 4) // views: u1,u2,u3,u5; clicks after: u1,u2
+    val (r2, l2, h2) = wilson(1, 2) // purchases after click: u1
+    assert(got == Map(1L -> ((4L, 2L, r1, l1, h1)),
+      2L -> ((2L, 1L, r2, l2, h2))))
+    got.values.foreach { case (_, _, _, lo, hi) =>
+      assert(lo >= 0d && hi <= 1d) // the Wilson point: bounds stay in [0,1]
+    }
+  }
+
+  test("funnelReport deepest-stage count equals funnel's completer count") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    val stages = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+    val completers = CoreOps.funnel(df, "user_id", "ts", stages).count()
+    val deepest = CoreOps.funnelReport(df, "user_id", "ts", stages)
+      .filter(col("stage") === 2).collect().head.getLong(2)
+    assert(deepest == completers)
+  }
 }
