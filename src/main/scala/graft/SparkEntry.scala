@@ -36,6 +36,10 @@ object SparkEntry {
   // any horizon
   private val KmGapDays = 1
   private val KmCohortDays = 7 // weekly Kaplan-Meier signup cohorts
+  // token-bucket throttle: burst capacity 3 tokens, refill 1 token/hour
+  // (5/18 micro-tokens per ms), 1 token per event
+  private val ThrottleCap = 3
+  private val ThrottleNum = 5L; private val ThrottleDen = 18L
   private val EwmaNum = 1; private val EwmaDen = 8 // EWMA α = 1/8
   private val EwmaScale = 1000000L // EWMA fixed-point value scale
   private val HitsIters = 5        // HITS fixed-point iterations
@@ -1642,6 +1646,20 @@ object SparkEntry {
         "user_id", "ts", "event_id", "cents", 3, 5)),
     // the SAME flags from the streaming moment-state machine run in batch
     // mode — per-key state is three int64 moments, fixed-size forever
+    // deterministic per-user rate limiting: token-bucket admit/reject by
+    // EVENT time (burst 3, 1 token/hour) — the same integer walk on
+    // backfill and live stream, replayed by the oracle's recursive CTE
+    "q_throttle_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      graft.streaming.StateMachines.tokenBucket(
+          graft.streaming.StateMachines.keyedEvents(ev, col("user_id"),
+            unix_millis(col("ts")), col("event_id"), col("event_type")),
+          ThrottleCap, ThrottleNum, ThrottleDen)
+        .select(col("key").cast("long").as("user_id"),
+          col("tiebreak").as("event_id"), col("event_ms"), col("admitted"),
+          col("avail_after"))
+    }),
     // per-user recency-weighted spend level: the EWMA integer recurrence
     // (α = 1/8, adjust=false) no window function can express — each step
     // divides truncating-ly, so only the state machine (batch mode here,
@@ -4426,6 +4444,34 @@ object SparkEntry {
     // the shared prior-prefix integer-moment oracle checks both forms
     "q_anomaly" -> anomalyOracle,
     "q_anomaly_stream" -> anomalyOracle,
+    // the same micro-token bucket walk per user in (ts, event_id) order;
+    // least/greatest/`//` all integral, so every decision matches
+    "q_throttle_stream" -> {
+      val capMicro = ThrottleCap * 1000000L
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, $evMs AS ms, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY $evMs, event_id) AS rn
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |rec AS (
+         |  SELECT user_id, rn, ms, event_id, TRUE AS admitted,
+         |    CAST(${capMicro - 1000000L} AS BIGINT) AS avail
+         |  FROM ev WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn, e.ms, e.event_id,
+         |    least($capMicro, r.avail
+         |      + (greatest(e.ms - r.ms, 0) * $ThrottleNum) // $ThrottleDen)
+         |      >= 1000000 AS admitted,
+         |    least($capMicro, r.avail
+         |      + (greatest(e.ms - r.ms, 0) * $ThrottleNum) // $ThrottleDen)
+         |    - CASE WHEN least($capMicro, r.avail
+         |        + (greatest(e.ms - r.ms, 0) * $ThrottleNum) // $ThrottleDen)
+         |        >= 1000000 THEN 1000000 ELSE 0 END AS avail
+         |  FROM ev e JOIN rec r ON r.user_id = e.user_id AND e.rn = r.rn + 1)
+         |SELECT user_id, event_id, ms AS event_ms, admitted,
+         |  avail AS avail_after
+         |FROM rec""".stripMargin
+    },
     // the SAME integer recurrence the state machine walks, replayed as a
     // recursive CTE per user in (ts, event_id) order; `//` ≡ Long `/`
     // (both truncate toward zero), so every snapshot matches exactly

@@ -47,6 +47,12 @@ case class EwmaState(n: Long, lastMs: Long, s: Long)
 case class EwmaSnapshot(key: String, n_events: Long, last_ms: Long,
                         ewma_scaled: Long)
 
+/** Token-bucket throttle state per key: last event time and the
+  * remaining budget in micro-tokens. */
+case class BucketState(lastMs: Long, availMicro: Long)
+case class ThrottleDecision(key: String, tiebreak: Long, event_ms: Long,
+                            admitted: Boolean, avail_after: Long)
+
 /** One remembered event per key — the twin of Flink's ValueState pair. */
 case class LastSeen(kind: String, tsMs: Long)
 
@@ -415,6 +421,67 @@ object StateMachines {
 
   implicit val ewmaStateEnc: Encoder[EwmaState]       = Encoders.product[EwmaState]
   implicit val ewmaSnapshotEnc: Encoder[EwmaSnapshot] = Encoders.product[EwmaSnapshot]
+  implicit val bucketStateEnc: Encoder[BucketState]   = Encoders.product[BucketState]
+  implicit val throttleDecisionEnc: Encoder[ThrottleDecision] =
+    Encoders.product[ThrottleDecision]
+
+  /** Per-key token-bucket throttle by EVENT time — the deterministic
+    * rate-limiter/sampler every ingest pipeline eventually needs (cap a
+    * chatty key at sustained R with bursts up to C, and make the SAME
+    * admit/reject decisions on backfill and on the live stream). The
+    * walk is pure integer arithmetic in micro-tokens:
+    *   first event:  avail = C·10⁶ (a full bucket)
+    *   each event:   avail' = min(C·10⁶, avail + (Δms·refillNum) div refillDen)
+    *                 admitted ⇔ avail' ≥ 10⁶; spend 10⁶ if admitted
+    * (refillNum/refillDen = micro-tokens per ms; 1 token/hour = 5/18).
+    * Δms clamps at 0 for behind-frontier arrivals across micro-batches
+    * (no refill from the past, no negative refill — the transitionPairs
+    * arrival-order contract); within an invocation events walk in
+    * (tsMs, tiebreak) order, so batch mode replays the exact trajectory
+    * and the DuckDB oracle reproduces every decision as a recursive
+    * CTE. State is one fixed-size BucketState per key; Δ·refillNum
+    * overflows fail LOUD via multiplyExact (Δ to ~9·10¹⁸/refillNum ms).
+    * Emits one decision per event (append). */
+  def tokenBucket(events: Dataset[KeyedEvent], capacityTokens: Int,
+                  refillNum: Long, refillDen: Long,
+                  stateTtlMs: Option[Long] = None)
+      : Dataset[ThrottleDecision] = {
+    require(capacityTokens >= 1,
+      s"capacityTokens must be >= 1, got $capacityTokens")
+    require(refillNum > 0 && refillDen > 0,
+      s"refill rate must be positive, got $refillNum/$refillDen")
+    val capMicro = Math.multiplyExact(capacityTokens.toLong, 1000000L)
+    val tokenMicro = 1000000L
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[KeyedEvent], state: GroupState[BucketState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = ArrayBuffer.empty[ThrottleDecision]
+          var st = state.getOption.orNull
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            val refilled =
+              if (st == null) capMicro
+              else {
+                val delta = math.max(e.tsMs - st.lastMs, 0L)
+                math.min(capMicro, Math.addExact(st.availMicro,
+                  Math.multiplyExact(delta, refillNum) / refillDen))
+              }
+            val admitted = refilled >= tokenMicro
+            val avail = refilled - (if (admitted) tokenMicro else 0L)
+            out += ThrottleDecision(key, e.tiebreak, e.tsMs, admitted, avail)
+            st = BucketState(e.tsMs, avail)
+          }
+          if (st != null) {
+            state.update(st)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+          }
+          out.iterator
+        }
+    }
+  }
 
   /** Per-key exponentially weighted moving average as an INTEGER
     * recurrence — the recency-weighted level gauge (typical spend now,

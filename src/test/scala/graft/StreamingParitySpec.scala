@@ -801,6 +801,45 @@ class StreamingParitySpec extends SparkSpec {
     assert(out == Set(EwmaSnapshot("k", 2L, 5L, 6L)))
   }
 
+  test("tokenBucket(streaming): budget spans batches, refills by event " +
+      "time, clamps behind-frontier deltas; == batch-mode replay") {
+    // capacity 2 tokens, refill 1 micro-token per ms (1 token per 1e6 ms)
+    val batch1 = Seq(
+      KeyedEvent("1", 0L, 1, "a"),        // full bucket: admit, 1e6 left
+      KeyedEvent("1", 10L, 2, "a"),       // +10µ refill: admit, 10µ left
+      KeyedEvent("1", 20L, 3, "a"))       // +10µ: 20µ < 1e6 ⇒ REJECT
+    val batch2 = Seq(
+      KeyedEvent("1", 1000020L, 4, "a"),  // admits after the walk below
+      KeyedEvent("1", 999L, 5, "a"),      // sorts FIRST in this invocation:
+                                          // Δ = 999−20 refills 979µ, reject
+      KeyedEvent("2", 0L, 6, "a"))        // fresh key: full bucket
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.tokenBucket(input.toDS(), 2, 1L, 1L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tb_par").start()
+    val batch3 = Seq(
+      KeyedEvent("1", 100L, 7, "a")) // behind frontier ALONE: Δ clamps to 0
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      input.addData(batch3); q.processAllAvailable()
+      val streamed = spark.table("tb_par").as[ThrottleDecision]
+        .collect().toSet
+      assert(streamed == Set(
+        ThrottleDecision("1", 1, 0L, true, 1000000L),
+        ThrottleDecision("1", 2, 10L, true, 10L),
+        ThrottleDecision("1", 3, 20L, false, 20L),
+        ThrottleDecision("1", 5, 999L, false, 999L),
+        ThrottleDecision("1", 4, 1000020L, true, 20L),
+        ThrottleDecision("2", 6, 0L, true, 1000000L),
+        ThrottleDecision("1", 7, 100L, false, 20L))) // no refill from the past
+      // batch-mode replay of batch 1 alone reproduces its decisions
+      val batchRun = StateMachines.tokenBucket(batch1.toDS(), 2, 1L, 1L)
+        .collect().toSet
+      assert(batchRun == streamed.filter(_.tiebreak <= 3))
+    } finally q.stop()
+  }
+
   test("ohlcBars runs verbatim on a stream (complete mode): a late-batch " +
       "earlier row reopens the bar, a later row moves the close") {
     val batch1 = Seq(
