@@ -42,6 +42,9 @@ object SparkEntry {
   private val ThrottleNum = 5L; private val ThrottleDen = 18L
   private val EwmaNum = 1; private val EwmaDen = 8 // EWMA α = 1/8
   private val EwmaScale = 1000000L // EWMA fixed-point value scale
+  private val KcoreK = 30      // co-sourcing density threshold
+  private val KcoreRounds = 5  // synchronous k-core peeling rounds
+  private val WprIters = 5     // weighted pagerank iterations
   private val HitsIters = 5        // HITS fixed-point iterations
   private val HitsScale = 1000000L // HITS integer score scale (see hitsFixed)
   private val BfsSeedMod = 50L     // every 50th supplier seeds the BFS
@@ -259,6 +262,71 @@ object SparkEntry {
       s" AS pr FROM r$iters"
   }
 
+  /** Unrolled-CTE twin of Graph.pagerankWeighted over the bidirected
+    * frequency-weighted co-sourcing graph: identical integer ops —
+    * (pr·w) // W(u) per edge — per round. */
+  private def pagerankWeightedOracleSql(iters: Int, scale: Long): String = {
+    val head =
+      s"""WITH sp AS MATERIALIZED (SELECT l_suppkey * 2 AS src,
+         |        l_partkey * 2 + 1 AS dst, count(*)::BIGINT AS w
+         |      FROM lineitem GROUP BY 1, 2),
+         |eu AS (SELECT src, dst, w FROM sp
+         |       UNION ALL SELECT dst AS src, src AS dst, w FROM sp),
+         |eg AS MATERIALIZED (SELECT src, dst, sum(w)::BIGINT AS w
+         |      FROM eu GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM eg
+         |      UNION SELECT dst FROM eg),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |tw AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS tw
+         |      FROM eg GROUP BY 1),
+         |r0 AS (SELECT node, $scale // (SELECT n FROM nn) AS pr FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT nd.node,
+         |    (($scale // (SELECT n FROM nn)) * 15) // 100
+         |    + (COALESCE(s.s, 0) * 85) // 100 AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum((r.pr * e.w) // t.tw)::BIGINT AS s
+         |    FROM eg e JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN tw t ON t.src = e.src
+         |    GROUP BY 1) s ON s.node = nd.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, pr AS pr_scaled, pr::DOUBLE / CAST($scale AS DOUBLE)" +
+      s" AS pr FROM r$iters"
+  }
+
+  /** Unrolled-CTE twin of Graph.kcoreSurvivors: R synchronous peels;
+    * canonical orientation differs (numeric vs lexicographic least) but
+    * the UNORDERED pair set — and therefore every degree — is
+    * orientation-independent. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH und AS MATERIALIZED (SELECT DISTINCT
+         |        least(l_suppkey * 2, l_partkey * 2 + 1) AS a,
+         |        greatest(l_suppkey * 2, l_partkey * 2 + 1) AS b
+         |      FROM lineitem
+         |      WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |a0 AS MATERIALIZED (SELECT a AS node FROM und
+         |      UNION SELECT b FROM und)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT e.a, e.b FROM und e
+         |  JOIN a${i - 1} x ON x.node = e.a
+         |  JOIN a${i - 1} y ON y.node = e.b),
+         |d$i AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
+         |  SELECT a AS node FROM l$i UNION ALL SELECT b FROM l$i) t
+         |  GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |, lf AS (SELECT e.a, e.b FROM und e
+         |  JOIN a$rounds x ON x.node = e.a
+         |  JOIN a$rounds y ON y.node = e.b)
+         |SELECT node::VARCHAR AS node, count(*)::BIGINT AS deg FROM (
+         |  SELECT a AS node FROM lf UNION ALL SELECT b FROM lf) t
+         |GROUP BY 1""".stripMargin
+  }
+
   /** Unrolled-CTE twin of Graph.bfsDistances: seeds at dist 0, `rounds`
     * synchronous min/+1 relaxations over the bidirected sourcing edges. */
   private def bfsOracleSql(rounds: Int, seedMod: Long): String = {
@@ -278,6 +346,26 @@ object SparkEntry {
     }
     (head +: steps).mkString(",\n") + s"\nSELECT node, dist FROM d$rounds"
   }
+
+  /** Shared by q_entropy_by_window (two-shuffle batch entropy) and
+    * q_entropy_stream (the one-aggregation streaming form, batch-run):
+    * per-day event-type entropy with every ln quantized at the term. */
+  private def entropyByWindowOracle: String =
+    s"""WITH t AS (SELECT $evMs - $evMs % $D AS window_start_ms, event_type
+       |           FROM events
+       |           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+       |c AS (SELECT window_start_ms, event_type, count(*)::BIGINT AS c
+       |      FROM t GROUP BY 1, 2),
+       |g AS (SELECT window_start_ms, sum(c)::BIGINT AS tot,
+       |        count(*)::BIGINT AS n_categories,
+       |        sum(c * floor(ln(c::DOUBLE) * 1000000)::BIGINT)::BIGINT AS sclc
+       |      FROM c GROUP BY 1)
+       |SELECT window_start_ms, tot AS n_total, n_categories,
+       |  (tot * floor(ln(tot::DOUBLE) * 1000000)::BIGINT - sclc)::BIGINT
+       |    AS entropy_scaled,
+       |  (tot * floor(ln(tot::DOUBLE) * 1000000)::BIGINT - sclc)::DOUBLE
+       |    / (tot::DOUBLE * 1000000) AS entropy
+       |FROM g""".stripMargin
 
   private val HotKeyTopN = 50 // candidates probed by q_heavy_hitters_hot
   // doc-id checkpoints for the q_vocab_growth Heaps-law gauge
@@ -1305,6 +1393,14 @@ object SparkEntry {
             (unix_millis(col("ts"))
               - pmod(unix_millis(col("ts")), lit(D))).cast("long")),
         "window_start_ms", "event_type")),
+    // the SAME per-day entropy as a TRUE streaming aggregate (batch-run
+    // here): the whole distribution rides ONE CategoryCountAgg through
+    // the single aggregation streaming allows — one shuffle where the
+    // batch form needs two; same oracle, bit-identical rows
+    "q_entropy_stream" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedEntropy(
+        Tables.events(s, dir).filter(col("ts").isNotNull),
+        "event_type", "ts", "1 day", "0 seconds")),
     // the user-lifecycle curve: daily cohorts of first activity, distinct
     // actives per (cohort, offset), trunc6'd retention ratio
     "q_retention" -> ((s, dir) =>
@@ -1913,6 +2009,27 @@ object SparkEntry {
           .select((col("l_suppkey") * 2).as("node")).distinct(),
         PrIters, PrScale)
     }),
+    // mass flows with co-sourcing FREQUENCY, not uniformly per neighbor:
+    // weighted PageRank over (supplier, part) edges weighted by lineitem
+    // multiplicity — same bit-exact integer rounds, oracle unrolled
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val w = Tables.lineitem(s, dir)
+        .groupBy((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.pagerankWeighted(
+        w.union(w.select(col("dst").as("src"), col("src").as("dst"),
+          col("w"))),
+        "src", "dst", "w", WprIters, PrScale)
+    }),
+    // density skeleton: nodes surviving KcoreRounds synchronous k-core
+    // peels of the co-sourcing graph, with their within-core degree —
+    // pure integer comparisons, every round mirrored by the oracle
+    "q_kcore" -> ((s, dir) =>
+      Graph.kcoreSurvivors(
+        Tables.lineitem(s, dir).select((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")),
+        "src", "dst", KcoreK, KcoreRounds)),
     // multi-source BFS hop distances from every 50th supplier over the
     // bidirected sourcing graph, capped at BfsRounds — pure integer
     // min/+1 relaxation, nodes beyond the cap absent by contract
@@ -3868,22 +3985,10 @@ object SparkEntry {
          |    / (tot::DOUBLE * 1000000) AS entropy
          |FROM g""".stripMargin,
 
-    "q_entropy_by_window" ->
-      s"""WITH t AS (SELECT $evMs - $evMs % $D AS window_start_ms, event_type
-         |           FROM events
-         |           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
-         |c AS (SELECT window_start_ms, event_type, count(*)::BIGINT AS c
-         |      FROM t GROUP BY 1, 2),
-         |g AS (SELECT window_start_ms, sum(c)::BIGINT AS tot,
-         |        count(*)::BIGINT AS n_categories,
-         |        sum(c * floor(ln(c::DOUBLE) * 1000000)::BIGINT)::BIGINT AS sclc
-         |      FROM c GROUP BY 1)
-         |SELECT window_start_ms, tot AS n_total, n_categories,
-         |  (tot * floor(ln(tot::DOUBLE) * 1000000)::BIGINT - sclc)::BIGINT
-         |    AS entropy_scaled,
-         |  (tot * floor(ln(tot::DOUBLE) * 1000000)::BIGINT - sclc)::DOUBLE
-         |    / (tot::DOUBLE * 1000000) AS entropy
-         |FROM g""".stripMargin,
+    "q_entropy_by_window" -> entropyByWindowOracle,
+    // the one-shuffle streaming form (CategoryCountAgg distribution +
+    // stateless entropy projection) must emit the SAME rows
+    "q_entropy_stream" -> entropyByWindowOracle,
 
     // add-one smoothed over the union vocabulary; quantized term
     // cp'·(qlog(cp'·NQ') − qlog(cq'·NP')) summed exactly
@@ -4159,6 +4264,8 @@ object SparkEntry {
     "q_hits" -> hitsOracleSql(HitsIters, HitsScale),
     "q_bfs_dist" -> bfsOracleSql(BfsRounds, BfsSeedMod),
     "q_ppr" -> pprOracleSql(PrIters, PrScale, BfsSeedMod),
+    "q_pagerank_weighted" -> pagerankWeightedOracleSql(WprIters, PrScale),
+    "q_kcore" -> kcoreOracleSql(KcoreK, KcoreRounds),
 
     // brute-force canonical 3-way triangle join (the oracle may explode on
     // hubs; the Spark side's degree orientation is the scale path)

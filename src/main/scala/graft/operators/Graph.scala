@@ -537,4 +537,125 @@ object Graph {
       .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
         col("n_b"), col("n_baskets"), col("lift"))
   }
+
+
+  /** WEIGHTED PageRank — mass flows proportionally to edge weight (the
+    * co-sourcing frequency, citation count, co-click strength), not
+    * uniformly per neighbor: the form that separates "linked once" from
+    * "linked a thousand times". Same integer contract as pagerankFixed:
+    *   pr'(v) = base + (Σ_{u→v} (pr(u)·w(u,v)) div W(u) · 85) div 100
+    * with W(u) = Σ_v w(u,v), every op integral. Parallel edges COLLAPSE
+    * BY SUMMING their weights (groupBy, not distinct); weights must be
+    * positive integers — zero/negative/NULL weights and NULL endpoints
+    * fail loud / drop. Overflow bound: pr(u)·w needs scale·maxWeight
+    * < 2⁶³ (at the default scale 10¹² that admits weights to ~9·10⁶ —
+    * pre-bucket heavier multiplicities or lower scale; ANSI fails loud).
+    * Same per-round shape and driver contract as pagerankFixed (one
+    * extra checkpointed weight column on the edge frame). Emits
+    * (node, pr_scaled, pr). */
+  def pagerankWeighted(edges: DataFrame, src: String, dst: String,
+                       weight: String, iters: Int,
+                       scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(scale >= 1000000L, s"scale must be >= 1e6, got $scale")
+    val emitted = Seq("node", "pr_scaled", "pr", "_src", "_dst", "_w", "_tw",
+      "_s", "_c")
+    require(!emitted.contains(src) && !emitted.contains(dst)
+        && !emitted.contains(weight),
+      s"pagerankWeighted emits/uses ${emitted.mkString(", ")}; rename inputs")
+    require(edges.schema(src).dataType == edges.schema(dst).dataType,
+      s"src/dst must share one node type; got ${edges.schema(src).dataType} " +
+        s"vs ${edges.schema(dst).dataType}")
+    val wGuard = assert_true(col(weight).isNull || col(weight) > 0,
+      concat(lit("pagerankWeighted: weights must be positive (a zero or " +
+        "negative weight silently distorts every division); got "),
+        col(weight).cast("string")))
+    val e = edges.filter(wGuard.isNull)
+      .select(col(src).as("_src"), col(dst).as("_dst"),
+        col(weight).cast("long").as("_w"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull
+        && col("_w").isNotNull)
+      .groupBy(col("_src"), col("_dst")).agg(sum(col("_w")).as("_w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val withTw = e
+      .join(e.groupBy(col("_src")).agg(sum(col("_w")).as("_tw")), Seq("_src"))
+      .localCheckpoint(true)
+    val nNodes = nodes.count()
+    if (nNodes == 0L)
+      return nodes.select(col("node"), lit(0L).as("pr_scaled"),
+        lit(0d).as("pr"))
+    val init = scale / nNodes
+    val base = (init * 15L) / 100L
+    var ranks = nodes.select(col("node"), lit(init).as("pr_scaled"))
+    for (i <- 1 to iters) {
+      val sums = withTw
+        .join(ranks, withTw("_src") === ranks("node"))
+        .select(col("_dst"), expr("(pr_scaled * _w) div _tw").as("_c"))
+        .groupBy(col("_dst")).agg(sum(col("_c")).as("_s"))
+      ranks = nodes.join(sums, nodes("node") === sums("_dst"), "left")
+        .select(nodes("node"),
+          (lit(base)
+            + expr("(coalesce(_s, CAST(0 AS BIGINT)) * 85) div 100"))
+            .as("pr_scaled"))
+      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("pr_scaled"),
+      (col("pr_scaled").cast("double") / lit(scale.toDouble)).as("pr"))
+  }
+
+  /** k-core membership after `rounds` synchronous peels — the density
+    * skeleton of a graph (spam nests and duplicate clusters live in
+    * high cores; stringy crawl frontiers die in the first peel). Each
+    * round removes every node whose CURRENT degree (over surviving
+    * undirected edges, parallel edges collapsed, self-loops dropped)
+    * is < k, simultaneously. Fixed `rounds` is the oracle-checkable
+    * core (the semantics are "after R peels" — peeling converges in a
+    * handful of rounds on real graphs; raise `rounds` deliberately):
+    * pure integer degree comparisons, bit-identical everywhere.
+    * Shape per round: the ORIGINAL checkpointed edge frame re-restricted
+    * by two semi joins on the checkpointed survivor frame (so each
+    * round's edge frame has exactly one consumer — no recompute
+    * fan-out), one degree agg, one filter; survivor frames are
+    * checkpointed per round (O(|V|) each). Emits (node, deg) over the
+    * round-R survivor-restricted edges — survivors that lost their
+    * last edge inside round R are absent (deg 0 has nothing to stand
+    * on; one more round would peel them anyway). */
+  def kcoreSurvivors(edges: DataFrame, src: String, dst: String,
+                     k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1,50], got $rounds")
+    val emitted = Seq("node", "deg", "_a", "_b")
+    require(!emitted.contains(src) && !emitted.contains(dst),
+      s"kcoreSurvivors emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val sa = col(src).cast("string"); val sb = col(dst).cast("string")
+    val und = edges
+      .select(least(sa, sb).as("_a"), greatest(sa, sb).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull
+        && col("_a") =!= col("_b"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(alive: DataFrame): DataFrame = {
+      val live = und
+        .join(alive.select(col("node").as("_a")), Seq("_a"), "left_semi")
+        .join(alive.select(col("node").as("_b")), Seq("_b"), "left_semi")
+      live.select(col("_a").as("node"))
+        .union(live.select(col("_b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    }
+    var alive = und.select(col("_a").as("node"))
+      .union(und.select(col("_b").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      alive = degrees(alive).filter(col("deg") >= k)
+        .select(col("node"))
+        .localCheckpoint(true)
+    }
+    degrees(alive)
+  }
 }

@@ -81,6 +81,27 @@ object InfoTheory {
           / (col("n_total").cast("double") * LogScale.toDouble))
   }
 
+  /** Entropy columns from a CategoryCountAgg distribution — the
+    * one-shuffle sibling of `entropy` (and the only legal streaming
+    * form: the two-level groupBy is one aggregation too many for a
+    * streaming query). `counts` is array<struct<cat,n>>; all folds are
+    * exact integer/decimal aggregates over the array, then the same
+    * single double division — identical outputs to `entropy` on the
+    * same data (pinned in InfoTheorySpec). Returns the (n_total,
+    * n_categories, entropy_scaled, entropy) columns to select; callers
+    * filter empty distributions first (size(counts) > 0). */
+  def entropyFromCounts(counts: Column): Seq[Column] = {
+    val tot = aggregate(counts, lit(0L), (a, x) => a + x.getField("n"))
+    val sclc = aggregate(counts, lit(0L).cast("decimal(38,0)"),
+      (a, x) => a + dec(x.getField("n") * qlog(x.getField("n"))))
+    val scaled = (dec(tot) * qlog(tot) - sclc).cast("long")
+    Seq(tot.as("n_total"),
+      size(counts).cast("long").as("n_categories"),
+      scaled.as("entropy_scaled"),
+      (scaled.cast("double") / (tot.cast("double") * LogScale.toDouble))
+        .as("entropy"))
+  }
+
   /** KL divergence KL(P‖Q) in nats between the `cat` distributions of the
     * `isP` and ¬`isP` slices of one frame — the drift gauge with
     * direction and magnitude in one number (TVD's unsigned cousin,

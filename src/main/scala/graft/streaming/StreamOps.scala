@@ -150,6 +150,27 @@ object StreamOps {
         ps.map(p => col(s"p${math.round(p * 100)}_approx")): _*)
   }
 
+  /** Event-time windowed Shannon entropy of a categorical column — the
+    * diversity monitor as a TRUE streaming aggregate: CategoryCountAgg
+    * carries each window's whole category→count distribution through
+    * the ONE aggregation streaming allows (the two-level groupBy the
+    * batch entropy uses is illegal on a stream), and the quantized-log
+    * entropy is a stateless projection after it. State per open window
+    * is one map bounded by category cardinality, not rows; append mode
+    * emits each window once on watermark close. Batch-executes
+    * identically — SparkEntry checks this form against the SAME oracle
+    * as the two-shuffle batch form (q_entropy_by_window). Windows whose
+    * every category is NULL have no distribution and are absent. */
+  def windowedEntropy(df: DataFrame, cat: String, ts: String,
+                      windowDur: String, lateness: String): DataFrame =
+    df.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), windowDur))
+      .agg(graft.expressions.CategoryCountExpressions
+        .categoryCounts(col(cat)).as("_cc"))
+      .filter(size(col("_cc")) > 0)
+      .select(CoreOps.ms(col("window.start")).as("window_start_ms") +:
+        graft.operators.InfoTheory.entropyFromCounts(col("_cc")): _*)
+
   /** Stream-stream interval join: pair every point with the anchors of the
     * same key whose window [anchor_ts, anchor_ts + windowMs) contains the
     * point's event time — the continuous form of CoreOps.rangeJoin for

@@ -254,4 +254,54 @@ class GraphSpec extends SparkSpec {
       Seq(1L, 4L).toDF("node"), 3).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("pagerankWeighted matches the brute-force weighted integer rounds " +
+      "and collapses parallel edges by SUMMING weights") {
+    val edges = Seq(("a", "b", 3L), ("a", "b", 1L), ("a", "c", 1L),
+      ("b", "a", 2L), ("c", "a", 5L)).toDF("s", "d", "w")
+    val got = Graph.pagerankWeighted(edges, "s", "d", "w", 3, Scale)
+      .select("node", "pr_scaled").as[(String, Long)].collect().toMap
+    val es = Map(("a", "b") -> 4L, ("a", "c") -> 1L, ("b", "a") -> 2L,
+      ("c", "a") -> 5L)
+    val nodes = Set("a", "b", "c")
+    val tw = es.groupBy(_._1._1).map { case (u, g) => u -> g.values.sum }
+    val init = Scale / 3L; val base = (init * 15L) / 100L
+    var pr = nodes.map(_ -> init).toMap
+    for (_ <- 1 to 3) {
+      val sums = nodes.map(v => v -> es.collect {
+        case ((u, vv), w) if vv == v => (pr(u) * w) / tw(u)
+      }.sum).toMap
+      pr = nodes.map(v => v -> (base + (sums(v) * 85L) / 100L)).toMap
+    }
+    assert(got == pr)
+  }
+
+  test("pagerankWeighted refuses non-positive weights loudly") {
+    val edges = Seq(("a", "b", 0L)).toDF("s", "d", "w")
+    val e = intercept[Exception] {
+      Graph.pagerankWeighted(edges, "s", "d", "w", 2, Scale).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pagerankWeighted")))
+  }
+
+  test("kcoreSurvivors peels a pendant chain off a K4 core and keeps the " +
+      "clique at degree 3; the chain node adjacent to the core needs a " +
+      "second round") {
+    // K4 on {a,b,c,d} + path d—e—f. k=2: round 1 peels f (deg 1); round 2
+    // peels e (deg 1 after f left); the K4 plus d's full degree remain.
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f")).toDF("s", "d2")
+    val r1 = Graph.kcoreSurvivors(edges, "s", "d2", 2, 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 4L, "e" -> 1L))
+    val r2 = Graph.kcoreSurvivors(edges, "s", "d2", 2, 2)
+      .as[(String, Long)].collect().toMap
+    assert(r2 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // converged: a third round changes nothing
+    val r3 = Graph.kcoreSurvivors(edges, "s", "d2", 2, 3)
+      .as[(String, Long)].collect().toMap
+    assert(r3 == r2)
+  }
 }

@@ -148,4 +148,32 @@ class InfoTheorySpec extends SparkSpec {
     assert(rows == Set((qlog(1), qlog(2)), (qlog(2), qlog(2)),
       (qlog(3), qlog(1))))
   }
+
+  test("entropyFromCounts over a CategoryCountAgg distribution == the " +
+      "two-level entropy on the same data (one shuffle vs two)") {
+    val rows = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "z"),
+      ("g1", null), ("g2", "z"), ("g2", "w"))
+    val df = rows.toDF("g", "cat").repartition(3)
+    val one = df.groupBy(col("g"))
+      .agg(graft.expressions.CategoryCountExpressions
+        .categoryCounts(col("cat")).as("_cc"))
+      .filter(size(col("_cc")) > 0)
+      .select((col("g") +: InfoTheory.entropyFromCounts(col("_cc"))): _*)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val two = InfoTheory.entropy(df, "g", "cat")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(one == two)
+  }
+
+  test("CategoryCountAgg emits categories SORTED and merges across " +
+      "partitions exactly") {
+    val df = (1 to 100).map(i => s"c${i % 7}").toDF("cat").repartition(8)
+    val arr = df.agg(graft.expressions.CategoryCountExpressions
+        .categoryCounts(col("cat"))).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(arr.map(_.getString(0)) == (0 until 7).map(i => s"c$i"))
+    assert(arr.map(_.getLong(1)).sum == 100L)
+  }
 }

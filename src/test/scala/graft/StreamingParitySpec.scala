@@ -893,4 +893,29 @@ class StreamingParitySpec extends SparkSpec {
       assert(got == Set((0L, 3L, 20L, 30L), (9000L, 1L, 5L, 5L)))
     } finally q.stop()
   }
+
+  test("windowedEntropy finalizes windows with the exact quantized-log " +
+      "entropy; distribution state spans batches") {
+    val batch1 = Seq(
+      KeyedEvent("u", 1000, 1, "a"), KeyedEvent("u", 1500, 2, "a"),
+      KeyedEvent("u", 2500, 3, "b")) // window [0,3s): {a:2, b:1}
+    val batch2 = Seq(
+      KeyedEvent("u", 2900, 4, "b"), // SAME window, next batch: {a:2, b:2}
+      KeyedEvent("u", 20000, 5, "c")) // watermark jumps, [0,3s) finalizes
+    val input = MemoryStream[KeyedEvent]
+    val stream = input.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+    val q = StreamOps.windowedEntropy(stream, "kind", "ts",
+        "3 seconds", "1 second")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("we_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val got = spark.table("we_par")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      def qlog(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+      val hs = 4L * qlog(4) - (2L * qlog(2) + 2L * qlog(2))
+      assert(got == Set((0L, 4L, 2L, hs, hs.toDouble / (4d * 1e6))))
+    } finally q.stop()
+  }
 }
