@@ -1416,6 +1416,40 @@ object SparkEntry {
     // volume anomaly flags: per-type daily counts through the robust
     // median/MAD detector (integer counts → exact percentiles, the
     // q_outliers argument without the cents scaling)
+    // seasonality-aware volume anomaly: the q_volume_outliers detector
+    // with the baseline keyed per (event_type, day-of-week) — a quiet
+    // Sunday stops flagging as an outage and a loud Sunday starts
+    "q_seasonal_outliers" -> ((s, dir) => {
+      val msCol = unix_millis(col("ts"))
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          ((msCol - pmod(msCol, lit(D))) / lit(D)).cast("long").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", pmod(col("day"), lit(7L)))
+        .withColumn("gkey", concat(col("event_type"), lit(":"), col("dow")))
+      CoreOps.robustOutliers(daily, "gkey", "n", 2.0)
+        .select(col("event_type"), col("day"), col("dow"), col("n"),
+          col("robust_z"), col("is_outlier"))
+    }),
+    // degree assortativity of the co-sourcing graph — do high-degree
+    // suppliers source ubiquitous parts (r > 0) or rare ones (r < 0)?
+    // Pearson over edge-endpoint degrees through exactCorr's decimal
+    // moments (each undirected edge contributes both orientations, the
+    // standard convention)
+    "q_assortativity" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .select((col("l_suppkey") * 2).as("a"),
+          (col("l_partkey") * 2 + 1).as("b")).distinct()
+      val e = sp.union(sp.select(col("b").as("a"), col("a").as("b")))
+      val deg = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      CoreOps.exactCorr(
+        e.join(deg.select(col("a"), col("d").as("deg_a")), Seq("a"))
+          .join(deg.select(col("a").as("b"), col("d").as("deg_b")), Seq("b"))
+          .select(lit("all").as("g"), col("deg_a"), col("deg_b")),
+        "g", "deg_a", "deg_b")
+    }),
     "q_volume_outliers" -> ((s, dir) => {
       val msCol = unix_millis(col("ts"))
       val daily = Tables.events(s, dir).select(col("event_type"),
@@ -4073,6 +4107,50 @@ object SparkEntry {
          |FROM s""".stripMargin,
 
     // q_outliers' skeleton over per-type daily counts
+    // the q_volume_outliers chain with the baseline keyed per
+    // (event_type, day-of-week)
+    "q_seasonal_outliers" ->
+      """WITH dc AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |              count(*)::BIGINT AS n FROM events
+        |            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |            GROUP BY 1, 2),
+        |dw AS (SELECT event_type, day, day % 7 AS dow, n FROM dc),
+        |med AS (SELECT event_type, dow, quantile_cont(n, 0.5) AS m
+        |        FROM dw GROUP BY 1, 2),
+        |mad AS (SELECT d.event_type, d.dow,
+        |          quantile_cont(abs(d.n - med.m), 0.5) AS md
+        |        FROM dw d JOIN med USING (event_type, dow) GROUP BY 1, 2),
+        |z AS (SELECT d.event_type, d.day, d.dow, d.n,
+        |        CASE WHEN mad.md > 0
+        |             THEN floor((0.6745 * (d.n - med.m) / mad.md) * 1000000) / 1000000
+        |        END AS robust_z
+        |      FROM dw d JOIN med USING (event_type, dow)
+        |      JOIN mad USING (event_type, dow))
+        |SELECT event_type, day, dow, n, robust_z,
+        |  COALESCE(abs(robust_z) > 2.0, false) AS is_outlier
+        |FROM z""".stripMargin,
+
+    // q_corr's moment skeleton over edge-endpoint degrees (each
+    // undirected edge in both orientations)
+    "q_assortativity" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+        |            FROM lineitem),
+        |e AS (SELECT a, b FROM sp UNION ALL SELECT b AS a, a AS b FROM sp),
+        |deg AS (SELECT a, count(*)::BIGINT AS d FROM e GROUP BY 1),
+        |j AS (SELECT da.d AS x, db.d AS y FROM e
+        |      JOIN deg da ON da.a = e.a JOIN deg db ON db.a = e.b),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+        |        sum(y)::DOUBLE AS sy, sum(x * y)::DOUBLE AS sxy,
+        |        sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy
+        |      FROM j)
+        |SELECT 'all' AS g, n::BIGINT AS n,
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |       THEN floor((n * sxy - sx * sy)
+        |                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |                  * 1000000) / 1000000
+        |  END AS corr
+        |FROM s""".stripMargin,
+
     "q_volume_outliers" ->
       """WITH dc AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
         |              count(*)::BIGINT AS n FROM events GROUP BY 1, 2),

@@ -189,6 +189,31 @@ object StreamDemo {
         Seq("Create", "Modify", "Delete"), gapMs = 5000L)
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // continuous windowed diversity monitor: per finalized 5s window, the
+    // operation-mix entropy — the whole distribution rides ONE
+    // CategoryCountAgg through the single aggregation streaming allows
+    val q14 = StreamOps.windowedEntropy(
+        audit.select(col("operation"), col("event_time")),
+        "operation", "event_time", "5 seconds", "1 second")
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
+    // continuous per-user rate limiting: token-bucket admit/reject by
+    // event time (burst 3, ~1 token/sec) — one (lastMs, budget) state
+    // pair per key however long the stream runs
+    val q15 = StateMachines.tokenBucket(
+        StateMachines.keyedEvents(audit, col("user"),
+          unix_millis(col("event_time")), col("id"), col("operation")),
+        capacityTokens = 3, refillNum = 1000L, refillDen = 1L)
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
+    // continuous recency-weighted duration level per user (EWMA α=1/8):
+    // one integer snapshot per key per micro-batch
+    val q16 = StateMachines.ewmaSnapshots(
+        StateMachines.valuedEvents(audit, col("user"),
+          unix_millis(col("event_time")), col("id"), col("duration")),
+        1, 8)
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     def audited: Long = q3.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
     val deadline = System.currentTimeMillis() + 30000
@@ -200,13 +225,14 @@ object StreamDemo {
     println(s"[demo] rate phase: observer counted $audited audit records through " +
       s"continuous session-window, stream-stream window-join, as-of join, " +
       s"interval-join, windowed heavy-hitter, upsert-compaction, fuzzy-" +
-      s"resolve, windowed-drift, expanding-anomaly, windowed-quantile " +
-      s"and session-funnel queries " +
+      s"resolve, windowed-drift, expanding-anomaly, windowed-quantile, " +
+      s"session-funnel, windowed-entropy, token-bucket and EWMA queries " +
       s"(${asofRows.get()} as-of rows, " +
       s"$stateRows state rows, ${fuzzyRows.get()} fuzzy matches, " +
       s"${driftRows.get()} drift rows)")
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
-    q10.stop(); q11.stop(); q12.stop(); q13.stop()
+    q10.stop(); q11.stop(); q12.stop(); q13.stop(); q14.stop(); q15.stop()
+    q16.stop()
     spark.stop()
   }
 }
