@@ -1401,6 +1401,16 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedEntropy(
         Tables.events(s, dir).filter(col("ts").isNotNull),
         "event_type", "ts", "1 day", "0 seconds")),
+    // per-day KL drift of the event mix against the whole corpus's mix —
+    // the directed sibling of q_drift_by_day's TVD, as the streaming
+    // form (batch-run): ONE CategoryCountAgg aggregation, the baseline
+    // folded in as a plan literal (collected once, O(categories))
+    "q_kl_by_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      graft.streaming.StreamOps.windowedKlDrift(ev, "event_type", "ts",
+        "1 day", "0 seconds", ev, "event_type")
+    }),
     // the user-lifecycle curve: daily cohorts of first activity, distinct
     // actives per (cohort, offset), trunc6'd retention ratio
     "q_retention" -> ((s, dir) =>
@@ -4022,6 +4032,42 @@ object SparkEntry {
     // the one-shuffle streaming form (CategoryCountAgg distribution +
     // stateless entropy projection) must emit the SAME rows
     "q_entropy_stream" -> entropyByWindowOracle,
+
+    // per-window smoothed KL vs the corpus mix: union category set per
+    // window, the same quantized term chain as q_kl_drift
+    "q_kl_by_window" ->
+      s"""WITH t AS (SELECT $evMs - $evMs % $D AS w, event_type AS cat
+         |           FROM events
+         |           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |c AS (SELECT w, cat, count(*)::BIGINT AS cp FROM t GROUP BY 1, 2),
+         |ref AS (SELECT event_type AS cat, count(*)::BIGINT AS cq
+         |        FROM events
+         |        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |        GROUP BY 1),
+         |tq AS (SELECT sum(cq)::BIGINT AS tq FROM ref),
+         |wins AS (SELECT DISTINCT w FROM c),
+         |cats AS (SELECT DISTINCT w, cat FROM (
+         |    SELECT w, cat FROM c
+         |    UNION ALL SELECT wins.w, ref.cat FROM wins, ref)),
+         |g AS (SELECT w, count(*)::BIGINT AS k FROM cats GROUP BY 1),
+         |tp AS (SELECT w, sum(cp)::BIGINT AS tp FROM c GROUP BY 1),
+         |terms AS (SELECT cats.w,
+         |    (COALESCE(c.cp, 0) + 1)
+         |    * (floor(ln(((COALESCE(c.cp, 0) + 1)
+         |         * ((SELECT tq FROM tq) + g.k))::DOUBLE) * 1000000)::BIGINT
+         |     - floor(ln(((COALESCE(r.cq, 0) + 1)
+         |         * (tp.tp + g.k))::DOUBLE) * 1000000)::BIGINT) AS trm
+         |  FROM cats
+         |  LEFT JOIN c ON c.w = cats.w AND c.cat = cats.cat
+         |  LEFT JOIN ref r ON r.cat = cats.cat
+         |  JOIN g ON g.w = cats.w
+         |  JOIN tp ON tp.w = cats.w)
+         |SELECT t.w AS window_start_ms, g.k AS n_categories, tp.tp AS n_p,
+         |  (SELECT tq FROM tq) AS n_q, sum(t.trm)::BIGINT AS kl_scaled,
+         |  sum(t.trm)::BIGINT::DOUBLE / ((tp.tp + g.k)::DOUBLE * 1000000)
+         |    AS kl
+         |FROM terms t JOIN g ON g.w = t.w JOIN tp ON tp.w = t.w
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // add-one smoothed over the union vocabulary; quantized term
     // cp'·(qlog(cp'·NQ') − qlog(cq'·NP')) summed exactly

@@ -102,6 +102,39 @@ object InfoTheory {
         .as("entropy"))
   }
 
+  /** KL(P‖Q) columns from a CategoryCountAgg distribution against a
+    * PLAN-LITERAL reference distribution — the one-aggregation form of
+    * klDrift for streaming windows: the window's counts ride one
+    * CategoryCountAgg; the reference (a STATIC frame, collected once at
+    * plan time, O(categories)) folds in as a literal map, so the whole
+    * divergence is a stateless projection after the single streaming
+    * aggregation — no join, no second shuffle. Same add-one smoothing
+    * over the UNION category set and the same quantized term
+    * cp′·(qlog(cp′·NQ′) − qlog(cq′·NP′)) as klDrift, summed exactly
+    * over the array. Returns (n_categories, n_p, n_q, kl_scaled, kl)
+    * columns; callers filter empty windows first. */
+  def klFromCounts(counts: Column, ref: Map[String, Long]): Seq[Column] = {
+    require(ref.nonEmpty, "klFromCounts needs a non-empty reference")
+    require(ref.values.forall(_ > 0),
+      "klFromCounts reference counts must be positive")
+    val mp = map_from_entries(counts)
+    val refMap = typedlit(ref)
+    val cats = array_union(map_keys(mp), map_keys(refMap))
+    val k = size(cats).cast("long")
+    val tp = aggregate(counts, lit(0L), (a, x) => a + x.getField("n"))
+    val tq = lit(ref.values.sum)
+    def cp1(c: Column) = coalesce(element_at(mp, c), lit(0L)) + lit(1L)
+    def cq1(c: Column) = coalesce(element_at(refMap, c), lit(0L)) + lit(1L)
+    val klScaled = aggregate(cats, lit(0L).cast("decimal(38,0)"),
+      (a, c) => a + dec(cp1(c)
+        * (qlog(cp1(c) * (tq + k)) - qlog(cq1(c) * (tp + k)))))
+      .cast("long")
+    Seq(k.as("n_categories"), tp.as("n_p"), tq.as("n_q"),
+      klScaled.as("kl_scaled"),
+      (klScaled.cast("double")
+        / ((tp + k).cast("double") * LogScale.toDouble)).as("kl"))
+  }
+
   /** KL divergence KL(P‖Q) in nats between the `cat` distributions of the
     * `isP` and ¬`isP` slices of one frame — the drift gauge with
     * direction and magnitude in one number (TVD's unsigned cousin,

@@ -171,6 +171,34 @@ object StreamOps {
       .select(CoreOps.ms(col("window.start")).as("window_start_ms") +:
         graft.operators.InfoTheory.entropyFromCounts(col("_cc")): _*)
 
+  /** Event-time windowed KL drift against a STATIC baseline — the
+    * directed, magnitude-bearing sibling of the TVD windowed monitor:
+    * each finalized window's category mix scored as smoothed
+    * KL(window ‖ baseline). The baseline frame is collected ONCE at
+    * plan time (O(categories) driver, static frames only) and folds in
+    * as a plan literal, so the stream side is one CategoryCountAgg
+    * aggregation plus a stateless quantized-log projection — no join,
+    * legal in a streaming query. Same oracle-checkable arithmetic as
+    * InfoTheory.klDrift (SparkEntry pins the batch-run form). */
+  def windowedKlDrift(df: DataFrame, cat: String, ts: String,
+                      windowDur: String, lateness: String,
+                      ref: DataFrame, refCat: String): DataFrame = {
+    require(!ref.isStreaming,
+      "windowedKlDrift's baseline must be a static frame")
+    val refCounts = ref.filter(col(refCat).isNotNull)
+      .groupBy(col(refCat).cast("string").as("c")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(refCounts.nonEmpty,
+      "windowedKlDrift: the baseline frame has no categories")
+    df.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), windowDur))
+      .agg(graft.expressions.CategoryCountExpressions
+        .categoryCounts(col(cat)).as("_cc"))
+      .filter(size(col("_cc")) > 0)
+      .select(CoreOps.ms(col("window.start")).as("window_start_ms") +:
+        graft.operators.InfoTheory.klFromCounts(col("_cc"), refCounts): _*)
+  }
+
   /** Stream-stream interval join: pair every point with the anchors of the
     * same key whose window [anchor_ts, anchor_ts + windowMs) contains the
     * point's event time — the continuous form of CoreOps.rangeJoin for

@@ -176,4 +176,24 @@ class InfoTheorySpec extends SparkSpec {
     assert(arr.map(_.getString(0)) == (0 until 7).map(i => s"c$i"))
     assert(arr.map(_.getLong(1)).sum == 100L)
   }
+
+  test("klFromCounts with a literal reference == klDrift on the same two " +
+      "sides (one aggregation vs the two-sided count shuffle)") {
+    val pSide = Seq("x", "x", "x", "y")
+    val qSide = Seq("x", "y", "y", "z")
+    val both = (pSide.map(c => (c, true)) ++ qSide.map(c => (c, false)))
+      .toDF("cat", "p")
+    val twoLevel = InfoTheory.klDrift(both, "cat", col("p")).collect().head
+    val ref = qSide.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
+    val one = pSide.toDF("cat")
+      .agg(graft.expressions.CategoryCountExpressions
+        .categoryCounts(col("cat")).as("_cc"))
+      .select(InfoTheory.klFromCounts(col("_cc"), ref): _*)
+      .collect().head
+    assert(one.getLong(0) == twoLevel.getLong(0)) // n_categories
+    assert(one.getLong(1) == twoLevel.getLong(1)) // n_p
+    assert(one.getLong(2) == twoLevel.getLong(2)) // n_q
+    assert(one.getLong(3) == twoLevel.getLong(3)) // kl_scaled
+    assert(one.getDouble(4) == twoLevel.getDouble(4))
+  }
 }

@@ -918,4 +918,31 @@ class StreamingParitySpec extends SparkSpec {
       assert(got == Set((0L, 4L, 2L, hs, hs.toDouble / (4d * 1e6))))
     } finally q.stop()
   }
+
+  test("windowedKlDrift finalizes windows scored against the plan-literal " +
+      "baseline; an on-mix window scores ~0, a skewed one positive") {
+    val batch1 = Seq(
+      KeyedEvent("u", 1000, 1, "a"), KeyedEvent("u", 1500, 2, "b"),
+      KeyedEvent("u", 2500, 3, "a")) // window [0,3s): {a:2, b:1}
+    val batch2 = Seq(KeyedEvent("u", 20000, 4, "a")) // finalizes [0,3s)
+    val ref = Seq("a", "a", "b").toDF("cat") // baseline mix {a:2, b:1}
+    val input = MemoryStream[KeyedEvent]
+    val stream = input.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+    val q = StreamOps.windowedKlDrift(stream, "kind", "ts",
+        "3 seconds", "1 second", ref, "cat")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kl_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val got = spark.table("kl_par")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      def qlog(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
+      // smoothed: cp' = {a:3, b:2}, cq' = {a:3, b:2}, k=2, tp=tq=3
+      // identical smoothed sides => every term qlog(m)-qlog(m) = 0
+      val trm = 3L * (qlog(3 * 5) - qlog(3 * 5)) + 2L * (qlog(2 * 5) - qlog(2 * 5))
+      assert(trm == 0L)
+      assert(got == Set((0L, 2L, 3L, 3L, 0L, 0.0)))
+    } finally q.stop()
+  }
 }
