@@ -36,6 +36,19 @@ object SparkEntry {
   // any horizon
   private val KmGapDays = 1
   private val KmCohortDays = 7 // weekly Kaplan-Meier signup cohorts
+  private val KAnonK = 5L      // k-anonymity class-size floor
+  private val LDivL = 3L       // l-diversity distinct-sensitive floor
+
+  /** The quasi-identifier projection the privacy audits run over:
+    * (event_type, activity day, 50-currency spend bucket) — the kind of
+    * released cut that looks anonymous and often is not. */
+  private def quasiCut(s: SparkSession, dir: String): DataFrame = {
+    val msCol = unix_millis(col("ts"))
+    Tables.events(s, dir).select(col("event_type"),
+      ((msCol - pmod(msCol, lit(D))) / lit(D)).cast("long").as("day"),
+      floor(col("value") / 50d).cast("long").as("spend_bucket"),
+      col("user_id"))
+  }
   // token-bucket throttle: burst capacity 3 tokens, refill 1 token/hour
   // (5/18 micro-tokens per ms), 1 token per event
   private val ThrottleCap = 3
@@ -1401,6 +1414,22 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedEntropy(
         Tables.events(s, dir).filter(col("ts").isNotNull),
         "event_type", "ts", "1 day", "0 seconds")),
+    // ── privacy release audits over the (event_type, day, spend-bucket)
+    // quasi-identifier cut of events ────────────────────────────────────
+    // every equivalence class with its size and risk flag — the
+    // suppress-list a k-anonymous release anti-joins against
+    "q_k_anonymity" -> ((s, dir) =>
+      Curation.kAnonymityClasses(quasiCut(s, dir),
+        Seq("event_type", "day", "spend_bucket"), KAnonK)),
+    // the one-row release gate: class counts, rows at risk, smallest class
+    "q_k_anonymity_gate" -> ((s, dir) =>
+      Curation.kAnonymitySummary(quasiCut(s, dir),
+        Seq("event_type", "day", "spend_bucket"), KAnonK)),
+    // k-anonymity's complement: classes where too FEW distinct users hide
+    // behind the quasi-identifiers, however many rows they hold
+    "q_l_diversity" -> ((s, dir) =>
+      Curation.lDiversityClasses(quasiCut(s, dir),
+        Seq("event_type", "day", "spend_bucket"), "user_id", LDivL)),
     // per-day KL drift of the event mix against the whole corpus's mix —
     // the directed sibling of q_drift_by_day's TVD, as the streaming
     // form (batch-run): ONE CategoryCountAgg aggregation, the baseline
@@ -4032,6 +4061,32 @@ object SparkEntry {
     // the one-shuffle streaming form (CategoryCountAgg distribution +
     // stateless entropy projection) must emit the SAME rows
     "q_entropy_stream" -> entropyByWindowOracle,
+
+    "q_k_anonymity" ->
+      s"""SELECT event_type, $evMs // 86400000 AS day,
+         |  floor(value / 50)::BIGINT AS spend_bucket,
+         |  count(*)::BIGINT AS n, count(*) < $KAnonK AS risky
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_k_anonymity_gate" ->
+      s"""WITH c AS (SELECT count(*)::BIGINT AS n FROM events
+         |           GROUP BY event_type, $evMs // 86400000,
+         |             floor(value / 50)::BIGINT)
+         |SELECT count(*)::BIGINT AS n_classes,
+         |  COALESCE(sum(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS n_risky_classes,
+         |  COALESCE(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END), 0)::BIGINT
+         |    AS n_risky_rows,
+         |  min(n)::BIGINT AS min_class_size
+         |FROM c""".stripMargin,
+
+    "q_l_diversity" ->
+      s"""SELECT event_type, $evMs // 86400000 AS day,
+         |  floor(value / 50)::BIGINT AS spend_bucket,
+         |  count(*)::BIGINT AS n,
+         |  count(DISTINCT user_id)::BIGINT AS n_sensitive,
+         |  count(DISTINCT user_id) < $LDivL AS risky
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     // per-window smoothed KL vs the corpus mix: union category set per
     // window, the same quantized term chain as q_kl_drift

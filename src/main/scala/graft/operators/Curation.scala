@@ -168,4 +168,61 @@ object Curation {
       .withColumn("offset_in_pack", pmod(col("_excl"), lit(packTokens)))
       .select(docs.columns.map(col).toSeq ++ emitted.map(col): _*)
   }
+
+  /** k-anonymity audit over a set of quasi-identifier columns — the
+    * re-identification risk gauge a dataset release runs BEFORE shipping:
+    * every row whose quasi-identifier equivalence class holds fewer than
+    * `k` rows is linkable to a small group of individuals. Emits one row
+    * per equivalence class (quasi columns verbatim, n, risky) — the
+    * release decision needs the classes, not just a count; compose with
+    * an anti-join on the risky classes to suppress them. NULL
+    * quasi-values form their own classes (NULL is a value an attacker
+    * sees too). One partial-agg'd shuffle on the quasi key; O(classes)
+    * output. Pure integer counts — engine-exact. */
+  def kAnonymityClasses(df: DataFrame, quasi: Seq[String],
+                        k: Long): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityClasses needs >= 1 quasi column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val emitted = Seq("n", "risky")
+    require(!quasi.exists(emitted.contains),
+      s"kAnonymityClasses emits ${emitted.mkString(", ")}; rename inputs")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("risky", col("n") < k)
+  }
+
+  /** The one-row release gate over kAnonymityClasses: class counts, the
+    * rows at risk, and the smallest class — "is this cut of the data
+    * k-anonymous, and if not, how far off?". All exact int64. */
+  def kAnonymitySummary(df: DataFrame, quasi: Seq[String],
+                        k: Long): DataFrame =
+    kAnonymityClasses(df, quasi, k).groupBy()
+      .agg(count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("risky"), 1L).otherwise(0L)), lit(0L))
+          .as("n_risky_classes"),
+        coalesce(sum(when(col("risky"), col("n")).otherwise(0L)), lit(0L))
+          .as("n_risky_rows"),
+        min(col("n")).as("min_class_size"))
+
+  /** l-diversity audit — k-anonymity's necessary complement: a class can
+    * hold many ROWS yet expose everyone in it if the SENSITIVE column
+    * takes only one value there ("all 40 rows in this class belong to
+    * the same user"). Per quasi-identifier class, the count of DISTINCT
+    * sensitive values; classes below `l` are flagged. NULL sensitive
+    * values are ignored by the distinct (an absent attribute reveals
+    * nothing); classes whose every sensitive value is NULL report 0.
+    * One partial-agg'd shuffle; exact counts. Emits (quasi..., n,
+    * n_sensitive, risky). */
+  def lDiversityClasses(df: DataFrame, quasi: Seq[String],
+                        sensitive: String, l: Long): DataFrame = {
+    require(quasi.nonEmpty, "lDiversityClasses needs >= 1 quasi column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val emitted = Seq("n", "n_sensitive", "risky")
+    require(!quasi.exists(emitted.contains) && !emitted.contains(sensitive),
+      s"lDiversityClasses emits ${emitted.mkString(", ")}; rename inputs")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(sensitive)).as("n_sensitive"))
+      .withColumn("risky", col("n_sensitive") < l)
+  }
 }

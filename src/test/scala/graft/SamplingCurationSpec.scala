@@ -270,4 +270,39 @@ class SamplingCurationSpec extends SparkSpec {
     assert(kept.keySet == Set(1L, 5L))
     assert(kept(1L) == 16L)
   }
+
+  test("kAnonymity: classes, risk flags and the release gate from a hand " +
+      "fixture; NULL quasi-values form their own class") {
+    val rows = Seq(
+      ("a", Some(1L)), ("a", Some(1L)), ("a", Some(1L)), // class size 3
+      ("a", Some(2L)),                                    // size 1: risky
+      ("b", None), ("b", None))                           // NULL bucket, size 2
+      .toDF("t", "bkt")
+    val classes = Curation.kAnonymityClasses(rows, Seq("t", "bkt"), 3L)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(classes == Map(
+      ("a", Some(1L)) -> ((3L, false)),
+      ("a", Some(2L)) -> ((1L, true)),
+      ("b", None) -> ((2L, true))))
+    val gate = Curation.kAnonymitySummary(rows, Seq("t", "bkt"), 3L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(gate == ((3L, 2L, 3L, 1L)))
+  }
+
+  test("lDiversity: distinct sensitive values per class; NULL sensitive " +
+      "ignored; a big single-user class is risky") {
+    val rows = Seq(
+      ("a", 1L, Some(10L)), ("a", 1L, Some(10L)), ("a", 1L, Some(10L)),
+      ("a", 1L, Some(10L)), // 4 rows, ONE user: k-anonymous yet exposed
+      ("b", 2L, Some(1L)), ("b", 2L, Some(2L)), ("b", 2L, None))
+      .toDF("t", "bkt", "uid")
+    val got = Curation.lDiversityClasses(rows, Seq("t", "bkt"), "uid", 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      ("a", 1L) -> ((4L, 1L, true)),
+      ("b", 2L) -> ((3L, 2L, false))))
+  }
 }
