@@ -1414,6 +1414,14 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedEntropy(
         Tables.events(s, dir).filter(col("ts").isNotNull),
         "event_type", "ts", "1 day", "0 seconds")),
+    // bandit score sheet for source selection: UCB1 per event type over
+    // spend rewards (normalized by the 500-unit cap), ln N quantized so
+    // only the final trunc6'd double chain is engine-variant
+    "q_ucb" -> ((s, dir) =>
+      CoreOps.ucbScores(
+        Tables.events(s, dir)
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "event_type", "cents", 50000L, 2)),
     // ── privacy release audits over the (event_type, day, spend-bucket)
     // quasi-identifier cut of events ────────────────────────────────────
     // every equivalence class with its size and risk flag — the
@@ -4061,6 +4069,23 @@ object SparkEntry {
     // the one-shuffle streaming form (CategoryCountAgg distribution +
     // stateless entropy projection) must emit the SAME rows
     "q_entropy_stream" -> entropyByWindowOracle,
+
+    // the same UCB1 chain: quantized ln N, fixed double ops, trunc6
+    "q_ucb" ->
+      """WITH a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |             sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |           GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS nn FROM a)
+        |SELECT event_type, n, sum_cents,
+        |  floor((sum_cents::DOUBLE / (n::DOUBLE * 50000)) * 1000000) / 1000000
+        |    AS mean_norm,
+        |  floor((sum_cents::DOUBLE / (n::DOUBLE * 50000)
+        |         + 2 * sqrt((floor(ln(nn::DOUBLE) * 1000000)::BIGINT::DOUBLE
+        |                     / 1000000) / n::DOUBLE)) * 1000000) / 1000000
+        |    AS ucb
+        |FROM a CROSS JOIN t""".stripMargin,
 
     "q_k_anonymity" ->
       s"""SELECT event_type, $evMs // 86400000 AS day,

@@ -823,6 +823,43 @@ object CoreOps {
         col("n_cohort"), col("retention"))
   }
 
+  /** UCB1 exploration scores per arm — "which data source / variant
+    * should the next batch sample?", the bandit score sheet behind
+    * curriculum and source-selection loops: arms with high mean reward
+    * OR too few observations score high; well-observed mediocre arms
+    * sink. Rewards are integer `cents` normalized by `normCents` (the
+    * caller's reward cap — UCB1 assumes rewards in [0,1]); the bonus is
+    * c·√(ln N / nᵢ) with ln N QUANTIZED (qlog/10⁶ — the InfoTheory
+    * contract), so the only engine-variant ops are the final fixed
+    * double chain per arm, trunc6'd and mirrored operand-for-operand in
+    * the oracle. One partial-agg'd shuffle + a 1-row broadcast total;
+    * O(arms) output. NULL arms/values drop. Emits
+    * (arm, n, sum_cents, mean_norm, ucb). */
+  def ucbScores(df: DataFrame, arm: String, cents: String, normCents: Long,
+                c: Int): DataFrame = {
+    require(normCents >= 1, s"normCents must be >= 1, got $normCents")
+    require(c >= 1, s"c must be >= 1, got $c")
+    requireIntegralCols(df, Seq(cents), "ucbScores")
+    val emitted = Seq("n", "sum_cents", "mean_norm", "ucb", "_nn")
+    require(!emitted.contains(arm),
+      s"ucbScores emits ${emitted.mkString(", ")}; rename '$arm'")
+    val arms = df.filter(col(arm).isNotNull && col(cents).isNotNull)
+      .groupBy(col(arm))
+      .agg(count(lit(1)).as("n"), sum(col(cents).cast("long")).as("sum_cents"))
+    val total = arms.groupBy().agg(sum(col("n")).as("_nn")) // 1 row
+    val qlog: Column => Column =
+      x => floor(log(x.cast("double")) * 1000000d).cast("long")
+    def t6(x: Column): Column = floor(x * 1000000d) / 1000000d
+    val meanNorm = col("sum_cents").cast("double") /
+      (col("n").cast("double") * normCents.toDouble)
+    val bonus = lit(c.toDouble) *
+      sqrt((qlog(col("_nn")).cast("double") / 1000000d)
+        / col("n").cast("double"))
+    arms.crossJoin(broadcast(total))
+      .select(col(arm), col("n"), col("sum_cents"),
+        t6(meanNorm).as("mean_norm"), t6(meanNorm + bonus).as("ucb"))
+  }
+
   /** Kaplan-Meier survival curves per signup cohort — "how long do users
     * stay?", the time-to-churn statistic retention tables approximate but
     * never state: S(t) = Π_{tⱼ≤t} (1 − dⱼ/nⱼ) over death steps, with

@@ -1652,4 +1652,21 @@ class CoreOpsSpec extends SparkSpec {
       .filter(col("stage") === 2).collect().head.getLong(2)
     assert(deepest == completers)
   }
+
+  test("ucbScores: under-observed arms outrank well-observed mediocre " +
+      "ones; the quantized chain matches the hand fold") {
+    val rows = Seq.fill(50)(("steady", 100L)) ++ Seq(("rare", 120L))
+    val got = CoreOps.ucbScores(rows.toDF("arm", "cents"), "arm", "cents",
+        1000L, 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def qlog(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    def ucb(n: Long, sc: Long, nn: Long) =
+      t6(sc.toDouble / (n.toDouble * 1000d)
+        + 2d * math.sqrt((qlog(nn).toDouble / 1e6) / n.toDouble))
+    assert(got("steady") == ((50L, 5000L, t6(0.1), ucb(50, 5000, 51))))
+    assert(got("rare") == ((1L, 120L, t6(0.12), ucb(1, 120, 51))))
+    assert(got("rare")._4 > got("steady")._4) // exploration wins
+  }
 }
