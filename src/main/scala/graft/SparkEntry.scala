@@ -49,6 +49,8 @@ object SparkEntry {
       floor(col("value") / 50d).cast("long").as("spend_bucket"),
       col("user_id"))
   }
+  private val BurstLo = 2 * H // two events within 2h OPEN a burst
+  private val BurstHi = 8 * H // a gap past 8h CLOSES it (hysteresis band)
   // token-bucket throttle: burst capacity 3 tokens, refill 1 token/hour
   // (5/18 micro-tokens per ms), 1 token per event
   private val ThrottleCap = 3
@@ -1820,6 +1822,20 @@ object SparkEntry {
         "user_id", "ts", "event_id", "cents", 3, 5)),
     // the SAME flags from the streaming moment-state machine run in batch
     // mode — per-key state is three int64 moments, fixed-size forever
+    // rapid-fire episode extraction: a burst opens on two events within
+    // 2h, survives gaps to 8h, and emits once when a longer silence
+    // closes it — hysteresis so traffic hovering near one threshold
+    // doesn't flap; the open final burst never emits (append-safe)
+    "q_burst_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      graft.streaming.StateMachines.burstEnds(
+          graft.streaming.StateMachines.keyedEvents(ev, col("user_id"),
+            unix_millis(col("ts")), col("event_id"), col("event_type")),
+          BurstLo, BurstHi)
+        .select(col("key").cast("long").as("user_id"), col("start_ms"),
+          col("end_ms"), col("n_events"))
+    }),
     // deterministic per-user rate limiting: token-bucket admit/reject by
     // EVENT time (burst 3, 1 token/hour) — the same integer walk on
     // backfill and live stream, replayed by the oracle's recursive CTE
@@ -4754,6 +4770,38 @@ object SparkEntry {
     // the shared prior-prefix integer-moment oracle checks both forms
     "q_anomaly" -> anomalyOracle,
     "q_anomaly_stream" -> anomalyOracle,
+    // the same hysteresis walk per user; a closed burst surfaces on the
+    // row that closed it
+    "q_burst_stream" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, $evMs AS ms,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY $evMs, event_id) AS rn
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |rec AS (
+         |  SELECT user_id, rn, ms, CAST(-1 AS BIGINT) AS bstart,
+         |    CAST(0 AS BIGINT) AS n, CAST(NULL AS BIGINT) AS c_start,
+         |    CAST(NULL AS BIGINT) AS c_end, CAST(NULL AS BIGINT) AS c_n
+         |  FROM ev WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn, e.ms,
+         |    CASE WHEN r.bstart >= 0 AND e.ms - r.ms <= $BurstHi THEN r.bstart
+         |         WHEN r.bstart < 0 AND e.ms - r.ms <= $BurstLo THEN r.ms
+         |         ELSE -1 END,
+         |    CASE WHEN r.bstart >= 0 AND e.ms - r.ms <= $BurstHi THEN r.n + 1
+         |         WHEN r.bstart < 0 AND e.ms - r.ms <= $BurstLo THEN 2
+         |         ELSE 0 END,
+         |    CASE WHEN r.bstart >= 0 AND e.ms - r.ms > $BurstHi
+         |         THEN r.bstart END,
+         |    CASE WHEN r.bstart >= 0 AND e.ms - r.ms > $BurstHi
+         |         THEN r.ms END,
+         |    CASE WHEN r.bstart >= 0 AND e.ms - r.ms > $BurstHi
+         |         THEN r.n END
+         |  FROM ev e JOIN rec r ON r.user_id = e.user_id AND e.rn = r.rn + 1)
+         |SELECT user_id, c_start AS start_ms, c_end AS end_ms,
+         |  c_n AS n_events
+         |FROM rec WHERE c_start IS NOT NULL""".stripMargin,
+
     // the same micro-token bucket walk per user in (ts, event_id) order;
     // least/greatest/`//` all integral, so every decision matches
     "q_throttle_stream" -> {

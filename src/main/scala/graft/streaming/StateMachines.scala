@@ -37,6 +37,12 @@ case class LastTwo(k1: String, k2: String, tsMs: Long)
 case class Transition2(key: String, from2_state: String, from1_state: String,
                        to_state: String)
 
+/** Burst-walk state per key: the open burst's start (−1 = not in a
+  * burst), its event count, and the key's last event time. */
+case class BurstState(bstartMs: Long, n: Long, lastMs: Long)
+case class BurstEnd(key: String, start_ms: Long, end_ms: Long,
+                    n_events: Long)
+
 /** Open activity run per key for streakEnds: first and latest active day. */
 case class StreakState(startDay: Long, lastDay: Long)
 case class StreakEnd(key: String, start_day: Long, end_day: Long, len: Long)
@@ -311,6 +317,61 @@ object StateMachines {
   implicit val streakStateEnc: Encoder[StreakState] =
     Encoders.product[StreakState]
   implicit val streakEndEnc: Encoder[StreakEnd] = Encoders.product[StreakEnd]
+
+  implicit val burstStateEnc: Encoder[BurstState] = Encoders.product[BurstState]
+  implicit val burstEndEnc: Encoder[BurstEnd]     = Encoders.product[BurstEnd]
+
+  /** Hysteresis burst detection per key — "when did this user/source go
+    * rapid-fire, and for how long?": a burst OPENS when two consecutive
+    * events arrive within `loMs` (it starts at the FIRST of the pair),
+    * stays open while gaps stay ≤ `hiMs`, and CLOSES — emitting exactly
+    * once — at the first gap > `hiMs`. Two thresholds (lo < hi) are the
+    * point: a single threshold flaps on traffic hovering near it, the
+    * hysteresis band does not. Pure integer gap comparisons ⇒
+    * bit-identical on any engine; the oracle replays the walk as a
+    * recursive CTE. The still-open final burst NEVER emits (the
+    * streakEnds append-safety contract — it closes when a later event
+    * proves the gap); a behind-frontier arrival across micro-batches
+    * (ts < the key's last seen) is a NO-OP, also the streakEnds rule.
+    * State is one fixed-size BurstState per key. Emits
+    * (key, start_ms, end_ms, n_events) per CLOSED burst. */
+  def burstEnds(events: Dataset[KeyedEvent], loMs: Long, hiMs: Long,
+                stateTtlMs: Option[Long] = None): Dataset[BurstEnd] = {
+    require(loMs > 0 && hiMs >= loMs,
+      s"need 0 < loMs <= hiMs, got lo=$loMs hi=$hiMs")
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[KeyedEvent], state: GroupState[BurstState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = ArrayBuffer.empty[BurstEnd]
+          var st = state.getOption.orNull
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            if (st == null) {
+              st = BurstState(-1L, 0L, e.tsMs)
+            } else if (e.tsMs >= st.lastMs) { // behind-frontier: no-op
+              val gap = e.tsMs - st.lastMs
+              st =
+                if (st.bstartMs >= 0L) {
+                  if (gap <= hiMs) BurstState(st.bstartMs, st.n + 1L, e.tsMs)
+                  else { // close and emit; gap > hiMs >= loMs never reopens
+                    out += BurstEnd(key, st.bstartMs, st.lastMs, st.n)
+                    BurstState(-1L, 0L, e.tsMs)
+                  }
+                } else if (gap <= loMs) BurstState(st.lastMs, 2L, e.tsMs)
+                else BurstState(-1L, 0L, e.tsMs)
+            }
+          }
+          if (st != null) {
+            state.update(st)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+          }
+          out.iterator
+        }
+    }
+  }
 
   /** Streaming CLOSED-streak extraction — the continuous twin of
     * CoreOps.completedStreaks: per key, state is the open run's (first,

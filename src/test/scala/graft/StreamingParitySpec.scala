@@ -945,4 +945,35 @@ class StreamingParitySpec extends SparkSpec {
       assert(got == Set((0L, 2L, 3L, 3L, 0L, 0.0)))
     } finally q.stop()
   }
+
+  test("burstEnds: hysteresis opens at lo, survives to hi, closes ONCE " +
+      "across batches; the open final burst never emits; behind-frontier " +
+      "arrivals are no-ops") {
+    // lo = 10, hi = 100
+    val batch1 = Seq(
+      KeyedEvent("1", 0, 1, "a"),    // first event
+      KeyedEvent("1", 5, 2, "a"),    // gap 5 <= lo: burst opens at 0, n=2
+      KeyedEvent("1", 80, 3, "a"))   // gap 75 <= hi: continues, n=3
+    val batch2 = Seq(
+      KeyedEvent("1", 300, 4, "a"),  // gap 220 > hi: CLOSES (0, 80, 3)
+      KeyedEvent("1", 50, 5, "a"),   // behind frontier: no-op
+      KeyedEvent("1", 305, 6, "a"),  // gap 5 <= lo: NEW burst opens at 300
+      KeyedEvent("2", 0, 7, "a"), KeyedEvent("2", 50, 8, "a")) // gap 50 > lo: never opens
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.burstEnds(input.toDS(), 10L, 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bu_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("bu_par").as[BurstEnd].collect().toSet
+      assert(streamed == Set(BurstEnd("1", 0L, 80L, 3L)))
+      // batch-mode replay of the full IN-ORDER history (event 5 sorts
+      // between 80 and 300 there, extending the burst to 4 events)
+      val ordered = (batch1 ++ batch2).sortBy(_.tsMs)
+      val replay = StateMachines.burstEnds(ordered.toDS(), 10L, 100L)
+        .collect().toSet
+      assert(replay == Set(BurstEnd("1", 0L, 80L, 4L)))
+    } finally q.stop()
+  }
 }
