@@ -1416,6 +1416,39 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedEntropy(
         Tables.events(s, dir).filter(col("ts").isNotNull),
         "event_type", "ts", "1 day", "0 seconds")),
+    // multilingual/multi-source sampling shares at temperature T = 2:
+    // weight ∝ √n_tokens via one EXACT integer sqrt step (IEEE sqrt is
+    // correctly rounded — no transcendental caveat), shares trunc6'd
+    "q_mixture_temp" -> ((s, dir) =>
+      Sampling.temperatureShares(
+        Tables.documents(s, dir).filter(col("source").isNotNull)
+          .groupBy(col("source"))
+          .agg(sum(size(TextOps.tokens(col("text"))).cast("long"))
+            .as("n_tokens")),
+        "source", "n_tokens", 1)),
+    // how much does the near-dup harvest shrink as the Jaccard bar
+    // rises? — the knob-tuning curve over the ONE memoized verified-pair
+    // frame (thresholds 0.5..0.9, conditional counts, no extra LSH pass)
+    "q_dup_curve" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir)
+      val ts = Seq(50, 60, 70, 80, 90)
+      pairs.groupBy()
+        .agg(coalesce(sum(when(col("jaccard") >= lit(ts.head / 100d), 1L)
+            .otherwise(0L)), lit(0L)).as(s"_n${ts.head}"),
+          ts.tail.map(t =>
+            coalesce(sum(when(col("jaccard") >= lit(t / 100d), 1L)
+              .otherwise(0L)), lit(0L)).as(s"_n$t")): _*)
+        .select(explode(array(ts.map(t =>
+          struct(lit(t.toLong).as("threshold_pct"),
+            col(s"_n$t").as("n_pairs"))): _*)).as("_t"))
+        .select(col("_t.threshold_pct"), col("_t.n_pairs"))
+    }),
+    // code-switching screen: top-two stopword-evidence languages per doc
+    // with an integer cross-multiplied mixed flag — where a single
+    // argmax silently picks a side
+    "q_lang_mix" -> ((s, dir) =>
+      TextOps.languageMix(Tables.documents(s, dir), "doc_id", "text",
+        langProfiles)),
     // bandit score sheet for source selection: UCB1 per event type over
     // spend rewards (normalized by the 500-unit cap), ln N quantized so
     // only the final trunc6'd double chain is engine-variant
@@ -4085,6 +4118,63 @@ object SparkEntry {
     // the one-shuffle streaming form (CategoryCountAgg distribution +
     // stateless entropy projection) must emit the SAME rows
     "q_entropy_stream" -> entropyByWindowOracle,
+
+    "q_mixture_temp" ->
+      s"""WITH s AS (SELECT source, sum(len($toksSql))::BIGINT AS n_tokens
+         |           FROM documents WHERE source IS NOT NULL GROUP BY 1),
+         |w AS (SELECT source, n_tokens,
+         |        floor(sqrt((n_tokens * 1000000)::DOUBLE))::BIGINT AS w_scaled
+         |      FROM s WHERE n_tokens IS NOT NULL),
+         |t AS (SELECT sum(w_scaled)::BIGINT AS tw FROM w)
+         |SELECT source, n_tokens, w_scaled,
+         |  CASE WHEN tw > 0
+         |       THEN floor(w_scaled::DOUBLE / tw::DOUBLE * 1000000) / 1000000
+         |  END AS share
+         |FROM w CROSS JOIN t""".stripMargin,
+
+    // the verified-pair frame's jaccard column swept over the thresholds
+    "q_dup_curve" -> {
+      val pairCte =
+        s"""WITH $sqlMinhashCtes,
+           |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh),
+           |p AS (SELECT len(list_intersect(a.sh, b.sh))::DOUBLE /
+           |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS j
+           |      FROM cand c JOIN shs a ON c.doc_a = a.doc_id
+           |      JOIN shs b ON c.doc_b = b.doc_id
+           |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+           |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
+           |c AS (SELECT""".stripMargin
+      val sums = Seq(50, 60, 70, 80, 90).map(t =>
+        s"COALESCE(sum(CASE WHEN j >= ${t / 100d} THEN 1 ELSE 0 END), 0)::BIGINT AS n$t")
+        .mkString(",\n")
+      val rows = Seq(50, 60, 70, 80, 90).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS threshold_pct, n$t AS n_pairs FROM c")
+        .mkString("\nUNION ALL\n")
+      s"$pairCte\n$sums\nFROM p)\n$rows"
+    },
+
+    "q_lang_mix" ->
+      s"""WITH t AS (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+         |      FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT doc_id,
+         |        len(list_filter(toks, x -> x IN ${inList(stopEn)})) AS h_en,
+         |        len(list_filter(toks, x -> x IN ${inList(stopDe)})) AS h_de,
+         |        len(list_filter(toks, x -> x IN ${inList(stopFr)})) AS h_fr,
+         |        len(list_filter(toks, x -> x IN ${inList(stopEs)})) AS h_es,
+         |        len(list_filter(toks, x -> x IN ${inList(stopZh)})) AS h_zh
+         |      FROM t),
+         |u AS (SELECT doc_id, unnest([
+         |        {'hh': h_de, 'l': 'de'}, {'hh': h_en, 'l': 'en'},
+         |        {'hh': h_es, 'l': 'es'}, {'hh': h_fr, 'l': 'fr'},
+         |        {'hh': h_zh, 'l': 'zh'}]) AS s FROM h),
+         |r AS (SELECT doc_id, s.hh AS hits, s.l AS lang,
+         |        row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY s.hh DESC, s.l) AS rk FROM u)
+         |SELECT a.doc_id, a.lang AS best_lang, a.hits::BIGINT AS n_best,
+         |  b.lang AS second_lang, b.hits::BIGINT AS n_second,
+         |  a.hits > 0 AND b.hits * 10 >= a.hits * 3 AS mixed
+         |FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.rk = 1 AND b.rk = 2""".stripMargin,
 
     // the same UCB1 chain: quantized ln N, fixed double ops, trunc6
     "q_ucb" ->

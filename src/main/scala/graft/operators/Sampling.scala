@@ -224,4 +224,44 @@ object Sampling {
       .filter(col("rank") <= k)
       .select(col("anchor_id"), col("neg_id"), col("rank"))
   }
+
+  /** Temperature-flattened mixture shares over pre-aggregated per-group
+    * sizes — the multilingual/multi-source sampling rule (weight
+    * ∝ n^(1/T)) that keeps big corpora from drowning small ones, with
+    * T = 2^halvings so the power is computable EXACTLY: each halving is
+    * one integer square-root step w' = ⌊√(w·10⁶)⌋, and IEEE-754 requires
+    * sqrt to be correctly rounded (unlike exp/ln/pow), so every step —
+    * and therefore every share — is bit-identical on any engine with no
+    * quantized-transcendental caveat at all. After k halvings
+    * w ≈ n^(1/2^k)·10^(3·(1−2^{-k})); shares normalize the scale factor
+    * away. Bounds fail LOUD: each step needs its argument under 2⁵² for
+    * the double to be exact (n ≤ 4.5·10⁹ at the first step — feed token
+    * counts in millions past that). NULL groups/sizes drop; negative
+    * sizes refuse. One 1-row broadcast total; O(groups) output. Emits
+    * (group, n, w_scaled, share). */
+  def temperatureShares(df: DataFrame, group: String, n: String,
+                        halvings: Int): DataFrame = {
+    require(halvings >= 1 && halvings <= 3,
+      s"halvings must be in [1,3] (T = 2..8), got $halvings")
+    val emitted = Seq("w_scaled", "share", "_tw")
+    require(!emitted.contains(group) && !emitted.contains(n),
+      s"temperatureShares emits ${emitted.mkString(", ")}; rename inputs")
+    val bound = (1L << 52) / 1000000L
+    val guard = assert_true(col(n).isNull || (col(n) >= 0 && col(n) <= bound),
+      concat(lit(s"temperatureShares: sizes must be in [0, $bound] (the " +
+        "sqrt argument must stay under 2^52 to be exact; rescale to " +
+        "millions); got "), col(n).cast("string")))
+    var w: org.apache.spark.sql.Column = col(n).cast("long")
+    for (_ <- 1 to halvings)
+      w = floor(sqrt((w * lit(1000000L)).cast("double"))).cast("long")
+    val scored = df.filter(guard.isNull)
+      .filter(col(group).isNotNull && col(n).isNotNull)
+      .select(col(group), col(n), w.as("w_scaled"))
+    val total = scored.groupBy().agg(sum(col("w_scaled")).as("_tw"))
+    scored.crossJoin(broadcast(total))
+      .select(col(group), col(n), col("w_scaled"),
+        when(col("_tw") > 0,
+          floor(col("w_scaled").cast("double") / col("_tw").cast("double")
+            * 1000000d) / 1000000d).as("share"))
+  }
 }

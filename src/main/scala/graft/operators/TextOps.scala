@@ -328,6 +328,46 @@ object TextOps {
       best.getField("hits").cast("long").as("lang_hits"))
   }
 
+  /** Code-switching detector — languageId's two-candidate form: per doc
+    * the TOP TWO stopword-evidence languages and a `mixed` flag when the
+    * runner-up holds at least mixNum/mixDen of the winner's evidence
+    * (integer cross-multiplication — no ratio, no float). Mixed-language
+    * documents poison monolingual training shards and LID-based routing;
+    * this surfaces them where a single argmax silently picks a side.
+    * Ordering is total: (hits DESC, lang ASC), so ties are deterministic
+    * (note: toward the SMALLEST code — languageId's array_max ties the
+    * other way; both documented). Pure map stage, zero shuffles. NULL
+    * texts are ABSENT (no evidence either way); zero-evidence docs emit
+    * with n_best 0 and mixed false. Emits (id, best_lang, n_best,
+    * second_lang, n_second, mixed). */
+  def languageMix(docs: DataFrame, id: String, text: String,
+                  profiles: Map[String, Seq[String]],
+                  mixNum: Int = 3, mixDen: Int = 10): DataFrame = {
+    require(profiles.size >= 2, "languageMix needs >= 2 language profiles")
+    require(mixNum >= 1 && mixDen >= mixNum,
+      s"need 1 <= mixNum <= mixDen, got $mixNum/$mixDen")
+    val toks = tokens(lower(col(text)))
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lc, ws) =>
+      struct(
+        (-size(filter(toks, t => t.isin(ws.map(lit): _*)))).cast("long")
+          .as("neg"),
+        lit(lc).as("lang"))
+    }
+    // ascending struct sort on (−hits, lang): most evidence first, ties
+    // toward the smallest language code
+    val sorted = sort_array(array(scored: _*))
+    val best = element_at(sorted, 1); val second = element_at(sorted, 2)
+    docs.filter(col(text).isNotNull)
+      .select(col(id),
+        best.getField("lang").as("best_lang"),
+        (-best.getField("neg")).as("n_best"),
+        second.getField("lang").as("second_lang"),
+        (-second.getField("neg")).as("n_second"),
+        (best.getField("neg") < 0 &&
+          (-second.getField("neg")) * mixDen >=
+            (-best.getField("neg")) * mixNum).as("mixed"))
+  }
+
   /** Corpus n-gram vocabulary: the `topN` most frequent word n-grams of the
     * normalized text across all documents, with deterministic (count desc,
     * gram asc) ordering — the vocabulary-building step of a training

@@ -305,4 +305,26 @@ class SamplingCurationSpec extends SparkSpec {
       ("a", 1L) -> ((4L, 1L, true)),
       ("b", 2L) -> ((3L, 2L, false))))
   }
+
+  test("temperatureShares: one halving is an exact integer sqrt step; " +
+      "big corpora flatten, shares sum to ~1; oversize sizes refuse") {
+    val df = Seq(("big", 1000000L), ("small", 10000L)).toDF("src", "n")
+    val got = Sampling.temperatureShares(df, "src", "n", 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def step(n: Long) = math.floor(math.sqrt((n * 1000000L).toDouble)).toLong
+    val (wb, ws) = (step(1000000L), step(10000L))
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got("big") == ((1000000L, wb, t6(wb.toDouble / (wb + ws)))))
+    assert(got("small") == ((10000L, ws, t6(ws.toDouble / (wb + ws)))))
+    // raw ratio 100:1 flattens to 10:1 at T=2
+    assert(got("big")._3 / got("small")._3 < 11d)
+    val e = intercept[Exception] {
+      Sampling.temperatureShares(Seq(("x", Long.MaxValue)).toDF("src", "n"),
+        "src", "n", 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("temperatureShares")))
+  }
 }

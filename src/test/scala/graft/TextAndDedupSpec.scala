@@ -730,4 +730,24 @@ class TextAndDedupSpec extends SparkSpec {
     assert(r.getDouble(5) ==
       math.floor((1d - nCand.toDouble / 6d) * 1e6) / 1e6)
   }
+
+  test("languageMix: surfaces the runner-up and the integer-ratio mixed " +
+      "flag; zero evidence is deterministic and unmixed; NULL text absent") {
+    val profiles = Map("en" -> Seq("the", "and"), "de" -> Seq("der", "und"),
+      "fr" -> Seq("le", "et"))
+    val docs = Seq(
+      (1L, Some("the cat and the dog der hund")),  // en 3, de 1: mixed (1*10 >= 3*3)
+      (2L, Some("the the the and")),               // en 4, others 0: pure
+      (3L, Some("zzz qqq")),                       // zero evidence everywhere
+      (4L, Option.empty[String]))                  // NULL: absent
+      .toDF("doc_id", "text")
+    val got = TextOps.languageMix(docs, "doc_id", "text", profiles)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got(1L) == (("en", 3L, "de", 1L, true)))
+    assert(got(2L) == (("en", 4L, "de", 0L, false)))
+    assert(got(3L) == (("de", 0L, "en", 0L, false))) // ties -> smallest code
+    assert(!got.contains(4L))
+  }
 }
