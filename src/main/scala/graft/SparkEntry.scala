@@ -416,6 +416,25 @@ object SparkEntry {
     // ── flagship ──────────────────────────────────────────────────────────
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
 
+    // TPC-H Q17-shaped small-quantity analysis: which brands' revenue
+    // hides in orders far below the part's typical quantity — the
+    // correlated avg decorrelated as one per-part agg joined back, the
+    // 20% threshold as EXACT integer cross-multiplication
+    // (5·qty·cnt < Σqty — no float avg anywhere), revenue in exact decimal
+    "q_small_qty" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("qty_c", floor(col("l_quantity") * 100).cast("long"))
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("cnt"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("qty_c") * 5L * col("cnt") < col("sum_qty_c"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"),
+          CoreOps.exactSum(col("l_extendedprice")).as("revenue"))
+    }),
     // star-schema rollup: large-large shuffle join + broadcast dim + hash agg
     // (exercises the full TPC-H-ish table set; Catalyst broadcasts nation
     // automatically — AQE picks the strategy from observed sizes)
@@ -2156,6 +2175,29 @@ object SparkEntry {
           .filter(pmod(col("l_suppkey"), lit(BfsSeedMod)) === 0)
           .select((col("l_suppkey") * 2).as("node")).distinct(),
         BfsRounds)),
+    // how good is the tokens-per-char line? — per-language quantiles of
+    // the absolute residual against q_regression's own fit: the
+    // coefficients (trunc6'd, engine-identical) broadcast back onto the
+    // rows, |y − ŷ| through the exact percentile path
+    "q_residuals" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("lang").isNotNull)
+        .withColumn("n_tokens",
+          size(TextOps.tokens(col("text"))).cast("long"))
+        .filter(col("n_chars").isNotNull && col("n_tokens").isNotNull)
+      val fit = CoreOps.exactRegression(base, "lang", "n_chars", "n_tokens")
+        .filter(col("slope").isNotNull)
+      base.join(broadcast(fit), Seq("lang"))
+        .withColumn("_aerr",
+          abs(col("n_tokens").cast("double")
+            - (col("intercept") + col("slope") * col("n_chars").cast("double"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          (floor(percentile(col("_aerr"), lit(0.5)) * 1000000d) / 1000000d)
+            .as("p50_abs_err"),
+          (floor(percentile(col("_aerr"), lit(0.9)) * 1000000d) / 1000000d)
+            .as("p90_abs_err"))
+    }),
     // least-squares tokens-per-char line per language — same exact
     // moment-sum determinism as q_corr
     "q_regression" -> ((s, dir) =>
@@ -2910,6 +2952,50 @@ object SparkEntry {
       .stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // residuals against the same unrolled fit; the coefficients are
+    // trunc6'd doubles identical on both engines, so |y − ŷ| rows match
+    // value-for-value before the percentile interpolation
+    "q_residuals" ->
+      s"""WITH t AS (SELECT lang, n_chars, len($toksSql)::BIGINT AS n_tokens
+         |           FROM documents
+         |           WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+         |             AND text IS NOT NULL),
+         |s AS (SELECT lang, count(*)::DOUBLE AS n,
+         |        sum(n_chars)::DOUBLE AS sx, sum(n_tokens)::DOUBLE AS sy,
+         |        sum(n_chars * n_tokens)::DOUBLE AS sxy,
+         |        sum(n_chars * n_chars)::DOUBLE AS sxx
+         |      FROM t GROUP BY 1),
+         |f AS (SELECT lang,
+         |        floor(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+         |              * 1000000) / 1000000 AS slope,
+         |        floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+         |              * 1000000) / 1000000 AS intercept
+         |      FROM s WHERE (n * sxx - sx * sx) > 0),
+         |r AS (SELECT t.lang,
+         |        abs(t.n_tokens::DOUBLE
+         |            - (f.intercept + f.slope * t.n_chars::DOUBLE)) AS aerr
+         |      FROM t JOIN f USING (lang))
+         |SELECT lang, count(*)::BIGINT AS n,
+         |  floor(quantile_cont(aerr, 0.5) * 1000000) / 1000000 AS p50_abs_err,
+         |  floor(quantile_cont(aerr, 0.9) * 1000000) / 1000000 AS p90_abs_err
+         |FROM r GROUP BY 1""".stripMargin,
+
+    // decorrelated Q17 shape: per-part totals joined back, the 20%%
+    // threshold as exact integer cross-multiplication
+    "q_small_qty" ->
+      """WITH li AS (SELECT l_partkey,
+        |        floor(l_quantity * 100)::BIGINT AS qty_c, l_extendedprice
+        |      FROM lineitem),
+        |pp AS (SELECT l_partkey AS pk, sum(qty_c)::BIGINT AS sum_qty_c,
+        |        count(*)::BIGINT AS cnt FROM li GROUP BY 1)
+        |SELECT p.p_brand, count(*)::BIGINT AS n_small,
+        |  CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM li JOIN pp ON li.l_partkey = pp.pk
+        |JOIN part p ON li.l_partkey = p.p_partkey
+        |WHERE li.qty_c * 5 * pp.cnt < pp.sum_qty_c
+        |GROUP BY 1""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
