@@ -626,4 +626,97 @@ class PropertySpec extends SparkSpec {
       a == b
     })
   }
+
+  test("property: burstEnds (batch) equals the sequential hysteresis fold " +
+      "over sorted events — open bursts never emit") {
+    import graft.streaming.{StateMachines, KeyedEvent, BurstEnd}
+    val (lo, hi) = (3000L, 9000L)
+    check(Prop.forAll(eventsGen) { rows =>
+      val evs = rows.map { case (id, ms) => KeyedEvent("k", ms, id, "a") }
+      val got = StateMachines.burstEnds(evs.toDS(), lo, hi).collect().toSet
+      // brute force over the sorted walk
+      val sorted = evs.sortBy(e => (e.tsMs, e.tiebreak))
+      var bstart = -1L; var n = 0L; var last = -1L
+      val out = scala.collection.mutable.Set.empty[BurstEnd]
+      sorted.foreach { e =>
+        if (last < 0) last = e.tsMs
+        else {
+          val gap = e.tsMs - last
+          if (bstart >= 0) {
+            if (gap <= hi) n += 1
+            else { out += BurstEnd("k", bstart, last, n); bstart = -1; n = 0 }
+          } else if (gap <= lo) { bstart = last; n = 2 }
+          last = e.tsMs
+        }
+      }
+      got == out.toSet
+    })
+  }
+
+  test("property: tokenBucket (batch) equals the sequential refill fold") {
+    import graft.streaming.{StateMachines, KeyedEvent, ThrottleDecision}
+    val (cap, num, den) = (2, 137L, 3L)
+    check(Prop.forAll(eventsGen) { rows =>
+      val evs = rows.map { case (id, ms) => KeyedEvent("k", ms, id, "a") }
+      val got = StateMachines.tokenBucket(evs.toDS(), cap, num, den)
+        .collect().toSet
+      val capM = cap * 1000000L
+      var last = -1L; var avail = 0L
+      val out = evs.sortBy(e => (e.tsMs, e.tiebreak)).map { e =>
+        val refilled =
+          if (last < 0) capM
+          else math.min(capM, avail + ((e.tsMs - last) * num) / den)
+        val adm = refilled >= 1000000L
+        avail = refilled - (if (adm) 1000000L else 0L)
+        last = e.tsMs
+        ThrottleDecision("k", e.tiebreak, e.tsMs, adm, avail)
+      }.toSet
+      got == out
+    })
+  }
+
+  test("property: ewmaSnapshots (batch) equals the integer recurrence fold") {
+    import graft.streaming.{StateMachines, ValuedEvent, EwmaSnapshot}
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 50000L),
+        Gen.choose(-500L, 500L)))
+    } yield rows.zipWithIndex.map { case ((ms, v), i) =>
+      ValuedEvent("k", ms, i.toLong, v)
+    }
+    check(Prop.forAll(gen) { evs =>
+      val got = StateMachines.ewmaSnapshots(evs.toDS(), 1, 4, 100L)
+        .collect().toSet
+      val sorted = evs.sortBy(e => (e.tsMs, e.tiebreak))
+      var s = 0L; var n = 0L
+      sorted.foreach { e =>
+        val vs = e.value * 100L
+        s = if (n == 0L) vs else (1L * vs + 3L * s) / 4L
+        n += 1
+      }
+      got == Set(EwmaSnapshot("k", n, sorted.last.tsMs, s))
+    })
+  }
+
+  test("property: quantized entropy is within 2 quantization units of the " +
+      "float entropy, 0 for single-category, and partitioning-invariant") {
+    import graft.operators.InfoTheory
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      cats <- Gen.listOfN(n, Gen.choose(0, 6))
+    } yield cats.map(c => ("g", s"c$c"))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("g", "cat")
+      val r = InfoTheory.entropy(df.repartition(5), "g", "cat")
+        .collect().head
+      val r2 = InfoTheory.entropy(df.repartition(1), "g", "cat")
+        .collect().head
+      val counts = rows.groupBy(_._2).map(_._2.size.toDouble)
+      val tot = counts.sum
+      val hFloat = counts.map(c => -(c / tot) * math.log(c / tot)).sum
+      val ok = math.abs(r.getDouble(4) - hFloat) <= 2e-6 + 1e-9
+      ok && r.getLong(3) == r2.getLong(3) &&
+        (counts.size > 1 || r.getLong(3) == 0L)
+    })
+  }
 }
