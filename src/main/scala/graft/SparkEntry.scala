@@ -362,6 +362,45 @@ object SparkEntry {
     (head +: steps).mkString(",\n") + s"\nSELECT node, dist FROM d$rounds"
   }
 
+  /** The q_survival oracle body, shared with the q_km_quantile
+    * threshold-crossing composition. */
+  private def survivalOracleSql: String =
+    s"""WITH ev AS (SELECT user_id, $evMs // 86400000 AS day FROM events
+         |            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |u AS (SELECT user_id, min(day) AS f, max(day) AS l
+         |      FROM ev GROUP BY 1),
+         |m AS (SELECT max(l)::BIGINT AS mx FROM u),
+         |w AS (SELECT (f - f % $KmCohortDays)::BIGINT AS cohort_day,
+         |        (l - f)::BIGINT AS dur,
+         |        CASE WHEN l <= (SELECT mx FROM m) - $KmGapDays
+         |             THEN 1 ELSE 0 END AS death
+         |      FROM u),
+         |s AS (SELECT cohort_day, dur, sum(death)::BIGINT AS d,
+         |        count(*)::BIGINT AS uu FROM w GROUP BY 1, 2),
+         |r AS (SELECT cohort_day, dur, d, uu,
+         |        sum(uu) OVER (PARTITION BY cohort_day)::BIGINT
+         |        - COALESCE(sum(uu) OVER (PARTITION BY cohort_day
+         |            ORDER BY dur
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0)::BIGINT AS n_risk
+         |      FROM s),
+         |p AS (SELECT cohort_day, dur, d, uu, n_risk,
+         |        sum(CASE WHEN d > 0 AND n_risk > d
+         |              THEN floor(ln((n_risk - d)::DOUBLE) * 1000000)::BIGINT
+         |                 - floor(ln(n_risk::DOUBLE) * 1000000)::BIGINT
+         |              ELSE 0 END)
+         |          OVER (PARTITION BY cohort_day ORDER BY dur
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         |          )::BIGINT AS ls
+         |      FROM r)
+         |SELECT cohort_day, dur AS dur_days, n_risk, d AS n_deaths,
+         |  (uu - d)::BIGINT AS n_censored,
+         |  CASE WHEN n_risk > d THEN ls END AS logsurv_scaled,
+         |  CASE WHEN n_risk = d THEN 0.0
+         |       ELSE floor(exp(ls::DOUBLE / 1000000) * 1000000) / 1000000
+         |  END AS survival
+         |FROM p WHERE d > 0""".stripMargin
+
   /** Shared by q_entropy_by_window (two-shuffle batch entropy) and
     * q_entropy_stream (the one-aggregation streaming form, batch-run):
     * per-day event-type entropy with every ln quantized at the term. */
@@ -1514,6 +1553,16 @@ object SparkEntry {
     "q_survival" -> ((s, dir) =>
       CoreOps.kaplanMeier(Tables.events(s, dir), "user_id", "ts",
         KmGapDays, KmCohortDays)),
+    // the p10-churn lifetime per cohort: the first duration where the
+    // curve dips under 0.9 — the threshold compares the floor-quantized
+    // survival, identical on both engines; cohorts never crossing emit
+    // no row (an absent quantile is not a zero)
+    "q_km_quantile" -> ((s, dir) =>
+      CoreOps.kaplanMeier(Tables.events(s, dir), "user_id", "ts",
+        KmGapDays, KmCohortDays)
+        .filter(col("survival") <= 0.9)
+        .groupBy(col("cohort_day"))
+        .agg(min(col("dur_days")).as("lifetime_days"))),
     // volume anomaly flags: per-type daily counts through the robust
     // median/MAD detector (integer counts → exact percentiles, the
     // q_outliers argument without the cents scaling)
@@ -5503,42 +5552,13 @@ object SparkEntry {
     // the same quantized-log survival walk: qlog prefix sums per cohort,
     // one floor-quantized exp per death step; `//` on the >= 0 days ≡
     // the Spark side's floor division
-    "q_survival" ->
-      s"""WITH ev AS (SELECT user_id, $evMs // 86400000 AS day FROM events
-         |            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-         |u AS (SELECT user_id, min(day) AS f, max(day) AS l
-         |      FROM ev GROUP BY 1),
-         |m AS (SELECT max(l)::BIGINT AS mx FROM u),
-         |w AS (SELECT (f - f % $KmCohortDays)::BIGINT AS cohort_day,
-         |        (l - f)::BIGINT AS dur,
-         |        CASE WHEN l <= (SELECT mx FROM m) - $KmGapDays
-         |             THEN 1 ELSE 0 END AS death
-         |      FROM u),
-         |s AS (SELECT cohort_day, dur, sum(death)::BIGINT AS d,
-         |        count(*)::BIGINT AS uu FROM w GROUP BY 1, 2),
-         |r AS (SELECT cohort_day, dur, d, uu,
-         |        sum(uu) OVER (PARTITION BY cohort_day)::BIGINT
-         |        - COALESCE(sum(uu) OVER (PARTITION BY cohort_day
-         |            ORDER BY dur
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |          0)::BIGINT AS n_risk
-         |      FROM s),
-         |p AS (SELECT cohort_day, dur, d, uu, n_risk,
-         |        sum(CASE WHEN d > 0 AND n_risk > d
-         |              THEN floor(ln((n_risk - d)::DOUBLE) * 1000000)::BIGINT
-         |                 - floor(ln(n_risk::DOUBLE) * 1000000)::BIGINT
-         |              ELSE 0 END)
-         |          OVER (PARTITION BY cohort_day ORDER BY dur
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         |          )::BIGINT AS ls
-         |      FROM r)
-         |SELECT cohort_day, dur AS dur_days, n_risk, d AS n_deaths,
-         |  (uu - d)::BIGINT AS n_censored,
-         |  CASE WHEN n_risk > d THEN ls END AS logsurv_scaled,
-         |  CASE WHEN n_risk = d THEN 0.0
-         |       ELSE floor(exp(ls::DOUBLE / 1000000) * 1000000) / 1000000
-         |  END AS survival
-         |FROM p WHERE d > 0""".stripMargin,
+    "q_survival" -> survivalOracleSql,
+    // the p10-churn lifetime: first step where survival dips under 0.9
+    "q_km_quantile" ->
+      s"""WITH base AS (${survivalOracleSql})
+         |SELECT cohort_day, min(dur_days)::BIGINT AS lifetime_days
+         |FROM base WHERE survival <= 0.9
+         |GROUP BY 1""".stripMargin,
 
     "q_regression" ->
       s"""WITH t AS (SELECT lang, n_chars, len($toksSql)::BIGINT AS n_tokens
