@@ -38,6 +38,9 @@ object SparkEntry {
   private val KmCohortDays = 7 // weekly Kaplan-Meier signup cohorts
   private val KAnonK = 5L      // k-anonymity class-size floor
   private val LDivL = 3L       // l-diversity distinct-sensitive floor
+  // adamic-adar: middle-degree cap (keeps part middles, excludes supplier
+  // hubs on the co-sourcing graph) and emitted top pairs
+  private val AaMaxDeg = 64; private val AaTopN = 100
 
   /** The quasi-identifier projection the privacy audits run over:
     * (event_type, activity day, 50-currency spend bucket) — the kind of
@@ -400,6 +403,47 @@ object SparkEntry {
          |       ELSE floor(exp(ls::DOUBLE / 1000000) * 1000000) / 1000000
          |  END AS survival
          |FROM p WHERE d > 0""".stripMargin
+
+  /** The Naive-Bayes prediction CTE chain, shared by q_naive_bayes and the
+    * q_confusion / q_prf1 / q_kappa aggregations over it. `select` is
+    * either a SELECT over the final `nb` CTE or a ", more AS (...)" CTE
+    * continuation. Every ln is quantized at the term (the InfoTheory
+    * convention) and the add-one smoothing normalizer folds into the
+    * closed ntoks·qlog(nl+V) term, so only join hits are summed. */
+  private def nbOracle(select: String): String =
+    s"""WITH b AS (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents
+       |           WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+       |dt AS (SELECT doc_id, lang, tok, count(*)::BIGINT AS cnt
+       |       FROM b GROUP BY 1, 2, 3),
+       |m AS (SELECT lang AS ml, tok, count(*)::BIGINT AS c
+       |      FROM b GROUP BY 1, 2),
+       |lt AS (SELECT ml, sum(c)::BIGINT AS nl FROM m GROUP BY 1),
+       |pr AS (SELECT lang AS ml, count(DISTINCT doc_id)::BIGINT AS dl
+       |       FROM b GROUP BY 1),
+       |tot AS (SELECT (SELECT count(DISTINCT tok) FROM m)::BIGINT AS v,
+       |               (SELECT count(DISTINCT doc_id) FROM b)::BIGINT AS nd),
+       |nt AS (SELECT doc_id, lang AS lang_true, sum(cnt)::BIGINT AS ntoks
+       |       FROM dt GROUP BY 1, 2),
+       |hs AS (SELECT dt.doc_id, m.ml,
+       |         sum(dt.cnt * floor(ln((m.c + 1)::DOUBLE) * 1000000)::BIGINT
+       |           )::BIGINT AS hit
+       |       FROM dt JOIN m USING (tok) GROUP BY 1, 2),
+       |sc AS (SELECT nt.doc_id, nt.lang_true, lt.ml,
+       |         (COALESCE(hs.hit, 0)
+       |          - nt.ntoks * floor(ln((lt.nl + tot.v)::DOUBLE)
+       |              * 1000000)::BIGINT
+       |          + floor(ln(pr.dl::DOUBLE) * 1000000)::BIGINT
+       |          - floor(ln(tot.nd::DOUBLE) * 1000000)::BIGINT)::BIGINT
+       |           AS score
+       |       FROM nt CROSS JOIN tot CROSS JOIN lt
+       |       JOIN pr ON pr.ml = lt.ml
+       |       LEFT JOIN hs ON hs.doc_id = nt.doc_id AND hs.ml = lt.ml),
+       |nb AS (SELECT doc_id, lang_true, ml AS lang_pred,
+       |         score AS score_scaled
+       |       FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+       |               ORDER BY score DESC, ml DESC) AS rn FROM sc)
+       |       WHERE rn = 1)
+       |$select""".stripMargin
 
   /** Shared by q_entropy_by_window (two-shuffle batch entropy) and
     * q_entropy_stream (the one-aggregation streaming form, batch-run):
@@ -2412,6 +2456,69 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("img",
           Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
         "doc_id", "img", 8, 2)),
+
+    // ── extensions: classifier-evaluation tier (Eval) ─────────────────────
+    // multinomial Naive Bayes resubstitution: are the lang labels even
+    // self-consistent under a bag-of-tokens model? qlog-exact scores,
+    // argmax ties toward the largest label (the languageId convention)
+    "q_naive_bayes" -> ((s, dir) => nbPredictions(s, dir)),
+    // confusion matrix over the NB predictions — which languages bleed
+    // into which (one O(classes²) count shuffle over the shared frame)
+    "q_confusion" -> ((s, dir) =>
+      Eval.confusionMatrix(nbPredictions(s, dir), "lang_true", "lang_pred")),
+    // per-class precision/recall/F1 from exact one-vs-rest counts
+    "q_prf1" -> ((s, dir) =>
+      Eval.classMetrics(nbPredictions(s, dir), "lang_true", "lang_pred")),
+    // chance-corrected agreement between the labels and the NB relabeling
+    "q_kappa" -> ((s, dir) =>
+      Eval.cohenKappa(nbPredictions(s, dir), "lang_true", "lang_pred")),
+    // ROC of the "long documents are English" rule: exact TP/FP at every
+    // achievable threshold, cumulatives through the distributed prefix
+    // scan (never an unpartitioned window)
+    "q_roc" -> ((s, dir) =>
+      Eval.rocCurve(Tables.documents(s, dir), "n_chars",
+        col("lang") === "en")),
+    // Adamic-Adar link prediction on the co-sourcing graph: hub middles
+    // past AaMaxDeg are excluded BEFORE the wedge join (1/ln(deg) weight
+    // vanishes exactly where the join would blow up), so at this corpus
+    // the surfaced pairs are supplier-supplier co-purchase predictions
+    // through part middles (deg ≤ ~41)
+    "q_adamic_adar" -> ((s, dir) =>
+      Graph.adamicAdar(coSourcingEdges(s, dir), "src", "dst",
+        AaMaxDeg, AaTopN)),
+    // TPC-H Q15 shape (top supplier by quarter revenue): grouped exact
+    // cents, the max rides back as a 1-row broadcast, the tie-safe
+    // equality compares the DECIMAL cents (never the derived double),
+    // supplier dim broadcast
+    "q_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("decimal(28,0)")).as("_cents"))
+        .localCheckpoint(true) // feeds both the max and the equality filter
+      rev.crossJoin(broadcast(rev.agg(max(col("_cents")).as("_mx"))))
+        .filter(col("_cents") === col("_mx"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("_cents").cast("double") / 100).as("total_revenue"))
+    }),
+    // CoreOps.latestState's streaming twin: the max-by compaction machine
+    // (order-independent fold, O(1) state per key), batch-run against the
+    // same row_number spec under the events-oracle NULL convention
+    "q_latest_state_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      graft.streaming.StateMachines.latestSnapshots(
+          graft.streaming.StateMachines.payloadEvents(ev, col("user_id"),
+            unix_millis(col("ts")), col("event_id"), col("event_type"),
+            col("value")))
+        .select(col("key").cast("long").as("user_id"),
+          col("tiebreak").as("event_id"), col("last_ms").as("ms"),
+          col("kind").as("event_type"), col("value"))
+    }),
   )
 
   // Approximate-tier parameters, shared between the Spark queries and the
@@ -2531,6 +2638,22 @@ object SparkEntry {
     * q_bfs_dist, q_kcore and q_assortativity instead of each query
     * rebuilding it (the operators' own internal distinct/checkpoint
     * then runs over this in-memory frame, never the scan). */
+  /** Shared Naive-Bayes resubstitution predictions over documents —
+    * q_naive_bayes emits the frame; q_confusion / q_prf1 / q_kappa
+    * aggregate it. Memoized + persisted (the pqTopKShared pattern) so the
+    * token-model join runs once per Verify/Bench run; the BENCH caveat
+    * applies — the family's per-query timings share one materialization. */
+  private val nbCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def nbPredictions(s: SparkSession, dir: String): DataFrame =
+    memoPersist(nbCache, s, dir)(
+      Eval.naiveBayes(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        "doc_id", "tok", "lang")
+        .select(col("doc_id"), col("label_true").as("lang_true"),
+          col("label_pred").as("lang_pred"), col("score_scaled")))
+
   private val coSourceCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private def coSourcingEdges(s: SparkSession, dir: String): DataFrame =
@@ -6113,5 +6236,145 @@ object SparkEntry {
          |SELECT doc_id, f.i AS frame_idx, substr(h, (f.i * 16 + 1)::INT, 16) AS frame_hex
          |FROM nf, (SELECT unnest(range(0, 64, 2)) AS i) f
          |WHERE n_frames > 0 AND f.i < n_frames""".stripMargin,
+
+    // the full NB walk: per-(doc,tok) counts join the (lang,tok) model,
+    // smoothing normalizer closed into ntoks·qlog(nl+V), argmax via
+    // row_number (score DESC, lang DESC = ties toward the largest label)
+    "q_naive_bayes" ->
+      nbOracle("SELECT doc_id, lang_true, lang_pred, score_scaled FROM nb"),
+    "q_confusion" ->
+      nbOracle("""SELECT lang_true, lang_pred, count(*)::BIGINT AS n_rows
+                 |FROM nb GROUP BY 1, 2""".stripMargin),
+    // one-vs-rest margins full-outer-joined over the class union; every
+    // ratio one floored division of exact integers; precision of a
+    // never-predicted class (and recall of a never-true one) is NULL
+    "q_prf1" ->
+      nbOracle(
+        s""", cm AS (SELECT lang_true, lang_pred, count(*)::BIGINT AS n
+           |        FROM nb GROUP BY 1, 2),
+           |tr AS (SELECT lang_true AS label,
+           |         sum(CASE WHEN lang_pred = lang_true THEN n ELSE 0
+           |             END)::BIGINT AS tp,
+           |         sum(CASE WHEN lang_pred <> lang_true THEN n ELSE 0
+           |             END)::BIGINT AS fn
+           |       FROM cm GROUP BY 1),
+           |pd AS (SELECT lang_pred AS label,
+           |         sum(CASE WHEN lang_pred <> lang_true THEN n ELSE 0
+           |             END)::BIGINT AS fp
+           |       FROM cm GROUP BY 1),
+           |j AS (SELECT COALESCE(tr.label, pd.label) AS label,
+           |        COALESCE(tp, 0)::BIGINT AS n_tp,
+           |        COALESCE(fp, 0)::BIGINT AS n_fp,
+           |        COALESCE(fn, 0)::BIGINT AS n_fn,
+           |        tr.label IS NOT NULL AS st, pd.label IS NOT NULL AS sp
+           |      FROM tr FULL OUTER JOIN pd ON tr.label = pd.label)
+           |SELECT label, n_tp, n_fp, n_fn,
+           |  CASE WHEN sp THEN floor(n_tp::DOUBLE / (n_tp + n_fp)::DOUBLE
+           |    * 1000000) / 1000000 END AS "precision",
+           |  CASE WHEN st THEN floor(n_tp::DOUBLE / (n_tp + n_fn)::DOUBLE
+           |    * 1000000) / 1000000 END AS recall,
+           |  CASE WHEN n_tp + n_fp + n_fn > 0
+           |    THEN floor((2 * n_tp)::DOUBLE
+           |      / (2 * n_tp + n_fp + n_fn)::DOUBLE * 1000000) / 1000000
+           |  END AS f1
+           |FROM j""".stripMargin),
+    // kappa = (N·agree − Σ row·col) / (N² − Σ row·col): both sides of
+    // (p_o−p_e)/(1−p_e) scaled by N² so the only float is ONE division
+    "q_kappa" ->
+      nbOracle(
+        s""", cm AS (SELECT lang_true, lang_pred, count(*)::BIGINT AS n
+           |        FROM nb GROUP BY 1, 2),
+           |rm AS (SELECT lang_true AS cls, sum(n)::BIGINT AS r
+           |       FROM cm GROUP BY 1),
+           |pm AS (SELECT lang_pred AS cls, sum(n)::BIGINT AS c
+           |       FROM cm GROUP BY 1),
+           |pe AS (SELECT sum(COALESCE(r, 0) * COALESCE(c, 0))::BIGINT AS p
+           |       FROM rm FULL OUTER JOIN pm ON rm.cls = pm.cls),
+           |t AS (SELECT sum(n)::BIGINT AS n_rows,
+           |        sum(CASE WHEN lang_true = lang_pred THEN n ELSE 0
+           |            END)::BIGINT AS n_agree
+           |      FROM cm)
+           |SELECT n_rows, n_agree,
+           |  CASE WHEN n_rows * n_rows <> p
+           |       THEN floor((n_rows * n_agree - p)::DOUBLE
+           |              / (n_rows * n_rows - p)::DOUBLE * 1000000)
+           |            / 1000000
+           |  END AS kappa
+           |FROM t CROSS JOIN pe""".stripMargin),
+    // the curve the AUC integrates: cumulative exact TP/FP over
+    // descending distinct thresholds (window over the post-agg frame —
+    // O(distinct scores) rows, the Spark side uses the bucket prefix scan)
+    "q_roc" ->
+      """WITH s AS (SELECT n_chars::BIGINT AS threshold,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS np,
+        |        sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS nn
+        |      FROM documents
+        |      WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |c AS (SELECT threshold,
+        |        sum(np) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING)::BIGINT AS n_tp,
+        |        sum(nn) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING)::BIGINT AS n_fp
+        |      FROM s),
+        |t AS (SELECT sum(np)::BIGINT AS p, sum(nn)::BIGINT AS ng FROM s)
+        |SELECT threshold, n_tp, n_fp,
+        |  CASE WHEN p > 0 THEN floor(n_tp::DOUBLE / p::DOUBLE * 1000000)
+        |    / 1000000 END AS tpr,
+        |  CASE WHEN ng > 0 THEN floor(n_fp::DOUBLE / ng::DOUBLE * 1000000)
+        |    / 1000000 END AS fpr
+        |FROM c CROSS JOIN t""".stripMargin,
+    // same canonical string endpoints, degree cap BEFORE the wedge join,
+    // 1/ln as exact integer division of the qlog; NOT EXISTS = left anti
+    "q_adamic_adar" ->
+      s"""WITH e0 AS (SELECT DISTINCT (l_suppkey * 2)::VARCHAR AS x,
+         |              (l_partkey * 2 + 1)::VARCHAR AS y FROM lineitem),
+         |und AS (SELECT DISTINCT CASE WHEN x < y THEN x ELSE y END AS a,
+         |               CASE WHEN x < y THEN y ELSE x END AS b
+         |        FROM e0
+         |        WHERE x IS NOT NULL AND y IS NOT NULL AND x <> y),
+         |deg AS (SELECT node, count(*)::BIGINT AS d
+         |        FROM (SELECT a AS node FROM und
+         |              UNION ALL SELECT b FROM und)
+         |        GROUP BY 1),
+         |adj AS (SELECT w, n, d FROM
+         |          (SELECT a AS w, b AS n FROM und
+         |           UNION ALL SELECT b, a FROM und) t
+         |        JOIN deg ON deg.node = t.w
+         |        WHERE d >= 2 AND d <= $AaMaxDeg),
+         |wg AS (SELECT a1.n AS a, a2.n AS b,
+         |         floor(ln(a1.d::DOUBLE) * 1000000)::BIGINT AS qw
+         |       FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n),
+         |cand AS (SELECT a, b, qw FROM wg
+         |         WHERE NOT EXISTS (SELECT 1 FROM und
+         |                           WHERE und.a = wg.a AND und.b = wg.b))
+         |SELECT a AS node_a, b AS node_b, count(*)::BIGINT AS n_common,
+         |  sum(1000000000000 // qw)::BIGINT AS aa_scaled
+         |FROM cand GROUP BY 1, 2
+         |ORDER BY aa_scaled DESC, node_a, node_b LIMIT $AaTopN""".stripMargin,
+    // Q15 shape: exact cents per supplier, the max folded back in, the
+    // tie-safe equality on the DECIMAL cents
+    "q_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |        sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |          AS DECIMAL(28,0))) AS cents
+        |      FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |        AND l_shipdate < TIMESTAMP '1995-04-01'
+        |      GROUP BY 1),
+        |mx AS (SELECT max(cents) AS m FROM rev)
+        |SELECT s_suppkey, s_name, (cents::DOUBLE / 100)::DOUBLE
+        |  AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN mx
+        |WHERE cents = m""".stripMargin,
+    // the compaction spec again, under the events-oracle NULL convention
+    // (the streaming machine's order key must be non-null by projection)
+    "q_latest_state_stream" ->
+      """SELECT user_id, event_id, ms, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_ms(ts) DESC,
+        |                                     event_id DESC) AS rn
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        |WHERE rn = 1""".stripMargin,
   )
 }

@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier training/evaluation tier — multinomial Naive Bayes, confusion
+  * matrices, per-class precision/recall/F1, Cohen's kappa, ROC curves — the
+  * label-quality loop of a training-data pipeline (score an automatic
+  * labeler, audit annotator agreement, pick an operating threshold).
+  *
+  * Extension tier beyond the reference surface (the reference —
+  * chapter6_exercise/AnalyzeBrowserEvents.java:83-181 — aggregates event
+  * streams; it has no classification or evaluation analytics).
+  *
+  * Determinism contract: every transcendental enters as a quantized
+  * integer (InfoTheory.qlog — floor(ln·10⁶) BIGINT on integer arguments),
+  * every sum is exact integer arithmetic (order-independent under any
+  * partitioning), and every emitted ratio is ONE final trunc6'd double
+  * division of exact integers — so all outputs are bit-identical across
+  * engines, partitionings, and reruns.
+  */
+object Eval {
+
+  private def trunc6(c: Column): Column = floor(c * 1000000d) / 1000000d
+
+  /** Multinomial Naive Bayes with add-one (Laplace) smoothing, trained and
+    * scored on the SAME (id, feature-occurrence, label) frame — the
+    * resubstitution audit that asks "are these labels even self-consistent
+    * under a bag-of-features model?" (a noisy-label screen next to
+    * knnLabelDisagreement, from counts instead of embeddings).
+    *
+    * Input: one row per feature OCCURRENCE (pre-exploded — multiplicity is
+    * evidence); `label` must be functionally determined by `id`. Rows with
+    * a NULL id, feature, or label drop; ids with NO surviving feature rows
+    * are ABSENT from the output (no evidence, no prediction — the
+    * languageId convention).
+    *
+    * Score (all-integer, exact): with V = |vocab|, N_L = feature
+    * occurrences under label L, d_L = distinct ids under L, D = total ids,
+    * c(f,L) = occurrences of f under L and n(d,f) the doc's own counts,
+    *
+    *   score_scaled(d, L) = Σ_f n(d,f)·qlog(c(f,L)+1)
+    *                        − n_feats(d)·qlog(N_L + V)
+    *                        + qlog(d_L) − qlog(D)
+    *
+    * i.e. 10⁶·(log-posterior up to the per-doc constant), except every log
+    * is quantized AT THE TERM. Features a label never saw contribute
+    * qlog(0+1) = 0, so only JOIN HITS are summed and the smoothing
+    * normalizer folds into the closed n_feats(d)·qlog(N_L+V) term — the
+    * all-pairs (doc × vocab) product never materializes. The argmax is a
+    * max over (score_scaled, label) structs: ties break toward the
+    * lexicographically LARGEST label (the languageId array_max
+    * convention, documented there too).
+    *
+    * Distributed shape: one (id, label, feature) count shuffle for the
+    * doc-term table, one (label, feature) count shuffle for the model, the
+    * hit join shuffles on the feature key (fan-out per feature ≤ |labels|),
+    * one (id, label) score shuffle, and the label-candidate expansion is a
+    * |labels|-row BROADCAST cross join. Totals (V, D) ride a 1-row
+    * broadcast. No driver traffic, no unpartitioned windows; at 100 TB the
+    * widest frame is the exploded corpus itself.
+    *
+    * Emits (id, label_true, label_pred, score_scaled). */
+  def naiveBayes(labeled: DataFrame, id: String, feat: String,
+                 label: String): DataFrame = {
+    val internal = Seq("_cnt", "_c", "_ml", "_nl", "_dl", "_v", "_nd",
+      "_ntoks", "_hit", "_sc", "_best", "label_true", "label_pred",
+      "score_scaled")
+    val clash = Seq(id, feat, label).filter(internal.contains)
+    require(clash.isEmpty,
+      s"naiveBayes uses internal columns ${internal.mkString(", ")}; " +
+        s"rename input column(s) ${clash.mkString(", ")}")
+    val base = labeled
+      .filter(col(id).isNotNull && col(feat).isNotNull && col(label).isNotNull)
+      .select(col(id), col(feat), col(label))
+    // per-(id, feature) evidence counts; the label rides along (it is
+    // functionally dependent on id, so the extra grouping key is free)
+    val docTerm = base.groupBy(col(id), col(label), col(feat))
+      .agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint(true) // feeds the model join AND the n_feats agg
+    // (label, feature) occurrence model — same rows, coarser key
+    val model = docTerm.groupBy(col(label).as("_ml"), col(feat))
+      .agg(sum(col("_cnt")).as("_c"))
+      .localCheckpoint(true) // feeds the hit join, V, and per-label totals
+    // O(|labels|)-row frames: per-label occurrence + document totals
+    val langTotals = model.groupBy(col("_ml")).agg(sum(col("_c")).as("_nl"))
+    val priors = base.select(col(id), col(label)).distinct()
+      .groupBy(col(label).as("_ml")).agg(count(lit(1)).as("_dl"))
+    // 1-row totals: vocabulary size and document count
+    val totals = model.select(col(feat)).distinct()
+      .agg(count(lit(1)).as("_v"))
+      .crossJoin(base.select(col(id)).distinct()
+        .agg(count(lit(1)).as("_nd")))
+    // per-doc feature mass, then the |labels|-way candidate expansion
+    val docs = docTerm.groupBy(col(id), col(label).as("label_true"))
+      .agg(sum(col("_cnt")).as("_ntoks"))
+      .crossJoin(broadcast(langTotals.join(priors, Seq("_ml"))))
+    // hit sums: only (doc, label) pairs sharing at least one feature
+    val hits = docTerm
+      .join(model, Seq(feat))
+      .groupBy(col(id), col("_ml"))
+      .agg(sum(col("_cnt") * InfoTheory.qlog(col("_c") + 1)).as("_hit"))
+    docs.join(hits, Seq(id, "_ml"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("_sc",
+        coalesce(col("_hit"), lit(0L))
+          - col("_ntoks") * InfoTheory.qlog(col("_nl") + col("_v"))
+          + InfoTheory.qlog(col("_dl")) - InfoTheory.qlog(col("_nd")))
+      .groupBy(col(id), col("label_true"))
+      .agg(max(struct(col("_sc"), col("_ml"))).as("_best"))
+      .select(col(id), col("label_true"),
+        col("_best").getField("_ml").as("label_pred"),
+        col("_best").getField("_sc").as("score_scaled"))
+  }
+
+  /** Confusion matrix over a (true, predicted) label frame: one
+    * partial-agg'd count shuffle on the label pair — O(classes²) output
+    * rows. NULL labels drop (an unscored row is not a confusion).
+    * Emits (label_true, label_pred, n_rows). */
+  def confusionMatrix(pred: DataFrame, trueCol: String,
+                      predCol: String): DataFrame = {
+    require(trueCol != "n_rows" && predCol != "n_rows",
+      "confusionMatrix emits n_rows; rename inputs")
+    pred.filter(col(trueCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(trueCol), col(predCol))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Per-class precision / recall / F1 from exact one-vs-rest counts.
+    * Classes are the UNION of true and predicted labels (a class the
+    * model never predicts still gets its recall row, with precision
+    * NULL — undefined, not zero; same for recall of a never-true class).
+    * F1 = 2·tp / (2·tp + fp + fn) — computed directly from the integer
+    * counts, ONE trunc6'd division, no precision·recall float detour.
+    *
+    * Shape: one confusion-matrix shuffle (O(classes²) rows), then two
+    * O(classes)-row margin aggregations unioned and re-aggregated —
+    * everything after the first shuffle is post-aggregation-sized.
+    * Emits (label, n_tp, n_fp, n_fn, precision, recall, f1). */
+  def classMetrics(pred: DataFrame, trueCol: String,
+                   predCol: String): DataFrame = {
+    val cm = confusionMatrix(pred, trueCol, predCol)
+    val byTrue = cm.groupBy(col(trueCol).as("label"))
+      .agg(sum(when(col(predCol) === col(trueCol), col("n_rows"))
+          .otherwise(0L)).as("_tp"),
+        sum(when(col(predCol) =!= col(trueCol), col("n_rows"))
+          .otherwise(0L)).as("_fn"),
+        lit(0L).as("_fp"), lit(1L).as("_seenTrue"))
+    val byPred = cm.groupBy(col(predCol).as("label"))
+      .agg(lit(0L).as("_tp"),
+        lit(0L).as("_fn"),
+        sum(when(col(predCol) =!= col(trueCol), col("n_rows"))
+          .otherwise(0L)).as("_fp"),
+        lit(0L).as("_seenTrue"))
+    byTrue.unionByName(byPred.withColumn("_seenPred", lit(1L)),
+        allowMissingColumns = true)
+      .na.fill(0L, Seq("_seenPred"))
+      .groupBy(col("label"))
+      .agg(sum(col("_tp")).as("n_tp"), sum(col("_fp")).as("n_fp"),
+        sum(col("_fn")).as("n_fn"),
+        max(col("_seenTrue")).as("_st"), max(col("_seenPred")).as("_sp"))
+      .select(col("label"), col("n_tp"), col("n_fp"), col("n_fn"),
+        when(col("_sp") === 1L, trunc6(col("n_tp").cast("double") /
+          (col("n_tp") + col("n_fp")).cast("double"))).as("precision"),
+        when(col("_st") === 1L, trunc6(col("n_tp").cast("double") /
+          (col("n_tp") + col("n_fn")).cast("double"))).as("recall"),
+        when(col("n_tp") + col("n_fp") + col("n_fn") > 0L,
+          trunc6((col("n_tp") * 2).cast("double") /
+            (col("n_tp") * 2 + col("n_fp") + col("n_fn")).cast("double")))
+          .as("f1"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two labelings
+    * (annotator audit; also the honest "is this classifier better than
+    * its class prior" gauge). From exact integers only:
+    *
+    *   kappa = (N·agree − Σ_c row_c·col_c) / (N² − Σ_c row_c·col_c)
+    *
+    * (the usual (p_o−p_e)/(1−p_e) with both sides multiplied by N²), so
+    * the only float is ONE trunc6'd division. Over the same class union
+    * as classMetrics. Perfect-chance degeneracy (denominator 0 — every
+    * row in one class on both sides) emits kappa NULL. Shape: one
+    * confusion shuffle, two O(classes)-row margin frames joined on the
+    * class, one 1-row agg. Emits (n_rows, n_agree, kappa). */
+  def cohenKappa(pred: DataFrame, trueCol: String,
+                 predCol: String): DataFrame = {
+    val cm = confusionMatrix(pred, trueCol, predCol).localCheckpoint(true)
+    val rowM = cm.groupBy(col(trueCol).as("_cls"))
+      .agg(sum(col("n_rows")).as("_row"))
+    val colM = cm.groupBy(col(predCol).as("_cls"))
+      .agg(sum(col("n_rows")).as("_col"))
+    // full outer on the class: a never-predicted class has col margin 0
+    // and contributes nothing to the expected-agreement sum
+    val pe = rowM.join(colM, Seq("_cls"), "full_outer")
+      .agg(sum(coalesce(col("_row"), lit(0L)) *
+        coalesce(col("_col"), lit(0L))).as("_pe"))
+    val tot = cm.agg(sum(col("n_rows")).as("n_rows"),
+      sum(when(col(trueCol) === col(predCol), col("n_rows"))
+        .otherwise(0L)).as("n_agree"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n_rows"), col("n_agree"),
+        when(col("n_rows") * col("n_rows") =!= col("_pe"),
+          trunc6((col("n_rows") * col("n_agree") - col("_pe")).cast("double")
+            / (col("n_rows") * col("n_rows") - col("_pe")).cast("double")))
+          .as("kappa"))
+  }
+
+  /** ROC curve at every achievable operating point: for each DISTINCT
+    * score value s, the exact (TP, FP) counts of the "predict positive
+    * when score ≥ s" rule, with trunc6'd TPR/FPR. The threshold-picking
+    * companion to the rank-based AUC (CoreOps.aucShift computes the area;
+    * this emits the curve the area integrates).
+    *
+    * Shape: ONE count shuffle collapses the corpus to its distinct score
+    * values (pos/neg counts per score), then the cumulative TP/FP run
+    * through CoreOps.orderedPrefixSum on the POST-aggregation frame —
+    * the distributed bucket-scan, never an unpartitioned window — and
+    * the (P, N) totals ride a 1-row broadcast. O(distinct scores) rows
+    * everywhere after the first shuffle. NULL scores/labels drop.
+    * Scores must be integral (exact ordering and exact prefix sums);
+    * quantize floats to a grid first, as the money queries do.
+    * Emits (threshold, n_tp, n_fp, tpr, fpr), one row per distinct
+    * score, descending thresholds carrying ascending cumulative counts. */
+  def rocCurve(df: DataFrame, score: String, isPos: Column): DataFrame = {
+    val internal = Seq("_np", "_nn", "_P", "_N", "threshold", "n_tp",
+      "n_fp", "tpr", "fpr")
+    require(!internal.contains(score),
+      s"rocCurve emits/uses ${internal.mkString(", ")}; rename the score")
+    val byScore = df.filter(col(score).isNotNull && isPos.isNotNull)
+      .groupBy(col(score).cast("long").as("threshold"))
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("_np"),
+        sum(when(isPos, 0L).otherwise(1L)).as("_nn"))
+    val cum = CoreOps.orderedPrefixSum(
+      CoreOps.orderedPrefixSum(byScore, -col("threshold"),
+        "threshold", "_np", "n_tp"),
+      -col("threshold"), "threshold", "_nn", "n_fp")
+    val tots = byScore.agg(sum(col("_np")).as("_P"), sum(col("_nn")).as("_N"))
+    cum.crossJoin(broadcast(tots))
+      .select(col("threshold"), col("n_tp"), col("n_fp"),
+        when(col("_P") > 0L, trunc6(col("n_tp").cast("double")
+          / col("_P").cast("double"))).as("tpr"),
+        when(col("_N") > 0L, trunc6(col("n_fp").cast("double")
+          / col("_N").cast("double"))).as("fpr"))
+  }
+}

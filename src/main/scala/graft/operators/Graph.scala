@@ -658,4 +658,74 @@ object Graph {
     }
     degrees(alive)
   }
+
+  /** Adamic–Adar link prediction: for non-adjacent node pairs sharing at
+    * least one neighbor, AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — the
+    * classic common-neighbor score that discounts promiscuous middles
+    * (Adamic & Adar 2003, "Friends and neighbors on the Web"). On the
+    * co-sourcing graph this surfaces the supplier/part pairs most likely
+    * to co-occur next — the recommendation/missing-edge gauge next to
+    * triangleStats' closure rate.
+    *
+    * Exactness: the score is Σ floor(10¹²/qlog(deg(w))) as BIGINT —
+    * qlog = floor(ln·10⁶) (InfoTheory's quantized log, probed
+    * cross-engine), and the reciprocal is one exact INTEGER division per
+    * middle, summed exactly, so ranking and values are engine- and
+    * partitioning-independent. Common neighbors have deg ≥ 2, so
+    * qlog ≥ 693147 > 0 — no division hazard.
+    *
+    * Distributed shape: canonical undirected distinct edges → one degree
+    * agg → wedge self-join ON THE MIDDLE NODE with the middle's degree
+    * filtered to `maxMiddleDegree` BEFORE the join, so per-middle fan-out
+    * is ≤ cap² and a hub is excluded, not quadratic (the basketLift
+    * cutoff: hubs carry the least AA weight anyway — 1/ln(deg) vanishes
+    * exactly where the join would blow up). Existing edges leave by
+    * LEFT ANTI join on the canonical pair; the top-N compiles to
+    * TakeOrderedAndProject (per-partition top-N, never a global sort).
+    * Self-loops and NULL endpoints drop. Deterministic order:
+    * (aa_scaled DESC, node_a ASC, node_b ASC).
+    * Emits topN × (node_a, node_b, n_common, aa_scaled). */
+  def adamicAdar(edges: DataFrame, src: String, dst: String,
+                 maxMiddleDegree: Int, topN: Int): DataFrame = {
+    require(maxMiddleDegree >= 2, s"maxMiddleDegree must be >= 2 (a common" +
+      s" neighbor has degree >= 2), got $maxMiddleDegree")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val emitted = Seq("node_a", "node_b", "n_common", "aa_scaled",
+      "_a", "_b", "_w", "_dw", "_qw", "_n", "node", "deg")
+    require(!emitted.contains(src) && !emitted.contains(dst),
+      s"adamicAdar emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val sa = col(src).cast("string"); val sb = col(dst).cast("string")
+    val und = edges
+      .select(least(sa, sb).as("_a"), greatest(sa, sb).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull
+        && col("_a") =!= col("_b"))
+      .distinct()
+      .localCheckpoint(true) // reused by degrees, adjacency, and the anti join
+    val deg = und.select(col("_a").as("node"))
+      .union(und.select(col("_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // adjacency oriented middle→endpoint, middles capped BEFORE the join
+    val adj = und.select(col("_a").as("_w"), col("_b").as("_n"))
+      .union(und.select(col("_b").as("_w"), col("_a").as("_n")))
+      .join(deg.filter(col("deg") >= 2 && col("deg") <= maxMiddleDegree)
+        .select(col("node").as("_w"), col("deg").as("_dw")), Seq("_w"))
+      .localCheckpoint(true)
+    val wedges = adj
+      .join(adj.select(col("_w"), col("_n").as("_b2"), col("_dw")
+        .as("_dw2")), Seq("_w"))
+      .filter(col("_n") < col("_b2"))
+      .select(col("_n").as("_a"), col("_b2").as("_b"),
+        InfoTheory.qlog(col("_dw")).as("_qw"))
+    wedges
+      .join(und, Seq("_a", "_b"), "left_anti")
+      .groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("n_common"),
+        // true integer division (`div`), NOT `/` — Column./ on integrals
+        // promotes to double and a 1-ulp rounding could cross an integer
+        sum(expr("CAST(1000000000000 AS BIGINT) div _qw")).as("aa_scaled"))
+      .orderBy(col("aa_scaled").desc, col("_a"), col("_b"))
+      .limit(topN)
+      .select(col("_a").as("node_a"), col("_b").as("node_b"),
+        col("n_common"), col("aa_scaled"))
+  }
 }

@@ -62,6 +62,17 @@ case class ThrottleDecision(key: String, tiebreak: Long, event_ms: Long,
 /** One remembered event per key — the twin of Flink's ValueState pair. */
 case class LastSeen(kind: String, tsMs: Long)
 
+/** Payload-carrying event for the upsert compaction machine: the order key
+  * (tsMs, tiebreak) plus the carried columns, NULLs preserved. */
+case class PayloadEvent(key: String, tsMs: Long, tiebreak: Long,
+                        kind: Option[String], value: Option[Double])
+
+/** The current winning row per key for latestSnapshots. */
+case class LatestPayload(tsMs: Long, tiebreak: Long,
+                         kind: Option[String], value: Option[Double])
+case class LatestSnapshot(key: String, last_ms: Long, tiebreak: Long,
+                          kind: Option[String], value: Option[Double])
+
 /** Streaming forms of the reference's keyed state machines (§2.9), as
   * `flatMapGroupsWithState` over `GroupState` — the Spark-native equivalent of
   * Flink's RichFunction + ValueState. The same functions run in BATCH mode
@@ -102,6 +113,67 @@ object StateMachines {
     df.select(key.cast("string").as("key"), tsMs.cast("long").as("tsMs"),
       tiebreak.cast("long").as("tiebreak"), value.cast("long").as("value"))
       .as[ValuedEvent]
+
+  implicit val payloadEventEnc: Encoder[PayloadEvent] =
+    Encoders.product[PayloadEvent]
+  implicit val latestPayloadEnc: Encoder[LatestPayload] =
+    Encoders.product[LatestPayload]
+  implicit val latestSnapshotEnc: Encoder[LatestSnapshot] =
+    Encoders.product[LatestSnapshot]
+
+  /** Payload-carrying projection for the compaction machine. */
+  def payloadEvents(df: DataFrame, key: Column, tsMs: Column,
+                    tiebreak: Column, kind: Column,
+                    value: Column): Dataset[PayloadEvent] =
+    df.select(key.cast("string").as("key"), tsMs.cast("long").as("tsMs"),
+      tiebreak.cast("long").as("tiebreak"), kind.cast("string").as("kind"),
+      value.cast("double").as("value"))
+      .as[PayloadEvent]
+
+  /** Streaming upsert compaction — CoreOps.latestState's continuous form:
+    * per key, remember the row with the LARGEST (tsMs, tiebreak) and emit
+    * the current winner once per key per micro-batch (a running compacted
+    * changelog — each batch's emission is the key's latest state as of
+    * that batch, the CDC "last value wins" feed). In batch mode the one
+    * invocation emits exactly the final row per key, which is how the
+    * registered query pins this machine against the same row_number()
+    * oracle as the batch operator.
+    *
+    * Unlike the walk machines above, max-by is ORDER-INDEPENDENT — no
+    * per-batch sort, one comparison fold, O(1) state per key (late
+    * arrivals older than the winner lose the comparison, matching the
+    * batch semantics rather than arrival order). Payload NULLs are
+    * carried verbatim; the ORDER key (tsMs, tiebreak) is non-null by
+    * projection (filter NULL order columns upstream — the batch
+    * operator's fail-loud contract, kept by the registered query's
+    * `ts IS NOT NULL` filter). */
+  def latestSnapshots(events: Dataset[PayloadEvent],
+                      stateTtlMs: Option[Long] = None)
+      : Dataset[LatestSnapshot] = {
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[PayloadEvent],
+       state: GroupState[LatestPayload]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var best = state.getOption.orNull
+          it.foreach { e =>
+            if (best == null || e.tsMs > best.tsMs ||
+                (e.tsMs == best.tsMs && e.tiebreak > best.tiebreak))
+              best = LatestPayload(e.tsMs, e.tiebreak, e.kind, e.value)
+          }
+          if (best == null) Iterator.empty
+          else {
+            state.update(best)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            Iterator.single(LatestSnapshot(key, best.tsMs, best.tiebreak,
+              best.kind, best.value))
+          }
+        }
+    }
+  }
 
   /** Resolve the timeout mode for an optional TTL. */
   private def timeoutConf(stateTtlMs: Option[Long]): GroupStateTimeout =

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Eval
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def qlog(x: Long): Long =
+    math.floor(math.log(x.toDouble) * 1e6).toLong
+
+  test("naiveBayes matches an exact brute-force fold, including the " +
+      "largest-label tie break and zero-hit labels") {
+    // (doc, token, label) occurrences; the corpus is engineered so the
+    // "c" evidence is perfectly symmetric between X and Y (same c-counts,
+    // per-label totals, and doc priors), so doc 5's argmax is a TIE
+    // resolved toward the larger label
+    val rows = Seq(
+      (1L, "a", "X"), (1L, "a", "X"), (1L, "c", "X"),
+      (2L, "b", "Y"), (2L, "b", "Y"), (2L, "c", "Y"),
+      (5L, "c", "X"),
+      (6L, "c", "Y"))
+    val got = Eval.naiveBayes(rows.toDF("id", "tok", "label"),
+        "id", "tok", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+
+    // brute force: the same formula, computed sequentially
+    val byLabelTok = rows.groupBy(r => (r._3, r._2)).map { case (k, v) =>
+      k -> v.size.toLong }
+    val nL = rows.groupBy(_._3).map { case (l, v) => l -> v.size.toLong }
+    val dL = rows.groupBy(_._3).map { case (l, v) =>
+      l -> v.map(_._1).distinct.size.toLong }
+    val vocab = rows.map(_._2).distinct.size.toLong
+    val nDocs = rows.map(_._1).distinct.size.toLong
+    val labels = rows.map(_._3).distinct.sorted
+    def score(doc: Long, l: String): Long = {
+      val toks = rows.filter(_._1 == doc).map(_._2)
+      toks.map(t => qlog(byLabelTok.getOrElse((l, t), 0L) + 1)).sum -
+        toks.size * qlog(nL(l) + vocab) + qlog(dL(l)) - qlog(nDocs)
+    }
+    val expect = rows.groupBy(_._1).map { case (doc, docRows) =>
+      // max on (score, label): ties toward the largest label
+      val best = labels.map(l => (score(doc, l), l)).max
+      (doc, docRows.head._3, best._2, best._1)
+    }.toSet
+    assert(got == expect)
+    // the engineered tie really is a tie, and really resolves to Y
+    assert(score(5L, "X") == score(5L, "Y"))
+    assert(got.exists(r => r._1 == 5L && r._2 == "X" && r._3 == "Y"))
+  }
+
+  test("classMetrics: exact counts, NULL precision for a never-predicted " +
+      "class, zero recall for a never-correct one") {
+    val pred = Seq(("A", "A"), ("A", "B"), ("B", "B"), ("B", "B"),
+      ("C", "B")).toDF("t", "p")
+    val got = Eval.classMetrics(pred, "t", "p")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        if (r.isNullAt(6)) null else r.getDouble(6))).toSet
+    assert(got == Set(
+      ("A", 1L, 0L, 1L, 1.0, 0.5, 0.666666),
+      ("B", 2L, 2L, 0L, 0.5, 1.0, 0.666666),
+      ("C", 0L, 0L, 1L, null, 0.0, 0.0)))
+  }
+
+  test("cohenKappa: textbook 0.4 case, exact 1.0 on perfect agreement, " +
+      "NULL on the single-class degeneracy") {
+    // confusion [[20,5],[10,15]]: kappa = (50·35 − 1250)/(2500 − 1250) = 0.4
+    val rows = Seq.fill(20)(("A", "A")) ++ Seq.fill(5)(("A", "B")) ++
+      Seq.fill(10)(("B", "A")) ++ Seq.fill(15)(("B", "B"))
+    val r1 = Eval.cohenKappa(rows.toDF("t", "p"), "t", "p").head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2)) == (50L, 35L, 0.4))
+    val r2 = Eval.cohenKappa(
+      Seq(("A", "A"), ("B", "B")).toDF("t", "p"), "t", "p").head()
+    assert(r2.getDouble(2) == 1.0)
+    val r3 = Eval.cohenKappa(
+      Seq(("A", "A"), ("A", "A")).toDF("t", "p"), "t", "p").head()
+    assert(r3.isNullAt(2)) // pe == N²: chance-perfect, kappa undefined
+  }
+
+  test("rocCurve: exact cumulative counts per distinct threshold, " +
+      "NULL scores and labels drop") {
+    val df = Seq((Some(3L), Some(true)), (Some(2L), Some(false)),
+      (Some(2L), Some(true)), (Some(1L), Some(false)),
+      (Some(9L), None), (None, Some(true)))
+      .toDF("s", "pos")
+    val got = Eval.rocCurve(df, "s", col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (3L, 1L, 0L, 0.5, 0.0),
+      (2L, 2L, 1L, 1.0, 0.5),
+      (1L, 2L, 2L, 1.0, 1.0)))
+  }
+}

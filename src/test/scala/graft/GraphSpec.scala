@@ -304,4 +304,20 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(r3 == r2)
   }
+
+  test("adamicAdar: exact scores on a hand graph, adjacent pairs excluded, " +
+      "the middle-degree cap empties the wedge set") {
+    // square with one diagonal: 1-2, 2-3, 1-3, 3-4, 2-4.
+    // degrees: 1→2, 2→3, 3→3, 4→2. Non-adjacent pairs sharing a
+    // neighbor: only (1,4), common middles {2, 3} (both deg 3).
+    val edges = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4"),
+      ("2", "4")).toDF("s", "d2")
+    val got = Graph.adamicAdar(edges, "s", "d2", 64, 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val qlog3 = math.floor(math.log(3.0) * 1e6).toLong
+    assert(got == Seq(("1", "4", 2L, 2L * (1000000000000L / qlog3))))
+    // cap 2 keeps only deg-2 middles (nodes 1 and 4), whose wedge pairs
+    // (2,3) are adjacent — nothing survives the anti join
+    assert(Graph.adamicAdar(edges, "s", "d2", 2, 10).isEmpty)
+  }
 }

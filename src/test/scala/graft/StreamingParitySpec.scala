@@ -976,4 +976,37 @@ class StreamingParitySpec extends SparkSpec {
       assert(replay == Set(BurstEnd("1", 0L, 80L, 4L)))
     } finally q.stop()
   }
+
+  test("latestSnapshots(streaming) == latestState(batch twin): the winner " +
+      "survives across batches, late arrivals lose, NULL payloads carry") {
+    val batch1 = Seq(
+      PayloadEvent("1", 5L, 1L, Some("edit"), Some(1.5)),
+      PayloadEvent("1", 3L, 2L, Some("view"), None))
+    val batch2 = Seq(
+      PayloadEvent("1", 4L, 3L, Some("late"), Some(9.9)), // older: loses
+      PayloadEvent("2", 7L, 4L, None, Some(2.0)))
+    val input = MemoryStream[PayloadEvent]
+    val q = StateMachines.latestSnapshots(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ls_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val emitted = spark.table("ls_par").as[LatestSnapshot].collect().toSeq
+      // one snapshot per touched key per batch: key 1 twice (identical —
+      // the late row lost), key 2 once
+      assert(emitted.size == 3)
+      val finalPerKey = emitted.groupBy(_.key).map { case (_, snaps) =>
+        snaps.maxBy(s => (s.last_ms, s.tiebreak)) }.toSet
+      val twin = graft.operators.CoreOps.latestState(
+          (batch1 ++ batch2).toDF(), Seq("key"), Seq("tsMs", "tiebreak"))
+        .select(col("key"), col("tsMs").as("last_ms"), col("tiebreak"),
+          col("kind"), col("value"))
+        .as[LatestSnapshot].collect().toSet
+      assert(finalPerKey == twin)
+      assert(twin == Set(
+        LatestSnapshot("1", 5L, 1L, Some("edit"), Some(1.5)),
+        LatestSnapshot("2", 7L, 4L, None, Some(2.0))))
+    } finally q.stop()
+  }
 }
