@@ -2505,6 +2505,44 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"),
           (col("_cents").cast("double") / 100).as("total_revenue"))
     }),
+    // the operating point the ROC curve exists to pick: exact integer
+    // argmax of J·P·N = n_tp·N − n_fp·P, ties toward the largest threshold
+    "q_youden" -> ((s, dir) =>
+      Eval.youdenPoint(Tables.documents(s, dir), "n_chars",
+        col("lang") === "en")),
+    // cumulative gains/lift at ten coverage targets over the same
+    // ranking: exact integer target ceilings, the pick a min over the
+    // strictly increasing cumulative count
+    "q_gains" -> ((s, dir) =>
+      Eval.gainsTable(Tables.documents(s, dir), "n_chars",
+        col("lang") === "en", 10)),
+    // the calibration curve folded to its one number: the per-bin gap
+    // collapses to |n_pos·width − (S − lo·n)| exact integers, one final
+    // division (same binning and inputs as q_calibration)
+    "q_ece" -> ((s, dir) =>
+      Eval.expectedCalibrationError(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "cents", col("event_type") === "purchase", 0L, 50000L, 10)),
+    // bounded symmetric drift between the even/odd doc-half token
+    // distributions — klDrift's companion, zero-count-safe so no
+    // smoothing distortion; every √ term floored at 10⁻⁶ on exact
+    // integer products
+    "q_hellinger" -> ((s, dir) =>
+      InfoTheory.hellingerDrift(
+        Tables.documents(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        "tok", pmod(col("doc_id"), lit(2)) === 0)),
+    // do embedding near-dups stay within their label? Newman modularity
+    // of the label partition on the cosine-dup pair graph — exact
+    // integer Q·4m², one trunc6'd division
+    "q_modularity" -> ((s, dir) =>
+      Graph.modularity(
+        Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", EmbDims, LshPlanes, 0.3),
+        "doc_a", "doc_b",
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        "vec_id", "label")),
     // CoreOps.latestState's streaming twin: the max-by compaction machine
     // (order-independent fold, O(1) state per key), batch-run against the
     // same row_number spec under the events-oracle NULL convention
@@ -6366,6 +6404,128 @@ object SparkEntry {
         |  AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN mx
         |WHERE cents = m""".stripMargin,
+    // the ROC walk again, argmax'd on the INTEGER J numerator with the
+    // (jn DESC, threshold DESC) total order
+    "q_youden" ->
+      """WITH s AS (SELECT n_chars::BIGINT AS threshold,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS np,
+        |        sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS nn
+        |      FROM documents
+        |      WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |c AS (SELECT threshold,
+        |        sum(np) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING)::BIGINT AS n_tp,
+        |        sum(nn) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING)::BIGINT AS n_fp
+        |      FROM s),
+        |t AS (SELECT sum(np)::BIGINT AS p, sum(nn)::BIGINT AS ng FROM s),
+        |j AS (SELECT threshold, n_tp, n_fp,
+        |        (n_tp * ng - n_fp * p)::BIGINT AS jn, p, ng
+        |      FROM c CROSS JOIN t)
+        |SELECT threshold, n_tp, n_fp,
+        |  CASE WHEN p > 0 AND ng > 0
+        |       THEN floor(jn::DOUBLE / (p * ng)::DOUBLE * 1000000) / 1000000
+        |  END AS j
+        |FROM j ORDER BY jn DESC, threshold DESC LIMIT 1""".stripMargin,
+    // per coverage target: the first cumulative row at or past
+    // ceil(d·N/10); gain and lift from exact integer products
+    "q_gains" ->
+      """WITH s AS (SELECT n_chars::BIGINT AS threshold,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS np,
+        |        sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS nn
+        |      FROM documents
+        |      WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |c AS (SELECT threshold,
+        |        sum(np) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING)::BIGINT AS n_tp,
+        |        sum(nn) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING)::BIGINT AS n_fp
+        |      FROM s),
+        |t AS (SELECT sum(np)::BIGINT AS p, sum(nn)::BIGINT AS ng FROM s),
+        |g AS (SELECT b.bucket, c.threshold,
+        |        (c.n_tp + c.n_fp)::BIGINT AS ct, c.n_tp, t.p, t.ng,
+        |        row_number() OVER (PARTITION BY b.bucket
+        |                           ORDER BY c.n_tp + c.n_fp) AS rn
+        |      FROM (SELECT unnest(range(1, 11)) AS bucket) b
+        |      CROSS JOIN t
+        |      JOIN c ON c.n_tp + c.n_fp
+        |                  >= (b.bucket * (t.p + t.ng) + 9) // 10)
+        |SELECT bucket, threshold, ct AS n_rows, n_tp AS n_pos,
+        |  CASE WHEN p > 0
+        |       THEN floor(n_tp::DOUBLE / p::DOUBLE * 1000000) / 1000000
+        |  END AS gain,
+        |  CASE WHEN p > 0
+        |       THEN floor((n_tp * (p + ng))::DOUBLE / (p * ct)::DOUBLE
+        |              * 1000000) / 1000000
+        |  END AS lift
+        |FROM g WHERE rn = 1""".stripMargin,
+    // q_calibration's binning folded to ECE: the per-bin gap is the
+    // exact integer |npos·width − Σ(c−lo)|, one final division
+    "q_ece" ->
+      """WITH s AS (SELECT floor(value * 100)::BIGINT AS c,
+        |        event_type = 'purchase' AS y
+        |      FROM events
+        |      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT least(greatest((c - 0) * 10 // 50000, 0), 9) AS bin,
+        |        c, y FROM s),
+        |a AS (SELECT bin, count(*)::BIGINT AS n,
+        |        count(CASE WHEN y THEN 1 END)::BIGINT AS npos,
+        |        sum(c - 0)::BIGINT AS sc FROM b GROUP BY 1)
+        |SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_bins,
+        |  sum(abs(npos * 50000 - sc))::BIGINT AS ece_num,
+        |  CASE WHEN sum(n) > 0
+        |       THEN floor(sum(abs(npos * 50000 - sc))::DOUBLE
+        |              / (sum(n)::DOUBLE * 50000) * 1000000) / 1000000
+        |  END AS ece
+        |FROM a""".stripMargin,
+    // Bhattacharyya terms floored at the term on exact integer products
+    // (IEEE sqrt/mul correctly rounded → engine-identical), summed
+    // exactly; the final bc/hellinger chain is one fixed op sequence
+    "q_hellinger" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok,
+         |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0
+         |            END)::BIGINT AS cp,
+         |        sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1
+         |            END)::BIGINT AS cq
+         |      FROM t WHERE tok IS NOT NULL GROUP BY 1)
+         |SELECT count(*)::BIGINT AS n_categories,
+         |  sum(cp)::BIGINT AS n_p, sum(cq)::BIGINT AS n_q,
+         |  sum(floor(sqrt((cp * cq)::DOUBLE) * 1000000)::BIGINT)::BIGINT
+         |    AS bc_scaled,
+         |  CASE WHEN sum(cp) > 0 AND sum(cq) > 0 THEN
+         |    floor(sqrt(greatest(0.0,
+         |      1.0 - sum(floor(sqrt((cp * cq)::DOUBLE)
+         |              * 1000000)::BIGINT)::DOUBLE
+         |            / (sqrt((sum(cp)::BIGINT * sum(cq)::BIGINT)::DOUBLE)
+         |               * 1000000))) * 1000000) / 1000000
+         |  END AS hellinger
+         |FROM c""".stripMargin,
+    // the cosine-dup pair graph judged against the label partition:
+    // Q·4m² = 4m·Σe_c − Σd_c² on exact integers
+    "q_modularity" ->
+      s"""WITH $sqlEmbSigCte,
+         |p AS (SELECT la.label AS cx, lb.label AS cy
+         |      FROM esig a JOIN esig b USING (bucket)
+         |      JOIN embeddings la ON la.vec_id = a.vec_id
+         |      JOIN embeddings lb ON lb.vec_id = b.vec_id
+         |      WHERE a.vec_id < b.vec_id
+         |        AND la.label IS NOT NULL AND lb.label IS NOT NULL
+         |        AND ${sqlCosine("a.embedding", "b.embedding")} >= 0.3),
+         |d AS (SELECT cls, count(*)::BIGINT AS dd FROM
+         |        (SELECT cx AS cls FROM p UNION ALL SELECT cy FROM p)
+         |      GROUP BY 1),
+         |e AS (SELECT cx AS cls, count(*)::BIGINT AS ee FROM p
+         |      WHERE cx = cy GROUP BY 1),
+         |m AS (SELECT count(*)::BIGINT AS mm FROM p),
+         |q AS (SELECT count(*)::BIGINT AS nc,
+         |        sum(4 * (SELECT mm FROM m) * COALESCE(ee, 0)
+         |            - dd * dd)::BIGINT AS qn
+         |      FROM d LEFT JOIN e USING (cls))
+         |SELECT m.mm AS n_edges, q.nc AS n_communities, q.qn AS q_num,
+         |  floor(q.qn::DOUBLE / (4 * m.mm * m.mm)::DOUBLE * 1000000)
+         |    / 1000000 AS modularity
+         |FROM m CROSS JOIN q WHERE m.mm > 0""".stripMargin,
     // the compaction spec again, under the events-oracle NULL convention
     // (the streaming machine's order key must be non-null by projection)
     "q_latest_state_stream" ->

@@ -221,7 +221,19 @@ object Eval {
     * quantize floats to a grid first, as the money queries do.
     * Emits (threshold, n_tp, n_fp, tpr, fpr), one row per distinct
     * score, descending thresholds carrying ascending cumulative counts. */
-  def rocCurve(df: DataFrame, score: String, isPos: Column): DataFrame = {
+  def rocCurve(df: DataFrame, score: String, isPos: Column): DataFrame =
+    rocCum(df, score, isPos)
+      .select(col("threshold"), col("n_tp"), col("n_fp"),
+        when(col("_P") > 0L, trunc6(col("n_tp").cast("double")
+          / col("_P").cast("double"))).as("tpr"),
+        when(col("_N") > 0L, trunc6(col("n_fp").cast("double")
+          / col("_N").cast("double"))).as("fpr"))
+
+  /** Shared exact ROC cumulatives: one row per distinct score with
+    * (threshold, n_tp, n_fp) and the (P, N) totals attached — rocCurve,
+    * youdenPoint, and gainsTable are views over this frame. */
+  private def rocCum(df: DataFrame, score: String, isPos: Column)
+      : DataFrame = {
     val internal = Seq("_np", "_nn", "_P", "_N", "threshold", "n_tp",
       "n_fp", "tpr", "fpr")
     require(!internal.contains(score),
@@ -236,10 +248,92 @@ object Eval {
       -col("threshold"), "threshold", "_nn", "n_fp")
     val tots = byScore.agg(sum(col("_np")).as("_P"), sum(col("_nn")).as("_N"))
     cum.crossJoin(broadcast(tots))
-      .select(col("threshold"), col("n_tp"), col("n_fp"),
-        when(col("_P") > 0L, trunc6(col("n_tp").cast("double")
-          / col("_P").cast("double"))).as("tpr"),
-        when(col("_N") > 0L, trunc6(col("n_fp").cast("double")
-          / col("_N").cast("double"))).as("fpr"))
+  }
+
+  /** The Youden-J operating point: the threshold maximizing TPR − FPR,
+    * chosen by the EXACT integer argmax of J·P·N = n_tp·N − n_fp·P over
+    * the ROC cumulatives (no float enters the comparison), ties toward
+    * the LARGEST threshold — the most conservative rule among equals.
+    * The emitted `j` is one trunc6'd division of the integer numerator.
+    * ONE post-aggregation argmax over O(distinct scores) rows; P·N
+    * overflows loudly under ANSI past ~3·10⁹ rows per side. Emits one
+    * row (threshold, n_tp, n_fp, j); empty/degenerate input (P or N
+    * zero) emits j NULL. */
+  def youdenPoint(df: DataFrame, score: String, isPos: Column): DataFrame =
+    rocCum(df, score, isPos)
+      .withColumn("_j", col("n_tp") * col("_N") - col("n_fp") * col("_P"))
+      .agg(max(struct(col("_j"), col("threshold"), col("n_tp"),
+        col("n_fp"), col("_P"), col("_N"))).as("_b"))
+      .select(col("_b.threshold").as("threshold"),
+        col("_b.n_tp").as("n_tp"), col("_b.n_fp").as("n_fp"),
+        when(col("_b._P") > 0L && col("_b._N") > 0L,
+          trunc6(col("_b._j").cast("double")
+            / (col("_b._P") * col("_b._N")).cast("double"))).as("j"))
+
+  /** Cumulative gains / lift table: for each of `nBuckets` equal-width
+    * coverage targets (top d/nBuckets of rows by score, descending), the
+    * FIRST achievable operating point at or past the target — targets
+    * are exact integer ceilings, the pick is a min over the strictly
+    * increasing cumulative row count, and gain/lift are single trunc6'd
+    * divisions of exact integer products (lift = n_tp·N_all/(P·n_rows)).
+    * The bucket expansion is an nBuckets-row BROADCAST against the
+    * O(distinct scores) cumulative frame. Emits one row per bucket
+    * (bucket, threshold, n_rows, n_pos, gain, lift); empty input emits
+    * nothing. */
+  def gainsTable(df: DataFrame, score: String, isPos: Column,
+                 nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    val buckets = spark.range(1, nBuckets + 1L).toDF("bucket")
+    val cum = rocCum(df, score, isPos)
+      .withColumn("_ct", col("n_tp") + col("n_fp"))
+    cum.crossJoin(broadcast(buckets))
+      // ceil(d·N_all/nBuckets) as exact integer arithmetic
+      .withColumn("_tgt",
+        expr(s"(bucket * (_P + _N) + ${nBuckets - 1}) div $nBuckets"))
+      .filter(col("_ct") >= col("_tgt"))
+      .groupBy(col("bucket"))
+      .agg(min(struct(col("_ct"), col("threshold"), col("n_tp"),
+        col("_P"), col("_N"))).as("_b"))
+      .select(col("bucket"), col("_b.threshold").as("threshold"),
+        col("_b._ct").as("n_rows"), col("_b.n_tp").as("n_pos"),
+        when(col("_b._P") > 0L, trunc6(col("_b.n_tp").cast("double")
+          / col("_b._P").cast("double"))).as("gain"),
+        when(col("_b._P") > 0L,
+          trunc6((col("_b.n_tp") * (col("_b._P") + col("_b._N")))
+            .cast("double")
+            / (col("_b._P") * col("_b._ct")).cast("double"))).as("lift"))
+  }
+
+  /** Expected calibration error over the SAME exact integer binning as
+    * CoreOps.calibrationCurve — the one-number companion to the curve.
+    * With conf_b normalized onto [0,1] by (S_b − lo·n_b)/(n_b·width),
+    * the per-bin gap n_b·|acc_b − conf_b| collapses to the EXACT integer
+    * |n_pos_b·width − (S_b − lo·n_b)|, so
+    *   ECE = Σ_b |n_pos_b·width − S_b + lo·n_b| / (width·N)
+    * is one trunc6'd division of exact integers — no float until the
+    * final ratio. Plan: calibrationCurve's single partial-agg'd hash onto
+    * ≤ nBins rows, then a 1-row fold. NULL scores/outcomes drop;
+    * out-of-range scores clamp into the edge bins (and their clamped
+    * score sums shift conf accordingly — the spike-at-the-edge signal
+    * stays visible). Emits one row (n_rows, n_bins, ece_num, ece). */
+  def expectedCalibrationError(df: DataFrame, score: String, outcome: Column,
+                               lo: Long, hi: Long, nBins: Int): DataFrame = {
+    require(hi > lo, s"need lo < hi, got [$lo, $hi)")
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val width = hi - lo
+    val num = (col(score).cast("long") - lo) * nBins.toLong
+    val rawBin = ((num - pmod(num, lit(width))) / lit(width)).cast("long")
+    val bin = least(greatest(rawBin, lit(0L)), lit(nBins.toLong - 1L))
+    df.filter(col(score).isNotNull && outcome.isNotNull)
+      .groupBy(bin.as("_bin"))
+      .agg(count(lit(1)).as("_n"),
+        count(when(outcome, lit(1))).as("_npos"),
+        sum(col(score).cast("long") - lo).as("_s"))
+      .agg(sum(col("_n")).as("n_rows"), count(lit(1)).as("n_bins"),
+        sum(abs(col("_npos") * width - col("_s"))).as("ece_num"))
+      .select(col("n_rows"), col("n_bins"), col("ece_num"),
+        when(col("n_rows") > 0L, trunc6(col("ece_num").cast("double")
+          / (col("n_rows").cast("double") * width.toDouble))).as("ece"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph / association analytics over edge- and basket-shaped frames.
@@ -658,6 +658,74 @@ object Graph {
     }
     degrees(alive)
   }
+
+  /** Newman modularity of a given node partition — "do the edges stay
+    * inside the communities?" — the partition-quality gauge for any
+    * clustering the engine produces (dup clusters, labels, k-core
+    * shells): Q = Σ_c [e_c/m − (d_c/2m)²] over communities, with e_c the
+    * intra-community edge count, d_c the community degree sum, m the
+    * labeled edge count.
+    *
+    * Exactness: both terms share the denominator 4m², so
+    * Q·4m² = 4m·Σe_c − Σd_c² is EXACT integer arithmetic (d_c ≤ 2m ⇒
+    * Σd_c² ≤ 4m², safe to m ~ 1.5·10⁹ in int64; ANSI fails the product
+    * loudly past that) and the emitted `modularity` is ONE trunc6'd
+    * division. Engine- and partitioning-exact.
+    *
+    * Contract: `labels` carries ONE community per node (duplicates are
+    * collapsed by DISTINCT; a node with two conflicting labels would
+    * double-count its edges — dedupe upstream). Edges with an UNLABELED
+    * endpoint are excluded from m entirely (the quality of a partition
+    * is judged on the subgraph it labels). Self-loops and parallel edges
+    * collapse as everywhere in this file.
+    *
+    * Distributed shape: canonical undirected distinct + two label joins
+    * on the endpoint keys + one O(communities) agg each for e_c and d_c,
+    * totals as a 1-row fold — no unpartitioned windows, no driver
+    * traffic. Emits ONE row (n_edges, n_communities, q_num, modularity);
+    * zero labeled edges emit nothing (no graph, no quality). */
+  def modularity(edges: DataFrame, src: String, dst: String,
+                 labels: DataFrame, node: String,
+                 community: String): DataFrame = {
+    val emitted = Seq("n_edges", "n_communities", "q_num", "modularity",
+      "_a", "_b", "_ca", "_cb", "_c", "_e", "_d", "_m")
+    require(!emitted.contains(src) && !emitted.contains(dst)
+        && !emitted.contains(node) && !emitted.contains(community),
+      s"modularity emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val sa = col(src).cast("string"); val sb = col(dst).cast("string")
+    val lab = labels
+      .filter(col(node).isNotNull && col(community).isNotNull)
+      .select(col(node).cast("string").as("_a"),
+        col(community).cast("string").as("_c"))
+      .distinct()
+    val und = edges
+      .select(least(sa, sb).as("_a"), greatest(sa, sb).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull
+        && col("_a") =!= col("_b"))
+      .distinct()
+      .join(lab.select(col("_a"), col("_c").as("_ca")), Seq("_a"))
+      .join(lab.select(col("_a").as("_b"), col("_c").as("_cb")), Seq("_b"))
+      .localCheckpoint(true) // feeds e_c, d_c, and the total
+    val ec = und.filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("_c")).agg(count(lit(1)).as("_e"))
+    val dc = und.select(col("_ca").as("_c"))
+      .union(und.select(col("_cb").as("_c")))
+      .groupBy(col("_c")).agg(count(lit(1)).as("_d"))
+    val m = und.agg(count(lit(1)).as("_m"))
+    dc.join(ec, Seq("_c"), "left")
+      .crossJoin(broadcast(m))
+      .agg(first(col("_m")).as("n_edges"),
+        count(lit(1)).as("n_communities"),
+        sum(lit(4L) * col("_m") * coalesce(col("_e"), lit(0L))
+          - col("_d") * col("_d")).as("q_num"))
+      .filter(col("n_edges") > 0L)
+      .select(col("n_edges"), col("n_communities"), col("q_num"),
+        trunc6(col("q_num").cast("double")
+          / (lit(4d) * col("n_edges").cast("double")
+             * col("n_edges").cast("double"))).as("modularity"))
+  }
+
+  private def trunc6(c: Column): Column = floor(c * 1000000d) / 1000000d
 
   /** Adamic–Adar link prediction: for non-adjacent node pairs sharing at
     * least one neighbor, AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — the

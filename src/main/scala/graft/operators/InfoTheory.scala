@@ -177,6 +177,55 @@ object InfoTheory {
           .as("kl"))
   }
 
+  /** Hellinger affinity / distance between the two category distributions
+    * selected by `isP` — the bounded, symmetric drift gauge next to the
+    * directed klDrift (H ∈ [0,1], defined even where KL needs smoothing:
+    * zero-count categories contribute √0 = 0, so NO add-one distortion).
+    *
+    * Bhattacharyya coefficient BC = Σᵢ √(pᵢqᵢ) = Σᵢ √(cᵖᵢ·cᵠᵢ) / √(Nᵖ·Nᵠ);
+    * H = √(1 − BC). Determinism: each term enters as
+    * floor(√(cᵖᵢ·cᵠᵢ)·10⁶) — the integer product converts to double
+    * exactly below 2⁵³ (cᵖᵢ·cᵠᵢ < 9·10¹⁵, i.e. ~9.4·10⁷ rows per side
+    * single-category worst case; ANSI fails the long product loudly past
+    * 2⁶³), and IEEE sqrt/multiply are correctly rounded, so the floored
+    * term is bit-identical on any engine. Terms sum exactly
+    * (decimal(38,0)); the emitted bc/hellinger run ONE fixed chain of
+    * correctly-rounded ops (÷, √) from the exact integers — identical
+    * everywhere. Identical distributions give bc exactly 1.0 and
+    * hellinger exactly 0.0 (√(c·c)·10⁶ is exact integer math).
+    *
+    * Same distributed shape as klDrift: both sides' counts built in the
+    * SAME row of one category-keyed count shuffle, totals as a 1-row
+    * broadcast, output ONE row (n_categories, n_p, n_q, bc_scaled,
+    * hellinger). NULL categories drop; an empty side emits hellinger
+    * NULL (distance to a nonexistent distribution is undefined, not a
+    * fake maximum). */
+  def hellingerDrift(df: DataFrame, cat: String, isP: Column): DataFrame = {
+    val emitted = Seq("n_categories", "n_p", "n_q", "bc_scaled", "hellinger",
+      "_cp", "_cq", "_k", "_tp", "_tq", "_t")
+    require(!emitted.contains(cat),
+      s"hellingerDrift emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val counts = df.filter(col(cat).isNotNull)
+      .groupBy(col(cat))
+      .agg(sum(when(isP, 1L).otherwise(0L)).as("_cp"),
+        sum(when(isP, 0L).otherwise(1L)).as("_cq"))
+    counts
+      .select(dec(floor(sqrt((col("_cp") * col("_cq")).cast("double"))
+          * LogScale.toDouble)).as("_t"),
+        col("_cp"), col("_cq"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_categories"), sum(col("_cp")).as("n_p"),
+        sum(col("_cq")).as("n_q"),
+        sum(col("_t")).cast("long").as("bc_scaled"))
+      .select(col("n_categories"), col("n_p"), col("n_q"), col("bc_scaled"),
+        when(col("n_p") > 0L && col("n_q") > 0L,
+          floor(sqrt(greatest(lit(0d),
+              lit(1d) - col("bc_scaled").cast("double")
+                / (sqrt((col("n_p") * col("n_q")).cast("double"))
+                   * LogScale.toDouble)))
+            * LogScale.toDouble) / LogScale.toDouble).as("hellinger"))
+  }
+
   /** Mutual information I(A;B) in nats between two categorical columns —
     * "does knowing the language tell you the source?" — the dataset-bias
     * gauge for stratification decisions. I·N = Σ c_ab·(ln(c_ab·N) −

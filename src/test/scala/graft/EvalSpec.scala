@@ -81,6 +81,59 @@ class EvalSpec extends SparkSpec {
     assert(r3.isNullAt(2)) // pe == N²: chance-perfect, kappa undefined
   }
 
+  test("youdenPoint: integer argmax of J, ties toward the largest " +
+      "threshold") {
+    // scores 3,2,1 with pos at 3 and 1: J is maximal (and equal) at
+    // thresholds 3 and 2 → the tie resolves to 3
+    val df = Seq((3L, true), (2L, false), (1L, true)).toDF("s", "pos")
+    val r = Eval.youdenPoint(df, "s", col("pos")).head()
+    // jn = n_tp·N − n_fp·P: t=3 → 1; t=2 → −1; t=1 → 0: t=3 wins outright
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L && r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 0.5)
+    // genuine tie: scores 4(pos), 3(neg), 2(pos), 1(neg):
+    // jn at t=4 is 2 and at t=2 is 2 again (J = 0.5 both) → largest
+    // threshold 4 wins
+    val df2 = Seq((4L, true), (3L, false), (2L, true), (1L, false))
+      .toDF("s", "pos")
+    val r2 = Eval.youdenPoint(df2, "s", col("pos")).head()
+    assert(r2.getLong(0) == 4L && r2.getDouble(3) == 0.5)
+  }
+
+  test("gainsTable: exact coverage targets, gains and lift") {
+    // 4 rows, 2 pos at the top scores; buckets of 25% coverage
+    val df = Seq((4L, true), (3L, true), (2L, false), (1L, false))
+      .toDF("s", "pos")
+    val got = Eval.gainsTable(df, "s", col("pos"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == Set(
+      (1L, 4L, 1L, 1L, 0.5, 2.0),  // top 25%: 1 row, 1 pos → lift 2
+      (2L, 3L, 2L, 2L, 1.0, 2.0),  // top 50%: both pos found
+      (3L, 2L, 3L, 2L, 1.0, 1.333333),
+      (4L, 1L, 4L, 2L, 1.0, 1.0)))
+  }
+
+  test("expectedCalibrationError: exact integer numerator, perfect " +
+      "calibration at the bin grain gives 0") {
+    // [0,10) in 2 bins of width... width 10, bins [0,5) and [5,10).
+    // bin 0: scores 1,4 (conf (1+4)/(2·10)=0.25), 0 pos of 2 → acc 0
+    //   gap num = |0·10 − 5| = 5
+    // bin 1: scores 6,8 (conf 0.7), 2 pos → acc 1 → |2·10 − 14| = 6
+    // ECE = 11 / (4·10) = 0.275
+    val df = Seq((1L, false), (4L, false), (6L, true), (8L, true))
+      .toDF("s", "y")
+    val r = Eval.expectedCalibrationError(df, "s", col("y"), 0L, 10L, 2)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      (4L, 2L, 11L, 0.275))
+    // conf exactly matching the realized rate → ECE 0: one bin,
+    // n=3, npos=1, S=10 → |1·10 − 10| = 0
+    val row2 = Eval.expectedCalibrationError(
+      Seq((0L, false), (0L, false), (10L, true)).toDF("s", "y"),
+      "s", col("y"), 0L, 10L, 1).head()
+    assert(row2.getLong(2) == 0L && row2.getDouble(3) == 0.0)
+  }
+
   test("rocCurve: exact cumulative counts per distinct threshold, " +
       "NULL scores and labels drop") {
     val df = Seq((Some(3L), Some(true)), (Some(2L), Some(false)),

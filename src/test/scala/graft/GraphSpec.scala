@@ -320,4 +320,27 @@ class GraphSpec extends SparkSpec {
     // (2,3) are adjacent — nothing survives the anti join
     assert(Graph.adamicAdar(edges, "s", "d2", 2, 10).isEmpty)
   }
+
+  test("modularity: two bridged triangles score the textbook 70/196; " +
+      "unlabeled endpoints leave m; conflicting labels are the caller's " +
+      "problem but duplicates collapse") {
+    // triangles {a,b,c} and {d,e,f} bridged by c—d
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"),
+      ("d", "f"), ("e", "f"), ("c", "d")).toDF("s", "d2")
+    val lab = Seq(("a", "L"), ("b", "L"), ("c", "L"), ("d", "R"),
+      ("e", "R"), ("f", "R"), ("f", "R")).toDF("n", "c") // dup row: collapses
+    val r = Graph.modularity(edges, "s", "d2", lab, "n", "c").head()
+    // m=7, e_L=e_R=3, d_L=d_R=7: q_num = 4·7·6 − 2·49 = 70; Q = 70/196
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (7L, 2L, 70L))
+    assert(r.getDouble(3) == math.floor(70.0 / 196.0 * 1e6) / 1e6)
+    // drop f's label: edges d—f and e—f leave m entirely
+    val lab2 = lab.filter(col("n") =!= "f")
+    val r2 = Graph.modularity(edges, "s", "d2", lab2, "n", "c").head()
+    // m=5 (both triangles minus f's two edges, plus bridge):
+    // e_L=3, e_R=1, d_L=7, d_R=3: q_num = 4·5·4 − (49+9) = 22
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == (5L, 2L, 22L))
+    // zero labeled edges → empty result, not a fake 0-quality row
+    assert(Graph.modularity(edges, "s", "d2",
+      Seq(("zz", "X")).toDF("n", "c"), "n", "c").isEmpty)
+  }
 }

@@ -196,4 +196,27 @@ class InfoTheorySpec extends SparkSpec {
     assert(one.getLong(3) == twoLevel.getLong(3)) // kl_scaled
     assert(one.getDouble(4) == twoLevel.getDouble(4))
   }
+
+  test("hellingerDrift: identical sides → exactly 0, disjoint sides → " +
+      "exactly 1, a hand case matches the term-floored formula, an " +
+      "empty side → NULL") {
+    def drift(p: Seq[String], q: Seq[String]) =
+      InfoTheory.hellingerDrift(
+        (p.map(c => (c, true)) ++ q.map(c => (c, false))).toDF("cat", "p"),
+        "cat", col("p")).collect().head
+    val same = drift(Seq("x", "x", "y"), Seq("x", "x", "y"))
+    // √(c·c)·10⁶ is exact integer math → bc exactly N·10⁶, h exactly 0
+    assert(same.getLong(3) == 3000000L && same.getDouble(4) == 0.0)
+    val disj = drift(Seq("x", "x"), Seq("y", "z"))
+    assert(disj.getLong(3) == 0L && disj.getDouble(4) == 1.0)
+    // hand case: p = {x:2, y:1}, q = {x:1, z:1}
+    val mixed = drift(Seq("x", "x", "y"), Seq("x", "z"))
+    val bc = math.floor(math.sqrt(2.0) * 1e6).toLong // only x overlaps
+    assert(mixed.getLong(3) == bc)
+    val h = math.floor(math.sqrt(math.max(0.0,
+      1.0 - bc.toDouble / (math.sqrt(6.0) * 1e6))) * 1e6) / 1e6
+    assert(mixed.getDouble(4) == h)
+    val empty = drift(Seq("x"), Seq.empty)
+    assert(empty.isNullAt(4)) // distance to a nonexistent distribution
+  }
 }
