@@ -2505,6 +2505,20 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"),
           (col("_cents").cast("double") / 100).as("total_revenue"))
     }),
+    // AMS/CM equi-join cardinality: two fixed-size md5-cell sketches, the
+    // inner-product estimate next to the exact audit it replaces at
+    // 100 TB, and the (est − exact)·w ≤ 3·n_a·n_b gauge
+    "q_join_size" -> ((s, dir) =>
+      CoreOps.joinSizeEstimate(Tables.events(s, dir), "user_id",
+        Tables.orders(s, dir), "o_custkey", CmsD, CmsW)),
+    // field-level survivorship per dup cluster (the MDM golden record):
+    // longest text + its owner as rep_id, majority lang, min source;
+    // singletons survive as themselves
+    "q_golden_record" -> ((s, dir) =>
+      Dedup.goldenRecord(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          col("lang"), col("source")),
+        "doc_id", dupClustersShared(s, dir), "text", "lang", "source")),
     // the operating point the ROC curve exists to pick: exact integer
     // argmax of J·P·N = n_tp·N − n_fp·P, ties toward the largest threshold
     "q_youden" -> ((s, dir) =>
@@ -6404,6 +6418,68 @@ object SparkEntry {
         |  AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN mx
         |WHERE cents = m""".stripMargin,
+    // both CMS tables rebuilt cell-for-cell (the q_heavy_hitters md5
+    // cells), per-row inner products with empty rows COALESCE'd to 0,
+    // min over rows; the exact audit is the distinct-key counts join
+    "q_join_size" -> {
+      val cellOf = (k: String) =>
+        s"${sqlMd5Int(s"(r.i::VARCHAR || ':' || $k)")} % $CmsW"
+      s"""WITH rows_ AS (SELECT unnest(range(0, $CmsD)) AS i),
+         |ea AS (SELECT user_id::VARCHAR AS k FROM events
+         |       WHERE user_id IS NOT NULL),
+         |eb AS (SELECT o_custkey::VARCHAR AS k FROM orders
+         |       WHERE o_custkey IS NOT NULL),
+         |ca AS (SELECT r.i, ${cellOf("a.k")} AS cell,
+         |         count(*)::BIGINT AS cnt
+         |       FROM ea a CROSS JOIN rows_ r GROUP BY 1, 2),
+         |cb AS (SELECT r.i, ${cellOf("b.k")} AS cell,
+         |         count(*)::BIGINT AS cnt
+         |       FROM eb b CROSS JOIN rows_ r GROUP BY 1, 2),
+         |ip AS (SELECT r.i, COALESCE(sum(ca.cnt * cb.cnt), 0)::BIGINT AS s
+         |       FROM rows_ r
+         |       LEFT JOIN ca ON ca.i = r.i
+         |       LEFT JOIN cb ON cb.i = ca.i AND cb.cell = ca.cell
+         |       GROUP BY 1),
+         |est AS (SELECT min(s)::BIGINT AS e FROM ip),
+         |ta AS (SELECT count(*)::BIGINT AS n_a FROM ea),
+         |tb AS (SELECT count(*)::BIGINT AS n_b FROM eb),
+         |ex AS (SELECT count(*)::BIGINT AS nk,
+         |         COALESCE(sum(x.c * y.c), 0)::BIGINT AS ej
+         |       FROM (SELECT k, count(*)::BIGINT AS c FROM ea GROUP BY 1) x
+         |       JOIN (SELECT k, count(*)::BIGINT AS c FROM eb GROUP BY 1) y
+         |         USING (k))
+         |SELECT n_a, n_b, nk AS n_keys_common, ej AS exact_join_rows,
+         |  e AS est_join_rows,
+         |  (e - ej) * $CmsW <= 3 * n_a * n_b AS within_eps
+         |FROM ta CROSS JOIN tb CROSS JOIN ex CROSS JOIN est""".stripMargin
+    },
+    // the dup-cluster closure again, with per-field survivorship:
+    // longest text by (length DESC, id ASC), majority lang by
+    // (count DESC, lang ASC), min source; singletons via COALESCE
+    "q_golden_record" ->
+      s"""WITH RECURSIVE $sqlDupClusterCtes,
+         |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |mem AS (SELECT d.doc_id,
+         |          COALESCE(cl.cluster_id, d.doc_id) AS cl2,
+         |          d.text, d.lang, d.source
+         |        FROM documents d LEFT JOIN cl USING (doc_id)),
+         |fld AS (SELECT cl2, count(*)::BIGINT AS n_members,
+         |          min(source) AS min_val FROM mem GROUP BY 1),
+         |lg AS (SELECT cl2, doc_id AS rep_id, text AS longest_val FROM
+         |         (SELECT cl2, doc_id, text, row_number() OVER (
+         |            PARTITION BY cl2
+         |            ORDER BY length(text) DESC, doc_id) AS rn
+         |          FROM mem WHERE text IS NOT NULL) WHERE rn = 1),
+         |mjc AS (SELECT cl2, lang AS mv, count(*)::BIGINT AS c
+         |        FROM mem WHERE lang IS NOT NULL GROUP BY 1, 2),
+         |mj AS (SELECT cl2, mv AS majority_val FROM
+         |         (SELECT cl2, mv, row_number() OVER (PARTITION BY cl2
+         |            ORDER BY c DESC, mv) AS rn FROM mjc) WHERE rn = 1)
+         |SELECT f.cl2 AS cluster_id, f.n_members, lg.rep_id,
+         |  lg.longest_val, mj.majority_val, f.min_val
+         |FROM fld f LEFT JOIN lg USING (cl2)
+         |LEFT JOIN mj USING (cl2)""".stripMargin,
     // the ROC walk again, argmax'd on the INTEGER J numerator with the
     // (jn DESC, threshold DESC) total order
     "q_youden" ->

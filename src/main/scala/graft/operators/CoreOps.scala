@@ -267,6 +267,63 @@ object CoreOps {
         .cmsMin(col("_cms"), col(key).cast("string"), d, w).as("est_count"): _*)
   }
 
+  /** Equi-join cardinality estimation by Count-Min inner product (the
+    * AMS/CM classic: |A ⋈ B| = Σ_k a_k·b_k ≈ min_r Σ_j A[r][j]·B[r][j]) —
+    * the join-planning gauge a pipeline reads BEFORE committing to a
+    * shuffle strategy, and, self-joined, the exact second frequency
+    * moment's sketch (the skew signal). Registered as a CHECKED TWIN: the
+    * row carries the exact join size (one counts-join over the distinct
+    * keys — the audit the sketch replaces at 100 TB) next to the sketch
+    * estimate and a `within_eps` gauge attesting
+    * (est − exact)·w ≤ 3·n_a·n_b (ε = e/w ≤ 3/w per-row bound; the
+    * estimate NEVER undershoots — every cell sum dominates the true
+    * inner product).
+    *
+    * Determinism: the sketch tables are CmsAggregate's md5-cell counters
+    * (order-independent element-wise sums), the inner products are exact
+    * integer sums, so the estimate is bit-identical on any engine — the
+    * DuckDB oracle rebuilds both tables cell-for-cell. Overflow: cell
+    * products ≤ n_a·n_b must stay below 2⁶³ (n ~3·10⁹ per side); past
+    * that ANSI fails the product loudly rather than wrapping.
+    *
+    * Shape: each sketch is ONE fixed-size d·w aggregate (no key shuffle);
+    * the estimate is a pure projection over the two 1-row frames. Only
+    * the exact-audit side shuffles (two key counts + one join) — drop it
+    * at scale by reading `est_join_rows` alone. NULL keys drop on both
+    * sides (a NULL never joins). Emits ONE row (n_a, n_b, n_keys_common,
+    * exact_join_rows, est_join_rows, within_eps). */
+  def joinSizeEstimate(dfA: DataFrame, keyA: String,
+                       dfB: DataFrame, keyB: String,
+                       d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 1, s"need d >= 1 and w >= 1, got d=$d w=$w")
+    val sa = dfA.filter(col(keyA).isNotNull)
+      .select(col(keyA).cast("string").as("_k"))
+    val sb = dfB.filter(col(keyB).isNotNull)
+      .select(col(keyB).cast("string").as("_k"))
+    val ta = sa.agg(graft.expressions.CountMinExpressions
+        .cmsTable(col("_k"), d, w).as("_ta"),
+      count(lit(1)).as("n_a"))
+    val tb = sb.agg(graft.expressions.CountMinExpressions
+        .cmsTable(col("_k"), d, w).as("_tb"),
+      count(lit(1)).as("n_b"))
+    val exact = sa.groupBy(col("_k")).agg(count(lit(1)).as("_ca"))
+      .join(sb.groupBy(col("_k")).agg(count(lit(1)).as("_cb")), Seq("_k"))
+      .agg(count(lit(1)).as("n_keys_common"),
+        coalesce(sum(col("_ca") * col("_cb")), lit(0L))
+          .as("exact_join_rows"))
+    val prod = zip_with(col("_ta"), col("_tb"), (x, y) => x * y)
+    val est = (0 until d)
+      .map(r => aggregate(slice(prod, r * w + 1, w), lit(0L),
+        (acc, x) => acc + x))
+      .reduceLeft(least(_, _))
+    ta.crossJoin(broadcast(tb))
+      .crossJoin(broadcast(exact))
+      .select(col("n_a"), col("n_b"), col("n_keys_common"),
+        col("exact_join_rows"), est.as("est_join_rows"),
+        ((est - col("exact_join_rows")) * w
+          <= lit(3L) * col("n_a") * col("n_b")).as("within_eps"))
+  }
+
   /** Hot-key profile: exact per-key counts, top N by frequency with a
     * deterministic key tiebreak. Compiles to partial agg + one exchange +
     * TakeOrderedAndProject — each partition keeps only its local top N, so

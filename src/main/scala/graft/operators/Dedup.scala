@@ -983,4 +983,62 @@ object Dedup {
         jaccardHashes(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Field-level survivorship merge — the MDM "golden record": per
+    * duplicate cluster, ONE synthesized row whose fields come from
+    * different members under per-field policies, where keepBest keeps one
+    * WHOLE row. Policies (the standard trio): `longest` — the value (and
+    * owning id, emitted as rep_id) of the member with the longest value,
+    * ties toward the smallest id; `majority` — the most frequent value,
+    * ties toward the smallest value; `minimum` — the plain minimum.
+    * Singleton docs (absent from `clusters`) form their own cluster
+    * under their id, so every doc is represented exactly once.
+    *
+    * Deterministic by construction: every policy is a total-order argmin/
+    * argmax over exact counts/lengths — partitioning cannot change a
+    * winner. NULL field values lose every contest (min/max skip NULLs;
+    * a NULL-valued majority candidate is not counted) but the member
+    * still counts in n_members.
+    *
+    * Distributed shape: one id-keyed join tags members, ONE cluster-keyed
+    * hash agg computes the longest/min fields, ONE (cluster, value) agg +
+    * cluster agg computes the majority — all output frames are
+    * O(clusters); no windows over the corpus, no driver traffic. Emits
+    * (cluster_id, n_members, rep_id, longest_val, majority_val,
+    * min_val). */
+  def goldenRecord(docs: DataFrame, id: String, clusters: DataFrame,
+                   longest: String, majority: String,
+                   minimum: String): DataFrame = {
+    val internal = Seq("_cl", "_b", "_mv", "_c", "cluster_id", "n_members",
+      "rep_id", "longest_val", "majority_val", "min_val")
+    val clash = (Seq(id, longest, majority, minimum)).filter(internal.contains)
+    require(clash.isEmpty,
+      s"goldenRecord emits/uses ${internal.mkString(", ")}; rename " +
+        s"column(s) ${clash.mkString(", ")}")
+    require(clusters.columns.contains("doc_id") &&
+        clusters.columns.contains("cluster_id"),
+      "goldenRecord expects dupClusters output: (doc_id, cluster_id)")
+    val members = docs
+      .join(clusters.select(col("doc_id").as(id), col("cluster_id")),
+        Seq(id), "left")
+      .withColumn("_cl", coalesce(col("cluster_id"), col(id)))
+      .localCheckpoint(true) // feeds the field aggs AND the majority pass
+    val fields = members.groupBy(col("_cl"))
+      .agg(count(lit(1)).as("n_members"),
+        // argmax by (length desc, id asc), value carried in the struct
+        min(when(col(longest).isNotNull,
+          struct((-length(col(longest))).as("_a"), col(id).as("_b"),
+            col(longest).as("_v")))).as("_lg"),
+        min(col(minimum)).as("min_val"))
+    val majorityVal = members.filter(col(majority).isNotNull)
+      .groupBy(col("_cl"), col(majority).as("_mv"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("_cl"))
+      .agg(min(struct((-col("_c")).as("_a"), col("_mv").as("_v")))
+        .as("_mj"))
+    fields.join(majorityVal, Seq("_cl"), "left")
+      .select(col("_cl").as("cluster_id"), col("n_members"),
+        col("_lg._b").as("rep_id"), col("_lg._v").as("longest_val"),
+        col("_mj._v").as("majority_val"), col("min_val"))
+  }
 }

@@ -1669,4 +1669,26 @@ class CoreOpsSpec extends SparkSpec {
     assert(got("rare") == ((1L, 120L, t6(0.12), ucb(1, 120, 51))))
     assert(got("rare")._4 > got("steady")._4) // exploration wins
   }
+
+  test("joinSizeEstimate: the estimate never undershoots the exact join " +
+      "size, matches it exactly when w has no collisions, and NULL keys " +
+      "drop") {
+    import spark.implicits._
+    val a = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None).toDF("ka")
+    val b = Seq(Some(1L), Some(2L), Some(2L), Some(9L)).toDF("kb")
+    // exact: key 1 → 2·1, key 2 → 1·2 ⇒ 4 rows over 2 common keys
+    val r = CoreOps.joinSizeEstimate(a, "ka", b, "kb", 4, 512).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 4L, 2L, 4L))
+    assert(r.getLong(4) >= 4L)     // CM inner product is an upper bound
+    assert(r.getBoolean(5))        // and within ε = 3/w here
+    // a huge width makes collisions vanishingly unlikely on 4 keys:
+    // estimate == exact
+    val r2 = CoreOps.joinSizeEstimate(a, "ka", b, "kb", 4, 1 << 20).head()
+    assert(r2.getLong(4) == 4L)
+    // empty side: estimate and exact both 0
+    val r3 = CoreOps.joinSizeEstimate(a.filter(col("ka") > 100L), "ka",
+      b, "kb", 4, 64).head()
+    assert(r3.getLong(3) == 0L && r3.getLong(4) == 0L)
+  }
 }

@@ -750,4 +750,24 @@ class TextAndDedupSpec extends SparkSpec {
     assert(got(3L) == (("de", 0L, "en", 0L, false))) // ties -> smallest code
     assert(!got.contains(4L))
   }
+
+  test("goldenRecord: per-field survivorship with deterministic ties, " +
+      "singletons as their own cluster, NULLs lose contests but count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("aaaa"), Some("en"), Some("s2")),
+      (2L, Some("bbbb"), Some("de"), Some("s1")), // length tie: id 1 wins
+      (3L, Some("cc"), Some("de"), None),         // majority de (2 of 3)
+      (7L, None, None, Some("s9"))                // singleton, NULL fields
+    ).toDF("doc_id", "text", "lang", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.goldenRecord(docs, "doc_id", clusters,
+        "text", "lang", "source")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        r.getString(3), r.getString(4), r.getString(5)))).toMap
+    assert(got(1L) == ((3L, 1L, "aaaa", "de", "s1")))
+    assert(got(7L) == ((1L, null, null, null, "s9")))
+    assert(got.size == 2)
+  }
 }
