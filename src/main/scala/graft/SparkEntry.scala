@@ -2505,6 +2505,40 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"),
           (col("_cents").cast("double") / 100).as("total_revenue"))
     }),
+    // credit-scoring encoder: per-source weight of evidence for English,
+    // add-one smoothed, every log a qlog BIGINT
+    "q_woe" -> ((s, dir) =>
+      InfoTheory.weightOfEvidence(
+        Tables.documents(s, dir).filter(col("lang").isNotNull),
+        "source", col("lang") === "en")),
+    // the one-number WOE summary (information value): exact decimal term
+    // sums, one fixed double chain at the end
+    "q_iv" -> ((s, dir) =>
+      InfoTheory.informationValue(
+        Tables.documents(s, dir).filter(col("lang").isNotNull),
+        "source", col("lang") === "en")),
+    // population stability of the spend-decile distribution between
+    // even/odd user cohorts — the model-monitoring drift score; buckets
+    // on the exact make-divisible grid (the calibrationCurve binning)
+    "q_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val num = col("cents") * 10L
+      val bucket = least(greatest(
+        ((num - pmod(num, lit(50000L))) / lit(50000L)).cast("long"),
+        lit(0L)), lit(9L))
+      InfoTheory.psi(ev.select(bucket.as("spend_bucket"), col("user_id")),
+        "spend_bucket", pmod(col("user_id"), lit(2)) === 0)
+    }),
+    // deterministic Poisson bootstrap: 32 resample means from ONE
+    // partial-agg'd pass (md5-drawn multiplicities, no row fan-out),
+    // exact-percentile CI over the means
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Sampling.bootstrapMeanCI(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "event_id", "cents")),
     // AMS/CM equi-join cardinality: two fixed-size md5-cell sketches, the
     // inner-product estimate next to the exact audit it replaces at
     // 100 TB, and the (est − exact)·w ≤ 3·n_a·n_b gauge
@@ -6418,6 +6452,101 @@ object SparkEntry {
         |  AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN mx
         |WHERE cents = m""".stripMargin,
+    // qlog difference of the add-one smoothed cross products
+    "q_woe" ->
+      """WITH c AS (SELECT source,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS cp,
+        |        sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS cq
+        |      FROM documents
+        |      WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS k, sum(cp)::BIGINT AS tp,
+        |        sum(cq)::BIGINT AS tq FROM c)
+        |SELECT source, n_pos, n_neg, woe_scaled,
+        |  woe_scaled::DOUBLE / 1000000 AS woe
+        |FROM (SELECT source, cp AS n_pos, cq AS n_neg,
+        |        (floor(ln(((cp + 1) * (tq + k))::DOUBLE) * 1000000)::BIGINT
+        |         - floor(ln(((cq + 1) * (tp + k))::DOUBLE)
+        |             * 1000000)::BIGINT)::BIGINT AS woe_scaled
+        |      FROM c CROSS JOIN t)""".stripMargin,
+    // Σ (share difference numerator)·woe_scaled over the common
+    // denominator (tp+k)(tq+k), summed exactly, two casts at the end
+    "q_iv" ->
+      """WITH c AS (SELECT source,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS cp,
+        |        sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS cq
+        |      FROM documents
+        |      WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS k, sum(cp)::BIGINT AS tp,
+        |        sum(cq)::BIGINT AS tq FROM c),
+        |s AS (SELECT t.k, t.tp, t.tq,
+        |        sum(((cp + 1) * (tq + k) - (cq + 1) * (tp + k))
+        |          * (floor(ln(((cp + 1) * (tq + k))::DOUBLE)
+        |               * 1000000)::BIGINT
+        |             - floor(ln(((cq + 1) * (tp + k))::DOUBLE)
+        |                 * 1000000)::BIGINT)) AS sv
+        |      FROM c CROSS JOIN t GROUP BY 1, 2, 3)
+        |SELECT k AS n_categories, tp AS n_p, tq AS n_q,
+        |  sv::DOUBLE AS iv_scaled,
+        |  sv::DOUBLE / ((tp + k)::DOUBLE * (tq + k)::DOUBLE * 1000000)
+        |    AS iv
+        |FROM s""".stripMargin,
+    // identical algebra over the spend-decile buckets between cohorts
+    "q_psi" ->
+      """WITH e AS (SELECT least(greatest(
+        |          (floor(value * 100)::BIGINT * 10) // 50000, 0), 9)
+        |          AS spend_bucket, user_id
+        |      FROM events
+        |      WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |c AS (SELECT spend_bucket,
+        |        sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+        |            END)::BIGINT AS cp,
+        |        sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1
+        |            END)::BIGINT AS cq
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS k, sum(cp)::BIGINT AS tp,
+        |        sum(cq)::BIGINT AS tq FROM c),
+        |s AS (SELECT t.k, t.tp, t.tq,
+        |        sum(((cp + 1) * (tq + k) - (cq + 1) * (tp + k))
+        |          * (floor(ln(((cp + 1) * (tq + k))::DOUBLE)
+        |               * 1000000)::BIGINT
+        |             - floor(ln(((cq + 1) * (tp + k))::DOUBLE)
+        |                 * 1000000)::BIGINT)) AS sv
+        |      FROM c CROSS JOIN t GROUP BY 1, 2, 3)
+        |SELECT k AS n_categories, tp AS n_p, tq AS n_q,
+        |  sv::DOUBLE AS psi_scaled,
+        |  sv::DOUBLE / ((tp + k)::DOUBLE * (tq + k)::DOUBLE * 1000000)
+        |    AS psi
+        |FROM s""".stripMargin,
+    // the identical md5-drawn Poisson multiplicities, 2·B sums in one
+    // aggregate, the B means unnested through quantile_cont
+    "q_bootstrap_ci" -> {
+      val B = 32
+      val ths = Sampling.poissonOneThresholds(8)
+      def u(b: Int) =
+        s"${sqlMd5Int(s"(event_id::VARCHAR || ':boot:$b')")} % 1000000"
+      def wgt(b: Int) = ths.map(t =>
+        s"(CASE WHEN u$b >= $t THEN 1 ELSE 0 END)").mkString("(", " + ", s")::BIGINT")
+      s"""WITH base AS (SELECT floor(value * 100)::BIGINT AS v,
+         |        ${(0 until B).map(b => s"${u(b)} AS u$b").mkString(",\n|        ")}
+         |      FROM events
+         |      WHERE event_id IS NOT NULL AND value IS NOT NULL),
+         |w AS (SELECT v,
+         |        ${(0 until B).map(b => s"${wgt(b)} AS w$b").mkString(",\n|        ")}
+         |      FROM base),
+         |a AS (SELECT count(*)::BIGINT AS n_rows, sum(v)::BIGINT AS sx,
+         |        ${(0 until B).map(b => s"sum(w$b * v)::BIGINT AS swx$b, sum(w$b)::BIGINT AS sw$b").mkString(",\n|        ")}
+         |      FROM w),
+         |m AS (SELECT n_rows, sx, unnest([
+         |        ${(0 until B).map(b => s"CASE WHEN sw$b > 0 THEN floor(swx$b::DOUBLE / sw$b::DOUBLE * 1000000) / 1000000 END").mkString(",\n|        ")}
+         |      ]) AS mm FROM a)
+         |SELECT n_rows, count(mm)::BIGINT AS n_resamples,
+         |  CASE WHEN n_rows > 0
+         |       THEN floor(sx::DOUBLE / n_rows::DOUBLE * 1000000) / 1000000
+         |  END AS mean,
+         |  floor(quantile_cont(mm, 0.025) * 1000000) / 1000000 AS ci_lo,
+         |  floor(quantile_cont(mm, 0.975) * 1000000) / 1000000 AS ci_hi
+         |FROM m GROUP BY n_rows, sx""".stripMargin
+    },
     // both CMS tables rebuilt cell-for-cell (the q_heavy_hitters md5
     // cells), per-row inner products with empty rows COALESCE'd to 0,
     // min over rows; the exact audit is the distinct-key counts join

@@ -318,4 +318,93 @@ object InfoTheory {
       .select(col(group), qlog(col("_rank")).as("log_rank"),
         qlog(col("_f")).as("log_freq"))
   }
+
+  /** Shared (category × outcome) count frame for the WOE/IV/PSI family:
+    * one partial-agg'd shuffle on the category building BOTH sides' counts
+    * in the same row (the klDrift shape), with the O(1) totals
+    * (n_categories, n_p, n_q) attached via a 1-row broadcast. */
+  private def sideCounts(df: DataFrame, cat: String,
+                         isP: Column): DataFrame = {
+    val counts = df.filter(col(cat).isNotNull)
+      .groupBy(col(cat))
+      .agg(sum(when(isP, 1L).otherwise(0L)).as("_cp"),
+        sum(when(isP, 0L).otherwise(1L)).as("_cq"))
+    val totals = counts.groupBy()
+      .agg(count(lit(1)).as("_k"), sum(col("_cp")).as("_tp"),
+        sum(col("_cq")).as("_tq"))
+    counts.crossJoin(broadcast(totals))
+  }
+
+  /** Weight of evidence per category — the credit-scoring encoder next to
+    * leave-one-out target encoding: WOE(c) = ln(P(c|pos)/P(c|neg)),
+    * add-one smoothed over the category union (the klDrift convention, so
+    * a side's zero count shifts the ratio instead of exploding it):
+    *
+    *   woe_scaled = qlog((cᵖ+1)·(Nᵠ+K)) − qlog((cᵠ+1)·(Nᵖ+K))
+    *
+    * — exact BIGINT per category (both products < 2⁵³ for rows to ~9·10⁷
+    * single-category worst case, ANSI loud past 2⁶³), one double division
+    * for `woe`. ONE count shuffle on the category + a 1-row totals
+    * broadcast; O(categories) output rows (cat, n_pos, n_neg, woe_scaled,
+    * woe). NULL categories drop; NULL outcomes count as negative (mirror
+    * the caller's boolean). */
+  def weightOfEvidence(df: DataFrame, cat: String, isP: Column): DataFrame = {
+    val emitted = Seq("n_pos", "n_neg", "woe_scaled", "woe",
+      "_cp", "_cq", "_k", "_tp", "_tq")
+    require(!emitted.contains(cat),
+      s"weightOfEvidence emits/uses ${emitted.mkString(", ")}; rename inputs")
+    sideCounts(df, cat, isP)
+      .select(col(cat), col("_cp").as("n_pos"), col("_cq").as("n_neg"),
+        (qlog((col("_cp") + 1L) * (col("_tq") + col("_k")))
+          - qlog((col("_cq") + 1L) * (col("_tp") + col("_k"))))
+          .as("woe_scaled"))
+      .withColumn("woe",
+        col("woe_scaled").cast("double") / LogScale.toDouble)
+  }
+
+  /** Information value — the one-number summary of weightOfEvidence
+    * (industry bands: <0.02 useless, >0.5 suspicious):
+    * IV = Σ_c (P(c|pos) − P(c|neg))·WOE(c), add-one smoothed on both
+    * factors. With the shares put over the common denominator
+    * D = (Nᵖ+K)·(Nᵠ+K), each term's numerator
+    * ((cᵖ+1)·(Nᵠ+K) − (cᵠ+1)·(Nᵖ+K))·woe_scaled is exact and ALWAYS
+    * ≥ 0 (both factors share a sign), summed in decimal(38,0); `iv` is
+    * one fixed double chain (cast, two multiplies, one divide — all
+    * correctly rounded, engine-identical). `iv_scaled` is the exact
+    * decimal sum surfaced as a correctly-rounded double (exact to 2⁵³).
+    * Same single-shuffle shape. Emits ONE row
+    * (n_categories, n_p, n_q, iv_scaled, iv). */
+  def informationValue(df: DataFrame, cat: String, isP: Column): DataFrame = {
+    val emitted = Seq("n_categories", "n_p", "n_q", "iv_scaled", "iv",
+      "_cp", "_cq", "_k", "_tp", "_tq", "_t")
+    require(!emitted.contains(cat),
+      s"informationValue emits/uses ${emitted.mkString(", ")}; rename inputs")
+    sideCounts(df, cat, isP)
+      .select(col("_k"), col("_tp"), col("_tq"),
+        dec(((col("_cp") + 1L) * (col("_tq") + col("_k"))
+            - (col("_cq") + 1L) * (col("_tp") + col("_k")))
+          * (qlog((col("_cp") + 1L) * (col("_tq") + col("_k")))
+            - qlog((col("_cq") + 1L) * (col("_tp") + col("_k")))))
+          .as("_t"))
+      .groupBy(col("_k"), col("_tp"), col("_tq"))
+      .agg(sum(col("_t")).as("_s"))
+      .select(col("_k").as("n_categories"), col("_tp").as("n_p"),
+        col("_tq").as("n_q"), col("_s").cast("double").as("iv_scaled"),
+        (col("_s").cast("double")
+          / ((col("_tp") + col("_k")).cast("double")
+             * (col("_tq") + col("_k")).cast("double")
+             * LogScale.toDouble)).as("iv"))
+  }
+
+  /** Population stability index — the model-monitoring drift score the
+    * industry reads before retraining (bands: <0.1 stable, >0.25 shifted):
+    * PSI = Σ_c (p_c − q_c)·ln(p_c/q_c), add-one smoothed — algebraically
+    * informationValue with the two distributions as the "sides", and the
+    * identical exact-integer shape: every term ≥ 0, decimal sum, one
+    * fixed double chain at the end. Emits ONE row
+    * (n_categories, n_p, n_q, psi_scaled, psi). */
+  def psi(df: DataFrame, cat: String, isP: Column): DataFrame =
+    informationValue(df, cat, isP)
+      .select(col("n_categories"), col("n_p"), col("n_q"),
+        col("iv_scaled").as("psi_scaled"), col("iv").as("psi"))
 }

@@ -264,4 +264,82 @@ object Sampling {
           floor(col("w_scaled").cast("double") / col("_tw").cast("double")
             * 1000000d) / 1000000d).as("share"))
   }
+
+  /** Cumulative Poisson(1) CDF thresholds over the 10⁶ draw space,
+    * T_k = ⌊CDF(k)·10⁶⌋ for k = 0..maxK — public so oracle SQL generators
+    * embed the IDENTICAL integers (the cumulativeThresholds convention).
+    * A uniform draw u ∈ [0, 10⁶) maps to weight #{k : u ≥ T_k}, i.e. a
+    * Poisson(1) variate truncated at maxK+1. */
+  def poissonOneThresholds(maxK: Int): Seq[Long] = {
+    require(maxK >= 0, s"maxK must be >= 0, got $maxK")
+    var cum = 0.0
+    var term = math.exp(-1.0) // e⁻¹/0!
+    (0 to maxK).map { k =>
+      cum += term
+      term /= (k + 1).toDouble
+      math.min((cum * 1e6).toLong, 1000000L)
+    }
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean of an integral
+    * column — the resampling-free bootstrap (Chamberlain/Owen; the
+    * standard distributed form): each row enters resample b with
+    * multiplicity ~ Poisson(1), drawn DETERMINISTICALLY from
+    * md5(id:salt:b) through the quantized CDF thresholds above, so the
+    * "randomness" is a pure function of (ids, salt) — identical on any
+    * engine, partitioning, or rerun, and the whole statistic is
+    * oracle-checkable where a seeded RNG bootstrap never is.
+    *
+    * Shape: ONE partial-agg'd pass computes all 2·B resample sums as
+    * separate aggregate expressions over per-row integer weights — no
+    * B× row fan-out, no shuffle keyed on anything (a single global agg);
+    * the B means then explode from the one result row and collapse
+    * through exact `percentile` interpolation (O(B) memory). Per-resample
+    * means and the CI bounds are trunc6'd; empty resamples (possible only
+    * on tiny inputs) are skipped by the percentile and reported via
+    * n_resamples. Truncating multiplicity at maxK+1 loses
+    * P(X > maxK) ≈ 10⁻⁷ of draws at maxK = 8 — quantified, deterministic,
+    * and identical on both engines, so it is a definition, not an error.
+    * NULL ids/values drop. Emits ONE row
+    * (n_rows, n_resamples, mean, ci_lo, ci_hi). */
+  def bootstrapMeanCI(df: DataFrame, id: String, value: String,
+                      resamples: Int = 32, maxK: Int = 8,
+                      loQ: Double = 0.025, hiQ: Double = 0.975,
+                      salt: String = "boot"): DataFrame = {
+    require(resamples >= 2, s"resamples must be >= 2, got $resamples")
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1, got $loQ/$hiQ")
+    val ths = poissonOneThresholds(maxK)
+    def wgt(b: Int): Column = {
+      val u = pmod(graft.expressions.Md5Expressions.md5Int(
+        concat(col(id).cast("string"), lit(s":$salt:$b"))), lit(1000000L))
+      ths.map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
+    }
+    val base = df.filter(col(id).isNotNull && col(value).isNotNull)
+      .select(Seq(col(value).cast("long").as("_v")) ++
+        (0 until resamples).map(b => wgt(b).as(s"_w$b")): _*)
+    val aggs =
+      (0 until resamples).flatMap(b => Seq(
+        sum(col(s"_w$b") * col("_v")).as(s"_swx$b"),
+        sum(col(s"_w$b")).as(s"_sw$b"))) ++
+      Seq(count(lit(1)).as("n_rows"), sum(col("_v")).as("_sx"))
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val means = (0 until resamples).map(b =>
+      when(col(s"_sw$b") > 0L,
+        floor(col(s"_swx$b").cast("double") / col(s"_sw$b").cast("double")
+          * 1000000d) / 1000000d))
+    one.select(col("n_rows"), col("_sx"),
+        explode(array(means: _*)).as("_m"))
+      .groupBy(col("n_rows"), col("_sx"))
+      .agg(count(col("_m")).as("n_resamples"),
+        (floor(percentile(col("_m"), lit(loQ)) * 1000000d) / 1000000d)
+          .as("ci_lo"),
+        (floor(percentile(col("_m"), lit(hiQ)) * 1000000d) / 1000000d)
+          .as("ci_hi"))
+      .select(col("n_rows"), col("n_resamples"),
+        when(col("n_rows") > 0L,
+          floor(col("_sx").cast("double") / col("n_rows").cast("double")
+            * 1000000d) / 1000000d).as("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

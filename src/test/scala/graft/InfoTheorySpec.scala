@@ -219,4 +219,33 @@ class InfoTheorySpec extends SparkSpec {
     val empty = drift(Seq("x"), Seq.empty)
     assert(empty.isNullAt(4)) // distance to a nonexistent distribution
   }
+
+  test("weightOfEvidence + informationValue: hand-computed qlog algebra; " +
+      "psi is exactly 0 on identical sides and > 0 on shifted ones") {
+    def qlog(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    // cats: a → 2 pos/1 neg, b → 1 pos/2 neg; K=2, tp=3, tq=3
+    val df = Seq(("a", true), ("a", true), ("a", false),
+      ("b", true), ("b", false), ("b", false)).toDF("cat", "y")
+    val woe = InfoTheory.weightOfEvidence(df, "cat", col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expA = qlog(3L * 5L) - qlog(2L * 5L) // (cp+1)(tq+K) vs (cq+1)(tp+K)
+    val expB = qlog(2L * 5L) - qlog(3L * 5L)
+    assert(woe("a") == ((2L, 1L, expA)))
+    assert(woe("b") == ((1L, 2L, expB)))
+    val iv = InfoTheory.informationValue(df, "cat", col("y")).head()
+    // numerators: a → 3·5 − 2·5 = 5; b → 2·5 − 3·5 = −5
+    val expIv = 5L * expA + (-5L) * expB
+    assert((iv.getLong(0), iv.getLong(1), iv.getLong(2)) == (2L, 3L, 3L))
+    assert(iv.getDouble(3) == expIv.toDouble)
+    assert(iv.getDouble(4) == expIv.toDouble / (5.0 * 5.0 * 1e6))
+    // identical sides → every term numerator 0 → psi EXACTLY 0
+    val same = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+      .toDF("cat", "y")
+    val p0 = InfoTheory.psi(same, "cat", col("y")).head()
+    assert(p0.getDouble(3) == 0.0 && p0.getDouble(4) == 0.0)
+    // every term is (x − y)·(qlog x − qlog y) with both factors sharing
+    // a sign → psi never negative
+    assert(InfoTheory.psi(df, "cat", col("y")).head().getDouble(4) > 0.0)
+  }
 }

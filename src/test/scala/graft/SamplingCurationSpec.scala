@@ -327,4 +327,33 @@ class SamplingCurationSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("temperatureShares")))
   }
+
+  test("poissonOneThresholds quantizes the Poisson(1) CDF; " +
+      "bootstrapMeanCI brackets the mean, is rerun-identical, and " +
+      "reports empty input honestly") {
+    import spark.implicits._
+    val ths = Sampling.poissonOneThresholds(8)
+    assert(ths.head == 367879L)         // ⌊e⁻¹·10⁶⌋
+    assert(ths == ths.sorted && ths.last <= 1000000L)
+    val df = (1L to 400L).map(i => (i, i % 100)).toDF("id", "v")
+    val r = Sampling.bootstrapMeanCI(df, "id", "v").head()
+    assert(r.getLong(0) == 400L && r.getLong(1) == 32L)
+    val mean = r.getDouble(2)
+    assert(mean == math.floor(
+      (1L to 400L).map(_ % 100).sum.toDouble / 400d * 1e6) / 1e6)
+    // the CI brackets the point estimate, and is a real interval
+    assert(r.getDouble(3) <= mean && mean <= r.getDouble(4))
+    assert(r.getDouble(3) < r.getDouble(4))
+    // a pure function of (ids, salt): rerun is bit-identical
+    val r2 = Sampling.bootstrapMeanCI(df, "id", "v").head()
+    assert(r.toSeq == r2.toSeq)
+    // a different salt moves the draws (CI shifts, mean does not)
+    val r3 = Sampling.bootstrapMeanCI(df, "id", "v", salt = "other").head()
+    assert(r3.getDouble(2) == mean)
+    assert(r3.getDouble(3) != r.getDouble(3) ||
+      r3.getDouble(4) != r.getDouble(4))
+    val e = Sampling.bootstrapMeanCI(df.filter(col("v") < 0), "id", "v")
+      .head()
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2))
+  }
 }
