@@ -214,6 +214,16 @@ object StreamDemo {
         1, 8)
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // upsert compaction as the STATE MACHINE (latestSnapshots): the
+    // max-by fold emits each key's current winner per micro-batch in
+    // append mode — the changelog feed where q8's complete mode re-emits
+    // the whole table every trigger
+    val q17 = StateMachines.latestSnapshots(
+        StateMachines.payloadEvents(audit, col("user"),
+          unix_millis(col("event_time")), col("id"), col("operation"),
+          col("duration").cast("double")))
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     def audited: Long = q3.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
     val deadline = System.currentTimeMillis() + 30000
@@ -226,13 +236,14 @@ object StreamDemo {
       s"continuous session-window, stream-stream window-join, as-of join, " +
       s"interval-join, windowed heavy-hitter, upsert-compaction, fuzzy-" +
       s"resolve, windowed-drift, expanding-anomaly, windowed-quantile, " +
-      s"session-funnel, windowed-entropy, token-bucket and EWMA queries " +
+      s"session-funnel, windowed-entropy, token-bucket, EWMA and " +
+      s"compaction-machine queries " +
       s"(${asofRows.get()} as-of rows, " +
       s"$stateRows state rows, ${fuzzyRows.get()} fuzzy matches, " +
       s"${driftRows.get()} drift rows)")
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
     q10.stop(); q11.stop(); q12.stop(); q13.stop(); q14.stop(); q15.stop()
-    q16.stop()
+    q16.stop(); q17.stop()
     spark.stop()
   }
 }
