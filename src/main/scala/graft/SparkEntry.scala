@@ -2505,6 +2505,30 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"),
           (col("_cents").cast("double") / 100).as("total_revenue"))
     }),
+    // continuous PSI monitoring, batch-run: per-day event-mix stability
+    // against the whole corpus's mix — ONE CategoryCountAgg aggregation,
+    // baseline folded in as a plan literal (the q_kl_by_window pattern
+    // with the industry drift score)
+    "q_psi_by_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      graft.streaming.StreamOps.windowedPsi(ev, "event_type", "ts",
+        "1 day", "0 seconds", ev, "event_type")
+    }),
+    // per-node triangle membership and local clustering — which nodes sit
+    // in tight co-sourcing pockets vs bridge strangers; every triangle
+    // closed once from its lowest-degree corner, then credited to all
+    // three corners
+    "q_local_clustering" -> ((s, dir) =>
+      Graph.localClustering(coSourcingEdges(s, dir), "src", "dst")),
+    // split-conformal interval: md5-split halves, per-type integer-mean
+    // predictor from the calibration half, exact rank-selected conformal
+    // radius, realized test coverage — all integers until the final ratio
+    "q_conformal" -> ((s, dir) =>
+      Eval.conformalInterval(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "event_type", "cents", "event_id")),
     // credit-scoring encoder: per-source weight of evidence for English,
     // add-one smoothed, every log a qlog BIGINT
     "q_woe" -> ((s, dir) =>
@@ -6452,6 +6476,110 @@ object SparkEntry {
         |  AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN mx
         |WHERE cents = m""".stripMargin,
+    // the q_kl_by_window CTE chain with the PSI term swapped in
+    "q_psi_by_window" ->
+      s"""WITH t AS (SELECT $evMs - $evMs % $D AS w, event_type AS cat
+         |           FROM events
+         |           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |c AS (SELECT w, cat, count(*)::BIGINT AS cp FROM t GROUP BY 1, 2),
+         |ref AS (SELECT event_type AS cat, count(*)::BIGINT AS cq
+         |        FROM events
+         |        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |        GROUP BY 1),
+         |tq AS (SELECT sum(cq)::BIGINT AS tq FROM ref),
+         |wins AS (SELECT DISTINCT w FROM c),
+         |cats AS (SELECT DISTINCT w, cat FROM (
+         |    SELECT w, cat FROM c
+         |    UNION ALL SELECT wins.w, ref.cat FROM wins, ref)),
+         |g AS (SELECT w, count(*)::BIGINT AS k FROM cats GROUP BY 1),
+         |tp AS (SELECT w, sum(cp)::BIGINT AS tp FROM c GROUP BY 1),
+         |terms AS (SELECT cats.w,
+         |    ((COALESCE(c.cp, 0) + 1) * ((SELECT tq FROM tq) + g.k)
+         |     - (COALESCE(r.cq, 0) + 1) * (tp.tp + g.k))
+         |    * (floor(ln(((COALESCE(c.cp, 0) + 1)
+         |         * ((SELECT tq FROM tq) + g.k))::DOUBLE) * 1000000)::BIGINT
+         |     - floor(ln(((COALESCE(r.cq, 0) + 1)
+         |         * (tp.tp + g.k))::DOUBLE) * 1000000)::BIGINT) AS trm
+         |  FROM cats
+         |  LEFT JOIN c ON c.w = cats.w AND c.cat = cats.cat
+         |  LEFT JOIN ref r ON r.cat = cats.cat
+         |  JOIN g ON g.w = cats.w
+         |  JOIN tp ON tp.w = cats.w)
+         |SELECT t.w AS window_start_ms, g.k AS n_categories, tp.tp AS n_p,
+         |  (SELECT tq FROM tq) AS n_q,
+         |  sum(t.trm)::DOUBLE AS psi_scaled,
+         |  sum(t.trm)::DOUBLE / ((tp.tp + g.k)::DOUBLE
+         |    * ((SELECT tq FROM tq) + g.k)::DOUBLE * 1000000) AS psi
+         |FROM terms t JOIN g ON g.w = t.w JOIN tp ON tp.w = t.w
+         |GROUP BY t.w, g.k, tp.tp""".stripMargin,
+    // triangleStats' orientation walk, closed triples credited to all
+    // three corners, lcc one floored division; degree-1 nodes NULL
+    "q_local_clustering" ->
+      """WITH e0 AS (SELECT DISTINCT (l_suppkey * 2)::VARCHAR AS x,
+        |              (l_partkey * 2 + 1)::VARCHAR AS y FROM lineitem),
+        |und AS (SELECT DISTINCT CASE WHEN x < y THEN x ELSE y END AS a,
+        |               CASE WHEN x < y THEN y ELSE x END AS b
+        |        FROM e0
+        |        WHERE x IS NOT NULL AND y IS NOT NULL AND x <> y),
+        |deg AS (SELECT node, count(*)::BIGINT AS d
+        |        FROM (SELECT a AS node FROM und
+        |              UNION ALL SELECT b FROM und)
+        |        GROUP BY 1),
+        |orient AS (SELECT CASE WHEN da.d < db.d
+        |                       OR (da.d = db.d AND a < b)
+        |                  THEN a ELSE b END AS u,
+        |                  CASE WHEN da.d < db.d
+        |                       OR (da.d = db.d AND a < b)
+        |                  THEN b ELSE a END AS v
+        |           FROM und
+        |           JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+        |tri AS (SELECT o1.u, o1.v AS p, o2.v AS q
+        |        FROM orient o1 JOIN orient o2 ON o1.u = o2.u
+        |        WHERE o1.v < o2.v
+        |          AND EXISTS (SELECT 1 FROM und
+        |                      WHERE und.a = o1.v AND und.b = o2.v)),
+        |corners AS (SELECT node, count(*)::BIGINT AS t FROM (
+        |    SELECT u AS node FROM tri
+        |    UNION ALL SELECT p FROM tri
+        |    UNION ALL SELECT q FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg.d AS degree,
+        |  COALESCE(corners.t, 0)::BIGINT AS n_triangles,
+        |  CASE WHEN deg.d >= 2
+        |       THEN floor((COALESCE(corners.t, 0) * 2)::DOUBLE
+        |              / (deg.d * (deg.d - 1))::DOUBLE * 1000000) / 1000000
+        |  END AS lcc
+        |FROM deg LEFT JOIN corners ON corners.node = deg.node""".stripMargin,
+    // md5 halves, integer-mean model, rank ⌈(n+1)(1−α)⌉ residual, test
+    // coverage; test rows of unseen groups drop from coverage
+    "q_conformal" ->
+      s"""WITH b AS (SELECT event_type AS g, floor(value * 100)::BIGINT AS v,
+         |        ${sqlMd5Int("(event_id::VARCHAR || ':conf')")} % 2 = 0
+         |          AS cal
+         |      FROM events
+         |      WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+         |        AND value IS NOT NULL),
+         |mdl AS (SELECT g, sum(v) // count(*) AS mu FROM b
+         |        WHERE cal GROUP BY 1),
+         |r AS (SELECT b.cal, abs(b.v - mdl.mu) AS res
+         |      FROM b JOIN mdl USING (g)),
+         |nc AS (SELECT count(*)::BIGINT AS n_cal FROM r WHERE cal),
+         |qh AS (SELECT min(res)::BIGINT AS q_hat FROM (
+         |         SELECT res, count(*) OVER (ORDER BY res
+         |             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |         FROM r WHERE cal)
+         |       WHERE cum >= least(
+         |         (((SELECT n_cal FROM nc) + 1) * 90 + 99) // 100,
+         |         (SELECT n_cal FROM nc))),
+         |ts AS (SELECT count(*)::BIGINT AS n_test,
+         |         sum(CASE WHEN res <= (SELECT q_hat FROM qh)
+         |             THEN 1 ELSE 0 END)::BIGINT AS n_in
+         |       FROM r WHERE NOT cal)
+         |SELECT nc.n_cal, ts.n_test, (SELECT q_hat FROM qh) AS q_hat,
+         |  CASE WHEN ts.n_test > 0
+         |       THEN floor(ts.n_in::DOUBLE / ts.n_test::DOUBLE * 1000000)
+         |            / 1000000
+         |  END AS coverage
+         |FROM nc CROSS JOIN ts""".stripMargin,
     // qlog difference of the add-one smoothed cross products
     "q_woe" ->
       """WITH c AS (SELECT source,

@@ -305,6 +305,67 @@ object Eval {
             / (col("_b._P") * col("_b._ct")).cast("double"))).as("lift"))
   }
 
+  /** Split-conformal prediction interval with finite-sample coverage —
+    * the distribution-free "how wrong is this model, with guarantees"
+    * audit (Vovk et al.; the modern ML-eval staple). The frame splits
+    * 50/50 by md5(id:salt) (deterministic, engine-reproducible — the
+    * splitAssign convention); the CALIBRATION half fits a per-group
+    * integer-mean predictor (sum div n — exact floor division, no float)
+    * and supplies the conformal radius q_hat = the
+    * ⌈(n_cal+1)·(1−α)⌉-th smallest absolute residual (clamped to n_cal);
+    * the TEST half reports the realized coverage of ±q_hat, which the
+    * conformal theorem guarantees ≥ 1−α in expectation.
+    *
+    * Exactness: residuals are integer |v − μ_g|; the rank selection runs
+    * over the per-residual count frame through the distributed bucket
+    * prefix scan (orderedPrefixSum — never an unpartitioned window) and
+    * picks min{r : cum(r) ≥ rank} — an exact order statistic; coverage
+    * is one trunc6'd division. Test rows whose group never appears in
+    * the calibration half have NO prediction and are EXCLUDED from
+    * coverage (undefined is not a miss), reported via n_test. NULL
+    * ids/groups/values drop. `alphaPct` is α in percent (integer, so
+    * the rank ceiling is exact integer arithmetic). Emits ONE row
+    * (n_cal, n_test, q_hat, coverage). */
+  def conformalInterval(df: DataFrame, group: String, value: String,
+                        id: String, alphaPct: Int = 10,
+                        salt: String = "conf"): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99,
+      s"alphaPct must be in [1, 99], got $alphaPct")
+    val base = df.filter(col(id).isNotNull && col(group).isNotNull
+        && col(value).isNotNull)
+      .select(col(group).as("_g"), col(value).cast("long").as("_v"),
+        (pmod(graft.expressions.Md5Expressions.md5Int(
+          concat(col(id).cast("string"), lit(s":$salt"))), lit(2L)) === 0L)
+          .as("_cal"))
+      .localCheckpoint(true) // feeds the model, the ranks, and the test
+    val model = base.filter(col("_cal"))
+      .groupBy(col("_g"))
+      .agg(expr("sum(_v) div count(1)").as("_mu"))
+    val resid = base.join(model, Seq("_g"))
+      .select(col("_cal"), abs(col("_v") - col("_mu")).as("_r"))
+      .localCheckpoint(true)
+    val calCounts = resid.filter(col("_cal"))
+      .groupBy(col("_r")).agg(count(lit(1)).as("_n"))
+    val cum = CoreOps.orderedPrefixSum(calCounts, col("_r"), "_r",
+      "_n", "_cum")
+    val nCal = resid.filter(col("_cal")).agg(count(lit(1)).as("n_cal"))
+    // rank = min(⌈(n_cal+1)·(1−α)⌉, n_cal), exact integer arithmetic
+    val qHat = cum.crossJoin(broadcast(nCal))
+      .withColumn("_rank",
+        least(expr(s"((n_cal + 1) * ${100 - alphaPct} + 99) div 100"),
+          col("n_cal")))
+      .filter(col("_cum") >= col("_rank"))
+      .agg(min(col("_r")).as("q_hat"))
+    val test = resid.filter(!col("_cal"))
+      .crossJoin(broadcast(qHat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("_r") <= col("q_hat"), 1L).otherwise(0L)).as("_in"))
+    nCal.crossJoin(broadcast(qHat)).crossJoin(broadcast(test))
+      .select(col("n_cal"), col("n_test"), col("q_hat"),
+        when(col("n_test") > 0L, trunc6(col("_in").cast("double")
+          / col("n_test").cast("double"))).as("coverage"))
+  }
+
   /** Expected calibration error over the SAME exact integer binning as
     * CoreOps.calibrationCurve — the one-number companion to the curve.
     * With conf_b normalized onto [0,1] by (S_b − lo·n_b)/(n_b·width),

@@ -135,6 +135,36 @@ object InfoTheory {
         / ((tp + k).cast("double") * LogScale.toDouble)).as("kl"))
   }
 
+  /** PSI columns from a CategoryCountAgg distribution against a
+    * PLAN-LITERAL reference — klFromCounts' algebra swapped for the
+    * population-stability term, so a live stream can carry the industry
+    * drift score per window with ONE aggregation: term =
+    * ((cp′·(NQ′) − cq′·(NP′))·(qlog(cp′·NQ′) − qlog(cq′·NP′)) over the
+    * union category set (primes = add-one smoothed), every term ≥ 0,
+    * summed in decimal inside the array fold; psi = one fixed double
+    * chain. Returns (n_categories, n_p, n_q, psi_scaled, psi). */
+  def psiFromCounts(counts: Column, ref: Map[String, Long]): Seq[Column] = {
+    require(ref.nonEmpty, "psiFromCounts needs a non-empty reference")
+    require(ref.values.forall(_ > 0),
+      "psiFromCounts reference counts must be positive")
+    val mp = map_from_entries(counts)
+    val refMap = typedlit(ref)
+    val cats = array_union(map_keys(mp), map_keys(refMap))
+    val k = size(cats).cast("long")
+    val tp = aggregate(counts, lit(0L), (a, x) => a + x.getField("n"))
+    val tq = lit(ref.values.sum)
+    def cp1(c: Column) = coalesce(element_at(mp, c), lit(0L)) + lit(1L)
+    def cq1(c: Column) = coalesce(element_at(refMap, c), lit(0L)) + lit(1L)
+    val num = aggregate(cats, lit(0L).cast("decimal(38,0)"),
+      (a, c) => a + dec((cp1(c) * (tq + k) - cq1(c) * (tp + k))
+        * (qlog(cp1(c) * (tq + k)) - qlog(cq1(c) * (tp + k)))))
+    Seq(k.as("n_categories"), tp.as("n_p"), tq.as("n_q"),
+      num.cast("double").as("psi_scaled"),
+      (num.cast("double")
+        / ((tp + k).cast("double") * (tq + k).cast("double")
+           * LogScale.toDouble)).as("psi"))
+  }
+
   /** KL divergence KL(P‖Q) in nats between the `cat` distributions of the
     * `isP` and ¬`isP` slices of one frame — the drift gauge with
     * direction and magnitude in one number (TVD's unsigned cousin,

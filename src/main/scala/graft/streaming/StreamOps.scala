@@ -199,6 +199,30 @@ object StreamOps {
         graft.operators.InfoTheory.klFromCounts(col("_cc"), refCounts): _*)
   }
 
+  /** Continuous population-stability monitoring: per finalized window, the
+    * PSI of the category mix against a plan-literal baseline — the
+    * windowedKlDrift shape verbatim with psiFromCounts' ≥ 0 term algebra
+    * (the score model-monitoring dashboards alarm on). ONE CategoryCountAgg
+    * aggregation, stateless projection, no join. */
+  def windowedPsi(df: DataFrame, cat: String, ts: String,
+                  windowDur: String, lateness: String,
+                  ref: DataFrame, refCat: String): DataFrame = {
+    require(!ref.isStreaming,
+      "windowedPsi's baseline must be a static frame")
+    val refCounts = ref.filter(col(refCat).isNotNull)
+      .groupBy(col(refCat).cast("string").as("c")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(refCounts.nonEmpty,
+      "windowedPsi: the baseline frame has no categories")
+    df.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), windowDur))
+      .agg(graft.expressions.CategoryCountExpressions
+        .categoryCounts(col(cat)).as("_cc"))
+      .filter(size(col("_cc")) > 0)
+      .select(CoreOps.ms(col("window.start")).as("window_start_ms") +:
+        graft.operators.InfoTheory.psiFromCounts(col("_cc"), refCounts): _*)
+  }
+
   /** Stream-stream interval join: pair every point with the anchors of the
     * same key whose window [anchor_ts, anchor_ts + windowMs) contains the
     * point's event time — the continuous form of CoreOps.rangeJoin for

@@ -134,6 +134,39 @@ class EvalSpec extends SparkSpec {
     assert(row2.getLong(2) == 0L && row2.getDouble(3) == 0.0)
   }
 
+  test("conformalInterval: the radius is the exact conformal order " +
+      "statistic of the calibration residuals and coverage counts only " +
+      "predictable test rows") {
+    // one group, constant value → every residual 0 → q_hat 0 and
+    // coverage exactly 1 regardless of the split
+    val const = (1L to 40L).map(i => ("g", 50L, i)).toDF("g", "v", "id")
+    val r0 = Eval.conformalInterval(const, "g", "v", "id").head()
+    assert(r0.getLong(2) == 0L && r0.getDouble(3) == 1.0)
+    assert(r0.getLong(0) + r0.getLong(1) == 40L)
+    // brute-force mirror on a mixed frame: recompute split, model, rank
+    val rows = (1L to 60L).map(i => (s"t${i % 3}", (i * 7) % 23, i))
+    val df = rows.toDF("g", "v", "id")
+    val r = Eval.conformalInterval(df, "g", "v", "id").head()
+    def h(id: Long): Boolean = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:conf".getBytes("UTF-8"))
+      val hex = md5.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val cal = rows.filter(t => h(t._3))
+    val mu = cal.groupBy(_._1).map { case (g, v) =>
+      g -> v.map(_._2).sum / v.size }
+    val calRes = cal.map(t => math.abs(t._2 - mu(t._1))).sorted
+    val rank = math.min((cal.size + 1) * 90 / 100 +
+      (if ((cal.size + 1) * 90 % 100 == 0) 0 else 1), cal.size)
+    val qHat = calRes(rank - 1)
+    val test = rows.filter(t => !h(t._3)).filter(t => mu.contains(t._1))
+    val cov = math.floor(test.count(t =>
+      math.abs(t._2 - mu(t._1)) <= qHat).toDouble / test.size * 1e6) / 1e6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      (cal.size.toLong, test.size.toLong, qHat.toLong, cov))
+  }
+
   test("rocCurve: exact cumulative counts per distinct threshold, " +
       "NULL scores and labels drop") {
     val df = Seq((Some(3L), Some(true)), (Some(2L), Some(false)),

@@ -343,4 +343,25 @@ class GraphSpec extends SparkSpec {
     assert(Graph.modularity(edges, "s", "d2",
       Seq(("zz", "X")).toDF("n", "c"), "n", "c").isEmpty)
   }
+
+  test("localClustering: a bridged triangle hand graph; corner sum is " +
+      "3× the global triangle count on the diagonal-square graph") {
+    // triangle {a,b,c} + bridge c—d
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))
+      .toDF("s", "d2")
+    val got = Graph.localClustering(edges, "s", "d2")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(got("a") == ((2L, 1L, 1.0)))
+    assert(got("b") == ((2L, 1L, 1.0)))
+    assert(got("c") == ((3L, 1L, math.floor(2.0 / 6.0 * 1e6) / 1e6)))
+    assert(got("d") == ((1L, 0L, null))) // degree 1: lcc undefined
+    // square with one diagonal: 2 triangles; corner credits sum to 6,
+    // matching 3× triangleStats' global count
+    val sq = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4"),
+      ("2", "4")).toDF("s", "d2")
+    val per = Graph.localClustering(sq, "s", "d2").collect()
+    assert(per.map(_.getLong(2)).sum == 3L *
+      Graph.triangleStats(sq, "s", "d2").head().getLong(3))
+  }
 }

@@ -248,4 +248,24 @@ class InfoTheorySpec extends SparkSpec {
     // a sign → psi never negative
     assert(InfoTheory.psi(df, "cat", col("y")).head().getDouble(4) > 0.0)
   }
+
+  test("psiFromCounts with a literal reference == psi on the same two " +
+      "sides (one aggregation vs the two-sided count shuffle)") {
+    val pSide = Seq("x", "x", "x", "y")
+    val qSide = Seq("x", "y", "y", "z")
+    val both = (pSide.map(c => (c, true)) ++ qSide.map(c => (c, false)))
+      .toDF("cat", "p")
+    val twoLevel = InfoTheory.psi(both, "cat", col("p")).collect().head
+    val ref = qSide.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
+    val one = pSide.toDF("cat")
+      .agg(graft.expressions.CategoryCountExpressions
+        .categoryCounts(col("cat")).as("_cc"))
+      .select(InfoTheory.psiFromCounts(col("_cc"), ref): _*)
+      .collect().head
+    assert(one.getLong(0) == twoLevel.getLong(0))     // n_categories
+    assert(one.getLong(1) == twoLevel.getLong(1))     // n_p
+    assert(one.getLong(2) == twoLevel.getLong(2))     // n_q
+    assert(one.getDouble(3) == twoLevel.getDouble(3)) // psi_scaled
+    assert(one.getDouble(4) == twoLevel.getDouble(4)) // psi
+  }
 }
