@@ -41,6 +41,9 @@ object SparkEntry {
   // adamic-adar: middle-degree cap (keeps part middles, excludes supplier
   // hubs on the co-sourcing graph) and emitted top pairs
   private val AaMaxDeg = 64; private val AaTopN = 100
+  // Page-Hinkley drift tolerance / alarm threshold, in cents (δ=1.00,
+  // λ=500.00 — fires ~37 alarms on the sf0.01 corpus, probed)
+  private val PhDelta = 100L; private val PhLambda = 50000L
 
   /** The quasi-identifier projection the privacy audits run over:
     * (event_type, activity day, 50-currency spend bucket) — the kind of
@@ -2505,6 +2508,32 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"),
           (col("_cents").cast("double") / 100).as("total_revenue"))
     }),
+    // online mean-shift detection: the Page-Hinkley walk per user with
+    // detect-and-restart — integer floor-div mean, O(1) state per key,
+    // batch-run vs the recursive-CTE replay of the identical arithmetic
+    "q_ph_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull
+          && col("user_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      graft.streaming.StateMachines.pageHinkley(
+          graft.streaming.StateMachines.valuedEvents(ev, col("user_id"),
+            unix_millis(col("ts")), col("event_id"), col("cents")),
+          PhDelta, PhLambda)
+        .select(col("key").cast("long").as("user_id"),
+          col("tiebreak").as("event_id"), col("alarm_ms"),
+          col("n_events"), col("ph"), col("ph_min"))
+    }),
+    // outlier-proof volume trend: Theil-Sen median pairwise slope over
+    // the per-day counts (all-pairs BY DEFINITION — contracts to the
+    // post-aggregation series, fail-loud maxPoints probe), floor-div
+    // quantized slopes, exact rank-selected medians
+    "q_theil_sen" -> ((s, dir) =>
+      CoreOps.theilSen(
+        Tables.events(s, dir).filter(col("ts").isNotNull)
+          .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+          .agg(count(lit(1)).as("n_events")),
+        "day", "n_events")),
     // continuous PSI monitoring, batch-run: per-day event-mix stability
     // against the whole corpus's mix — ONE CategoryCountAgg aggregation,
     // baseline folded in as a plan literal (the q_kl_by_window pattern
@@ -6476,6 +6505,73 @@ object SparkEntry {
         |  AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN mx
         |WHERE cents = m""".stripMargin,
+    // the identical PH walk as a recursive CTE: fresh state after every
+    // alarm, floor-div running mean, alarm when m − min(m) > λ
+    "q_ph_stream" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, $evMs AS ms, floor(value * 100)::BIGINT AS vc,
+         |    event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY $evMs, event_id) AS rn
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+         |    AND ts IS NOT NULL),
+         |rec AS (
+         |  SELECT user_id, rn, ms, event_id, 1::BIGINT AS n, vc AS s,
+         |    (0 - $PhDelta)::BIGINT AS m,
+         |    least(0, 0 - $PhDelta)::BIGINT AS mn,
+         |    (0 - $PhDelta) - least(0, 0 - $PhDelta) > $PhLambda AS alarm
+         |  FROM ev WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn, e.ms, e.event_id,
+         |    CASE WHEN r.alarm THEN 1 ELSE r.n + 1 END,
+         |    CASE WHEN r.alarm THEN e.vc ELSE r.s + e.vc END,
+         |    CASE WHEN r.alarm THEN 0 - $PhDelta
+         |         ELSE r.m + e.vc - ((r.s + e.vc) // (r.n + 1))
+         |              - $PhDelta END,
+         |    least(CASE WHEN r.alarm THEN 0 ELSE r.mn END,
+         |      CASE WHEN r.alarm THEN 0 - $PhDelta
+         |           ELSE r.m + e.vc - ((r.s + e.vc) // (r.n + 1))
+         |                - $PhDelta END),
+         |    (CASE WHEN r.alarm THEN 0 - $PhDelta
+         |          ELSE r.m + e.vc - ((r.s + e.vc) // (r.n + 1))
+         |               - $PhDelta END)
+         |      - least(CASE WHEN r.alarm THEN 0 ELSE r.mn END,
+         |          CASE WHEN r.alarm THEN 0 - $PhDelta
+         |               ELSE r.m + e.vc - ((r.s + e.vc) // (r.n + 1))
+         |                    - $PhDelta END)
+         |      > $PhLambda
+         |  FROM ev e JOIN rec r ON r.user_id = e.user_id
+         |    AND e.rn = r.rn + 1)
+         |SELECT user_id, event_id, ms AS alarm_ms, n AS n_events,
+         |  m AS ph, mn AS ph_min
+         |FROM rec WHERE alarm""".stripMargin,
+    // pairwise floor-div slopes over the daily series; both medians as
+    // the lower-median rank rule over running counts
+    "q_theil_sen" ->
+      s"""WITH p AS (SELECT $evMs // 86400000 AS x, count(*)::BIGINT AS y
+         |           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         |pr AS (SELECT ((b.y - a.y) * 1000000) // (b.x - a.x) AS s
+         |       FROM p a JOIN p b ON a.x < b.x),
+         |ms AS (SELECT min(s)::BIGINT AS sv FROM (
+         |         SELECT s,
+         |           count(*) OVER (ORDER BY s
+         |             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         |           (SELECT count(*) FROM pr)::BIGINT AS tot FROM pr)
+         |       WHERE cum * 2 >= tot),
+         |ib AS (SELECT min(b)::BIGINT AS bv FROM (
+         |         SELECT y * 1000000 - (SELECT sv FROM ms) * x AS b,
+         |           count(*) OVER (
+         |             ORDER BY y * 1000000 - (SELECT sv FROM ms) * x
+         |             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         |           (SELECT count(*) FROM p)::BIGINT AS tot FROM p)
+         |       WHERE cum * 2 >= tot)
+         |SELECT (SELECT count(*) FROM p)::BIGINT AS n_points,
+         |  (SELECT count(*) FROM pr)::BIGINT AS n_pairs,
+         |  sv AS slope_scaled, sv::DOUBLE / 1000000 AS slope,
+         |  bv AS intercept_scaled, bv::DOUBLE / 1000000 AS intercept
+         |FROM ms CROSS JOIN ib
+         |WHERE (SELECT count(*) FROM pr) > 0""".stripMargin,
     // the q_kl_by_window CTE chain with the PSI term swapped in
     "q_psi_by_window" ->
       s"""WITH t AS (SELECT $evMs - $evMs % $D AS w, event_type AS cat

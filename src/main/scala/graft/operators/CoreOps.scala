@@ -267,6 +267,70 @@ object CoreOps {
         .cmsMin(col("_cms"), col(key).cast("string"), d, w).as("est_count"): _*)
   }
 
+  /** Theil–Sen robust trend: the median of all pairwise slopes between
+    * points of an integral series — the outlier-proof "is volume
+    * trending" estimator (a single corrupt day moves least-squares but
+    * not the pairwise median), plus the matching median intercept.
+    * Slopes are quantized at 10⁻⁶ via FLOOR division — the
+    * make-divisible pmod form, NOT `div`, because a negative numerator
+    * must floor like DuckDB's `//`, not truncate — and both medians are
+    * exact rank selections (the weightedMedian lower-median rule:
+    * smallest value whose cumulative count reaches half) through the
+    * distributed bucket prefix scan.
+    *
+    * This is an ALL-PAIRS operator by definition (that is what makes it
+    * robust), so it contracts to POST-AGGREGATION series — trend over
+    * days/hours/groups, never raw rows: `maxPoints` is probed with a
+    * bounded limit-read and exceeded input fails loud (the HotKeyTopN
+    * idiom). At 1000 daily points the pair frame is ~5·10⁵ rows — noise
+    * at any cluster scale. Duplicate x values contribute no pair (slope
+    * undefined); NULL x/y drop. Emits ONE row (n_points, n_pairs,
+    * slope_scaled, slope, intercept_scaled, intercept); fewer than 2
+    * distinct x emit an empty frame (no trend from one point). */
+  def theilSen(df: DataFrame, x: String, y: String,
+               maxPoints: Int = 10000): DataFrame = {
+    Seq(x, y).foreach(c => require(
+      integralTypes.contains(df.schema(c).dataType),
+      s"theilSen needs integral '$c'; got ${df.schema(c).dataType}"))
+    val pts = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .select(col(x).cast("long").as("_x"), col(y).cast("long").as("_y"))
+      .localCheckpoint(true)
+    val probed = pts.limit(maxPoints + 1).count()
+    require(probed <= maxPoints,
+      s"theilSen: input has > $maxPoints points — this is an all-pairs " +
+        "estimator; aggregate the series first or raise maxPoints")
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val pairs = pts.join(
+        broadcast(pts.select(col("_x").as("_x2"), col("_y").as("_y2"))),
+        col("_x") < col("_x2"))
+      .select(floorDiv((col("_y2") - col("_y")) * 1000000L,
+        col("_x2") - col("_x")).as("_s"))
+    def lowerMedian(vals: DataFrame, c: String): DataFrame = {
+      val counts = vals.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+      val tot = counts.agg(sum(col("_n")).as("_tot"))
+      orderedPrefixSum(counts, col(c), c, "_n", "_cum")
+        .crossJoin(broadcast(tot))
+        .filter(col("_cum") * 2 >= col("_tot"))
+        .agg(min(col(c)).as(c))
+    }
+    val slope = lowerMedian(pairs, "_s")
+    val nP = pts.agg(count(lit(1)).as("n_points"))
+    val nPr = pairs.agg(count(lit(1)).as("n_pairs"))
+    val icept = lowerMedian(
+      pts.crossJoin(broadcast(slope))
+        .select((col("_y") * 1000000L - col("_s") * col("_x")).as("_ic")),
+      "_ic")
+    nP.crossJoin(broadcast(nPr)).crossJoin(broadcast(slope))
+      .crossJoin(broadcast(icept))
+      .filter(col("n_pairs") > 0L)
+      .select(col("n_points"), col("n_pairs"),
+        col("_s").as("slope_scaled"),
+        (col("_s").cast("double") / 1000000d).as("slope"),
+        col("_ic").as("intercept_scaled"),
+        (col("_ic").cast("double") / 1000000d).as("intercept"))
+  }
+
   /** Equi-join cardinality estimation by Count-Min inner product (the
     * AMS/CM classic: |A ⋈ B| = Σ_k a_k·b_k ≈ min_r Σ_j A[r][j]·B[r][j]) —
     * the join-planning gauge a pipeline reads BEFORE committing to a

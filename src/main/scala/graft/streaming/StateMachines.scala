@@ -62,6 +62,12 @@ case class ThrottleDecision(key: String, tiebreak: Long, event_ms: Long,
 /** One remembered event per key — the twin of Flink's ValueState pair. */
 case class LastSeen(kind: String, tsMs: Long)
 
+/** Page-Hinkley walk state per key: event count, value sum, the PH
+  * statistic m, and its running minimum. */
+case class PhState(n: Long, s: Long, m: Long, mn: Long)
+case class PhAlarm(key: String, tiebreak: Long, alarm_ms: Long,
+                   n_events: Long, ph: Long, ph_min: Long)
+
 /** Payload-carrying event for the upsert compaction machine: the order key
   * (tsMs, tiebreak) plus the carried columns, NULLs preserved. */
 case class PayloadEvent(key: String, tsMs: Long, tiebreak: Long,
@@ -129,6 +135,59 @@ object StateMachines {
       tiebreak.cast("long").as("tiebreak"), kind.cast("string").as("kind"),
       value.cast("double").as("value"))
       .as[PayloadEvent]
+
+  implicit val phStateEnc: Encoder[PhState] = Encoders.product[PhState]
+  implicit val phAlarmEnc: Encoder[PhAlarm] = Encoders.product[PhAlarm]
+
+  /** Page–Hinkley changepoint detection per key — the classic streaming
+    * mean-increase test (Page 1954; Hinkley 1971): with running integer
+    * mean x̄_t = ⌊S_t/t⌋, walk m_t = m_{t−1} + (v_t − x̄_t − δ) and its
+    * running minimum M_t; alarm when m_t − M_t > λ, then RESET the state
+    * (detect-and-restart, the standard drift-monitor deployment). The
+    * online complement to the batch CUSUM changepoints (q_changepoint):
+    * O(1) integer state per key, one alarm row per detection, append-safe.
+    *
+    * All arithmetic is exact int64 with FLOOR division for the mean
+    * (values must be ≥ 0 so `//` and `div` agree across engines), so the
+    * walk — and therefore every alarm position — is bit-identical to the
+    * oracle's recursive-CTE replay. δ (drift tolerance) and λ (alarm
+    * threshold) are in value units (cents); λ > 0 so the fresh state
+    * (m = M = −δ) never alarms on its first event. Per-batch events sort
+    * by (tsMs, tiebreak) like every walk machine here; across batches
+    * arrival order governs. Emits (key, tiebreak, alarm_ms, n_events,
+    * ph, ph_min) per alarm. */
+  def pageHinkley(events: Dataset[ValuedEvent], delta: Long, lambda: Long,
+                  stateTtlMs: Option[Long] = None): Dataset[PhAlarm] = {
+    require(delta >= 0, s"delta must be >= 0, got $delta")
+    require(lambda > 0, s"lambda must be > 0, got $lambda")
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[ValuedEvent], state: GroupState[PhState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(PhState(0L, 0L, 0L, 0L))
+          val out = ArrayBuffer.empty[PhAlarm]
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            require(e.value >= 0,
+              s"pageHinkley: values must be >= 0 (floor-div mean " +
+                s"contract); got ${e.value} for key $key")
+            val n = Math.addExact(st.n, 1L)
+            val s = Math.addExact(st.s, e.value)
+            val m = Math.addExact(st.m, e.value - s / n - delta)
+            val mn = math.min(st.mn, m)
+            if (m - mn > lambda) {
+              out += PhAlarm(key, e.tiebreak, e.tsMs, n, m, mn)
+              st = PhState(0L, 0L, 0L, 0L)
+            } else st = PhState(n, s, m, mn)
+          }
+          state.update(st)
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          out.iterator
+        }
+    }
+  }
 
   /** Streaming upsert compaction — CoreOps.latestState's continuous form:
     * per key, remember the row with the LARGEST (tsMs, tiebreak) and emit

@@ -1691,4 +1691,28 @@ class CoreOpsSpec extends SparkSpec {
       b, "kb", 4, 64).head()
     assert(r3.getLong(3) == 0L && r3.getLong(4) == 0L)
   }
+
+  test("theilSen: one corrupt point cannot move the median slope; " +
+      "negative slopes FLOOR like the oracle; oversize input fails loud") {
+    import spark.implicits._
+    // y = 2x with one wild outlier at x=4
+    val pts = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L), (4L, 100L))
+      .toDF("x", "y")
+    val r = CoreOps.theilSen(pts, "x", "y").head()
+    assert((r.getLong(0), r.getLong(1)) == (5L, 10L))
+    assert(r.getLong(2) == 2000000L && r.getDouble(3) == 2.0)
+    assert(r.getLong(4) == 0L) // median intercept of the clean majority
+    // (0,5) → (3,3): slope −2/3 must FLOOR to −666667 (DuckDB // form),
+    // not truncate to −666666
+    val rn = CoreOps.theilSen(Seq((0L, 5L), (3L, 3L)).toDF("x", "y"),
+      "x", "y").head()
+    assert(rn.getLong(2) == -666667L)
+    // a single point has no pairs → empty frame, not a fake zero trend
+    assert(CoreOps.theilSen(Seq((1L, 1L)).toDF("x", "y"), "x", "y").isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      CoreOps.theilSen((1L to 30L).map(i => (i, i)).toDF("x", "y"),
+        "x", "y", maxPoints = 10)
+    }
+    assert(e.getMessage.contains("theilSen"))
+  }
 }

@@ -977,6 +977,41 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pageHinkley: the walk and its reset span micro-batches, and the " +
+      "streamed alarms equal a sequential fold of the same history") {
+    // stable prefix in batch 1; the level shift arrives in batch 2 and
+    // must alarm against state REMEMBERED from batch 1
+    val batch1 = (1 to 6).map(i => ValuedEvent("1", i.toLong, i.toLong, 10L))
+    val batch2 = (7 to 9).map(i => ValuedEvent("1", i.toLong, i.toLong, 200L)) ++
+      Seq(ValuedEvent("2", 1L, 10L, 500L)) // cold key: never alarms alone
+    val input = MemoryStream[ValuedEvent]
+    val q = StateMachines.pageHinkley(input.toDS(), 0L, 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ph_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("ph_par").as[PhAlarm].collect().toSet
+      // sequential fold of the identical arithmetic
+      def fold(vs: Seq[ValuedEvent]): Seq[PhAlarm] = {
+        var (n, s, m, mn) = (0L, 0L, 0L, 0L)
+        vs.sortBy(e => (e.tsMs, e.tiebreak)).flatMap { e =>
+          n += 1; s += e.value; m = m + e.value - s / n
+          mn = math.min(mn, m)
+          if (m - mn > 100L) {
+            val a = PhAlarm(e.key, e.tiebreak, e.tsMs, n, m, mn)
+            n = 0; s = 0; m = 0; mn = 0
+            Some(a)
+          } else None
+        }
+      }
+      val expect = (batch1 ++ batch2).groupBy(_.key).toSeq
+        .flatMap { case (_, vs) => fold(vs) }.toSet
+      assert(streamed == expect)
+      assert(streamed.nonEmpty && streamed.forall(_.key == "1"))
+    } finally q.stop()
+  }
+
   test("latestSnapshots(streaming) == latestState(batch twin): the winner " +
       "survives across batches, late arrivals lose, NULL payloads carry") {
     val batch1 = Seq(
