@@ -719,4 +719,56 @@ class PropertySpec extends SparkSpec {
         (counts.size > 1 || r.getLong(3) == 0L)
     })
   }
+
+  private val edgeGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    es <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+  } yield es
+
+  test("property: adamicAdar is invariant under edge orientation flips " +
+      "and duplicate edges (canonical distinct)") {
+    check(Prop.forAll(edgeGen) { es =>
+      val a = graft.operators.Graph.adamicAdar(
+        es.toDF("s", "d"), "s", "d", 64, 1000).collect().map(_.toSeq).toSeq
+      val flipped = es.map(_.swap) ++ es // all reversed + originals again
+      val b = graft.operators.Graph.adamicAdar(
+        flipped.toDF("s", "d"), "s", "d", 64, 1000)
+        .collect().map(_.toSeq).toSeq
+      a == b
+    })
+  }
+
+  test("property: the CM join-size estimate never undershoots the exact " +
+      "join size, and a collision-free width recovers it exactly") {
+    val keysGen = for {
+      n <- Gen.choose(0, 30)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 8L))
+      m <- Gen.choose(0, 30)
+      ls <- Gen.listOfN(m, Gen.choose(0L, 8L))
+    } yield (ks, ls)
+    check(Prop.forAll(keysGen) { case (ks, ls) =>
+      val (a, b) = (ks.toDF("k"), ls.toDF("k"))
+      val r = CoreOps.joinSizeEstimate(a, "k", b, "k", 3, 64).head()
+      val exact = r.getLong(3)
+      val wide = CoreOps.joinSizeEstimate(a, "k", b, "k", 3, 1 << 20)
+        .head().getLong(4)
+      r.getLong(4) >= exact && wide == exact
+    })
+  }
+
+  test("property: theilSen slope is invariant under a constant y shift, " +
+      "which moves only the intercept by the shift") {
+    val ptsGen = for {
+      n <- Gen.choose(2, 12)
+      ys <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }
+    check(Prop.forAll(ptsGen) { pts =>
+      val base = CoreOps.theilSen(pts.toDF("x", "y"), "x", "y").head()
+      val shifted = CoreOps.theilSen(
+        pts.map { case (x, y) => (x, y + 7L) }.toDF("x", "y"),
+        "x", "y").head()
+      shifted.getLong(2) == base.getLong(2) &&
+        shifted.getLong(4) == base.getLong(4) + 7L * 1000000L
+    })
+  }
 }
