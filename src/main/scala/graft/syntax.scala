@@ -398,6 +398,72 @@ object syntax {
     def basketLift(basket: String, item: String, minSupport: Long,
                    maxBasketSize: Int): DataFrame =
       Graph.basketLift(df, basket, item, minSupport, maxBasketSize)
+    // ── information theory / drift ─────────────────────────────────────────
+    def entropyByGroup(group: String, cat: String): DataFrame =
+      InfoTheory.entropy(df, group, cat)
+    def klDrift(cat: String, isP: Column): DataFrame =
+      InfoTheory.klDrift(df, cat, isP)
+    def hellingerDrift(cat: String, isP: Column): DataFrame =
+      InfoTheory.hellingerDrift(df, cat, isP)
+    def mutualInfo(a: String, b: String): DataFrame =
+      InfoTheory.mutualInfo(df, a, b)
+    def weightOfEvidence(cat: String, isP: Column): DataFrame =
+      InfoTheory.weightOfEvidence(df, cat, isP)
+    def informationValue(cat: String, isP: Column): DataFrame =
+      InfoTheory.informationValue(df, cat, isP)
+    def psi(cat: String, isP: Column): DataFrame =
+      InfoTheory.psi(df, cat, isP)
+
+    // ── classifier evaluation ─────────────────────────────────────────────
+    def naiveBayes(id: String, feat: String, label: String): DataFrame =
+      Eval.naiveBayes(df, id, feat, label)
+    def confusionMatrix(trueCol: String, predCol: String): DataFrame =
+      Eval.confusionMatrix(df, trueCol, predCol)
+    def classMetrics(trueCol: String, predCol: String): DataFrame =
+      Eval.classMetrics(df, trueCol, predCol)
+    def cohenKappa(trueCol: String, predCol: String): DataFrame =
+      Eval.cohenKappa(df, trueCol, predCol)
+    def rocCurve(score: String, isPos: Column): DataFrame =
+      Eval.rocCurve(df, score, isPos)
+    def youdenPoint(score: String, isPos: Column): DataFrame =
+      Eval.youdenPoint(df, score, isPos)
+    def gainsTable(score: String, isPos: Column, nBuckets: Int): DataFrame =
+      Eval.gainsTable(df, score, isPos, nBuckets)
+    def expectedCalibrationError(score: String, outcome: Column, lo: Long,
+                                 hi: Long, nBins: Int): DataFrame =
+      Eval.expectedCalibrationError(df, score, outcome, lo, hi, nBins)
+    def conformalInterval(group: String, value: String, id: String,
+                          alphaPct: Int = 10,
+                          salt: String = "conf"): DataFrame =
+      Eval.conformalInterval(df, group, value, id, alphaPct, salt)
+
+    // ── round-8 relational / graph / trend additions ──────────────────────
+    def kaplanMeier(key: String, ts: String, churnGapDays: Int,
+                    cohortDays: Int): DataFrame =
+      CoreOps.kaplanMeier(df, key, ts, churnGapDays, cohortDays)
+    def joinSizeEstimate(key: String, other: DataFrame, otherKey: String,
+                         d: Int, w: Int): DataFrame =
+      CoreOps.joinSizeEstimate(df, key, other, otherKey, d, w)
+    def theilSen(x: String, y: String, maxPoints: Int = 10000): DataFrame =
+      CoreOps.theilSen(df, x, y, maxPoints)
+    def adamicAdar(src: String, dst: String, maxMiddleDegree: Int,
+                   topN: Int): DataFrame =
+      Graph.adamicAdar(df, src, dst, maxMiddleDegree, topN)
+    def modularity(src: String, dst: String, labels: DataFrame,
+                   node: String, community: String): DataFrame =
+      Graph.modularity(df, src, dst, labels, node, community)
+    def localClustering(src: String, dst: String): DataFrame =
+      Graph.localClustering(df, src, dst)
+    def goldenRecord(id: String, clusters: DataFrame, longest: String,
+                     majority: String, minimum: String): DataFrame =
+      Dedup.goldenRecord(df, id, clusters, longest, majority, minimum)
+    def bootstrapMeanCI(id: String, value: String, resamples: Int = 32,
+                        maxK: Int = 8, loQ: Double = 0.025,
+                        hiQ: Double = 0.975,
+                        salt: String = "boot"): DataFrame =
+      Sampling.bootstrapMeanCI(df, id, value, resamples, maxK, loQ, hiQ,
+        salt)
+
     def imageMeta(id: String, bin: String): DataFrame =
       Multimodal.imageMeta(df, id, bin)
     def frameSample(id: String, bin: String, frameBytes: Int,

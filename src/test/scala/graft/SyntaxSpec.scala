@@ -66,4 +66,28 @@ class SyntaxSpec extends SparkSpec {
     assert(single.subsetOf(multi), "multi-table candidates must contain table 0's")
     assert(multi.size >= single.size)
   }
+
+  test("the round-8 facade methods delegate to their operators") {
+    val labeled = Seq((1L, "a", "X"), (1L, "b", "X"), (2L, "b", "Y"))
+      .toDF("id", "tok", "lab")
+    assert(labeled.naiveBayes("id", "tok", "lab").collect().toSet ==
+      graft.operators.Eval.naiveBayes(labeled, "id", "tok", "lab")
+        .collect().toSet)
+    val scored = Seq((3L, true), (2L, false), (1L, true)).toDF("s", "pos")
+    assert(scored.youdenPoint("s", col("pos")).head().toSeq ==
+      graft.operators.Eval.youdenPoint(scored, "s", col("pos"))
+        .head().toSeq)
+    val cats = Seq(("x", true), ("x", false), ("y", true)).toDF("c", "p")
+    assert(cats.hellingerDrift("c", col("p")).head().toSeq ==
+      graft.operators.InfoTheory.hellingerDrift(cats, "c", col("p"))
+        .head().toSeq)
+    val edges = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4"),
+      ("2", "4")).toDF("s", "d")
+    assert(edges.adamicAdar("s", "d", 64, 10).collect().toSeq ==
+      graft.operators.Graph.adamicAdar(edges, "s", "d", 64, 10)
+        .collect().toSeq)
+    val pts = Seq((0L, 0L), (1L, 2L), (2L, 4L)).toDF("x", "y")
+    assert(pts.theilSen("x", "y").head().toSeq ==
+      graft.operators.CoreOps.theilSen(pts, "x", "y").head().toSeq)
+  }
 }
