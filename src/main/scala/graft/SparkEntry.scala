@@ -2625,6 +2625,13 @@ object SparkEntry {
         Tables.events(s, dir).withColumn("cents",
           floor(col("value") * 100).cast("long")),
         "cents", col("event_type") === "purchase", 0L, 50000L, 10)),
+    // the per-language form: WHICH segment's token distribution moved —
+    // one (lang, token) count shuffle, O(langs) output
+    "q_hellinger_by_lang" -> ((s, dir) =>
+      InfoTheory.hellingerDriftByGroup(
+        Tables.documents(s, dir).select(col("lang"), col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        "lang", "tok", pmod(col("doc_id"), lit(2)) === 0)),
     // bounded symmetric drift between the even/odd doc-half token
     // distributions — klDrift's companion, zero-count-safe so no
     // smoothing distortion; every √ term floored at 10⁻⁶ on exact
@@ -6907,6 +6914,28 @@ object SparkEntry {
         |              / (sum(n)::DOUBLE * 50000) * 1000000) / 1000000
         |  END AS ece
         |FROM a""".stripMargin,
+    // the same floored-√ algebra once per language
+    "q_hellinger_by_lang" ->
+      s"""WITH t AS (SELECT lang, doc_id, unnest($toksSql) AS tok
+         |           FROM documents WHERE lang IS NOT NULL),
+         |c AS (SELECT lang, tok,
+         |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0
+         |            END)::BIGINT AS cp,
+         |        sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1
+         |            END)::BIGINT AS cq
+         |      FROM t WHERE tok IS NOT NULL GROUP BY 1, 2)
+         |SELECT lang, count(*)::BIGINT AS n_categories,
+         |  sum(cp)::BIGINT AS n_p, sum(cq)::BIGINT AS n_q,
+         |  sum(floor(sqrt((cp * cq)::DOUBLE) * 1000000)::BIGINT)::BIGINT
+         |    AS bc_scaled,
+         |  CASE WHEN sum(cp) > 0 AND sum(cq) > 0 THEN
+         |    floor(sqrt(greatest(0.0,
+         |      1.0 - sum(floor(sqrt((cp * cq)::DOUBLE)
+         |              * 1000000)::BIGINT)::DOUBLE
+         |            / (sqrt((sum(cp)::BIGINT * sum(cq)::BIGINT)::DOUBLE)
+         |               * 1000000))) * 1000000) / 1000000
+         |  END AS hellinger
+         |FROM c GROUP BY 1""".stripMargin,
     // Bhattacharyya terms floored at the term on exact integer products
     // (IEEE sqrt/mul correctly rounded → engine-identical), summed
     // exactly; the final bc/hellinger chain is one fixed op sequence

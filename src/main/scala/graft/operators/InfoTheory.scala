@@ -135,6 +135,42 @@ object InfoTheory {
         / ((tp + k).cast("double") * LogScale.toDouble)).as("kl"))
   }
 
+  /** Per-group hellingerDrift — the ksStatisticByGroup pattern: the same
+    * term-floored Bhattacharyya algebra once per group value, in ONE
+    * (group, category)-keyed count shuffle plus an O(groups)-row margin
+    * agg — which segment's distribution moved, not just whether any did.
+    * Groups where either side is empty emit hellinger NULL (undefined,
+    * like the global form). Emits one row per group
+    * (group, n_categories, n_p, n_q, bc_scaled, hellinger). */
+  def hellingerDriftByGroup(df: DataFrame, group: String, cat: String,
+                            isP: Column): DataFrame = {
+    val emitted = Seq("n_categories", "n_p", "n_q", "bc_scaled", "hellinger",
+      "_cp", "_cq", "_t")
+    require(!emitted.contains(cat) && !emitted.contains(group),
+      s"hellingerDriftByGroup emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
+    df.filter(col(cat).isNotNull && col(group).isNotNull)
+      .groupBy(col(group), col(cat))
+      .agg(sum(when(isP, 1L).otherwise(0L)).as("_cp"),
+        sum(when(isP, 0L).otherwise(1L)).as("_cq"))
+      .select(col(group),
+        dec(floor(sqrt((col("_cp") * col("_cq")).cast("double"))
+          * LogScale.toDouble)).as("_t"),
+        col("_cp"), col("_cq"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_categories"), sum(col("_cp")).as("n_p"),
+        sum(col("_cq")).as("n_q"),
+        sum(col("_t")).cast("long").as("bc_scaled"))
+      .select(col(group), col("n_categories"), col("n_p"), col("n_q"),
+        col("bc_scaled"),
+        when(col("n_p") > 0L && col("n_q") > 0L,
+          floor(sqrt(greatest(lit(0d),
+              lit(1d) - col("bc_scaled").cast("double")
+                / (sqrt((col("n_p") * col("n_q")).cast("double"))
+                   * LogScale.toDouble)))
+            * LogScale.toDouble) / LogScale.toDouble).as("hellinger"))
+  }
+
   /** PSI columns from a CategoryCountAgg distribution against a
     * PLAN-LITERAL reference — klFromCounts' algebra swapped for the
     * population-stability term, so a live stream can carry the industry

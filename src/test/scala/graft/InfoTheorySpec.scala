@@ -249,6 +249,20 @@ class InfoTheorySpec extends SparkSpec {
     assert(InfoTheory.psi(df, "cat", col("y")).head().getDouble(4) > 0.0)
   }
 
+  test("hellingerDriftByGroup == hellingerDrift applied per group slice") {
+    val rows = Seq(("g1", "x", true), ("g1", "x", false), ("g1", "y", true),
+      ("g2", "x", true), ("g2", "z", false), ("g2", "z", false))
+    val df = rows.toDF("g", "cat", "p")
+    val grouped = InfoTheory.hellingerDriftByGroup(df, "g", "cat", col("p"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    for (g <- Seq("g1", "g2")) {
+      val slice = InfoTheory.hellingerDrift(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("cat", "p"),
+        "cat", col("p")).head().toSeq
+      assert(grouped(g) == slice, s"group $g")
+    }
+  }
+
   test("psiFromCounts with a literal reference == psi on the same two " +
       "sides (one aggregation vs the two-sided count shuffle)") {
     val pSide = Seq("x", "x", "x", "y")
