@@ -2526,8 +2526,8 @@ object SparkEntry {
     }),
     // outlier-proof volume trend: Theil-Sen median pairwise slope over
     // the per-day counts (all-pairs BY DEFINITION — contracts to the
-    // post-aggregation series, fail-loud maxPoints probe), floor-div
-    // quantized slopes, exact rank-selected medians
+    // post-aggregation series, fail-loud maxPoints probe), truncating
+    // div-quantized slopes (DuckDB `//` parity), exact rank medians
     "q_theil_sen" -> ((s, dir) =>
       CoreOps.theilSen(
         Tables.events(s, dir).filter(col("ts").isNotNull)
@@ -6553,8 +6553,9 @@ object SparkEntry {
          |SELECT user_id, event_id, ms AS alarm_ms, n AS n_events,
          |  m AS ph, mn AS ph_min
          |FROM rec WHERE alarm""".stripMargin,
-    // pairwise floor-div slopes over the daily series; both medians as
-    // the lower-median rank rule over running counts
+    // pairwise truncating-div slopes over the daily series (BIGINT `//`
+    // truncates toward zero, matching Spark `div` for any sign); both
+    // medians as the lower-median rank rule over running counts
     "q_theil_sen" ->
       s"""WITH p AS (SELECT $evMs // 86400000 AS x, count(*)::BIGINT AS y
          |           FROM events WHERE ts IS NOT NULL GROUP BY 1),

@@ -271,12 +271,15 @@ object CoreOps {
     * points of an integral series — the outlier-proof "is volume
     * trending" estimator (a single corrupt day moves least-squares but
     * not the pairwise median), plus the matching median intercept.
-    * Slopes are quantized at 10⁻⁶ via FLOOR division — the
-    * make-divisible pmod form, NOT `div`, because a negative numerator
-    * must floor like DuckDB's `//`, not truncate — and both medians are
-    * exact rank selections (the weightedMedian lower-median rule:
-    * smallest value whose cumulative count reaches half) through the
-    * distributed bucket prefix scan.
+    * Slopes are quantized at 10⁻⁶ via TRUNCATING integral division
+    * (`div`), because DuckDB's BIGINT `//` truncates toward zero for
+    * integer operands (probed: -7//2 = -3, -1000000//3 = -333333 —
+    * the ewmaSnapshots convention), so a declining series quantizes
+    * identically on both engines; both medians are exact rank
+    * selections (the weightedMedian lower-median rule: smallest value
+    * whose cumulative count reaches half) through the distributed
+    * bucket prefix scan. All arithmetic stays in int64 end to end —
+    * no double round-trip, no 2⁵³ precision cliff.
     *
     * This is an ALL-PAIRS operator by definition (that is what makes it
     * robust), so it contracts to POST-AGGREGATION series — trend over
@@ -299,13 +302,11 @@ object CoreOps {
     require(probed <= maxPoints,
       s"theilSen: input has > $maxPoints points — this is an all-pairs " +
         "estimator; aggregate the series first or raise maxPoints")
-    def floorDiv(num: Column, den: Column): Column =
-      ((num - pmod(num, den)) / den).cast("long")
     val pairs = pts.join(
         broadcast(pts.select(col("_x").as("_x2"), col("_y").as("_y2"))),
         col("_x") < col("_x2"))
-      .select(floorDiv((col("_y2") - col("_y")) * 1000000L,
-        col("_x2") - col("_x")).as("_s"))
+      .select(expr("((_y2 - _y) * CAST(1000000 AS BIGINT)) div (_x2 - _x)")
+        .as("_s"))
     def lowerMedian(vals: DataFrame, c: String): DataFrame = {
       val counts = vals.groupBy(col(c)).agg(count(lit(1)).as("_n"))
       val tot = counts.agg(sum(col("_n")).as("_tot"))

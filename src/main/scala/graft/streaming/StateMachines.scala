@@ -628,7 +628,11 @@ object StateMachines {
     * (refillNum/refillDen = micro-tokens per ms; 1 token/hour = 5/18).
     * Δms clamps at 0 for behind-frontier arrivals across micro-batches
     * (no refill from the past, no negative refill — the transitionPairs
-    * arrival-order contract); within an invocation events walk in
+    * arrival-order contract), and the clock itself advances
+    * MONOTONICALLY — lastMs = max(lastMs, tsMs) — so a late arrival can
+    * never rewind the frontier and let the next in-order event collect
+    * refill for a span the bucket already lived through; within an
+    * invocation events walk in
     * (tsMs, tiebreak) order, so batch mode replays the exact trajectory
     * and the DuckDB oracle reproduces every decision as a recursive
     * CTE. State is one fixed-size BucketState per key; Δ·refillNum
@@ -664,7 +668,13 @@ object StateMachines {
             val admitted = refilled >= tokenMicro
             val avail = refilled - (if (admitted) tokenMicro else 0L)
             out += ThrottleDecision(key, e.tiebreak, e.tsMs, admitted, avail)
-            st = BucketState(e.tsMs, avail)
+            // the clock advances MONOTONICALLY: a behind-frontier arrival
+            // across micro-batches already had its refill delta clamped to
+            // 0, so rewinding lastMs to its tsMs would re-credit the span
+            // [tsMs, lastMs] to the NEXT in-order event — double-refilling
+            // the bucket (the burstEnds strict-no-op rule for the clock)
+            st = BucketState(
+              if (st == null) e.tsMs else math.max(st.lastMs, e.tsMs), avail)
           }
           if (st != null) {
             state.update(st)

@@ -1693,7 +1693,7 @@ class CoreOpsSpec extends SparkSpec {
   }
 
   test("theilSen: one corrupt point cannot move the median slope; " +
-      "negative slopes FLOOR like the oracle; oversize input fails loud") {
+      "negative slopes TRUNCATE like DuckDB //; oversize input fails loud") {
     import spark.implicits._
     // y = 2x with one wild outlier at x=4
     val pts = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L), (4L, 100L))
@@ -1702,11 +1702,19 @@ class CoreOpsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1)) == (5L, 10L))
     assert(r.getLong(2) == 2000000L && r.getDouble(3) == 2.0)
     assert(r.getLong(4) == 0L) // median intercept of the clean majority
-    // (0,5) → (3,3): slope −2/3 must FLOOR to −666667 (DuckDB // form),
-    // not truncate to −666666
+    // (0,5) → (3,3): slope −2/3 must TRUNCATE to −666666 — DuckDB's
+    // BIGINT // truncates toward zero (probed: -7//2 = -3), so a FLOOR
+    // to −666667 would hash-mismatch the oracle on any declining series
     val rn = CoreOps.theilSen(Seq((0L, 5L), (3L, 3L)).toDF("x", "y"),
       "x", "y").head()
-    assert(rn.getLong(2) == -666667L)
+    assert(rn.getLong(2) == -666666L)
+    // declining series whose MEDIAN slope is negative and non-divisible:
+    // all three pairwise slopes are −7e6/3 → trunc −2333333 (floor would
+    // give −2333334); intercepts then land at {0, −1, −2}, lower-median −1
+    val rd = CoreOps.theilSen(
+      Seq((0L, 0L), (3L, -7L), (6L, -14L)).toDF("x", "y"), "x", "y").head()
+    assert(rd.getLong(2) == -2333333L)
+    assert(rd.getLong(4) == -1L)
     // a single point has no pairs → empty frame, not a fake zero trend
     assert(CoreOps.theilSen(Seq((1L, 1L)).toDF("x", "y"), "x", "y").isEmpty)
     val e = intercept[IllegalArgumentException] {

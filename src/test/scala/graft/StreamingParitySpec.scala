@@ -840,6 +840,33 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tokenBucket(streaming): a behind-frontier arrival cannot rewind " +
+      "the refill clock — the next in-order event is not double-credited") {
+    // capacity 2 tokens, 1 micro-token per ms. Walk: t=1000 admits
+    // (lastMs 1000, avail 1e6); a LATE t=0 in the next batch admits off
+    // the stored balance with Δ clamped to 0 (avail 0) — and must NOT
+    // move lastMs back to 0; the t=2000 event then refills only
+    // 2000−1000 = 1000µ. A rewound clock would credit 2000µ — refill
+    // for a span the bucket already lived through.
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.tokenBucket(input.toDS(), 2, 1L, 1L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tb_mono").start()
+    try {
+      input.addData(Seq(KeyedEvent("k", 1000L, 1, "a")))
+      q.processAllAvailable()
+      input.addData(Seq(KeyedEvent("k", 0L, 2, "a")))
+      q.processAllAvailable()
+      input.addData(Seq(KeyedEvent("k", 2000L, 3, "a")))
+      q.processAllAvailable()
+      val got = spark.table("tb_mono").as[ThrottleDecision]
+        .collect().map(d => d.tiebreak -> d).toMap
+      assert(got(1L) == ThrottleDecision("k", 1, 1000L, true, 1000000L))
+      assert(got(2L) == ThrottleDecision("k", 2, 0L, true, 0L))
+      assert(got(3L) == ThrottleDecision("k", 3, 2000L, false, 1000L))
+    } finally q.stop()
+  }
+
   test("ohlcBars runs verbatim on a stream (complete mode): a late-batch " +
       "earlier row reopens the bar, a later row moves the close") {
     val batch1 = Seq(
