@@ -301,13 +301,67 @@ object Graph {
     * one exact division each. */
   def hitsFixed(edges: DataFrame, src: String, dst: String, iters: Int,
                 scale: Long = 1000000L): DataFrame = {
+    val f = hitsCore(edges, src, dst, iters, scale, "hitsFixed")
+    hitsEmit(f.hubs, f.auths, scale)
+  }
+
+  /** The (scores, residual) PAIR over ONE shared HITS fixpoint — the
+    * q_pagerank_residual pattern for hitsFixed: "was `iters` enough?"
+    * answered by the L1 movement of BOTH score vectors between the last
+    * two rounds, Σ_v |h_i(v) − h_{i−1}(v)| and Σ_v |a_i(v) − a_{i−1}(v)|,
+    * as one summary row next to the rank output. Every half-step frame
+    * is already eagerly checkpointed (the two-consumer rule), so the
+    * gauge costs one four-way co-keyed join + one global agg on top of
+    * the fixpoint hitsFixed runs anyway — never a second fixpoint. Same
+    * bit-exact integer arithmetic, so the unrolled-CTE oracle reproduces
+    * both outputs digit for digit. Residual row: (n_nodes,
+    * l1_hub_scaled, l1_auth_scaled, l1_hub, l1_auth); a zero-edge graph
+    * emits (0, 0, 0, 0.0, 0.0). Needs iters ≥ 2 (round 1 has no
+    * predecessor authority vector to move from). */
+  def hitsWithResidual(edges: DataFrame, src: String, dst: String,
+                       iters: Int, scale: Long = 1000000L)
+      : (DataFrame, DataFrame) = {
+    require(iters >= 2, s"hitsWithResidual needs iters >= 2, got $iters")
+    val f = hitsCore(edges, src, dst, iters, scale, "hitsWithResidual")
+    def sc(df: DataFrame, as: String) =
+      df.select(col("node"), col("_sc").as(as)).localCheckpoint(true)
+    val residual = sc(f.hubs, "_h1").join(sc(f.prevHubs, "_h0"), Seq("node"))
+      .join(sc(f.auths, "_a1"), Seq("node"))
+      .join(sc(f.prevAuths, "_a0"), Seq("node"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(abs(col("_h1") - col("_h0"))), lit(0L))
+          .as("l1_hub_scaled"),
+        coalesce(sum(abs(col("_a1") - col("_a0"))), lit(0L))
+          .as("l1_auth_scaled"))
+      .select(col("n_nodes"), col("l1_hub_scaled"), col("l1_auth_scaled"),
+        (col("l1_hub_scaled").cast("double") / lit(scale.toDouble))
+          .as("l1_hub"),
+        (col("l1_auth_scaled").cast("double") / lit(scale.toDouble))
+          .as("l1_auth"))
+    (hitsEmit(f.hubs, f.auths, scale), residual)
+  }
+
+  private def hitsEmit(hubs: DataFrame, auths: DataFrame,
+                       scale: Long): DataFrame =
+    hubs.select(col("node"), col("_sc").as("hub_scaled"))
+      .join(auths.select(col("node"), col("_sc").as("auth_scaled")),
+        Seq("node"))
+      .select(col("node"), col("hub_scaled"), col("auth_scaled"),
+        (col("hub_scaled").cast("double") / lit(scale.toDouble)).as("hub"),
+        (col("auth_scaled").cast("double") / lit(scale.toDouble)).as("auth"))
+
+  private case class HitsFrames(hubs: DataFrame, auths: DataFrame,
+                                prevHubs: DataFrame, prevAuths: DataFrame)
+
+  private def hitsCore(edges: DataFrame, src: String, dst: String,
+                       iters: Int, scale: Long, op: String): HitsFrames = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     require(scale >= 1000000L && scale <= 1000000000L,
       s"scale must be in [1e6, 1e9], got $scale")
     val emitted = Seq("node", "hub_scaled", "auth_scaled", "hub", "auth",
       "_src", "_dst", "_s", "_t")
     require(!emitted.contains(src) && !emitted.contains(dst),
-      s"hitsFixed emits/uses ${emitted.mkString(", ")}; rename inputs")
+      s"$op emits/uses ${emitted.mkString(", ")}; rename inputs")
     require(edges.schema(src).dataType == edges.schema(dst).dataType,
       s"src/dst must share one node type; got ${edges.schema(src).dataType} " +
         s"vs ${edges.schema(dst).dataType}")
@@ -348,16 +402,14 @@ object Graph {
 
     var hubs = nodes.select(col("node"), lit(scale).as("_sc"))
     var auths: DataFrame = null
-    for (_ <- 1 to iters) {
+    var prevHubs: DataFrame = hubs
+    var prevAuths: DataFrame = null
+    for (i <- 1 to iters) {
+      if (i == iters) { prevHubs = hubs; prevAuths = auths }
       auths = halfStep(hubs, "_src", "_dst")  // authority from hub mass
       hubs = halfStep(auths, "_dst", "_src")  // hub from authority mass
     }
-    hubs.select(col("node"), col("_sc").as("hub_scaled"))
-      .join(auths.select(col("node"), col("_sc").as("auth_scaled")),
-        Seq("node"))
-      .select(col("node"), col("hub_scaled"), col("auth_scaled"),
-        (col("hub_scaled").cast("double") / lit(scale.toDouble)).as("hub"),
-        (col("auth_scaled").cast("double") / lit(scale.toDouble)).as("auth"))
+    HitsFrames(hubs, auths, prevHubs, prevAuths)
   }
 
   /** Multi-source BFS hop distances — "how far is every node from the
@@ -782,6 +834,73 @@ object Graph {
         trunc6(col("q_num").cast("double")
           / (lit(4d) * col("n_edges").cast("double")
              * col("n_edges").cast("double"))).as("modularity"))
+  }
+
+  /** Community detection by fixed-round SYNCHRONOUS label propagation —
+    * the generative companion to `modularity` (which can only score a
+    * partition someone else produced): nodes start as their own label
+    * and each round simultaneously adopt the most frequent label among
+    * their neighbors, ties broken by the MINIMUM label. Both rules are
+    * total-order argmins over exact integer counts, so after any fixed
+    * number of rounds the labeling is bit-identical across engines and
+    * partitionings — the pagerankFixed discipline (float-free, fixed
+    * `iters`, never convergence-tested; synchronous LPA can 2-cycle on
+    * bipartite graphs, which a fixed round count renders harmless for
+    * reproducibility — raise `iters` deliberately, or compare two
+    * consecutive counts like q_pagerank_residual if movement matters).
+    *
+    * Graph semantics match kcoreSurvivors: UNDIRECTED, self-loops
+    * dropped, parallel edges collapsed; neighbors only (a node's own
+    * current label does not vote — its id won round 0). Every node has
+    * ≥ 1 neighbor by construction (nodes come from edges), so each
+    * round relabels the full node set.
+    *
+    * Distributed shape per round: one hash join of labels onto the
+    * checkpointed adjacency (shuffles O(|E|)), one (node, label) count
+    * agg, one O(|V|) max agg, one co-keyed join + min agg — O(|E|+|V|)
+    * through every exchange, zero driver traffic. The per-round count
+    * frame feeds BOTH the max and the tie-break join, so it is
+    * localCheckpoint'd each round (the hitsFixed two-consumer rule —
+    * without the cut each round re-executes its whole prefix twice and
+    * the fixpoint goes exponential in iters). Labels keep the input
+    * node type (longs shuffle faster than strings — the pagerankFixed
+    * note; min-label ties then compare numerically on both engines).
+    * Emits (node, label); the labels of a community converge to its
+    * minimum member id, so `label` doubles as a canonical community
+    * representative. Score the partition with `modularity` — the
+    * composed form is oracle-checked end to end (q_communities_modularity). */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val emitted = Seq("node", "label", "_a", "_b", "_s", "_d", "_n", "_mn")
+    require(!emitted.contains(src) && !emitted.contains(dst),
+      s"labelPropagation emits/uses ${emitted.mkString(", ")}; rename inputs")
+    require(edges.schema(src).dataType == edges.schema(dst).dataType,
+      s"src/dst must share one node type; got ${edges.schema(src).dataType} " +
+        s"vs ${edges.schema(dst).dataType}")
+    val und = edges
+      .select(least(col(src), col(dst)).as("_a"),
+        greatest(col(src), col(dst)).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull
+        && col("_a") =!= col("_b"))
+      .distinct()
+    val adj = und.select(col("_a").as("_s"), col("_b").as("_d"))
+      .union(und.select(col("_b").as("_s"), col("_a").as("_d")))
+      .localCheckpoint(true) // reused every round
+    var labels = adj.select(col("_s").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val cnt = adj.join(labels, adj("_s") === labels("node"))
+        .groupBy(col("_d"), col("label")).agg(count(lit(1)).as("_n"))
+        .localCheckpoint(true) // two consumers: the max and the tie-break
+      val mx = cnt.groupBy(col("_d")).agg(max(col("_n")).as("_mn"))
+      labels = cnt.join(mx, Seq("_d"))
+        .filter(col("_n") === col("_mn"))
+        .groupBy(col("_d")).agg(min(col("label")).as("label"))
+        .withColumnRenamed("_d", "node")
+    }
+    labels
   }
 
   private def trunc6(c: Column): Column = floor(c * 1000000d) / 1000000d

@@ -364,4 +364,60 @@ class GraphSpec extends SparkSpec {
     assert(per.map(_.getLong(2)).sum == 3L *
       Graph.triangleStats(sq, "s", "d2").head().getLong(3))
   }
+
+  test("labelPropagation: two bridged triangles converge to two " +
+      "communities under the hand-walked synchronous rounds") {
+    // triangles {1,2,3} and {10,11,12}, bridge 3—10; directed/dup/self
+    // noise must collapse to the same undirected simple graph
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 10L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (11L, 11L)).toDF("s", "d2")
+    def labels(i: Int): Map[Long, Long] =
+      Graph.labelPropagation(edges, "s", "d2", i)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: every node takes its min neighbor id (all counts are 1)
+    assert(labels(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 10L, 12L -> 10L))
+    // round 4 (the hand walk): the left triangle settles on 1; the right
+    // settles on 3 — the bridge's propagated label, classic LPA
+    assert(labels(4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+    // composed with modularity: both communities' labels are consistent
+    val q = Graph.modularity(edges, "s", "d2",
+      Graph.labelPropagation(edges, "s", "d2", 4), "node", "label").head()
+    assert(q.getLong(0) == 7L && q.getLong(1) == 2L) // 7 edges, 2 comms
+    // iters out of range fails loud
+    val e = intercept[IllegalArgumentException] {
+      Graph.labelPropagation(edges, "s", "d2", 0)
+    }
+    assert(e.getMessage.contains("iters"))
+  }
+
+  test("hitsWithResidual == (hitsFixed at iters, L1 vs iters-1); a " +
+      "bipartite fixed point has zero residual") {
+    val edges = Seq((1L, 101L), (1L, 102L), (2L, 102L), (3L, 103L))
+      .toDF("s", "d2")
+    val (ranks, residual) = Graph.hitsWithResidual(edges, "s", "d2", 3)
+    assert(ranks.collect().map(_.toSeq).toSet ==
+      Graph.hitsFixed(edges, "s", "d2", 3).collect().map(_.toSeq).toSet)
+    def scores(i: Int): Map[Long, (Long, Long)] =
+      Graph.hitsFixed(edges, "s", "d2", i).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (s3, s2) = (scores(3), scores(2))
+    val r = residual.head()
+    assert(r.getLong(0) == 6L)
+    assert(r.getLong(1) == s3.map { case (n, (h, _)) =>
+      math.abs(h - s2(n)._1) }.sum)
+    assert(r.getLong(2) == s3.map { case (n, (_, a)) =>
+      math.abs(a - s2(n)._2) }.sum)
+    // star hub: one hub, one authority — normalized scores stabilize
+    // after round 1, so the round-2 residual is exactly zero
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("s", "d2")
+    val rs = Graph.hitsWithResidual(star, "s", "d2", 2)._2.head()
+    assert((rs.getLong(1), rs.getLong(2)) == ((0L, 0L)))
+    assert(rs.getDouble(3) == 0.0 && rs.getDouble(4) == 0.0)
+    val e = intercept[IllegalArgumentException] {
+      Graph.hitsWithResidual(star, "s", "d2", 1)
+    }
+    assert(e.getMessage.contains("iters"))
+  }
 }

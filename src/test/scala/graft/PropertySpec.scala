@@ -738,6 +738,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: labelPropagation commutes with any ORDER-PRESERVING " +
+      "node relabeling (min-label ties depend only on the id order)") {
+    // f(n) = 3n + 7 is strictly increasing, so every most-frequent vote
+    // and every min-label tie resolves to the same winner before and
+    // after; the partition must map through f exactly
+    def f(n: Long) = 3 * n + 7
+    check(Prop.forAll(edgeGen, Gen.choose(1, 5)) { (es, iters) =>
+      val base = graft.operators.Graph.labelPropagation(
+          es.toDF("s", "d"), "s", "d", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mapped = graft.operators.Graph.labelPropagation(
+          es.map { case (a, b) => (f(a), f(b)) }.toDF("s", "d"),
+          "s", "d", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      base.isEmpty == mapped.isEmpty &&
+        base.forall { case (n, l) => mapped.get(f(n)).contains(f(l)) }
+    })
+  }
+
   test("property: the CM join-size estimate never undershoots the exact " +
       "join size, and a collision-free width recovers it exactly") {
     val keysGen = for {
