@@ -935,6 +935,14 @@ object SparkEntry {
     "q_block_quality" -> ((s, dir) =>
       Dedup.blockingQuality(Tables.documents(s, dir), "doc_id", "text",
         MhK, MhBands, MhRows, 1, 2)),
+    // the 100 TB form of the audit: truth AND candidates restricted to
+    // the deterministic md5(doc_id) % BqSampleMod slice — recall of the
+    // banding parameters estimated on ~1/BqSampleMod of the corpus at
+    // ~1/BqSampleMod² of the all-pairs cost; the exact form above stays
+    // as the pinned truth at bench scale
+    "q_block_quality_sampled" -> ((s, dir) =>
+      Dedup.blockingQualitySampled(Tables.documents(s, dir), "doc_id",
+        "text", MhK, MhBands, MhRows, 1, 2, BqSampleMod)),
     // the ingest-time dedup gate: a fresh crawl slice (doc_id%7==3)
     // LSH-joined against the standing corpus (the rest) — no batch
     // self-pairs, no shared state across the two sides
@@ -2761,6 +2769,7 @@ object SparkEntry {
   // generated oracle SQL so both engines hash with the same family.
   private val MhK = 3; private val MhBands = 8; private val MhRows = 2
   private val MhN = MhBands * MhRows
+  private val BqSampleMod = 2 // blocking-audit hash-sample denominator
   private val SimBands = 3 // 60-bit simhash → 3 × 20-bit Hamming-LSH bands
   private val WinnowW = 4  // winnowing window (guarantee span = w+k-1 words)
   private val WinnowCap = 8 // too-common fp cutoff for the capped pairs query
@@ -3031,13 +3040,18 @@ object SparkEntry {
 
   /** MinHash signature pipeline (norm → tokens → shingles → hashes → sig) as
     * DuckDB CTEs, mirroring Dedup.minhashSignature hash-for-hash. */
-  private def sqlMinhashCtes: String = {
+  private def sqlMinhashCtes: String = sqlMinhashCtesOver("documents")
+
+  /** The MinHash CTE chain over a caller-chosen relation (the
+    * sqlKmeansCtesOver pattern) — q_block_quality_sampled audits the
+    * deterministic hash slice instead of the full corpus. */
+  private def sqlMinhashCtesOver(table: String): String = {
     val perms = (0 until MhN).map { i =>
       val a = 1117 * (i + 1) + 31
       val b = 271828 * (i + 1) + 1828
       s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647)) AS s$i"
     }.mkString(", ")
-    s"""norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+    s"""norm AS (SELECT doc_id, $normSql AS nt FROM $table),
        |tk AS (SELECT doc_id, nt,
        |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM norm),
        |shg AS (SELECT doc_id,
@@ -3901,6 +3915,37 @@ object SparkEntry {
          |  CASE WHEN n_true_pairs > 0
          |    THEN floor(n_caught::DOUBLE / n_true_pairs::DOUBLE * 1000000)
          |         / 1000000 END AS pairs_completeness
+         |FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN ng""".stripMargin,
+
+    // the audit over the deterministic md5 slice: the exact oracle's CTE
+    // chain verbatim with documents swapped for the sampled relation
+    "q_block_quality_sampled" ->
+      s"""WITH ${sqlMinhashCtesOver(
+             s"(SELECT * FROM documents WHERE ${sqlMd5Int("doc_id::VARCHAR")} % $BqSampleMod = 0)")},
+         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh),
+         |truth AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |    len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
+         |cd AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM cand),
+         |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents
+         |       WHERE doc_id IS NOT NULL
+         |         AND ${sqlMd5Int("doc_id::VARCHAR")} % $BqSampleMod = 0),
+         |nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cd),
+         |nt AS (SELECT count(*)::BIGINT AS n_true_pairs FROM truth),
+         |ng AS (SELECT count(*)::BIGINT AS n_caught FROM truth t
+         |       WHERE EXISTS (SELECT 1 FROM cd c
+         |                     WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+         |SELECT n_docs, (n_docs * (n_docs - 1)) // 2 AS n_possible_pairs,
+         |  n_candidates, n_true_pairs, n_caught,
+         |  CASE WHEN (n_docs * (n_docs - 1)) // 2 > 0
+         |    THEN floor((1 - n_candidates::DOUBLE
+         |               / ((n_docs * (n_docs - 1)) // 2)::DOUBLE) * 1000000)
+         |         / 1000000 END AS reduction_ratio,
+         |  CASE WHEN n_true_pairs > 0
+         |    THEN floor(n_caught::DOUBLE / n_true_pairs::DOUBLE * 1000000)
+         |         / 1000000 END AS pairs_completeness,
+         |  CAST($BqSampleMod AS BIGINT) AS sample_den
          |FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN ng""".stripMargin,
 
     "q_pq_topk" ->

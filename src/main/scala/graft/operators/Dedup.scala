@@ -972,6 +972,34 @@ object Dedup {
             / col("n_true_pairs").cast("double") * 1000000d) / 1000000d))
   }
 
+  /** blockingQuality over a DETERMINISTIC hash sample — the 100 TB audit
+    * path its docstring promises: the exact all-pairs truth side is
+    * inherent to a recall audit and unrunnable on the full corpus at
+    * scale, so the deployable form grades the blocker on the
+    * md5(id) % sampleMod == 0 slice (the q_doc_sample idiom:
+    * reproducible, partitioning-independent, engine-identical — never
+    * Spark's RNG sample()). Both the truth AND the banding candidates
+    * are computed over the SAME slice, so pairs_completeness remains an
+    * unbiased recall estimate of the banding parameters (a pair is
+    * caught on the slice iff it would be caught on the corpus — both
+    * sides of the audit see identical shingle sets), while
+    * reduction_ratio is the slice's own pruning figure. Same output row
+    * as blockingQuality plus `sample_den` (the kept fraction's
+    * denominator) so a dashboard can annotate the audit's coverage;
+    * sampleMod 1 degenerates to the exact audit. All-pairs cost shrinks
+    * by ~sampleMod², which is the point. */
+  def blockingQualitySampled(docs: DataFrame, id: String, text: String,
+                             k: Int, bands: Int, rowsPerBand: Int,
+                             tNum: Int, tDen: Int, sampleMod: Int,
+                             maxBucket: Int = 10000): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val slice = docs.filter(
+      pmod(md5Int(col(id).cast("string")), lit(sampleMod.toLong)) === 0L)
+    blockingQuality(slice, id, text, k, bands, rowsPerBand, tNum, tDen,
+        maxBucket)
+      .withColumn("sample_den", lit(sampleMod.toLong))
+  }
+
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
                    candidates: DataFrame, minJaccard: Double): DataFrame = {
     val sh = spread(docs).select(col(id).as("d"),

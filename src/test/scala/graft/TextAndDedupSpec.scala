@@ -731,6 +731,31 @@ class TextAndDedupSpec extends SparkSpec {
       math.floor((1d - nCand.toDouble / 6d) * 1e6) / 1e6)
   }
 
+  test("blockingQualitySampled: sampleMod 1 degenerates to the exact " +
+      "audit plus sample_den; a real slice audits fewer docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words entirely here"),
+      (4L, "yet another unrelated document body"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.blockingQuality(docs, "doc_id", "text", 3, 8, 2, 1, 2)
+      .collect().head
+    val full = Dedup.blockingQualitySampled(docs, "doc_id", "text",
+      3, 8, 2, 1, 2, 1).collect().head
+    assert(full.toSeq.init == exact.toSeq) // same row, plus the denominator
+    assert(full.getLong(7) == 1L)
+    val sliced = Dedup.blockingQualitySampled(docs, "doc_id", "text",
+      3, 8, 2, 1, 2, 3).collect().head
+    assert(sliced.getLong(7) == 3L)
+    assert(sliced.getLong(0) <= exact.getLong(0)) // audits a subset
+    // the slice is the deterministic md5 decision, not a row sample
+    val kept = docs.filter(
+      pmod(Dedup.md5Int(col("doc_id").cast("string")), lit(3L)) === 0L)
+      .count()
+    assert(sliced.getLong(0) == kept)
+  }
+
   test("languageMix: surfaces the runner-up and the integer-ratio mixed " +
       "flag; zero evidence is deterministic and unmixed; NULL text absent") {
     val profiles = Map("en" -> Seq("the", "and"), "de" -> Seq("der", "und"),
