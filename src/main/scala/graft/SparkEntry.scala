@@ -2642,6 +2642,15 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedPsi(ev, "event_type", "ts",
         "1 day", "0 seconds", ev, "event_type")
     }),
+    // the bounded symmetric companion, batch-run: per-day Hellinger of
+    // the event mix against the corpus baseline — the q_psi_by_window
+    // shape with the smoothing-free √-term algebra, H ∈ [0,1]
+    "q_hellinger_by_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      graft.streaming.StreamOps.windowedHellinger(ev, "event_type", "ts",
+        "1 day", "0 seconds", ev, "event_type")
+    }),
     // per-node triangle membership and local clustering — which nodes sit
     // in tight co-sourcing pockets vs bridge strangers; every triangle
     // closed once from its lowest-degree corner, then credited to all
@@ -6741,6 +6750,41 @@ object SparkEntry {
          |  bv AS intercept_scaled, bv::DOUBLE / 1000000 AS intercept
          |FROM ms CROSS JOIN ib
          |WHERE (SELECT count(*) FROM pr) > 0""".stripMargin,
+    // the q_psi_by_window CTE chain with the smoothing-free Hellinger
+    // term: per-(window, category) floor(sqrt(cp·cq)·1e6), summed exact,
+    // one fixed double chain out — zero-count categories contribute 0
+    "q_hellinger_by_window" ->
+      s"""WITH t AS (SELECT $evMs - $evMs % $D AS w, event_type AS cat
+         |           FROM events
+         |           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |c AS (SELECT w, cat, count(*)::BIGINT AS cp FROM t GROUP BY 1, 2),
+         |ref AS (SELECT event_type AS cat, count(*)::BIGINT AS cq
+         |        FROM events
+         |        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |        GROUP BY 1),
+         |tq AS (SELECT sum(cq)::BIGINT AS tq FROM ref),
+         |wins AS (SELECT DISTINCT w FROM c),
+         |cats AS (SELECT DISTINCT w, cat FROM (
+         |    SELECT w, cat FROM c
+         |    UNION ALL SELECT wins.w, ref.cat FROM wins, ref)),
+         |g AS (SELECT w, count(*)::BIGINT AS k FROM cats GROUP BY 1),
+         |tp AS (SELECT w, sum(cp)::BIGINT AS tp FROM c GROUP BY 1),
+         |terms AS (SELECT cats.w,
+         |    floor(sqrt((COALESCE(c.cp, 0) * COALESCE(r.cq, 0))::DOUBLE)
+         |          * 1000000)::BIGINT AS trm
+         |  FROM cats
+         |  LEFT JOIN c ON c.w = cats.w AND c.cat = cats.cat
+         |  LEFT JOIN ref r ON r.cat = cats.cat)
+         |SELECT t.w AS window_start_ms, g.k AS n_categories, tp.tp AS n_p,
+         |  (SELECT tq FROM tq) AS n_q,
+         |  sum(t.trm)::BIGINT AS bc_scaled,
+         |  CASE WHEN tp.tp > 0 AND (SELECT tq FROM tq) > 0 THEN
+         |    floor(sqrt(greatest(0.0, 1.0 - sum(t.trm)::BIGINT::DOUBLE
+         |      / (sqrt((tp.tp * (SELECT tq FROM tq))::DOUBLE) * 1000000)))
+         |      * 1000000) / 1000000
+         |  END AS hellinger
+         |FROM terms t JOIN g ON g.w = t.w JOIN tp ON tp.w = t.w
+         |GROUP BY t.w, g.k, tp.tp""".stripMargin,
     // the q_kl_by_window CTE chain with the PSI term swapped in
     "q_psi_by_window" ->
       s"""WITH t AS (SELECT $evMs - $evMs % $D AS w, event_type AS cat

@@ -201,6 +201,46 @@ object InfoTheory {
            * LogScale.toDouble)).as("psi"))
   }
 
+  /** Hellinger columns from a CategoryCountAgg distribution against a
+    * PLAN-LITERAL reference — hellingerDrift's algebra in the
+    * klFromCounts/psiFromCounts one-aggregation streaming form, so a
+    * live window can carry the BOUNDED SYMMETRIC drift score (H ∈
+    * [0,1], no smoothing distortion: zero-count categories contribute
+    * √0 = 0) with ONE aggregation and a stateless projection. Each term
+    * enters as floor(√(cpᵢ·cqᵢ)·10⁶) over the union category set —
+    * exact below the hellingerDrift 2⁵³ product bound — summed exactly
+    * in decimal; bc/hellinger are the same fixed double chain as the
+    * batch form, so the two forms are parity-pinned against one oracle.
+    * Returns (n_categories, n_p, n_q, bc_scaled, hellinger); callers
+    * filter empty windows first (an empty side's distance is undefined,
+    * which the batch form signals with NULL — here n_p > 0 whenever the
+    * window exists, and ref is required non-empty). */
+  def hellingerFromCounts(counts: Column, ref: Map[String, Long])
+      : Seq[Column] = {
+    require(ref.nonEmpty, "hellingerFromCounts needs a non-empty reference")
+    require(ref.values.forall(_ > 0),
+      "hellingerFromCounts reference counts must be positive")
+    val mp = map_from_entries(counts)
+    val refMap = typedlit(ref)
+    val cats = array_union(map_keys(mp), map_keys(refMap))
+    val k = size(cats).cast("long")
+    val tp = aggregate(counts, lit(0L), (a, x) => a + x.getField("n"))
+    val tq = lit(ref.values.sum)
+    def cp(c: Column) = coalesce(element_at(mp, c), lit(0L))
+    def cq(c: Column) = coalesce(element_at(refMap, c), lit(0L))
+    val bcScaled = aggregate(cats, lit(0L).cast("decimal(38,0)"),
+      (a, c) => a + dec(floor(sqrt((cp(c) * cq(c)).cast("double"))
+        * LogScale.toDouble)))
+      .cast("long")
+    Seq(k.as("n_categories"), tp.as("n_p"), tq.as("n_q"),
+      bcScaled.as("bc_scaled"),
+      when(tp > 0L && tq > 0L,
+        floor(sqrt(greatest(lit(0d),
+            lit(1d) - bcScaled.cast("double")
+              / (sqrt((tp * tq).cast("double")) * LogScale.toDouble)))
+          * LogScale.toDouble) / LogScale.toDouble).as("hellinger"))
+  }
+
   /** KL divergence KL(P‖Q) in nats between the `cat` distributions of the
     * `isP` and ¬`isP` slices of one frame — the drift gauge with
     * direction and magnitude in one number (TVD's unsigned cousin,

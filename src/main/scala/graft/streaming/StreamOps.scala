@@ -223,6 +223,32 @@ object StreamOps {
         graft.operators.InfoTheory.psiFromCounts(col("_cc"), refCounts): _*)
   }
 
+  /** Continuous bounded-symmetric drift monitoring: per finalized window,
+    * the Hellinger distance of the category mix against a plan-literal
+    * baseline — the windowedPsi shape verbatim with hellingerFromCounts'
+    * smoothing-free √-term algebra (H ∈ [0,1] even where KL/PSI need
+    * add-one distortion). ONE CategoryCountAgg aggregation, stateless
+    * projection, no join; batch-executes identically, so SparkEntry pins
+    * this form against the q_hellinger_by_window oracle. */
+  def windowedHellinger(df: DataFrame, cat: String, ts: String,
+                        windowDur: String, lateness: String,
+                        ref: DataFrame, refCat: String): DataFrame = {
+    require(!ref.isStreaming,
+      "windowedHellinger's baseline must be a static frame")
+    val refCounts = ref.filter(col(refCat).isNotNull)
+      .groupBy(col(refCat).cast("string").as("c")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(refCounts.nonEmpty,
+      "windowedHellinger: the baseline frame has no categories")
+    df.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), windowDur))
+      .agg(graft.expressions.CategoryCountExpressions
+        .categoryCounts(col(cat)).as("_cc"))
+      .filter(size(col("_cc")) > 0)
+      .select(CoreOps.ms(col("window.start")).as("window_start_ms") +:
+        graft.operators.InfoTheory.hellingerFromCounts(col("_cc"), refCounts): _*)
+  }
+
   /** Stream-stream interval join: pair every point with the anchors of the
     * same key whose window [anchor_ts, anchor_ts + windowMs) contains the
     * point's event time — the continuous form of CoreOps.rangeJoin for

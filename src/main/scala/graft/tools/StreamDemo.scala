@@ -214,6 +214,18 @@ object StreamDemo {
         1, 8)
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // continuous bounded-symmetric drift: per finalized 5s window, the
+    // Hellinger distance of the operation mix against the generator's
+    // uniform baseline — one CategoryCountAgg aggregation, H ∈ [0,1]
+    val q18 = StreamOps.windowedHellinger(
+        audit.select(col("operation"), col("event_time")),
+        "operation", "event_time", "5 seconds", "1 second",
+        spark.createDataFrame(
+          Seq("Create", "Modify", "Query", "Delete").map(Tuple1(_)))
+          .toDF("operation"),
+        "operation")
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     // upsert compaction as the STATE MACHINE (latestSnapshots): the
     // max-by fold emits each key's current winner per micro-batch in
     // append mode — the changelog feed where q8's complete mode re-emits
@@ -243,7 +255,7 @@ object StreamDemo {
       s"${driftRows.get()} drift rows)")
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
     q10.stop(); q11.stop(); q12.stop(); q13.stop(); q14.stop(); q15.stop()
-    q16.stop(); q17.stop()
+    q16.stop(); q17.stop(); q18.stop()
     spark.stop()
   }
 }

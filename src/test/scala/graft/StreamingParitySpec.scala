@@ -973,6 +973,36 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHellinger finalizes windows scored against the " +
+      "plan-literal baseline; an identical mix scores exactly 0, a " +
+      "disjoint one exactly 1") {
+    val batch1 = Seq(
+      KeyedEvent("u", 1000, 1, "a"), KeyedEvent("u", 1500, 2, "b"),
+      KeyedEvent("u", 2500, 3, "a"), // window [0,3s): {a:2, b:1}
+      KeyedEvent("u", 4000, 4, "c")) // window [3s,6s): {c:1} — disjoint
+    val batch2 = Seq(KeyedEvent("u", 20000, 5, "a")) // finalizes both
+    val ref = Seq("a", "a", "b").toDF("cat") // baseline mix {a:2, b:1}
+    val input = MemoryStream[KeyedEvent]
+    val stream = input.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+    val q = StreamOps.windowedHellinger(stream, "kind", "ts",
+        "3 seconds", "1 second", ref, "cat")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hw_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val got = spark.table("hw_par")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      // [0,3s): identical mix — bc = floor(√4·1e6) + floor(√1·1e6) =
+      // 3e6 = √(3·3)·1e6 exactly ⇒ hellinger exactly 0.0
+      // [3s,6s): {c:1} vs {a:2,b:1} — no shared category ⇒ bc 0,
+      // hellinger exactly 1.0; the union category set has 3 entries
+      assert(got == Set(
+        (0L, 2L, 3L, 3L, 3000000L, 0.0),
+        (3000L, 3L, 1L, 3L, 0L, 1.0)))
+    } finally q.stop()
+  }
+
   test("burstEnds: hysteresis opens at lo, survives to hi, closes ONCE " +
       "across batches; the open final burst never emits; behind-frontier " +
       "arrivals are no-ops") {
