@@ -2557,6 +2557,15 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("img",
           Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
         "doc_id", "img", 8, 2)),
+    // image near-dup pairs: 60-bit byte-grid dHash, 3×20-bit Hamming-LSH
+    // bands (pigeonhole recall at <=2 differing bits), exact Hamming
+    // verify — the binary-column twin of q_simhash_jaccard; the oracle
+    // replays the byte arithmetic on the hex text
+    "q_image_dups" -> ((s, dir) => imageDupPairsShared(s, dir)),
+    // the pairs under the SAME pointer-jumping transitive closure the
+    // text and embedding tiers use — pure composition
+    "q_image_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(imageDupPairsShared(s, dir), "doc_a", "doc_b")),
 
     // ── extensions: classifier-evaluation tier (Eval) ─────────────────────
     // multinomial Naive Bayes resubstitution: are the lang labels even
@@ -2931,6 +2940,18 @@ object SparkEntry {
       Graph.labelPropagation(coSourcingEdges(s, dir), "src", "dst",
         LpaIters))
 
+  /** q_image_dups and q_image_dup_clusters share ONE verified pair frame
+    * (the nearDupPairs pattern) — the dHash/banding pipeline runs once
+    * per Verify/Bench run. Same BENCH caveat. */
+  private val imgPairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def imageDupPairsShared(s: SparkSession, dir: String): DataFrame =
+    memoPersist(imgPairCache, s, dir)(
+      Multimodal.imageDupPairs(
+        Tables.documents(s, dir).withColumn("img",
+          Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
+        "doc_id", "img", 2))
+
   private val coSourceCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private def coSourcingEdges(s: SparkSession, dir: String): DataFrame =
@@ -3079,6 +3100,27 @@ object SparkEntry {
        |        len([i for i in range(1,${MhN + 1}) if a.sig[i] = b.sig[i]])::DOUBLE / $MhN AS est_jaccard
        |        FROM banded a JOIN banded b USING (bucket) WHERE a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** The dHash → banding → verified-pair chain over the fake-payload hex
+    * (Multimodal.dHash / imageDupPairs fold-for-fold): byte(p) =
+    * ('0x' || substr(h, p*2+1, 2))::BIGINT, positions (j·(nb−1)) // 60,
+    * the 60-bit fold acc·2+bit, 3 bands of 20 bits, exact Hamming. */
+  private def sqlImageDupCtes: String =
+    s"""hx AS (SELECT doc_id,
+       |        upper(md5(text) || substr(md5(text || 'x'), 1, ((doc_id % 3) * 8)::INT)) AS h
+       |      FROM documents),
+       |hb AS (SELECT doc_id, h, (length(h) // 2)::BIGINT AS nb FROM hx),
+       |isig AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    [CASE WHEN ('0x' || substr(h, (((j*(nb-1)) // 60) * 2 + 1)::INT, 2))::BIGINT
+       |           > ('0x' || substr(h, ((((j+1)*(nb-1)) // 60) * 2 + 1)::INT, 2))::BIGINT
+       |     THEN 1 ELSE 0 END::BIGINT for j in range(0, 60)]),
+       |    (a, b) -> a * 2 + b) AS sg FROM hb),
+       |ibnd AS (SELECT doc_id, sg,
+       |    b.b::VARCHAR || '_' || ((sg >> (b.b*20)) & 1048575)::VARCHAR AS bk
+       |  FROM isig, (SELECT unnest(range(0, 3)) AS b) b),
+       |ipairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.sg, b.sg))::BIGINT AS hamming
+       |  FROM ibnd a JOIN ibnd b USING (bk) WHERE a.doc_id < b.doc_id)""".stripMargin
 
   /** Hyperplane-LSH bucket + exact sequential cosine as DuckDB CTEs,
     * mirroring Similarity.hyperplaneSig / Similarity.cosine fold-for-fold
@@ -6552,6 +6594,25 @@ object SparkEntry {
          |SELECT doc_id, f.i AS frame_idx, substr(h, (f.i * 16 + 1)::INT, 16) AS frame_hex
          |FROM nf, (SELECT unnest(range(0, 64, 2)) AS i) f
          |WHERE n_frames > 0 AND f.i < n_frames""".stripMargin,
+
+    // byte-grid dHash replayed on the hex text: sample positions via
+    // BIGINT //, bits folded acc*2+b, 3×20-bit bands via >>/&, exact
+    // Hamming verify via bit_count(xor)
+    "q_image_dups" ->
+      s"""WITH $sqlImageDupCtes
+         |SELECT doc_a, doc_b, hamming FROM ipairs WHERE hamming <= 2""".stripMargin,
+
+    // the image pair graph under the q_dup_clusters reach closure
+    "q_image_dup_clusters" ->
+      s"""WITH RECURSIVE $sqlImageDupCtes,
+         |eg AS (SELECT doc_a AS s, doc_b AS d FROM ipairs WHERE hamming <= 2
+         |       UNION SELECT doc_b, doc_a FROM ipairs WHERE hamming <= 2),
+         |reach(node, lbl) AS (
+         |  SELECT s, s FROM eg
+         |  UNION
+         |  SELECT e.s, r.lbl FROM eg e JOIN reach r ON e.d = r.node)
+         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         |FROM reach GROUP BY node""".stripMargin,
 
     // the full NB walk: per-(doc,tok) counts join the (lang,tok) model,
     // smoothing normalizer closed into ntoks·qlog(nl+V), argmax via

@@ -76,6 +76,86 @@ object Multimodal {
           (col("frame_idx") * frameBytes + 1).cast("int"), lit(frameBytes))))
           .as("frame_hex"))
 
+  /** 60-bit dHash-style perceptual signature over a DETERMINISTIC byte
+    * grid of the payload: 61 sample positions pⱼ = (j·(len−1)) div 60
+    * spread across the bytes, bit j = byte(pⱼ) > byte(pⱼ₊₁) — the
+    * classic difference-hash shape (gradient signs over a resampled
+    * grid) applied to the raw byte stream, which is exactly what a real
+    * dHash does AFTER a decoder produces the pixel grid; with no codecs
+    * in the runtime the grid is the bytes themselves, and the signature
+    * is still the right plumbing: near-identical payloads differ in few
+    * bits, the banding/clustering downstream is the production pipeline
+    * verbatim, and a decoder slots in by swapping this column for one
+    * over decoded luma. 60 bits (not 64) so the signature reuses the
+    * simhash 3×20-bit Hamming-band machinery and the acc·2+bit fold can
+    * never overflow int64.
+    *
+    * Determinism/oracle: byte reads are hex-string Column math
+    * (codegen'd, no UDF); the division is the make-divisible pmod form
+    * on non-negative operands ≤ 60·(len−1) — the divided numerator is a
+    * ≤ 2¹⁷ exact multiple of 60, so the double division is exact — and
+    * DuckDB replays every step on the same hex text (substr/'0x' cast/
+    * list_reduce). Payloads of < 2 bytes hash to 0 (no gradient exists). */
+  def dHash(bin: Column): Column = {
+    val h = upper(hex(bin))
+    val nb = length(bin).cast("long")
+    def byteAt(p: Column): Column =
+      conv(h.substr((p * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long")
+    def idiv60(x: Column): Column =
+      ((x - pmod(x, lit(60L))) / 60L).cast("long")
+    def sample(j: Column): Column = byteAt(idiv60(j * (nb - 1)))
+    aggregate(sequence(lit(0L), lit(59L)), lit(0L),
+      (acc, j) => acc * 2
+        + when(sample(j) > sample(j + 1), 1L).otherwise(0L))
+  }
+
+  /** Image near-dup candidate pairs by Hamming-LSH banding over the
+    * dHash signature — the q_simhash_jaccard pipeline on the binary
+    * column: 3 × 20-bit bands (a shared band ⇒ candidate; by pigeonhole
+    * ≤ 2 differing bits ALWAYS leaves one band intact, so recall at
+    * maxHamming ≤ 2 is provable, not probabilistic), candidates verified
+    * by the exact full-signature Hamming distance. Buckets are
+    * fail-loud capped at `maxBucket` (the jaccardAllPairs contract —
+    * a corpus of near-identical payloads would otherwise go quadratic
+    * silently; refuse, never drop). Emits (doc_a, doc_b, hamming) with
+    * doc_a < doc_b; feed into Dedup.dupClusters for transitive closure
+    * (q_image_dup_clusters composes exactly that). */
+  def imageDupPairs(df: DataFrame, id: String, bin: String,
+                    maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 2,
+      s"maxHamming must be in [0,2] (the 3-band pigeonhole recall " +
+        s"guarantee), got $maxHamming")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val sigs = df.select(col(id).as("doc"), col(bin).as("_b"))
+      .select(col("doc"), dHash(col("_b")).as("_sig")) // staged: hash once
+    val bandCols = (0 until 3).map { b =>
+      concat(lit(s"${b}_"),
+        shiftright(col("_sig"), b * 20).bitwiseAND(lit(1048575L))
+          .cast("string"))
+    }
+    val banded = sigs.select(col("doc"), col("_sig"),
+      explode(array(bandCols: _*)).as("_bk"))
+    val capGuard = assert_true(size(col("ms")) <= maxBucket,
+      concat(lit("imageDupPairs: Hamming band '"), col("_bk"),
+        lit("' holds "), size(col("ms")).cast("string"),
+        lit(s" docs (> maxBucket=$maxBucket) — pair expansion would be " +
+          "quadratic. Raise maxBucket deliberately or pre-split the " +
+          "near-constant payloads; dropping the band would lose the " +
+          "pigeonhole recall guarantee, so this operator refuses instead.")))
+    banded.groupBy(col("_bk"))
+      .agg(collect_list(struct(col("doc"), col("_sig"))).as("ms"))
+      .filter(capGuard.isNull)
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).cast("long")
+          .as("hamming"))
+      .distinct() // pairs sharing several bands count once
+      .filter(col("hamming") <= maxHamming)
+  }
+
   case class DecodedImage(doc_id: Long, n_bytes: Long, byte_sum: Long)
   implicit val decodedImageEnc: Encoder[DecodedImage] = Encoders.product[DecodedImage]
   private implicit val rawEnc: Encoder[(Long, Array[Byte])] =

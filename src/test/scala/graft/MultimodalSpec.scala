@@ -64,4 +64,35 @@ class MultimodalSpec extends SparkSpec {
       assert(d.byte_sum == b.map(x => (x & 0xff).toLong).sum)
     }
   }
+
+  test("dHash equals the hand fold over grid samples; identical payloads " +
+      "pair at Hamming 0; the bucket cap fails loud") {
+    // hand fold: the same 61-position grid walk in plain Scala
+    def handHash(b: Array[Byte]): Long = {
+      def at(p: Long) = b(p.toInt) & 0xff
+      def pos(j: Long) = (j * (b.length - 1)) / 60
+      (0L until 60L).foldLeft(0L)((acc, j) =>
+        acc * 2 + (if (at(pos(j)) > at(pos(j + 1))) 1L else 0L))
+    }
+    val raw = withImg.select("doc_id", "img").as[(Long, Array[Byte])]
+      .collect().toMap
+    val sigs = withImg.select(col("doc_id"), Multimodal.dHash(col("img")))
+      .as[(Long, Long)].collect().toMap
+    sigs.foreach { case (id, s) => assert(s == handHash(raw(id))) }
+    // two identical payloads + one different: exactly the (1,2) pair at 0
+    val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other body"))
+      .toDF("doc_id", "text")
+      .withColumn("img", Multimodal.fakeImageBytes(col("text"), lit(0L)))
+    val pairs = Multimodal.imageDupPairs(dup, "doc_id", "img", 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)))
+    // a bucket past maxBucket refuses rather than expanding quadratically
+    val flood = (1L to 5L).map(i => (i, "same text")).toDF("doc_id", "text")
+      .withColumn("img", Multimodal.fakeImageBytes(col("text"), lit(0L)))
+    val e = intercept[Exception] {
+      Multimodal.imageDupPairs(flood, "doc_id", "img", 2, maxBucket = 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxBucket"))
+  }
 }
