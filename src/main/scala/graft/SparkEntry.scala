@@ -766,6 +766,25 @@ object SparkEntry {
       CoreOps.asofJoin(purchases, errors, "user_id", "ts", Seq("err_ms", "err_event"))
         .select(col("event_id"), col("user_id"), col("err_ms"), col("err_event"))
     }),
+    // the STREAM-STREAM as-of as a keyed state machine, batch-run: every
+    // purchase probes the latest error at-or-before it off O(1)
+    // latest-right state per user (rights at one ts collapse to max
+    // event_id — the same pre-aggregation the batch pipeline applies);
+    // same ASOF oracle under the events NULL convention
+    "q_asof_join_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val sm = graft.streaming.StateMachines
+      sm.asofMatches(sm.asofEvents(
+          ev.filter(col("event_type") === "purchase"), col("user_id"),
+          unix_millis(col("ts")), col("event_id"),
+          ev.filter(col("event_type") === "error"), col("user_id"),
+          unix_millis(col("ts")), col("event_id")))
+        .select(col("tiebreak").as("event_id"),
+          col("key").cast("long").as("user_id"),
+          col("match_ms").as("err_ms"),
+          col("match_tiebreak").as("err_event"))
+    }),
     // the same as-of carry under a 1h staleness bound: a last-error match
     // older than an hour is no usable context and nulls out
     "q_asof_tolerant" -> ((s, dir) => {
@@ -3587,6 +3606,19 @@ object SparkEntry {
          |           WHERE event_type = 'purchase'),
          |e AS (SELECT user_id, $evMs AS err_ms, MAX(event_id) AS err_event
          |      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+         |SELECT p.event_id, p.user_id, e.err_ms, e.err_event
+         |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.err_ms <= p.ms""".stripMargin,
+
+    // the state machine must reproduce the ASOF join exactly in batch
+    // mode; NULL keys/timestamps are filtered by projection (the
+    // events-oracle NULL convention, like q_latest_state_stream)
+    "q_asof_join_stream" ->
+      s"""WITH p AS (SELECT user_id, $evMs AS ms, event_id FROM events
+         |           WHERE event_type = 'purchase'
+         |             AND user_id IS NOT NULL AND ts IS NOT NULL),
+         |e AS (SELECT user_id, $evMs AS err_ms, MAX(event_id) AS err_event
+         |      FROM events WHERE event_type = 'error'
+         |        AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2)
          |SELECT p.event_id, p.user_id, e.err_ms, e.err_event
          |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.err_ms <= p.ms""".stripMargin,
 

@@ -79,6 +79,14 @@ case class LatestPayload(tsMs: Long, tiebreak: Long,
 case class LatestSnapshot(key: String, last_ms: Long, tiebreak: Long,
                           kind: Option[String], value: Option[Double])
 
+/** Tagged two-sided event for the stream-stream as-of machine: left rows
+  * probe, right rows build. */
+case class AsofEvent(key: String, tsMs: Long, tiebreak: Long, isLeft: Boolean)
+/** The latest right row seen per key (asofMatches state). */
+case class AsofRight(tsMs: Long, tiebreak: Long)
+case class AsofMatch(key: String, tiebreak: Long, event_ms: Long,
+                     match_ms: Option[Long], match_tiebreak: Option[Long])
+
 /** Streaming forms of the reference's keyed state machines (§2.9), as
   * `flatMapGroupsWithState` over `GroupState` — the Spark-native equivalent of
   * Flink's RichFunction + ValueState. The same functions run in BATCH mode
@@ -790,4 +798,76 @@ object StateMachines {
         }
     }
   }
+
+  implicit val asofEventEnc: Encoder[AsofEvent] = Encoders.product[AsofEvent]
+  implicit val asofRightEnc: Encoder[AsofRight] = Encoders.product[AsofRight]
+  implicit val asofMatchEnc: Encoder[AsofMatch] = Encoders.product[AsofMatch]
+
+  /** Tagged two-sided projection for asofMatches: union the probe side
+    * (isLeft = true) with the build side under one canonical shape. */
+  def asofEvents(left: DataFrame, lKey: Column, lTsMs: Column,
+                 lTiebreak: Column, right: DataFrame, rKey: Column,
+                 rTsMs: Column, rTiebreak: Column): Dataset[AsofEvent] =
+    left.select(lKey.cast("string").as("key"), lTsMs.cast("long").as("tsMs"),
+        lTiebreak.cast("long").as("tiebreak"), lit(true).as("isLeft"))
+      .unionByName(right.select(rKey.cast("string").as("key"),
+        rTsMs.cast("long").as("tsMs"),
+        rTiebreak.cast("long").as("tiebreak"), lit(false).as("isLeft")))
+      .as[AsofEvent]
+
+  /** STREAM-STREAM as-of join as a keyed state machine — the last
+    * join-family gap between the batch and streaming surfaces
+    * (asofJoinEachBatch is stream-static): every LEFT event matches the
+    * latest RIGHT event of its key with rts ≤ lts, in O(1) state per key
+    * — the state is ONE AsofRight (the (tsMs, tiebreak)-max right seen),
+    * never a buffer, because "latest at-or-before" under the in-order
+    * contract only ever needs the frontier right. Rights at the SAME
+    * (key, ts) collapse to the max tiebreak — exactly the unique-(key,ts)
+    * pre-aggregation the batch q_asof_join pipeline applies, so raw
+    * right rows can feed the machine directly.
+    *
+    * Ordering: within an invocation events sort by (tsMs, rights-first,
+    * tiebreak) — rights at a timestamp build BEFORE lefts at the same
+    * timestamp probe, matching ASOF's ≤ inclusivity — so batch mode
+    * replays DuckDB's ASOF LEFT JOIN exactly (the q_asof_join oracle).
+    * Across micro-batches arrival order governs (the transitionPairs
+    * contract): a behind-frontier LEFT matches the stored right only if
+    * that right is still at-or-before it (an older, superseded right is
+    * gone — O(1) state is the point; emit-with-NULL, never a wrong
+    * future match), and a behind-frontier RIGHT that is not newer than
+    * the stored one is a strict no-op. Emits one AsofMatch per LEFT
+    * event (append); match_ms/match_tiebreak are NULL when no right
+    * qualifies — the LEFT-join convention. */
+  def asofMatches(events: Dataset[AsofEvent],
+                  stateTtlMs: Option[Long] = None): Dataset[AsofMatch] =
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[AsofEvent], state: GroupState[AsofRight]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = ArrayBuffer.empty[AsofMatch]
+          var st = state.getOption.orNull
+          it.toArray
+            .sortBy(e => (e.tsMs, e.isLeft, e.tiebreak)) // rights first
+            .foreach { e =>
+              if (e.isLeft) {
+                if (st != null && st.tsMs <= e.tsMs)
+                  out += AsofMatch(key, e.tiebreak, e.tsMs,
+                    Some(st.tsMs), Some(st.tiebreak))
+                else
+                  out += AsofMatch(key, e.tiebreak, e.tsMs, None, None)
+              } else if (st == null || e.tsMs > st.tsMs
+                  || (e.tsMs == st.tsMs && e.tiebreak > st.tiebreak)) {
+                st = AsofRight(e.tsMs, e.tiebreak)
+              }
+            }
+          if (st != null) {
+            state.update(st)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+          }
+          out.iterator
+        }
+    }
 }

@@ -551,6 +551,98 @@ class StreamingParitySpec extends SparkSpec {
       stateTtlMs = Some(60000L)).collect().toSet
     val adPlain = StateMachines.actionDurations(ds, "signup", "purchase").collect().toSet
     assert(adTtl == adPlain)
+    // the walk machines added since: same batch-mode TTL-transparency
+    val tbTtl = StateMachines.tokenBucket(ds, 2, 1L, 1L,
+      stateTtlMs = Some(60000L)).collect().toSet
+    assert(tbTtl == StateMachines.tokenBucket(ds, 2, 1L, 1L).collect().toSet)
+    val beTtl = StateMachines.burstEnds(ds, 10L, 100L,
+      stateTtlMs = Some(60000L)).collect().toSet
+    assert(beTtl == StateMachines.burstEnds(ds, 10L, 100L).collect().toSet)
+    val t2Ttl = StateMachines.transitionPairs2(ds,
+      stateTtlMs = Some(60000L)).collect().toSet
+    assert(t2Ttl == StateMachines.transitionPairs2(ds).collect().toSet)
+    val am = StateMachines.asofEvents(
+      ds.toDF().filter(col("tiebreak") % 2 === 1), col("key"), col("tsMs"),
+      col("tiebreak"),
+      ds.toDF().filter(col("tiebreak") % 2 === 0), col("key"), col("tsMs"),
+      col("tiebreak"))
+    val amTtl = StateMachines.asofMatches(am,
+      stateTtlMs = Some(60000L)).collect().toSet
+    assert(amTtl == StateMachines.asofMatches(am).collect().toSet
+      && amTtl.nonEmpty)
+  }
+
+  test("tokenBucket state TTL: an expired idle key re-initializes to a " +
+      "FULL bucket (fresh-key semantics, not a stale balance)") {
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.tokenBucket(input.toDS(), 1, 1L, 1000000L,
+        stateTtlMs = Some(2000L)) // ~0 refill: only expiry restores budget
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tb_ttl").start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("tb_ttl").count() < n &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.table("tb_ttl").count() >= n, s"timed out waiting for $n")
+    }
+    def awaitRemovals(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      def removed = Option(q.recentProgress).toSeq.flatten
+        .flatMap(p => p.stateOperators.map(_.numRowsRemoved)).sum
+      while (removed < n && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(removed >= n, s"timed out waiting for $n state removals")
+    }
+    try {
+      // capacity 1, negligible refill, ONE invocation: the first event
+      // admits and drains, the second is rejected off the stored balance
+      input.addData(KeyedEvent("k", 1000, 1, "a"),
+        KeyedEvent("k", 2000, 2, "a"))
+      awaitRows(2)
+      // idle past the TTL: the wall-clock batches fire the timer
+      Thread.sleep(3000); awaitRemovals(1)
+      // the next event finds EMPTY state → full bucket again, admits —
+      // and with a surviving stale balance it would have been rejected
+      input.addData(KeyedEvent("k", 3000, 3, "a"))
+      awaitRows(3)
+      val got = spark.table("tb_ttl").as[ThrottleDecision]
+        .collect().map(d => d.tiebreak -> d.admitted).toMap
+      assert(got == Map(1L -> true, 2L -> false, 3L -> true))
+    } finally q.stop()
+  }
+
+  test("asofMatches: cross-batch latest-right state, same-ts rights build " +
+      "before lefts probe, behind-frontier left gets NULL not a future " +
+      "match; batch mode == the one-shot replay") {
+    val input = MemoryStream[AsofEvent]
+    val q = StateMachines.asofMatches(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_par").start()
+    val batch1 = Seq(
+      AsofEvent("k", 1000, 10, isLeft = false), // right builds
+      AsofEvent("k", 1000, 11, isLeft = true),  // same-ts left: matches it
+      AsofEvent("k", 500, 12, isLeft = true))   // before any right: NULL
+    val batch2 = Seq(
+      AsofEvent("k", 3000, 13, isLeft = false), // newer right supersedes
+      AsofEvent("k", 4000, 14, isLeft = true))  // matches the 3000 right
+    val batch3 = Seq(
+      AsofEvent("k", 2000, 15, isLeft = true))  // behind frontier ALONE:
+                                                // the stored right (3000)
+                                                // is FROM ITS FUTURE →
+                                                // NULL, never 3000
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      input.addData(batch3); q.processAllAvailable()
+      val got = spark.table("asof_par").as[AsofMatch].collect().toSet
+      assert(got == Set(
+        AsofMatch("k", 11, 1000, Some(1000L), Some(10L)),
+        AsofMatch("k", 12, 500, None, None),
+        AsofMatch("k", 14, 4000, Some(3000L), Some(13L)),
+        AsofMatch("k", 15, 2000, None, None)))
+      // batch-mode replay of batch1 alone reproduces its decisions
+      val replay = StateMachines.asofMatches(batch1.toDS()).collect().toSet
+      assert(replay == got.filter(_.tiebreak <= 12))
+    } finally q.stop()
   }
 
   test("eventTimeTumblingCount drops late rows past the watermark and reports them") {
