@@ -31,6 +31,12 @@ object Bench {
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     queries.foreach { case (_, fn) => run(fn) } // warm-up
+    // one extra UNRECORDED execution right before the measured loop: the
+    // warm-up pass leaves JIT/GC debt that otherwise lands on whichever
+    // query is measured first (BENCH_r08's first-query spread was ~10×
+    // the fleet norm); re-running the first query absorbs it outside
+    // the timings
+    queries.headOption.foreach { case (_, fn) => run(fn) }
     // three timed passes, keep the per-query MIN: this machine shares cores
     // with bursty co-tenants, and min-of-k is the standard estimator that
     // reports plan cost rather than whoever else was running. The per-query

@@ -469,5 +469,26 @@ object syntax {
     def frameSample(id: String, bin: String, frameBytes: Int,
                     everyNth: Int): DataFrame =
       Multimodal.frameSample(df, id, bin, frameBytes, everyNth)
+
+    // ── round-9 community / audit / image-dup additions ───────────────────
+    def labelPropagation(src: String, dst: String, iters: Int): DataFrame =
+      Graph.labelPropagation(df, src, dst, iters)
+    def hitsWithResidual(src: String, dst: String, iters: Int,
+                         scale: Long = 1000000L): (DataFrame, DataFrame) =
+      Graph.hitsWithResidual(df, src, dst, iters, scale)
+    def blockingQualitySampled(id: String, text: String, k: Int, bands: Int,
+                               rowsPerBand: Int, tNum: Int, tDen: Int,
+                               sampleMod: Int,
+                               maxBucket: Int = 10000): DataFrame =
+      Dedup.blockingQualitySampled(df, id, text, k, bands, rowsPerBand,
+        tNum, tDen, sampleMod, maxBucket)
+    def imageDupPairs(id: String, bin: String, maxHamming: Int,
+                      maxBucket: Int = 10000): DataFrame =
+      Multimodal.imageDupPairs(df, id, bin, maxHamming, maxBucket)
+    def windowedHellinger(cat: String, ts: String, windowDur: String,
+                          lateness: String, ref: DataFrame,
+                          refCat: String): DataFrame =
+      graft.streaming.StreamOps.windowedHellinger(df, cat, ts, windowDur,
+        lateness, ref, refCat)
   }
 }

@@ -90,4 +90,35 @@ class SyntaxSpec extends SparkSpec {
     assert(pts.theilSen("x", "y").head().toSeq ==
       graft.operators.CoreOps.theilSen(pts, "x", "y").head().toSeq)
   }
+
+  test("the round-9 facade methods delegate to their operators") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 10L), (10L, 11L),
+      (10L, 12L), (11L, 12L)).toDF("s", "d")
+    assert(edges.labelPropagation("s", "d", 3).collect().toSet ==
+      graft.operators.Graph.labelPropagation(edges, "s", "d", 3)
+        .collect().toSet)
+    val (hr, rr) = edges.hitsWithResidual("s", "d", 2)
+    val (hg, rg) = graft.operators.Graph.hitsWithResidual(edges, "s", "d", 2)
+    assert(hr.collect().toSet == hg.collect().toSet)
+    assert(rr.head().toSeq == rg.head().toSeq)
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), (3L, "something else wholly"))
+      .toDF("doc_id", "text")
+    assert(docs.blockingQualitySampled("doc_id", "text", 3, 8, 2, 1, 2, 1)
+        .head().toSeq ==
+      graft.operators.Dedup.blockingQualitySampled(docs, "doc_id", "text",
+        3, 8, 2, 1, 2, 1).head().toSeq)
+    val imgs = docs.withColumn("img",
+      graft.operators.Multimodal.fakeImageBytes(col("text"), lit(0L)))
+    assert(imgs.imageDupPairs("doc_id", "img", 0).collect().toSet ==
+      graft.operators.Multimodal.imageDupPairs(imgs, "doc_id", "img", 0)
+        .collect().toSet)
+    val ev = Seq(("a", 1000L), ("b", 1500L), ("a", 2500L))
+      .toDF("cat", "ms").withColumn("ts", timestamp_millis(col("ms")))
+    val ref = Seq("a", "b").toDF("c")
+    assert(ev.windowedHellinger("cat", "ts", "3 seconds", "0 seconds",
+        ref, "c").collect().toSet ==
+      graft.streaming.StreamOps.windowedHellinger(ev, "cat", "ts",
+        "3 seconds", "0 seconds", ref, "c").collect().toSet)
+  }
 }
