@@ -2576,6 +2576,27 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("img",
           Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
         "doc_id", "img", 8, 2)),
+    // the modality-mix curation stat: per (source, container format)
+    // exact counts + within-source share — what a mixture-weight
+    // decision reads on a multimodal corpus
+    "q_modality_mix" -> ((s, dir) =>
+      Multimodal.modalityMix(
+        Tables.documents(s, dir)
+          .withColumn("img",
+            Multimodal.fakeImageBytes(col("text"), col("doc_id")))
+          .select(col("source"),
+            Multimodal.sniffFormat(col("img")).as("format")),
+        "source", "format")),
+    // the image↔caption join shape: typed payload metadata joined on the
+    // id to caption token counts, folded per format with the exact
+    // integral tokens-per-byte density gauge
+    "q_image_caption_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("img",
+          Multimodal.fakeImageBytes(col("text"), col("doc_id")))
+      Multimodal.captionProfile(docs, "doc_id", "img",
+        TextOps.tokens(col("text")))
+    }),
     // image near-dup pairs: 60-bit byte-grid dHash, 3×20-bit Hamming-LSH
     // bands (pigeonhole recall at <=2 differing bits), exact Hamming
     // verify — the binary-column twin of q_simhash_jaccard; the oracle
@@ -6626,6 +6647,46 @@ object SparkEntry {
          |SELECT doc_id, f.i AS frame_idx, substr(h, (f.i * 16 + 1)::INT, 16) AS frame_hex
          |FROM nf, (SELECT unnest(range(0, 64, 2)) AS i) f
          |WHERE n_frames > 0 AND f.i < n_frames""".stripMargin,
+
+    // leading-byte sniff ranges replayed on the hex text; shares are one
+    // trunc6'd division of exact counts
+    "q_modality_mix" ->
+      s"""WITH hx AS (SELECT source,
+         |        upper(md5(text) || substr(md5(text || 'x'), 1, ((doc_id % 3) * 8)::INT)) AS h
+         |      FROM documents WHERE source IS NOT NULL),
+         |f AS (SELECT source,
+         |        CASE WHEN ('0x' || substr(h,1,2))::BIGINT < 64 THEN 'png'
+         |             WHEN ('0x' || substr(h,1,2))::BIGINT < 128 THEN 'jpeg'
+         |             WHEN ('0x' || substr(h,1,2))::BIGINT < 192 THEN 'gif'
+         |             ELSE 'webp' END AS format
+         |      FROM hx),
+         |c AS (SELECT source, format, count(*)::BIGINT AS n_docs
+         |      FROM f GROUP BY 1, 2),
+         |t AS (SELECT source, sum(n_docs)::BIGINT AS n_total FROM c GROUP BY 1)
+         |SELECT c.source, c.format, n_docs, n_total,
+         |  floor(n_docs::DOUBLE / n_total::DOUBLE * 1000000) / 1000000 AS share
+         |FROM c JOIN t USING (source)""".stripMargin,
+
+    // payload meta ⋈ caption tokens on the id, folded per format; the
+    // density gauge is pure integral division (Σtok·1e6 // Σbytes)
+    "q_image_caption_join" ->
+      s"""WITH hx AS (SELECT doc_id,
+         |        upper(md5(text) || substr(md5(text || 'x'), 1, ((doc_id % 3) * 8)::INT)) AS h,
+         |        len($toksSql)::BIGINT AS ntok
+         |      FROM documents),
+         |m AS (SELECT doc_id, (length(h) / 2)::BIGINT AS n_bytes,
+         |        CASE WHEN ('0x' || substr(h,1,2))::BIGINT < 64 THEN 'png'
+         |             WHEN ('0x' || substr(h,1,2))::BIGINT < 128 THEN 'jpeg'
+         |             WHEN ('0x' || substr(h,1,2))::BIGINT < 192 THEN 'gif'
+         |             ELSE 'webp' END AS format,
+         |        ntok
+         |      FROM hx)
+         |SELECT format, count(*)::BIGINT AS n_docs,
+         |  sum(n_bytes)::BIGINT AS total_bytes,
+         |  sum(ntok)::BIGINT AS total_cap_tokens,
+         |  (sum(ntok)::BIGINT * 1000000) // sum(n_bytes)::BIGINT
+         |    AS tokens_per_byte_scaled
+         |FROM m GROUP BY 1""".stripMargin,
 
     // byte-grid dHash replayed on the hex text: sample positions via
     // BIGINT //, bits folded acc*2+b, 3×20-bit bands via >>/&, exact

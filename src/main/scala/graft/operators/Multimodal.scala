@@ -156,6 +156,53 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Modality/format mix per group — the curation stat a multimodal
+    * corpus owner reads before fixing mixture weights ("what share of
+    * each source is PNG vs JPEG vs video"): per (group, format) exact
+    * counts plus the within-group share, trunc6'd like every emitted
+    * ratio. Distributed shape: ONE (group, format) count shuffle + an
+    * O(groups) total agg joined back — both frames are post-aggregation
+    * small, no windows over the corpus, no driver traffic. NULL group or
+    * format rows drop (unattributable). Emits (group, format, n_docs,
+    * n_total, share). */
+  def modalityMix(df: DataFrame, group: String, format: String): DataFrame = {
+    val emitted = Seq("n_docs", "n_total", "share")
+    require(!emitted.contains(group) && !emitted.contains(format),
+      s"modalityMix emits ${emitted.mkString(", ")}; rename inputs")
+    val counts = df
+      .filter(col(group).isNotNull && col(format).isNotNull)
+      .groupBy(col(group), col(format)).agg(count(lit(1)).as("n_docs"))
+    counts
+      .join(counts.groupBy(col(group)).agg(sum(col("n_docs")).as("n_total")),
+        Seq(group))
+      .select(col(group), col(format), col("n_docs"), col("n_total"),
+        (floor(col("n_docs").cast("double") / col("n_total").cast("double")
+          * 1000000d) / 1000000d).as("share"))
+  }
+
+  /** The image↔caption join shape, profiled per container format: the
+    * typed metadata frame (imageMeta) joined on the id to a caption
+    * token-count frame — the standard two-sided multimodal layout
+    * (payload table ⋈ text table) even when both happen to come from
+    * one scan here — folded to per-format exact totals plus a
+    * caption-density gauge, tokens-per-byte at the 10⁻⁶ grid via pure
+    * integral division (Σtok·10⁶ div Σbytes — exact, engine-identical).
+    * One id-keyed join + one O(formats) agg. Emits (format, n_docs,
+    * total_bytes, total_cap_tokens, tokens_per_byte_scaled). */
+  def captionProfile(df: DataFrame, id: String, bin: String,
+                     captionTokens: Column): DataFrame = {
+    val meta = imageMeta(df, id, bin)
+    val caps = df.select(col(id),
+      size(captionTokens).cast("long").as("_ntok"))
+    meta.join(caps, Seq(id))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("_ntok")).as("total_cap_tokens"))
+      .withColumn("tokens_per_byte_scaled",
+        expr("(total_cap_tokens * CAST(1000000 AS BIGINT)) div total_bytes"))
+  }
+
   case class DecodedImage(doc_id: Long, n_bytes: Long, byte_sum: Long)
   implicit val decodedImageEnc: Encoder[DecodedImage] = Encoders.product[DecodedImage]
   private implicit val rawEnc: Encoder[(Long, Array[Byte])] =

@@ -485,6 +485,11 @@ object syntax {
     def imageDupPairs(id: String, bin: String, maxHamming: Int,
                       maxBucket: Int = 10000): DataFrame =
       Multimodal.imageDupPairs(df, id, bin, maxHamming, maxBucket)
+    def modalityMix(group: String, format: String): DataFrame =
+      Multimodal.modalityMix(df, group, format)
+    def captionProfile(id: String, bin: String,
+                       captionTokens: Column): DataFrame =
+      Multimodal.captionProfile(df, id, bin, captionTokens)
     def windowedHellinger(cat: String, ts: String, windowDur: String,
                           lateness: String, ref: DataFrame,
                           refCat: String): DataFrame =

@@ -65,6 +65,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("modalityMix: exact per-group counts and trunc6 shares; NULL group " +
+      "or format drops") {
+    val df = Seq(
+      (Some("s1"), Some("png")), (Some("s1"), Some("png")),
+      (Some("s1"), Some("jpeg")), (Some("s2"), Some("gif")),
+      (None, Some("png")), (Some("s2"), None))
+      .toDF("source", "format")
+    val got = Multimodal.modalityMix(df, "source", "format")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("s1", "png", 2L, 3L, math.floor(2d / 3d * 1e6) / 1e6),
+      ("s1", "jpeg", 1L, 3L, math.floor(1d / 3d * 1e6) / 1e6),
+      ("s2", "gif", 1L, 1L, 1.0)))
+  }
+
+  test("captionProfile folds the meta ⋈ caption join per format with the " +
+      "exact integral density gauge") {
+    val got = Multimodal.captionProfile(
+        withImg, "doc_id", "img",
+        graft.operators.TextOps.tokens(col("text")))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val raw = withImg
+      .select(col("doc_id"), Multimodal.sniffFormat(col("img")),
+        Multimodal.byteLength(col("img")),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long"))
+      .as[(Long, String, Long, Long)].collect()
+    val byFmt = raw.groupBy(_._2).map { case (f, rs) =>
+      f -> ((rs.length.toLong, rs.map(_._3).sum, rs.map(_._4).sum))
+    }
+    assert(got.length == byFmt.size)
+    got.foreach { case (f, n, bytes, toks, dens) =>
+      val (en, eb, et) = byFmt(f)
+      assert((n, bytes, toks) == ((en, eb, et)))
+      assert(dens == et * 1000000L / eb)
+    }
+  }
+
   test("dHash equals the hand fold over grid samples; identical payloads " +
       "pair at Hamming 0; the bucket cap fails loud") {
     // hand fold: the same 61-position grid walk in plain Scala
