@@ -295,6 +295,20 @@ object SparkEntry {
   private def lpaOracleSql(iters: Int): String =
     lpaOracleCtes(iters) + s"\nSELECT node, label FROM l$iters"
 
+  /** Movement gauge twin: nodes whose label still changed in the last
+    * unrolled round (the hitsResidualOracleSql pattern). */
+  private def lpaMovedOracleSql(iters: Int): String =
+    lpaOracleCtes(iters) +
+      s"""
+         |SELECT count(*)::BIGINT AS n_nodes,
+         |  COALESCE(sum(CASE WHEN a.label <> b.label THEN 1 ELSE 0 END),
+         |    0)::BIGINT AS n_moved,
+         |  CASE WHEN count(*) > 0 THEN
+         |    floor(COALESCE(sum(CASE WHEN a.label <> b.label THEN 1 ELSE 0
+         |      END), 0)::DOUBLE / count(*)::DOUBLE * 1000000) / 1000000
+         |  END AS moved_share
+         |FROM l$iters a JOIN l${iters - 1} b ON b.node = a.node""".stripMargin
+
   /** The LPA chain composed with the modularity algebra (the
     * q_modularity oracle shape over the l$iters partition): LPA labels
     * every node of the edge set, so no unlabeled-endpoint filter. */
@@ -2342,13 +2356,18 @@ object SparkEntry {
     // label, min-label ties, all integer argmins, so the oracle's
     // unrolled CTE reproduces the partition bit-for-bit; the labels
     // double as canonical community representatives
-    "q_communities" -> ((s, dir) => lpaShared(s, dir)),
+    "q_communities" -> ((s, dir) => lpaShared(s, dir)._1),
     // the generative tier composed with its own gauge: Newman modularity
     // of the LPA partition on the same graph — "did propagation find
     // real structure?" in one exact-integer summary row
     "q_communities_modularity" -> ((s, dir) =>
       Graph.modularity(coSourcingEdges(s, dir), "src", "dst",
-        lpaShared(s, dir), "node", "label")),
+        lpaShared(s, dir)._1, "node", "label")),
+    // "did LpaIters rounds settle?" — the count of nodes whose label
+    // still changed in the last round, off the same shared run (LPA's
+    // residual; a persistent nonzero on this bipartite graph is the
+    // documented 2-cycle)
+    "q_communities_moved" -> ((s, dir) => lpaShared(s, dir)._2),
     // personalized PageRank: teleport mass restarts only at the audited
     // seed suppliers (the q_bfs_dist seed set), so scores rank the whole
     // graph by proximity-weighted reachability FROM them — the
@@ -2627,6 +2646,13 @@ object SparkEntry {
     // scan (never an unpartitioned window)
     "q_roc" -> ((s, dir) =>
       Eval.rocCurve(Tables.documents(s, dir), "n_chars",
+        col("lang") === "en")),
+    // the PR-curve one-number for the same rule: step-interpolated
+    // average precision over distinct thresholds — exact integer terms
+    // (p_t·TP_t·1e6) div N_t through the same bucket prefix scan; the
+    // imbalance-honest companion to ROC-AUC
+    "q_avg_precision" -> ((s, dir) =>
+      Eval.averagePrecision(Tables.documents(s, dir), "n_chars",
         col("lang") === "en")),
     // Adamic-Adar link prediction on the co-sourcing graph: hub middles
     // past AaMaxDeg are excluded BEFORE the wedge join (1/ln(deg) weight
@@ -2969,16 +2995,19 @@ object SparkEntry {
       Graph.hitsWithResidual(coSourcingEdges(s, dir),
         "src", "dst", HitsIters, HitsScale))
 
-  /** q_communities and q_communities_modularity are views over ONE label
-    * propagation run: the final labels frame is persisted so the
-    * partition is computed once and both the community listing and its
-    * modularity score read it. Same BENCH caveat as nearDupPairs. */
+  /** q_communities, q_communities_modularity and q_communities_moved are
+    * views over ONE label propagation run: the final labels frame is
+    * persisted (two consumers) and the movement gauge reuses the run's
+    * checkpointed penultimate frame. Same BENCH caveat as nearDupPairs. */
   private val lpaCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-  private def lpaShared(s: SparkSession, dir: String): DataFrame =
-    memoPersist(lpaCache, s, dir)(
-      Graph.labelPropagation(coSourcingEdges(s, dir), "src", "dst",
-        LpaIters))
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def lpaShared(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    memoShared(lpaCache, s, dir)({
+      val (labels, movement) = Graph.labelPropagationWithMovement(
+        coSourcingEdges(s, dir), "src", "dst", LpaIters)
+      (labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        movement)
+    })
 
   /** q_image_dups and q_image_dup_clusters share ONE verified pair frame
     * (the nearDupPairs pattern) — the dHash/banding pipeline runs once
@@ -5240,6 +5269,7 @@ object SparkEntry {
     "q_hits_residual" -> hitsResidualOracleSql(HitsIters, HitsScale),
     "q_communities" -> lpaOracleSql(LpaIters),
     "q_communities_modularity" -> lpaModularityOracleSql(LpaIters),
+    "q_communities_moved" -> lpaMovedOracleSql(LpaIters),
     "q_bfs_dist" -> bfsOracleSql(BfsRounds, BfsSeedMod),
     "q_ppr" -> pprOracleSql(PrIters, PrScale, BfsSeedMod),
     "q_pagerank_weighted" -> pagerankWeightedOracleSql(WprIters, PrScale),
@@ -6793,6 +6823,29 @@ object SparkEntry {
         |  CASE WHEN ng > 0 THEN floor(n_fp::DOUBLE / ng::DOUBLE * 1000000)
         |    / 1000000 END AS fpr
         |FROM c CROSS JOIN t""".stripMargin,
+    // the q_roc cumulatives folded to step AP: per-threshold integer
+    // term (np·n_tp·1e6) // (n_tp+n_fp), one trunc6'd division out
+    "q_avg_precision" ->
+      """WITH s AS (SELECT n_chars::BIGINT AS threshold,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS np,
+        |        sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS nn
+        |      FROM documents
+        |      WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+        |c AS (SELECT threshold, np,
+        |        sum(np) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING)::BIGINT AS n_tp,
+        |        sum(nn) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING)::BIGINT AS n_fp
+        |      FROM s),
+        |t AS (SELECT sum(np)::BIGINT AS p FROM s),
+        |a AS (SELECT sum((np * n_tp * 1000000) // (n_tp + n_fp))::BIGINT
+        |        AS ap_scaled FROM c)
+        |SELECT t.p AS n_pos, a.ap_scaled,
+        |  CASE WHEN t.p > 0 THEN
+        |    floor(a.ap_scaled::DOUBLE / (t.p::DOUBLE * 1000000) * 1000000)
+        |      / 1000000 END AS average_precision
+        |FROM a CROSS JOIN t""".stripMargin,
+
     // same canonical string endpoints, degree cap BEFORE the wedge join,
     // 1/ln as exact integer division of the qlog; NOT EXISTS = left anti
     "q_adamic_adar" ->

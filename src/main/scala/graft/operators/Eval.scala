@@ -250,6 +250,38 @@ object Eval {
     cum.crossJoin(broadcast(tots))
   }
 
+  /** Average precision (the exact area under the precision-recall curve,
+    * step interpolation): AP = Σ_t (R_t − R_{t−1})·P_t over DISTINCT
+    * descending thresholds — the ranking-quality one-number that, unlike
+    * ROC-AUC, does not reward a model for ordering the easy negatives
+    * (the right gauge under class imbalance, e.g. a rare-language
+    * detector). Ties in the score form one threshold block by
+    * construction (the rocCum distinct-threshold frame), so the result
+    * is well-defined and deterministic — no per-row permutation enters.
+    *
+    * Exactness: ΔR_t·P_t = (p_t/P)·(TP_t/N_t) enters as the integer term
+    * (p_t·TP_t·10⁶) div N_t — the product must stay under 2⁶³ (P ≲ 3·10⁶
+    * positives at worst-case p_t = TP_t = P; ANSI fails loud past it —
+    * at larger corpora feed a sampled or per-segment frame), terms sum
+    * exactly in int64 (the sum is ≤ P·10⁶ because TP_t ≤ N_t), and the
+    * emitted `average_precision` is ONE double division. Same
+    * O(distinct scores) distributed shape as rocCurve — the cumulatives
+    * ride the bucket prefix scan, never an unpartitioned window. Emits
+    * ONE row (n_pos, ap_scaled, average_precision); zero positives emit
+    * NULL ap (undefined, not a fake 0); empty input emits nothing. */
+  def averagePrecision(df: DataFrame, score: String,
+                       isPos: Column): DataFrame =
+    rocCum(df, score, isPos)
+      .select(col("_P"),
+        expr("(_np * n_tp * CAST(1000000 AS BIGINT)) div (n_tp + n_fp)")
+          .as("_t"))
+      .groupBy(col("_P"))
+      .agg(sum(col("_t")).as("ap_scaled"))
+      .select(col("_P").as("n_pos"), col("ap_scaled"),
+        when(col("_P") > 0L, trunc6(col("ap_scaled").cast("double")
+          / (col("_P").cast("double") * 1000000d)))
+          .as("average_precision"))
+
   /** The Youden-J operating point: the threshold maximizing TPR − FPR,
     * chosen by the EXACT integer argmax of J·P·N = n_tp·N − n_fp·P over
     * the ROC cumulatives (no float enters the comparison), ties toward

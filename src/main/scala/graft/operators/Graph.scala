@@ -870,7 +870,41 @@ object Graph {
     * representative. Score the partition with `modularity` — the
     * composed form is oracle-checked end to end (q_communities_modularity). */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
-                       iters: Int): DataFrame = {
+                       iters: Int): DataFrame =
+    lpaCore(edges, src, dst, iters)._1
+
+  /** The (labels, movement) PAIR over ONE propagation run — "did `iters`
+    * rounds settle?" answered by the count of nodes whose label still
+    * changed in the LAST round, next to the partition itself (the
+    * pagerankWithResidual pattern; LPA has no score vector, so the
+    * movement COUNT is its natural residual — 0 means a fixed point was
+    * reached, and on bipartite graphs a persistent nonzero count is the
+    * documented 2-cycle, not a bug). Same integer walk, so the oracle
+    * reproduces both frames digit for digit. Movement row: (n_nodes,
+    * n_moved, moved_share) with the share one trunc6'd division; an
+    * empty graph emits (0, 0, NULL). */
+  def labelPropagationWithMovement(edges: DataFrame, src: String,
+                                   dst: String, iters: Int)
+      : (DataFrame, DataFrame) = {
+    val (labels, prev) = lpaCore(edges, src, dst, iters)
+    val movement = prev.select(col("node"), col("label").as("_pl"))
+      .join(labels, Seq("node"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(when(col("label") =!= col("_pl"), 1L).otherwise(0L)),
+          lit(0L)).as("n_moved"))
+      .select(col("n_nodes"), col("n_moved"),
+        when(col("n_nodes") > 0L,
+          floor(col("n_moved").cast("double") / col("n_nodes").cast("double")
+            * 1000000d) / 1000000d).as("moved_share"))
+    (labels, movement)
+  }
+
+  /** Shared LPA fixpoint: returns (labels after `iters`, labels after
+    * `iters`−1). The penultimate frame feeds both the final round and
+    * the movement diff, so it is localCheckpoint'd (the two-consumer
+    * rule); every round's count frame likewise. */
+  private def lpaCore(edges: DataFrame, src: String, dst: String,
+                      iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     val emitted = Seq("node", "label", "_a", "_b", "_s", "_d", "_n", "_mn")
     require(!emitted.contains(src) && !emitted.contains(dst),
@@ -890,7 +924,9 @@ object Graph {
     var labels = adj.select(col("_s").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    var prev = labels
+    for (i <- 1 to iters) {
+      if (i == iters) prev = labels.localCheckpoint(true) // diff + final round
       val cnt = adj.join(labels, adj("_s") === labels("node"))
         .groupBy(col("_d"), col("label")).agg(count(lit(1)).as("_n"))
         .localCheckpoint(true) // two consumers: the max and the tie-break
@@ -900,7 +936,7 @@ object Graph {
         .groupBy(col("_d")).agg(min(col("label")).as("label"))
         .withColumnRenamed("_d", "node")
     }
-    labels
+    (labels, prev)
   }
 
   private def trunc6(c: Column): Column = floor(c * 1000000d) / 1000000d

@@ -473,6 +473,11 @@ object syntax {
     // ── round-9 community / audit / image-dup additions ───────────────────
     def labelPropagation(src: String, dst: String, iters: Int): DataFrame =
       Graph.labelPropagation(df, src, dst, iters)
+    def labelPropagationWithMovement(src: String, dst: String,
+                                     iters: Int): (DataFrame, DataFrame) =
+      Graph.labelPropagationWithMovement(df, src, dst, iters)
+    def averagePrecision(score: String, isPos: Column): DataFrame =
+      Eval.averagePrecision(df, score, isPos)
     def hitsWithResidual(src: String, dst: String, iters: Int,
                          scale: Long = 1000000L): (DataFrame, DataFrame) =
       Graph.hitsWithResidual(df, src, dst, iters, scale)

@@ -181,4 +181,21 @@ class EvalSpec extends SparkSpec {
       (2L, 2L, 1L, 1.0, 0.5),
       (1L, 2L, 2L, 1.0, 1.0)))
   }
+
+  test("averagePrecision: exact step AP over distinct thresholds; a " +
+      "perfect ranking scores 1.0; zero positives emit NULL") {
+    // ranking (3:pos, 2:neg, 1:pos): AP = 1/2·1 + 1/2·(2/3), each term
+    // floored at 1e-6 → (1e6 + 666666)/2e6 trunc6'd
+    val df = Seq((3L, true), (2L, false), (1L, true)).toDF("s", "pos")
+    val r = Eval.averagePrecision(df, "s", col("pos")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1666666L)
+    assert(r.getDouble(2) == math.floor(1666666d / 2e6 * 1e6) / 1e6)
+    // positives tied at the top threshold form one block: AP exactly 1.0
+    val perfect = Seq((2L, true), (2L, true), (1L, false)).toDF("s", "pos")
+    assert(Eval.averagePrecision(perfect, "s", col("pos"))
+      .head().getDouble(2) == 1.0)
+    // no positives: AP undefined, NULL — never a fake zero
+    val nopos = Seq((2L, false), (1L, false)).toDF("s", "pos")
+    assert(Eval.averagePrecision(nopos, "s", col("pos")).head().isNullAt(2))
+  }
 }

@@ -390,6 +390,21 @@ class GraphSpec extends SparkSpec {
       Graph.labelPropagation(edges, "s", "d2", 0)
     }
     assert(e.getMessage.contains("iters"))
+    // the movement gauge off the same walk: l1 vs l2 differ at nodes
+    // 1, 10, 11, 12 (hand walk); by round 4 the partition is a fixed
+    // point, so the last round moved nothing
+    val m2 = Graph.labelPropagationWithMovement(edges, "s", "d2", 2)
+      ._2.head()
+    assert((m2.getLong(0), m2.getLong(1)) == ((6L, 4L)))
+    assert(m2.getDouble(2) == math.floor(4d / 6d * 1e6) / 1e6)
+    val m4 = Graph.labelPropagationWithMovement(edges, "s", "d2", 4)
+      ._2.head()
+    assert((m4.getLong(0), m4.getLong(1), m4.getDouble(2)) ==
+      ((6L, 0L, 0.0)))
+    // the pair's labels element is labelPropagation verbatim
+    assert(Graph.labelPropagationWithMovement(edges, "s", "d2", 4)
+      ._1.collect().toSet == labels(4).map { case (n, l) =>
+        org.apache.spark.sql.Row(n, l) }.toSet)
   }
 
   test("hitsWithResidual == (hitsFixed at iters, L1 vs iters-1); a " +
