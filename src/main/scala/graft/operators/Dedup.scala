@@ -581,11 +581,23 @@ object Dedup {
         labels.select(col("node").as("cluster_id"), col("cluster_id").as("jl")),
         Seq("cluster_id"), "left")
         .select(col("node"), coalesce(col("jl"), col("cluster_id")).as("jump_label"))
-      labels = labels.join(nbMin, Seq("node"))
+      val next = labels.join(nbMin, Seq("node"))
         .join(jump, Seq("node"))
         .select(col("node"),
           least(col("cluster_id"), col("nb_min"), col("jump_label")).as("cluster_id"))
         .localCheckpoint(true)
+      // RESET the size-in-bytes stats each round: checkpoint keeps the
+      // ORIGIN plan's estimated stats, and this round's plan multiplies
+      // the previous labels frame's estimate FOUR times (labels ⋈ nbMin
+      // ⋈ jump, with jump itself a labels⋈labels self-join), so the
+      // BigInt estimate grows as s^(4^i) — by ~12 pointer-jumping rounds
+      // the stats rewrite inside checkpoint() is doing million-digit
+      // BigInteger products on the DRIVER and dominates wall time (found
+      // at sf0.1 on the image-dup graph). The RDD round-trip re-enters
+      // through a fresh LogicalRDD with default leaf stats; the frame is
+      // O(clustered nodes) rows, so the Row conversion is noise, and no
+      // join below ever broadcasts labels.
+      labels = next.sparkSession.createDataFrame(next.rdd, next.schema)
       val cur = labelSum(labels)
       converged = cur.compareTo(prev) == 0
       prev = cur

@@ -429,4 +429,33 @@ object Eval {
         when(col("n_rows") > 0L, trunc6(col("ece_num").cast("double")
           / (col("n_rows").cast("double") * width.toDouble))).as("ece"))
   }
+
+  /** Brier score — mean squared error of the probability forecast, the
+    * PROPER scoring companion to ECE (ECE measures calibration alone; a
+    * constant base-rate forecast can have ECE ≈ 0, but Brier also
+    * charges for never separating the classes). Same input convention
+    * as expectedCalibrationError: `score` on the integer [lo, hi) grid
+    * read as probability (score − lo)/(hi − lo).
+    *
+    * Exactness: the per-row deviation (score − lo) − y·(hi − lo) is
+    * exact int64; the emitted `brier` = Σdev² / (n·width²) is ONE
+    * trunc6'd double division of the exact integer sum. Σdev² must stay
+    * under 2⁶³ — n·maxdev² ≲ 9·10¹⁸, i.e. ~10⁸ rows at deviations to
+    * 10⁵; ANSI fails loud past it. One aggregation, no shuffle beyond
+    * the final fold. Emits ONE row (n_rows, brier_num, brier); empty
+    * input emits n_rows 0 with brier NULL. */
+  def brierScore(df: DataFrame, score: String, outcome: Column,
+                 lo: Long, hi: Long): DataFrame = {
+    require(hi > lo, s"need lo < hi, got [$lo, $hi)")
+    val width = hi - lo
+    val dev = (col(score).cast("long") - lo) -
+      when(outcome, lit(width)).otherwise(lit(0L))
+    df.filter(col(score).isNotNull && outcome.isNotNull)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(dev * dev), lit(0L)).as("brier_num"))
+      .select(col("n_rows"), col("brier_num"),
+        when(col("n_rows") > 0L, trunc6(col("brier_num").cast("double")
+          / (col("n_rows").cast("double") * width.toDouble
+             * width.toDouble))).as("brier"))
+  }
 }

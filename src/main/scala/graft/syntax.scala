@@ -478,6 +478,9 @@ object syntax {
       Graph.labelPropagationWithMovement(df, src, dst, iters)
     def averagePrecision(score: String, isPos: Column): DataFrame =
       Eval.averagePrecision(df, score, isPos)
+    def brierScore(score: String, outcome: Column, lo: Long,
+                   hi: Long): DataFrame =
+      Eval.brierScore(df, score, outcome, lo, hi)
     def hitsWithResidual(src: String, dst: String, iters: Int,
                          scale: Long = 1000000L): (DataFrame, DataFrame) =
       Graph.hitsWithResidual(df, src, dst, iters, scale)

@@ -182,6 +182,26 @@ class EvalSpec extends SparkSpec {
       (1L, 2L, 2L, 1.0, 1.0)))
   }
 
+  test("brierScore: exact squared-deviation sum on the forecast grid; " +
+      "perfect forecasts score 0, the worst score 1") {
+    val df = Seq((50000L, true), (0L, false), (25000L, true),
+      (25000L, false)).toDF("c", "y")
+    val r = Eval.brierScore(df, "c", col("y"), 0L, 50000L).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1250000000L)
+    assert(r.getDouble(2) == 0.125)
+    val perfect = Seq((50000L, true), (0L, false)).toDF("c", "y")
+    assert(Eval.brierScore(perfect, "c", col("y"), 0L, 50000L)
+      .head().getDouble(2) == 0.0)
+    val worst = Seq((0L, true), (50000L, false)).toDF("c", "y")
+    assert(Eval.brierScore(worst, "c", col("y"), 0L, 50000L)
+      .head().getDouble(2) == 1.0)
+    // NULL score or outcome drops (the ECE convention)
+    val nulls = Seq((Some(0L), Some(false)), (None, Some(true)),
+      (Some(1L), None)).toDF("c", "y")
+    assert(Eval.brierScore(nulls, "c", col("y"), 0L, 50000L)
+      .head().getLong(0) == 1L)
+  }
+
   test("averagePrecision: exact step AP over distinct thresholds; a " +
       "perfect ranking scores 1.0; zero positives emit NULL") {
     // ranking (3:pos, 2:neg, 1:pos): AP = 1/2·1 + 1/2·(2/3), each term

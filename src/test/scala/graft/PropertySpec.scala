@@ -738,6 +738,34 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: asofMatches (batch) equals the sequential latest-right " +
+      "fold, rights-first at ties") {
+    import graft.streaming.{StateMachines, AsofEvent, AsofMatch}
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 200L), Gen.oneOf(true, false)))
+    } yield rows.zipWithIndex.map { case ((ms, left), i) =>
+      AsofEvent("k", ms, i.toLong, left)
+    }
+    check(Prop.forAll(gen) { evs =>
+      val got = StateMachines.asofMatches(evs.toDS()).collect().toSet
+      var last: Option[(Long, Long)] = None
+      val out = scala.collection.mutable.Set.empty[AsofMatch]
+      evs.sortBy(e => (e.tsMs, e.isLeft, e.tiebreak)).foreach { e =>
+        if (e.isLeft)
+          out += (last match {
+            case Some((ts, tb)) if ts <= e.tsMs =>
+              AsofMatch("k", e.tiebreak, e.tsMs, Some(ts), Some(tb))
+            case _ => AsofMatch("k", e.tiebreak, e.tsMs, None, None)
+          })
+        else if (last.forall(l => e.tsMs > l._1
+            || (e.tsMs == l._1 && e.tiebreak > l._2)))
+          last = Some((e.tsMs, e.tiebreak))
+      }
+      got == out.toSet
+    })
+  }
+
   test("property: labelPropagation commutes with any ORDER-PRESERVING " +
       "node relabeling (min-label ties depend only on the id order)") {
     // f(n) = 3n + 7 is strictly increasing, so every most-frequent vote
