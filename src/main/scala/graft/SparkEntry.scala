@@ -923,6 +923,22 @@ object SparkEntry {
         emb.filter(pmod(col("vec_id"), lit(10)) === 0),
         "vec_id", "embedding", "label", 10)
     }),
+    // nDCG of the exact-cosine ANN surface under label-match relevance:
+    // does the index put same-label neighbors FIRST, not just somewhere
+    // in the top k? Per-query ideal re-rank is a ≤k-row partitioned
+    // window; every DCG term is exact integer div of quantized log₂
+    "q_ndcg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Eval.ndcgPerQuery(annLabelRelevance(emb), "query_id", "rank",
+        col("rel"))
+    }),
+    // MRR over the same ranked lists — how deep is the first same-label
+    // neighbor; zero-hit lists stay in the denominator at rr = 0
+    "q_mrr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Eval.meanReciprocalRank(annLabelRelevance(emb), "query_id", "rank",
+        col("rel"))
+    }),
     // recall@5 of cosine search in the 8-dim PROJECTED space vs exact
     // 64-dim search — the same gauge q_sq_recall/q_pq_recall give their
     // compression tiers, so the JL path's quality is measured, not assumed
@@ -2822,6 +2838,24 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("lang"), col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("tok")),
         "lang", "tok", pmod(col("doc_id"), lit(2)) === 0)),
+    // Jensen-Shannon divergence on the same even/odd token split —
+    // symmetric AND bounded (≤ ln 2) AND smoothing-free: the mixture
+    // dominates both sides, so zero-count categories contribute exactly
+    // 0 instead of an add-one distortion; two exact partial sums (one
+    // per denominator), one fixed double chain out
+    "q_jsd" -> ((s, dir) =>
+      InfoTheory.jsDivergence(
+        Tables.documents(s, dir).select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        "tok", pmod(col("doc_id"), lit(2)) === 0)),
+    // per-language JSD — which segment moved, on the bounded
+    // no-smoothing scale; margins ride PARTITIONED window sums over the
+    // O(cells) count table
+    "q_jsd_by_lang" -> ((s, dir) =>
+      InfoTheory.jsDivergenceByGroup(
+        Tables.documents(s, dir).select(col("lang"), col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        "lang", "tok", pmod(col("doc_id"), lit(2)) === 0)),
     // bounded symmetric drift between the even/odd doc-half token
     // distributions — klDrift's companion, zero-count-safe so no
     // smoothing distortion; every √ term floored at 10⁻⁶ on exact
@@ -2871,6 +2905,24 @@ object SparkEntry {
   private val IvfSampleMod = 4 // k-means trains on ~1/4 of the corpus + seeds
   private val PqM = 4 // PQ subspaces (EmbDims/PqM dims each, IvfNlist cells)
   private val ChunkWindow = 40; private val ChunkStride = 30
+
+  /** The q_ann_cosine ranked lists with label-match relevance attached —
+    * the shared input of the q_ndcg/q_mrr ranking-quality gauges: rank
+    * from bruteForceTopK (score desc, id tiebreak — deterministic), rel 1
+    * iff the neighbor carries the query's label (NULL labels count 0:
+    * unknown ≠ relevant). Two O(queries·k)-row label joins, both sides
+    * tiny against the label projection. */
+  private def annLabelRelevance(emb: DataFrame): DataFrame = {
+    val lab = emb.select(col("vec_id"), col("label"))
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 5)
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("_ql")), "query_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("_nl")), "neighbor_id")
+      .withColumn("rel",
+        when(col("_nl") === col("_ql"), 1L).otherwise(0L))
+  }
 
   /** Deterministic out-of-order arrival simulation for the E6 twins: each
     * event is delayed by (event_id mod 5) * 30 min, so ~4/5 of rows arrive
@@ -3433,6 +3485,24 @@ object SparkEntry {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
   }
 
+  /** The q_ann_cosine ranked lists + label-match relevance as a CTE chain
+    * ending in jrel(query_id, rank, rel) — the shared oracle input of
+    * q_ndcg/q_mrr, mirroring annLabelRelevance exactly (NULL labels → 0:
+    * unknown ≠ relevant). */
+  private lazy val sqlAnnRelCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+       |      FROM embeddings WHERE vec_id < 8),
+       |s AS (SELECT q.query_id, q.ql, e.vec_id AS neighbor_id,
+       |        e.label AS nl, ${sqlCosine("q.qe", "e.embedding")} AS score
+       |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, ql, neighbor_id, nl,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, neighbor_id) AS rank
+       |      FROM s),
+       |jrel AS (SELECT query_id, rank,
+       |           (CASE WHEN nl = ql THEN 1 ELSE 0 END)::BIGINT AS rel
+       |         FROM r WHERE rank <= 5)""".stripMargin
+
   private val evMs   = "epoch_ms(ts)"
   private val arrCte =
     s"SELECT event_id, $evMs AS ms, $evMs + (event_id % 5) * 1800000 AS arr_ms FROM events"
@@ -3910,6 +3980,47 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
          |      FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
+
+    // the q_ann_cosine ranked lists under label-match relevance; DCG
+    // terms are exact integer // of quantized log2 discounts, the ideal
+    // re-rank a ≤k-row partitioned window with rank as tiebreak
+    "q_ndcg" ->
+      s"""WITH $sqlAnnRelCtes,
+         |i AS (SELECT query_id, rank, rel,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rel DESC, rank) AS irank
+         |      FROM jrel),
+         |t AS (SELECT query_id,
+         |        (rel * 1000000000000::BIGINT)
+         |          // floor(log2(rank::DOUBLE + 1) * 1000000)::BIGINT AS t,
+         |        (rel * 1000000000000::BIGINT)
+         |          // floor(log2(irank::DOUBLE + 1) * 1000000)::BIGINT AS it
+         |      FROM i)
+         |SELECT query_id, count(*)::BIGINT AS n_ranked,
+         |  sum(t)::BIGINT AS dcg_scaled, sum(it)::BIGINT AS idcg_scaled,
+         |  CASE WHEN sum(it) > 0 THEN
+         |    floor(sum(t)::DOUBLE / sum(it)::DOUBLE * 1000000) / 1000000
+         |  END AS ndcg
+         |FROM t GROUP BY 1""".stripMargin,
+
+    // first same-label rank per query; zero-hit lists stay in the
+    // denominator at rr = 0 (the standard MRR convention)
+    "q_mrr" ->
+      s"""WITH $sqlAnnRelCtes,
+         |f AS (SELECT query_id,
+         |        min(CASE WHEN rel > 0 THEN rank END) AS fr
+         |      FROM jrel GROUP BY 1),
+         |g AS (SELECT count(*)::BIGINT AS n_queries,
+         |        count(fr)::BIGINT AS n_hit,
+         |        COALESCE(sum(COALESCE(1000000::BIGINT // fr, 0)),
+         |          0)::BIGINT AS mrr_scaled
+         |      FROM f)
+         |SELECT n_queries, n_hit, mrr_scaled,
+         |  CASE WHEN n_queries > 0 THEN
+         |    floor(mrr_scaled::DOUBLE
+         |      / (n_queries::DOUBLE * 1000000) * 1000000) / 1000000
+         |  END AS mrr
+         |FROM g""".stripMargin,
 
     // the same ordered centroid folds per slice, then the shared cosine
     // chain on the two DOUBLE centroids
@@ -7384,6 +7495,68 @@ object SparkEntry {
          |               * 1000000))) * 1000000) / 1000000
          |  END AS hellinger
          |FROM c GROUP BY 1""".stripMargin,
+    // JSD without smoothing: the mixture term cp·tq + cq·tp dominates
+    // both sides, so zero-count categories contribute exactly 0; the two
+    // partial sums stay separate (different denominators), each term the
+    // exact BIGINT c·(qlog(2·c·N_other) − qlog(mix))
+    "q_jsd" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok,
+         |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS cp,
+         |        sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS cq
+         |      FROM t GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS k, sum(cp)::BIGINT AS tp,
+         |          sum(cq)::BIGINT AS tq FROM c),
+         |s AS (SELECT k, tp, tq,
+         |        sum(CASE WHEN cp > 0 THEN cp
+         |          * (floor(ln((2 * cp * tq)::DOUBLE) * 1000000)::BIGINT
+         |           - floor(ln((cp * tq + cq * tp)::DOUBLE) * 1000000)::BIGINT)
+         |          ELSE 0 END)::BIGINT AS sp,
+         |        sum(CASE WHEN cq > 0 THEN cq
+         |          * (floor(ln((2 * cq * tp)::DOUBLE) * 1000000)::BIGINT
+         |           - floor(ln((cp * tq + cq * tp)::DOUBLE) * 1000000)::BIGINT)
+         |          ELSE 0 END)::BIGINT AS sq
+         |      FROM c CROSS JOIN tot GROUP BY 1, 2, 3)
+         |SELECT k AS n_categories, tp AS n_p, tq AS n_q,
+         |  sp AS jsd_p_scaled, sq AS jsd_q_scaled,
+         |  CASE WHEN tp > 0 AND tq > 0 THEN
+         |    (sp::DOUBLE / tp::DOUBLE + sq::DOUBLE / tq::DOUBLE)
+         |      / (2 * 1000000)
+         |  END AS jsd
+         |FROM s""".stripMargin,
+    // the same two-partial-sum algebra once per language; per-group
+    // margins as partitioned window sums over the O(cells) table
+    "q_jsd_by_lang" ->
+      s"""WITH t AS (SELECT lang, doc_id, unnest($toksSql) AS tok
+         |           FROM documents WHERE lang IS NOT NULL),
+         |c AS (SELECT lang, tok,
+         |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS cp,
+         |        sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS cq
+         |      FROM t WHERE tok IS NOT NULL GROUP BY 1, 2),
+         |m AS (SELECT lang, cp, cq,
+         |        sum(cp) OVER (PARTITION BY lang)::BIGINT AS tp,
+         |        sum(cq) OVER (PARTITION BY lang)::BIGINT AS tq FROM c)
+         |SELECT lang, count(*)::BIGINT AS n_categories, tp AS n_p,
+         |  tq AS n_q,
+         |  sum(CASE WHEN cp > 0 THEN cp
+         |    * (floor(ln((2 * cp * tq)::DOUBLE) * 1000000)::BIGINT
+         |     - floor(ln((cp * tq + cq * tp)::DOUBLE) * 1000000)::BIGINT)
+         |    ELSE 0 END)::BIGINT AS jsd_p_scaled,
+         |  sum(CASE WHEN cq > 0 THEN cq
+         |    * (floor(ln((2 * cq * tp)::DOUBLE) * 1000000)::BIGINT
+         |     - floor(ln((cp * tq + cq * tp)::DOUBLE) * 1000000)::BIGINT)
+         |    ELSE 0 END)::BIGINT AS jsd_q_scaled,
+         |  CASE WHEN tp > 0 AND tq > 0 THEN
+         |    (sum(CASE WHEN cp > 0 THEN cp
+         |       * (floor(ln((2 * cp * tq)::DOUBLE) * 1000000)::BIGINT
+         |        - floor(ln((cp * tq + cq * tp)::DOUBLE) * 1000000)::BIGINT)
+         |       ELSE 0 END)::DOUBLE / tp::DOUBLE
+         |     + sum(CASE WHEN cq > 0 THEN cq
+         |       * (floor(ln((2 * cq * tp)::DOUBLE) * 1000000)::BIGINT
+         |        - floor(ln((cp * tq + cq * tp)::DOUBLE) * 1000000)::BIGINT)
+         |       ELSE 0 END)::DOUBLE / tq::DOUBLE) / (2 * 1000000)
+         |  END AS jsd
+         |FROM m GROUP BY lang, tp, tq""".stripMargin,
     // Bhattacharyya terms floored at the term on exact integer products
     // (IEEE sqrt/mul correctly rounded → engine-identical), summed
     // exactly; the final bc/hellinger chain is one fixed op sequence

@@ -458,4 +458,92 @@ object Eval {
           / (col("n_rows").cast("double") * width.toDouble
              * width.toDouble))).as("brier"))
   }
+
+  /** Quantized binary-log discount: floor(log₂(x)·10⁶) as BIGINT — the
+    * qlog sibling on the DCG discount's natural base. DuckDB twin:
+    * `floor(log2(x::DOUBLE) * 1000000)::BIGINT`. Arguments here are the
+    * tiny integers rank+1 ≤ k+1, where floor-stability is trivial (the
+    * only exact log₂ values are powers of two, exact in both engines). */
+  private def qlog2(x: Column): Column =
+    floor(log2(x.cast("double")) * 1000000d).cast("long")
+
+  /** nDCG per ranked list — the graded ranking-quality gauge for a
+    * retrieval/ANN surface (averagePrecision reads a global scored POOL;
+    * nDCG reads each query's ORDERED result list and charges misordering
+    * by position). Input is one row per (query, rank) with an integer
+    * relevance grade ≥ 0; `rank` must be 1-based and unique per query
+    * (the bruteForceTopK/lshTopK output contract).
+    *
+    * DCG = Σ relᵣ/log₂(r+1) enters per term as the exact BIGINT
+    * (relᵣ·10¹²) div qlog2(r+1) (positive operands, so DuckDB `//`
+    * truncation and SQL div agree); the ideal ordering re-ranks the SAME
+    * grades rel-desc with rank as the deterministic tiebreak, so
+    * idcg_scaled is exact over a permutation of the identical terms. The
+    * emitted ndcg is ONE trunc6'd division of the two exact integers.
+    * rel·10¹² must stay under 2⁶³ (grades to ~9·10⁶ — ANSI fails loud
+    * past it).
+    *
+    * Shape: windows PARTITIONED by query over lists of ≤ k rows — never
+    * an unpartitioned window, no shuffle beyond the query key. Lists
+    * with no relevant rows emit ndcg NULL (0/0 is undefined, not a fake
+    * 0 — count them separately if coverage matters). Emits one row per
+    * query (query, n_ranked, dcg_scaled, idcg_scaled, ndcg). */
+  def ndcgPerQuery(ranked: DataFrame, query: String, rank: String,
+                   rel: Column): DataFrame = {
+    val internal = Seq("n_ranked", "dcg_scaled", "idcg_scaled", "ndcg",
+      "_rel", "_irank", "_t", "_it")
+    require(!internal.contains(query) && !internal.contains(rank),
+      s"ndcgPerQuery emits/uses ${internal.mkString(", ")}; rename inputs")
+    import org.apache.spark.sql.expressions.Window
+    val iw = Window.partitionBy(col(query))
+      .orderBy(col("_rel").desc, col(rank).asc)
+    ranked.filter(rel.isNotNull)
+      .withColumn("_rel", rel.cast("long"))
+      .withColumn("_irank", row_number().over(iw).cast("long"))
+      .select(col(query), col("_rel"),
+        expr(s"(_rel * CAST(1000000000000 AS BIGINT)) div " +
+          s"(CAST(floor(log2(CAST($rank AS DOUBLE) + 1d) * 1000000) AS BIGINT))")
+          .as("_t"),
+        expr("(_rel * CAST(1000000000000 AS BIGINT)) div " +
+          "(CAST(floor(log2(CAST(_irank AS DOUBLE) + 1d) * 1000000) AS BIGINT))")
+          .as("_it"))
+      .groupBy(col(query))
+      .agg(count(lit(1)).as("n_ranked"), sum(col("_t")).as("dcg_scaled"),
+        sum(col("_it")).as("idcg_scaled"))
+      .select(col(query), col("n_ranked"), col("dcg_scaled"),
+        col("idcg_scaled"),
+        when(col("idcg_scaled") > 0L,
+          trunc6(col("dcg_scaled").cast("double")
+            / col("idcg_scaled").cast("double"))).as("ndcg"))
+  }
+
+  /** Mean reciprocal rank over ranked lists — the "how deep is the first
+    * hit" one-number (the navigational-retrieval companion to
+    * ndcgPerQuery's graded gauge). Same input contract as ndcgPerQuery.
+    * Per query: rr = 1/first relevant rank, entering as the exact BIGINT
+    * 10⁶ div first_rank (0 when the list has NO relevant row — the
+    * standard MRR convention keeps empty-hit queries in the
+    * denominator). The emitted mrr is ONE trunc6'd division of the exact
+    * integer sum. ONE query-keyed agg + ONE global fold; no windows at
+    * all. Emits ONE row (n_queries, n_hit, mrr_scaled, mrr); empty input
+    * emits n_queries 0 with mrr NULL. */
+  def meanReciprocalRank(ranked: DataFrame, query: String, rank: String,
+                         rel: Column): DataFrame = {
+    val internal = Seq("n_queries", "n_hit", "mrr_scaled", "mrr", "_fr")
+    require(!internal.contains(query) && !internal.contains(rank),
+      s"meanReciprocalRank emits/uses ${internal.mkString(", ")}; " +
+        "rename inputs")
+    ranked.filter(rel.isNotNull)
+      .groupBy(col(query))
+      .agg(min(when(rel.cast("long") > 0L, col(rank).cast("long")))
+        .as("_fr"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("_fr").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        coalesce(sum(coalesce(
+          expr("CAST(1000000 AS BIGINT) div _fr"), lit(0L))), lit(0L))
+          .as("mrr_scaled"))
+      .select(col("n_queries"), col("n_hit"), col("mrr_scaled"),
+        when(col("n_queries") > 0L, trunc6(col("mrr_scaled").cast("double")
+          / (col("n_queries").cast("double") * 1000000d))).as("mrr"))
+  }
 }

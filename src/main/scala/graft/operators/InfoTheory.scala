@@ -513,4 +513,101 @@ object InfoTheory {
     informationValue(df, cat, isP)
       .select(col("n_categories"), col("n_p"), col("n_q"),
         col("iv_scaled").as("psi_scaled"), col("iv").as("psi"))
+
+  /** The two quantized Jensen-Shannon partial sums, shared by the global
+    * and by-group forms. P-side term (zero when cᵖᵢ = 0, the exact JSD
+    * convention — 0·ln 0 = 0, NO smoothing needed because the mixture
+    * dominates both components):
+    * cᵖᵢ·(qlog(2·cᵖᵢ·Nᵠ) − qlog(cᵖᵢ·Nᵠ + cᵠᵢ·Nᵖ)); Q-side mirrored. */
+  private def jsdTerms(cp: Column, cq: Column, tp: Column,
+                       tq: Column): (Column, Column) = {
+    val mix = cp * tq + cq * tp
+    (when(cp > 0L, dec(cp * (qlog(lit(2L) * cp * tq) - qlog(mix))))
+       .otherwise(dec(lit(0L))),
+     when(cq > 0L, dec(cq * (qlog(lit(2L) * cq * tp) - qlog(mix))))
+       .otherwise(dec(lit(0L))))
+  }
+
+  /** Jensen-Shannon divergence (nats) between the `cat` distributions of
+    * the `isP` and ¬`isP` slices — the drift gauge that completes the
+    * family: symmetric like Hellinger, KL-shaped like klDrift, but
+    * BOUNDED (JSD ∈ [0, ln 2]) and defined WITHOUT smoothing (each side
+    * is absolutely continuous w.r.t. the mixture M = ½(P+Q), so
+    * zero-count categories contribute exactly 0 — no add-one distortion
+    * of the score, unlike klDrift/psi).
+    *
+    * JSD = ½·KL(P‖M) + ½·KL(Q‖M) with pᵢ/mᵢ = 2·cᵖᵢ·Nᵠ/(cᵖᵢ·Nᵠ+cᵠᵢ·Nᵖ):
+    * the P-side term enters as the exact BIGINT
+    * cᵖᵢ·(qlog(2·cᵖᵢ·Nᵠ) − qlog(cᵖᵢ·Nᵠ + cᵠᵢ·Nᵖ)) (Q-side mirrored);
+    * the two partial sums accumulate separately in decimal(38,0) because
+    * they carry different denominators, and the emitted
+    * jsd = (Sᵖ/Nᵖ + Sᵠ/Nᵠ)/(2·10⁶) is ONE fixed double chain.
+    * Quantization keeps the result within ~2·10⁻⁶ of true JSD; identical
+    * slices may emit a tiny NEGATIVE jsd (quantization artifact,
+    * documented rather than clamped, the klDrift convention). Products
+    * 2·cᵢ·N stay exact in the qlog double conversion below 2⁵³ — ~6.7·10⁷
+    * rows per side worst-case; the long multiply itself fails loud under
+    * ANSI past 2⁶³.
+    *
+    * Shape: klDrift's exactly — ONE category-keyed count shuffle building
+    * both sides in the same row, totals as a 1-row broadcast. NULL
+    * categories drop; an EMPTY side emits jsd NULL (the distance to a
+    * nonexistent distribution is undefined, not ln 2). Emits ONE row
+    * (n_categories, n_p, n_q, jsd_p_scaled, jsd_q_scaled, jsd). */
+  def jsDivergence(df: DataFrame, cat: String, isP: Column): DataFrame = {
+    val emitted = Seq("n_categories", "n_p", "n_q", "jsd_p_scaled",
+      "jsd_q_scaled", "jsd", "_cp", "_cq", "_k", "_tp", "_tq", "_sp", "_sq")
+    require(!emitted.contains(cat),
+      s"jsDivergence emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val (tP, tQ) = (col("_tp"), col("_tq"))
+    val (termP, termQ) = jsdTerms(col("_cp"), col("_cq"), tP, tQ)
+    sideCounts(df, cat, isP)
+      .select(col("_k"), tP, tQ, termP.as("_sp"), termQ.as("_sq"))
+      .groupBy(col("_k"), tP, tQ)
+      .agg(sum(col("_sp")).cast("long").as("jsd_p_scaled"),
+        sum(col("_sq")).cast("long").as("jsd_q_scaled"))
+      .select(col("_k").as("n_categories"), tP.as("n_p"), tQ.as("n_q"),
+        col("jsd_p_scaled"), col("jsd_q_scaled"),
+        when(tP > 0L && tQ > 0L,
+          (col("jsd_p_scaled").cast("double") / tP.cast("double")
+            + col("jsd_q_scaled").cast("double") / tQ.cast("double"))
+            / (2d * LogScale.toDouble)).as("jsd"))
+  }
+
+  /** Per-group jsDivergence — WHICH segment's distribution moved, on the
+    * bounded no-smoothing scale (the hellingerDriftByGroup pattern with
+    * the jsDivergence algebra). Margins Nᵖ/Nᵠ per group ride PARTITIONED
+    * window sums over the post-aggregation O(cells) count table — never
+    * the corpus rows. Groups where either side is empty emit jsd NULL.
+    * Emits one row per group (group, n_categories, n_p, n_q,
+    * jsd_p_scaled, jsd_q_scaled, jsd). */
+  def jsDivergenceByGroup(df: DataFrame, group: String, cat: String,
+                          isP: Column): DataFrame = {
+    val emitted = Seq("n_categories", "n_p", "n_q", "jsd_p_scaled",
+      "jsd_q_scaled", "jsd", "_cp", "_cq", "_tp", "_tq", "_sp", "_sq")
+    require(!emitted.contains(cat) && !emitted.contains(group),
+      s"jsDivergenceByGroup emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
+    val w = Window.partitionBy(col(group))
+    val (termP, termQ) = jsdTerms(col("_cp"), col("_cq"), col("_tp"),
+      col("_tq"))
+    df.filter(col(cat).isNotNull && col(group).isNotNull)
+      .groupBy(col(group), col(cat))
+      .agg(sum(when(isP, 1L).otherwise(0L)).as("_cp"),
+        sum(when(isP, 0L).otherwise(1L)).as("_cq"))
+      .withColumn("_tp", sum(col("_cp")).over(w))
+      .withColumn("_tq", sum(col("_cq")).over(w))
+      .select(col(group), col("_tp"), col("_tq"), termP.as("_sp"),
+        termQ.as("_sq"))
+      .groupBy(col(group), col("_tp"), col("_tq"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("_sp")).cast("long").as("jsd_p_scaled"),
+        sum(col("_sq")).cast("long").as("jsd_q_scaled"))
+      .select(col(group), col("n_categories"), col("_tp").as("n_p"),
+        col("_tq").as("n_q"), col("jsd_p_scaled"), col("jsd_q_scaled"),
+        when(col("_tp") > 0L && col("_tq") > 0L,
+          (col("jsd_p_scaled").cast("double") / col("_tp").cast("double")
+            + col("jsd_q_scaled").cast("double") / col("_tq").cast("double"))
+            / (2d * LogScale.toDouble)).as("jsd"))
+  }
 }

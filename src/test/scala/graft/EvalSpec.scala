@@ -218,4 +218,43 @@ class EvalSpec extends SparkSpec {
     val nopos = Seq((2L, false), (1L, false)).toDF("s", "pos")
     assert(Eval.averagePrecision(nopos, "s", col("pos")).head().isNullAt(2))
   }
+
+  test("ndcgPerQuery: the ideal ordering scores exactly 1.0, a misordered " +
+      "list matches the hand-quantized fold, all-zero relevance is NULL") {
+    def qlog2(x: Long) = math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6).toLong
+    def term(rel: Long, r: Long) = rel * 1000000000000L / qlog2(r + 1)
+    // q1 already ideal (1,1,0); q2 misordered (0,1,1); q3 no hits
+    val df = Seq(
+      ("q1", 1L, 1L), ("q1", 2L, 1L), ("q1", 3L, 0L),
+      ("q2", 1L, 0L), ("q2", 2L, 1L), ("q2", 3L, 1L),
+      ("q3", 1L, 0L), ("q3", 2L, 0L)).toDF("q", "rank", "r")
+    val out = Eval.ndcgPerQuery(df, "q", "rank", col("r"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("q1").getDouble(4) == 1.0)
+    assert(out("q1").getLong(2) == out("q1").getLong(3))
+    val dcg2 = term(1, 2) + term(1, 3)
+    val idcg2 = term(1, 1) + term(1, 2)
+    assert(out("q2").getLong(2) == dcg2 && out("q2").getLong(3) == idcg2)
+    assert(out("q2").getDouble(4) ==
+      math.floor(dcg2.toDouble / idcg2.toDouble * 1e6) / 1e6)
+    assert(out("q3").isNullAt(4)) // 0/0 undefined, not a fake zero
+    assert(out.values.forall(r => r.isNullAt(4) ||
+      (r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)))
+  }
+
+  test("meanReciprocalRank: exact integer rr sum; zero-hit lists stay in " +
+      "the denominator; empty input emits NULL mrr") {
+    val df = Seq(
+      ("q1", 1L, 1L), ("q1", 2L, 0L), // first hit rank 1 → 1e6
+      ("q2", 1L, 0L), ("q2", 3L, 1L), // first hit rank 3 → 333333
+      ("q3", 1L, 0L), ("q3", 2L, 0L)  // no hit → 0
+    ).toDF("q", "rank", "r")
+    val out = Eval.meanReciprocalRank(df, "q", "rank", col("r")).head()
+    assert(out.getLong(0) == 3L && out.getLong(1) == 2L)
+    assert(out.getLong(2) == 1000000L + 333333L)
+    assert(out.getDouble(3) == math.floor(1333333d / 3e6 * 1e6) / 1e6)
+    val empty = Seq.empty[(String, Long, Long)].toDF("q", "rank", "r")
+    val e = Eval.meanReciprocalRank(empty, "q", "rank", col("r")).head()
+    assert(e.getLong(0) == 0L && e.isNullAt(3))
+  }
 }

@@ -282,4 +282,51 @@ class InfoTheorySpec extends SparkSpec {
     assert(one.getDouble(3) == twoLevel.getDouble(3)) // psi_scaled
     assert(one.getDouble(4) == twoLevel.getDouble(4)) // psi
   }
+
+  test("jsDivergence: identical sides → exactly 0; disjoint sides → ~ln 2; " +
+      "symmetric under side swap; hand case matches the quantized fold; " +
+      "empty side → NULL") {
+    def jsd(p: Seq[String], q: Seq[String]) =
+      InfoTheory.jsDivergence(
+        (p.map(c => (c, true)) ++ q.map(c => (c, false))).toDF("cat", "p")
+          .repartition(3),
+        "cat", col("p")).collect().head
+    // identical: every term is c·(qlog(2cT) − qlog(2cT)) = 0 EXACTLY
+    val same = jsd(Seq("x", "x", "y"), Seq("x", "x", "y"))
+    assert(same.getLong(3) == 0L && same.getLong(4) == 0L)
+    assert(same.getDouble(5) == 0.0)
+    // disjoint: JSD = ln 2, within the 2·10⁻⁶ quantization band
+    val disj = jsd(Seq("x", "x"), Seq("y", "z"))
+    assert(math.abs(disj.getDouble(5) - math.log(2.0)) < 2e-6)
+    // symmetry: swapping sides swaps (n_p, sp) with (n_q, sq), same jsd
+    val a = jsd(Seq("x", "x", "y"), Seq("x", "z"))
+    val b = jsd(Seq("x", "z"), Seq("x", "x", "y"))
+    assert(a.getLong(1) == b.getLong(2) && a.getLong(2) == b.getLong(1))
+    assert(a.getLong(3) == b.getLong(4) && a.getLong(4) == b.getLong(3))
+    assert(a.getDouble(5) == b.getDouble(5))
+    // hand fold: p = {x:2, y:1} (T=3), q = {x:1, z:1} (T=2)
+    def t(c: Long, tOther: Long, mix: Long) =
+      if (c == 0) 0L else c * (qlog(2 * c * tOther) - qlog(mix))
+    val sp = t(2, 2, 2 * 2 + 1 * 3) + t(1, 2, 1 * 2 + 0 * 3) + t(0, 2, 0 * 2 + 1 * 3)
+    val sq = t(1, 3, 2 * 2 + 1 * 3) + t(0, 3, 1 * 2 + 0 * 3) + t(1, 3, 0 * 2 + 1 * 3)
+    assert(a.getLong(3) == sp && a.getLong(4) == sq)
+    assert(a.getDouble(5) == (sp.toDouble / 3d + sq.toDouble / 2d) / 2e6)
+    // empty side: distance to a nonexistent distribution is undefined
+    assert(jsd(Seq("x"), Seq.empty).isNullAt(5))
+  }
+
+  test("jsDivergenceByGroup == jsDivergence applied per group slice") {
+    val rows = Seq(("g1", "x", true), ("g1", "x", false), ("g1", "y", true),
+      ("g2", "x", true), ("g2", "z", false), ("g2", "z", false),
+      ("g3", "w", true)) // empty q side → NULL jsd
+    val df = rows.toDF("g", "cat", "p")
+    val grouped = InfoTheory.jsDivergenceByGroup(df, "g", "cat", col("p"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    for (g <- Seq("g1", "g2", "g3")) {
+      val slice = InfoTheory.jsDivergence(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("cat", "p"),
+        "cat", col("p")).head().toSeq
+      assert(grouped(g) == slice, s"group $g")
+    }
+  }
 }
