@@ -1027,6 +1027,21 @@ object SparkEntry {
       Dedup.dupClusters(Dedup.fuzzyPairs(heads, "doc_id", "head", 5, 2),
         "doc_a", "doc_b")
     }),
+    // Fellegi-Sunter log-odds over the SAME fuzzy candidates: field
+    // agreement on (lang, source, 16-char length bucket) weighted by
+    // data-estimated u-probabilities — rare-value agreement counts more
+    "q_linkage_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val heads = docs
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+        .filter(length(col("head")) >= 15)
+      Dedup.linkageScore(
+        docs.select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 16").as("len_bucket")),
+        "doc_id", Seq("lang", "source", "len_bucket"),
+        Dedup.fuzzyPairs(heads, "doc_id", "head", 5, 2),
+        "doc_a", "doc_b")
+    }),
     // fuzzy string self-join: doc-head pairs within 2 edits via q-gram
     // prefix filtering (provable recall) + banded levenshtein verify. The
     // oracle is the brute-force all-pairs join — a candidate-generation
@@ -1333,6 +1348,13 @@ object SparkEntry {
     "q_curate" -> ((s, dir) =>
       Curation.curate(Tables.documents(s, dir), "doc_id", "text",
         stopEn, langProfiles, "en", 20, 80, 0.02)),
+    // DSIR importance weights: score every non-src0 doc by how target-like
+    // (src0-like) its tokens are under the two unigram LMs — one token
+    // count shuffle builds both LMs, the O(vocab) weight table re-joins
+    // occurrences on the token key (never broadcast at corpus scale)
+    "q_dsir_weights" -> ((s, dir) =>
+      Curation.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0")),
     // fill a token budget with the best-scoring docs: global cumulative sum
     // in priority order WITHOUT a single-task window (distributed prefix sum)
     "q_token_budget" -> ((s, dir) =>
@@ -3436,6 +3458,56 @@ object SparkEntry {
       |       levenshtein(a.head, b.head)::BIGINT AS dist
       |FROM st a JOIN st b ON a.doc_id < b.doc_id
       |WHERE levenshtein(a.head, b.head) <= 2""".stripMargin
+
+  /** Fellegi-Sunter oracle: brute-force fuzzy candidates + per-field
+    * Laplace-smoothed u-stats + the quantized agree/disagree weights,
+    * mirroring Dedup.linkageScore's algebra field by field. */
+  private def linkageOracleSql(fields: Seq[String],
+                               mNum: Long, mDen: Long): String = {
+    def d(f: String) = s"(s_$f.n * (s_$f.n - 1))"
+    def wAgree(f: String) =
+      s"""floor(ln(($mNum * (${d(f)} + 2))::DOUBLE) * 1000000)::BIGINT
+         |     - floor(ln(($mDen * (s_$f.u + 1))::DOUBLE) * 1000000)::BIGINT"""
+        .stripMargin
+    def wDis(f: String) =
+      s"""floor(ln((${mDen - mNum} * (${d(f)} + 2))::DOUBLE) * 1000000)::BIGINT
+         |     - floor(ln(($mDen * (${d(f)} - s_$f.u + 1))::DOUBLE) * 1000000)::BIGINT"""
+        .stripMargin
+    def known(f: String) = s"a.$f IS NOT NULL AND b.$f IS NOT NULL"
+    val statsCtes = fields.map { f =>
+      s"""s_$f AS (SELECT coalesce(sum(c * (c - 1)), 0)::BIGINT AS u,
+         |           coalesce(sum(c), 0)::BIGINT AS n
+         |         FROM (SELECT count(*)::BIGINT AS c FROM rec
+         |               WHERE $f IS NOT NULL GROUP BY $f))""".stripMargin
+    }.mkString(",\n")
+    val score = fields.map { f =>
+      s"""CASE WHEN ${known(f)} THEN
+         |    CASE WHEN a.$f = b.$f THEN ${wAgree(f)}
+         |    ELSE ${wDis(f)} END
+         |  ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    val nAgree = fields.map(f =>
+      s"CASE WHEN ${known(f)} AND a.$f = b.$f THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val nKnown = fields.map(f =>
+      s"CASE WHEN ${known(f)} THEN 1 ELSE 0 END").mkString(" + ")
+    val statsFrom = fields.map(f => s"s_$f").mkString(", ")
+    s"""WITH st AS (SELECT doc_id, substr(text, 1, 24) AS head FROM documents
+       |            WHERE length(substr(text, 1, 24)) >= 15),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM st a JOIN st b ON a.doc_id < b.doc_id
+       |      WHERE levenshtein(a.head, b.head) <= 2),
+       |rec AS (SELECT doc_id, lang, source, n_chars // 16 AS len_bucket
+       |        FROM documents),
+       |$statsCtes
+       |SELECT p.doc_a, p.doc_b,
+       |  ($nAgree)::BIGINT AS n_agree,
+       |  ($nKnown)::BIGINT AS n_known,
+       |  ($score)::BIGINT AS score_scaled,
+       |  ($score)::BIGINT::DOUBLE / 1000000 AS score
+       |FROM p JOIN rec a ON a.doc_id = p.doc_a
+       |       JOIN rec b ON b.doc_id = p.doc_b, $statsFrom""".stripMargin
+  }
 
   private def sqlFuzzyResolveOracle: String =
     s"""WITH RECURSIVE $sqlDupClusterCtes,
@@ -6525,6 +6597,30 @@ object SparkEntry {
         |       w2 AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |              RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    // both unigram LMs in one count pass; per-token weight = the klDrift
+    // term sans multiplication; per-doc sums exact int64
+    "q_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, source = 'src0' AS tgt,
+         |             unnest($toksSql) AS tok
+         |           FROM documents),
+         |c AS (SELECT tok,
+         |        sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+         |        sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
+         |      FROM t GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS k, sum(ct)::BIGINT AS tt,
+         |          sum(cr)::BIGINT AS tr FROM c),
+         |w AS (SELECT tok,
+         |        floor(ln(((ct + 1) * (tr + k))::DOUBLE) * 1000000)::BIGINT
+         |        - floor(ln(((cr + 1) * (tt + k))::DOUBLE) * 1000000)::BIGINT
+         |          AS w
+         |      FROM c CROSS JOIN tot)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(w.w)::BIGINT AS llr_scaled,
+         |  sum(w.w)::BIGINT::DOUBLE / (count(*)::DOUBLE * 1000000)
+         |    AS llr_per_token
+         |FROM t JOIN w ON t.tok = w.tok WHERE NOT t.tgt
+         |GROUP BY 1""".stripMargin,
+
     "q_curate" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toksv FROM documents),
          |cq AS (SELECT doc_id, len(toksv) AS n_tokens,
@@ -6612,6 +6708,10 @@ object SparkEntry {
     // brute force on purpose: recall of the Spark side's prefix-filter
     // candidate generation is part of what this row checks
     "q_fuzzy_pairs" -> sqlFuzzyPairsOracle,
+    // F-S weights over the brute-force candidate set; u-stats and the
+    // agree/disagree qlog weights replayed field by field
+    "q_linkage_score" ->
+      linkageOracleSql(Seq("lang", "source", "len_bucket"), 19L, 20L),
     // the segment-scheme twin checks against the IDENTICAL brute force:
     // both candidate schemes must land on the same exact pair set
     "q_fuzzy_pairs_seg" -> sqlFuzzyPairsOracle,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -224,5 +224,61 @@ object Curation {
       .agg(count(lit(1)).as("n"),
         count_distinct(col(sensitive)).as("n_sensitive"))
       .withColumn("risky", col("n_sensitive") < l)
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public arXiv 2302.03169):
+    * score each RAW document by how much more likely its tokens are under
+    * the TARGET corpus's unigram LM than under the raw corpus's own —
+    * the principled "make the crawl look like the quality slice" curation
+    * weight (positive = target-like, negative = crawl-typical), feeding
+    * threshold keeps or hashSampleWeighted resampling downstream.
+    *
+    * llr(d) = Σ_{tok ∈ d} ln p̂_T(tok) − ln p̂_R(tok), add-one smoothed
+    * over the UNION vocabulary (the klDrift convention — a token unseen
+    * in the target shifts the ratio instead of −∞). Determinism: the
+    * per-token weight enters ONCE as the exact BIGINT
+    * qlog((c_T+1)·(N_R+K)) − qlog((c_R+1)·(N_T+K)) (products under 2⁵³
+    * for exactness — ~9·10⁷ tokens per side worst case; ANSI fails the
+    * long multiply loudly past 2⁶³), per-doc sums are exact int64
+    * (|w| ≤ ~4·10⁷ per occurrence — 2⁶³ needs a 10¹¹-token document),
+    * and the emitted per-token mean is ONE double division.
+    *
+    * Shape: one token-count shuffle builds both LMs in the same row
+    * (sideCounts' layout), totals as a 1-row broadcast; raw docs' token
+    * occurrences then re-join the O(vocab) weight table on the token key
+    * — a plain shuffle join that never broadcasts the vocabulary (at
+    * 100 TB the vocab table is itself large). Raw docs with ZERO tokens
+    * don't appear (no occurrences to weight — screen empties upstream
+    * with qualityScore). Emits one row per raw doc
+    * (id, n_tokens, llr_scaled, llr_per_token). */
+  def dsirWeights(docs: DataFrame, id: String, text: String,
+                  isTarget: Column): DataFrame = {
+    val emitted = Seq("n_tokens", "llr_scaled", "llr_per_token",
+      "_t", "_tok", "_ct", "_cr", "_k", "_tt", "_tr", "_w")
+    require(!emitted.contains(id) && !emitted.contains(text),
+      s"dsirWeights emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val toks = docs
+      .select(col(id), isTarget.as("_t"),
+        explode(TextOps.tokens(col(text))).as("_tok"))
+    val counts = toks.groupBy(col("_tok"))
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
+        sum(when(col("_t"), 0L).otherwise(1L)).as("_cr"))
+    val totals = counts.groupBy()
+      .agg(count(lit(1)).as("_k"), sum(col("_ct")).as("_tt"),
+        sum(col("_cr")).as("_tr")) // 1 row
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("_tok"),
+        (InfoTheory.qlog((col("_ct") + 1L) * (col("_tr") + col("_k")))
+          - InfoTheory.qlog((col("_cr") + 1L) * (col("_tt") + col("_k"))))
+          .as("_w"))
+    toks.filter(!col("_t")).select(col(id), col("_tok"))
+      .join(weights, "_tok")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_w")).as("llr_scaled"))
+      .select(col(id), col("n_tokens"), col("llr_scaled"),
+        (col("llr_scaled").cast("double")
+          / (col("n_tokens").cast("double") * 1000000d))
+          .as("llr_per_token"))
   }
 }

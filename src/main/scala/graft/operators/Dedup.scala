@@ -1081,4 +1081,77 @@ object Dedup {
         col("_lg._b").as("rep_id"), col("_lg._v").as("longest_val"),
         col("_mj._v").as("majority_val"), col("min_val"))
   }
+
+  /** Fellegi-Sunter probabilistic linkage scores over CANDIDATE pairs —
+    * the classical record-linkage model (Fellegi & Sunter 1969, JASA;
+    * the Splink/dedupe formulation) on top of whatever bounded blocking
+    * produced the pairs (fuzzyPairs, minhash bands, …): each field's
+    * agreement contributes ln(m/u), each disagreement ln((1−m)/(1−u)),
+    * and the pair's total log-odds ranks match likelihood — principled
+    * evidence weighting where rare-value agreement (low u) counts for
+    * more than agreeing on a majority value.
+    *
+    * u per field is ESTIMATED FROM THE DATA as the random-pair agreement
+    * probability Σ_v c_v·(c_v−1) / (N·(N−1)) over non-NULL values —
+    * exact integer numerator/denominator — then Laplace-smoothed
+    * (u' = (U+1)/(D+2)) so single-valued and all-distinct fields stay
+    * finite. m is the plan parameter mNum/mDen (match-pair agreement
+    * probability, default 19/20). Weights enter ONCE per field as exact
+    * BIGINTs: w_agree = qlog(mNum·(D+2)) − qlog(mDen·(U+1)),
+    * w_dis = qlog((mDen−mNum)·(D+2)) − qlog(mDen·(D−U+1)); a NULL on
+    * either side contributes 0 (absent ≠ different — no evidence).
+    * N·(N−1) converts to double exactly below 2⁵³ (N ≲ 9·10⁷ records;
+    * the long multiply fails loud under ANSI past 2⁶³). Per-pair sums
+    * are exact int64; the emitted `score` (log-odds in nats) is one
+    * double division.
+    *
+    * Shape: one O(distinct)-shuffle per field folded to a 1-ROW stats
+    * frame (broadcast — O(fields) values, never data-sized); candidate
+    * pairs re-join `records` twice on the id key (plain shuffle joins,
+    * pair count already bounded by the caller's blocking). Emits
+    * (aCol, bCol, n_agree, n_known, score_scaled, score). */
+  def linkageScore(records: DataFrame, id: String, fields: Seq[String],
+                   pairs: DataFrame, aCol: String, bCol: String,
+                   mNum: Long = 19L, mDen: Long = 20L): DataFrame = {
+    require(fields.nonEmpty, "linkageScore needs >= 1 field")
+    require(mNum > 0 && mNum < mDen,
+      s"need 0 < mNum < mDen, got $mNum/$mDen")
+    val reserved = Seq("n_agree", "n_known", "score_scaled", "score")
+    require(!fields.exists(reserved.contains) && !reserved.contains(aCol)
+        && !reserved.contains(bCol),
+      s"linkageScore emits ${reserved.mkString(", ")}; rename inputs")
+    // one 1-row (U, D) aggregate per field, crossed into a single stats row
+    val statRow = fields.map { f =>
+      records.filter(col(f).isNotNull)
+        .groupBy(col(f)).agg(count(lit(1)).as("_c"))
+        .agg(coalesce(sum(col("_c") * (col("_c") - 1L)), lit(0L))
+          .as(s"_u_$f"),
+          coalesce(sum(col("_c")), lit(0L)).as(s"_n_$f"))
+    }.reduce(_.crossJoin(_))
+    val aSide = records.select(
+      col(id).as(aCol) +: fields.map(f => col(f).as(s"_a_$f")): _*)
+    val bSide = records.select(
+      col(id).as(bCol) +: fields.map(f => col(f).as(s"_b_$f")): _*)
+    def qlog(c: Column) = InfoTheory.qlog(c)
+    val contribs = fields.map { f =>
+      val d = col(s"_n_$f") * (col(s"_n_$f") - 1L)
+      val u = col(s"_u_$f")
+      val wAgree = qlog(lit(mNum) * (d + 2L)) - qlog(lit(mDen) * (u + 1L))
+      val wDis = qlog(lit(mDen - mNum) * (d + 2L)) -
+        qlog(lit(mDen) * (d - u + 1L))
+      val known = col(s"_a_$f").isNotNull && col(s"_b_$f").isNotNull
+      (when(known, when(col(s"_a_$f") === col(s"_b_$f"), wAgree)
+         .otherwise(wDis)).otherwise(lit(0L)),
+       when(known && col(s"_a_$f") === col(s"_b_$f"), 1L).otherwise(0L),
+       when(known, 1L).otherwise(0L))
+    }
+    pairs.select(col(aCol), col(bCol))
+      .join(aSide, aCol).join(bSide, bCol)
+      .crossJoin(broadcast(statRow))
+      .select(col(aCol), col(bCol),
+        contribs.map(_._2).reduce(_ + _).as("n_agree"),
+        contribs.map(_._3).reduce(_ + _).as("n_known"),
+        contribs.map(_._1).reduce(_ + _).as("score_scaled"))
+      .withColumn("score", col("score_scaled").cast("double") / 1000000d)
+  }
 }

@@ -356,4 +356,24 @@ class SamplingCurationSpec extends SparkSpec {
       .head()
     assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2))
   }
+
+  test("dsirWeights: hand-quantized unigram LLR; target docs absent from " +
+      "the output; identical LMs weight every token ~0") {
+    def qlog(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    // target: "a a b" (TT=3); raw: "a c" (TR=2); vocab {a,b,c} K=3
+    val df = Seq((1L, "a a b", true), (2L, "a c", false))
+      .toDF("id", "text", "tgt")
+    val out = Curation.dsirWeights(df, "id", "text", col("tgt")).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 2L)
+    val wA = qlog(3L * 5L) - qlog(2L * 6L) // (ct+1)(TR+K) vs (cr+1)(TT+K)
+    val wC = qlog(1L * 5L) - qlog(2L * 6L)
+    assert(out.head.getLong(1) == 2L) // n_tokens
+    assert(out.head.getLong(2) == wA + wC)
+    assert(out.head.getDouble(3) == (wA + wC).toDouble / 2e6)
+    // identical target and raw: every weight is qlog(m) − qlog(m) = 0
+    val same = Seq((1L, "a b", true), (2L, "a b", false))
+      .toDF("id", "text", "tgt")
+    assert(Curation.dsirWeights(same, "id", "text", col("tgt"))
+      .head().getLong(2) == 0L)
+  }
 }

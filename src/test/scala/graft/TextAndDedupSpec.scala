@@ -795,4 +795,35 @@ class TextAndDedupSpec extends SparkSpec {
     assert(got(7L) == ((1L, null, null, null, "s9")))
     assert(got.size == 2)
   }
+
+  test("linkageScore: hand-quantized Fellegi-Sunter weights; NULL fields " +
+      "contribute no evidence; multi-field scores sum") {
+    def qlog(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    // f1: x, x, y, NULL → U = 2, D = 3·2 = 6 (Laplace: u' = 3/8)
+    // f2: z on all four → U = 12, D = 12 (u' = 13/14)
+    val recs = Seq((1L, Some("x"), "z"), (2L, Some("x"), "z"),
+      (3L, Some("y"), "z"), (4L, None, "z")).toDF("id", "f1", "f2")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.linkageScore(recs, "id", Seq("f1", "f2"), pairs,
+      "doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val w1Agree = qlog(19L * 8L) - qlog(20L * 3L)
+    val w1Dis = qlog(1L * 8L) - qlog(20L * 5L)
+    val w2Agree = qlog(19L * 14L) - qlog(20L * 13L)
+    // (1,2): both fields agree
+    val p12 = out((1L, 2L))
+    assert(p12.getLong(2) == 2L && p12.getLong(3) == 2L)
+    assert(p12.getLong(4) == w1Agree + w2Agree)
+    assert(p12.getDouble(5) == (w1Agree + w2Agree).toDouble / 1e6)
+    // (1,3): f1 disagrees, f2 agrees
+    val p13 = out((1L, 3L))
+    assert(p13.getLong(2) == 1L && p13.getLong(3) == 2L)
+    assert(p13.getLong(4) == w1Dis + w2Agree)
+    // (1,4): f1 NULL on one side → zero contribution, not counted known
+    val p14 = out((1L, 4L))
+    assert(p14.getLong(2) == 1L && p14.getLong(3) == 1L)
+    assert(p14.getLong(4) == w2Agree)
+    // rare-value agreement outweighs common-value agreement
+    assert(w1Agree > w2Agree && w1Dis < 0L)
+  }
 }
