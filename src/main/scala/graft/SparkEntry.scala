@@ -1257,6 +1257,16 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 64), trained,
         "vec_id", "embedding", 3, IvfNprobe)
     }),
+    // clustering-quality audit of the SAME trained quantizer: simplified
+    // silhouette per cell (centroid distances, the only silhouette that
+    // exists at corpus scale) — one broadcast-join pass, per-point s
+    // floored at 1e-6 into exact int64 sums
+    "q_silhouette" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.simplifiedSilhouette(emb, "vec_id", "embedding",
+        Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          EmbDims, IvfNlist, IvfIters))
+    }),
     // product-quantized search: the deep-compression rung — 4 codebooks
     // trained with the SAME deterministic Lloyd's runs as the IVF tier on
     // 16-dim slices, corpus reconstructed per subspace in one kernel pass.
@@ -6868,6 +6878,32 @@ object SparkEntry {
     "q_ivf_trained" -> sqlIvfSearch(
       s"""$sqlKmeansCtes,
          |cent AS (SELECT cell_id, cvec AS embedding FROM cent$IvfIters)""".stripMargin),
+
+    // the trained-centroid chain + per-point best/runner-up cosine ranks;
+    // s = (b−a)/max(a,b) on the same fixed IEEE chain, floored at 1e-6
+    "q_silhouette" ->
+      s"""WITH $sqlKmeansCtes,
+         |cent AS (SELECT cell_id, cvec FROM cent$IvfIters),
+         |sc AS (SELECT e.vec_id AS pid, c.cell_id,
+         |         ${sqlCosine("e.embedding", "c.cvec")} AS cs,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${sqlCosine("e.embedding", "c.cvec")} DESC,
+         |                    c.cell_id) AS rn
+         |       FROM embeddings e, cent c),
+         |ab AS (SELECT s1.pid, s1.cell_id,
+         |         1 - s1.cs AS a, 1 - s2.cs AS b
+         |       FROM sc s1 JOIN sc s2 ON s1.pid = s2.pid
+         |       WHERE s1.rn = 1 AND s2.rn = 2),
+         |pp AS (SELECT pid, cell_id,
+         |         CASE WHEN greatest(a, b) > 0
+         |           THEN floor((b - a) / greatest(a, b) * 1000000)::BIGINT
+         |           ELSE 0 END AS ss
+         |       FROM ab)
+         |SELECT cell_id, count(*)::BIGINT AS n_points,
+         |  sum(ss)::BIGINT AS sil_sum_scaled,
+         |  sum(ss)::BIGINT::DOUBLE / (count(*)::DOUBLE * 1000000)
+         |    AS mean_sil
+         |FROM pp GROUP BY 1""".stripMargin,
 
     "q_ivf_trained_sample" -> sqlIvfSearch(
       s"""${sqlKmeansCtesOver(

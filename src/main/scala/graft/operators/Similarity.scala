@@ -373,6 +373,51 @@ object Similarity {
     members.select(col(group), col("n_vecs"), mean.as("centroid"))
   }
 
+  /** Simplified silhouette per cluster cell — the clustering-quality
+    * gauge over a trained coarse quantizer ("are the IVF cells actually
+    * separated, or did k-means smear one topic across three cells?").
+    * The simplified form (Hruschka et al.; what sklearn large-scale
+    * practice uses) replaces the classic all-pairs a/b with CENTROID
+    * distances — a = d(x, own centroid), b = min d(x, other centroid),
+    * s = (b − a)/max(a, b) — turning an O(N²) statistic into one
+    * broadcast-join pass, the only silhouette that exists at 100 TB.
+    *
+    * Distances are cosine (1 − cos, matching the assignment metric);
+    * assignment = max cosine with ties toward the smaller cell id,
+    * EXACTLY the kmeansCentroids rule, so the audited partition is the
+    * trainer's. Determinism: per-point cosines are the shared fold-exact
+    * chain; the per-point s runs a fixed IEEE op sequence and enters the
+    * sum as floor(s·10⁶) BIGINT — exact int64 sums, ONE double division
+    * per cell out. With a single centroid b is undefined → the cell
+    * emits mean_sil NULL (never a fake 0). Per-point state is the
+    * O(nlist) collected score list — a plan constant, not data-sized.
+    * Emits one row per cell (cell_id, n_points, sil_sum_scaled,
+    * mean_sil). */
+  def simplifiedSilhouette(corpus: DataFrame, id: String, vec: String,
+                           centroids: DataFrame): DataFrame = {
+    val cent = centroids.select(col(id).as("_cell"), col(vec).as("_cvec"))
+    val top = corpus.select(col(id).as("_pid"), col(vec).as("_pvec"))
+      .join(broadcast(cent))
+      .withColumn("_cs", cosine(col("_pvec"), col("_cvec")))
+      .groupBy(col("_pid"))
+      .agg(sort_array(collect_list(struct((-col("_cs")).as("_d"),
+        col("_cell").as("_c")))).as("_top"))
+    val a = lit(1d) + element_at(col("_top"), 1).getField("_d")
+    val b = lit(1d) + element_at(col("_top"), 2).getField("_d")
+    val s = when(greatest(a, b) > 0d, (b - a) / greatest(a, b))
+      .otherwise(lit(0d))
+    top.select(
+        element_at(col("_top"), 1).getField("_c").as("cell_id"),
+        when(size(col("_top")) >= 2, floor(s * 1000000d).cast("long"))
+          .as("_ss"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("_ss")).as("sil_sum_scaled"))
+      .select(col("cell_id"), col("n_points"), col("sil_sum_scaled"),
+        (col("sil_sum_scaled").cast("double")
+          / (col("n_points").cast("double") * 1000000d)).as("mean_sil"))
+  }
+
   /** Embedding drift between two corpus slices, per label — "did this
     * class's embedding distribution move between last week's crawl and
     * this week's?", the ML-ops monitor that catches encoder upgrades,

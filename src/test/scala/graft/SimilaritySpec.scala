@@ -362,4 +362,28 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.bruteForceTopK(corpus, big, "id", "vec", 1,
       maxQueries = 4).count() == 4L)
   }
+
+  test("simplifiedSilhouette: a point ON its centroid scores 1, ties " +
+      "assign to the smaller cell and score 0, the hand case matches the " +
+      "fixed IEEE chain, a single centroid emits NULL") {
+    val cents = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pts = Seq((10L, Seq(1.0f, 0.0f)),  // on centroid 1 → s = 1
+      (11L, Seq(3.0f, 4.0f)),              // cell 2: a = 1−0.8, b = 1−0.6
+      (12L, Seq(1.0f, 1.0f))               // exact tie → cell 1, s = 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.simplifiedSilhouette(pts, "vec_id", "embedding",
+      cents).collect().map(r => r.getLong(0) -> r).toMap
+    val a11 = 1.0 - 4.0 / 5.0
+    val b11 = 1.0 - 3.0 / 5.0
+    val s11 = math.floor((b11 - a11) / math.max(a11, b11) * 1e6).toLong
+    assert(out(1L).getLong(1) == 2L) // points 10 (s=1e6) and 12 (s=0)
+    assert(out(1L).getLong(2) == 1000000L)
+    assert(out(1L).getDouble(3) == 1000000d / 2e6)
+    assert(out(2L).getLong(1) == 1L && out(2L).getLong(2) == s11)
+    // one centroid: b undefined → NULL, never a fake 0
+    val lone = Similarity.simplifiedSilhouette(pts, "vec_id", "embedding",
+      cents.filter(col("vec_id") === 1L)).collect()
+    assert(lone.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
 }
