@@ -885,6 +885,10 @@ object SparkEntry {
         2, OverlapMaxDf)),
     "q_quality_score" -> ((s, dir) =>
       TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)),
+    // Flesch readability screen: exact word/sentence/vowel-group counts,
+    // one fixed double chain per row, no shuffle
+    "q_readability" -> ((s, dir) =>
+      TextOps.readability(Tables.documents(s, dir), "doc_id", "text")),
     "q_lang_id" -> ((s, dir) =>
       TextOps.languageId(Tables.documents(s, dir), "doc_id", "text", langProfiles)),
     // corpus bigram vocabulary (top 100, deterministic tiebreak)
@@ -3998,6 +4002,25 @@ object SparkEntry {
          |       THEN floor(CAST(n_stopwords AS DOUBLE) / n_tokens * 1000000) / 1000000 ELSE 0.0 END AS stopword_ratio,
          |  CASE WHEN length(text) > 0
          |       THEN floor(CAST(n_punct AS DOUBLE) / length(text) * 1000000) / 1000000 ELSE 0.0 END AS punct_ratio
+         |FROM c""".stripMargin,
+
+    // words/sentences/vowel-group counts exact; flesch is the same
+    // left-associated double chain, trunc6'd
+    "q_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |        len($toksSql)::BIGINT AS n_words,
+         |        len(regexp_extract_all(text, '[.!?]+'))::BIGINT
+         |          AS n_sentences,
+         |        len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+         |          AS n_syllables
+         |      FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+         |    floor((206.835
+         |      - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+         |      - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE))
+         |      * 1000000) / 1000000
+         |  END AS flesch
          |FROM c""".stripMargin,
 
     "q_lang_id" ->

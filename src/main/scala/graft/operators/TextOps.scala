@@ -143,6 +143,37 @@ object TextOps {
         .otherwise(lit(0.0)).as("punct_ratio"))
   }
 
+  /** Flesch-style readability profile — the grade-level screen a curation
+    * pipeline runs next to qualityScore (templated SEO spam and OCR
+    * garbage both land at implausible readability extremes). Library-free
+    * deterministic proxies: words = whitespace tokens, sentences = runs
+    * of [.!?], syllables = vowel-group runs [aeiouy]+ in the lowercased
+    * text (the standard heuristic; no hyphenation dictionary exists at
+    * corpus scale). The three counts are exact integers; `flesch` =
+    * 206.835 − 1.015·(W/S) − 84.6·(Syl/W) is ONE fixed left-associated
+    * double chain on those integers, trunc6'd — engine-identical.
+    * Zero words or zero sentences → flesch NULL (the formula is
+    * undefined, not infinitely readable). Pure per-row projection — no
+    * shuffle at all. Emits (id, n_words, n_sentences, n_syllables,
+    * flesch). */
+  def readability(docs: DataFrame, id: String, text: String): DataFrame = {
+    val nWords = size(tokens(col(text))).cast("long")
+    val nSent = size(regexp_extract_all(col(text), lit("[.!?]+"), lit(0)))
+      .cast("long")
+    val nSyl = size(regexp_extract_all(lower(col(text)), lit("[aeiouy]+"),
+      lit(0))).cast("long")
+    docs.select(
+      col(id),
+      nWords.as("n_words"),
+      nSent.as("n_sentences"),
+      nSyl.as("n_syllables"),
+      when(nWords > 0L && nSent > 0L,
+        trunc6(lit(206.835d)
+          - lit(1.015d) * (nWords.cast("double") / nSent.cast("double"))
+          - lit(84.6d) * (nSyl.cast("double") / nWords.cast("double"))))
+        .as("flesch"))
+  }
+
   /** BM25 relevance of every document against a fixed term list — the
     * retrieval-quality scoring a curation pipeline uses to mine topical
     * subsets out of a web corpus. Distributed shape: one corpus-stats

@@ -826,4 +826,24 @@ class TextAndDedupSpec extends SparkSpec {
     // rare-value agreement outweighs common-value agreement
     assert(w1Agree > w2Agree && w1Dis < 0L)
   }
+
+  test("readability: exact counts and the fixed Flesch chain; zero " +
+      "sentences or zero words emit NULL") {
+    val df = Seq(
+      (1L, "The cat sat. It ran away!"), // 6 words, 2 sentences
+      (2L, "no sentence enders here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 6L && r1.getLong(2) == 2L)
+    // vowel groups: e,a,a,i,a,a,ay → "the"(1) "cat"(1) "sat"(1) "it"(1)
+    // "ran"(1) "away"(2: a, ay? lower: a-w-a-y → groups "a","ay") = 7
+    assert(r1.getLong(3) == 7L)
+    val expected = math.floor((206.835 - 1.015 * (6.0 / 2.0)
+      - 84.6 * (7.0 / 6.0)) * 1e6) / 1e6
+    assert(r1.getDouble(4) == expected)
+    assert(out(2L).isNullAt(4)) // no sentences
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(4))
+  }
 }
