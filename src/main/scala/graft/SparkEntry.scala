@@ -2778,6 +2778,15 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedHellinger(ev, "event_type", "ts",
         "1 day", "0 seconds", ev, "event_type")
     }),
+    // continuous windowed JSD against the whole-corpus mix — the bounded
+    // smoothing-free companion on the same one-aggregation shape; the
+    // streaming twin is parity-pinned in StreamingParitySpec
+    "q_jsd_by_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      graft.streaming.StreamOps.windowedJsd(ev, "event_type", "ts",
+        "1 day", "0 seconds", ev, "event_type")
+    }),
     // per-node triangle membership and local clustering — which nodes sit
     // in tight co-sourcing pockets vs bridge strangers; every triangle
     // closed once from its lowest-degree corner, then credited to all
@@ -7281,6 +7290,54 @@ object SparkEntry {
          |  END AS hellinger
          |FROM terms t JOIN g ON g.w = t.w JOIN tp ON tp.w = t.w
          |GROUP BY t.w, g.k, tp.tp""".stripMargin,
+    // the windowed-drift CTE chain with the two JSD partial sums: per
+    // window both exact BIGINT folds over the union category set, then
+    // the batch form's fixed double chain
+    "q_jsd_by_window" ->
+      s"""WITH t AS (SELECT $evMs - $evMs % $D AS w, event_type AS cat
+         |           FROM events
+         |           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |c AS (SELECT w, cat, count(*)::BIGINT AS cp FROM t GROUP BY 1, 2),
+         |ref AS (SELECT event_type AS cat, count(*)::BIGINT AS cq
+         |        FROM events
+         |        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |        GROUP BY 1),
+         |tq AS (SELECT sum(cq)::BIGINT AS tq FROM ref),
+         |wins AS (SELECT DISTINCT w FROM c),
+         |cats AS (SELECT DISTINCT w, cat FROM (
+         |    SELECT w, cat FROM c
+         |    UNION ALL SELECT wins.w, ref.cat FROM wins, ref)),
+         |g AS (SELECT w, count(*)::BIGINT AS k FROM cats GROUP BY 1),
+         |tp AS (SELECT w, sum(cp)::BIGINT AS tp FROM c GROUP BY 1),
+         |terms AS (SELECT cats.w,
+         |    CASE WHEN COALESCE(c.cp, 0) > 0 THEN COALESCE(c.cp, 0)
+         |      * (floor(ln((2 * COALESCE(c.cp, 0) * (SELECT tq FROM tq))::DOUBLE)
+         |           * 1000000)::BIGINT
+         |       - floor(ln((COALESCE(c.cp, 0) * (SELECT tq FROM tq)
+         |           + COALESCE(r.cq, 0) * tp.tp)::DOUBLE) * 1000000)::BIGINT)
+         |      ELSE 0 END AS sp,
+         |    CASE WHEN COALESCE(r.cq, 0) > 0 THEN COALESCE(r.cq, 0)
+         |      * (floor(ln((2 * COALESCE(r.cq, 0) * tp.tp)::DOUBLE)
+         |           * 1000000)::BIGINT
+         |       - floor(ln((COALESCE(c.cp, 0) * (SELECT tq FROM tq)
+         |           + COALESCE(r.cq, 0) * tp.tp)::DOUBLE) * 1000000)::BIGINT)
+         |      ELSE 0 END AS sq
+         |  FROM cats
+         |  LEFT JOIN c ON c.w = cats.w AND c.cat = cats.cat
+         |  LEFT JOIN ref r ON r.cat = cats.cat
+         |  JOIN tp ON tp.w = cats.w)
+         |SELECT t.w AS window_start_ms, g.k AS n_categories, tp.tp AS n_p,
+         |  (SELECT tq FROM tq) AS n_q,
+         |  sum(t.sp)::BIGINT AS jsd_p_scaled,
+         |  sum(t.sq)::BIGINT AS jsd_q_scaled,
+         |  CASE WHEN tp.tp > 0 AND (SELECT tq FROM tq) > 0 THEN
+         |    (sum(t.sp)::BIGINT::DOUBLE / tp.tp::DOUBLE
+         |     + sum(t.sq)::BIGINT::DOUBLE / (SELECT tq FROM tq)::DOUBLE)
+         |      / (2 * 1000000)
+         |  END AS jsd
+         |FROM terms t JOIN g ON g.w = t.w JOIN tp ON tp.w = t.w
+         |GROUP BY t.w, g.k, tp.tp""".stripMargin,
+
     // the q_kl_by_window CTE chain with the PSI term swapped in
     "q_psi_by_window" ->
       s"""WITH t AS (SELECT $evMs - $evMs % $D AS w, event_type AS cat

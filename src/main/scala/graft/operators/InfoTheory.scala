@@ -241,6 +241,41 @@ object InfoTheory {
           * LogScale.toDouble) / LogScale.toDouble).as("hellinger"))
   }
 
+  /** JSD columns from a CategoryCountAgg distribution against a
+    * PLAN-LITERAL reference — jsDivergence's algebra in the
+    * klFromCounts/hellingerFromCounts one-aggregation streaming form, so
+    * a live window can carry the bounded (≤ ln 2) SMOOTHING-FREE drift
+    * score with ONE aggregation and a stateless projection. The two
+    * partial sums fold separately over the union category set (different
+    * denominators), each term the exact BIGINT of jsdTerms; jsd is the
+    * same fixed double chain as the batch form, so the two forms are
+    * parity-pinned against one oracle. Returns (n_categories, n_p, n_q,
+    * jsd_p_scaled, jsd_q_scaled, jsd); callers filter empty windows
+    * first. */
+  def jsdFromCounts(counts: Column, ref: Map[String, Long]): Seq[Column] = {
+    require(ref.nonEmpty, "jsdFromCounts needs a non-empty reference")
+    require(ref.values.forall(_ > 0),
+      "jsdFromCounts reference counts must be positive")
+    val mp = map_from_entries(counts)
+    val refMap = typedlit(ref)
+    val cats = array_union(map_keys(mp), map_keys(refMap))
+    val k = size(cats).cast("long")
+    val tp = aggregate(counts, lit(0L), (a, x) => a + x.getField("n"))
+    val tq = lit(ref.values.sum)
+    def cp(c: Column) = coalesce(element_at(mp, c), lit(0L))
+    def cq(c: Column) = coalesce(element_at(refMap, c), lit(0L))
+    val spScaled = aggregate(cats, lit(0L).cast("decimal(38,0)"),
+      (a, c) => a + jsdTerms(cp(c), cq(c), tp, tq)._1).cast("long")
+    val sqScaled = aggregate(cats, lit(0L).cast("decimal(38,0)"),
+      (a, c) => a + jsdTerms(cp(c), cq(c), tp, tq)._2).cast("long")
+    Seq(k.as("n_categories"), tp.as("n_p"), tq.as("n_q"),
+      spScaled.as("jsd_p_scaled"), sqScaled.as("jsd_q_scaled"),
+      when(tp > 0L && tq > 0L,
+        (spScaled.cast("double") / tp.cast("double")
+          + sqScaled.cast("double") / tq.cast("double"))
+          / (2d * LogScale.toDouble)).as("jsd"))
+  }
+
   /** KL divergence KL(P‖Q) in nats between the `cat` distributions of the
     * `isP` and ¬`isP` slices of one frame — the drift gauge with
     * direction and magnitude in one number (TVD's unsigned cousin,

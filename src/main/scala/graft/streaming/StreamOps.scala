@@ -249,6 +249,33 @@ object StreamOps {
         graft.operators.InfoTheory.hellingerFromCounts(col("_cc"), refCounts): _*)
   }
 
+  /** Continuous windowed Jensen-Shannon drift against a PLAN-LITERAL
+    * baseline — the windowedHellinger/windowedKlDrift shape carrying the
+    * bounded (≤ ln 2) SMOOTHING-FREE divergence per finalized window:
+    * ONE CategoryCountAgg aggregation, then InfoTheory.jsdFromCounts as
+    * a stateless projection (parity-pinned against jsDivergence's batch
+    * algebra by the shared oracle). The baseline collapses to an
+    * O(categories) literal at plan time; state is one count array per
+    * open window. */
+  def windowedJsd(df: DataFrame, cat: String, ts: String,
+                  windowDur: String, lateness: String,
+                  ref: DataFrame, refCat: String): DataFrame = {
+    require(!ref.isStreaming,
+      "windowedJsd's baseline must be a static frame")
+    val refCounts = ref.filter(col(refCat).isNotNull)
+      .groupBy(col(refCat).cast("string").as("c")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(refCounts.nonEmpty,
+      "windowedJsd: the baseline frame has no categories")
+    df.withWatermark(ts, lateness)
+      .groupBy(window(col(ts), windowDur))
+      .agg(graft.expressions.CategoryCountExpressions
+        .categoryCounts(col(cat)).as("_cc"))
+      .filter(size(col("_cc")) > 0)
+      .select(CoreOps.ms(col("window.start")).as("window_start_ms") +:
+        graft.operators.InfoTheory.jsdFromCounts(col("_cc"), refCounts): _*)
+  }
+
   /** Stream-stream interval join: pair every point with the anchors of the
     * same key whose window [anchor_ts, anchor_ts + windowMs) contains the
     * point's event time — the continuous form of CoreOps.rangeJoin for

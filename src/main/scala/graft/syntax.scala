@@ -503,5 +503,33 @@ object syntax {
                           refCat: String): DataFrame =
       graft.streaming.StreamOps.windowedHellinger(df, cat, ts, windowDur,
         lateness, ref, refCat)
+
+    // ── divergence / ranking / curation / linkage additions ───────────────
+    def jsDivergence(cat: String, isP: Column): DataFrame =
+      InfoTheory.jsDivergence(df, cat, isP)
+    def jsDivergenceByGroup(group: String, cat: String,
+                            isP: Column): DataFrame =
+      InfoTheory.jsDivergenceByGroup(df, group, cat, isP)
+    def windowedJsd(cat: String, ts: String, windowDur: String,
+                    lateness: String, ref: DataFrame,
+                    refCat: String): DataFrame =
+      graft.streaming.StreamOps.windowedJsd(df, cat, ts, windowDur,
+        lateness, ref, refCat)
+    def ndcgPerQuery(query: String, rank: String, rel: Column): DataFrame =
+      Eval.ndcgPerQuery(df, query, rank, rel)
+    def meanReciprocalRank(query: String, rank: String,
+                           rel: Column): DataFrame =
+      Eval.meanReciprocalRank(df, query, rank, rel)
+    def dsirWeights(id: String, text: String, isTarget: Column): DataFrame =
+      Curation.dsirWeights(df, id, text, isTarget)
+    def linkageScore(id: String, fields: Seq[String], pairs: DataFrame,
+                     aCol: String, bCol: String, mNum: Long = 19L,
+                     mDen: Long = 20L): DataFrame =
+      Dedup.linkageScore(df, id, fields, pairs, aCol, bCol, mNum, mDen)
+    def simplifiedSilhouette(id: String, vec: String,
+                             centroids: DataFrame): DataFrame =
+      Similarity.simplifiedSilhouette(df, id, vec, centroids)
+    def readability(id: String, text: String): DataFrame =
+      TextOps.readability(df, id, text)
   }
 }

@@ -226,6 +226,18 @@ object StreamDemo {
         "operation")
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // the bounded smoothing-free companion on the same shape: per
+    // finalized 5s window, Jensen-Shannon divergence of the operation
+    // mix against the generator's uniform baseline (JSD ≤ ln 2)
+    val q19 = StreamOps.windowedJsd(
+        audit.select(col("operation"), col("event_time")),
+        "operation", "event_time", "5 seconds", "1 second",
+        spark.createDataFrame(
+          Seq("Create", "Modify", "Query", "Delete").map(Tuple1(_)))
+          .toDF("operation"),
+        "operation")
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     // upsert compaction as the STATE MACHINE (latestSnapshots): the
     // max-by fold emits each key's current winner per micro-batch in
     // append mode — the changelog feed where q8's complete mode re-emits
@@ -255,7 +267,7 @@ object StreamDemo {
       s"${driftRows.get()} drift rows)")
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
     q10.stop(); q11.stop(); q12.stop(); q13.stop(); q14.stop(); q15.stop()
-    q16.stop(); q17.stop(); q18.stop()
+    q16.stop(); q17.stop(); q18.stop(); q19.stop()
     spark.stop()
   }
 }

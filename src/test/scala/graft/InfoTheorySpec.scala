@@ -315,6 +315,23 @@ class InfoTheorySpec extends SparkSpec {
     assert(jsd(Seq("x"), Seq.empty).isNullAt(5))
   }
 
+  test("jsdFromCounts with a literal reference == jsDivergence on the " +
+      "same two sides (one aggregation vs the two-sided count shuffle)") {
+    val pSide = Seq("x", "x", "x", "y")
+    val qSide = Seq("x", "y", "y", "z")
+    val both = (pSide.map(c => (c, true)) ++ qSide.map(c => (c, false)))
+      .toDF("cat", "p")
+    val twoLevel = InfoTheory.jsDivergence(both, "cat", col("p"))
+      .collect().head
+    val ref = qSide.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
+    val one = pSide.toDF("cat")
+      .agg(graft.expressions.CategoryCountExpressions
+        .categoryCounts(col("cat")).as("_cc"))
+      .select(InfoTheory.jsdFromCounts(col("_cc"), ref): _*)
+      .collect().head
+    assert(one.toSeq == twoLevel.toSeq)
+  }
+
   test("jsDivergenceByGroup == jsDivergence applied per group slice") {
     val rows = Seq(("g1", "x", true), ("g1", "x", false), ("g1", "y", true),
       ("g2", "x", true), ("g2", "z", false), ("g2", "z", false),

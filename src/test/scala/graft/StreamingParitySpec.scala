@@ -1095,6 +1095,35 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedJsd finalizes windows scored against the plan-literal " +
+      "baseline; an identical mix scores exactly 0, a disjoint one ~ln 2") {
+    val batch1 = Seq(
+      KeyedEvent("u", 1000, 1, "a"), KeyedEvent("u", 1500, 2, "b"),
+      KeyedEvent("u", 2500, 3, "a"), // window [0,3s): {a:2, b:1}
+      KeyedEvent("u", 4000, 4, "c")) // window [3s,6s): {c:1} — disjoint
+    val batch2 = Seq(KeyedEvent("u", 20000, 5, "a")) // finalizes both
+    val ref = Seq("a", "a", "b").toDF("cat") // baseline mix {a:2, b:1}
+    val input = MemoryStream[KeyedEvent]
+    val stream = input.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+    val q = StreamOps.windowedJsd(stream, "kind", "ts",
+        "3 seconds", "1 second", ref, "cat")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("jw_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val got = spark.table("jw_par")
+        .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      // [0,3s): identical mix — every term qlog(2cT)−qlog(2cT) = 0
+      assert(got(0L) == ((0L, 2L, 3L, 3L, 0L, 0L, 0.0)))
+      // [3s,6s): disjoint — JSD = ln 2 within the quantization band
+      val d = got(3000L)
+      assert(d._2 == 3L && d._3 == 1L && d._4 == 3L)
+      assert(math.abs(d._7 - math.log(2.0)) < 2e-6)
+    } finally q.stop()
+  }
+
   test("burstEnds: hysteresis opens at lo, survives to hi, closes ONCE " +
       "across batches; the open final burst never emits; behind-frontier " +
       "arrivals are no-ops") {

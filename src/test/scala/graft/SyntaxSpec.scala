@@ -121,4 +121,47 @@ class SyntaxSpec extends SparkSpec {
       graft.streaming.StreamOps.windowedHellinger(ev, "cat", "ts",
         "3 seconds", "0 seconds", ref, "c").collect().toSet)
   }
+
+  test("divergence/ranking/curation/linkage facade delegates verbatim") {
+    val sides = Seq(("x", true), ("x", false), ("y", true), ("z", false))
+      .toDF("cat", "p")
+    assert(sides.jsDivergence("cat", col("p")).head().toSeq ==
+      graft.operators.InfoTheory.jsDivergence(sides, "cat", col("p"))
+        .head().toSeq)
+    val ranked = Seq(("q1", 1L, 1L), ("q1", 2L, 0L)).toDF("q", "rank", "r")
+    assert(ranked.ndcgPerQuery("q", "rank", col("r")).head().toSeq ==
+      graft.operators.Eval.ndcgPerQuery(ranked, "q", "rank", col("r"))
+        .head().toSeq)
+    assert(ranked.meanReciprocalRank("q", "rank", col("r")).head().toSeq ==
+      graft.operators.Eval.meanReciprocalRank(ranked, "q", "rank", col("r"))
+        .head().toSeq)
+    val docs = Seq((1L, "a a b", true), (2L, "a c", false))
+      .toDF("id", "text", "tgt")
+    assert(docs.dsirWeights("id", "text", col("tgt")).head().toSeq ==
+      graft.operators.Curation.dsirWeights(docs, "id", "text", col("tgt"))
+        .head().toSeq)
+    assert(docs.readability("id", "text").collect().toSet ==
+      graft.operators.TextOps.readability(docs, "id", "text")
+        .collect().toSet)
+    val recs = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "f1")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    assert(recs.linkageScore("id", Seq("f1"), pairs, "a", "b")
+        .head().toSeq ==
+      graft.operators.Dedup.linkageScore(recs, "id", Seq("f1"), pairs,
+        "a", "b").head().toSeq)
+    val cents = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pts = Seq((10L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    assert(pts.simplifiedSilhouette("vec_id", "embedding", cents)
+        .head().toSeq ==
+      graft.operators.Similarity.simplifiedSilhouette(pts, "vec_id",
+        "embedding", cents).head().toSeq)
+    val ev2 = Seq(("a", 1000L), ("b", 1500L))
+      .toDF("cat", "ms").withColumn("ts", timestamp_millis(col("ms")))
+    val ref2 = Seq("a", "b").toDF("c")
+    assert(ev2.windowedJsd("cat", "ts", "3 seconds", "0 seconds",
+        ref2, "c").collect().toSet ==
+      graft.streaming.StreamOps.windowedJsd(ev2, "cat", "ts",
+        "3 seconds", "0 seconds", ref2, "c").collect().toSet)
+  }
 }
