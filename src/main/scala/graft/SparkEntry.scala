@@ -927,6 +927,14 @@ object SparkEntry {
         emb.filter(pmod(col("vec_id"), lit(10)) === 0),
         "vec_id", "embedding", "label", 10)
     }),
+    // MMR diversified top-3 from an 8-deep exact-cosine pool (λ = 1/2):
+    // greedy picks balance query relevance against redundancy with what's
+    // already chosen — k bounded pool×picked joins, zero driver traffic
+    "q_mmr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 4),
+        "vec_id", "embedding", 8, 3)
+    }),
     // nDCG of the exact-cosine ANN surface under label-match relevance:
     // does the index put same-label neighbors FIRST, not just somewhere
     // in the top k? Per-query ideal re-rank is a ≤k-row partitioned
@@ -1192,6 +1200,14 @@ object SparkEntry {
       Dedup.contaminationPairs(docs, docs.filter(col("doc_id") < 20),
           "doc_id", "text", MhK, WinnowW, 0.05)
         .filter(col("doc_id") =!= col("bench_id")) // the stand-in overlaps itself
+    }),
+    // the data-card number: every doc's share of distinct shingles seen
+    // ANYWHERE in the benchmark — one gram-keyed shuffle join, zero-
+    // overlap docs included (bench stand-in docs score 1.0 on themselves)
+    "q_contamination_rate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationRate(docs, docs.filter(col("doc_id") < 20),
+        "doc_id", "text", MhK)
     }),
     // the MOSS pipeline end-to-end: shared fingerprint → candidate pair →
     // exact shingle-set Jaccard verification
@@ -3580,6 +3596,51 @@ object SparkEntry {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
   }
 
+  /** Unrolled MMR oracle (the lpaOracleCtes discipline): pool = the
+    * poolK-deep exact-cosine lists, then k greedy steps — each step's
+    * candidate scores join the picked-so-far set, max-sim via the shared
+    * cosine chain, argmax with the (score DESC, id) tie rule, λ = 1/2 as
+    * the same fixed double chain as mmrTopK. */
+  private def mmrOracleSql(queryPred: String, poolK: Int, k: Int): String = {
+    val steps = (2 to k).map { i =>
+      val prev = s"picked${i - 1}"
+      s"""rem$i AS (SELECT p.* FROM pool p
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev s
+         |                    WHERE s.query_id = p.query_id
+         |                      AND s.nid = p.nid)),
+         |sc$i AS (SELECT r.query_id, r.nid, max(r.rel) AS rel,
+         |           max(r.nv) AS nv,
+         |           max(${sqlCosine("r.nv", "s.nv")}) AS ms
+         |         FROM rem$i r JOIN $prev s USING (query_id)
+         |         GROUP BY 1, 2),
+         |sel$i AS (SELECT query_id, ${i}::BIGINT AS pick_rank, nid, nv,
+         |            (1.0 * rel - 1.0 * ms) / 2.0 AS score
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY (1.0 * rel - 1.0 * ms) / 2.0 DESC, nid)
+         |                  AS rn
+         |                FROM sc$i) WHERE rn = 1),
+         |picked$i AS (SELECT * FROM picked${i - 1}
+         |             UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |           FROM embeddings WHERE $queryPred),
+       |s AS (SELECT q.query_id, e.vec_id AS nid, e.embedding AS nv,
+       |        ${sqlCosine("q.qe", "e.embedding")} AS rel
+       |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       |pool AS (SELECT query_id, nid, nv, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, nid) AS rn FROM s) WHERE rn <= $poolK),
+       |picked1 AS (SELECT query_id, 1::BIGINT AS pick_rank, nid, nv,
+       |              (1.0 * rel) / 2.0 AS score
+       |            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY rel DESC, nid) AS rn FROM pool)
+       |            WHERE rn = 1),
+       |$steps
+       |SELECT query_id, pick_rank, nid AS neighbor_id,
+       |  floor(score * 1000000) / 1000000 AS mmr_score
+       |FROM picked$k""".stripMargin
+  }
+
   /** The q_ann_cosine ranked lists + label-match relevance as a CTE chain
     * ending in jrel(query_id, rank, rel) — the shared oracle input of
     * q_ndcg/q_mrr, mirroring annLabelRelevance exactly (NULL labels → 0:
@@ -4095,6 +4156,10 @@ object SparkEntry {
          |      FROM s)
          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5""".stripMargin,
 
+    // three unrolled greedy steps over the 8-deep pool; λ = 1/2 as the
+    // identical fixed double chain
+    "q_mmr" -> mmrOracleSql("vec_id < 4", 8, 3),
+
     // the q_ann_cosine ranked lists under label-match relevance; DCG
     // terms are exact integer // of quantized log2 discounts, the ideal
     // re-rank a ≤k-row partitioned window with rank as tiebreak
@@ -4520,6 +4585,29 @@ object SparkEntry {
          |FROM cand c JOIN shs a ON c.doc_id = a.doc_id JOIN shs b ON c.bench_id = b.doc_id
          |WHERE $containment >= 0.05 AND c.doc_id <> c.bench_id""".stripMargin
     },
+
+    // the same shingle-hash chain; per-doc distinct grams left-join the
+    // benchmark's distinct gram set, rate = one floored division
+    "q_contamination_rate" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt,
+         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= $MhK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
+         |                   for i in range(0, len(toks)-$MhK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+         |cg AS (SELECT doc_id, unnest(list_distinct(hs)) AS g FROM hsh),
+         |bg AS (SELECT DISTINCT g FROM (
+         |         SELECT unnest(list_distinct(hs)) AS g FROM hsh
+         |         WHERE doc_id < 20))
+         |SELECT c.doc_id, count(*)::BIGINT AS n_grams,
+         |  count(b.g)::BIGINT AS n_contaminated,
+         |  floor(count(b.g)::DOUBLE / count(*)::DOUBLE * 1000000) / 1000000
+         |    AS contamination_rate
+         |FROM cg c LEFT JOIN bg b ON c.g = b.g
+         |GROUP BY 1""".stripMargin,
 
     // the plain per-bucket row_number IS the spec; the salted Spark plan
     // must land on exactly the same numbering

@@ -1082,6 +1082,39 @@ object Dedup {
         col("_mj._v").as("majority_val"), col("min_val"))
   }
 
+  /** Per-document benchmark-contamination RATE — the gauge form of
+    * contaminationPairs: every corpus doc reports what share of its
+    * distinct k-gram shingles appear ANYWHERE in the benchmark, including
+    * the zero-overlap majority (contaminationPairs emits only suspect
+    * pairs above a winnow-candidate threshold; this profiles the whole
+    * corpus, the number a data card quotes). The GPT-3/PaLM
+    * decontamination reports use exactly this n-gram overlap statistic.
+    *
+    * Shape: corpus doc-grams (exploded distinct shingle hashes) LEFT-join
+    * the benchmark's DISTINCT gram set on the gram key — one shuffle
+    * join, both sides data-sized but never broadcast, never all-pairs;
+    * per-doc counts are one keyed agg. Short texts shingle to the
+    * normalized text itself (the shingleHashes convention), so n_grams
+    * ≥ 1 and the trunc6'd rate is always defined. Emits one row per
+    * corpus doc (id, n_grams, n_contaminated, contamination_rate). */
+  def contaminationRate(corpus: DataFrame, bench: DataFrame, id: String,
+                        text: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val grams = spread(corpus).select(col(id),
+      explode(array_distinct(shingleHashes(col(text), k))).as("_g"))
+    val benchGrams = bench
+      .select(explode(array_distinct(shingleHashes(col(text), k))).as("_g"))
+      .distinct().withColumn("_hit", lit(1L))
+    grams.join(benchGrams, Seq("_g"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+      .select(col(id), col("n_grams"), col("n_contaminated"),
+        (floor(col("n_contaminated").cast("double")
+           / col("n_grams").cast("double") * 1000000d) / 1000000d)
+          .as("contamination_rate"))
+  }
+
   /** Fellegi-Sunter probabilistic linkage scores over CANDIDATE pairs —
     * the classical record-linkage model (Fellegi & Sunter 1969, JASA;
     * the Splink/dedupe formulation) on top of whatever bounded blocking

@@ -245,6 +245,76 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified top-k — the retrieval re-rank that stops five paraphrases
+    * of one document crowding the result list (RAG context building, dedup
+    * aware few-shot selection): greedily pick
+    * argmax λ·cos(q, c) − (1−λ)·max_{s∈picked} cos(c, s), so each pick
+    * balances query relevance against redundancy with what's already
+    * chosen. λ comes in as the rational lambdaNum/lambdaDen so the score
+    * is ONE fixed double chain (num·rel − (den−num)·maxsim)/den — engine-
+    * identical from the shared fold-exact cosines; ties break toward the
+    * smaller candidate id (the bruteForceTopK rule).
+    *
+    * Fixed-iteration distributed shape (the kmeansCentroids discipline):
+    * the candidate pool is bruteForceTopK's poolK list per query (queries
+    * limit-probed via maxQueries, the pool materialized ONCE with vectors
+    * attached and localCheckpointed); each of the k rounds is a bounded
+    * pool×picked join (≤ poolK·i rows per query, plan constants), one
+    * keyed argmax, zero driver traffic. Emits one row per pick
+    * (query_id, pick_rank, doc_id, mmr_score) — pick_rank 1..k in greedy
+    * order; lists shorter than k when the pool runs out. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, poolK: Int, k: Int,
+              lambdaNum: Int = 1, lambdaDen: Int = 2,
+              maxQueries: Int = 16384): DataFrame = {
+    require(poolK >= k && k >= 1, s"need poolK >= k >= 1, got $poolK/$k")
+    require(lambdaNum >= 0 && lambdaNum <= lambdaDen && lambdaDen > 0,
+      s"need 0 <= lambdaNum <= lambdaDen, got $lambdaNum/$lambdaDen")
+    val corpusVecs = corpus.select(col(id).as("neighbor_id"),
+      col(vec).as("_nv"))
+    val qVecs = queries.select(col(id).as("query_id"), col(vec).as("_qv"))
+    val pool = bruteForceTopK(corpus, queries, id, vec, poolK, maxQueries)
+      .join(corpusVecs, "neighbor_id")
+      .join(broadcast(qVecs), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("_nv"),
+        cosine(col("_qv"), col("_nv")).as("_rel"))
+      .localCheckpoint(true) // one materialization feeds every round
+    def argmaxPick(scored: DataFrame, rank: Int): DataFrame =
+      scored.groupBy(col("query_id"))
+        .agg(max(struct(col("_score").as("_s"), (-col("neighbor_id")).as("_n")))
+          .as("_b"))
+        .select(col("query_id"), lit(rank.toLong).as("pick_rank"),
+          (-col("_b._n")).as("neighbor_id"), col("_b._s").as("_score"))
+    var picked = argmaxPick(pool.withColumn("_score",
+      lit(lambdaNum.toDouble) * col("_rel") / lit(lambdaDen.toDouble)), 1)
+      .join(pool.select(col("query_id"), col("neighbor_id"), col("_nv")),
+        Seq("query_id", "neighbor_id"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val remaining = pool.join(
+        picked.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val scored = remaining.join(
+          picked.select(col("query_id"), col("_nv").as("_sv")), "query_id")
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(first(col("_rel")).as("_rel"), first(col("_nv")).as("_nv"),
+          max(cosine(col("_nv"), col("_sv"))).as("_ms"))
+        .withColumn("_score",
+          (lit(lambdaNum.toDouble) * col("_rel")
+            - lit((lambdaDen - lambdaNum).toDouble) * col("_ms"))
+            / lit(lambdaDen.toDouble))
+      picked = picked.unionByName(
+          argmaxPick(scored, i)
+            .join(pool.select(col("query_id"), col("neighbor_id"),
+              col("_nv")), Seq("query_id", "neighbor_id"))
+            .select(picked.columns.map(col): _*))
+        .localCheckpoint(true)
+    }
+    picked.select(col("query_id"), col("pick_rank"), col("neighbor_id"),
+      (floor(col("_score") * 1000000d) / 1000000d).as("mmr_score"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale path:
     * every corpus vector is assigned to its nearest centroid cell once, and a
     * query probes only its `nprobe` nearest cells, so search cost is

@@ -531,5 +531,13 @@ object syntax {
       Similarity.simplifiedSilhouette(df, id, vec, centroids)
     def readability(id: String, text: String): DataFrame =
       TextOps.readability(df, id, text)
+    def mmrTopK(queries: DataFrame, id: String, vec: String, poolK: Int,
+                k: Int, lambdaNum: Int = 1, lambdaDen: Int = 2,
+                maxQueries: Int = 16384): DataFrame =
+      Similarity.mmrTopK(df, queries, id, vec, poolK, k, lambdaNum,
+        lambdaDen, maxQueries)
+    def contaminationRate(bench: DataFrame, id: String, text: String,
+                          k: Int): DataFrame =
+      Dedup.contaminationRate(df, bench, id, text, k)
   }
 }

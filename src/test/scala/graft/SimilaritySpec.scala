@@ -386,4 +386,32 @@ class SimilaritySpec extends SparkSpec {
       cents.filter(col("vec_id") === 1L)).collect()
     assert(lone.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
+
+  test("mmrTopK: greedy picks trade relevance against redundancy with " +
+      "the picked set; lambda = 1 degenerates to pure relevance order") {
+    // query (3,4): c12 = (0,1) is most relevant (0.8); c10/c11 = (1,0)/
+    // (2,0) are mutually redundant (cos 1) at rel 0.6
+    val corpus = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(2.0f, 0.0f)),
+      (12L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopK(corpus, q, "vec_id", "embedding", 3, 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    def t6(x: Double) = math.floor(x * 1e6) / 1e6
+    val rel10 = 3.0 / (1.0 * 5.0) // dot 3, norms 1·5
+    assert(out(1L) == ((12L, t6((1.0 * (4.0 / 5.0)) / 2.0))))
+    // picks 2: c10/c11 tie at (0.6 − 0)/2 → smaller id
+    assert(out(2L) == ((10L, t6((1.0 * rel10 - 1.0 * 0.0) / 2.0))))
+    // pick 3: c11's max sim to picked is cos(c11, c10) = 1 → negative
+    val rel11 = 6.0 / (2.0 * 5.0)
+    assert(out(3L) == ((11L, t6((1.0 * rel11 - 1.0 * 1.0) / 2.0))))
+    assert(out(3L)._2 < 0d)
+    // λ = 1: redundancy ignored — order is exactly bruteForceTopK's
+    val pure = Similarity.mmrTopK(corpus, q, "vec_id", "embedding", 3, 3,
+        lambdaNum = 1, lambdaDen = 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(pure == bf)
+  }
 }

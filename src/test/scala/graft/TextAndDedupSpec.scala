@@ -827,6 +827,23 @@ class TextAndDedupSpec extends SparkSpec {
     assert(w1Agree > w2Agree && w1Dis < 0L)
   }
 
+  test("contaminationRate: benchmark-identical docs score 1, disjoint " +
+      "docs 0, partial overlap counts shared distinct shingles") {
+    // k = 2 shingles over whitespace tokens
+    val docs = Seq(
+      (1L, "alpha beta gamma"),      // shingles: "alpha beta","beta gamma"
+      (2L, "wholly different text"), // disjoint
+      (3L, "alpha beta zeta")        // shares "alpha beta" only
+    ).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 1L)
+    val got = Dedup.contaminationRate(docs, bench, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((2L, 1L, 0.5)))
+  }
+
   test("readability: exact counts and the fixed Flesch chain; zero " +
       "sentences or zero words emit NULL") {
     val df = Seq(
