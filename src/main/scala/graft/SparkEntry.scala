@@ -927,6 +927,18 @@ object SparkEntry {
         emb.filter(pmod(col("vec_id"), lit(10)) === 0),
         "vec_id", "embedding", "label", 10)
     }),
+    // rank-biased overlap of the LSH lists against the exact lists on
+    // the audit query slice — the LIST-level agreement gauge beside
+    // recall@k: equal recall with reshuffled order still loses RBO
+    "q_rbo" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 64)
+      Similarity.rboOverlap(
+        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5),
+        Similarity.lshTopK(emb, qs, "vec_id", "embedding", EmbDims,
+          LshPlanes, 5),
+        "query_id", "rank", "neighbor_id", 5)
+    }),
     // MMR diversified top-3 from an 8-deep exact-cosine pool (λ = 1/2):
     // greedy picks balance query relevance against redundancy with what's
     // already chosen — k bounded pool×picked joins, zero driver traffic
@@ -4159,6 +4171,45 @@ object SparkEntry {
     // three unrolled greedy steps over the 8-deep pool; λ = 1/2 as the
     // identical fixed double chain
     "q_mmr" -> mmrOracleSql("vec_id < 4", 8, 3),
+
+    // both ranking CTEs on the audit slice; the depth weights are the
+    // IDENTICAL plan-time longs (Similarity.rboWeightsScaled), so the
+    // per-pair sum is exact integer arithmetic on both engines
+    "q_rbo" -> {
+      val w = Similarity.rboWeightsScaled(5, 1, 2)
+      val cases = w.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}" }.mkString(" ")
+      s"""WITH $sqlEmbSigCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id < 64),
+         |exs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |          ${sqlCosine("q.qe", "e.embedding")} AS score
+         |        FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         |      AS rank FROM exs) WHERE rank <= 5),
+         |lss AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |          ${sqlCosine("a.embedding", "b.embedding")} AS score
+         |        FROM esig a JOIN esig b USING (bucket)
+         |        WHERE a.vec_id <> b.vec_id AND a.vec_id < 64),
+         |ls AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         |      AS rank FROM lss) WHERE rank <= 5),
+         |j AS (SELECT e.query_id,
+         |        CASE greatest(e.rank, l.rank) $cases END::BIGINT AS w
+         |      FROM ex e JOIN ls l ON e.query_id = l.query_id
+         |        AND e.neighbor_id = l.neighbor_id),
+         |agg AS (SELECT query_id, count(*)::BIGINT AS n_common,
+         |          sum(w)::BIGINT AS rbo_scaled FROM j GROUP BY 1),
+         |base AS (SELECT DISTINCT query_id FROM ex)
+         |SELECT b.query_id,
+         |  COALESCE(a.n_common, 0)::BIGINT AS n_common,
+         |  COALESCE(a.rbo_scaled, 0)::BIGINT AS rbo_scaled,
+         |  COALESCE(a.rbo_scaled, 0)::DOUBLE / 1000000000000 AS rbo
+         |FROM base b LEFT JOIN agg a ON a.query_id = b.query_id""".stripMargin
+    },
 
     // the q_ann_cosine ranked lists under label-match relevance; DCG
     // terms are exact integer // of quantized log2 discounts, the ideal

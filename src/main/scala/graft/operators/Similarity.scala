@@ -659,6 +659,64 @@ object Similarity {
       .agg((sum(coalesce(col("_hit"), lit(0))).cast("double") / k).as("recall"))
   }
 
+  /** Truncated rank-biased-overlap weights W_m = Σ_{i=m..d} (1−p)·pⁱ⁻¹/i,
+    * scaled to integer 10⁻¹² units at PLAN TIME (one fixed double chain per
+    * depth — the identical longs inline into the DuckDB oracle, so the
+    * per-pair sum is exact integer arithmetic on both engines). */
+  def rboWeightsScaled(d: Int, pNum: Int, pDen: Int): Seq[Long] = {
+    val p = pNum.toDouble / pDen.toDouble
+    val w = (1 to d).map(i => (1d - p) * math.pow(p, i - 1) / i)
+    (1 to d).map(m => math.floor(w.drop(m - 1).sum * 1e12).toLong)
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010, TOIS) between two ranked
+    * lists per query, truncated at depth `d` — the LIST-level agreement
+    * gauge beside recallAtK's set-level one: two surfaces can have equal
+    * recall yet order the survivors differently, and RBO charges exactly
+    * that (top-weighted: agreement at rank 1 counts most; p tunes how
+    * fast attention decays). This is the truncated lower bound (no
+    * extrapolated residual) — identical depth-d lists score
+    * Σ_{i≤d}(1−p)·pⁱ⁻¹ < 1, disjoint lists 0.
+    *
+    * The standard prefix-overlap sum rearranges to
+    * RBO_d = Σ_{docs in both lists} W_{max(rank_a, rank_b)} with
+    * W_m = Σ_{i=m..d}(1−p)·pⁱ⁻¹/i — so the whole statistic is ONE
+    * (query, doc) equi-join + one keyed agg, no per-depth pass. The d
+    * weights are plan-time literals quantized to 10⁻¹² integer units
+    * (rboWeightsScaled — the same longs inline into the oracle), summed
+    * exactly; `rbo` is one double division. Queries present in `a` but
+    * sharing NO top-d docs with `b` emit 0 (a real disagreement, unlike
+    * the undefined cases elsewhere). Emits one row per query in `a`
+    * (query, n_common, rbo_scaled, rbo). */
+  def rboOverlap(a: DataFrame, b: DataFrame, query: String, rank: String,
+                 id: String, d: Int,
+                 pNum: Int = 1, pDen: Int = 2): DataFrame = {
+    require(d >= 1, s"d must be >= 1, got $d")
+    require(pNum > 0 && pNum < pDen, s"need 0 < p < 1, got $pNum/$pDen")
+    val internal = Seq("n_common", "rbo_scaled", "rbo", "_ra", "_rb", "_w")
+    require(!internal.contains(query) && !internal.contains(rank)
+        && !internal.contains(id),
+      s"rboOverlap emits/uses ${internal.mkString(", ")}; rename inputs")
+    val weights = rboWeightsScaled(d, pNum, pDen)
+    val wMap = typedlit(weights.zipWithIndex
+      .map { case (w, i) => (i + 1).toLong -> w }.toMap)
+    val aSide = a.filter(col(rank) <= d)
+      .select(col(query), col(id), col(rank).cast("long").as("_ra"))
+    val bSide = b.filter(col(rank) <= d)
+      .select(col(query), col(id), col(rank).cast("long").as("_rb"))
+    val perQuery = aSide.join(bSide, Seq(query, id))
+      .select(col(query),
+        element_at(wMap, greatest(col("_ra"), col("_rb"))).as("_w"))
+      .groupBy(col(query))
+      .agg(count(lit(1)).as("n_common"), sum(col("_w")).as("rbo_scaled"))
+    a.select(col(query)).distinct()
+      .join(perQuery, Seq(query), "left")
+      .select(col(query),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo_scaled"), lit(0L)).as("rbo_scaled"))
+      .withColumn("rbo", col("rbo_scaled").cast("double") / 1e12)
+  }
+
   // ── product quantization: per-subspace codebook compression ────────────
 
   /** Train one codebook per subspace: the embedding is cut into `m`

@@ -539,5 +539,9 @@ object syntax {
     def contaminationRate(bench: DataFrame, id: String, text: String,
                           k: Int): DataFrame =
       Dedup.contaminationRate(df, bench, id, text, k)
+    def rboOverlap(other: DataFrame, query: String, rank: String,
+                   id: String, d: Int, pNum: Int = 1,
+                   pDen: Int = 2): DataFrame =
+      Similarity.rboOverlap(df, other, query, rank, id, d, pNum, pDen)
   }
 }

@@ -803,6 +803,57 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: jsDivergence is symmetric, bounded by ln 2 + quantum, " +
+      "and exactly 0 on identical sides") {
+    val sidesGen = for {
+      n <- Gen.choose(1, 25)
+      p <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+      m <- Gen.choose(1, 25)
+      q <- Gen.listOfN(m, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield (p, q)
+    check(Prop.forAll(sidesGen) { case (p, q) =>
+      import graft.operators.InfoTheory
+      def jsd(x: Seq[String], y: Seq[String]) =
+        InfoTheory.jsDivergence(
+          (x.map(c => (c, true)) ++ y.map(c => (c, false))).toDF("cat", "p"),
+          "cat", col("p")).head()
+      val f = jsd(p, q)
+      val r = jsd(q, p)
+      val sym = f.getDouble(5) == r.getDouble(5) &&
+        f.getLong(3) == r.getLong(4) && f.getLong(4) == r.getLong(3)
+      val bounded = f.getDouble(5) >= -2e-6 &&
+        f.getDouble(5) <= math.log(2.0) + 2e-6
+      val selfZero = jsd(p, p).getDouble(5) == 0.0
+      sym && bounded && selfZero
+    })
+  }
+
+  test("property: rboOverlap of a list with itself is the closed-form " +
+      "depth sum; disjoint lists score 0; RBO never exceeds the self " +
+      "score") {
+    import graft.operators.Similarity
+    val permGen = for {
+      n <- Gen.choose(1, 5)
+      perm <- Gen.pick(n, 10L to 19L)
+    } yield perm.toSeq
+    val selfScore = Similarity.rboWeightsScaled(5, 1, 2).zipWithIndex
+    check(Prop.forAll(permGen, permGen) { (la, lb) =>
+      def ranked(l: Seq[Long]) = l.zipWithIndex
+        .map { case (doc, i) => (1L, (i + 1).toLong, doc) }
+        .toDF("q", "rank", "doc")
+      val self = Similarity.rboOverlap(ranked(la), ranked(la),
+        "q", "rank", "doc", 5).head()
+      val expectedSelf = selfScore.take(la.length).map(_._1).sum
+      val cross = Similarity.rboOverlap(ranked(la), ranked(lb),
+        "q", "rank", "doc", 5).head()
+      val disj = Similarity.rboOverlap(ranked(la),
+        ranked(lb.map(_ + 100L)), "q", "rank", "doc", 5).head()
+      self.getLong(2) == expectedSelf &&
+        cross.getLong(2) <= self.getLong(2) &&
+        disj.getLong(1) == 0L && disj.getDouble(3) == 0.0
+    })
+  }
+
   test("property: theilSen slope is invariant under a constant y shift, " +
       "which moves only the intercept by the shift") {
     val ptsGen = for {
