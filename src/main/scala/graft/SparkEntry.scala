@@ -1397,6 +1397,14 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, dir) =>
       Curation.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
         col("source") === "src0")),
+    // the end-to-end DSIR selection: fill a 5000-token budget with the
+    // most target-like docs by LLR DENSITY (per-token weight) — pure
+    // composition through the distributed-prefix-sum tokenBudget
+    "q_dsir_keep" -> ((s, dir) =>
+      Curation.tokenBudget(
+        Curation.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+          col("source") === "src0"),
+        "doc_id", "n_tokens", "llr_per_token", 5000L)),
     // fill a token budget with the best-scoring docs: global cumulative sum
     // in priority order WITHOUT a single-task window (distributed prefix sum)
     "q_token_budget" -> ((s, dir) =>
@@ -2741,6 +2749,12 @@ object SparkEntry {
     // through part middles (deg ≤ ~41)
     "q_adamic_adar" -> ((s, dir) =>
       Graph.adamicAdar(coSourcingEdges(s, dir), "src", "dst",
+        AaMaxDeg, AaTopN)),
+    // the size-normalized sibling: what FRACTION of the combined
+    // neighborhoods is shared — endpoint degrees exact, middles capped
+    // before the wedge join like AA
+    "q_neighbor_jaccard" -> ((s, dir) =>
+      Graph.neighborJaccard(coSourcingEdges(s, dir), "src", "dst",
         AaMaxDeg, AaTopN)),
     // TPC-H Q15 shape (top supplier by quarter revenue): grouped exact
     // cents, the max rides back as a 1-row broadcast, the tie-safe
@@ -6802,6 +6816,34 @@ object SparkEntry {
          |FROM t JOIN w ON t.tok = w.tok WHERE NOT t.tgt
          |GROUP BY 1""".stripMargin,
 
+    // the q_dsir_weights chain + the q_token_budget cumsum in LLR-density
+    // order (floor at the 1e-6 grid, doc_id tiebreak)
+    "q_dsir_keep" ->
+      s"""WITH t AS (SELECT doc_id, source = 'src0' AS tgt,
+         |             unnest($toksSql) AS tok
+         |           FROM documents),
+         |c AS (SELECT tok,
+         |        sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+         |        sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
+         |      FROM t GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS k, sum(ct)::BIGINT AS tt,
+         |          sum(cr)::BIGINT AS tr FROM c),
+         |w AS (SELECT tok,
+         |        floor(ln(((ct + 1) * (tr + k))::DOUBLE) * 1000000)::BIGINT
+         |        - floor(ln(((cr + 1) * (tt + k))::DOUBLE) * 1000000)::BIGINT
+         |          AS w
+         |      FROM c CROSS JOIN tot),
+         |d AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |        sum(w.w)::BIGINT::DOUBLE / (count(*)::DOUBLE * 1000000)
+         |          AS lpt
+         |      FROM t JOIN w ON t.tok = w.tok WHERE NOT t.tgt
+         |      GROUP BY 1),
+         |o AS (SELECT doc_id, n_tokens,
+         |        SUM(n_tokens) OVER (ORDER BY -floor(lpt * 1000000), doc_id
+         |          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM d)
+         |SELECT doc_id, n_tokens, cum_tokens FROM o
+         |WHERE cum_tokens <= 5000""".stripMargin,
+
     "q_curate" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toksv FROM documents),
          |cq AS (SELECT doc_id, len(toksv) AS n_tokens,
@@ -7311,6 +7353,40 @@ object SparkEntry {
          |  sum(1000000000000 // qw)::BIGINT AS aa_scaled
          |FROM cand GROUP BY 1, 2
          |ORDER BY aa_scaled DESC, node_a, node_b LIMIT $AaTopN""".stripMargin,
+
+    // the same wedge chain without the qlog weight; endpoint degrees
+    // rejoin exact and uncapped, jac = one integer div
+    "q_neighbor_jaccard" ->
+      s"""WITH e0 AS (SELECT DISTINCT (l_suppkey * 2)::VARCHAR AS x,
+         |              (l_partkey * 2 + 1)::VARCHAR AS y FROM lineitem),
+         |und AS (SELECT DISTINCT CASE WHEN x < y THEN x ELSE y END AS a,
+         |               CASE WHEN x < y THEN y ELSE x END AS b
+         |        FROM e0
+         |        WHERE x IS NOT NULL AND y IS NOT NULL AND x <> y),
+         |deg AS (SELECT node, count(*)::BIGINT AS d
+         |        FROM (SELECT a AS node FROM und
+         |              UNION ALL SELECT b FROM und)
+         |        GROUP BY 1),
+         |adj AS (SELECT w, n FROM
+         |          (SELECT a AS w, b AS n FROM und
+         |           UNION ALL SELECT b, a FROM und) t
+         |        JOIN deg ON deg.node = t.w
+         |        WHERE d >= 2 AND d <= $AaMaxDeg),
+         |wg AS (SELECT a1.n AS a, a2.n AS b
+         |       FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n),
+         |cand AS (SELECT a, b FROM wg
+         |         WHERE NOT EXISTS (SELECT 1 FROM und
+         |                           WHERE und.a = wg.a AND und.b = wg.b)),
+         |cc AS (SELECT a, b, count(*)::BIGINT AS n_common
+         |       FROM cand GROUP BY 1, 2)
+         |SELECT cc.a AS node_a, cc.b AS node_b, cc.n_common,
+         |  da.d AS deg_a, db.d AS deg_b,
+         |  ((cc.n_common * 1000000) // (da.d + db.d - cc.n_common))::BIGINT
+         |    AS jac_scaled,
+         |  ((cc.n_common * 1000000) // (da.d + db.d - cc.n_common))::BIGINT::DOUBLE
+         |    / 1000000 AS jaccard
+         |FROM cc JOIN deg da ON da.node = cc.a JOIN deg db ON db.node = cc.b
+         |ORDER BY jac_scaled DESC, node_a, node_b LIMIT $AaTopN""".stripMargin,
     // Q15 shape: exact cents per supplier, the max folded back in, the
     // tie-safe equality on the DECIMAL cents
     "q_top_supplier" ->

@@ -1010,4 +1010,61 @@ object Graph {
       .select(col("_a").as("node_a"), col("_b").as("node_b"),
         col("n_common"), col("aa_scaled"))
   }
+
+  /** Neighborhood-Jaccard link prediction — Adamic-Adar's size-normalized
+    * sibling (|N(a)∩N(b)| / |N(a)∪N(b)|): AA rewards many rare shared
+    * neighbors, Jaccard asks what FRACTION of the combined neighborhoods
+    * is shared — the right gauge when endpoint degrees vary wildly (a hub
+    * sharing 3 of its 500 neighbors is not like a leaf sharing 3 of 4).
+    * Same hub-proof shape as adamicAdar: undirected-distinct edges,
+    * middles capped at `maxMiddleDegree` BEFORE the wedge join (common
+    * neighbors above the cap are dropped — the documented approximation;
+    * ENDPOINT degrees stay exact and uncapped), existing edges excluded,
+    * deterministic (score DESC, a, b) top-N. jac_scaled enters as the
+    * exact integer (n_common·10⁶) div (deg_a + deg_b − n_common); the
+    * emitted `jaccard` is one double division. Emits
+    * (node_a, node_b, n_common, deg_a, deg_b, jac_scaled, jaccard). */
+  def neighborJaccard(edges: DataFrame, src: String, dst: String,
+                      maxMiddleDegree: Int, topN: Int): DataFrame = {
+    require(maxMiddleDegree >= 2, s"maxMiddleDegree must be >= 2 (a common" +
+      s" neighbor has degree >= 2), got $maxMiddleDegree")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val emitted = Seq("node_a", "node_b", "n_common", "deg_a", "deg_b",
+      "jac_scaled", "jaccard", "_a", "_b", "_w", "_dw", "_n", "node", "deg")
+    require(!emitted.contains(src) && !emitted.contains(dst),
+      s"neighborJaccard emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val sa = col(src).cast("string"); val sb = col(dst).cast("string")
+    val und = edges
+      .select(least(sa, sb).as("_a"), greatest(sa, sb).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull
+        && col("_a") =!= col("_b"))
+      .distinct()
+      .localCheckpoint(true) // degrees, adjacency, and the anti join
+    val deg = und.select(col("_a").as("node"))
+      .union(und.select(col("_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("_a").as("_w"), col("_b").as("_n"))
+      .union(und.select(col("_b").as("_w"), col("_a").as("_n")))
+      .join(deg.filter(col("deg") >= 2 && col("deg") <= maxMiddleDegree)
+        .select(col("node").as("_w")), Seq("_w"))
+      .localCheckpoint(true)
+    adj
+      .join(adj.select(col("_w"), col("_n").as("_b2")), Seq("_w"))
+      .filter(col("_n") < col("_b2"))
+      .select(col("_n").as("_a"), col("_b2").as("_b"))
+      .join(und, Seq("_a", "_b"), "left_anti")
+      .groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(deg.select(col("node").as("_a"), col("deg").as("deg_a")),
+        Seq("_a"))
+      .join(deg.select(col("node").as("_b"), col("deg").as("deg_b")),
+        Seq("_b"))
+      .withColumn("jac_scaled", expr(
+        "(n_common * CAST(1000000 AS BIGINT)) div (deg_a + deg_b - n_common)"))
+      .orderBy(col("jac_scaled").desc, col("_a"), col("_b"))
+      .limit(topN)
+      .select(col("_a").as("node_a"), col("_b").as("node_b"),
+        col("n_common"), col("deg_a"), col("deg_b"), col("jac_scaled"),
+        (col("jac_scaled").cast("double") / 1000000d).as("jaccard"))
+  }
 }

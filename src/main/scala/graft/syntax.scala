@@ -543,5 +543,8 @@ object syntax {
                    id: String, d: Int, pNum: Int = 1,
                    pDen: Int = 2): DataFrame =
       Similarity.rboOverlap(df, other, query, rank, id, d, pNum, pDen)
+    def neighborJaccard(src: String, dst: String, maxMiddleDegree: Int,
+                        topN: Int): DataFrame =
+      Graph.neighborJaccard(df, src, dst, maxMiddleDegree, topN)
   }
 }

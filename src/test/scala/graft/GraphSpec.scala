@@ -321,6 +321,27 @@ class GraphSpec extends SparkSpec {
     assert(Graph.adamicAdar(edges, "s", "d2", 2, 10).isEmpty)
   }
 
+  test("neighborJaccard: exact union-normalized scores on the same hand " +
+      "graph; endpoint degrees exact while middles are capped") {
+    // square with a diagonal (see adamicAdar test): the only candidate
+    // is (1,4) — common {2,3}, deg 1 = 2, deg 4 = 2, union = 2+2−2 = 2
+    val edges = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4"),
+      ("2", "4")).toDF("s", "d2")
+    val got = Graph.neighborJaccard(edges, "s", "d2", 64, 10)
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got == Seq(("1", "4", 2L, 2L, 2L, 1000000L, 1.0)))
+    // triangle 1-2, 2-3, 1-3 plus 3-4: candidates (1,4) and (2,4)
+    // through middle 3 — union = 2+1−1 = 2 → 0.5 each
+    val tri = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4"))
+      .toDF("s", "d2")
+    val got2 = Graph.neighborJaccard(tri, "s", "d2", 64, 10)
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got2 == Seq(("1", "4", 1L, 2L, 1L, 500000L, 0.5),
+      ("2", "4", 1L, 2L, 1L, 500000L, 0.5)))
+  }
+
   test("modularity: two bridged triangles score the textbook 70/196; " +
       "unlabeled endpoints leave m; conflicting labels are the caller's " +
       "problem but duplicates collapse") {
