@@ -1783,6 +1783,26 @@ object SparkEntry {
     "q_l_diversity" -> ((s, dir) =>
       Curation.lDiversityClasses(quasiCut(s, dir),
         Seq("event_type", "day", "spend_bucket"), "user_id", LDivL)),
+    // t-closeness: the third privacy gate — flags (day, spend-bucket)
+    // classes whose event-type MIX deviates from the corpus mix by more
+    // than t in total variation; exact decimal numerators, absent-
+    // category tail in closed form
+    "q_t_closeness" -> ((s, dir) =>
+      Curation.tClosenessClasses(quasiCut(s, dir),
+        Seq("day", "spend_bucket"), "event_type", 0.2)),
+    // earth-mover drift of the spend distribution between the even/odd
+    // user cohorts — KS's metric-space sibling: how FAR did the mass
+    // move, in cents; the same bucketed prefix scan plus a rank self-
+    // join for grid gaps
+    "q_wasserstein" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), floor(col("value") * 100).cast("long")
+          .as("cents"))
+      CoreOps.wassersteinDistance(
+        ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        ev.filter(pmod(col("user_id"), lit(2)) === 1),
+        "cents")
+    }),
     // per-day KL drift of the event mix against the whole corpus's mix —
     // the directed sibling of q_drift_by_day's TVD, as the streaming
     // form (batch-run): ONE CategoryCountAgg aggregation, the baseline
@@ -5310,6 +5330,62 @@ object SparkEntry {
          |  count(DISTINCT user_id)::BIGINT AS n_sensitive,
          |  count(DISTINCT user_id) < $LDivL AS risky
          |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // per-class TVD vs the global event-type mix; absent-category tail
+    // folded in closed form n·(N − Σ_present g)
+    "q_t_closeness" ->
+      s"""WITH cells AS (SELECT $evMs // 86400000 AS day,
+         |        floor(value / 50)::BIGINT AS spend_bucket,
+         |        event_type, count(*)::BIGINT AS c
+         |      FROM events WHERE event_type IS NOT NULL
+         |      GROUP BY 1, 2, 3),
+         |m AS (SELECT day, spend_bucket, event_type, c,
+         |        sum(c) OVER (PARTITION BY day, spend_bucket)::BIGINT AS n,
+         |        sum(c) OVER (PARTITION BY event_type)::BIGINT AS g
+         |      FROM cells),
+         |tot AS (SELECT sum(c)::BIGINT AS nn FROM cells),
+         |agg AS (SELECT day, spend_bucket, n, nn,
+         |          count(*)::BIGINT AS n_sensitive,
+         |          sum(abs(c::HUGEINT * nn - g::HUGEINT * n))::HUGEINT AS tn,
+         |          sum(g)::BIGINT AS gp
+         |        FROM m CROSS JOIN tot
+         |        GROUP BY 1, 2, 3, 4)
+         |SELECT day, spend_bucket, n, n_sensitive,
+         |  floor((tn + n::HUGEINT * (nn::HUGEINT - gp))::DOUBLE
+         |    / (2 * n::DOUBLE * nn::DOUBLE) * 1000000) / 1000000 AS tvd,
+         |  floor((tn + n::HUGEINT * (nn::HUGEINT - gp))::DOUBLE
+         |    / (2 * n::DOUBLE * nn::DOUBLE) * 1000000) / 1000000 > 0.2
+         |    AS risky
+         |FROM agg""".stripMargin,
+
+    // the q_ks_shift prefix-scan chain + a rank self-join for grid gaps;
+    // the integrand |cca·n_b − ccb·n_a|·gap summed exactly
+    "q_wasserstein" ->
+      """WITH av AS (SELECT floor(value * 100)::BIGINT AS v FROM events
+        |      WHERE user_id % 2 = 0 AND value IS NOT NULL),
+        |bv AS (SELECT floor(value * 100)::BIGINT AS v FROM events
+        |      WHERE user_id % 2 = 1 AND value IS NOT NULL),
+        |ca AS (SELECT v, count(*)::BIGINT AS ca FROM av GROUP BY 1),
+        |cb AS (SELECT v, count(*)::BIGINT AS cb FROM bv GROUP BY 1),
+        |m AS (SELECT v, coalesce(ca, 0)::BIGINT AS ca,
+        |        coalesce(cb, 0)::BIGINT AS cb
+        |      FROM ca FULL OUTER JOIN cb USING (v)),
+        |p AS (SELECT v, sum(ca) OVER w::BIGINT AS cca,
+        |        sum(cb) OVER w::BIGINT AS ccb,
+        |        lead(v) OVER (ORDER BY v) AS vn
+        |      FROM m WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT coalesce(sum(ca), 0)::BIGINT AS n_a,
+        |        coalesce(sum(cb), 0)::BIGINT AS n_b FROM m)
+        |SELECT n_a, n_b,
+        |  sum(abs(cca::HUGEINT * n_b - ccb::HUGEINT * n_a)
+        |      * coalesce(vn - v, 0)::HUGEINT)::DOUBLE AS w1_num,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    floor(sum(abs(cca::HUGEINT * n_b - ccb::HUGEINT * n_a)
+        |        * coalesce(vn - v, 0)::HUGEINT)::DOUBLE
+        |      / (n_a::HUGEINT * n_b::HUGEINT)::DOUBLE * 1000000) / 1000000
+        |  END AS w1
+        |FROM p CROSS JOIN t
+        |GROUP BY 1, 2""".stripMargin,
 
     // per-window smoothed KL vs the corpus mix: union category set per
     // window, the same quantized term chain as q_kl_drift

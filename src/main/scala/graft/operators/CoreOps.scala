@@ -2939,6 +2939,65 @@ object CoreOps {
           .as("ks"))
   }
 
+  /** Earth-mover (Wasserstein-1) distance between two integer-valued
+    * samples — the drift gauge with UNITS: KS reports the worst CDF gap
+    * (scale-free, blind to how far the mass moved), W₁ reports the
+    * average distance the probability mass must travel, in the value's
+    * own units (cents, tokens, ms) — the number a cost model can consume.
+    * W₁ = ∫|F_a − F_b| dx = Σ_v |F_a(v) − F_b(v)|·(next_v − v) over the
+    * distinct-value grid.
+    *
+    * Exactness: the integrand enters as the exact decimal
+    * |ccaᵥ·n_b − ccbᵥ·n_a|·gapᵥ (cumulatives from the SAME bucketed
+    * prefix scan as ksStatistic — no unpartitioned window at any scale);
+    * `next_v` comes from ranking the grid with a second prefix scan and
+    * self-joining rank→rank+1 (two O(distinct) shuffles, neighbor access
+    * without a global window). The decimal sum is exact; w1 is ONE
+    * trunc6'd double division by n_a·n_b. The max grid point contributes
+    * 0 (both CDFs are 1 there). Emits ONE row
+    * (n_a, n_b, w1_num, w1) — w1_num = W₁·n_a·n_b as a double of the
+    * exact decimal (exact below 2⁵³); an empty side emits w1 NULL. */
+  def wassersteinDistance(a: DataFrame, b: DataFrame,
+                          value: String): DataFrame = {
+    Seq("a" -> a, "b" -> b).foreach { case (side, df) =>
+      require(integralTypes.contains(df.schema(value).dataType),
+        s"wassersteinDistance ranks '$value' on an exact integer grid; " +
+          s"side $side has ${df.schema(value).dataType} — scale to " +
+          "cents/int64 first")
+    }
+    def cnt(df: DataFrame, out: String) =
+      df.filter(col(value).isNotNull)
+        .groupBy(col(value).cast("long").as("_v"))
+        .agg(count(lit(1)).as(out))
+    val m = cnt(a, "_ca").join(cnt(b, "_cb"), Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+      .withColumn("_one", lit(1L))
+    val p = orderedPrefixSum(
+      orderedPrefixSum(
+        orderedPrefixSum(m, col("_v"), "_v", "_ca", "_cca"),
+        col("_v"), "_v", "_cb", "_ccb"),
+      col("_v"), "_v", "_one", "_rk")
+    val nxt = p.select((col("_rk") - 1L).as("_rk"), col("_v").as("_vn"))
+    val tot = m.groupBy().agg(coalesce(sum(col("_ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_cb")), lit(0L)).as("n_b"))
+    val dec = "decimal(38,0)"
+    val term = abs(col("_cca").cast(dec) * col("n_b").cast(dec)
+        - col("_ccb").cast(dec) * col("n_a").cast(dec)) *
+      coalesce(col("_vn") - col("_v"), lit(0L)).cast(dec)
+    p.join(nxt, Seq("_rk"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(term).as("_w"))
+      .select(col("n_a"), col("n_b"),
+        col("_w").cast("double").as("w1_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(col("_w").cast("double")
+            / (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double")
+            * 1000000d) / 1000000d)
+          .as("w1"))
+  }
+
   /** ksStatistic computed PER GROUP in one plan — "did the length
     * distribution shift, for every language at once?" Where the global
     * form needs the bucketed prefix scan (one total order), the grouped

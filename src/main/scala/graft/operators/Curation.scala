@@ -226,6 +226,61 @@ object Curation {
       .withColumn("risky", col("n_sensitive") < l)
   }
 
+  /** t-closeness audit (Li et al., ICDE 2007) — the release gate that
+    * k-anonymity and l-diversity both miss: a class can be large (k ok)
+    * and diverse (l ok) yet still LEAK because its sensitive-value MIX
+    * differs sharply from the global one ("90% of this class bought
+    * alcohol vs 10% overall"). Per quasi-identifier class, the total
+    * variation distance between the class's sensitive distribution and
+    * the corpus-wide one; classes with tvd > t are flagged.
+    *
+    * Exactness: TVD = Σ_s |c_s·N − g_s·n| / (2·n·N) with the absent-
+    * category tail folded in CLOSED FORM (Σ over sensitive values not in
+    * the class = n·(N − Σ_present g_s) — no union explosion); numerators
+    * are exact decimals, `tvd` is one trunc6'd division, and `risky`
+    * compares the trunc6'd value against the plan literal. NULL
+    * sensitive values drop entirely (they reveal nothing and belong to
+    * no distribution). Shape: one (quasi, sensitive) count shuffle;
+    * per-class margins are PARTITIONED window sums and per-sensitive
+    * globals a partitioned window over the O(cells) table; N is a 1-row
+    * broadcast. Emits (quasi..., n, n_sensitive, tvd, risky). */
+  def tClosenessClasses(df: DataFrame, quasi: Seq[String],
+                        sensitive: String, t: Double): DataFrame = {
+    require(quasi.nonEmpty, "tClosenessClasses needs >= 1 quasi column")
+    require(t > 0d && t < 1d, s"t must be in (0, 1), got $t")
+    val emitted = Seq("n", "n_sensitive", "tvd", "risky", "_c", "_g",
+      "_n", "_tot", "_gp", "_t")
+    require(!quasi.exists(emitted.contains) && !emitted.contains(sensitive),
+      s"tClosenessClasses emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
+    val qc = quasi.map(col)
+    val wClass = Window.partitionBy(qc: _*)
+    val wSens = Window.partitionBy(col(sensitive))
+    val dec = "decimal(38,0)"
+    val cells = df.filter(col(sensitive).isNotNull)
+      .groupBy(qc :+ col(sensitive): _*)
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_n", sum(col("_c")).over(wClass))
+      .withColumn("_g", sum(col("_c")).over(wSens))
+    val total = df.filter(col(sensitive).isNotNull)
+      .agg(count(lit(1)).as("_tot")) // 1 row
+    cells.crossJoin(broadcast(total))
+      .groupBy(qc :+ col("_n") :+ col("_tot"): _*)
+      .agg(count(lit(1)).as("n_sensitive"),
+        sum(abs(col("_c").cast(dec) * col("_tot").cast(dec)
+          - col("_g").cast(dec) * col("_n").cast(dec))).as("_t"),
+        sum(col("_g")).as("_gp"))
+      .select({
+        val num = (col("_t") + col("_n").cast(dec)
+            * (col("_tot").cast(dec) - col("_gp").cast(dec))).cast("double")
+        val den = lit(2d) * col("_n").cast("double") *
+          col("_tot").cast("double")
+        val tvd = floor(num / den * 1000000d) / 1000000d
+        qc ++ Seq(col("_n").as("n"), col("n_sensitive"), tvd.as("tvd"))
+      }: _*)
+      .withColumn("risky", col("tvd") > t)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public arXiv 2302.03169):
     * score each RAW document by how much more likely its tokens are under

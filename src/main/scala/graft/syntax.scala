@@ -546,5 +546,10 @@ object syntax {
     def neighborJaccard(src: String, dst: String, maxMiddleDegree: Int,
                         topN: Int): DataFrame =
       Graph.neighborJaccard(df, src, dst, maxMiddleDegree, topN)
+    def tClosenessClasses(quasi: Seq[String], sensitive: String,
+                          t: Double): DataFrame =
+      Curation.tClosenessClasses(df, quasi, sensitive, t)
+    def wassersteinDistance(other: DataFrame, value: String): DataFrame =
+      CoreOps.wassersteinDistance(df, other, value)
   }
 }

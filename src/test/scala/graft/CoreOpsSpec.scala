@@ -1723,4 +1723,23 @@ class CoreOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("theilSen"))
   }
+
+  test("wassersteinDistance: a pure shift costs exactly the shift, " +
+      "identical samples cost 0, an empty side is NULL") {
+    val a = Seq(0L, 0L).toDF("v")
+    val b = Seq(2L, 2L).toDF("v")
+    val r = CoreOps.wassersteinDistance(a, b, "v").head()
+    // grid {0, 2}: |2·2 − 0·2| = 4 over gap 2 → num 8, W1 = 8/4 = 2
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 8d && r.getDouble(3) == 2.0)
+    assert(CoreOps.wassersteinDistance(a, a, "v").head().getDouble(3) == 0.0)
+    // mixed-mass hand case: a = {0, 10}, b = {0, 0} → F gap 0 then 1/2
+    // over gap 10 → W1 = 5
+    val r2 = CoreOps.wassersteinDistance(Seq(0L, 10L).toDF("v"),
+      Seq(0L, 0L).toDF("v"), "v").head()
+    assert(r2.getDouble(3) == 5.0)
+    val empty = Seq.empty[Long].toDF("v")
+    val re = CoreOps.wassersteinDistance(a, empty, "v").head()
+    assert(re.getLong(1) == 0L && re.isNullAt(3))
+  }
 }

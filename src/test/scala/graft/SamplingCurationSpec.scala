@@ -357,6 +357,31 @@ class SamplingCurationSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2))
   }
 
+  test("tClosenessClasses: classes matching the global mix score 0, " +
+      "skewed classes the exact hand TVD; NULL sensitive drops") {
+    // A: {x:3, y:1}, B: {x:1, y:3} → global {x:4, y:4}
+    val df = (Seq.fill(3)(("A", Some("x"))) ++ Seq(("A", Some("y"))) ++
+      Seq(("B", Some("x"))) ++ Seq.fill(3)(("B", Some("y"))) ++
+      Seq(("A", None))).toDF("cls", "s")
+    val got = Curation.tClosenessClasses(df, Seq("cls"), "s", 0.2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // each class mix (0.75, 0.25) vs global (0.5, 0.5) → TVD 0.25 > 0.2
+    assert(got("A") == ((4L, 2L, 0.25, true)))
+    assert(got("B") == ((4L, 2L, 0.25, true)))
+    // identical mixes → exactly 0, not risky; absent category in closed
+    // form: class C sees only x where global has x and z
+    val df2 = Seq(("A", "x"), ("A", "z"), ("B", "x"), ("B", "z"),
+      ("C", "x"), ("C", "x")).toDF("cls", "s")
+    val got2 = Curation.tClosenessClasses(df2, Seq("cls"), "s", 0.2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got2("A") == ((2L, math.floor(1d / 6d * 1e6) / 1e6)))
+    // C: mix (1, 0) vs global (4/6, 2/6) → TVD = 1/3
+    assert(got2("C") == ((2L, math.floor(1d / 3d * 1e6) / 1e6)))
+  }
+
   test("dsirWeights: hand-quantized unigram LLR; target docs absent from " +
       "the output; identical LMs weight every token ~0") {
     def qlog(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
