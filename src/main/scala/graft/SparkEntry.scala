@@ -62,6 +62,9 @@ object SparkEntry {
   private val ThrottleCap = 3
   private val ThrottleNum = 5L; private val ThrottleDen = 18L
   private val EwmaNum = 1; private val EwmaDen = 8 // EWMA α = 1/8
+  // Holt double-exponential: level α = 1/4, trend β = 1/8
+  private val HoltANum = 1; private val HoltADen = 4
+  private val HoltBNum = 1; private val HoltBDen = 8
   private val EwmaScale = 1000000L // EWMA fixed-point value scale
   private val KcoreK = 30      // co-sourcing density threshold
   private val KcoreRounds = 5  // synchronous k-core peeling rounds
@@ -2241,6 +2244,24 @@ object SparkEntry {
           col("last_ms"), col("ewma_scaled"),
           (col("ewma_scaled").cast("double")
             / (EwmaScale.toDouble * 100d)).as("ewma"))
+    }),
+    // EWMA's forecasting sibling: per-user Holt level + trend as the
+    // same integer recurrence discipline — each snapshot carries the
+    // one-step-ahead forecast a trending series needs (EWMA lags ramps)
+    "q_holt_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull
+          && col("user_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      graft.streaming.StateMachines.holtSnapshots(
+          graft.streaming.StateMachines.valuedEvents(ev, col("user_id"),
+            unix_millis(col("ts")), col("event_id"), col("cents")),
+          HoltANum, HoltADen, HoltBNum, HoltBDen, EwmaScale)
+        .select(col("key").cast("long").as("user_id"), col("n_events"),
+          col("last_ms"), col("level_scaled"), col("trend_scaled"),
+          col("forecast_scaled"),
+          (col("forecast_scaled").cast("double")
+            / (EwmaScale.toDouble * 100d)).as("forecast"))
     }),
     "q_anomaly_stream" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -6113,6 +6134,33 @@ object SparkEntry {
          |SELECT r.user_id, f.n AS n_events, r.ms AS last_ms,
          |  r.s AS ewma_scaled,
          |  r.s::DOUBLE / (${EwmaScale}::DOUBLE * 100) AS ewma
+         |FROM rec r JOIN fin f ON f.user_id = r.user_id AND f.n = r.rn""".stripMargin,
+
+    // the same recursive-CTE replay with level AND trend carried; `//`
+    // truncates toward zero exactly like Long `/`
+    "q_holt_stream" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, $evMs AS ms, floor(value * 100)::BIGINT AS vc,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY $evMs, event_id) AS rn
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+         |rec AS (
+         |  SELECT user_id, rn, ms, vc * $EwmaScale AS l, 0::BIGINT AS b
+         |  FROM ev WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn, e.ms,
+         |    ($HoltANum * e.vc * $EwmaScale
+         |      + ${HoltADen - HoltANum} * (r.l + r.b)) // $HoltADen AS l,
+         |    ($HoltBNum * (($HoltANum * e.vc * $EwmaScale
+         |        + ${HoltADen - HoltANum} * (r.l + r.b)) // $HoltADen - r.l)
+         |      + ${HoltBDen - HoltBNum} * r.b) // $HoltBDen AS b
+         |  FROM ev e JOIN rec r ON r.user_id = e.user_id AND e.rn = r.rn + 1),
+         |fin AS (SELECT user_id, max(rn) AS n FROM rec GROUP BY 1)
+         |SELECT r.user_id, f.n AS n_events, r.ms AS last_ms,
+         |  r.l AS level_scaled, r.b AS trend_scaled,
+         |  (r.l + r.b)::BIGINT AS forecast_scaled,
+         |  (r.l + r.b)::DOUBLE / (${EwmaScale}::DOUBLE * 100) AS forecast
          |FROM rec r JOIN fin f ON f.user_id = r.user_id AND f.n = r.rn""".stripMargin,
 
     // the same per-cohort moment sums with a GROUP BY; chains identical

@@ -53,6 +53,13 @@ case class EwmaState(n: Long, lastMs: Long, s: Long)
 case class EwmaSnapshot(key: String, n_events: Long, last_ms: Long,
                         ewma_scaled: Long)
 
+/** Holt double-exponential state per key: event count, last event time,
+  * and the current level + trend, both scaled by `valueScale`. */
+case class HoltState(n: Long, lastMs: Long, l: Long, b: Long)
+case class HoltSnapshot(key: String, n_events: Long, last_ms: Long,
+                        level_scaled: Long, trend_scaled: Long,
+                        forecast_scaled: Long)
+
 /** Token-bucket throttle state per key: last event time and the
   * remaining budget in micro-tokens. */
 case class BucketState(lastMs: Long, availMicro: Long)
@@ -621,6 +628,8 @@ object StateMachines {
 
   implicit val ewmaStateEnc: Encoder[EwmaState]       = Encoders.product[EwmaState]
   implicit val ewmaSnapshotEnc: Encoder[EwmaSnapshot] = Encoders.product[EwmaSnapshot]
+  implicit val holtStateEnc: Encoder[HoltState]       = Encoders.product[HoltState]
+  implicit val holtSnapshotEnc: Encoder[HoltSnapshot] = Encoders.product[HoltSnapshot]
   implicit val bucketStateEnc: Encoder[BucketState]   = Encoders.product[BucketState]
   implicit val throttleDecisionEnc: Encoder[ThrottleDecision] =
     Encoders.product[ThrottleDecision]
@@ -741,6 +750,71 @@ object StateMachines {
             state.update(st)
             stateTtlMs.foreach(state.setTimeoutDuration)
             Iterator.single(EwmaSnapshot(key, st.n, st.lastMs, st.s))
+          }
+        }
+    }
+  }
+
+  /** Per-key Holt double-exponential smoothing (level + trend) as an
+    * INTEGER recurrence — ewmaSnapshots' forecasting sibling: where EWMA
+    * tracks the recency-weighted LEVEL, Holt also tracks its SLOPE, so
+    * each snapshot carries a one-step-ahead forecast (the anomaly
+    * baseline and capacity-planning gauge a trending series needs —
+    * EWMA systematically lags a ramp; Holt doesn't):
+    *   l₁ = v₁·valueScale, b₁ = 0
+    *   lₙ = (αNum·vₙ·valueScale + (αDen−αNum)·(lₙ₋₁ + bₙ₋₁)) div αDen
+    *   bₙ = (βNum·(lₙ − lₙ₋₁) + (βDen−βNum)·bₙ₋₁) div βDen
+    * Everything is int64 (Long `/` and DuckDB `//` both truncate toward
+    * zero — negative trends stay bit-identical), so the trajectory
+    * replays exactly as a recursive CTE. Emits ONE snapshot per key PER
+    * INVOCATION (n, last ms, level, trend, forecast = l + b): batch mode
+    * delivers each key's whole history in one sorted invocation → the
+    * per-key FINAL state, oracle-checked; a live stream appends the
+    * current reading per micro-batch. State is one fixed-size HoltState
+    * per key; overflow fails LOUD via multiplyExact/addExact (keep
+    * |v|·valueScale·αDen under 2⁶³). */
+  def holtSnapshots(events: Dataset[ValuedEvent], alphaNum: Int,
+                    alphaDen: Int, betaNum: Int, betaDen: Int,
+                    valueScale: Long = 1000000L,
+                    stateTtlMs: Option[Long] = None)
+      : Dataset[HoltSnapshot] = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      s"need 0 < alphaNum <= alphaDen, got $alphaNum/$alphaDen")
+    require(betaDen > 0 && betaNum > 0 && betaNum <= betaDen,
+      s"need 0 < betaNum <= betaDen, got $betaNum/$betaDen")
+    require(valueScale >= 1L, s"valueScale must be >= 1, got $valueScale")
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[ValuedEvent], state: GroupState[HoltState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(HoltState(0L, 0L, 0L, 0L))
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            val vs = Math.multiplyExact(e.value, valueScale)
+            st =
+              if (st.n == 0L) HoltState(1L, e.tsMs, vs, 0L)
+              else {
+                val pred = Math.addExact(st.l, st.b)
+                val l2 = Math.addExact(
+                  Math.multiplyExact(alphaNum.toLong, vs),
+                  Math.multiplyExact((alphaDen - alphaNum).toLong, pred)) /
+                  alphaDen
+                val b2 = Math.addExact(
+                  Math.multiplyExact(betaNum.toLong,
+                    Math.subtractExact(l2, st.l)),
+                  Math.multiplyExact((betaDen - betaNum).toLong, st.b)) /
+                  betaDen
+                HoltState(Math.addExact(st.n, 1L), e.tsMs, l2, b2)
+              }
+          }
+          if (st.n == 0L) Iterator.empty
+          else {
+            state.update(st)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            Iterator.single(HoltSnapshot(key, st.n, st.lastMs, st.l, st.b,
+              Math.addExact(st.l, st.b)))
           }
         }
     }

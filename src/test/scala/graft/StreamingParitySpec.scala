@@ -893,6 +893,33 @@ class StreamingParitySpec extends SparkSpec {
     assert(out == Set(EwmaSnapshot("k", 2L, 5L, 6L)))
   }
 
+  test("holtSnapshots(streaming): level + trend span batches; final == " +
+      "batch-mode run; a cold start has zero trend and forecast = level") {
+    // α = 1/2, β = 1/2, valueScale 10.
+    // key 1: v=10 → l=100, b=0; v=20 → pred=100,
+    //   l=(200+100)/2=150, b=((150−100)+0)/2=25  (batch 1)
+    // then v=30 → pred=175, l=(300+175)/2=237, b=((237−150)+25)/2=56
+    val batch1 = Seq(ValuedEvent("1", 0, 1, 10), ValuedEvent("1", 1, 2, 20))
+    val batch2 = Seq(ValuedEvent("1", 2, 3, 30), ValuedEvent("2", 0, 4, 7))
+    val input = MemoryStream[ValuedEvent]
+    val q = StateMachines.holtSnapshots(input.toDS(), 1, 2, 1, 2, 10L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ho_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("ho_par").as[HoltSnapshot].collect().toSet
+      assert(streamed == Set(
+        HoltSnapshot("1", 2L, 1L, 150L, 25L, 175L),
+        HoltSnapshot("1", 3L, 2L, 237L, 56L, 293L),
+        HoltSnapshot("2", 1L, 0L, 70L, 0L, 70L)))
+      val finals = StateMachines.holtSnapshots(
+        (batch1 ++ batch2).toDS(), 1, 2, 1, 2, 10L).collect().toSet
+      assert(finals == Set(HoltSnapshot("1", 3L, 2L, 237L, 56L, 293L),
+        HoltSnapshot("2", 1L, 0L, 70L, 0L, 70L)))
+    } finally q.stop()
+  }
+
   test("tokenBucket(streaming): budget spans batches, refills by event " +
       "time, clamps behind-frontier deltas; == batch-mode replay") {
     // capacity 2 tokens, refill 1 micro-token per ms (1 token per 1e6 ms)
