@@ -854,6 +854,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: wassersteinDistance is symmetric and a pure shift of " +
+      "one side costs exactly the shift") {
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 50L))
+      c <- Gen.choose(1L, 20L)
+    } yield (vs, c)
+    check(Prop.forAll(gen) { case (vs, c) =>
+      val a = vs.toDF("v")
+      val shifted = vs.map(_ + c).toDF("v")
+      val r = CoreOps.wassersteinDistance(a, shifted, "v").head()
+      val sym = CoreOps.wassersteinDistance(shifted, a, "v").head()
+      // identical shapes: the optimal plan moves every unit exactly c
+      r.getDouble(3) == c.toDouble &&
+        sym.getDouble(2) == r.getDouble(2) &&
+        sym.getDouble(3) == r.getDouble(3)
+    })
+  }
+
   test("property: theilSen slope is invariant under a constant y shift, " +
       "which moves only the intercept by the shift") {
     val ptsGen = for {
