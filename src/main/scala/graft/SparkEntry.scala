@@ -930,6 +930,41 @@ object SparkEntry {
         emb.filter(pmod(col("vec_id"), lit(10)) === 0),
         "vec_id", "embedding", "label", 10)
     }),
+    // the per-source data card: one row per source with the numbers a
+    // release card quotes — counts, language breadth, mean length, exact
+    // duplication rate, corpus-level stopword ratio. Pure composition of
+    // three existing aggregate passes joined on the source key
+    "q_data_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def t6(x: org.apache.spark.sql.Column) = floor(x * 1000000d) / 1000000d
+      val base = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"))
+      val toks = TextOps.qualityScore(docs, "doc_id", "text", stopEn)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_stopwords")).as("total_stop"))
+      val dup = Dedup.dedupProfile(docs, "text", Seq("source"))
+        .select(col("source"), col("n_distinct"))
+      base.join(toks, Seq("source")).join(dup, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("total_tokens"),
+          t6(col("total_chars").cast("double")
+            / col("n_docs").cast("double")).as("mean_chars"),
+          t6((col("n_docs") - col("n_distinct")).cast("double")
+            / col("n_docs").cast("double")).as("dup_rate"),
+          when(col("total_tokens") > 0L,
+            t6(col("total_stop").cast("double")
+              / col("total_tokens").cast("double"))).as("stop_ratio"))
+    }),
+    // corpus semantic diversity: mean pairwise cosine distance over the
+    // deterministic md5 quarter-sample (broadcast, fail-loud maxPoints)
+    // — near-0 flags a templated/mode-collapsed corpus
+    "q_embed_diversity" -> ((s, dir) =>
+      Similarity.embeddingDiversity(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 4)),
     // rank-biased overlap of the LSH lists against the exact lists on
     // the audit query slice — the LIST-level agreement gauge beside
     // recall@k: equal recall with reshuffled order still loses RBO
@@ -4226,6 +4261,49 @@ object SparkEntry {
     // three unrolled greedy steps over the 8-deep pool; λ = 1/2 as the
     // identical fixed double chain
     "q_mmr" -> mmrOracleSql("vec_id < 4", 8, 3),
+
+    // three grouped passes joined on source; every ratio one floored
+    // division of exact integer sums
+    "q_data_card" ->
+      s"""WITH base AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |        count(DISTINCT lang)::BIGINT AS n_langs,
+         |        sum(n_chars)::BIGINT AS total_chars
+         |      FROM documents GROUP BY 1),
+         |tq AS (SELECT source,
+         |        sum(len($toksSql))::BIGINT AS total_tokens,
+         |        sum(len(list_filter($toksSql,
+         |          x -> x IN ${inList(stopEn)})))::BIGINT AS total_stop
+         |      FROM documents GROUP BY 1),
+         |dd AS (SELECT source,
+         |        count(DISTINCT md5($normSql))::BIGINT AS n_distinct
+         |      FROM documents GROUP BY 1)
+         |SELECT b.source, b.n_docs, b.n_langs, t.total_tokens,
+         |  floor(b.total_chars::DOUBLE / b.n_docs * 1000000) / 1000000
+         |    AS mean_chars,
+         |  floor((b.n_docs - d.n_distinct)::DOUBLE / b.n_docs * 1000000)
+         |    / 1000000 AS dup_rate,
+         |  CASE WHEN t.total_tokens > 0 THEN
+         |    floor(t.total_stop::DOUBLE / t.total_tokens * 1000000)
+         |      / 1000000
+         |  END AS stop_ratio
+         |FROM base b JOIN tq t USING (source) JOIN dd d USING (source)""".stripMargin,
+
+    // the same md5 quarter-sample + brute pairs; per-pair distance
+    // floored at 1e-6, one trunc6'd mean out
+    "q_embed_diversity" ->
+      s"""WITH sm AS (SELECT vec_id, embedding FROM embeddings
+         |            WHERE ${sqlMd5Int("vec_id::VARCHAR")} % 4 = 0),
+         |p AS (SELECT floor((1 - ${sqlCosine("a.embedding", "b.embedding")})
+         |          * 1000000)::BIGINT AS d
+         |      FROM sm a JOIN sm b ON a.vec_id < b.vec_id),
+         |np AS (SELECT count(*)::BIGINT AS n_points FROM sm),
+         |ag AS (SELECT count(*)::BIGINT AS n_pairs,
+         |         coalesce(sum(d), 0)::BIGINT AS s FROM p)
+         |SELECT np.n_points, ag.n_pairs, ag.s AS dist_sum_scaled,
+         |  CASE WHEN ag.n_pairs > 0
+         |       THEN floor(ag.s::DOUBLE / ag.n_pairs) / 1000000
+         |  END AS mean_dist
+         |FROM np, ag""".stripMargin,
 
     // both ranking CTEs on the audit slice; the depth weights are the
     // IDENTICAL plan-time longs (Similarity.rboWeightsScaled), so the

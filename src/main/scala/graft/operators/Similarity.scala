@@ -488,6 +488,44 @@ object Similarity {
           / (col("n_points").cast("double") * 1000000d)).as("mean_sil"))
   }
 
+  /** Corpus embedding diversity — the data-card one-number for "how
+    * varied is this corpus semantically": mean pairwise cosine DISTANCE
+    * over a deterministic md5 sample (near-0 = templated/mode-collapsed,
+    * higher = varied; track it per source or per crawl to catch a scraper
+    * stuck on one site). All-pairs over the full corpus is O(N²) and
+    * never runs at scale; the estimator is the theilSen contract instead
+    * — a hash-stable sample (md5(id) % sampleMod == 0, the docSample
+    * idiom: the same rows on every engine and every rerun) with a
+    * fail-loud `maxPoints` limit-probe, because the sample is broadcast
+    * for the self-join. Each pair enters as floor((1 − cos)·10⁶) BIGINT
+    * (the shared fold-exact cosine chain), summed exactly; `mean_dist`
+    * is ONE trunc6'd division. Fewer than 2 sampled points emit
+    * n_pairs 0 with mean_dist NULL. Emits ONE row
+    * (n_points, n_pairs, dist_sum_scaled, mean_dist). */
+  def embeddingDiversity(emb: DataFrame, id: String, vec: String,
+                         sampleMod: Int,
+                         maxPoints: Int = 2048): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val sampled = emb
+      .filter(graft.expressions.Md5Expressions
+        .md5Int(col(id).cast("string")) % sampleMod === 0)
+      .select(col(id).as("_sid"), col(vec).as("_sv"))
+    requireBroadcastable(sampled, maxPoints, "embeddingDiversity")
+    val pairs = sampled
+      .join(broadcast(sampled.select(col("_sid").as("_tid"),
+        col("_sv").as("_tv"))), col("_sid") < col("_tid"))
+      .select(floor((lit(1d) - cosine(col("_sv"), col("_tv"))) * 1000000d)
+        .cast("long").as("_d"))
+    val nPts = sampled.agg(count(lit(1)).as("n_points"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("_d")), lit(0L)).as("dist_sum_scaled"))
+      .crossJoin(broadcast(nPts))
+      .select(col("n_points"), col("n_pairs"), col("dist_sum_scaled"),
+        when(col("n_pairs") > 0L,
+          floor(col("dist_sum_scaled").cast("double")
+            / col("n_pairs").cast("double")) / 1000000d).as("mean_dist"))
+  }
+
   /** Embedding drift between two corpus slices, per label — "did this
     * class's embedding distribution move between last week's crawl and
     * this week's?", the ML-ops monitor that catches encoder upgrades,

@@ -551,5 +551,8 @@ object syntax {
       Curation.tClosenessClasses(df, quasi, sensitive, t)
     def wassersteinDistance(other: DataFrame, value: String): DataFrame =
       CoreOps.wassersteinDistance(df, other, value)
+    def embeddingDiversity(id: String, vec: String, sampleMod: Int,
+                           maxPoints: Int = 2048): DataFrame =
+      Similarity.embeddingDiversity(df, id, vec, sampleMod, maxPoints)
   }
 }

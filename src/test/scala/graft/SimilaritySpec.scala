@@ -387,6 +387,26 @@ class SimilaritySpec extends SparkSpec {
     assert(lone.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
 
+  test("embeddingDiversity: exact floored pair distances on a hand set; " +
+      "a lone point emits NULL; the maxPoints cap fails loud") {
+    val pts = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    // sampleMod 1 keeps all; pairs: (1,2) d=1, (1,3) d=0, (2,3) d=1
+    val r = Similarity.embeddingDiversity(pts, "vec_id", "embedding", 1)
+      .head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2000000L)
+    assert(r.getDouble(3) == math.floor(2000000d / 3d) / 1e6)
+    val lone = Similarity.embeddingDiversity(
+      pts.filter(col("vec_id") === 1L), "vec_id", "embedding", 1).head()
+    assert(lone.getLong(1) == 0L && lone.isNullAt(3))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingDiversity(pts, "vec_id", "embedding", 1,
+        maxPoints = 2)
+    }
+    assert(e.getMessage.contains("embeddingDiversity"))
+  }
+
   test("mmrTopK: greedy picks trade relevance against redundancy with " +
       "the picked set; lambda = 1 degenerates to pure relevance order") {
     // query (3,4): c12 = (0,1) is most relevant (0.8); c10/c11 = (1,0)/
