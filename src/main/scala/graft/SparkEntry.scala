@@ -2201,6 +2201,35 @@ object SparkEntry {
     // A/B conversion z-test between user cohorts: one conditional-count
     // pass, then a fixed chain of correctly-rounded IEEE ops (sqrt is in
     // the exactness contract)
+    // difference-in-differences across the day-15 boundary: treatment =
+    // even users; one conditional pass builds all four cells' exact
+    // moments, then the fixed four-cell chain
+    "q_did" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull
+          && col("user_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+      CoreOps.diffInDiff(ev, pmod(col("user_id"), lit(2)) === 0,
+        col("day") >= 15, "cents")
+    }),
+    // CUPED adjusted lift on the per-user (pre, post) frame: theta from
+    // pooled exact moments, the adjusted diff one fixed chain — the
+    // variance-reduction estimator every experimentation platform runs
+    "q_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull
+          && col("user_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("day") < 15, col("cents"))), lit(0L))
+          .as("pre_cents"),
+          coalesce(sum(when(col("day") >= 15, col("cents"))), lit(0L))
+            .as("post_cents"))
+      CoreOps.cupedAdjustedDiff(perUser,
+        pmod(col("user_id"), lit(2)) === 0, "pre_cents", "post_cents")
+    }),
     "q_ab_test" -> ((s, dir) =>
       CoreOps.abProportionTest(
         Tables.events(s, dir).select(col("user_id"), col("event_type")),
@@ -6073,6 +6102,85 @@ object SparkEntry {
         |             * 1000000) / 1000000
         |  END AS z
         |FROM t""".stripMargin,
+
+    // the four-cell conditional-moment pass and the identical fixed
+    // chains (means, per-cell s²/n, did, sqrt-se, z)
+    "q_did" ->
+      s"""WITH s AS (SELECT floor(value * 100)::BIGINT AS c,
+         |        user_id % 2 = 0 AS tr,
+         |        ($evMs // 86400000) >= 15 AS po
+         |      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+         |        AND ts IS NOT NULL),
+         |t AS (SELECT
+         |  count(CASE WHEN NOT tr AND NOT po THEN 1 END)::DOUBLE AS nc0,
+         |  sum(CASE WHEN NOT tr AND NOT po THEN c END)::DOUBLE AS sc0,
+         |  sum(CASE WHEN NOT tr AND NOT po THEN c::HUGEINT * c END)::DOUBLE AS qc0,
+         |  count(CASE WHEN NOT tr AND po THEN 1 END)::DOUBLE AS nc1,
+         |  sum(CASE WHEN NOT tr AND po THEN c END)::DOUBLE AS sc1,
+         |  sum(CASE WHEN NOT tr AND po THEN c::HUGEINT * c END)::DOUBLE AS qc1,
+         |  count(CASE WHEN tr AND NOT po THEN 1 END)::DOUBLE AS nt0,
+         |  sum(CASE WHEN tr AND NOT po THEN c END)::DOUBLE AS st0,
+         |  sum(CASE WHEN tr AND NOT po THEN c::HUGEINT * c END)::DOUBLE AS qt0,
+         |  count(CASE WHEN tr AND po THEN 1 END)::DOUBLE AS nt1,
+         |  sum(CASE WHEN tr AND po THEN c END)::DOUBLE AS st1,
+         |  sum(CASE WHEN tr AND po THEN c::HUGEINT * c END)::DOUBLE AS qt1
+         |  FROM s),
+         |u AS (SELECT *,
+         |  (nc0 * qc0 - sc0 * sc0) / (nc0 - 1) / nc0 / nc0 AS smc0,
+         |  (nc1 * qc1 - sc1 * sc1) / (nc1 - 1) / nc1 / nc1 AS smc1,
+         |  (nt0 * qt0 - st0 * st0) / (nt0 - 1) / nt0 / nt0 AS smt0,
+         |  (nt1 * qt1 - st1 * st1) / (nt1 - 1) / nt1 / nt1 AS smt1,
+         |  st1 / nt1 - st0 / nt0 - (sc1 / nc1 - sc0 / nc0) AS did
+         |  FROM t),
+         |v AS (SELECT *, smc0 + smc1 + smt0 + smt1 AS sesq FROM u)
+         |SELECT nc0::BIGINT AS n_c0, nc1::BIGINT AS n_c1,
+         |  nt0::BIGINT AS n_t0, nt1::BIGINT AS n_t1,
+         |  CASE WHEN nc0 > 0 AND nc1 > 0 AND nt0 > 0 AND nt1 > 0
+         |       THEN floor(did * 1000000) / 1000000 END AS did,
+         |  CASE WHEN nc0 > 1 AND nc1 > 1 AND nt0 > 1 AND nt1 > 1
+         |         AND sesq > 0
+         |       THEN floor(sqrt(sesq) * 1000000) / 1000000 END AS se_did,
+         |  CASE WHEN nc0 > 1 AND nc1 > 1 AND nt0 > 1 AND nt1 > 1
+         |         AND sesq > 0
+         |       THEN floor(did / sqrt(sesq) * 1000000) / 1000000 END AS z
+         |FROM v""".stripMargin,
+
+    // pooled-theta CUPED on the per-user frame; every chain mirrored
+    "q_cuped" ->
+      s"""WITH ev AS (SELECT user_id, floor(value * 100)::BIGINT AS c,
+         |        $evMs // 86400000 AS day
+         |      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+         |        AND ts IS NOT NULL),
+         |pu AS (SELECT user_id,
+         |        coalesce(sum(CASE WHEN day < 15 THEN c END), 0)::BIGINT AS x,
+         |        coalesce(sum(CASE WHEN day >= 15 THEN c END), 0)::BIGINT AS y,
+         |        user_id % 2 = 0 AS tr
+         |      FROM ev GROUP BY 1),
+         |t AS (SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+         |        sum(y)::DOUBLE AS sy,
+         |        sum(x::HUGEINT * x)::DOUBLE AS sxx,
+         |        sum(x::HUGEINT * y)::DOUBLE AS sxy,
+         |        count(CASE WHEN tr THEN 1 END)::DOUBLE AS nt,
+         |        sum(CASE WHEN tr THEN x END)::DOUBLE AS sxt,
+         |        sum(CASE WHEN tr THEN y END)::DOUBLE AS syt,
+         |        count(CASE WHEN NOT tr THEN 1 END)::DOUBLE AS nc,
+         |        sum(CASE WHEN NOT tr THEN x END)::DOUBLE AS sxc,
+         |        sum(CASE WHEN NOT tr THEN y END)::DOUBLE AS syc
+         |      FROM pu),
+         |u AS (SELECT *, n * sxx - sx * sx AS vx,
+         |        n * sxy - sx * sy AS cxy FROM t)
+         |SELECT nt::BIGINT AS n_t, nc::BIGINT AS n_c,
+         |  CASE WHEN n > 0 AND vx > 0
+         |       THEN floor(cxy / vx * 1000000) / 1000000 END AS theta,
+         |  CASE WHEN nt > 0 AND nc > 0
+         |       THEN floor((syt / nt - syc / nc) * 1000000) / 1000000
+         |  END AS diff_raw,
+         |  CASE WHEN nt > 0 AND nc > 0 AND vx > 0
+         |       THEN floor((syt / nt - syc / nc
+         |              - cxy / vx * (sxt / nt - sxc / nc)) * 1000000)
+         |            / 1000000
+         |  END AS diff_adj
+         |FROM u""".stripMargin,
 
     // the same exact-moments-then-fixed-double-chain contract as q_corr:
     // per-cohort n/Σc/Σc² accumulate exactly, every double op mirrored

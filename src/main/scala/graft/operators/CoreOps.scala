@@ -3465,6 +3465,104 @@ object CoreOps {
         .as("df_welch")): _*)
   }
 
+  /** Difference-in-differences — the experimentation-tier estimator for
+    * "what did the intervention do, net of the trend everyone rode":
+    * DiD = (m_t,post − m_t,pre) − (m_c,post − m_c,pre) over the four
+    * (treat × period) cells, with the classical four-cell standard error
+    * (Σ s²ᵢ/nᵢ, cells independent) and z = DiD/se. The welchTTest
+    * discipline exactly: ONE conditional-count aggregate pass
+    * accumulates every cell's n/Σv/Σv² as exact decimals, then a fixed
+    * left-assoc double chain runs, trunc6'd — bit-identical on any
+    * engine. NULL treat/period/value rows drop. Emits ONE row
+    * (n_c0, n_c1, n_t0, n_t1, did, se_did, z); any cell with n ≤ 1 (or
+    * zero pooled variance) yields NULL se/z, any empty cell NULL did. */
+  def diffInDiff(df: DataFrame, isTreat: Column, isPost: Column,
+                 value: String): DataFrame = {
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"diffInDiff accumulates '$value' as exact integers; got " +
+        s"${df.schema(value).dataType} — scale to cents/int64 first")
+    val vd = col(value).cast("decimal(19,0)")
+    def cell(p: Column, tag: String) = Seq(
+      count(when(p, lit(1))).cast("double").as(s"_n$tag"),
+      sum(when(p, vd)).cast("double").as(s"_s$tag"),
+      sum(when(p, vd * vd)).cast("double").as(s"_q$tag"))
+    val aggs = cell(!isTreat && !isPost, "c0") ++
+      cell(!isTreat && isPost, "c1") ++
+      cell(isTreat && !isPost, "t0") ++ cell(isTreat && isPost, "t1")
+    def n(t: String) = col(s"_n$t")
+    def m(t: String) = col(s"_s$t") / n(t)
+    def sm(t: String) = // s²/n of the cell mean, the welch sna chain
+      (n(t) * col(s"_q$t") - col(s"_s$t") * col(s"_s$t")) /
+        (n(t) - 1d) / n(t) / n(t)
+    val cells = Seq("c0", "c1", "t0", "t1")
+    val did = m("t1") - m("t0") - (m("c1") - m("c0"))
+    val seSq = sm("c0") + sm("c1") + sm("t0") + sm("t1")
+    val allPos = cells.map(n(_) > 0d).reduce(_ && _)
+    val ok = cells.map(n(_) > 1d).reduce(_ && _) && seSq > 0d
+    df.filter(col(value).isNotNull && isTreat.isNotNull && isPost.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        n("c0").cast("long").as("n_c0"), n("c1").cast("long").as("n_c1"),
+        n("t0").cast("long").as("n_t0"), n("t1").cast("long").as("n_t1"),
+        when(allPos, floor(did * 1000000d) / 1000000d).as("did"),
+        when(ok, floor(sqrt(seSq) * 1000000d) / 1000000d).as("se_did"),
+        when(ok, floor(did / sqrt(seSq) * 1000000d) / 1000000d).as("z"))
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013 — public) — the
+    * experimentation-tier adjustment that reclaims power from pre-period
+    * data: θ = cov(x, y)/var(x) pooled over BOTH cohorts (the standard
+    * practice — θ is a nuisance parameter, not an effect), and the
+    * adjusted lift is diff_adj = (ȳ_t − ȳ_c) − θ·(x̄_t − x̄_c) — unbiased
+    * for the true effect whenever assignment is independent of x, with
+    * variance shrunk by the pre/post correlation². Input is a PER-UNIT
+    * frame (one row per unit: pre-metric x, post-metric y, cohort flag).
+    * Exactness: all moments (n, Σx, Σy, Σx², Σxy, per-cohort n/Σx/Σy)
+    * accumulate as exact decimals in ONE conditional aggregate pass;
+    * θ and both diffs are fixed left-assoc double chains, trunc6'd.
+    * NULL x/y/cohort rows drop. Emits ONE row
+    * (n_t, n_c, theta, diff_raw, diff_adj); zero pre-period variance or
+    * an empty cohort yields NULL theta/diff_adj (diff_raw needs only
+    * non-empty cohorts). */
+  def cupedAdjustedDiff(df: DataFrame, isTreat: Column, pre: String,
+                        post: String): DataFrame = {
+    Seq(pre, post).foreach(c => require(
+      integralTypes.contains(df.schema(c).dataType),
+      s"cupedAdjustedDiff accumulates '$c' as exact integers; got " +
+        s"${df.schema(c).dataType} — scale to cents/int64 first"))
+    val xd = col(pre).cast("decimal(19,0)")
+    val yd = col(post).cast("decimal(19,0)")
+    val aggs = Seq(
+      count(lit(1)).cast("double").as("_n"),
+      sum(xd).cast("double").as("_sx"),
+      sum(yd).cast("double").as("_sy"),
+      sum(xd * xd).cast("double").as("_sxx"),
+      sum(xd * yd).cast("double").as("_sxy"),
+      count(when(isTreat, lit(1))).cast("double").as("_nt"),
+      sum(when(isTreat, xd)).cast("double").as("_sxt"),
+      sum(when(isTreat, yd)).cast("double").as("_syt"),
+      count(when(!isTreat, lit(1))).cast("double").as("_nc"),
+      sum(when(!isTreat, xd)).cast("double").as("_sxc"),
+      sum(when(!isTreat, yd)).cast("double").as("_syc"))
+    val varX = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val covXY = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val theta = covXY / varX
+    val diffRaw = col("_syt") / col("_nt") - col("_syc") / col("_nc")
+    val diffAdj = diffRaw -
+      theta * (col("_sxt") / col("_nt") - col("_sxc") / col("_nc"))
+    val both = col("_nt") > 0d && col("_nc") > 0d
+    val ok = both && varX > 0d
+    df.filter(col(pre).isNotNull && col(post).isNotNull
+        && isTreat.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("_nt").cast("long").as("n_t"),
+        col("_nc").cast("long").as("n_c"),
+        when(col("_n") > 0d && varX > 0d,
+          floor(theta * 1000000d) / 1000000d).as("theta"),
+        when(both, floor(diffRaw * 1000000d) / 1000000d).as("diff_raw"),
+        when(ok, floor(diffAdj * 1000000d) / 1000000d).as("diff_adj"))
+  }
+
   /** Per-group trimmed mean — the robust location estimate between the
     * median (throws away everything but rank n/2) and the mean (lets one
     * corrupt amount move the answer): drop the lowest and highest

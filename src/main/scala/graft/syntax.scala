@@ -554,5 +554,11 @@ object syntax {
     def embeddingDiversity(id: String, vec: String, sampleMod: Int,
                            maxPoints: Int = 2048): DataFrame =
       Similarity.embeddingDiversity(df, id, vec, sampleMod, maxPoints)
+    def diffInDiff(isTreat: Column, isPost: Column,
+                   value: String): DataFrame =
+      CoreOps.diffInDiff(df, isTreat, isPost, value)
+    def cupedAdjustedDiff(isTreat: Column, pre: String,
+                          post: String): DataFrame =
+      CoreOps.cupedAdjustedDiff(df, isTreat, pre, post)
   }
 }

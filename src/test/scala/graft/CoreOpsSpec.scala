@@ -1724,6 +1724,42 @@ class CoreOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("theilSen"))
   }
 
+  test("diffInDiff: the textbook four-cell hand case; empty cells NULL " +
+      "the estimate, n<=1 cells NULL the se") {
+    // control pre {0,2} post {2,4}; treat pre {0,2} post {6,8}:
+    // DiD = (7−1) − (3−1) = 4; each cell s²/n = 1 → se = 2, z = 2
+    val df = Seq(
+      (false, false, 0L), (false, false, 2L),
+      (false, true, 2L), (false, true, 4L),
+      (true, false, 0L), (true, false, 2L),
+      (true, true, 6L), (true, true, 8L)).toDF("t", "p", "v")
+    val r = CoreOps.diffInDiff(df, col("t"), col("p"), "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, 2L)))
+    assert(r.getDouble(4) == 4.0 && r.getDouble(5) == 2.0 &&
+      r.getDouble(6) == 2.0)
+    // an empty cell: no treated-post rows
+    val sparse = df.filter(!(col("t") && col("p")))
+    val rs = CoreOps.diffInDiff(sparse, col("t"), col("p"), "v").head()
+    assert(rs.isNullAt(4) && rs.isNullAt(5) && rs.isNullAt(6))
+  }
+
+  test("cupedAdjustedDiff: pooled-theta hand case; zero pre-variance " +
+      "NULLs theta and the adjusted diff but not the raw one") {
+    // treat (x,y): (0,2),(2,6); control: (2,0),(4,4)
+    // θ = 0.5, raw = 2, adj = 2 − 0.5·(1 − 3) = 3
+    val df = Seq((1L, true, 0L, 2L), (2L, true, 2L, 6L),
+      (3L, false, 2L, 0L), (4L, false, 4L, 4L))
+      .toDF("id", "t", "x", "y")
+    val r = CoreOps.cupedAdjustedDiff(df, col("t"), "x", "y").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 2.0 &&
+      r.getDouble(4) == 3.0)
+    val flat = df.withColumn("x", lit(7L))
+    val rf = CoreOps.cupedAdjustedDiff(flat, col("t"), "x", "y").head()
+    assert(rf.isNullAt(2) && rf.getDouble(3) == 2.0 && rf.isNullAt(4))
+  }
+
   test("wassersteinDistance: a pure shift costs exactly the shift, " +
       "identical samples cost 0, an empty side is NULL") {
     val a = Seq(0L, 0L).toDF("v")
