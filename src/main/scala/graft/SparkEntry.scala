@@ -892,6 +892,24 @@ object SparkEntry {
     // one fixed double chain per row, no shuffle
     "q_readability" -> ((s, dir) =>
       TextOps.readability(Tables.documents(s, dir), "doc_id", "text")),
+    // tokenizer cost per language: pieces-per-word fertility and
+    // chars-per-piece — the numbers that set per-language token budgets;
+    // one grouped pass of exact integer sums
+    "q_fertility" -> ((s, dir) =>
+      TextOps.tokenizerFertility(
+        Tables.documents(s, dir).filter(col("lang").isNotNull),
+        "lang", "text")),
+    // the lang-ID heuristic graded against the table's labels: the
+    // confusionMatrix operator composed over languageId — which
+    // languages does the n-gram screen actually confuse?
+    "q_lang_confusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Eval.confusionMatrix(
+        docs.select(col("doc_id"), col("lang").as("lang_true"))
+          .join(TextOps.languageId(docs, "doc_id", "text", langProfiles)
+            .select(col("doc_id"), col("lang_pred")), Seq("doc_id")),
+        "lang_true", "lang_pred")
+    }),
     "q_lang_id" -> ((s, dir) =>
       TextOps.languageId(Tables.documents(s, dir), "doc_id", "text", langProfiles)),
     // corpus bigram vocabulary (top 100, deterministic tiebreak)
@@ -4240,6 +4258,50 @@ object SparkEntry {
          |       WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_pred,
          |  m AS lang_hits
          |FROM (SELECT *, GREATEST(h_en, h_de, h_fr, h_es, h_zh) AS m FROM h)""".stripMargin,
+
+    // the q_word_pieces piece formula summed per language; each ratio
+    // one floored division of exact integer sums
+    "q_fertility" ->
+      s"""WITH c AS (SELECT lang, len($toksSql)::BIGINT AS w,
+         |        (len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+         |         + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))::BIGINT AS p,
+         |        length(text)::BIGINT AS ch
+         |      FROM documents WHERE lang IS NOT NULL)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(w)::BIGINT AS total_words, sum(p)::BIGINT AS total_pieces,
+         |  sum(ch)::BIGINT AS total_chars,
+         |  CASE WHEN sum(w) > 0 THEN
+         |    floor(sum(p)::DOUBLE / sum(w) * 1000000) / 1000000
+         |  END AS fertility,
+         |  CASE WHEN sum(p) > 0 THEN
+         |    floor(sum(ch)::DOUBLE / sum(p) * 1000000) / 1000000
+         |  END AS chars_per_piece
+         |FROM c GROUP BY 1""".stripMargin,
+
+    // the q_lang_id prediction CTE joined back to the labels; plain
+    // group counts, NULL labels dropped like confusionMatrix
+    "q_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+         |      FROM documents),
+         |h AS (SELECT doc_id,
+         |        len(list_filter(toks, x -> x IN ${inList(stopEn)})) AS h_en,
+         |        len(list_filter(toks, x -> x IN ${inList(stopDe)})) AS h_de,
+         |        len(list_filter(toks, x -> x IN ${inList(stopFr)})) AS h_fr,
+         |        len(list_filter(toks, x -> x IN ${inList(stopEs)})) AS h_es,
+         |        len(list_filter(toks, x -> x IN ${inList(stopZh)})) AS h_zh
+         |      FROM t),
+         |pr AS (SELECT doc_id,
+         |        CASE WHEN h_zh = m THEN 'zh' WHEN h_fr = m THEN 'fr'
+         |             WHEN h_es = m THEN 'es' WHEN h_en = m THEN 'en'
+         |             ELSE 'de' END AS lang_pred
+         |      FROM (SELECT *, GREATEST(h_en, h_de, h_fr, h_es, h_zh) AS m
+         |            FROM h))
+         |SELECT d.lang AS lang_true, pr.lang_pred,
+         |  count(*)::BIGINT AS n_rows
+         |FROM documents d JOIN pr ON pr.doc_id = d.doc_id
+         |WHERE d.lang IS NOT NULL AND pr.lang_pred IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_ngram_vocab" ->
       s"""WITH nrm AS (SELECT $normSql AS nt FROM documents),

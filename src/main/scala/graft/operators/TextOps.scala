@@ -174,6 +174,42 @@ object TextOps {
         .as("flesch"))
   }
 
+  /** Tokenizer fertility per group — the cost gauge a multilingual
+    * pipeline reads before fixing a token budget: pieces-per-word
+    * ("fertility", the standard subword metric) and characters-per-piece
+    * by language/source. A language with fertility 2.4 burns 2.4× the
+    * context of a 1.0 language for the same words — this is the number
+    * that decides per-language token budgets and flags scripts the
+    * tokenizer handles badly. Uses the house wordPieces proxy (runs of
+    * letters/digits/punct — deterministic, library-free). All three
+    * counts are exact integer sums in ONE grouped pass; each ratio is
+    * one floored division. Groups with zero words emit NULL fertility
+    * (not a fake 0). NULL groups drop. Emits one row per group
+    * (group, n_docs, total_words, total_pieces, total_chars, fertility,
+    * chars_per_piece). */
+  def tokenizerFertility(docs: DataFrame, group: String,
+                         text: String): DataFrame = {
+    val emitted = Seq("n_docs", "total_words", "total_pieces",
+      "total_chars", "fertility", "chars_per_piece")
+    require(!emitted.contains(group) && !emitted.contains(text),
+      s"tokenizerFertility emits ${emitted.mkString(", ")}; rename inputs")
+    def t6(x: Column) = floor(x * 1000000d) / 1000000d
+    docs.filter(col(group).isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(text))).cast("long")).as("total_words"),
+        sum(size(wordPieces(col(text))).cast("long")).as("total_pieces"),
+        sum(length(col(text)).cast("long")).as("total_chars"))
+      .select(col(group), col("n_docs"), col("total_words"),
+        col("total_pieces"), col("total_chars"),
+        when(col("total_words") > 0L,
+          t6(col("total_pieces").cast("double")
+            / col("total_words").cast("double"))).as("fertility"),
+        when(col("total_pieces") > 0L,
+          t6(col("total_chars").cast("double")
+            / col("total_pieces").cast("double"))).as("chars_per_piece"))
+  }
+
   /** BM25 relevance of every document against a fixed term list — the
     * retrieval-quality scoring a curation pipeline uses to mine topical
     * subsets out of a web corpus. Distributed shape: one corpus-stats

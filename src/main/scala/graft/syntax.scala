@@ -560,5 +560,7 @@ object syntax {
     def cupedAdjustedDiff(isTreat: Column, pre: String,
                           post: String): DataFrame =
       CoreOps.cupedAdjustedDiff(df, isTreat, pre, post)
+    def tokenizerFertility(group: String, text: String): DataFrame =
+      TextOps.tokenizerFertility(df, group, text)
   }
 }

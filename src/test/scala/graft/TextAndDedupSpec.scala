@@ -827,6 +827,31 @@ class TextAndDedupSpec extends SparkSpec {
     assert(w1Agree > w2Agree && w1Dis < 0L)
   }
 
+  test("tokenizerFertility: exact grouped sums and floored ratios; a " +
+      "punct-heavy group shows higher fertility; zero words → NULL") {
+    val df = Seq(
+      ("a", "one two"),        // 2 words, 2 pieces, 7 chars
+      ("a", "three"),          // 1 word, 1 piece, 5 chars
+      ("b", "x-y!"),           // 1 word, 5 pieces (x,-,y,!), 4 chars
+      ("b", ""),               // 0 words contributes nothing but counts
+      (null, "dropped")).toDF("g", "text")
+    val got = TextOps.tokenizerFertility(df, "g", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.size == 2)
+    val a = got("a")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 3L && a.getLong(3) == 3L
+      && a.getLong(4) == 12L)
+    assert(a.getDouble(5) == 1.0)
+    assert(a.getDouble(6) == 4.0)
+    val b = got("b")
+    assert(b.getLong(2) == 1L && b.getLong(3) == 4L)
+    assert(b.getDouble(5) == 4.0) // "x-y!" splits to x, -, y, !
+    // zero-word group: NULL fertility
+    val z = TextOps.tokenizerFertility(
+      Seq(("c", "")).toDF("g", "text"), "g", "text").head()
+    assert(z.isNullAt(5))
+  }
+
   test("contaminationRate: benchmark-identical docs score 1, disjoint " +
       "docs 0, partial overlap counts shared distinct shingles") {
     // k = 2 shingles over whitespace tokens
