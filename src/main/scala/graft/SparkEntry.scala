@@ -899,6 +899,12 @@ object SparkEntry {
       TextOps.tokenizerFertility(
         Tables.documents(s, dir).filter(col("lang").isNotNull),
         "lang", "text")),
+    // mixed-language screen: the lang-ID vote per overlapping chunk,
+    // re-aggregated per doc — code-switching and bad crawl merges show
+    // as chunks that disagree even when the whole-doc vote is confident
+    "q_lang_mixture" -> ((s, dir) =>
+      TextOps.langMixture(Tables.documents(s, dir), "doc_id", "text",
+        langProfiles, ChunkWindow, ChunkStride)),
     // the lang-ID heuristic graded against the table's labels: the
     // confusionMatrix operator composed over languageId — which
     // languages does the n-gram screen actually confuse?
@@ -4277,6 +4283,45 @@ object SparkEntry {
          |    floor(sum(ch)::DOUBLE / sum(p) * 1000000) / 1000000
          |  END AS chars_per_piece
          |FROM c GROUP BY 1""".stripMargin,
+
+    // the chunk CTE + the lang-ID argmax per chunk + two grouped passes;
+    // the majority tie-break is (most chunks, smallest code) both sides
+    "q_lang_mixture" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ck AS (SELECT doc_id,
+         |        array_to_string(list_slice(toks, start + 1,
+         |          start + $ChunkWindow), ' ') AS chunk_text
+         |      FROM (SELECT doc_id, toks,
+         |              unnest(range(0, len(toks), $ChunkStride)) AS start
+         |            FROM tk WHERE len(toks) > 0)),
+         |ct AS (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(trim(lower(chunk_text)), '\\s+'),
+         |          x -> x <> '') AS toks
+         |      FROM ck),
+         |h AS (SELECT doc_id,
+         |        len(list_filter(toks, x -> x IN ${inList(stopEn)})) AS h_en,
+         |        len(list_filter(toks, x -> x IN ${inList(stopDe)})) AS h_de,
+         |        len(list_filter(toks, x -> x IN ${inList(stopFr)})) AS h_fr,
+         |        len(list_filter(toks, x -> x IN ${inList(stopEs)})) AS h_es,
+         |        len(list_filter(toks, x -> x IN ${inList(stopZh)})) AS h_zh
+         |      FROM ct),
+         |pr AS (SELECT doc_id,
+         |        CASE WHEN h_zh = m THEN 'zh' WHEN h_fr = m THEN 'fr'
+         |             WHEN h_es = m THEN 'es' WHEN h_en = m THEN 'en'
+         |             ELSE 'de' END AS lang_pred
+         |      FROM (SELECT *, GREATEST(h_en, h_de, h_fr, h_es, h_zh) AS m
+         |            FROM h)),
+         |pl AS (SELECT doc_id, lang_pred, count(*)::BIGINT AS c
+         |       FROM pr GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, sum(c)::BIGINT AS n_chunks,
+         |         count(*)::BIGINT AS n_langs,
+         |         min(struct_pack(n := -c, l := lang_pred)) AS mj
+         |       FROM pl GROUP BY 1)
+         |SELECT doc_id, n_chunks, n_langs, mj.l AS majority_lang,
+         |  floor((-mj.n)::DOUBLE / n_chunks * 1000000) / 1000000
+         |    AS majority_share,
+         |  n_langs > 1 AS mixed
+         |FROM ag""".stripMargin,
 
     // the q_lang_id prediction CTE joined back to the labels; plain
     // group counts, NULL labels dropped like confusionMatrix

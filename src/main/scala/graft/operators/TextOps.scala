@@ -174,6 +174,44 @@ object TextOps {
         .as("flesch"))
   }
 
+  /** Mixed-language document screen — languageId applied PER CHUNK and
+    * re-aggregated per doc: a code-switched page, a boilerplate frame
+    * around foreign content, or a bad crawl merge all show up as chunks
+    * that disagree about the language even when the whole-doc vote looks
+    * confident. Chunks come from the house overlapping tokenizer
+    * (`chunk`); each chunk votes with languageId's exact argmax (ties
+    * toward the lexicographically largest code — the array_max rule);
+    * the majority chunk language breaks count ties the same direction
+    * as modeByGroup (smaller... here: most chunks, then SMALLEST code —
+    * the min-struct rule, deterministic). Two partitioned grouped aggs
+    * over the chunk-vote frame — O(docs·langs) rows, no window. Docs
+    * with zero tokens have no chunks and don't appear. Emits
+    * (id, n_chunks, n_langs, majority_lang, majority_share, mixed). */
+  def langMixture(docs: DataFrame, id: String, text: String,
+                  profiles: Map[String, Seq[String]],
+                  window: Int, stride: Int): DataFrame = {
+    val emitted = Seq("n_chunks", "n_langs", "majority_lang",
+      "majority_share", "mixed", "_c", "_mj", "lang_pred", "chunk_text")
+    require(!emitted.contains(id) && !emitted.contains(text),
+      s"langMixture emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val votes = languageId(
+      chunk(docs, id, text, window, stride)
+        .select(col(id), col("chunk_text")),
+      id, "chunk_text", profiles)
+    votes.groupBy(col(id), col("lang_pred"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(id))
+      .agg(sum(col("_c")).as("n_chunks"), count(lit(1)).as("n_langs"),
+        min(struct((-col("_c")).as("_n"), col("lang_pred").as("_l")))
+          .as("_mj"))
+      .select(col(id), col("n_chunks"), col("n_langs"),
+        col("_mj._l").as("majority_lang"),
+        (floor((-col("_mj._n")).cast("double")
+           / col("n_chunks").cast("double") * 1000000d) / 1000000d)
+          .as("majority_share"),
+        (col("n_langs") > 1L).as("mixed"))
+  }
+
   /** Tokenizer fertility per group — the cost gauge a multilingual
     * pipeline reads before fixing a token budget: pieces-per-word
     * ("fertility", the standard subword metric) and characters-per-piece

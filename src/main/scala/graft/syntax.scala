@@ -562,5 +562,9 @@ object syntax {
       CoreOps.cupedAdjustedDiff(df, isTreat, pre, post)
     def tokenizerFertility(group: String, text: String): DataFrame =
       TextOps.tokenizerFertility(df, group, text)
+    def langMixture(id: String, text: String,
+                    profiles: Map[String, Seq[String]], window: Int,
+                    stride: Int): DataFrame =
+      TextOps.langMixture(df, id, text, profiles, window, stride)
   }
 }
