@@ -2225,6 +2225,31 @@ object SparkEntry {
     // A/B conversion z-test between user cohorts: one conditional-count
     // pass, then a fixed chain of correctly-rounded IEEE ops (sqrt is in
     // the exactness contract)
+    // quantile treatment effects: the per-percentile lift between the
+    // cohorts — a mean shift and a tail shift are different stories,
+    // and QTE tells them apart; two quantileProfile rows cross-joined
+    "q_qte" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .withColumn("tr", pmod(col("user_id"), lit(2)) === 0)
+      val prof = CoreOps.quantileProfile(ev, "tr", "cents",
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      val t = prof.filter(col("tr"))
+        .select(col("n").as("n_t"), col("p10").as("_t10"),
+          col("p25").as("_t25"), col("p50").as("_t50"),
+          col("p75").as("_t75"), col("p90").as("_t90"))
+      val c = prof.filter(!col("tr"))
+        .select(col("n").as("n_c"), col("p10").as("_c10"),
+          col("p25").as("_c25"), col("p50").as("_c50"),
+          col("p75").as("_c75"), col("p90").as("_c90"))
+      t.crossJoin(broadcast(c)).select(col("n_t"), col("n_c"),
+        (col("_t10") - col("_c10")).as("qte_p10"),
+        (col("_t25") - col("_c25")).as("qte_p25"),
+        (col("_t50") - col("_c50")).as("qte_p50"),
+        (col("_t75") - col("_c75")).as("qte_p75"),
+        (col("_t90") - col("_c90")).as("qte_p90"))
+    }),
     // difference-in-differences across the day-15 boundary: treatment =
     // even users; one conditional pass builds all four cells' exact
     // moments, then the fixed four-cell chain
@@ -4031,7 +4056,7 @@ object SparkEntry {
       s"""WITH e AS (SELECT user_id, $evMs AS ms FROM events),
          |g AS (SELECT user_id, ms,
          |        CASE WHEN lag(ms) OVER w IS NULL
-         |               OR ms - lag(ms) OVER w >= 7200000 THEN 1 ELSE 0 END AS brk
+         |               OR ms - lag(ms) OVER w > 7200000 THEN 1 ELSE 0 END AS brk
          |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
          |s AS (SELECT user_id, ms, SUM(brk) OVER (
          |        PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM g)
@@ -6209,6 +6234,25 @@ object SparkEntry {
         |             * 1000000) / 1000000
         |  END AS z
         |FROM t""".stripMargin,
+
+    // the same trunc6'd interpolated percentiles per cohort, differenced
+    // (identical doubles both sides, so the differences are identical)
+    "q_qte" ->
+      s"""WITH s AS (SELECT floor(value * 100)::BIGINT AS c,
+         |        user_id % 2 = 0 AS tr
+         |      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         |pr AS (SELECT tr, count(*)::BIGINT AS n,
+         |        floor(quantile_cont(c, 0.1) * 1000000) / 1000000 AS p10,
+         |        floor(quantile_cont(c, 0.25) * 1000000) / 1000000 AS p25,
+         |        floor(quantile_cont(c, 0.5) * 1000000) / 1000000 AS p50,
+         |        floor(quantile_cont(c, 0.75) * 1000000) / 1000000 AS p75,
+         |        floor(quantile_cont(c, 0.9) * 1000000) / 1000000 AS p90
+         |      FROM s GROUP BY 1)
+         |SELECT t.n AS n_t, c.n AS n_c,
+         |  t.p10 - c.p10 AS qte_p10, t.p25 - c.p25 AS qte_p25,
+         |  t.p50 - c.p50 AS qte_p50, t.p75 - c.p75 AS qte_p75,
+         |  t.p90 - c.p90 AS qte_p90
+         |FROM pr t, pr c WHERE t.tr AND NOT c.tr""".stripMargin,
 
     // the four-cell conditional-moment pass and the identical fixed
     // chains (means, per-cell s²/n, did, sqrt-se, z)

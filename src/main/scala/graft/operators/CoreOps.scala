@@ -730,8 +730,9 @@ object CoreOps {
     * window ordering, so Catalyst evaluates both in a single WindowExec
     * pass. Boundary contract: a silence STRICTLY greater than gapMs splits
     * (an event exactly gapMs after its predecessor stays in-session) —
-    * note this differs from session_window's half-open [start, start+gap)
-    * by that one boundary instant. */
+    * the SAME boundary session_window implements: touching windows merge
+    * (probed: two events exactly gap apart form ONE session), so the two
+    * operators agree event-for-event at every spacing. */
   def sessionize(df: DataFrame, key: String, ts: String, tiebreak: String,
                  gapMs: Long): DataFrame = {
     require(gapMs > 0, s"gapMs must be positive, got $gapMs")
@@ -1706,7 +1707,9 @@ object CoreOps {
     * (chapter3/WindowOperations.java:124-138; semantics
     * chapter3/About Windowing.md:15-19): a session closes when the key sees no
     * event for `gap`. Uses Spark's native session_window (state-store merge of
-    * overlapping sessions in streaming; sort-based merge in batch). Output
+    * overlapping sessions in streaming; sort-based merge in batch —
+    * TOUCHING windows merge too, so an event exactly `gap` after its
+    * predecessor stays in-session, the sessionize convention). Output
     * reports min/max event time rather than the [start, last+gap) window struct
     * so results are engine-convention independent. */
   def sessionSummary(df: DataFrame, key: String, ts: String, gap: String): DataFrame =

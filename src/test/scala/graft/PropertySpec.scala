@@ -28,7 +28,8 @@ class PropertySpec extends SparkSpec {
     })
   }
 
-  test("property: session count per key equals 1 + number of gaps >= gap") {
+  test("property: session count per key equals 1 + number of gaps > gap " +
+      "(touching windows MERGE — probed, not assumed)") {
     val gapMs = 5000L
     check(Prop.forAll(eventsGen) { rows =>
       val df = rows.toDF("event_id", "ms")
@@ -36,9 +37,18 @@ class PropertySpec extends SparkSpec {
         .withColumn("user_id", lit(1L))
       val sessions = CoreOps.sessionSummary(df, "user_id", "ts", "5 seconds").count()
       val sorted = rows.map(_._2).sorted
-      val expected = 1 + sorted.zip(sorted.tail).count { case (a, b) => b - a >= gapMs }
+      // STRICT >: session_window merges touching windows, so an event
+      // exactly gap after its predecessor stays in-session (a ScalaCheck
+      // run found the >= counterexample at spacing exactly 5000)
+      val expected = 1 + sorted.zip(sorted.tail).count { case (a, b) => b - a > gapMs }
       sessions == expected
     })
+    // the exact-boundary regression pinned deterministically
+    val boundary = Seq((1L, 0L), (2L, gapMs)).toDF("event_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withColumn("user_id", lit(1L))
+    assert(CoreOps.sessionSummary(boundary, "user_id", "ts", "5 seconds")
+      .count() == 1L)
   }
 
   test("property: window join size = sum over (key, bucket) of |L| * |R|") {
