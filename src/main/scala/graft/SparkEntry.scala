@@ -2837,6 +2837,14 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("img",
           Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
         "doc_id", "img", 8, 2)),
+    // audio-style per-frame energy over the same binary payloads: 8-byte
+    // frames of unsigned samples, integer Σ|b−128| energy + a silence
+    // flag — REAL byte math on the binary column, replayed hex-for-hex
+    "q_audio_energy" -> ((s, dir) =>
+      Multimodal.energyProfile(
+        Tables.documents(s, dir).withColumn("img",
+          Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
+        "doc_id", "img", 8, 64)),
     // the modality-mix curation stat: per (source, container format)
     // exact counts + within-source share — what a mixture-weight
     // decision reads on a multimodal corpus
@@ -7606,6 +7614,28 @@ object SparkEntry {
          |  list_sum([('0x' || substr(h, 2*i+1, 2))::BIGINT
          |            for i in range(0, (length(h) / 2)::INT)])::BIGINT AS byte_sum
          |FROM hx""".stripMargin,
+
+    // 8-byte frames over the whole payload; Σ|b−128| replayed byte by
+    // byte on the hex text, silence = energy < n_bytes·threshold
+    "q_audio_energy" ->
+      s"""WITH hx AS (SELECT doc_id,
+         |        upper(md5(text) || substr(md5(text || 'x'), 1, ((doc_id % 3) * 8)::INT)) AS h
+         |      FROM documents),
+         |nf AS (SELECT doc_id, h, (length(h) / 2)::BIGINT AS nb FROM hx
+         |       WHERE length(h) > 0),
+         |fr AS (SELECT doc_id, h, nb,
+         |         unnest(range(0, ceil(nb / 8.0)::BIGINT)) AS frame_idx
+         |       FROM nf),
+         |en AS (SELECT doc_id, frame_idx,
+         |         LEAST(8, nb - frame_idx * 8)::BIGINT AS n_bytes,
+         |         list_sum([abs(('0x' || substr(h,
+         |             ((frame_idx * 8 + i) * 2 + 1)::INT, 2))::BIGINT - 128)
+         |           for i in range(0, LEAST(8, nb - frame_idx * 8)::INT)]
+         |         )::BIGINT AS energy_sum
+         |       FROM fr)
+         |SELECT doc_id, frame_idx, n_bytes, energy_sum,
+         |  energy_sum < n_bytes * 64 AS silent
+         |FROM en""".stripMargin,
 
     // every 2nd 8-byte frame; the oracle slices the hex text (16 hex chars
     // per frame) exactly where Spark slices the binary

