@@ -2845,6 +2845,24 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("img",
           Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
         "doc_id", "img", 8, 64)),
+    // cut the dead air: per payload, first/last non-silent frame and the
+    // kept range — all-silent clips emit NULL bounds, kept 0
+    "q_audio_trim" -> ((s, dir) =>
+      Multimodal.silenceTrim(
+        Multimodal.energyProfile(
+          Tables.documents(s, dir).withColumn("img",
+            Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
+          "doc_id", "img", 8, 64),
+        "doc_id")),
+    // shot-boundary first-difference detector: full frames whose energy
+    // jumps > 200 against the previous frame
+    "q_scene_changes" -> ((s, dir) =>
+      Multimodal.sceneChanges(
+        Multimodal.energyProfile(
+          Tables.documents(s, dir).withColumn("img",
+            Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
+          "doc_id", "img", 8, 64),
+        "doc_id", 8, 200L)),
     // the modality-mix curation stat: per (source, container format)
     // exact counts + within-source share — what a mixture-weight
     // decision reads on a multimodal corpus
@@ -7636,6 +7654,64 @@ object SparkEntry {
          |SELECT doc_id, frame_idx, n_bytes, energy_sum,
          |  energy_sum < n_bytes * 64 AS silent
          |FROM en""".stripMargin,
+
+    // the energy CTE re-aggregated per payload; trim bounds over the
+    // non-silent frames, COALESCE 0 for all-silent clips
+    "q_audio_trim" ->
+      s"""WITH hx AS (SELECT doc_id,
+         |        upper(md5(text) || substr(md5(text || 'x'), 1, ((doc_id % 3) * 8)::INT)) AS h
+         |      FROM documents),
+         |nf AS (SELECT doc_id, h, (length(h) / 2)::BIGINT AS nb FROM hx
+         |       WHERE length(h) > 0),
+         |fr AS (SELECT doc_id, h, nb,
+         |         unnest(range(0, ceil(nb / 8.0)::BIGINT)) AS frame_idx
+         |       FROM nf),
+         |en AS (SELECT doc_id, frame_idx,
+         |         LEAST(8, nb - frame_idx * 8)::BIGINT AS n_bytes,
+         |         list_sum([abs(('0x' || substr(h,
+         |             ((frame_idx * 8 + i) * 2 + 1)::INT, 2))::BIGINT - 128)
+         |           for i in range(0, LEAST(8, nb - frame_idx * 8)::INT)]
+         |         )::BIGINT AS energy_sum
+         |       FROM fr)
+         |SELECT doc_id, count(*)::BIGINT AS n_frames,
+         |  sum(CASE WHEN energy_sum < n_bytes * 64 THEN 1 ELSE 0
+         |      END)::BIGINT AS n_silent,
+         |  min(CASE WHEN energy_sum >= n_bytes * 64 THEN frame_idx
+         |      END)::BIGINT AS first_loud,
+         |  max(CASE WHEN energy_sum >= n_bytes * 64 THEN frame_idx
+         |      END)::BIGINT AS last_loud,
+         |  COALESCE(max(CASE WHEN energy_sum >= n_bytes * 64 THEN frame_idx END)
+         |    - min(CASE WHEN energy_sum >= n_bytes * 64 THEN frame_idx END)
+         |    + 1, 0)::BIGINT AS kept_frames
+         |FROM en GROUP BY 1""".stripMargin,
+
+    // full frames only; lag over the per-payload frame order, count
+    // first-difference jumps past the threshold
+    "q_scene_changes" ->
+      s"""WITH hx AS (SELECT doc_id,
+         |        upper(md5(text) || substr(md5(text || 'x'), 1, ((doc_id % 3) * 8)::INT)) AS h
+         |      FROM documents),
+         |nf AS (SELECT doc_id, h, (length(h) / 2)::BIGINT AS nb FROM hx
+         |       WHERE length(h) > 0),
+         |fr AS (SELECT doc_id, h, nb,
+         |         unnest(range(0, ceil(nb / 8.0)::BIGINT)) AS frame_idx
+         |       FROM nf),
+         |en AS (SELECT doc_id, frame_idx,
+         |         LEAST(8, nb - frame_idx * 8)::BIGINT AS n_bytes,
+         |         list_sum([abs(('0x' || substr(h,
+         |             ((frame_idx * 8 + i) * 2 + 1)::INT, 2))::BIGINT - 128)
+         |           for i in range(0, LEAST(8, nb - frame_idx * 8)::INT)]
+         |         )::BIGINT AS energy_sum
+         |       FROM fr),
+         |fl AS (SELECT doc_id, frame_idx, energy_sum,
+         |         lag(energy_sum) OVER (PARTITION BY doc_id
+         |           ORDER BY frame_idx) AS prev
+         |       FROM en WHERE n_bytes = 8)
+         |SELECT doc_id, count(*)::BIGINT AS n_frames,
+         |  sum(CASE WHEN prev IS NOT NULL
+         |             AND abs(energy_sum - prev) > 200 THEN 1 ELSE 0
+         |      END)::BIGINT AS n_changes
+         |FROM fl GROUP BY 1""".stripMargin,
 
     // every 2nd 8-byte frame; the oracle slices the hex text (16 hex chars
     // per frame) exactly where Spark slices the binary

@@ -146,6 +146,43 @@ object Multimodal {
         (energy < len * silenceThreshold.toLong).as("silent"))
   }
 
+  /** Per-payload silence-trim manifest over an energyProfile frame table
+    * — "cut the dead air": first/last non-silent frame, the kept range,
+    * and how much trimming saves. One grouped agg PARTITIONED by id over
+    * the bounded frame fan-out; all-silent payloads emit NULL trim
+    * bounds with kept_frames 0 (drop the clip, don't fabricate a range).
+    * Emits (id, n_frames, n_silent, first_loud, last_loud,
+    * kept_frames). */
+  def silenceTrim(frames: DataFrame, id: String): DataFrame =
+    frames.groupBy(col(id))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+        min(when(!col("silent"), col("frame_idx"))).as("first_loud"),
+        max(when(!col("silent"), col("frame_idx"))).as("last_loud"))
+      .withColumn("kept_frames",
+        coalesce(col("last_loud") - col("first_loud") + 1L, lit(0L)))
+
+  /** Scene/segment-change count per payload — frames whose energy jumps
+    * by more than `jumpThreshold` against the PREVIOUS frame (the
+    * first-difference detector every shot-boundary pipeline starts
+    * from). The lag window is PARTITIONED by id over the bounded frame
+    * fan-out; only full-size frames compare (a short trailing frame
+    * would fake a drop). Emits (id, n_frames, n_changes). */
+  def sceneChanges(frames: DataFrame, id: String, frameBytes: Int,
+                   jumpThreshold: Long): DataFrame = {
+    require(jumpThreshold > 0,
+      s"jumpThreshold must be positive, got $jumpThreshold")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+      .orderBy(col("frame_idx"))
+    val full = frames.filter(col("n_bytes") === frameBytes.toLong)
+    full.withColumn("_prev", lag(col("energy_sum"), 1).over(w))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("_prev").isNotNull &&
+          abs(col("energy_sum") - col("_prev")) > jumpThreshold, 1L)
+          .otherwise(0L)).as("n_changes"))
+  }
+
   /** Image near-dup candidate pairs by Hamming-LSH banding over the
     * dHash signature — the q_simhash_jaccard pipeline on the binary
     * column: 3 × 20-bit bands (a shared band ⇒ candidate; by pigeonhole

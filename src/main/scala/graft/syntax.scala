@@ -566,5 +566,13 @@ object syntax {
                     profiles: Map[String, Seq[String]], window: Int,
                     stride: Int): DataFrame =
       TextOps.langMixture(df, id, text, profiles, window, stride)
+    def energyProfile(id: String, bin: String, frameBytes: Int,
+                      silenceThreshold: Int): DataFrame =
+      Multimodal.energyProfile(df, id, bin, frameBytes, silenceThreshold)
+    def silenceTrim(id: String): DataFrame =
+      Multimodal.silenceTrim(df, id)
+    def sceneChanges(id: String, frameBytes: Int,
+                     jumpThreshold: Long): DataFrame =
+      Multimodal.sceneChanges(df, id, frameBytes, jumpThreshold)
   }
 }
