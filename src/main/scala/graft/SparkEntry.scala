@@ -954,6 +954,14 @@ object SparkEntry {
         emb.filter(pmod(col("vec_id"), lit(10)) === 0),
         "vec_id", "embedding", "label", 10)
     }),
+    // exact-k weighted draw WITHOUT replacement (Efraimidis-Spirakis on
+    // md5 uniforms): length-weighted 50-doc sample, reproducible on any
+    // engine and stable under corpus growth
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSampleK(
+        Tables.documents(s, dir).filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", 50)),
     // the per-source data card: one row per source with the numbers a
     // release card quotes — counts, language breadth, mean length, exact
     // duplication rate, corpus-level stopword ratio. Pure composition of
@@ -4448,6 +4456,20 @@ object SparkEntry {
     // three unrolled greedy steps over the 8-deep pool; λ = 1/2 as the
     // identical fixed double chain
     "q_mmr" -> mmrOracleSql("vec_id < 4", 8, 3),
+
+    // the A-Res quantized key replayed: L = qlog(2^32) − qlog(h+1),
+    // key = (L·1e6) // w, smallest-k with id tiebreak
+    "q_weighted_sample" ->
+      s"""WITH s AS (SELECT doc_id, n_chars,
+         |        ${sqlMd5Int("doc_id::VARCHAR || 'wsk'")} AS h
+         |      FROM documents WHERE n_chars > 0),
+         |k AS (SELECT doc_id, n_chars,
+         |        ((floor(ln((4294967296)::DOUBLE) * 1000000)::BIGINT
+         |          - floor(ln((h + 1)::DOUBLE) * 1000000)::BIGINT)
+         |         * 1000000) // n_chars AS es_key
+         |      FROM s)
+         |SELECT doc_id, n_chars, es_key FROM k
+         |ORDER BY es_key, doc_id LIMIT 50""".stripMargin,
 
     // three grouped passes joined on source; every ratio one floored
     // division of exact integer sums

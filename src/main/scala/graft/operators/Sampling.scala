@@ -63,6 +63,46 @@ object Sampling {
     df.filter(keyHash(col(id), salt).cast("double") <
       rate.cast("double") * lit(4294967296.0))
 
+  /** Exact-k weighted sampling WITHOUT replacement — Efraimidis-Spirakis
+    * A-Res (public, Inf. Proc. Letters 2006) with md5 uniforms: each row
+    * draws u = (md5(id‖salt)+1)/2³², and the k rows with the largest
+    * u^(1/w) win — heavier weights win more often, no row twice, and the
+    * draw is a pure function of (id, salt): engine-reproducible where
+    * seeded RNG never is, and stable under corpus growth (a new row can
+    * displace at most one incumbent). hashSampleWeighted keeps an
+    * EXPECTED fraction; this draws an EXACT count.
+    *
+    * Ranking: maximizing u^(1/w) ⟺ minimizing (−ln u)/w. −ln u enters as
+    * the exact BIGINT L = qlog(2³²) − qlog(h+1) (floor-of-ln quantized at
+    * 10⁻⁶, the InfoTheory contract), and the sort key is the quantized
+    * integer (L·10⁶) div w with id as tiebreak — deterministic on both
+    * engines; the emitted ranking is DEFINED as this quantized-key
+    * algorithm. Weights must be positive integers (fail-loud guard, the
+    * weightedMedian convention). TakeOrderedAndProject — never a global
+    * sort. Emits the k winners (id, weight, es_key). */
+  def weightedSampleK(df: DataFrame, id: String, weight: String, k: Int,
+                      salt: String = "wsk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("es_key"),
+      "weightedSampleK emits an 'es_key' column; rename the input's first")
+    val guard = assert_true(col(weight) > 0,
+      concat(lit("weightedSampleK: non-positive weight (an upstream data " +
+        "bug — a zero weight can never win and a negative one inverts " +
+        "the ranking); got "), col(weight).cast("string")))
+    require(!df.columns.contains("_es_l"),
+      "weightedSampleK uses an internal '_es_l' column; rename the input's")
+    val h = keyHash(col(id), salt)
+    val lScaled = (floor(log(lit(4294967296.0)) * 1000000d)
+      - floor(log((h + 1L).cast("double")) * 1000000d)).cast("long")
+    df.filter(col(weight).isNotNull).filter(guard.isNull)
+      .withColumn("_es_l", lScaled)
+      .withColumn("es_key",
+        expr(s"(_es_l * CAST(1000000 AS BIGINT)) div $weight"))
+      .select(col(id), col(weight).cast("long").as(weight), col("es_key"))
+      .orderBy(col("es_key"), col(id))
+      .limit(k)
+  }
+
   /** Per-stratum keep rates — the data-mixture rebalancing step of a corpus
     * pipeline (e.g. downsample the dominant language, keep the rest whole).
     * `rates` maps stratum values to keep-rates; unlisted strata keep

@@ -574,5 +574,8 @@ object syntax {
     def sceneChanges(id: String, frameBytes: Int,
                      jumpThreshold: Long): DataFrame =
       Multimodal.sceneChanges(df, id, frameBytes, jumpThreshold)
+    def weightedSampleK(id: String, weight: String, k: Int,
+                        salt: String = "wsk"): DataFrame =
+      Sampling.weightedSampleK(df, id, weight, k, salt)
   }
 }

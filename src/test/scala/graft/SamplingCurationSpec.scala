@@ -357,6 +357,29 @@ class SamplingCurationSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2))
   }
 
+  test("weightedSampleK: deterministic exact-k draw; raising a weight " +
+      "never worsens a row's key; non-positive weights fail loud") {
+    val df = (1L to 40L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val a = Sampling.weightedSampleK(df, "id", "w", 10).collect()
+    val b = Sampling.weightedSampleK(df, "id", "w", 10).collect()
+    assert(a.toSeq == b.toSeq) // pure function of (id, salt)
+    assert(a.length == 10 && a.map(_.getLong(0)).distinct.length == 10)
+    // keys ascend in emission order (smallest-key winners)
+    assert(a.map(_.getLong(2)).toSeq == a.map(_.getLong(2)).toSeq.sorted)
+    // weight monotonicity: doubling every weight halves-or-better the key
+    val doubled = Sampling.weightedSampleK(
+      df.withColumn("w", col("w") * 2L), "id", "w", 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val base = Sampling.weightedSampleK(df, "id", "w", 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(base.forall { case (id, k) => doubled(id) <= k })
+    val e = intercept[Exception] {
+      Sampling.weightedSampleK(
+        Seq((1L, 0L)).toDF("id", "w"), "id", "w", 1).collect()
+    }
+    assert(e.getMessage.contains("weightedSampleK"))
+  }
+
   test("tClosenessClasses: classes matching the global mix score 0, " +
       "skewed classes the exact hand TVD; NULL sensitive drops") {
     // A: {x:3, y:1}, B: {x:1, y:3} → global {x:4, y:4}
