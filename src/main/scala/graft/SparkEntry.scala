@@ -1970,6 +1970,15 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       CoreOps.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
         "event_id", "event_type")),
+    // how predictable is the NEXT event? — conditional entropy over the
+    // same transition cells via the join-free per-row identity; low =
+    // deterministic journeys, ln(K)-ish = anyone's guess
+    "q_transition_entropy" -> ((s, dir) =>
+      InfoTheory.conditionalEntropy(
+        CoreOps.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
+          "event_id", "event_type")
+          .select(col("from_state"), col("n")),
+        "from_state", "n")),
     // within-session conversion funnel: sessionize assigns the session
     // id, then the funnel chain runs keyed by (user, session) — a
     // conversion cannot span a silence gap
@@ -5891,6 +5900,32 @@ object SparkEntry {
 
     // lag window with the same (epoch-ms, event_id) tie order; trunc6 ratio
     "q_transitions" -> transitionsOracle,
+    // the same cell counts through H·N = Σ r·qlog(r) − Σ c·qlog(c)
+    "q_transition_entropy" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_ms(ts), event_id) AS prev
+        |      FROM events
+        |      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |        AND user_id IS NOT NULL),
+        |c AS (SELECT prev AS f, event_type AS t, count(*)::BIGINT AS n
+        |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT f, sum(n)::BIGINT AS rr, count(*)::BIGINT AS k,
+        |        sum(n * floor(ln(n::DOUBLE) * 1000000)::BIGINT)::HUGEINT
+        |          AS ct
+        |      FROM c GROUP BY 1),
+        |g AS (SELECT coalesce(sum(rr), 0)::BIGINT AS n_transitions,
+        |        count(*)::BIGINT AS n_from_states,
+        |        coalesce(sum(k), 0)::BIGINT AS n_cells,
+        |        coalesce(sum(rr::HUGEINT
+        |            * floor(ln(rr::DOUBLE) * 1000000)::BIGINT - ct),
+        |          0)::BIGINT AS h_scaled
+        |      FROM r)
+        |SELECT n_transitions, n_from_states, n_cells, h_scaled,
+        |  CASE WHEN n_transitions > 0 THEN
+        |    h_scaled::DOUBLE / (n_transitions::DOUBLE * 1000000)
+        |  END AS h
+        |FROM g""".stripMargin,
     // the state machine must emit the SAME pair multiset → same oracle
     "q_transitions_stream" -> transitionsOracle,
     // the sessionize island scan feeding the funnel chain keyed by

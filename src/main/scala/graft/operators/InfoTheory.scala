@@ -549,6 +549,44 @@ object InfoTheory {
       .select(col("n_categories"), col("n_p"), col("n_q"),
         col("iv_scaled").as("psi_scaled"), col("iv").as("psi"))
 
+  /** Conditional entropy H(to | from) in nats from a transition-count
+    * cell table — "how predictable is the NEXT event given the current
+    * one", the one-number sequel to transitionMatrix (a low value means
+    * journeys are deterministic and a Markov feature will carry signal;
+    * ln(K)-ish means the next step is anyone's guess). Uses the join-free
+    * per-row entropy identity summed over rows:
+    * H·N = Σ_i [rᵢ·qlog(rᵢ) − Σ_j cᵢⱼ·qlog(cᵢⱼ)] — exact BIGINT terms,
+    * decimal sums, ONE double division out. Shape: one (from, to) cell
+    * frame in (the caller aggregates it — transitionMatrix's `counts`
+    * shape), one keyed agg + one global fold here. NULL cells drop;
+    * empty input emits n_transitions 0 with h NULL. Emits ONE row
+    * (n_transitions, n_from_states, n_cells, h_scaled, h). */
+  def conditionalEntropy(cells: DataFrame, fromCol: String,
+                         nCol: String): DataFrame = {
+    val emitted = Seq("n_transitions", "n_from_states", "n_cells",
+      "h_scaled", "h", "_r", "_rt", "_ct", "_k")
+    require(!emitted.contains(fromCol) && !emitted.contains(nCol),
+      s"conditionalEntropy emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
+    cells.filter(col(fromCol).isNotNull && col(nCol).isNotNull)
+      .groupBy(col(fromCol))
+      .agg(sum(col(nCol)).as("_r"), count(lit(1)).as("_k"),
+        sum(dec(col(nCol) * qlog(col(nCol)))).as("_ct"))
+      .select(col("_r"), col("_k"),
+        (dec(col("_r")) * qlog(col("_r")) - col("_ct")).as("_rt"))
+      .agg(coalesce(sum(col("_r")), lit(0L)).as("n_transitions"),
+        count(lit(1)).as("n_from_states"),
+        coalesce(sum(col("_k")), lit(0L)).as("n_cells"),
+        coalesce(sum(col("_rt")), dec(lit(0L))).cast("long")
+          .as("h_scaled"))
+      .select(col("n_transitions"), col("n_from_states"), col("n_cells"),
+        col("h_scaled"),
+        when(col("n_transitions") > 0L,
+          col("h_scaled").cast("double")
+            / (col("n_transitions").cast("double") * LogScale.toDouble))
+          .as("h"))
+  }
+
   /** The two quantized Jensen-Shannon partial sums, shared by the global
     * and by-group forms. P-side term (zero when cᵖᵢ = 0, the exact JSD
     * convention — 0·ln 0 = 0, NO smoothing needed because the mixture

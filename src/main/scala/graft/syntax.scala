@@ -577,5 +577,7 @@ object syntax {
     def weightedSampleK(id: String, weight: String, k: Int,
                         salt: String = "wsk"): DataFrame =
       Sampling.weightedSampleK(df, id, weight, k, salt)
+    def conditionalEntropy(fromCol: String, nCol: String): DataFrame =
+      InfoTheory.conditionalEntropy(df, fromCol, nCol)
   }
 }

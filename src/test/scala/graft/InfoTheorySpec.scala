@@ -315,6 +315,26 @@ class InfoTheorySpec extends SparkSpec {
     assert(jsd(Seq("x"), Seq.empty).isNullAt(5))
   }
 
+  test("conditionalEntropy: deterministic transitions score exactly 0; " +
+      "the hand fold matches; empty input emits NULL h") {
+    // a→x always, b→{y, z} evenly
+    val cells = Seq(("a", 4L), ("b", 1L), ("b", 1L))
+      .toDF("f", "n") // the (from, n) projection of a cell table
+    val out = InfoTheory.conditionalEntropy(cells, "f", "n").head()
+    assert(out.getLong(0) == 6L && out.getLong(1) == 2L
+      && out.getLong(2) == 3L)
+    // a-row: 4·qlog(4) − 4·qlog(4) = 0; b-row: 2·qlog(2) − 2·qlog(1)
+    val expected = 2L * qlog(2) - 2L * qlog(1)
+    assert(out.getLong(3) == expected)
+    assert(out.getDouble(4) == expected.toDouble / (6d * 1e6))
+    val det = Seq(("a", 5L), ("b", 3L)).toDF("f", "n")
+    assert(InfoTheory.conditionalEntropy(det, "f", "n")
+      .head().getLong(3) == 0L)
+    val empty = Seq.empty[(String, Long)].toDF("f", "n")
+    val e = InfoTheory.conditionalEntropy(empty, "f", "n").head()
+    assert(e.getLong(0) == 0L && e.isNullAt(4))
+  }
+
   test("jsdFromCounts with a literal reference == jsDivergence on the " +
       "same two sides (one aggregation vs the two-sided count shuffle)") {
     val pSide = Seq("x", "x", "x", "y")
