@@ -1490,6 +1490,29 @@ object SparkEntry {
         TextOps.tokenStats(Tables.documents(s, dir), "doc_id", "text")
           .select(col("doc_id"), col("n_tokens")),
         "doc_id", "n_tokens", Seq(40L, 70L), 16)),
+    // what the length bucketing actually SAVES: per bucket, padded
+    // tokens at each batch's own max vs the docs' real tokens — the
+    // waste ratio a fixed-shape training step pays; pure composition
+    // over the same batch assignment
+    "q_padding_waste" -> ((s, dir) =>
+      Curation.batchByLength(
+          TextOps.tokenStats(Tables.documents(s, dir), "doc_id", "text")
+            .select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", Seq(40L, 70L), 16)
+        .groupBy(col("bucket"), col("batch"))
+        .agg(count(lit(1)).as("_cnt"), max(col("n_tokens")).as("_bmax"),
+          sum(col("n_tokens")).as("_tok"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("_cnt")).as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("_tok")).as("total_tokens"),
+          sum(col("_cnt") * col("_bmax")).as("padded_tokens"))
+        .select(col("bucket").cast("long").as("bucket"), col("n_docs"),
+          col("n_batches"), col("total_tokens"), col("padded_tokens"),
+          when(col("padded_tokens") > 0L,
+            floor((col("padded_tokens") - col("total_tokens")).cast("double")
+              / col("padded_tokens").cast("double") * 1000000d) / 1000000d)
+            .as("waste_ratio"))),
     // concat-and-chunk sequence packing: the corpus as one doc_id-ordered
     // token stream sliced into 512-token training examples — each doc's
     // pack range and in-pack offset from ONE distributed prefix scan plus
@@ -5024,6 +5047,30 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, bucket,
          |  (rn // 16)::BIGINT AS batch, (rn % 16)::BIGINT AS batch_pos
          |FROM r""".stripMargin,
+
+    // the q_batch_length assignment re-aggregated: padded = Σ cnt·bmax
+    // per batch, waste one floored division per bucket
+    "q_padding_waste" ->
+      s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        (CASE WHEN n_tokens < 40 THEN 0
+         |              WHEN n_tokens < 70 THEN 1 ELSE 2 END)::INTEGER AS bucket FROM t),
+         |r AS (SELECT doc_id, n_tokens, bucket,
+         |        row_number() OVER (PARTITION BY bucket
+         |                           ORDER BY n_tokens, doc_id) - 1 AS rn FROM c),
+         |b AS (SELECT bucket, (rn // 16)::BIGINT AS batch,
+         |        count(*)::BIGINT AS cnt, max(n_tokens)::BIGINT AS bmax,
+         |        sum(n_tokens)::BIGINT AS tok
+         |      FROM r GROUP BY 1, 2)
+         |SELECT bucket::BIGINT AS bucket, sum(cnt)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_batches,
+         |  sum(tok)::BIGINT AS total_tokens,
+         |  sum(cnt * bmax)::BIGINT AS padded_tokens,
+         |  CASE WHEN sum(cnt * bmax) > 0 THEN
+         |    floor((sum(cnt * bmax) - sum(tok))::DOUBLE
+         |      / sum(cnt * bmax) * 1000000) / 1000000
+         |  END AS waste_ratio
+         |FROM b GROUP BY 1""".stripMargin,
 
     // pure integer arithmetic end to end: the window sum, the floor
     // divisions and the modulo are exact on both engines by construction
