@@ -1883,6 +1883,17 @@ object SparkEntry {
     "q_t_closeness" -> ((s, dir) =>
       Curation.tClosenessClasses(quasiCut(s, dir),
         Seq("day", "spend_bucket"), "event_type", 0.2)),
+    // which event type's spend distribution moved, and how far in cents
+    // — the fully-partitioned per-group W1 (group-keyed windows only)
+    "q_wasserstein_by_type" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      CoreOps.wassersteinByGroup(
+        ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        ev.filter(pmod(col("user_id"), lit(2)) === 1),
+        "event_type", "cents")
+    }),
     // earth-mover drift of the spend distribution between the even/odd
     // user cohorts — KS's metric-space sibling: how FAR did the mass
     // move, in cents; the same bucketed prefix scan plus a rank self-
@@ -5721,6 +5732,45 @@ object SparkEntry {
          |    / (2 * n::DOUBLE * nn::DOUBLE) * 1000000) / 1000000 > 0.2
          |    AS risky
          |FROM agg""".stripMargin,
+
+    // per-type W1: the same integrand with every window keyed by the
+    // group — cumulatives, lead, and totals all partitioned
+    "q_wasserstein_by_type" ->
+      """WITH av AS (SELECT event_type, floor(value * 100)::BIGINT AS v
+        |      FROM events
+        |      WHERE user_id % 2 = 0 AND value IS NOT NULL
+        |        AND event_type IS NOT NULL),
+        |bv AS (SELECT event_type, floor(value * 100)::BIGINT AS v
+        |      FROM events
+        |      WHERE user_id % 2 = 1 AND value IS NOT NULL
+        |        AND event_type IS NOT NULL),
+        |ca AS (SELECT event_type, v, count(*)::BIGINT AS ca
+        |       FROM av GROUP BY 1, 2),
+        |cb AS (SELECT event_type, v, count(*)::BIGINT AS cb
+        |       FROM bv GROUP BY 1, 2),
+        |m AS (SELECT event_type, v, coalesce(ca, 0)::BIGINT AS ca,
+        |        coalesce(cb, 0)::BIGINT AS cb
+        |      FROM ca FULL OUTER JOIN cb USING (event_type, v)),
+        |p AS (SELECT event_type,
+        |        sum(ca) OVER wc::BIGINT AS cca,
+        |        sum(cb) OVER wc::BIGINT AS ccb,
+        |        lead(v) OVER (PARTITION BY event_type ORDER BY v) AS vn,
+        |        v,
+        |        sum(ca) OVER wa::BIGINT AS n_a,
+        |        sum(cb) OVER wa::BIGINT AS n_b
+        |      FROM m
+        |      WINDOW wc AS (PARTITION BY event_type ORDER BY v
+        |                    ROWS UNBOUNDED PRECEDING),
+        |             wa AS (PARTITION BY event_type))
+        |SELECT event_type, n_a, n_b,
+        |  sum(abs(cca::HUGEINT * n_b - ccb::HUGEINT * n_a)
+        |      * coalesce(vn - v, 0)::HUGEINT)::DOUBLE AS w1_num,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    floor(sum(abs(cca::HUGEINT * n_b - ccb::HUGEINT * n_a)
+        |        * coalesce(vn - v, 0)::HUGEINT)::DOUBLE
+        |      / (n_a::HUGEINT * n_b::HUGEINT)::DOUBLE * 1000000) / 1000000
+        |  END AS w1
+        |FROM p GROUP BY 1, 2, 3""".stripMargin,
 
     // the q_ks_shift prefix-scan chain + a rank self-join for grid gaps;
     // the integrand |cca·n_b − ccb·n_a|·gap summed exactly

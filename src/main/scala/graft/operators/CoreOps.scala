@@ -3052,6 +3052,60 @@ object CoreOps {
           .as("ks"))
   }
 
+  /** wassersteinDistance computed PER GROUP in one plan — which segment's
+    * distribution moved, and HOW FAR in the value's own units (the
+    * ksStatisticByGroup pattern with the W₁ integrand). Where the global
+    * form needs bucketed prefix scans and a rank self-join, the grouped
+    * form is fully PARTITIONED: cumulatives, totals, AND the next-value
+    * lead all ride group-keyed windows over the per-group distinct-value
+    * grid. Same exact decimal integrand |cca·n_b − ccb·n_a|·gap and
+    * trunc6'd division as the global form; groups missing from one side
+    * emit NULL w1. Emits (group, n_a, n_b, w1_num, w1). */
+  def wassersteinByGroup(a: DataFrame, b: DataFrame, group: String,
+                         value: String): DataFrame = {
+    Seq("a" -> a, "b" -> b).foreach { case (side, df) =>
+      require(integralTypes.contains(df.schema(value).dataType),
+        s"wassersteinByGroup ranks '$value' on an exact integer grid; " +
+          s"side $side has ${df.schema(value).dataType} — scale to int64 " +
+          "first")
+    }
+    val emitted = Seq("n_a", "n_b", "w1_num", "w1",
+      "_v", "_ca", "_cb", "_cca", "_ccb", "_vn", "_w")
+    require(!emitted.contains(group),
+      s"wassersteinByGroup emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
+    def cnt(df: DataFrame, out: String) =
+      df.filter(col(value).isNotNull && col(group).isNotNull)
+        .groupBy(col(group), col(value).cast("long").as("_v"))
+        .agg(count(lit(1)).as(out))
+    val m = cnt(a, "_ca").join(cnt(b, "_cb"), Seq(group, "_v"), "full_outer")
+      .select(col(group), col("_v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val wCum = Window.partitionBy(col(group)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col(group)).orderBy(col("_v"))
+    val wAll = Window.partitionBy(col(group))
+    val dec = "decimal(38,0)"
+    val p = m
+      .withColumn("_cca", sum(col("_ca")).over(wCum))
+      .withColumn("_ccb", sum(col("_cb")).over(wCum))
+      .withColumn("_vn", lead(col("_v"), 1).over(wLead))
+      .withColumn("n_a", sum(col("_ca")).over(wAll))
+      .withColumn("n_b", sum(col("_cb")).over(wAll))
+    val term = abs(col("_cca").cast(dec) * col("n_b").cast(dec)
+        - col("_ccb").cast(dec) * col("n_a").cast(dec)) *
+      coalesce(col("_vn") - col("_v"), lit(0L)).cast(dec)
+    p.groupBy(col(group), col("n_a"), col("n_b"))
+      .agg(sum(term).as("_w"))
+      .select(col(group), col("n_a"), col("n_b"),
+        col("_w").cast("double").as("w1_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(col("_w").cast("double")
+            / (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double")
+            * 1000000d) / 1000000d)
+          .as("w1"))
+  }
+
   /** rankSumAuc computed PER GROUP in one plan — the grouped companion of
     * ksStatisticByGroup, same fully-PARTITIONED shape (cumulatives and
     * totals from group-keyed windows, zero driver participation) with the

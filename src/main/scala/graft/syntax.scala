@@ -579,5 +579,8 @@ object syntax {
       Sampling.weightedSampleK(df, id, weight, k, salt)
     def conditionalEntropy(fromCol: String, nCol: String): DataFrame =
       InfoTheory.conditionalEntropy(df, fromCol, nCol)
+    def wassersteinByGroup(other: DataFrame, group: String,
+                           value: String): DataFrame =
+      CoreOps.wassersteinByGroup(df, other, group, value)
   }
 }

@@ -1778,4 +1778,20 @@ class CoreOpsSpec extends SparkSpec {
     val re = CoreOps.wassersteinDistance(a, empty, "v").head()
     assert(re.getLong(1) == 0L && re.isNullAt(3))
   }
+
+  test("wassersteinByGroup == wassersteinDistance applied per group " +
+      "slice; one-sided groups emit NULL") {
+    val aRows = Seq(("x", 0L), ("x", 0L), ("x", 10L), ("y", 5L), ("z", 1L))
+    val bRows = Seq(("x", 2L), ("x", 8L), ("y", 5L))
+    val grouped = CoreOps.wassersteinByGroup(
+        aRows.toDF("g", "v"), bRows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    for (g <- Seq("x", "y")) {
+      val slice = CoreOps.wassersteinDistance(
+        aRows.filter(_._1 == g).map(_._2).toDF("v"),
+        bRows.filter(_._1 == g).map(_._2).toDF("v"), "v").head().toSeq
+      assert(grouped(g) == slice, s"group $g")
+    }
+    assert(grouped("z")(3) == null) // absent side → NULL w1
+  }
 }
