@@ -94,6 +94,34 @@ class StreamingParitySpec extends SparkSpec {
     } finally { qw.stop(); qc.stop() }
   }
 
+  test("diffInDiff and cupedAdjustedDiff run UNCHANGED on a stream " +
+      "(complete mode): the final table equals the batch run") {
+    val rows = Seq((false, false, 0L, 2L), (false, false, 2L, 4L),
+      (false, true, 2L, 6L), (false, true, 4L, 8L),
+      (true, false, 0L, 1L), (true, false, 2L, 3L),
+      (true, true, 6L, 5L), (true, true, 8L, 7L))
+    val input = MemoryStream[(Boolean, Boolean, Long, Long)]
+    val sdf = input.toDF().toDF("t", "p", "v", "y")
+    val qd = graft.operators.CoreOps.diffInDiff(sdf, col("t"), col("p"), "v")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("did_par").start()
+    val qc = graft.operators.CoreOps.cupedAdjustedDiff(sdf, col("t"),
+        "v", "y")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cuped_par").start()
+    try {
+      input.addData(rows.take(3)); qd.processAllAvailable(); qc.processAllAvailable()
+      input.addData(rows.drop(3)); qd.processAllAvailable(); qc.processAllAvailable()
+      val batch = rows.toDF("t", "p", "v", "y")
+      assert(spark.table("did_par").collect().toSet ==
+        graft.operators.CoreOps.diffInDiff(batch, col("t"), col("p"), "v")
+          .collect().toSet)
+      assert(spark.table("cuped_par").collect().toSet ==
+        graft.operators.CoreOps.cupedAdjustedDiff(batch, col("t"), "v", "y")
+          .collect().toSet)
+    } finally { qd.stop(); qc.stop() }
+  }
+
   test("transitionPairs(streaming) == batch lag twin, chain spans batches") {
     val batch1 = Seq(
       KeyedEvent("1", 1000, 1, "a"), KeyedEvent("1", 2000, 2, "b"),
