@@ -2276,6 +2276,38 @@ object SparkEntry {
     // A/B conversion z-test between user cohorts: one conditional-count
     // pass, then a fixed chain of correctly-rounded IEEE ops (sqrt is in
     // the exactness contract)
+    // leakage-safe churn-label construction: features STRICTLY before
+    // the day-19743 cutoff, the label from [19743, 19748) (epoch days) — the supervised
+    // dataset builder every retention model starts from, as one
+    // conditional-aggregation pass (no joins, no leakage by construction)
+    "q_churn_labels" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+        .withColumn("cents", floor(coalesce(col("value"), lit(0d)) * 100)
+          .cast("long"))
+      ev.filter(col("day") < 19748L)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("day") < 19743L, 1L).otherwise(0L)).as("n_events_pre"),
+          coalesce(sum(when(col("day") < 19743L, col("cents"))), lit(0L))
+            .as("spend_pre_cents"),
+          count_distinct(when(col("day") < 19743L, col("day")))
+            .as("days_active_pre"),
+          (sum(when(col("day") >= 19743L, 1L).otherwise(0L)) === 0L)
+            .as("churned"))
+        .filter(col("n_events_pre") > 0L) // users born after the cutoff drop
+    }),
+    // is the pre-period spend feature predictive of churn? — rankSumAuc
+    // between the churned and retained label slices of the SAME frame:
+    // the feature-screen loop closed end-to-end over q_churn_labels
+    "q_churn_auc" -> ((s, dir) => {
+      val labels = queries("q_churn_labels")(s, dir)
+      CoreOps.rankSumAuc(
+        labels.filter(col("churned")),
+        labels.filter(!col("churned")),
+        "spend_pre_cents")
+    }),
     // quantile treatment effects: the per-percentile lift between the
     // cohorts — a mean shift and a tail shift are different stories,
     // and QTE tells them apart; two quantileProfile rows cross-joined
@@ -2301,7 +2333,8 @@ object SparkEntry {
         (col("_t75") - col("_c75")).as("qte_p75"),
         (col("_t90") - col("_c90")).as("qte_p90"))
     }),
-    // difference-in-differences across the day-15 boundary: treatment =
+    // difference-in-differences across the corpus-midpoint epoch-day
+    // boundary (19738): treatment =
     // even users; one conditional pass builds all four cells' exact
     // moments, then the fixed four-cell chain
     "q_did" -> ((s, dir) => {
@@ -2311,7 +2344,7 @@ object SparkEntry {
         .withColumn("cents", floor(col("value") * 100).cast("long"))
         .withColumn("day", expr("unix_millis(ts) div 86400000"))
       CoreOps.diffInDiff(ev, pmod(col("user_id"), lit(2)) === 0,
-        col("day") >= 15, "cents")
+        col("day") >= 19738L, "cents")
     }),
     // CUPED adjusted lift on the per-user (pre, post) frame: theta from
     // pooled exact moments, the adjusted diff one fixed chain — the
@@ -2323,9 +2356,9 @@ object SparkEntry {
         .withColumn("cents", floor(col("value") * 100).cast("long"))
         .withColumn("day", expr("unix_millis(ts) div 86400000"))
       val perUser = ev.groupBy(col("user_id"))
-        .agg(coalesce(sum(when(col("day") < 15, col("cents"))), lit(0L))
+        .agg(coalesce(sum(when(col("day") < 19738L, col("cents"))), lit(0L))
           .as("pre_cents"),
-          coalesce(sum(when(col("day") >= 15, col("cents"))), lit(0L))
+          coalesce(sum(when(col("day") >= 19738L, col("cents"))), lit(0L))
             .as("post_cents"))
       CoreOps.cupedAdjustedDiff(perUser,
         pmod(col("user_id"), lit(2)) === 0, "pre_cents", "post_cents")
@@ -6415,6 +6448,60 @@ object SparkEntry {
         |  END AS z
         |FROM t""".stripMargin,
 
+    // features strictly before the cutoff, the label from the next band;
+    // users born after the cutoff drop (no features to learn from)
+    "q_churn_labels" ->
+      s"""WITH ev AS (SELECT user_id, $evMs // 86400000 AS day,
+         |        floor(coalesce(value, 0) * 100)::BIGINT AS c
+         |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |l AS (SELECT user_id,
+         |        sum(CASE WHEN day < 19743 THEN 1 ELSE 0 END)::BIGINT
+         |          AS n_events_pre,
+         |        coalesce(sum(CASE WHEN day < 19743 THEN c END), 0)::BIGINT
+         |          AS spend_pre_cents,
+         |        count(DISTINCT CASE WHEN day < 19743 THEN day END)::BIGINT
+         |          AS days_active_pre,
+         |        sum(CASE WHEN day >= 19743 THEN 1 ELSE 0 END) = 0 AS churned
+         |      FROM ev WHERE day < 19748 GROUP BY 1)
+         |SELECT user_id, n_events_pre, spend_pre_cents, days_active_pre,
+         |  churned
+         |FROM l WHERE n_events_pre > 0""".stripMargin,
+
+    // the q_auc_shift rank-sum chain over the label slices
+    "q_churn_auc" ->
+      s"""WITH ev AS (SELECT user_id, $evMs // 86400000 AS day,
+         |        floor(coalesce(value, 0) * 100)::BIGINT AS c
+         |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |l AS (SELECT user_id,
+         |        sum(CASE WHEN day < 19743 THEN 1 ELSE 0 END)::BIGINT AS np,
+         |        coalesce(sum(CASE WHEN day < 19743 THEN c END), 0)::BIGINT
+         |          AS sp,
+         |        sum(CASE WHEN day >= 19743 THEN 1 ELSE 0 END) = 0 AS churned
+         |      FROM ev WHERE day < 19748 GROUP BY 1),
+         |lv AS (SELECT sp, churned FROM l WHERE np > 0),
+         |ca AS (SELECT sp AS v, count(*)::BIGINT AS ca FROM lv
+         |       WHERE churned GROUP BY 1),
+         |cb AS (SELECT sp AS v, count(*)::BIGINT AS cb FROM lv
+         |       WHERE NOT churned GROUP BY 1),
+         |m AS (SELECT v, coalesce(ca, 0)::BIGINT AS ca,
+         |        coalesce(cb, 0)::BIGINT AS cb
+         |      FROM ca FULL OUTER JOIN cb USING (v)),
+         |p AS (SELECT ca, cb,
+         |        (sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |         - cb)::BIGINT AS pcb
+         |      FROM m),
+         |t AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+         |        sum(ca::HUGEINT * (2::HUGEINT * pcb::HUGEINT
+         |                           + cb::HUGEINT)) AS u2
+         |      FROM p)
+         |SELECT n_a, n_b, u2::BIGINT AS u2_a,
+         |  CASE WHEN n_a > 0 AND n_b > 0
+         |       THEN floor(u2::DOUBLE
+         |                  / (2::HUGEINT * n_a::HUGEINT * n_b::HUGEINT)::DOUBLE
+         |                  * 1000000) / 1000000
+         |  END AS auc_a
+         |FROM t""".stripMargin,
+
     // the same trunc6'd interpolated percentiles per cohort, differenced
     // (identical doubles both sides, so the differences are identical)
     "q_qte" ->
@@ -6439,7 +6526,7 @@ object SparkEntry {
     "q_did" ->
       s"""WITH s AS (SELECT floor(value * 100)::BIGINT AS c,
          |        user_id % 2 = 0 AS tr,
-         |        ($evMs // 86400000) >= 15 AS po
+         |        ($evMs // 86400000) >= 19738 AS po
          |      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
          |        AND ts IS NOT NULL),
          |t AS (SELECT
@@ -6483,8 +6570,8 @@ object SparkEntry {
          |      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
          |        AND ts IS NOT NULL),
          |pu AS (SELECT user_id,
-         |        coalesce(sum(CASE WHEN day < 15 THEN c END), 0)::BIGINT AS x,
-         |        coalesce(sum(CASE WHEN day >= 15 THEN c END), 0)::BIGINT AS y,
+         |        coalesce(sum(CASE WHEN day < 19738 THEN c END), 0)::BIGINT AS x,
+         |        coalesce(sum(CASE WHEN day >= 19738 THEN c END), 0)::BIGINT AS y,
          |        user_id % 2 = 0 AS tr
          |      FROM ev GROUP BY 1),
          |t AS (SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
