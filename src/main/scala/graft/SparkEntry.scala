@@ -500,6 +500,40 @@ object SparkEntry {
          |  END AS survival
          |FROM p WHERE d > 0""".stripMargin
 
+  /** Nelson-Aalen oracle: the survivalOracleSql lifetime chain with the
+    * additive hazard prefix sum in place of the log-survival one. */
+  private def nelsonAalenOracleSql: String =
+    s"""WITH ev AS (SELECT user_id, $evMs // 86400000 AS day FROM events
+         |            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |u AS (SELECT user_id, min(day) AS f, max(day) AS l
+         |      FROM ev GROUP BY 1),
+         |m AS (SELECT max(l)::BIGINT AS mx FROM u),
+         |w AS (SELECT (f - f % $KmCohortDays)::BIGINT AS cohort_day,
+         |        (l - f)::BIGINT AS dur,
+         |        CASE WHEN l <= (SELECT mx FROM m) - $KmGapDays
+         |             THEN 1 ELSE 0 END AS death
+         |      FROM u),
+         |s AS (SELECT cohort_day, dur, sum(death)::BIGINT AS d,
+         |        count(*)::BIGINT AS uu FROM w GROUP BY 1, 2),
+         |r AS (SELECT cohort_day, dur, d, uu,
+         |        sum(uu) OVER (PARTITION BY cohort_day)::BIGINT
+         |        - COALESCE(sum(uu) OVER (PARTITION BY cohort_day
+         |            ORDER BY dur
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0)::BIGINT AS n_risk
+         |      FROM s),
+         |p AS (SELECT cohort_day, dur, d, n_risk,
+         |        sum(CASE WHEN d > 0
+         |              THEN (d * 1000000000000) // n_risk ELSE 0 END)
+         |          OVER (PARTITION BY cohort_day ORDER BY dur
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         |          )::BIGINT AS hz
+         |      FROM r)
+         |SELECT cohort_day, dur AS dur_days, n_risk, d AS n_deaths,
+         |  hz AS hazard_scaled,
+         |  hz::DOUBLE / 1000000000000 AS cum_hazard
+         |FROM p WHERE d > 0""".stripMargin
+
   /** The Naive-Bayes prediction CTE chain, shared by q_naive_bayes and the
     * q_confusion / q_prf1 / q_kappa aggregations over it. `select` is
     * either a SELECT over the final `nb` CTE or a ", more AS (...)" CTE
@@ -1929,6 +1963,12 @@ object SparkEntry {
     "q_survival" -> ((s, dir) =>
       CoreOps.kaplanMeier(Tables.events(s, dir), "user_id", "ts",
         KmGapDays, KmCohortDays)),
+    // KM's additive companion: cumulative hazard Σ dᵢ/nᵢ per cohort —
+    // near-linear growth = constant churn rate, bends = acceleration;
+    // each step exact (d·1e12) div n, same prefix-window shape
+    "q_nelson_aalen" -> ((s, dir) =>
+      CoreOps.nelsonAalen(Tables.events(s, dir), "user_id", "ts",
+        KmGapDays, KmCohortDays)),
     // the p10-churn lifetime per cohort: the first duration where the
     // curve dips under 0.9 — the threshold compares the floor-quantized
     // survival, identical on both engines; cohorts never crossing emit
@@ -2508,6 +2548,17 @@ object SparkEntry {
     // order-invariant
     "q_gini_spend" -> ((s, dir) =>
       CoreOps.giniConcentration(Tables.events(s, dir), "user_id", "value")),
+    // the curve behind the Gini number: per distinct per-user spend
+    // total, cumulative population share vs cumulative spend share —
+    // both cumulatives on the distributed prefix scan
+    "q_lorenz" -> ((s, dir) =>
+      CoreOps.lorenzCurve(
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(coalesce(sum(floor(col("value") * 100).cast("long")),
+            lit(0L)).as("cents")),
+        "cents")),
     // Benford first-digit audit of spend amounts: leading-digit counts of
     // the cents grid vs the log10(1+1/d) law — the expected shares are
     // Scala-computed literals shared bit-for-bit by both engines (a
@@ -7242,6 +7293,33 @@ object SparkEntry {
     // one floor-quantized exp per death step; `//` on the >= 0 days ≡
     // the Spark side's floor division
     "q_survival" -> survivalOracleSql,
+    "q_nelson_aalen" -> nelsonAalenOracleSql,
+
+    // per-user cents totals → per-value counts/sums → two window
+    // cumulatives → trunc6'd shares against the totals
+    "q_lorenz" ->
+      """WITH pu AS (SELECT user_id,
+        |        coalesce(sum(floor(value * 100)::BIGINT), 0)::BIGINT
+        |          AS cents
+        |      FROM events
+        |      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |      GROUP BY 1),
+        |bv AS (SELECT cents AS v, count(*)::BIGINT AS n,
+        |        sum(cents)::BIGINT AS s
+        |      FROM pu GROUP BY 1),
+        |c AS (SELECT v, n,
+        |        sum(n) OVER w::BIGINT AS cum_entities,
+        |        sum(s) OVER w::BIGINT AS cum_value
+        |      FROM bv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT coalesce(sum(n), 0)::BIGINT AS tn,
+        |        coalesce(sum(s), 0)::BIGINT AS ts FROM bv)
+        |SELECT c.v AS cents, c.n AS n_entities, cum_entities, cum_value,
+        |  floor(cum_entities::DOUBLE / tn * 1000000) / 1000000
+        |    AS pop_share,
+        |  CASE WHEN ts > 0 THEN
+        |    floor(cum_value::DOUBLE / ts * 1000000) / 1000000
+        |  END AS value_share
+        |FROM c, t""".stripMargin,
     // the p10-churn lifetime: first step where survival dips under 0.9
     "q_km_quantile" ->
       s"""WITH base AS (${survivalOracleSql})

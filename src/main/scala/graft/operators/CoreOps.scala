@@ -1068,6 +1068,116 @@ object CoreOps {
             * 1000000d) / 1000000d).as("survival"))
   }
 
+  /** Nelson-Aalen cumulative hazard per cohort — kaplanMeier's additive
+    * companion: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ estimates the cumulative RISK
+    * directly (near-linear growth means a constant churn rate; bends
+    * flag cohorts whose risk accelerates), and is the quantity a
+    * proportional-hazards model reads. Same lifetime/censoring
+    * construction as kaplanMeier (first/last activity days, deaths =
+    * lifetimes ending a churn-gap before the corpus frontier); each step
+    * enters as the exact BIGINT (dᵢ·10¹²) div nᵢ (truncating division,
+    * identical on both engines) and the cumulative rides the same
+    * cohort-partitioned prefix window over O(cohorts · durations) rows.
+    * Emits one row per death step
+    * (cohort_day, dur_days, n_risk, n_deaths, hazard_scaled,
+    * cum_hazard). */
+  def nelsonAalen(df: DataFrame, key: String, ts: String,
+                  churnGapDays: Int, cohortDays: Int): DataFrame = {
+    require(churnGapDays >= 1,
+      s"churnGapDays must be >= 1, got $churnGapDays")
+    require(cohortDays >= 1, s"cohortDays must be >= 1, got $cohortDays")
+    val emitted = Seq("cohort_day", "dur_days", "n_risk", "n_deaths",
+      "hazard_scaled", "cum_hazard",
+      "_day", "_f", "_l", "_mx", "_dur", "_death", "_d", "_u", "_hz")
+    require(!emitted.contains(key),
+      s"nelsonAalen emits/uses ${emitted.mkString(", ")}; rename '$key'")
+    val dayMs = 86400000L
+    val msCol = ms(col(ts))
+    val guard = assert_true(msCol.isNull || msCol >= 0,
+      concat(lit(s"nelsonAalen: '$ts' must be >= epoch (trunc vs floor " +
+        "division diverge below zero); got ms="), msCol.cast("string")))
+    val lives = df.filter(guard.isNull)
+      .filter(col(ts).isNotNull && col(key).isNotNull)
+      .select(col(key),
+        ((msCol - pmod(msCol, lit(dayMs))) / lit(dayMs)).cast("long")
+          .as("_day"))
+      .groupBy(col(key))
+      .agg(min(col("_day")).as("_f"), max(col("_day")).as("_l"))
+    val maxDay = lives.groupBy().agg(max(col("_l")).as("_mx")) // 1 row
+    val steps = lives.crossJoin(broadcast(maxDay))
+      .select(
+        (col("_f") - pmod(col("_f"), lit(cohortDays.toLong)))
+          .as("cohort_day"),
+        (col("_l") - col("_f")).as("_dur"),
+        when(col("_l") <= col("_mx") - churnGapDays.toLong, 1L)
+          .otherwise(0L).as("_death"))
+      .groupBy(col("cohort_day"), col("_dur"))
+      .agg(sum(col("_death")).as("_d"), count(lit(1)).as("_u"))
+    val byCohort = Window.partitionBy(col("cohort_day"))
+    val ordered = byCohort.orderBy(col("_dur"))
+    val prefixBefore = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    val prefixThrough =
+      ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    steps
+      .withColumn("n_risk", sum(col("_u")).over(byCohort)
+        - coalesce(sum(col("_u")).over(prefixBefore), lit(0L)))
+      .withColumn("_hz", sum(
+        when(col("_d") > 0,
+          expr("(_d * CAST(1000000000000 AS BIGINT)) div n_risk"))
+          .otherwise(lit(0L))).over(prefixThrough))
+      .filter(col("_d") > 0)
+      .select(col("cohort_day"), col("_dur").as("dur_days"), col("n_risk"),
+        col("_d").as("n_deaths"), col("_hz").as("hazard_scaled"),
+        (col("_hz").cast("double") / 1000000000000d).as("cum_hazard"))
+  }
+
+  /** Lorenz curve points — the distribution behind the Gini number:
+    * walking entities from poorest to richest, what share of the
+    * population holds what share of the value ("the top 10% of users
+    * drive 83% of spend" read off directly; giniSpend compresses this
+    * to one number, the curve shows WHERE the concentration lives).
+    * One point per DISTINCT entity value: x = cumulative population
+    * share, y = cumulative value share. Exactness: per-value counts and
+    * cents sums are exact int64; both cumulatives ride the bucketed
+    * distributed prefix scan (no unpartitioned window at any scale);
+    * each share is ONE trunc6'd division by a broadcast total. Input is
+    * one row per entity with its integral value (aggregate per entity
+    * upstream); negative values fail loud (a Lorenz curve over mixed
+    * signs is undefined). Emits
+    * (value, n_entities, cum_entities, cum_value, pop_share,
+    * value_share), ascending in `value`. */
+  def lorenzCurve(df: DataFrame, value: String): DataFrame = {
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"lorenzCurve accumulates '$value' as exact integers; got " +
+        s"${df.schema(value).dataType} — scale to cents/int64 first")
+    val emitted = Seq("n_entities", "cum_entities", "cum_value",
+      "pop_share", "value_share", "_v", "_n", "_s", "_tn", "_ts")
+    require(!df.columns.exists(emitted.contains),
+      s"lorenzCurve emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val guard = assert_true(col(value) >= 0,
+      concat(lit("lorenzCurve: negative value (the curve is undefined " +
+        "over mixed signs); got "), col(value).cast("string")))
+    val byValue = df.filter(col(value).isNotNull).filter(guard.isNull)
+      .groupBy(col(value).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_n"), sum(col(value).cast("long")).as("_s"))
+    val cum = orderedPrefixSum(
+      orderedPrefixSum(byValue, col("_v"), "_v", "_n", "cum_entities"),
+      col("_v"), "_v", "_s", "cum_value")
+    val totals = byValue.groupBy()
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("_tn"),
+        coalesce(sum(col("_s")), lit(0L)).as("_ts")) // 1 row
+    cum.crossJoin(broadcast(totals))
+      .select(col("_v").as(value), col("_n").as("n_entities"),
+        col("cum_entities"), col("cum_value"),
+        (floor(col("cum_entities").cast("double")
+           / col("_tn").cast("double") * 1000000d) / 1000000d)
+          .as("pop_share"),
+        when(col("_ts") > 0L,
+          floor(col("cum_value").cast("double")
+            / col("_ts").cast("double") * 1000000d) / 1000000d)
+          .as("value_share"))
+  }
+
   /** Cohort cumulative-value (LTV) curves — retentionCohorts' revenue
     * companion: for each cohort (keys sharing a first-spend grain), the
     * exact per-age spend and its running total, the "how much has the

@@ -582,5 +582,10 @@ object syntax {
     def wassersteinByGroup(other: DataFrame, group: String,
                            value: String): DataFrame =
       CoreOps.wassersteinByGroup(df, other, group, value)
+    def nelsonAalen(key: String, ts: String, churnGapDays: Int,
+                    cohortDays: Int): DataFrame =
+      CoreOps.nelsonAalen(df, key, ts, churnGapDays, cohortDays)
+    def lorenzCurve(value: String): DataFrame =
+      CoreOps.lorenzCurve(df, value)
   }
 }

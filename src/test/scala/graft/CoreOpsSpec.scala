@@ -1779,6 +1779,40 @@ class CoreOpsSpec extends SparkSpec {
     assert(re.getLong(1) == 0L && re.isNullAt(3))
   }
 
+  test("nelsonAalen: hand-checked hazard steps; the additive companion " +
+      "of kaplanMeier shares its lifetime construction") {
+    // u1, u2 live day 0 only (deaths at dur 0); u3 lives days 0..1
+    // (censored at the frontier). n_risk at dur 0 = 3 → Ĥ = 2/3.
+    val day = 86400000L
+    val ev = Seq((1L, 0L), (2L, 0L), (3L, 0L), (3L, day))
+      .toDF("user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = CoreOps.nelsonAalen(ev, "user_id", "ts", 1, 7).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 3L
+      && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 2L * 1000000000000L / 3L)
+    assert(r.getDouble(5) == (2L * 1000000000000L / 3L).toDouble / 1e12)
+  }
+
+  test("lorenzCurve: exact cumulative shares on a hand case; negative " +
+      "values fail loud") {
+    // entities with values 0, 1, 1, 2 → T = 4
+    val df = Seq(0L, 1L, 1L, 2L).toDF("v")
+    val out = CoreOps.lorenzCurve(df, "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(2) == 1L && out(0L).getLong(3) == 0L)
+    assert(out(0L).getDouble(4) == 0.25 && out(0L).getDouble(5) == 0.0)
+    assert(out(1L).getLong(2) == 3L && out(1L).getLong(3) == 2L)
+    assert(out(1L).getDouble(4) == 0.75 && out(1L).getDouble(5) == 0.5)
+    assert(out(2L).getDouble(4) == 1.0 && out(2L).getDouble(5) == 1.0)
+    val e = intercept[Exception] {
+      CoreOps.lorenzCurve(Seq(-1L).toDF("v"), "v").collect()
+    }
+    assert(e.getMessage.contains("lorenzCurve"))
+  }
+
   test("wassersteinByGroup == wassersteinDistance applied per group " +
       "slice; one-sided groups emit NULL") {
     val aRows = Seq(("x", 0L), ("x", 0L), ("x", 10L), ("y", 5L), ("z", 1L))
