@@ -598,6 +598,13 @@ class StreamingParitySpec extends SparkSpec {
       stateTtlMs = Some(60000L)).collect().toSet
     assert(amTtl == StateMachines.asofMatches(am).collect().toSet
       && amTtl.nonEmpty)
+    // the Holt machine added this round: same TTL-transparency
+    val vds = Seq(ValuedEvent("1", 0, 1, 10), ValuedEvent("1", 1, 2, 20),
+      ValuedEvent("2", 0, 3, 7)).toDS()
+    val hTtl = StateMachines.holtSnapshots(vds, 1, 2, 1, 2, 10L,
+      stateTtlMs = Some(60000L)).collect().toSet
+    assert(hTtl == StateMachines.holtSnapshots(vds, 1, 2, 1, 2, 10L)
+      .collect().toSet && hTtl.nonEmpty)
   }
 
   test("tokenBucket state TTL: an expired idle key re-initializes to a " +
