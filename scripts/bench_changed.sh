@@ -30,4 +30,39 @@ fi
 
 echo "bench_changed: timing [$changed] at $sf" >&2
 SPARK_GRAFT_SF_DIR="$sf" SPARK_GRAFT_ONLY="$changed" \
-  exec sbt -batch "runMain graft.Bench"
+  sbt -batch "runMain graft.Bench"
+
+# Regression flag: any touched query whose fresh min moved >1.5x vs the
+# last recorded full-run baseline for the SAME sf dir. Median+spread are in
+# the fresh BENCH.json for judging whether a flag is co-tenant noise (min
+# inside old spread) or a real plan change. Baseline = the newest BENCH_r*
+# whose sf matches; missing/other-sf baselines skip silently (sf0.01 local
+# iteration vs the driver's sf0.1 recordings are not comparable).
+python3 - "$sf" <<'EOF'
+import json, glob, os, sys
+sf = sys.argv[1]
+fresh = json.load(open("BENCH.json"))
+base = None
+for p in sorted(glob.glob("BENCH_r*.json"), reverse=True):
+    try: b = json.load(open(p))
+    except Exception: continue
+    if b.get("sf") == sf and "queries" in b:
+        base = (p, b); break
+if base is None:
+    print(f"bench_changed: no recorded baseline for sf={sf}; skip flagging",
+          file=sys.stderr)
+    sys.exit(0)
+name, b = base
+flags = 0
+for q, t in fresh.get("queries", {}).items():
+    old = b["queries"].get(q)
+    if old is None or old <= 0: continue
+    if t > 1.5 * old:
+        spread = fresh.get("spread", {}).get(q, 0.0)
+        print(f"FLAG {q}: min {t:.2f}s vs {old:.2f}s in {name} "
+              f"({t/old:.2f}x; fresh spread {spread:.2f}s)")
+        flags += 1
+if flags == 0:
+    print(f"bench_changed: no touched query moved >1.5x vs {name}")
+sys.exit(1 if flags else 0)
+EOF

@@ -37,19 +37,27 @@ object Bench {
     // the fleet norm); re-running the first query absorbs it outside
     // the timings
     queries.headOption.foreach { case (_, fn) => run(fn) }
-    // three timed passes, keep the per-query MIN: this machine shares cores
-    // with bursty co-tenants, and min-of-k is the standard estimator that
-    // reports plan cost rather than whoever else was running. The per-query
-    // max-min "spread" is emitted alongside so a co-tenant burst is
-    // distinguishable from a real regression when two runs disagree.
+    // five timed passes, keep the per-query MIN as the headline: this
+    // machine shares cores with bursty co-tenants, and min-of-k is the
+    // standard estimator that reports plan cost rather than whoever else
+    // was running. The per-query MEDIAN and max-min "spread" are emitted
+    // alongside: with co-tenant noise reaching 15× signal on some passes
+    // (round-9 watch item), a burst is distinguishable from a real
+    // regression by comparing median movement against spread without
+    // re-running by hand.
     def timed(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       run(fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val passes = Seq(timed().toMap, timed().toMap, timed().toMap)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
+    val passes = Seq.fill(nPasses)(timed().toMap)
     val results = queries.map { case (name, _) =>
       name -> passes.map(_(name)).min
+    }
+    val medians = queries.map { case (name, _) =>
+      val ts = passes.map(_(name)).sorted
+      name -> ts(ts.size / 2)
     }
     val spreads = queries.map { case (name, _) =>
       val ts = passes.map(_(name))
@@ -58,7 +66,7 @@ object Bench {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"spread":${obj(spreads)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"median":${obj(medians)},"spread":${obj(spreads)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     // stop FIRST so no Spark shutdown chatter can interleave after the JSON;
     // full line, then a compact summary as the absolute last line — the

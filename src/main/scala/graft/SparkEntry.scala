@@ -1106,6 +1106,13 @@ object SparkEntry {
     "q_jaccard_allpairs" -> ((s, dir) =>
       Dedup.jaccardAllPairs(Tables.documents(s, dir), "doc_id", "text",
         MhK, 1, 2)),
+    // the 100 TB form of the exact-truth pair audit: the AllPairs prefix
+    // join on the deterministic md5(doc_id) % BqSampleMod slice — each
+    // surviving pair's Jaccard stays exact (sampling selects documents,
+    // never shingles); the exact form above stays pinned at bench scale
+    "q_jaccard_allpairs_sampled" -> ((s, dir) =>
+      Dedup.jaccardAllPairsSampled(Tables.documents(s, dir), "doc_id",
+        "text", MhK, 1, 2, BqSampleMod)),
     // the blocker audit: MinHash banding's raw candidates graded against
     // jaccardAllPairs ground truth — pairs completeness (blocker recall)
     // and reduction ratio (pair-space pruning) in one summary row
@@ -1324,6 +1331,15 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.contaminationRate(docs, docs.filter(col("doc_id") < 20),
         "doc_id", "text", MhK)
+    }),
+    // the 100 TB form of the contamination audit: only the deterministic
+    // md5(doc_id) % BqSampleMod corpus slice is scored (the bench side —
+    // the thing being protected — stays whole, so each sampled doc's rate
+    // is identical to its full-run value); exact form stays pinned above
+    "q_contamination_rate_sampled" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationRateSampled(docs, docs.filter(col("doc_id") < 20),
+        "doc_id", "text", MhK, BqSampleMod)
     }),
     // the MOSS pipeline end-to-end: shared fingerprint → candidate pair →
     // exact shingle-set Jaccard verification
@@ -4851,6 +4867,19 @@ object SparkEntry {
          |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
          |WHERE jacc >= 0.5""".stripMargin,
 
+    // the exact oracle's CTE chain verbatim over the md5 slice relation
+    "q_jaccard_allpairs_sampled" ->
+      s"""WITH ${sqlMinhashCtesOver(
+             s"(SELECT * FROM documents WHERE ${sqlMd5Int("doc_id::VARCHAR")} % $BqSampleMod = 0)")},
+         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)
+         |SELECT doc_a, doc_b, jacc AS jaccard,
+         |  CAST($BqSampleMod AS BIGINT) AS sample_den FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jacc
+         |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
+         |WHERE jacc >= 0.5""".stripMargin,
+
     // truth = brute force, candidates = the same banding CTEs the
     // minhash oracles share; count arithmetic exact, ratios trunc6'd
     "q_block_quality" ->
@@ -5126,6 +5155,31 @@ object SparkEntry {
          |  count(b.g)::BIGINT AS n_contaminated,
          |  floor(count(b.g)::DOUBLE / count(*)::DOUBLE * 1000000) / 1000000
          |    AS contamination_rate
+         |FROM cg c LEFT JOIN bg b ON c.g = b.g
+         |GROUP BY 1""".stripMargin,
+
+    // the exact contamination oracle with the corpus side (cg) restricted
+    // to the md5 slice; the bench gram set (bg) stays over full documents
+    "q_contamination_rate_sampled" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt,
+         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= $MhK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
+         |                   for i in range(0, len(toks)-$MhK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+         |cg AS (SELECT doc_id, unnest(list_distinct(hs)) AS g FROM hsh
+         |       WHERE ${sqlMd5Int("doc_id::VARCHAR")} % $BqSampleMod = 0),
+         |bg AS (SELECT DISTINCT g FROM (
+         |         SELECT unnest(list_distinct(hs)) AS g FROM hsh
+         |         WHERE doc_id < 20))
+         |SELECT c.doc_id, count(*)::BIGINT AS n_grams,
+         |  count(b.g)::BIGINT AS n_contaminated,
+         |  floor(count(b.g)::DOUBLE / count(*)::DOUBLE * 1000000) / 1000000
+         |    AS contamination_rate,
+         |  CAST($BqSampleMod AS BIGINT) AS sample_den
          |FROM cg c LEFT JOIN bg b ON c.g = b.g
          |GROUP BY 1""".stripMargin,
 

@@ -1012,6 +1012,27 @@ object Dedup {
       .withColumn("sample_den", lit(sampleMod.toLong))
   }
 
+  /** jaccardAllPairs over a DETERMINISTIC hash sample — the 100 TB form
+    * of the exact-truth audit (the blockingQualitySampled idiom): the
+    * AllPairs prefix filter is provably-complete but still super-linear
+    * in cluster density, so the deployable corpus-scale estimate runs on
+    * the md5(id) % sampleMod == 0 slice, shrinking the candidate volume
+    * ~sampleMod² while each surviving pair's Jaccard stays EXACT (both
+    * docs' full shingle sets — sampling selects documents, never
+    * shingles, so a kept pair's similarity is identical to the full-
+    * corpus run). Same output as jaccardAllPairs plus `sample_den`;
+    * sampleMod 1 degenerates to the exact form, which stays pinned as
+    * truth at bench scale. */
+  def jaccardAllPairsSampled(docs: DataFrame, id: String, text: String,
+                             k: Int, tNum: Int, tDen: Int, sampleMod: Int,
+                             maxBucket: Int = 10000): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val slice = docs.filter(
+      pmod(md5Int(col(id).cast("string")), lit(sampleMod.toLong)) === 0L)
+    jaccardAllPairs(slice, id, text, k, tNum, tDen, maxBucket)
+      .withColumn("sample_den", lit(sampleMod.toLong))
+  }
+
   def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
                    candidates: DataFrame, minJaccard: Double): DataFrame = {
     val sh = spread(docs).select(col(id).as("d"),
@@ -1113,6 +1134,27 @@ object Dedup {
         (floor(col("n_contaminated").cast("double")
            / col("n_grams").cast("double") * 1000000d) / 1000000d)
           .as("contamination_rate"))
+  }
+
+  /** contaminationRate over a DETERMINISTIC hash sample of the CORPUS —
+    * the 100 TB form: the full gram join's shuffle volume is corpus-
+    * grams-sized (the bench side is small; the corpus side is not), so
+    * the deployable audit scores only the md5(id) % sampleMod == 0
+    * corpus slice. The BENCHMARK side stays WHOLE — it is the thing
+    * being protected and is tiny by construction — so each sampled
+    * document's contamination_rate is IDENTICAL to its full-run value
+    * (sampling selects which docs get scored, never which grams count);
+    * the corpus-level rate estimate is then unbiased under the uniform
+    * md5 slice. Same output plus `sample_den`; sampleMod 1 degenerates
+    * to the exact form, which stays pinned at bench scale. */
+  def contaminationRateSampled(corpus: DataFrame, bench: DataFrame,
+                               id: String, text: String, k: Int,
+                               sampleMod: Int): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val slice = corpus.filter(
+      pmod(md5Int(col(id).cast("string")), lit(sampleMod.toLong)) === 0L)
+    contaminationRate(slice, bench, id, text, k)
+      .withColumn("sample_den", lit(sampleMod.toLong))
   }
 
   /** Fellegi-Sunter probabilistic linkage scores over CANDIDATE pairs —

@@ -491,18 +491,21 @@ object Eval {
   def ndcgPerQuery(ranked: DataFrame, query: String, rank: String,
                    rel: Column): DataFrame = {
     val internal = Seq("n_ranked", "dcg_scaled", "idcg_scaled", "ndcg",
-      "_rel", "_irank", "_t", "_it")
+      "_rel", "_rank", "_irank", "_t", "_it")
     require(!internal.contains(query) && !internal.contains(rank),
       s"ndcgPerQuery emits/uses ${internal.mkString(", ")}; rename inputs")
     import org.apache.spark.sql.expressions.Window
     val iw = Window.partitionBy(col(query))
       .orderBy(col("_rel").desc, col(rank).asc)
+    // rank enters through the internal '_rank' rename, never spliced raw
+    // into SQL text — names needing quoting (spaces, dots) stay safe.
     ranked.filter(rel.isNotNull)
       .withColumn("_rel", rel.cast("long"))
+      .withColumn("_rank", col(rank))
       .withColumn("_irank", row_number().over(iw).cast("long"))
       .select(col(query), col("_rel"),
-        expr(s"(_rel * CAST(1000000000000 AS BIGINT)) div " +
-          s"(CAST(floor(log2(CAST($rank AS DOUBLE) + 1d) * 1000000) AS BIGINT))")
+        expr("(_rel * CAST(1000000000000 AS BIGINT)) div " +
+          "(CAST(floor(log2(CAST(_rank AS DOUBLE) + 1d) * 1000000) AS BIGINT))")
           .as("_t"),
         expr("(_rel * CAST(1000000000000 AS BIGINT)) div " +
           "(CAST(floor(log2(CAST(_irank AS DOUBLE) + 1d) * 1000000) AS BIGINT))")

@@ -89,15 +89,22 @@ object Sampling {
       concat(lit("weightedSampleK: non-positive weight (an upstream data " +
         "bug — a zero weight can never win and a negative one inverts " +
         "the ranking); got "), col(weight).cast("string")))
-    require(!df.columns.contains("_es_l"),
-      "weightedSampleK uses an internal '_es_l' column; rename the input's")
+    Seq("_es_l", "_es_w").foreach(c => require(!df.columns.contains(c),
+      s"weightedSampleK uses an internal '$c' column; rename the input's"))
+    require(CoreOps.integralTypes.contains(df.schema(weight).dataType),
+      s"weightedSampleK needs an integral weight column (the lorenzCurve " +
+        s"convention — `div` is exact integer math); got " +
+        s"${df.schema(weight).dataType} for '$weight'")
     val h = keyHash(col(id), salt)
     val lScaled = (floor(log(lit(4294967296.0)) * 1000000d)
       - floor(log((h + 1L).cast("double")) * 1000000d)).cast("long")
+    // weight enters through the internal '_es_w' rename, never spliced raw
+    // into SQL text — names needing quoting (spaces, dots) stay safe.
     df.filter(col(weight).isNotNull).filter(guard.isNull)
       .withColumn("_es_l", lScaled)
+      .withColumn("_es_w", col(weight).cast("long"))
       .withColumn("es_key",
-        expr(s"(_es_l * CAST(1000000 AS BIGINT)) div $weight"))
+        expr("(_es_l * CAST(1000000 AS BIGINT)) div _es_w"))
       .select(col(id), col(weight).cast("long").as(weight), col("es_key"))
       .orderBy(col("es_key"), col(id))
       .limit(k)

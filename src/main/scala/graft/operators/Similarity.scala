@@ -280,12 +280,15 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("_nv"),
         cosine(col("_qv"), col("_nv")).as("_rel"))
       .localCheckpoint(true) // one materialization feeds every round
+    // min-struct over (negated score, id): max score, tie -> SMALLER id —
+    // the bruteForceTopK tie rule — without negating the id, so string
+    // (or any ordered) doc ids keep the documented tie-break.
     def argmaxPick(scored: DataFrame, rank: Int): DataFrame =
       scored.groupBy(col("query_id"))
-        .agg(max(struct(col("_score").as("_s"), (-col("neighbor_id")).as("_n")))
-          .as("_b"))
+        .agg(min(struct((-col("_score")).as("_s"),
+          col("neighbor_id").as("_n"))).as("_b"))
         .select(col("query_id"), lit(rank.toLong).as("pick_rank"),
-          (-col("_b._n")).as("neighbor_id"), col("_b._s").as("_score"))
+          col("_b._n").as("neighbor_id"), (-col("_b._s")).as("_score"))
     var picked = argmaxPick(pool.withColumn("_score",
       lit(lambdaNum.toDouble) * col("_rel") / lit(lambdaDen.toDouble)), 1)
       .join(pool.select(col("query_id"), col("neighbor_id"), col("_nv")),
