@@ -336,6 +336,72 @@ object SparkEntry {
          |    / 1000000 AS modularity
          |FROM m CROSS JOIN q WHERE m.mm > 0""".stripMargin
 
+  /** Unrolled-CTE twin of Graph.labelPropagationWeighted over the
+    * co-sourcing graph with lineitem multiplicities: the lpaOracleCtes
+    * chain with canonical-pair weight sums voting in place of counts. */
+  private def lpaWeightedOracleSql(iters: Int): String = {
+    val head =
+      s"""WITH undw AS MATERIALIZED (SELECT
+         |        least(l_suppkey * 2, l_partkey * 2 + 1) AS a,
+         |        greatest(l_suppkey * 2, l_partkey * 2 + 1) AS b,
+         |        count(*)::BIGINT AS w
+         |      FROM lineitem
+         |      WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+         |      GROUP BY 1, 2),
+         |adjw AS MATERIALIZED (SELECT a AS s, b AS d, w FROM undw
+         |      UNION ALL SELECT b AS s, a AS d, w FROM undw),
+         |wl0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM adjw)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""wc$i AS MATERIALIZED (SELECT a.d AS node, l.label,
+         |    sum(a.w)::BIGINT AS n
+         |  FROM adjw a JOIN wl${i - 1} l ON l.node = a.s GROUP BY 1, 2),
+         |wm$i AS MATERIALIZED (SELECT node, max(n)::BIGINT AS mn
+         |  FROM wc$i GROUP BY 1),
+         |wl$i AS MATERIALIZED (SELECT c.node, min(c.label) AS label
+         |  FROM wc$i c JOIN wm$i m ON m.node = c.node AND c.n = m.mn
+         |  GROUP BY 1)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") + s"\nSELECT node, label FROM wl$iters"
+  }
+
+  /** The per-community card over the UNWEIGHTED LPA partition and the
+    * weighted canonical edge set (Graph.communityCard twin): size, intra
+    * edges/weight, weighted cut (both endpoints' communities charged),
+    * trunc6'd conductance. */
+  private def lpaCardOracleSql(iters: Int): String =
+    lpaOracleCtes(iters) +
+      s""",
+         |cundw AS MATERIALIZED (SELECT
+         |    least(l_suppkey * 2, l_partkey * 2 + 1) AS a,
+         |    greatest(l_suppkey * 2, l_partkey * 2 + 1) AS b,
+         |    count(*)::BIGINT AS w
+         |  FROM lineitem
+         |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+         |  GROUP BY 1, 2),
+         |ctg AS MATERIALIZED (SELECT u.w, x.label AS la, y.label AS lb
+         |  FROM cundw u JOIN l$iters x ON x.node = u.a
+         |  JOIN l$iters y ON y.node = u.b),
+         |csz AS (SELECT label AS community, count(*)::BIGINT AS n_nodes
+         |  FROM l$iters GROUP BY 1),
+         |cintra AS (SELECT la AS community, count(*)::BIGINT AS n_intra_edges,
+         |    sum(w)::BIGINT AS intra_weight FROM ctg WHERE la = lb GROUP BY 1),
+         |ccut AS (SELECT community, sum(w)::BIGINT AS cut_weight FROM (
+         |    SELECT la AS community, w FROM ctg WHERE la <> lb
+         |    UNION ALL SELECT lb AS community, w FROM ctg WHERE la <> lb)
+         |  GROUP BY 1)
+         |SELECT s.community, s.n_nodes,
+         |  COALESCE(i.n_intra_edges, 0)::BIGINT AS n_intra_edges,
+         |  COALESCE(i.intra_weight, 0)::BIGINT AS intra_weight,
+         |  COALESCE(c.cut_weight, 0)::BIGINT AS cut_weight,
+         |  CASE WHEN 2 * COALESCE(i.intra_weight, 0)
+         |            + COALESCE(c.cut_weight, 0) > 0 THEN
+         |    floor(COALESCE(c.cut_weight, 0)::DOUBLE
+         |      / (2 * COALESCE(i.intra_weight, 0)
+         |         + COALESCE(c.cut_weight, 0))::DOUBLE * 1000000) / 1000000
+         |  END AS conductance
+         |FROM csz s LEFT JOIN cintra i USING (community)
+         |LEFT JOIN ccut c USING (community)""".stripMargin
+
   /** Unrolled-CTE twin of Graph.pagerankPersonalized over the bidirected
     * sourcing graph with the q_bfs_dist seed set: the pagerank CTE chain
     * with the uniform base swapped for a seed-CASE'd one (S = surviving
@@ -955,6 +1021,20 @@ object SparkEntry {
     // corpus bigram vocabulary (top 100, deterministic tiebreak)
     "q_ngram_vocab" -> ((s, dir) =>
       TextOps.ngramVocab(Tables.documents(s, dir), "text", 2, 100)),
+    // BPE merge INDUCTION — the engine learns a subword vocabulary from
+    // its own corpus (wordPieces applies one, q_fertility measures one):
+    // BpeIters rounds of freq-weighted pair count → (count DESC, pair ASC)
+    // argmax → greedy L2R re-segment via the run-parity window rule; all
+    // loop state vocab-sized, one 1-row driver fold per round
+    "q_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(Tables.documents(s, dir), "text", BpeIters,
+        BpeMaxWordLen)),
+    // the apply half: the corpus vocabulary segmented under the learned
+    // merges — (word, freq, n_pieces, pieces); a doc-level tokenization
+    // is this table joined back on the word key
+    "q_bpe_apply" -> ((s, dir) =>
+      TextOps.bpeSegments(Tables.documents(s, dir), "text", BpeIters,
+        BpeMaxWordLen)),
     // Heaps-law saturation gauge: per doc-id checkpoint, cumulative docs,
     // token occurrences and DISTINCT vocabulary — "does more crawl still
     // add new language?"; one token-keyed min agg, constant-size cumsum
@@ -2761,6 +2841,18 @@ object SparkEntry {
     // residual; a persistent nonzero on this bipartite graph is the
     // documented 2-cycle)
     "q_communities_moved" -> ((s, dir) => lpaShared(s, dir)._2),
+    // weighted community detection: each neighbor's vote counted with its
+    // lineitem co-sourcing multiplicity (a pair sourced 40 times out-votes
+    // three sourced once) — exact integer weight sums, same min-label ties
+    "q_communities_weighted" -> ((s, dir) =>
+      Graph.labelPropagationWeighted(coSourcingWeighted(s, dir),
+        "src", "dst", "w", LpaIters)),
+    // per-community quality card keyed by the shared q_communities run:
+    // size, intra edges/weight, weighted cut, and conductance — "is this
+    // community real structure?" in one row per label
+    "q_community_card" -> ((s, dir) =>
+      Graph.communityCard(coSourcingWeighted(s, dir), "src", "dst", "w",
+        lpaShared(s, dir)._1, "node", "label")),
     // personalized PageRank: teleport mass restarts only at the audited
     // seed suppliers (the q_bfs_dist seed set), so scores rank the whole
     // graph by proximity-weighted reachability FROM them — the
@@ -3321,6 +3413,8 @@ object SparkEntry {
   private val RpDims = 8; private val RpOffset = 1000 // JL matrix, disjoint from LSH planes
   private val IvfNlist = 8; private val IvfNprobe = 2; private val IvfIters = 2
   private val IvfSampleMod = 4 // k-means trains on ~1/4 of the corpus + seeds
+  private val BpeIters = 8     // BPE merge rounds (fixed-round, fail-loud)
+  private val BpeMaxWordLen = 32 // BPE word-length cap (corpus max is 8)
   private val PqM = 4 // PQ subspaces (EmbDims/PqM dims each, IvfNlist cells)
   private val ChunkWindow = 40; private val ChunkStride = 30
 
@@ -3519,6 +3613,14 @@ object SparkEntry {
           (col("l_partkey") * 2 + 1).as("dst"))
         .distinct().localCheckpoint(true))
 
+  /** The co-sourcing graph WITH lineitem multiplicities — the weighted
+    * twin of coSourcingEdges (the q_pagerank_weighted weight recipe). */
+  private def coSourcingWeighted(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("w"))
+
   /** Both orientations of the shared co-sourcing frame. */
   private def bidirected(s: SparkSession, dir: String): DataFrame = {
     val sp = coSourcingEdges(s, dir)
@@ -3625,6 +3727,43 @@ object SparkEntry {
     (0 until 60).map { j =>
       s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}::BIGINT ELSE 0 END)"
     }.mkString(" + ")
+
+  /** The BPE induction loop as MATERIALIZED unrolled CTEs (the
+    * pagerankFixed oracle pattern), mirroring TextOps.bpeLoop round for
+    * round: per round, freq-weighted adjacent-pair counts, the
+    * (count DESC, l, r) argmax winner, and the greedy-L2R re-segmentation
+    * via the run-parity rule (merge every matched position when l != r;
+    * matched positions at odd rank within each run of `l` symbols when
+    * l = r — both validated against the hand fold in TextOpsSpec). */
+  private def sqlBpeCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""bw AS (SELECT word, count(*)::BIGINT AS freq FROM (
+       |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |    x -> x <> '' AND len(x) <= $BpeMaxWordLen)) AS word FROM documents)
+       |  GROUP BY 1),
+       |bpos AS (SELECT word, freq, unnest(range(1, len(word)+1))::BIGINT AS pos FROM bw),
+       |bseg0 AS MATERIALIZED (SELECT word, freq, pos, substr(word, pos::INT, 1) AS sym FROM bpos)""".stripMargin
+    for (r <- 1 to iters) {
+      val p = r - 1
+      sb ++= s""",
+       |bp$r AS (SELECT sym, nxt, sum(freq)::BIGINT AS cnt FROM (
+       |   SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt, freq FROM bseg$p) t
+       | WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |bwin$r AS MATERIALIZED (SELECT sym AS l, nxt AS r, cnt FROM bp$r ORDER BY cnt DESC, sym, nxt LIMIT 1),
+       |ba$r AS (SELECT s.word, s.freq, s.pos, s.sym, w.l, w.r,
+       |   (s.sym = w.l AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = w.r) AS m,
+       |   (s.sym = w.l) AS f
+       | FROM bseg$p s CROSS JOIN bwin$r w),
+       |bb$r AS (SELECT *, pos - row_number() OVER (PARTITION BY word, f ORDER BY pos) AS rk FROM ba$r),
+       |bc$r AS (SELECT *, (m AND (l <> r OR row_number() OVER (PARTITION BY word, f, rk ORDER BY pos) % 2 = 1)) AS mg FROM bb$r),
+       |bd$r AS (SELECT *, lag(mg) OVER (PARTITION BY word ORDER BY pos) AS mp FROM bc$r),
+       |bseg$r AS MATERIALIZED (SELECT word, freq,
+       |   row_number() OVER (PARTITION BY word ORDER BY pos)::BIGINT AS pos,
+       |   CASE WHEN mg THEN l || r ELSE sym END AS sym
+       | FROM bd$r WHERE NOT coalesce(mp, FALSE))""".stripMargin
+    }
+    sb.toString
+  }
 
   /** MinHash signature pipeline (norm → tokens → shingles → hashes → sig) as
     * DuckDB CTEs, mirroring Dedup.minhashSignature hash-for-hash. */
@@ -4558,6 +4697,21 @@ object SparkEntry {
          |      FROM tk WHERE len(toks) >= 2)
          |SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY 1
          |ORDER BY n_occurrences DESC, gram LIMIT 100""".stripMargin,
+
+    // the merge table = the per-round argmax winners, in rank order
+    "q_bpe_merges" ->
+      s"""WITH ${sqlBpeCtes(BpeIters)}
+         |${(1 to BpeIters).map(r =>
+             s"SELECT $r::BIGINT AS merge_rank, l AS lhs, r AS rhs, " +
+               s"l || r AS merged, cnt AS pair_count FROM bwin$r")
+             .mkString("\nUNION ALL ")}""".stripMargin,
+
+    // the final segmentation state, one row per vocab word
+    "q_bpe_apply" ->
+      s"""WITH ${sqlBpeCtes(BpeIters)}
+         |SELECT word, freq, count(*)::BIGINT AS n_pieces,
+         |  string_agg(sym, ' ' ORDER BY pos) AS pieces
+         |FROM bseg$BpeIters GROUP BY 1, 2""".stripMargin,
 
     // first-doc-per-token min agg + cumulative counts at each checkpoint
     "q_vocab_growth" ->
@@ -6321,6 +6475,8 @@ object SparkEntry {
     "q_communities" -> lpaOracleSql(LpaIters),
     "q_communities_modularity" -> lpaModularityOracleSql(LpaIters),
     "q_communities_moved" -> lpaMovedOracleSql(LpaIters),
+    "q_communities_weighted" -> lpaWeightedOracleSql(LpaIters),
+    "q_community_card" -> lpaCardOracleSql(LpaIters),
     "q_bfs_dist" -> bfsOracleSql(BfsRounds, BfsSeedMod),
     "q_ppr" -> pprOracleSql(PrIters, PrScale, BfsSeedMod),
     "q_pagerank_weighted" -> pagerankWeightedOracleSql(WprIters, PrScale),

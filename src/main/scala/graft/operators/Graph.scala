@@ -899,6 +899,137 @@ object Graph {
     (labels, movement)
   }
 
+  /** Weighted label propagation — labelPropagation with each neighbor's
+    * vote counted `weight` times (the pagerankWeighted precedent: the
+    * co-sourcing graph has lineitem multiplicities, and a neighbor
+    * co-sourced 40 times should out-vote three co-sourced once). Same
+    * fixed-round synchronous discipline, same min-label ties; the vote
+    * is an exact integer SUM of weights instead of a count, so the
+    * partition is still bit-identical across engines and partitionings.
+    * Parallel edges collapse by SUMMING their canonical-pair weights
+    * (the natural multigraph reading — `distinct()` would silently
+    * drop multiplicity). Weights must be positive integers (fail-loud,
+    * the weightedMedian convention). Emits (node, label). */
+  def labelPropagationWeighted(edges: DataFrame, src: String, dst: String,
+                               weight: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val emitted = Seq("node", "label", "_a", "_b", "_s", "_d", "_w", "_n",
+      "_mn")
+    require(!emitted.contains(src) && !emitted.contains(dst) &&
+        !emitted.contains(weight),
+      s"labelPropagationWeighted emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
+    require(edges.schema(src).dataType == edges.schema(dst).dataType,
+      s"src/dst must share one node type; got ${edges.schema(src).dataType} " +
+        s"vs ${edges.schema(dst).dataType}")
+    CoreOps.requireIntegralCols(edges, Seq(weight),
+      "labelPropagationWeighted")
+    val guard = assert_true(col(weight) > 0,
+      concat(lit("labelPropagationWeighted: non-positive weight (zero " +
+        "votes are dead edges, negative votes invert the argmax); got "),
+        col(weight).cast("string")))
+    val und = edges
+      .select(least(col(src), col(dst)).as("_a"),
+        greatest(col(src), col(dst)).as("_b"),
+        col(weight).cast("long").as("_w"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull
+        && col("_a") =!= col("_b"))
+      .filter(guard.isNull)
+      .groupBy(col("_a"), col("_b")).agg(sum(col("_w")).as("_w"))
+    val adj = und.select(col("_a").as("_s"), col("_b").as("_d"), col("_w"))
+      .union(und.select(col("_b").as("_s"), col("_a").as("_d"), col("_w")))
+      .localCheckpoint(true) // reused every round
+    var labels = adj.select(col("_s").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val cnt = adj.join(labels, adj("_s") === labels("node"))
+        .groupBy(col("_d"), col("label")).agg(sum(col("_w")).as("_n"))
+        .localCheckpoint(true) // two consumers: the max and the tie-break
+      val mx = cnt.groupBy(col("_d")).agg(max(col("_n")).as("_mn"))
+      labels = cnt.join(mx, Seq("_d"))
+        .filter(col("_n") === col("_mn"))
+        .groupBy(col("_d")).agg(min(col("label")).as("label"))
+        .withColumnRenamed("_d", "node")
+    }
+    labels
+  }
+
+  /** Per-community quality card — the q_data_card idiom keyed by a
+    * propagation partition: for every community, its size and the three
+    * numbers that say whether it is real structure or an artifact —
+    * intra-community edge count and weight, weighted cut to the rest of
+    * the graph, and the weighted CONDUCTANCE cut_w / (2·intra_w + cut_w)
+    * (0 = island, →1 = no internal cohesion; the standard community-
+    * quality gauge, here as one trunc6'd division of exact integer
+    * sums). `labels` must label every endpoint (LPA labels every node of
+    * its edge set by construction — fail-loud if not, a silently dropped
+    * endpoint would understate cuts). Parallel canonical edges collapse
+    * by summing weights, exactly like labelPropagationWeighted, so the
+    * card agrees with the partition it grades.
+    *
+    * Shape: two id-keyed joins tag endpoints, ONE community-keyed agg
+    * for intra stats, one union'd endpoint agg for volumes — all output
+    * frames O(communities); no windows, no driver traffic. Emits
+    * (community, n_nodes, n_intra_edges, intra_weight, cut_weight,
+    * conductance). */
+  def communityCard(edges: DataFrame, src: String, dst: String,
+                    weight: String, labels: DataFrame, node: String,
+                    label: String): DataFrame = {
+    val emitted = Seq("community", "n_nodes", "n_intra_edges",
+      "intra_weight", "cut_weight", "conductance", "_a", "_b", "_w",
+      "_la", "_lb", "_c")
+    require(!emitted.contains(src) && !emitted.contains(dst) &&
+        !emitted.contains(weight) && !emitted.contains(node) &&
+        !emitted.contains(label),
+      s"communityCard emits/uses ${emitted.mkString(", ")}; rename inputs")
+    CoreOps.requireIntegralCols(edges, Seq(weight), "communityCard")
+    val und = edges
+      .select(least(col(src), col(dst)).as("_a"),
+        greatest(col(src), col(dst)).as("_b"),
+        col(weight).cast("long").as("_w"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull
+        && col("_a") =!= col("_b"))
+      .groupBy(col("_a"), col("_b")).agg(sum(col("_w")).as("_w"))
+    val lab = labels.select(col(node), col(label))
+    val tagged = und
+      .join(lab.select(col(node).as("_a"), col(label).as("_la")), Seq("_a"))
+      .join(lab.select(col(node).as("_b"), col(label).as("_lb")), Seq("_b"))
+      .localCheckpoint(true) // two consumers: intra stats and volumes
+    val nTagged = tagged.groupBy().agg(count(lit(1)).as("_n"))
+    val nUnd = und.groupBy().agg(count(lit(1)).as("_n"))
+    // fail loud on unlabeled endpoints: inner joins dropping edges would
+    // silently zero the very cuts the card exists to surface
+    val covGuard = nUnd.crossJoin(broadcast(nTagged).select(col("_n").as("_nt")))
+      .select(assert_true(col("_n") === col("_nt"),
+        concat(lit("communityCard: "), (col("_n") - col("_nt")).cast("string"),
+          lit(" edge(s) have an unlabeled endpoint — label every node " +
+            "(LPA output does) or filter the edge set first"))).as("_g"))
+    val sizes = lab.groupBy(col(label).as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val intra = tagged.filter(col("_la") === col("_lb"))
+      .groupBy(col("_la").as("community"))
+      .agg(count(lit(1)).as("n_intra_edges"), sum(col("_w")).as("intra_weight"))
+    val cut = tagged.filter(col("_la") =!= col("_lb"))
+      .select(col("_la").as("community"), col("_w"))
+      .union(tagged.filter(col("_la") =!= col("_lb"))
+        .select(col("_lb").as("community"), col("_w")))
+      .groupBy(col("community")).agg(sum(col("_w")).as("cut_weight"))
+    sizes.join(intra, Seq("community"), "left")
+      .join(cut, Seq("community"), "left")
+      .crossJoin(broadcast(covGuard)) // 1 row; throws if coverage fails
+      .filter(col("_g").isNull)
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("n_intra_edges"), lit(0L)).as("n_intra_edges"),
+        coalesce(col("intra_weight"), lit(0L)).as("intra_weight"),
+        coalesce(col("cut_weight"), lit(0L)).as("cut_weight"))
+      .withColumn("conductance",
+        when(lit(2L) * col("intra_weight") + col("cut_weight") > 0L,
+          trunc6(col("cut_weight").cast("double")
+            / (lit(2L) * col("intra_weight") + col("cut_weight"))
+              .cast("double"))))
+  }
+
   /** Shared LPA fixpoint: returns (labels after `iters`, labels after
     * `iters`−1). The penultimate frame feeds both the final round and
     * the movement diff, so it is localCheckpoint'd (the two-consumer

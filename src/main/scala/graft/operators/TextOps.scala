@@ -822,4 +822,123 @@ object TextOps {
         sum(col("_v")).as("vocab"))
       .select(col("checkpoint"), col("n_docs"), col("n_tokens"), col("vocab"))
   }
+
+  /** BPE word extraction: lowercase, split on non-letter runs, keep
+    * nonempty words of <= maxWordLen chars, count corpus frequency. The
+    * ONLY corpus-sized pass of the BPE loop — one explode + one
+    * map-side-combined word agg; everything after runs on the
+    * vocab-sized (word, freq) state. */
+  private def bpeWords(docs: DataFrame, text: String,
+                       maxWordLen: Int): DataFrame =
+    docs.select(explode(filter(split(lower(col(text)), "[^a-z]+"),
+        w => w =!= "" && length(w) <= maxWordLen)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** BPE merge induction (Sennrich et al. 2016, arXiv 1508.07909) — the
+    * vocabulary-LEARNING half of the tokenizer lifecycle (wordPieces
+    * APPLIES a vocab, fertility MEASURES one; this trains one from the
+    * corpus): `iters` rounds of count-adjacent-pairs → deterministic
+    * argmax merge → re-segment, the pagerankFixed/LPA fixed-round
+    * discipline.
+    *
+    * Convention, identical on both engines: words are lowercase non-letter-
+    * split runs (<= maxWordLen chars) weighted by corpus frequency; pair
+    * counts are freq-weighted ADJACENT counts (overlaps count, the original
+    * get_stats convention); the winner is argmax by (count DESC, left ASC,
+    * right ASC) — exact integer counts, binary string order; re-segmentation
+    * is greedy LEFT-TO-RIGHT non-overlapping. L2R needs no sequential scan:
+    * a match at i and i+1 can only overlap when left = right, so the merge
+    * set is "every matched position" when left != right, and "matched
+    * positions at odd rank within each run of `left` symbols" when
+    * left = right — pure window math, engine-identical (the run-parity
+    * rule; validated against the hand fold on the aaaa/abab corpus).
+    *
+    * Distributed shape: ONE corpus-sized word-count agg up front, then all
+    * loop state is vocab-sized long format (word, freq, pos, sym) — at
+    * 100 TB the vocab is ~10⁷ distinct words, not the corpus. Each round:
+    * one word-partitioned window pass (<= maxWordLen rows per key, never
+    * unpartitioned), one pair agg, ONE 1-row driver fold (the argmax — the
+    * O(1)-per-round blessed collect), per-round eager localCheckpoint
+    * truncating lineage (the LPA discipline). Fails loud if the pair space
+    * exhausts before `iters` rounds (a silent early stop would diverge from
+    * the unrolled oracle). Returns (merge table rows, final segmentation). */
+  private def bpeLoop(docs: DataFrame, text: String, iters: Int,
+                      maxWordLen: Int): (Seq[(Int, String, String, Long)],
+                                         DataFrame) = {
+    require(iters >= 1 && iters <= 64, s"need 1 <= iters <= 64, got $iters")
+    require(maxWordLen >= 1, s"maxWordLen must be >= 1, got $maxWordLen")
+    val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var seg = bpeWords(docs, text, maxWordLen)
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("_p"))
+      .select(col("word"), col("freq"), col("_p").cast("long").as("pos"),
+        col("word").substr(col("_p"), lit(1)).as("sym"))
+      .localCheckpoint(true)
+    val winners = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    for (r <- 1 to iters) {
+      val pairs = seg
+        .select(col("sym"), lead(col("sym"), 1).over(wWin).as("nxt"),
+          col("freq"))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("cnt"))
+      val win = pairs.orderBy(col("cnt").desc, col("sym"), col("nxt"))
+        .limit(1).collect()
+      require(win.nonEmpty,
+        s"bpeLoop: pair space exhausted at round $r of $iters (every word " +
+          "is a single symbol) — lower iters; a silent early stop would " +
+          "diverge from the unrolled oracle")
+      val l = win(0).getString(0)
+      val rr = win(0).getString(1)
+      winners += ((r, l, rr, win(0).getLong(2)))
+      val merge = seg
+        .withColumn("_m",
+          col("sym") === l && lead(col("sym"), 1).over(wWin) === rr)
+        .withColumn("_f", col("sym") === l)
+        .withColumn("_rk", col("pos") - row_number().over(
+          Window.partitionBy(col("word"), col("_f")).orderBy(col("pos"))))
+        .withColumn("_rn2", row_number().over(
+          Window.partitionBy(col("word"), col("_f"), col("_rk"))
+            .orderBy(col("pos"))))
+        .withColumn("_merge",
+          col("_m") && (lit(l != rr) || col("_rn2") % 2 === 1))
+        .withColumn("_mp", lag(col("_merge"), 1, false).over(wWin))
+      seg = merge.filter(!coalesce(col("_mp"), lit(false)))
+        .select(col("word"), col("freq"),
+          row_number().over(wWin).cast("long").as("pos"),
+          when(col("_merge"), lit(l + rr)).otherwise(col("sym")).as("sym"))
+        .localCheckpoint(true)
+    }
+    (winners.toList, seg)
+  }
+
+  /** The learned BPE merge table: one row per round, in merge order —
+    * (merge_rank, lhs, rhs, merged, pair_count). This IS the trained
+    * tokenizer artifact a pipeline ships (apply = replay the merges in
+    * rank order). See bpeLoop for the convention and the distributed
+    * shape. */
+  def bpeMerges(docs: DataFrame, text: String, iters: Int,
+                maxWordLen: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (ws, _) = bpeLoop(docs, text, iters, maxWordLen)
+    ws.map { case (rk, l, r, cnt) => (rk.toLong, l, r, l + r, cnt) }
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Segmentation of the corpus vocabulary under the learned BPE vocab —
+    * the apply half, parity-shaped with wordPieces: one row per distinct
+    * word with its corpus frequency, piece count, and the space-joined
+    * pieces after `iters` merges. A doc-level tokenization is this table
+    * joined back on the word key (vocab-sized — never re-runs the loop
+    * per document). */
+  def bpeSegments(docs: DataFrame, text: String, iters: Int,
+                  maxWordLen: Int = 32): DataFrame = {
+    val (_, seg) = bpeLoop(docs, text, iters, maxWordLen)
+    seg.groupBy(col("word"), col("freq"))
+      .agg(count(lit(1)).as("n_pieces"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          x => x.getField("sym")), " ").as("pieces"))
+  }
 }

@@ -428,6 +428,54 @@ class GraphSpec extends SparkSpec {
         org.apache.spark.sql.Row(n, l) }.toSet)
   }
 
+  test("labelPropagationWeighted: multiplicity out-votes the min-label " +
+      "tie; parallel edges collapse by weight sum") {
+    // path 1—2—3 with w(1,2)=1, w(2,3)=5: unweighted round 1 ties node 2
+    // between labels 1 and 3 (min wins -> 1); weighted, label 3 casts 5
+    // votes and wins. The (2,3) weight arrives as parallel edges in both
+    // orientations (2+3) to pin the collapse-by-sum rule.
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 2L, 3L))
+      .toDF("s", "d2", "w")
+    val weighted = Graph.labelPropagationWeighted(edges, "s", "d2", "w", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted == Map(1L -> 2L, 2L -> 3L, 3L -> 2L))
+    val unweighted = Graph.labelPropagation(edges, "s", "d2", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unweighted(2L) == 1L) // the tie the weights flip
+    // non-positive weight fails loud
+    val bad = Seq((1L, 2L, 0L)).toDF("s", "d2", "w")
+    val e = intercept[Exception] {
+      Graph.labelPropagationWeighted(bad, "s", "d2", "w", 1).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight"))
+  }
+
+  test("communityCard: hand conductance per community; unlabeled " +
+      "endpoint fails loud; edgeless community zeroes") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (7L, 7L))
+      .toDF("n", "lbl")
+    val edges = Seq((1L, 2L, 4L), (3L, 4L, 2L), (2L, 3L, 1L))
+      .toDF("s", "d2", "w")
+    val card = Graph.communityCard(edges, "s", "d2", "w", labels, "n", "lbl")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getDouble(5))).toMap
+    // c1: intra (1,2) w4, cut (2,3) w1 -> 1/(2*4+1); c3: 1/(2*2+1)
+    assert(card(1L) == ((2L, 1L, 4L, 1L,
+      math.floor(1d / 9d * 1e6) / 1e6)))
+    assert(card(3L) == ((2L, 1L, 2L, 1L,
+      math.floor(1d / 5d * 1e6) / 1e6)))
+    assert(card(7L) == ((1L, 0L, 0L, 0L, null))) // island, 0/0 undefined
+    // an edge to a node the partition never labeled must throw, not
+    // silently drop (a dropped edge understates the cut)
+    val dangling = edges.union(Seq((4L, 5L, 1L)).toDF("s", "d2", "w"))
+    val e = intercept[Exception] {
+      Graph.communityCard(dangling, "s", "d2", "w", labels, "n", "lbl")
+        .collect()
+    }
+    assert(e.getMessage.contains("unlabeled endpoint"))
+  }
+
   test("hitsWithResidual == (hitsFixed at iters, L1 vs iters-1); a " +
       "bipartite fixed point has zero residual") {
     val edges = Seq((1L, 101L), (1L, 102L), (2L, 102L), (3L, 103L))

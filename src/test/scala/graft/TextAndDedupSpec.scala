@@ -888,4 +888,44 @@ class TextAndDedupSpec extends SparkSpec {
     assert(out(2L).isNullAt(4)) // no sentences
     assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(4))
   }
+
+  test("bpeMerges replays the hand fold: freq-weighted counts, " +
+      "(count DESC, pair ASC) ties, greedy-L2R run parity when l = r") {
+    // vocab: aaaa (freq 2), abab (freq 1). Hand fold:
+    //   round 1: (a,a) 2*3=6 beats (a,b) 2, (b,a) 1 -> aaaa = [aa,aa]
+    //            (greedy L2R in the run: offsets 0 and 2, NOT 1)
+    //   round 2: (aa,aa) 2 ties (a,b) 2 -> pair ASC: "a" < "aa" -> (a,b)
+    //            abab = [ab,ab]
+    //   round 3: (aa,aa) 2 beats (ab,ab) 1 -> aaaa = [aaaa]
+    val docs = Seq("aaaa abab", "AAAA!").toDF("text")
+    val m = TextOps.bpeMerges(docs, "text", 3)
+      .orderBy("merge_rank").collect()
+    assert(m.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq == Seq(
+      (1L, "a", "a", "aa", 6L), (2L, "a", "b", "ab", 2L),
+      (3L, "aa", "aa", "aaaa", 2L)))
+    val seg = TextOps.bpeSegments(docs, "text", 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(seg == Map("aaaa" -> ((1L, "aaaa")), "abab" -> ((2L, "ab ab"))))
+  }
+
+  test("bpe segmentation reconstructs every word and never grows the " +
+      "weighted token total as merge rounds deepen") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val totals = (1 to 4).map { iters =>
+      val seg = TextOps.bpeSegments(docs, "text", iters).collect()
+      // every word is exactly its pieces re-concatenated
+      seg.foreach { r =>
+        assert(r.getString(3).replace(" ", "") == r.getString(0))
+        assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getString(0).length)
+      }
+      seg.map(r => r.getLong(1) * r.getLong(2)).sum
+    }
+    totals.sliding(2).foreach { case Seq(a, b) => assert(b < a) }
+    // pair space exhaustion fails loud, never silently under-merges
+    val tiny = Seq("q w e").toDF("text")
+    val e = intercept[IllegalArgumentException](
+      TextOps.bpeMerges(tiny, "text", 2).collect())
+    assert(e.getMessage.contains("pair space exhausted"))
+  }
 }
