@@ -1,0 +1,127 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.Files
+
+/** Checkpoint-restart recovery: for three representative state machines,
+  * run a FILE-backed streaming query with a real on-disk
+  * `checkpointLocation`, STOP it mid-stream, append more input files, and
+  * restart the same query. The restarted run must (a) restore its
+  * `GroupState` from the HDFS state store — batch-2 outputs below are
+  * chosen so they are only correct if batch-1 state survived the restart
+  * (a lost state would emit a visibly different row, never a missing
+  * one) — and (b) keep the file sink exactly-once (no batch-1 row
+  * duplicated or lost). The final output must equal an UNINTERRUPTED run
+  * of the same machine over the same files byte for byte.
+  *
+  * This is the property MemoryStream parity cannot test: MemoryStream
+  * state lives in the same JVM session, while a production stream
+  * relies on HDFSStateStore serialization + the sink's commit log
+  * across process generations. */
+class RecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Append one JSON file-batch to a file-source directory. */
+  private def appendJson[T: org.apache.spark.sql.Encoder](
+      dir: String, rows: Seq[T]): Unit =
+    rows.toDS().coalesce(1).write.mode("append").json(dir)
+
+  /** Run `build` as a parquet-sink streaming query over `inDir` until all
+    * currently-visible files are processed, then stop. Same (checkpoint,
+    * out) across calls = one logical query across restarts. */
+  private def runUntilDrained(inDir: String, schema: StructType, cp: String,
+                              outDir: String)
+                             (build: DataFrame => Dataset[_]): Unit = {
+    val q = build(spark.readStream.schema(schema).json(inDir))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .format("parquet").option("path", outDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Drive the interrupted (stop + restart) and uninterrupted runs of one
+    * machine over the same two file-batches; return (recovered rows,
+    * uninterrupted rows) read back through the sinks' commit logs. */
+  private def recoveredVsStraight[T: org.apache.spark.sql.Encoder](
+      batch1: Seq[T], batch2: Seq[T])
+      (build: DataFrame => Dataset[_]): (Set[String], Set[String]) = {
+    val schema = implicitly[org.apache.spark.sql.Encoder[T]].schema
+    val inDir = tmp("graft_rec_in")
+    val cp = tmp("graft_rec_cp")
+    val outDir = tmp("graft_rec_out")
+    appendJson(inDir, batch1)
+    runUntilDrained(inDir, schema, cp, outDir)(build) // generation 1
+    appendJson(inDir, batch2)                          // arrives while DOWN
+    runUntilDrained(inDir, schema, cp, outDir)(build) // generation 2
+    val straightCp = tmp("graft_rec_cp2")
+    val straightOut = tmp("graft_rec_out2")
+    runUntilDrained(inDir, schema, straightCp, straightOut)(build)
+    def rows(dir: String): Set[String] =
+      spark.read.parquet(dir).collect().map(_.toString).toSet
+    (rows(outDir), rows(straightOut))
+  }
+
+  test("asofMatches restores the stored right across a restart: a left " +
+      "arriving after the stop matches a right seen before it") {
+    val batch1 = Seq(
+      AsofEvent("k", 1000, 10, isLeft = false),
+      AsofEvent("k", 2000, 11, isLeft = true)) // matches right@1000
+    val batch2 = Seq(
+      AsofEvent("k", 3000, 12, isLeft = true), // ONLY matches if the
+                                               // right@1000 was restored
+      AsofEvent("z", 3000, 13, isLeft = true)) // cold key: NULL either way
+    val (rec, straight) = recoveredVsStraight(batch1, batch2)(df =>
+      StateMachines.asofMatches(df.as[AsofEvent]))
+    assert(rec == straight)
+    // a lost state would emit [k,12,3000,null,null]
+    assert(rec.contains("[k,12,3000,1000,10]"),
+      s"restored-state match missing from $rec")
+    assert(rec.contains("[z,13,3000,null,null]"))
+    assert(rec.size == 3) // one row per LEFT, none duplicated
+  }
+
+  test("holtSnapshots carries level+trend across a restart: the post-" +
+      "restart snapshot continues the pre-stop trajectory") {
+    val batch1 = Seq(
+      ValuedEvent("k", 0, 1, 10), ValuedEvent("k", 1000, 2, 20))
+    val batch2 = Seq(
+      ValuedEvent("k", 2000, 3, 30)) // n_events=3 and its level/trend
+                                     // are functions of batch-1 state
+    val (rec, straight) = recoveredVsStraight(batch1, batch2)(df =>
+      StateMachines.holtSnapshots(df.as[ValuedEvent], 1, 2, 1, 2))
+    // holtSnapshots emits ONE snapshot per key per invocation, so the
+    // interrupted run legitimately has one row per generation where the
+    // straight run has one total — the recovery proof is that the FINAL
+    // snapshot (n_events, level, trend, forecast after all 3 events) is
+    // byte-identical: a lost state would restart the batch-2 generation
+    // at n_events 1 with a zero trend
+    assert(rec.filter(_.startsWith("[k,3,")) == straight,
+      s"post-restart trajectory diverged: $rec vs $straight")
+    assert(rec.size == 2) // one snapshot per generation, none duplicated
+  }
+
+  test("tokenBucket restores the spent bucket across a restart: the " +
+      "post-restart request is rejected on the remembered balance") {
+    // capacity 2 tokens, refill 100 micro-tokens/ms = 0.1 token/s
+    val batch1 = Seq(
+      KeyedEvent("k", 0, 1, "req"),    // full bucket: admit, 1 token left
+      KeyedEvent("k", 100, 2, "req"))  // refill 0.01: admit, ~0 left
+    val batch2 = Seq(
+      KeyedEvent("k", 200, 3, "req"))  // refill 0.01: REJECT — but a lost
+                                       // state would re-init a FULL
+                                       // bucket and admit
+    val (rec, straight) = recoveredVsStraight(batch1, batch2)(df =>
+      StateMachines.tokenBucket(df.as[KeyedEvent], 2, 100, 1))
+    assert(rec == straight)
+    val batch2Row = rec.find(_.startsWith("[k,3,200,")).get
+    assert(batch2Row.contains("false"),
+      s"restart re-initialized the bucket (admitted): $batch2Row")
+    assert(rec.size == 3)
+  }
+}
