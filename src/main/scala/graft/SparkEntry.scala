@@ -3131,6 +3131,12 @@ object SparkEntry {
     // bands (pigeonhole recall at <=2 differing bits), exact Hamming
     // verify — the binary-column twin of q_simhash_jaccard; the oracle
     // replays the byte arithmetic on the hex text
+    // dedup across the THIRD modality: audio near-dup pairs by the
+    // sign-of-energy-difference fingerprint (energySig over 1-byte
+    // frames) under the shared 3×20-bit Hamming banding + exact verify
+    "q_audio_dups" -> ((s, dir) => audioDupPairsShared(s, dir)),
+    // the audio pair graph under the q_dup_clusters transitive closure
+    "q_audio_dup_clusters" -> ((s, dir) => audioDupClustersShared(s, dir)),
     "q_image_dups" -> ((s, dir) => imageDupPairsShared(s, dir)),
     // the pairs under the SAME pointer-jumping transitive closure the
     // text and embedding tiers use — pure composition, memoized (the
@@ -3593,6 +3599,26 @@ object SparkEntry {
           Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
         "doc_id", "img", 2))
 
+  /** q_audio_dups and q_audio_dup_clusters share ONE verified pair frame
+    * (the imageDupPairsShared pattern). */
+  private val audioPairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def audioDupPairsShared(s: SparkSession, dir: String): DataFrame =
+    memoPersist(audioPairCache, s, dir)(
+      Multimodal.audioDupPairs(
+        Multimodal.energyProfile(
+          Tables.documents(s, dir).withColumn("img",
+            Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
+          "doc_id", "img", 1, 64),
+        "doc_id", 2))
+
+  private val audioClusterCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def audioDupClustersShared(s: SparkSession,
+                                     dir: String): DataFrame =
+    memoPersist(audioClusterCache, s, dir)(
+      Dedup.dupClusters(audioDupPairsShared(s, dir), "doc_a", "doc_b"))
+
   /** The image-dup transitive closure, memoized like dupClustersShared —
     * pointer jumping is a convergence loop with per-round eager
     * checkpoints, so it must run once per (session, dir), not once per
@@ -3818,6 +3844,31 @@ object SparkEntry {
        |ipairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    bit_count(xor(a.sg, b.sg))::BIGINT AS hamming
        |  FROM ibnd a JOIN ibnd b USING (bk) WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** The audio fingerprint chain over the fake payloads' hex (Multimodal
+    * .energyProfile at frameBytes 1 → energySig → hammingBandPairs,
+    * fold-for-fold): energy[i] = |byte_i − 128|, sample positions via
+    * BIGINT //, the 60-bit acc·2+bit fold, 3 bands of 20 bits, exact
+    * bit_count Hamming. */
+  private def sqlAudioDupCtes: String =
+    s"""ahx AS (SELECT doc_id,
+       |        upper(md5(text) || substr(md5(text || 'x'), 1, ((doc_id % 3) * 8)::INT)) AS h
+       |      FROM documents),
+       |aen AS (SELECT doc_id,
+       |        [abs(('0x' || substr(h, 2*i+1, 2))::BIGINT - 128)
+       |         for i in range(0, (length(h)/2)::INT)] AS e
+       |      FROM ahx WHERE length(h) > 0),
+       |asg AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    [CASE WHEN e[((j*(len(e)-1)) // 60)::INT + 1]
+       |             > e[(((j+1)*(len(e)-1)) // 60)::INT + 1]
+       |     THEN 1 ELSE 0 END::BIGINT for j in range(0, 60)]),
+       |    (a, b) -> a * 2 + b) AS sg FROM aen),
+       |abnd AS (SELECT doc_id, sg,
+       |    b.b::VARCHAR || '_' || ((sg >> (b.b*20)) & 1048575)::VARCHAR AS bk
+       |  FROM asg, (SELECT unnest(range(0, 3)) AS b) b),
+       |apairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.sg, b.sg))::BIGINT AS hamming
+       |  FROM abnd a JOIN abnd b USING (bk) WHERE a.doc_id < b.doc_id)""".stripMargin
 
   /** Hyperplane-LSH bucket + exact sequential cosine as DuckDB CTEs,
     * mirroring Similarity.hyperplaneSig / Similarity.cosine fold-for-fold
@@ -8292,6 +8343,24 @@ object SparkEntry {
          |  (sum(ntok)::BIGINT * 1000000) // sum(n_bytes)::BIGINT
          |    AS tokens_per_byte_scaled
          |FROM m GROUP BY 1""".stripMargin,
+
+    // the energy-contour fingerprint replayed on the hex text — same
+    // fold/band/verify algebra as q_image_dups over |byte−128| energies
+    "q_audio_dups" ->
+      s"""WITH $sqlAudioDupCtes
+         |SELECT doc_a, doc_b, hamming FROM apairs WHERE hamming <= 2""".stripMargin,
+
+    // the audio pair graph under the q_dup_clusters reach closure
+    "q_audio_dup_clusters" ->
+      s"""WITH RECURSIVE $sqlAudioDupCtes,
+         |aeg AS (SELECT doc_a AS s, doc_b AS d FROM apairs WHERE hamming <= 2
+         |       UNION SELECT doc_b, doc_a FROM apairs WHERE hamming <= 2),
+         |areach(node, lbl) AS (
+         |  SELECT s, s FROM aeg
+         |  UNION
+         |  SELECT e.s, r.lbl FROM aeg e JOIN areach r ON e.d = r.node)
+         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         |FROM areach GROUP BY node""".stripMargin,
 
     // byte-grid dHash replayed on the hex text: sample positions via
     // BIGINT //, bits folded acc*2+b, 3×20-bit bands via >>/&, exact

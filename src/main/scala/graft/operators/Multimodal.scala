@@ -196,12 +196,24 @@ object Multimodal {
     * (q_image_dup_clusters composes exactly that). */
   def imageDupPairs(df: DataFrame, id: String, bin: String,
                     maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
+    val sigs = df.select(col(id).as("doc"), col(bin).as("_b"))
+      .select(col("doc"), dHash(col("_b")).as("_sig")) // staged: hash once
+    hammingBandPairs(sigs, "imageDupPairs", maxHamming, maxBucket)
+  }
+
+  /** The 3 × 20-bit Hamming-LSH band → bucket → exact-verify chain over a
+    * (doc, _sig) 60-bit signature frame — shared by the image (dHash) and
+    * audio (energySig) near-dup operators: a shared band ⇒ candidate (by
+    * pigeonhole ≤ 2 differing bits always leaves one band intact, so
+    * recall at maxHamming ≤ 2 is provable), verified by the exact
+    * full-signature Hamming distance, buckets fail-loud capped at
+    * `maxBucket` (the jaccardAllPairs contract — refuse, never drop). */
+  private def hammingBandPairs(sigs: DataFrame, opName: String,
+                               maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 2,
       s"maxHamming must be in [0,2] (the 3-band pigeonhole recall " +
         s"guarantee), got $maxHamming")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val sigs = df.select(col(id).as("doc"), col(bin).as("_b"))
-      .select(col("doc"), dHash(col("_b")).as("_sig")) // staged: hash once
     val bandCols = (0 until 3).map { b =>
       concat(lit(s"${b}_"),
         shiftright(col("_sig"), b * 20).bitwiseAND(lit(1048575L))
@@ -210,7 +222,7 @@ object Multimodal {
     val banded = sigs.select(col("doc"), col("_sig"),
       explode(array(bandCols: _*)).as("_bk"))
     val capGuard = assert_true(size(col("ms")) <= maxBucket,
-      concat(lit("imageDupPairs: Hamming band '"), col("_bk"),
+      concat(lit(s"$opName: Hamming band '"), col("_bk"),
         lit("' holds "), size(col("ms")).cast("string"),
         lit(s" docs (> maxBucket=$maxBucket) — pair expansion would be " +
           "quadratic. Raise maxBucket deliberately or pre-split the " +
@@ -228,6 +240,97 @@ object Multimodal {
           .as("hamming"))
       .distinct() // pairs sharing several bands count once
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cross-corpus image near-dup JOIN — the ingest-gate twin of
+    * imageDupPairs (the lshJaccardJoin shape on the binary column): every
+    * LEFT payload probes its 3 Hamming bands against a bucket INDEX built
+    * from the RIGHT corpus, candidates verified by the exact signature
+    * Hamming. No within-side pairs, no shared state across sides — the
+    * shape a streaming batch-vs-standing-index near-dup gate needs
+    * (StreamOps.nearDupEachBatch composes exactly this). The index is
+    * BROADCAST: the right side is the bounded reference corpus (its
+    * buckets fail-loud capped at maxBucket), so each probe batch joins
+    * map-side with zero shuffle of the stream. Emits (left_id, right_id,
+    * hamming), each cross pair once. */
+  def imageDupJoin(left: DataFrame, right: DataFrame, idL: String,
+                   binL: String, idR: String, binR: String,
+                   maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 2,
+      s"maxHamming must be in [0,2] (the 3-band pigeonhole recall " +
+        s"guarantee), got $maxHamming")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    def banded(df: DataFrame, id: String, bin: String) =
+      df.select(col(id).as("doc"), dHash(col(bin)).as("_sig"))
+        .select(col("doc"), col("_sig"),
+          explode(array((0 until 3).map { b =>
+            concat(lit(s"${b}_"),
+              shiftright(col("_sig"), b * 20).bitwiseAND(lit(1048575L))
+                .cast("string"))
+          }: _*)).as("_bk"))
+    val capGuard = assert_true(size(col("ms")) <= maxBucket,
+      concat(lit("imageDupJoin: index band '"), col("_bk"),
+        lit("' holds "), size(col("ms")).cast("string"),
+        lit(s" docs (> maxBucket=$maxBucket) — every probe hitting it " +
+          "would fan out quadratically. Raise maxBucket deliberately or " +
+          "pre-split the near-constant payloads; dropping the band would " +
+          "lose the pigeonhole recall guarantee, so this operator " +
+          "refuses instead.")))
+    val index = banded(right, idR, binR).groupBy(col("_bk"))
+      .agg(collect_list(struct(col("doc"), col("_sig"))).as("ms"))
+      .filter(capGuard.isNull)
+    banded(left, idL, binL)
+      .select(col("_bk"), col("doc").as("left_id"), col("_sig").as("_ls"))
+      .join(broadcast(index), Seq("_bk"))
+      .select(col("left_id"), col("_ls"), explode(col("ms")).as("r"))
+      .select(col("left_id"), col("r.doc").as("right_id"),
+        bit_count(col("_ls").bitwiseXOR(col("r._sig"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // pairs sharing several bands count once
+  }
+
+  /** 60-bit audio fingerprint over an ORDERED per-payload energy array —
+    * the sign-of-energy-difference signature (the Haitsma-Kalker 2002
+    * robust-hash idea, reduced to the engine's integer energy frames):
+    * bit j is 1 iff energy[⌊j·(n−1)/60⌋] > energy[⌊(j+1)·(n−1)/60⌋] —
+    * the dHash byte-grid fold applied to the energy SEQUENCE, so two
+    * clips with the same loudness contour collide even when raw bytes
+    * differ. Exact integer comparisons; single-frame payloads fold to 0
+    * (no contour to compare). */
+  def energySig(energies: Column): Column = {
+    val n = size(energies).cast("long")
+    def idiv60(x: Column): Column =
+      ((x - pmod(x, lit(60L))) / 60L).cast("long")
+    def sample(j: Column): Column =
+      element_at(energies, (idiv60(j * (n - 1)) + 1L).cast("int"))
+    aggregate(sequence(lit(0L), lit(59L)), lit(0L),
+      (acc, j) => acc * 2
+        + when(sample(j) > sample(j + 1), 1L).otherwise(0L))
+  }
+
+  /** Audio near-dup candidate pairs over an energyProfile frame table —
+    * dedup for the THIRD modality (text: minhash/simhash; image: dHash;
+    * audio: this): each payload's frames fold to the energySig
+    * fingerprint, then the shared 3 × 20-bit Hamming banding generates
+    * candidates and the exact signature Hamming verifies them
+    * (fail-loud maxBucket, provable recall at maxHamming ≤ 2 — the
+    * imageDupPairs contract verbatim). The per-id energy array is
+    * assembled by ONE grouped agg over the bounded frame fan-out
+    * (array_sort over (frame_idx, energy) structs — collect_list alone
+    * is arrival-ordered and nondeterministic). Emits (doc_a, doc_b,
+    * hamming) with doc_a < doc_b; feed Dedup.dupClusters for the
+    * transitive closure (q_audio_dup_clusters composes exactly that). */
+  def audioDupPairs(frames: DataFrame, id: String, maxHamming: Int,
+                    maxBucket: Int = 10000): DataFrame = {
+    val energies = frames.groupBy(col(id).as("doc"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("frame_idx"),
+          col("energy_sum")))),
+        x => x.getField("energy_sum")).as("_e"))
+    hammingBandPairs(
+      energies.select(col("doc"), energySig(col("_e")).as("_sig")),
+      "audioDupPairs", maxHamming, maxBucket)
   }
 
   /** Modality/format mix per group — the curation stat a multimodal

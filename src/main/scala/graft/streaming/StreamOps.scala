@@ -428,4 +428,26 @@ object StreamOps {
       write(graft.operators.Dedup.contaminationPairs(
         batch, bench, id, text, k, w, minContainment), batchId)
     }
+
+  /** Streaming near-dup gate, stream-static form: every micro-batch of
+    * incoming binary payloads probes the Hamming-band index of a standing
+    * corpus with the batch Multimodal.imageDupJoin — "have we already got
+    * a near-identical image/clip?" answered at ingest time instead of in
+    * a later sweep. The index is broadcast-bounded with fail-loud
+    * maxBucket buckets, so each trigger is a map-side band probe + exact
+    * signature verify over only the colliding candidates — zero shuffle
+    * of the stream, zero Spark state (nothing grows with stream length).
+    * Matching is per-left-row against the static right, so output is
+    * independent of the micro-batch split (parity with the batch operator
+    * is exact — StreamingParitySpec); the index relation re-evaluates per
+    * trigger, picking up newly registered payloads at trigger
+    * granularity. Same idempotent-sink contract as asofJoinEachBatch. */
+  def nearDupEachBatch(stream: DataFrame, index: DataFrame, idL: String,
+                       binL: String, idR: String, binR: String,
+                       maxHamming: Int, maxBucket: Int = 10000)(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      write(graft.operators.Multimodal.imageDupJoin(batch, index,
+        idL, binL, idR, binR, maxHamming, maxBucket), batchId)
+    }
 }

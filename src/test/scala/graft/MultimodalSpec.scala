@@ -151,4 +151,53 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxBucket"))
   }
+
+  test("energySig equals the hand fold over the energy contour; " +
+      "audioDupPairs pairs identical contours regardless of frame order") {
+    // hand fold of the 61-position grid walk over an energy sequence
+    def handSig(e: Seq[Long]): Long = {
+      def pos(j: Long) = (j * (e.length - 1)) / 60
+      (0L until 60L).foldLeft(0L)((acc, j) =>
+        acc * 2 + (if (e(pos(j).toInt) > e(pos(j + 1).toInt)) 1L else 0L))
+    }
+    val contour = Seq(5L, 200L, 3L, 150L, 150L, 9L, 80L, 0L)
+    val got = Seq(Tuple1(contour)).toDF("e")
+      .select(Multimodal.energySig(col("e"))).as[Long].head()
+    assert(got == handSig(contour))
+    // single-frame payloads have no contour: sig 0 by contract
+    assert(Seq(Tuple1(Seq(42L))).toDF("e")
+      .select(Multimodal.energySig(col("e"))).as[Long].head() == 0L)
+    // audioDupPairs: same per-frame energies => pair at hamming 0, even
+    // when the frame ROWS arrive in different orders (array_sort rule);
+    // doc 3's different contour stays unpaired
+    val frames = Seq(
+      (1L, 0L, 10L), (1L, 1L, 99L), (1L, 2L, 5L),
+      (2L, 2L, 5L), (2L, 0L, 10L), (2L, 1L, 99L), // same, shuffled rows
+      (3L, 0L, 99L), (3L, 1L, 10L), (3L, 2L, 80L))
+      .toDF("doc_id", "frame_idx", "energy_sum")
+    val pairs = Multimodal.audioDupPairs(frames, "doc_id", 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)))
+  }
+
+  test("imageDupJoin: cross-side pairs only, exact payload twins at " +
+      "hamming 0, fail-loud index bucket cap") {
+    def withTexts(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("img", Multimodal.fakeImageBytes(col("text"), lit(0L)))
+    val left = withTexts(Seq((1L, "same text"), (2L, "same text"),
+      (3L, "fresh content")))
+    val right = withTexts(Seq((100L, "same text"), (101L, "other body")))
+    val joined = Multimodal.imageDupJoin(left, right, "doc_id", "img",
+        "doc_id", "img", 0)
+      .as[(Long, Long, Long)].collect().toSet
+    // both identical LEFT payloads match the index twin; the (1,2)
+    // within-side pair must NOT appear — this is a cross join gate
+    assert(joined == Set((1L, 100L, 0L), (2L, 100L, 0L)))
+    val floodIdx = withTexts((100L to 104L).map(i => (i, "same text")))
+    val e = intercept[Exception] {
+      Multimodal.imageDupJoin(left, floodIdx, "doc_id", "img",
+        "doc_id", "img", 2, maxBucket = 3).collect()
+    }
+    assert(e.getMessage.contains("maxBucket"))
+  }
 }

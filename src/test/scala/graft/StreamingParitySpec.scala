@@ -471,6 +471,39 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupEachBatch(stream-static) == imageDupJoin(batch) across " +
+      "splits; the standing index gates each micro-batch") {
+    import graft.operators.Multimodal
+    def withImg(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("img",
+        Multimodal.fakeImageBytes(col("text"), col("doc_id")))
+    // identical text + same doc_id%3 => identical payload => hamming 0
+    val index = withImg(Seq((100L, "alpha"), (101L, "beta"),
+      (102L, "gamma")).toDF("doc_id", "text"))
+    val batch1 = Seq((1L, "alpha"))  // 1%3 == 100%3: exact payload dup
+    val batch2 = Seq((2L, "beta"),   // 2%3 == 101%3: exact payload dup
+      (3L, "zeta"))                  // fresh content
+    val input = MemoryStream[(Long, String)]
+    val stream = withImg(input.toDF().toDF("doc_id", "text"))
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = StreamOps.nearDupEachBatch(stream, index, "doc_id", "img",
+        "doc_id", "img", 2) { (out, _) =>
+      sink.synchronized { sink ++= out.as[(Long, Long, Long)].collect() }
+    }.start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val batchAll = withImg((batch1 ++ batch2).toDF("doc_id", "text"))
+      val expected = Multimodal.imageDupJoin(batchAll, index, "doc_id",
+          "img", "doc_id", "img", 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sink.toSet == expected)
+      // the exact-payload dups are caught, each against ITS index twin
+      assert(sink.toSet.contains((1L, 100L, 0L)))
+      assert(sink.toSet.contains((2L, 101L, 0L)))
+    } finally q.stop()
+  }
+
   test("funnelStages(streaming) completes across batches, emits once, in order only") {
     val batch1 = Seq(
       KeyedEvent("1", 1000, 1, "view"), KeyedEvent("1", 2000, 2, "click"),
