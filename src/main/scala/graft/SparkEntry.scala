@@ -339,7 +339,63 @@ object SparkEntry {
   /** Unrolled-CTE twin of Graph.labelPropagationWeighted over the
     * co-sourcing graph with lineitem multiplicities: the lpaOracleCtes
     * chain with canonical-pair weight sums voting in place of counts. */
-  private def lpaWeightedOracleSql(iters: Int): String = {
+  private def lpaWeightedOracleSql(iters: Int): String =
+    lpaWeightedOracleCtes(iters) + s"\nSELECT node, label FROM wl$iters"
+
+  /** The weighted card keyed by the WEIGHTED partition — the
+    * lpaCardOracleSql tail over wl$iters, reusing the weighted chain's
+    * own undw canonical edge set. */
+  private def lpaWeightedCardOracleSql(iters: Int): String =
+    lpaWeightedOracleCtes(iters) +
+      s""",
+         |ctg AS MATERIALIZED (SELECT u.w, x.label AS la, y.label AS lb
+         |  FROM undw u JOIN wl$iters x ON x.node = u.a
+         |  JOIN wl$iters y ON y.node = u.b),
+         |csz AS (SELECT label AS community, count(*)::BIGINT AS n_nodes
+         |  FROM wl$iters GROUP BY 1),
+         |cintra AS (SELECT la AS community, count(*)::BIGINT AS n_intra_edges,
+         |    sum(w)::BIGINT AS intra_weight FROM ctg WHERE la = lb GROUP BY 1),
+         |ccut AS (SELECT community, sum(w)::BIGINT AS cut_weight FROM (
+         |    SELECT la AS community, w FROM ctg WHERE la <> lb
+         |    UNION ALL SELECT lb AS community, w FROM ctg WHERE la <> lb)
+         |  GROUP BY 1)
+         |SELECT s.community, s.n_nodes,
+         |  COALESCE(i.n_intra_edges, 0)::BIGINT AS n_intra_edges,
+         |  COALESCE(i.intra_weight, 0)::BIGINT AS intra_weight,
+         |  COALESCE(c.cut_weight, 0)::BIGINT AS cut_weight,
+         |  CASE WHEN 2 * COALESCE(i.intra_weight, 0)
+         |            + COALESCE(c.cut_weight, 0) > 0 THEN
+         |    floor(COALESCE(c.cut_weight, 0)::DOUBLE
+         |      / (2 * COALESCE(i.intra_weight, 0)
+         |         + COALESCE(c.cut_weight, 0))::DOUBLE * 1000000) / 1000000
+         |  END AS conductance
+         |FROM csz s LEFT JOIN cintra i USING (community)
+         |LEFT JOIN ccut c USING (community)""".stripMargin
+
+  /** Weighted LPA composed with the WEIGHTED modularity algebra — the
+    * lpaModularityOracleSql shape with weight sums in place of counts. */
+  private def lpaWeightedModularityOracleSql(iters: Int): String =
+    lpaWeightedOracleCtes(iters) +
+      s""",
+         |mj AS MATERIALIZED (SELECT u.w, x.label AS cx, y.label AS cy
+         |  FROM undw u JOIN wl$iters x ON x.node = u.a
+         |  JOIN wl$iters y ON y.node = u.b),
+         |d AS (SELECT cls, sum(w)::BIGINT AS dd FROM
+         |        (SELECT cx AS cls, w FROM mj UNION ALL SELECT cy, w FROM mj)
+         |      GROUP BY 1),
+         |e AS (SELECT cx AS cls, sum(w)::BIGINT AS ee FROM mj
+         |      WHERE cx = cy GROUP BY 1),
+         |m AS (SELECT sum(w)::BIGINT AS mm FROM mj),
+         |q AS (SELECT count(*)::BIGINT AS nc,
+         |        sum(4 * (SELECT mm FROM m) * COALESCE(ee, 0)
+         |            - dd * dd)::BIGINT AS qn
+         |      FROM d LEFT JOIN e USING (cls))
+         |SELECT m.mm AS total_weight, q.nc AS n_communities, q.qn AS q_num,
+         |  floor(q.qn::DOUBLE / (4 * m.mm * m.mm)::DOUBLE * 1000000)
+         |    / 1000000 AS modularity
+         |FROM m CROSS JOIN q WHERE m.mm > 0""".stripMargin
+
+  private def lpaWeightedOracleCtes(iters: Int): String = {
     val head =
       s"""WITH undw AS MATERIALIZED (SELECT
          |        least(l_suppkey * 2, l_partkey * 2 + 1) AS a,
@@ -361,7 +417,7 @@ object SparkEntry {
          |  FROM wc$i c JOIN wm$i m ON m.node = c.node AND c.n = m.mn
          |  GROUP BY 1)""".stripMargin
     }
-    (head +: rounds).mkString(",\n") + s"\nSELECT node, label FROM wl$iters"
+    (head +: rounds).mkString(",\n")
   }
 
   /** The per-community card over the UNWEIGHTED LPA partition and the
@@ -1035,6 +1091,12 @@ object SparkEntry {
     "q_bpe_apply" -> ((s, dir) =>
       TextOps.bpeSegments(Tables.documents(s, dir), "text", BpeIters,
         BpeMaxWordLen)),
+    // tokenizer lifecycle closed end-to-end: fertility of the vocab the
+    // engine just LEARNED, per language (q_fertility measures an external
+    // tokenizer; this measures the trained one on its own corpus)
+    "q_bpe_fertility" -> ((s, dir) =>
+      TextOps.bpeFertility(Tables.documents(s, dir), "text", "lang",
+        BpeIters, BpeMaxWordLen)),
     // Heaps-law saturation gauge: per doc-id checkpoint, cumulative docs,
     // token occurrences and DISTINCT vocabulary — "does more crawl still
     // add new language?"; one token-keyed min agg, constant-size cumsum
@@ -2844,15 +2906,24 @@ object SparkEntry {
     // weighted community detection: each neighbor's vote counted with its
     // lineitem co-sourcing multiplicity (a pair sourced 40 times out-votes
     // three sourced once) — exact integer weight sums, same min-label ties
-    "q_communities_weighted" -> ((s, dir) =>
-      Graph.labelPropagationWeighted(coSourcingWeighted(s, dir),
-        "src", "dst", "w", LpaIters)),
+    "q_communities_weighted" -> ((s, dir) => lpaWeightedShared(s, dir)),
     // per-community quality card keyed by the shared q_communities run:
     // size, intra edges/weight, weighted cut, and conductance — "is this
     // community real structure?" in one row per label
     "q_community_card" -> ((s, dir) =>
       Graph.communityCard(coSourcingWeighted(s, dir), "src", "dst", "w",
         lpaShared(s, dir)._1, "node", "label")),
+    // the same card keyed by the WEIGHTED partition — does multiplicity-
+    // aware voting cut less co-sourcing weight than unweighted LPA?
+    "q_community_card_weighted" -> ((s, dir) =>
+      Graph.communityCard(coSourcingWeighted(s, dir), "src", "dst", "w",
+        lpaWeightedShared(s, dir), "node", "label")),
+    // weighted Newman modularity of the weighted partition — grading a
+    // multiplicity-aware vote on a multiplicity-aware score (the
+    // q_communities_modularity composition, weighted end to end)
+    "q_communities_weighted_modularity" -> ((s, dir) =>
+      Graph.modularityWeighted(coSourcingWeighted(s, dir), "src", "dst",
+        "w", lpaWeightedShared(s, dir), "node", "label")),
     // personalized PageRank: teleport mass restarts only at the audited
     // seed suppliers (the q_bfs_dist seed set), so scores rank the whole
     // graph by proximity-weighted reachability FROM them — the
@@ -3586,6 +3657,15 @@ object SparkEntry {
       (labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         movement)
     })
+
+  /** q_communities_weighted and q_community_card_weighted share ONE
+    * weighted propagation run (the lpaShared pattern). */
+  private val lpaWeightedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def lpaWeightedShared(s: SparkSession, dir: String): DataFrame =
+    memoPersist(lpaWeightedCache, s, dir)(
+      Graph.labelPropagationWeighted(coSourcingWeighted(s, dir),
+        "src", "dst", "w", LpaIters))
 
   /** q_image_dups and q_image_dup_clusters share ONE verified pair frame
     * (the nearDupPairs pattern) — the dHash/banding pipeline runs once
@@ -4763,6 +4843,23 @@ object SparkEntry {
          |SELECT word, freq, count(*)::BIGINT AS n_pieces,
          |  string_agg(sym, ' ' ORDER BY pos) AS pieces
          |FROM bseg$BpeIters GROUP BY 1, 2""".stripMargin,
+
+    // per-language word counts joined onto the learned segmentation's
+    // piece counts — the trained tokenizer measured on its own corpus
+    "q_bpe_fertility" ->
+      s"""WITH ${sqlBpeCtes(BpeIters)},
+         |bwl AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $BpeMaxWordLen)) AS word
+         |    FROM documents) GROUP BY 1, 2),
+         |bsg AS (SELECT word, count(*)::BIGINT AS np
+         |        FROM bseg$BpeIters GROUP BY 1)
+         |SELECT w.lang, sum(w.n)::BIGINT AS n_words,
+         |  sum(w.n * s.np)::BIGINT AS n_pieces,
+         |  floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE * 1000000)
+         |    / 1000000 AS fertility
+         |FROM bwl w JOIN bsg s USING (word) GROUP BY 1""".stripMargin,
 
     // first-doc-per-token min agg + cumulative counts at each checkpoint
     "q_vocab_growth" ->
@@ -6528,6 +6625,9 @@ object SparkEntry {
     "q_communities_moved" -> lpaMovedOracleSql(LpaIters),
     "q_communities_weighted" -> lpaWeightedOracleSql(LpaIters),
     "q_community_card" -> lpaCardOracleSql(LpaIters),
+    "q_community_card_weighted" -> lpaWeightedCardOracleSql(LpaIters),
+    "q_communities_weighted_modularity" ->
+      lpaWeightedModularityOracleSql(LpaIters),
     "q_bfs_dist" -> bfsOracleSql(BfsRounds, BfsSeedMod),
     "q_ppr" -> pprOracleSql(PrIters, PrScale, BfsSeedMod),
     "q_pagerank_weighted" -> pagerankWeightedOracleSql(WprIters, PrScale),

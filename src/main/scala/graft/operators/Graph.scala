@@ -836,6 +836,62 @@ object Graph {
              * col("n_edges").cast("double"))).as("modularity"))
   }
 
+  /** WEIGHTED Newman modularity — `modularity` with every edge counted
+    * `weight` times (Newman 2004, "Analysis of weighted networks"): m
+    * becomes the total canonical weight, e_c the intra-community weight,
+    * d_c the weighted degree sum; Q·4m² = 4m·Σe_c − Σd_c² stays EXACT
+    * int64 (d_c ≤ 2m ⇒ safe to m ~ 1.5·10⁹ total weight; ANSI fails
+    * loud past it). The natural gauge for labelPropagationWeighted's
+    * partitions — the unweighted form would grade a multiplicity-aware
+    * vote on a multiplicity-blind score. Parallel canonical edges
+    * collapse by SUMMING weights (the labelPropagationWeighted rule);
+    * same labeling contract and O(communities) shape as modularity.
+    * Emits ONE row (total_weight, n_communities, q_num, modularity). */
+  def modularityWeighted(edges: DataFrame, src: String, dst: String,
+                         weight: String, labels: DataFrame, node: String,
+                         community: String): DataFrame = {
+    val emitted = Seq("total_weight", "n_communities", "q_num",
+      "modularity", "_a", "_b", "_w", "_ca", "_cb", "_c", "_e", "_d", "_m")
+    require(!emitted.contains(src) && !emitted.contains(dst)
+        && !emitted.contains(weight) && !emitted.contains(node)
+        && !emitted.contains(community),
+      s"modularityWeighted emits/uses ${emitted.mkString(", ")}; rename " +
+        "inputs")
+    CoreOps.requireIntegralCols(edges, Seq(weight), "modularityWeighted")
+    val sa = col(src).cast("string"); val sb = col(dst).cast("string")
+    val lab = labels
+      .filter(col(node).isNotNull && col(community).isNotNull)
+      .select(col(node).cast("string").as("_a"),
+        col(community).cast("string").as("_c"))
+      .distinct()
+    val und = edges
+      .select(least(sa, sb).as("_a"), greatest(sa, sb).as("_b"),
+        col(weight).cast("long").as("_w"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull
+        && col("_a") =!= col("_b"))
+      .groupBy(col("_a"), col("_b")).agg(sum(col("_w")).as("_w"))
+      .join(lab.select(col("_a"), col("_c").as("_ca")), Seq("_a"))
+      .join(lab.select(col("_a").as("_b"), col("_c").as("_cb")), Seq("_b"))
+      .localCheckpoint(true) // feeds e_c, d_c, and the total
+    val ec = und.filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("_c")).agg(sum(col("_w")).as("_e"))
+    val dc = und.select(col("_ca").as("_c"), col("_w"))
+      .union(und.select(col("_cb").as("_c"), col("_w")))
+      .groupBy(col("_c")).agg(sum(col("_w")).as("_d"))
+    val m = und.agg(sum(col("_w")).as("_m"))
+    dc.join(ec, Seq("_c"), "left")
+      .crossJoin(broadcast(m))
+      .agg(first(col("_m")).as("total_weight"),
+        count(lit(1)).as("n_communities"),
+        sum(lit(4L) * col("_m") * coalesce(col("_e"), lit(0L))
+          - col("_d") * col("_d")).as("q_num"))
+      .filter(col("total_weight") > 0L)
+      .select(col("total_weight"), col("n_communities"), col("q_num"),
+        trunc6(col("q_num").cast("double")
+          / (lit(4d) * col("total_weight").cast("double")
+             * col("total_weight").cast("double"))).as("modularity"))
+  }
+
   /** Community detection by fixed-round SYNCHRONOUS label propagation —
     * the generative companion to `modularity` (which can only score a
     * partition someone else produced): nodes start as their own label

@@ -941,4 +941,40 @@ object TextOps {
           array_sort(collect_list(struct(col("pos"), col("sym")))),
           x => x.getField("sym")), " ").as("pieces"))
   }
+
+  /** Tokenizer-lifecycle closure: fertility of the LEARNED BPE vocab on
+    * the corpus it was trained on, per group (the q_fertility gauge with
+    * the external piece formula swapped for the engine's own training
+    * run — "we trained a tokenizer; how many pieces per word does it
+    * cost each language?"). Every corpus word is in the learned
+    * segmentation by construction (same extraction), so the join is
+    * total — fail-loud if not (a dropped word would silently understate
+    * fertility). Shape: ONE extra corpus pass for (group, word) counts +
+    * one vocab-sized join onto bpeSegments' output; the loop itself runs
+    * once. Emits (group, n_words, n_pieces, fertility). */
+  def bpeFertility(docs: DataFrame, text: String, group: String, iters: Int,
+                   maxWordLen: Int = 32): DataFrame = {
+    val emitted = Seq("n_words", "n_pieces", "fertility", "word", "_n", "_g")
+    require(!emitted.contains(group),
+      s"bpeFertility emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val seg = bpeSegments(docs, text, iters, maxWordLen)
+      .select(col("word"), col("n_pieces"))
+    val words = docs.select(col(group).as("_g"),
+        explode(filter(split(lower(col(text)), "[^a-z]+"),
+          w => w =!= "" && length(w) <= maxWordLen)).as("word"))
+      .groupBy(col("_g"), col("word")).agg(count(lit(1)).as("_n"))
+    val guard = assert_true(col("n_pieces").isNotNull,
+      concat(lit("bpeFertility: corpus word '"), col("word"),
+        lit("' missing from the learned segmentation — the extraction " +
+          "conventions diverged (an understated fertility would be " +
+          "silent, so this operator refuses instead)")))
+    words.join(seg, Seq("word"), "left")
+      .filter(guard.isNull)
+      .groupBy(col("_g").as(group))
+      .agg(sum(col("_n")).as("n_words"),
+        sum(col("_n") * col("n_pieces")).as("n_pieces"))
+      .select(col(group), col("n_words"), col("n_pieces"),
+        trunc6(col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+  }
 }

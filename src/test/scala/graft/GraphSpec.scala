@@ -476,6 +476,28 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("unlabeled endpoint"))
   }
 
+  test("modularityWeighted: hand-computed Q*4m^2 on the two-community " +
+      "weighted graph") {
+    // c1 = {1,2}, c3 = {3,4}; w(1,2)=3, w(3,4)=2, cut w(2,3)=1 -> m=6
+    // e_c1=3, e_c3=2; d_c1 = 3+(3+1) = 7, d_c3 = (2+1)+2 = 5
+    // q_num = (4*6*3 - 49) + (4*6*2 - 25) = 23 + 23 = 46; Q = 46/144
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("n", "lbl")
+    val edges = Seq((1L, 2L, 3L), (3L, 4L, 2L), (2L, 3L, 1L))
+      .toDF("s", "d2", "w")
+    val q = Graph.modularityWeighted(edges, "s", "d2", "w", labels,
+      "n", "lbl").head()
+    assert((q.getLong(0), q.getLong(1), q.getLong(2)) == ((6L, 2L, 46L)))
+    assert(q.getDouble(3) == math.floor(46d / 144d * 1e6) / 1e6)
+    // all weights 1 degrades to the unweighted gauge exactly
+    val ones = edges.withColumn("w", lit(1L))
+    val uw = Graph.modularity(ones, "s", "d2", labels, "n", "lbl").head()
+    val w1 = Graph.modularityWeighted(ones, "s", "d2", "w", labels,
+      "n", "lbl").head()
+    assert(uw.getLong(2) == w1.getLong(2) &&
+      uw.getDouble(3) == w1.getDouble(3))
+  }
+
   test("hitsWithResidual == (hitsFixed at iters, L1 vs iters-1); a " +
       "bipartite fixed point has zero residual") {
     val edges = Seq((1L, 101L), (1L, 102L), (2L, 102L), (3L, 103L))

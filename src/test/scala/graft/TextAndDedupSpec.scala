@@ -928,4 +928,17 @@ class TextAndDedupSpec extends SparkSpec {
       TextOps.bpeMerges(tiny, "text", 2).collect())
     assert(e.getMessage.contains("pair space exhausted"))
   }
+
+  test("bpeFertility: the learned vocab's pieces-per-word, per group " +
+      "(hand walk over the aaaa/abab corpus)") {
+    // after 3 merges (the bpeMerges hand-fold test): aaaa -> 1 piece,
+    // abab -> 2 pieces. en: (aaaa + abab) = 2 words, 3 pieces -> 1.5;
+    // zh: one aaaa = 1 word, 1 piece -> 1.0
+    val docs = Seq(("aaaa abab", "en"), ("AAAA!", "zh"))
+      .toDF("text", "lang")
+    val f = TextOps.bpeFertility(docs, "text", "lang", 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(f == Map("en" -> ((2L, 3L, 1.5)), "zh" -> ((1L, 1L, 1.0))))
+  }
 }
