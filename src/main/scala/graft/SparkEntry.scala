@@ -1082,21 +1082,17 @@ object SparkEntry {
     // BpeIters rounds of freq-weighted pair count → (count DESC, pair ASC)
     // argmax → greedy L2R re-segment via the run-parity window rule; all
     // loop state vocab-sized, one 1-row driver fold per round
-    "q_bpe_merges" -> ((s, dir) =>
-      TextOps.bpeMerges(Tables.documents(s, dir), "text", BpeIters,
-        BpeMaxWordLen)),
+    "q_bpe_merges" -> ((s, dir) => bpeShared(s, dir)._1),
     // the apply half: the corpus vocabulary segmented under the learned
     // merges — (word, freq, n_pieces, pieces); a doc-level tokenization
     // is this table joined back on the word key
-    "q_bpe_apply" -> ((s, dir) =>
-      TextOps.bpeSegments(Tables.documents(s, dir), "text", BpeIters,
-        BpeMaxWordLen)),
+    "q_bpe_apply" -> ((s, dir) => bpeShared(s, dir)._2),
     // tokenizer lifecycle closed end-to-end: fertility of the vocab the
     // engine just LEARNED, per language (q_fertility measures an external
     // tokenizer; this measures the trained one on its own corpus)
     "q_bpe_fertility" -> ((s, dir) =>
-      TextOps.bpeFertility(Tables.documents(s, dir), "text", "lang",
-        BpeIters, BpeMaxWordLen)),
+      TextOps.bpeFertilityFrom(Tables.documents(s, dir), "text", "lang",
+        bpeShared(s, dir)._2, BpeMaxWordLen)),
     // Heaps-law saturation gauge: per doc-id checkpoint, cumulative docs,
     // token occurrences and DISTINCT vocabulary — "does more crawl still
     // add new language?"; one token-keyed min agg, constant-size cumsum
@@ -3656,6 +3652,23 @@ object SparkEntry {
         coSourcingEdges(s, dir), "src", "dst", LpaIters)
       (labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         movement)
+    })
+
+  /** q_bpe_merges, q_bpe_apply and q_bpe_fertility are three views over
+    * ONE BPE training run (the lpaShared pattern) — each would otherwise
+    * re-run the whole BpeIters-round merge loop. Both artifacts persist:
+    * the merge table is driver-literal-sized, the segments frame is
+    * vocab-sized. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def bpeShared(s: SparkSession,
+                        dir: String): (DataFrame, DataFrame) =
+    memoShared(bpeCache, s, dir)({
+      val (merges, segments) = TextOps.bpeLearn(Tables.documents(s, dir),
+        "text", BpeIters, BpeMaxWordLen)
+      (merges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        segments.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   /** q_communities_weighted and q_community_card_weighted share ONE

@@ -912,19 +912,34 @@ object TextOps {
     (winners.toList, seg)
   }
 
-  /** The learned BPE merge table: one row per round, in merge order —
-    * (merge_rank, lhs, rhs, merged, pair_count). This IS the trained
-    * tokenizer artifact a pipeline ships (apply = replay the merges in
-    * rank order). See bpeLoop for the convention and the distributed
-    * shape. */
-  def bpeMerges(docs: DataFrame, text: String, iters: Int,
-                maxWordLen: Int = 32): DataFrame = {
+  /** One BPE training run, both artifacts: the merge table
+    * (merge_rank, lhs, rhs, merged, pair_count — the trained tokenizer a
+    * pipeline ships; apply = replay the merges in rank order) and the
+    * segmented vocabulary (word, freq, n_pieces, pieces). Callers that
+    * need more than one view (merges + apply + fertility) should call
+    * this ONCE and share the frames — each view otherwise re-runs the
+    * whole `iters`-round loop. See bpeLoop for the convention and the
+    * distributed shape. */
+  def bpeLearn(docs: DataFrame, text: String, iters: Int,
+               maxWordLen: Int = 32): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (ws, _) = bpeLoop(docs, text, iters, maxWordLen)
-    ws.map { case (rk, l, r, cnt) => (rk.toLong, l, r, l + r, cnt) }
+    val (ws, seg) = bpeLoop(docs, text, iters, maxWordLen)
+    val merges = ws
+      .map { case (rk, l, r, cnt) => (rk.toLong, l, r, l + r, cnt) }
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    val segments = seg.groupBy(col("word"), col("freq"))
+      .agg(count(lit(1)).as("n_pieces"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          x => x.getField("sym")), " ").as("pieces"))
+    (merges, segments)
   }
+
+  /** The learned BPE merge table alone (one training run). */
+  def bpeMerges(docs: DataFrame, text: String, iters: Int,
+                maxWordLen: Int = 32): DataFrame =
+    bpeLearn(docs, text, iters, maxWordLen)._1
 
   /** Segmentation of the corpus vocabulary under the learned BPE vocab —
     * the apply half, parity-shaped with wordPieces: one row per distinct
@@ -933,14 +948,8 @@ object TextOps {
     * joined back on the word key (vocab-sized — never re-runs the loop
     * per document). */
   def bpeSegments(docs: DataFrame, text: String, iters: Int,
-                  maxWordLen: Int = 32): DataFrame = {
-    val (_, seg) = bpeLoop(docs, text, iters, maxWordLen)
-    seg.groupBy(col("word"), col("freq"))
-      .agg(count(lit(1)).as("n_pieces"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("sym")))),
-          x => x.getField("sym")), " ").as("pieces"))
-  }
+                  maxWordLen: Int = 32): DataFrame =
+    bpeLearn(docs, text, iters, maxWordLen)._2
 
   /** Tokenizer-lifecycle closure: fertility of the LEARNED BPE vocab on
     * the corpus it was trained on, per group (the q_fertility gauge with
@@ -953,12 +962,20 @@ object TextOps {
     * one vocab-sized join onto bpeSegments' output; the loop itself runs
     * once. Emits (group, n_words, n_pieces, fertility). */
   def bpeFertility(docs: DataFrame, text: String, group: String, iters: Int,
-                   maxWordLen: Int = 32): DataFrame = {
+                   maxWordLen: Int = 32): DataFrame =
+    bpeFertilityFrom(docs, text, group,
+      bpeSegments(docs, text, iters, maxWordLen), maxWordLen)
+
+  /** bpeFertility over a PRECOMPUTED segments frame (bpeSegments output)
+    * — the shared-run form: one training loop can feed merges, apply,
+    * and fertility without re-running. */
+  def bpeFertilityFrom(docs: DataFrame, text: String, group: String,
+                       segments: DataFrame,
+                       maxWordLen: Int = 32): DataFrame = {
     val emitted = Seq("n_words", "n_pieces", "fertility", "word", "_n", "_g")
     require(!emitted.contains(group),
       s"bpeFertility emits/uses ${emitted.mkString(", ")}; rename inputs")
-    val seg = bpeSegments(docs, text, iters, maxWordLen)
-      .select(col("word"), col("n_pieces"))
+    val seg = segments.select(col("word"), col("n_pieces"))
     val words = docs.select(col(group).as("_g"),
         explode(filter(split(lower(col(text)), "[^a-z]+"),
           w => w =!= "" && length(w) <= maxWordLen)).as("word"))
