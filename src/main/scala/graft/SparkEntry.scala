@@ -1093,6 +1093,13 @@ object SparkEntry {
     "q_bpe_fertility" -> ((s, dir) =>
       TextOps.bpeFertilityFrom(Tables.documents(s, dir), "text", "lang",
         bpeShared(s, dir)._2, BpeMaxWordLen)),
+    // inference under the frozen vocab: the held-out slice (doc_id%7==3)
+    // segmented by REPLAYING the shared training run's merge table in
+    // rank order — unseen pairs simply stop merging (BPE OOV behavior)
+    "q_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === 3),
+        "text", bpeShared(s, dir)._1, BpeMaxWordLen)),
     // Heaps-law saturation gauge: per doc-id checkpoint, cumulative docs,
     // token occurrences and DISTINCT vocabulary — "does more crawl still
     // add new language?"; one token-keyed min agg, constant-size cumsum
@@ -3884,6 +3891,36 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The BPE ENCODE chain: the training CTEs' bwin$r winners replayed in
+    * rank order over a held-out slice's vocabulary (TextOps.bpeEncode
+    * fold-for-fold) — same reseg algebra, no pair counting. */
+  private def sqlBpeEncodeCtes(iters: Int, slice: String): String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+       |ew AS (SELECT word, count(*)::BIGINT AS freq FROM (
+       |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |    x -> x <> '' AND len(x) <= $BpeMaxWordLen)) AS word FROM $slice)
+       |  GROUP BY 1),
+       |epos AS (SELECT word, freq, unnest(range(1, len(word)+1))::BIGINT AS pos FROM ew),
+       |eseg0 AS MATERIALIZED (SELECT word, freq, pos, substr(word, pos::INT, 1) AS sym FROM epos)""".stripMargin
+    for (r <- 1 to iters) {
+      val p = r - 1
+      sb ++= s""",
+       |ea$r AS (SELECT s.word, s.freq, s.pos, s.sym, w.l, w.r,
+       |   (s.sym = w.l AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = w.r) AS m,
+       |   (s.sym = w.l) AS f
+       | FROM eseg$p s CROSS JOIN bwin$r w),
+       |eb$r AS (SELECT *, pos - row_number() OVER (PARTITION BY word, f ORDER BY pos) AS rk FROM ea$r),
+       |ec$r AS (SELECT *, (m AND (l <> r OR row_number() OVER (PARTITION BY word, f, rk ORDER BY pos) % 2 = 1)) AS mg FROM eb$r),
+       |ed$r AS (SELECT *, lag(mg) OVER (PARTITION BY word ORDER BY pos) AS mp FROM ec$r),
+       |eseg$r AS MATERIALIZED (SELECT word, freq,
+       |   row_number() OVER (PARTITION BY word ORDER BY pos)::BIGINT AS pos,
+       |   CASE WHEN mg THEN l || r ELSE sym END AS sym
+       | FROM ed$r WHERE NOT coalesce(mp, FALSE))""".stripMargin
+    }
+    sb.toString
+  }
+
   /** MinHash signature pipeline (norm → tokens → shingles → hashes → sig) as
     * DuckDB CTEs, mirroring Dedup.minhashSignature hash-for-hash. */
   private def sqlMinhashCtes: String = sqlMinhashCtesOver("documents")
@@ -4856,6 +4893,15 @@ object SparkEntry {
          |SELECT word, freq, count(*)::BIGINT AS n_pieces,
          |  string_agg(sym, ' ' ORDER BY pos) AS pieces
          |FROM bseg$BpeIters GROUP BY 1, 2""".stripMargin,
+
+    // the held-out slice's vocab re-segmented by replaying the training
+    // chain's winners in rank order — no pair counting on the slice
+    "q_bpe_encode" ->
+      s"""WITH ${sqlBpeCtes(BpeIters)}${sqlBpeEncodeCtes(BpeIters,
+             "(SELECT * FROM documents WHERE doc_id % 7 = 3)")}
+         |SELECT word, freq, count(*)::BIGINT AS n_pieces,
+         |  string_agg(sym, ' ' ORDER BY pos) AS pieces
+         |FROM eseg$BpeIters GROUP BY 1, 2""".stripMargin,
 
     // per-language word counts joined onto the learned segmentation's
     // piece counts — the trained tokenizer measured on its own corpus

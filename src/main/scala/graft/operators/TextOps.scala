@@ -868,12 +868,7 @@ object TextOps {
     require(iters >= 1 && iters <= 64, s"need 1 <= iters <= 64, got $iters")
     require(maxWordLen >= 1, s"maxWordLen must be >= 1, got $maxWordLen")
     val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
-    var seg = bpeWords(docs, text, maxWordLen)
-      .select(col("word"), col("freq"),
-        explode(sequence(lit(1), length(col("word")))).as("_p"))
-      .select(col("word"), col("freq"), col("_p").cast("long").as("pos"),
-        col("word").substr(col("_p"), lit(1)).as("sym"))
-      .localCheckpoint(true)
+    var seg = initialSeg(docs, text, maxWordLen)
     val winners = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, Long)]
     for (r <- 1 to iters) {
@@ -891,26 +886,48 @@ object TextOps {
       val l = win(0).getString(0)
       val rr = win(0).getString(1)
       winners += ((r, l, rr, win(0).getLong(2)))
-      val merge = seg
-        .withColumn("_m",
-          col("sym") === l && lead(col("sym"), 1).over(wWin) === rr)
-        .withColumn("_f", col("sym") === l)
-        .withColumn("_rk", col("pos") - row_number().over(
-          Window.partitionBy(col("word"), col("_f")).orderBy(col("pos"))))
-        .withColumn("_rn2", row_number().over(
-          Window.partitionBy(col("word"), col("_f"), col("_rk"))
-            .orderBy(col("pos"))))
-        .withColumn("_merge",
-          col("_m") && (lit(l != rr) || col("_rn2") % 2 === 1))
-        .withColumn("_mp", lag(col("_merge"), 1, false).over(wWin))
-      seg = merge.filter(!coalesce(col("_mp"), lit(false)))
-        .select(col("word"), col("freq"),
-          row_number().over(wWin).cast("long").as("pos"),
-          when(col("_merge"), lit(l + rr)).otherwise(col("sym")).as("sym"))
-        .localCheckpoint(true)
+      seg = applyMerge(seg, l, rr)
     }
     (winners.toList, seg)
   }
+
+  /** One greedy-L2R merge application over the (word, freq, pos, sym)
+    * long format — the run-parity window rule (see bpeLoop's scaladoc),
+    * shared by training (bpeLoop) and inference (bpeEncode). Eagerly
+    * localCheckpoints the result (one cut per merge keeps the loop
+    * linear in rounds). */
+  private def applyMerge(seg: DataFrame, l: String, rr: String): DataFrame = {
+    val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
+    seg
+      .withColumn("_m",
+        col("sym") === l && lead(col("sym"), 1).over(wWin) === rr)
+      .withColumn("_f", col("sym") === l)
+      .withColumn("_rk", col("pos") - row_number().over(
+        Window.partitionBy(col("word"), col("_f")).orderBy(col("pos"))))
+      .withColumn("_rn2", row_number().over(
+        Window.partitionBy(col("word"), col("_f"), col("_rk"))
+          .orderBy(col("pos"))))
+      .withColumn("_merge",
+        col("_m") && (lit(l != rr) || col("_rn2") % 2 === 1))
+      .withColumn("_mp", lag(col("_merge"), 1, false).over(wWin))
+      .filter(!coalesce(col("_mp"), lit(false)))
+      .select(col("word"), col("freq"),
+        row_number().over(wWin).cast("long").as("pos"),
+        when(col("_merge"), lit(l + rr)).otherwise(col("sym")).as("sym"))
+      .localCheckpoint(true)
+  }
+
+  /** Character-level initial segmentation of a corpus's word vocabulary —
+    * the (word, freq, pos, sym) long-format state both the trainer and
+    * the encoder start from. */
+  private def initialSeg(docs: DataFrame, text: String,
+                         maxWordLen: Int): DataFrame =
+    bpeWords(docs, text, maxWordLen)
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("_p"))
+      .select(col("word"), col("freq"), col("_p").cast("long").as("pos"),
+        col("word").substr(col("_p"), lit(1)).as("sym"))
+      .localCheckpoint(true)
 
   /** One BPE training run, both artifacts: the merge table
     * (merge_rank, lhs, rhs, merged, pair_count — the trained tokenizer a
@@ -928,12 +945,49 @@ object TextOps {
     val merges = ws
       .map { case (rk, l, r, cnt) => (rk.toLong, l, r, l + r, cnt) }
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
-    val segments = seg.groupBy(col("word"), col("freq"))
+    (merges, segmentsOf(seg))
+  }
+
+  /** The (word, freq, n_pieces, pieces) view of a long-format
+    * segmentation state — array_sort over (pos, sym) structs, never a
+    * bare collect_list (arrival order is nondeterministic). */
+  private def segmentsOf(seg: DataFrame): DataFrame =
+    seg.groupBy(col("word"), col("freq"))
       .agg(count(lit(1)).as("n_pieces"),
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("sym")))),
           x => x.getField("sym")), " ").as("pieces"))
-    (merges, segments)
+
+  /** INFERENCE under a trained merge table: segment a (possibly unseen)
+    * corpus's vocabulary by replaying the given merges in rank order —
+    * the step that makes bpeLearn's artifact a real tokenizer (train on
+    * the big corpus once, encode every new slice with the frozen vocab;
+    * a held-out word simply stops merging where its pairs never appear,
+    * canonical BPE OOV behavior, no failure). The merge table is the
+    * trained artifact: O(rank) rows, collected as an O(iters) driver
+    * fold (the blessed pattern) and applied as plan literals through the
+    * same run-parity window rule as training. Per merge: one
+    * word-partitioned window pass over the vocab-sized state + an eager
+    * localCheckpoint — inference cost is linear in the table length,
+    * independent of corpus size beyond the one word-count pass. Emits
+    * the bpeSegments shape (word, freq, n_pieces, pieces). */
+  def bpeEncode(docs: DataFrame, text: String, merges: DataFrame,
+                maxWordLen: Int = 32): DataFrame = {
+    Seq("merge_rank", "lhs", "rhs").foreach(c =>
+      require(merges.columns.contains(c),
+        s"bpeEncode expects bpeLearn's merge table (merge_rank, lhs, " +
+          s"rhs, ...); missing '$c'"))
+    val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    require(ms.length <= 4096,
+      s"bpeEncode replays ${ms.length} merges as plan literals — a table " +
+        "this large is not a plausible trained artifact (vocab learning " +
+        "here is fixed-round); cap the table or raise this guard " +
+        "deliberately")
+    var seg = initialSeg(docs, text, maxWordLen)
+    ms.foreach { case (l, rr) => seg = applyMerge(seg, l, rr) }
+    segmentsOf(seg)
   }
 
   /** The learned BPE merge table alone (one training run). */

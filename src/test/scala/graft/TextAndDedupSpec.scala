@@ -929,6 +929,20 @@ class TextAndDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("pair space exhausted"))
   }
 
+  test("bpeEncode replays the trained merges: on the training corpus it " +
+      "equals bpeSegments; unseen pairs simply stop merging") {
+    val docs = Seq("aaaa abab", "AAAA!").toDF("text")
+    val (merges, segments) = TextOps.bpeLearn(docs, "text", 3)
+    val enc = TextOps.bpeEncode(docs, "text", merges)
+    assert(enc.collect().toSet == segments.collect().toSet)
+    // held-out vocab: "aab" takes merge 1 (a,a) then nothing applies
+    // ("aa" is not "a", so (a,b) cannot fire); "zz" never merges
+    val held = Seq("aab zz").toDF("text")
+    val e2 = TextOps.bpeEncode(held, "text", merges).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(e2 == Map("aab" -> "aa b", "zz" -> "z z"))
+  }
+
   test("bpeFertility: the learned vocab's pieces-per-word, per group " +
       "(hand walk over the aaaa/abab corpus)") {
     // after 3 merges (the bpeMerges hand-fold test): aaaa -> 1 piece,
