@@ -1477,6 +1477,11 @@ object SparkEntry {
       Dedup.contaminationRate(docs, docs.filter(col("doc_id") < 20),
         "doc_id", "text", MhK)
     }),
+    // span-level exact-substring dedup (Lee et al. 2022): which PARTS of
+    // each doc are corpus-duplicated — 6-gram occurrences >= 2 anywhere
+    // mark their token ranges, touching ranges merge into maximal spans
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text", SpanK)),
     // the 100 TB form of the contamination audit: only the deterministic
     // md5(doc_id) % BqSampleMod corpus slice is scored (the bench side —
     // the thing being protected — stays whole, so each sampled doc's rate
@@ -3495,6 +3500,7 @@ object SparkEntry {
   private val IvfSampleMod = 4 // k-means trains on ~1/4 of the corpus + seeds
   private val BpeIters = 8     // BPE merge rounds (fixed-round, fail-loud)
   private val BpeMaxWordLen = 32 // BPE word-length cap (corpus max is 8)
+  private val SpanK = 6        // duplicated-substring span gram width
   private val PqM = 4 // PQ subspaces (EmbDims/PqM dims each, IvfNlist cells)
   private val ChunkWindow = 40; private val ChunkStride = 30
 
@@ -5518,6 +5524,49 @@ object SparkEntry {
          |    AS contamination_rate
          |FROM cg c LEFT JOIN bg b ON c.g = b.g
          |GROUP BY 1""".stripMargin,
+
+    // grams with positions (zipped unnests), global multiset counts,
+    // marked positions, lag/running-sum islands, per-doc span agg
+    "q_dup_spans" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt, list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id, len(toks)::BIGINT AS ntok,
+         |        CASE WHEN len(toks) >= $SpanK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$SpanK), ' ')
+         |                   for i in range(0, len(toks)-$SpanK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |hsh AS (SELECT doc_id, ntok,
+         |        CASE WHEN ntok >= $SpanK THEN $SpanK ELSE ntok END::BIGINT AS L,
+         |        list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+         |cg AS (SELECT doc_id, L, unnest(hs) AS h,
+         |        unnest(range(0, len(hs))) AS j FROM hsh),
+         |cnt AS (SELECT h, count(*)::BIGINT AS c FROM cg GROUP BY 1),
+         |mk AS (SELECT g.doc_id, g.L, g.j FROM cg g JOIN cnt USING (h)
+         |       WHERE cnt.c >= 2),
+         |isl AS (SELECT *, CASE WHEN lag(j) OVER w IS NULL
+         |                         OR j - lag(j) OVER w > L
+         |                  THEN 1 ELSE 0 END AS ni
+         |        FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
+         |isl2 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY j
+         |          ROWS UNBOUNDED PRECEDING) AS isle FROM isl),
+         |sp AS (SELECT doc_id, isle, min(j) AS fj, max(j) AS lj,
+         |        any_value(L) AS L, count(*)::BIGINT AS ng
+         |       FROM isl2 GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+         |        sum(lj - fj + L)::BIGINT AS n_dup_tokens,
+         |        max(lj - fj + L)::BIGINT AS max_span_tokens,
+         |        sum(ng)::BIGINT AS n_dup_grams FROM sp GROUP BY 1),
+         |tot AS (SELECT doc_id, ntok AS n_tokens, len(hs)::BIGINT AS n_grams FROM hsh)
+         |SELECT t.doc_id, t.n_tokens, t.n_grams,
+         |  COALESCE(a.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+         |  COALESCE(a.n_spans, 0)::BIGINT AS n_spans,
+         |  COALESCE(a.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+         |  COALESCE(a.max_span_tokens, 0)::BIGINT AS max_span_tokens,
+         |  CASE WHEN t.n_tokens > 0 THEN
+         |    floor(COALESCE(a.n_dup_tokens, 0)::DOUBLE / t.n_tokens::DOUBLE
+         |          * 1000000) / 1000000
+         |  END AS dup_share
+         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // the exact contamination oracle with the corpus side (cg) restricted
     // to the md5 slice; the bench gram set (bg) stays over full documents

@@ -1012,6 +1012,87 @@ object Dedup {
       .withColumn("sample_den", lit(sampleMod.toLong))
   }
 
+  /** Exact duplicated-SUBSTRING spans per document (Lee et al. 2022,
+    * arXiv 2107.06499 "Deduplicating Training Data Makes Language Models
+    * Better" — the ExactSubstr operator, re-expressed relationally): a
+    * token k-gram occurring >= minOccurrences times ANYWHERE in the
+    * corpus marks its covered token range as duplicated; per document,
+    * overlapping-or-touching marked ranges merge into maximal spans.
+    * Where the pair operators answer "which DOCUMENTS are near-dups",
+    * this answers "which PARTS of every document are boilerplate" — the
+    * gauge behind span-level cut lists (licence headers, navigation
+    * chrome, quoted tweets) that doc-level dedup cannot see.
+    *
+    * Semantics, identical on both engines: grams and positions come from
+    * the shared normalized shingle pipeline (gram j covers tokens
+    * j..j+L-1, L = min(k, n_tokens) — sub-k docs carry one whole-text
+    * pseudo-gram); occurrence counts are global EXACT multiset counts
+    * (within-doc repeats count, like the reference implementation's
+    * suffix-array duplicates); ranges merge when j2 <= j1 + L
+    * (overlap-or-touch), so a span's covered-token count is exactly
+    * last_j - first_j + L. Counts int64; dup_share one trunc6'd
+    * division, NULL for zero-token docs.
+    *
+    * Distributed shape: ONE gram-keyed count shuffle (map-side combine —
+    * the suffix array this replaces is famously NOT distributable), one
+    * semi-join back on the gram key, doc-PARTITIONED lag + running-sum
+    * windows over the marked positions (never unpartitioned), one doc
+    * agg. The shingle frame is localCheckpoint'd for its two consumers.
+    * Emits (id, n_tokens, n_grams, n_dup_grams, n_spans, n_dup_tokens,
+    * max_span_tokens, dup_share). */
+  def dupSpans(docs: DataFrame, id: String, text: String, k: Int,
+               minOccurrences: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2 (1 marks every gram), got " +
+        s"$minOccurrences")
+    val emitted = Seq("n_tokens", "n_grams", "n_dup_grams", "n_spans",
+      "n_dup_tokens", "max_span_tokens", "dup_share")
+    require(!emitted.contains(id),
+      s"dupSpans emits ${emitted.mkString(", ")}; rename the input's")
+    val norm = graft.operators.TextOps.normalized(col(text))
+    val ntok = size(filter(split(norm, " "), t => t =!= "")).cast("long")
+    val base = spread(docs).select(col(id).as("_doc"), ntok.as("_nt"),
+        shingleHashes(col(text), k).as("_hs"))
+      .withColumn("_L",
+        when(col("_nt") >= k.toLong, k.toLong).otherwise(col("_nt")))
+      .localCheckpoint(true) // two consumers: totals + the gram explode
+    val grams = base.select(col("_doc"), col("_L"),
+      posexplode(col("_hs")).as(Seq("_j", "_h")))
+    val dupGrams = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minOccurrences.toLong)
+    val marked = grams.join(dupGrams, Seq("_h"), "left_semi")
+    val w = Window.partitionBy(col("_doc")).orderBy(col("_j"))
+    val isl = marked
+      .withColumn("_ni",
+        when(lag(col("_j"), 1).over(w).isNull
+          || col("_j") - lag(col("_j"), 1).over(w) > col("_L"), 1L)
+          .otherwise(0L))
+      .withColumn("_isle", sum(col("_ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy(col("_doc"), col("_isle"))
+      .agg(min(col("_j")).as("_fj"), max(col("_j")).as("_lj"),
+        first(col("_L")).as("_sl"), count(lit(1)).as("_ng"))
+    val agg = spans.groupBy(col("_doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("_lj") - col("_fj") + col("_sl")).as("n_dup_tokens"),
+        max(col("_lj") - col("_fj") + col("_sl")).as("max_span_tokens"),
+        sum(col("_ng")).as("n_dup_grams"))
+    base.select(col("_doc"), col("_nt").as("n_tokens"),
+        size(col("_hs")).cast("long").as("n_grams"))
+      .join(agg, Seq("_doc"), "left")
+      .select(col("_doc").as(id), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        when(col("n_tokens") > 0L,
+          floor(coalesce(col("n_dup_tokens"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double") * 1000000d) / 1000000d)
+          .as("dup_share"))
+  }
+
   /** jaccardAllPairs over a DETERMINISTIC hash sample — the 100 TB form
     * of the exact-truth audit (the blockingQualitySampled idiom): the
     * AllPairs prefix filter is provably-complete but still super-linear

@@ -943,6 +943,40 @@ class TextAndDedupSpec extends SparkSpec {
     assert(e2 == Map("aab" -> "aa b", "zz" -> "z z"))
   }
 
+  test("dupSpans: hand-walked marked ranges merge on overlap-or-touch; " +
+      "within-doc repeats count; empty docs emit NULL share") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // grams p0..p4; p0 (a b c), p1 (b c d) dup
+      (2L, "x a b c d y"),     // p1 (a b c), p2 (b c d) dup with doc 1
+      (3L, "p q r"),           // one unique gram: zero spans
+      (4L, "z z z z"),         // p0 = p1 = (z z z): WITHIN-doc multiset dup
+      (5L, "")                 // empty: n_tokens 0, NULL share
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) null else r.getDouble(7)))).toMap
+    // doc 1: marked {0,1} -> one span covering tokens 0..3 (a b c d)
+    assert(out(1L) == ((7L, 5L, 2L, 1L, 4L, 4L,
+      math.floor(4d / 7d * 1e6) / 1e6)))
+    // doc 2: marked {1,2} -> 4 of 6 tokens covered
+    assert(out(2L) == ((6L, 4L, 2L, 1L, 4L, 4L,
+      math.floor(4d / 6d * 1e6) / 1e6)))
+    assert(out(3L) == ((3L, 1L, 0L, 0L, 0L, 0L, 0.0)))
+    // doc 4: the same gram twice IN ONE doc is a duplicate (multiset
+    // counts, the ExactSubstr convention) -> whole doc covered
+    assert(out(4L) == ((4L, 2L, 2L, 1L, 4L, 4L, 1.0)))
+    assert(out(5L)._1 == 0L && out(5L)._7 == null)
+    // touch-merge: two marked ranges at distance exactly L join into ONE
+    // span with contiguous coverage
+    val touch = Seq((1L, "a b c d e f"), (2L, "a b c x y z"),
+      (3L, "d e f u v w")).toDF("doc_id", "text")
+    val t1 = Dedup.dupSpans(touch, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    // doc 1: marked {0 (a b c), 3 (d e f)}: 3 - 0 == L -> ONE span, 6 tokens
+    assert(t1(1L) == ((1L, 6L)))
+  }
+
   test("bpeFertility: the learned vocab's pieces-per-word, per group " +
       "(hand walk over the aaaa/abab corpus)") {
     // after 3 merges (the bpeMerges hand-fold test): aaaa -> 1 piece,
