@@ -1482,6 +1482,11 @@ object SparkEntry {
     // mark their token ranges, touching ranges merge into maximal spans
     "q_dup_spans" -> ((s, dir) =>
       Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text", SpanK)),
+    // the cut list: one row per maximal duplicated span with its token
+    // boundaries — what a span-trimming rewrite actually consumes
+    "q_dup_span_list" -> ((s, dir) =>
+      Dedup.dupSpanList(Tables.documents(s, dir), "doc_id", "text",
+        SpanK)),
     // the 100 TB form of the contamination audit: only the deterministic
     // md5(doc_id) % BqSampleMod corpus slice is scored (the bench side —
     // the thing being protected — stays whole, so each sampled doc's rate
@@ -5567,6 +5572,35 @@ object SparkEntry {
          |          * 1000000) / 1000000
          |  END AS dup_share
          |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // the same chain emitted at the per-span grain (the sp CTE verbatim)
+    "q_dup_span_list" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt, list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id, len(toks)::BIGINT AS ntok,
+         |        CASE WHEN len(toks) >= $SpanK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$SpanK), ' ')
+         |                   for i in range(0, len(toks)-$SpanK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |hsh AS (SELECT doc_id, ntok,
+         |        CASE WHEN ntok >= $SpanK THEN $SpanK ELSE ntok END::BIGINT AS L,
+         |        list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+         |cg AS (SELECT doc_id, L, unnest(hs) AS h,
+         |        unnest(range(0, len(hs))) AS j FROM hsh),
+         |cnt AS (SELECT h, count(*)::BIGINT AS c FROM cg GROUP BY 1),
+         |mk AS (SELECT g.doc_id, g.L, g.j FROM cg g JOIN cnt USING (h)
+         |       WHERE cnt.c >= 2),
+         |isl AS (SELECT *, CASE WHEN lag(j) OVER w IS NULL
+         |                         OR j - lag(j) OVER w > L
+         |                  THEN 1 ELSE 0 END AS ni
+         |        FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
+         |isl2 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY j
+         |          ROWS UNBOUNDED PRECEDING) AS isle FROM isl)
+         |SELECT doc_id, isle AS span_idx, min(j)::BIGINT AS first_token,
+         |  (max(j) + any_value(L) - 1)::BIGINT AS last_token,
+         |  (max(j) - min(j) + any_value(L))::BIGINT AS n_tokens_covered,
+         |  count(*)::BIGINT AS n_grams
+         |FROM isl2 GROUP BY 1, 2""".stripMargin,
 
     // the exact contamination oracle with the corpus side (cg) restricted
     // to the md5 slice; the bench gram set (bg) stays over full documents

@@ -1042,14 +1042,62 @@ object Dedup {
     * max_span_tokens, dup_share). */
   def dupSpans(docs: DataFrame, id: String, text: String, k: Int,
                minOccurrences: Int = 2): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(minOccurrences >= 2,
-      s"minOccurrences must be >= 2 (1 marks every gram), got " +
-        s"$minOccurrences")
     val emitted = Seq("n_tokens", "n_grams", "n_dup_grams", "n_spans",
       "n_dup_tokens", "max_span_tokens", "dup_share")
     require(!emitted.contains(id),
       s"dupSpans emits ${emitted.mkString(", ")}; rename the input's")
+    val (base, spans) = dupSpanFrames(docs, id, text, k, minOccurrences)
+    val agg = spans.groupBy(col("_doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("_lj") - col("_fj") + col("_sl")).as("n_dup_tokens"),
+        max(col("_lj") - col("_fj") + col("_sl")).as("max_span_tokens"),
+        sum(col("_ng")).as("n_dup_grams"))
+    base.select(col("_doc"), col("_nt").as("n_tokens"),
+        size(col("_hs")).cast("long").as("n_grams"))
+      .join(agg, Seq("_doc"), "left")
+      .select(col("_doc").as(id), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        when(col("n_tokens") > 0L,
+          floor(coalesce(col("n_dup_tokens"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double") * 1000000d) / 1000000d)
+          .as("dup_share"))
+  }
+
+  /** The duplicated-span CUT LIST — dupSpans' actionable artifact: one
+    * row per maximal duplicated span with its token boundaries, the
+    * input a span-trimming rewrite actually consumes (dupSpans only says
+    * HOW MUCH of each doc is boilerplate; this says WHERE). Same
+    * machinery, same semantics; span_idx numbers spans 1..n in token
+    * order within each doc. Emits (id, span_idx, first_token,
+    * last_token, n_tokens_covered, n_grams) — token indices 0-based over
+    * the normalized token sequence. */
+  def dupSpanList(docs: DataFrame, id: String, text: String, k: Int,
+                  minOccurrences: Int = 2): DataFrame = {
+    val emitted = Seq("span_idx", "first_token", "last_token",
+      "n_tokens_covered", "n_grams")
+    require(!emitted.contains(id),
+      s"dupSpanList emits ${emitted.mkString(", ")}; rename the input's")
+    val (_, spans) = dupSpanFrames(docs, id, text, k, minOccurrences)
+    spans.select(col("_doc").as(id), col("_isle").as("span_idx"),
+      col("_fj").cast("long").as("first_token"),
+      (col("_lj") + col("_sl") - 1L).cast("long").as("last_token"),
+      (col("_lj") - col("_fj") + col("_sl")).as("n_tokens_covered"),
+      col("_ng").as("n_grams"))
+  }
+
+  /** Shared dup-span machinery: (base docs frame with _doc/_nt/_hs/_L,
+    * merged spans frame with _doc/_isle/_fj/_lj/_sl/_ng). See dupSpans
+    * for the semantics and the distributed-shape argument. */
+  private def dupSpanFrames(docs: DataFrame, id: String, text: String,
+                            k: Int, minOccurrences: Int)
+      : (DataFrame, DataFrame) = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2 (1 marks every gram), got " +
+        s"$minOccurrences")
     val norm = graft.operators.TextOps.normalized(col(text))
     val ntok = size(filter(split(norm, " "), t => t =!= "")).cast("long")
     val base = spread(docs).select(col(id).as("_doc"), ntok.as("_nt"),
@@ -1074,23 +1122,7 @@ object Dedup {
     val spans = isl.groupBy(col("_doc"), col("_isle"))
       .agg(min(col("_j")).as("_fj"), max(col("_j")).as("_lj"),
         first(col("_L")).as("_sl"), count(lit(1)).as("_ng"))
-    val agg = spans.groupBy(col("_doc"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("_lj") - col("_fj") + col("_sl")).as("n_dup_tokens"),
-        max(col("_lj") - col("_fj") + col("_sl")).as("max_span_tokens"),
-        sum(col("_ng")).as("n_dup_grams"))
-    base.select(col("_doc"), col("_nt").as("n_tokens"),
-        size(col("_hs")).cast("long").as("n_grams"))
-      .join(agg, Seq("_doc"), "left")
-      .select(col("_doc").as(id), col("n_tokens"), col("n_grams"),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
-        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
-        when(col("n_tokens") > 0L,
-          floor(coalesce(col("n_dup_tokens"), lit(0L)).cast("double")
-            / col("n_tokens").cast("double") * 1000000d) / 1000000d)
-          .as("dup_share"))
+    (base, spans)
   }
 
   /** jaccardAllPairs over a DETERMINISTIC hash sample — the 100 TB form

@@ -106,6 +106,54 @@ class RecoverySpec extends SparkSpec {
     assert(rec.size == 2) // one snapshot per generation, none duplicated
   }
 
+  test("eventTimeTumblingCount restores window state AND the watermark " +
+      "across a restart: a pre-stop window finalizes after the restart") {
+    // tumbling 10s windows, zero lateness, one file per trigger so the
+    // append-mode finalization cadence is identical in both runs.
+    // Gen 1 ingests t=100s,101s,115s (nothing finalizes; watermark 115).
+    // The restart ingests t=125s -> window [100,110) with COUNT 2 emits
+    // NOW, which needs both the restored row state and the restored
+    // watermark; then t=140s finalizes [110,120).
+    import java.sql.Timestamp
+    val schema = implicitly[org.apache.spark.sql.Encoder[(Long, Timestamp)]]
+      .schema
+    val inDir = tmp("graft_rec_win_in")
+    val cp = tmp("graft_rec_win_cp")
+    val outDir = tmp("graft_rec_win_out")
+    def run(checkpoint: String, out: String): Unit = {
+      val q = StreamOps.eventTimeTumblingCount(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").json(inDir)
+            .toDF("event_id", "ts"),
+          "ts", "0 seconds", "10 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    appendJson(inDir, Seq((1L, new Timestamp(100000)),
+      (2L, new Timestamp(101000)), (3L, new Timestamp(115000))))
+    run(cp, outDir)                                      // generation 1
+    appendJson(inDir, Seq((4L, new Timestamp(125000))))  // while DOWN
+    appendJson(inDir, Seq((5L, new Timestamp(140000))))
+    run(cp, outDir)                                      // generation 2
+    val straightCp = tmp("graft_rec_win_cp2")
+    val straightOut = tmp("graft_rec_win_out2")
+    run(straightCp, straightOut)
+    def rows(dir: String): Set[String] =
+      spark.read.parquet(dir).collect().map(_.toString).toSet
+    val rec = rows(outDir)
+    assert(rec == rows(straightOut))
+    // the cross-restart finalization: [100,110) counted BOTH pre-stop rows
+    // (a lost state would emit count 1 or nothing)
+    assert(rec.exists(_.startsWith("[100000,2,")),
+      s"window [100,110) lost its pre-stop rows: $rec")
+    // [110,120) and [120,130) finalize too (the no-data cleanup batch);
+    // [130,140) stays open — the watermark never passes its end
+    assert(rec.size == 3, s"unexpected finalized windows: $rec")
+  }
+
   test("tokenBucket restores the spent bucket across a restart: the " +
       "post-restart request is rejected on the remembered balance") {
     // capacity 2 tokens, refill 100 micro-tokens/ms = 0.1 token/s
