@@ -1477,6 +1477,13 @@ object SparkEntry {
       Dedup.contaminationRate(docs, docs.filter(col("doc_id") < 20),
         "doc_id", "text", MhK)
     }),
+    // the token-movement rollup behind q_snapshot_diff's status stream:
+    // per status (incl. the unchanged line snapshotDiff drops), doc count
+    // + token totals + signed delta — the snapshot-swap approval page
+    "q_snapshot_token_delta" -> ((s, dir) => {
+      val (o, n) = snapshotPair(s, dir)
+      Curation.snapshotTokenDelta(o, n, "doc_id", "text")
+    }),
     // span-level exact-substring dedup (Lee et al. 2022): which PARTS of
     // each doc are corpus-duplicated — 6-gram occurrences >= 2 anywhere
     // mark their token ranges, touching ranges merge into maximal spans
@@ -3750,6 +3757,20 @@ object SparkEntry {
           (col("l_partkey") * 2 + 1).as("dst"))
         .distinct().localCheckpoint(true))
 
+  /** The synthesized (old, new) corpus snapshot pair for the diff
+    * queries: v2 drops doc_id%11==3, appends " v2" to doc_id%7==2's
+    * text, and re-keys docs < 15 as additions. */
+  private def snapshotPair(s: SparkSession,
+                           dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    val v2 = docs.filter(col("doc_id") % 11 =!= 3)
+      .withColumn("text", when(col("doc_id") % 7 === 2,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") < 15)
+        .withColumn("doc_id", col("doc_id") + 100000))
+    (docs, v2)
+  }
+
   /** The co-sourcing graph WITH lineitem multiplicities — the weighted
     * twin of coSourcingEdges (the q_pagerank_weighted weight recipe). */
   private def coSourcingWeighted(s: SparkSession, dir: String): DataFrame =
@@ -3901,6 +3922,33 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** The snapshot-diff CTE pair: both sides collapsed to (id, content
+    * hash, token count), mirroring Curation.snapshotDiff side for side. */
+  private def sqlSnapshotCtes: String =
+    s"""sdn AS (SELECT doc_id,
+       |          CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END AS text
+       |        FROM documents WHERE doc_id % 11 <> 3
+       |        UNION ALL
+       |        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 15),
+       |sdo2 AS (SELECT doc_id, COALESCE(md5(text), '__NULL_TEXT__') AS ho,
+       |          len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            x -> x <> ''))::BIGINT AS tko
+       |        FROM documents),
+       |sdn2 AS (SELECT doc_id, COALESCE(md5(text), '__NULL_TEXT__') AS hn,
+       |          len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |            x -> x <> ''))::BIGINT AS tkn
+       |        FROM sdn)""".stripMargin
+
+  private def sqlSnapshotDiffSelect: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN ho IS NULL THEN 'added'
+       |       WHEN hn IS NULL THEN 'removed'
+       |       WHEN ho <> hn THEN 'changed' ELSE 'unchanged' END AS status,
+       |  COALESCE(tko, 0)::BIGINT AS n_tokens_old,
+       |  COALESCE(tkn, 0)::BIGINT AS n_tokens_new,
+       |  (COALESCE(tkn, 0) - COALESCE(tko, 0))::BIGINT AS token_delta
+       |FROM sdo2 FULL OUTER JOIN sdn2 USING (doc_id)""".stripMargin
 
   /** The BPE ENCODE chain: the training CTEs' bwin$r winners replayed in
     * rank order over a held-out slice's vocabulary (TextOps.bpeEncode
@@ -5529,6 +5577,18 @@ object SparkEntry {
          |    AS contamination_rate
          |FROM cg c LEFT JOIN bg b ON c.g = b.g
          |GROUP BY 1""".stripMargin,
+
+    // full-outer hash join of (id, content md5, token count) sides (the
+    // v2 relation synthesized with this query's own drop/edit/add rules),
+    // rolled up per status
+    "q_snapshot_token_delta" ->
+      s"""WITH $sqlSnapshotCtes,
+         |pd AS ($sqlSnapshotDiffSelect)
+         |SELECT status, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens_old)::BIGINT AS n_tokens_old,
+         |  sum(n_tokens_new)::BIGINT AS n_tokens_new,
+         |  sum(token_delta)::BIGINT AS token_delta
+         |FROM pd GROUP BY 1""".stripMargin,
 
     // grams with positions (zipped unnests), global multiset counts,
     // marked positions, lag/running-sum islands, per-doc span agg

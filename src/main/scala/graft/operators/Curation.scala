@@ -307,6 +307,41 @@ object Curation {
     * don't appear (no occurrences to weight — screen empties upstream
     * with qualityScore). Emits one row per raw doc
     * (id, n_tokens, llr_scaled, llr_per_token). */
+  /** TOKEN-movement rollup of a two-snapshot corpus diff — the approval
+    * page behind CoreOps.snapshotDiff's per-id status stream: per status
+    * (added / removed / changed / unchanged — content identity = md5 of
+    * the text, NULL text under its own sentinel), the doc count, old/new
+    * token totals and the signed token delta, so a data lead reads "the
+    * v2 swap adds X tokens, churns Y, drops Z" in four rows.
+    * snapshotDiff deliberately DROPS unchanged rows (corpus-sized at
+    * crawl scale); this rollup keeps them as one aggregate line, which
+    * is exactly where they belong. ONE full-outer hash join on the id —
+    * both sides pre-collapsed to (id, hash, token count) map-side —
+    * into one O(4) agg; no windows, no driver traffic. Emits
+    * (status, n_docs, n_tokens_old, n_tokens_new, token_delta). */
+  def snapshotTokenDelta(oldSnap: DataFrame, newSnap: DataFrame,
+                         id: String, text: String): DataFrame = {
+    def side(df: DataFrame, h: String, t: String) =
+      df.select(col(id),
+        coalesce(md5(col(text)), lit("__NULL_TEXT__")).as(h),
+        coalesce(size(TextOps.tokens(col(text))).cast("long"), lit(0L))
+          .as(t))
+    side(oldSnap, "_ho", "_to")
+      .join(side(newSnap, "_hn", "_tn"), Seq(id), "full_outer")
+      .select(
+        when(col("_ho").isNull, "added")
+          .when(col("_hn").isNull, "removed")
+          .when(col("_ho") =!= col("_hn"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("_to"), lit(0L)).as("_tko"),
+        coalesce(col("_tn"), lit(0L)).as("_tkn"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tko")).as("n_tokens_old"),
+        sum(col("_tkn")).as("n_tokens_new"),
+        sum(col("_tkn") - col("_tko")).as("token_delta"))
+  }
+
   def dsirWeights(docs: DataFrame, id: String, text: String,
                   isTarget: Column): DataFrame = {
     val emitted = Seq("n_tokens", "llr_scaled", "llr_per_token",

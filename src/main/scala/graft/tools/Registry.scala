@@ -47,6 +47,17 @@ object Registry {
     // registration snippets: from each `"q..." -> ` to the next one
     val reg = "\"(q[a-z0-9_]*)\" *-> *\\(\\(s, dir\\)".r
     val hits = reg.findAllMatchIn(entrySrc).toSeq
+    // Scala Map literals silently collapse duplicate keys (last wins) —
+    // a duplicated registration or oracle would shadow an existing query
+    // without any compiler diagnostic. Every query name must appear in
+    // SparkEntry source EXACTLY twice: one registration, one oracle.
+    val mentions = "\"(q[a-z0-9_]+)\"\\s*->".r
+      .findAllMatchIn(entrySrc).toSeq.groupBy(_.group(1))
+    val badArity = mentions.filter(_._2.size != 2).keys.toSeq.sorted
+    require(badArity.isEmpty,
+      s"Registry: queries not registered exactly once with exactly one " +
+        s"oracle (a duplicate key silently shadows its twin): " +
+        badArity.mkString(", "))
     val snippets: Map[String, String] = hits.zipWithIndex.map {
       case (m, i) =>
         val end = if (i + 1 < hits.size) hits(i + 1).start else entrySrc.length
