@@ -1494,6 +1494,14 @@ object SparkEntry {
     "q_dup_span_list" -> ((s, dir) =>
       Dedup.dupSpanList(Tables.documents(s, dir), "doc_id", "text",
         SpanK)),
+    // WHERE the benchmark leakage sits: spans of corpus docs covered by
+    // grams found anywhere in the bench set — the surgical alternative
+    // to q_decontaminate's whole-doc drop (bench docs cover themselves)
+    "q_contamination_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationSpans(docs, docs.filter(col("doc_id") < 20),
+        "doc_id", "text", SpanK)
+    }),
     // the 100 TB form of the contamination audit: only the deterministic
     // md5(doc_id) % BqSampleMod corpus slice is scored (the bench side —
     // the thing being protected — stays whole, so each sampled doc's rate
@@ -5650,6 +5658,37 @@ object SparkEntry {
          |cnt AS (SELECT h, count(*)::BIGINT AS c FROM cg GROUP BY 1),
          |mk AS (SELECT g.doc_id, g.L, g.j FROM cg g JOIN cnt USING (h)
          |       WHERE cnt.c >= 2),
+         |isl AS (SELECT *, CASE WHEN lag(j) OVER w IS NULL
+         |                         OR j - lag(j) OVER w > L
+         |                  THEN 1 ELSE 0 END AS ni
+         |        FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
+         |isl2 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY j
+         |          ROWS UNBOUNDED PRECEDING) AS isle FROM isl)
+         |SELECT doc_id, isle AS span_idx, min(j)::BIGINT AS first_token,
+         |  (max(j) + any_value(L) - 1)::BIGINT AS last_token,
+         |  (max(j) - min(j) + any_value(L))::BIGINT AS n_tokens_covered,
+         |  count(*)::BIGINT AS n_grams
+         |FROM isl2 GROUP BY 1, 2""".stripMargin,
+
+    // the span-list chain with the marking swapped: a gram is marked iff
+    // it appears in the benchmark's distinct gram set (doc_id < 20)
+    "q_contamination_spans" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt, list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id, len(toks)::BIGINT AS ntok,
+         |        CASE WHEN len(toks) >= $SpanK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$SpanK), ' ')
+         |                   for i in range(0, len(toks)-$SpanK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |hsh AS (SELECT doc_id, ntok,
+         |        CASE WHEN ntok >= $SpanK THEN $SpanK ELSE ntok END::BIGINT AS L,
+         |        list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+         |cg AS (SELECT doc_id, L, unnest(hs) AS h,
+         |        unnest(range(0, len(hs))) AS j FROM hsh),
+         |bg AS (SELECT DISTINCT unnest(list_distinct(hs)) AS h FROM hsh
+         |       WHERE doc_id < 20),
+         |mk AS (SELECT g.doc_id, g.L, g.j FROM cg g
+         |       WHERE EXISTS (SELECT 1 FROM bg WHERE bg.h = g.h)),
          |isl AS (SELECT *, CASE WHEN lag(j) OVER w IS NULL
          |                         OR j - lag(j) OVER w > L
          |                  THEN 1 ELSE 0 END AS ni

@@ -1094,10 +1094,21 @@ object Dedup {
   private def dupSpanFrames(docs: DataFrame, id: String, text: String,
                             k: Int, minOccurrences: Int)
       : (DataFrame, DataFrame) = {
-    require(k > 0, s"k must be positive, got $k")
     require(minOccurrences >= 2,
       s"minOccurrences must be >= 2 (1 marks every gram), got " +
         s"$minOccurrences")
+    val (base, grams) = gramPositions(docs, id, text, k)
+    val dupGrams = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minOccurrences.toLong)
+    (base, spanIslands(grams.join(dupGrams, Seq("_h"), "left_semi")))
+  }
+
+  /** Positional gram frames: (base with _doc/_nt/_hs/_L, exploded grams
+    * with _doc/_L/_j/_h). The shared front of every span operator. */
+  private def gramPositions(docs: DataFrame, id: String, text: String,
+                            k: Int): (DataFrame, DataFrame) = {
+    require(k > 0, s"k must be positive, got $k")
     val norm = graft.operators.TextOps.normalized(col(text))
     val ntok = size(filter(split(norm, " "), t => t =!= "")).cast("long")
     val base = spread(docs).select(col(id).as("_doc"), ntok.as("_nt"),
@@ -1105,24 +1116,57 @@ object Dedup {
       .withColumn("_L",
         when(col("_nt") >= k.toLong, k.toLong).otherwise(col("_nt")))
       .localCheckpoint(true) // two consumers: totals + the gram explode
-    val grams = base.select(col("_doc"), col("_L"),
-      posexplode(col("_hs")).as(Seq("_j", "_h")))
-    val dupGrams = grams.groupBy(col("_h"))
-      .agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= minOccurrences.toLong)
-    val marked = grams.join(dupGrams, Seq("_h"), "left_semi")
+    (base, base.select(col("_doc"), col("_L"),
+      posexplode(col("_hs")).as(Seq("_j", "_h"))))
+  }
+
+  /** Overlap-or-touch island merge over MARKED gram positions
+    * (_doc/_L/_j): doc-partitioned lag + running-sum windows, one span
+    * row per island (_doc/_isle/_fj/_lj/_sl/_ng). */
+  private def spanIslands(marked: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("_doc")).orderBy(col("_j"))
-    val isl = marked
+    marked
       .withColumn("_ni",
         when(lag(col("_j"), 1).over(w).isNull
           || col("_j") - lag(col("_j"), 1).over(w) > col("_L"), 1L)
           .otherwise(0L))
       .withColumn("_isle", sum(col("_ni")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val spans = isl.groupBy(col("_doc"), col("_isle"))
+      .groupBy(col("_doc"), col("_isle"))
       .agg(min(col("_j")).as("_fj"), max(col("_j")).as("_lj"),
         first(col("_L")).as("_sl"), count(lit(1)).as("_ng"))
-    (base, spans)
+  }
+
+  /** Benchmark-CONTAMINATION spans — WHERE the eval-set leakage sits in
+    * each corpus document (contaminationRate says how much; this gives
+    * the surgical cut list): a corpus gram is marked iff it appears
+    * ANYWHERE in the benchmark's distinct gram set, and marked ranges
+    * merge into maximal spans exactly like dupSpans. The output is what
+    * a decontamination rewrite consumes when dropping the whole document
+    * (q_decontaminate) is too blunt — cut the quoted benchmark passage,
+    * keep the surrounding prose. Same shapes: one bench distinct-gram
+    * build (small by construction — it is the protected set), one
+    * semi-join on the gram key, doc-partitioned windows. Emits
+    * (id, span_idx, first_token, last_token, n_tokens_covered,
+    * n_grams). */
+  def contaminationSpans(corpus: DataFrame, bench: DataFrame, id: String,
+                         text: String, k: Int): DataFrame = {
+    val emitted = Seq("span_idx", "first_token", "last_token",
+      "n_tokens_covered", "n_grams")
+    require(!emitted.contains(id),
+      s"contaminationSpans emits ${emitted.mkString(", ")}; rename the " +
+        "input's")
+    val (_, grams) = gramPositions(corpus, id, text, k)
+    val benchGrams = bench
+      .select(explode(array_distinct(shingleHashes(col(text), k)))
+        .as("_h"))
+      .distinct()
+    val spans = spanIslands(grams.join(benchGrams, Seq("_h"), "left_semi"))
+    spans.select(col("_doc").as(id), col("_isle").as("span_idx"),
+      col("_fj").cast("long").as("first_token"),
+      (col("_lj") + col("_sl") - 1L).cast("long").as("last_token"),
+      (col("_lj") - col("_fj") + col("_sl")).as("n_tokens_covered"),
+      col("_ng").as("n_grams"))
   }
 
   /** jaccardAllPairs over a DETERMINISTIC hash sample — the 100 TB form
