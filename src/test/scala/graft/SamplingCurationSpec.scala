@@ -424,4 +424,18 @@ class SamplingCurationSpec extends SparkSpec {
     assert(Curation.dsirWeights(same, "id", "text", col("tgt"))
       .head().getLong(2) == 0L)
   }
+
+  test("snapshotTokenDelta: four-status rollup with hand token deltas, " +
+      "incl. the unchanged line the per-id diff drops") {
+    val old = Seq((1L, "a b"), (2L, "x"), (3L, "q r s")).toDF("id", "text")
+    val v2 = Seq((1L, "a b"), (2L, "x y"), (4L, "zz")).toDF("id", "text")
+    val out = Curation.snapshotTokenDelta(old, v2, "id", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      "unchanged" -> ((1L, 2L, 2L, 0L)),
+      "changed" -> ((1L, 1L, 2L, 1L)),
+      "removed" -> ((1L, 3L, 0L, -3L)),
+      "added" -> ((1L, 0L, 1L, 1L))))
+  }
 }

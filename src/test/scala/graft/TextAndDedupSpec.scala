@@ -977,6 +977,19 @@ class TextAndDedupSpec extends SparkSpec {
     assert(t1(1L) == ((1L, 6L)))
   }
 
+  test("contaminationSpans: the bench-marked cut list with token " +
+      "boundaries; clean docs absent") {
+    val corpus = Seq((1L, "a b c d e f"), (2L, "u v w x y z"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "c d e")).toDF("doc_id", "text")
+    val out = Dedup.contaminationSpans(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // doc 1: gram p2 (c d e) is the bench's single gram -> span over
+    // tokens 2..4; doc 2 is clean and absent
+    assert(out.toSeq == Seq((1L, 1L, 2L, 4L, 3L, 1L)))
+  }
+
   test("bpeFertility: the learned vocab's pieces-per-word, per group " +
       "(hand walk over the aaaa/abab corpus)") {
     // after 3 merges (the bpeMerges hand-fold test): aaaa -> 1 piece,
