@@ -3257,6 +3257,23 @@ object SparkEntry {
     // chance-corrected agreement between the labels and the NB relabeling
     "q_kappa" -> ((s, dir) =>
       Eval.cohenKappa(nbPredictions(s, dir), "lang_true", "lang_pred")),
+    // multi-rater chance-corrected agreement: each user's first 5 events
+    // read as 5 "ratings" of that user-item, category = event_type;
+    // users with fewer than 5 events drop (Fleiss needs constant arity)
+    "q_fleiss_kappa" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val rated = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 5)
+      val full = rated.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_c")).filter(col("_c") === 5)
+      Eval.fleissKappa(
+        rated.join(full.select(col("user_id")), Seq("user_id"),
+          "left_semi"),
+        "user_id", "event_type")
+    }),
     // ROC of the "long documents are English" rule: exact TP/FP at every
     // achievable threshold, cumulatives through the distributed prefix
     // scan (never an unpartitioned window)
@@ -8763,6 +8780,41 @@ object SparkEntry {
            |      / (2 * n_tp + n_fp + n_fn)::DOUBLE * 1000000) / 1000000
            |  END AS f1
            |FROM j""".stripMargin),
+    // Fleiss: A=pi_sum−N·n over B=N·n(n−1); P_e=C/E, E=(N·n)²;
+    // kappa=(A·E−C·B)/(B·(E−C)) with HUGEINT products, one trunc6 div
+    "q_fleiss_kappa" ->
+      s"""WITH r AS (SELECT user_id, event_type, event_id,
+         |        row_number() OVER (PARTITION BY user_id
+         |          ORDER BY event_id) AS rn
+         |      FROM events),
+         |r5 AS (SELECT user_id, event_type FROM r WHERE rn <= 5),
+         |ful AS (SELECT user_id FROM r5 GROUP BY 1 HAVING count(*) = 5),
+         |rr AS (SELECT r5.user_id, r5.event_type FROM r5
+         |       JOIN ful USING (user_id)),
+         |cells AS (SELECT user_id, event_type, count(*)::BIGINT AS nij
+         |          FROM rr WHERE user_id IS NOT NULL
+         |            AND event_type IS NOT NULL GROUP BY 1, 2),
+         |it AS (SELECT user_id, sum(nij)::BIGINT AS n,
+         |         sum(nij * nij)::BIGINT AS pi FROM cells GROUP BY 1),
+         |ar AS (SELECT count(*)::BIGINT AS n_items, min(n)::BIGINT AS mn,
+         |         sum(pi)::BIGINT AS pi_sum FROM it),
+         |mg AS (SELECT count(*)::BIGINT AS n_categories,
+         |         sum(t * t)::BIGINT AS cat_sq_sum FROM (
+         |           SELECT event_type, sum(nij)::BIGINT AS t
+         |           FROM cells GROUP BY 1))
+         |SELECT n_items, mn AS n_raters, n_categories, pi_sum, cat_sq_sum,
+         |  CASE WHEN (n_items * mn)::HUGEINT * (n_items * mn)::HUGEINT
+         |            <> cat_sq_sum::HUGEINT THEN
+         |    floor(((pi_sum - n_items * mn)::HUGEINT
+         |             * ((n_items * mn)::HUGEINT * (n_items * mn)::HUGEINT)
+         |           - cat_sq_sum::HUGEINT
+         |             * (n_items * mn * (mn - 1))::HUGEINT)::DOUBLE
+         |      / ((n_items * mn * (mn - 1))::HUGEINT
+         |         * ((n_items * mn)::HUGEINT * (n_items * mn)::HUGEINT
+         |            - cat_sq_sum::HUGEINT))::DOUBLE * 1000000) / 1000000
+         |  END AS kappa
+         |FROM ar CROSS JOIN mg""".stripMargin,
+
     // kappa = (N·agree − Σ row·col) / (N² − Σ row·col): both sides of
     // (p_o−p_e)/(1−p_e) scaled by N² so the only float is ONE division
     "q_kappa" ->

@@ -549,4 +549,77 @@ object Eval {
         when(col("n_queries") > 0L, trunc6(col("mrr_scaled").cast("double")
           / (col("n_queries").cast("double") * 1000000d))).as("mrr"))
   }
+
+  /** Fleiss' kappa — chance-corrected agreement among n raters over N
+    * items (Fleiss 1971): the multi-rater generalization of cohenKappa,
+    * the QC gauge an annotation/RLHF pipeline reads before trusting a
+    * labeling round. `ratings` is one row per (item, rating); the rater
+    * identity is irrelevant to the statistic, but every item MUST carry
+    * the SAME number of ratings n >= 2 — enforced fail-loud (silently
+    * mixing arities biases P̄; pad or filter upstream).
+    *
+    * Exact-integer algebra end to end: per item Σ_j n_ij² − n over the
+    * shared denominator n(n−1) gives P̄ = A / (N·n·(n−1)); category
+    * totals give P_e = Σ tot_j² / (N·n)². Then
+    *   kappa = (A·E − C·B) / (B·(E − C))   with B = N·n·(n−1),
+    *   C = Σ tot_j², E = (N·n)² — four exact int64 inputs whose products
+    * ride decimal(38,0) (HUGEINT on the oracle side; int64 alone
+    * overflows near N ~ 10⁶·n), and the emitted kappa is ONE trunc6'd
+    * double division. Degenerate chance (every rating one category,
+    * E = C) emits NULL.
+    *
+    * Shape: one (item, category) count shuffle (map-side combine), one
+    * item agg, one O(categories) margin agg, 1-row broadcast crossJoins
+    * for the fold — no windows, no driver traffic. Emits ONE row
+    * (n_items, n_raters, n_categories, pi_sum, cat_sq_sum, kappa). */
+  def fleissKappa(ratings: DataFrame, item: String,
+                  category: String): DataFrame = {
+    val internal = Seq("n_items", "n_raters", "n_categories", "pi_sum",
+      "cat_sq_sum", "kappa", "_nij", "_n", "_pi", "_tj")
+    require(!internal.contains(item) && !internal.contains(category),
+      s"fleissKappa emits/uses ${internal.mkString(", ")}; rename inputs")
+    val cells = ratings
+      .filter(col(item).isNotNull && col(category).isNotNull)
+      .groupBy(col(item), col(category)).agg(count(lit(1)).as("_nij"))
+      .localCheckpoint(true) // three consumers: items, margins, arity
+    val items = cells.groupBy(col(item))
+      .agg(sum(col("_nij")).as("_n"),
+        sum(col("_nij") * col("_nij")).as("_pi"))
+      .localCheckpoint(true) // two consumers: arity guard + the fold
+    val arity = items.groupBy()
+      .agg(count(lit(1)).as("n_items"), min(col("_n")).as("_mn"),
+        max(col("_n")).as("_mx"), sum(col("_pi")).as("pi_sum"))
+    val arityGuard = assert_true(
+      col("_mn") === col("_mx") && col("_mn") >= 2L,
+      concat(lit("fleissKappa: every item needs the SAME number of "),
+        lit("ratings >= 2; got min "), col("_mn").cast("string"),
+        lit(" max "), col("_mx").cast("string"),
+        lit(" — pad or filter items upstream, a silent mix biases P̄")))
+    val margins = cells.groupBy(col(category))
+      .agg(sum(col("_nij")).as("_tj"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("_tj") * col("_tj")).as("cat_sq_sum"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    arity.withColumn("_g", arityGuard).filter(col("_g").isNull)
+      .crossJoin(broadcast(margins))
+      .select(col("n_items"), col("_mn").as("n_raters"),
+        col("n_categories"), col("pi_sum"), col("cat_sq_sum"))
+      .withColumn("_b",
+        dec(col("n_items")) * dec(col("n_raters"))
+          * dec(col("n_raters") - 1L))
+      .withColumn("_e",
+        dec(col("n_items") * col("n_raters"))
+          * dec(col("n_items") * col("n_raters")))
+      .withColumn("_a",
+        dec(col("pi_sum")) - dec(col("n_items") * col("n_raters")))
+      .withColumn("kappa",
+        when(col("_e") =!= dec(col("cat_sq_sum")),
+          trunc6((col("_a") * col("_e")
+              - dec(col("cat_sq_sum")) * col("_b")).cast("double")
+            / (col("_b") * (col("_e") - dec(col("cat_sq_sum"))))
+              .cast("double"))))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        col("pi_sum"), col("cat_sq_sum"), col("kappa"))
+  }
 }

@@ -257,4 +257,27 @@ class EvalSpec extends SparkSpec {
     val e = Eval.meanReciprocalRank(empty, "q", "rank", col("r")).head()
     assert(e.getLong(0) == 0L && e.isNullAt(3))
   }
+
+  test("fleissKappa: the textbook two-item walk lands exactly -0.2; " +
+      "mixed arity fails loud; unanimous single category is NULL") {
+    // item 1: (a,a,b) -> P1 = 1/3; item 2: (a,a,a) -> P2 = 1
+    // A = 14-6 = 8, B = 12, C = 26, E = 36
+    // kappa = (8*36 - 26*12) / (12*(36-26)) = -24/120 = -0.2
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a")).toDF("it", "cat")
+    val out = Eval.fleissKappa(df, "it", "cat").head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4)) == ((2L, 3L, 2L, 14L, 26L)))
+    assert(out.getDouble(5) == math.floor(-0.2 * 1e6) / 1e6)
+    // one item with a different rating count must refuse
+    val bad = df.union(Seq((3L, "a"), (3L, "b")).toDF("it", "cat"))
+    val err = intercept[Exception] {
+      Eval.fleissKappa(bad, "it", "cat").collect()
+    }
+    assert(err.getMessage.contains("SAME number of ratings"))
+    // every rating one category: P_e = 1, kappa undefined -> NULL
+    val unan = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("it", "cat")
+    assert(Eval.fleissKappa(unan, "it", "cat").head().isNullAt(5))
+  }
 }
