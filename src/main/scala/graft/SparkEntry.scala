@@ -3274,6 +3274,19 @@ object SparkEntry {
           "left_semi"),
         "user_id", "event_type")
     }),
+    // the varying-arity agreement gauge: same ratings WITHOUT the
+    // constant-arity filter — Krippendorff pairs whatever arrived
+    // (single-rating users excluded as unpairable, the standard rule)
+    "q_krippendorff" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      Eval.krippendorffAlpha(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= 5),
+        "user_id", "event_type")
+    }),
     // ROC of the "long documents are English" rule: exact TP/FP at every
     // achievable threshold, cumulatives through the distributed prefix
     // scan (never an unpartitioned window)
@@ -8814,6 +8827,44 @@ object SparkEntry {
          |            - cat_sq_sum::HUGEINT))::DOUBLE * 1000000) / 1000000
          |  END AS kappa
          |FROM ar CROSS JOIN mg""".stripMargin,
+
+    // per-item quantized D_o terms (floor at 1e6, // on non-negative
+    // operands == Spark div), margins over pairable items only,
+    // HUGEINT chance algebra, one trunc6 division
+    "q_krippendorff" ->
+      s"""WITH r AS (SELECT user_id, event_type, event_id,
+         |        row_number() OVER (PARTITION BY user_id
+         |          ORDER BY event_id) AS rn
+         |      FROM events),
+         |r5 AS (SELECT user_id, event_type FROM r WHERE rn <= 5),
+         |cells AS (SELECT user_id, event_type, count(*)::BIGINT AS nij
+         |          FROM r5 WHERE user_id IS NOT NULL
+         |            AND event_type IS NOT NULL GROUP BY 1, 2),
+         |it AS (SELECT user_id, sum(nij)::BIGINT AS m,
+         |         sum(nij * nij)::BIGINT AS sq FROM cells GROUP BY 1
+         |       HAVING sum(nij) >= 2),
+         |fold AS (SELECT count(*)::BIGINT AS n_items,
+         |         COALESCE(sum(((m * m - sq) * 1000000) // (m - 1)),
+         |           0)::BIGINT AS do_scaled,
+         |         COALESCE(sum(m), 0)::BIGINT AS n_values FROM it),
+         |mg AS (SELECT count(*)::BIGINT AS n_categories,
+         |         COALESCE(sum(t * t), 0)::BIGINT AS cat_sq_sum FROM (
+         |           SELECT c.event_type, sum(c.nij)::BIGINT AS t
+         |           FROM cells c JOIN it ON it.user_id = c.user_id
+         |           GROUP BY 1))
+         |SELECT n_items, n_values, n_categories, do_scaled,
+         |  (n_values::HUGEINT * n_values::HUGEINT
+         |   - cat_sq_sum::HUGEINT)::BIGINT AS diff_sq,
+         |  CASE WHEN n_values::HUGEINT * n_values::HUGEINT
+         |            - cat_sq_sum::HUGEINT > 0 THEN
+         |    floor(((n_values::HUGEINT * n_values::HUGEINT
+         |              - cat_sq_sum::HUGEINT) * 1000000::HUGEINT
+         |            - (n_values - 1)::HUGEINT * do_scaled::HUGEINT)::DOUBLE
+         |      / ((n_values::HUGEINT * n_values::HUGEINT
+         |           - cat_sq_sum::HUGEINT) * 1000000::HUGEINT)::DOUBLE
+         |      * 1000000) / 1000000
+         |  END AS alpha
+         |FROM fold CROSS JOIN mg""".stripMargin,
 
     // kappa = (N·agree − Σ row·col) / (N² − Σ row·col): both sides of
     // (p_o−p_e)/(1−p_e) scaled by N² so the only float is ONE division

@@ -622,4 +622,73 @@ object Eval {
       .select(col("n_items"), col("n_raters"), col("n_categories"),
         col("pi_sum"), col("cat_sq_sum"), col("kappa"))
   }
+
+  /** Krippendorff's alpha (nominal) — the agreement gauge fleissKappa
+    * cannot be: rating counts may VARY per item (the real shape of
+    * crowd-sourced labels, where Fleiss' constant-arity contract fails
+    * loud). Items with a single rating are unpairable and excluded (the
+    * standard convention); alpha = 1 − (n−1)·D_o / (n² − Σ_c n_c²),
+    * with the observed-disagreement sum
+    * D_o = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1) over the pairable items.
+    *
+    * Determinism: each item's D_o term is a small rational with its own
+    * denominator, so exact common-denominator arithmetic would blow up
+    * — instead every per-item term enters as floor(term·10⁶) (the qlog
+    * quantized-sum convention: the emitted alpha is DEFINED over the
+    * quantized sum, identical on any engine and partitioning). The
+    * chance side stays fully exact; products ride decimal(38,0) /
+    * HUGEINT (n²·10⁶ passes int64 near n ~ 3·10⁶); the emitted alpha is
+    * ONE trunc6'd division. One-category degeneracy emits NULL.
+    *
+    * Shape: one (item, category) count shuffle, one item agg (quantized
+    * term), one O(categories) margin agg, 1-row broadcast crossJoin —
+    * no windows, no driver traffic. Emits ONE row (n_items, n_values,
+    * n_categories, do_scaled, diff_sq, alpha). */
+  def krippendorffAlpha(ratings: DataFrame, item: String,
+                        category: String): DataFrame = {
+    val internal = Seq("n_items", "n_values", "n_categories", "do_scaled",
+      "diff_sq", "alpha", "_nij", "_m", "_sq", "_do", "_tj")
+    require(!internal.contains(item) && !internal.contains(category),
+      s"krippendorffAlpha emits/uses ${internal.mkString(", ")}; rename " +
+        "inputs")
+    val cells = ratings
+      .filter(col(item).isNotNull && col(category).isNotNull)
+      .groupBy(col(item), col(category)).agg(count(lit(1)).as("_nij"))
+      .localCheckpoint(true) // two consumers: items and margins
+    val items = cells.groupBy(col(item))
+      .agg(sum(col("_nij")).as("_m"),
+        sum(col("_nij") * col("_nij")).as("_sq"))
+      .filter(col("_m") >= 2L) // single-rating items are unpairable
+      .localCheckpoint(true) // two consumers: the fold and the margins
+    val fold = items
+      .select((expr("((_m * _m - _sq) * CAST(1000000 AS BIGINT)) " +
+        "div (_m - CAST(1 AS BIGINT))")).as("_do"), col("_m"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("_do")), lit(0L)).as("do_scaled"),
+        coalesce(sum(col("_m")), lit(0L)).as("n_values"))
+    // margins over PAIRABLE items only — an excluded item's values must
+    // not shift the chance distribution
+    val margins = cells
+      .join(items.select(col(item)), Seq(item), "left_semi")
+      .groupBy(col(category)).agg(sum(col("_nij")).as("_tj"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum(col("_tj") * col("_tj")), lit(0L)).as("cat_sq_sum"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    fold.crossJoin(broadcast(margins))
+      .select(col("n_items"), col("n_values"), col("n_categories"),
+        col("do_scaled"),
+        (dec(col("n_values")) * dec(col("n_values"))
+          - dec(col("cat_sq_sum"))).as("diff_sq"))
+      .withColumn("alpha",
+        when(col("diff_sq") > 0,
+          trunc6((col("diff_sq") * dec(lit(1000000L))
+              - dec(col("n_values") - 1L) * dec(col("do_scaled")))
+              .cast("double")
+            / (col("diff_sq") * dec(lit(1000000L))).cast("double"))))
+      .select(col("n_items"), col("n_values"), col("n_categories"),
+        col("do_scaled"), col("diff_sq").cast("long").as("diff_sq"),
+        col("alpha"))
+  }
 }

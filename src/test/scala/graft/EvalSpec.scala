@@ -280,4 +280,25 @@ class EvalSpec extends SparkSpec {
       .toDF("it", "cat")
     assert(Eval.fleissKappa(unan, "it", "cat").head().isNullAt(5))
   }
+
+  test("krippendorffAlpha: chance-level hand walk is exactly 0, perfect " +
+      "agreement 1; single-rating items stay out of the margins") {
+    // u1 (a,b): D_o term (4-2)/1 = 2; u2 (a,a): 0; u3 single (c): OUT
+    // n.. = 4, n_a = 3, n_b = 1 -> diff_sq = 16 - 10 = 6
+    // alpha = (6e6 - 3 * 2e6) / 6e6 = 0
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "a"), (3L, "c"))
+      .toDF("it", "cat")
+    val out = Eval.krippendorffAlpha(df, "it", "cat").head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4)) == ((2L, 4L, 2L, 2000000L, 6L)))
+    assert(out.getDouble(5) == 0.0)
+    // perfect agreement across two categories
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("it", "cat")
+    assert(Eval.krippendorffAlpha(perfect, "it", "cat")
+      .head().getDouble(5) == 1.0)
+    // one category only: diff_sq 0 -> NULL
+    val unan = Seq((1L, "a"), (1L, "a")).toDF("it", "cat")
+    assert(Eval.krippendorffAlpha(unan, "it", "cat").head().isNullAt(5))
+  }
 }
