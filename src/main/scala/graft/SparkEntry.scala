@@ -1477,6 +1477,16 @@ object SparkEntry {
       Dedup.contaminationRate(docs, docs.filter(col("doc_id") < 20),
         "doc_id", "text", MhK)
     }),
+    // small-file compaction plan: the synthesized file listing packed
+    // into ~4000-byte rewrite groups by the deterministic md5(path)
+    // prefix rule — one task per group coalesces its members
+    "q_compaction_plan" -> ((s, dir) =>
+      graft.sources.CorpusLayout.compactionPlan(
+        Tables.documents(s, dir).select(
+          concat(col("source"), lit("/"), col("doc_id").cast("string"),
+            lit(".parquet")).as("path"),
+          col("n_chars").cast("long").as("bytes")),
+        "path", "bytes", 4000L)),
     // the token-movement rollup behind q_snapshot_diff's status stream:
     // per status (incl. the unchanged line snapshotDiff drops), doc count
     // + token totals + signed delta — the snapshot-swap approval page
@@ -5615,6 +5625,20 @@ object SparkEntry {
          |    AS contamination_rate
          |FROM cg c LEFT JOIN bg b ON c.g = b.g
          |GROUP BY 1""".stripMargin,
+
+    // md5(path)-ordered window prefix sum (the oracle may use the plain
+    // window; the Spark side must not), exclusive-prefix div target
+    "q_compaction_plan" ->
+      s"""WITH f AS (SELECT source || '/' || doc_id::VARCHAR || '.parquet' AS path,
+         |        n_chars::BIGINT AS bytes FROM documents),
+         |o AS (SELECT path, bytes, ${sqlMd5Long("path")} AS ok FROM f),
+         |c AS (SELECT path, bytes,
+         |        sum(bytes) OVER (ORDER BY ok, path
+         |          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_bytes
+         |      FROM o)
+         |SELECT path, bytes, cum_bytes,
+         |  ((cum_bytes - bytes) // 4000)::BIGINT AS group_id
+         |FROM c""".stripMargin,
 
     // full-outer hash join of (id, content md5, token count) sides (the
     // v2 relation synthesized with this query's own drop/edit/add rules),

@@ -101,4 +101,53 @@ object CorpusLayout {
      else writer)
       .parquet(path)
   }
+
+  /** Small-file COMPACTION plan — the operational answer to the classic
+    * 100 TB layout failure the writePartitioned scaladoc warns about,
+    * after it has already happened: given a file listing (path, bytes),
+    * assign every file to a rewrite group of ~targetBytes, so one
+    * executor task per group coalesces its members into one
+    * right-sized file. Grouping is CONTIGUOUS PREFIX packing over a
+    * deterministic md5(path) order: group_id = exclusive-prefix-bytes
+    * div targetBytes — every group lands within one straddling file of
+    * the target (first-fit bin packing is a sequential fold; the prefix
+    * rule is the order-free equivalent a distributed engine can
+    * actually run), and the same listing yields the same plan on every
+    * engine and partitioning. A file larger than targetBytes forms its
+    * own oversized group and may SKIP group ids (it consumed several
+    * target multiples) — ids index the byte space, not a dense group
+    * list. The prefix sum is the distributed
+    * orderedPrefixSum (range buckets + local sums + O(buckets) offsets)
+    * — NEVER a single-task global window, which would serialize exactly
+    * the metadata-scale listing this exists to fix. Negative sizes fail
+    * loud (a corrupt listing must not silently skew packing). Emits
+    * (path, bytes, cum_bytes, group_id). */
+  def compactionPlan(files: DataFrame, path: String, bytes: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1L,
+      s"targetBytes must be >= 1, got $targetBytes")
+    val emitted = Seq("cum_bytes", "group_id", "_cb")
+    require(!emitted.contains(path) && !emitted.contains(bytes),
+      s"compactionPlan emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    require(integral.contains(files.schema(bytes).dataType),
+      s"compactionPlan sums '$bytes' as exact int64; got " +
+        s"${files.schema(bytes).dataType}")
+    val guard = assert_true(col(bytes) >= 0,
+      concat(lit("compactionPlan: negative size for '"), col(path),
+        lit("' — a corrupt listing must not skew the packing; got "),
+        col(bytes).cast("string")))
+    val sized = files.filter(col(bytes).isNotNull).filter(guard.isNull)
+      .select(col(path), col(bytes).cast("long").as(bytes))
+    graft.operators.CoreOps.orderedPrefixSum(sized,
+        graft.expressions.Md5Expressions.md5Long(col(path)),
+        path, bytes, "cum_bytes")
+      .withColumn("_cb", col("cum_bytes") - col(bytes))
+      .select(col(path), col(bytes), col("cum_bytes"),
+        expr(s"_cb div CAST($targetBytes AS BIGINT)").as("group_id"))
+  }
 }

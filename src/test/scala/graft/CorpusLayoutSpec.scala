@@ -114,4 +114,39 @@ class CorpusLayoutSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sOut))
     }
   }
+
+  test("compactionPlan: contiguous prefix packing — groups bounded by " +
+      "target + one straddler, byte-conserving, partitioning-independent") {
+    val files = (1L to 200L)
+      .map(i => (s"src${i % 7}/f$i.parquet", (i % 40) * 100 + 50))
+      .toDF("path", "bytes")
+    val target = 3000L
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      CorpusLayout.compactionPlan(df, "path", "bytes", target)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    val plan = planOf(files)
+    assert(plan.map(_._2).sum == plan.map(_._3).max) // cum conserves bytes
+    val groups = plan.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    val maxFile = plan.map(_._2).max
+    // every group fits target + one straddling file
+    groups.foreach { case (g, total) =>
+      assert(total <= target + maxFile, s"group $g overflows: $total")
+    }
+    // group 0 exists; an id gap only appears where one oversized file
+    // consumed several target multiples on its own (documented contract)
+    assert(groups.contains(0L))
+    val present = groups.keySet
+    (0L until present.max).filterNot(present).foreach { missing =>
+      val prev = present.filter(_ < missing).max
+      assert(groups(prev) > target,
+        s"gap at $missing without an oversized group $prev")
+    }
+    // identical plan under a different physical partitioning
+    assert(planOf(files.repartition(13)) == plan)
+    // negative sizes refuse rather than skewing the packing
+    val bad = files.union(Seq(("x", -5L)).toDF("path", "bytes"))
+    val e = intercept[Exception](planOf(bad))
+    assert(e.getMessage.contains("negative size"))
+  }
 }
