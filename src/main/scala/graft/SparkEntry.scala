@@ -65,6 +65,9 @@ object SparkEntry {
   // Holt double-exponential: level α = 1/4, trend β = 1/8
   private val HoltANum = 1; private val HoltADen = 4
   private val HoltBNum = 1; private val HoltBDen = 8
+  // Holt-Winters seasonal tier: period 4, seasonal γ = 1/4
+  private val HwPeriod = 4
+  private val HwGNum = 1; private val HwGDen = 4
   private val EwmaScale = 1000000L // EWMA fixed-point value scale
   private val KcoreK = 30      // co-sourcing density threshold
   private val KcoreRounds = 5  // synchronous k-core peeling rounds
@@ -2690,6 +2693,25 @@ object SparkEntry {
           graft.streaming.StateMachines.valuedEvents(ev, col("user_id"),
             unix_millis(col("ts")), col("event_id"), col("cents")),
           HoltANum, HoltADen, HoltBNum, HoltBDen, EwmaScale)
+        .select(col("key").cast("long").as("user_id"), col("n_events"),
+          col("last_ms"), col("level_scaled"), col("trend_scaled"),
+          col("forecast_scaled"),
+          (col("forecast_scaled").cast("double")
+            / (EwmaScale.toDouble * 100d)).as("forecast"))
+    }),
+    // the seasonal forecast: additive Holt-Winters with event-count
+    // seasonality (period HwPeriod) — same integer recurrence family as
+    // q_holt_stream with the seasonal vector booked separately
+    "q_holt_winters_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull
+          && col("user_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      graft.streaming.StateMachines.holtWintersSnapshots(
+          graft.streaming.StateMachines.valuedEvents(ev, col("user_id"),
+            unix_millis(col("ts")), col("event_id"), col("cents")),
+          HwPeriod, HoltANum, HoltADen, HoltBNum, HoltBDen, HwGNum,
+          HwGDen, EwmaScale)
         .select(col("key").cast("long").as("user_id"), col("n_events"),
           col("last_ms"), col("level_scaled"), col("trend_scaled"),
           col("forecast_scaled"),
@@ -7473,6 +7495,43 @@ object SparkEntry {
          |  (r.l + r.b)::BIGINT AS forecast_scaled,
          |  (r.l + r.b)::DOUBLE / (${EwmaScale}::DOUBLE * 100) AS forecast
          |FROM rec r JOIN fin f ON f.user_id = r.user_id AND f.n = r.rn""".stripMargin,
+
+    // the Holt chain with the seasonal LIST carried through the
+    // recursive CTE: slot (rn-1)%m read before its update, l'/b'/s'
+    // replayed div-for-div, forecast = l + b + s[rn % m]
+    "q_holt_winters_stream" -> {
+      val m = HwPeriod
+      val lExpr = s"($HoltANum * (e.vc * $EwmaScale" +
+        s" - r.s[((e.rn - 1) % $m) + 1])" +
+        s" + ${HoltADen - HoltANum} * (r.l + r.b)) // $HoltADen"
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, $evMs AS ms, floor(value * 100)::BIGINT AS vc,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY $evMs, event_id) AS rn
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+         |rec AS (
+         |  SELECT user_id, rn, ms, vc * $EwmaScale AS l, 0::BIGINT AS b,
+         |    [0::BIGINT for i in range(0, $m)] AS s
+         |  FROM ev WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn, e.ms,
+         |    $lExpr AS l,
+         |    ($HoltBNum * (($lExpr) - r.l)
+         |      + ${HoltBDen - HoltBNum} * r.b) // $HoltBDen AS b,
+         |    [CASE WHEN k = (e.rn - 1) % $m THEN
+         |       ($HwGNum * (e.vc * $EwmaScale - ($lExpr))
+         |        + ${HwGDen - HwGNum} * r.s[k + 1]) // $HwGDen
+         |     ELSE r.s[k + 1] END::BIGINT for k in range(0, $m)] AS s
+         |  FROM ev e JOIN rec r ON r.user_id = e.user_id AND e.rn = r.rn + 1),
+         |fin AS (SELECT user_id, max(rn) AS n FROM rec GROUP BY 1)
+         |SELECT r.user_id, f.n AS n_events, r.ms AS last_ms,
+         |  r.l AS level_scaled, r.b AS trend_scaled,
+         |  (r.l + r.b + r.s[(r.rn % $m) + 1])::BIGINT AS forecast_scaled,
+         |  (r.l + r.b + r.s[(r.rn % $m) + 1])::DOUBLE
+         |    / (${EwmaScale}::DOUBLE * 100) AS forecast
+         |FROM rec r JOIN fin f ON f.user_id = r.user_id AND f.n = r.rn""".stripMargin
+    },
 
     // the same per-cohort moment sums with a GROUP BY; chains identical
     "q_welch_by_type" ->

@@ -60,6 +60,13 @@ case class HoltSnapshot(key: String, n_events: Long, last_ms: Long,
                         level_scaled: Long, trend_scaled: Long,
                         forecast_scaled: Long)
 
+/** Holt-Winters additive state per key: HoltState plus the length-`period`
+  * seasonal vector (scaled by `valueScale`). */
+case class HwState(n: Long, lastMs: Long, l: Long, b: Long, s: Seq[Long])
+case class HwSnapshot(key: String, n_events: Long, last_ms: Long,
+                      level_scaled: Long, trend_scaled: Long,
+                      forecast_scaled: Long)
+
 /** Token-bucket throttle state per key: last event time and the
   * remaining budget in micro-tokens. */
 case class BucketState(lastMs: Long, availMicro: Long)
@@ -629,6 +636,8 @@ object StateMachines {
   implicit val ewmaStateEnc: Encoder[EwmaState]       = Encoders.product[EwmaState]
   implicit val ewmaSnapshotEnc: Encoder[EwmaSnapshot] = Encoders.product[EwmaSnapshot]
   implicit val holtStateEnc: Encoder[HoltState]       = Encoders.product[HoltState]
+  implicit val hwStateEnc: Encoder[HwState]           = Encoders.product[HwState]
+  implicit val hwSnapshotEnc: Encoder[HwSnapshot]     = Encoders.product[HwSnapshot]
   implicit val holtSnapshotEnc: Encoder[HoltSnapshot] = Encoders.product[HoltSnapshot]
   implicit val bucketStateEnc: Encoder[BucketState]   = Encoders.product[BucketState]
   implicit val throttleDecisionEnc: Encoder[ThrottleDecision] =
@@ -815,6 +824,89 @@ object StateMachines {
             stateTtlMs.foreach(state.setTimeoutDuration)
             Iterator.single(HoltSnapshot(key, st.n, st.lastMs, st.l, st.b,
               Math.addExact(st.l, st.b)))
+          }
+        }
+    }
+  }
+
+  /** Per-key ADDITIVE Holt-Winters (level + trend + seasonality) as an
+    * INTEGER recurrence — holtSnapshots' seasonal sibling, the forecast
+    * a daily/weekly-patterned series needs (Holt chases the seasonal
+    * swing into its trend; Holt-Winters books it against the recurring
+    * component). Seasonality is EVENT-COUNT indexed: the n-th event of a
+    * key updates seasonal slot (n−1) mod period (the deterministic
+    * convention a replayable oracle needs — wall-clock bucketing would
+    * tie the walk to arrival wall time):
+    *   n=1:  l = v·S, b = 0, s[·] = 0
+    *   n≥2, i = (n−1) mod m, with s_i read BEFORE its update:
+    *     l' = (αN·(v·S − s_i) + (αD−αN)·(l + b)) div αD
+    *     b' = (βN·(l' − l) + (βD−βN)·b) div βD
+    *     s_i' = (γN·(v·S − l') + (γD−γN)·s_i) div γD
+    * Snapshot forecast = l' + b' + s[n mod m] (the NEXT slot). Everything
+    * int64, `div` truncation on both engines, so the trajectory replays
+    * as a recursive CTE carrying the seasonal LIST. Emits ONE snapshot
+    * per key per invocation (the holtSnapshots contract — batch mode =
+    * the per-key final state, oracle-checked). State is m+4 longs per
+    * key; overflow fails LOUD via multiplyExact/addExact. */
+  def holtWintersSnapshots(events: Dataset[ValuedEvent], period: Int,
+                           alphaNum: Int, alphaDen: Int,
+                           betaNum: Int, betaDen: Int,
+                           gammaNum: Int, gammaDen: Int,
+                           valueScale: Long = 1000000L,
+                           stateTtlMs: Option[Long] = None)
+      : Dataset[HwSnapshot] = {
+    require(period >= 2 && period <= 1024,
+      s"need 2 <= period <= 1024, got $period")
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      s"need 0 < alphaNum <= alphaDen, got $alphaNum/$alphaDen")
+    require(betaDen > 0 && betaNum > 0 && betaNum <= betaDen,
+      s"need 0 < betaNum <= betaDen, got $betaNum/$betaDen")
+    require(gammaDen > 0 && gammaNum > 0 && gammaNum <= gammaDen,
+      s"need 0 < gammaNum <= gammaDen, got $gammaNum/$gammaDen")
+    require(valueScale >= 1L, s"valueScale must be >= 1, got $valueScale")
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[ValuedEvent], state: GroupState[HwState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(
+            HwState(0L, 0L, 0L, 0L, Seq.empty))
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            val vs = Math.multiplyExact(e.value, valueScale)
+            st =
+              if (st.n == 0L)
+                HwState(1L, e.tsMs, vs, 0L, Seq.fill(period)(0L))
+              else {
+                val idx = (st.n % period).toInt // (n-1) mod m for event n
+                val si = st.s(idx)
+                val l2 = Math.addExact(
+                  Math.multiplyExact(alphaNum.toLong,
+                    Math.subtractExact(vs, si)),
+                  Math.multiplyExact((alphaDen - alphaNum).toLong,
+                    Math.addExact(st.l, st.b))) / alphaDen
+                val b2 = Math.addExact(
+                  Math.multiplyExact(betaNum.toLong,
+                    Math.subtractExact(l2, st.l)),
+                  Math.multiplyExact((betaDen - betaNum).toLong, st.b)) /
+                  betaDen
+                val s2 = Math.addExact(
+                  Math.multiplyExact(gammaNum.toLong,
+                    Math.subtractExact(vs, l2)),
+                  Math.multiplyExact((gammaDen - gammaNum).toLong, si)) /
+                  gammaDen
+                HwState(Math.addExact(st.n, 1L), e.tsMs, l2, b2,
+                  st.s.updated(idx, s2))
+              }
+          }
+          if (st.n == 0L) Iterator.empty
+          else {
+            state.update(st)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            Iterator.single(HwSnapshot(key, st.n, st.lastMs, st.l, st.b,
+              Math.addExact(Math.addExact(st.l, st.b),
+                st.s((st.n % period).toInt))))
           }
         }
     }

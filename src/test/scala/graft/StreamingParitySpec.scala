@@ -988,6 +988,38 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("holtWintersSnapshots(streaming): seasonal vector spans batches; " +
+      "final == batch-mode run; forecast books the NEXT slot's seasonal") {
+    // m = 2, α = β = γ = 1/2, valueScale 10. Hand walk for key 1:
+    //   n1: l=100 b=0 s=[0,0]
+    //   n2 (slot 1): l=150 b=25 s=[0,25]; forecast slot 0 -> 175
+    //   n3 (slot 0): l=237 b=56 s=[31,25]; forecast slot 1 -> 237+56+25=318
+    // (level/trend match the plain Holt walk because both touched slots
+    // were still 0 when read — the seasonal shows up ONLY in the
+    // n3 forecast, which is exactly the cross-batch state property)
+    val batch1 = Seq(ValuedEvent("1", 0, 1, 10), ValuedEvent("1", 1, 2, 20))
+    val batch2 = Seq(ValuedEvent("1", 2, 3, 30), ValuedEvent("2", 0, 4, 7))
+    val input = MemoryStream[ValuedEvent]
+    val q = StateMachines.holtWintersSnapshots(input.toDS(), 2,
+        1, 2, 1, 2, 1, 2, 10L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hw_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("hw_par").as[HwSnapshot].collect().toSet
+      assert(streamed == Set(
+        HwSnapshot("1", 2L, 1L, 150L, 25L, 175L),
+        HwSnapshot("1", 3L, 2L, 237L, 56L, 318L),
+        HwSnapshot("2", 1L, 0L, 70L, 0L, 70L)))
+      val finals = StateMachines.holtWintersSnapshots(
+        (batch1 ++ batch2).toDS(), 2, 1, 2, 1, 2, 1, 2, 10L)
+        .collect().toSet
+      assert(finals == Set(HwSnapshot("1", 3L, 2L, 237L, 56L, 318L),
+        HwSnapshot("2", 1L, 0L, 70L, 0L, 70L)))
+    } finally q.stop()
+  }
+
   test("tokenBucket(streaming): budget spans batches, refills by event " +
       "time, clamps behind-frontier deltas; == batch-mode replay") {
     // capacity 2 tokens, refill 1 micro-token per ms (1 token per 1e6 ms)
