@@ -321,6 +321,11 @@ object Curation {
     * (status, n_docs, n_tokens_old, n_tokens_new, token_delta). */
   def snapshotTokenDelta(oldSnap: DataFrame, newSnap: DataFrame,
                          id: String, text: String): DataFrame = {
+    val internal = Seq("status", "n_docs", "n_tokens_old", "n_tokens_new",
+      "token_delta", "_ho", "_hn", "_to", "_tn", "_tko", "_tkn")
+    require(!internal.contains(id) && !internal.contains(text),
+      s"snapshotTokenDelta emits/uses ${internal.mkString(", ")}; " +
+        "rename inputs")
     def side(df: DataFrame, h: String, t: String) =
       df.select(col(id),
         coalesce(md5(col(text)), lit("__NULL_TEXT__")).as(h),

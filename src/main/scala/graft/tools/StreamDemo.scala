@@ -234,6 +234,14 @@ object StreamDemo {
         1, 4, 1, 8)
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // the seasonal sibling beside q20: Holt-Winters books the recurring
+    // per-slot component separately (period 4, event-count slots)
+    val q21 = StateMachines.holtWintersSnapshots(
+        StateMachines.valuedEvents(audit, col("user"),
+          unix_millis(col("event_time")), col("id"), col("duration")),
+        4, 1, 4, 1, 8, 1, 4)
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     // the bounded smoothing-free companion on the same shape: per
     // finalized 5s window, Jensen-Shannon divergence of the operation
     // mix against the generator's uniform baseline (JSD ≤ ln 2)
@@ -275,7 +283,7 @@ object StreamDemo {
       s"${driftRows.get()} drift rows)")
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
     q10.stop(); q11.stop(); q12.stop(); q13.stop(); q14.stop(); q15.stop()
-    q16.stop(); q17.stop(); q18.stop(); q19.stop(); q20.stop()
+    q16.stop(); q17.stop(); q18.stop(); q19.stop(); q20.stop(); q21.stop()
     spark.stop()
   }
 }
