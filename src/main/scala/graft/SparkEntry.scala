@@ -1507,6 +1507,10 @@ object SparkEntry {
     "q_dup_span_list" -> ((s, dir) =>
       Dedup.dupSpanList(Tables.documents(s, dir), "doc_id", "text",
         SpanK)),
+    // the cut list APPLIED: each doc's normalized tokens minus its
+    // duplicated spans (no copy survives — the conservative rewrite)
+    "q_trim_spans" -> ((s, dir) =>
+      Dedup.trimSpans(Tables.documents(s, dir), "doc_id", "text", SpanK)),
     // WHERE the benchmark leakage sits: spans of corpus docs covered by
     // grams found anywhere in the bench set — the surgical alternative
     // to q_decontaminate's whole-doc drop (bench docs cover themselves)
@@ -5745,6 +5749,38 @@ object SparkEntry {
          |  (max(j) - min(j) + any_value(L))::BIGINT AS n_tokens_covered,
          |  count(*)::BIGINT AS n_grams
          |FROM isl2 GROUP BY 1, 2""".stripMargin,
+
+    // the marked START positions per doc + a nested-lambda token filter:
+    // token i is cut iff some marked start j covers it (j <= i <= j+L-1)
+    "q_trim_spans" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt, list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id, len(toks)::BIGINT AS ntok,
+         |        CASE WHEN len(toks) >= $SpanK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$SpanK), ' ')
+         |                   for i in range(0, len(toks)-$SpanK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |hsh AS (SELECT doc_id, ntok,
+         |        CASE WHEN ntok >= $SpanK THEN $SpanK ELSE ntok END::BIGINT AS L,
+         |        list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+         |cg AS (SELECT doc_id, L, unnest(hs) AS h,
+         |        unnest(range(0, len(hs))) AS j FROM hsh),
+         |cnt AS (SELECT h, count(*)::BIGINT AS c FROM cg GROUP BY 1),
+         |mk AS (SELECT g.doc_id, g.j FROM cg g JOIN cnt USING (h)
+         |       WHERE cnt.c >= 2),
+         |ms AS (SELECT doc_id, list_sort(list(j)) AS js FROM mk GROUP BY 1),
+         |kt AS (SELECT h.doc_id, h.ntok, h.L, t.toks, m.js
+         |       FROM hsh h JOIN ntk t USING (doc_id)
+         |       LEFT JOIN ms m USING (doc_id)),
+         |kp AS (SELECT doc_id, ntok,
+         |        CASE WHEN js IS NULL THEN toks ELSE
+         |          [toks[i+1] for i in range(0, len(toks))
+         |           if len(list_filter(js, j -> j <= i and i <= j + L - 1)) = 0]
+         |        END AS kept
+         |       FROM kt)
+         |SELECT doc_id, ntok AS n_tokens, len(kept)::BIGINT AS n_kept_tokens,
+         |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
+         |FROM kp""".stripMargin,
 
     // the span-list chain with the marking swapped: a gram is marked iff
     // it appears in the benchmark's distinct gram set (doc_id < 20)

@@ -1137,6 +1137,55 @@ object Dedup {
         first(col("_L")).as("_sl"), count(lit(1)).as("_ng"))
   }
 
+  /** APPLY the duplicated-span cut list — the rewrite dupSpanList plans:
+    * every document's normalized token sequence with its corpus-
+    * duplicated spans removed. NO copy of a duplicated span survives
+    * (the conservative ExactSubstr rewrite — a span duplicated anywhere
+    * is cut everywhere; pair with q_dedup_keep when one canonical copy
+    * should survive instead). Output text is the kept tokens
+    * space-joined (normalization is inherent to the token pipeline —
+    * the emitted corpus is the training-ready form, not a byte-faithful
+    * original). Wholly-duplicated docs emit kept_text '' with
+    * n_kept_tokens 0 — the row is kept so the caller sees WHAT was
+    * dropped; zero-token docs pass through untouched.
+    *
+    * Shape: the dupSpans marking (one gram-count shuffle + semi-join),
+    * then per doc ONE aggregation collecting the marked POSITIONS (the
+    * bounded gram fan-out — never the corpus) and one codegen'd HOF
+    * filter over the token array; no windows beyond the span machinery,
+    * no driver traffic. Emits (id, n_tokens, n_kept_tokens,
+    * kept_text). */
+  def trimSpans(docs: DataFrame, id: String, text: String, k: Int,
+                minOccurrences: Int = 2): DataFrame = {
+    val emitted = Seq("n_tokens", "n_kept_tokens", "kept_text")
+    require(!emitted.contains(id),
+      s"trimSpans emits ${emitted.mkString(", ")}; rename the input's")
+    val (base, grams) = gramPositions(docs, id, text, k)
+    val dupGrams = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minOccurrences.toLong)
+    // per doc: the marked gram START positions; token t is cut iff some
+    // marked start j covers it (j <= t <= j + L - 1)
+    val markedStarts = grams.join(dupGrams, Seq("_h"), "left_semi")
+      .groupBy(col("_doc"))
+      .agg(array_sort(collect_list(col("_j"))).as("_js"))
+    val norm = graft.operators.TextOps.normalized(col(text))
+    val toks = filter(split(norm, " "), t => t =!= "")
+    base.select(col("_doc"), col("_nt"), col("_L"))
+      .join(spread(docs).select(col(id).as("_doc"), toks.as("_tk")),
+        Seq("_doc"))
+      .join(markedStarts, Seq("_doc"), "left")
+      .select(col("_doc").as(id), col("_nt").as("n_tokens"),
+        when(col("_js").isNull, col("_tk")).otherwise(
+          filter(col("_tk"), (t, i) =>
+            !exists(col("_js"), j =>
+              j <= i.cast("long") &&
+                i.cast("long") <= j + col("_L") - 1L))).as("_kept"))
+      .select(col(id), col("n_tokens"),
+        size(col("_kept")).cast("long").as("n_kept_tokens"),
+        array_join(col("_kept"), " ").as("kept_text"))
+  }
+
   /** Benchmark-CONTAMINATION spans — WHERE the eval-set leakage sits in
     * each corpus document (contaminationRate says how much; this gives
     * the surgical cut list): a corpus gram is marked iff it appears

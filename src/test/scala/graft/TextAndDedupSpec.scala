@@ -977,6 +977,31 @@ class TextAndDedupSpec extends SparkSpec {
     assert(t1(1L) == ((1L, 6L)))
   }
 
+  test("trimSpans == dupSpans accounting: kept = total - duplicated for " +
+      "every doc; clean docs pass through verbatim") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val trimmed = Dedup.trimSpans(docs, "doc_id", "text", 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(5)))).toMap
+    assert(trimmed.keySet == spans.keySet)
+    spans.foreach { case (id, (nTok, nDup)) =>
+      val (tTok, kept, text) = trimmed(id)
+      assert(tTok == nTok, s"doc $id token counts diverge")
+      assert(kept == nTok - nDup, s"doc $id kept != total - dup")
+      // the emitted text has exactly kept tokens
+      assert((if (text.isEmpty) 0 else text.split(" ").length) == kept)
+    }
+    // a wholly-clean tiny corpus passes through as its normalized self
+    val clean = Seq((1L, "Alpha beta gamma!"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.trimSpans(clean, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta"))
+  }
+
   test("contaminationSpans: the bench-marked cut list with token " +
       "boundaries; clean docs absent") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "u v w x y z"))
