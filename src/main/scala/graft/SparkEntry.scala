@@ -1519,6 +1519,13 @@ object SparkEntry {
       Dedup.contaminationSpans(docs, docs.filter(col("doc_id") < 20),
         "doc_id", "text", SpanK)
     }),
+    // the surgical decontamination applied: benchmark-covered spans cut,
+    // surrounding prose kept (q_decontaminate drops whole docs)
+    "q_trim_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.trimContamination(docs, docs.filter(col("doc_id") < 20),
+        "doc_id", "text", SpanK)
+    }),
     // the 100 TB form of the contamination audit: only the deterministic
     // md5(doc_id) % BqSampleMod corpus slice is scored (the bench side —
     // the thing being protected — stays whole, so each sampled doc's rate
@@ -5768,6 +5775,39 @@ object SparkEntry {
          |cnt AS (SELECT h, count(*)::BIGINT AS c FROM cg GROUP BY 1),
          |mk AS (SELECT g.doc_id, g.j FROM cg g JOIN cnt USING (h)
          |       WHERE cnt.c >= 2),
+         |ms AS (SELECT doc_id, list_sort(list(j)) AS js FROM mk GROUP BY 1),
+         |kt AS (SELECT h.doc_id, h.ntok, h.L, t.toks, m.js
+         |       FROM hsh h JOIN ntk t USING (doc_id)
+         |       LEFT JOIN ms m USING (doc_id)),
+         |kp AS (SELECT doc_id, ntok,
+         |        CASE WHEN js IS NULL THEN toks ELSE
+         |          [toks[i+1] for i in range(0, len(toks))
+         |           if len(list_filter(js, j -> j <= i and i <= j + L - 1)) = 0]
+         |        END AS kept
+         |       FROM kt)
+         |SELECT doc_id, ntok AS n_tokens, len(kept)::BIGINT AS n_kept_tokens,
+         |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
+         |FROM kp""".stripMargin,
+
+    // the trim chain with the bench marking: cut every token covered by
+    // a gram found in the benchmark's distinct gram set
+    "q_trim_contamination" ->
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt, list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id, len(toks)::BIGINT AS ntok,
+         |        CASE WHEN len(toks) >= $SpanK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$SpanK), ' ')
+         |                   for i in range(0, len(toks)-$SpanK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |hsh AS (SELECT doc_id, ntok,
+         |        CASE WHEN ntok >= $SpanK THEN $SpanK ELSE ntok END::BIGINT AS L,
+         |        list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+         |cg AS (SELECT doc_id, L, unnest(hs) AS h,
+         |        unnest(range(0, len(hs))) AS j FROM hsh),
+         |bg AS (SELECT DISTINCT unnest(list_distinct(hs)) AS h FROM hsh
+         |       WHERE doc_id < 20),
+         |mk AS (SELECT g.doc_id, g.j FROM cg g
+         |       WHERE EXISTS (SELECT 1 FROM bg WHERE bg.h = g.h)),
          |ms AS (SELECT doc_id, list_sort(list(j)) AS js FROM mk GROUP BY 1),
          |kt AS (SELECT h.doc_id, h.ntok, h.L, t.toks, m.js
          |       FROM hsh h JOIN ntk t USING (doc_id)

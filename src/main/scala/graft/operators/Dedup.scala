@@ -1157,16 +1157,45 @@ object Dedup {
     * kept_text). */
   def trimSpans(docs: DataFrame, id: String, text: String, k: Int,
                 minOccurrences: Int = 2): DataFrame = {
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2 (1 marks every gram), got " +
+        s"$minOccurrences")
+    trimByMarks(docs, id, text, k, "trimSpans") { grams =>
+      val dupGrams = grams.groupBy(col("_h"))
+        .agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= minOccurrences.toLong)
+      grams.join(dupGrams, Seq("_h"), "left_semi")
+    }
+  }
+
+  /** contaminationSpans APPLIED — the surgical decontamination rewrite
+    * its docstring promises: each corpus document's normalized tokens
+    * with every benchmark-covered span cut, the quoted eval passage gone
+    * and the surrounding prose kept (q_decontaminate drops the whole
+    * document; this keeps what is actually clean). Same marking as
+    * contaminationSpans, same emit as trimSpans: (id, n_tokens,
+    * n_kept_tokens, kept_text). */
+  def trimContamination(corpus: DataFrame, bench: DataFrame, id: String,
+                        text: String, k: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(shingleHashes(col(text), k)))
+        .as("_h"))
+      .distinct()
+    trimByMarks(corpus, id, text, k, "trimContamination")(
+      _.join(benchGrams, Seq("_h"), "left_semi"))
+  }
+
+  /** Shared trim core: mark grams via `marker`, cut every covered token
+    * (start j covers j..j+L−1) with one per-doc marked-positions agg and
+    * a codegen'd indexed HOF filter over the token array. */
+  private def trimByMarks(docs: DataFrame, id: String, text: String,
+                          k: Int, opName: String)
+                         (marker: DataFrame => DataFrame): DataFrame = {
     val emitted = Seq("n_tokens", "n_kept_tokens", "kept_text")
     require(!emitted.contains(id),
-      s"trimSpans emits ${emitted.mkString(", ")}; rename the input's")
+      s"$opName emits ${emitted.mkString(", ")}; rename the input's")
     val (base, grams) = gramPositions(docs, id, text, k)
-    val dupGrams = grams.groupBy(col("_h"))
-      .agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= minOccurrences.toLong)
-    // per doc: the marked gram START positions; token t is cut iff some
-    // marked start j covers it (j <= t <= j + L - 1)
-    val markedStarts = grams.join(dupGrams, Seq("_h"), "left_semi")
+    val markedStarts = marker(grams)
       .groupBy(col("_doc"))
       .agg(array_sort(collect_list(col("_j"))).as("_js"))
     val norm = graft.operators.TextOps.normalized(col(text))

@@ -323,6 +323,10 @@ object Multimodal {
     * transitive closure (q_audio_dup_clusters composes exactly that). */
   def audioDupPairs(frames: DataFrame, id: String, maxHamming: Int,
                     maxBucket: Int = 10000): DataFrame = {
+    Seq(id, "frame_idx", "energy_sum").foreach(c =>
+      require(frames.columns.contains(c),
+        s"audioDupPairs expects energyProfile output ($id, frame_idx, " +
+          s"energy_sum, ...); missing '$c'"))
     val energies = frames.groupBy(col(id).as("doc"))
       .agg(transform(
         array_sort(collect_list(struct(col("frame_idx"),
