@@ -929,6 +929,47 @@ class TextAndDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("pair space exhausted"))
   }
 
+  test("the run-parity merge rule == a sequential greedy-L2R fold on " +
+      "EVERY word over {a,b} up to length 6, for l=r and l!=r merges") {
+    // reference implementation: plain sequential greedy left-to-right
+    // non-overlapping replacement of (l, r) in a symbol sequence
+    def refMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val words = (1 to 6).flatMap(n =>
+      Seq.fill(n)(Seq("a", "b")).foldLeft(Seq(Seq.empty[String]))(
+        (acc, cs) => acc.flatMap(p => cs.map(p :+ _))).map(_.mkString))
+    // merge tables exercising the three shapes: l = r (run parity),
+    // l != r chars, and a multi-char merged symbol as LEFT of a merge
+    val tables = Seq(
+      Seq((1L, "a", "a")),
+      Seq((1L, "a", "b")),
+      Seq((1L, "a", "a"), (2L, "aa", "b")),
+      Seq((1L, "a", "b"), (2L, "ab", "ab")),
+      Seq((1L, "b", "b"), (2L, "a", "bb"), (3L, "abb", "a")))
+    val docs = words.map(w => Tuple1(w)).toDF("text")
+    tables.foreach { t =>
+      val merges = t.map { case (rk, l, r) => (rk, l, r, l + r, 1L) }
+        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      val got = TextOps.bpeEncode(docs, "text", merges).collect()
+        .map(r => r.getString(0) -> r.getString(3)).toMap
+      words.foreach { w =>
+        val expect = t.foldLeft(w.map(_.toString).toList) {
+          case (syms, (_, l, r)) => refMerge(syms, l, r)
+        }.mkString(" ")
+        assert(got(w) == expect,
+          s"word '$w' under $t: window rule '${got(w)}' != fold '$expect'")
+      }
+    }
+  }
+
   test("bpeEncode replays the trained merges: on the training corpus it " +
       "equals bpeSegments; unseen pairs simply stop merging") {
     val docs = Seq("aaaa abab", "AAAA!").toDF("text")
