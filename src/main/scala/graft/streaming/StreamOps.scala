@@ -429,6 +429,26 @@ object StreamOps {
         batch, bench, id, text, k, w, minContainment), batchId)
     }
 
+  /** Streaming TEXT near-dup gate, stream-static form: every micro-batch
+    * of incoming documents runs the batch Dedup.lshJaccardJoin against
+    * the standing corpus — MinHash bands generate cross-side candidates,
+    * exact shingle-set Jaccard verifies — so "have we already crawled a
+    * near-copy of this page?" is answered at ingest, before the doc ever
+    * enters the corpus (the nearDupEachBatch idiom for the text
+    * modality; decontaminateEachBatch gates on benchmark CONTAINMENT,
+    * this gates on corpus SIMILARITY). Per-row semantics against the
+    * static right ⇒ output independent of the micro-batch split (parity
+    * in StreamingParitySpec); the corpus relation re-evaluates per
+    * trigger. Same idempotent-sink contract as asofJoinEachBatch. */
+  def lshJoinEachBatch(stream: DataFrame, corpus: DataFrame, idL: String,
+                       textL: String, idR: String, textR: String, k: Int,
+                       bands: Int, rowsPerBand: Int, minJaccard: Double)(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      write(graft.operators.Dedup.lshJaccardJoin(batch, corpus, idL,
+        textL, idR, textR, k, bands, rowsPerBand, minJaccard), batchId)
+    }
+
   /** Streaming near-dup gate, stream-static form: every micro-batch of
     * incoming binary payloads probes the Hamming-band index of a standing
     * corpus with the batch Multimodal.imageDupJoin — "have we already got

@@ -471,6 +471,37 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshJoinEachBatch(stream-static) == lshJaccardJoin(batch) across " +
+      "splits; the standing corpus gates each text micro-batch") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different material about engines and parts"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((1L,
+      "the quick brown fox jumps over the lazy dog today"))
+    val batch2 = Seq(
+      (2L, "completely different material about engines and parts"),
+      (3L, "fresh unrelated content with its own vocabulary"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = StreamOps.lshJoinEachBatch(stream, corpus, "doc_id", "text",
+        "doc_id", "text", 3, 8, 2, 0.5) { (out, _) =>
+      sink.synchronized { sink ++= out.as[(Long, Long, Double)].collect() }
+    }.start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val expected = Dedup.lshJaccardJoin(
+          (batch1 ++ batch2).toDF("doc_id", "text"), corpus,
+          "doc_id", "text", "doc_id", "text", 3, 8, 2, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(sink.toSet == expected)
+      assert(sink.map(t => (t._1, t._2)).toSet == Set((1L, 100L), (2L, 101L)))
+    } finally q.stop()
+  }
+
   test("nearDupEachBatch(stream-static) == imageDupJoin(batch) across " +
       "splits; the standing index gates each micro-batch") {
     import graft.operators.Multimodal
