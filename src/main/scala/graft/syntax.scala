@@ -587,5 +587,70 @@ object syntax {
       CoreOps.nelsonAalen(df, key, ts, churnGapDays, cohortDays)
     def lorenzCurve(value: String): DataFrame =
       CoreOps.lorenzCurve(df, value)
+    // round-10 tier
+    def bpeLearn(text: String, iters: Int,
+                 maxWordLen: Int = 32): (DataFrame, DataFrame) =
+      TextOps.bpeLearn(df, text, iters, maxWordLen)
+    def bpeEncode(text: String, merges: DataFrame,
+                  maxWordLen: Int = 32): DataFrame =
+      TextOps.bpeEncode(df, text, merges, maxWordLen)
+    def bpeFertility(text: String, group: String, iters: Int,
+                     maxWordLen: Int = 32): DataFrame =
+      TextOps.bpeFertility(df, text, group, iters, maxWordLen)
+    def dupSpans(id: String, text: String, k: Int,
+                 minOccurrences: Int = 2): DataFrame =
+      Dedup.dupSpans(df, id, text, k, minOccurrences)
+    def dupSpanList(id: String, text: String, k: Int,
+                    minOccurrences: Int = 2): DataFrame =
+      Dedup.dupSpanList(df, id, text, k, minOccurrences)
+    def trimSpans(id: String, text: String, k: Int,
+                  minOccurrences: Int = 2): DataFrame =
+      Dedup.trimSpans(df, id, text, k, minOccurrences)
+    def contaminationSpans(bench: DataFrame, id: String, text: String,
+                           k: Int): DataFrame =
+      Dedup.contaminationSpans(df, bench, id, text, k)
+    def trimContamination(bench: DataFrame, id: String, text: String,
+                          k: Int): DataFrame =
+      Dedup.trimContamination(df, bench, id, text, k)
+    def jaccardAllPairsSampled(id: String, text: String, k: Int,
+                               tNum: Int, tDen: Int, sampleMod: Int,
+                               maxBucket: Int = 10000): DataFrame =
+      Dedup.jaccardAllPairsSampled(df, id, text, k, tNum, tDen, sampleMod,
+        maxBucket)
+    def contaminationRateSampled(bench: DataFrame, id: String,
+                                 text: String, k: Int,
+                                 sampleMod: Int): DataFrame =
+      Dedup.contaminationRateSampled(df, bench, id, text, k, sampleMod)
+    def labelPropagationWeighted(src: String, dst: String, weight: String,
+                                 iters: Int): DataFrame =
+      Graph.labelPropagationWeighted(df, src, dst, weight, iters)
+    def communityCard(src: String, dst: String, weight: String,
+                      labels: DataFrame, node: String,
+                      label: String): DataFrame =
+      Graph.communityCard(df, src, dst, weight, labels, node, label)
+    def modularityWeighted(src: String, dst: String, weight: String,
+                           labels: DataFrame, node: String,
+                           community: String): DataFrame =
+      Graph.modularityWeighted(df, src, dst, weight, labels, node,
+        community)
+    def fleissKappa(item: String, category: String): DataFrame =
+      Eval.fleissKappa(df, item, category)
+    def krippendorffAlpha(item: String, category: String): DataFrame =
+      Eval.krippendorffAlpha(df, item, category)
+    def snapshotTokenDelta(newSnap: DataFrame, id: String,
+                           text: String): DataFrame =
+      Curation.snapshotTokenDelta(df, newSnap, id, text)
+    def compactionPlan(path: String, bytes: String,
+                       targetBytes: Long): DataFrame =
+      graft.sources.CorpusLayout.compactionPlan(df, path, bytes,
+        targetBytes)
+    def audioDupPairs(id: String, maxHamming: Int,
+                      maxBucket: Int = 10000): DataFrame =
+      Multimodal.audioDupPairs(df, id, maxHamming, maxBucket)
+    def imageDupJoin(right: DataFrame, idL: String, binL: String,
+                     idR: String, binR: String, maxHamming: Int,
+                     maxBucket: Int = 10000): DataFrame =
+      Multimodal.imageDupJoin(df, right, idL, binL, idR, binR, maxHamming,
+        maxBucket)
   }
 }

@@ -164,4 +164,38 @@ class SyntaxSpec extends SparkSpec {
       graft.streaming.StreamOps.windowedJsd(ev2, "cat", "ts",
         "3 seconds", "0 seconds", ref2, "c").collect().toSet)
   }
+
+  test("the round-10 facade methods delegate to their operators") {
+    val docs = Seq((1L, "aaaa abab"), (2L, "AAAA!")).toDF("doc_id", "text")
+    val (fm, fs) = docs.bpeLearn("text", 2)
+    val (om, os) = graft.operators.TextOps.bpeLearn(docs, "text", 2)
+    assert(fm.collect().toSet == om.collect().toSet)
+    assert(fs.collect().toSet == os.collect().toSet)
+    assert(docs.bpeEncode("text", fm).collect().toSet ==
+      graft.operators.TextOps.bpeEncode(docs, "text", om).collect().toSet)
+    val spanDocs = Seq((1L, "a b c d e"), (2L, "x a b c y"))
+      .toDF("doc_id", "text")
+    assert(spanDocs.dupSpans("doc_id", "text", 3).collect().toSet ==
+      graft.operators.Dedup.dupSpans(spanDocs, "doc_id", "text", 3)
+        .collect().toSet)
+    assert(spanDocs.trimSpans("doc_id", "text", 3).collect().toSet ==
+      graft.operators.Dedup.trimSpans(spanDocs, "doc_id", "text", 3)
+        .collect().toSet)
+    val ratings = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+      .toDF("it", "cat")
+    assert(ratings.fleissKappa("it", "cat").head().toSeq ==
+      graft.operators.Eval.fleissKappa(ratings, "it", "cat").head().toSeq)
+    assert(ratings.krippendorffAlpha("it", "cat").head().toSeq ==
+      graft.operators.Eval.krippendorffAlpha(ratings, "it", "cat")
+        .head().toSeq)
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L)).toDF("s", "d", "w")
+    assert(edges.labelPropagationWeighted("s", "d", "w", 2)
+        .collect().toSet ==
+      graft.operators.Graph.labelPropagationWeighted(edges, "s", "d",
+        "w", 2).collect().toSet)
+    val files = Seq(("a/x", 100L), ("b/y", 250L)).toDF("p", "b")
+    assert(files.compactionPlan("p", "b", 200L).collect().toSet ==
+      graft.sources.CorpusLayout.compactionPlan(files, "p", "b", 200L)
+        .collect().toSet)
+  }
 }
