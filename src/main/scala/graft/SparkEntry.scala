@@ -1103,6 +1103,27 @@ object SparkEntry {
       TextOps.bpeEncode(
         Tables.documents(s, dir).filter(col("doc_id") % 7 === 3),
         "text", bpeShared(s, dir)._1, BpeMaxWordLen)),
+    // the tokenizer GENERALIZATION gap per language: fertility of the
+    // frozen vocab on its training corpus vs on the held-out slice —
+    // a rising heldout/train ratio flags a drifting crawl outgrowing
+    // its tokenizer (one composed row per language)
+    "q_bpe_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val held = docs.filter(col("doc_id") % 7 === 3)
+      val train = TextOps.bpeFertilityFrom(docs, "text", "lang",
+          bpeShared(s, dir)._2, BpeMaxWordLen)
+        .select(col("lang"), col("fertility").as("fertility_train"))
+      val heldF = TextOps.bpeFertilityFrom(held, "text", "lang",
+          TextOps.bpeEncode(held, "text", bpeShared(s, dir)._1,
+            BpeMaxWordLen), BpeMaxWordLen)
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          col("fertility").as("fertility_heldout"))
+      heldF.join(train, Seq("lang"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          col("fertility_train"), col("fertility_heldout"),
+          (floor((col("fertility_heldout") - col("fertility_train"))
+            * 1000000d) / 1000000d).as("fertility_gap"))
+    }),
     // Heaps-law saturation gauge: per doc-id checkpoint, cumulative docs,
     // token occurrences and DISTINCT vocabulary — "does more crawl still
     // add new language?"; one token-keyed min agg, constant-size cumsum
@@ -5042,6 +5063,40 @@ object SparkEntry {
          |SELECT word, freq, count(*)::BIGINT AS n_pieces,
          |  string_agg(sym, ' ' ORDER BY pos) AS pieces
          |FROM eseg$BpeIters GROUP BY 1, 2""".stripMargin,
+
+    // train fertility (bseg) vs held-out fertility (eseg under the same
+    // winners), one gap row per language
+    "q_bpe_drift" ->
+      s"""WITH ${sqlBpeCtes(BpeIters)}${sqlBpeEncodeCtes(BpeIters,
+             "(SELECT * FROM documents WHERE doc_id % 7 = 3)")},
+         |twl AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $BpeMaxWordLen)) AS word
+         |    FROM documents) GROUP BY 1, 2),
+         |tsg AS (SELECT word, count(*)::BIGINT AS np
+         |        FROM bseg$BpeIters GROUP BY 1),
+         |ftr AS (SELECT w.lang,
+         |          floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |                * 1000000) / 1000000 AS fertility_train
+         |        FROM twl w JOIN tsg s USING (word) GROUP BY 1),
+         |hwl AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $BpeMaxWordLen)) AS word
+         |    FROM documents WHERE doc_id % 7 = 3) GROUP BY 1, 2),
+         |hsg AS (SELECT word, count(*)::BIGINT AS np
+         |        FROM eseg$BpeIters GROUP BY 1),
+         |fhe AS (SELECT w.lang, sum(w.n)::BIGINT AS n_words,
+         |          sum(w.n * s.np)::BIGINT AS n_pieces,
+         |          floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |                * 1000000) / 1000000 AS fertility_heldout
+         |        FROM hwl w JOIN hsg s USING (word) GROUP BY 1)
+         |SELECT h.lang, h.n_words, h.n_pieces, t.fertility_train,
+         |  h.fertility_heldout,
+         |  floor((h.fertility_heldout - t.fertility_train) * 1000000)
+         |    / 1000000 AS fertility_gap
+         |FROM fhe h JOIN ftr t USING (lang)""".stripMargin,
 
     // per-language word counts joined onto the learned segmentation's
     // piece counts — the trained tokenizer measured on its own corpus
