@@ -86,6 +86,12 @@ object SparkEntry {
   private val KfoldK = 5           // cross-validation fold count
   private val KfoldSalt = "cv"
   private val OverlapMaxDf = 10    // source-overlap ubiquitous-token cutoff
+  private val KmvK = 64            // KMV sketch size (≈1/√k ≈ 12% rel. error)
+  private val DpClamp = 4          // dpRelease per-user contribution bound
+  private val DpKMin = 50L         // dpRelease suppression floor
+  private val OvCell = 21600000L   // intervalOverlapJoin cell width (6 h)
+  private val OvMaxCells = 200     // fail-loud span bound (50 days of cells)
+  private val OvTopN = 300         // q_interval_overlap emission cap
 
   /** Shared by q_anomaly (window-function batch twin) and q_anomaly_stream
     * (moment-state machine in batch mode): both must emit these exact
@@ -1039,12 +1045,30 @@ object SparkEntry {
     // separator that length and punctuation heuristics miss
     "q_lexical_diversity" -> ((s, dir) =>
       TextOps.lexicalDiversity(Tables.documents(s, dir), "doc_id", "text")),
+    // Good-Turing unseen mass per language: p0 = N1/N — how much of each
+    // slice's token distribution is still unobserved (the under-sampling
+    // gauge a vocab/crawl budget is planned against); plus the adjusted
+    // singleton worth 2·N2/N1, all integer-ppm
+    "q_good_turing" -> ((s, dir) =>
+      TextOps.goodTuring(Tables.documents(s, dir), "lang", "text")),
     // which sources mirror each other's content: pairwise exact Jaccard
     // over per-source bigram-shingle sets, ubiquitous shingles excluded
     // BEFORE the bucketed pair expansion (the scale bound AND the signal)
     "q_source_overlap" -> ((s, dir) =>
       TextOps.sourceOverlap(Tables.documents(s, dir), "source", "text",
         2, OverlapMaxDf)),
+    // KMV distinct sketch (k smallest md5 token hashes per source) beside
+    // the exact count — HLL answers "how many distinct"; KMV sketches also
+    // compose into set operations (q_kmv_overlap). One distinct shuffle
+    // builds every sketch; the estimate is pure BIGINT
+    "q_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(Tables.documents(s, dir), "source", "text", KmvK)),
+    // the 100 TB overlap path: pairwise shared-vocabulary estimates from
+    // the k-row sketches ALONE (union sketch = k-min of the merged sides,
+    // intersection by co-membership ρ-scaling) — q_source_overlap re-joins
+    // the corpus per measurement, this never touches it again
+    "q_kmv_overlap" -> ((s, dir) =>
+      Sketches.kmvOverlap(Tables.documents(s, dir), "source", "text", KmvK)),
     "q_quality_score" -> ((s, dir) =>
       TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)),
     // Flesch readability screen: exact word/sentence/vowel-group counts,
@@ -2148,6 +2172,15 @@ object SparkEntry {
     "q_t_closeness" -> ((s, dir) =>
       Curation.tClosenessClasses(quasiCut(s, dir),
         Seq("day", "spend_bucket"), "event_type", 0.2)),
+    // the fourth privacy gate, release-side: DP-shaped histogram release
+    // mechanics — per-user contribution clamp (sensitivity bound), k-min
+    // suppression, Laplace-calibrated seeded noise (deterministic test
+    // harness; the deploy path swaps the hash for a CSPRNG — see scaladoc)
+    "q_dp_release" -> ((s, dir) =>
+      CoreOps.dpRelease(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id")),
+        "user_id", "event_type", "event_id", DpClamp, DpKMin)),
     // which event type's spend distribution moved, and how far in cents
     // — the fully-partitioned per-group W1 (group-keyed windows only)
     "q_wasserstein_by_type" -> ((s, dir) => {
@@ -2331,6 +2364,36 @@ object SparkEntry {
         .groupBy(col("user_id"), col("session_seq"))
         .agg(min(col("ms")).as("s_ms"), max(col("ms")).as("e_ms"))
       CoreOps.concurrencyProfile(iv, "s_ms", "e_ms", 3600000L)
+    }),
+    // interval-OVERLAP join (both sides ranges; q_range_join is point-in-
+    // range): which odd-user sessions overlap which even-user sessions —
+    // cell-bucketed equi-join, dedup-free later-start-cell emission,
+    // fail-loud span bound; top-N heaviest overlaps (TakeOrdered, never a
+    // global sort)
+    "q_interval_overlap" -> ((s, dir) => {
+      val sess = CoreOps.sessionize(
+        Tables.events(s, dir).filter(col("user_id").isNotNull),
+        "user_id", "ts", "event_id", D)
+      val iv = sess
+        .select(col("user_id"), col("session_seq"),
+          unix_millis(col("ts")).as("ms"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ms")).as("s_ms"), (max(col("ms")) + 1L).as("e_ms"))
+        .localCheckpoint(true) // shared: both join sides
+      CoreOps.intervalOverlapJoin(
+          iv.filter(pmod(col("user_id"), lit(2)) === 1)
+            .select(col("user_id").as("a_user"),
+              col("session_seq").as("a_seq"), col("s_ms").as("a_s"),
+              col("e_ms").as("a_e")),
+          "a_s", "a_e",
+          iv.filter(pmod(col("user_id"), lit(2)) === 0)
+            .select(col("user_id").as("b_user"),
+              col("session_seq").as("b_seq"), col("s_ms").as("b_s"),
+              col("e_ms").as("b_e")),
+          "b_s", "b_e", OvCell, OvMaxCells)
+        .orderBy(col("overlap_ms").desc, col("a_user"), col("a_seq"),
+          col("b_user"), col("b_seq"))
+        .limit(OvTopN)
     }),
     // Markov-2: p(next | last TWO states) — both lags share one window
     // pass, aggregation on O(states³) rows
@@ -2634,6 +2697,16 @@ object SparkEntry {
       CoreOps.cupedAdjustedDiff(perUser,
         pmod(col("user_id"), lit(2)) === 0, "pre_cents", "post_cents")
     }),
+    // post-stratified ATE over event_type strata: the Simpson's-paradox
+    // guard between the raw diff and CUPED — per-stratum exact-decimal
+    // arm means, ppm-quantized contributions, exact BIGINT fold
+    "q_strat_ate" -> ((s, dir) =>
+      CoreOps.stratifiedAte(
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull
+            && col("value").isNotNull)
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "event_type", pmod(col("user_id"), lit(2)) === 0, "cents")),
     "q_ab_test" -> ((s, dir) =>
       CoreOps.abProportionTest(
         Tables.events(s, dir).select(col("user_id"), col("event_type")),
@@ -3321,6 +3394,20 @@ object SparkEntry {
     // chance-corrected agreement between the labels and the NB relabeling
     "q_kappa" -> ((s, dir) =>
       Eval.cohenKappa(nbPredictions(s, dir), "lang_true", "lang_pred")),
+    // the model-promotion gate: McNemar's paired test between the NB
+    // relabeling and the stopword-hit heuristic on the SAME docs — only
+    // the discordant cells carry evidence; continuity-corrected χ²₁
+    // statistic in exact ppm
+    "q_mcnemar" -> ((s, dir) =>
+      Eval.mcnemar(
+        nbPredictions(s, dir)
+          .select(col("doc_id"), col("lang_true"),
+            col("lang_pred").as("pred_nb"))
+          .join(TextOps.languageId(Tables.documents(s, dir), "doc_id",
+              "text", langProfiles)
+              .select(col("doc_id"), col("lang_pred").as("pred_heur")),
+            Seq("doc_id")),
+        "lang_true", "pred_nb", "pred_heur")),
     // multi-rater chance-corrected agreement: each user's first 5 events
     // read as 5 "ratings" of that user-item, category = event_type;
     // users with fewer than 5 events drop (Fleiss needs constant arity)
@@ -4867,6 +4954,24 @@ object SparkEntry {
          |    AS hapax_rate
          |FROM a""".stripMargin,
 
+    // counts-of-counts per language; the two ratios exact integer // (the
+    // Spark side's div)
+    "q_good_turing" ->
+      s"""WITH t AS (SELECT lang, unnest($toksSql) AS tok FROM documents
+         |      WHERE lang IS NOT NULL),
+         |c AS (SELECT lang, tok, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+         |a AS (SELECT lang, sum(c)::BIGINT AS n_tokens,
+         |        count(*)::BIGINT AS n_types,
+         |        sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+         |        sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n_doubletons
+         |      FROM c GROUP BY 1)
+         |SELECT lang, n_tokens, n_types, n_singletons, n_doubletons,
+         |  (n_singletons * 1000000) // n_tokens AS unseen_ppm,
+         |  CASE WHEN n_singletons > 0
+         |       THEN (2 * n_doubletons * 1000000) // n_singletons
+         |  END AS gt1_ppm
+         |FROM a""".stripMargin,
+
     // same filtered shingle universe on both sides of the pair expansion;
     // the q_ngram_vocab shingle recipe
     "q_source_overlap" ->
@@ -4892,6 +4997,55 @@ object SparkEntry {
          |        * 1000000) / 1000000 AS jaccard
          |FROM p JOIN sz sa ON sa.source = source_a
          |JOIN sz sb ON sb.source = source_b""".stripMargin,
+
+    // the KMV replay: distinct (source, md5Int(token)), group-partitioned
+    // row_number for the k-th minimum, the ((k-1)·2^32) // h_k estimate —
+    // pure BIGINT on both engines (DuckDB // = Spark div on positives)
+    "q_kmv_distinct" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents
+         |      WHERE source IS NOT NULL),
+         |d AS (SELECT DISTINCT source, ${sqlMd5Int("tok")} AS h FROM t),
+         |r AS (SELECT source, h, row_number() OVER (PARTITION BY source
+         |        ORDER BY h) AS rk FROM d),
+         |e AS (SELECT source, count(*)::BIGINT AS n_exact FROM d GROUP BY 1),
+         |s AS (SELECT source, count(*)::BIGINT AS m, max(h) AS hk
+         |      FROM r WHERE rk <= $KmvK GROUP BY 1)
+         |SELECT e.source, e.n_exact,
+         |  CASE WHEN s.m < $KmvK THEN s.m
+         |       ELSE (${KmvK - 1} * 4294967296) // s.hk END AS est_distinct
+         |FROM e JOIN s USING (source)""".stripMargin,
+
+    // union sketch = k smallest of the two sides' sketches; n_both counts
+    // union-sketch hashes in BOTH sides; est_inter = (n_both·est_union)//m
+    "q_kmv_overlap" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS tok FROM documents
+         |      WHERE source IS NOT NULL),
+         |d AS (SELECT DISTINCT source, ${sqlMd5Int("tok")} AS h FROM t),
+         |r AS (SELECT source, h, row_number() OVER (PARTITION BY source
+         |        ORDER BY h) AS rk FROM d),
+         |sk AS (SELECT source, h FROM r WHERE rk <= $KmvK),
+         |g AS (SELECT DISTINCT source FROM sk),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b
+         |      FROM g a JOIN g b ON a.source < b.source),
+         |u AS (SELECT p.source_a, p.source_b, s.h,
+         |        max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+         |        max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+         |      FROM p JOIN sk s
+         |        ON s.source = p.source_a OR s.source = p.source_b
+         |      GROUP BY 1, 2, 3),
+         |ru AS (SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+         |        ORDER BY h) AS rk FROM u),
+         |ag AS (SELECT source_a, source_b, count(*)::BIGINT AS m,
+         |        max(h) AS hk,
+         |        sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0
+         |            END)::BIGINT AS n_both
+         |      FROM ru WHERE rk <= $KmvK GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_both,
+         |  CASE WHEN m < $KmvK THEN m
+         |       ELSE (${KmvK - 1} * 4294967296) // hk END AS est_union,
+         |  (n_both * (CASE WHEN m < $KmvK THEN m
+         |       ELSE (${KmvK - 1} * 4294967296) // hk END)) // m AS est_inter
+         |FROM ag""".stripMargin,
 
     "q_token_stats" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,
@@ -6621,6 +6775,29 @@ object SparkEntry {
          |    AS risky
          |FROM agg""".stripMargin,
 
+    // clamp → count → suppress → seeded-Laplace: the ln-quantized noise
+    // is the weightedSampleK inverse-CDF idiom on md5(category‖salt)
+    "q_dp_release" ->
+      s"""WITH b AS (SELECT event_type, user_id, event_id,
+         |        row_number() OVER (PARTITION BY user_id, event_type
+         |          ORDER BY event_id) AS rn
+         |      FROM events
+         |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         |c AS (SELECT event_type, count(*)::BIGINT AS n_clamped
+         |      FROM b WHERE rn <= $DpClamp GROUP BY 1
+         |      HAVING count(*) >= $DpKMin),
+         |n AS (SELECT event_type, n_clamped,
+         |        ${sqlMd5Int("(event_type || 'dp')")} - 2147483648 AS v
+         |      FROM c),
+         |l AS (SELECT event_type, n_clamped,
+         |        CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn,
+         |        (floor(ln(2147483648.0) * 1000000)::BIGINT
+         |         - floor(ln((abs(v) + 1)::DOUBLE) * 1000000)::BIGINT) AS lap
+         |      FROM n)
+         |SELECT event_type, n_clamped, sgn * lap AS noise_ppm,
+         |  n_clamped * 1000000 + $DpClamp * sgn * lap AS released_ppm
+         |FROM l""".stripMargin,
+
     // per-type W1: the same integrand with every window keyed by the
     // group — cumulatives, lead, and totals all partitioned
     "q_wasserstein_by_type" ->
@@ -6943,6 +7120,36 @@ object SparkEntry {
     },
     // the session-aware state machine must emit the SAME rows
     "q_session_funnel_stream" -> sessionFunnelOracle,
+
+    // interval-overlap join replay: the q_sessionize session intervals
+    // (half-open, e+1) on both sides of a plain overlap join; the top-N
+    // cut is unambiguous (the full sort key is unique per pair)
+    "q_interval_overlap" ->
+      s"""WITH x AS (SELECT event_id, user_id, $evMs AS ms,
+         |        lag($evMs) OVER (PARTITION BY user_id
+         |          ORDER BY $evMs, event_id) AS prev
+         |      FROM events WHERE user_id IS NOT NULL),
+         |sx AS (SELECT user_id, ms,
+         |        (sum(CASE WHEN prev IS NULL OR ms - prev > $D
+         |                  THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |                 ROWS UNBOUNDED PRECEDING))::BIGINT AS seq
+         |      FROM x),
+         |iv AS (SELECT user_id, seq, min(ms)::BIGINT AS s_ms,
+         |        (max(ms) + 1)::BIGINT AS e_ms
+         |      FROM sx GROUP BY 1, 2),
+         |p AS (SELECT a.user_id AS a_user, a.seq AS a_seq,
+         |        a.s_ms AS a_s, a.e_ms AS a_e,
+         |        b.user_id AS b_user, b.seq AS b_seq,
+         |        b.s_ms AS b_s, b.e_ms AS b_e,
+         |        (least(a.e_ms, b.e_ms)
+         |         - greatest(a.s_ms, b.s_ms))::BIGINT AS overlap_ms
+         |      FROM iv a JOIN iv b
+         |        ON a.user_id % 2 = 1 AND b.user_id % 2 = 0
+         |        AND a.s_ms < b.e_ms AND b.s_ms < a.e_ms)
+         |SELECT * FROM p
+         |ORDER BY overlap_ms DESC, a_user, a_seq, b_user, b_seq
+         |LIMIT $OvTopN""".stripMargin,
 
     // the same lag chain one step deeper; mirrored grouping
     "q_transitions2" -> transitions2Oracle,
@@ -7459,6 +7666,38 @@ object SparkEntry {
          |            / 1000000
          |  END AS diff_adj
          |FROM u""".stripMargin,
+
+    // per-stratum exact decimal arm sums, one fixed double chain per
+    // stratum ppm-floored, exact BIGINT fold — single-arm strata excluded
+    // and N totalled over USED strata only (the Spark contract)
+    "q_strat_ate" ->
+      s"""WITH e AS (SELECT event_type,
+         |        floor(value * 100)::BIGINT AS cents, user_id
+         |      FROM events WHERE user_id IS NOT NULL
+         |        AND event_type IS NOT NULL AND value IS NOT NULL),
+         |p AS (SELECT event_type,
+         |        sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS nt,
+         |        sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+         |        sum(CASE WHEN user_id % 2 = 0
+         |            THEN CAST(cents AS DECIMAL(18,2)) END) AS st,
+         |        sum(CASE WHEN user_id % 2 <> 0
+         |            THEN CAST(cents AS DECIMAL(18,2)) END) AS sc
+         |      FROM e GROUP BY 1),
+         |t AS (SELECT count(*)::BIGINT AS n_strata,
+         |        sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0
+         |            END)::BIGINT AS n_used,
+         |        COALESCE(sum(CASE WHEN nt > 0 AND nc > 0
+         |            THEN nt + nc END), 0)::BIGINT AS n_total
+         |      FROM p),
+         |c AS (SELECT t.n_strata, t.n_used, t.n_total,
+         |        CASE WHEN nt > 0 AND nc > 0 THEN
+         |          floor((st::DOUBLE / nt::DOUBLE - sc::DOUBLE / nc::DOUBLE)
+         |                * (nt + nc)::DOUBLE / t.n_total::DOUBLE
+         |                * 1000000)::BIGINT END AS contrib
+         |      FROM p CROSS JOIN t)
+         |SELECT n_strata, n_used, n_total,
+         |  COALESCE(sum(contrib), 0)::BIGINT AS ate_ppm
+         |FROM c GROUP BY 1, 2, 3""".stripMargin,
 
     // the same exact-moments-then-fixed-double-chain contract as q_corr:
     // per-cohort n/Σc/Σc² accumulate exactly, every double op mirrored
@@ -9103,6 +9342,47 @@ object SparkEntry {
            |            / 1000000
            |  END AS kappa
            |FROM t CROSS JOIN pe""".stripMargin),
+    // the NB chain joined against the stopword-hit heuristic's vote on
+    // the same doc; only the discordant cells enter the statistic —
+    // (|b−c|−1)²·10⁶ // (b+c) in HUGEINT (= the Spark decimal div)
+    "q_mcnemar" ->
+      nbOracle(
+        s""", mnt AS (SELECT doc_id,
+           |        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           |                    x -> x <> '') AS toks FROM documents),
+           |mnh AS (SELECT doc_id,
+           |        len(list_filter(toks, x -> x IN ${inList(stopEn)})) AS h_en,
+           |        len(list_filter(toks, x -> x IN ${inList(stopDe)})) AS h_de,
+           |        len(list_filter(toks, x -> x IN ${inList(stopFr)})) AS h_fr,
+           |        len(list_filter(toks, x -> x IN ${inList(stopEs)})) AS h_es,
+           |        len(list_filter(toks, x -> x IN ${inList(stopZh)})) AS h_zh
+           |      FROM mnt),
+           |mni AS (SELECT doc_id,
+           |        CASE WHEN h_zh = m THEN 'zh' WHEN h_fr = m THEN 'fr'
+           |             WHEN h_es = m THEN 'es' WHEN h_en = m THEN 'en'
+           |             ELSE 'de' END AS pred_heur
+           |      FROM (SELECT *, GREATEST(h_en, h_de, h_fr, h_es, h_zh) AS m
+           |            FROM mnh)),
+           |j AS (SELECT nb.lang_true, nb.lang_pred AS pred_nb, mni.pred_heur
+           |      FROM nb JOIN mni USING (doc_id)
+           |      WHERE nb.lang_true IS NOT NULL AND nb.lang_pred IS NOT NULL
+           |        AND mni.pred_heur IS NOT NULL),
+           |ag AS (SELECT count(*)::BIGINT AS n_pairs,
+           |        sum(CASE WHEN pred_nb = lang_true
+           |                  AND pred_heur <> lang_true THEN 1 ELSE 0
+           |            END)::BIGINT AS n_a_only,
+           |        sum(CASE WHEN pred_nb <> lang_true
+           |                  AND pred_heur = lang_true THEN 1 ELSE 0
+           |            END)::BIGINT AS n_b_only
+           |      FROM j)
+           |SELECT n_pairs, n_a_only, n_b_only,
+           |  CASE WHEN n_a_only + n_b_only > 0 THEN
+           |    (((abs(n_a_only - n_b_only) - 1)::HUGEINT
+           |      * (abs(n_a_only - n_b_only) - 1)::HUGEINT
+           |      * 1000000::HUGEINT)
+           |     // (n_a_only + n_b_only)::HUGEINT)::BIGINT
+           |  END AS mcnemar_ppm
+           |FROM ag""".stripMargin),
     // the curve the AUC integrates: cumulative exact TP/FP over
     // descending distinct thresholds (window over the post-agg frame —
     // O(distinct scores) rows, the Spark side uses the bucket prefix scan)

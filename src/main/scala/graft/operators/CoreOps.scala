@@ -4064,4 +4064,160 @@ object CoreOps {
         (floor(col("n_pos").cast("double") / col("n").cast("double")
           * 1000000d) / 1000000d).as("pos_rate"))
   }
+
+  /** Post-stratified average treatment effect — the experimentation
+    * workhorse between the raw mean diff and CUPED: weight each stratum's
+    * treatment−control mean difference by the stratum's share of the
+    * population, Σₛ (nₛ/N)·(ȳₜ,ₛ − ȳ꜀,ₛ). Removes the composition bias a
+    * raw diff inherits when arms are imbalanced WITHIN strata (the
+    * Simpson's-paradox guard), and shrinks variance by the between-strata
+    * component. Strata observed in only ONE arm are EXCLUDED (their diff
+    * is undefined) and N is the total over USED strata, so the weights
+    * still sum to 1 over what was actually estimable — n_used/n_strata in
+    * the output make the exclusion visible. Arithmetic: sums are exact
+    * DECIMAL(18,2) (the keyedSum convention), each per-stratum
+    * contribution is floor-quantized to ppm as ONE fixed double chain
+    * (((diff·nₛ)/N)·10⁶ — identical operand order on any IEEE engine),
+    * and the final ATE is an exact BIGINT sum of those integers — never
+    * an order-dependent float sum across strata. Shapes: one grouped agg
+    * onto O(strata) rows, a 1-row broadcast total, a second O(strata)
+    * agg. NULL stratum/value rows drop. Emits one row (n_strata, n_used,
+    * n_total, ate_ppm). */
+  def stratifiedAte(df: DataFrame, stratum: String, treat: Column,
+                    value: String): DataFrame = {
+    val emitted = Seq("n_strata", "n_used", "n_total", "ate_ppm",
+      "_nt", "_nc", "_st", "_sc", "_ns", "_n", "_used")
+    val clash = (Seq(stratum, value)).filter(emitted.contains)
+    require(clash.isEmpty,
+      s"stratifiedAte emits/uses ${emitted.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")}")
+    val per = df.filter(col(stratum).isNotNull && col(value).isNotNull)
+      .groupBy(col(stratum))
+      .agg(
+        sum(when(treat, 1L).otherwise(0L)).as("_nt"),
+        sum(when(!treat, 1L).otherwise(0L)).as("_nc"),
+        sum(when(treat, col(value).cast("decimal(18,2)"))).as("_st"),
+        sum(when(!treat, col(value).cast("decimal(18,2)"))).as("_sc"))
+      .withColumn("_used", col("_nt") > 0 && col("_nc") > 0)
+      .localCheckpoint(true) // shared: the totals row and the fold
+    val totals = per.agg(
+      count(lit(1)).as("n_strata"),
+      sum(when(col("_used"), 1L).otherwise(0L)).as("n_used"),
+      coalesce(sum(when(col("_used"), col("_nt") + col("_nc"))), lit(0L))
+        .as("n_total"))
+    val contrib = floor(
+      (col("_st").cast("double") / col("_nt").cast("double")
+        - col("_sc").cast("double") / col("_nc").cast("double"))
+        * (col("_nt") + col("_nc")).cast("double")
+        / col("n_total").cast("double") * 1000000d).cast("long")
+    per.crossJoin(broadcast(totals))
+      .groupBy(col("n_strata"), col("n_used"), col("n_total"))
+      .agg(coalesce(sum(when(col("_used"), contrib)), lit(0L)).as("ate_ppm"))
+      .select(col("n_strata"), col("n_used"), col("n_total"), col("ate_ppm"))
+  }
+
+  /** Differential-privacy-SHAPED histogram release: the mechanics a DP
+    * count release runs at corpus scale — per-user contribution bounding
+    * (each user counts at most `clamp` times per category: row_number on
+    * a deterministic tiebreak, the sensitivity bound), a k-threshold gate
+    * (categories under `kMin` clamped contributors are SUPPRESSED, the
+    * publish-safety floor), and Laplace-calibrated additive noise at
+    * scale b = clamp/ε with ε = 1. HONESTY CONTRACT: the noise here is
+    * the house SEEDED inverse-CDF draw (sign·ln-quantized from
+    * md5(category‖salt), the weightedSampleK/A-Res idiom) so the whole
+    * release replays bit-for-bit on any engine — that makes this a
+    * deterministic TEST HARNESS for release plumbing, NOT a private
+    * mechanism: real DP requires fresh secret randomness per release
+    * (swap the hash for a CSPRNG draw at deploy; everything else — the
+    * clamp, the gate, the calibration — is the production path). Noise
+    * algebra: u32 = md5Int(category‖salt), v = u32 − 2³¹,
+    * u = |v| + 1 ∈ [1, 2³¹], noise_ppm = sign(v)·(qlog(2³¹) − qlog(u))
+    * (the quantized −ln of a uniform: Laplace by inversion, in exact
+    * 1e-6 integer units), released_ppm = n_clamped·10⁶ + clamp·noise_ppm.
+    * Shapes: one partitioned row_number + one category count agg —
+    * corpus-scale-clean, output O(categories). Emits (category,
+    * n_clamped, noise_ppm, released_ppm). */
+  def dpRelease(df: DataFrame, user: String, category: String,
+                tiebreak: String, clamp: Int, kMin: Long,
+                salt: String = "dp"): DataFrame = {
+    require(clamp >= 1, s"clamp must be >= 1, got $clamp")
+    require(kMin >= 1, s"kMin must be >= 1, got $kMin")
+    val emitted = Seq("n_clamped", "noise_ppm", "released_ppm", "_rn", "_h",
+      "_v")
+    val clash = Seq(user, category, tiebreak).filter(emitted.contains)
+    require(clash.isEmpty,
+      s"dpRelease emits/uses ${emitted.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")}")
+    val w = Window.partitionBy(col(user), col(category))
+      .orderBy(col(tiebreak))
+    val h = graft.expressions.Md5Expressions
+      .md5Int(concat(col(category).cast("string"), lit(salt)))
+    val v = h - lit(2147483648L)
+    val lap = (floor(log(lit(2147483648.0)) * 1000000d)
+      - floor(log((abs(v) + 1L).cast("double")) * 1000000d)).cast("long")
+    df.filter(col(user).isNotNull && col(category).isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= clamp)
+      .groupBy(col(category))
+      .agg(count(lit(1)).as("n_clamped"))
+      .filter(col("n_clamped") >= kMin)
+      .select(col(category), col("n_clamped"),
+        (when(v < 0, -1L).otherwise(1L) * lap).as("noise_ppm"),
+        (col("n_clamped") * 1000000L
+          + lit(clamp.toLong) * when(v < 0, -1L).otherwise(1L) * lap)
+          .as("released_ppm"))
+  }
+
+  /** Interval-OVERLAP join — both sides are time ranges (rangeJoin covers
+    * point-in-interval): which left intervals intersect which right
+    * intervals, without an all-pairs product. Each interval explodes into
+    * the coarse time cells it covers (`sequence` over ⌊ms/cell⌋), the
+    * sides equi-join on the cell (a plain shuffle hash join Catalyst can
+    * partition), and the half-open overlap predicate
+    * (l.start < r.end ∧ r.start < l.end) filters cell co-residents.
+    * DEDUP-FREE emission: a pair overlapping across many cells is
+    * emitted ONLY from the cell containing the later of the two starts
+    * (greatest(⌊ls/cell⌋, ⌊rs/cell⌋) — a cell both sides provably
+    * cover), so no distinct shuffle exists. Fail-loud scale contract:
+    * any interval spanning more than `maxCells` cells aborts the job
+    * (assert_true) — a degenerate months-long interval would otherwise
+    * silently fan out; pick cellMs near the TYPICAL interval length so
+    * fan-out stays O(1) per row. Empty/negative intervals (end ≤ start)
+    * are dropped (they overlap nothing under half-open semantics).
+    * Start/end are epoch-ms LONGs (integral-only contract). Emits every
+    * overlapping pair (leftCols…, rightCols…, overlap_ms). */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                          right: DataFrame, rStart: String, rEnd: String,
+                          cellMs: Long, maxCells: Int): DataFrame = {
+    require(cellMs > 0, s"cellMs must be positive, got $cellMs")
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
+    requireIntegralCols(left, Seq(lStart, lEnd), "intervalOverlapJoin")
+    requireIntegralCols(right, Seq(rStart, rEnd), "intervalOverlapJoin")
+    require(!(left.columns ++ right.columns).contains("_cell"),
+      "intervalOverlapJoin uses an internal '_cell' column; rename inputs")
+    require(left.columns.intersect(right.columns).isEmpty,
+      s"intervalOverlapJoin emits both sides' columns; overlapping names " +
+        s"${left.columns.intersect(right.columns).mkString(", ")} — alias one side")
+    // exact integer cell ids (`div`, never a float quotient); start/end
+    // are non-negative epoch ms by contract
+    def cells(df: DataFrame, s: String, e: String): DataFrame = {
+      val lo = expr(s"`$s` div $cellMs")
+      val hi = expr(s"(`$e` - 1) div $cellMs")
+      val guard = assert_true(hi - lo < maxCells,
+        concat(lit(s"intervalOverlapJoin: interval spans >= $maxCells " +
+          s"cells of $cellMs ms (a degenerate interval would fan out " +
+          "unboundedly); raise cellMs or split the interval — got "),
+          (hi - lo + 1L).cast("string")))
+      df.filter(col(e) > col(s)).filter(guard.isNull)
+        .withColumn("_cell", explode(sequence(lo, hi)))
+    }
+    cells(left, lStart, lEnd)
+      .join(cells(right, rStart, rEnd), Seq("_cell"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("_cell") ===
+        greatest(expr(s"`$lStart` div $cellMs"), expr(s"`$rStart` div $cellMs")))
+      .drop("_cell")
+      .withColumn("overlap_ms",
+        least(col(lEnd), col(rEnd)) - greatest(col(lStart), col(rStart)))
+  }
 }

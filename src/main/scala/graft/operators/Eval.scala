@@ -691,4 +691,46 @@ object Eval {
         col("do_scaled"), col("diff_sq").cast("long").as("diff_sq"),
         col("alpha"))
   }
+
+  /** McNemar's paired test (Psychometrika 1947) — do two classifiers
+    * graded on the SAME items actually differ, or does one just look
+    * better on the shared-easy majority? Accuracy deltas over paired
+    * predictions are dominated by the items both get right/wrong;
+    * McNemar discards them and tests only the DISCORDANT cells:
+    * b = A-right-B-wrong, c = A-wrong-B-right, statistic
+    * (|b−c|−1)²/(b+c) with the standard continuity correction (χ²₁ under
+    * H₀: b ≍ c). The model-promotion gate a pipeline runs before swapping
+    * a quality/lang classifier. One filtered count agg over the joined
+    * prediction frame → a single row; counts exact BIGINT, the statistic
+    * quantized to ppm by integer div ((|b−c|−1)²·10⁶ ≤ ~10²⁴ needs
+    * decimal(38,0), the Fleiss chance-algebra convention). NULL statistic
+    * when b + c = 0 (the classifiers never disagreed — the test is
+    * undefined, not "no difference proven"). Rows where either prediction
+    * or the truth is NULL are excluded (they grade neither classifier).
+    * Emits one row (n_pairs, n_a_only, n_b_only, mcnemar_ppm). */
+  def mcnemar(preds: DataFrame, truth: String, predA: String,
+              predB: String): DataFrame = {
+    val emitted = Seq("n_pairs", "n_a_only", "n_b_only", "mcnemar_ppm")
+    val clash = Seq(truth, predA, predB).filter(emitted.contains)
+    require(clash.isEmpty,
+      s"mcnemar emits ${emitted.mkString(", ")}; rename ${clash.mkString(", ")}")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val okA = col(predA) === col(truth)
+    val okB = col(predB) === col(truth)
+    preds
+      .filter(col(truth).isNotNull && col(predA).isNotNull
+        && col(predB).isNotNull)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(okA && !okB, 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!okA && okB, 1L).otherwise(0L)).as("n_b_only"))
+      .withColumn("_d2",
+        dec(abs(col("n_a_only") - col("n_b_only")) - 1L)
+          * dec(abs(col("n_a_only") - col("n_b_only")) - 1L)
+          * dec(lit(1000000L)))
+      .select(col("n_pairs"), col("n_a_only"), col("n_b_only"),
+        when(col("n_a_only") + col("n_b_only") > 0,
+          expr("_d2 div CAST(n_a_only + n_b_only AS DECIMAL(38,0))")
+            .cast("long"))
+          .as("mcnemar_ppm"))
+  }
 }

@@ -1048,4 +1048,40 @@ object TextOps {
         trunc6(col("n_pieces").cast("double") / col("n_words").cast("double"))
           .as("fertility"))
   }
+
+  /** Good-Turing unseen-mass estimate per group (Good 1953; the Gale &
+    * Sampson "simple GT" frequency-of-frequencies view) — how much
+    * probability mass does each language's corpus put on tokens it has
+    * NEVER seen? p₀ = N₁/N (singleton tokens over total tokens) is the
+    * coverage number a tokenizer/vocab budget is planned against: a slice
+    * with high unseen mass is under-sampled — its next crawl batch will
+    * keep surprising the model. Also emits the GT-adjusted singleton count
+    * r*₁ = 2·N₂/N₁ (what a count-of-1 is really worth), the same algebra
+    * one step up. Shapes: one (group, token) count shuffle with map-side
+    * combine, one group agg — both corpus-scale-clean; all counts exact
+    * BIGINT, the two ratios quantized to parts-per-million by integer
+    * `div` (never a float path). Groups whose corpus has no singletons
+    * emit NULL gt1_ppm (the estimator is undefined, not zero). Emits
+    * (group, n_tokens, n_types, n_singletons, n_doubletons, unseen_ppm,
+    * gt1_ppm). */
+  def goodTuring(docs: DataFrame, group: String, text: String): DataFrame = {
+    val emitted = Seq("n_tokens", "n_types", "n_singletons", "n_doubletons",
+      "unseen_ppm", "gt1_ppm", "_tok", "_c")
+    require(!emitted.contains(group),
+      s"goodTuring emits/uses ${emitted.mkString(", ")}; rename inputs")
+    docs.filter(col(group).isNotNull)
+      .select(col(group), explode(tokens(col(text))).as("_tok"))
+      .groupBy(col(group), col("_tok")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(group))
+      .agg(sum(col("_c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("_c") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+      .select(col(group), col("n_tokens"), col("n_types"),
+        col("n_singletons"), col("n_doubletons"),
+        expr("(n_singletons * CAST(1000000 AS BIGINT)) div n_tokens")
+          .as("unseen_ppm"),
+        when(col("n_singletons") > 0,
+          expr("(2 * n_doubletons * CAST(1000000 AS BIGINT)) " +
+            "div n_singletons")).as("gt1_ppm"))
+  }
 }

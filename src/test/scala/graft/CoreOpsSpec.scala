@@ -1828,4 +1828,80 @@ class CoreOpsSpec extends SparkSpec {
     }
     assert(grouped("z")(3) == null) // absent side → NULL w1
   }
+
+  test("stratifiedAte: weighted per-stratum diffs against a hand fold; " +
+      "single-arm strata excluded from both the fold and N") {
+    // stratum p: treat mean 30, control mean 10 (diff 20, n=4)
+    // stratum q: treat mean 5,  control mean 15 (diff -10, n=2)
+    // stratum r: treat only — excluded
+    val rows = Seq(
+      ("p", 0L, 20L), ("p", 0L, 40L), ("p", 1L, 10L), ("p", 1L, 10L),
+      ("q", 0L, 5L), ("q", 1L, 15L),
+      ("r", 0L, 99L)
+    ).toDF("stratum", "arm", "cents")
+    val r = CoreOps.stratifiedAte(rows, "stratum", col("arm") === 0, "cents")
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 6L)))
+    val expect =
+      math.floor(20.0 * 4 / 6 * 1e6).toLong +
+        math.floor(-10.0 * 2 / 6 * 1e6).toLong
+    assert(r.getLong(3) == expect)
+  }
+
+  test("dpRelease: contribution clamp, k-min suppression, and the seeded " +
+      "noise formula replayed by hand") {
+    // u1 spams category a 5× (clamped to 2); b has a single contributor
+    // row (suppressed at kMin=2); c clears the gate exactly
+    val rows = Seq(
+      (1L, "a", 1L), (1L, "a", 2L), (1L, "a", 3L), (1L, "a", 4L),
+      (1L, "a", 5L), (2L, "a", 6L),
+      (1L, "b", 7L),
+      (1L, "c", 8L), (2L, "c", 9L)
+    ).toDF("user", "cat", "eid")
+    val got = CoreOps.dpRelease(rows, "user", "cat", "eid", 2, 2L, "dp")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def noise(cat: String): Long = {
+      val h = graft.expressions.Md5Hash.first32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(cat + "dp"))
+      val v = h - 2147483648L
+      val lap = math.floor(math.log(2147483648.0) * 1e6).toLong -
+        math.floor(math.log(math.abs(v).toDouble + 1) * 1e6).toLong
+      (if (v < 0) -1L else 1L) * lap
+    }
+    assert(got.keySet == Set("a", "c")) // b suppressed
+    assert(got("a") == ((3L, noise("a"), 3L * 1000000L + 2L * noise("a"))))
+    assert(got("c") == ((2L, noise("c"), 2L * 1000000L + 2L * noise("c"))))
+  }
+
+  test("intervalOverlapJoin: matches the brute-force O(n²) overlap join, " +
+      "emits cross-cell pairs exactly once, drops empty intervals, and " +
+      "fails loud past maxCells") {
+    val left = Seq((1L, 0L, 2500L), (2L, 4000L, 4000L), (3L, 900L, 1100L))
+      .toDF("a_id", "a_s", "a_e") // id 2 is empty → dropped
+    val right = Seq((10L, 2000L, 3000L), (11L, 0L, 5000L), (12L, 2600L, 2900L))
+      .toDF("b_id", "b_s", "b_e")
+    val got = CoreOps.intervalOverlapJoin(left, "a_s", "a_e",
+        right, "b_s", "b_e", 1000L, 10)
+      .select(col("a_id"), col("b_id"), col("overlap_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val l = Seq((1L, 0L, 2500L), (3L, 900L, 1100L))
+    val rr = Seq((10L, 2000L, 3000L), (11L, 0L, 5000L), (12L, 2600L, 2900L))
+    val brute = for {
+      (li, ls, le) <- l; (ri, rs, re) <- rr
+      if ls < re && rs < le
+    } yield (li, ri, math.min(le, re) - math.max(ls, rs))
+    assert(got == brute.toSet)
+    // the (1, 11) pair co-resides in cells 0,1,2 — exactly-once is the
+    // set-vs-bag check: recount as a bag
+    val bag = CoreOps.intervalOverlapJoin(left, "a_s", "a_e",
+      right, "b_s", "b_e", 1000L, 10).count()
+    assert(bag == brute.size.toLong)
+    // span guard: an interval across >= maxCells cells aborts
+    val wide = Seq((9L, 0L, 20000L)).toDF("a_id", "a_s", "a_e")
+    val err = intercept[Exception](
+      CoreOps.intervalOverlapJoin(wide, "a_s", "a_e",
+        right, "b_s", "b_e", 1000L, 10).count())
+    assert(err.getMessage.contains("intervalOverlapJoin"))
+  }
 }

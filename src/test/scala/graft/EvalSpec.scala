@@ -301,4 +301,27 @@ class EvalSpec extends SparkSpec {
     val unan = Seq((1L, "a"), (1L, "a")).toDF("it", "cat")
     assert(Eval.krippendorffAlpha(unan, "it", "cat").head().isNullAt(5))
   }
+
+  test("mcnemar: discordant cells and the continuity-corrected statistic " +
+      "against a hand count; NULL rows excluded; never-disagree → NULL " +
+      "statistic") {
+    // truth "t"; A right on 1-4 (b candidates where B wrong), B right on 5
+    val rows = Seq(
+      ("t", "t", "t"),  // both right — concordant, discarded
+      ("t", "t", "x"),  // A only
+      ("t", "t", "x"),  // A only
+      ("t", "t", "x"),  // A only
+      ("t", "x", "t"),  // B only
+      ("t", "x", "x"),  // both wrong — concordant, discarded
+      (null, "t", "t"), // null truth — excluded entirely
+      ("t", null, "t")  // null pred — excluded entirely
+    ).toDF("truth", "pa", "pb")
+    val r = Eval.mcnemar(rows, "truth", "pa", "pb").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 3L, 1L)))
+    // ((|3-1|-1)^2 * 1e6) div (3+1) = 1e6/4
+    assert(r.getLong(3) == 250000L)
+
+    val agree = Seq(("t", "t", "t"), ("t", "x", "x")).toDF("truth", "pa", "pb")
+    assert(Eval.mcnemar(agree, "truth", "pa", "pb").head().isNullAt(3))
+  }
 }

@@ -1068,4 +1068,25 @@ class TextAndDedupSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(f == Map("en" -> ((2L, 3L, 1.5)), "zh" -> ((1L, 1L, 1.0))))
   }
+
+  test("goodTuring: counts-of-counts and both ppm estimates against a " +
+      "hand fold; no-singleton groups get NULL gt1_ppm") {
+    val docs = Seq(
+      // en: tokens a a b c → N=4, types=3, N1=2 (b,c), N2=1 (a)
+      ("en", "a a b"), ("en", "c"),
+      // de: d d e e → no singletons → gt1 undefined
+      ("de", "d d e e"),
+      (null, "ignored")
+    ).toDF("lang", "text")
+    val got = graft.operators.TextOps.goodTuring(docs, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6)))))
+      .toMap
+    assert(got("en") == ((4L, 3L, 2L, 1L,
+      2L * 1000000L / 4L,          // unseen_ppm = N1·1e6 div N
+      Some(2L * 1L * 1000000L / 2L)))) // gt1 = 2·N2·1e6 div N1
+    assert(got("de") == ((4L, 2L, 0L, 2L, 0L, None)))
+    assert(got.size == 2) // NULL group dropped
+  }
 }
