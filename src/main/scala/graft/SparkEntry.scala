@@ -2721,6 +2721,24 @@ object SparkEntry {
           floor(col("value") * 100).cast("long")),
         pmod(col("user_id"), lit(2)) === 0,
         "cents")),
+    // Mann-Whitney U over the same cohorts' spend cents — the rank-based
+    // twin of q_welch for heavy tails: midranks via the doubled-rank trick
+    // on a by-value frame (exact 2·U as BIGINT), Cliff's delta in ppm,
+    // tie-corrected z as the one mirrored double chain
+    "q_mann_whitney" -> ((s, dir) =>
+      CoreOps.mannWhitney(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        pmod(col("user_id"), lit(2)) === 0,
+        "cents")),
+    // permutation entropy of each event type's spend series — the
+    // ordinal-pattern noise gauge: ppm of the white-noise maximum,
+    // qlog-exact pattern entropy, position tie-break
+    "q_perm_entropy" -> ((s, dir) =>
+      CoreOps.permutationEntropy(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "event_type", "ts", "event_id", "cents")),
     // 5%-each-side trimmed mean of spend cents per event type: rank-exact
     // trim cut (row_number on the (cents, event_id) total order), kept-side
     // decimal sum, one keyed window + agg on the same partitioning
@@ -3408,6 +3426,26 @@ object SparkEntry {
               .select(col("doc_id"), col("lang_pred").as("pred_heur")),
             Seq("doc_id")),
         "lang_true", "pred_nb", "pred_heur")),
+    // the omnibus gate ABOVE the pairwise McNemars: Cochran's Q across
+    // THREE classifiers on the same docs — NB, the stopword heuristic,
+    // and the always-modal-language prior baseline (count DESC, lang ASC
+    // deterministic mode; a 1-row broadcast)
+    "q_cochran_q" -> ((s, dir) => {
+      val nb = nbPredictions(s, dir)
+        .select(col("doc_id"), col("lang_true"),
+          col("lang_pred").as("pred_nb"))
+      val prior = nb.filter(col("lang_true").isNotNull)
+        .groupBy(col("lang_true")).agg(count(lit(1)).as("_c"))
+        .orderBy(col("_c").desc, col("lang_true").asc).limit(1)
+        .select(col("lang_true").as("pred_prior"))
+      Eval.cochranQ(
+        nb.join(TextOps.languageId(Tables.documents(s, dir), "doc_id",
+            "text", langProfiles)
+            .select(col("doc_id"), col("lang_pred").as("pred_heur")),
+          Seq("doc_id"))
+          .crossJoin(broadcast(prior)),
+        "lang_true", Seq("pred_nb", "pred_heur", "pred_prior"))
+    }),
     // multi-rater chance-corrected agreement: each user's first 5 events
     // read as 5 "ratings" of that user-item, category = event_type;
     // users with fewer than 5 events drop (Fleiss needs constant arity)
@@ -7701,6 +7739,77 @@ object SparkEntry {
 
     // the same exact-moments-then-fixed-double-chain contract as q_corr:
     // per-cohort n/Σc/Σc² accumulate exactly, every double op mirrored
+    // the doubled-rank algebra verbatim: by-value counts, exclusive
+    // prefix (a plain window here — the Spark side is the bucketed
+    // orderedPrefixSum), 2·midrank = 2·before + t + 1, exact BIGINT
+    // 2·U; only z runs the mirrored double chain
+    "q_mann_whitney" ->
+      """WITH s AS (SELECT floor(value * 100)::BIGINT AS c,
+        |        user_id % 2 = 0 AS a
+        |      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |bv AS (SELECT c,
+        |        sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS nav,
+        |        sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS nbv
+        |      FROM s GROUP BY 1),
+        |cu AS (SELECT *, nav + nbv AS tv,
+        |        sum(nav + nbv) OVER (ORDER BY c)
+        |          - (nav + nbv) AS bef FROM bv),
+        |ag AS (SELECT sum(nav)::BIGINT AS n_a, sum(nbv)::BIGINT AS n_b,
+        |        sum(nav * (2 * bef + tv + 1))::BIGINT AS r2a,
+        |        sum(tv * tv * tv - tv)::BIGINT AS tie_term FROM cu),
+        |uu AS (SELECT n_a, n_b, tie_term,
+        |        r2a - n_a * (n_a + 1) AS u2_a FROM ag),
+        |zz AS (SELECT *,
+        |        (u2_a::DOUBLE - n_a::DOUBLE * n_b::DOUBLE) / 2 AS u,
+        |        n_a::DOUBLE * n_b::DOUBLE / 12
+        |          * (n_a::DOUBLE + n_b::DOUBLE + 1
+        |             - tie_term::DOUBLE / (n_a::DOUBLE + n_b::DOUBLE)
+        |               / (n_a::DOUBLE + n_b::DOUBLE - 1)) AS var_u
+        |      FROM uu)
+        |SELECT n_a, n_b, u2_a, tie_term,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN ((u2_a - n_a * n_b) * 1000000) // (n_a * n_b)
+        |  END AS cliffs_ppm,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND var_u > 0
+        |       THEN floor(u / sqrt(var_u) * 1000000) / 1000000
+        |  END AS z
+        |FROM zz""".stripMargin,
+
+    // the ordinal 3-pattern encoding verbatim (position tie-break), qlog
+    // pattern entropy, one double chain for the ppm normalization
+    "q_perm_entropy" ->
+      """WITH s AS (SELECT event_type, ts, event_id,
+        |        floor(value * 100)::BIGINT AS v
+        |      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |        AND ts IS NOT NULL AND event_id IS NOT NULL),
+        |l AS (SELECT event_type, v AS v1,
+        |        lead(v, 1) OVER (PARTITION BY event_type
+        |          ORDER BY ts, event_id) AS v2,
+        |        lead(v, 2) OVER (PARTITION BY event_type
+        |          ORDER BY ts, event_id) AS v3
+        |      FROM s),
+        |p AS (SELECT event_type,
+        |        (CASE WHEN v2 < v1 THEN 1 ELSE 0 END
+        |         + CASE WHEN v3 < v1 THEN 1 ELSE 0 END) * 9
+        |        + (CASE WHEN v1 <= v2 THEN 1 ELSE 0 END
+        |           + CASE WHEN v3 < v2 THEN 1 ELSE 0 END) * 3
+        |        + (CASE WHEN v1 <= v3 THEN 1 ELSE 0 END
+        |           + CASE WHEN v2 <= v3 THEN 1 ELSE 0 END) AS pat
+        |      FROM l WHERE v2 IS NOT NULL AND v3 IS NOT NULL),
+        |c AS (SELECT event_type, pat, count(*)::BIGINT AS n
+        |      FROM p GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n)::BIGINT AS tot,
+        |        count(*)::BIGINT AS n_distinct FROM c GROUP BY 1),
+        |h AS (SELECT c.event_type, t.tot, t.n_distinct,
+        |        sum((n * (floor(ln(tot::DOUBLE) * 1000000)::BIGINT
+        |             - floor(ln(n::DOUBLE) * 1000000)::BIGINT))::HUGEINT
+        |          )::HUGEINT AS hh
+        |      FROM c JOIN t USING (event_type) GROUP BY 1, 2, 3)
+        |SELECT event_type, tot AS n_patterns, n_distinct,
+        |  floor(hh::DOUBLE / tot::DOUBLE / ln(6::DOUBLE))::BIGINT
+        |    AS perm_entropy_ppm
+        |FROM h""".stripMargin,
+
     "q_welch" ->
       """WITH s AS (SELECT floor(value * 100)::BIGINT AS c,
         |        user_id % 2 = 0 AS a
@@ -9382,6 +9491,59 @@ object SparkEntry {
            |      * 1000000::HUGEINT)
            |     // (n_a_only + n_b_only)::HUGEINT)::BIGINT
            |  END AS mcnemar_ppm
+           |FROM ag""".stripMargin),
+
+    // the q_mcnemar heuristic CTEs plus the deterministic modal prior;
+    // Q's numerator in HUGEINT (k·T²·10⁶ — the Spark decimal(38,0) twin)
+    "q_cochran_q" ->
+      nbOracle(
+        s""", mnt AS (SELECT doc_id,
+           |        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           |                    x -> x <> '') AS toks FROM documents),
+           |mnh AS (SELECT doc_id,
+           |        len(list_filter(toks, x -> x IN ${inList(stopEn)})) AS h_en,
+           |        len(list_filter(toks, x -> x IN ${inList(stopDe)})) AS h_de,
+           |        len(list_filter(toks, x -> x IN ${inList(stopFr)})) AS h_fr,
+           |        len(list_filter(toks, x -> x IN ${inList(stopEs)})) AS h_es,
+           |        len(list_filter(toks, x -> x IN ${inList(stopZh)})) AS h_zh
+           |      FROM mnt),
+           |mni AS (SELECT doc_id,
+           |        CASE WHEN h_zh = m THEN 'zh' WHEN h_fr = m THEN 'fr'
+           |             WHEN h_es = m THEN 'es' WHEN h_en = m THEN 'en'
+           |             ELSE 'de' END AS pred_heur
+           |      FROM (SELECT *, GREATEST(h_en, h_de, h_fr, h_es, h_zh) AS m
+           |            FROM mnh)),
+           |pri AS (SELECT lang_true AS pred_prior FROM (
+           |          SELECT lang_true, count(*)::BIGINT AS c FROM nb
+           |          WHERE lang_true IS NOT NULL GROUP BY 1)
+           |        ORDER BY c DESC, lang_true ASC LIMIT 1),
+           |j AS (SELECT nb.lang_true, nb.lang_pred AS pred_nb,
+           |        mni.pred_heur,
+           |        (SELECT pred_prior FROM pri) AS pred_prior
+           |      FROM nb JOIN mni USING (doc_id)
+           |      WHERE nb.lang_true IS NOT NULL AND nb.lang_pred IS NOT NULL
+           |        AND mni.pred_heur IS NOT NULL),
+           |x AS (SELECT
+           |        CASE WHEN pred_nb = lang_true THEN 1 ELSE 0 END AS x1,
+           |        CASE WHEN pred_heur = lang_true THEN 1 ELSE 0 END AS x2,
+           |        CASE WHEN pred_prior = lang_true THEN 1 ELSE 0 END AS x3
+           |      FROM j),
+           |ag AS (SELECT count(*)::BIGINT AS n_items,
+           |        sum((x1 + x2 + x3) * (3 - (x1 + x2 + x3)))::BIGINT
+           |          AS disagree_weight,
+           |        sum(x1)::BIGINT AS t1, sum(x2)::BIGINT AS t2,
+           |        sum(x3)::BIGINT AS t3 FROM x)
+           |SELECT n_items, 3::BIGINT AS n_classifiers, disagree_weight,
+           |  CASE WHEN disagree_weight > 0 THEN
+           |    ((2::HUGEINT
+           |      * (3::HUGEINT
+           |           * (t1::HUGEINT * t1::HUGEINT
+           |              + t2::HUGEINT * t2::HUGEINT
+           |              + t3::HUGEINT * t3::HUGEINT)
+           |         - (t1 + t2 + t3)::HUGEINT * (t1 + t2 + t3)::HUGEINT)
+           |      * 1000000::HUGEINT)
+           |     // disagree_weight::HUGEINT)::BIGINT
+           |  END AS q_ppm
            |FROM ag""".stripMargin),
     // the curve the AUC integrates: cumulative exact TP/FP over
     // descending distinct thresholds (window over the post-agg frame —

@@ -4220,4 +4220,120 @@ object CoreOps {
       .withColumn("overlap_ms",
         least(col(lEnd), col(rEnd)) - greatest(col(lStart), col(rStart)))
   }
+
+  /** Mann-Whitney U rank-sum test (Mann & Whitney 1947) with midrank tie
+    * handling — the DISTRIBUTION-FREE cohort-shift test beside welchTTest:
+    * Welch asks "did the mean move" and is dragged by outliers; U asks
+    * "does a random A draw tend to exceed a random B draw", which is the
+    * right question for the heavy-tailed spend/latency columns drift
+    * monitoring actually watches. Also emits Cliff's delta (the effect
+    * size U linearly rescales to: δ = 2U/(n_a·n_b) − 1) and the
+    * tie-corrected normal z.
+    *
+    * Exactness: everything up to z is INTEGER. Ranks never materialize
+    * per row — values collapse to a by-value frame first (one count
+    * shuffle), the exclusive prefix count comes from the distributed
+    * orderedPrefixSum (range buckets + O(buckets) driver offsets — no
+    * unpartitioned window), and midranks ride the DOUBLED-rank trick:
+    * 2·midrank(v) = 2·before(v) + t_v + 1 is always integral, so
+    * u2 = Σ n_a,v·midrank2(v) − n_a·(n_a+1) is EXACTLY 2·U_a as a
+    * BIGINT. Cliff's delta is ppm by integer div; the tie term
+    * Σ(t³−t) is exact BIGINT (int64-bound documented: overflows past
+    * t_v ~ 2×10⁶ duplicates of one value — fail-loud under ANSI, the
+    * Hellinger convention). Only z runs ONE fixed IEEE chain, truncated
+    * to 1e-6 like every emitted double here. NULL z when either side is
+    * empty or all values tie (variance 0 — undefined, not "no shift").
+    * Emits one row (n_a, n_b, u2_a, tie_term, cliffs_ppm, z). */
+  def mannWhitney(df: DataFrame, cohortA: Column, value: String): DataFrame = {
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"mannWhitney ranks '$value' as exact integers; got " +
+        s"${df.schema(value).dataType} — scale to cents/int64 first")
+    val emitted = Seq("n_a", "n_b", "u2_a", "tie_term", "cliffs_ppm", "z",
+      "_nav", "_nbv", "_tv", "_cum", "_before", "_mr2")
+    require(!emitted.contains(value),
+      s"mannWhitney emits/uses ${emitted.mkString(", ")}; rename '$value'")
+    val byValue = df.filter(col(value).isNotNull && cohortA.isNotNull)
+      .groupBy(col(value))
+      .agg(sum(when(cohortA, 1L).otherwise(0L)).as("_nav"),
+        sum(when(!cohortA, 1L).otherwise(0L)).as("_nbv"))
+      .withColumn("_tv", col("_nav") + col("_nbv"))
+    val cum = orderedPrefixSum(byValue, col(value), value, "_tv", "_cum")
+      .withColumn("_before", col("_cum") - col("_tv"))
+      .withColumn("_mr2", lit(2L) * col("_before") + col("_tv") + 1L)
+    val agg = cum.agg(
+      sum(col("_nav")).as("n_a"), sum(col("_nbv")).as("n_b"),
+      sum(col("_nav") * col("_mr2")).as("_r2a"),
+      sum(col("_tv") * col("_tv") * col("_tv") - col("_tv")).as("tie_term"))
+    // one fixed IEEE chain for z, mirrored verbatim in the oracle
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val nn = na + nb
+    val u = (col("u2_a").cast("double") - na * nb) / 2d
+    val varU = na * nb / 12d *
+      (nn + 1d - col("tie_term").cast("double") / nn / (nn - 1d))
+    agg
+      .withColumn("u2_a", col("_r2a") - col("n_a") * (col("n_a") + 1L))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("tie_term"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          expr("((u2_a - n_a * n_b) * CAST(1000000 AS BIGINT)) " +
+            "div (n_a * n_b)")).as("cliffs_ppm"),
+        when(col("n_a") > 0L && col("n_b") > 0L && varU > 0d,
+          floor(u / sqrt(varU) * 1000000d) / 1000000d).as("z"))
+  }
+
+  /** Permutation entropy (Bandt & Pompe, PRL 2002) per key — the
+    * model-free "is this series structured or noise?" gauge: embed the
+    * series in ordinal 3-patterns (the relative order of each value and
+    * its two successors), count the 6 possible patterns, and take the
+    * normalized Shannon entropy of the pattern distribution. 1.0 = the
+    * ordinal dynamics are indistinguishable from white noise; well below
+    * 1 = trends/cycles/regimes (a metric feed that suddenly JUMPS toward
+    * 1 has lost its signal; one that falls has locked into a loop —
+    * both are feed-health alarms). Ties break by position (earlier
+    * element ranks first — the standard Bandt-Pompe convention), so the
+    * pattern index is pure integer comparison, no float anywhere.
+    * Entropy rides the house qlog algebra: Σ nᵖ·(qlog N − qlog nᵖ) in
+    * exact micro-nat·count integer units, normalized by N·ln 6 at the
+    * end (ONE fixed double chain over two exact integers → ppm of the
+    * white-noise maximum). Shapes: two per-key lead() windows
+    * (key-PARTITIONED), one (key, pattern) count shuffle, one per-key
+    * fold — scale-clean. Keys with fewer than 3 points emit no row (no
+    * pattern exists). Emits (key, n_patterns, n_distinct,
+    * perm_entropy_ppm). */
+  def permutationEntropy(df: DataFrame, key: String, ts: String,
+                         tiebreak: String, value: String): DataFrame = {
+    val emitted = Seq("n_patterns", "n_distinct", "perm_entropy_ppm", "_v1",
+      "_v2", "_v3", "_pat", "_n", "_tot", "_h")
+    val clash = Seq(key, ts, tiebreak, value).filter(emitted.contains)
+    require(clash.isEmpty,
+      s"permutationEntropy emits/uses ${emitted.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")}")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val v1 = col("_v1"); val v2 = col("_v2"); val v3 = col("_v3")
+    // ordinal pattern of (v1, v2, v3) with position tie-break: rank of
+    // each element = #(strictly smaller) + #(equal at earlier position);
+    // encode as rank1*9 + rank2*3 + rank3 (6 distinct codes)
+    val r1 = when(v2 < v1, 1).otherwise(0) + when(v3 < v1, 1).otherwise(0)
+    val r2 = when(v1 <= v2, 1).otherwise(0) + when(v3 < v2, 1).otherwise(0)
+    val r3 = when(v1 <= v3, 1).otherwise(0) + when(v2 <= v3, 1).otherwise(0)
+    // NULL order keys excluded on BOTH engines (Spark sorts NULLs first,
+    // DuckDB last — a NULL ts would silently reorder the embedding)
+    val pats = df.filter(col(value).isNotNull && col(key).isNotNull
+        && col(ts).isNotNull && col(tiebreak).isNotNull)
+      .select(col(key), col(ts), col(tiebreak), col(value).as("_v1"))
+      .withColumn("_v2", lead(col("_v1"), 1).over(w))
+      .withColumn("_v3", lead(col("_v1"), 2).over(w))
+      .filter(col("_v2").isNotNull && col("_v3").isNotNull)
+      .select(col(key), (r1 * 9 + r2 * 3 + r3).as("_pat"))
+      .groupBy(col(key), col("_pat")).agg(count(lit(1)).as("_n"))
+    val tot = pats.groupBy(col(key)).agg(sum(col("_n")).as("_tot"),
+      count(lit(1)).as("n_distinct"))
+    pats.join(tot, Seq(key))
+      .groupBy(col(key), col("_tot"), col("n_distinct"))
+      .agg(sum((col("_n") * (InfoTheory.qlog(col("_tot"))
+        - InfoTheory.qlog(col("_n")))).cast("decimal(38,0)")).as("_h"))
+      .select(col(key), col("_tot").as("n_patterns"), col("n_distinct"),
+        floor(col("_h").cast("double") / col("_tot").cast("double")
+          / math.log(6d)).cast("long").as("perm_entropy_ppm"))
+  }
 }

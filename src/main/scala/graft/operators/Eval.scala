@@ -733,4 +733,55 @@ object Eval {
             .cast("long"))
           .as("mcnemar_ppm"))
   }
+
+  /** Cochran's Q (Biometrika 1950) — mcnemar for k ≥ 3 classifiers graded
+    * on the SAME items: do the k accuracy rates differ at all, before any
+    * pairwise drill-down? Q = (k−1)·(k·ΣTⱼ² − (ΣTⱼ)²) / Σᵢ uᵢ(k−uᵢ)
+    * where Tⱼ = classifier j's correct count and uᵢ = item i's
+    * correct-classifier count (χ²ₖ₋₁ under H₀). The omnibus gate a
+    * pipeline runs across a whole CANDIDATE SET of quality/lang
+    * classifiers — k·(k−1)/2 McNemars without it is a multiple-
+    * comparisons trap. One conditional-count aggregate pass over the
+    * paired frame (Σuᵢ, Σuᵢ², and each Tⱼ in the same row) → one row;
+    * all counts exact BIGINT, the statistic quantized to ppm by integer
+    * div with the numerator in decimal(38,0) (k·T² reaches k·n²·10⁶ —
+    * past int64 at corpus n, the mcnemar convention). NULL q_ppm when
+    * every item is unanimous (denominator 0: the classifiers never
+    * disagreed — undefined, not "no difference"). Rows with NULL truth
+    * or ANY NULL prediction are excluded (they grade some classifiers
+    * but not others — the paired design needs complete rows). Emits one
+    * row (n_items, n_classifiers, disagree_weight, q_ppm). */
+  def cochranQ(preds: DataFrame, truth: String,
+               predCols: Seq[String]): DataFrame = {
+    require(predCols.size >= 2,
+      s"cochranQ needs >= 2 classifiers, got ${predCols.size}")
+    val emitted = Seq("n_items", "n_classifiers", "disagree_weight", "q_ppm")
+    val clash = (truth +: predCols).filter(emitted.contains)
+    require(clash.isEmpty,
+      s"cochranQ emits ${emitted.mkString(", ")}; rename ${clash.mkString(", ")}")
+    val k = predCols.size
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val ok = predCols.map(p => when(col(p) === col(truth), 1L).otherwise(0L))
+    val u = ok.reduce(_ + _)
+    val tSums = predCols.zipWithIndex.map { case (p, i) =>
+      sum(when(col(p) === col(truth), 1L).otherwise(0L)).as(s"_t$i")
+    }
+    val aggs = Seq(count(lit(1)).as("n_items"),
+      sum(u * (lit(k.toLong) - u)).as("disagree_weight")) ++ tSums
+    val sumT = (0 until k).map(i => dec(col(s"_t$i"))).reduce(_ + _)
+    val sumT2 = (0 until k).map(i => dec(col(s"_t$i")) * dec(col(s"_t$i")))
+      .reduce(_ + _)
+    val num = dec(lit(k - 1L)) *
+      (dec(lit(k.toLong)) * sumT2 - sumT * sumT) * dec(lit(1000000L))
+    preds
+      .filter((col(truth).isNotNull +: predCols.map(col(_).isNotNull))
+        .reduce(_ && _))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("_num", num)
+      .select(col("n_items"), lit(k.toLong).as("n_classifiers"),
+        col("disagree_weight"),
+        when(col("disagree_weight") > 0L,
+          expr("_num div CAST(disagree_weight AS DECIMAL(38,0))")
+            .cast("long")).as("q_ppm"))
+  }
 }

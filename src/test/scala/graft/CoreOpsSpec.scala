@@ -1904,4 +1904,48 @@ class CoreOpsSpec extends SparkSpec {
         right, "b_s", "b_e", 1000L, 10).count())
     assert(err.getMessage.contains("intervalOverlapJoin"))
   }
+
+  test("mannWhitney: doubled-rank U against the brute-force pair count " +
+      "with cross-arm ties; all-tied input yields NULL z") {
+    // A = [1, 3, 3], B = [2, 3] — a tie within and across arms
+    val rows = Seq((0L, 1L), (0L, 3L), (0L, 3L), (1L, 2L), (1L, 3L))
+      .toDF("arm", "v")
+    val r = CoreOps.mannWhitney(rows, col("arm") === 0, "v").head()
+    // brute force: U_a = #(a > b) + #(a = b)/2 over all (a, b) pairs
+    val a = Seq(1L, 3L, 3L); val b = Seq(2L, 3L)
+    val u2 = (for { x <- a; y <- b } yield
+      (if (x > y) 2L else if (x == y) 1L else 0L)).sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, u2)))
+    // tie term: value 3 has t=3 → 24; others t=1 → 0
+    assert(r.getLong(3) == 24L)
+    assert(r.getLong(4) == ((u2 - 6L) * 1000000L) / 6L)
+    val tied = Seq((0L, 5L), (1L, 5L), (0L, 5L)).toDF("arm", "v")
+    assert(CoreOps.mannWhitney(tied, col("arm") === 0, "v").head().isNullAt(5))
+  }
+
+  test("permutationEntropy: a strictly rising series is one pattern " +
+      "(entropy 0); a balanced two-pattern series lands at ln2/ln6; " +
+      "short keys emit nothing") {
+    val rising = (1L to 6L).map(i => ("k", i, i, i * 10L))
+      .toDF("key", "ts", "eid", "v")
+    val r1 = CoreOps.permutationEntropy(rising, "key", "ts", "eid", "v").head()
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((4L, 1L, 0L)))
+    // zig-zag 1,9,2,8,3 → patterns alternate between exactly two codes
+    val zig = Seq(1L, 9L, 2L, 8L, 3L, 7L, 4L).zipWithIndex
+      .map { case (v, i) => ("z", i.toLong, i.toLong, v) }
+      .toDF("key", "ts", "eid", "v")
+    val r2 = CoreOps.permutationEntropy(zig, "key", "ts", "eid", "v")
+      .head()
+    assert(r2.getLong(2) == 2L)
+    // counts (3, 2): H = ln5 - (3ln3 + 2ln2)/5, qlog-quantized then /ln6
+    val h = 5L * math.floor(math.log(5d) * 1e6).toLong -
+      (3L * math.floor(math.log(3d) * 1e6).toLong
+        + 2L * math.floor(math.log(2d) * 1e6).toLong)
+    assert(r2.getLong(3) ==
+      math.floor(h.toDouble / 5d / math.log(6d)).toLong)
+    val short = Seq(("s", 1L, 1L, 1L), ("s", 2L, 2L, 2L))
+      .toDF("key", "ts", "eid", "v")
+    assert(CoreOps.permutationEntropy(short, "key", "ts", "eid", "v")
+      .count() == 0L)
+  }
 }

@@ -324,4 +324,27 @@ class EvalSpec extends SparkSpec {
     val agree = Seq(("t", "t", "t"), ("t", "x", "x")).toDF("truth", "pa", "pb")
     assert(Eval.mcnemar(agree, "truth", "pa", "pb").head().isNullAt(3))
   }
+
+  test("cochranQ: the k=3 statistic against a hand fold; rows with any " +
+      "NULL drop; unanimous items only → NULL q_ppm") {
+    // item rows: (truth, p1, p2, p3) → correctness x = (1,1,0) etc.
+    val rows = Seq(
+      ("t", "t", "t", "x"),  // u=2
+      ("t", "t", "x", "x"),  // u=1
+      ("t", "t", "t", "t"),  // u=3 (unanimous — weight 0)
+      ("t", "x", "x", "x"),  // u=0 (weight 0)
+      ("t", "t", "x", "t"),  // u=2
+      ("t", null, "t", "t"), // dropped
+      (null, "t", "t", "t")  // dropped
+    ).toDF("truth", "p1", "p2", "p3")
+    val r = Eval.cochranQ(rows, "truth", Seq("p1", "p2", "p3")).head()
+    // kept items: T = (4, 2, 2), Σu(3−u) = 2+2+0+0+2 = 6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 3L, 6L)))
+    // Q = 2·(3·(16+4+4) − 64)/6 = 2·8/6 → ppm = 16e6 div 6
+    assert(r.getLong(3) == 16000000L / 6L)
+    val unan = Seq(("t", "t", "t", "t"), ("t", "x", "x", "x"))
+      .toDF("truth", "p1", "p2", "p3")
+    assert(Eval.cochranQ(unan, "truth", Seq("p1", "p2", "p3"))
+      .head().isNullAt(3))
+  }
 }
