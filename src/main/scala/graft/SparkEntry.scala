@@ -510,6 +510,42 @@ object SparkEntry {
   /** Unrolled-CTE twin of Graph.pagerankWeighted over the bidirected
     * frequency-weighted co-sourcing graph: identical integer ops —
     * (pr·w) // W(u) per edge — per round. */
+  /** Shared CTE chain for the PCA pair: quantized covariance (term-exact
+    * BIGINT sums, the Spark covarianceScaled algebra verbatim) + unrolled
+    * power-iteration rounds in HUGEINT (= the Spark decimal(38,0)), the
+    * pagerankWeightedOracleSql discipline. */
+  private def pcaOracleCtes(iters: Int): String = {
+    val head =
+      s"""WITH e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v
+         |      FROM embeddings
+         |      WHERE embedding IS NOT NULL AND len(embedding) = $EmbDims),
+         |gs AS (SELECT unnest(range(0, $EmbDims)) AS i),
+         |mu AS MATERIALIZED (SELECT g.i,
+         |        sum(floor(e.v[g.i + 1] * 1000000)::BIGINT)::BIGINT
+         |          // count(*)::BIGINT AS mu,
+         |        count(*)::BIGINT AS n
+         |      FROM e CROSS JOIN gs g GROUP BY 1),
+         |cov AS MATERIALIZED (SELECT mi.i, mj.i AS j, mi.n AS n_rows,
+         |        sum(floor((e.v[mi.i + 1] - mi.mu::DOUBLE / 1000000)
+         |              * (e.v[mj.i + 1] - mj.mu::DOUBLE / 1000000)
+         |              * 1000000)::BIGINT)::BIGINT AS cv
+         |      FROM e CROSS JOIN mu mi CROSS JOIN mu mj
+         |      GROUP BY 1, 2, 3),
+         |v0 AS (SELECT i AS dim, 1000000::HUGEINT AS w FROM gs)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT c.i,
+         |    sum(c.cv::HUGEINT * v.w)::HUGEINT AS s
+         |  FROM cov c JOIN v${r - 1} v ON v.dim = c.j GROUP BY 1),
+         |m$r AS (SELECT max(abs(s))::HUGEINT AS m FROM w$r),
+         |v$r AS MATERIALIZED (SELECT i AS dim,
+         |    CASE WHEN (SELECT m FROM m$r) > 0
+         |         THEN (s * 1000000::HUGEINT) // (SELECT m FROM m$r)
+         |         ELSE 0::HUGEINT END AS w
+         |  FROM w$r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   private def pagerankWeightedOracleSql(iters: Int, scale: Long): String = {
     val head =
       s"""WITH sp AS MATERIALIZED (SELECT l_suppkey * 2 AS src,
@@ -1224,6 +1260,16 @@ object SparkEntry {
     "q_embed_diversity" -> ((s, dir) =>
       Similarity.embeddingDiversity(Tables.embeddings(s, dir), "vec_id",
         "embedding", 4)),
+    // top principal direction of the embedding corpus: one quantized
+    // covariance pass, then 10 exact-integer power-iteration rounds on
+    // the d²-row matrix frame (corpus never re-read)
+    "q_pca_power" -> ((s, dir) => pcaShared(s, dir)._2),
+    // its Rayleigh-quotient share of trace(C) — the mode-collapse axis
+    // gauge behind q_embed_diversity's mean-distance number
+    "q_pca_explained" -> ((s, dir) => {
+      val (cov, dir64) = pcaShared(s, dir)
+      Similarity.pcaExplained(cov, dir64)
+    }),
     // rank-biased overlap of the LSH lists against the exact lists on
     // the audit query slice — the LIST-level agreement gauge beside
     // recall@k: equal recall with reshuffled order still loses RBO
@@ -3737,6 +3783,7 @@ object SparkEntry {
   private val RpDims = 8; private val RpOffset = 1000 // JL matrix, disjoint from LSH planes
   private val IvfNlist = 8; private val IvfNprobe = 2; private val IvfIters = 2
   private val IvfSampleMod = 4 // k-means trains on ~1/4 of the corpus + seeds
+  private val PcaIters = 10    // power-iteration rounds (fixed, oracle-unrolled)
   private val BpeIters = 8     // BPE merge rounds (fixed-round, fail-loud)
   private val BpeMaxWordLen = 32 // BPE word-length cap (corpus max is 8)
   private val SpanK = 6        // duplicated-substring span gram width
@@ -3921,6 +3968,21 @@ object SparkEntry {
       (merges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         segments.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  /** q_pca_power and q_pca_explained share ONE covariance pass + power
+    * iteration (the bpeShared pattern) — the corpus-touching stage runs
+    * once; both persisted frames are d²- and d-sized. */
+  private val pcaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def pcaShared(s: SparkSession,
+                        dir: String): (DataFrame, DataFrame) =
+    memoShared(pcaCache, s, dir)({
+      val cov = Similarity.covarianceScaled(Tables.embeddings(s, dir),
+        "embedding", EmbDims)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cov, Similarity.pcaPowerDirection(cov, PcaIters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   /** q_communities_weighted and q_community_card_weighted share ONE
@@ -5404,6 +5466,31 @@ object SparkEntry {
          |       THEN floor(ag.s::DOUBLE / ag.n_pairs) / 1000000
          |  END AS mean_dist
          |FROM np, ag""".stripMargin,
+
+    // the covariance + unrolled power-iteration chain; every round's
+    // normalization is the same truncating HUGEINT div the Spark
+    // decimal(38,0) `div` runs
+    "q_pca_power" ->
+      s"""${pcaOracleCtes(PcaIters)}
+         |SELECT dim, w::BIGINT AS loading_ppm FROM v$PcaIters""".stripMargin,
+
+    // Rayleigh quotient of the round-$PcaIters direction as a share of
+    // trace(C) — all products HUGEINT-exact, both ratios truncating div
+    "q_pca_explained" ->
+      s"""${pcaOracleCtes(PcaIters)},
+         |num AS (SELECT sum(c.cv::HUGEINT * vi.w * vj.w)::HUGEINT AS num,
+         |         max(c.n_rows)::BIGINT AS n_rows
+         |       FROM cov c JOIN v$PcaIters vi ON vi.dim = c.i
+         |       JOIN v$PcaIters vj ON vj.dim = c.j),
+         |den AS (SELECT sum(w * w)::HUGEINT AS den FROM v$PcaIters),
+         |tr AS (SELECT sum(cv)::HUGEINT AS trace FROM cov WHERE i = j)
+         |SELECT n_rows,
+         |  CASE WHEN den > 0 THEN (num // den)::BIGINT END AS lambda_scaled,
+         |  trace::BIGINT AS trace_scaled,
+         |  CASE WHEN den > 0 AND trace > 0
+         |       THEN (((num // den) * 1000000::HUGEINT) // trace)::BIGINT
+         |  END AS explained_ppm
+         |FROM num, den, tr""".stripMargin,
 
     // both ranking CTEs on the audit slice; the depth weights are the
     // IDENTICAL plan-time longs (Similarity.rboWeightsScaled), so the

@@ -844,4 +844,118 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"),
         (floor(col("cos") * 1000000d) / 1000000d).as("cos_sim"))
   }
+
+  /** Quantized sample covariance of the embedding corpus — the d×d matrix
+    * every spectral diagnostic starts from. One corpus pass: per-dim
+    * means first (floor(x·10⁶) BIGINT sums, exact and order-independent,
+    * μ = sum div n replayed on any engine), then each row fans out to its
+    * d² centered products, each QUANTIZED AT THE TERM
+    * (floor((xᵢ−μᵢ)·(xⱼ−μⱼ)·10⁶) — the qlog discipline for products) so
+    * the (i,j) sums are exact BIGINT no matter how Spark partitions.
+    * Scale shape: the d² fan-out collapses INSIDE each task's partial
+    * hash agg (d² ≤ 4096 cells — a plan constant), so the shuffle is
+    * O(partitions·d²) rows, never O(n·d²); the corpus is read once.
+    * Emits (i, j, n_rows, cov_scaled) for all d² cells — cov_scaled is
+    * the RAW centered-product sum (micro-units), NOT divided by n−1:
+    * downstream ratios (power iteration, explained variance) are
+    * scale-invariant, and keeping the integer avoids a lossy division.
+    * Rows with a NULL or wrong-length vector are rejected fail-loud
+    * (a silently dropped row would skew μ). */
+  def covarianceScaled(emb: DataFrame, vec: String, dims: Int): DataFrame = {
+    val emitted = Seq("i", "j", "n_rows", "cov_scaled", "_v", "_xi", "_xj",
+      "_mu", "_ms", "_n")
+    require(!emitted.contains(vec),
+      s"covarianceScaled emits/uses ${emitted.mkString(", ")}; rename '$vec'")
+    val lenGuard = assert_true(col(vec).isNotNull && size(col(vec)) === dims,
+      concat(lit(s"covarianceScaled: every vector must be non-NULL with " +
+        s"exactly $dims dims; got size "),
+        coalesce(size(col(vec)).cast("string"), lit("NULL"))))
+    val v = emb.filter(lenGuard.isNull)
+      .select(col(vec).cast("array<double>").as("_v"))
+      .localCheckpoint(true) // shared: the mean pass and the product pass
+    val means = v
+      .select(posexplode(col("_v")).as(Seq("i", "_xi")))
+      .groupBy(col("i"))
+      .agg(sum(floor(col("_xi") * 1000000d).cast("long")).as("_ms"),
+        count(lit(1)).as("_n"))
+      .select(col("i"), expr("_ms div _n").as("_mu"), col("_n"))
+    v.select(col("_v"), posexplode(col("_v")).as(Seq("i", "_xi")))
+      .select(col("i"), col("_xi"), posexplode(col("_v")).as(Seq("j", "_xj")))
+      .join(broadcast(means.select(col("i"), col("_mu").as("_mui"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("_mu").as("_muj"),
+        col("_n"))), Seq("j"))
+      .groupBy(col("i"), col("j"), col("_n"))
+      .agg(sum(floor(
+        (col("_xi") - col("_mui").cast("double") / 1000000d)
+          * (col("_xj") - col("_muj").cast("double") / 1000000d)
+          * 1000000d).cast("long")).as("cov_scaled"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("_n").as("n_rows"), col("cov_scaled"))
+  }
+
+  /** Top principal direction by FIXED-ROUND power iteration over the
+    * quantized covariance (the pagerankFixed/LPA discipline: "after R
+    * rounds" is the oracle-checkable semantics; R ~ 10 separates any
+    * non-degenerate spectrum). The corpus is touched ONCE
+    * (covarianceScaled); every round after is arithmetic on the d²-row
+    * matrix frame — at 100 TB the iteration cost does not see the data.
+    * Round algebra is EXACT: w = C·v in decimal(38,0) products of two
+    * BIGINTs, L∞ normalization back to ±10⁶ by truncating div (the
+    * engine-replayable norm — no sqrt in the loop), per-round
+    * localCheckpoint. v₀ = uniform all-10⁶. Sign is pinned by the
+    * iteration itself (deterministic given v₀); a dominant eigenvalue's
+    * sign flips nothing (C is PSD). Emits d rows
+    * (dim, loading_ppm) — the unit-∞ direction in ppm. */
+  def pcaPowerDirection(cov: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val c = cov.select(col("i"), col("j"),
+        col("cov_scaled").cast("decimal(38,0)").as("_c"))
+      .localCheckpoint(true) // consumed every round
+    var v = c.select(col("j").as("dim")).distinct()
+      .select(col("dim"), lit(1000000L).cast("decimal(38,0)").as("_w"))
+    for (r <- 1 to iters) {
+      val w = c.join(v, c("j") === v("dim"))
+        .groupBy(col("i"))
+        .agg(sum(col("_c") * col("_w")).as("_s"))
+      val m = w.agg(max(abs(col("_s"))).as("_m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("dim"),
+          when(col("_m") > 0,
+            expr("(_s * CAST(1000000 AS DECIMAL(38,0))) div _m"))
+            .otherwise(lit(0L)).cast("decimal(38,0)").as("_w"))
+        .localCheckpoint(true)
+    }
+    v.select(col("dim"), col("_w").cast("long").as("loading_ppm"))
+  }
+
+  /** Explained-variance share of the pcaPowerDirection axis: the Rayleigh
+    * quotient λ = (vᵀCv)/(vᵀv) over the quantized covariance, as a share
+    * of trace(C) — "how much of the corpus's variance is ONE axis?" High
+    * share = mode collapse (embeddings hugging a line); the gauge behind
+    * q_embed_diversity's mean-distance number. All products exact
+    * decimal(38,0); the two emitted ratios are integer-div ppm. Emits
+    * one row (n_rows, lambda_scaled, trace_scaled, explained_ppm). */
+  def pcaExplained(cov: DataFrame, direction: DataFrame): DataFrame = {
+    val c = cov.select(col("i"), col("j"), col("n_rows"),
+      col("cov_scaled").cast("decimal(38,0)").as("_c"))
+    def dv(n: String) = col("loading_ppm").cast("decimal(38,0)").as(n)
+    val vi = direction.select(col("dim").as("i"), dv("_vi"))
+    val vj = direction.select(col("dim").as("j"), dv("_vj"))
+    val num = c.join(broadcast(vi), Seq("i")).join(broadcast(vj), Seq("j"))
+      .agg(sum(col("_c") * col("_vi") * col("_vj")).as("_num"),
+        max(col("n_rows")).as("n_rows"))
+    val den = direction
+      .agg(sum(col("loading_ppm").cast("decimal(38,0)")
+        * col("loading_ppm").cast("decimal(38,0)")).as("_den"))
+    val tr = c.filter(col("i") === col("j"))
+      .agg(sum(col("_c")).as("trace_scaled"))
+    num.crossJoin(broadcast(den)).crossJoin(broadcast(tr))
+      .select(col("n_rows"),
+        when(col("_den") > 0, expr("_num div _den")).cast("long")
+          .as("lambda_scaled"),
+        col("trace_scaled").cast("long").as("trace_scaled"),
+        when(col("_den") > 0 && col("trace_scaled") > 0,
+          expr("((_num div _den) * CAST(1000000 AS DECIMAL(38,0))) " +
+            "div trace_scaled").cast("long")).as("explained_ppm"))
+  }
 }

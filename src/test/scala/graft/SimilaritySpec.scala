@@ -434,4 +434,38 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(pure == bf)
   }
+
+  test("covarianceScaled: hand-exact quantized moments on a rank-1 cloud; " +
+      "wrong-length vectors abort") {
+    val emb = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 6.0f), Seq(5.0f, 10.0f))
+      .toDF("embedding")
+    val cov = Similarity.covarianceScaled(emb, "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // means (3, 6); centered products exact: Σ(x0−3)² = 8, Σ(x0−3)(x1−6)
+    // = 16, Σ(x1−6)² = 32 — all ×1e6
+    assert(cov == Map((0L, 0L) -> ((3L, 8000000L)),
+      (0L, 1L) -> ((3L, 16000000L)), (1L, 0L) -> ((3L, 16000000L)),
+      (1L, 1L) -> ((3L, 32000000L))))
+    val bad = Seq(Seq(1.0f, 2.0f), Seq(3.0f)).toDF("embedding")
+    val err = intercept[Exception](
+      Similarity.covarianceScaled(bad, "embedding", 2).count())
+    assert(err.getMessage.contains("covarianceScaled"))
+  }
+
+  test("pcaPowerDirection + pcaExplained: the rank-1 cloud's axis is " +
+      "recovered exactly and explains 100% of trace") {
+    val emb = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 6.0f), Seq(5.0f, 10.0f))
+      .toDF("embedding")
+    val cov = Similarity.covarianceScaled(emb, "embedding", 2)
+    val v = Similarity.pcaPowerDirection(cov, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dominant axis ∝ (1, 2) → L∞-normalized ppm (500000, 1000000)
+    assert(v == Map(0L -> 500000L, 1L -> 1000000L))
+    val e = Similarity.pcaExplained(cov, Similarity.pcaPowerDirection(cov, 3))
+      .head()
+    // λ = vᵀCv/vᵀv = 4e7 = trace exactly → explained 1e6 ppm
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))
+      == ((3L, 40000000L, 40000000L, 1000000L)))
+  }
 }
