@@ -72,6 +72,7 @@ object SparkEntry {
   private val KcoreK = 30      // co-sourcing density threshold
   private val KcoreRounds = 5  // synchronous k-core peeling rounds
   private val WprIters = 5     // weighted pagerank iterations
+  private val TextRankTopK = 50 // keywords kept by q_textrank
   private val HitsIters = 5        // HITS fixed-point iterations
   private val HitsScale = 1000000L // HITS integer score scale (see hitsFixed)
   private val LpaIters = 4         // label-propagation rounds (even: the
@@ -544,6 +545,50 @@ object SparkEntry {
          |  FROM w$r)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
+  }
+
+  /** q_textrank's twin: the word-adjacency head feeding the SAME unrolled
+    * weighted-pagerank rounds as pagerankWeightedOracleSql, ending at the
+    * deterministic (pr DESC, word ASC) top-K. */
+  private def textRankOracleSql(iters: Int, scale: Long, topK: Int): String = {
+    val stop = inList(stopEn ++ stopDe ++ stopFr ++ stopEs ++ stopZh)
+    val head =
+      s"""WITH tk AS (SELECT list_filter(
+         |        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |                    x -> x <> ''),
+         |        x -> x NOT IN $stop) AS toks
+         |      FROM documents WHERE text IS NOT NULL),
+         |ap AS (SELECT unnest([struct_pack(a := toks[i + 1], b := toks[i + 2])
+         |                      for i in range(0, len(toks) - 1)]) AS p
+         |      FROM tk WHERE len(toks) >= 2),
+         |sp AS MATERIALIZED (SELECT p.a AS src, p.b AS dst,
+         |        count(*)::BIGINT AS w
+         |      FROM ap WHERE p.a <> p.b GROUP BY 1, 2),
+         |eu AS (SELECT src, dst, w FROM sp
+         |       UNION ALL SELECT dst AS src, src AS dst, w FROM sp),
+         |eg AS MATERIALIZED (SELECT src, dst, sum(w)::BIGINT AS w
+         |      FROM eu GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM eg
+         |      UNION SELECT dst FROM eg),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |tw AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS tw
+         |      FROM eg GROUP BY 1),
+         |r0 AS (SELECT node, $scale // (SELECT n FROM nn) AS pr FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT nd.node,
+         |    (($scale // (SELECT n FROM nn)) * 15) // 100
+         |    + (COALESCE(s.s, 0) * 85) // 100 AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum((r.pr * e.w) // t.tw)::BIGINT AS s
+         |    FROM eg e JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN tw t ON t.src = e.src
+         |    GROUP BY 1) s ON s.node = nd.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""
+         |SELECT node AS word, pr AS pr_scaled,
+         |  pr::DOUBLE / CAST($scale AS DOUBLE) AS pr
+         |FROM r$iters ORDER BY pr_scaled DESC, word ASC LIMIT $topK""".stripMargin
   }
 
   private def pagerankWeightedOracleSql(iters: Int, scale: Long): String = {
@@ -1996,6 +2041,13 @@ object SparkEntry {
     // each doc at 3 rows below the sort
     "q_tfidf_top" -> ((s, dir) =>
       TextOps.tfidfTop(Tables.documents(s, dir), "doc_id", "text", 3)),
+    // TextRank keywords: the corpus's central vocabulary by co-occurrence
+    // centrality — stopword-filtered adjacency graph through the
+    // oracle-checked pagerankWeighted core, deterministic top-50
+    "q_textrank" -> ((s, dir) =>
+      TextOps.textRank(Tables.documents(s, dir), "text",
+        stopEn ++ stopDe ++ stopFr ++ stopEs ++ stopZh, WprIters,
+        TextRankTopK, PrScale)),
     // fluency scoring under the corpus's own top-500 bigram LM: 6-dp
     // probabilities recover exact decimals, so per-doc sums are
     // order-independent — no ln anywhere
@@ -7411,6 +7463,7 @@ object SparkEntry {
     "q_bfs_dist" -> bfsOracleSql(BfsRounds, BfsSeedMod),
     "q_ppr" -> pprOracleSql(PrIters, PrScale, BfsSeedMod),
     "q_pagerank_weighted" -> pagerankWeightedOracleSql(WprIters, PrScale),
+    "q_textrank" -> textRankOracleSql(WprIters, PrScale, TextRankTopK),
     "q_kcore" -> kcoreOracleSql(KcoreK, KcoreRounds),
 
     // brute-force canonical 3-way triangle join (the oracle may explode on

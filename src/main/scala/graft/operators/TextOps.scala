@@ -1064,6 +1064,44 @@ object TextOps {
     * emit NULL gt1_ppm (the estimator is undefined, not zero). Emits
     * (group, n_tokens, n_types, n_singletons, n_doubletons, unseen_ppm,
     * gt1_ppm). */
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+    * corpus's central vocabulary by graph centrality instead of raw
+    * frequency (q_tfidf_top's complement: TF-IDF scores a word by
+    * rarity-weighted count, TextRank by how strongly it CO-OCCURS with
+    * other central words). The classic recipe, composed from existing
+    * engine parts rather than re-derived: lowercase whitespace tokens,
+    * stopwords removed BEFORE windowing (so survivors become adjacent —
+    * the standard filtering order), adjacency edges (window 2) with
+    * self-loops dropped, symmetrized with multiplicities, then
+    * `Graph.pagerankWeighted` runs its fixed-round exact-integer walk
+    * UNCHANGED — one more caller of the oracle-checked centrality core,
+    * not a second PageRank. Deterministic top-K by (pr_scaled DESC,
+    * word ASC) — a TakeOrderedAndProject, never a global sort. Scale:
+    * the pair fan-out is one token-linear pass; the graph pagerank
+    * iterates on is VOCAB-sized, so iterations never see corpus scale.
+    * Emits topK rows (word, pr_scaled, pr). */
+  def textRank(docs: DataFrame, text: String, stop: Seq[String], iters: Int,
+               topK: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val kept = filter(tokens(lower(col(text))),
+      t => !t.isInCollection(stop))
+    val pairs = docs.filter(col(text).isNotNull)
+      .select(kept.as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(_toks) - 2), " +
+          "i -> struct(_toks[i] AS src, _toks[i + 1] AS dst))")).as("_p"))
+      .select(col("_p.src").as("src"), col("_p.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sp = pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val und = sp.unionByName(
+      sp.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    Graph.pagerankWeighted(und, "src", "dst", "w", iters, scale)
+      .orderBy(col("pr_scaled").desc, col("node").asc)
+      .limit(topK)
+      .select(col("node").as("word"), col("pr_scaled"), col("pr"))
+  }
+
   def goodTuring(docs: DataFrame, group: String, text: String): DataFrame = {
     val emitted = Seq("n_tokens", "n_types", "n_singletons", "n_doubletons",
       "unseen_ppm", "gt1_ppm", "_tok", "_c")

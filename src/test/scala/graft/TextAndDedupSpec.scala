@@ -1089,4 +1089,19 @@ class TextAndDedupSpec extends SparkSpec {
     assert(got("de") == ((4L, 2L, 0L, 2L, 0L, None)))
     assert(got.size == 2) // NULL group dropped
   }
+
+  test("textRank: stopwords filtered BEFORE windowing (survivors become " +
+      "adjacent), self-pairs dropped, symmetric 2-node graph splits mass " +
+      "exactly, tie order deterministic") {
+    // after stopword removal and the a-a self-pair drop, every variant is
+    // the same symmetric {a, b} graph → both stay at scale/2 every round
+    val docs = Seq("the a the b a the b", "a a b a b", "a b a b")
+      .toDF("text")
+    for (d <- Seq(docs.limit(1), docs)) {
+      val r = graft.operators.TextOps.textRank(d, "text", Seq("the"), 3, 10,
+        1000000000000L).collect()
+      assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq
+        == Seq(("a", 500000000000L), ("b", 500000000000L)))
+    }
+  }
 }
