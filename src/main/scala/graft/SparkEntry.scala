@@ -1150,6 +1150,23 @@ object SparkEntry {
     // the corpus per measurement, this never touches it again
     "q_kmv_overlap" -> ((s, dir) =>
       Sketches.kmvOverlap(Tables.documents(s, dir), "source", "text", KmvK)),
+    // the sketch tier STREAMS: per-event-type KMV sketch of distinct spend
+    // cents as the 19th state machine (k longs of state per key — exact
+    // streaming distinct grows with the value universe, the sketch never
+    // does); the k-minima set is arrival-order independent, so the batch
+    // twin below IS the final stream state
+    "q_kmv_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull
+          && col("event_type").isNotNull && col("event_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      graft.streaming.StateMachines.kmvSnapshots(
+          graft.streaming.StateMachines.valuedEvents(ev, col("event_type"),
+            unix_millis(col("ts")), col("event_id"), col("cents")),
+          KmvK)
+        .select(col("key").as("event_type"), col("n_events"),
+          col("n_sketch"), col("est_distinct"))
+    }),
     "q_quality_score" -> ((s, dir) =>
       TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text", stopEn)),
     // Flesch readability screen: exact word/sentence/vowel-group counts,
@@ -5166,6 +5183,26 @@ object SparkEntry {
          |  CASE WHEN s.m < $KmvK THEN s.m
          |       ELSE (${KmvK - 1} * 4294967296) // s.hk END AS est_distinct
          |FROM e JOIN s USING (source)""".stripMargin,
+
+    // the machine's k-minima set is arrival-order independent, so this
+    // batch sketch IS the final stream state — same estimate algebra
+    "q_kmv_stream" ->
+      s"""WITH s AS (SELECT event_type, floor(value * 100)::BIGINT AS v
+         |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |        AND event_type IS NOT NULL AND event_id IS NOT NULL),
+         |n AS (SELECT event_type, count(*)::BIGINT AS n_events
+         |      FROM s GROUP BY 1),
+         |d AS (SELECT DISTINCT event_type,
+         |        ${sqlMd5Int("v::VARCHAR")} AS h FROM s),
+         |r AS (SELECT event_type, h, row_number() OVER (
+         |        PARTITION BY event_type ORDER BY h) AS rk FROM d),
+         |sk AS (SELECT event_type, count(*)::BIGINT AS n_sketch,
+         |        max(h) AS hk
+         |      FROM r WHERE rk <= $KmvK GROUP BY 1)
+         |SELECT n.event_type, n.n_events, sk.n_sketch,
+         |  CASE WHEN sk.n_sketch < $KmvK THEN sk.n_sketch
+         |       ELSE (${KmvK - 1} * 4294967296) // sk.hk END AS est_distinct
+         |FROM n JOIN sk USING (event_type)""".stripMargin,
 
     // union sketch = k smallest of the two sides' sketches; n_both counts
     // union-sketch hashes in BOTH sides; est_inter = (n_both·est_union)//m

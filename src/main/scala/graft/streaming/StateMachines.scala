@@ -67,6 +67,12 @@ case class HwSnapshot(key: String, n_events: Long, last_ms: Long,
                       level_scaled: Long, trend_scaled: Long,
                       forecast_scaled: Long)
 
+/** KMV distinct-sketch state per key: total event count + the k smallest
+  * distinct 32-bit value hashes, kept sorted ascending. */
+case class KmvState(n: Long, mins: Seq[Long])
+case class KmvSnapshot(key: String, n_events: Long, n_sketch: Long,
+                       est_distinct: Long)
+
 /** Token-bucket throttle state per key: last event time and the
   * remaining budget in micro-tokens. */
 case class BucketState(lastMs: Long, availMicro: Long)
@@ -759,6 +765,65 @@ object StateMachines {
             state.update(st)
             stateTtlMs.foreach(state.setTimeoutDuration)
             Iterator.single(EwmaSnapshot(key, st.n, st.lastMs, st.s))
+          }
+        }
+    }
+  }
+
+  implicit val kmvStateEnc: Encoder[KmvState] = Encoders.product[KmvState]
+  implicit val kmvSnapshotEnc: Encoder[KmvSnapshot] =
+    Encoders.product[KmvSnapshot]
+
+  /** Per-key STREAMING KMV distinct sketch — `Sketches.kmvDistinct`'s
+    * state-machine form, and the sketch tier's proof that it streams:
+    * state is the k smallest distinct md5Int hashes of the values seen
+    * (k longs, a plan constant — never value-proportional, unlike exact
+    * streaming distinct whose state grows with the key's value universe).
+    * The k-minima SET is arrival-order independent, so cross-batch
+    * replay, late data, and any shuffle ordering all land on the SAME
+    * final sketch — the strongest parity property any machine here has;
+    * the oracle-checked batch twin (distinct → per-key row_number ≤ k)
+    * reads the identical integers. Estimate algebra is kmvEstimate's
+    * verbatim: exact m below k, ((k−1)·2³²) div h₍ₖ₎ at k (Long `/`
+    * truncates like the SQL div; hashes are positive). Hashing the
+    * VALUE's canonical decimal string = `md5Int(CAST(v AS STRING))` on
+    * the batch side — Long.toString and SQL bigint→varchar agree on
+    * every value including negatives. Emits ONE snapshot per key per
+    * invocation (key, n_events, n_sketch, est_distinct): batch mode →
+    * the final per-key sketch; a live stream appends the current
+    * reading per micro-batch. */
+  def kmvSnapshots(events: Dataset[ValuedEvent], k: Int,
+                   stateTtlMs: Option[Long] = None): Dataset[KmvSnapshot] = {
+    require(k >= 2, s"sketch size k must be >= 2, got $k")
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[ValuedEvent], state: GroupState[KmvState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(KmvState(0L, Vector.empty))
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            val h = graft.expressions.Md5Hash.first32(
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(e.value.toString))
+            val mins = st.mins
+            val next =
+              if (mins.contains(h)) mins
+              else if (mins.size < k) (mins :+ h).sorted
+              else if (h < mins.last) ((mins :+ h).sorted).take(k)
+              else mins
+            st = KmvState(Math.addExact(st.n, 1L), next)
+          }
+          if (st.n == 0L) Iterator.empty
+          else {
+            state.update(st)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            val m = st.mins.size.toLong
+            val est =
+              if (m < k) m
+              else ((k - 1L) * 4294967296L) / st.mins.last
+            Iterator.single(KmvSnapshot(key, st.n, m, est))
           }
         }
     }

@@ -669,6 +669,11 @@ class StreamingParitySpec extends SparkSpec {
       stateTtlMs = Some(60000L)).collect().toSet
     assert(hTtl == StateMachines.holtSnapshots(vds, 1, 2, 1, 2, 10L)
       .collect().toSet && hTtl.nonEmpty)
+    // the KMV sketch machine: same TTL-transparency
+    val kTtl = StateMachines.kmvSnapshots(vds, 2,
+      stateTtlMs = Some(60000L)).collect().toSet
+    assert(kTtl == StateMachines.kmvSnapshots(vds, 2).collect().toSet
+      && kTtl.nonEmpty)
   }
 
   test("tokenBucket state TTL: an expired idle key re-initializes to a " +
@@ -1378,6 +1383,42 @@ class StreamingParitySpec extends SparkSpec {
       assert(twin == Set(
         LatestSnapshot("1", 5L, 1L, Some("edit"), Some(1.5)),
         LatestSnapshot("2", 7L, 4L, None, Some(2.0))))
+    } finally q.stop()
+  }
+
+  test("kmvSnapshots(streaming): the final cross-batch sketch equals the " +
+      "one-shot batch run, and is ARRIVAL-ORDER independent (k-minima are " +
+      "a set); duplicates bump n_events but never the sketch") {
+    // k=2 with 4 distinct values per key forces evictions; key 2 stays
+    // under k (exact estimate = m)
+    val batch1 = Seq(
+      ValuedEvent("1", 0, 1, 11), ValuedEvent("1", 1, 2, 22),
+      ValuedEvent("1", 2, 3, 11), // duplicate: n_events only
+      ValuedEvent("2", 0, 4, 7))
+    val batch2 = Seq(
+      ValuedEvent("1", 3, 5, 33), ValuedEvent("1", 4, 6, 44),
+      ValuedEvent("2", 1, 7, 7)) // duplicate
+    val all = batch1 ++ batch2
+    val input = MemoryStream[ValuedEvent]
+    val q = StateMachines.kmvSnapshots(input.toDS(), 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kmv_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val finalPerKey = spark.table("kmv_par").as[KmvSnapshot].collect()
+        .groupBy(_.key).map(_._2.maxBy(_.n_events)).toSet
+      val oneShot = StateMachines.kmvSnapshots(all.toDS(), 2)
+        .collect().toSet
+      val reversed = StateMachines.kmvSnapshots(
+          all.reverse.map(e => e.copy(tsMs = 100 - e.tsMs)).toDS(), 2)
+        .collect().toSet
+      assert(finalPerKey == oneShot)
+      assert(reversed == oneShot)
+      val k2 = oneShot.find(_.key == "2").get
+      assert((k2.n_events, k2.n_sketch, k2.est_distinct) == ((2L, 1L, 1L)))
+      assert(oneShot.find(_.key == "1").get.n_events == 5L)
+      assert(oneShot.find(_.key == "1").get.n_sketch == 2L)
     } finally q.stop()
   }
 }
