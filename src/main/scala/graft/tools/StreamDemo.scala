@@ -254,6 +254,15 @@ object StreamDemo {
         "operation")
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // continuous distinct-cardinality sketch per user: the KMV machine's
+    // per-micro-batch estimate of how many distinct durations a key has
+    // produced — k longs of state, arrival-order independent
+    val q22 = StateMachines.kmvSnapshots(
+        StateMachines.valuedEvents(audit, col("user"),
+          unix_millis(col("event_time")), col("id"), col("duration")),
+        16)
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     // upsert compaction as the STATE MACHINE (latestSnapshots): the
     // max-by fold emits each key's current winner per micro-batch in
     // append mode — the changelog feed where q8's complete mode re-emits
@@ -284,6 +293,7 @@ object StreamDemo {
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
     q10.stop(); q11.stop(); q12.stop(); q13.stop(); q14.stop(); q15.stop()
     q16.stop(); q17.stop(); q18.stop(); q19.stop(); q20.stop(); q21.stop()
+    q22.stop()
     spark.stop()
   }
 }
