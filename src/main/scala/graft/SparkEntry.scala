@@ -2348,6 +2348,13 @@ object SparkEntry {
     "q_nelson_aalen" -> ((s, dir) =>
       CoreOps.nelsonAalen(Tables.events(s, dir), "user_id", "ts",
         KmGapDays, KmCohortDays)),
+    // the retention A/B read-out over the WHOLE curve: two-sample
+    // log-rank between the even/odd user cohorts — per pooled death time,
+    // observed-vs-expected deaths with hypergeometric variance, all ppm
+    // integers; KM/NA draw the arms' curves, this says if they differ
+    "q_logrank" -> ((s, dir) =>
+      CoreOps.logRankTest(Tables.events(s, dir), "user_id", "ts",
+        pmod(col("user_id"), lit(2)) === 0, KmGapDays)),
     // the p10-churn lifetime per cohort: the first duration where the
     // curve dips under 0.9 — the threshold compares the floor-quantized
     // survival, identical on both engines; cohorts never crossing emit
@@ -2811,6 +2818,25 @@ object SparkEntry {
             .as("post_cents"))
       CoreOps.cupedAdjustedDiff(perUser,
         pmod(col("user_id"), lit(2)) === 0, "pre_cents", "post_cents")
+    }),
+    // Qini uplift curve over the CUPED frame's covariate as the targeting
+    // score: rank users by pre-period spend, report the treated top
+    // slices' incremental post-period conversions over their control
+    // twins — exact integer deciles through the gainsTable machinery
+    "q_qini" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull
+          && col("user_id").isNotNull)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("day") < 19738L, col("cents"))), lit(0L))
+          .as("pre_cents"),
+          max(when(col("day") >= 19738L
+            && col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+      Eval.qiniCurve(perUser, "pre_cents",
+        pmod(col("user_id"), lit(2)) === 0, col("converted") === 1L, 10)
     }),
     // post-stratified ATE over event_type strata: the Simpson's-paradox
     // guard between the raw diff and CUPED — per-stratum exact-decimal
@@ -7846,6 +7872,51 @@ object SparkEntry {
          |FROM v""".stripMargin,
 
     // pooled-theta CUPED on the per-user frame; every chain mirrored
+    // the gainsTable bucket machinery over per-arm cumulatives; qini_ppm
+    // is one truncating HUGEINT div of exact integers
+    "q_qini" ->
+      s"""WITH ev AS (SELECT user_id, floor(value * 100)::BIGINT AS cents,
+         |        $evMs // 86400000 AS day, event_type
+         |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |        AND user_id IS NOT NULL),
+         |pu AS (SELECT user_id,
+         |        coalesce(sum(CASE WHEN day < 19738 THEN cents END),
+         |          0)::BIGINT AS score,
+         |        max(CASE WHEN day >= 19738 AND event_type = 'purchase'
+         |                 THEN 1 ELSE 0 END)::BIGINT AS conv
+         |      FROM ev GROUP BY 1),
+         |bs AS (SELECT score AS threshold,
+         |        sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+         |          AS nt,
+         |        sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT
+         |          AS nc,
+         |        sum(CASE WHEN user_id % 2 = 0 AND conv = 1
+         |            THEN 1 ELSE 0 END)::BIGINT AS yt,
+         |        sum(CASE WHEN user_id % 2 <> 0 AND conv = 1
+         |            THEN 1 ELSE 0 END)::BIGINT AS yc
+         |      FROM pu GROUP BY 1),
+         |t AS (SELECT sum(nt + nc)::BIGINT AS tot FROM bs),
+         |c AS (SELECT *, sum(nt) OVER w::BIGINT AS cnt,
+         |        sum(nc) OVER w::BIGINT AS cnc,
+         |        sum(yt) OVER w::BIGINT AS cyt,
+         |        sum(yc) OVER w::BIGINT AS cyc
+         |      FROM bs WINDOW w AS (ORDER BY threshold DESC
+         |        ROWS UNBOUNDED PRECEDING)),
+         |b AS (SELECT unnest(range(1, 11)) AS bucket),
+         |f AS (SELECT b.bucket, c.threshold, c.cnt + c.cnc AS ct,
+         |        c.cnt, c.cnc, c.cyt, c.cyc
+         |      FROM c CROSS JOIN b CROSS JOIN t
+         |      WHERE c.cnt + c.cnc >= (b.bucket * t.tot + 9) // 10),
+         |g AS (SELECT bucket, min(ct) AS ct FROM f GROUP BY 1)
+         |SELECT f.bucket, f.threshold, f.ct AS n_rows, f.cnt AS n_t,
+         |  f.cnc AS n_c, f.cyt AS y_t, f.cyc AS y_c,
+         |  CASE WHEN f.cnc > 0 THEN
+         |    (((f.cyt::HUGEINT * f.cnc::HUGEINT
+         |       - f.cyc::HUGEINT * f.cnt::HUGEINT)
+         |      * 1000000::HUGEINT) // f.cnc::HUGEINT)::BIGINT
+         |  END AS qini_ppm
+         |FROM f JOIN g ON g.bucket = f.bucket AND g.ct = f.ct""".stripMargin,
+
     "q_cuped" ->
       s"""WITH ev AS (SELECT user_id, floor(value * 100)::BIGINT AS c,
          |        $evMs // 86400000 AS day
@@ -8665,6 +8736,57 @@ object SparkEntry {
     // the Spark side's floor division
     "q_survival" -> survivalOracleSql,
     "q_nelson_aalen" -> nelsonAalenOracleSql,
+
+    // the KM lifetime construction verbatim, pooled death-time grid, O−E
+    // and hypergeometric V as HUGEINT ppm truncating divs
+    "q_logrank" ->
+      s"""WITH ev AS (SELECT user_id, $evMs // 86400000 AS day FROM events
+         |            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |u AS (SELECT user_id, min(day) AS f, max(day) AS l
+         |      FROM ev GROUP BY 1),
+         |m AS (SELECT max(l)::BIGINT AS mx FROM u),
+         |w AS (SELECT user_id % 2 = 0 AS a, (l - f)::BIGINT AS dur,
+         |        CASE WHEN l <= (SELECT mx FROM m) - $KmGapDays
+         |             THEN 1 ELSE 0 END AS death
+         |      FROM u),
+         |s AS (SELECT dur,
+         |        sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ua,
+         |        sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS ub,
+         |        sum(CASE WHEN a AND death = 1 THEN 1 ELSE 0 END)::BIGINT
+         |          AS da,
+         |        sum(CASE WHEN NOT a AND death = 1 THEN 1 ELSE 0 END
+         |          )::BIGINT AS db
+         |      FROM w GROUP BY 1),
+         |t AS (SELECT sum(ua)::BIGINT AS n_a, sum(ub)::BIGINT AS n_b
+         |      FROM s),
+         |c AS (SELECT *,
+         |        sum(ua) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING
+         |          )::BIGINT AS ca,
+         |        sum(ub) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING
+         |          )::BIGINT AS cb
+         |      FROM s),
+         |r AS (SELECT da, db, da + db AS dt,
+         |        (SELECT n_a FROM t) - (ca - ua) AS ra,
+         |        (SELECT n_b FROM t) - (cb - ub) AS rb
+         |      FROM c),
+         |x AS (SELECT da, db, dt, ra, rb, ra + rb AS rt FROM r
+         |      WHERE dt > 0),
+         |ag AS (SELECT count(*)::BIGINT AS n_death_times,
+         |        sum(da::HUGEINT * 1000000::HUGEINT
+         |          - (dt::HUGEINT * ra::HUGEINT * 1000000::HUGEINT)
+         |            // rt::HUGEINT)::HUGEINT AS oe,
+         |        sum(CASE WHEN rt > 1 THEN
+         |            (dt::HUGEINT * ra::HUGEINT * rb::HUGEINT
+         |             * (rt - dt)::HUGEINT * 1000000::HUGEINT)
+         |            // (rt::HUGEINT * rt::HUGEINT * (rt - 1)::HUGEINT)
+         |          ELSE 0::HUGEINT END)::HUGEINT AS v
+         |      FROM x)
+         |SELECT t.n_a, t.n_b, ag.n_death_times,
+         |  ag.oe::BIGINT AS oe_sum_ppm, ag.v::BIGINT AS var_sum_ppm,
+         |  CASE WHEN ag.v > 0
+         |       THEN ((ag.oe * ag.oe) // ag.v)::BIGINT
+         |  END AS logrank_ppm
+         |FROM t, ag""".stripMargin,
 
     // per-user cents totals → per-value counts/sums → two window
     // cumulatives → trunc6'd shares against the totals

@@ -1131,6 +1131,93 @@ object CoreOps {
         (col("_hz").cast("double") / 1000000000000d).as("cum_hazard"))
   }
 
+  /** Two-sample log-rank test (Mantel 1966) — "do these two cohorts CHURN
+    * DIFFERENTLY?", answered over the whole survival curve instead of one
+    * moment: at every pooled death time t, compare group A's observed
+    * deaths d_At against its at-risk-share expectation E_At = d_t·n_At/n_t
+    * and accumulate (O−E) with the hypergeometric variance
+    * V_t = d_t·n_At·n_Bt·(n_t−d_t) / (n_t²·(n_t−1)); the statistic
+    * (ΣO−E)²/ΣV is χ²₁ under H₀. This is THE standard A/B read-out for
+    * retention experiments — kaplanMeier/nelsonAalen draw each arm's
+    * curve, this one row says whether the curves differ. Lifetime and
+    * censoring construction is kaplanMeier's verbatim (first/last
+    * activity days, death = ending a churn-gap before the corpus
+    * frontier; censorings at t stay at risk AT t — deaths-first, the KM
+    * convention). Exactness: per-time O−E and V enter as ppm integers by
+    * truncating div in decimal(38,0) (n⁴·10⁶ passes int64 at corpus
+    * scale), the fold is an exact integer sum, and the final statistic
+    * is one decimal div — no float anywhere. The pooled time grid rides
+    * the distributed orderedPrefixSum (never an unpartitioned window).
+    * NULL statistic when ΣV = 0 (no death time mixes both groups —
+    * undefined, not "identical"). Emits one row (n_a, n_b,
+    * n_death_times, oe_sum_ppm, var_sum_ppm, logrank_ppm). */
+  def logRankTest(df: DataFrame, key: String, ts: String, armA: Column,
+                  churnGapDays: Int): DataFrame = {
+    require(churnGapDays >= 1,
+      s"churnGapDays must be >= 1, got $churnGapDays")
+    val emitted = Seq("n_a", "n_b", "n_death_times", "oe_sum_ppm",
+      "var_sum_ppm", "logrank_ppm", "_day", "_f", "_l", "_mx", "_dur",
+      "_death", "_a", "_ua", "_ub", "_da", "_db", "_ca", "_cb")
+    require(!emitted.contains(key),
+      s"logRankTest emits/uses ${emitted.mkString(", ")}; rename '$key'")
+    val dayMs = 86400000L
+    val msCol = ms(col(ts))
+    val guard = assert_true(msCol.isNull || msCol >= 0,
+      concat(lit(s"logRankTest: '$ts' must be >= epoch (trunc vs floor " +
+        "division diverge below zero); got ms="), msCol.cast("string")))
+    val lives = df.filter(guard.isNull)
+      .filter(col(ts).isNotNull && col(key).isNotNull)
+      .select(col(key),
+        ((msCol - pmod(msCol, lit(dayMs))) / lit(dayMs)).cast("long")
+          .as("_day"))
+      .groupBy(col(key))
+      .agg(min(col("_day")).as("_f"), max(col("_day")).as("_l"))
+    val maxDay = lives.groupBy().agg(max(col("_l")).as("_mx")) // 1 row
+    val perUser = lives.crossJoin(broadcast(maxDay))
+      .select(armA.as("_a"), (col("_l") - col("_f")).as("_dur"),
+        when(col("_l") <= col("_mx") - churnGapDays.toLong, 1L)
+          .otherwise(0L).as("_death"))
+      .filter(col("_a").isNotNull)
+    val byDur = perUser.groupBy(col("_dur"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_ua"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_ub"),
+        sum(when(col("_a") && col("_death") === 1L, 1L).otherwise(0L))
+          .as("_da"),
+        sum(when(!col("_a") && col("_death") === 1L, 1L).otherwise(0L))
+          .as("_db"))
+      .localCheckpoint(true) // shared: the totals row and the prefix scan
+    val tot = byDur.agg(sum(col("_ua")).as("n_a"), sum(col("_ub")).as("n_b"))
+    val cum = orderedPrefixSum(
+      orderedPrefixSum(byDur, col("_dur"), "_dur", "_ua", "_ca"),
+      col("_dur"), "_dur", "_ub", "_cb")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val ra = col("n_a") - (col("_ca") - col("_ua"))
+    val rb = col("n_b") - (col("_cb") - col("_ub"))
+    val rt = ra + rb
+    val dt = col("_da") + col("_db")
+    val oe = dec(col("_da")) * dec(lit(1000000L)) -
+      expr("(CAST((_da + _db) AS DECIMAL(38,0)) * CAST(_ra AS DECIMAL(38,0))"
+        + " * 1000000) div CAST(_rt AS DECIMAL(38,0))")
+    val vt = when(col("_rt") > 1L,
+      expr("(CAST((_da + _db) AS DECIMAL(38,0)) * CAST(_ra AS DECIMAL(38,0))"
+        + " * CAST(_rb AS DECIMAL(38,0))"
+        + " * CAST((_rt - _da - _db) AS DECIMAL(38,0)) * 1000000)"
+        + " div (CAST(_rt AS DECIMAL(38,0)) * CAST(_rt AS DECIMAL(38,0))"
+        + " * CAST((_rt - 1) AS DECIMAL(38,0)))"))
+      .otherwise(dec(lit(0L)))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("_ra", ra).withColumn("_rb", rb).withColumn("_rt", rt)
+      .filter(dt > 0L)
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_death_times"),
+        sum(oe).as("_oe"), sum(vt).as("_v"))
+      .select(col("n_a"), col("n_b"), col("n_death_times"),
+        col("_oe").cast("long").as("oe_sum_ppm"),
+        col("_v").cast("long").as("var_sum_ppm"),
+        when(col("_v") > 0, expr("(_oe * _oe) div _v").cast("long"))
+          .as("logrank_ppm"))
+  }
+
   /** Lorenz curve points — the distribution behind the Gini number:
     * walking entities from poorest to richest, what share of the
     * population holds what share of the value ("the top 10% of users

@@ -337,6 +337,68 @@ object Eval {
             / (col("_b._P") * col("_b._ct")).cast("double"))).as("lift"))
   }
 
+  /** Qini curve — gainsTable for UPLIFT: rank units by a targeting score
+    * (descending), and at each of `nBuckets` coverage targets report the
+    * incremental conversions the treated top slice produced over its
+    * control twin, g(k) = Yₜ(k) − Y꜀(k)·Nₜ(k)/N꜀(k) (Radcliffe 2007).
+    * The read-out a treatment-targeting policy is judged by: a random
+    * score walks the diagonal, a good uplift score front-loads the
+    * incremental conversions. Same machinery as gainsTable: one
+    * score-grouped conditional-count pass, descending cumulatives
+    * through the distributed orderedPrefixSum (never an unpartitioned
+    * window), exact integer bucket ceilings, min-struct picks over the
+    * strictly increasing cumulative row count. qini_ppm enters as ONE
+    * truncating decimal div of exact integers,
+    * ((yₜ·n꜀ − y꜀·nₜ)·10⁶) div n꜀ — NULL while the slice has no
+    * control rows (undefined, not zero). Emits one row per bucket
+    * (bucket, threshold, n_rows, n_t, n_c, y_t, y_c, qini_ppm). */
+  def qiniCurve(df: DataFrame, score: String, treat: Column, isPos: Column,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val internal = Seq("bucket", "threshold", "n_rows", "n_t", "n_c",
+      "y_t", "y_c", "qini_ppm", "_nt", "_nc", "_yt", "_yc", "_ct", "_tgt",
+      "_tot", "_b")
+    require(!internal.contains(score),
+      s"qiniCurve emits/uses ${internal.mkString(", ")}; rename the score")
+    val spark = df.sparkSession
+    val byScore = df
+      .filter(col(score).isNotNull && treat.isNotNull && isPos.isNotNull)
+      .groupBy(col(score).cast("long").as("threshold"))
+      .agg(sum(when(treat, 1L).otherwise(0L)).as("_nt"),
+        sum(when(!treat, 1L).otherwise(0L)).as("_nc"),
+        sum(when(treat && isPos, 1L).otherwise(0L)).as("_yt"),
+        sum(when(!treat && isPos, 1L).otherwise(0L)).as("_yc"))
+      .localCheckpoint(true) // shared: the totals row and the prefix chain
+    val tots = byScore.agg(sum(col("_nt") + col("_nc")).as("_tot"))
+    val cum = CoreOps.orderedPrefixSum(
+      CoreOps.orderedPrefixSum(
+        CoreOps.orderedPrefixSum(
+          CoreOps.orderedPrefixSum(byScore, -col("threshold"),
+            "threshold", "_nt", "n_t"),
+          -col("threshold"), "threshold", "_nc", "n_c"),
+        -col("threshold"), "threshold", "_yt", "y_t"),
+      -col("threshold"), "threshold", "_yc", "y_c")
+    val buckets = spark.range(1, nBuckets + 1L).toDF("bucket")
+    cum.withColumn("_ct", col("n_t") + col("n_c"))
+      .crossJoin(broadcast(tots))
+      .crossJoin(broadcast(buckets))
+      .withColumn("_tgt",
+        expr(s"(bucket * _tot + ${nBuckets - 1}) div $nBuckets"))
+      .filter(col("_ct") >= col("_tgt"))
+      .groupBy(col("bucket"))
+      .agg(min(struct(col("_ct"), col("threshold"), col("n_t"), col("n_c"),
+        col("y_t"), col("y_c"))).as("_b"))
+      .select(col("bucket"), col("_b.threshold").as("threshold"),
+        col("_b._ct").as("n_rows"), col("_b.n_t").as("n_t"),
+        col("_b.n_c").as("n_c"), col("_b.y_t").as("y_t"),
+        col("_b.y_c").as("y_c"),
+        when(col("_b.n_c") > 0L,
+          expr("((CAST(_b.y_t AS DECIMAL(38,0)) * _b.n_c"
+            + " - CAST(_b.y_c AS DECIMAL(38,0)) * _b.n_t) * 1000000)"
+            + " div CAST(_b.n_c AS DECIMAL(38,0))").cast("long"))
+          .as("qini_ppm"))
+  }
+
   /** Split-conformal prediction interval with finite-sample coverage —
     * the distribution-free "how wrong is this model, with guarantees"
     * audit (Vovk et al.; the modern ML-eval staple). The frame splits

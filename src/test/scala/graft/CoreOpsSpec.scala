@@ -1948,4 +1948,24 @@ class CoreOpsSpec extends SparkSpec {
     assert(CoreOps.permutationEntropy(short, "key", "ts", "eid", "v")
       .count() == 0L)
   }
+
+  test("logRankTest: O−E and hypergeometric V against a hand fold over " +
+      "a pooled grid with censoring in both arms") {
+    // lifetimes (first/last day): A(even): (0,2)d (0,5)d (0,100)c;
+    // B(odd): (0,2)d (0,95)c — frontier 100, gap 10 → death iff l <= 90
+    val days = Seq((0L, 0L), (0L, 2L), (2L, 0L), (2L, 5L), (4L, 0L),
+      (4L, 100L), (1L, 0L), (1L, 2L), (3L, 0L), (3L, 95L))
+    val ev = days.toDF("user_id", "day")
+      .withColumn("ts", timestamp_millis(col("day") * 86400000L))
+    val r = CoreOps.logRankTest(ev, "user_id", "ts",
+      pmod(col("user_id"), lit(2)) === 0, 10).head()
+    // t=2: ra=3 rb=2 dt=2 da=1 → oe = 1e6 − 2·3e6 div 5 = −200000,
+    //   v = 2·3·2·3·1e6 div (25·4) = 360000
+    // t=5: ra=2 rb=1 dt=1 da=1 → oe = 1e6 − 2e6 div 3 = 333334,
+    //   v = 1·2·1·2·1e6 div (9·2) = 222222
+    val oe = -200000L + 333334L; val v = 360000L + 222222L
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 2L)))
+    assert((r.getLong(3), r.getLong(4)) == ((oe, v)))
+    assert(r.getLong(5) == oe * oe / v)
+  }
 }

@@ -347,4 +347,26 @@ class EvalSpec extends SparkSpec {
     assert(Eval.cochranQ(unan, "truth", Seq("p1", "p2", "p3"))
       .head().isNullAt(3))
   }
+
+  test("qiniCurve: bucket picks and the incremental-conversion formula " +
+      "against a hand fold; control-free top slice → NULL qini") {
+    // (user, score, converted); even users treated
+    val rows = Seq((0L, 80L, 1L), (2L, 60L, 0L), (4L, 40L, 1L),
+      (6L, 20L, 0L), (1L, 70L, 0L), (3L, 50L, 0L), (5L, 30L, 0L),
+      (7L, 10L, 1L)).toDF("user_id", "score", "conv")
+    val got = Eval.qiniCurve(rows, "score",
+        pmod(col("user_id"), lit(2)) === 0, col("conv") === 1L, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // half-coverage slice = scores >= 50: nt=2 nc=2 yt=1 yc=0 → 1e6
+    assert(got(1L) == ((50L, 4L, 2L, 2L, 1L, 0L, 1000000L)))
+    // full coverage: yt=2 yc=1 → (2·4 − 1·4)·1e6 div 4 = 1e6
+    assert(got(2L) == ((10L, 8L, 4L, 4L, 2L, 1L, 1000000L)))
+    // top-eighth slice is the single treated row at 80 — no control twin
+    val b1 = Eval.qiniCurve(rows, "score",
+        pmod(col("user_id"), lit(2)) === 0, col("conv") === 1L, 8)
+      .filter(col("bucket") === 1).head()
+    assert(b1.getLong(4) == 0L && b1.isNullAt(7))
+  }
 }
