@@ -1643,6 +1643,28 @@ object SparkEntry {
             lit(".parquet")).as("path"),
           col("n_chars").cast("long").as("bytes")),
         "path", "bytes", 4000L)),
+    // the rewrite-DECIDING metric beside compactionPlan/zorderLayout:
+    // per pseudo-file min/max shipdate-day stats, how many files a point
+    // lookup opens — the orderkey-grouped layout interleaves the whole
+    // date range (depth ≈ N: stats prune nothing), the time-partitioned
+    // one stays at depth 1; metadata-only, via intervalOverlapJoin
+    "q_layout_depth" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey").isNotNull && col("l_shipdate").isNotNull)
+        .select(col("l_orderkey"),
+          expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
+            .as("_day"))
+      val byKey = li.groupBy(expr("l_orderkey div 100").as("fid"))
+        .agg(min(col("_day")).as("lo"), max(col("_day")).as("hi"))
+      val byTime = li.groupBy(expr("_day div 32").as("fid"))
+        .agg(min(col("_day")).as("lo"), max(col("_day")).as("hi"))
+      graft.sources.CorpusLayout
+        .clusteringDepth(byKey, "fid", "lo", "hi", 128L, 32)
+        .withColumn("layout", lit("by_orderkey"))
+        .unionByName(graft.sources.CorpusLayout
+          .clusteringDepth(byTime, "fid", "lo", "hi", 128L, 32)
+          .withColumn("layout", lit("by_shipdate")))
+    }),
     // the token-movement rollup behind q_snapshot_diff's status stream:
     // per status (incl. the unchanged line snapshotDiff drops), doc count
     // + token totals + signed delta — the snapshot-swap approval page
@@ -3004,6 +3026,14 @@ object SparkEntry {
     // the purchase rate per bin — ONE hash agg onto <= 10 rows
     "q_calibration" -> ((s, dir) =>
       CoreOps.calibrationCurve(
+        Tables.events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "cents", col("event_type") === "purchase", 0L, 50000L, 10)),
+    // the curve's REPAIR: isotonic (PAV) calibration by the relational
+    // minimax identity — the best monotone fit to the same bins, no
+    // sequential merge loop anywhere
+    "q_isotonic" -> ((s, dir) =>
+      CoreOps.isotonicCalibration(
         Tables.events(s, dir).withColumn("cents",
           floor(col("value") * 100).cast("long")),
         "cents", col("event_type") === "purchase", 0L, 50000L, 10)),
@@ -6122,6 +6152,32 @@ object SparkEntry {
          |  ((cum_bytes - bytes) // 4000)::BIGINT AS group_id
          |FROM c""".stripMargin,
 
+    // half-open overlap on integer day intervals: a.lo <= b.hi AND
+    // b.lo <= a.hi; depth = 1 + overlapping others, zero-overlap kept
+    "q_layout_depth" ->
+      """WITH li AS (SELECT l_orderkey,
+        |        epoch_ms(l_shipdate) // 86400000 AS day
+        |      FROM lineitem
+        |      WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL),
+        |fk AS (SELECT l_orderkey // 100 AS fid, min(day)::BIGINT AS lo,
+        |        max(day)::BIGINT AS hi FROM li GROUP BY 1),
+        |ft AS (SELECT day // 32 AS fid, min(day)::BIGINT AS lo,
+        |        max(day)::BIGINT AS hi FROM li GROUP BY 1),
+        |dk AS (SELECT a.fid, count(*)::BIGINT AS n FROM fk a JOIN fk b
+        |       ON b.fid <> a.fid AND a.lo <= b.hi AND b.lo <= a.hi
+        |       GROUP BY 1),
+        |dt AS (SELECT a.fid, count(*)::BIGINT AS n FROM ft a JOIN ft b
+        |       ON b.fid <> a.fid AND a.lo <= b.hi AND b.lo <= a.hi
+        |       GROUP BY 1)
+        |SELECT fk.fid AS file_id, fk.lo AS key_lo, fk.hi AS key_hi,
+        |  (coalesce(dk.n, 0) + 1)::BIGINT AS depth,
+        |  'by_orderkey' AS layout
+        |FROM fk LEFT JOIN dk USING (fid)
+        |UNION ALL
+        |SELECT ft.fid, ft.lo, ft.hi, (coalesce(dt.n, 0) + 1)::BIGINT,
+        |  'by_shipdate'
+        |FROM ft LEFT JOIN dt USING (fid)""".stripMargin,
+
     // full-outer hash join of (id, content md5, token count) sides (the
     // v2 relation synthesized with this query's own drop/edit/add rules),
     // rolled up per status
@@ -8306,6 +8362,36 @@ object SparkEntry {
         |  floor(count(CASE WHEN y THEN 1 END)::DOUBLE / count(*)::DOUBLE
         |        * 1000000) / 1000000 AS pos_rate
         |FROM b GROUP BY 1""".stripMargin,
+
+    // the minimax identity verbatim: pooled interval rates as truncating
+    // HUGEINT ppm divs, min over k >= i, max over j <= i
+    "q_isotonic" ->
+      """WITH s AS (SELECT floor(value * 100)::BIGINT AS c,
+        |        event_type = 'purchase' AS y
+        |      FROM events
+        |      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT least(greatest((c - 0) * 10 // 50000, 0), 9) AS bin,
+        |        y FROM s),
+        |bins AS (SELECT bin, count(*)::BIGINT AS n,
+        |        count(CASE WHEN y THEN 1 END)::BIGINT AS n_pos
+        |      FROM b GROUP BY 1),
+        |p AS (SELECT bin, n, n_pos,
+        |        sum(n) OVER w::BIGINT AS cn,
+        |        sum(n_pos) OVER w::BIGINT AS cp
+        |      FROM bins WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+        |iv AS (SELECT j.bin AS jb, k.bin AS kb,
+        |        (((k.cp - j.cp + j.n_pos)::HUGEINT * 1000000::HUGEINT)
+        |         // (k.cn - j.cn + j.n)::HUGEINT)::BIGINT AS m
+        |      FROM p j JOIN p k ON j.bin <= k.bin),
+        |mn AS (SELECT bb.bin, iv.jb, min(iv.m) AS mn FROM bins bb
+        |       JOIN iv ON iv.jb <= bb.bin AND iv.kb >= bb.bin
+        |       GROUP BY 1, 2),
+        |iso AS (SELECT bin, max(mn)::BIGINT AS iso_ppm FROM mn GROUP BY 1)
+        |SELECT bins.bin, bins.n, bins.n_pos,
+        |  ((bins.n_pos::HUGEINT * 1000000::HUGEINT)
+        |   // bins.n::HUGEINT)::BIGINT AS rate_ppm,
+        |  iso.iso_ppm
+        |FROM bins JOIN iso USING (bin)""".stripMargin,
 
     // the same ⌈r·N/n⌉ integer target rank; the rank→value lookup is a
     // plain non-equi join here (DuckDB's planner handles it at oracle

@@ -4152,6 +4152,52 @@ object CoreOps {
           * 1000000d) / 1000000d).as("pos_rate"))
   }
 
+  /** Isotonic (PAV) calibration over the calibrationCurve bins — the
+    * curve DIAGNOSES dishonest confidence; this REPAIRS it: the best
+    * monotone fit to the per-bin positive rates, computed by the
+    * closed-form minimax identity iso(i) = max_{j≤i} min_{k≥i}
+    * pooledRate(j..k) (equivalent to pool-adjacent-violators, but
+    * RELATIONAL — no sequential merge loop exists anywhere, so it
+    * distributes trivially). The pooled rates weight by bin mass and
+    * skip absent bins (no mass, identical pooling); each interval rate
+    * enters as ONE truncating decimal div to ppm, and minimax over
+    * already-quantized integers is engine-exact — and provably monotone
+    * for ANY value matrix (min over a shrinking k-set, max over a
+    * growing j-set). Cost: the interval/minimax joins are O(nBins³)
+    * rows over BIN-sized frames — plan constants, broadcast
+    * nested-loops, nothing scales with the corpus beyond
+    * calibrationCurve's one hash agg. Emits per occupied bin
+    * (bin, n, n_pos, rate_ppm, iso_ppm), iso_ppm non-decreasing. */
+  def isotonicCalibration(df: DataFrame, score: String, outcome: Column,
+                          lo: Long, hi: Long, nBins: Int): DataFrame = {
+    val bins = calibrationCurve(df, score, outcome, lo, hi, nBins)
+      .select(col("bin"), col("n"), col("n_pos"))
+      .localCheckpoint(true) // shared: prefix chain, minimax seed, output
+    val pref = orderedPrefixSum(
+        orderedPrefixSum(bins, col("bin"), "bin", "n", "_cn"),
+        col("bin"), "bin", "n_pos", "_cp")
+      .localCheckpoint(true) // shared: both interval endpoints
+    val jSide = pref.select(col("bin").as("_jb"), col("n").as("_jn"),
+      col("n_pos").as("_jp"), col("_cn").as("_jcn"), col("_cp").as("_jcp"))
+    val kSide = pref.select(col("bin").as("_kb"), col("_cn").as("_kcn"),
+      col("_cp").as("_kcp"))
+    val intervals = jSide.join(broadcast(kSide), col("_jb") <= col("_kb"))
+      .select(col("_jb"), col("_kb"),
+        expr("(CAST((_kcp - _jcp + _jp) AS DECIMAL(38,0)) * 1000000)"
+          + " div CAST((_kcn - _jcn + _jn) AS DECIMAL(38,0))")
+          .cast("long").as("_m"))
+    val iso = bins.select(col("bin"))
+      .join(broadcast(intervals),
+        col("_jb") <= col("bin") && col("_kb") >= col("bin"))
+      .groupBy(col("bin"), col("_jb")).agg(min(col("_m")).as("_mn"))
+      .groupBy(col("bin")).agg(max(col("_mn")).as("iso_ppm"))
+    bins.join(iso, Seq("bin"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(CAST(n_pos AS DECIMAL(38,0)) * 1000000)"
+          + " div CAST(n AS DECIMAL(38,0))").cast("long").as("rate_ppm"),
+        col("iso_ppm"))
+  }
+
   /** Post-stratified average treatment effect — the experimentation
     * workhorse between the raw mean diff and CUPED: weight each stratum's
     * treatment−control mean difference by the stratum's share of the

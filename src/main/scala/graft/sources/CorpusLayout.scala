@@ -150,4 +150,46 @@ object CorpusLayout {
       .select(col(path), col(bytes), col("cum_bytes"),
         expr(s"_cb div CAST($targetBytes AS BIGINT)").as("group_id"))
   }
+
+  /** Clustering-depth audit over a file-statistics listing — "how many
+    * files does a point lookup on the sort key actually open?" Each
+    * file's parquet min/max on the key is an interval [lo, hi]; a file's
+    * DEPTH is 1 + the number of OTHER files whose interval overlaps it.
+    * A well-sorted layout reads ~1 file per point; depth drifting toward
+    * N means min/max stats have stopped pruning and a zorderLayout /
+    * compactionPlan rewrite is due — this is the metric that DECIDES
+    * those rewrites, computed from metadata only (the file listing,
+    * never the data). Overlap counting composes
+    * `CoreOps.intervalOverlapJoin` on half-open [lo, hi+1) — cell-grid
+    * equi-join, dedup-free emission, fail-loud `maxCells` span guard —
+    * so no all-pairs product exists even over a million-file listing.
+    * Zero-overlap files are emitted with depth 1 (absence would read as
+    * "not audited"). Emits one row per file (file_id, key_lo, key_hi,
+    * depth). */
+  def clusteringDepth(files: DataFrame, id: String, lo: String, hi: String,
+                      cellSize: Long, maxCells: Int): DataFrame = {
+    val emitted = Seq("file_id", "key_lo", "key_hi", "depth", "_aid", "_alo",
+      "_ahi", "_bid", "_blo", "_bhi", "_n")
+    val clash = Seq(id, lo, hi).filter(emitted.contains)
+    require(clash.isEmpty,
+      s"clusteringDepth emits/uses ${emitted.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")}")
+    val base = files
+      .filter(col(id).isNotNull && col(lo).isNotNull && col(hi).isNotNull
+        && col(lo) <= col(hi))
+      .select(col(id).as("file_id"), col(lo).cast("long").as("key_lo"),
+        col(hi).cast("long").as("key_hi"))
+      .localCheckpoint(true) // shared: both join sides and the output seed
+    val a = base.select(col("file_id").as("_aid"), col("key_lo").as("_alo"),
+      (col("key_hi") + 1L).as("_ahi"))
+    val b = base.select(col("file_id").as("_bid"), col("key_lo").as("_blo"),
+      (col("key_hi") + 1L).as("_bhi"))
+    val overlaps = graft.operators.CoreOps.intervalOverlapJoin(
+        a, "_alo", "_ahi", b, "_blo", "_bhi", cellSize, maxCells)
+      .filter(col("_aid") =!= col("_bid"))
+      .groupBy(col("_aid")).agg(count(lit(1)).as("_n"))
+    base.join(overlaps, base("file_id") === overlaps("_aid"), "left")
+      .select(col("file_id"), col("key_lo"), col("key_hi"),
+        (coalesce(col("_n"), lit(0L)) + 1L).as("depth"))
+  }
 }

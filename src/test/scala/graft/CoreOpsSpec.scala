@@ -1968,4 +1968,24 @@ class CoreOpsSpec extends SparkSpec {
     assert((r.getLong(3), r.getLong(4)) == ((oe, v)))
     assert(r.getLong(5) == oe * oe / v)
   }
+
+  test("isotonicCalibration: the minimax fit equals a hand PAV merge on " +
+      "a violating sequence, and is monotone") {
+    // bin rates (1.0, 0.0, 0.5, 1.0) with equal mass 2 → PAV pools the
+    // first three bins' violations to 0.5 and leaves bin 3 at 1.0
+    val rows = Seq((5L, true), (5L, true), (15L, false), (15L, false),
+      (25L, true), (25L, false), (35L, true), (35L, true))
+      .toDF("score", "y")
+    val got = CoreOps.isotonicCalibration(rows, "score", col("y"),
+        0L, 40L, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 2L, 1000000L, 500000L)),
+      1L -> ((2L, 0L, 0L, 500000L)),
+      2L -> ((2L, 1L, 500000L, 500000L)),
+      3L -> ((2L, 2L, 1000000L, 1000000L))))
+    val iso = got.toSeq.sortBy(_._1).map(_._2._4)
+    assert(iso == iso.sorted) // monotone by construction
+  }
 }

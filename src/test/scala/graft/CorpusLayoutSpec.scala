@@ -149,4 +149,16 @@ class CorpusLayoutSpec extends SparkSpec {
     val e = intercept[Exception](planOf(bad))
     assert(e.getMessage.contains("negative size"))
   }
+
+  test("clusteringDepth: depth = 1 + overlapping others (closed integer " +
+      "intervals), point stats count, inverted stats drop, isolated " +
+      "files emit depth 1") {
+    // 1:[0,10] 2:[5,20] 5:[8,9] mutually overlap; 3:[30,30] is isolated;
+    // 4 has inverted stats and is dropped
+    val files = Seq((1L, 0L, 10L), (2L, 5L, 20L), (3L, 30L, 30L),
+      (4L, 100L, 90L), (5L, 8L, 9L)).toDF("fid", "lo", "hi")
+    val got = CorpusLayout.clusteringDepth(files, "fid", "lo", "hi", 7L, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 1L, 5L -> 3L))
+  }
 }
