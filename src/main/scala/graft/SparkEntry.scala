@@ -90,6 +90,7 @@ object SparkEntry {
   private val KmvK = 64            // KMV sketch size (≈1/√k ≈ 12% rel. error)
   private val DpClamp = 4          // dpRelease per-user contribution bound
   private val DpKMin = 50L         // dpRelease suppression floor
+  private val DpSumClamp = 10000L  // dpSumRelease per-user cents bound
   private val OvCell = 21600000L   // intervalOverlapJoin cell width (6 h)
   private val OvMaxCells = 200     // fail-loud span bound (50 days of cells)
   private val OvTopN = 300         // q_interval_overlap emission cap
@@ -655,6 +656,32 @@ object SparkEntry {
 
   /** Unrolled-CTE twin of Graph.bfsDistances: seeds at dist 0, `rounds`
     * synchronous min/+1 relaxations over the bidirected sourcing edges. */
+  /** q_harmonic's twin: the bfsOracleSql relaxation keyed by (seed,
+    * node), folded to Σ 10⁶ // d per node. */
+  private def harmonicOracleSql(rounds: Int, seedMod: Long): String = {
+    val head =
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey * 2 AS src,
+         |        l_partkey * 2 + 1 AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM sp
+         |      UNION SELECT dst AS src, src AS dst FROM sp),
+         |d0 AS (SELECT DISTINCT l_suppkey * 2 AS seed,
+         |        l_suppkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+         |       FROM lineitem WHERE l_suppkey % $seedMod = 0)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT seed, node, min(dist)::BIGINT AS dist
+         |  FROM (
+         |    SELECT seed, node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} d ON d.node = e.src) GROUP BY 1, 2)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT node, count(*)::BIGINT AS n_reached,
+         |  sum(1000000 // dist)::BIGINT AS harmonic_ppm
+         |FROM d$rounds WHERE dist > 0 GROUP BY 1""".stripMargin
+  }
+
   private def bfsOracleSql(rounds: Int, seedMod: Long): String = {
     val head =
       s"""WITH sp AS (SELECT DISTINCT l_suppkey * 2 AS src,
@@ -2318,6 +2345,15 @@ object SparkEntry {
         Tables.events(s, dir)
           .select(col("user_id"), col("event_type"), col("event_id")),
         "user_id", "event_type", "event_id", DpClamp, DpKMin)),
+    // the SUM release beside the count release: per-user spend totals
+    // clamped into [0, 10000] cents per category (the sum's sensitivity
+    // bound), same gate + seeded-Laplace plumbing at scale clampSum
+    "q_dp_sum" -> ((s, dir) =>
+      CoreOps.dpSumRelease(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "user_id", "event_type", "cents", DpSumClamp, DpKMin)),
     // which event type's spend distribution moved, and how far in cents
     // — the fully-partitioned per-group W1 (group-keyed windows only)
     "q_wasserstein_by_type" -> ((s, dir) => {
@@ -2390,6 +2426,20 @@ object SparkEntry {
     // volume anomaly flags: per-type daily counts through the robust
     // median/MAD detector (integer counts → exact percentiles, the
     // q_outliers argument without the cents scaling)
+    // classical additive decomposition of each type's daily volume:
+    // value = trend (full centered 7-day mean) + seasonal (re-centered
+    // slot means of the detrended series) + residual — the residual is
+    // what q_seasonal_outliers SHOULD score once a ramp exists
+    "q_seasonal_decomp" -> ((s, dir) => {
+      val msCol = unix_millis(col("ts"))
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          ((msCol - pmod(msCol, lit(D))) / lit(D)).cast("long").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      CoreOps.seasonalDecompose(daily, "event_type", "day", "n", 7, 3)
+    }),
     // seasonality-aware volume anomaly: the q_volume_outliers detector
     // with the baseline keyed per (event_type, day-of-week) — a quiet
     // Sunday stops flagging as an outage and a loud Sunday starts
@@ -3313,6 +3363,15 @@ object SparkEntry {
     // min/+1 relaxation, nodes beyond the cap absent by contract
     "q_bfs_dist" -> ((s, dir) =>
       Graph.bfsDistances(bidirected(s, dir), "src", "dst",
+        Tables.lineitem(s, dir)
+          .filter(pmod(col("l_suppkey"), lit(BfsSeedMod)) === 0)
+          .select((col("l_suppkey") * 2).as("node")).distinct(),
+        BfsRounds)),
+    // sampled harmonic centrality from the SAME seed set: per node,
+    // Σ 10⁶ div d(seed, node) over the per-seed distance fields — the
+    // disconnection-safe closeness a 100 TB graph can actually afford
+    "q_harmonic" -> ((s, dir) =>
+      Graph.harmonicCentrality(bidirected(s, dir), "src", "dst",
         Tables.lineitem(s, dir)
           .filter(pmod(col("l_suppkey"), lit(BfsSeedMod)) === 0)
           .select((col("l_suppkey") * 2).as("node")).distinct(),
@@ -7094,6 +7153,31 @@ object SparkEntry {
          |  n_clamped * 1000000 + $DpClamp * sgn * lap AS released_ppm
          |FROM l""".stripMargin,
 
+    // per-user totals clamped into [0, clampSum], gate, the same seeded
+    // noise at scale clampSum (salt 'dps')
+    "q_dp_sum" ->
+      s"""WITH pu AS (SELECT user_id, event_type,
+         |        sum(floor(value * 100)::BIGINT)::BIGINT AS t
+         |      FROM events
+         |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |        AND value IS NOT NULL
+         |      GROUP BY 1, 2),
+         |c AS (SELECT event_type, count(*)::BIGINT AS n_users,
+         |        sum(least(greatest(t, 0), $DpSumClamp))::BIGINT
+         |          AS sum_clamped
+         |      FROM pu GROUP BY 1 HAVING count(*) >= $DpKMin),
+         |n AS (SELECT event_type, n_users, sum_clamped,
+         |        ${sqlMd5Int("(event_type || 'dps')")} - 2147483648 AS v
+         |      FROM c),
+         |l AS (SELECT event_type, n_users, sum_clamped,
+         |        CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn,
+         |        (floor(ln(2147483648.0) * 1000000)::BIGINT
+         |         - floor(ln((abs(v) + 1)::DOUBLE) * 1000000)::BIGINT) AS lap
+         |      FROM n)
+         |SELECT event_type, n_users, sum_clamped, sgn * lap AS noise_ppm,
+         |  sum_clamped * 1000000 + $DpSumClamp * sgn * lap AS released_ppm
+         |FROM l""".stripMargin,
+
     // per-type W1: the same integrand with every window keyed by the
     // group — cumulatives, lead, and totals all partitioned
     "q_wasserstein_by_type" ->
@@ -7281,6 +7365,36 @@ object SparkEntry {
          |FROM s""".stripMargin,
 
     // q_outliers' skeleton over per-type daily counts
+    // the centered full-window moving mean, detrended slot means
+    // re-centered per key, residual by the ppm identity — all
+    // truncating integer divs
+    "q_seasonal_decomp" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |        count(*)::BIGINT AS n
+        |      FROM events
+        |      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |      GROUP BY 1, 2),
+        |t AS (SELECT *, sum(n) OVER w::BIGINT AS wsum,
+        |        count(*) OVER w::BIGINT AS wcnt
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT event_type, day, n,
+        |        (wsum * 1000000) // 7 AS trend_ppm,
+        |        n * 1000000 - (wsum * 1000000) // 7 AS det
+        |      FROM t WHERE wcnt = 7),
+        |sl AS (SELECT event_type, day % 7 AS slot, sum(det)::BIGINT AS ssum,
+        |        count(*)::BIGINT AS scnt FROM f GROUP BY 1, 2),
+        |sr AS (SELECT event_type, slot, ssum // scnt AS sraw FROM sl),
+        |ka AS (SELECT event_type, sum(sraw)::BIGINT AS ssum,
+        |        count(*)::BIGINT AS nc FROM sr GROUP BY 1),
+        |se AS (SELECT sr.event_type, sr.slot,
+        |        (sr.sraw - (ka.ssum // ka.nc))::BIGINT AS seasonal_ppm
+        |      FROM sr JOIN ka USING (event_type))
+        |SELECT f.event_type, f.day, f.day % 7 AS slot, f.n, f.trend_ppm,
+        |  se.seasonal_ppm, (f.det - se.seasonal_ppm)::BIGINT AS residual_ppm
+        |FROM f JOIN se ON se.event_type = f.event_type
+        |  AND se.slot = f.day % 7""".stripMargin,
+
     // the q_volume_outliers chain with the baseline keyed per
     // (event_type, day-of-week)
     "q_seasonal_outliers" ->
@@ -7580,6 +7694,7 @@ object SparkEntry {
     "q_communities_weighted_modularity" ->
       lpaWeightedModularityOracleSql(LpaIters),
     "q_bfs_dist" -> bfsOracleSql(BfsRounds, BfsSeedMod),
+    "q_harmonic" -> harmonicOracleSql(BfsRounds, BfsSeedMod),
     "q_ppr" -> pprOracleSql(PrIters, PrScale, BfsSeedMod),
     "q_pagerank_weighted" -> pagerankWeightedOracleSql(WprIters, PrScale),
     "q_textrank" -> textRankOracleSql(WprIters, PrScale, TextRankTopK),

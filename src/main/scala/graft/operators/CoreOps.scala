@@ -1131,6 +1131,71 @@ object CoreOps {
         (col("_hz").cast("double") / 1000000000000d).as("cum_hazard"))
   }
 
+  /** Additive seasonal decomposition (the classical moving-average
+    * method; STL's deterministic ancestor) of each key's per-period
+    * count series: value = trend + seasonal + residual. Trend is the
+    * centered (2h+1)-row moving average (emitted only where the window
+    * is FULL — a partial edge window would fake a trend); seasonal is
+    * the per-slot mean of the detrended series re-centered to sum ~0
+    * across slots (slot = period index % `period` — integer slots, no
+    * calendar dependency); the residual is what an anomaly detector
+    * should actually score (q_seasonal_outliers flags against a slot
+    * baseline; this REMOVES trend first, so a ramp doesn't masquerade
+    * as seasonality). All arithmetic exact: the moving sum and slot
+    * sums are BIGINT, each mean is ONE truncating div to ppm, the
+    * decomposition identity holds in ppm integers by construction
+    * (residual := value·10⁶ − trend − seasonal). Shapes: one
+    * key-PARTITIONED rows-window, one (key, slot) agg, one key agg,
+    * two joins back — scale-clean; rows-windows assume the per-key
+    * series is CONTIGUOUS on `idx` (build it from a dense grid;
+    * gaps make the "centered" window lie). Emits
+    * (key, idx, slot, n, trend_ppm, seasonal_ppm, residual_ppm) for
+    * full-window rows. */
+  def seasonalDecompose(df: DataFrame, key: String, idx: String,
+                        value: String, period: Int, half: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(half >= 1, s"half must be >= 1, got $half")
+    requireIntegralCols(df, Seq(idx, value), "seasonalDecompose")
+    val emitted = Seq("slot", "trend_ppm", "seasonal_ppm",
+      "residual_ppm", "_w", "_cnt", "_det", "_sraw", "_scnt", "_ssum",
+      "_savg", "_k", "_n")
+    val clash = Seq(key, idx, value).filter(emitted.contains)
+    require(clash.isEmpty,
+      s"seasonalDecompose emits/uses ${emitted.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")}")
+    val span = 2 * half + 1
+    val w = Window.partitionBy(col(key)).orderBy(col(idx))
+      .rowsBetween(-half, half)
+    val trended = df
+      .filter(col(key).isNotNull && col(idx).isNotNull
+        && col(value).isNotNull)
+      .withColumn("_w", sum(col(value)).over(w))
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .filter(col("_cnt") === span)
+      .withColumn("trend_ppm",
+        expr(s"(_w * CAST(1000000 AS BIGINT)) div $span"))
+      .withColumn("_det",
+        col(value) * 1000000L - col("trend_ppm"))
+      .localCheckpoint(true) // shared: slot means and the output join
+    val slot = pmod(col(idx), lit(period.toLong))
+    val bySlot = trended.groupBy(col(key).as("_k"), slot.as("slot"))
+      .agg(sum(col("_det")).as("_ssum"), count(lit(1)).as("_scnt"))
+      .withColumn("_sraw", expr("_ssum div _scnt"))
+      .localCheckpoint(true) // shared: the key-mean and the slot join
+    val byKey = bySlot.groupBy(col("_k"))
+      .agg(sum(col("_sraw")).as("_savg"), count(lit(1)).as("_n"))
+      .select(col("_k"), expr("_savg div _n").as("_savg"))
+    val seasonal = bySlot.join(byKey, Seq("_k"))
+      .select(col("_k"), col("slot"),
+        (col("_sraw") - col("_savg")).as("seasonal_ppm"))
+    val out = trended.withColumn("slot", slot)
+    out.join(seasonal,
+        out(key) === seasonal("_k") && out("slot") === seasonal("slot"))
+      .select(out(key), out(idx), out("slot"),
+        out(value), col("trend_ppm"), col("seasonal_ppm"),
+        (col("_det") - col("seasonal_ppm")).as("residual_ppm"))
+  }
+
   /** Two-sample log-rank test (Mantel 1966) — "do these two cohorts CHURN
     * DIFFERENTLY?", answered over the whole survival curve instead of one
     * moment: at every pooled death time t, compare group A's observed
@@ -4298,6 +4363,52 @@ object CoreOps {
         (when(v < 0, -1L).otherwise(1L) * lap).as("noise_ppm"),
         (col("n_clamped") * 1000000L
           + lit(clamp.toLong) * when(v < 0, -1L).otherwise(1L) * lap)
+          .as("released_ppm"))
+  }
+
+  /** dpRelease's SUM sibling: release per-category value TOTALS with the
+    * same three production mechanics — per-user contribution bounding
+    * (each user's per-category total clamps into [0, clampSum]: the
+    * sensitivity bound a sum release needs where a count release needs
+    * a row cap), the kMin contributor gate, and Laplace-calibrated
+    * additive noise at scale b = clampSum/ε, ε = 1. Same HONESTY
+    * CONTRACT as dpRelease: the noise is the seeded inverse-CDF draw
+    * (engine-replayable test harness for the plumbing, NOT a private
+    * mechanism — deploy swaps in a CSPRNG; clamp, gate and calibration
+    * are the production path). released_ppm = Σclamped·10⁶ +
+    * clampSum·noise_ppm, all exact BIGINT (ANSI fails loud on
+    * overflow). Shapes: one (user, category) agg, one category agg —
+    * output O(categories). Emits (category, n_users, sum_clamped,
+    * noise_ppm, released_ppm). */
+  def dpSumRelease(df: DataFrame, user: String, category: String,
+                   value: String, clampSum: Long, kMin: Long,
+                   salt: String = "dps"): DataFrame = {
+    require(clampSum >= 1, s"clampSum must be >= 1, got $clampSum")
+    require(kMin >= 1, s"kMin must be >= 1, got $kMin")
+    requireIntegralCols(df, Seq(value), "dpSumRelease")
+    val emitted = Seq("n_users", "sum_clamped", "noise_ppm", "released_ppm",
+      "_t", "_c", "_v")
+    val clash = Seq(user, category, value).filter(emitted.contains)
+    require(clash.isEmpty,
+      s"dpSumRelease emits/uses ${emitted.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")}")
+    val h = graft.expressions.Md5Expressions
+      .md5Int(concat(col(category).cast("string"), lit(salt)))
+    val v = h - lit(2147483648L)
+    val lap = (floor(log(lit(2147483648.0)) * 1000000d)
+      - floor(log((abs(v) + 1L).cast("double")) * 1000000d)).cast("long")
+    val signedLap = when(v < 0, -1L).otherwise(1L) * lap
+    df.filter(col(user).isNotNull && col(category).isNotNull
+        && col(value).isNotNull)
+      .groupBy(col(user), col(category))
+      .agg(sum(col(value)).as("_t"))
+      .withColumn("_c", least(greatest(col("_t"), lit(0L)), lit(clampSum)))
+      .groupBy(col(category))
+      .agg(count(lit(1)).as("n_users"), sum(col("_c")).as("sum_clamped"))
+      .filter(col("n_users") >= kMin)
+      .select(col(category), col("n_users"), col("sum_clamped"),
+        signedLap.as("noise_ppm"),
+        (col("sum_clamped") * 1000000L + lit(clampSum) * signedLap)
           .as("released_ppm"))
   }
 

@@ -458,6 +458,62 @@ object Graph {
     dist
   }
 
+  /** Per-seed BFS hop distances — bfsDistances keyed by (seed, node)
+    * instead of collapsed to the min over seeds, so each seed's whole
+    * distance field survives (what closeness/harmonic estimators and
+    * landmark-distance features consume). Same exact min/+1 integer
+    * relaxation, fixed `rounds`, per-4-rounds checkpoint; state is
+    * O(|seeds|·|V|) rows — pick the seed sample accordingly (this is
+    * the Boldi-Vigna sampling regime: a handful of seeds estimates
+    * centralities on a 100 TB graph where the all-pairs field cannot
+    * exist). Emits (seed, node, dist ≤ rounds). */
+  def bfsDistancesPerSeed(edges: DataFrame, src: String, dst: String,
+                          seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1,50], got $rounds")
+    require(seeds.columns.sameElements(Array("node")),
+      s"seeds must have exactly one column 'node'; got " +
+        seeds.columns.mkString(", "))
+    val emitted = Seq("seed", "node", "dist", "_src", "_dst")
+    require(!emitted.contains(src) && !emitted.contains(dst),
+      s"bfsDistancesPerSeed emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
+    val e = edges
+      .select(col(src).as("_src"), col(dst).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var dist = seeds.filter(col("node").isNotNull).distinct()
+      .select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+    for (i <- 1 to rounds) {
+      val relaxed = e.join(dist, e("_src") === dist("node"))
+        .select(col("seed"), col("_dst").as("node"),
+          (col("dist") + 1L).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+      if (i % 4 == 0 && i < rounds) dist = dist.localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Sampled harmonic centrality (Boldi & Vigna 2014): per node, the sum
+    * of reciprocal hop distances FROM the seed sample,
+    * H(v) = Σ_{s: 0 < d(s,v) ≤ rounds} 1/d(s,v) — the centrality that
+    * stays well-defined on disconnected graphs (unreachable seeds
+    * contribute zero, not infinity, unlike closeness). Exact integer:
+    * each reciprocal enters as 10⁶ div d, the per-node sum is BIGINT.
+    * One bfsDistancesPerSeed run + one node-keyed agg; n_reached makes
+    * the sample coverage visible beside the score. Nodes no seed
+    * reaches within `rounds` are absent (unmeasured, not zero). Emits
+    * (node, n_reached, harmonic_ppm). */
+  def harmonicCentrality(edges: DataFrame, src: String, dst: String,
+                         seeds: DataFrame, rounds: Int): DataFrame =
+    bfsDistancesPerSeed(edges, src, dst, seeds, rounds)
+      .filter(col("dist") > 0L)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("CAST(1000000 AS BIGINT) div dist")).as("harmonic_ppm"))
+
   /** Global triangle census of an undirected graph — node/edge/wedge/triangle
     * counts plus the global clustering coefficient, the structure summary
     * that says whether a similarity graph is clumpy (communities, duplicate

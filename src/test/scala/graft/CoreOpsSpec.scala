@@ -1988,4 +1988,46 @@ class CoreOpsSpec extends SparkSpec {
     val iso = got.toSeq.sortBy(_._1).map(_._2._4)
     assert(iso == iso.sorted) // monotone by construction
   }
+
+  test("seasonalDecompose: an alternating series decomposes to zero " +
+      "residual everywhere; edge rows without a full window drop") {
+    // v(i) = 10 if i even else 20, period 2, half 1 → pure seasonality
+    val rows = (0L to 13L).map(i => ("k", i, if (i % 2 == 0) 10L else 20L))
+      .toDF("key", "idx", "v")
+    val got = CoreOps.seasonalDecompose(rows, "key", "idx", "v", 2, 1)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.size == 12 && !got.contains(0L) && !got.contains(13L))
+    // odd idx: window sum 40 → trend 13333333, seasonal +6666667
+    assert(got(1L) == ((1L, 13333333L, 6666667L, 0L)))
+    // even idx: window sum 50 → trend 16666666, seasonal −6666666
+    assert(got(2L) == ((0L, 16666666L, -6666666L, 0L)))
+    assert(got.values.forall(_._4 == 0L)) // residual-free by construction
+  }
+
+  test("dpSumRelease: per-user totals clamp into [0, clampSum], the " +
+      "contributor gate suppresses, and the seeded noise replays") {
+    val rows = Seq(
+      (1L, "a", 6000L), (1L, "a", 7000L), // u1 total 13000 → clamp 10000
+      (2L, "a", -500L),                   // u2 total −500 → clamp 0
+      (1L, "b", 42L),                     // single contributor → suppressed
+      (1L, "c", 3000L), (2L, "c", 4000L)
+    ).toDF("user", "cat", "cents")
+    val got = CoreOps.dpSumRelease(rows, "user", "cat", "cents", 10000L, 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def noise(cat: String): Long = {
+      val h = graft.expressions.Md5Hash.first32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(cat + "dps"))
+      val v = h - 2147483648L
+      val lap = math.floor(math.log(2147483648.0) * 1e6).toLong -
+        math.floor(math.log(math.abs(v).toDouble + 1) * 1e6).toLong
+      (if (v < 0) -1L else 1L) * lap
+    }
+    assert(got.keySet == Set("a", "c"))
+    assert(got("a") == ((2L, 10000L, noise("a"),
+      10000L * 1000000L + 10000L * noise("a"))))
+    assert(got("c") == ((2L, 7000L, noise("c"),
+      7000L * 1000000L + 10000L * noise("c"))))
+  }
 }

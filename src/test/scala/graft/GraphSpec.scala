@@ -526,4 +526,23 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("iters"))
   }
+
+  test("harmonicCentrality: reciprocal-distance sums over per-seed BFS " +
+      "fields on a bidirected path; seed self-distance excluded, " +
+      "unreached nodes absent") {
+    // path 1—2—3 (both directions), seeds {1, 3}, cap 3
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "d")
+    val seeds = Seq(1L, 3L).toDF("node")
+    val perSeed = Graph.bfsDistancesPerSeed(edges, "s", "d", seeds, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(perSeed == Set((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L),
+      (3L, 3L, 0L), (3L, 2L, 1L), (3L, 1L, 2L)))
+    val got = Graph.harmonicCentrality(edges, "s", "d", seeds, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 500000L)),  // only seed 3 at distance 2
+      2L -> ((2L, 2000000L)), // both seeds at distance 1
+      3L -> ((1L, 500000L))))
+  }
 }

@@ -172,4 +172,25 @@ class RecoverySpec extends SparkSpec {
       s"restart re-initialized the bucket (admitted): $batch2Row")
     assert(rec.size == 3)
   }
+
+  test("kmvSnapshots restores the k-minima set across a restart: a " +
+      "post-restart duplicate leaves the sketch unchanged, which only a " +
+      "restored state can know") {
+    val batch1 = Seq(
+      ValuedEvent("k", 0, 1, 11), ValuedEvent("k", 1000, 2, 22),
+      ValuedEvent("k", 2000, 3, 33))
+    val batch2 = Seq(
+      ValuedEvent("k", 3000, 4, 11)) // duplicate of a batch-1 value: the
+                                     // final sketch must NOT move, and
+                                     // n_events must continue at 4 — a
+                                     // lost state would emit n_events 1
+                                     // with a 1-element sketch
+    val (rec, straight) = recoveredVsStraight(batch1, batch2)(df =>
+      StateMachines.kmvSnapshots(df.as[ValuedEvent], 2))
+    // one snapshot per generation; the FINAL (n_events=4) row must be
+    // byte-identical to the uninterrupted run's single row
+    assert(rec.filter(_.startsWith("[k,4,")) == straight,
+      s"post-restart sketch diverged: $rec vs $straight")
+    assert(rec.size == 2)
+  }
 }
