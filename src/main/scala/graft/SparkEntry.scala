@@ -682,6 +682,68 @@ object SparkEntry {
          |FROM d$rounds WHERE dist > 0 GROUP BY 1""".stripMargin
   }
 
+  /** q_betweenness's twin: the harmonicOracleSql distance chain, the
+    * shortest-path DAG, σ forward per level, δ backward per level —
+    * every δ term the same truncating HUGEINT div the Spark
+    * decimal(38,0) runs. */
+  private def betweennessOracleSql(rounds: Int, seedMod: Long): String = {
+    val head =
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey * 2 AS src,
+         |        l_partkey * 2 + 1 AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM sp
+         |      UNION SELECT dst AS src, src AS dst FROM sp),
+         |d0 AS (SELECT DISTINCT l_suppkey * 2 AS seed,
+         |        l_suppkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+         |       FROM lineitem WHERE l_suppkey % $seedMod = 0)""".stripMargin
+    val distSteps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT seed, node, min(dist)::BIGINT AS dist
+         |  FROM (
+         |    SELECT seed, node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} d ON d.node = e.src) GROUP BY 1, 2)""".stripMargin
+    }
+    val dag =
+      s"""dg AS MATERIALIZED (SELECT du.seed, e.src AS u, e.dst AS v,
+         |    dv.dist AS dv
+         |  FROM e JOIN d$rounds du ON du.node = e.src
+         |  JOIN d$rounds dv ON dv.node = e.dst AND dv.seed = du.seed
+         |  WHERE dv.dist = du.dist + 1),
+         |s0 AS (SELECT seed, node, 1::HUGEINT AS sig FROM d$rounds
+         |       WHERE dist = 0)""".stripMargin
+    val sigSteps = (1 to rounds).map { d =>
+      s"""s$d AS MATERIALIZED (SELECT dg.seed, dg.v AS node,
+         |    sum(su.sig)::HUGEINT AS sig
+         |  FROM dg JOIN s${d - 1} su ON su.seed = dg.seed AND su.node = dg.u
+         |  WHERE dg.dv = $d GROUP BY 1, 2)""".stripMargin
+    }
+    val sigAll = "sa AS MATERIALIZED (" +
+      (0 to rounds).map(d => s"SELECT * FROM s$d").mkString(" UNION ALL ") +
+      ")"
+    val deltaInit =
+      s"""dl${rounds + 1} AS (SELECT seed, node, dist, CAST(0 AS BIGINT)
+         |  AS del FROM d$rounds)""".stripMargin
+    val deltaSteps = (rounds to 1 by -1).map { d =>
+      s"""c$d AS (SELECT dg.seed, dg.u AS node,
+         |    sum((su.sig * (1000000::HUGEINT + dlv.del::HUGEINT))
+         |        // sv.sig)::BIGINT AS c
+         |  FROM dg
+         |  JOIN sa su ON su.seed = dg.seed AND su.node = dg.u
+         |  JOIN sa sv ON sv.seed = dg.seed AND sv.node = dg.v
+         |  JOIN dl${d + 1} dlv ON dlv.seed = dg.seed AND dlv.node = dg.v
+         |  WHERE dg.dv = $d GROUP BY 1, 2),
+         |dl$d AS MATERIALIZED (SELECT dl.seed, dl.node, dl.dist,
+         |    (dl.del + COALESCE(c.c, 0))::BIGINT AS del
+         |  FROM dl${d + 1} dl LEFT JOIN c$d c
+         |    ON c.seed = dl.seed AND c.node = dl.node)""".stripMargin
+    }
+    (Seq(head) ++ distSteps ++ Seq(dag) ++ sigSteps ++ Seq(sigAll)
+      ++ Seq(deltaInit) ++ deltaSteps).mkString(",\n") +
+      s"""
+         |SELECT node, sum(del)::BIGINT AS bc_ppm
+         |FROM dl1 WHERE dist > 0 GROUP BY 1""".stripMargin
+  }
+
   private def bfsOracleSql(rounds: Int, seedMod: Long): String = {
     val head =
       s"""WITH sp AS (SELECT DISTINCT l_suppkey * 2 AS src,
@@ -3372,6 +3434,16 @@ object SparkEntry {
     // disconnection-safe closeness a 100 TB graph can actually afford
     "q_harmonic" -> ((s, dir) =>
       Graph.harmonicCentrality(bidirected(s, dir), "src", "dst",
+        Tables.lineitem(s, dir)
+          .filter(pmod(col("l_suppkey"), lit(BfsSeedMod)) === 0)
+          .select((col("l_suppkey") * 2).as("node")).distinct(),
+        BfsRounds)),
+    // sampled Brandes betweenness from the same seeds: σ forward, δ
+    // backward over each seed's shortest-path DAG, every δ term a
+    // truncating decimal div to ppm — the bridge/broker gauge degree
+    // and PageRank both miss
+    "q_betweenness" -> ((s, dir) =>
+      Graph.betweennessSampled(bidirected(s, dir), "src", "dst",
         Tables.lineitem(s, dir)
           .filter(pmod(col("l_suppkey"), lit(BfsSeedMod)) === 0)
           .select((col("l_suppkey") * 2).as("node")).distinct(),
@@ -7695,6 +7767,7 @@ object SparkEntry {
       lpaWeightedModularityOracleSql(LpaIters),
     "q_bfs_dist" -> bfsOracleSql(BfsRounds, BfsSeedMod),
     "q_harmonic" -> harmonicOracleSql(BfsRounds, BfsSeedMod),
+    "q_betweenness" -> betweennessOracleSql(BfsRounds, BfsSeedMod),
     "q_ppr" -> pprOracleSql(PrIters, PrScale, BfsSeedMod),
     "q_pagerank_weighted" -> pagerankWeightedOracleSql(WprIters, PrScale),
     "q_textrank" -> textRankOracleSql(WprIters, PrScale, TextRankTopK),

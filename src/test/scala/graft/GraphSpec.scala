@@ -545,4 +545,28 @@ class GraphSpec extends SparkSpec {
       2L -> ((2L, 2000000L)), // both seeds at distance 1
       3L -> ((1L, 500000L))))
   }
+
+  test("betweennessSampled: hand Brandes on a diamond — two equal paths " +
+      "split the dependency, endpoints score zero, seed runs sum") {
+    // diamond 1—2—4, 1—3—4 (bidirected)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    // one seed: σ(4) = 2, so 2 and 3 each carry half a dependency
+    val one = Graph.betweennessSampled(edges, "s", "d",
+        Seq(1L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(2L -> 500000L, 3L -> 500000L, 4L -> 0L))
+    // both ends as seeds: the symmetric runs sum; endpoints stay 0
+    val both = Graph.betweennessSampled(edges, "s", "d",
+        Seq(1L, 4L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(both == Map(1L -> 0L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 0L))
+    // a funnel: path 1—2—3 plus 2—5; node 2 brokers EVERY path from 1
+    val p = Seq((1L, 2L), (2L, 3L), (2L, 5L))
+    val pe = (p ++ p.map(_.swap)).toDF("s", "d")
+    val fun = Graph.betweennessSampled(pe, "s", "d",
+        Seq(1L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fun == Map(2L -> 2000000L, 3L -> 0L, 5L -> 0L))
+  }
 }
