@@ -2773,6 +2773,11 @@ object SparkEntry {
     // plain doubles make partitioning-dependent
     "q_chi2" -> ((s, dir) =>
       CoreOps.chiSquareIndependence(typeByDow(s, dir), "event_type", "dow")),
+    // WHERE the association lives: per-cell adjusted Pearson residuals
+    // over the same contingency — ~N(0,1) under independence, |r|>2 is
+    // the cell to investigate
+    "q_chi2_residuals" -> ((s, dir) =>
+      CoreOps.chiSquareResiduals(typeByDow(s, dir), "event_type", "dow")),
     // the [0,1]-normalized effect size over the same contingency table:
     // division and square root are correctly-rounded IEEE ops, so the
     // engines agree bit-for-bit (ln/exp could not promise this)
@@ -7820,6 +7825,23 @@ object SparkEntry {
     // same rational per-cell formula, same left-assoc double pipeline,
     // same integer micro-unit summation
     "q_chi2" -> s"$chi2OracleCte\nSELECT n, dof, chi2 FROM agg",
+
+    // the per-cell drill-down: the same margins, ONE fixed double chain
+    // per cell (num/n/sqrt(e*(1-r/n)*(1-c/n))), trunc6'd
+    "q_chi2_residuals" ->
+      s"""$chi2OracleCte
+         |SELECT cells.a AS event_type, cells.b AS dow, o AS n_obs,
+         |  floor((rr::HUGEINT * cc::HUGEINT)::DOUBLE / n::DOUBLE
+         |        * 1000000) / 1000000 AS expected,
+         |  CASE WHEN (1 - rr::DOUBLE / n::DOUBLE) > 0
+         |        AND (1 - cc::DOUBLE / n::DOUBLE) > 0 THEN
+         |    floor((o::HUGEINT * n::HUGEINT
+         |           - rr::HUGEINT * cc::HUGEINT)::DOUBLE / n::DOUBLE
+         |      / sqrt((rr::HUGEINT * cc::HUGEINT)::DOUBLE / n::DOUBLE
+         |             * (1 - rr::DOUBLE / n::DOUBLE)
+         |             * (1 - cc::DOUBLE / n::DOUBLE)) * 1000000) / 1000000
+         |  END AS adj_residual
+         |FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN t""".stripMargin,
 
     // the same pipeline plus one correctly-rounded divide and sqrt —
     // operand order mirrors CoreOps.cramersV exactly

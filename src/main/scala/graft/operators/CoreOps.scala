@@ -2616,6 +2616,46 @@ object CoreOps {
         col("_na"), col("_nb"))
   }
 
+  /** Adjusted (standardized) Pearson residual per contingency CELL —
+    * chi2 says THAT type and day-of-week associate; this says WHERE:
+    * r̃ᵢⱼ = (O−E)/√(E·(1−rᵢ/n)·(1−cⱼ/n)) is ~N(0,1) under independence
+    * (Agresti), so |r̃| > 2 reads directly as "this cell drives the
+    * association" — the drill-down a significant q_chi2 demands. Same
+    * one-cell-agg + two-margin-join + 1-row-broadcast plan as
+    * chiSquareIndependence; the exact integer products ride
+    * decimal(38,0) into ONE fixed double chain per cell (num/n/√(...)),
+    * trunc6'd — floor of an identical IEEE double is identical on every
+    * engine, negative residuals included. Degenerate margins (a row or
+    * column owning the whole table) emit NULL, not ±∞. Emits one row
+    * per cell (a, b, n_obs, expected, adj_residual). */
+  def chiSquareResiduals(df: DataFrame, a: String, b: String): DataFrame = {
+    require(a != b, s"chi-square needs two distinct columns, got '$a' twice")
+    val emitted = Seq("n_obs", "expected", "adj_residual", "n", "_o", "_r",
+      "_c")
+    require(!emitted.contains(a) && !emitted.contains(b),
+      s"chiSquareResiduals emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
+    val cells = df.filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a), col(b)).agg(count(lit(1)).as("_o"))
+      .localCheckpoint(true) // shared by margins and the cell pass
+    val rows = cells.groupBy(col(a)).agg(sum(col("_o")).as("_r"))
+    val colsM = cells.groupBy(col(b)).agg(sum(col("_o")).as("_c"))
+    val tot = cells.groupBy().agg(sum(col("_o")).as("n"))
+    val dec = "decimal(38,0)"
+    val nd = col("n").cast("double")
+    val num = (col("_o").cast(dec) * col("n").cast(dec)
+      - col("_r").cast(dec) * col("_c").cast(dec)).cast("double")
+    val e = (col("_r").cast(dec) * col("_c").cast(dec)).cast("double") / nd
+    val oneR = lit(1d) - col("_r").cast("double") / nd
+    val oneC = lit(1d) - col("_c").cast("double") / nd
+    cells.join(rows, Seq(a)).join(colsM, Seq(b)).crossJoin(broadcast(tot))
+      .select(col(a), col(b), col("_o").as("n_obs"),
+        (floor(e * 1000000d) / 1000000d).as("expected"),
+        when(oneR > 0d && oneC > 0d,
+          floor(num / nd / sqrt(e * oneR * oneC) * 1000000d) / 1000000d)
+          .as("adj_residual"))
+  }
+
   /** Per-group min-max feature scaling: x ↦ (x − min)/(max − min),
     * trunc6'd — the normalization step before mixing heterogeneous score
     * columns. One grouped min/max aggregate (O(groups) rows, broadcast

@@ -2030,4 +2030,25 @@ class CoreOpsSpec extends SparkSpec {
     assert(got("c") == ((2L, 7000L, noise("c"),
       7000L * 1000000L + 10000L * noise("c"))))
   }
+
+  test("chiSquareResiduals: adjusted residuals on a symmetric 2x2 against " +
+      "the closed form; signs mirror; expected counts exact") {
+    // cells x0=3 x1=1 y0=1 y1=3 → E = 2 everywhere, adj = ±√2
+    val rows = (Seq.fill(3)(("x", 0L)) ++ Seq(("x", 1L)) ++ Seq(("y", 0L))
+      ++ Seq.fill(3)(("y", 1L))).toDF("a", "b")
+    val got = CoreOps.chiSquareResiduals(rows, "a", "b")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // the operator's own IEEE chain: num/n / sqrt(e·(1−r/n)·(1−c/n))
+    val den = math.sqrt(2.0 * 0.5 * 0.5)
+    val pos = math.floor(8.0 / 8.0 / den * 1e6) / 1e6
+    val neg = math.floor(-8.0 / 8.0 / den * 1e6) / 1e6
+    assert(got == Map(
+      ("x", 0L) -> ((3L, 2.0, pos)), ("x", 1L) -> ((1L, 2.0, neg)),
+      ("y", 0L) -> ((1L, 2.0, neg)), ("y", 1L) -> ((3L, 2.0, pos))))
+    // a degenerate single-column table → NULL residuals, not ±∞
+    val degen = Seq(("x", 0L), ("y", 0L)).toDF("a", "b")
+    assert(CoreOps.chiSquareResiduals(degen, "a", "b").collect()
+      .forall(_.isNullAt(4)))
+  }
 }
