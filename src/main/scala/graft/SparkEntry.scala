@@ -1415,6 +1415,19 @@ object SparkEntry {
     // covariance pass, then 10 exact-integer power-iteration rounds on
     // the d²-row matrix frame (corpus never re-read)
     "q_pca_power" -> ((s, dir) => pcaShared(s, dir)._2),
+    // the per-vector reading of that axis: exact-integer projections,
+    // flagged past 3σ — the along-axis extremes an embedding pipeline
+    // quarantines first
+    "q_pca_outliers" -> ((s, dir) =>
+      Similarity.projectionOutliers(Tables.embeddings(s, dir), "vec_id",
+        "embedding", pcaShared(s, dir)._2, 3)),
+    // contrastive hard negatives for the audit anchors: the most-similar
+    // cross-label corpus vectors, margin visible beside the pick
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 32),
+        "vec_id", "embedding", "label", 3)
+    }),
     // its Rayleigh-quotient share of trace(C) — the mode-collapse axis
     // gauge behind q_embed_diversity's mean-distance number
     "q_pca_explained" -> ((s, dir) => {
@@ -2992,6 +3005,15 @@ object SparkEntry {
         Tables.events(s, dir).select(col("user_id"), col("event_type")),
         pmod(col("user_id"), lit(2)) === 0,
         col("event_type") === "purchase")),
+    // the COUNT-outcome companion to q_ab_test: purchases per active
+    // user-day between the same arms — qlog-exact ln RR, delta-method z
+    "q_rate_ratio" -> ((s, dir) =>
+      Eval.rateRatioTest(
+        Tables.events(s, dir).filter(col("user_id").isNotNull),
+        pmod(col("user_id"), lit(2)) === 0,
+        col("event_type") === "purchase",
+        concat(col("user_id").cast("string"), lit(":"),
+          expr("unix_millis(ts) div 86400000").cast("string")))),
     // Welch's unequal-variance t² between the same cohorts' spend cents:
     // both slices' moment sums in ONE conditional-count pass (no join),
     // exact decimal accumulation, then the fixed mirrored double chain
@@ -5754,6 +5776,80 @@ object SparkEntry {
     "q_pca_power" ->
       s"""${pcaOracleCtes(PcaIters)}
          |SELECT dim, w::BIGINT AS loading_ppm FROM v$PcaIters""".stripMargin,
+
+    // exact-integer projections onto the round-final direction, flagged
+    // past 3σ by the same fixed double chain
+    "q_pca_outliers" ->
+      s"""${pcaOracleCtes(PcaIters)},
+         |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |       WHERE embedding IS NOT NULL),
+         |pj AS (SELECT e2.vec_id,
+         |        sum(floor(e2.v[g.i + 1] * 1000000)::BIGINT
+         |            * vv.w::BIGINT)::BIGINT AS proj
+         |      FROM e2 CROSS JOIN gs g
+         |      JOIN v$PcaIters vv ON vv.dim = g.i GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n,
+         |        sum(proj::HUGEINT)::HUGEINT AS s,
+         |        sum(proj::HUGEINT * proj::HUGEINT)::HUGEINT AS ss
+         |      FROM pj),
+         |s2 AS (SELECT n, s::DOUBLE / n::DOUBLE AS mu,
+         |        ss::DOUBLE / n::DOUBLE
+         |          - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE) AS vr
+         |      FROM st)
+         |SELECT pj.vec_id, pj.proj AS proj_scaled,
+         |  vr > 0 AND abs(pj.proj::DOUBLE - mu) > 3 * sqrt(vr)
+         |    AS is_outlier
+         |FROM pj, s2""".stripMargin,
+
+    // bruteForceTopK's exact ranking restricted to cross-label pairs
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |        label AS ql FROM embeddings
+         |      WHERE vec_id < 32 AND label IS NOT NULL),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        ${sqlCosine("q.qe", "e.embedding")} AS score
+         |      FROM q, embeddings e
+         |      WHERE e.vec_id <> q.query_id AND e.label IS NOT NULL
+         |        AND e.label <> q.ql),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, neighbor_id) AS rank
+         |      FROM s)
+         |SELECT query_id, rank, neighbor_id,
+         |  floor(score * 1000000) / 1000000 AS neg_score
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // qlog-exact ln RR over conditional exact/distinct counts; z is the
+    // one mirrored double chain
+    "q_rate_ratio" ->
+      """WITH b AS (SELECT user_id % 2 = 0 AS a,
+        |        event_type = 'purchase' AS ev,
+        |        user_id::VARCHAR || ':'
+        |          || (epoch_ms(ts) // 86400000)::VARCHAR AS xp
+        |      FROM events WHERE user_id IS NOT NULL),
+        |t AS (SELECT
+        |        sum(CASE WHEN a AND ev THEN 1 ELSE 0 END)::BIGINT AS x_a,
+        |        count(DISTINCT CASE WHEN a THEN xp END)::BIGINT AS t_a,
+        |        sum(CASE WHEN NOT a AND ev THEN 1 ELSE 0 END)::BIGINT
+        |          AS x_b,
+        |        count(DISTINCT CASE WHEN NOT a THEN xp END)::BIGINT AS t_b
+        |      FROM b),
+        |u AS (SELECT *,
+        |        x_a > 0 AND x_b > 0 AND t_a > 0 AND t_b > 0 AS ok
+        |      FROM t),
+        |v AS (SELECT *,
+        |        CASE WHEN ok THEN
+        |          floor(ln((x_a * t_b)::DOUBLE) * 1000000)::BIGINT
+        |            - floor(ln((x_b * t_a)::DOUBLE) * 1000000)::BIGINT
+        |        END AS lnrr
+        |      FROM u)
+        |SELECT x_a, t_a, x_b, t_b, lnrr AS lnrr_ppm,
+        |  CASE WHEN ok THEN
+        |    floor(lnrr::DOUBLE / 1000000
+        |          / sqrt(1.0 / x_a::DOUBLE + 1.0 / x_b::DOUBLE)
+        |          * 1000000) / 1000000
+        |  END AS z
+        |FROM v""".stripMargin,
 
     // Rayleigh quotient of the round-$PcaIters direction as a share of
     // trace(C) — all products HUGEINT-exact, both ratios truncating div

@@ -399,6 +399,39 @@ object Eval {
           .as("qini_ppm"))
   }
 
+  /** Poisson rate-ratio test — the experimentation read-out for COUNT
+    * outcomes where abProportionTest reads binary conversion: events per
+    * unit of exposure (here: per active user-day), compared between
+    * arms. RR = (x_a/t_a)/(x_b/t_b); ln RR enters as the qlog identity
+    * lnrr = qlog(x_a·t_b) − qlog(x_b·t_a) (exact-integer products,
+    * keep x·t under 2⁵³ — document per call site), and
+    * z = ln RR / √(1/x_a + 1/x_b) (the classical Poisson delta-method
+    * SE) runs as ONE fixed trunc6'd double chain. NULL lnrr/z while any
+    * cell is empty (an arm with zero events has an undefined ratio, not
+    * an infinite one). One conditional-count aggregate pass (two exact
+    * counts + two conditional distinct counts) → one row. Emits
+    * (x_a, t_a, x_b, t_b, lnrr_ppm, z). */
+  def rateRatioTest(df: DataFrame, cohortA: Column, isEvent: Column,
+                    exposure: Column): DataFrame = {
+    val agg = df.filter(cohortA.isNotNull)
+      .agg(
+        sum(when(cohortA && isEvent, 1L).otherwise(0L)).as("x_a"),
+        count_distinct(when(cohortA, exposure)).as("t_a"),
+        sum(when(!cohortA && isEvent, 1L).otherwise(0L)).as("x_b"),
+        count_distinct(when(!cohortA, exposure)).as("t_b"))
+    val ok = col("x_a") > 0L && col("x_b") > 0L && col("t_a") > 0L &&
+      col("t_b") > 0L
+    val lnrr = InfoTheory.qlog(col("x_a") * col("t_b")) -
+      InfoTheory.qlog(col("x_b") * col("t_a"))
+    agg.withColumn("lnrr_ppm", when(ok, lnrr))
+      .select(col("x_a"), col("t_a"), col("x_b"), col("t_b"),
+        col("lnrr_ppm"),
+        when(ok, floor(col("lnrr_ppm").cast("double") / 1000000d
+          / sqrt(lit(1d) / col("x_a").cast("double")
+            + lit(1d) / col("x_b").cast("double")) * 1000000d) / 1000000d)
+          .as("z"))
+  }
+
   /** Split-conformal prediction interval with finite-sample coverage —
     * the distribution-free "how wrong is this model, with guarantees"
     * audit (Vovk et al.; the modern ML-eval staple). The frame splits

@@ -845,6 +845,83 @@ object Similarity {
         (floor(col("cos") * 1000000d) / 1000000d).as("cos_sim"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * audited anchor, the corpus vectors MOST similar to it that carry a
+    * DIFFERENT label (the negatives that actually teach a margin;
+    * random negatives are trivially separable and waste the batch).
+    * Ranking is bruteForceTopK's exactly (fold-exact cosine, score
+    * DESC with id tiebreak, self excluded) restricted to cross-label
+    * pairs; NULL-label rows drop on BOTH sides (an unlabeled vector is
+    * neither anchor nor negative — "unknown" must not be mined as
+    * "different"). Anchor side broadcast + limit-probed; the corpus
+    * side stays partition-parallel with no shuffle on the corpus. Emits
+    * (query_id, rank, neighbor_id, neg_score) — neg_score trunc6'd so
+    * the margin is visible beside the pick. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, id: String,
+                    vec: String, label: String, k: Int,
+                    maxQueries: Int = 16384): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    requireBroadcastable(queries, maxQueries, "hardNegatives")
+    val q = queries.filter(col(label).isNotNull)
+      .select(col(id).as("query_id"), col(vec).as("q_vec"),
+        col(label).as("_ql"))
+    val scored = corpus.filter(col(label).isNotNull)
+      .select(col(id).as("neighbor_id"), col(vec).as("c_vec"),
+        col(label).as("_nl"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id")
+        && col("_nl") =!= col("_ql"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (floor(col("score") * 1000000d) / 1000000d).as("neg_score"))
+  }
+
+  /** Projection-outlier audit along the learned top principal axis —
+    * the per-VECTOR reading of what pcaExplained reports in aggregate:
+    * each embedding's exact-integer projection onto the
+    * pcaPowerDirection axis (Σ floor(xᵢ·10⁶)·loadingᵢ — both factors
+    * integers, the sum exact and order-independent), flagged when it
+    * sits more than `zK` standard deviations from the corpus mean.
+    * Along-axis extremes are the mode-collapse drivers and the
+    * mislabeled/garbage vectors an embedding pipeline quarantines
+    * first. Moments are exact decimal(38,0) sums; the flag is ONE
+    * fixed double chain (μ = s/n, σ² = ss/n − μ·μ, |p−μ| > z·σ) —
+    * identical IEEE on both engines. Shapes: one posexplode pass with
+    * a broadcast d-row join, one per-id agg, a 1-row broadcast stats
+    * crossJoin. Emits (id, proj_scaled, is_outlier). */
+  def projectionOutliers(emb: DataFrame, id: String, vec: String,
+                         direction: DataFrame, zK: Int): DataFrame = {
+    require(zK >= 1, s"zK must be >= 1, got $zK")
+    val emitted = Seq("proj_scaled", "is_outlier", "dim", "_x", "_s", "_ss",
+      "_n")
+    require(!emitted.contains(id) && !emitted.contains(vec),
+      s"projectionOutliers emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
+    val proj = emb.filter(col(vec).isNotNull)
+      .select(col(id), posexplode(col(vec).cast("array<double>"))
+        .as(Seq("dim", "_x")))
+      .withColumn("dim", col("dim").cast("long"))
+      .join(broadcast(direction), Seq("dim"))
+      .groupBy(col(id))
+      .agg(sum(floor(col("_x") * 1000000d).cast("long")
+        * col("loading_ppm")).as("proj_scaled"))
+      .localCheckpoint(true) // shared: the stats row and the flag pass
+    val stats = proj.agg(count(lit(1)).as("_n"),
+      sum(col("proj_scaled").cast("decimal(38,0)")).as("_s"),
+      sum(col("proj_scaled").cast("decimal(38,0)")
+        * col("proj_scaled").cast("decimal(38,0)")).as("_ss"))
+    val nd = col("_n").cast("double")
+    val mu = col("_s").cast("double") / nd
+    val varP = col("_ss").cast("double") / nd - mu * mu
+    proj.crossJoin(broadcast(stats))
+      .select(col(id), col("proj_scaled"),
+        (varP > 0d && abs(col("proj_scaled").cast("double") - mu)
+          > lit(zK.toDouble) * sqrt(varP)).as("is_outlier"))
+  }
+
   /** Quantized sample covariance of the embedding corpus — the d×d matrix
     * every spectral diagnostic starts from. One corpus pass: per-dim
     * means first (floor(x·10⁶) BIGINT sums, exact and order-independent,

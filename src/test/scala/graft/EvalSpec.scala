@@ -369,4 +369,28 @@ class EvalSpec extends SparkSpec {
       .filter(col("bucket") === 1).head()
     assert(b1.getLong(4) == 0L && b1.isNullAt(7))
   }
+
+  test("rateRatioTest: qlog ln-RR and the delta-method z against a hand " +
+      "fold; an empty arm yields NULLs, not infinities") {
+    // arm A (even uid): 4 events on 3 distinct exposures; B: 1 on 1
+    val rows = Seq(
+      (0L, true, "0:1"), (0L, true, "0:1"), (0L, true, "0:2"),
+      (2L, true, "2:1"), (2L, false, "2:9"),
+      (1L, true, "1:1")
+    ).toDF("uid", "ev", "xp")
+    val r = Eval.rateRatioTest(rows, pmod(col("uid"), lit(2)) === 0,
+      col("ev"), col("xp")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 4L, 1L, 1L)))
+    val lnrr = math.floor(math.log(4d * 1d) * 1e6).toLong -
+      math.floor(math.log(1d * 4d) * 1e6).toLong
+    assert(r.getLong(4) == lnrr) // symmetric rates → exactly 0
+    assert(r.getDouble(5) ==
+      math.floor(lnrr.toDouble / 1e6
+        / math.sqrt(1d / 4d + 1d / 1d) * 1e6) / 1e6)
+    val oneArm = Seq((0L, true, "0:1")).toDF("uid", "ev", "xp")
+    val e = Eval.rateRatioTest(oneArm, pmod(col("uid"), lit(2)) === 0,
+      col("ev"), col("xp")).head()
+    assert(e.isNullAt(4) && e.isNullAt(5))
+  }
 }

@@ -468,4 +468,38 @@ class SimilaritySpec extends SparkSpec {
     assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3))
       == ((3L, 40000000L, 40000000L, 1000000L)))
   }
+
+  test("hardNegatives: only cross-label vectors rank, ranking is exact " +
+      "cosine desc with id tiebreak, NULL labels drop on both sides") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f), Some(0)), (11L, Seq(2.0f, 0.0f), Some(0)),
+      (12L, Seq(0.0f, 1.0f), Some(1)), (13L, Seq(1.0f, 1.0f), Some(1)),
+      (14L, Seq(1.0f, 0.0f), None)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(corpus,
+        corpus.filter(col("vec_id") === 10L), "vec_id", "embedding",
+        "label", 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // same-label 11 and unlabeled 14 never appear; 13 (cos 1/√2) beats
+    // 12 (cos 0)
+    assert(got == Map(
+      1L -> ((13L, math.floor(1d / math.sqrt(2d) * 1e6) / 1e6)),
+      2L -> ((12L, 0.0))))
+  }
+
+  test("projectionOutliers: exact integer projections onto a unit axis; " +
+      "the far point flags at z=1, the cluster does not") {
+    val emb = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(2.0f, 9.0f)),
+      (3L, Seq(100.0f, 0.0f))).toDF("vec_id", "embedding")
+    val dir2 = Seq((0L, 1000000L), (1L, 0L)).toDF("dim", "loading_ppm")
+    val got = Similarity.projectionOutliers(emb, "vec_id", "embedding",
+        dir2, 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1000000L * 1000000L, false)),
+      2L -> ((2000000L * 1000000L, false)),
+      3L -> ((100000000L * 1000000L, true))))
+  }
 }
