@@ -79,6 +79,11 @@ object SparkEntry {
                                    // bipartite co-sourcing graph 2-cycles)
   private val BfsSeedMod = 50L     // every 50th supplier seeds the BFS
   private val BfsRounds = 4        // BFS hop cap
+  // the per-seed centralities carry O(|seeds|·|V|) state — a sparser seed
+  // sample and one less hop keep them at the same bench weight as the
+  // min-collapsed BFS (the sample size IS the documented cost knob)
+  private val CentSeedMod = 499L   // every 499th supplier seeds them
+  private val CentRounds = 3       // per-seed hop cap
   private val LiftSupport = 2L     // basket-lift min pair support
   private val LiftMaxBasket = 32   // basket-lift size cap (OOM guard)
   private val HistLo = 0d; private val HistWidth = 5000d; private val HistBins = 20
@@ -3462,9 +3467,9 @@ object SparkEntry {
     "q_harmonic" -> ((s, dir) =>
       Graph.harmonicCentrality(bidirected(s, dir), "src", "dst",
         Tables.lineitem(s, dir)
-          .filter(pmod(col("l_suppkey"), lit(BfsSeedMod)) === 0)
+          .filter(pmod(col("l_suppkey"), lit(CentSeedMod)) === 0)
           .select((col("l_suppkey") * 2).as("node")).distinct(),
-        BfsRounds)),
+        CentRounds)),
     // sampled Brandes betweenness from the same seeds: σ forward, δ
     // backward over each seed's shortest-path DAG, every δ term a
     // truncating decimal div to ppm — the bridge/broker gauge degree
@@ -3472,9 +3477,9 @@ object SparkEntry {
     "q_betweenness" -> ((s, dir) =>
       Graph.betweennessSampled(bidirected(s, dir), "src", "dst",
         Tables.lineitem(s, dir)
-          .filter(pmod(col("l_suppkey"), lit(BfsSeedMod)) === 0)
+          .filter(pmod(col("l_suppkey"), lit(CentSeedMod)) === 0)
           .select((col("l_suppkey") * 2).as("node")).distinct(),
-        BfsRounds)),
+        CentRounds)),
     // how good is the tokens-per-char line? — per-language quantiles of
     // the absolute residual against q_regression's own fit: the
     // coefficients (trunc6'd, engine-identical) broadcast back onto the
@@ -7867,8 +7872,8 @@ object SparkEntry {
     "q_communities_weighted_modularity" ->
       lpaWeightedModularityOracleSql(LpaIters),
     "q_bfs_dist" -> bfsOracleSql(BfsRounds, BfsSeedMod),
-    "q_harmonic" -> harmonicOracleSql(BfsRounds, BfsSeedMod),
-    "q_betweenness" -> betweennessOracleSql(BfsRounds, BfsSeedMod),
+    "q_harmonic" -> harmonicOracleSql(CentRounds, CentSeedMod),
+    "q_betweenness" -> betweennessOracleSql(CentRounds, CentSeedMod),
     "q_ppr" -> pprOracleSql(PrIters, PrScale, BfsSeedMod),
     "q_pagerank_weighted" -> pagerankWeightedOracleSql(WprIters, PrScale),
     "q_textrank" -> textRankOracleSql(WprIters, PrScale, TextRankTopK),

@@ -541,10 +541,15 @@ object Graph {
     val e = edges.select(col(src).as("_src"), col(dst).as("_dst"))
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
       .distinct()
-    val du = dist.select(col("seed"), col("node").as("_u"),
-      col("dist").as("_du"))
-    val dv = dist.select(col("seed").as("_s2"), col("node").as("_v"),
-      col("dist").as("_dv"))
+    // pre-shrink both join inputs: a u at the hop cap has no successor
+    // level, and a v at level 0 has no predecessor — the deepest level
+    // is the bulk of a bipartite expansion, so dropping it from the u
+    // side is the big lever
+    val du = dist.filter(col("dist") < rounds.toLong)
+      .select(col("seed"), col("node").as("_u"), col("dist").as("_du"))
+    val dv = dist.filter(col("dist") > 0L)
+      .select(col("seed").as("_s2"), col("node").as("_v"),
+        col("dist").as("_dv"))
     val dag = e.join(du, e("_src") === du("_u"))
       .join(dv, e("_dst") === dv("_v") && du("seed") === dv("_s2"))
       .filter(col("_dv") === col("_du") + 1L)
@@ -562,16 +567,18 @@ object Graph {
         .select(col("seed"), col("_v").as("node"), col("_sig"))
       sigma = sigma.unionByName(nxt).localCheckpoint(true)
     }
-    val dagS = dag
-      .join(sigma.select(col("seed"), col("node").as("_u"),
-        col("_sig").as("_sigu")), Seq("seed", "_u"))
-      .join(sigma.select(col("seed"), col("node").as("_v"),
-        col("_sig").as("_sigv")), Seq("seed", "_v"))
-      .localCheckpoint(true) // consumed once per backward level
+    // σ attaches per backward LEVEL SLICE, not to the whole DAG — the
+    // full-DAG double join (and its checkpoint) would dominate the pass
+    val sigU = sigma.select(col("seed"), col("node").as("_u"),
+      col("_sig").as("_sigu"))
+    val sigV = sigma.select(col("seed"), col("node").as("_v"),
+      col("_sig").as("_sigv"))
     var delta = dist.select(col("seed"), col("node"), col("dist"),
       lit(0L).as("_del"))
     for (d <- rounds to 1 by -1) {
-      val contrib = dagS.filter(col("_dv") === lit(d.toLong))
+      val contrib = dag.filter(col("_dv") === lit(d.toLong))
+        .join(sigU, Seq("seed", "_u"))
+        .join(sigV, Seq("seed", "_v"))
         .join(delta.select(col("seed"), col("node").as("_v"),
           col("_del").as("_delv")), Seq("seed", "_v"))
         .groupBy(col("seed"), col("_u"))
