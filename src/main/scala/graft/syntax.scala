@@ -652,5 +652,76 @@ object syntax {
                      maxBucket: Int = 10000): DataFrame =
       Multimodal.imageDupJoin(df, right, idL, binL, idR, binR, maxHamming,
         maxBucket)
+
+    // ── round-10 fourth..ninth waves ─────────────────────────────────────
+    def kmvDistinct(group: String, text: String, k: Int): DataFrame =
+      Sketches.kmvDistinct(df, group, text, k)
+    def kmvOverlap(group: String, text: String, k: Int): DataFrame =
+      Sketches.kmvOverlap(df, group, text, k)
+    def dpRelease(user: String, category: String, tiebreak: String,
+                  clamp: Int, kMin: Long, salt: String = "dp"): DataFrame =
+      CoreOps.dpRelease(df, user, category, tiebreak, clamp, kMin, salt)
+    def dpSumRelease(user: String, category: String, value: String,
+                     clampSum: Long, kMin: Long,
+                     salt: String = "dps"): DataFrame =
+      CoreOps.dpSumRelease(df, user, category, value, clampSum, kMin, salt)
+    def stratifiedAte(stratum: String, treat: Column,
+                      value: String): DataFrame =
+      CoreOps.stratifiedAte(df, stratum, treat, value)
+    def intervalOverlapJoin(lStart: String, lEnd: String, right: DataFrame,
+                            rStart: String, rEnd: String, cellMs: Long,
+                            maxCells: Int): DataFrame =
+      CoreOps.intervalOverlapJoin(df, lStart, lEnd, right, rStart, rEnd,
+        cellMs, maxCells)
+    def mcnemar(truth: String, predA: String, predB: String): DataFrame =
+      Eval.mcnemar(df, truth, predA, predB)
+    def cochranQ(truth: String, predCols: Seq[String]): DataFrame =
+      Eval.cochranQ(df, truth, predCols)
+    def goodTuring(group: String, text: String): DataFrame =
+      TextOps.goodTuring(df, group, text)
+    def mannWhitney(cohortA: Column, value: String): DataFrame =
+      CoreOps.mannWhitney(df, cohortA, value)
+    def permutationEntropy(key: String, ts: String, tiebreak: String,
+                           value: String): DataFrame =
+      CoreOps.permutationEntropy(df, key, ts, tiebreak, value)
+    def covarianceScaled(vec: String, dims: Int): DataFrame =
+      Similarity.covarianceScaled(df, vec, dims)
+    def textRank(text: String, stop: Seq[String], iters: Int, topK: Int,
+                 scale: Long = 1000000000000L): DataFrame =
+      TextOps.textRank(df, text, stop, iters, topK, scale)
+    def logRankTest(key: String, ts: String, armA: Column,
+                    churnGapDays: Int): DataFrame =
+      CoreOps.logRankTest(df, key, ts, armA, churnGapDays)
+    def qiniCurve(score: String, treat: Column, isPos: Column,
+                  nBuckets: Int): DataFrame =
+      Eval.qiniCurve(df, score, treat, isPos, nBuckets)
+    def isotonicCalibration(score: String, outcome: Column, lo: Long,
+                            hi: Long, nBins: Int): DataFrame =
+      CoreOps.isotonicCalibration(df, score, outcome, lo, hi, nBins)
+    def clusteringDepth(id: String, lo: String, hi: String, cellSize: Long,
+                        maxCells: Int): DataFrame =
+      graft.sources.CorpusLayout.clusteringDepth(df, id, lo, hi, cellSize,
+        maxCells)
+    def seasonalDecompose(key: String, idx: String, value: String,
+                          period: Int, half: Int): DataFrame =
+      CoreOps.seasonalDecompose(df, key, idx, value, period, half)
+    def harmonicCentrality(src: String, dst: String, seeds: DataFrame,
+                           rounds: Int): DataFrame =
+      Graph.harmonicCentrality(df, src, dst, seeds, rounds)
+    def betweennessSampled(src: String, dst: String, seeds: DataFrame,
+                           rounds: Int): DataFrame =
+      Graph.betweennessSampled(df, src, dst, seeds, rounds)
+    def chiSquareResiduals(a: String, b: String): DataFrame =
+      CoreOps.chiSquareResiduals(df, a, b)
+    def hardNegatives(queries: DataFrame, id: String, vec: String,
+                      label: String, k: Int,
+                      maxQueries: Int = 16384): DataFrame =
+      Similarity.hardNegatives(df, queries, id, vec, label, k, maxQueries)
+    def projectionOutliers(id: String, vec: String, direction: DataFrame,
+                           zK: Int): DataFrame =
+      Similarity.projectionOutliers(df, id, vec, direction, zK)
+    def rateRatioTest(cohortA: Column, isEvent: Column,
+                      exposure: Column): DataFrame =
+      Eval.rateRatioTest(df, cohortA, isEvent, exposure)
   }
 }

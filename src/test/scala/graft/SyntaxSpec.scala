@@ -198,4 +198,49 @@ class SyntaxSpec extends SparkSpec {
       graft.sources.CorpusLayout.compactionPlan(files, "p", "b", 200L)
         .collect().toSet)
   }
+
+  test("facade: the fourth..ninth-wave operators delegate verbatim") {
+    val docs = Seq(("s1", "a b a"), ("s2", "b c")).toDF("source", "text")
+    assert(docs.kmvDistinct("source", "text", 2).collect().toSet ==
+      graft.operators.Sketches.kmvDistinct(docs, "source", "text", 2)
+        .collect().toSet)
+    assert(docs.goodTuring("source", "text").collect().toSet ==
+      graft.operators.TextOps.goodTuring(docs, "source", "text")
+        .collect().toSet)
+    assert(docs.textRank("text", Seq("c"), 2, 5).collect().toSeq ==
+      graft.operators.TextOps.textRank(docs, "text", Seq("c"), 2, 5)
+        .collect().toSeq)
+    val arms = Seq((0L, "x", 10L), (1L, "x", 20L), (0L, "y", 30L),
+      (1L, "y", 5L)).toDF("uid", "st", "v")
+    assert(arms.mannWhitney(col("uid") === 0, "v").head().toSeq ==
+      graft.operators.CoreOps.mannWhitney(arms, col("uid") === 0, "v")
+        .head().toSeq)
+    assert(arms.stratifiedAte("st", col("uid") === 0, "v").head().toSeq ==
+      graft.operators.CoreOps.stratifiedAte(arms, "st", col("uid") === 0,
+        "v").head().toSeq)
+    val preds = Seq(("t", "t", "t", "x"), ("t", "t", "x", "t"))
+      .toDF("truth", "p1", "p2", "p3")
+    assert(preds.cochranQ("truth", Seq("p1", "p2", "p3")).head().toSeq ==
+      graft.operators.Eval.cochranQ(preds, "truth", Seq("p1", "p2", "p3"))
+        .head().toSeq)
+    val emb = Seq((1L, Seq(1.0f, 2.0f), 0), (2L, Seq(2.0f, 4.0f), 1),
+      (3L, Seq(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(emb.covarianceScaled("embedding", 2).collect().toSet ==
+      graft.operators.Similarity.covarianceScaled(emb, "embedding", 2)
+        .collect().toSet)
+    assert(emb.hardNegatives(emb.filter(col("vec_id") === 1), "vec_id",
+        "embedding", "label", 2).collect().toSet ==
+      graft.operators.Similarity.hardNegatives(emb,
+        emb.filter(col("vec_id") === 1), "vec_id", "embedding", "label", 2)
+        .collect().toSet)
+    val iso = Seq((1L, true), (5L, false), (9L, true)).toDF("s", "y")
+    assert(iso.isotonicCalibration("s", col("y"), 0L, 10L, 2)
+        .collect().toSet ==
+      graft.operators.CoreOps.isotonicCalibration(iso, "s", col("y"),
+        0L, 10L, 2).collect().toSet)
+    val fl = Seq((1L, 0L, 5L), (2L, 3L, 8L)).toDF("fid", "lo", "hi")
+    assert(fl.clusteringDepth("fid", "lo", "hi", 4L, 8).collect().toSet ==
+      graft.sources.CorpusLayout.clusteringDepth(fl, "fid", "lo", "hi",
+        4L, 8).collect().toSet)
+  }
 }
