@@ -1249,6 +1249,17 @@ object SparkEntry {
     // streaming distinct grows with the value universe, the sketch never
     // does); the k-minima set is arrival-order independent, so the batch
     // twin below IS the final stream state
+    // the sketch as a WINDOWED streaming aggregate: per day, the
+    // distinct-spend-cents estimate off k longs per open window — exact
+    // windowed count-distinct state grows with the value universe, the
+    // mergeable k-minima never do; batch-run form vs the
+    // distinct→row_number oracle (the windowedEntropy discipline)
+    "q_kmv_by_window" -> ((s, dir) =>
+      graft.streaming.StreamOps.windowedKmvDistinct(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "cents", "ts", "1 day", "0 seconds", KmvK)),
     "q_kmv_stream" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("ts").isNotNull && col("value").isNotNull
@@ -5402,6 +5413,22 @@ object SparkEntry {
          |  CASE WHEN s.m < $KmvK THEN s.m
          |       ELSE (${KmvK - 1} * 4294967296) // s.hk END AS est_distinct
          |FROM e JOIN s USING (source)""".stripMargin,
+
+    // per-day distinct→row_number sketch, the same estimate algebra the
+    // mergeable windowed aggregate lands on
+    "q_kmv_by_window" ->
+      s"""WITH s AS (SELECT $evMs - $evMs % 86400000 AS w,
+         |        floor(value * 100)::BIGINT AS v
+         |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |d AS (SELECT DISTINCT w, ${sqlMd5Int("v::VARCHAR")} AS h FROM s),
+         |r AS (SELECT w, h, row_number() OVER (
+         |        PARTITION BY w ORDER BY h) AS rk FROM d),
+         |sk AS (SELECT w, count(*)::BIGINT AS n_sketch, max(h) AS hk
+         |      FROM r WHERE rk <= $KmvK GROUP BY 1)
+         |SELECT w AS window_start_ms, n_sketch,
+         |  CASE WHEN n_sketch < $KmvK THEN n_sketch
+         |       ELSE (${KmvK - 1} * 4294967296) // hk END AS est_distinct
+         |FROM sk""".stripMargin,
 
     // the machine's k-minima set is arrival-order independent, so this
     // batch sketch IS the final stream state — same estimate algebra

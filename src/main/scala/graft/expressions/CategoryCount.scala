@@ -113,3 +113,102 @@ object CategoryCountExpressions {
       CategoryCountAgg(GraftColumnBridge.expression(cat))
         .toAggregateExpression())
 }
+
+/** K-minimum-values sketch as ONE mergeable aggregate — the k smallest
+  * DISTINCT 32-bit hashes of the input, emitted sorted ascending as
+  * array<long>. The k-minima of a union are computable from the sides'
+  * k-minima, so update/merge keep exactly k longs of state and the
+  * result is arrival- and partition-order independent — the algebraic
+  * form of `Sketches.kmvDistinct`'s relational pipeline and
+  * `StateMachines.kmvSnapshots`' keyed state, usable where those can't
+  * go: a WINDOWED streaming aggregation (one aggregation per query, so
+  * the distinct→row_number pipeline is illegal there). The caller feeds
+  * the md5Int hash column (hashing stays outside — the aggregate is
+  * generic over any 32-bit hash) and reads the estimate off the array
+  * via `KmvExpressions.kmvEstimate`. Exact-count sibling relationship
+  * to CmsAggregate mirrors CategoryCountAgg's: this one is for DISTINCT
+  * cardinality, CMS for frequencies. */
+case class KmvSketchAgg(
+    child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+    with ExpectsInputTypes with UnaryLike[Expression] {
+  require(k >= 2, s"sketch size k must be >= 2, got $k")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty
+
+  private def insert(b: mutable.TreeSet[Long], h: Long): Unit =
+    if (!b.contains(h) && (b.size < k || h < b.last)) {
+      b += h
+      if (b.size > k) b -= b.last
+    }
+
+  override def update(b: mutable.TreeSet[Long],
+                      row: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(row)
+    if (v != null) insert(b, v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: mutable.TreeSet[Long],
+                     o: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    o.foreach(insert(b, _))
+    b
+  }
+
+  override def eval(b: mutable.TreeSet[Long]): Any =
+    new GenericArrayData(b.toArray[Any])
+
+  override def serialize(b: mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * b.size)
+    bb.putInt(b.size)
+    b.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = mutable.TreeSet.empty[Long]
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) { out += bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): KmvSketchAgg =
+    copy(child = c)
+  override def prettyName: String = "graft_kmv_sketch"
+}
+
+object KmvExpressions {
+
+  /** The k smallest distinct values of a LONG hash column, sorted
+    * ascending, as one mergeable aggregate. */
+  def kmvSketch(hash: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      KmvSketchAgg(GraftColumnBridge.expression(hash), k)
+        .toAggregateExpression())
+
+  /** The KMV estimate over a kmvSketch array: exact below k (the sketch
+    * IS the set), ((k−1)·2³²) div h₍ₖ₎ at k — pure BIGINT via the
+    * make-divisible-then-divide trick (the calibrationCurve idiom:
+    * numerator ≤ 2³⁸ stays double-exact), the Sketches.kmvEstimate
+    * algebra on a Column. */
+  def kmvEstimate(sketch: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val a = lit((k - 1L) * 4294967296L)
+    val hk = element_at(sketch, k)
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(((a - pmod(a, hk)) / hk).cast("long"))
+  }
+}

@@ -161,6 +161,35 @@ object StreamOps {
     * identically — SparkEntry checks this form against the SAME oracle
     * as the two-shuffle batch form (q_entropy_by_window). Windows whose
     * every category is NULL have no distribution and are absent. */
+  /** Event-time windowed DISTINCT-cardinality estimate — the KMV sketch
+    * as a TRUE streaming aggregate: each window carries its k smallest
+    * distinct value hashes through the ONE aggregation streaming allows
+    * (exact windowed count-distinct needs the two-level shape that is
+    * illegal on a stream, and its state grows with the window's value
+    * universe; the sketch is k longs per open window). The k-minima of
+    * a union merge losslessly, so partial aggregation, shuffle order
+    * and late in-window arrivals cannot change a window's final sketch
+    * — batch execution is bit-identical, which is how SparkEntry's
+    * q_kmv_by_window pins this form against the distinct→row_number
+    * oracle. Hash = md5Int of the value's canonical decimal string
+    * (the kmvSnapshots convention). Windows with no non-NULL value are
+    * absent. Emits (window_start_ms, n_sketch, est_distinct). */
+  def windowedKmvDistinct(df: DataFrame, value: String, ts: String,
+                          windowDur: String, lateness: String,
+                          k: Int): DataFrame = {
+    val h = graft.expressions.Md5Expressions
+      .md5Int(col(value).cast("long").cast("string"))
+    df.filter(col(value).isNotNull)
+      .withWatermark(ts, lateness)
+      .groupBy(window(col(ts), windowDur))
+      .agg(graft.expressions.KmvExpressions.kmvSketch(h, k).as("_sk"))
+      .filter(size(col("_sk")) > 0)
+      .select(CoreOps.ms(col("window.start")).as("window_start_ms"),
+        size(col("_sk")).cast("long").as("n_sketch"),
+        graft.expressions.KmvExpressions.kmvEstimate(col("_sk"), k)
+          .as("est_distinct"))
+  }
+
   def windowedEntropy(df: DataFrame, cat: String, ts: String,
                       windowDur: String, lateness: String): DataFrame =
     df.withWatermark(ts, lateness)

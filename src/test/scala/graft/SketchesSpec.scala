@@ -95,4 +95,27 @@ class SketchesSpec extends SparkSpec {
       Sketches.kmvDistinct(df.withColumn("n_exact", lit(1L)),
         "source", "text", 4))
   }
+
+  test("KmvSketchAgg: the mergeable aggregate keeps the k smallest " +
+      "DISTINCT hashes sorted, evicts above k, ignores NULLs, and " +
+      "kmvEstimate reads exact-below-k / ratio-at-k") {
+    import graft.expressions.{KmvExpressions, Md5Expressions, Md5Hash}
+    def h(v: Long): Long = Md5Hash.first32(
+      org.apache.spark.unsafe.types.UTF8String.fromString(v.toString))
+    val vals = Seq(Some(11L), Some(22L), Some(33L), Some(11L), None)
+    val df = vals.toDF("v")
+      .withColumn("_h", Md5Expressions.md5Int(col("v").cast("string")))
+    val sk = df.agg(KmvExpressions.kmvSketch(col("_h"), 2).as("s"),
+        KmvExpressions.kmvEstimate(
+          KmvExpressions.kmvSketch(col("_h"), 2), 2).as("est"))
+      .head()
+    val expect = Seq(h(11), h(22), h(33)).sorted.take(2)
+    assert(sk.getSeq[Long](0) == expect)
+    assert(sk.getLong(1) == 4294967296L / expect(1))
+    // below k: the sketch IS the set, estimate exact
+    val small = Seq(7L).toDF("v")
+      .withColumn("_h", Md5Expressions.md5Int(col("v").cast("string")))
+    assert(small.agg(KmvExpressions.kmvEstimate(
+      KmvExpressions.kmvSketch(col("_h"), 2), 2)).head().getLong(0) == 1L)
+  }
 }

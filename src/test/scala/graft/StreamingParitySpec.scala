@@ -1201,6 +1201,35 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedKmvDistinct finalizes each window's k-minima sketch; " +
+      "cross-batch in-window arrivals merge into the same sketch the " +
+      "batch run builds") {
+    val batch1 = Seq(
+      ValuedEvent("u", 1000, 1, 11), ValuedEvent("u", 1500, 2, 22),
+      ValuedEvent("u", 2500, 3, 11)) // [0,3s): distinct {11, 22}
+    val batch2 = Seq(
+      ValuedEvent("u", 2900, 4, 33), // SAME window, next batch
+      ValuedEvent("u", 20000, 5, 99)) // watermark jump finalizes [0,3s)
+    val input = MemoryStream[ValuedEvent]
+    val stream = input.toDF().withColumn("ts", timestamp_millis(col("tsMs")))
+    val q = StreamOps.windowedKmvDistinct(stream, "value", "ts",
+        "3 seconds", "1 second", 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kmvw_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val got = spark.table("kmvw_par")
+        .as[(Long, Long, Long)].collect().toSet
+      def h(v: Long): Long = graft.expressions.Md5Hash.first32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v.toString))
+      // the finalized window saw 3 distinct values across two batches;
+      // the sketch is the 2 smallest hashes, est = (1·2^32) div h2
+      val h2 = Seq(h(11), h(22), h(33)).sorted.apply(1)
+      assert(got == Set((0L, 2L, 4294967296L / h2)))
+    } finally q.stop()
+  }
+
   test("windowedKlDrift finalizes windows scored against the plan-literal " +
       "baseline; an on-mix window scores ~0, a skewed one positive") {
     val batch1 = Seq(
