@@ -36,6 +36,7 @@ object SparkEntry {
   // any horizon
   private val KmGapDays = 1
   private val KmCohortDays = 7 // weekly Kaplan-Meier signup cohorts
+  private val RmstTau = 20L    // RMST horizon (days)
   private val KAnonK = 5L      // k-anonymity class-size floor
   private val LDivL = 3L       // l-diversity distinct-sensitive floor
   // adamic-adar: middle-degree cap (keeps part middles, excludes supplier
@@ -1249,6 +1250,15 @@ object SparkEntry {
     // streaming distinct grows with the value universe, the sketch never
     // does); the k-minima set is arrival-order independent, so the batch
     // twin below IS the final stream state
+    // daily content freshness from sketches alone: each day's distinct
+    // estimate vs its overlap with yesterday (kmvOverlap's set algebra
+    // on two k-arrays, predecessor by grid equi-join — no lag window),
+    // novelty clamped at zero where estimator noise inverts
+    "q_window_novelty" -> ((s, dir) =>
+      Sketches.kmvWindowNovelty(
+        Tables.events(s, dir)
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "cents", "ts", 86400000L, KmvK)),
     // the sketch as a WINDOWED streaming aggregate: per day, the
     // distinct-spend-cents estimate off k longs per open window — exact
     // windowed count-distinct state grows with the value universe, the
@@ -2504,6 +2514,12 @@ object SparkEntry {
     "q_logrank" -> ((s, dir) =>
       CoreOps.logRankTest(Tables.events(s, dir), "user_id", "ts",
         pmod(col("user_id"), lit(2)) === 0, KmGapDays)),
+    // log-rank's effect size: restricted mean survival through day 20 —
+    // exact integer area under each arm's KM step curve, the "kept
+    // users N days longer" number a retention experiment reports
+    "q_rmst" -> ((s, dir) =>
+      CoreOps.rmstDiff(Tables.events(s, dir), "user_id", "ts",
+        pmod(col("user_id"), lit(2)) === 0, KmGapDays, RmstTau)),
     // the p10-churn lifetime per cohort: the first duration where the
     // curve dips under 0.9 — the threshold compares the floor-quantized
     // survival, identical on both engines; cohorts never crossing emit
@@ -5413,6 +5429,51 @@ object SparkEntry {
          |  CASE WHEN s.m < $KmvK THEN s.m
          |       ELSE (${KmvK - 1} * 4294967296) // s.hk END AS est_distinct
          |FROM e JOIN s USING (source)""".stripMargin,
+
+    // per-day k-min sets, predecessor by grid join, the kmvOverlap union/
+    // co-membership algebra, novelty clamped non-negative
+    "q_window_novelty" ->
+      s"""WITH s AS (SELECT $evMs - $evMs % 86400000 AS w,
+         |        floor(value * 100)::BIGINT AS v
+         |      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |d AS (SELECT DISTINCT w, ${sqlMd5Int("v::VARCHAR")} AS h FROM s),
+         |r AS (SELECT w, h, row_number() OVER (
+         |        PARTITION BY w ORDER BY h) AS rk FROM d),
+         |sk AS (SELECT w, h FROM r WHERE rk <= $KmvK),
+         |cur AS (SELECT w, count(*)::BIGINT AS m, max(h) AS hk
+         |      FROM sk GROUP BY 1),
+         |pw AS (SELECT c1.w FROM cur c1
+         |       JOIN cur c0 ON c0.w = c1.w - 86400000),
+         |ub AS (SELECT p.w, s1.h FROM pw p JOIN sk s1 ON s1.w = p.w
+         |       UNION
+         |       SELECT p.w, s0.h FROM pw p
+         |       JOIN sk s0 ON s0.w = p.w - 86400000),
+         |ur AS (SELECT w, h, row_number() OVER (
+         |        PARTITION BY w ORDER BY h) AS rk FROM ub),
+         |us AS (SELECT w, h FROM ur WHERE rk <= $KmvK),
+         |ua AS (SELECT us.w, count(*)::BIGINT AS um, max(us.h) AS uhk,
+         |        sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+         |            THEN 1 ELSE 0 END)::BIGINT AS nb
+         |      FROM us
+         |      LEFT JOIN sk a ON a.w = us.w AND a.h = us.h
+         |      LEFT JOIN sk b ON b.w = us.w - 86400000 AND b.h = us.h
+         |      GROUP BY 1),
+         |es AS (SELECT cur.w, cur.m AS n_sketch,
+         |        CASE WHEN cur.m < $KmvK THEN cur.m
+         |             ELSE (${KmvK - 1} * 4294967296) // cur.hk
+         |        END AS ew,
+         |        ua.um, ua.nb,
+         |        CASE WHEN ua.um IS NULL THEN NULL
+         |             WHEN ua.um < $KmvK THEN ua.um
+         |             ELSE (${KmvK - 1} * 4294967296) // ua.uhk
+         |        END AS eu
+         |      FROM cur LEFT JOIN ua ON ua.w = cur.w)
+         |SELECT w AS window_start_ms, n_sketch, ew AS est_distinct,
+         |  CASE WHEN um IS NOT NULL THEN (nb * eu) // um END AS est_inter,
+         |  CASE WHEN um IS NOT NULL AND ew > 0 THEN
+         |    (greatest(ew - (nb * eu) // um, 0) * 1000000) // ew
+         |  END AS novel_ppm
+         |FROM es""".stripMargin,
 
     // per-day distinct→row_number sketch, the same estimate algebra the
     // mergeable windowed aggregate lands on
@@ -9160,6 +9221,61 @@ object SparkEntry {
     // the Spark side's floor division
     "q_survival" -> survivalOracleSql,
     "q_nelson_aalen" -> nelsonAalenOracleSql,
+
+    // per-arm KM curves (the q_survival chain keyed by arm), then the
+    // exact integer step-function area through day tau
+    "q_rmst" ->
+      s"""WITH ev AS (SELECT user_id, $evMs // 86400000 AS day FROM events
+         |            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |u AS (SELECT user_id, min(day) AS f, max(day) AS l
+         |      FROM ev GROUP BY 1),
+         |m AS (SELECT max(l)::BIGINT AS mx FROM u),
+         |w AS (SELECT user_id % 2 = 0 AS a, (l - f)::BIGINT AS dur,
+         |        CASE WHEN l <= (SELECT mx FROM m) - $KmGapDays
+         |             THEN 1 ELSE 0 END AS death
+         |      FROM u),
+         |s AS (SELECT a, dur, sum(death)::BIGINT AS d,
+         |        count(*)::BIGINT AS uu FROM w GROUP BY 1, 2),
+         |r AS (SELECT a, dur, d, uu,
+         |        sum(uu) OVER (PARTITION BY a)::BIGINT
+         |        - COALESCE(sum(uu) OVER (PARTITION BY a ORDER BY dur
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0)::BIGINT AS nr
+         |      FROM s),
+         |p AS (SELECT a, dur, d, nr,
+         |        sum(CASE WHEN d > 0 AND nr > d
+         |              THEN floor(ln((nr - d)::DOUBLE) * 1000000)::BIGINT
+         |                 - floor(ln(nr::DOUBLE) * 1000000)::BIGINT
+         |              ELSE 0 END)
+         |          OVER (PARTITION BY a ORDER BY dur
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         |          )::BIGINT AS ls,
+         |        min(CASE WHEN d > 0 THEN nr - d END)
+         |          OVER (PARTITION BY a ORDER BY dur
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         |          )::BIGINT AS alive
+         |      FROM r),
+         |c AS (SELECT a, dur,
+         |        CASE WHEN alive = 0 THEN 0
+         |             ELSE floor(exp(ls::DOUBLE / 1000000)
+         |                        * 1000000)::BIGINT END AS sv,
+         |        COALESCE(lead(dur, 1) OVER (PARTITION BY a ORDER BY dur),
+         |          $RmstTau) AS nx
+         |      FROM p WHERE d > 0),
+         |ar AS (SELECT a,
+         |        (least(min(dur), $RmstTau) * 1000000
+         |         + sum((least(nx, $RmstTau) - least(dur, $RmstTau))
+         |               * sv))::BIGINT AS area
+         |      FROM c GROUP BY 1),
+         |tt AS (SELECT a, count(*)::BIGINT AS n FROM w GROUP BY 1),
+         |bo AS (SELECT tt.a, tt.n,
+         |        COALESCE(ar.area, $RmstTau * 1000000)::BIGINT AS area
+         |      FROM tt LEFT JOIN ar USING (a))
+         |SELECT x.n AS n_a, y.n AS n_b, x.area AS rmst_a_scaled,
+         |  y.area AS rmst_b_scaled,
+         |  (x.area - y.area)::BIGINT AS diff_scaled
+         |FROM (SELECT * FROM bo WHERE a) x,
+         |     (SELECT * FROM bo WHERE NOT a) y""".stripMargin,
 
     // the KM lifetime construction verbatim, pooled death-time grid, O−E
     // and hypergeometric V as HUGEINT ppm truncating divs

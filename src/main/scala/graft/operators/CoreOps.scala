@@ -1283,6 +1283,97 @@ object CoreOps {
           .as("logrank_ppm"))
   }
 
+  /** Restricted-mean-survival-time difference (Royston & Parmar 2013) —
+    * logRankTest says WHETHER two cohorts' churn curves differ; this
+    * says BY HOW MUCH, in days: RMST(τ) = ∫₀^τ S(t)dt is the expected
+    * days survived out of the first τ, and the arm difference is the
+    * effect size a retention experiment actually reports ("treatment
+    * kept users 1.8 days longer out of 30"). Per arm, the KM curve is
+    * kaplanMeier's verbatim (same lifetimes, censoring, qlog product →
+    * floor-quantized S_scaled integers, zero after extinction via a
+    * prefix-min guard), and the integral is EXACT integer area over the
+    * step function: head segment min(t₁,τ)·10⁶ plus
+    * Σ (min(t_{i+1},τ) − min(tᵢ,τ))·S_scaled(tᵢ) — no float enters the
+    * area. An arm with no death step inside τ has RMST = τ·10⁶. Windows
+    * are ARM-partitioned (two partitions of O(durations) rows — the
+    * kaplanMeier cohort-window shape). Emits one row (n_a, n_b,
+    * rmst_a_scaled, rmst_b_scaled, diff_scaled) in day·ppm units. */
+  def rmstDiff(df: DataFrame, key: String, ts: String, armA: Column,
+               churnGapDays: Int, tauDays: Long): DataFrame = {
+    require(churnGapDays >= 1,
+      s"churnGapDays must be >= 1, got $churnGapDays")
+    require(tauDays >= 1, s"tauDays must be >= 1, got $tauDays")
+    val emitted = Seq("n_a", "n_b", "rmst_a_scaled", "rmst_b_scaled",
+      "diff_scaled", "_day", "_f", "_l", "_mx", "_dur", "_death", "_a",
+      "_d", "_u", "_nr", "_ls", "_alive", "_s", "_nx", "_seg", "_t1",
+      "_n", "_area")
+    require(!emitted.contains(key),
+      s"rmstDiff emits/uses ${emitted.mkString(", ")}; rename '$key'")
+    val dayMs = 86400000L
+    val msCol = ms(col(ts))
+    val guard = assert_true(msCol.isNull || msCol >= 0,
+      concat(lit(s"rmstDiff: '$ts' must be >= epoch (trunc vs floor " +
+        "division diverge below zero); got ms="), msCol.cast("string")))
+    val lives = df.filter(guard.isNull)
+      .filter(col(ts).isNotNull && col(key).isNotNull)
+      .select(col(key),
+        ((msCol - pmod(msCol, lit(dayMs))) / lit(dayMs)).cast("long")
+          .as("_day"))
+      .groupBy(col(key))
+      .agg(min(col("_day")).as("_f"), max(col("_day")).as("_l"))
+    val maxDay = lives.groupBy().agg(max(col("_l")).as("_mx")) // 1 row
+    val perUser = lives.crossJoin(broadcast(maxDay))
+      .select(armA.as("_a"), (col("_l") - col("_f")).as("_dur"),
+        when(col("_l") <= col("_mx") - churnGapDays.toLong, 1L)
+          .otherwise(0L).as("_death"))
+      .filter(col("_a").isNotNull)
+    val steps = perUser.groupBy(col("_a"), col("_dur"))
+      .agg(sum(col("_death")).as("_d"), count(lit(1)).as("_u"))
+      .localCheckpoint(true) // shared: arm totals and the curve walk
+    val byArm = Window.partitionBy(col("_a"))
+    val ordered = byArm.orderBy(col("_dur"))
+    val prefixBefore = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    val prefixThrough =
+      ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qlog: Column => Column =
+      c => floor(log(c.cast("double")) * 1000000d).cast("long")
+    val curve = steps
+      .withColumn("_nr", sum(col("_u")).over(byArm)
+        - coalesce(sum(col("_u")).over(prefixBefore), lit(0L)))
+      .withColumn("_ls", sum(
+        when(col("_d") > 0 && col("_nr") > col("_d"),
+          qlog(col("_nr") - col("_d")) - qlog(col("_nr")))
+          .otherwise(lit(0L))).over(prefixThrough))
+      .withColumn("_alive",
+        min(when(col("_d") > 0, col("_nr") - col("_d")))
+          .over(prefixThrough))
+      .filter(col("_d") > 0)
+      .withColumn("_s",
+        when(col("_alive") === 0L, lit(0L))
+          .otherwise(floor(exp(col("_ls").cast("double") / 1000000d)
+            * 1000000d).cast("long")))
+      .withColumn("_nx",
+        coalesce(lead(col("_dur"), 1).over(ordered), lit(tauDays)))
+      .withColumn("_seg",
+        (least(col("_nx"), lit(tauDays)) - least(col("_dur"), lit(tauDays)))
+          * col("_s"))
+    val areas = curve.groupBy(col("_a"))
+      .agg((least(min(col("_dur")), lit(tauDays)) * 1000000L
+        + sum(col("_seg"))).as("_area"))
+    val tots = perUser.groupBy(col("_a"))
+      .agg(count(lit(1)).as("_n"))
+    val both = tots.join(areas, Seq("_a"), "left")
+      .select(col("_a"), col("_n"),
+        coalesce(col("_area"), lit(tauDays * 1000000L)).as("_area"))
+    both.filter(col("_a")).select(col("_n").as("n_a"),
+        col("_area").as("rmst_a_scaled"))
+      .crossJoin(broadcast(both.filter(!col("_a"))
+        .select(col("_n").as("n_b"), col("_area").as("rmst_b_scaled"))))
+      .select(col("n_a"), col("n_b"), col("rmst_a_scaled"),
+        col("rmst_b_scaled"),
+        (col("rmst_a_scaled") - col("rmst_b_scaled")).as("diff_scaled"))
+  }
+
   /** Lorenz curve points — the distribution behind the Gini number:
     * walking entities from poorest to richest, what share of the
     * population holds what share of the value ("the top 10% of users

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.{KmvExpressions, Md5Expressions}
 
 /** K-Minimum-Values (KMV) distinct sketches with SET-OPERATION estimation
   * (Bar-Yossef et al. 2002; Beyer et al., SIGMOD 2007 — public literature).
@@ -138,5 +139,59 @@ object Sketches {
         expr("(n_both * (CASE WHEN _m < " + k +
           s" THEN _m ELSE (CAST(${k - 1} AS BIGINT) * " +
           s"CAST($Space AS BIGINT)) div _hk END)) div _m").as("est_inter"))
+  }
+
+  /** Per-window NOVELTY from sketches alone — "how much of today's
+    * distinct content did yesterday not have?", the feed-freshness gauge
+    * a crawl/ingest dashboard plots daily. Each window's KMV sketch
+    * (the mergeable KmvSketchAgg) meets its predecessor's by the
+    * kmvOverlap set algebra: union sketch = k smallest of A∪B (array
+    * ops on two k-arrays), intersection by co-membership ρ-scaling, and
+    * novel_ppm = ((est_w − est_inter)·10⁶) div est_w with the estimator
+    * difference CLAMPED at zero (two noisy estimates can invert; a
+    * negative novelty is sampling noise, not signal — the clamp also
+    * keeps the div in the engine-identical non-negative regime). The
+    * predecessor join is an EQUI-join on the regular window grid
+    * (start = start − windowMs) — no lag window exists, so nothing is
+    * unpartitioned. One corpus-scale aggregation builds all sketches;
+    * everything after is O(windows·k) array arithmetic. The first
+    * window has no predecessor → NULL novelty (unmeasured, not new).
+    * Emits (window_start_ms, n_sketch, est_distinct, est_inter,
+    * novel_ppm). */
+  def kmvWindowNovelty(df: DataFrame, value: String, ts: String,
+                       windowMs: Long, k: Int): DataFrame = {
+    require(k >= 2, s"sketch size k must be >= 2, got $k")
+    require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
+    guard(df, "kmvWindowNovelty",
+      Seq("window_start_ms", "n_sketch", "est_distinct", "est_inter",
+        "novel_ppm", "_w", "_sk", "_pw", "_psk", "_u", "_m", "_nb", "_eu",
+        "_ew", "_ei", "_num"))
+    val msCol = CoreOps.ms(col(ts))
+    val h = Md5Expressions.md5Int(col(value).cast("long").cast("string"))
+    val sk = df.filter(col(ts).isNotNull && col(value).isNotNull)
+      .groupBy(((msCol - pmod(msCol, lit(windowMs))))
+        .cast("long").as("_w"))
+      .agg(KmvExpressions.kmvSketch(h, k).as("_sk"))
+      .localCheckpoint(true) // shared: both sides of the predecessor join
+    val prev = sk.select((col("_w") + windowMs).as("_pw"),
+      col("_sk").as("_psk"))
+    val divNN = (a: Column, b: Column) => ((a - pmod(a, b)) / b).cast("long")
+    val joined = sk.join(prev, sk("_w") === prev("_pw"), "left")
+      .withColumn("_u", when(col("_psk").isNotNull,
+        slice(array_sort(array_union(col("_sk"), col("_psk"))), 1, k)))
+      .withColumn("_m", size(col("_u")).cast("long"))
+      .withColumn("_nb", size(array_intersect(
+        array_intersect(col("_u"), col("_sk")), col("_psk"))).cast("long"))
+      .withColumn("_eu", KmvExpressions.kmvEstimate(col("_u"), k))
+      .withColumn("_ew", KmvExpressions.kmvEstimate(col("_sk"), k))
+      .withColumn("_ei", when(col("_m") > 0L,
+        divNN(col("_nb") * col("_eu"), col("_m"))).otherwise(lit(0L)))
+    joined.select(col("_w").as("window_start_ms"),
+      size(col("_sk")).cast("long").as("n_sketch"),
+      col("_ew").as("est_distinct"),
+      when(col("_psk").isNotNull, col("_ei")).as("est_inter"),
+      when(col("_psk").isNotNull && col("_ew") > 0L,
+        divNN(greatest(col("_ew") - col("_ei"), lit(0L)) * 1000000L,
+          col("_ew"))).as("novel_ppm"))
   }
 }

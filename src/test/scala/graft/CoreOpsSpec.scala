@@ -2051,4 +2051,33 @@ class CoreOpsSpec extends SparkSpec {
     assert(CoreOps.chiSquareResiduals(degen, "a", "b").collect()
       .forall(_.isNullAt(4)))
   }
+
+  test("rmstDiff: exact step-function areas under each arm's KM curve " +
+      "against a hand walk; an all-censored arm reads tau exactly") {
+    // the logRankTest fixture: A(even): (0,2)d (0,5)d (0,100)c;
+    // B(odd): (0,2)d (0,95)c — frontier 100, gap 10, tau 10
+    val days = Seq((0L, 0L), (0L, 2L), (2L, 0L), (2L, 5L), (4L, 0L),
+      (4L, 100L), (1L, 0L), (1L, 2L), (3L, 0L), (3L, 95L))
+    val ev = days.toDF("user_id", "day")
+      .withColumn("ts", timestamp_millis(col("day") * 86400000L))
+    val r = CoreOps.rmstDiff(ev, "user_id", "ts",
+      pmod(col("user_id"), lit(2)) === 0, 10, 10L).head()
+    def ql(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    def sv(ls: Long) = math.floor(math.exp(ls.toDouble / 1e6) * 1e6).toLong
+    // A: S(2) from ls = ql2−ql3, S(5) from ls += ql1−ql2
+    val sA2 = sv(ql(2) - ql(3)); val sA5 = sv(ql(2) - ql(3) - ql(2))
+    val areaA = 2L * 1000000L + 3L * sA2 + 5L * sA5
+    // B: S(2) from ls = ql1−ql2; curve flat to tau
+    val areaB = 2L * 1000000L + 8L * sv(-ql(2))
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((areaA, areaB, areaA - areaB)))
+    // every odd user censored → arm B has no death step → tau exactly
+    val cens = Seq((0L, 0L), (0L, 2L), (1L, 0L), (1L, 95L), (2L, 0L),
+      (2L, 100L)).toDF("user_id", "day")
+      .withColumn("ts", timestamp_millis(col("day") * 86400000L))
+    val r2 = CoreOps.rmstDiff(cens, "user_id", "ts",
+      pmod(col("user_id"), lit(2)) === 0, 10, 10L).head()
+    assert(r2.getLong(3) == 10L * 1000000L)
+  }
 }

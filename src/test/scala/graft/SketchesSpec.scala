@@ -118,4 +118,22 @@ class SketchesSpec extends SparkSpec {
     assert(small.agg(KmvExpressions.kmvEstimate(
       KmvExpressions.kmvSketch(col("_h"), 2), 2)).head().getLong(0) == 1L)
   }
+
+  test("kmvWindowNovelty: in the exact regime (k above the distinct " +
+      "counts) the set algebra is literal — day 1 vs day 0 overlap 2 of " +
+      "3; the first window is unmeasured, not novel") {
+    // day 0: {1,2,3}; day 1: {2,3,4} → inter 2, novelty (3−2)/3
+    val rows = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 2L),
+      (86400000L, 2L), (86400000L, 3L), (86400000L, 4L))
+      .toDF("ms", "cents")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val got = Sketches.kmvWindowNovelty(rows, "cents", "ts", 86400000L, 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got(0L) == ((3L, 3L, None, None)))
+    assert(got(86400000L) ==
+      ((3L, 3L, Some(2L), Some(1000000L / 3L))))
+  }
 }
