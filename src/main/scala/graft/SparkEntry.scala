@@ -2533,6 +2533,19 @@ object SparkEntry {
     // volume anomaly flags: per-type daily counts through the robust
     // median/MAD detector (integer counts → exact percentiles, the
     // q_outliers argument without the cents scaling)
+    // the decomposition's one-number verdict per type: how much of the
+    // detrended variance the weekly pattern explains — ~0 means don't
+    // build a weekly model for this metric
+    "q_seasonal_strength" -> ((s, dir) => {
+      val msCol = unix_millis(col("ts"))
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          ((msCol - pmod(msCol, lit(D))) / lit(D)).cast("long").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      CoreOps.seasonalStrength(daily, "event_type", "day", "n", 7, 3)
+    }),
     // classical additive decomposition of each type's daily volume:
     // value = trend (full centered 7-day mean) + seasonal (re-centered
     // slot means of the detrended series) + residual — the residual is
@@ -3027,6 +3040,16 @@ object SparkEntry {
     // arm means, ppm-quantized contributions, exact BIGINT fold
     "q_strat_ate" -> ((s, dir) =>
       CoreOps.stratifiedAte(
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull
+            && col("value").isNotNull)
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "event_type", pmod(col("user_id"), lit(2)) === 0, "cents")),
+    // the paradox verdict in one row: the raw arm diff beside the
+    // stratified ATE over the same rows, sign_flip when the aggregate
+    // contradicts the strata
+    "q_simpson" -> ((s, dir) =>
+      CoreOps.simpsonCheck(
         Tables.events(s, dir)
           .filter(col("user_id").isNotNull && col("event_type").isNotNull
             && col("value").isNotNull)
@@ -8439,6 +8462,101 @@ object SparkEntry {
          |SELECT n_strata, n_used, n_total,
          |  COALESCE(sum(contrib), 0)::BIGINT AS ate_ppm
          |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    // the strat_ate chain plus the one-row raw diff; sign_flip by the
+    // strict-opposite-signs product
+    "q_simpson" ->
+      s"""WITH e AS (SELECT event_type,
+         |        floor(value * 100)::BIGINT AS cents, user_id
+         |      FROM events WHERE user_id IS NOT NULL
+         |        AND event_type IS NOT NULL AND value IS NOT NULL),
+         |p AS (SELECT event_type,
+         |        sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS nt,
+         |        sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS nc,
+         |        sum(CASE WHEN user_id % 2 = 0
+         |            THEN CAST(cents AS DECIMAL(18,2)) END) AS st,
+         |        sum(CASE WHEN user_id % 2 <> 0
+         |            THEN CAST(cents AS DECIMAL(18,2)) END) AS sc
+         |      FROM e GROUP BY 1),
+         |t AS (SELECT count(*)::BIGINT AS n_strata,
+         |        sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0
+         |            END)::BIGINT AS n_used,
+         |        COALESCE(sum(CASE WHEN nt > 0 AND nc > 0
+         |            THEN nt + nc END), 0)::BIGINT AS n_total
+         |      FROM p),
+         |c AS (SELECT t.n_strata, t.n_used, t.n_total,
+         |        CASE WHEN nt > 0 AND nc > 0 THEN
+         |          floor((st::DOUBLE / nt::DOUBLE - sc::DOUBLE / nc::DOUBLE)
+         |                * (nt + nc)::DOUBLE / t.n_total::DOUBLE
+         |                * 1000000)::BIGINT END AS contrib
+         |      FROM p CROSS JOIN t),
+         |a AS (SELECT n_strata, n_used, n_total,
+         |        COALESCE(sum(contrib), 0)::BIGINT AS ate_ppm
+         |      FROM c GROUP BY 1, 2, 3),
+         |rw AS (SELECT CASE WHEN
+         |          sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) > 0
+         |          AND sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) > 0
+         |        THEN floor(
+         |          (sum(CASE WHEN user_id % 2 = 0
+         |               THEN CAST(cents AS DECIMAL(18,2)) END)::DOUBLE
+         |           / sum(CASE WHEN user_id % 2 = 0
+         |                 THEN 1 ELSE 0 END)::DOUBLE
+         |           - sum(CASE WHEN user_id % 2 <> 0
+         |                 THEN CAST(cents AS DECIMAL(18,2)) END)::DOUBLE
+         |             / sum(CASE WHEN user_id % 2 <> 0
+         |                   THEN 1 ELSE 0 END)::DOUBLE)
+         |          * 1000000)::BIGINT END AS raw_diff_ppm
+         |      FROM e)
+         |SELECT a.n_strata, a.n_used, a.n_total, rw.raw_diff_ppm,
+         |  a.ate_ppm, rw.raw_diff_ppm * a.ate_ppm < 0 AS sign_flip
+         |FROM a, rw""".stripMargin,
+
+    // the q_seasonal_decomp chain folded to exact moments, then the one
+    // mirrored strength chain clamped at zero
+    "q_seasonal_strength" ->
+      """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |        count(*)::BIGINT AS n
+        |      FROM events
+        |      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |      GROUP BY 1, 2),
+        |t AS (SELECT *, sum(n) OVER w::BIGINT AS wsum,
+        |        count(*) OVER w::BIGINT AS wcnt
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT event_type, day, n,
+        |        n * 1000000 - (wsum * 1000000) // 7 AS det
+        |      FROM t WHERE wcnt = 7),
+        |sl AS (SELECT event_type, day % 7 AS slot, sum(det)::BIGINT AS ssum,
+        |        count(*)::BIGINT AS scnt FROM f GROUP BY 1, 2),
+        |sr AS (SELECT event_type, slot, ssum // scnt AS sraw FROM sl),
+        |ka AS (SELECT event_type, sum(sraw)::BIGINT AS ssum,
+        |        count(*)::BIGINT AS nc FROM sr GROUP BY 1),
+        |se AS (SELECT sr.event_type, sr.slot,
+        |        (sr.sraw - (ka.ssum // ka.nc))::BIGINT AS seasonal_ppm
+        |      FROM sr JOIN ka USING (event_type)),
+        |o AS (SELECT f.event_type, f.det,
+        |        (f.det - se.seasonal_ppm)::BIGINT AS res
+        |      FROM f JOIN se ON se.event_type = f.event_type
+        |        AND se.slot = f.day % 7),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n_points,
+        |        sum(det::HUGEINT)::HUGEINT AS sd,
+        |        sum(det::HUGEINT * det::HUGEINT)::HUGEINT AS sdd,
+        |        sum(res::HUGEINT)::HUGEINT AS sr2,
+        |        sum(res::HUGEINT * res::HUGEINT)::HUGEINT AS srr
+        |      FROM o GROUP BY 1),
+        |v AS (SELECT event_type, n_points,
+        |        sdd::DOUBLE / n_points::DOUBLE
+        |          - sd::DOUBLE / n_points::DOUBLE
+        |            * (sd::DOUBLE / n_points::DOUBLE) AS vd,
+        |        srr::DOUBLE / n_points::DOUBLE
+        |          - sr2::DOUBLE / n_points::DOUBLE
+        |            * (sr2::DOUBLE / n_points::DOUBLE) AS vr
+        |      FROM m)
+        |SELECT event_type, n_points,
+        |  CASE WHEN vd > 0 THEN
+        |    greatest(floor((1 - vr / vd) * 1000000)::BIGINT, 0)
+        |  END AS strength_ppm
+        |FROM v""".stripMargin,
 
     // the same exact-moments-then-fixed-double-chain contract as q_corr:
     // per-cohort n/Σc/Σc² accumulate exactly, every double op mirrored

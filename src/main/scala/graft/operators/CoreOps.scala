@@ -4497,6 +4497,71 @@ object CoreOps {
           .as("released_ppm"))
   }
 
+  /** Simpson's-paradox check — the one-row verdict stratifiedAte's
+    * docstring promises: the RAW arm mean difference beside the
+    * post-stratified ATE over the SAME rows, with an explicit
+    * `sign_flip` bit (strictly opposite signs = the aggregate tells the
+    * opposite story from every stratum — ship the stratified number,
+    * and audit the assignment imbalance that caused the flip). Raw diff
+    * is exact decimal sums into one trunc-to-ppm double chain; the ATE
+    * column is stratifiedAte's verbatim (same filters, so the two
+    * numbers describe the same population). Emits one row (n_strata,
+    * n_used, n_total, raw_diff_ppm, ate_ppm, sign_flip). */
+  def simpsonCheck(df: DataFrame, stratum: String, treat: Column,
+                   value: String): DataFrame = {
+    val strat = stratifiedAte(df, stratum, treat, value)
+    val raw = df.filter(col(stratum).isNotNull && col(value).isNotNull)
+      .agg(
+        sum(when(treat, 1L).otherwise(0L)).as("_nt"),
+        sum(when(!treat, 1L).otherwise(0L)).as("_nc"),
+        sum(when(treat, col(value).cast("decimal(18,2)"))).as("_st"),
+        sum(when(!treat, col(value).cast("decimal(18,2)"))).as("_sc"))
+      .select(
+        when(col("_nt") > 0L && col("_nc") > 0L,
+          floor((col("_st").cast("double") / col("_nt").cast("double")
+            - col("_sc").cast("double") / col("_nc").cast("double"))
+            * 1000000d).cast("long")).as("raw_diff_ppm"))
+    strat.crossJoin(broadcast(raw))
+      .select(col("n_strata"), col("n_used"), col("n_total"),
+        col("raw_diff_ppm"), col("ate_ppm"),
+        (col("raw_diff_ppm") * col("ate_ppm") < 0L).as("sign_flip"))
+  }
+
+  /** Seasonal STRENGTH per key (Wang, Smith & Hyndman 2006) — the
+    * one-number read-out over seasonalDecompose: how much of the
+    * detrended variance the seasonal component explains,
+    * F = max(0, 1 − Var(residual)/Var(detrended)). ~0 = the slot means
+    * are noise (don't build a weekly model); → 1 = the series is its
+    * seasonal pattern. Moments are exact decimal(38,0) sums over the
+    * decompose output's ppm integers; F is ONE trunc-to-ppm double
+    * chain, clamped at zero, NULL when the detrended series is constant
+    * (strength of nothing is undefined). Emits one row per key
+    * (key, n_points, strength_ppm). */
+  def seasonalStrength(df: DataFrame, key: String, idx: String,
+                       value: String, period: Int, half: Int): DataFrame = {
+    val dec = seasonalDecompose(df, key, idx, value, period, half)
+      .select(col(key),
+        (col("seasonal_ppm") + col("residual_ppm")).as("_det"),
+        col("residual_ppm").as("_res"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val m = dec.groupBy(col(key))
+      .agg(count(lit(1)).as("n_points"),
+        sum(d38(col("_det"))).as("_sd"),
+        sum(d38(col("_det")) * d38(col("_det"))).as("_sdd"),
+        sum(d38(col("_res"))).as("_sr"),
+        sum(d38(col("_res")) * d38(col("_res")))
+          .as("_srr"))
+    val nd = col("n_points").cast("double")
+    val varD = (col("_sdd").cast("double") / nd
+      - col("_sd").cast("double") / nd * (col("_sd").cast("double") / nd))
+    val varR = (col("_srr").cast("double") / nd
+      - col("_sr").cast("double") / nd * (col("_sr").cast("double") / nd))
+    m.select(col(key), col("n_points"),
+      when(varD > 0d,
+        greatest(floor((lit(1d) - varR / varD) * 1000000d).cast("long"),
+          lit(0L))).as("strength_ppm"))
+  }
+
   /** dpRelease's SUM sibling: release per-category value TOTALS with the
     * same three production mechanics — per-user contribution bounding
     * (each user's per-category total clamps into [0, clampSum]: the

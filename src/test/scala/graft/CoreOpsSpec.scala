@@ -2080,4 +2080,36 @@ class CoreOpsSpec extends SparkSpec {
       pmod(col("user_id"), lit(2)) === 0, 10, 10L).head()
     assert(r2.getLong(3) == 10L * 1000000L)
   }
+
+  test("simpsonCheck: a constructed paradox flips — every stratum favors " +
+      "A, the raw aggregate favors B, sign_flip fires") {
+    // p: A {10} vs B {8,8,8} (+2); q: A {2,2,2} vs B {1} (+1);
+    // raw: A mean 4 vs B mean 6.25 (−2.25)
+    val rows = Seq(
+      ("p", 0L, 10L), ("p", 1L, 8L), ("p", 1L, 8L), ("p", 1L, 8L),
+      ("q", 0L, 2L), ("q", 0L, 2L), ("q", 0L, 2L), ("q", 1L, 1L)
+    ).toDF("st", "arm", "v")
+    val r = CoreOps.simpsonCheck(rows, "st", col("arm") === 0, "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 8L)))
+    assert(r.getLong(3) == -2250000L)       // raw favors B
+    assert(r.getLong(4) == 1500000L)        // strata favor A
+    assert(r.getBoolean(5))                 // the paradox bit
+    // no paradox: both read the same direction
+    val sane = Seq(("p", 0L, 10L), ("p", 1L, 5L)).toDF("st", "arm", "v")
+    assert(!CoreOps.simpsonCheck(sane, "st", col("arm") === 0, "v")
+      .head().getBoolean(5))
+  }
+
+  test("seasonalStrength: a purely seasonal series reads 1e6 ppm; a " +
+      "constant series has no detrended variance and reads NULL") {
+    val seasonal = (0L to 13L)
+      .map(i => ("k", i, if (i % 2 == 0) 10L else 20L))
+      .toDF("key", "idx", "v")
+    val r = CoreOps.seasonalStrength(seasonal, "key", "idx", "v", 2, 1)
+      .head()
+    assert((r.getLong(1), r.getLong(2)) == ((12L, 1000000L)))
+    val flat = (0L to 13L).map(i => ("k", i, 10L)).toDF("key", "idx", "v")
+    assert(CoreOps.seasonalStrength(flat, "key", "idx", "v", 2, 1)
+      .head().isNullAt(2))
+  }
 }
