@@ -263,6 +263,14 @@ object StreamDemo {
         16)
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // per finalized 5s window, the KMV distinct-duration estimate — the
+    // mergeable sketch as a windowed streaming aggregate (k longs per
+    // open window)
+    val q23 = StreamOps.windowedKmvDistinct(
+        audit.select(col("duration"), col("event_time")),
+        "duration", "event_time", "5 seconds", "1 second", 16)
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     // upsert compaction as the STATE MACHINE (latestSnapshots): the
     // max-by fold emits each key's current winner per micro-batch in
     // append mode — the changelog feed where q8's complete mode re-emits
@@ -293,7 +301,7 @@ object StreamDemo {
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
     q10.stop(); q11.stop(); q12.stop(); q13.stop(); q14.stop(); q15.stop()
     q16.stop(); q17.stop(); q18.stop(); q19.stop(); q20.stop(); q21.stop()
-    q22.stop()
+    q22.stop(); q23.stop()
     spark.stop()
   }
 }
