@@ -37,6 +37,13 @@ object SparkEntry {
   private val KmGapDays = 1
   private val KmCohortDays = 7 // weekly Kaplan-Meier signup cohorts
   private val RmstTau = 20L    // RMST horizon (days)
+  // SPRT: H0 purchase rate 1/5 vs H1 2/5, α = β = 0.05 — plan-time ppm
+  // constants; the oracle interpolates the SAME values, so both engines
+  // walk identical integers
+  private val SprtIncS = math.floor(math.log(2.0) * 1e6).toLong
+  private val SprtIncF = math.floor(math.log(0.75) * 1e6).toLong
+  private val SprtA = math.floor(math.log(19.0) * 1e6).toLong
+  private val SprtB = math.floor(math.log(1.0 / 19.0) * 1e6).toLong
   private val KAnonK = 5L      // k-anonymity class-size floor
   private val LDivL = 3L       // l-diversity distinct-sensitive floor
   // adamic-adar: middle-degree cap (keeps part middles, excludes supplier
@@ -3060,6 +3067,22 @@ object SparkEntry {
         Tables.events(s, dir).select(col("user_id"), col("event_type")),
         pmod(col("user_id"), lit(2)) === 0,
         col("event_type") === "purchase")),
+    // the 20th state machine: Wald's SPRT per user — a running integer
+    // LLR walk over purchase/other events that emits ONE decision at
+    // the first threshold crossing and freezes (the peeking-safe
+    // sequential verdict beside q_ab_test's fixed-n z)
+    "q_sprt_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull
+          && col("user_id").isNotNull && col("event_id").isNotNull)
+      graft.streaming.StateMachines.sprtDecisions(
+          graft.streaming.StateMachines.keyedEvents(ev, col("user_id"),
+            unix_millis(col("ts")), col("event_id"), col("event_type")),
+          "purchase", SprtIncS, SprtIncF, SprtA, SprtB)
+        .select(col("key").cast("long").as("user_id"), col("tiebreak"),
+          col("decision_ms"), col("n_events"), col("llr_ppm"),
+          col("decision"))
+    }),
     // the COUNT-outcome companion to q_ab_test: purchases per active
     // user-day between the same arms — qlog-exact ln RR, delta-method z
     "q_rate_ratio" -> ((s, dir) =>
@@ -5934,6 +5957,30 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id,
          |  floor(score * 1000000) / 1000000 AS neg_score
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // the machine's exact-integer walk IS a partitioned prefix sum over
+    // plan-time constants; the first crossing row per key, frozen after
+    "q_sprt_stream" ->
+      s"""WITH e AS (SELECT user_id, $evMs AS ms, event_id,
+         |        CASE WHEN event_type = 'purchase' THEN $SprtIncS
+         |             ELSE $SprtIncF END AS inc
+         |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |        AND event_id IS NOT NULL AND event_type IS NOT NULL),
+         |c AS (SELECT user_id, ms, event_id,
+         |        sum(inc) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |          ROWS UNBOUNDED PRECEDING)::BIGINT AS llr,
+         |        row_number() OVER (PARTITION BY user_id
+         |          ORDER BY ms, event_id)::BIGINT AS n
+         |      FROM e),
+         |x AS (SELECT *, CASE WHEN llr >= $SprtA THEN 'accept_h1'
+         |                     WHEN llr <= $SprtB THEN 'accept_h0'
+         |                END AS decision
+         |      FROM c),
+         |f AS (SELECT user_id, min(n)::BIGINT AS n FROM x
+         |      WHERE decision IS NOT NULL GROUP BY 1)
+         |SELECT x.user_id, x.event_id AS tiebreak, x.ms AS decision_ms,
+         |  x.n AS n_events, x.llr AS llr_ppm, x.decision
+         |FROM x JOIN f ON f.user_id = x.user_id AND f.n = x.n""".stripMargin,
 
     // qlog-exact ln RR over conditional exact/distinct counts; z is the
     // one mirrored double chain

@@ -67,6 +67,13 @@ case class HwSnapshot(key: String, n_events: Long, last_ms: Long,
                       level_scaled: Long, trend_scaled: Long,
                       forecast_scaled: Long)
 
+/** Wald-SPRT walk state per key: events seen, the running integer
+  * log-likelihood ratio (ppm), and whether a decision has been emitted
+  * (a decided key is frozen — the sequential test's stopping rule). */
+case class SprtState(n: Long, llr: Long, done: Boolean)
+case class SprtDecision(key: String, tiebreak: Long, decision_ms: Long,
+                        n_events: Long, llr_ppm: Long, decision: String)
+
 /** KMV distinct-sketch state per key: total event count + the k smallest
   * distinct 32-bit value hashes, kept sorted ascending. */
 case class KmvState(n: Long, mins: Seq[Long])
@@ -773,6 +780,71 @@ object StateMachines {
   implicit val kmvStateEnc: Encoder[KmvState] = Encoders.product[KmvState]
   implicit val kmvSnapshotEnc: Encoder[KmvSnapshot] =
     Encoders.product[KmvSnapshot]
+  implicit val sprtStateEnc: Encoder[SprtState] = Encoders.product[SprtState]
+  implicit val sprtDecisionEnc: Encoder[SprtDecision] =
+    Encoders.product[SprtDecision]
+
+  /** Wald's sequential probability ratio test (Wald 1945) per key — the
+    * CONTINUOUS-monitoring experiment verdict: instead of a fixed-n test
+    * read once (q_ab_test's z), each key walks its own running
+    * log-likelihood ratio and emits ONE decision the moment the
+    * evidence clears a threshold: accept_h1 at llr ≥ acceptH1Ppm
+    * (≈ ln((1−β)/α)·10⁶), accept_h0 at llr ≤ acceptH0Ppm
+    * (≈ ln(β/(1−α))·10⁶) — the peeking-safe sequential design, with
+    * the decided key FROZEN after (the stopping rule; the funnel
+    * freeze idiom). The per-event increments are CALLER-SUPPLIED ppm
+    * integer constants (incSuccessPpm ≈ ln(p₁/p₀)·10⁶, incFailPpm ≈
+    * ln((1−p₁)/(1−p₀))·10⁶ — computed once at plan time from the
+    * hypothesized rates), so the whole walk is exact BIGINT addition:
+    * any engine replays it as a plain partitioned prefix sum, which is
+    * exactly how the q_sprt_stream oracle checks this machine's
+    * batch-mode run. State is one (n, llr, done) triple per key,
+    * TTL-boundable. Emits at most one row per key
+    * (key, tiebreak, decision_ms, n_events, llr_ppm, decision). */
+  def sprtDecisions(events: Dataset[KeyedEvent], successKind: String,
+                    incSuccessPpm: Long, incFailPpm: Long,
+                    acceptH1Ppm: Long, acceptH0Ppm: Long,
+                    stateTtlMs: Option[Long] = None)
+      : Dataset[SprtDecision] = {
+    require(acceptH1Ppm > 0L && acceptH0Ppm < 0L,
+      s"thresholds must straddle 0 (got H1 $acceptH1Ppm, H0 $acceptH0Ppm)")
+    require(incSuccessPpm > 0L && incFailPpm < 0L,
+      s"increments must have opposite signs for the walk to decide both " +
+        s"ways (got success $incSuccessPpm, fail $incFailPpm)")
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
+      (key: String, it: Iterator[KeyedEvent], state: GroupState[SprtState]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = ArrayBuffer.empty[SprtDecision]
+          var st = state.getOption.getOrElse(SprtState(0L, 0L, done = false))
+          it.toArray.sortBy(e => (e.tsMs, e.tiebreak)).foreach { e =>
+            if (!st.done) {
+              val inc = if (e.kind == successKind) incSuccessPpm
+                        else incFailPpm
+              val llr = Math.addExact(st.llr, inc)
+              val n = Math.addExact(st.n, 1L)
+              val decision =
+                if (llr >= acceptH1Ppm) "accept_h1"
+                else if (llr <= acceptH0Ppm) "accept_h0"
+                else null
+              if (decision != null)
+                out += SprtDecision(key, e.tiebreak, e.tsMs, n, llr,
+                  decision)
+              st = SprtState(n, llr, decision != null)
+            }
+          }
+          if (st.n == 0L) Iterator.empty
+          else {
+            state.update(st)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+        }
+    }
+  }
 
   /** Per-key STREAMING KMV distinct sketch — `Sketches.kmvDistinct`'s
     * state-machine form, and the sketch tier's proof that it streams:

@@ -674,6 +674,12 @@ class StreamingParitySpec extends SparkSpec {
       stateTtlMs = Some(60000L)).collect().toSet
     assert(kTtl == StateMachines.kmvSnapshots(vds, 2).collect().toSet
       && kTtl.nonEmpty)
+    // the SPRT machine: same TTL-transparency
+    val spTtl = StateMachines.sprtDecisions(ds, "error", 1000000L,
+      -1000000L, 1500000L, -1500000L, stateTtlMs = Some(60000L))
+      .collect().toSet
+    assert(spTtl == StateMachines.sprtDecisions(ds, "error", 1000000L,
+      -1000000L, 1500000L, -1500000L).collect().toSet && spTtl.nonEmpty)
   }
 
   test("tokenBucket state TTL: an expired idle key re-initializes to a " +
@@ -1198,6 +1204,38 @@ class StreamingParitySpec extends SparkSpec {
       def qlog(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6).toLong
       val hs = 4L * qlog(4) - (2L * qlog(2) + 2L * qlog(2))
       assert(got == Set((0L, 4L, 2L, hs, hs.toDouble / (4d * 1e6))))
+    } finally q.stop()
+  }
+
+  test("sprtDecisions(streaming): the LLR walk crosses across batches — " +
+      "the decision needs batch-1 state; a decided key is frozen; both " +
+      "thresholds reachable") {
+    // ±1e6 increments, thresholds ±2.5e6 → any third same-direction
+    // event decides
+    val batch1 = Seq(
+      KeyedEvent("k", 0, 1, "buy"), KeyedEvent("k", 1000, 2, "buy"),
+      KeyedEvent("z", 0, 3, "skip"), KeyedEvent("z", 1000, 4, "skip"))
+    val batch2 = Seq(
+      KeyedEvent("k", 2000, 5, "buy"),  // crosses H1 iff llr=2e6 survived
+      KeyedEvent("k", 3000, 6, "buy"),  // post-decision: frozen, no row
+      KeyedEvent("z", 2000, 7, "skip")) // crosses H0
+    val input = MemoryStream[KeyedEvent]
+    val q = StateMachines.sprtDecisions(input.toDS(), "buy",
+        1000000L, -1000000L, 2500000L, -2500000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sprt_par").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val got = spark.table("sprt_par").as[SprtDecision].collect().toSet
+      assert(got == Set(
+        SprtDecision("k", 5L, 2000L, 3L, 3000000L, "accept_h1"),
+        SprtDecision("z", 7L, 2000L, 3L, -3000000L, "accept_h0")))
+      // one-shot batch run over everything = the same two decisions
+      val oneShot = StateMachines.sprtDecisions(
+        (batch1 ++ batch2).toDS(), "buy",
+        1000000L, -1000000L, 2500000L, -2500000L).collect().toSet
+      assert(oneShot == got)
     } finally q.stop()
   }
 
