@@ -723,5 +723,17 @@ object syntax {
     def rateRatioTest(cohortA: Column, isEvent: Column,
                       exposure: Column): DataFrame =
       Eval.rateRatioTest(df, cohortA, isEvent, exposure)
+    def rmstDiff(key: String, ts: String, armA: Column, churnGapDays: Int,
+                 tauDays: Long): DataFrame =
+      CoreOps.rmstDiff(df, key, ts, armA, churnGapDays, tauDays)
+    def kmvWindowNovelty(value: String, ts: String, windowMs: Long,
+                         k: Int): DataFrame =
+      Sketches.kmvWindowNovelty(df, value, ts, windowMs, k)
+    def simpsonCheck(stratum: String, treat: Column,
+                     value: String): DataFrame =
+      CoreOps.simpsonCheck(df, stratum, treat, value)
+    def seasonalStrength(key: String, idx: String, value: String,
+                         period: Int, half: Int): DataFrame =
+      CoreOps.seasonalStrength(df, key, idx, value, period, half)
   }
 }

@@ -271,6 +271,15 @@ object StreamDemo {
         "duration", "event_time", "5 seconds", "1 second", 16)
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // continuous sequential verdict per user: Wald's SPRT over
+    // Query-vs-other operations — one frozen decision per key at the
+    // first LLR threshold crossing
+    val q24 = StateMachines.sprtDecisions(
+        StateMachines.keyedEvents(audit, col("user"),
+          unix_millis(col("event_time")), col("id"), col("operation")),
+        "Query", 693147L, -287683L, 2944438L, -2944439L)
+      .writeStream.outputMode("append").format("console")
+      .option("truncate", false).start()
     // upsert compaction as the STATE MACHINE (latestSnapshots): the
     // max-by fold emits each key's current winner per micro-batch in
     // append mode — the changelog feed where q8's complete mode re-emits
@@ -301,7 +310,7 @@ object StreamDemo {
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
     q10.stop(); q11.stop(); q12.stop(); q13.stop(); q14.stop(); q15.stop()
     q16.stop(); q17.stop(); q18.stop(); q19.stop(); q20.stop(); q21.stop()
-    q22.stop(); q23.stop()
+    q22.stop(); q23.stop(); q24.stop()
     spark.stop()
   }
 }

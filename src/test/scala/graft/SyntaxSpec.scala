@@ -242,5 +242,14 @@ class SyntaxSpec extends SparkSpec {
     assert(fl.clusteringDepth("fid", "lo", "hi", 4L, 8).collect().toSet ==
       graft.sources.CorpusLayout.clusteringDepth(fl, "fid", "lo", "hi",
         4L, 8).collect().toSet)
+    val st = Seq(("p", 0L, 10L), ("p", 1L, 8L), ("q", 0L, 2L),
+      ("q", 1L, 1L)).toDF("st", "arm", "v")
+    assert(st.simpsonCheck("st", col("arm") === 0, "v").head().toSeq ==
+      graft.operators.CoreOps.simpsonCheck(st, "st", col("arm") === 0, "v")
+        .head().toSeq)
+    val ser = (0L to 9L).map(i => ("k", i, i % 2)).toDF("key", "idx", "v")
+    assert(ser.seasonalStrength("key", "idx", "v", 2, 1).head().toSeq ==
+      graft.operators.CoreOps.seasonalStrength(ser, "key", "idx", "v",
+        2, 1).head().toSeq)
   }
 }
