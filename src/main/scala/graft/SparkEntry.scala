@@ -3741,6 +3741,15 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("img",
           Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
         "doc_id", "img", 8, 2)),
+    // VIDEO-level near-dup: pairs sharing >= 2 distinct 8-byte-frame
+    // dHash signatures — the scene-containment test above q_image_dups'
+    // whole-payload match; closes object-level dedup across all three
+    // modalities
+    "q_video_dups" -> ((s, dir) =>
+      Multimodal.videoDupPairs(
+        Tables.documents(s, dir).withColumn("img",
+          Multimodal.fakeImageBytes(col("text"), col("doc_id"))),
+        "doc_id", "img", 8, 1, 2L)),
     // audio-style per-frame energy over the same binary payloads: 8-byte
     // frames of unsigned samples, integer Σ|b−128| energy + a silence
     // flag — REAL byte math on the binary column, replayed hex-for-hex
@@ -10298,6 +10307,29 @@ object SparkEntry {
          |  SELECT e.s, r.lbl FROM aeg e JOIN areach r ON e.d = r.node)
          |SELECT node AS doc_id, MIN(lbl) AS cluster_id
          |FROM areach GROUP BY node""".stripMargin,
+
+    // per-8-byte-frame dHash (nb = 8 → positions (j·7)//60) replayed on
+    // hex slices; pairs by exact signature equality, >= 2 shared
+    "q_video_dups" ->
+      s"""WITH vhx AS (SELECT doc_id,
+         |        upper(md5(text) || substr(md5(text || 'x'), 1,
+         |          ((doc_id % 3) * 8)::INT)) AS h
+         |      FROM documents),
+         |vfr AS (SELECT doc_id, h,
+         |        unnest(range(0, (length(h) // 16)::BIGINT)) AS fi
+         |      FROM vhx WHERE length(h) >= 16),
+         |vsg AS (SELECT DISTINCT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |    [CASE WHEN ('0x' || substr(substr(h, (fi * 16 + 1)::INT, 16),
+         |                  (((j * 7) // 60) * 2 + 1)::INT, 2))::BIGINT
+         |           > ('0x' || substr(substr(h, (fi * 16 + 1)::INT, 16),
+         |                  ((((j + 1) * 7) // 60) * 2 + 1)::INT, 2))::BIGINT
+         |     THEN 1 ELSE 0 END::BIGINT for j in range(0, 60)]),
+         |    (a, b) -> a * 2 + b) AS sg
+         |  FROM vfr)
+         |SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+         |  count(*)::BIGINT AS n_shared
+         |FROM vsg a JOIN vsg b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // byte-grid dHash replayed on the hex text: sample positions via
     // BIGINT //, bits folded acc*2+b, 3×20-bit bands via >>/&, exact

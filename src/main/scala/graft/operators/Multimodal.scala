@@ -337,6 +337,67 @@ object Multimodal {
       "audioDupPairs", maxHamming, maxBucket)
   }
 
+  /** VIDEO-level near-duplicate pairs by SHARED FRAME SIGNATURES — the
+    * object-level dedup the frame tier was missing: q_image_dups matches
+    * whole payloads and q_frame_sample decimates them, but two videos
+    * that share scenes (re-encodes, trims, reposts) need a containment
+    * test over their frame sets. Each sampled fixed-size frame gets the
+    * dHash grid signature; a pair of videos sharing at least `minShared`
+    * DISTINCT frame signatures is a near-dup candidate strong enough to
+    * act on (exact signature equality — no banding/verify split needed:
+    * the frame set IS the evidence, and n_shared is emitted so the
+    * caller can raise the bar). Scale shape: one frame fan-out
+    * (bounded by payload/frameBytes·everyNth, decided before any
+    * shuffle), one distinct, one signature-keyed grouping whose buckets
+    * are fail-loud capped at `maxBucket` (the jaccardAllPairs contract —
+    * a signature shared by half the corpus, e.g. an all-black frame,
+    * must refuse, never explode), pair expansion only within buckets.
+    * Emits (video_a, video_b, n_shared) with video_a < video_b; feed
+    * Dedup.dupClusters for the transitive closure. */
+  def videoDupPairs(df: DataFrame, id: String, bin: String,
+                    frameBytes: Int, everyNth: Int, minShared: Long,
+                    maxBucket: Int = 10000): DataFrame = {
+    require(frameBytes >= 2,
+      s"frameBytes must be >= 2 for the dHash grid, got $frameBytes")
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val emitted = Seq("video_a", "video_b", "n_shared", "_vid", "_nf",
+      "_fi", "_b", "_sig", "_vs", "_i", "_j")
+    val clash = Seq(id, bin).filter(emitted.contains)
+    require(clash.isEmpty,
+      s"videoDupPairs emits/uses ${emitted.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")}")
+    val sigs = df.select(col(id).as("_vid"), col(bin).as("_b"))
+      .filter(col("_vid").isNotNull && col("_b").isNotNull)
+      .withColumn("_nf", (byteLength(col("_b")) / frameBytes).cast("long"))
+      .filter(col("_nf") > 0)
+      .select(col("_vid"),
+        explode(sequence(lit(0L), col("_nf") - 1, lit(everyNth.toLong)))
+          .as("_fi"),
+        col("_b"))
+      .select(col("_vid"),
+        dHash(col("_b").substr((col("_fi") * frameBytes + 1).cast("int"),
+          lit(frameBytes))).as("_sig"))
+      .distinct()
+    val bySig = sigs.groupBy(col("_sig"))
+      .agg(sort_array(collect_list(col("_vid"))).as("_vs"))
+      .filter(size(col("_vs")) > 1)
+    val capGuard = assert_true(size(col("_vs")) <= maxBucket,
+      concat(lit(s"videoDupPairs: a frame signature is shared by more " +
+        s"than $maxBucket videos (a degenerate frame — raise minShared " +
+        "or pre-filter it); bucket size "),
+        size(col("_vs")).cast("string")))
+    bySig.filter(capGuard.isNull)
+      .select(col("_vs"), posexplode(col("_vs")).as(Seq("_i", "video_a")))
+      .select(col("video_a"), col("_i"),
+        posexplode(col("_vs")).as(Seq("_j", "video_b")))
+      .filter(col("_i") < col("_j"))
+      .groupBy(col("video_a"), col("video_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Modality/format mix per group — the curation stat a multimodal
     * corpus owner reads before fixing mixture weights ("what share of
     * each source is PNG vs JPEG vs video"): per (group, format) exact

@@ -200,4 +200,28 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxBucket"))
   }
+
+  test("videoDupPairs: shared-frame-signature counting with distinct " +
+      "per-video frame sets; minShared filters single-frame overlap; " +
+      "bucket flood fails loud") {
+    // three frame PATTERNS (dHash reads up/down structure):
+    // A = up-down-up, B = down-up-down, C = increasing
+    val fA = "00FF00FF"; val fB = "FF00FF00"; val fC = "01020304"
+    val vids = Seq(
+      (1L, fA + fB),           // {A, B}
+      (2L, fA + fB + fC),      // {A, B, C}
+      (3L, fA + fC),           // {A, C}
+      (4L, fA + fA)            // duplicate frame collapses → {A}
+    ).toDF("vid", "hx").withColumn("b", unhex(col("hx")))
+    val got = Multimodal.videoDupPairs(vids, "vid", "b", 4, 1, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // (1,2) share {A,B}; (2,3) share {A,C}; (1,3)/(x,4) share only A
+    assert(got == Map((1L, 2L) -> 2L, (2L, 3L) -> 2L))
+    // a frame signature shared by every video floods its bucket
+    val e2 = intercept[Exception](
+      Multimodal.videoDupPairs(vids, "vid", "b", 4, 1, 1L, maxBucket = 3)
+        .collect())
+    assert(e2.getMessage.contains("videoDupPairs"))
+  }
 }
