@@ -21,14 +21,28 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(spark_path):
         print(f"FAIL {name}: no spark output"); fails += 1; continue
     try:
-        got = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df()
-        want = con.sql(sql).df()
+        got_rel = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'")
+        want_rel = con.sql(sql)
+        got = got_rel.df()
+        want = want_rel.df()
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails += 1; continue
     got = got.reindex(sorted(got.columns), axis=1)
     want = want.reindex(sorted(want.columns), axis=1)
     if list(got.columns) != list(want.columns):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+        fails += 1; continue
+    # Type gate: the driver's hash is type-sensitive, so an oracle column
+    # whose DuckDB type diverges from the Spark parquet schema (classic case:
+    # windowed sum(INTEGER) typed HUGEINT vs Spark BIGINT) must fail here
+    # even though the dtype-tolerant value compare below would pass.
+    got_types = dict(zip([str(c) for c in got_rel.columns], [str(t) for t in got_rel.types]))
+    want_types = dict(zip([str(c) for c in want_rel.columns], [str(t) for t in want_rel.types]))
+    type_diffs = [f"{c}: spark={got_types[c]} oracle={want_types[c]}"
+                  for c in got.columns if got_types.get(c) != want_types.get(c)]
+    if type_diffs:
+        print(f"FAIL {name}: column type mismatch (cast your oracle): "
+              + "; ".join(type_diffs))
         fails += 1; continue
     got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     want = want.sort_values(by=list(want.columns)).reset_index(drop=True)

@@ -57,7 +57,8 @@ object Bench {
     }
     val medians = queries.map { case (name, _) =>
       val ts = passes.map(_(name)).sorted
-      name -> ts(ts.size / 2)
+      val n = ts.size
+      name -> (if (n % 2 == 1) ts(n / 2) else (ts(n / 2 - 1) + ts(n / 2)) / 2)
     }
     val spreads = queries.map { case (name, _) =>
       val ts = passes.map(_(name))

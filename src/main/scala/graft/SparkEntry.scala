@@ -6660,7 +6660,7 @@ object SparkEntry {
          |        FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
          |isl2 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY j
          |          ROWS UNBOUNDED PRECEDING) AS isle FROM isl)
-         |SELECT doc_id, isle AS span_idx, min(j)::BIGINT AS first_token,
+         |SELECT doc_id, isle::BIGINT AS span_idx, min(j)::BIGINT AS first_token,
          |  (max(j) + any_value(L) - 1)::BIGINT AS last_token,
          |  (max(j) - min(j) + any_value(L))::BIGINT AS n_tokens_covered,
          |  count(*)::BIGINT AS n_grams
@@ -6756,7 +6756,7 @@ object SparkEntry {
          |        FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
          |isl2 AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY j
          |          ROWS UNBOUNDED PRECEDING) AS isle FROM isl)
-         |SELECT doc_id, isle AS span_idx, min(j)::BIGINT AS first_token,
+         |SELECT doc_id, isle::BIGINT AS span_idx, min(j)::BIGINT AS first_token,
          |  (max(j) + any_value(L) - 1)::BIGINT AS last_token,
          |  (max(j) - min(j) + any_value(L))::BIGINT AS n_tokens_covered,
          |  count(*)::BIGINT AS n_grams

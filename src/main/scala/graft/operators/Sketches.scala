@@ -186,12 +186,16 @@ object Sketches {
       .withColumn("_ew", KmvExpressions.kmvEstimate(col("_sk"), k))
       .withColumn("_ei", when(col("_m") > 0L,
         divNN(col("_nb") * col("_eu"), col("_m"))).otherwise(lit(0L)))
-    joined.select(col("_w").as("window_start_ms"),
-      size(col("_sk")).cast("long").as("n_sketch"),
-      col("_ew").as("est_distinct"),
-      when(col("_psk").isNotNull, col("_ei")).as("est_inter"),
-      when(col("_psk").isNotNull && col("_ew") > 0L,
-        divNN(greatest(col("_ew") - col("_ei"), lit(0L)) * 1000000L,
-          col("_ew"))).as("novel_ppm"))
+    // novel_ppm numerator (est_ew − est_ei)·10⁶ can reach ~2.7e17 > 2⁵³
+    // (est_distinct tops out near (k−1)·2³²), so the make-divisible double
+    // trick is NOT safe here — use the exact integer `div` instead.
+    joined
+      .withColumn("_num", greatest(col("_ew") - col("_ei"), lit(0L)) * 1000000L)
+      .select(col("_w").as("window_start_ms"),
+        size(col("_sk")).cast("long").as("n_sketch"),
+        col("_ew").as("est_distinct"),
+        when(col("_psk").isNotNull, col("_ei")).as("est_inter"),
+        when(col("_psk").isNotNull && col("_ew") > 0L,
+          expr("_num div _ew")).as("novel_ppm"))
   }
 }
