@@ -37,13 +37,18 @@ object SparkEntry {
   private val KmGapDays = 1
   private val KmCohortDays = 7 // weekly Kaplan-Meier signup cohorts
   private val RmstTau = 20L    // RMST horizon (days)
-  // SPRT: H0 purchase rate 1/5 vs H1 2/5, α = β = 0.05 — plan-time ppm
-  // constants; the oracle interpolates the SAME values, so both engines
-  // walk identical integers
-  private val SprtIncS = math.floor(math.log(2.0) * 1e6).toLong
-  private val SprtIncF = math.floor(math.log(0.75) * 1e6).toLong
-  private val SprtA = math.floor(math.log(19.0) * 1e6).toLong
-  private val SprtB = math.floor(math.log(1.0 / 19.0) * 1e6).toLong
+  // SPRT: H0 purchase rate 1/5 vs H1 2/5, α = β = 0.05 — the ppm
+  // constants DERIVED from the declared design (SprtDesign.ppm, so they
+  // cannot drift from the statistics they encode; SprtDesignSpec pins
+  // the identity); the oracle interpolates the SAME values, so both
+  // engines walk identical integers
+  private val (sprtIncS, sprtIncF, sprtA, sprtB) =
+    graft.streaming.SprtDesign.ppm(p0 = 0.2, p1 = 0.4,
+      alpha = 0.05, beta = 0.05)
+  private val SprtIncS = sprtIncS
+  private val SprtIncF = sprtIncF
+  private val SprtA = sprtA
+  private val SprtB = sprtB
   private val KAnonK = 5L      // k-anonymity class-size floor
   private val LDivL = 3L       // l-diversity distinct-sensitive floor
   // adamic-adar: middle-degree cap (keeps part middles, excludes supplier

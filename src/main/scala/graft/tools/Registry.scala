@@ -27,7 +27,11 @@ object Registry {
     Files.walk(Paths.get(SrcRoot)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".scala")).toSeq.sorted
 
-  def main(args: Array[String]): Unit = {
+  /** Builds the full REGISTRY.md text from the compiled registry + source
+    * parse. Pure of side effects so RegistrySpec can diff it against the
+    * committed file — `sbt test` fails when the registry drifts (a query
+    * added without regenerating the index). */
+  def render(): String = {
     val files = sourceFiles()
     // object name -> (file, source text) — OPERATOR objects only (the
     // tiers); Tables/SparkEntry/tools are loaders and wiring, not the
@@ -139,9 +143,13 @@ object Registry {
         sb ++= s"| $n | $op | $site | $ok |\n"
       }
     }
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val text = render()
     Files.createDirectories(Paths.get("docs"))
-    Files.writeString(Paths.get("docs/REGISTRY.md"), sb.toString)
-    println(s"docs/REGISTRY.md: ${rows.size} queries across " +
-      s"${rows.map(_._1).distinct.size} tiers")
+    Files.writeString(Paths.get("docs/REGISTRY.md"), text)
+    println(s"docs/REGISTRY.md: ${SparkEntry.queries.size} queries")
   }
 }
