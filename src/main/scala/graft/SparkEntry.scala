@@ -1329,6 +1329,39 @@ object SparkEntry {
     // corpus bigram vocabulary (top 100, deterministic tiebreak)
     "q_ngram_vocab" -> ((s, dir) =>
       TextOps.ngramVocab(Tables.documents(s, dir), "text", 2, 100)),
+    // TRAINED quality classifier, the fit half: LrRounds full-gradient
+    // logistic steps on quantized-integer state (sigmoid floor'd at the
+    // term, exact decimal gradient sums, BigInteger trunc-div updates) —
+    // the per-round ppm weight trajectory the unrolled oracle replays
+    // step for step; labels from the seeded length rule the model must
+    // recover from (capped count, distinct-pct) features
+    "q_logreg_train" -> ((s, dir) =>
+      LogReg.historyFrame(s, logregShared(s, dir)._1)),
+    // the scoring half: every doc's quantized-sigmoid score under the
+    // FROZEN final weights — one map-only corpus pass, no shuffle
+    "q_logreg_score" -> ((s, dir) =>
+      LogReg.score(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
+        logregShared(s, dir)._2, Seq("doc_id"))),
+    // the classifier report card: confusion counts + accuracy/precision/
+    // recall in exact ppm integers over the scored corpus
+    "q_logreg_eval" -> ((s, dir) =>
+      LogReg.score(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
+          logregShared(s, dir)._2, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") && col("label") === 1L, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") && col("label") === 0L, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("pred") && col("label") === 1L, 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(!col("pred") && col("label") === 0L, 1L).otherwise(0L))
+            .as("tn"))
+        .select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("((tp + tn) * 1000000) div n_docs").as("accuracy_ppm"),
+          when(col("tp") + col("fp") > 0L,
+            expr("(tp * 1000000) div (tp + fp)")).as("precision_ppm"),
+          when(col("tp") + col("fn") > 0L,
+            expr("(tp * 1000000) div (tp + fn)")).as("recall_ppm"))),
     // BPE merge INDUCTION — the engine learns a subword vocabulary from
     // its own corpus (wordPieces applies one, q_fertility measures one):
     // BpeIters rounds of freq-weighted pair count → (count DESC, pair ASC)
@@ -4161,6 +4194,12 @@ object SparkEntry {
   private val PcaIters = 10    // power-iteration rounds (fixed, oracle-unrolled)
   private val BpeIters = 8     // BPE merge rounds (fixed-round, fail-loud)
   private val BpeMaxWordLen = 32 // BPE word-length cap (corpus max is 8)
+  // logistic-regression quality classifier: full-gradient rounds, ppm
+  // learning rate, the token-count feature cap, and the seeded label
+  // rule's length threshold ("good" = long doc — the stand-in for human
+  // labels the classifier must RECOVER from correlated features)
+  private val LrRounds = 8; private val LrRatePpm = 20000L
+  private val LrTokCap = 127L; private val LrLenThreshold = 60L
   private val SpanK = 6        // duplicated-substring span gram width
   private val PqM = 4 // PQ subspaces (EmbDims/PqM dims each, IvfNlist cells)
   private val ChunkWindow = 40; private val ChunkStride = 30
@@ -4344,6 +4383,34 @@ object SparkEntry {
         segments.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
+
+  /** The logreg classifier's (doc_id, label, x_len, x_div) feature frame:
+    * label from the seeded length rule (n_tokens >= LrLenThreshold — the
+    * stand-in for a human-labeled good/bad seed set), features the model
+    * sees: the capped token count and the distinct-token percentage
+    * (integer div — both integral, both within LogReg's exact range). */
+  private def logregFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("_toks", TextOps.tokens(lower(col("text"))))
+      .withColumn("_nt", size(col("_toks")).cast("long"))
+      .filter(col("_nt") > 0L)
+      .withColumn("_nd", size(array_distinct(col("_toks"))).cast("long"))
+      .select(col("doc_id"),
+        when(col("_nt") >= LrLenThreshold, 1L).otherwise(0L).as("label"),
+        least(col("_nt"), lit(LrTokCap)).as("x_len"),
+        expr("(_nd * 100) div _nt").as("x_div"))
+
+  /** q_logreg_train / q_logreg_score / q_logreg_eval share ONE training
+    * run (the bpeShared pattern): fit's per-round history and final
+    * weights are driver-local O(rounds·k) longs. */
+  private val logregCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[Array[Long]], Array[Long])]
+  private def logregShared(s: SparkSession,
+                           dir: String): (Seq[Array[Long]], Array[Long]) =
+    memoShared(logregCache, s, dir)(
+      LogReg.fit(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
+        LrRounds, LrRatePpm))
 
   /** q_pca_power and q_pca_explained share ONE covariance pass + power
     * iteration (the bpeShared pattern) — the corpus-touching stage runs
@@ -4549,6 +4616,41 @@ object SparkEntry {
     (0 until 60).map { j =>
       s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}::BIGINT ELSE 0 END)"
     }.mkString(" + ")
+
+  /** The logistic-GD training loop as MATERIALIZED unrolled CTEs (the
+    * sqlBpeCtes discipline), mirroring LogReg.fit round for round: the
+    * quantized sigmoid floor'd at the term (operand order pinned), exact
+    * HUGEINT gradient sums, and trunc-toward-zero `//` weight updates
+    * (probed equal to Spark's div / BigInteger on negatives). */
+  private def sqlLogregCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""lf AS MATERIALIZED (SELECT doc_id,
+       |  CASE WHEN nt >= $LrLenThreshold THEN 1 ELSE 0 END::BIGINT AS label,
+       |  LEAST(nt, $LrTokCap)::BIGINT AS x_len,
+       |  ((nd * 100) // nt)::BIGINT AS x_div
+       | FROM (SELECT doc_id, len(toks)::BIGINT AS nt,
+       |         len(list_distinct(toks))::BIGINT AS nd
+       |       FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       |             FROM documents WHERE text IS NOT NULL))
+       | WHERE nt > 0),
+       |lcn AS (SELECT count(*)::BIGINT AS n FROM lf),
+       |lw0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2)""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s""",
+       |ls$r AS (SELECT label, x_len, x_div,
+       |   (label * 1000000 - floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * x_len + w.w2 * x_div)::DOUBLE) / 1000000.0)))::BIGINT) AS res
+       | FROM lf CROSS JOIN lw$p w),
+       |lg$r AS (SELECT sum(res) AS g0, sum(res * x_len) AS g1,
+       |   sum(res * x_div) AS g2 FROM ls$r),
+       |lw$r AS MATERIALIZED (SELECT
+       |   (w.w0 + (($LrRatePpm * g.g0) // (1000000 * n.n)))::BIGINT AS w0,
+       |   (w.w1 + (($LrRatePpm * g.g1) // (1000000 * n.n)))::BIGINT AS w1,
+       |   (w.w2 + (($LrRatePpm * g.g2) // (1000000 * n.n)))::BIGINT AS w2
+       | FROM lw$p w CROSS JOIN lg$r g CROSS JOIN lcn n)""".stripMargin
+    }
+    sb.toString
+  }
 
   /** The BPE induction loop as MATERIALIZED unrolled CTEs (the
     * pagerankFixed oracle pattern), mirroring TextOps.bpeLoop round for
@@ -5749,6 +5851,45 @@ object SparkEntry {
          |      FROM tk WHERE len(toks) >= 2)
          |SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY 1
          |ORDER BY n_occurrences DESC, gram LIMIT 100""".stripMargin,
+
+    // the weight trajectory = one MATERIALIZED 1-row CTE per gradient
+    // round, unioned in round order
+    "q_logreg_train" ->
+      s"""WITH ${sqlLogregCtes(LrRounds)}
+         |${(1 to LrRounds).map(r =>
+             s"SELECT $r::BIGINT AS round, w0 AS w0_ppm, w1 AS w1_ppm, " +
+               s"w2 AS w2_ppm FROM lw$r")
+             .mkString("\nUNION ALL ")}""".stripMargin,
+
+    // every doc scored under the final round's frozen weights — the
+    // same quantized-sigmoid chain, one cross join with the 1-row table
+    "q_logreg_score" ->
+      s"""WITH ${sqlLogregCtes(LrRounds)}
+         |SELECT doc_id, label, x_len, x_div, score_ppm,
+         |  score_ppm >= 500000 AS pred
+         |FROM (SELECT f.doc_id, f.label, f.x_len, f.x_div,
+         |        floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT AS score_ppm
+         |      FROM lf f CROSS JOIN lw$LrRounds w)""".stripMargin,
+
+    // confusion rollup of the scored corpus + exact ppm rates
+    "q_logreg_eval" ->
+      s"""WITH ${sqlLogregCtes(LrRounds)},
+         |lsc AS (SELECT f.label,
+         |        floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT >= 500000 AS pred
+         |      FROM lf f CROSS JOIN lw$LrRounds w),
+         |lag2 AS (SELECT count(*)::BIGINT AS n_docs,
+         |        sum(CASE WHEN pred AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |        sum(CASE WHEN pred AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |        sum(CASE WHEN NOT pred AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |        sum(CASE WHEN NOT pred AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+         |      FROM lsc)
+         |SELECT n_docs, tp, fp, fn, tn,
+         |  (((tp + tn) * 1000000) // n_docs)::BIGINT AS accuracy_ppm,
+         |  CASE WHEN tp + fp > 0
+         |       THEN ((tp * 1000000) // (tp + fp))::BIGINT END AS precision_ppm,
+         |  CASE WHEN tp + fn > 0
+         |       THEN ((tp * 1000000) // (tp + fn))::BIGINT END AS recall_ppm
+         |FROM lag2""".stripMargin,
 
     // the merge table = the per-round argmax winners, in rank order
     "q_bpe_merges" ->
