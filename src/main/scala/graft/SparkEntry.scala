@@ -1362,6 +1362,35 @@ object SparkEntry {
             expr("(tp * 1000000) div (tp + fp)")).as("precision_ppm"),
           when(col("tp") + col("fn") > 0L,
             expr("(tp * 1000000) div (tp + fn)")).as("recall_ppm"))),
+    // unigram-LM (SentencePiece-style) tokenizer INDUCTION, the other
+    // tokenizer-learning lifecycle beside BPE: hard-EM over Viterbi
+    // segmentations in quantized-integer likelihoods — the surviving
+    // inventory with its usage counts and smoothed qlog likelihoods
+    "q_unigram_vocab" -> ((s, dir) =>
+      unigramShared(s, dir)._1.select(col("piece"),
+        col("cnt").as("n_uses"),
+        InfoTheory.qlog(col("cnt") + 1L).as("qlogp"))),
+    // the per-round total Viterbi likelihood — hard EM's monotone audit
+    // trail (UnigramSpec asserts non-decreasing with zero slack)
+    "q_unigram_ll" -> ((s, dir) => {
+      import s.implicits._
+      unigramShared(s, dir)._2.toDF("round", "total_qll")
+    }),
+    // the training corpus's word vocabulary segmented under the FINAL
+    // frozen inventory (the apply half, bpe_apply's shape)
+    "q_unigram_apply" -> ((s, dir) =>
+      Unigram.segmented(
+        Unigram.words(Tables.documents(s, dir), "text", UniW),
+        unigramShared(s, dir)._1, UniW, UniL)),
+    // inference on the held-out slice (doc_id%7==3) under the frozen
+    // inventory — unknown single chars still segment (qlog(1)−Z), unknown
+    // multis are unusable: canonical unigram OOV behavior
+    "q_unigram_encode" -> ((s, dir) =>
+      Unigram.segmented(
+        Unigram.words(
+          Tables.documents(s, dir).filter(col("doc_id") % 7 === 3),
+          "text", UniW),
+        unigramShared(s, dir)._1, UniW, UniL)),
     // BPE merge INDUCTION — the engine learns a subword vocabulary from
     // its own corpus (wordPieces applies one, q_fertility measures one):
     // BpeIters rounds of freq-weighted pair count → (count DESC, pair ASC)
@@ -1817,26 +1846,63 @@ object SparkEntry {
           col("n_chars").cast("long").as("bytes")),
         "path", "bytes", 4000L)),
     // the rewrite-DECIDING metric beside compactionPlan/zorderLayout:
-    // per pseudo-file min/max shipdate-day stats, how many files a point
-    // lookup opens — the orderkey-grouped layout interleaves the whole
-    // date range (depth ≈ N: stats prune nothing), the time-partitioned
-    // one stays at depth 1; metadata-only, via intervalOverlapJoin
+    // per pseudo-file min/max stats on BOTH lookup axes (shipdate day,
+    // orderkey), how many files a point lookup opens under THREE layouts
+    // — key-grouped (day axis interleaves: depth ≈ N), time-partitioned
+    // (key axis interleaves), and Z-ORDERED (files tile the curve by its
+    // top 8 bits: bounded boxes in BOTH dimensions — the multi-axis
+    // compromise the other two cannot make); metadata-only, via
+    // intervalOverlapJoin, never an all-pairs product
     "q_layout_depth" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-        .filter(col("l_orderkey").isNotNull && col("l_shipdate").isNotNull)
-        .select(col("l_orderkey"),
+        .filter(col("l_orderkey").isNotNull && col("l_shipdate").isNotNull
+          && col("l_linenumber").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
           expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000")
             .as("_day"))
-      val byKey = li.groupBy(expr("l_orderkey div 100").as("fid"))
-        .agg(min(col("_day")).as("lo"), max(col("_day")).as("hi"))
-      val byTime = li.groupBy(expr("_day div 32").as("fid"))
-        .agg(min(col("_day")).as("lo"), max(col("_day")).as("hi"))
-      graft.sources.CorpusLayout
-        .clusteringDepth(byKey, "fid", "lo", "hi", 128L, 32)
-        .withColumn("layout", lit("by_orderkey"))
-        .unionByName(graft.sources.CorpusLayout
-          .clusteringDepth(byTime, "fid", "lo", "hi", 128L, 32)
-          .withColumn("layout", lit("by_shipdate")))
+        .localCheckpoint(true) // shared by the three layout groupings
+      def stats(df: DataFrame,
+                fid: org.apache.spark.sql.Column): DataFrame =
+        df.groupBy(fid.as("fid"))
+          .agg(min(col("_day")).as("lo_d"), max(col("_day")).as("hi_d"),
+            min(col("l_orderkey")).as("lo_k"),
+            max(col("l_orderkey")).as("hi_k"))
+      // z-curve layout = the Delta-style ZORDER semantics made
+      // oracle-replayable: each dim normalized to 8 bits FIRST — the key
+      // dim by equal-frequency rank buckets (scale-free at any sf; rank
+      // from the distributed orderedPrefixSum, never a single-task
+      // window), the day dim by fixed-width 16-day buckets (TPC-H's date
+      // range is spec-fixed; fail-loud past day 12095 / pre-1992) — then
+      // interleaved, files = the curve's top 6 bits (an 8×8 box grid
+      // over two uniformly-populated 8-bit dims)
+      val ranked = CoreOps.orderedPrefixSum(
+        li.withColumn("_one", lit(1L))
+          .withColumn("_tb",
+            col("l_orderkey") * 100L + col("l_linenumber")),
+        col("l_orderkey"), "_tb", "_one", "_rk")
+      val z = graft.sources.CorpusLayout.zValue(
+        Seq(expr("((_rk - 1) * 256) div _n"),
+          expr("(_day - 8000) div 16")), 8)
+      val zFiled = ranked
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("_n"))))
+        .withColumn("_zfid", shiftright(z, 10))
+      val layouts = Seq(
+        ("by_orderkey", stats(li, expr("l_orderkey div 100"))),
+        ("by_shipdate", stats(li, expr("_day div 32"))),
+        ("by_zorder", stats(zFiled, col("_zfid"))))
+      layouts.map { case (name, st) =>
+        val cached = st.localCheckpoint(true) // both axes read it
+        graft.sources.CorpusLayout
+          .clusteringDepth(cached.select(col("fid"), col("lo_d"),
+            col("hi_d")), "fid", "lo_d", "hi_d", 128L, 64)
+          .withColumn("layout", lit(name))
+          .withColumn("axis", lit("shipdate"))
+          .unionByName(graft.sources.CorpusLayout
+            .clusteringDepth(cached.select(col("fid"), col("lo_k"),
+              col("hi_k")), "fid", "lo_k", "hi_k", 65536L, 128)
+            .withColumn("layout", lit(name))
+            .withColumn("axis", lit("orderkey")))
+      }.reduce(_ unionByName _)
     }),
     // the token-movement rollup behind q_snapshot_diff's status stream:
     // per status (incl. the unchanged line snapshotDiff drops), doc count
@@ -4200,6 +4266,10 @@ object SparkEntry {
   // labels the classifier must RECOVER from correlated features)
   private val LrRounds = 8; private val LrRatePpm = 20000L
   private val LrTokCap = 127L; private val LrLenThreshold = 60L
+  // unigram-LM tokenizer induction: hard-EM rounds, seed inventory size,
+  // word-length cap (corpus max word is 8), max piece length
+  private val UniRounds = 3; private val UniSeedK = 64
+  private val UniW = 12; private val UniL = 4
   private val SpanK = 6        // duplicated-substring span gram width
   private val PqM = 4 // PQ subspaces (EmbDims/PqM dims each, IvfNlist cells)
   private val ChunkWindow = 40; private val ChunkStride = 30
@@ -4411,6 +4481,16 @@ object SparkEntry {
     memoShared(logregCache, s, dir)(
       LogReg.fit(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
         LrRounds, LrRatePpm))
+
+  /** The q_unigram_* family shares ONE hard-EM training run (the
+    * bpeShared pattern): final inventory frame + per-round likelihoods. */
+  private val unigramCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[(Long, Long)])]
+  private def unigramShared(s: SparkSession,
+                            dir: String): (DataFrame, Seq[(Long, Long)]) =
+    memoShared(unigramCache, s, dir)(
+      Unigram.learn(Tables.documents(s, dir), "text", UniRounds, UniSeedK,
+        UniW, UniL))
 
   /** q_pca_power and q_pca_explained share ONE covariance pass + power
     * iteration (the bpeShared pattern) — the corpus-touching stage runs
@@ -4648,6 +4728,101 @@ object SparkEntry {
        |   (w.w1 + (($LrRatePpm * g.g1) // (1000000 * n.n)))::BIGINT AS w1,
        |   (w.w2 + (($LrRatePpm * g.g2) // (1000000 * n.n)))::BIGINT AS w2
        | FROM lw$p w CROSS JOIN lg$r g CROSS JOIN lcn n)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** One unigram Viterbi-DP block over a words CTE under an inventory
+    * CTE — DuckDB lateral-alias column algebra mirroring Unigram.viterbi
+    * column name for column name (sc_{s}_{l} pivot, max-plus best_i with
+    * shorter-last-piece bl_i tie rule, the c_k/l_k backtrace walk, the
+    * fixed-slot piece list). Emits `${tag}dp`(word, freq, pieces LIST,
+    * best_qll). Starts with "," — append after an existing CTE. */
+  private def sqlUnigramDp(tag: String, wordsCte: String,
+                           vocabCte: String): String = {
+    val W = UniW; val L = UniL
+    val scCols = (for { s <- 0 until W; l <- 1 to L if s + l <= W }
+      yield s"max(CASE WHEN s = $s AND l = $l THEN score END) AS sc_${s}_$l")
+      .mkString(",\n   ")
+    // one CTE per DP level: DuckDB expands lateral column aliases by
+    // SUBSTITUTION, so chaining best_1..best_12 inside one SELECT blows
+    // the expression tree up exponentially (probed: the single-SELECT
+    // form hangs the planner); a CTE per level keeps every reference a
+    // real column
+    val dpSteps = (1 to W).map { i =>
+      val cands = (1 to math.min(L, i))
+        .map(l => s"(best_${i - l} + sc_${i - l}_$l)")
+      val best = if (cands.size == 1) cands.head
+        else s"greatest(${cands.mkString(", ")})"
+      val bl = (1 to math.min(L, i)).map(l =>
+        s"WHEN best_${i - l} + sc_${i - l}_$l = best_$i THEN $l")
+        .mkString(" ")
+      s"""${tag}d$i AS (SELECT *, $best AS best_$i,
+ (CASE $bl END)::BIGINT AS bl_$i FROM ${tag}d${i - 1})"""
+    }.mkString(",\n")
+    def blAt(c: String): String = "(CASE " +
+      (1 to W).map(i => s"WHEN $c = $i THEN bl_$i").mkString(" ") + " END)"
+    val btSteps = (s"""${tag}b0 AS (SELECT *, len(word)::BIGINT AS c_0,
+ ${blAt("c_0")} AS l_0 FROM ${tag}d$W)""" +:
+      (1 until W).map(k =>
+        s"""${tag}b$k AS (SELECT *,
+ (CASE WHEN l_${k - 1} IS NOT NULL THEN c_${k - 1} - l_${k - 1} END) AS c_$k,
+ (CASE WHEN c_$k > 0 THEN ${blAt(s"c_$k")} END) AS l_$k FROM ${tag}b${k - 1})"""))
+      .mkString(",\n")
+    val slots = (W - 1 to 0 by -1).map(k =>
+      s"CASE WHEN l_$k IS NOT NULL THEN substr(word, " +
+        s"(c_$k - l_$k + 1)::INT, l_$k::INT) END").mkString(",\n     ")
+    val bestAt = "(CASE " + (1 to W)
+      .map(i => s"WHEN len(word) = $i THEN best_$i").mkString(" ") + " END)"
+    s""",
+${tag}z AS (SELECT floor(ln((sum(cnt + 1))::DOUBLE) * 1000000)::BIGINT AS z FROM $vocabCte),
+${tag}sc AS (SELECT b.word, b.freq, b.s, b.l,
+   (coalesce(floor(ln((v.cnt + 1)::DOUBLE) * 1000000)::BIGINT,
+             CASE WHEN b.l = 1 THEN 0::BIGINT END) - z.z) AS score
+ FROM (SELECT word, freq, s, l, substr(word, (s+1)::INT, l::INT) AS piece
+       FROM $wordsCte, range(0, $W) r1(s), range(1, ${L + 1}) r2(l)
+       WHERE s < len(word) AND s + l <= len(word)) b
+ LEFT JOIN $vocabCte v USING (piece) CROSS JOIN ${tag}z z),
+${tag}d0 AS (SELECT word, freq,
+   $scCols,
+   0::BIGINT AS best_0
+ FROM ${tag}sc GROUP BY 1, 2),
+$dpSteps,
+$btSteps,
+${tag}dp AS MATERIALIZED (SELECT word, freq,
+   list_filter([
+     $slots
+   ], x -> x IS NOT NULL) AS pieces,
+   $bestAt AS best_qll
+  FROM ${tag}b${W - 1})"""
+  }
+
+  /** The unigram hard-EM loop as unrolled CTEs (the sqlBpeCtes
+    * discipline), mirroring Unigram.learn round for round: seed stats,
+    * per-round Viterbi DP block, freq-weighted usage, the
+    * chars-never-prune / zero-usage-multis-drop inventory update. */
+  private def sqlUnigramCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""uw AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      x -> x <> '' AND len(x) <= $UniW)) AS word FROM documents) GROUP BY 1),
+ucand AS (SELECT substr(word, (s+1)::INT, l::INT) AS piece,
+    sum(freq)::BIGINT AS cnt
+  FROM uw, range(0, $UniW) r1(s), range(1, ${UniL + 1}) r2(l)
+  WHERE s < len(word) AND s + l <= len(word) GROUP BY 1),
+uchars AS MATERIALIZED (SELECT piece, cnt FROM ucand WHERE len(piece) = 1),
+uvoc0 AS MATERIALIZED (SELECT piece, cnt FROM uchars UNION ALL
+  SELECT piece, cnt FROM (SELECT piece, cnt FROM ucand WHERE len(piece) >= 2
+    ORDER BY cnt DESC, piece LIMIT $UniSeedK) tk)"""
+    for (r <- 1 to UniRounds) {
+      val p = r - 1
+      sb ++= sqlUnigramDp(s"ur$r", "uw", s"uvoc$p")
+      sb ++= s""",
+uuse$r AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+    SELECT freq, unnest(pieces) AS piece FROM ur${r}dp) GROUP BY 1),
+uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
+    FROM uchars c LEFT JOIN uuse$r u USING (piece)
+  UNION ALL SELECT piece, cnt FROM uuse$r WHERE len(piece) >= 2)"""
     }
     sb.toString
   }
@@ -5852,6 +6027,44 @@ object SparkEntry {
          |SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY 1
          |ORDER BY n_occurrences DESC, gram LIMIT 100""".stripMargin,
 
+    // the surviving inventory after the unrolled hard-EM rounds, with
+    // usage counts and the smoothed quantized likelihoods
+    "q_unigram_vocab" ->
+      s"""WITH $sqlUnigramCtes
+         |SELECT piece, cnt AS n_uses,
+         |  floor(ln((cnt + 1)::DOUBLE) * 1000000)::BIGINT AS qlogp
+         |FROM uvoc$UniRounds""".stripMargin,
+
+    // per-round total Viterbi likelihood — the monotone audit trail
+    "q_unigram_ll" ->
+      s"""WITH $sqlUnigramCtes
+         |${(1 to UniRounds).map(r =>
+             s"SELECT $r::BIGINT AS round, sum(freq * best_qll)::BIGINT " +
+               s"AS total_qll FROM ur${r}dp").mkString("\nUNION ALL ")}"""
+        .stripMargin,
+
+    // the training vocabulary segmented under the FINAL inventory — one
+    // more DP block under uvoc$UniRounds
+    "q_unigram_apply" ->
+      s"""WITH $sqlUnigramCtes${sqlUnigramDp("ua", "uw",
+             s"uvoc$UniRounds")}
+         |SELECT word, freq, len(pieces)::BIGINT AS n_pieces,
+         |  array_to_string(pieces, ' ') AS pieces
+         |FROM uadp""".stripMargin,
+
+    // the held-out slice's vocabulary under the frozen inventory — same
+    // DP block over the slice's own word table
+    "q_unigram_encode" ->
+      s"""WITH $sqlUnigramCtes,
+         |uew AS (SELECT word, count(*)::BIGINT AS freq FROM (
+         |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM documents WHERE doc_id % 7 = 3) GROUP BY 1)${
+           sqlUnigramDp("ue", "uew", s"uvoc$UniRounds")}
+         |SELECT word, freq, len(pieces)::BIGINT AS n_pieces,
+         |  array_to_string(pieces, ' ') AS pieces
+         |FROM uedp""".stripMargin,
+
     // the weight trajectory = one MATERIALIZED 1-row CTE per gradient
     // round, unioned in round order
     "q_logreg_train" ->
@@ -6702,31 +6915,52 @@ object SparkEntry {
          |  ((cum_bytes - bytes) // 4000)::BIGINT AS group_id
          |FROM c""".stripMargin,
 
-    // half-open overlap on integer day intervals: a.lo <= b.hi AND
-    // b.lo <= a.hi; depth = 1 + overlapping others, zero-overlap kept
-    "q_layout_depth" ->
-      """WITH li AS (SELECT l_orderkey,
-        |        epoch_ms(l_shipdate) // 86400000 AS day
-        |      FROM lineitem
-        |      WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL),
-        |fk AS (SELECT l_orderkey // 100 AS fid, min(day)::BIGINT AS lo,
-        |        max(day)::BIGINT AS hi FROM li GROUP BY 1),
-        |ft AS (SELECT day // 32 AS fid, min(day)::BIGINT AS lo,
-        |        max(day)::BIGINT AS hi FROM li GROUP BY 1),
-        |dk AS (SELECT a.fid, count(*)::BIGINT AS n FROM fk a JOIN fk b
-        |       ON b.fid <> a.fid AND a.lo <= b.hi AND b.lo <= a.hi
-        |       GROUP BY 1),
-        |dt AS (SELECT a.fid, count(*)::BIGINT AS n FROM ft a JOIN ft b
-        |       ON b.fid <> a.fid AND a.lo <= b.hi AND b.lo <= a.hi
-        |       GROUP BY 1)
-        |SELECT fk.fid AS file_id, fk.lo AS key_lo, fk.hi AS key_hi,
-        |  (coalesce(dk.n, 0) + 1)::BIGINT AS depth,
-        |  'by_orderkey' AS layout
-        |FROM fk LEFT JOIN dk USING (fid)
-        |UNION ALL
-        |SELECT ft.fid, ft.lo, ft.hi, (coalesce(dt.n, 0) + 1)::BIGINT,
-        |  'by_shipdate'
-        |FROM ft LEFT JOIN dt USING (fid)""".stripMargin,
+    // half-open overlap on integer intervals per (layout, axis):
+    // a.lo <= b.hi AND b.lo <= a.hi; depth = 1 + overlapping others,
+    // zero-overlap kept; the z layout's fid is the 20-bit interleave's
+    // top 8 bits (the q_zorder bit algebra, then // 2^32)
+    "q_layout_depth" -> {
+      def stats(tag: String, fidExpr: String): String =
+        s"""$tag AS (SELECT $fidExpr AS fid,
+           |  min(day)::BIGINT AS lo_d, max(day)::BIGINT AS hi_d,
+           |  min(l_orderkey)::BIGINT AS lo_k, max(l_orderkey)::BIGINT AS hi_k
+           | FROM liz GROUP BY 1)""".stripMargin
+      def depth(tag: String, layout: String, axis: String,
+                lo: String, hi: String): String =
+        s"""SELECT f.fid AS file_id, f.$lo AS key_lo, f.$hi AS key_hi,
+           |  (coalesce(o.n, 0) + 1)::BIGINT AS depth,
+           |  '$layout' AS layout, '$axis' AS axis
+           |FROM $tag f LEFT JOIN (
+           |  SELECT a.fid, count(*)::BIGINT AS n FROM $tag a JOIN $tag b
+           |    ON b.fid <> a.fid AND a.$lo <= b.$hi AND b.$lo <= a.$hi
+           |  GROUP BY 1) o USING (fid)""".stripMargin
+      val zTerms = (for { j <- 0 until 8; (d, i) <- Seq("zk", "zd").zipWithIndex }
+        yield s"((($d >> $j) & 1) << ${j * 2 + i})").mkString(" + ")
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber,
+         |        epoch_ms(l_shipdate) // 86400000 AS day
+         |      FROM lineitem
+         |      WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+         |        AND l_linenumber IS NOT NULL),
+         |lzr AS (SELECT l_orderkey, day,
+         |        row_number() OVER (ORDER BY l_orderkey,
+         |          l_orderkey * 100 + l_linenumber)::BIGINT AS rk
+         |      FROM li),
+         |liz AS (SELECT l_orderkey, day,
+         |        ((($zTerms) >> 10))::BIGINT AS zfid
+         |      FROM (SELECT l_orderkey, day,
+         |              ((rk - 1) * 256) // n AS zk,
+         |              (day - 8000) // 16 AS zd
+         |            FROM lzr CROSS JOIN
+         |              (SELECT count(*)::BIGINT AS n FROM li) c)),
+         |${stats("fk", "(l_orderkey // 100)::BIGINT")},
+         |${stats("ft", "(day // 32)::BIGINT")},
+         |${stats("fz", "zfid")}
+         |${Seq(("fk", "by_orderkey"), ("ft", "by_shipdate"),
+               ("fz", "by_zorder")).flatMap { case (tag, name) => Seq(
+             depth(tag, name, "shipdate", "lo_d", "hi_d"),
+             depth(tag, name, "orderkey", "lo_k", "hi_k")) }
+           .mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // full-outer hash join of (id, content md5, token count) sides (the
     // v2 relation synthesized with this query's own drop/edit/add rules),
