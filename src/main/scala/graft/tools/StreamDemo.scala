@@ -274,10 +274,14 @@ object StreamDemo {
     // continuous sequential verdict per user: Wald's SPRT over
     // Query-vs-other operations — one frozen decision per key at the
     // first LLR threshold crossing
+    // the constants DERIVE from the declared design (p0=0.2, p1=0.4,
+    // α=β=0.05) — SprtDesignSpec pins the quantization identity
+    val (sprtIncS, sprtIncF, sprtA, sprtB) =
+      graft.streaming.SprtDesign.ppm(0.2, 0.4, 0.05, 0.05)
     val q24 = StateMachines.sprtDecisions(
         StateMachines.keyedEvents(audit, col("user"),
           unix_millis(col("event_time")), col("id"), col("operation")),
-        "Query", 693147L, -287683L, 2944438L, -2944439L)
+        "Query", sprtIncS, sprtIncF, sprtA, sprtB)
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
     // upsert compaction as the STATE MACHINE (latestSnapshots): the
@@ -307,6 +311,29 @@ object StreamDemo {
       s"(${asofRows.get()} as-of rows, " +
       s"$stateRows state rows, ${fuzzyRows.get()} fuzzy matches, " +
       s"${driftRows.get()} drift rows)")
+    // the ops dashboard: every live query's StreamingQueryProgress
+    // history as ONE queryable frame (StreamObs; schema pinned in
+    // StreamObsSpec) — throughput, state size, watermark, late drops
+    val named = Seq("session_summary" -> q3, "window_join" -> q4,
+      "interval_join" -> q6, "heavy_hitters" -> q7, "latest_state" -> q8,
+      "expanding_anomaly" -> q11, "windowed_quantile" -> q12,
+      "session_funnel" -> q13, "windowed_entropy" -> q14,
+      "token_bucket" -> q15, "ewma" -> q16, "hellinger" -> q18,
+      "jsd" -> q19, "holt" -> q20, "holt_winters" -> q21,
+      "kmv_snapshots" -> q22, "windowed_kmv" -> q23, "sprt" -> q24,
+      "latest_snapshots" -> q17)
+    val obs = graft.streaming.StreamObs.progressFrame(spark, named)
+    val rollup = obs.groupBy(col("query_name")).agg(
+        sum(col("input_rows")).as("rows_in"),
+        max(col("state_rows")).as("max_state_rows"),
+        sum(col("rows_dropped_by_watermark")).as("late_drops"),
+        max(col("batch_duration_ms")).as("max_batch_ms"))
+      .orderBy(col("query_name"))
+    println("[demo] streaming-ops dashboard (from StreamObs.progressFrame):")
+    rollup.collect().foreach(r => println(
+      f"[demo]   ${r.getString(0)}%-18s rows_in=${r.getLong(1)}%-6d " +
+        f"max_state_rows=${r.getLong(2)}%-5d late_drops=${r.getLong(3)}%-3d " +
+        f"max_batch_ms=${r.getLong(4)}"))
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
     q10.stop(); q11.stop(); q12.stop(); q13.stop(); q14.stop(); q15.stop()
     q16.stop(); q17.stop(); q18.stop(); q19.stop(); q20.stop(); q21.stop()
