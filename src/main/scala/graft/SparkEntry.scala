@@ -1342,6 +1342,23 @@ object SparkEntry {
     "q_logreg_score" -> ((s, dir) =>
       LogReg.score(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
         logregShared(s, dir)._2, Seq("doc_id"))),
+    // the classifier under the threshold-free lens: exact ROC at every
+    // achievable operating point of score_ppm (the rank view q_logreg_eval's
+    // single 0.5 threshold cannot show) — rocCurve's distributed
+    // prefix-sum shape over the O(distinct scores) frame
+    "q_logreg_roc" -> ((s, dir) =>
+      Eval.rocCurve(
+        LogReg.score(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
+          logregShared(s, dir)._2, Seq("doc_id")),
+        "score_ppm", col("label") === 1L)),
+    // is a 0.9-scoring doc actually good 90% of the time? the trained
+    // scores binned on the exact ppm grid vs the realized label rate —
+    // the calibration read a score-thresholded keep/drop policy needs
+    "q_logreg_calibration" -> ((s, dir) =>
+      CoreOps.calibrationCurve(
+        LogReg.score(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
+          logregShared(s, dir)._2, Seq("doc_id")),
+        "score_ppm", col("label") === 1L, 0L, 1000000L, 10)),
     // the classifier report card: confusion counts + accuracy/precision/
     // recall in exact ppm integers over the scored corpus
     "q_logreg_eval" -> ((s, dir) =>
@@ -1391,6 +1408,41 @@ object SparkEntry {
           Tables.documents(s, dir).filter(col("doc_id") % 7 === 3),
           "text", UniW),
         unigramShared(s, dir)._1, UniW, UniL)),
+    // per-language fertility under the learned unigram inventory — the
+    // q_bpe_fertility twin for the OTHER trained tokenizer (same word
+    // extraction, same fail-loud missing-word guard)
+    "q_unigram_fertility" -> ((s, dir) =>
+      TextOps.bpeFertilityFrom(Tables.documents(s, dir), "text", "lang",
+        Unigram.segmented(
+          Unigram.words(Tables.documents(s, dir), "text", UniW),
+          unigramShared(s, dir)._1, UniW, UniL),
+        UniW)),
+    // per-doc PERPLEXITY under the self-trained unigram LM — the
+    // CCNet-style quality filter (Wenzek et al. 2020): each doc's exact
+    // µnat NLL and mean NLL per piece from the word-level Viterbi
+    // likelihoods; templated/in-distribution prose scores low, junk and
+    // out-of-distribution text scores high. One vocab-scale DP + one
+    // doc-word count join — the corpus is touched once
+    "q_doc_ppl" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = unigramShared(s, dir)._1
+      val seg = Unigram.viterbi(Unigram.words(docs, "text", UniW), vocab,
+          Unigram.zOf(vocab), UniW, UniL)
+        .select(col("word"), col("n_pieces"), col("best_qll"))
+      val dw = docs.select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^a-z]+"),
+            w => w =!= "" && length(w) <= UniW)).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("_n"))
+      dw.join(seg, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("_n")).as("n_words"),
+          sum(col("_n") * col("n_pieces")).as("n_pieces"),
+          (-sum(col("_n") * col("best_qll"))).as("nll_scaled"))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("nll_scaled"),
+          (floor(col("nll_scaled").cast("double")
+            / col("n_pieces").cast("double")) / 1000000d).as("mean_nll"))
+    }),
     // BPE merge INDUCTION — the engine learns a subword vocabulary from
     // its own corpus (wordPieces applies one, q_fertility measures one):
     // BpeIters rounds of freq-weighted pair count → (count DESC, pair ASC)
@@ -6064,6 +6116,80 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |SELECT word, freq, len(pieces)::BIGINT AS n_pieces,
          |  array_to_string(pieces, ' ') AS pieces
          |FROM uedp""".stripMargin,
+
+    // q_bpe_fertility's SQL shape under the unigram apply segmentation
+    "q_unigram_fertility" ->
+      s"""WITH $sqlUnigramCtes${sqlUnigramDp("ua", "uw",
+             s"uvoc$UniRounds")},
+         |uwl AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM documents) GROUP BY 1, 2),
+         |usg AS (SELECT word, len(pieces)::BIGINT AS np FROM uadp)
+         |SELECT w.lang, sum(w.n)::BIGINT AS n_words,
+         |  sum(w.n * s.np)::BIGINT AS n_pieces,
+         |  floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE * 1000000)
+         |    / 1000000 AS fertility
+         |FROM uwl w JOIN usg s USING (word) GROUP BY 1""".stripMargin,
+
+    // per-doc word counts joined onto the apply DP's exact per-word
+    // Viterbi likelihoods; mean NLL floored at the µnat then scaled
+    "q_doc_ppl" ->
+      s"""WITH $sqlUnigramCtes${sqlUnigramDp("ua", "uw",
+             s"uvoc$UniRounds")},
+         |udw AS (SELECT doc_id, word, count(*)::BIGINT AS n FROM (
+         |    SELECT doc_id, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM documents) GROUP BY 1, 2)
+         |SELECT d.doc_id, sum(d.n)::BIGINT AS n_words,
+         |  sum(d.n * len(a.pieces))::BIGINT AS n_pieces,
+         |  (-sum(d.n * a.best_qll))::BIGINT AS nll_scaled,
+         |  floor((-sum(d.n * a.best_qll))::DOUBLE
+         |        / sum(d.n * len(a.pieces))::DOUBLE) / 1000000 AS mean_nll
+         |FROM udw d JOIN uadp a USING (word) GROUP BY 1""".stripMargin,
+
+    // the q_roc SQL shape over the trained scores (window cumulatives
+    // are oracle-only; the engine side runs orderedPrefixSum)
+    "q_logreg_roc" ->
+      s"""WITH ${sqlLogregCtes(LrRounds)},
+         |lsc3 AS (SELECT f.label = 1 AS y,
+         |        floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT AS score
+         |      FROM lf f CROSS JOIN lw$LrRounds w),
+         |rs AS (SELECT score AS threshold,
+         |        sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,
+         |        sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
+         |      FROM lsc3 GROUP BY 1),
+         |rc AS (SELECT threshold,
+         |        sum(np) OVER (ORDER BY threshold DESC
+         |          ROWS UNBOUNDED PRECEDING)::BIGINT AS n_tp,
+         |        sum(nn) OVER (ORDER BY threshold DESC
+         |          ROWS UNBOUNDED PRECEDING)::BIGINT AS n_fp
+         |      FROM rs),
+         |rt AS (SELECT sum(np)::BIGINT AS p, sum(nn)::BIGINT AS ng FROM rs)
+         |SELECT threshold, n_tp, n_fp,
+         |  CASE WHEN p > 0 THEN floor(n_tp::DOUBLE / p::DOUBLE * 1000000)
+         |    / 1000000 END AS tpr,
+         |  CASE WHEN ng > 0 THEN floor(n_fp::DOUBLE / ng::DOUBLE * 1000000)
+         |    / 1000000 END AS fpr
+         |FROM rc CROSS JOIN rt""".stripMargin,
+
+    // the q_calibration SQL shape on the exact ppm score grid
+    "q_logreg_calibration" ->
+      s"""WITH ${sqlLogregCtes(LrRounds)},
+         |lsc4 AS (SELECT f.label = 1 AS y,
+         |        floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT AS score
+         |      FROM lf f CROSS JOIN lw$LrRounds w),
+         |cb AS (SELECT least(greatest((score - 0) * 10 // 1000000, 0), 9)
+         |          AS bin, score, y FROM lsc4)
+         |SELECT bin, count(*)::BIGINT AS n,
+         |  count(CASE WHEN y THEN 1 END)::BIGINT AS n_pos,
+         |  floor(sum(score)::DOUBLE / count(*)::DOUBLE * 1000000) / 1000000
+         |    AS mean_score,
+         |  floor(count(CASE WHEN y THEN 1 END)::DOUBLE / count(*)::DOUBLE
+         |        * 1000000) / 1000000 AS pos_rate
+         |FROM cb GROUP BY 1""".stripMargin,
 
     // the weight trajectory = one MATERIALIZED 1-row CTE per gradient
     // round, unioned in round order
