@@ -159,4 +159,29 @@ object LogReg {
       .withColumn("score_ppm", sigmoidPpm(zPpm(weights, features)))
       .withColumn("pred", col("score_ppm") >= 500000L)
   }
+
+  /** Label-free scoring — the INGEST form (arriving documents carry no
+    * label): same feature guards, same quantized sigmoid, same 0.5 ppm
+    * boundary. Map-only, no shuffle, no state — which is what lets the
+    * streaming gate run it per micro-batch with exact batch parity. */
+  def scoreUnlabeled(df: DataFrame, features: Seq[String],
+                     weights: Array[Long], keep: Seq[String]): DataFrame = {
+    require(weights.length == features.size + 1,
+      s"got ${weights.length} weights for ${features.size} features")
+    require(features.nonEmpty && features.size <= 8,
+      s"logreg takes 1..8 features, got ${features.size}")
+    features.foreach(c => require(integral(df, c),
+      s"logreg needs integral columns (got ${df.schema(c).dataType} " +
+        s"for '$c') — bucketize/scale first"))
+    val xOk = features.map(f => abs(col(f)) <= Ppm).reduce(_ && _)
+    val guard = assert_true(xOk,
+      concat(lit(s"logreg: need |feature| <= $Ppm; got"),
+        lit(features.map(f => s" $f=").mkString),
+        concat_ws(" ", features.map(f => col(f).cast("string")): _*)))
+    df.filter(features.map(col(_).isNotNull).reduce(_ && _))
+      .filter(guard.isNull)
+      .select((keep ++ features).distinct.map(col): _*)
+      .withColumn("score_ppm", sigmoidPpm(zPpm(weights, features)))
+      .withColumn("pred", col("score_ppm") >= 500000L)
+  }
 }

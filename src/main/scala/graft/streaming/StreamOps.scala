@@ -499,4 +499,21 @@ object StreamOps {
       write(graft.operators.Multimodal.imageDupJoin(batch, index,
         idL, binL, idR, binR, maxHamming, maxBucket), batchId)
     }
+
+  /** Streaming QUALITY gate — the TRAINED classifier applied at ingest
+    * (the fourth gate beside contamination, text near-dup, and binary
+    * near-dup): every micro-batch of arriving documents is scored under
+    * the FROZEN plan-literal ppm weights (LogReg.scoreUnlabeled — label-
+    * free, map-only, no shuffle, zero Spark state) and the caller routes
+    * keep/drop on `pred` / thresholds `score_ppm` itself. Per-row
+    * semantics ⇒ output independent of the micro-batch split — exact
+    * parity with the batch scorer on the identical rows (LogRegSpec).
+    * Same idempotent-sink contract as asofJoinEachBatch. */
+  def scoreGateEachBatch(stream: DataFrame, features: Seq[String],
+                         weights: Array[Long], keep: Seq[String])(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      write(graft.operators.LogReg.scoreUnlabeled(batch, features, weights,
+        keep), batchId)
+    }
 }

@@ -294,6 +294,20 @@ object StreamDemo {
           col("duration").cast("double")))
       .writeStream.outputMode("append").format("console")
       .option("truncate", false).start()
+    // the TRAINED quality gate at ingest: each micro-batch scored under
+    // frozen plan-literal ppm weights (label-free scoreUnlabeled), kept
+    // rows counted — the fourth ingest gate beside contamination and the
+    // two near-dup gates
+    val gateKept = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gateSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+    // durations are 1..10 (Generators): the gate keeps dur >= 6 or so
+    val q25 = StreamOps.scoreGateEachBatch(
+      audit.select(col("id"), col("duration").cast("long").as("dur")),
+      Seq("dur"), Array(-550000L, 100000L), Seq("id")) { (out, _) =>
+      val kept = out.filter(col("pred")).count()
+      gateKept.addAndGet(kept)
+      gateSeen.addAndGet(out.count())
+    }.start()
     def audited: Long = q3.recentProgress.flatMap(p =>
       Option(p.observedMetrics.get("graft_audit_in")).map(_.getLong(0))).sum
     val deadline = System.currentTimeMillis() + 30000
@@ -310,7 +324,8 @@ object StreamDemo {
       s"compaction-machine queries " +
       s"(${asofRows.get()} as-of rows, " +
       s"$stateRows state rows, ${fuzzyRows.get()} fuzzy matches, " +
-      s"${driftRows.get()} drift rows)")
+      s"${driftRows.get()} drift rows, quality gate kept " +
+      s"${gateKept.get()}/${gateSeen.get()})")
     // the ops dashboard: every live query's StreamingQueryProgress
     // history as ONE queryable frame (StreamObs; schema pinned in
     // StreamObsSpec) — throughput, state size, watermark, late drops
@@ -337,7 +352,7 @@ object StreamDemo {
     q3.stop(); q4.stop(); q5.stop(); q6.stop(); q7.stop(); q8.stop(); q9.stop()
     q10.stop(); q11.stop(); q12.stop(); q13.stop(); q14.stop(); q15.stop()
     q16.stop(); q17.stop(); q18.stop(); q19.stop(); q20.stop(); q21.stop()
-    q22.stop(); q23.stop(); q24.stop()
+    q22.stop(); q23.stop(); q24.stop(); q25.stop()
     spark.stop()
   }
 }

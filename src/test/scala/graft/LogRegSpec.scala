@@ -86,6 +86,31 @@ class LogRegSpec extends SparkSpec {
       LogReg.score(df, "y", Seq("x1", "x2"), Array(0L, 0L), Seq.empty))
   }
 
+  test("scoreGateEachBatch: the streaming ingest gate emits EXACTLY the " +
+      "batch scorer's rows however the micro-batches split") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val weights = Array(-400000L, 60000L, 10000L)
+    val all = Seq((1L, 5L, 2L), (2L, 9L, 4L), (3L, 2L, 1L), (4L, 12L, 3L))
+    val batchOut = graft.operators.LogReg.scoreUnlabeled(
+        all.toDF("id", "x1", "x2"), Seq("x1", "x2"), weights, Seq("id"))
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val input = MemoryStream[(Long, Long, Long)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Boolean)]
+    val q = graft.streaming.StreamOps.scoreGateEachBatch(
+      input.toDS().toDF("id", "x1", "x2"), Seq("x1", "x2"), weights,
+      Seq("id")) { (out, _) =>
+      got ++= out.as[(Long, Long, Long, Long, Boolean)].collect()
+    }.start()
+    try {
+      input.addData(all.take(1)); q.processAllAvailable()
+      input.addData(all.drop(1)); q.processAllAvailable()
+      assert(got.toSet === batchOut)
+      // the gate actually splits: both verdicts appear
+      assert(got.map(_._5).toSet === Set(true, false))
+    } finally q.stop()
+  }
+
   test("NULL rows drop from training rather than poisoning the sums") {
     val withNull = rows.toDF("y", "x1", "x2")
       .unionByName(Seq((Option.empty[Long], Option(1L), Option(1L)))
