@@ -1423,25 +1423,73 @@ object SparkEntry {
     // likelihoods; templated/in-distribution prose scores low, junk and
     // out-of-distribution text scores high. One vocab-scale DP + one
     // doc-word count join — the corpus is touched once
-    "q_doc_ppl" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val vocab = unigramShared(s, dir)._1
-      val seg = Unigram.viterbi(Unigram.words(docs, "text", UniW), vocab,
-          Unigram.zOf(vocab), UniW, UniL)
-        .select(col("word"), col("n_pieces"), col("best_qll"))
-      val dw = docs.select(col("doc_id"),
-          explode(filter(split(lower(col("text")), "[^a-z]+"),
-            w => w =!= "" && length(w) <= UniW)).as("word"))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("_n"))
-      dw.join(seg, Seq("word"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("_n")).as("n_words"),
-          sum(col("_n") * col("n_pieces")).as("n_pieces"),
-          (-sum(col("_n") * col("best_qll"))).as("nll_scaled"))
-        .select(col("doc_id"), col("n_words"), col("n_pieces"),
-          col("nll_scaled"),
-          (floor(col("nll_scaled").cast("double")
-            / col("n_pieces").cast("double")) / 1000000d).as("mean_nll"))
+    "q_doc_ppl" -> ((s, dir) => docPpl(s, dir)
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        col("nll_scaled"),
+        (floor(col("nll_scaled").cast("double")
+          / col("n_pieces").cast("double")) / 1000000d).as("mean_nll"))),
+    // CCNet's head/middle/tail split made relational: per language,
+    // docs ranked by exact integer µnat-per-piece NLL and cut into
+    // terciles (ntile over the PARTITIONED (nll, doc_id) order — total,
+    // deterministic); per bucket the doc/piece mass a mixture recipe
+    // consumes. head = most in-distribution under the self-trained LM
+    "q_ppl_buckets" -> ((s, dir) => {
+      val ranked = docPpl(s, dir)
+        .withColumn("_npp", expr("nll_scaled div n_pieces"))
+        .withColumn("_b", ntile(3).over(Window.partitionBy(col("lang"))
+          .orderBy(col("_npp"), col("doc_id"))))
+      ranked.groupBy(col("lang"),
+          when(col("_b") === 1, "head").when(col("_b") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pieces")).as("n_pieces"),
+          min(col("_npp")).as("min_nll_pp"),
+          max(col("_npp")).as("max_nll_pp"))
+    }),
+    // within-doc REPETITION (the Gopher duplicate-n-gram rule, Rae et
+    // al. 2021): per doc, the duplicated-2-gram fraction in exact ppm —
+    // the templated/looping-text filter beside the cross-doc dedup tier
+    "q_doc_repetition" -> ((s, dir) => {
+      val g = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextOps.tokens(lower(col("text"))).as("_toks"))
+        .filter(size(col("_toks")) >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("_toks")) - 2)).as("_i"),
+          col("_toks"))
+        .select(col("doc_id"),
+          concat_ws(" ", expr("_toks[_i]"), expr("_toks[_i + 1]"))
+            .as("gram"))
+      g.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("gram")).as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          expr("((n_grams - n_distinct) * 1000000) div n_grams")
+            .as("dup_ppm"))
+    }),
+    // the per-SOURCE curation report: classifier keep-rate + mean score
+    // + mean LM perplexity per crawl source — the "which sources are
+    // worth recrawling" table a curation pass reads before re-weighting
+    "q_source_quality" -> ((s, dir) => {
+      val scored = LogReg.score(logregFeatures(s, dir), "label",
+          Seq("x_len", "x_div"), logregShared(s, dir)._2, Seq("doc_id"))
+        .select(col("doc_id"), col("score_ppm"), col("pred"))
+      val ppl = docPpl(s, dir)
+        .select(col("doc_id"), expr("nll_scaled div n_pieces").as("_npp"),
+          col("n_pieces"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id")).join(ppl, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("n_keep"),
+          sum(col("score_ppm")).as("_ssum"),
+          sum(col("_npp")).as("_nsum"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .select(col("source"), col("n_docs"), col("n_keep"),
+          expr("(n_keep * 1000000) div n_docs").as("keep_ppm"),
+          expr("_ssum div n_docs").as("mean_score_ppm"),
+          expr("_nsum div n_docs").as("mean_nll_pp"),
+          col("n_pieces"))
     }),
     // BPE merge INDUCTION — the engine learns a subword vocabulary from
     // its own corpus (wordPieces applies one, q_fertility measures one):
@@ -4544,6 +4592,28 @@ object SparkEntry {
       Unigram.learn(Tables.documents(s, dir), "text", UniRounds, UniSeedK,
         UniW, UniL))
 
+  /** Per-doc exact NLL under the frozen unigram inventory —
+    * (doc_id, lang, n_words, n_pieces, nll_scaled), shared by q_doc_ppl /
+    * q_ppl_buckets / q_source_quality: one vocab-scale Viterbi DP + one
+    * doc-word count join. */
+  private def docPpl(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = unigramShared(s, dir)._1
+    val seg = Unigram.viterbi(Unigram.words(docs, "text", UniW), vocab,
+        Unigram.zOf(vocab), UniW, UniL)
+      .select(col("word"), col("n_pieces"), col("best_qll"))
+    val dw = docs.select(col("doc_id"), col("lang"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          w => w =!= "" && length(w) <= UniW)).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("_n"))
+    dw.join(seg, Seq("word"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("_n")).as("n_words"),
+        sum(col("_n") * col("n_pieces")).as("n_pieces"),
+        (-sum(col("_n") * col("best_qll"))).as("nll_scaled"))
+  }
+
   /** q_pca_power and q_pca_explained share ONE covariance pass + power
     * iteration (the bpeShared pattern) — the corpus-touching stage runs
     * once; both persisted frames are d²- and d-sized. */
@@ -6149,6 +6219,76 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |  floor((-sum(d.n * a.best_qll))::DOUBLE
          |        / sum(d.n * len(a.pieces))::DOUBLE) / 1000000 AS mean_nll
          |FROM udw d JOIN uadp a USING (word) GROUP BY 1""".stripMargin,
+
+    // per-lang ntile(3) over the exact integer µnat-per-piece order
+    "q_ppl_buckets" ->
+      s"""WITH $sqlUnigramCtes${sqlUnigramDp("ua", "uw",
+             s"uvoc$UniRounds")},
+         |udw2 AS (SELECT doc_id, lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT doc_id, lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM documents) GROUP BY 1, 2, 3),
+         |dp2 AS (SELECT d.doc_id, d.lang,
+         |        sum(d.n * len(a.pieces))::BIGINT AS np,
+         |        (-sum(d.n * a.best_qll))::BIGINT AS nll
+         |      FROM udw2 d JOIN uadp a USING (word) GROUP BY 1, 2),
+         |rb AS (SELECT lang, np, (nll // np)::BIGINT AS npp,
+         |        ntile(3) OVER (PARTITION BY lang
+         |          ORDER BY nll // np, doc_id) AS b
+         |      FROM dp2)
+         |SELECT lang, CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |  ELSE 'tail' END AS bucket,
+         |  count(*)::BIGINT AS n_docs, sum(np)::BIGINT AS n_pieces,
+         |  min(npp)::BIGINT AS min_nll_pp, max(npp)::BIGINT AS max_nll_pp
+         |FROM rb GROUP BY 1, 2""".stripMargin,
+
+    // the q_ngram_vocab gram construction folded per doc
+    "q_doc_repetition" ->
+      """WITH tk AS (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |          x -> x <> '') AS toks
+        |      FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id,
+        |        unnest([array_to_string(list_slice(toks, i+1, i+2), ' ')
+        |                for i in range(0, len(toks)-2+1)]) AS gram
+        |      FROM tk WHERE len(toks) >= 2)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  count(DISTINCT gram)::BIGINT AS n_distinct,
+        |  (((count(*) - count(DISTINCT gram)) * 1000000)
+        |    // count(*))::BIGINT AS dup_ppm
+        |FROM g GROUP BY 1""".stripMargin,
+
+    // the classifier scores and the LM NLL joined per doc, rolled up per
+    // source — both CTE families in one WITH (disjoint name spaces)
+    "q_source_quality" ->
+      s"""WITH ${sqlLogregCtes(LrRounds)},
+         |$sqlUnigramCtes${sqlUnigramDp("ua", "uw", s"uvoc$UniRounds")},
+         |sq1 AS (SELECT doc_id, score_ppm, score_ppm >= 500000 AS pred
+         |      FROM (SELECT f.doc_id,
+         |              floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT AS score_ppm
+         |            FROM lf f CROSS JOIN lw$LrRounds w)),
+         |udw3 AS (SELECT doc_id, word, count(*)::BIGINT AS n FROM (
+         |    SELECT doc_id, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM documents) GROUP BY 1, 2),
+         |sq2 AS (SELECT d.doc_id, sum(d.n * len(a.pieces))::BIGINT AS np,
+         |        (-sum(d.n * a.best_qll))::BIGINT AS nll
+         |      FROM udw3 d JOIN uadp a USING (word) GROUP BY 1),
+         |sqj AS (SELECT doc.source, s1.score_ppm, s1.pred,
+         |        (s2.nll // s2.np)::BIGINT AS npp, s2.np
+         |      FROM documents doc
+         |      JOIN sq1 s1 ON s1.doc_id = doc.doc_id
+         |      JOIN sq2 s2 ON s2.doc_id = doc.doc_id)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN pred THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+         |  ((sum(CASE WHEN pred THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*))::BIGINT AS keep_ppm,
+         |  (sum(score_ppm) // count(*))::BIGINT AS mean_score_ppm,
+         |  (sum(npp) // count(*))::BIGINT AS mean_nll_pp,
+         |  sum(np)::BIGINT AS n_pieces
+         |FROM sqj GROUP BY 1""".stripMargin,
 
     // the q_roc SQL shape over the trained scores (window cumulatives
     // are oracle-only; the engine side runs orderedPrefixSum)
