@@ -735,5 +735,27 @@ object syntax {
     def seasonalStrength(key: String, idx: String, value: String,
                          period: Int, half: Int): DataFrame =
       CoreOps.seasonalStrength(df, key, idx, value, period, half)
+    // round-11 tier
+    def unigramWords(text: String, maxWordLen: Int = 12): DataFrame =
+      Unigram.words(df, text, maxWordLen)
+    def unigramLearn(text: String, rounds: Int, seedK: Int,
+                     maxWordLen: Int = 12, maxPieceLen: Int = 4)
+        : (DataFrame, Seq[(Long, Long)]) =
+      Unigram.learn(df, text, rounds, seedK, maxWordLen, maxPieceLen)
+    def unigramSegmented(vocab: DataFrame, maxWordLen: Int = 12,
+                         maxPieceLen: Int = 4): DataFrame =
+      Unigram.segmented(df, vocab, maxWordLen, maxPieceLen)
+    def logregFit(label: String, features: Seq[String], rounds: Int,
+                  lrPpm: Long): (Seq[Array[Long]], Array[Long]) =
+      LogReg.fit(df, label, features, rounds, lrPpm)
+    def logregHistory(label: String, features: Seq[String], rounds: Int,
+                      lrPpm: Long): DataFrame =
+      LogReg.history(df, label, features, rounds, lrPpm)
+    def logregScore(label: String, features: Seq[String],
+                    weights: Array[Long], keep: Seq[String]): DataFrame =
+      LogReg.score(df, label, features, weights, keep)
+    def logregScoreUnlabeled(features: Seq[String], weights: Array[Long],
+                             keep: Seq[String]): DataFrame =
+      LogReg.scoreUnlabeled(df, features, weights, keep)
   }
 }

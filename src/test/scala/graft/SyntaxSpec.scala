@@ -252,4 +252,35 @@ class SyntaxSpec extends SparkSpec {
       graft.operators.CoreOps.seasonalStrength(ser, "key", "idx", "v",
         2, 1).head().toSeq)
   }
+
+  test("the round-11 facade methods delegate to their operators") {
+    val docs = Seq((1L, "aa aa ab"), (2L, "ba aa")).toDF("doc_id", "text")
+    assert(docs.unigramWords("text").collect().toSet ==
+      graft.operators.Unigram.words(docs, "text", 12).collect().toSet)
+    val (fv, fl) = docs.unigramLearn("text", 2, 8)
+    val (ov, ol) = graft.operators.Unigram.learn(docs, "text", 2, 8, 12, 4)
+    assert(fv.collect().toSet == ov.collect().toSet)
+    assert(fl == ol)
+    val words = Seq(("ba", 1L)).toDF("word", "freq")
+    assert(words.unigramSegmented(ov).collect().toSet ==
+      graft.operators.Unigram.segmented(words, ov, 12, 4).collect().toSet)
+    val train = Seq((1L, 9L, 2L), (0L, 1L, 3L), (1L, 8L, 1L), (0L, 2L, 2L))
+      .toDF("y", "x1", "x2")
+    val (fh, fw) = train.logregFit("y", Seq("x1", "x2"), 2, 100000L)
+    val (oh, ow) = graft.operators.LogReg.fit(train, "y", Seq("x1", "x2"),
+      2, 100000L)
+    assert(fh.map(_.toSeq) == oh.map(_.toSeq) && fw.toSeq == ow.toSeq)
+    assert(train.logregHistory("y", Seq("x1", "x2"), 2, 100000L)
+        .collect().toSet ==
+      graft.operators.LogReg.history(train, "y", Seq("x1", "x2"),
+        2, 100000L).collect().toSet)
+    assert(train.logregScore("y", Seq("x1", "x2"), ow, Seq.empty)
+        .collect().toSet ==
+      graft.operators.LogReg.score(train, "y", Seq("x1", "x2"), ow,
+        Seq.empty).collect().toSet)
+    assert(train.logregScoreUnlabeled(Seq("x1", "x2"), ow, Seq.empty)
+        .collect().toSet ==
+      graft.operators.LogReg.scoreUnlabeled(train, Seq("x1", "x2"), ow,
+        Seq.empty).collect().toSet)
+  }
 }
