@@ -1394,11 +1394,11 @@ object SparkEntry {
       unigramShared(s, dir)._2.toDF("round", "total_qll")
     }),
     // the training corpus's word vocabulary segmented under the FINAL
-    // frozen inventory (the apply half, bpe_apply's shape)
+    // frozen inventory (the apply half, bpe_apply's shape; the DP frame
+    // is memoized across apply/fertility/ppl consumers)
     "q_unigram_apply" -> ((s, dir) =>
-      Unigram.segmented(
-        Unigram.words(Tables.documents(s, dir), "text", UniW),
-        unigramShared(s, dir)._1, UniW, UniL)),
+      unigramApplySeg(s, dir).select(col("word"), col("freq"),
+        col("n_pieces"), array_join(col("pieces"), " ").as("pieces"))),
     // inference on the held-out slice (doc_id%7==3) under the frozen
     // inventory — unknown single chars still segment (qlog(1)−Z), unknown
     // multis are unusable: canonical unigram OOV behavior
@@ -1413,10 +1413,7 @@ object SparkEntry {
     // extraction, same fail-loud missing-word guard)
     "q_unigram_fertility" -> ((s, dir) =>
       TextOps.bpeFertilityFrom(Tables.documents(s, dir), "text", "lang",
-        Unigram.segmented(
-          Unigram.words(Tables.documents(s, dir), "text", UniW),
-          unigramShared(s, dir)._1, UniW, UniL),
-        UniW)),
+        unigramApplySeg(s, dir), UniW)),
     // per-doc PERPLEXITY under the self-trained unigram LM — the
     // CCNet-style quality filter (Wenzek et al. 2020): each doc's exact
     // µnat NLL and mean NLL per piece from the word-level Viterbi
@@ -4592,27 +4589,41 @@ object SparkEntry {
       Unigram.learn(Tables.documents(s, dir), "text", UniRounds, UniSeedK,
         UniW, UniL))
 
+  /** The FINAL inventory's Viterbi segmentation of the training word
+    * vocabulary — (word, freq, pieces, best_qll, n_pieces), shared by
+    * q_unigram_apply / q_unigram_fertility / docPpl so the vocab-scale
+    * DP runs once per (session, dir), not once per consumer. */
+  private val uniSegCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def unigramApplySeg(s: SparkSession, dir: String): DataFrame =
+    memoPersist(uniSegCache, s, dir)({
+      val vocab = unigramShared(s, dir)._1
+      Unigram.viterbi(Unigram.words(Tables.documents(s, dir), "text", UniW),
+        vocab, Unigram.zOf(vocab), UniW, UniL)
+    })
+
   /** Per-doc exact NLL under the frozen unigram inventory —
     * (doc_id, lang, n_words, n_pieces, nll_scaled), shared by q_doc_ppl /
-    * q_ppl_buckets / q_source_quality: one vocab-scale Viterbi DP + one
-    * doc-word count join. */
-  private def docPpl(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val vocab = unigramShared(s, dir)._1
-    val seg = Unigram.viterbi(Unigram.words(docs, "text", UniW), vocab,
-        Unigram.zOf(vocab), UniW, UniL)
-      .select(col("word"), col("n_pieces"), col("best_qll"))
-    val dw = docs.select(col("doc_id"), col("lang"),
-        explode(filter(split(lower(col("text")), "[^a-z]+"),
-          w => w =!= "" && length(w) <= UniW)).as("word"))
-      .groupBy(col("doc_id"), col("lang"), col("word"))
-      .agg(count(lit(1)).as("_n"))
-    dw.join(seg, Seq("word"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("_n")).as("n_words"),
-        sum(col("_n") * col("n_pieces")).as("n_pieces"),
-        (-sum(col("_n") * col("best_qll"))).as("nll_scaled"))
-  }
+    * q_ppl_buckets / q_source_quality: the memoized vocab-scale Viterbi
+    * DP + one doc-word count join, itself memoized (three consumers). */
+  private val docPplCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def docPpl(s: SparkSession, dir: String): DataFrame =
+    memoPersist(docPplCache, s, dir)({
+      val docs = Tables.documents(s, dir)
+      val seg = unigramApplySeg(s, dir)
+        .select(col("word"), col("n_pieces"), col("best_qll"))
+      val dw = docs.select(col("doc_id"), col("lang"),
+          explode(filter(split(lower(col("text")), "[^a-z]+"),
+            w => w =!= "" && length(w) <= UniW)).as("word"))
+        .groupBy(col("doc_id"), col("lang"), col("word"))
+        .agg(count(lit(1)).as("_n"))
+      dw.join(seg, Seq("word"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("_n")).as("n_words"),
+          sum(col("_n") * col("n_pieces")).as("n_pieces"),
+          (-sum(col("_n") * col("best_qll"))).as("nll_scaled"))
+    })
 
   /** q_pca_power and q_pca_explained share ONE covariance pass + power
     * iteration (the bpeShared pattern) — the corpus-touching stage runs
