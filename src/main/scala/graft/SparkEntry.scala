@@ -1443,6 +1443,11 @@ object SparkEntry {
           min(col("_npp")).as("min_nll_pp"),
           max(col("_npp")).as("max_nll_pp"))
     }),
+    // per-doc perplexity under an add-1 BIGRAM token LM trained on the
+    // corpus itself — the context-AWARE score beside q_doc_ppl's unigram
+    // (word-order anomalies separate from bag-of-words lookalikes)
+    "q_bigram_ppl" -> ((s, dir) =>
+      TextOps.bigramPpl(Tables.documents(s, dir), "doc_id", "text")),
     // within-doc REPETITION (the Gopher duplicate-n-gram rule, Rae et
     // al. 2021): per doc, the duplicated-2-gram fraction in exact ppm —
     // the templated/looping-text filter beside the cross-doc dedup tier
@@ -6253,6 +6258,36 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |  count(*)::BIGINT AS n_docs, sum(np)::BIGINT AS n_pieces,
          |  min(npp)::BIGINT AS min_nll_pp, max(npp)::BIGINT AS max_nll_pp
          |FROM rb GROUP BY 1, 2""".stripMargin,
+
+    // bigram/context counts + the 1-row vocabulary size, qlog terms
+    // mirrored operand for operand
+    "q_bigram_ppl" ->
+      """WITH btk AS (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |          x -> x <> '') AS toks
+        |      FROM documents WHERE text IS NOT NULL),
+        |bbg AS (SELECT doc_id, toks[i+1] AS prev, toks[i+2] AS w
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(range(0, len(toks) - 1)) AS i
+        |            FROM btk WHERE len(toks) >= 2)),
+        |bpd AS (SELECT doc_id, prev, w, count(*)::BIGINT AS n
+        |      FROM bbg GROUP BY 1, 2, 3),
+        |bc2 AS (SELECT prev, w, sum(n)::BIGINT AS c2 FROM bpd GROUP BY 1, 2),
+        |bc1 AS (SELECT prev, sum(c2)::BIGINT AS c1 FROM bc2 GROUP BY 1),
+        |bvv AS (SELECT count(DISTINCT t)::BIGINT AS v FROM (
+        |      SELECT unnest(toks) AS t FROM btk))
+        |SELECT d.doc_id, sum(d.n)::BIGINT AS n_bigrams,
+        |  sum(d.n * (floor(ln((c1.c1 + vv.v)::DOUBLE) * 1000000)::BIGINT
+        |           - floor(ln((c2.c2 + 1)::DOUBLE) * 1000000)::BIGINT))::BIGINT
+        |    AS nll_scaled,
+        |  floor(sum(d.n * (floor(ln((c1.c1 + vv.v)::DOUBLE) * 1000000)::BIGINT
+        |           - floor(ln((c2.c2 + 1)::DOUBLE) * 1000000)::BIGINT))::DOUBLE
+        |        / sum(d.n)::DOUBLE) / 1000000 AS mean_nll
+        |FROM bpd d
+        |JOIN bc2 c2 ON c2.prev = d.prev AND c2.w = d.w
+        |JOIN bc1 c1 ON c1.prev = d.prev
+        |CROSS JOIN bvv vv
+        |GROUP BY 1""".stripMargin,
 
     // the q_ngram_vocab gram construction folded per doc
     "q_doc_repetition" ->

@@ -1122,4 +1122,58 @@ object TextOps {
           expr("(2 * n_doubletons * CAST(1000000 AS BIGINT)) " +
             "div n_singletons")).as("gt1_ppm"))
   }
+
+  /** Per-doc perplexity under an add-1-smoothed BIGRAM token LM trained
+    * on the corpus itself — the context-AWARE quality score beside the
+    * unigram-LM docPpl (CCNet ships a 5-gram KenLM; the bigram is the
+    * honest relational step up from unigram, and it already separates
+    * in-distribution word ORDER from bag-of-words lookalikes).
+    *
+    * Model, identical on both engines: tokens are the house whitespace
+    * tokenizer over lower(text); V = corpus vocabulary size (distinct
+    * tokens over every non-NULL doc); c2(prev, w) = corpus bigram count;
+    * c1(prev) = Σ_w c2(prev, w). Per bigram instance the quantized NLL
+    * term is qlog(c1 + V) − qlog(c2 + 1) (add-1 smoothing keeps both
+    * args ≥ 1) — exact BIGINT, summed exactly; mean_nll is the one
+    * trunc'd division per row. Docs with < 2 tokens drop (no bigram
+    * exists to score).
+    *
+    * Shape: one corpus pass to bigram instances; c2/c1 are keyed aggs on
+    * the (prev, w) / prev keys; V rides a 1-row broadcast crossJoin; the
+    * per-doc rollup reuses the (doc_id, prev, w) agg. No unpartitioned
+    * window, no driver data. Emits (doc_id, n_bigrams, nll_scaled,
+    * mean_nll). */
+  def bigramPpl(docs: DataFrame, id: String, text: String): DataFrame = {
+    val emitted = Seq("n_bigrams", "nll_scaled", "mean_nll", "_toks", "_i",
+      "_prev", "_w", "_n", "_c2", "_c1", "_v", "_t")
+    require(!emitted.contains(id) && !emitted.contains(text),
+      s"bigramPpl emits/uses ${emitted.mkString(", ")}; rename inputs")
+    val base = docs.filter(col(text).isNotNull)
+      .select(col(id), tokens(lower(col(text))).as("_toks"))
+      .localCheckpoint(true) // shared: bigrams AND the vocabulary count
+    val bg = base.filter(size(col("_toks")) >= 2)
+      .select(col(id),
+        explode(sequence(lit(0), size(col("_toks")) - 2)).as("_i"),
+        col("_toks"))
+      .select(col(id), expr("_toks[_i]").as("_prev"),
+        expr("_toks[_i + 1]").as("_w"))
+    val perDoc = bg.groupBy(col(id), col("_prev"), col("_w"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true) // shared: c2/c1 derive from it and join back
+    val c2 = perDoc.groupBy(col("_prev"), col("_w"))
+      .agg(sum(col("_n")).as("_c2"))
+    val c1 = c2.groupBy(col("_prev")).agg(sum(col("_c2")).as("_c1"))
+    val v = base.select(explode(col("_toks")).as("_t"))
+      .agg(countDistinct(col("_t")).as("_v"))
+    perDoc
+      .join(c2, Seq("_prev", "_w")).join(c1, Seq("_prev"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(id))
+      .agg(sum(col("_n")).as("n_bigrams"),
+        sum(col("_n") * (InfoTheory.qlog(col("_c1") + col("_v"))
+          - InfoTheory.qlog(col("_c2") + 1L))).as("nll_scaled"))
+      .select(col(id), col("n_bigrams"), col("nll_scaled"),
+        (floor(col("nll_scaled").cast("double")
+          / col("n_bigrams").cast("double")) / 1000000d).as("mean_nll"))
+  }
 }
