@@ -516,4 +516,45 @@ object StreamOps {
       write(graft.operators.LogReg.scoreUnlabeled(batch, features, weights,
         keep), batchId)
     }
+
+  /** Streaming PERPLEXITY gate — the self-trained unigram LM applied at
+    * ingest (the fifth gate): each micro-batch's documents are scored by
+    * exact µnat NLL under the FROZEN inventory. Unlike the batch docPpl
+    * join (whose word table covers the training corpus), the gate
+    * Viterbi-segments the BATCH'S OWN distinct words under the frozen
+    * vocab — so out-of-vocabulary words of arriving docs still score
+    * (unknown chars segment at the qlog(1)−Z floor, canonical unigram
+    * OOV), nothing silently drops. `zQ` is the inventory's normalizer
+    * (Unigram.zOf, computed ONCE at gate construction — a plan literal,
+    * the frozen-artifact discipline). Per-row semantics against the
+    * static inventory ⇒ output independent of the micro-batch split
+    * (parity vs the same computation run as one batch — UnigramSpec).
+    * Emits (id, n_words, n_pieces, nll_scaled, mean_nll) per scored doc;
+    * the caller thresholds mean_nll. Same idempotent-sink contract as
+    * asofJoinEachBatch. */
+  def pplGateEachBatch(stream: DataFrame, id: String, text: String,
+                       vocab: DataFrame, zQ: Long, maxWordLen: Int,
+                       maxPieceLen: Int)(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val words = graft.operators.Unigram.words(batch, text, maxWordLen)
+      val seg = graft.operators.Unigram.viterbi(words, vocab, zQ,
+          maxWordLen, maxPieceLen)
+        .select(col("word"), col("n_pieces"), col("best_qll"))
+      val dw = batch.filter(col(text).isNotNull)
+        .select(col(id),
+          explode(filter(split(lower(col(text)), "[^a-z]+"),
+            w => w =!= "" && length(w) <= maxWordLen)).as("word"))
+        .groupBy(col(id), col("word")).agg(count(lit(1)).as("_n"))
+      val out = dw.join(seg, Seq("word"))
+        .groupBy(col(id))
+        .agg(sum(col("_n")).as("n_words"),
+          sum(col("_n") * col("n_pieces")).as("n_pieces"),
+          (-sum(col("_n") * col("best_qll"))).as("nll_scaled"))
+        .select(col(id), col("n_words"), col("n_pieces"),
+          col("nll_scaled"),
+          (floor(col("nll_scaled").cast("double")
+            / col("n_pieces").cast("double")) / 1000000d).as("mean_nll"))
+      write(out, batchId)
+    }
 }
