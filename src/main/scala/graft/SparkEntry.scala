@@ -1929,6 +1929,46 @@ object SparkEntry {
           "doc_id", "text", MhK, WinnowW, 0.05)
         .filter(col("doc_id") =!= col("bench_id")) // the stand-in overlaps itself
     }),
+    // the WHOLE curation pipeline as one funnel: ingested → exact-dedup
+    // canonical → decontaminated → classifier-kept → perplexity head/
+    // middle — per stage the surviving doc and token mass (the data-card
+    // table a pipeline publishes); every stage rule is an already-
+    // oracle-checked operator composed by semi/anti joins
+    "q_curation_funnel" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val s0 = all.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(lower(col("text")))).cast("long").as("_nt"))
+        .filter(col("_nt") > 0L)
+        .localCheckpoint(true) // every stage reads it
+      val canon = Dedup.exactDedup(all, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val s1 = s0.join(canon, Seq("doc_id"), "left_semi")
+      val contaminated = Dedup.contaminationPairs(all,
+          all.filter(col("doc_id") < 20), "doc_id", "text", MhK, WinnowW,
+          0.05)
+        .filter(col("doc_id") =!= col("bench_id"))
+        .select(col("doc_id")).distinct()
+      val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti")
+      val quality = LogReg.score(logregFeatures(s, dir), "label",
+          Seq("x_len", "x_div"), logregShared(s, dir)._2, Seq("doc_id"))
+        .filter(col("pred")).select(col("doc_id"))
+      val s3 = s2.join(quality, Seq("doc_id"), "left_semi")
+      val headMid = docPpl(s, dir)
+        .withColumn("_npp", expr("nll_scaled div n_pieces"))
+        .withColumn("_b", ntile(3).over(Window.partitionBy(col("lang"))
+          .orderBy(col("_npp"), col("doc_id"))))
+        .filter(col("_b") =!= 3).select(col("doc_id"))
+      val s4 = s3.join(headMid, Seq("doc_id"), "left_semi")
+      Seq((0L, "ingested", s0), (1L, "exact_dedup", s1),
+        (2L, "decontaminated", s2), (3L, "quality_kept", s3),
+        (4L, "ppl_head", s4))
+        .map { case (i, name, fr) =>
+          fr.agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+            .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+              col("n_docs"), col("n_tokens"))
+        }.reduce(_ unionByName _)
+    }),
     // the data-card number: every doc's share of distinct shingles seen
     // ANYWHERE in the benchmark — one gram-keyed shuffle join, zero-
     // overlap docs included (bench stand-in docs score 1.0 on themselves)
@@ -4835,6 +4875,36 @@ object SparkEntry {
       s"(CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j}::BIGINT ELSE 0 END)"
     }.mkString(" + ")
 
+  /** The exact-containment expression over two distinct-shingle lists —
+    * shared by q_decontaminate and the funnel's contamination stage. */
+  private val sqlContainmentExpr =
+    "len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)::DOUBLE"
+
+  /** The winnowing-candidate contamination chain (norm → shingles →
+    * hashes → winnow fingerprints → cross-side candidates → distinct
+    * shingle sets), mirroring Dedup.contaminationPairs stage for stage —
+    * shared by q_decontaminate and q_curation_funnel. */
+  private def sqlContaminationCtes: String =
+    s"""nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |ntk AS (SELECT doc_id, nt,
+       |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+       |nshg AS (SELECT doc_id,
+       |        CASE WHEN len(toks) >= $MhK
+       |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
+       |                   for i in range(0, len(toks)-$MhK+1)]
+       |             ELSE [nt] END AS shingles FROM ntk),
+       |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+       |wfp AS (SELECT doc_id,
+       |        CASE WHEN len(hs) < $WinnowW THEN [list_min(hs)]
+       |             ELSE list_distinct([list_min(list_slice(hs, i+1, i+$WinnowW))
+       |                                 for i in range(0, len(hs)-$WinnowW+1)]) END AS fps
+       |        FROM hsh),
+       |fpr AS (SELECT doc_id, unnest(fps) AS fp_hash FROM wfp),
+       |bfp AS (SELECT doc_id AS bench_id, unnest(fps) AS fp_hash FROM wfp WHERE doc_id < 20),
+       |cand AS (SELECT DISTINCT c.doc_id, b.bench_id
+       |         FROM fpr c JOIN bfp b USING (fp_hash)),
+       |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)""".stripMargin
+
   /** The logistic-GD training loop as MATERIALIZED unrolled CTEs (the
     * sqlBpeCtes discipline), mirroring LogReg.fit round for round: the
     * quantized sigmoid floor'd at the term (operand order pinned), exact
@@ -7163,32 +7233,61 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
     "q_winnow_pairs_capped" -> sqlWinnowPairs(
       s" AND fp_hash IN (SELECT fp_hash FROM fpr GROUP BY 1 HAVING COUNT(*) <= $WinnowCap)"),
 
-    "q_decontaminate" -> {
-      val containment =
-        "len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh)::DOUBLE"
-      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
-         |ntk AS (SELECT doc_id, nt,
-         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
-         |nshg AS (SELECT doc_id,
-         |        CASE WHEN len(toks) >= $MhK
-         |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
-         |                   for i in range(0, len(toks)-$MhK+1)]
-         |             ELSE [nt] END AS shingles FROM ntk),
-         |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
-         |wfp AS (SELECT doc_id,
-         |        CASE WHEN len(hs) < $WinnowW THEN [list_min(hs)]
-         |             ELSE list_distinct([list_min(list_slice(hs, i+1, i+$WinnowW))
-         |                                 for i in range(0, len(hs)-$WinnowW+1)]) END AS fps
-         |        FROM hsh),
-         |fpr AS (SELECT doc_id, unnest(fps) AS fp_hash FROM wfp),
-         |bfp AS (SELECT doc_id AS bench_id, unnest(fps) AS fp_hash FROM wfp WHERE doc_id < 20),
-         |cand AS (SELECT DISTINCT c.doc_id, b.bench_id
-         |         FROM fpr c JOIN bfp b USING (fp_hash)),
-         |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)
-         |SELECT c.doc_id, c.bench_id, $containment AS containment
+    "q_decontaminate" ->
+      s"""WITH $sqlContaminationCtes
+         |SELECT c.doc_id, c.bench_id, $sqlContainmentExpr AS containment
          |FROM cand c JOIN shs a ON c.doc_id = a.doc_id JOIN shs b ON c.bench_id = b.doc_id
-         |WHERE $containment >= 0.05 AND c.doc_id <> c.bench_id""".stripMargin
-    },
+         |WHERE $sqlContainmentExpr >= 0.05 AND c.doc_id <> c.bench_id""".stripMargin,
+
+    // all four stage rules replayed in one WITH (disjoint CTE name
+    // spaces: contamination, logreg, unigram), stages chained by
+    // EXISTS / NOT EXISTS, one aggregate row per stage
+    "q_curation_funnel" ->
+      s"""WITH $sqlContaminationCtes,
+         |${sqlLogregCtes(LrRounds)},
+         |$sqlUnigramCtes${sqlUnigramDp("ua", "uw", s"uvoc$UniRounds")},
+         |cf0 AS (SELECT * FROM (SELECT doc_id, lang,
+         |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |          x -> x <> ''))::BIGINT AS nt
+         |      FROM documents WHERE text IS NOT NULL) t WHERE nt > 0),
+         |cdd AS (SELECT min(doc_id) AS doc_id FROM (
+         |      SELECT doc_id, md5($normSql) AS fp FROM documents) GROUP BY fp),
+         |ccont AS (SELECT DISTINCT c.doc_id
+         |      FROM cand c JOIN shs a ON c.doc_id = a.doc_id
+         |                  JOIN shs b ON c.bench_id = b.doc_id
+         |      WHERE $sqlContainmentExpr >= 0.05 AND c.doc_id <> c.bench_id),
+         |clq AS (SELECT f.doc_id FROM lf f CROSS JOIN lw$LrRounds w
+         |      WHERE floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT >= 500000),
+         |cdw AS (SELECT doc_id, lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT doc_id, lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM documents) GROUP BY 1, 2, 3),
+         |cdp AS (SELECT d.doc_id, d.lang,
+         |        sum(d.n * len(a.pieces))::BIGINT AS np,
+         |        (-sum(d.n * a.best_qll))::BIGINT AS nll
+         |      FROM cdw d JOIN uadp a USING (word) GROUP BY 1, 2),
+         |cph AS (SELECT doc_id FROM (
+         |      SELECT doc_id, ntile(3) OVER (PARTITION BY lang
+         |        ORDER BY nll // np, doc_id) AS b FROM cdp) t WHERE b <> 3),
+         |cs1 AS (SELECT f.* FROM cf0 f
+         |      WHERE EXISTS (SELECT 1 FROM cdd d WHERE d.doc_id = f.doc_id)),
+         |cs2 AS (SELECT f.* FROM cs1 f
+         |      WHERE NOT EXISTS (SELECT 1 FROM ccont c WHERE c.doc_id = f.doc_id)),
+         |cs3 AS (SELECT f.* FROM cs2 f
+         |      WHERE EXISTS (SELECT 1 FROM clq q WHERE q.doc_id = f.doc_id)),
+         |cs4 AS (SELECT f.* FROM cs3 f
+         |      WHERE EXISTS (SELECT 1 FROM cph p WHERE p.doc_id = f.doc_id))
+         |SELECT 0::BIGINT AS stage_idx, 'ingested' AS stage,
+         |  count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens FROM cf0
+         |UNION ALL SELECT 1::BIGINT, 'exact_dedup', count(*)::BIGINT,
+         |  sum(nt)::BIGINT FROM cs1
+         |UNION ALL SELECT 2::BIGINT, 'decontaminated', count(*)::BIGINT,
+         |  sum(nt)::BIGINT FROM cs2
+         |UNION ALL SELECT 3::BIGINT, 'quality_kept', count(*)::BIGINT,
+         |  sum(nt)::BIGINT FROM cs3
+         |UNION ALL SELECT 4::BIGINT, 'ppl_head', count(*)::BIGINT,
+         |  sum(nt)::BIGINT FROM cs4""".stripMargin,
 
     // the same shingle-hash chain; per-doc distinct grams left-join the
     // benchmark's distinct gram set, rate = one floored division
