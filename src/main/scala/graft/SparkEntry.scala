@@ -1359,6 +1359,30 @@ object SparkEntry {
         LogReg.score(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
           logregShared(s, dir)._2, Seq("doc_id")),
         "score_ppm", col("label") === 1L, 0L, 1000000L, 10)),
+    // the GENERALIZATION report: weights trained on doc_id%7!=3 only,
+    // evaluated on the untouched %7==3 slice — the held-out twin of
+    // q_logreg_eval's resubstitution numbers (ML hygiene made a query)
+    "q_logreg_heldout" -> ((s, dir) =>
+      LogReg.score(
+          logregFeaturesOf(Tables.documents(s, dir)
+            .filter(col("doc_id") % 7 === 3)),
+          "label", Seq("x_len", "x_div"),
+          logregHeldoutShared(s, dir)._2, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") && col("label") === 1L, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") && col("label") === 0L, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("pred") && col("label") === 1L, 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(!col("pred") && col("label") === 0L, 1L).otherwise(0L))
+            .as("tn"))
+        .select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("((tp + tn) * 1000000) div n_docs").as("accuracy_ppm"),
+          when(col("tp") + col("fp") > 0L,
+            expr("(tp * 1000000) div (tp + fp)")).as("precision_ppm"),
+          when(col("tp") + col("fn") > 0L,
+            expr("(tp * 1000000) div (tp + fn)")).as("recall_ppm"))),
     // the classifier report card: confusion counts + accuracy/precision/
     // recall in exact ppm integers over the scored corpus
     "q_logreg_eval" -> ((s, dir) =>
@@ -4602,7 +4626,10 @@ object SparkEntry {
     * sees: the capped token count and the distinct-token percentage
     * (integer div — both integral, both within LogReg's exact range). */
   private def logregFeatures(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    logregFeaturesOf(Tables.documents(s, dir))
+
+  private def logregFeaturesOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("text").isNotNull)
       .withColumn("_toks", TextOps.tokens(lower(col("text"))))
       .withColumn("_nt", size(col("_toks")).cast("long"))
@@ -4623,6 +4650,18 @@ object SparkEntry {
     memoShared(logregCache, s, dir)(
       LogReg.fit(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
         LrRounds, LrRatePpm))
+
+  /** The HELD-OUT fit: trained on doc_id % 7 != 3 only, so the %7 == 3
+    * slice is a genuine test set (q_logreg_heldout). */
+  private val logregHeldoutCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[Array[Long]], Array[Long])]
+  private def logregHeldoutShared(s: SparkSession,
+                                  dir: String): (Seq[Array[Long]], Array[Long]) =
+    memoShared(logregHeldoutCache, s, dir)(
+      LogReg.fit(
+        logregFeaturesOf(Tables.documents(s, dir)
+          .filter(col("doc_id") % 7 =!= 3)),
+        "label", Seq("x_len", "x_div"), LrRounds, LrRatePpm))
 
   /** The q_unigram_* family shares ONE hard-EM training run (the
     * bpeShared pattern): final inventory frame + per-round likelihoods. */
@@ -4910,19 +4949,27 @@ object SparkEntry {
     * quantized sigmoid floor'd at the term (operand order pinned), exact
     * HUGEINT gradient sums, and trunc-toward-zero `//` weight updates
     * (probed equal to Spark's div / BigInteger on negatives). */
-  private def sqlLogregCtes(rounds: Int): String = {
-    val sb = new StringBuilder
-    sb ++= s"""lf AS MATERIALIZED (SELECT doc_id,
+  /** The logreg feature projection as a SQL SELECT over a caller-chosen
+    * relation — shared by training (lf) and any evaluation slice. */
+  private def sqlLogregFeaturesSql(table: String): String =
+    s"""SELECT doc_id,
        |  CASE WHEN nt >= $LrLenThreshold THEN 1 ELSE 0 END::BIGINT AS label,
        |  LEAST(nt, $LrTokCap)::BIGINT AS x_len,
        |  ((nd * 100) // nt)::BIGINT AS x_div
        | FROM (SELECT doc_id, len(toks)::BIGINT AS nt,
        |         len(list_distinct(toks))::BIGINT AS nd
        |       FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
-       |             FROM documents WHERE text IS NOT NULL))
-       | WHERE nt > 0),
-       |lcn AS (SELECT count(*)::BIGINT AS n FROM lf),
-       |lw0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2)""".stripMargin
+       |             FROM $table WHERE text IS NOT NULL))
+       | WHERE nt > 0""".stripMargin
+
+  private def sqlLogregCtes(rounds: Int): String =
+    sqlLogregCtesOver(rounds, "documents")
+
+  private def sqlLogregCtesOver(rounds: Int, table: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""lf AS MATERIALIZED (${sqlLogregFeaturesSql(table)}),
+lcn AS (SELECT count(*)::BIGINT AS n FROM lf),
+lw0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2)"""
     for (r <- 1 to rounds) {
       val p = r - 1
       sb ++= s""",
@@ -6465,6 +6512,30 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |FROM (SELECT f.doc_id, f.label, f.x_len, f.x_div,
          |        floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT AS score_ppm
          |      FROM lf f CROSS JOIN lw$LrRounds w)""".stripMargin,
+
+    // the training CTEs over the %7!=3 slice; the held-out slice's own
+    // feature projection scored under the final weights
+    "q_logreg_heldout" ->
+      s"""WITH ${sqlLogregCtesOver(LrRounds,
+             "(SELECT * FROM documents WHERE doc_id % 7 <> 3)")},
+         |lhf AS (${sqlLogregFeaturesSql(
+             "(SELECT * FROM documents WHERE doc_id % 7 = 3)")}),
+         |lhs AS (SELECT f.label,
+         |        floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT >= 500000 AS pred
+         |      FROM lhf f CROSS JOIN lw$LrRounds w),
+         |lha AS (SELECT count(*)::BIGINT AS n_docs,
+         |        sum(CASE WHEN pred AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |        sum(CASE WHEN pred AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |        sum(CASE WHEN NOT pred AND label = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |        sum(CASE WHEN NOT pred AND label = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+         |      FROM lhs)
+         |SELECT n_docs, tp, fp, fn, tn,
+         |  (((tp + tn) * 1000000) // n_docs)::BIGINT AS accuracy_ppm,
+         |  CASE WHEN tp + fp > 0
+         |       THEN ((tp * 1000000) // (tp + fp))::BIGINT END AS precision_ppm,
+         |  CASE WHEN tp + fn > 0
+         |       THEN ((tp * 1000000) // (tp + fn))::BIGINT END AS recall_ppm
+         |FROM lha""".stripMargin,
 
     // confusion rollup of the scored corpus + exact ppm rates
     "q_logreg_eval" ->
