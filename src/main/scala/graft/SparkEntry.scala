@@ -1438,6 +1438,28 @@ object SparkEntry {
     "q_unigram_fertility" -> ((s, dir) =>
       TextOps.bpeFertilityFrom(Tables.documents(s, dir), "text", "lang",
         unigramApplySeg(s, dir), UniW)),
+    // the LM GENERALIZATION gap per language (q_bpe_drift's twin):
+    // inventory trained on doc_id%7!=3 only, fertility measured on its
+    // own slice vs the untouched %7==3 slice under the FROZEN inventory
+    "q_unigram_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 7 =!= 3)
+      val held = docs.filter(col("doc_id") % 7 === 3)
+      val vocab = unigramHeldoutShared(s, dir)._1
+      val segT = Unigram.segmented(Unigram.words(train, "text", UniW),
+        vocab, UniW, UniL)
+      val segH = Unigram.segmented(Unigram.words(held, "text", UniW),
+        vocab, UniW, UniL)
+      val ftr = TextOps.bpeFertilityFrom(train, "text", "lang", segT, UniW)
+        .select(col("lang"), col("fertility").as("fertility_train"))
+      TextOps.bpeFertilityFrom(held, "text", "lang", segH, UniW)
+        .join(ftr, Seq("lang"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          col("fertility_train"),
+          col("fertility").as("fertility_heldout"),
+          (floor((col("fertility") - col("fertility_train")) * 1000000d)
+            / 1000000d).as("fertility_gap"))
+    }),
     // per-doc PERPLEXITY under the self-trained unigram LM — the
     // CCNet-style quality filter (Wenzek et al. 2020): each doc's exact
     // µnat NLL and mean NLL per piece from the word-level Viterbi
@@ -4673,6 +4695,17 @@ object SparkEntry {
       Unigram.learn(Tables.documents(s, dir), "text", UniRounds, UniSeedK,
         UniW, UniL))
 
+  /** The HELD-OUT unigram fit: inventory trained on doc_id % 7 != 3
+    * only, so the %7 == 3 slice measures true LM generalization
+    * (q_unigram_drift — the q_bpe_drift twin). */
+  private val unigramHeldoutCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[(Long, Long)])]
+  private def unigramHeldoutShared(s: SparkSession,
+                                   dir: String): (DataFrame, Seq[(Long, Long)]) =
+    memoShared(unigramHeldoutCache, s, dir)(
+      Unigram.learn(Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 3),
+        "text", UniRounds, UniSeedK, UniW, UniL))
+
   /** The FINAL inventory's Viterbi segmentation of the training word
     * vocabulary — (word, freq, pieces, best_qll, n_pieces), shared by
     * q_unigram_apply / q_unigram_fertility / docPpl so the vocab-scale
@@ -5056,11 +5089,13 @@ ${tag}dp AS MATERIALIZED (SELECT word, freq,
     * discipline), mirroring Unigram.learn round for round: seed stats,
     * per-round Viterbi DP block, freq-weighted usage, the
     * chars-never-prune / zero-usage-multis-drop inventory update. */
-  private def sqlUnigramCtes: String = {
+  private def sqlUnigramCtes: String = sqlUnigramCtesOver("documents")
+
+  private def sqlUnigramCtesOver(table: String): String = {
     val sb = new StringBuilder
     sb ++= s"""uw AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM (
     SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-      x -> x <> '' AND len(x) <= $UniW)) AS word FROM documents) GROUP BY 1),
+      x -> x <> '' AND len(x) <= $UniW)) AS word FROM $table) GROUP BY 1),
 ucand AS (SELECT substr(word, (s+1)::INT, l::INT) AS piece,
     sum(freq)::BIGINT AS cnt
   FROM uw, range(0, $UniW) r1(s), range(1, ${UniL + 1}) r2(l)
@@ -6319,6 +6354,46 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |SELECT word, freq, len(pieces)::BIGINT AS n_pieces,
          |  array_to_string(pieces, ' ') AS pieces
          |FROM uedp""".stripMargin,
+
+    // the q_bpe_drift SQL shape under a train-slice inventory: one DP
+    // block per side, both under the frozen uvoc
+    "q_unigram_drift" -> {
+      val trainRel = "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"
+      val heldRel = "(SELECT * FROM documents WHERE doc_id % 7 = 3)"
+      s"""WITH ${sqlUnigramCtesOver(trainRel)}${
+             sqlUnigramDp("ua", "uw", s"uvoc$UniRounds")},
+         |uew AS (SELECT word, count(*)::BIGINT AS freq FROM (
+         |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM $heldRel) GROUP BY 1)${
+             sqlUnigramDp("ue", "uew", s"uvoc$UniRounds")},
+         |twl AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM $trainRel) GROUP BY 1, 2),
+         |tsg AS (SELECT word, len(pieces)::BIGINT AS np FROM uadp),
+         |ftr AS (SELECT w.lang,
+         |          floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |                * 1000000) / 1000000 AS fertility_train
+         |        FROM twl w JOIN tsg s USING (word) GROUP BY 1),
+         |hwl AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM $heldRel) GROUP BY 1, 2),
+         |hsg AS (SELECT word, len(pieces)::BIGINT AS np FROM uedp),
+         |fhe AS (SELECT w.lang, sum(w.n)::BIGINT AS n_words,
+         |          sum(w.n * s.np)::BIGINT AS n_pieces,
+         |          floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |                * 1000000) / 1000000 AS fertility_heldout
+         |        FROM hwl w JOIN hsg s USING (word) GROUP BY 1)
+         |SELECT h.lang, h.n_words, h.n_pieces, t.fertility_train,
+         |  h.fertility_heldout,
+         |  floor((h.fertility_heldout - t.fertility_train) * 1000000)
+         |    / 1000000 AS fertility_gap
+         |FROM fhe h JOIN ftr t USING (lang)""".stripMargin
+    },
 
     // q_bpe_fertility's SQL shape under the unigram apply segmentation
     "q_unigram_fertility" ->
