@@ -1990,25 +1990,31 @@ object SparkEntry {
       val canon = Dedup.exactDedup(all, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
       val s1 = s0.join(canon, Seq("doc_id"), "left_semi")
+      // near-dup keep-first: drop any doc with a VERIFIED (jaccard ≥ 0.5)
+      // near-duplicate of lower id — the pairwise retention rule; the
+      // transitive-closure form is q_dup_clusters' canonical assignment
+      val nearDrop = nearDupPairs(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val s2 = s1.join(nearDrop, Seq("doc_id"), "left_anti")
       val contaminated = Dedup.contaminationPairs(all,
           all.filter(col("doc_id") < 20), "doc_id", "text", MhK, WinnowW,
           0.05)
         .filter(col("doc_id") =!= col("bench_id"))
         .select(col("doc_id")).distinct()
-      val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti")
+      val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
       val quality = LogReg.score(logregFeatures(s, dir), "label",
           Seq("x_len", "x_div"), logregShared(s, dir)._2, Seq("doc_id"))
         .filter(col("pred")).select(col("doc_id"))
-      val s3 = s2.join(quality, Seq("doc_id"), "left_semi")
+      val s4 = s3.join(quality, Seq("doc_id"), "left_semi")
       val headMid = docPpl(s, dir)
         .withColumn("_npp", expr("nll_scaled div n_pieces"))
         .withColumn("_b", ntile(3).over(Window.partitionBy(col("lang"))
           .orderBy(col("_npp"), col("doc_id"))))
         .filter(col("_b") =!= 3).select(col("doc_id"))
-      val s4 = s3.join(headMid, Seq("doc_id"), "left_semi")
+      val s5 = s4.join(headMid, Seq("doc_id"), "left_semi")
       Seq((0L, "ingested", s0), (1L, "exact_dedup", s1),
-        (2L, "decontaminated", s2), (3L, "quality_kept", s3),
-        (4L, "ppl_head", s4))
+        (2L, "near_dedup", s2), (3L, "decontaminated", s3),
+        (4L, "quality_kept", s4), (5L, "ppl_head", s5))
         .map { case (i, name, fr) =>
           fr.agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
             .select(lit(i).as("stage_idx"), lit(name).as("stage"),
@@ -5218,30 +5224,36 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
   /** The MinHash CTE chain over a caller-chosen relation (the
     * sqlKmeansCtesOver pattern) — q_block_quality_sampled audits the
     * deterministic hash slice instead of the full corpus. */
-  private def sqlMinhashCtesOver(table: String): String = {
+  private def sqlMinhashCtesOver(table: String): String =
+    sqlMinhashCtesOver(table, "")
+
+  /** Same chain with every CTE name prefixed — for oracles that must
+    * combine it with the contamination chain (whose hsh/cand/shs names
+    * would otherwise collide in one WITH). */
+  private def sqlMinhashCtesOver(table: String, p: String): String = {
     val perms = (0 until MhN).map { i =>
       val a = 1117 * (i + 1) + 31
       val b = 271828 * (i + 1) + 1828
       s"list_min(list_transform(hs, h -> (h * $a + $b) % 2147483647)) AS s$i"
     }.mkString(", ")
-    s"""norm AS (SELECT doc_id, $normSql AS nt FROM $table),
-       |tk AS (SELECT doc_id, nt,
-       |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM norm),
-       |shg AS (SELECT doc_id,
+    s"""${p}norm AS (SELECT doc_id, $normSql AS nt FROM $table),
+       |${p}tk AS (SELECT doc_id, nt,
+       |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM ${p}norm),
+       |${p}shg AS (SELECT doc_id,
        |        CASE WHEN len(toks) >= $MhK
        |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
        |                   for i in range(0, len(toks)-$MhK+1)]
-       |             ELSE [nt] END AS shingles FROM tk),
-       |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM shg),
-       |sig AS (SELECT doc_id, [${(0 until MhN).map("s" + _).mkString(", ")}] AS sig
-       |        FROM (SELECT doc_id, $perms FROM hsh)),
-       |banded AS (SELECT doc_id, sig,
+       |             ELSE [nt] END AS shingles FROM ${p}tk),
+       |${p}hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM ${p}shg),
+       |${p}sig AS (SELECT doc_id, [${(0 until MhN).map("s" + _).mkString(", ")}] AS sig
+       |        FROM (SELECT doc_id, $perms FROM ${p}hsh)),
+       |${p}banded AS (SELECT doc_id, sig,
        |        b.b::VARCHAR || '_' ||
        |          array_to_string(list_slice(sig, b.b*$MhRows+1, (b.b+1)*$MhRows), ',') AS bucket
-       |        FROM sig, (SELECT unnest(range(0,$MhBands)) AS b) b),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        FROM ${p}sig, (SELECT unnest(range(0,$MhBands)) AS b) b),
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |        len([i for i in range(1,${MhN + 1}) if a.sig[i] = b.sig[i]])::DOUBLE / $MhN AS est_jaccard
-       |        FROM banded a JOIN banded b USING (bucket) WHERE a.doc_id < b.doc_id)""".stripMargin
+       |        FROM ${p}banded a JOIN ${p}banded b USING (bucket) WHERE a.doc_id < b.doc_id)""".stripMargin
   }
 
   /** The dHash → banding → verified-pair chain over the fake-payload hex
@@ -7390,6 +7402,7 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
     // EXISTS / NOT EXISTS, one aggregate row per stage
     "q_curation_funnel" ->
       s"""WITH $sqlContaminationCtes,
+         |${sqlMinhashCtesOver("documents", "m")},
          |${sqlLogregCtes(LrRounds)},
          |$sqlUnigramCtes${sqlUnigramDp("ua", "uw", s"uvoc$UniRounds")},
          |cf0 AS (SELECT * FROM (SELECT doc_id, lang,
@@ -7398,6 +7411,12 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |      FROM documents WHERE text IS NOT NULL) t WHERE nt > 0),
          |cdd AS (SELECT min(doc_id) AS doc_id FROM (
          |      SELECT doc_id, md5($normSql) AS fp FROM documents) GROUP BY fp),
+         |mshs AS (SELECT doc_id, list_distinct(hs) AS sh FROM mhsh),
+         |cnd AS (SELECT DISTINCT c.doc_b AS doc_id
+         |      FROM mcand c JOIN mshs a ON c.doc_a = a.doc_id
+         |                   JOIN mshs b ON c.doc_b = b.doc_id
+         |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
          |ccont AS (SELECT DISTINCT c.doc_id
          |      FROM cand c JOIN shs a ON c.doc_id = a.doc_id
          |                  JOIN shs b ON c.bench_id = b.doc_id
@@ -7419,21 +7438,25 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |cs1 AS (SELECT f.* FROM cf0 f
          |      WHERE EXISTS (SELECT 1 FROM cdd d WHERE d.doc_id = f.doc_id)),
          |cs2 AS (SELECT f.* FROM cs1 f
-         |      WHERE NOT EXISTS (SELECT 1 FROM ccont c WHERE c.doc_id = f.doc_id)),
+         |      WHERE NOT EXISTS (SELECT 1 FROM cnd n WHERE n.doc_id = f.doc_id)),
          |cs3 AS (SELECT f.* FROM cs2 f
-         |      WHERE EXISTS (SELECT 1 FROM clq q WHERE q.doc_id = f.doc_id)),
+         |      WHERE NOT EXISTS (SELECT 1 FROM ccont c WHERE c.doc_id = f.doc_id)),
          |cs4 AS (SELECT f.* FROM cs3 f
+         |      WHERE EXISTS (SELECT 1 FROM clq q WHERE q.doc_id = f.doc_id)),
+         |cs5 AS (SELECT f.* FROM cs4 f
          |      WHERE EXISTS (SELECT 1 FROM cph p WHERE p.doc_id = f.doc_id))
          |SELECT 0::BIGINT AS stage_idx, 'ingested' AS stage,
          |  count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens FROM cf0
          |UNION ALL SELECT 1::BIGINT, 'exact_dedup', count(*)::BIGINT,
          |  sum(nt)::BIGINT FROM cs1
-         |UNION ALL SELECT 2::BIGINT, 'decontaminated', count(*)::BIGINT,
+         |UNION ALL SELECT 2::BIGINT, 'near_dedup', count(*)::BIGINT,
          |  sum(nt)::BIGINT FROM cs2
-         |UNION ALL SELECT 3::BIGINT, 'quality_kept', count(*)::BIGINT,
+         |UNION ALL SELECT 3::BIGINT, 'decontaminated', count(*)::BIGINT,
          |  sum(nt)::BIGINT FROM cs3
-         |UNION ALL SELECT 4::BIGINT, 'ppl_head', count(*)::BIGINT,
-         |  sum(nt)::BIGINT FROM cs4""".stripMargin,
+         |UNION ALL SELECT 4::BIGINT, 'quality_kept', count(*)::BIGINT,
+         |  sum(nt)::BIGINT FROM cs4
+         |UNION ALL SELECT 5::BIGINT, 'ppl_head', count(*)::BIGINT,
+         |  sum(nt)::BIGINT FROM cs5""".stripMargin,
 
     // the same shingle-hash chain; per-doc distinct grams left-join the
     // benchmark's distinct gram set, rate = one floored division
