@@ -1987,31 +1987,41 @@ object SparkEntry {
           size(TextOps.tokens(lower(col("text")))).cast("long").as("_nt"))
         .filter(col("_nt") > 0L)
         .localCheckpoint(true) // every stage reads it
+      // each stage frame is a tiny (doc_id, lang, nt) projection — eager
+      // localCheckpoint per stage truncates the otherwise-compounding
+      // lineage (six chained joins over four composed subsystems grows a
+      // Catalyst tree the analyzer pays for at every downstream stage)
+      // and runs each upstream rule exactly once
       val canon = Dedup.exactDedup(all, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
       val s1 = s0.join(canon, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       // near-dup keep-first: drop any doc with a VERIFIED (jaccard ≥ 0.5)
       // near-duplicate of lower id — the pairwise retention rule; the
       // transitive-closure form is q_dup_clusters' canonical assignment
       val nearDrop = nearDupPairs(s, dir)
         .select(col("doc_b").as("doc_id")).distinct()
       val s2 = s1.join(nearDrop, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       val contaminated = Dedup.contaminationPairs(all,
           all.filter(col("doc_id") < 20), "doc_id", "text", MhK, WinnowW,
           0.05)
         .filter(col("doc_id") =!= col("bench_id"))
         .select(col("doc_id")).distinct()
       val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       val quality = LogReg.score(logregFeatures(s, dir), "label",
           Seq("x_len", "x_div"), logregShared(s, dir)._2, Seq("doc_id"))
         .filter(col("pred")).select(col("doc_id"))
       val s4 = s3.join(quality, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val headMid = docPpl(s, dir)
         .withColumn("_npp", expr("nll_scaled div n_pieces"))
         .withColumn("_b", ntile(3).over(Window.partitionBy(col("lang"))
           .orderBy(col("_npp"), col("doc_id"))))
         .filter(col("_b") =!= 3).select(col("doc_id"))
       val s5 = s4.join(headMid, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       Seq((0L, "ingested", s0), (1L, "exact_dedup", s1),
         (2L, "near_dedup", s2), (3L, "decontaminated", s3),
         (4L, "quality_kept", s4), (5L, "ppl_head", s5))

@@ -73,8 +73,17 @@ object Unigram {
   /** Viterbi segmentation of every word under a frozen inventory:
     * (word, freq, pieces array, n_pieces, best_qll). zQ is the round's
     * quantized normalizer (driver-collected, a plan literal). Pure
-    * fixed-width Column algebra — the oracle mirrors it column name
-    * for column name via DuckDB lateral aliases. */
+    * fixed-width Column algebra — the oracle mirrors it one CTE per DP
+    * level.
+    *
+    * CONSUMER WARNING (probed): materialize (localCheckpoint/persist)
+    * before FILTERING on `pieces` or `best_qll`. A predicate referencing
+    * the DP outputs gets pushed down through the ~9·W-level projection
+    * chain, re-substituting the whole piece-construction expression at
+    * every level — the Spark-optimizer twin of the DuckDB lateral-alias
+    * blowup (OOMs the driver on a 31-row input). Aggregations and
+    * equi-joins over the outputs are safe; every registered consumer
+    * goes through the memoized checkpointed frame. */
   def viterbi(wordsDf: DataFrame, vocab: DataFrame, zQ: Long,
               maxWordLen: Int, maxPieceLen: Int): DataFrame = {
     val W = maxWordLen; val L = maxPieceLen

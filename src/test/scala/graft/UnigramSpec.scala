@@ -60,9 +60,15 @@ class UnigramSpec extends SparkSpec {
     assert(run1 === "ab")
   }
 
+  // ONE training run on the real corpus shared by the corpus-level tests
+  // (each learn pins localCheckpoint blocks for the JVM's lifetime; the
+  // first cut re-trained per test and OOM'd the shared test JVM)
+  private lazy val real =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val realModel = Unigram.learn(real, "text", 3, 64, 12, 4)
+
   test("monotone likelihood on the sf0.001 corpus (hard EM, zero slack)") {
-    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val (_, lls) = Unigram.learn(real, "text", 3, 64, 12, 4)
+    val (_, lls) = realModel
     assert(lls.size === 3)
     lls.map(_._2).sliding(2).foreach { p =>
       assert(p(1) >= p.head,
@@ -114,6 +120,37 @@ class UnigramSpec extends SparkSpec {
       input2.addData(arriving); q2.processAllAvailable()
       assert(acc2.toSet === streamed)
     } finally q2.stop()
+  }
+
+  test("reconstruction invariant on the real corpus: every segmented " +
+      "word's pieces concatenate back to the word (the corpus word set " +
+      "covers the held-out slice's)") {
+    val (vocab, _) = realModel
+    // materialize BEFORE filtering on pieces: a predicate referencing the
+    // DP's emitted array gets pushed through the ~110-level projection
+    // chain, re-substituting the piece construction at every level —
+    // probed OOM (the Spark-optimizer twin of the DuckDB lateral-alias
+    // blowup documented in SCALE.md)
+    val seg = Unigram.segmented(Unigram.words(real, "text", 12),
+      vocab, 12, 4).localCheckpoint(true)
+    val broken = seg.filter(
+      regexp_replace(col("pieces"), " ", "") =!= col("word"))
+    assert(broken.count() === 0L,
+      s"pieces do not reconstruct: ${broken.collect().mkString(", ")}")
+    // and no word ends up with zero pieces
+    assert(seg.filter(col("n_pieces") < 1L).count() === 0L)
+  }
+
+  test("q_curation_funnel stages are monotone: each stage's doc and " +
+      "token mass is <= the previous stage's") {
+    val rows = SparkEntry.queries("q_curation_funnel")(
+        spark, "/root/testdata/sf0.001")
+      .orderBy(col("stage_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (0L to 5L))
+    rows.sliding(2).foreach { case Array((_, d0, t0), (i, d1, t1)) =>
+      assert(d1 <= d0 && t1 <= t0, s"stage $i grew: $d0/$t0 -> $d1/$t1")
+    }
   }
 
   test("guards: bad rounds/seedK/shape fail loud") {
