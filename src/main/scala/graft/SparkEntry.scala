@@ -1359,6 +1359,17 @@ object SparkEntry {
         LogReg.score(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
           logregShared(s, dir)._2, Seq("doc_id")),
         "score_ppm", col("label") === 1L, 0L, 1000000L, 10)),
+    // the calibration curve's REPAIR composed onto the TRAINED classifier:
+    // isotonic (PAV via the relational minimax identity) over the same
+    // exact ppm score bins — the production step between "the curve looks
+    // bent" and "ship the gate": iso_ppm is the provably-monotone score
+    // map a thresholded keep policy should consult instead of raw
+    // score_ppm (monotonicity property-pinned in PropertySpec)
+    "q_logreg_isotonic" -> ((s, dir) =>
+      CoreOps.isotonicCalibration(
+        LogReg.score(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
+          logregShared(s, dir)._2, Seq("doc_id")),
+        "score_ppm", col("label") === 1L, 0L, 1000000L, 10)),
     // the GENERALIZATION report: weights trained on doc_id%7!=3 only,
     // evaluated on the untouched %7==3 slice — the held-out twin of
     // q_logreg_eval's resubstitution numbers (ML hygiene made a query)
@@ -1460,6 +1471,39 @@ object SparkEntry {
           (floor((col("fertility") - col("fertility_train")) * 1000000d)
             / 1000000d).as("fertility_gap"))
     }),
+    // the tokenizer DECISION CARD: BPE vs unigram side by side, per
+    // language, under the SHIPPED full-corpus artifacts — corpus and
+    // held-out (doc_id%7==3) fertility, the generalization gap, and both
+    // global vocabulary sizes. Pure composition over the two memoized
+    // training runs (bpeShared / unigramApplySeg): the held slice's words
+    // are a subset of the corpus vocabulary, so both held fertilities are
+    // plain re-joins of the EXISTING segmentations — no new training, no
+    // new DP, two word-extraction passes. The row a data card prints when
+    // choosing the tokenizer.
+    "q_tokenizer_compare" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val held = docs.filter(col("doc_id") % 7 === 3)
+      def side(tag: String, seg: DataFrame, w: Int): DataFrame = {
+        val full = TextOps.bpeFertilityFrom(docs, "text", "lang", seg, w)
+          .select(col("lang"), col("n_words").as(s"${tag}_n_words"),
+            col("fertility").as(s"${tag}_fertility"))
+        val hf = TextOps.bpeFertilityFrom(held, "text", "lang", seg, w)
+          .select(col("lang"),
+            col("fertility").as(s"${tag}_fertility_heldout"))
+        full.join(hf, Seq("lang"))
+          .withColumn(s"${tag}_gap",
+            floor((col(s"${tag}_fertility_heldout")
+              - col(s"${tag}_fertility")) * 1000000d) / 1000000d)
+      }
+      val bpe = side("bpe", bpeShared(s, dir)._2, BpeMaxWordLen)
+      val uni = side("uni", unigramApplySeg(s, dir), UniW)
+      val vocabs = bpeShared(s, dir)._2
+        .select(explode(split(col("pieces"), " ")).as("_p"))
+        .agg(countDistinct(col("_p")).as("bpe_vocab"))
+        .crossJoin(
+          unigramShared(s, dir)._1.agg(count(lit(1)).as("uni_vocab")))
+      bpe.join(uni, Seq("lang")).crossJoin(broadcast(vocabs))
+    }),
     // per-doc PERPLEXITY under the self-trained unigram LM — the
     // CCNet-style quality filter (Wenzek et al. 2020): each doc's exact
     // µnat NLL and mean NLL per piece from the word-level Viterbi
@@ -1473,14 +1517,15 @@ object SparkEntry {
           / col("n_pieces").cast("double")) / 1000000d).as("mean_nll"))),
     // CCNet's head/middle/tail split made relational: per language,
     // docs ranked by exact integer µnat-per-piece NLL and cut into
-    // terciles (ntile over the PARTITIONED (nll, doc_id) order — total,
-    // deterministic); per bucket the doc/piece mass a mixture recipe
-    // consumes. head = most in-distribution under the self-trained LM
+    // terciles over the total (nll, doc_id) order. NOT an ntile window —
+    // lang has ~constant cardinality, so PARTITION BY lang is a one-task
+    // sort of each language's whole corpus at 100 TB; ntileKeyed cuts the
+    // same terciles from the distributed bucketed rank instead (identical
+    // values, SCALE.md's partitioned-by-a-constant hazard)
     "q_ppl_buckets" -> ((s, dir) => {
-      val ranked = docPpl(s, dir)
-        .withColumn("_npp", expr("nll_scaled div n_pieces"))
-        .withColumn("_b", ntile(3).over(Window.partitionBy(col("lang"))
-          .orderBy(col("_npp"), col("doc_id"))))
+      val ranked = CoreOps.ntileKeyed(
+        docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
+        col("lang"), col("_npp"), "doc_id", 3, "_b")
       ranked.groupBy(col("lang"),
           when(col("_b") === 1, "head").when(col("_b") === 2, "middle")
             .otherwise("tail").as("bucket"))
@@ -2015,10 +2060,11 @@ object SparkEntry {
         .filter(col("pred")).select(col("doc_id"))
       val s4 = s3.join(quality, Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
-      val headMid = docPpl(s, dir)
-        .withColumn("_npp", expr("nll_scaled div n_pieces"))
-        .withColumn("_b", ntile(3).over(Window.partitionBy(col("lang"))
-          .orderBy(col("_npp"), col("doc_id"))))
+      // tercile stage via the distributed keyed rank (ntileKeyed), never
+      // a per-lang window sort — same values, scale-safe plan
+      val headMid = CoreOps.ntileKeyed(
+          docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
+          col("lang"), col("_npp"), "doc_id", 3, "_b")
         .filter(col("_b") =!= 3).select(col("doc_id"))
       val s5 = s4.join(headMid, Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
@@ -2094,6 +2140,15 @@ object SparkEntry {
         ("by_orderkey", stats(li, expr("l_orderkey div 100"))),
         ("by_shipdate", stats(li, expr("_day div 32"))),
         ("by_zorder", stats(zFiled, col("_zfid"))))
+      // orderkey-axis overlap-join cell size derived from the OBSERVED key
+      // range (one 1-row bounds agg over the checkpointed frame) — a fixed
+      // 65536×128 cap fails loud once file key-spans pass ~8.4M keys
+      // (≈ sf1.4 for by_shipdate/by_zorder stats, whose files span nearly
+      // the whole ~6M·sf orderkey domain); (max−min)/maxCells+1 keeps every
+      // interval inside the guard at ANY sf
+      val kb = li.agg(min(col("l_orderkey").cast("long")),
+        max(col("l_orderkey").cast("long"))).head()
+      val keyCell = math.max((kb.getLong(1) - kb.getLong(0)) / 128L + 1L, 1L)
       layouts.map { case (name, st) =>
         val cached = st.localCheckpoint(true) // both axes read it
         graft.sources.CorpusLayout
@@ -2103,7 +2158,7 @@ object SparkEntry {
           .withColumn("axis", lit("shipdate"))
           .unionByName(graft.sources.CorpusLayout
             .clusteringDepth(cached.select(col("fid"), col("lo_k"),
-              col("hi_k")), "fid", "lo_k", "hi_k", 65536L, 128)
+              col("hi_k")), "fid", "lo_k", "hi_k", keyCell, 128)
             .withColumn("layout", lit(name))
             .withColumn("axis", lit("orderkey")))
       }.reduce(_ unionByName _)
@@ -3903,13 +3958,17 @@ object SparkEntry {
           .withColumn("disc_pct",
             floor(col("l_discount") * 100).cast("long")),
         "l_returnflag", "price_cents", "qty", "disc_pct")),
-    // decile assignment within language by doc length — ntile with a full
-    // deterministic (n_chars, doc_id) ordering
+    // decile assignment within language by doc length — ntile semantics
+    // over the full deterministic (n_chars, doc_id) order, computed by the
+    // distributed keyed rank (ntileKeyed): lang is a handful of values, so
+    // an actual ntile window would one-task-sort each language's whole
+    // frame at scale. nullsLast matches the oracle's DuckDB ASC default
     "q_ntile" -> ((s, dir) =>
-      Tables.documents(s, dir).withColumn("decile",
-        ntile(10).over(Window.partitionBy(col("lang"))
-          .orderBy(col("n_chars").asc_nulls_last, col("doc_id"))).cast("long"))
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("decile"))),
+      CoreOps.ntileKeyed(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        col("lang"), col("n_chars"), "doc_id", 10, "decile",
+        nullsLast = true)),
     // Count-Min heavy hitters: per-event-type estimates from one fixed-size
     // mergeable sketch (custom TypedImperativeAggregate, md5 cells the
     // oracle rebuilds cell-for-cell)
@@ -6433,6 +6492,66 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |    / 1000000 AS fertility
          |FROM uwl w JOIN usg s USING (word) GROUP BY 1""".stripMargin,
 
+    // the decision card: both training families' CTEs in one WITH
+    // (disjoint name spaces, the q_source_quality composition move);
+    // held-slice fertilities re-join the SAME frozen segmentations
+    "q_tokenizer_compare" ->
+      s"""WITH ${sqlBpeCtes(BpeIters)},
+         |$sqlUnigramCtes${sqlUnigramDp("ua", "uw", s"uvoc$UniRounds")},
+         |tcsgb AS (SELECT word, count(*)::BIGINT AS np
+         |        FROM bseg$BpeIters GROUP BY 1),
+         |tcsgu AS (SELECT word, len(pieces)::BIGINT AS np FROM uadp),
+         |tcwb AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $BpeMaxWordLen)) AS word
+         |    FROM documents) GROUP BY 1, 2),
+         |tchb AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $BpeMaxWordLen)) AS word
+         |    FROM documents WHERE doc_id % 7 = 3) GROUP BY 1, 2),
+         |tcwu AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM documents) GROUP BY 1, 2),
+         |tchu AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM documents WHERE doc_id % 7 = 3) GROUP BY 1, 2),
+         |tcfb AS (SELECT w.lang, sum(w.n)::BIGINT AS bpe_n_words,
+         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |              * 1000000) / 1000000 AS bpe_fertility
+         |      FROM tcwb w JOIN tcsgb s USING (word) GROUP BY 1),
+         |tcgb AS (SELECT w.lang,
+         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |              * 1000000) / 1000000 AS bpe_fertility_heldout
+         |      FROM tchb w JOIN tcsgb s USING (word) GROUP BY 1),
+         |tcfu AS (SELECT w.lang, sum(w.n)::BIGINT AS uni_n_words,
+         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |              * 1000000) / 1000000 AS uni_fertility
+         |      FROM tcwu w JOIN tcsgu s USING (word) GROUP BY 1),
+         |tcgu AS (SELECT w.lang,
+         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |              * 1000000) / 1000000 AS uni_fertility_heldout
+         |      FROM tchu w JOIN tcsgu s USING (word) GROUP BY 1),
+         |tcv AS (SELECT
+         |        (SELECT count(DISTINCT sym) FROM bseg$BpeIters)::BIGINT
+         |          AS bpe_vocab,
+         |        (SELECT count(*) FROM uvoc$UniRounds)::BIGINT AS uni_vocab)
+         |SELECT b.lang, b.bpe_n_words, b.bpe_fertility,
+         |  gb.bpe_fertility_heldout,
+         |  floor((gb.bpe_fertility_heldout - b.bpe_fertility) * 1000000)
+         |    / 1000000 AS bpe_gap,
+         |  u.uni_n_words, u.uni_fertility, gu.uni_fertility_heldout,
+         |  floor((gu.uni_fertility_heldout - u.uni_fertility) * 1000000)
+         |    / 1000000 AS uni_gap,
+         |  v.bpe_vocab, v.uni_vocab
+         |FROM tcfb b JOIN tcgb gb USING (lang) JOIN tcfu u USING (lang)
+         |JOIN tcgu gu USING (lang) CROSS JOIN tcv v""".stripMargin,
+
     // per-doc word counts joined onto the apply DP's exact per-word
     // Viterbi likelihoods; mean NLL floored at the µnat then scaled
     "q_doc_ppl" ->
@@ -6590,6 +6709,36 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |  floor(count(CASE WHEN y THEN 1 END)::DOUBLE / count(*)::DOUBLE
          |        * 1000000) / 1000000 AS pos_rate
          |FROM cb GROUP BY 1""".stripMargin,
+
+    // the q_isotonic minimax identity verbatim, run over the TRAINED
+    // classifier's exact ppm score bins (the q_logreg_calibration grid)
+    "q_logreg_isotonic" ->
+      s"""WITH ${sqlLogregCtes(LrRounds)},
+         |lisc AS (SELECT f.label = 1 AS y,
+         |        floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT AS score
+         |      FROM lf f CROSS JOIN lw$LrRounds w),
+         |lib AS (SELECT least(greatest((score - 0) * 10 // 1000000, 0), 9)
+         |          AS bin, y FROM lisc),
+         |libins AS (SELECT bin, count(*)::BIGINT AS n,
+         |        count(CASE WHEN y THEN 1 END)::BIGINT AS n_pos
+         |      FROM lib GROUP BY 1),
+         |lip AS (SELECT bin, n, n_pos,
+         |        sum(n) OVER liw::BIGINT AS cn,
+         |        sum(n_pos) OVER liw::BIGINT AS cp
+         |      FROM libins WINDOW liw AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+         |liiv AS (SELECT j.bin AS jb, k.bin AS kb,
+         |        (((k.cp - j.cp + j.n_pos)::HUGEINT * 1000000::HUGEINT)
+         |         // (k.cn - j.cn + j.n)::HUGEINT)::BIGINT AS m
+         |      FROM lip j JOIN lip k ON j.bin <= k.bin),
+         |limn AS (SELECT bb.bin, liiv.jb, min(liiv.m) AS mn FROM libins bb
+         |       JOIN liiv ON liiv.jb <= bb.bin AND liiv.kb >= bb.bin
+         |       GROUP BY 1, 2),
+         |liso AS (SELECT bin, max(mn)::BIGINT AS iso_ppm FROM limn GROUP BY 1)
+         |SELECT libins.bin, libins.n, libins.n_pos,
+         |  ((libins.n_pos::HUGEINT * 1000000::HUGEINT)
+         |   // libins.n::HUGEINT)::BIGINT AS rate_ppm,
+         |  liso.iso_ppm
+         |FROM libins JOIN liso USING (bin)""".stripMargin,
 
     // the weight trajectory = one MATERIALIZED 1-row CTE per gradient
     // round, unioned in round order

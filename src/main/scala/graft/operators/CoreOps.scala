@@ -560,10 +560,12 @@ object CoreOps {
     * float tolerance at awkward fractions; trunc6 can still straddle a
     * truncation boundary at the clip edge). The tail treatment that keeps
     * a corrupted sensor reading from dominating a sum, without dropping
-    * the row like an outlier filter would. Plan shape: ONE keyed window
-    * exchange carries rank and group size (two frames, same sort), the
-    * k-th rows filter down to O(groups) bound rows joined back, then a
-    * pure comparison map — comparisons only, no arithmetic on the values.
+    * the row like an outlier filter would. Plan shape: the per-group rank
+    * from the keyed bucketed prefix scan + a grouped count re-joined
+    * (never a `PARTITION BY group` window — one-task sort per group at
+    * scale for a ~constant-cardinality group key), the k-th rows filter
+    * down to O(groups) bound rows joined back, then a pure comparison
+    * map — comparisons only, no arithmetic on the values.
     * `value` must be integral (the rankSumAuc grid argument). Ties rank
     * arbitrarily but the k-th order STATISTIC is tie-order-independent —
     * a multiset position. Emits the input plus `out` (clipped, int64).
@@ -577,17 +579,22 @@ object CoreOps {
         s"${df.schema(value).dataType} — scale to an integer grid first")
     require(!df.columns.contains(out),
       s"winsorizeRank emits '$out'; rename the input's first")
-    val emitted = Seq("_rn", "_n", "_lo", "_hi")
+    val emitted = Seq("_rn", "_n", "_lo", "_hi", "_w1", "_wgt_g")
     require(!emitted.exists(df.columns.contains),
       s"winsorizeRank uses ${emitted.mkString(", ")} internally; rename inputs")
-    val base = df.filter(col(group).isNotNull)
-    val wOrd = Window.partitionBy(col(group)).orderBy(col(value).asc_nulls_last)
-    val wAll = Window.partitionBy(col(group))
+    val base = df.filter(col(group).isNotNull).withColumn("_w1", lit(1L))
     // NULLS LAST + count over non-null only: ranks 1..n cover the non-null
-    // values, NULL rows rank past n and never match a k-th row
-    val ranked = base
-      .withColumn("_rn", row_number().over(wOrd))
-      .withColumn("_n", count(col(value)).over(wAll))
+    // values, NULL rows rank past n and never match a k-th row. Rank from
+    // the keyed bucketed prefix scan + a grouped count re-joined — never a
+    // PARTITION BY group window (one-task sort per group at scale when the
+    // group key has ~constant cardinality). Ties rank arbitrarily, as
+    // before — the k-th order statistic is a multiset position.
+    val sizes = df.filter(col(group).isNotNull)
+      .groupBy(col(group).as("_wgt_g")).agg(count(col(value)).as("_n"))
+    val ranked = orderedPrefixSumKeyed(base, col(group), col(value), value,
+        "_w1", "_rn", nullsLast = true)
+      .join(sizes, col(group) <=> col("_wgt_g"), "left")
+      .drop("_wgt_g", "_w1")
     // ceil(p·n) in IEEE doubles on BOTH engines — identical k everywhere
     def kOf(p: Double) = ceil(lit(p) * col("_n")).cast("long")
     val bounds = ranked
@@ -753,18 +760,39 @@ object CoreOps {
     * quality scores are combined in (a length score and a stopword score
     * on wildly different scales become comparable ranks). percent_rank is
     * (rank−1)/(n−1), a single exact integer division, so any engine agrees
-    * bit-for-bit; ties share a rank. One keyed exchange + sort. */
+    * bit-for-bit; ties share a rank. */
   def rankNormalize(df: DataFrame, group: String, value: String,
                     out: String): DataFrame = {
     require(!df.columns.contains(out),
       s"rankNormalize emits '$out'; rename the input's first")
+    val internal = Seq("_rn_g", "_rn_v", "_rn_c", "_rn_cum", "_rn_n")
+    require(!internal.exists(df.columns.contains),
+      s"rankNormalize uses ${internal.mkString(", ")} internally; " +
+        "rename inputs")
     // NULLS LAST explicitly: Spark's ascending default is NULLS FIRST but
     // DuckDB's (and the ANSI common case) is NULLS LAST — unpinned, one
     // NULL value would shift every non-null row's rank differently per
-    // engine
-    val pr = percent_rank()
-      .over(Window.partitionBy(col(group)).orderBy(col(value).asc_nulls_last))
-    df.withColumn(out, floor(pr * 1000000d) / 1000000d)
+    // engine. percent_rank's shared-tie rank = (#rows strictly before)+1,
+    // computed on the (group, distinct value) GRID: per-cell counts, a
+    // keyed bucketed prefix scan over the value order, and the grid joined
+    // back — never a PARTITION BY group window, which one-task-sorts each
+    // group's whole frame at scale when the group key (lang) has ~constant
+    // cardinality. (rank−1)/(n−1) is the same IEEE division either way.
+    val grid = df.groupBy(col(group).as("_rn_g"), col(value).as("_rn_v"))
+      .agg(count(lit(1)).as("_rn_c"))
+    val ranks = orderedPrefixSumKeyed(grid, col("_rn_g"), col("_rn_v"),
+      "_rn_v", "_rn_c", "_rn_cum", nullsLast = true)
+    val sizes = df.groupBy(col(group).as("_rn_g")).agg(count(lit(1)).as("_rn_n"))
+    df.join(ranks,
+        col(group) <=> col("_rn_g") && col(value) <=> col("_rn_v"), "left")
+      .drop("_rn_g", "_rn_v")
+      .join(sizes, col(group) <=> col("_rn_g"), "left")
+      .withColumn(out,
+        when(col("_rn_n") > 1L,
+          floor((col("_rn_cum") - col("_rn_c")).cast("double")
+            / (col("_rn_n") - 1L).cast("double") * 1000000d) / 1000000d)
+          .otherwise(0.0d))
+      .select(df.columns.map(col).toSeq :+ col(out): _*)
   }
 
   /** Shared exact moment sums for exactCorr/exactRegression: count and
@@ -826,9 +854,10 @@ object CoreOps {
     * double chain over exact decimal moments. Unlike exactCorr the inputs
     * need NOT be integral: ranks only compare values, never do arithmetic
     * on them, so doubles are safe (identical IEEE comparisons on every
-    * engine). Plan shape: per axis one (group, value) partial-agg'd count
-    * + one group-partitioned window over distinct VALUES (bounded by the
-    * value domain, not row count — the q_ks_by_lang argument) + one
+    * engine — the keyed prefix scan sorts the RAW axis and only its
+    * bucket image is integral). Plan shape: per axis one (group, value)
+    * partial-agg'd count + one keyed bucketed prefix scan over the
+    * distinct-value grid (never a `PARTITION BY group` window) + one
     * equi-join back on (group, value); then the single exactCorr moment
     * agg. Per-group moment bound: Σ(2r)² ≤ 4n³ < 10^38 ⇒ n under ~10^11
     * rows per group; overflow fails loud under ANSI. NULL-in-either rows
@@ -841,13 +870,16 @@ object CoreOps {
       s"spearmanCorr emits/uses ${internal.mkString(", ")}; rename inputs")
     val base = df.filter(col(x).isNotNull && col(y).isNotNull)
       .select(col(group), col(x), col(y))
-    def rank2(axis: String, out: String): DataFrame = {
-      val w = Window.partitionBy(col(group)).orderBy(col(axis))
-      base.groupBy(col(group), col(axis)).agg(count(lit(1)).as("_c"))
-        .withColumn("_cum", sum(col("_c")).over(w))
+    // the distinct-value-grid cumulative via the keyed bucketed prefix
+    // scan — never a PARTITION BY group window (one-task sort per group at
+    // scale for a ~constant-cardinality group key); doubles order exactly
+    // (the scan sorts the RAW axis, only its bucket image is integral)
+    def rank2(axis: String, out: String): DataFrame =
+      orderedPrefixSumKeyed(
+        base.groupBy(col(group), col(axis)).agg(count(lit(1)).as("_c")),
+        col(group), col(axis), axis, "_c", "_cum")
         .select(col(group), col(axis),
           (lit(2L) * col("_cum") - col("_c") + 1L).cast("long").as(out))
-    }
     val ranked = base
       .join(rank2(x, "_r2x"), Seq(group, x))
       .join(rank2(y, "_r2y"), Seq(group, y))
@@ -2009,6 +2041,156 @@ object CoreOps {
           .otherwise(coalesce(col("_off"), lit(0).cast("decimal(38,2)")) +
             col("_local"))
           .cast("decimal(38,2)"))
+      .select(df.columns.map(col).toSeq :+ col(out): _*)
+  }
+
+  /** Keyed form of orderedPrefixSum: per-`key` running int64 totals in the
+    * (ord, tiebreak) order WITHOUT a per-key single-task sort. A window
+    * partitioned by a low-cardinality key (lang, shard, event_type) is
+    * "partitioned" only in name — each key's entire frame still sorts
+    * through ONE task at 100 TB (the round-11 lesson; SCALE.md's
+    * partitioned-by-a-constant hazard). Instead: deterministic range
+    * buckets over the long ordering key (bounds from one O(1) aggregate —
+    * the bucket is a function of `ord` alone, so equal-ord rows share a
+    * bucket and cross-bucket order is preserved), per-(key, bucket) local
+    * prefix sums in parallel, and per-key exclusive bucket offsets from a
+    * window over the TINY O(keys × buckets) totals frame (the
+    * runningSumSalted shape — that window's partitions are bucket-count
+    * sized plan constants, never the data). NULL discipline matches
+    * runningSumSalted: rows before a key's first non-NULL value stay NULL,
+    * NULL values pass the running total through. `nullsLast` orders NULL
+    * `ord` rows after non-NULLs (DuckDB's ASC default) instead of before
+    * (Spark's); key NULLs are a group of their own on either setting. */
+  def orderedPrefixSumKeyed(df: DataFrame, key: Column, ord: Column,
+                            tiebreak: String, value: String, out: String,
+                            nullsLast: Boolean = false): DataFrame = {
+    val internal = Seq("_nk_k", "_nk_o", "_nk_g", "_nk_b", "_nk_loc",
+      "_nk_t", "_nk_off")
+    val clash = df.columns.intersect(internal)
+    require(clash.isEmpty,
+      s"orderedPrefixSumKeyed uses internal columns ${internal.mkString(", ")}; " +
+        s"rename the input's ${clash.mkString(", ")} first")
+    val vt = df.schema(value).dataType
+    require(integralTypes.contains(vt),
+      s"orderedPrefixSumKeyed sums '$value' as int64 (exact for counts); " +
+        s"got $vt — cast explicitly")
+    val ordType = df.select(ord.as("_nk_o")).schema.head.dataType
+    require(ordType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"orderedPrefixSumKeyed range-buckets a numeric ordering column; " +
+        s"got $ordType")
+    val floating = ordType match {
+      case org.apache.spark.sql.types.DoubleType
+         | org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val spark = df.sparkSession
+    val n = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    // the WITHIN-bucket sort runs on the RAW ordering column; the bucket
+    // comes from a MONOTONE long image of it (exact for integrals; for
+    // doubles a clamped floor — collapsing near-ties into one bucket is
+    // harmless, only the bucket→order monotonicity matters). The ±2^62
+    // clamp keeps ±Infinity casts from overflowing the bounds arithmetic.
+    // NaN's image is NULL so the bounds aggregate ignores it (its bucket
+    // is forced last below); without this one NaN would widen the range
+    // to the clamp edge and collapse every real value into bucket 0
+    val img0 = when(isnan(ord.cast("double")), lit(null))
+      .otherwise(greatest(least(ord.cast("double"), lit(4.6e18)),
+        lit(-4.6e18)).cast("long"))
+    val img = if (floating) img0 else ord.cast("long")
+    val d = df.withColumn("_nk_k", key).withColumn("_nk_o", ord)
+      .withColumn("_nk_g", img)
+    val rangeBucket = timeRangeBucket(d, col("_nk_g"), n).getOrElse(lit(0))
+    // timeRangeBucket sends NULL ord to bucket 0 (Spark's NULLS FIRST);
+    // the nullsLast form sends it to the last bucket instead, and the
+    // within-bucket sort below places it after that bucket's non-NULLs.
+    // NaN sorts greater than everything on both engines → last bucket,
+    // and the raw within-bucket sort places it after that bucket's +Inf.
+    val nanLast = if (floating)
+      when(isnan(col("_nk_o")), lit(n - 1)).otherwise(rangeBucket)
+    else rangeBucket
+    val bucket = if (nullsLast)
+      when(col("_nk_g").isNull, lit(n - 1)).otherwise(nanLast)
+    else nanLast
+    // eager checkpoint: the bucketed frame feeds the per-(key, bucket)
+    // totals AND the final window+join — materialize once
+    val b = d.withColumn("_nk_b", bucket).localCheckpoint(true)
+    val ordCol = if (nullsLast) col("_nk_o").asc_nulls_last
+      else col("_nk_o").asc
+    val wLocal = Window.partitionBy(col("_nk_k"), col("_nk_b"))
+      .orderBy(ordCol, col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exclusive per-key offsets over the O(keys × buckets) totals frame;
+    // each window partition here holds at most `n` rows by construction
+    val wPrefix = Window.partitionBy(col("_nk_k")).orderBy(col("_nk_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col("_nk_k"), col("_nk_b"))
+      .agg(sum(col(value).cast("long")).as("_nk_t"))
+      .withColumn("_nk_off", sum(col("_nk_t")).over(wPrefix))
+      .select(col("_nk_k").as("_nk_k2"), col("_nk_b").as("_nk_b2"),
+        col("_nk_off"))
+    b.withColumn("_nk_loc", sum(col(value).cast("long")).over(wLocal))
+      .join(offsets,
+        col("_nk_k") <=> col("_nk_k2") && col("_nk_b") === col("_nk_b2"),
+        "left")
+      .withColumn(out,
+        when(col("_nk_loc").isNull, col("_nk_off"))
+          .otherwise(coalesce(col("_nk_off"), lit(0L)) + col("_nk_loc")))
+      .select(df.columns.map(col).toSeq :+ col(out): _*)
+  }
+
+  /** Per-group int64 totals joined back onto `df` — the replacement for
+    * `sum(x).over(Window.partitionBy(group))` when the group key may have
+    * ~constant cardinality: an unordered whole-partition total needs no
+    * window at all, just one grouped aggregate re-joined on the key (AQE
+    * broadcasts the O(groups) side). `df` is read twice — checkpoint it
+    * first when its lineage is nontrivial. */
+  private def withGroupTotals(df: DataFrame, group: String,
+                              totals: (String, String)*): DataFrame =
+    joinGroupTotals(df, df, group, totals: _*)
+
+  /** withGroupTotals with the totals aggregated over `src` instead of `df`
+    * — pass the upstream CHECKPOINTED frame so the totals side reads the
+    * materialized rows rather than re-deriving `df`'s prefix-scan lineage. */
+  private def joinGroupTotals(df: DataFrame, src: DataFrame, group: String,
+                              totals: (String, String)*): DataFrame = {
+    val aggs = totals.map { case (s, out) => sum(col(s)).as(out) }
+    val t = src.groupBy(col(group).as("_wgt_g")).agg(aggs.head, aggs.tail: _*)
+    // null-safe: a NULL group is a group of its own, exactly as it is a
+    // window partition of its own in the plan this replaces
+    df.join(t, col(group) <=> col("_wgt_g"), "left").drop("_wgt_g")
+  }
+
+  /** Distributed keyed ntile: `ntile(k) OVER (PARTITION BY key ORDER BY
+    * ord, tiebreak)` without the per-key single-task sort — the scale-safe
+    * replacement for the CCNet tercile split's `ntile(3) OVER (PARTITION
+    * BY lang)`, where ~constant key cardinality makes every "partition" an
+    * O(corpus) one-task sort. The per-key rank comes from the bucketed
+    * keyed prefix scan (orderedPrefixSumKeyed over a column of ones), the
+    * per-key row counts are an O(keys) broadcast, and the bucket index is
+    * SQL ntile's exact closed form: with n rows and rem = n mod k, the
+    * first rem buckets hold ⌈n/k⌉ rows and the rest ⌊n/k⌋ — pure int64
+    * arithmetic, bit-identical to Spark's and DuckDB's NTile on any total
+    * (ord, tiebreak) order. Emits the input columns plus `out` (BIGINT,
+    * 1-based). NULL ord rows rank first (Spark's default) or last
+    * (`nullsLast`, DuckDB's default); NULL keys form their own group. */
+  def ntileKeyed(df: DataFrame, key: Column, ord: Column, tiebreak: String,
+                 k: Int, out: String, nullsLast: Boolean = false): DataFrame = {
+    require(k > 0, s"ntileKeyed needs k > 0, got $k")
+    val internal = Seq("_nt_one", "_nt_rk", "_nt_k2", "_nt_n")
+    val clash = df.columns.intersect(internal)
+    require(clash.isEmpty,
+      s"ntileKeyed uses internal columns ${internal.mkString(", ")}; " +
+        s"rename the input's ${clash.mkString(", ")} first")
+    val ranked = orderedPrefixSumKeyed(df.withColumn("_nt_one", lit(1L)),
+      key, ord, tiebreak, "_nt_one", "_nt_rk", nullsLast)
+    val totals = df.groupBy(key.as("_nt_k2")).agg(count(lit(1)).as("_nt_n"))
+    ranked.join(broadcast(totals), key <=> col("_nt_k2"), "left")
+      .withColumn(out, expr(
+        s"""CASE WHEN _nt_rk <= (_nt_n % $k) * (_nt_n div $k + 1)
+           |     THEN (_nt_rk + _nt_n div $k) div (_nt_n div $k + 1)
+           |     ELSE _nt_n % $k + (_nt_rk - (_nt_n % $k) * (_nt_n div $k + 1)
+           |                        + _nt_n div $k - 1) div (_nt_n div $k)
+           |END""".stripMargin).cast("long"))
       .select(df.columns.map(col).toSeq :+ col(out): _*)
   }
 
@@ -3395,17 +3577,17 @@ object CoreOps {
   }
 
   /** ksStatistic computed PER GROUP in one plan — "did the length
-    * distribution shift, for every language at once?" Where the global
-    * form needs the bucketed prefix scan (one total order), the grouped
-    * form is fully PARTITIONED: cumulative counts, group totals, and the
-    * max gap are all windows/aggs keyed by the group — zero driver
-    * participation, hub-proof as long as one group's distinct values fit
-    * a task's sort (they are distinct VALUES, not rows — bounded by the
-    * value domain, the longestStreak argument). Same exact-decimal gap
-    * arithmetic and trunc6'd division as ksStatistic. Groups missing from
-    * one slice emit NULL ks (n of the absent side 0) rather than
-    * vanishing — absence of a whole group IS drift worth seeing. Emits
-    * (group, n_a, n_b, d_num, ks). */
+    * distribution shift, for every language at once?" The global form's
+    * bucketed prefix scan, run KEYED: cumulative counts ride
+    * orderedPrefixSumKeyed over the (group, distinct value) grid and the
+    * group totals are a grouped agg re-joined — never `PARTITION BY group`
+    * windows, which would one-task-sort each group's whole grid at scale
+    * (group keys here are langs/categories with ~constant cardinality, and
+    * a busy group's distinct-value grid alone can reach 10⁷ rows). Same
+    * exact-decimal gap arithmetic and trunc6'd division as ksStatistic.
+    * Groups missing from one slice emit NULL ks (n of the absent side 0)
+    * rather than vanishing — absence of a whole group IS drift worth
+    * seeing. Emits (group, n_a, n_b, d_num, ks). */
   def ksStatisticByGroup(a: DataFrame, b: DataFrame, group: String,
                          value: String): DataFrame = {
     Seq("a" -> a, "b" -> b).foreach { case (side, df) =>
@@ -3424,15 +3606,18 @@ object CoreOps {
     val m = cnt(a, "_ca").join(cnt(b, "_cb"), Seq(group, "_v"), "full_outer")
       .select(col(group), col("_v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
         coalesce(col("_cb"), lit(0L)).as("_cb"))
-    val wCum = Window.partitionBy(col(group)).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col(group)) // whole-group frame
+      .localCheckpoint(true) // feeds both cumulatives and the totals join
     val dec = "decimal(38,0)"
-    val p = m
-      .withColumn("_cca", sum(col("_ca")).over(wCum))
-      .withColumn("_ccb", sum(col("_cb")).over(wCum))
-      .withColumn("n_a", sum(col("_ca")).over(wAll))
-      .withColumn("n_b", sum(col("_cb")).over(wAll))
+    // cumulatives from the KEYED bucketed prefix scan and totals from a
+    // grouped agg re-joined — never `PARTITION BY group` windows: the
+    // group key (lang, event_type) has ~constant cardinality, so such a
+    // window one-task-sorts each group's whole grid at scale (the
+    // round-11 partitioned-by-a-constant lesson)
+    val p = joinGroupTotals(
+      orderedPrefixSumKeyed(
+        orderedPrefixSumKeyed(m, col(group), col("_v"), "_v", "_ca", "_cca"),
+        col(group), col("_v"), "_v", "_cb", "_ccb"),
+      m, group, ("_ca", "n_a"), ("_cb", "n_b"))
     p.groupBy(col(group), col("n_a"), col("n_b"))
       .agg(max(abs(col("_cca").cast(dec) * col("n_b").cast(dec)
         - col("_ccb").cast(dec) * col("n_a").cast(dec))).as("_d"))
@@ -3447,13 +3632,15 @@ object CoreOps {
 
   /** wassersteinDistance computed PER GROUP in one plan — which segment's
     * distribution moved, and HOW FAR in the value's own units (the
-    * ksStatisticByGroup pattern with the W₁ integrand). Where the global
-    * form needs bucketed prefix scans and a rank self-join, the grouped
-    * form is fully PARTITIONED: cumulatives, totals, AND the next-value
-    * lead all ride group-keyed windows over the per-group distinct-value
-    * grid. Same exact decimal integrand |cca·n_b − ccb·n_a|·gap and
-    * trunc6'd division as the global form; groups missing from one side
-    * emit NULL w1. Emits (group, n_a, n_b, w1_num, w1). */
+    * ksStatisticByGroup pattern with the W₁ integrand). The global form's
+    * machinery run KEYED: cumulatives and the grid rank ride
+    * orderedPrefixSumKeyed, totals are a grouped agg re-joined, and the
+    * next-value lead is the rank→rank+1 self-join — never a `PARTITION BY
+    * group` window (one-task sort per group at scale for a ~constant-
+    * cardinality group key). Same exact decimal integrand
+    * |cca·n_b − ccb·n_a|·gap and trunc6'd division as the global form;
+    * groups missing from one side emit NULL w1. Emits
+    * (group, n_a, n_b, w1_num, w1). */
   def wassersteinByGroup(a: DataFrame, b: DataFrame, group: String,
                          value: String): DataFrame = {
     Seq("a" -> a, "b" -> b).foreach { case (side, df) =>
@@ -3463,7 +3650,7 @@ object CoreOps {
           "first")
     }
     val emitted = Seq("n_a", "n_b", "w1_num", "w1",
-      "_v", "_ca", "_cb", "_cca", "_ccb", "_vn", "_w")
+      "_v", "_ca", "_cb", "_cca", "_ccb", "_vn", "_w", "_one", "_rk")
     require(!emitted.contains(group),
       s"wassersteinByGroup emits/uses ${emitted.mkString(", ")}; " +
         "rename inputs")
@@ -3474,17 +3661,25 @@ object CoreOps {
     val m = cnt(a, "_ca").join(cnt(b, "_cb"), Seq(group, "_v"), "full_outer")
       .select(col(group), col("_v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
         coalesce(col("_cb"), lit(0L)).as("_cb"))
-    val wCum = Window.partitionBy(col(group)).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLead = Window.partitionBy(col(group)).orderBy(col("_v"))
-    val wAll = Window.partitionBy(col(group))
+      .withColumn("_one", lit(1L))
+      .localCheckpoint(true) // feeds cumulatives, rank, totals, the lead join
     val dec = "decimal(38,0)"
-    val p = m
-      .withColumn("_cca", sum(col("_ca")).over(wCum))
-      .withColumn("_ccb", sum(col("_cb")).over(wCum))
-      .withColumn("_vn", lead(col("_v"), 1).over(wLead))
-      .withColumn("n_a", sum(col("_ca")).over(wAll))
-      .withColumn("n_b", sum(col("_cb")).over(wAll))
+    // cumulatives + a per-group rank from the KEYED bucketed prefix scan,
+    // totals from a grouped agg re-joined, and the next-value lead as the
+    // global wassersteinDistance's rank→rank+1 self-join — never a
+    // `PARTITION BY group` window (one-task sort per group at scale when
+    // the group key has ~constant cardinality)
+    val ranked = joinGroupTotals(
+      orderedPrefixSumKeyed(
+        orderedPrefixSumKeyed(
+          orderedPrefixSumKeyed(m, col(group), col("_v"), "_v", "_ca", "_cca"),
+          col(group), col("_v"), "_v", "_cb", "_ccb"),
+        col(group), col("_v"), "_v", "_one", "_rk"),
+      m, group, ("_ca", "n_a"), ("_cb", "n_b"))
+      .localCheckpoint(true) // both sides of the lead self-join read it
+    val nxt = ranked.select(col(group), (col("_rk") - 1L).as("_rk"),
+      col("_v").as("_vn"))
+    val p = ranked.join(nxt, Seq(group, "_rk"), "left")
     val term = abs(col("_cca").cast(dec) * col("n_b").cast(dec)
         - col("_ccb").cast(dec) * col("n_a").cast(dec)) *
       coalesce(col("_vn") - col("_v"), lit(0L)).cast(dec)
@@ -3500,8 +3695,9 @@ object CoreOps {
   }
 
   /** rankSumAuc computed PER GROUP in one plan — the grouped companion of
-    * ksStatisticByGroup, same fully-PARTITIONED shape (cumulatives and
-    * totals from group-keyed windows, zero driver participation) with the
+    * ksStatisticByGroup, same keyed-prefix-scan shape (the b-side
+    * cumulative from orderedPrefixSumKeyed, totals from a grouped agg
+    * re-joined — never `PARTITION BY group` windows) with the
     * rank-sum identity instead of the max gap: per group,
     * 2·U_a = Σ_v cₐ(v)·(2·cbBelow(v) + c_b(v)), summed in exact decimal.
     * AUC answers "how big is the typical shift" per group where KS
@@ -3526,16 +3722,16 @@ object CoreOps {
     val m = cnt(a, "_ca").join(cnt(b, "_cb"), Seq(group, "_v"), "full_outer")
       .select(col(group), col("_v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
         coalesce(col("_cb"), lit(0L)).as("_cb"))
-    val wCum = Window.partitionBy(col(group)).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col(group))
+      .localCheckpoint(true) // feeds the cumulative and the totals join
     val dec = "decimal(38,0)"
     val u2 = col("_ca").cast(dec) *
       (lit(2L).cast(dec) * (col("_ccb") - col("_cb")).cast(dec)
         + col("_cb").cast(dec))
-    m.withColumn("_ccb", sum(col("_cb")).over(wCum))
-      .withColumn("n_a", sum(col("_ca")).over(wAll))
-      .withColumn("n_b", sum(col("_cb")).over(wAll))
+    // the b-side cumulative from the keyed bucketed prefix scan, totals
+    // from a grouped agg re-joined — the ksStatisticByGroup re-plan
+    joinGroupTotals(
+      orderedPrefixSumKeyed(m, col(group), col("_v"), "_v", "_cb", "_ccb"),
+      m, group, ("_ca", "n_a"), ("_cb", "n_b"))
       .groupBy(col(group), col("n_a"), col("n_b"))
       .agg(sum(u2).as("_u2s"))
       .select(col(group), col("n_a"), col("n_b"),
@@ -3808,10 +4004,13 @@ object CoreOps {
     * LOUDLY (a zero or negative weight in a median is an upstream data
     * bug — silently dropping it would move the median). Plan shape: one
     * partial-agg'd groupBy onto the (group, value) grid — the shuffle
-    * carries distinct values per group, not rows — then one group-keyed
-    * window pass (cumulative and total share the partitioning+sort) and
-    * a keyed agg that reuses it. 2·cumW fails loud past ~4.6·10¹⁸ total
-    * weight under ANSI. Emits (group, total_weight, wmedian). */
+    * carries distinct values per group, not rows — then the cumulative
+    * weight from the KEYED bucketed prefix scan and the group total from
+    * a grouped agg re-joined (never a `PARTITION BY group` window: the
+    * group key has ~constant cardinality, so each "partition" would be a
+    * one-task sort of that group's whole grid at scale). 2·cumW fails
+    * loud past ~4.6·10¹⁸ total weight under ANSI. Emits
+    * (group, total_weight, wmedian). */
   def weightedMedian(df: DataFrame, group: String, value: String,
                      weight: String): DataFrame = {
     Seq(value, weight).foreach(c => require(
@@ -3829,11 +4028,13 @@ object CoreOps {
       .filter(guard.isNull)
       .groupBy(col(group), col(value).cast("long").as("_v"))
       .agg(sum(col(weight).cast("long")).as("_w"))
-    val wCum = Window.partitionBy(col(group)).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col(group))
-    g.withColumn("_cw", sum(col("_w")).over(wCum))
-      .withColumn("_tw", sum(col("_w")).over(wAll))
+      .localCheckpoint(true) // feeds the cumulative and the totals join
+    // cumulative weight via the keyed bucketed prefix scan, group total
+    // via a grouped agg re-joined — never a PARTITION BY group window
+    // (one-task sort per group at scale for a low-cardinality group key)
+    joinGroupTotals(
+      orderedPrefixSumKeyed(g, col(group), col("_v"), "_v", "_w", "_cw"),
+      g, group, ("_w", "_tw"))
       .filter(lit(2L) * col("_cw") >= col("_tw"))
       .groupBy(col(group))
       .agg(max(col("_tw")).as("total_weight"), min(col("_v")).as("wmedian"))
@@ -4021,9 +4222,11 @@ object CoreOps {
     * the trim cut is integer arithmetic on that rank, and the kept-side
     * sum accumulates exactly in decimal — so the result is bit-identical
     * on any engine/partitioning, with ONE trunc6'd division at the edge.
-    * Plan shape: one keyed window exchange (rank + group size share the
-    * same partitioning+sort), then a keyed agg REUSING that partitioning
-    * — one shuffle total. Value ties cannot change the answer: however
+    * Plan shape: the per-group rank from the keyed bucketed prefix scan
+    * and the group size from a grouped count re-joined (never a
+    * `PARTITION BY group` window — the group key is ~constant-cardinality
+    * here, so each "partition" would be a one-task sort of that group's
+    * whole frame at scale), then a keyed agg. Value ties cannot change the answer: however
     * the tiebreak orders equal values across the cut, the dropped
     * multiset is the same. For trimPerMille < 500 the kept side is never
     * empty (2·⌊n·t/1000⌋ < n), so every group keeps its row; the NULL
@@ -4037,15 +4240,19 @@ object CoreOps {
     require(integralTypes.contains(df.schema(value).dataType),
       s"trimmedMean accumulates '$value' as exact integers; got " +
         s"${df.schema(value).dataType} — scale to cents/int64 first")
-    val emitted = Seq("n", "n_kept", "trimmed_mean", "_r", "_n", "_t")
+    val emitted = Seq("n", "n_kept", "trimmed_mean", "_r", "_n", "_t", "_o1")
     require(!emitted.contains(group) && !df.columns.exists(emitted.contains),
       s"trimmedMean emits/uses ${emitted.mkString(", ")}; rename inputs")
-    val ord = Seq(col(value).asc, col(tiebreak).asc)
-    val base = df.filter(col(value).isNotNull)
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col(group)).orderBy(ord: _*)).cast("long"))
-      .withColumn("_n", count(lit(1))
-        .over(Window.partitionBy(col(group))))
+    // per-group rank from the keyed bucketed prefix scan + group sizes
+    // re-joined — never a PARTITION BY group row_number window, which
+    // one-task-sorts each group's whole frame at scale when the group key
+    // (event_type) has ~constant cardinality
+    val filtered = df.filter(col(value).isNotNull)
+      .withColumn("_o1", lit(1L))
+    val base = joinGroupTotals(
+        orderedPrefixSumKeyed(filtered, col(group), col(value), tiebreak,
+          "_o1", "_r"),
+        filtered, group, ("_o1", "_n"))
       // genuinely integral `div` (≡ DuckDB //), not double-promoting `/`:
       // exact at any n, matching the make-divisible convention elsewhere
       .withColumn("_t",
@@ -4133,9 +4340,11 @@ object CoreOps {
     * of n maps to the global value at rank ⌈r·N/n⌉ — an ACTUAL data
     * value chosen by integer comparisons, so engines cannot disagree.
     * The target rank is computed in decimal (exact past the ~3·10⁹-row
-    * point where r·N would overflow int64). Scale shape: one group-keyed
-    * window exchange (rank + size share one partitioning+sort); the
-    * global side collapses to the DISTINCT-value grid (one partial-agg'd
+    * point where r·N would overflow int64). Scale shape: the per-group
+    * rank from the keyed bucketed prefix scan + a grouped count re-joined
+    * (never `PARTITION BY group` windows — the group key is ~constant-
+    * cardinality by design, it is what the operator normalizes across);
+    * the global side collapses to the DISTINCT-value grid (one partial-agg'd
     * hash agg), gets inclusive cumulative counts via orderedPrefixSum's
     * bucket scheme (parallel per-bucket scans + O(buckets) driver
     * offsets — never a single-task global window), and N comes from the
@@ -4155,15 +4364,18 @@ object CoreOps {
       s"quantileNormalize ranks '$value' on an exact integer grid; got " +
         s"${df.schema(value).dataType} — scale to cents/int64 first")
     val emitted = Seq("qn_value",
-      "_r", "_n", "_v", "_c", "_pc", "_lo", "_t", "_cell")
+      "_r", "_n", "_v", "_c", "_pc", "_lo", "_t", "_cell", "_o1")
     require(!emitted.exists(df.columns.contains),
       s"quantileNormalize emits/uses ${emitted.mkString(", ")}; rename inputs")
-    val base = df.filter(col(value).isNotNull)
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col(group))
-          .orderBy(col(value).asc, col(tiebreak).asc)).cast("long"))
-      .withColumn("_n", count(lit(1))
-        .over(Window.partitionBy(col(group))))
+    // per-group rank + size from the keyed bucketed prefix scan + a
+    // grouped count re-joined — never PARTITION BY group windows (the
+    // group key is ~constant-cardinality by design here: that is what the
+    // operator normalizes ACROSS)
+    val filtered = df.filter(col(value).isNotNull).withColumn("_o1", lit(1L))
+    val base = joinGroupTotals(
+      orderedPrefixSumKeyed(filtered, col(group), col(value), tiebreak,
+        "_o1", "_r"),
+      filtered, group, ("_o1", "_n"))
     val grid = df.filter(col(value).isNotNull)
       .groupBy(col(value).cast("long").as("_v"))
       .agg(count(lit(1)).as("_c"))
@@ -4217,16 +4429,16 @@ object CoreOps {
     require(integralTypes.contains(df.schema(value).dataType),
       s"quantileNormalizeApprox ranks '$value' on an exact integer grid; " +
         s"got ${df.schema(value).dataType} — scale to cents/int64 first")
-    val emitted = Seq("qn_approx", "_r", "_n", "_qs", "_idx")
+    val emitted = Seq("qn_approx", "_r", "_n", "_qs", "_idx", "_o1")
     require(!emitted.exists(df.columns.contains),
       s"quantileNormalizeApprox emits/uses ${emitted.mkString(", ")}; " +
         "rename inputs")
-    val base = df.filter(col(value).isNotNull)
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col(group))
-          .orderBy(col(value).asc, col(tiebreak).asc)).cast("long"))
-      .withColumn("_n", count(lit(1))
-        .over(Window.partitionBy(col(group))))
+    // same keyed-prefix rank/size re-plan as the exact form
+    val filtered = df.filter(col(value).isNotNull).withColumn("_o1", lit(1L))
+    val base = joinGroupTotals(
+      orderedPrefixSumKeyed(filtered, col(group), col(value), tiebreak,
+        "_o1", "_r"),
+      filtered, group, ("_o1", "_n"))
     val probs = (0 to gridQuantiles).map(j => lit(j.toDouble / gridQuantiles))
     val sketch = df.filter(col(value).isNotNull)
       .agg(percentile_approx(col(value), array(probs: _*),
@@ -4260,7 +4472,7 @@ object CoreOps {
   def quantileNormalizeChecked(df: DataFrame, group: String, value: String,
                                tiebreak: String, gridQuantiles: Int = 1000,
                                accuracy: Int = 10000): DataFrame = {
-    val emitted = Seq("within_bound", "_qa", "_alo", "_apc", "_t2")
+    val emitted = Seq("within_bound", "_qa", "_alo", "_apc", "_t2", "_o1")
     require(!emitted.exists(df.columns.contains),
       s"quantileNormalizeChecked emits/uses ${emitted.mkString(", ")}; " +
         "rename inputs")
@@ -4279,13 +4491,13 @@ object CoreOps {
       return exact.withColumn("within_bound", lit(true))
     val slack = nTotal / accuracy + nTotal / gridQuantiles + 6L
     // recompute the exact target rank on the joined frame: same integer
-    // formula as quantileNormalize (⌈r·N/n⌉ in decimal)
-    val base = df.filter(col(value).isNotNull)
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col(group))
-          .orderBy(col(value).asc, col(tiebreak).asc)).cast("long"))
-      .withColumn("_n", count(lit(1))
-        .over(Window.partitionBy(col(group))))
+    // formula as quantileNormalize (⌈r·N/n⌉ in decimal), same keyed-prefix
+    // rank/size re-plan (never PARTITION BY group windows)
+    val filtered = df.filter(col(value).isNotNull).withColumn("_o1", lit(1L))
+    val base = joinGroupTotals(
+      orderedPrefixSumKeyed(filtered, col(group), col(value), tiebreak,
+        "_o1", "_r"),
+      filtered, group, ("_o1", "_n"))
     val dec = "decimal(38,0)"
     val rN = col("_r").cast(dec) * lit(nTotal).cast(dec) +
       col("_n").cast(dec) - 1
@@ -4735,20 +4947,21 @@ object CoreOps {
     * Entropy rides the house qlog algebra: Σ nᵖ·(qlog N − qlog nᵖ) in
     * exact micro-nat·count integer units, normalized by N·ln 6 at the
     * end (ONE fixed double chain over two exact integers → ppm of the
-    * white-noise maximum). Shapes: two per-key lead() windows
-    * (key-PARTITIONED), one (key, pattern) count shuffle, one per-key
-    * fold — scale-clean. Keys with fewer than 3 points emit no row (no
-    * pattern exists). Emits (key, n_patterns, n_distinct,
-    * perm_entropy_ppm). */
+    * white-noise maximum). Shapes: one keyed bucketed prefix scan for the
+    * per-key ordinal position (a key-partitioned lead() window would
+    * one-task-sort each key's whole series at scale — the keys here are
+    * event_type-like ~constant-NDV columns), two rank self-joins for the
+    * successors, one (key, pattern) count shuffle, one per-key fold.
+    * Keys with fewer than 3 points emit no row (no pattern exists).
+    * Emits (key, n_patterns, n_distinct, perm_entropy_ppm). */
   def permutationEntropy(df: DataFrame, key: String, ts: String,
                          tiebreak: String, value: String): DataFrame = {
     val emitted = Seq("n_patterns", "n_distinct", "perm_entropy_ppm", "_v1",
-      "_v2", "_v3", "_pat", "_n", "_tot", "_h")
+      "_v2", "_v3", "_pat", "_n", "_tot", "_h", "_p1", "_ix")
     val clash = Seq(key, ts, tiebreak, value).filter(emitted.contains)
     require(clash.isEmpty,
       s"permutationEntropy emits/uses ${emitted.mkString(", ")}; " +
         s"rename ${clash.mkString(", ")}")
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
     val v1 = col("_v1"); val v2 = col("_v2"); val v3 = col("_v3")
     // ordinal pattern of (v1, v2, v3) with position tie-break: rank of
     // each element = #(strictly smaller) + #(equal at earlier position);
@@ -4758,12 +4971,31 @@ object CoreOps {
     val r3 = when(v1 <= v3, 1).otherwise(0) + when(v2 <= v3, 1).otherwise(0)
     // NULL order keys excluded on BOTH engines (Spark sorts NULLs first,
     // DuckDB last — a NULL ts would silently reorder the embedding)
-    val pats = df.filter(col(value).isNotNull && col(key).isNotNull
+    val base0 = df.filter(col(value).isNotNull && col(key).isNotNull
         && col(ts).isNotNull && col(tiebreak).isNotNull)
       .select(col(key), col(ts), col(tiebreak), col(value).as("_v1"))
-      .withColumn("_v2", lead(col("_v1"), 1).over(w))
-      .withColumn("_v3", lead(col("_v1"), 2).over(w))
-      .filter(col("_v2").isNotNull && col("_v3").isNotNull)
+      .withColumn("_p1", lit(1L))
+    // timestamps order by their exact micros image (injective — Spark
+    // timestamps ARE micros); numeric order keys order raw
+    val ordE = df.schema(ts).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType
+         | _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(ts).cast("timestamp"))
+      case _ => col(ts)
+    }
+    // per-key ordinal position from the keyed bucketed prefix scan, the
+    // two successors via rank self-joins — lead() without the per-key
+    // one-task sort (this op keys by event_type-like ~constant-NDV
+    // columns, where a keyed window is "partitioned" in name only)
+    val idx = orderedPrefixSumKeyed(base0, col(key), ordE, tiebreak,
+        "_p1", "_ix")
+      .select(col(key), col("_ix"), col("_v1"))
+      .localCheckpoint(true) // all three self-join sides read it
+    val s1 = idx.select(col(key), (col("_ix") - 1L).as("_ix"),
+      col("_v1").as("_v2"))
+    val s2 = idx.select(col(key), (col("_ix") - 2L).as("_ix"),
+      col("_v1").as("_v3"))
+    val pats = idx.join(s1, Seq(key, "_ix")).join(s2, Seq(key, "_ix"))
       .select(col(key), (r1 * 9 + r2 * 3 + r3).as("_pat"))
       .groupBy(col(key), col("_pat")).agg(count(lit(1)).as("_n"))
     val tot = pats.groupBy(col(key)).agg(sum(col("_n")).as("_tot"),

@@ -249,19 +249,27 @@ object Curation {
     require(quasi.nonEmpty, "tClosenessClasses needs >= 1 quasi column")
     require(t > 0d && t < 1d, s"t must be in (0, 1), got $t")
     val emitted = Seq("n", "n_sensitive", "tvd", "risky", "_c", "_g",
-      "_n", "_tot", "_gp", "_t")
+      "_n", "_tot", "_gp", "_t", "_sg")
     require(!quasi.exists(emitted.contains) && !emitted.contains(sensitive),
       s"tClosenessClasses emits/uses ${emitted.mkString(", ")}; " +
         "rename inputs")
     val qc = quasi.map(col)
     val wClass = Window.partitionBy(qc: _*)
-    val wSens = Window.partitionBy(col(sensitive))
     val dec = "decimal(38,0)"
-    val cells = df.filter(col(sensitive).isNotNull)
+    val cellCounts = df.filter(col(sensitive).isNotNull)
       .groupBy(qc :+ col(sensitive): _*)
       .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // feeds the class window AND the totals join
+    // per-sensitive-value totals by a grouped agg re-joined, NOT a window
+    // partitioned by the sensitive column: its cardinality is a handful of
+    // categories, so that window would one-task-sort the whole quasi-class
+    // grid per category at scale. The quasi-CLASS window stays: class
+    // cardinality grows with the data (that is what k-anonymity measures).
+    val sensTotals = cellCounts.groupBy(col(sensitive).as("_sg"))
+      .agg(sum(col("_c")).as("_g"))
+    val cells = cellCounts
       .withColumn("_n", sum(col("_c")).over(wClass))
-      .withColumn("_g", sum(col("_c")).over(wSens))
+      .join(sensTotals, col(sensitive) === col("_sg")).drop("_sg")
     val total = df.filter(col(sensitive).isNotNull)
       .agg(count(lit(1)).as("_tot")) // 1 row
     cells.crossJoin(broadcast(total))

@@ -152,9 +152,12 @@ object Unigram {
     * ONE 1-row driver fold per round. Σ(cnt+1) ≤ corpus chars + vocab
     * (≲10¹⁴ at 100 TB), exactly double-representable. */
   def zOf(vocab: DataFrame): Long = {
-    val total = vocab.agg(sum(col("cnt") + 1L)).head().getLong(0)
-    require(total >= 1L, "unigram: empty inventory")
-    math.floor(math.log(total.toDouble) * 1e6).toLong
+    // sum() over an empty inventory is NULL — read it null-safely so the
+    // designed "empty inventory" message fires instead of an opaque NPE
+    val row = vocab.agg(sum(col("cnt") + 1L)).head()
+    require(!row.isNullAt(0) && row.getLong(0) >= 1L,
+      "unigram: empty inventory")
+    math.floor(math.log(row.getLong(0).toDouble) * 1e6).toLong
   }
 
   /** `rounds` hard-EM rounds from the seed inventory. Returns the final

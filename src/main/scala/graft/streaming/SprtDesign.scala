@@ -29,7 +29,16 @@ object SprtDesign {
       s"need alpha + beta < 1 so the thresholds straddle zero, got " +
         s"$alpha + $beta")
     def q(x: Double): Long = math.floor(math.log(x) * 1e6).toLong
-    (q(p1 / p0), q((1d - p1) / (1d - p0)),
+    val out = (q(p1 / p0), q((1d - p1) / (1d - p0)),
       q((1d - beta) / alpha), q(beta / (1d - alpha)))
+    // α + β < 1 makes the REAL thresholds straddle zero, but quantization
+    // can still floor a threshold to 0 near the boundary (α ≈ β ≈ 0.5);
+    // fail at the design level with a design-level message instead of
+    // deferring to sprtDecisions' less specific sign guards
+    require(out._3 >= 1L && out._4 <= -1L,
+      s"SPRT design degenerate after ppm quantization: acceptH1Ppm=" +
+        s"${out._3}, acceptH0Ppm=${out._4} must strictly straddle zero — " +
+        s"tighten alpha/beta (got alpha=$alpha beta=$beta)")
+    out
   }
 }

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Minimal bridge into Spark's `private[sql]` Column ↔ Expression converters,
   * needed to expose graft's native Catalyst expressions (graft.expressions)
@@ -10,4 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** Wrap an analyzed logical plan back into a DataFrame — used by the
+    * scale lint to measure a Window node's per-partition row counts by
+    * re-querying its child plan (diagnostics only, never a data path). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

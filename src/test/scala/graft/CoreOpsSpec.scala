@@ -2112,4 +2112,48 @@ class CoreOpsSpec extends SparkSpec {
     assert(CoreOps.seasonalStrength(flat, "key", "idx", "v", 2, 1)
       .head().isNullAt(2))
   }
+
+  test("ntileKeyed matches the ntile window bit-for-bit: uneven counts, " +
+      "ties, n < k, NULL ord both orders, NULL keys") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 keys with deliberately awkward shapes: 7 rows (7 = 2·3+1 → sizes
+    // 3/2/2), heavy ties, a 2-row key (n < k), a NULL-ord row, a NULL key
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 7L).map(i => ("a", Option(rng.nextInt(3).toLong), i)) ++
+      Seq(("a", None, 8L), ("b", Some(5L), 9L), ("b", Some(5L), 10L),
+        (null, Some(1L), 11L), (null, Some(2L), 12L)) ++
+      (13L to 20L).map(i => ("c", Option(rng.nextInt(2).toLong), i))
+    val df = rows.toDF("k", "v", "id")
+    for (nullsLast <- Seq(false, true)) {
+      val ord = if (nullsLast) col("v").asc_nulls_last else col("v").asc
+      val want = df.withColumn("b",
+          ntile(3).over(Window.partitionBy(col("k")).orderBy(ord, col("id")))
+            .cast("long"))
+        .select("id", "b").as[(Long, Long)].collect.toMap
+      val got = CoreOps.ntileKeyed(df, col("k"), col("v"), "id", 3, "b",
+          nullsLast = nullsLast)
+        .select("id", "b").as[(Long, Long)].collect.toMap
+      assert(got == want, s"nullsLast=$nullsLast")
+    }
+  }
+
+  test("orderedPrefixSumKeyed matches the per-key running window and keeps " +
+      "the NULL-prefix discipline") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 1L, Some(10L), 1L), ("a", 1L, Some(20L), 2L),
+        ("a", 5L, None, 3L), ("a", 9L, Some(1L), 4L),
+        ("b", 2L, None, 5L), ("b", 3L, Some(7L), 6L))
+      .toDF("k", "t", "v", "id")
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("run", sum(col("v")).over(w))
+      .select("id", "run").as[(Long, Option[Long])].collect.toMap
+    val got = CoreOps.orderedPrefixSumKeyed(df, col("k"), col("t"), "id",
+        "v", "run")
+      .select("id", "run").as[(Long, Option[Long])].collect.toMap
+    assert(got == want)
+    // b's first row precedes any non-NULL value for key b → stays NULL,
+    // even though key a already has mass (per-key, not global, discipline)
+    assert(got(5L).isEmpty)
+  }
 }

@@ -1,10 +1,13 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.apache.spark.sql.functions._
 
 /** Scale lint over EVERY registered query's physical plan: the two shapes
   * that silently stop scaling — a cartesian product (all-pairs work) and an
@@ -42,6 +45,92 @@ class PlanLintSpec extends SparkSpec {
     // guard against the walker going vacuous again: 57 real plans have
     // hundreds of nodes between them
     assert(scanned > 500, s"plan walker saw only $scanned nodes — unwrap broken?")
+  }
+
+  // ── low-cardinality-partition window lint ─────────────────────────────
+  // "Partitioned by a ~constant is unpartitioned at scale" (the round-11
+  // lesson): a Window PARTITION BY over a handful of values (lang, a
+  // 5-value category) sorts each value's ENTIRE data-proportional frame
+  // through one task at 100 TB — the same pathology as the empty
+  // partitionSpec the test above bans, hidden behind a low-NDV key. The
+  // smell needs BOTH measurements: few distinct partition values (≤ MaxNdv
+  // at sf0.001 — a fixed enum, not a scale-growing key like user_id) AND a
+  // data-proportional partition (≥ MinPartRows at sf0.001 — which exempts
+  // the bucketed prefix-scan machinery's per-key offset windows, whose
+  // partitions are bucket-count-sized plan constants ≤ 32 at ANY scale).
+
+  private val MaxNdv = 10L
+  private val MinPartRows = 64L
+
+  /** Windows in `df`'s optimized plan whose partitions are both low-NDV
+    * and data-proportional, measured by re-querying each Window child at
+    * the test scale factor. Returns (partition columns sans exprIds,
+    * measurement) per offender — the first element is stable across
+    * re-plans, so the two-config confirmation below can match windows
+    * between constructions. */
+  private def lowCardWindows(df: DataFrame): Seq[(String, String)] = {
+    val plan = df.queryExecution.optimizedPlan
+    val windows = (plan +: plan.subqueriesAll).flatMap(_.collect {
+      case w: logical.Window if w.partitionSpec.nonEmpty => w
+    })
+    windows.flatMap { w =>
+      val child = GraftColumnBridge.ofRows(spark, w.child)
+      val parts = w.partitionSpec.zipWithIndex.map { case (e, i) =>
+        GraftColumnBridge.column(e).as(s"_p$i")
+      }
+      val r = child.groupBy(parts: _*).agg(count(lit(1)).as("_c"))
+        .agg(count(lit(1)).as("_ndv"), max(col("_c")).as("_max")).head()
+      val ndv = r.getLong(0)
+      val maxRows = if (r.isNullAt(1)) 0L else r.getLong(1)
+      if (ndv <= MaxNdv && maxRows >= MinPartRows)
+        Some((w.partitionSpec.mkString(", ").replaceAll("#\\d+", ""),
+          s"ndv=$ndv, maxPartitionRows=$maxRows"))
+      else None
+    }
+  }
+
+  test("the lint itself catches a hand-planted ntile-over-lang and passes " +
+      "its distributed ntileKeyed replacement") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val planted = docs.withColumn("b",
+      ntile(3).over(Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))))
+    val hits = lowCardWindows(planted)
+    assert(hits.nonEmpty, "lint missed the planted per-lang ntile window")
+    assert(hits.head._1.contains("lang"), s"unexpected description: $hits")
+    val fixed = graft.operators.CoreOps.ntileKeyed(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      col("lang"), col("n_chars"), "doc_id", 3, "b")
+    assert(lowCardWindows(fixed).isEmpty,
+      s"ntileKeyed's plan trips its own lint: ${lowCardWindows(fixed)}")
+  }
+
+  test("no registered query plans a low-cardinality-partition window " +
+      "over a data-proportional frame") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val first = lowCardWindows(fn(spark, dir))
+      if (first.isEmpty) Nil
+      else {
+        // Two-config confirmation: partitions that track
+        // spark.sql.shuffle.partitions (the bucketed prefix machinery's
+        // range buckets) are PARALLELISM-MATCHED — re-planned with a
+        // bigger knob their NDV widens past MaxNdv and they clear.
+        // Fixed-enum partitions (lang, event_type, a flag) stay low
+        // however the knob is set — those are the genuine scale-killers.
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        val second =
+          try lowCardWindows(fn(spark, dir)).map(_._1).toSet
+          finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+        first.filter(p => second.contains(p._1))
+          .map { case (p, d) => s"$name: partitionBy($p): $d" }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"low-cardinality-partition windows (each key's whole frame is one " +
+        s"task at scale — use the bucketed keyed prefix machinery):\n" +
+        offenders.mkString("\n"))
   }
 
   test("column pruning reaches the parquet scans (projection pushdown proof)") {

@@ -898,4 +898,26 @@ class PropertySpec extends SparkSpec {
         shifted.getLong(4) == base.getLong(4) + 7L * 1000000L
     })
   }
+
+  test("property: isotonicCalibration's repaired map is monotone in the " +
+      "raw score for ANY (score, outcome) sample — the q_logreg_isotonic " +
+      "contract (bins order by score, iso_ppm non-decreasing in bin)") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 99L), Gen.oneOf(true, false)))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("s", "y")
+      val iso = CoreOps.isotonicCalibration(df, "s", col("y"), 0L, 100L, 10)
+        .orderBy("bin")
+        .select("bin", "iso_ppm").as[(Long, Long)].collect.toSeq
+      // bins are keyed by the exact integer score grid, so monotone in
+      // bin IS monotone in raw score; adjacent occupied bins must never
+      // invert
+      iso.sliding(2).forall {
+        case Seq((_, a), (_, b)) => a <= b
+        case _ => true
+      }
+    })
+  }
 }
