@@ -2025,57 +2025,65 @@ object SparkEntry {
     // middle — per stage the surviving doc and token mass (the data-card
     // table a pipeline publishes); every stage rule is an already-
     // oracle-checked operator composed by semi/anti joins
-    "q_curation_funnel" -> ((s, dir) => {
-      val all = Tables.documents(s, dir)
-      val s0 = all.filter(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          size(TextOps.tokens(lower(col("text")))).cast("long").as("_nt"))
-        .filter(col("_nt") > 0L)
-        .localCheckpoint(true) // every stage reads it
-      // each stage frame is a tiny (doc_id, lang, nt) projection — eager
-      // localCheckpoint per stage truncates the otherwise-compounding
-      // lineage (six chained joins over four composed subsystems grows a
-      // Catalyst tree the analyzer pays for at every downstream stage)
-      // and runs each upstream rule exactly once
-      val canon = Dedup.exactDedup(all, "doc_id", "text")
-        .select(col("canonical_id").as("doc_id"))
-      val s1 = s0.join(canon, Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
-      // near-dup keep-first: drop any doc with a VERIFIED (jaccard ≥ 0.5)
-      // near-duplicate of lower id — the pairwise retention rule; the
-      // transitive-closure form is q_dup_clusters' canonical assignment
-      val nearDrop = nearDupPairs(s, dir)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val s2 = s1.join(nearDrop, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      val contaminated = Dedup.contaminationPairs(all,
-          all.filter(col("doc_id") < 20), "doc_id", "text", MhK, WinnowW,
-          0.05)
-        .filter(col("doc_id") =!= col("bench_id"))
-        .select(col("doc_id")).distinct()
-      val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      val quality = LogReg.score(logregFeatures(s, dir), "label",
-          Seq("x_len", "x_div"), logregShared(s, dir)._2, Seq("doc_id"))
-        .filter(col("pred")).select(col("doc_id"))
-      val s4 = s3.join(quality, Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
-      // tercile stage via the distributed keyed rank (ntileKeyed), never
-      // a per-lang window sort — same values, scale-safe plan
-      val headMid = CoreOps.ntileKeyed(
-          docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
-          col("lang"), col("_npp"), "doc_id", 3, "_b")
-        .filter(col("_b") =!= 3).select(col("doc_id"))
-      val s5 = s4.join(headMid, Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
-      Seq((0L, "ingested", s0), (1L, "exact_dedup", s1),
-        (2L, "near_dedup", s2), (3L, "decontaminated", s3),
-        (4L, "quality_kept", s4), (5L, "ppl_head", s5))
+    "q_curation_funnel" -> ((s, dir) =>
+      funnelStages(s, dir)
         .map { case (i, name, fr) =>
           fr.agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
             .select(lit(i).as("stage_idx"), lit(name).as("stage"),
               col("n_docs"), col("n_tokens"))
-        }.reduce(_ unionByName _)
+        }.reduce(_ unionByName _)),
+    // the LAST MILE from curated corpus to training files: the funnel's
+    // kept set assigned to md5-deterministic shards, ordered within each
+    // shard by the same md5 key (a reproducible shuffle), and composed
+    // with q_pack's concat-and-chunk ranges PER SHARD — one row per kept
+    // doc telling the trainer exactly which shard, which position, and
+    // which packed 512-token sequences it lands in. Shapes: one md5 map,
+    // one keyed bucketed prefix scan for (pos, token prefix) — never a
+    // PARTITION BY shard window (shard count is a config constant, the
+    // partitioned-by-a-constant hazard); pure int64 pack arithmetic
+    "q_shard_manifest" -> ((s, dir) => {
+      val kept = funnelStages(s, dir).last._3
+        .withColumn("_ok",
+          graft.expressions.Md5Expressions.md5Long(
+            col("doc_id").cast("string")))
+        .withColumn("shard", col("_ok") % ShardCount)
+        .withColumn("_one", lit(1L))
+      val ranked = CoreOps.orderedPrefixSumKeyed(
+        CoreOps.orderedPrefixSumKeyed(kept, col("shard"), col("_ok"),
+          "doc_id", "_one", "pos"),
+        col("shard"), col("_ok"), "doc_id", "_nt", "_cum")
+      ranked
+        .withColumn("_excl", col("_cum") - col("_nt"))
+        .select(col("doc_id"), col("shard"), col("pos"),
+          col("_nt").as("n_tokens"),
+          expr(s"_excl div $PackTokens").as("pack_first"),
+          expr(s"(_excl + _nt - 1) div $PackTokens").as("pack_last"),
+          expr(s"_excl % $PackTokens").as("offset_in_pack"))
+    }),
+    // the funnel COMPOSED as one live pipeline — the reference's E8 move
+    // (chapter6_exercise/AnalyzeBrowserEvents.java:28) on the curation
+    // tier: all five gates chained in ONE foreachBatch over a doc_id-
+    // ascending MemoryStream replay, cross-batch dedup state, frozen
+    // artifacts (weights / inventory / per-lang ppl boundary) as gate
+    // parameters; the accumulated six stage rows check against the SAME
+    // oracle as q_curation_funnel, so batch/stream parity is the gate
+    "q_curation_funnel_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = unigramShared(s, dir)._1
+      val cuts = CoreOps.ntileKeyed(
+          docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
+          col("lang"), col("_npp"), "doc_id", 3, "_b")
+        .filter(col("_b") =!= 3)
+        .groupBy(col("lang"))
+        .agg(max(struct(col("_npp"), col("doc_id"))).as("_c"))
+        .select(col("lang"), col("_c._npp").cast("long"),
+          col("_c.doc_id").cast("long"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      graft.streaming.StreamOps.curationFunnelStream(s, docs,
+        docs.filter(col("doc_id") < 20), logregShared(s, dir)._2,
+        vocab, Unigram.zOf(vocab), cuts, MhK, MhBands, MhRows, 0.5,
+        WinnowW, 0.05, LrTokCap, UniW, UniL, numBatches = 4)
     }),
     // the data-card number: every doc's share of distinct shingles seen
     // ANYWHERE in the benchmark — one gram-keyed shuffle join, zero-
@@ -4515,6 +4523,7 @@ object SparkEntry {
   private val BqSampleMod = 2 // blocking-audit hash-sample denominator
   private val SimBands = 3 // 60-bit simhash → 3 × 20-bit Hamming-LSH bands
   private val WinnowW = 4  // winnowing window (guarantee span = w+k-1 words)
+  private val ShardCount = 8L // training-export shards (q_shard_manifest)
   private val WinnowCap = 8 // too-common fp cutoff for the capped pairs query
   private val EmbDims = 64; private val LshPlanes = 8; private val LshTables = 2
   private val RpDims = 8; private val RpOffset = 1000 // JL matrix, disjoint from LSH planes
@@ -4793,6 +4802,61 @@ object SparkEntry {
       Unigram.viterbi(Unigram.words(Tables.documents(s, dir), "text", UniW),
         vocab, Unigram.zOf(vocab), UniW, UniL)
     })
+
+  /** The curation funnel's stage frames — ingested → exact-dedup → near-
+    * dup keep-first → decontaminated → classifier-kept → perplexity
+    * head/middle — each a tiny (doc_id, lang, _nt) projection, eagerly
+    * localCheckpointed per stage (truncates the otherwise-compounding
+    * Catalyst lineage of six chained joins over four composed subsystems,
+    * and runs each upstream rule exactly once). Memoized so
+    * q_curation_funnel's data card and q_shard_manifest's training export
+    * share ONE funnel run per (session, dir). */
+  private val funnelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, String, DataFrame)]]
+  private def funnelStages(s: SparkSession,
+                           dir: String): Seq[(Long, String, DataFrame)] =
+    memoShared(funnelCache, s, dir) {
+      val all = Tables.documents(s, dir)
+      val s0 = all.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(lower(col("text")))).cast("long").as("_nt"))
+        .filter(col("_nt") > 0L)
+        .localCheckpoint(true) // every stage reads it
+      val canon = Dedup.exactDedup(all, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val s1 = s0.join(canon, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      // near-dup keep-first: drop any doc with a VERIFIED (jaccard ≥ 0.5)
+      // near-duplicate of lower id — the pairwise retention rule; the
+      // transitive-closure form is q_dup_clusters' canonical assignment
+      val nearDrop = nearDupPairs(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val s2 = s1.join(nearDrop, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val contaminated = Dedup.contaminationPairs(all,
+          all.filter(col("doc_id") < 20), "doc_id", "text", MhK, WinnowW,
+          0.05)
+        .filter(col("doc_id") =!= col("bench_id"))
+        .select(col("doc_id")).distinct()
+      val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val quality = LogReg.score(logregFeatures(s, dir), "label",
+          Seq("x_len", "x_div"), logregShared(s, dir)._2, Seq("doc_id"))
+        .filter(col("pred")).select(col("doc_id"))
+      val s4 = s3.join(quality, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      // tercile stage via the distributed keyed rank (ntileKeyed), never
+      // a per-lang window sort — same values, scale-safe plan
+      val headMid = CoreOps.ntileKeyed(
+          docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
+          col("lang"), col("_npp"), "doc_id", 3, "_b")
+        .filter(col("_b") =!= 3).select(col("doc_id"))
+      val s5 = s4.join(headMid, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      Seq((0L, "ingested", s0), (1L, "exact_dedup", s1),
+        (2L, "near_dedup", s2), (3L, "decontaminated", s3),
+        (4L, "quality_kept", s4), (5L, "ppl_head", s5))
+    }
 
   /** Per-doc exact NLL under the frozen unigram inventory —
     * (doc_id, lang, n_words, n_pieces, nll_scaled), shared by q_doc_ppl /
@@ -5808,6 +5872,72 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
        |  gp.v::BIGINT AS qn_value${if (withBound) ",\n  TRUE AS within_bound" else ""}
        |FROM t JOIN gp ON t.tr > gp.pc - gp.cnt AND t.tr <= gp.pc"""
       .stripMargin
+
+  /** The funnel's CTE preamble (through the kept set cs5) — shared by the
+    * funnel card oracle and q_shard_manifest's export oracle. */
+  private lazy val sqlCurationFunnelCtes: String =
+      s"""$sqlContaminationCtes,
+         |${sqlMinhashCtesOver("documents", "m")},
+         |${sqlLogregCtes(LrRounds)},
+         |$sqlUnigramCtes${sqlUnigramDp("ua", "uw", s"uvoc$UniRounds")},
+         |cf0 AS (SELECT * FROM (SELECT doc_id, lang,
+         |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |          x -> x <> ''))::BIGINT AS nt
+         |      FROM documents WHERE text IS NOT NULL) t WHERE nt > 0),
+         |cdd AS (SELECT min(doc_id) AS doc_id FROM (
+         |      SELECT doc_id, md5($normSql) AS fp FROM documents) GROUP BY fp),
+         |mshs AS (SELECT doc_id, list_distinct(hs) AS sh FROM mhsh),
+         |cnd AS (SELECT DISTINCT c.doc_b AS doc_id
+         |      FROM mcand c JOIN mshs a ON c.doc_a = a.doc_id
+         |                   JOIN mshs b ON c.doc_b = b.doc_id
+         |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
+         |ccont AS (SELECT DISTINCT c.doc_id
+         |      FROM cand c JOIN shs a ON c.doc_id = a.doc_id
+         |                  JOIN shs b ON c.bench_id = b.doc_id
+         |      WHERE $sqlContainmentExpr >= 0.05 AND c.doc_id <> c.bench_id),
+         |clq AS (SELECT f.doc_id FROM lf f CROSS JOIN lw$LrRounds w
+         |      WHERE floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT >= 500000),
+         |cdw AS (SELECT doc_id, lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT doc_id, lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM documents) GROUP BY 1, 2, 3),
+         |cdp AS (SELECT d.doc_id, d.lang,
+         |        sum(d.n * len(a.pieces))::BIGINT AS np,
+         |        (-sum(d.n * a.best_qll))::BIGINT AS nll
+         |      FROM cdw d JOIN uadp a USING (word) GROUP BY 1, 2),
+         |cph AS (SELECT doc_id FROM (
+         |      SELECT doc_id, ntile(3) OVER (PARTITION BY lang
+         |        ORDER BY nll // np, doc_id) AS b FROM cdp) t WHERE b <> 3),
+         |cs1 AS (SELECT f.* FROM cf0 f
+         |      WHERE EXISTS (SELECT 1 FROM cdd d WHERE d.doc_id = f.doc_id)),
+         |cs2 AS (SELECT f.* FROM cs1 f
+         |      WHERE NOT EXISTS (SELECT 1 FROM cnd n WHERE n.doc_id = f.doc_id)),
+         |cs3 AS (SELECT f.* FROM cs2 f
+         |      WHERE NOT EXISTS (SELECT 1 FROM ccont c WHERE c.doc_id = f.doc_id)),
+         |cs4 AS (SELECT f.* FROM cs3 f
+         |      WHERE EXISTS (SELECT 1 FROM clq q WHERE q.doc_id = f.doc_id)),
+         |cs5 AS (SELECT f.* FROM cs4 f
+         |      WHERE EXISTS (SELECT 1 FROM cph p WHERE p.doc_id = f.doc_id))""".stripMargin
+
+  /** q_curation_funnel's oracle text, shared verbatim with
+    * q_curation_funnel_stream: one SQL truth, two execution paths
+    * (batch semi/anti joins vs the five chained ingest gates). */
+  private lazy val sqlCurationFunnelOracle: String =
+      s"""WITH $sqlCurationFunnelCtes
+         |SELECT 0::BIGINT AS stage_idx, 'ingested' AS stage,
+         |  count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens FROM cf0
+         |UNION ALL SELECT 1::BIGINT, 'exact_dedup', count(*)::BIGINT,
+         |  sum(nt)::BIGINT FROM cs1
+         |UNION ALL SELECT 2::BIGINT, 'near_dedup', count(*)::BIGINT,
+         |  sum(nt)::BIGINT FROM cs2
+         |UNION ALL SELECT 3::BIGINT, 'decontaminated', count(*)::BIGINT,
+         |  sum(nt)::BIGINT FROM cs3
+         |UNION ALL SELECT 4::BIGINT, 'quality_kept', count(*)::BIGINT,
+         |  sum(nt)::BIGINT FROM cs4
+         |UNION ALL SELECT 5::BIGINT, 'ppl_head', count(*)::BIGINT,
+         |  sum(nt)::BIGINT FROM cs5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // residuals against the same unrolled fit; the coefficients are
@@ -7559,63 +7689,30 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
     // all four stage rules replayed in one WITH (disjoint CTE name
     // spaces: contamination, logreg, unigram), stages chained by
     // EXISTS / NOT EXISTS, one aggregate row per stage
-    "q_curation_funnel" ->
-      s"""WITH $sqlContaminationCtes,
-         |${sqlMinhashCtesOver("documents", "m")},
-         |${sqlLogregCtes(LrRounds)},
-         |$sqlUnigramCtes${sqlUnigramDp("ua", "uw", s"uvoc$UniRounds")},
-         |cf0 AS (SELECT * FROM (SELECT doc_id, lang,
-         |        len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-         |          x -> x <> ''))::BIGINT AS nt
-         |      FROM documents WHERE text IS NOT NULL) t WHERE nt > 0),
-         |cdd AS (SELECT min(doc_id) AS doc_id FROM (
-         |      SELECT doc_id, md5($normSql) AS fp FROM documents) GROUP BY fp),
-         |mshs AS (SELECT doc_id, list_distinct(hs) AS sh FROM mhsh),
-         |cnd AS (SELECT DISTINCT c.doc_b AS doc_id
-         |      FROM mcand c JOIN mshs a ON c.doc_a = a.doc_id
-         |                   JOIN mshs b ON c.doc_b = b.doc_id
-         |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-         |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
-         |ccont AS (SELECT DISTINCT c.doc_id
-         |      FROM cand c JOIN shs a ON c.doc_id = a.doc_id
-         |                  JOIN shs b ON c.bench_id = b.doc_id
-         |      WHERE $sqlContainmentExpr >= 0.05 AND c.doc_id <> c.bench_id),
-         |clq AS (SELECT f.doc_id FROM lf f CROSS JOIN lw$LrRounds w
-         |      WHERE floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT >= 500000),
-         |cdw AS (SELECT doc_id, lang, word, count(*)::BIGINT AS n FROM (
-         |    SELECT doc_id, lang, unnest(list_filter(
-         |      regexp_split_to_array(lower(text), '[^a-z]+'),
-         |      x -> x <> '' AND len(x) <= $UniW)) AS word
-         |    FROM documents) GROUP BY 1, 2, 3),
-         |cdp AS (SELECT d.doc_id, d.lang,
-         |        sum(d.n * len(a.pieces))::BIGINT AS np,
-         |        (-sum(d.n * a.best_qll))::BIGINT AS nll
-         |      FROM cdw d JOIN uadp a USING (word) GROUP BY 1, 2),
-         |cph AS (SELECT doc_id FROM (
-         |      SELECT doc_id, ntile(3) OVER (PARTITION BY lang
-         |        ORDER BY nll // np, doc_id) AS b FROM cdp) t WHERE b <> 3),
-         |cs1 AS (SELECT f.* FROM cf0 f
-         |      WHERE EXISTS (SELECT 1 FROM cdd d WHERE d.doc_id = f.doc_id)),
-         |cs2 AS (SELECT f.* FROM cs1 f
-         |      WHERE NOT EXISTS (SELECT 1 FROM cnd n WHERE n.doc_id = f.doc_id)),
-         |cs3 AS (SELECT f.* FROM cs2 f
-         |      WHERE NOT EXISTS (SELECT 1 FROM ccont c WHERE c.doc_id = f.doc_id)),
-         |cs4 AS (SELECT f.* FROM cs3 f
-         |      WHERE EXISTS (SELECT 1 FROM clq q WHERE q.doc_id = f.doc_id)),
-         |cs5 AS (SELECT f.* FROM cs4 f
-         |      WHERE EXISTS (SELECT 1 FROM cph p WHERE p.doc_id = f.doc_id))
-         |SELECT 0::BIGINT AS stage_idx, 'ingested' AS stage,
-         |  count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens FROM cf0
-         |UNION ALL SELECT 1::BIGINT, 'exact_dedup', count(*)::BIGINT,
-         |  sum(nt)::BIGINT FROM cs1
-         |UNION ALL SELECT 2::BIGINT, 'near_dedup', count(*)::BIGINT,
-         |  sum(nt)::BIGINT FROM cs2
-         |UNION ALL SELECT 3::BIGINT, 'decontaminated', count(*)::BIGINT,
-         |  sum(nt)::BIGINT FROM cs3
-         |UNION ALL SELECT 4::BIGINT, 'quality_kept', count(*)::BIGINT,
-         |  sum(nt)::BIGINT FROM cs4
-         |UNION ALL SELECT 5::BIGINT, 'ppl_head', count(*)::BIGINT,
-         |  sum(nt)::BIGINT FROM cs5""".stripMargin,
+    "q_curation_funnel" -> sqlCurationFunnelOracle,
+    // the streamed composition accumulates the SAME six rows — one oracle
+    // text, two execution paths (batch joins vs five chained gates)
+    "q_curation_funnel_stream" -> sqlCurationFunnelOracle,
+
+    // the export manifest over the funnel's kept set: the same md5-long
+    // key (15 hex chars → non-negative 60-bit, so % needs no pmod on
+    // either engine), per-shard windows (oracle-only; the engine side is
+    // the keyed bucketed prefix scan), q_pack's exact int64 arithmetic
+    "q_shard_manifest" ->
+      s"""WITH $sqlCurationFunnelCtes,
+         |smk AS (SELECT doc_id, nt,
+         |        ${sqlMd5Long("doc_id::VARCHAR")} AS ok
+         |      FROM cs5),
+         |smo AS (SELECT doc_id, nt, ok % $ShardCount AS shard,
+         |        row_number() OVER smw::BIGINT AS pos,
+         |        (sum(nt) OVER smw - nt)::BIGINT AS excl
+         |      FROM smk WINDOW smw AS (PARTITION BY ok % $ShardCount
+         |        ORDER BY ok, doc_id ROWS UNBOUNDED PRECEDING))
+         |SELECT doc_id, shard, pos, nt AS n_tokens,
+         |  (excl // $PackTokens)::BIGINT AS pack_first,
+         |  ((excl + nt - 1) // $PackTokens)::BIGINT AS pack_last,
+         |  (excl % $PackTokens)::BIGINT AS offset_in_pack
+         |FROM smo""".stripMargin,
 
     // the same shingle-hash chain; per-doc distinct grams left-join the
     // benchmark's distinct gram set, rate = one floored division

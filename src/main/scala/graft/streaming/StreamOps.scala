@@ -557,4 +557,141 @@ object StreamOps {
             / col("n_pieces").cast("double")) / 1000000d).as("mean_nll"))
       write(out, batchId)
     }
+
+  /** The COMPOSED five-gate ingest pipeline — the reference's E8 move
+    * ("compose the whole chapter into one program",
+    * chapter6_exercise/AnalyzeBrowserEvents.java:28) applied to the
+    * curation tier: ONE foreachBatch chains exact-dedup keep-first →
+    * near-dup keep-first → benchmark decontamination → the trained score
+    * gate → the perplexity gate over a doc_id-ascending MemoryStream
+    * replay of the corpus, and the per-stage survivor/token masses
+    * accumulate across micro-batches into exactly q_curation_funnel's
+    * six-row data card — checked against the SAME DuckDB oracle, so the
+    * composition is proven, not assumed.
+    *
+    * Frozen-artifact discipline: the classifier's ppm weights, the
+    * unigram inventory + its normalizer, and the per-language perplexity
+    * boundary (cutNppByLang: lang → (npp, doc_id) of the LAST head/middle
+    * doc) arrive as parameters — the way a production gate ships
+    * calibration-corpus artifacts. Boundary membership IS tercile
+    * membership: the kept docs are a prefix of each language's total
+    * (npp, doc_id) order, so one lexicographic comparison per row
+    * reproduces the batch ntile split exactly.
+    *
+    * Cross-batch state is the accumulated raw corpus (doc_id, text),
+    * localCheckpointed once per trigger: the exact gate recomputes
+    * canonical ids over it (keep-first ≡ min-id canonical under the
+    * ascending replay) and the near-dup gate LSH-probes it (band
+    * collision is a deterministic function of each pair's texts, so the
+    * verified pair set equals the batch all-pairs run's). Gates 3–5 are
+    * per-row against static artifacts. Driver traffic: one 1-row agg per
+    * stage per trigger plus the replay itself (this is a HARNESS for
+    * proving the composition at test scale — production ingest reads
+    * files/Kafka, not a driver-collected replay). */
+  def curationFunnelStream(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, bench: DataFrame, weights: Array[Long],
+      vocab: DataFrame, zQ: Long, cutNppByLang: Map[String, (Long, Long)],
+      mhK: Int, mhBands: Int, mhRows: Int, minJaccard: Double,
+      winnowW: Int, minContainment: Double, tokCap: Long,
+      uniW: Int, uniL: Int, numBatches: Int): DataFrame = {
+    require(numBatches >= 1, s"need numBatches >= 1, got $numBatches")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Dedup, LogReg, TextOps, Unigram}
+    val replay = docs
+      .select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .orderBy(col("doc_id"))
+      .as[(Long, String, String)].collect()
+    val groups: Seq[Seq[(Long, String, String)]] =
+      if (replay.isEmpty) Seq(Seq.empty)
+      else replay.grouped(math.max(1, math.ceil(
+        replay.length.toDouble / numBatches).toInt)).map(_.toSeq).toSeq
+    val stages = Seq("ingested", "exact_dedup", "near_dedup",
+      "decontaminated", "quality_kept", "ppl_head")
+    val nDocs = Array.fill(stages.size)(0L)
+    val nToks = Array.fill(stages.size)(0L)
+    val cuts = cutNppByLang.toSeq.map { case (l, (n, d)) => (l, n, d) }
+      .toDF("lang", "_cut_npp", "_cut_id")
+    var seen = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val benchS = bench.localCheckpoint(true) // static across triggers
+    def acc(i: Int, fr: DataFrame): Unit = {
+      val r = fr.agg(count(lit(1)), sum(col("_nt"))).head()
+      nDocs(i) += r.getLong(0)
+      if (!r.isNullAt(1)) nToks(i) += r.getLong(1)
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "lang", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        val all = seen.unionByName(b.select(col("doc_id"), col("text")))
+          .localCheckpoint(true) // the cross-batch corpus state
+        val s0 = b.filter(col("text").isNotNull)
+          .withColumn("_nt",
+            size(TextOps.tokens(lower(col("text")))).cast("long"))
+          .filter(col("_nt") > 0L)
+          .localCheckpoint(true)
+        acc(0, s0)
+        val canon = Dedup.exactDedup(all, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id"))
+        val s1 = s0.join(canon, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        acc(1, s1)
+        val nearDrop = Dedup.lshJaccardJoin(s1, all, "doc_id", "text",
+            "doc_id", "text", mhK, mhBands, mhRows, minJaccard)
+          .filter(col("right_id") < col("left_id"))
+          .select(col("left_id").as("doc_id")).distinct()
+        val s2 = s1.join(nearDrop, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        acc(2, s2)
+        val cont = Dedup.contaminationPairs(s2, benchS, "doc_id", "text",
+            mhK, winnowW, minContainment)
+          .filter(col("doc_id") =!= col("bench_id"))
+          .select(col("doc_id")).distinct()
+        val s3 = s2.join(cont, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        acc(3, s3)
+        val feats = s3
+          .withColumn("_toks", TextOps.tokens(lower(col("text"))))
+          .withColumn("_ntk", size(col("_toks")).cast("long"))
+          .withColumn("_ndk", size(array_distinct(col("_toks"))).cast("long"))
+          .withColumn("x_len", least(col("_ntk"), lit(tokCap)))
+          .withColumn("x_div", expr("(_ndk * 100) div _ntk"))
+        val s4 = LogReg.scoreUnlabeled(feats, Seq("x_len", "x_div"),
+            weights, Seq("doc_id", "lang", "text", "_nt"))
+          .filter(col("pred"))
+          .select(col("doc_id"), col("lang"), col("text"), col("_nt"))
+          .localCheckpoint(true)
+        acc(4, s4)
+        val seg = Unigram.viterbi(Unigram.words(s4, "text", uniW), vocab,
+            zQ, uniW, uniL)
+          .select(col("word"), col("n_pieces"), col("best_qll"))
+        val npp = s4.select(col("doc_id"),
+            explode(filter(split(lower(col("text")), "[^a-z]+"),
+              w => w =!= "" && length(w) <= uniW)).as("word"))
+          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("_n"))
+          .join(seg, Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(expr("(-sum(_n * best_qll)) div sum(_n * n_pieces)")
+            .as("_npp"))
+        val s5 = s4.join(npp, Seq("doc_id"))
+          .join(broadcast(cuts), Seq("lang"), "left")
+          .filter(col("_cut_npp").isNotNull &&
+            (col("_npp") < col("_cut_npp") ||
+              (col("_npp") === col("_cut_npp") &&
+                col("doc_id") <= col("_cut_id"))))
+        acc(5, s5)
+        seen = all
+      }
+      .start()
+    try {
+      groups.foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    stages.zipWithIndex.map { case (name, i) =>
+      // an empty stage's token mass is NULL (SQL sum-over-nothing), not 0
+      (i.toLong, name, nDocs(i),
+        if (nDocs(i) == 0L) None else Some(nToks(i)))
+    }.toDF("stage_idx", "stage", "n_docs", "n_tokens")
+  }
 }

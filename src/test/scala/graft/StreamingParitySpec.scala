@@ -1488,4 +1488,38 @@ class StreamingParitySpec extends SparkSpec {
       assert(oneShot.find(_.key == "1").get.n_sketch == 2L)
     } finally q.stop()
   }
+
+  test("curationFunnelStream: stage counts are invariant to the micro-" +
+      "batch split, and the cross-batch dedup state catches an exact dup " +
+      "and a near-dup that arrive in a LATER batch than their originals") {
+    import graft.streaming.StreamOps
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, "en", base),                                // kept
+      (2L, "en", base + " extra"),                     // near-dup of 1 -> drop
+      (3L, "en", "completely different words here body text"), // kept
+      (4L, "en", base),                                // exact dup of 1 -> drop
+      (5L, "en", "another unrelated document body entirely fresh"), // kept
+      (6L, "en", null.asInstanceOf[String])            // no text -> not ingested
+    ).toDF("doc_id", "lang", "text")
+    val bench = docs.filter(col("doc_id") < 0) // empty benchmark
+    // trivial frozen artifacts: zero weights score everything 500000
+    // (pred true); single-char inventory segments any word; a +inf
+    // boundary keeps every scored doc — so stages 3-5 pass everything
+    // through and the test isolates the two genuinely STATEFUL gates
+    val vocab = ('a' to 'z').map(c => (c.toString, 1L)).toDF("piece", "cnt")
+    val zQ = graft.operators.Unigram.zOf(vocab)
+    val cuts = Map("en" -> ((Long.MaxValue, Long.MaxValue)))
+    def run(nBatches: Int) =
+      StreamOps.curationFunnelStream(spark, docs, bench,
+        Array(0L, 0L, 0L), vocab, zQ, cuts, 3, 8, 2, 0.5, 4, 0.05, 127L,
+        12, 4, nBatches)
+        .as[(Long, String, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    val whole = run(1)
+    val split = run(3) // doc 4 (exact dup) and doc 2's batch boundaries move
+    assert(whole == split, s"split-variant funnel: $whole vs $split")
+    assert(whole.map(r => (r._2, r._3)) == Seq(
+      ("ingested", 5L), ("exact_dedup", 4L), ("near_dedup", 3L),
+      ("decontaminated", 3L), ("quality_kept", 3L), ("ppl_head", 3L)))
+  }
 }
