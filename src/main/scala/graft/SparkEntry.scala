@@ -2048,10 +2048,8 @@ object SparkEntry {
             col("doc_id").cast("string")))
         .withColumn("shard", col("_ok") % ShardCount)
         .withColumn("_one", lit(1L))
-      val ranked = CoreOps.orderedPrefixSumKeyed(
-        CoreOps.orderedPrefixSumKeyed(kept, col("shard"), col("_ok"),
-          "doc_id", "_one", "pos"),
-        col("shard"), col("_ok"), "doc_id", "_nt", "_cum")
+      val ranked = CoreOps.orderedPrefixSumsKeyed(kept, col("shard"),
+        col("_ok"), "doc_id", Seq("_one" -> "pos", "_nt" -> "_cum"))
       ranked
         .withColumn("_excl", col("_cum") - col("_nt"))
         .select(col("doc_id"), col("shard"), col("pos"),
@@ -2085,6 +2083,20 @@ object SparkEntry {
         vocab, Unigram.zOf(vocab), cuts, MhK, MhBands, MhRows, 0.5,
         WinnowW, 0.05, LrTokCap, UniW, UniL, numBatches = 4)
     }),
+    // the manifest's balance card: per shard, kept docs / token mass /
+    // packed-sequence count ((tokens + P − 1) div P — the concat-and-
+    // chunk stream is contiguous within a shard). The md5 assignment's
+    // evenness is what this row proves before a training run trusts it
+    "q_shard_summary" -> ((s, dir) =>
+      funnelStages(s, dir).last._3
+        .withColumn("shard",
+          graft.expressions.Md5Expressions.md5Long(
+            col("doc_id").cast("string")) % ShardCount)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          expr(s"(n_tokens + $PackTokens - 1) div $PackTokens")
+            .as("n_seqs"))),
     // the data-card number: every doc's share of distinct shingles seen
     // ANYWHERE in the benchmark — one gram-keyed shuffle join, zero-
     // overlap docs included (bench stand-in docs score 1.0 on themselves)
@@ -7713,6 +7725,16 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |  ((excl + nt - 1) // $PackTokens)::BIGINT AS pack_last,
          |  (excl % $PackTokens)::BIGINT AS offset_in_pack
          |FROM smo""".stripMargin,
+
+    // the same md5 assignment rolled up per shard
+    "q_shard_summary" ->
+      s"""WITH $sqlCurationFunnelCtes,
+         |sms AS (SELECT ${sqlMd5Long("doc_id::VARCHAR")} % $ShardCount
+         |          AS shard, nt FROM cs5)
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |  sum(nt)::BIGINT AS n_tokens,
+         |  ((sum(nt) + $PackTokens - 1) // $PackTokens)::BIGINT AS n_seqs
+         |FROM sms GROUP BY 1""".stripMargin,
 
     // the same shingle-hash chain; per-doc distinct grams left-join the
     // benchmark's distinct gram set, rate = one floored division

@@ -2063,17 +2063,34 @@ object CoreOps {
     * (Spark's); key NULLs are a group of their own on either setting. */
   def orderedPrefixSumKeyed(df: DataFrame, key: Column, ord: Column,
                             tiebreak: String, value: String, out: String,
-                            nullsLast: Boolean = false): DataFrame = {
-    val internal = Seq("_nk_k", "_nk_o", "_nk_g", "_nk_b", "_nk_loc",
-      "_nk_t", "_nk_off")
+                            nullsLast: Boolean = false): DataFrame =
+    orderedPrefixSumsKeyed(df, key, ord, tiebreak, Seq(value -> out),
+      nullsLast)
+
+  /** orderedPrefixSumKeyed for SEVERAL value columns in one pass: one
+    * bucketing, one per-(key, bucket) window carrying every running sum,
+    * one offsets frame with every exclusive total, one join — where k
+    * nested single-column calls would pay k checkpoints, k windows and
+    * k joins. Same ordering, bucketing, and NULL discipline as the
+    * single-column form. */
+  def orderedPrefixSumsKeyed(df: DataFrame, key: Column, ord: Column,
+                             tiebreak: String, sums: Seq[(String, String)],
+                             nullsLast: Boolean = false): DataFrame = {
+    require(sums.nonEmpty, "orderedPrefixSumsKeyed needs >= 1 (value, out)")
+    require(sums.map(_._2).distinct.size == sums.size,
+      s"duplicate output names in ${sums.map(_._2)}")
+    val internal = Seq("_nk_k", "_nk_o", "_nk_g", "_nk_b") ++
+      sums.indices.flatMap(i => Seq(s"_nk_loc$i", s"_nk_t$i", s"_nk_off$i"))
     val clash = df.columns.intersect(internal)
     require(clash.isEmpty,
-      s"orderedPrefixSumKeyed uses internal columns ${internal.mkString(", ")}; " +
+      s"orderedPrefixSumsKeyed uses internal columns ${internal.mkString(", ")}; " +
         s"rename the input's ${clash.mkString(", ")} first")
-    val vt = df.schema(value).dataType
-    require(integralTypes.contains(vt),
-      s"orderedPrefixSumKeyed sums '$value' as int64 (exact for counts); " +
-        s"got $vt — cast explicitly")
+    sums.foreach { case (value, _) =>
+      val vt = df.schema(value).dataType
+      require(integralTypes.contains(vt),
+        s"orderedPrefixSumsKeyed sums '$value' as int64 (exact for counts); " +
+          s"got $vt — cast explicitly")
+    }
     val ordType = df.select(ord.as("_nk_o")).schema.head.dataType
     require(ordType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"orderedPrefixSumKeyed range-buckets a numeric ordering column; " +
@@ -2123,19 +2140,28 @@ object CoreOps {
     // each window partition here holds at most `n` rows by construction
     val wPrefix = Window.partitionBy(col("_nk_k")).orderBy(col("_nk_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = b.groupBy(col("_nk_k"), col("_nk_b"))
-      .agg(sum(col(value).cast("long")).as("_nk_t"))
-      .withColumn("_nk_off", sum(col("_nk_t")).over(wPrefix))
-      .select(col("_nk_k").as("_nk_k2"), col("_nk_b").as("_nk_b2"),
-        col("_nk_off"))
-    b.withColumn("_nk_loc", sum(col(value).cast("long")).over(wLocal))
-      .join(offsets,
-        col("_nk_k") <=> col("_nk_k2") && col("_nk_b") === col("_nk_b2"),
-        "left")
-      .withColumn(out,
-        when(col("_nk_loc").isNull, col("_nk_off"))
-          .otherwise(coalesce(col("_nk_off"), lit(0L)) + col("_nk_loc")))
-      .select(df.columns.map(col).toSeq :+ col(out): _*)
+    val totalAggs = sums.zipWithIndex.map { case ((value, _), i) =>
+      sum(col(value).cast("long")).as(s"_nk_t$i")
+    }
+    val offsets = sums.indices.foldLeft(
+        b.groupBy(col("_nk_k"), col("_nk_b"))
+          .agg(totalAggs.head, totalAggs.tail: _*)) { (acc, i) =>
+        acc.withColumn(s"_nk_off$i", sum(col(s"_nk_t$i")).over(wPrefix))
+      }
+      .select(Seq(col("_nk_k").as("_nk_k2"), col("_nk_b").as("_nk_b2")) ++
+        sums.indices.map(i => col(s"_nk_off$i")): _*)
+    val withLocals = sums.zipWithIndex.foldLeft(b) { case (acc, ((value, _), i)) =>
+      acc.withColumn(s"_nk_loc$i", sum(col(value).cast("long")).over(wLocal))
+    }
+    val joined = withLocals.join(offsets,
+      col("_nk_k") <=> col("_nk_k2") && col("_nk_b") === col("_nk_b2"),
+      "left")
+    val withOuts = sums.zipWithIndex.foldLeft(joined) { case (acc, ((_, out), i)) =>
+      acc.withColumn(out,
+        when(col(s"_nk_loc$i").isNull, col(s"_nk_off$i"))
+          .otherwise(coalesce(col(s"_nk_off$i"), lit(0L)) + col(s"_nk_loc$i")))
+    }
+    withOuts.select(df.columns.map(col).toSeq ++ sums.map(s => col(s._2)): _*)
   }
 
   /** Per-group int64 totals joined back onto `df` — the replacement for
@@ -3614,9 +3640,8 @@ object CoreOps {
     // window one-task-sorts each group's whole grid at scale (the
     // round-11 partitioned-by-a-constant lesson)
     val p = joinGroupTotals(
-      orderedPrefixSumKeyed(
-        orderedPrefixSumKeyed(m, col(group), col("_v"), "_v", "_ca", "_cca"),
-        col(group), col("_v"), "_v", "_cb", "_ccb"),
+      orderedPrefixSumsKeyed(m, col(group), col("_v"), "_v",
+        Seq("_ca" -> "_cca", "_cb" -> "_ccb")),
       m, group, ("_ca", "n_a"), ("_cb", "n_b"))
     p.groupBy(col(group), col("n_a"), col("n_b"))
       .agg(max(abs(col("_cca").cast(dec) * col("n_b").cast(dec)
@@ -3670,11 +3695,8 @@ object CoreOps {
     // `PARTITION BY group` window (one-task sort per group at scale when
     // the group key has ~constant cardinality)
     val ranked = joinGroupTotals(
-      orderedPrefixSumKeyed(
-        orderedPrefixSumKeyed(
-          orderedPrefixSumKeyed(m, col(group), col("_v"), "_v", "_ca", "_cca"),
-          col(group), col("_v"), "_v", "_cb", "_ccb"),
-        col(group), col("_v"), "_v", "_one", "_rk"),
+      orderedPrefixSumsKeyed(m, col(group), col("_v"), "_v",
+        Seq("_ca" -> "_cca", "_cb" -> "_ccb", "_one" -> "_rk")),
       m, group, ("_ca", "n_a"), ("_cb", "n_b"))
       .localCheckpoint(true) // both sides of the lead self-join read it
     val nxt = ranked.select(col(group), (col("_rk") - 1L).as("_rk"),

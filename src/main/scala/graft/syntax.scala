@@ -185,6 +185,18 @@ object syntax {
     def batchByLength(id: String, tokensCol: String, boundaries: Seq[Long],
                       batchSize: Int): DataFrame =
       Curation.batchByLength(df, id, tokensCol, boundaries, batchSize)
+    def orderedPrefixSumKeyed(key: Column, ord: Column, tiebreak: String,
+                              value: String, out: String,
+                              nullsLast: Boolean = false): DataFrame =
+      CoreOps.orderedPrefixSumKeyed(df, key, ord, tiebreak, value, out,
+        nullsLast)
+    def orderedPrefixSumsKeyed(key: Column, ord: Column, tiebreak: String,
+                               sums: Seq[(String, String)],
+                               nullsLast: Boolean = false): DataFrame =
+      CoreOps.orderedPrefixSumsKeyed(df, key, ord, tiebreak, sums, nullsLast)
+    def ntileKeyed(key: Column, ord: Column, tiebreak: String, k: Int,
+                   out: String, nullsLast: Boolean = false): DataFrame =
+      CoreOps.ntileKeyed(df, key, ord, tiebreak, k, out, nullsLast)
     def orderedPrefixSum(ord: Column, tiebreak: String, value: String,
                          out: String): DataFrame =
       CoreOps.orderedPrefixSum(df, ord, tiebreak, value, out)

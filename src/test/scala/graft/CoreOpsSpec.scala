@@ -2156,4 +2156,25 @@ class CoreOpsSpec extends SparkSpec {
     // even though key a already has mass (per-key, not global, discipline)
     assert(got(5L).isEmpty)
   }
+
+  test("orderedPrefixSumsKeyed carries several running sums through ONE " +
+      "pass, each equal to its single-column form; double orderings sort " +
+      "raw (fractions under one bucket image stay ordered)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 0.10, 1L, 10L, 1L), ("a", 0.05, 1L, 20L, 2L),
+        ("a", 0.15, 1L, 5L, 3L), ("b", 2.5, 1L, 7L, 4L),
+        ("b", 2.25, 1L, 9L, 5L), ("b", -1.5, 1L, 3L, 6L))
+      .toDF("k", "v", "one", "w", "id")
+    val multi = CoreOps.orderedPrefixSumsKeyed(df, col("k"), col("v"), "id",
+        Seq("one" -> "rk", "w" -> "cw"))
+      .select("id", "rk", "cw").as[(Long, Long, Long)].collect
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val wref = Window.partitionBy(col("k")).orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("rk", sum(col("one")).over(wref))
+      .withColumn("cw", sum(col("w")).over(wref))
+      .select("id", "rk", "cw").as[(Long, Long, Long)].collect
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(multi == want)
+  }
 }
