@@ -584,10 +584,12 @@ object StreamOps {
     * ascending replay) and the near-dup gate LSH-probes it (band
     * collision is a deterministic function of each pair's texts, so the
     * verified pair set equals the batch all-pairs run's). Gates 3–5 are
-    * per-row against static artifacts. Driver traffic: one 1-row agg per
-    * stage per trigger plus the replay itself (this is a HARNESS for
-    * proving the composition at test scale — production ingest reads
-    * files/Kafka, not a driver-collected replay). */
+    * per-row against static artifacts. Driver traffic: ONE 1-row agg per
+    * trigger (the rules compose as flags over one checkpointed frame, so
+    * all six stage counts fold in a single aggregate) plus the replay
+    * itself (this is a HARNESS for proving the composition at test scale
+    * — production ingest reads files/Kafka, not a driver-collected
+    * replay). */
   def curationFunnelStream(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, bench: DataFrame, weights: Array[Long],
       vocab: DataFrame, zQ: Long, cutNppByLang: Map[String, (Long, Long)],
@@ -614,13 +616,13 @@ object StreamOps {
       .toDF("lang", "_cut_npp", "_cut_id")
     var seen = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val benchS = bench.localCheckpoint(true) // static across triggers
-    def acc(i: Int, fr: DataFrame): Unit = {
-      val r = fr.agg(count(lit(1)), sum(col("_nt"))).head()
-      nDocs(i) += r.getLong(0)
-      if (!r.isNullAt(1)) nToks(i) += r.getLong(1)
-    }
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, String)]
+    // each trigger computes the five rules as INDEPENDENT keep/drop sets
+    // over the ingested slice and composes them as flags — stage k is the
+    // intersection of rules 1..k (exactly the batch funnel's semi/anti
+    // chain), so all six stage counts come from ONE aggregate per trigger
+    // instead of six chained frames with six collects
     val q = input.toDF().toDF("doc_id", "lang", "text")
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -632,56 +634,72 @@ object StreamOps {
             size(TextOps.tokens(lower(col("text")))).cast("long"))
           .filter(col("_nt") > 0L)
           .localCheckpoint(true)
-        acc(0, s0)
         val canon = Dedup.exactDedup(all, "doc_id", "text")
           .select(col("canonical_id").as("doc_id"))
-        val s1 = s0.join(canon, Seq("doc_id"), "left_semi")
-          .localCheckpoint(true)
-        acc(1, s1)
-        val nearDrop = Dedup.lshJaccardJoin(s1, all, "doc_id", "text",
+          .withColumn("_k1", lit(true))
+        val nearDrop = Dedup.lshJaccardJoin(s0, all, "doc_id", "text",
             "doc_id", "text", mhK, mhBands, mhRows, minJaccard)
           .filter(col("right_id") < col("left_id"))
           .select(col("left_id").as("doc_id")).distinct()
-        val s2 = s1.join(nearDrop, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        acc(2, s2)
-        val cont = Dedup.contaminationPairs(s2, benchS, "doc_id", "text",
+          .withColumn("_d2", lit(true))
+        val cont = Dedup.contaminationPairs(s0, benchS, "doc_id", "text",
             mhK, winnowW, minContainment)
           .filter(col("doc_id") =!= col("bench_id"))
           .select(col("doc_id")).distinct()
-        val s3 = s2.join(cont, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
-        acc(3, s3)
-        val feats = s3
+          .withColumn("_d3", lit(true))
+        val feats = s0
           .withColumn("_toks", TextOps.tokens(lower(col("text"))))
           .withColumn("_ntk", size(col("_toks")).cast("long"))
           .withColumn("_ndk", size(array_distinct(col("_toks"))).cast("long"))
           .withColumn("x_len", least(col("_ntk"), lit(tokCap)))
           .withColumn("x_div", expr("(_ndk * 100) div _ntk"))
-        val s4 = LogReg.scoreUnlabeled(feats, Seq("x_len", "x_div"),
-            weights, Seq("doc_id", "lang", "text", "_nt"))
-          .filter(col("pred"))
-          .select(col("doc_id"), col("lang"), col("text"), col("_nt"))
-          .localCheckpoint(true)
-        acc(4, s4)
-        val seg = Unigram.viterbi(Unigram.words(s4, "text", uniW), vocab,
+        val scored = LogReg.scoreUnlabeled(feats, Seq("x_len", "x_div"),
+            weights, Seq("doc_id"))
+          .filter(col("pred")).select(col("doc_id"))
+          .withColumn("_k4", lit(true))
+        val flagged = s0
+          .join(canon, Seq("doc_id"), "left")
+          .join(nearDrop, Seq("doc_id"), "left")
+          .join(cont, Seq("doc_id"), "left")
+          .join(scored, Seq("doc_id"), "left")
+          .withColumn("_s1", coalesce(col("_k1"), lit(false)))
+          .withColumn("_s2", col("_s1") && col("_d2").isNull)
+          .withColumn("_s3", col("_s2") && col("_d3").isNull)
+          .withColumn("_s4", col("_s3") && coalesce(col("_k4"), lit(false)))
+          .localCheckpoint(true) // feeds the ppl candidates AND the agg
+        // the expensive gate (batch-vocab Viterbi) runs only on the docs
+        // still alive after gates 1-4 — identical membership, less DP
+        val cand = flagged.filter(col("_s4"))
+          .select(col("doc_id"), col("lang"), col("text"))
+        val seg = Unigram.viterbi(Unigram.words(cand, "text", uniW), vocab,
             zQ, uniW, uniL)
           .select(col("word"), col("n_pieces"), col("best_qll"))
-        val npp = s4.select(col("doc_id"),
+        val pplKeep = cand.select(col("doc_id"), col("lang"),
             explode(filter(split(lower(col("text")), "[^a-z]+"),
               w => w =!= "" && length(w) <= uniW)).as("word"))
-          .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("_n"))
+          .groupBy(col("doc_id"), col("lang"), col("word"))
+          .agg(count(lit(1)).as("_n"))
           .join(seg, Seq("word"))
-          .groupBy(col("doc_id"))
+          .groupBy(col("doc_id"), col("lang"))
           .agg(expr("(-sum(_n * best_qll)) div sum(_n * n_pieces)")
             .as("_npp"))
-        val s5 = s4.join(npp, Seq("doc_id"))
           .join(broadcast(cuts), Seq("lang"), "left")
           .filter(col("_cut_npp").isNotNull &&
             (col("_npp") < col("_cut_npp") ||
               (col("_npp") === col("_cut_npp") &&
                 col("doc_id") <= col("_cut_id"))))
-        acc(5, s5)
+          .select(col("doc_id")).withColumn("_k5", lit(true))
+        def cnt(flag: org.apache.spark.sql.Column) =
+          (count(when(flag, lit(1))), sum(when(flag, col("_nt"))))
+        val aggs = Seq(lit(true), col("_s1"), col("_s2"), col("_s3"),
+          col("_s4"), col("_s4") && coalesce(col("_k5"), lit(false)))
+          .flatMap { f => val (c, t) = cnt(f); Seq(c, t) }
+        val r = flagged.join(pplKeep, Seq("doc_id"), "left")
+          .agg(aggs.head, aggs.tail: _*).head()
+        stages.indices.foreach { i =>
+          nDocs(i) += r.getLong(2 * i)
+          if (!r.isNullAt(2 * i + 1)) nToks(i) += r.getLong(2 * i + 1)
+        }
         seen = all
       }
       .start()
