@@ -184,4 +184,54 @@ class CorpusLayoutSpec extends SparkSpec {
     assert(worst("by_zorder") < worst("by_shipdate"),
       s"z worst ${worst("by_zorder")} vs by_shipdate ${worst("by_shipdate")}")
   }
+
+  test("training export end-to-end: the q_shard_manifest rules + " +
+      "writePartitioned lay docs into shard directories in manifest " +
+      "order, losslessly") {
+    import graft.operators.CoreOps
+    val docs = (1L to 40L)
+      .map(i => (i, s"body of document number $i", 10L + i % 7))
+      .toDF("doc_id", "text", "n_tokens")
+    val manifest = CoreOps.orderedPrefixSumsKeyed(
+        docs.withColumn("_ok", graft.expressions.Md5Expressions
+            .md5Long(col("doc_id").cast("string")))
+          .withColumn("shard", col("_ok") % 4)
+          .withColumn("_one", lit(1L)),
+        col("shard"), col("_ok"), "doc_id",
+        Seq("_one" -> "pos", "n_tokens" -> "_cum"))
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("shard"),
+        col("pos"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toString
+    CorpusLayout.writePartitioned(manifest, dir, Seq("shard"), Seq("pos"))
+    // one hive directory per shard
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("shard=")).sorted
+    assert(dirs.sameElements((0 to 3).map(s => s"shard=$s")))
+    val back = spark.read.parquet(dir)
+    // lossless: the read-back (doc, shard, pos) set IS the manifest
+    assert(back.select("doc_id", "shard", "pos")
+        .as[(Long, Long, Long)].collect().toSet ==
+      manifest.select("doc_id", "shard", "pos")
+        .as[(Long, Long, Long)].collect().toSet)
+    // within each shard the positions are exactly 1..n (a trainer can
+    // stream a shard file sequentially and see the manifest order)
+    back.groupBy("shard").agg(count(lit(1)).as("n"), max(col("pos")).as("m"),
+        min(col("pos")).as("lo"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == 1L,
+          s"shard ${r.get(0)}: positions not 1..n")
+      }
+    // shard pruning works: a shard=2 read opens only that directory
+    val pruned = back.filter(col("shard") === 2)
+    val scans: Seq[Long] = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }
+    val all = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(scans.nonEmpty && scans.sum < all.toLong,
+      s"shard filter did not prune: read ${scans.sum} of $all files")
+  }
 }
