@@ -2083,6 +2083,34 @@ object SparkEntry {
         vocab, Unigram.zOf(vocab), cuts, MhK, MhBands, MhRows, 0.5,
         WinnowW, 0.05, LrTokCap, UniW, UniL, numBatches = 4)
     }),
+    // the gate-REDUNDANCY card: for every pair of funnel rules, how many
+    // ingested docs each would drop ON ITS OWN and how many both drop —
+    // the overlap matrix a pipeline owner reads before re-ordering or
+    // retiring gates (a gate whose drops are a subset of an earlier one's
+    // costs compute and removes nothing). Rules evaluated INDEPENDENTLY
+    // over the ingested set (the funnel chains them; this card un-chains
+    // them), all five from the same memoized artifacts; ONE aggregate
+    // row exploded to the 10 pairs (the corrMatrix shape)
+    "q_gate_overlap" -> ((s, dir) => {
+      val flags = funnelRuleDrops(s, dir)
+      val gates = Seq("exact_dedup", "near_dedup", "decontaminated",
+        "quality_kept", "ppl_head")
+      val pairs = for {
+        i <- gates.indices; j <- (i + 1) until gates.size
+      } yield (i, j)
+      val aggs = gates.indices.map(i =>
+        count(when(col(s"_d$i"), lit(1))).as(s"_n$i")) ++
+        pairs.map { case (i, j) =>
+          count(when(col(s"_d$i") && col(s"_d$j"), lit(1))).as(s"_n${i}_$j")
+        }
+      val row = flags.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      val stacked = pairs.map { case (i, j) =>
+        struct(lit(gates(i)).as("gate_a"), lit(gates(j)).as("gate_b"),
+          col(s"_n$i").as("n_drop_a"), col(s"_n$j").as("n_drop_b"),
+          col(s"_n${i}_$j").as("n_drop_both"))
+      }
+      row.select(explode(array(stacked: _*)).as("_p")).select(col("_p.*"))
+    }),
     // the manifest's balance card: per shard, kept docs / token mass /
     // packed-sequence count ((tokens + P − 1) div P — the concat-and-
     // chunk stream is contiguous within a shard). The md5 assignment's
@@ -4868,6 +4896,50 @@ object SparkEntry {
       Seq((0L, "ingested", s0), (1L, "exact_dedup", s1),
         (2L, "near_dedup", s2), (3L, "decontaminated", s3),
         (4L, "quality_kept", s4), (5L, "ppl_head", s5))
+    }
+
+  /** Each funnel rule's INDEPENDENT drop verdict per ingested doc —
+    * (doc_id, _nt, _d0.._d4 for exact/near/decontaminate/quality/ppl) —
+    * the un-chained view behind q_gate_overlap. Same artifacts as
+    * funnelStages (memoized trainers, memoized near-dup pairs); one frame,
+    * five left joins, memoized itself. */
+  private val funnelDropsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def funnelRuleDrops(s: SparkSession, dir: String): DataFrame =
+    memoPersist(funnelDropsCache, s, dir) {
+      val all = Tables.documents(s, dir)
+      val s0 = funnelStages(s, dir).head._3
+      val canon = Dedup.exactDedup(all, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"), lit(true).as("_k0"))
+      val near = nearDupPairs(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("_x1", lit(true))
+      val cont = Dedup.contaminationPairs(all,
+          all.filter(col("doc_id") < 20), "doc_id", "text", MhK, WinnowW,
+          0.05)
+        .filter(col("doc_id") =!= col("bench_id"))
+        .select(col("doc_id")).distinct()
+        .withColumn("_x2", lit(true))
+      val qual = LogReg.score(logregFeatures(s, dir), "label",
+          Seq("x_len", "x_div"), logregShared(s, dir)._2, Seq("doc_id"))
+        .filter(col("pred")).select(col("doc_id"))
+        .withColumn("_k3", lit(true))
+      val headMid = CoreOps.ntileKeyed(
+          docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
+          col("lang"), col("_npp"), "doc_id", 3, "_b")
+        .filter(col("_b") =!= 3).select(col("doc_id"))
+        .withColumn("_k4", lit(true))
+      s0.join(canon, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .join(qual, Seq("doc_id"), "left")
+        .join(headMid, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("_nt"),
+          col("_k0").isNull.as("_d0"),
+          col("_x1").isNotNull.as("_d1"),
+          col("_x2").isNotNull.as("_d2"),
+          col("_k3").isNull.as("_d3"),
+          col("_k4").isNull.as("_d4"))
     }
 
   /** Per-doc exact NLL under the frozen unigram inventory —
@@ -7725,6 +7797,31 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |  ((excl + nt - 1) // $PackTokens)::BIGINT AS pack_last,
          |  (excl % $PackTokens)::BIGINT AS offset_in_pack
          |FROM smo""".stripMargin,
+
+    // the funnel rules un-chained: each gate's independent drop verdict
+    // per ingested doc (EXISTS against the same rule CTEs), the 10 pairs
+    // from a VALUES cross — counts engine-exact
+    "q_gate_overlap" ->
+      s"""WITH $sqlCurationFunnelCtes,
+         |fge AS (SELECT f.doc_id,
+         |  [NOT EXISTS (SELECT 1 FROM cdd d WHERE d.doc_id = f.doc_id),
+         |   EXISTS (SELECT 1 FROM cnd n WHERE n.doc_id = f.doc_id),
+         |   EXISTS (SELECT 1 FROM ccont c WHERE c.doc_id = f.doc_id),
+         |   NOT EXISTS (SELECT 1 FROM clq q WHERE q.doc_id = f.doc_id),
+         |   NOT EXISTS (SELECT 1 FROM cph p WHERE p.doc_id = f.doc_id)]
+         |    AS ds
+         | FROM cf0 f),
+         |ggn AS (SELECT * FROM (VALUES ('exact_dedup', 1),
+         |   ('near_dedup', 2), ('decontaminated', 3), ('quality_kept', 4),
+         |   ('ppl_head', 5)) g(name, idx)),
+         |gpx AS (SELECT a.name AS gate_a, b.name AS gate_b, a.idx AS ia,
+         |   b.idx AS ib FROM ggn a JOIN ggn b ON a.idx < b.idx)
+         |SELECT gate_a, gate_b,
+         |  sum(CASE WHEN ds[ia] THEN 1 ELSE 0 END)::BIGINT AS n_drop_a,
+         |  sum(CASE WHEN ds[ib] THEN 1 ELSE 0 END)::BIGINT AS n_drop_b,
+         |  sum(CASE WHEN ds[ia] AND ds[ib] THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_drop_both
+         |FROM gpx CROSS JOIN fge GROUP BY 1, 2""".stripMargin,
 
     // the same md5 assignment rolled up per shard
     "q_shard_summary" ->
