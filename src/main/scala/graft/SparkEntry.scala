@@ -1482,6 +1482,10 @@ object SparkEntry {
     // choosing the tokenizer.
     "q_tokenizer_compare" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // held-out slice: the full↔held join below is INNER, so a language
+      // with zero held-out docs drops from the decision card entirely
+      // (documented contract, mirrored by the oracle's inner joins) — a
+      // missing row means "no held-out evidence", not "absent from corpus"
       val held = docs.filter(col("doc_id") % 7 === 3)
       def side(tag: String, seg: DataFrame, w: Int): DataFrame = {
         val full = TextOps.bpeFertilityFrom(docs, "text", "lang", seg, w)
@@ -1523,9 +1527,11 @@ object SparkEntry {
     // same terciles from the distributed bucketed rank instead (identical
     // values, SCALE.md's partitioned-by-a-constant hazard)
     "q_ppl_buckets" -> ((s, dir) => {
+      // nullsLast pins the oracle's ORDER BY default explicitly even though
+      // _npp is never NULL (nll_scaled/n_pieces are non-NULL by construction)
       val ranked = CoreOps.ntileKeyed(
         docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
-        col("lang"), col("_npp"), "doc_id", 3, "_b")
+        col("lang"), col("_npp"), "doc_id", 3, "_b", nullsLast = true)
       ranked.groupBy(col("lang"),
           when(col("_b") === 1, "head").when(col("_b") === 2, "middle")
             .otherwise("tail").as("bucket"))
@@ -2070,7 +2076,7 @@ object SparkEntry {
       val vocab = unigramShared(s, dir)._1
       val cuts = CoreOps.ntileKeyed(
           docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
-          col("lang"), col("_npp"), "doc_id", 3, "_b")
+          col("lang"), col("_npp"), "doc_id", 3, "_b", nullsLast = true)
         .filter(col("_b") =!= 3)
         .groupBy(col("lang"))
         .agg(max(struct(col("_npp"), col("doc_id"))).as("_c"))
@@ -4886,10 +4892,11 @@ object SparkEntry {
       val s4 = s3.join(quality, Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
       // tercile stage via the distributed keyed rank (ntileKeyed), never
-      // a per-lang window sort — same values, scale-safe plan
+      // a per-lang window sort — same values, scale-safe plan; nullsLast
+      // pins the oracle's ORDER BY NULL default (moot: _npp never NULL)
       val headMid = CoreOps.ntileKeyed(
           docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
-          col("lang"), col("_npp"), "doc_id", 3, "_b")
+          col("lang"), col("_npp"), "doc_id", 3, "_b", nullsLast = true)
         .filter(col("_b") =!= 3).select(col("doc_id"))
       val s5 = s4.join(headMid, Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
@@ -4926,7 +4933,7 @@ object SparkEntry {
         .withColumn("_k3", lit(true))
       val headMid = CoreOps.ntileKeyed(
           docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
-          col("lang"), col("_npp"), "doc_id", 3, "_b")
+          col("lang"), col("_npp"), "doc_id", 3, "_b", nullsLast = true)
         .filter(col("_b") =!= 3).select(col("doc_id"))
         .withColumn("_k4", lit(true))
       s0.join(canon, Seq("doc_id"), "left")

@@ -2075,12 +2075,38 @@ object CoreOps {
     * single-column form. */
   def orderedPrefixSumsKeyed(df: DataFrame, key: Column, ord: Column,
                              tiebreak: String, sums: Seq[(String, String)],
-                             nullsLast: Boolean = false): DataFrame = {
+                             nullsLast: Boolean = false): DataFrame =
+    orderedPrefixSumsKeyedWithTotals(df, key, ord, tiebreak, sums, Nil,
+      nullsLast)
+
+  /** orderedPrefixSumsKeyed that ALSO emits per-key GRAND totals — the
+    * fusion of the prefix scan with the joinGroupTotals pattern: the
+    * per-(key, bucket) totals frame the offsets already aggregate contains
+    * every key's whole sum, so the group total is one more window over the
+    * same O(keys × buckets) rows and rides the SAME join back — where a
+    * separate joinGroupTotals pays a second full aggregation over the
+    * checkpointed input plus a second join (the r12 bench line item on
+    * q_weighted_median / q_quantile_norm_approx). `totals` maps value
+    * columns (each must also appear in `sums`) to total output names;
+    * values/types match joinGroupTotals' plain `sum` exactly. */
+  def orderedPrefixSumsKeyedWithTotals(df: DataFrame, key: Column,
+                                       ord: Column, tiebreak: String,
+                                       sums: Seq[(String, String)],
+                                       totals: Seq[(String, String)],
+                                       nullsLast: Boolean = false): DataFrame = {
     require(sums.nonEmpty, "orderedPrefixSumsKeyed needs >= 1 (value, out)")
-    require(sums.map(_._2).distinct.size == sums.size,
-      s"duplicate output names in ${sums.map(_._2)}")
+    require((sums.map(_._2) ++ totals.map(_._2)).distinct.size ==
+      sums.size + totals.size,
+      s"duplicate output names in ${sums.map(_._2) ++ totals.map(_._2)}")
+    val sumIdx = sums.map(_._1).zipWithIndex.toMap
+    totals.foreach { case (value, _) =>
+      require(sumIdx.contains(value),
+        s"totals column '$value' must also be a `sums` value column " +
+          s"(got sums over ${sums.map(_._1).mkString(", ")})")
+    }
     val internal = Seq("_nk_k", "_nk_o", "_nk_g", "_nk_b") ++
-      sums.indices.flatMap(i => Seq(s"_nk_loc$i", s"_nk_t$i", s"_nk_off$i"))
+      sums.indices.flatMap(i => Seq(s"_nk_loc$i", s"_nk_t$i", s"_nk_off$i",
+        s"_nk_tt$i"))
     val clash = df.columns.intersect(internal)
     require(clash.isEmpty,
       s"orderedPrefixSumsKeyed uses internal columns ${internal.mkString(", ")}; " +
@@ -2143,13 +2169,22 @@ object CoreOps {
     val totalAggs = sums.zipWithIndex.map { case ((value, _), i) =>
       sum(col(value).cast("long")).as(s"_nk_t$i")
     }
+    // per-key grand totals over the SAME tiny frame: an unordered
+    // whole-partition window (≤ n rows per key by construction)
+    val wTotal = Window.partitionBy(col("_nk_k"))
+    val totalIdxs = totals.map { case (value, _) => sumIdx(value) }.distinct
     val offsets = sums.indices.foldLeft(
         b.groupBy(col("_nk_k"), col("_nk_b"))
           .agg(totalAggs.head, totalAggs.tail: _*)) { (acc, i) =>
-        acc.withColumn(s"_nk_off$i", sum(col(s"_nk_t$i")).over(wPrefix))
+        val withOff =
+          acc.withColumn(s"_nk_off$i", sum(col(s"_nk_t$i")).over(wPrefix))
+        if (totalIdxs.contains(i))
+          withOff.withColumn(s"_nk_tt$i", sum(col(s"_nk_t$i")).over(wTotal))
+        else withOff
       }
       .select(Seq(col("_nk_k").as("_nk_k2"), col("_nk_b").as("_nk_b2")) ++
-        sums.indices.map(i => col(s"_nk_off$i")): _*)
+        sums.indices.map(i => col(s"_nk_off$i")) ++
+        totalIdxs.map(i => col(s"_nk_tt$i")): _*)
     val withLocals = sums.zipWithIndex.foldLeft(b) { case (acc, ((value, _), i)) =>
       acc.withColumn(s"_nk_loc$i", sum(col(value).cast("long")).over(wLocal))
     }
@@ -2161,7 +2196,11 @@ object CoreOps {
         when(col(s"_nk_loc$i").isNull, col(s"_nk_off$i"))
           .otherwise(coalesce(col(s"_nk_off$i"), lit(0L)) + col(s"_nk_loc$i")))
     }
-    withOuts.select(df.columns.map(col).toSeq ++ sums.map(s => col(s._2)): _*)
+    val withTotals = totals.foldLeft(withOuts) { case (acc, (value, out)) =>
+      acc.withColumn(out, col(s"_nk_tt${sumIdx(value)}"))
+    }
+    withTotals.select(df.columns.map(col).toSeq ++
+      sums.map(s => col(s._2)) ++ totals.map(t => col(t._2)): _*)
   }
 
   /** Per-group int64 totals joined back onto `df` — the replacement for
@@ -3701,6 +3740,10 @@ object CoreOps {
       .localCheckpoint(true) // both sides of the lead self-join read it
     val nxt = ranked.select(col(group), (col("_rk") - 1L).as("_rk"),
       col("_v").as("_vn"))
+    // name-equality join: NULL group keys would never match themselves
+    // here — safe because the cnt() filter above drops NULL groups before
+    // this point (joinGroupTotals' <=> convention is not needed); if that
+    // filter is ever relaxed, switch this to a null-safe <=> condition
     val p = ranked.join(nxt, Seq(group, "_rk"), "left")
     val term = abs(col("_cca").cast(dec) * col("n_b").cast(dec)
         - col("_ccb").cast(dec) * col("n_a").cast(dec)) *
@@ -4051,12 +4094,13 @@ object CoreOps {
       .groupBy(col(group), col(value).cast("long").as("_v"))
       .agg(sum(col(weight).cast("long")).as("_w"))
       .localCheckpoint(true) // feeds the cumulative and the totals join
-    // cumulative weight via the keyed bucketed prefix scan, group total
-    // via a grouped agg re-joined — never a PARTITION BY group window
-    // (one-task sort per group at scale for a low-cardinality group key)
-    joinGroupTotals(
-      orderedPrefixSumKeyed(g, col(group), col("_v"), "_v", "_w", "_cw"),
-      g, group, ("_w", "_tw"))
+    // cumulative weight AND group total from ONE keyed bucketed prefix
+    // scan (the fused WithTotals form: the totals ride the same
+    // O(keys × buckets) offsets frame and join) — never a PARTITION BY
+    // group window (one-task sort per group at scale for a
+    // low-cardinality group key), and no second aggregation+join pass
+    orderedPrefixSumsKeyedWithTotals(g, col(group), col("_v"), "_v",
+      Seq("_w" -> "_cw"), Seq("_w" -> "_tw"))
       .filter(lit(2L) * col("_cw") >= col("_tw"))
       .groupBy(col(group))
       .agg(max(col("_tw")).as("total_weight"), min(col("_v")).as("wmedian"))
@@ -4389,15 +4433,7 @@ object CoreOps {
       "_r", "_n", "_v", "_c", "_pc", "_lo", "_t", "_cell", "_o1")
     require(!emitted.exists(df.columns.contains),
       s"quantileNormalize emits/uses ${emitted.mkString(", ")}; rename inputs")
-    // per-group rank + size from the keyed bucketed prefix scan + a
-    // grouped count re-joined — never PARTITION BY group windows (the
-    // group key is ~constant-cardinality by design here: that is what the
-    // operator normalizes ACROSS)
-    val filtered = df.filter(col(value).isNotNull).withColumn("_o1", lit(1L))
-    val base = joinGroupTotals(
-      orderedPrefixSumKeyed(filtered, col(group), col(value), tiebreak,
-        "_o1", "_r"),
-      filtered, group, ("_o1", "_n"))
+    val base = qnRankedBase(df, group, value, tiebreak)
     val grid = df.filter(col(value).isNotNull)
       .groupBy(col(value).cast("long").as("_v"))
       .agg(count(lit(1)).as("_c"))
@@ -4407,15 +4443,42 @@ object CoreOps {
     if (nTotal == 0L)
       return base.select(col(group), col(tiebreak), col(value),
         lit(null).cast("long").as("qn_value"))
+    qnExactFrom(base, gridP, nTotal, group, value, tiebreak, grainRanks)
+  }
+
+  /** The quantile-normalization family's shared per-row frame: per-group
+    * rank `_r` + group size `_n` from ONE fused keyed bucketed prefix
+    * scan (orderedPrefixSumsKeyedWithTotals — the rank's offsets frame
+    * already holds every group's size, so no second aggregation+join) —
+    * never PARTITION BY group windows (the group key is
+    * ~constant-cardinality by design: that is what the operator
+    * normalizes ACROSS). */
+  private def qnRankedBase(df: DataFrame, group: String, value: String,
+                           tiebreak: String): DataFrame =
+    orderedPrefixSumsKeyedWithTotals(
+      df.filter(col(value).isNotNull).withColumn("_o1", lit(1L)),
+      col(group), col(value), tiebreak, Seq("_o1" -> "_r"),
+      Seq("_o1" -> "_n"))
+
+  /** ⌈r·N/n⌉ in exact decimal, then back to long (target rank ≤ N) —
+    * shared by the exact map and the checked verdict. */
+  private def qnTargetRank(nTotal: Long): Column = {
     val dec = "decimal(38,0)"
-    // ⌈r·N/n⌉ in exact decimal, then back to long (target rank ≤ N)
     val rN = col("_r").cast(dec) * lit(nTotal).cast(dec) +
       col("_n").cast(dec) - 1
-    val tRank = ((rN - pmod(rN, col("_n").cast(dec))) / col("_n").cast(dec))
+    ((rN - pmod(rN, col("_n").cast(dec))) / col("_n").cast(dec))
       .cast("long")
+  }
+
+  /** The exact rank→grid-value map from a precomputed base/grid — the
+    * tail of quantileNormalize, split out so quantileNormalizeChecked can
+    * share ONE base and ONE grid prefix across its three paths. */
+  private def qnExactFrom(base: DataFrame, gridP: DataFrame, nTotal: Long,
+                          group: String, value: String, tiebreak: String,
+                          grainRanks: Long): DataFrame = {
     def cellOf(c: Column): Column =
       ((c - pmod(c, lit(grainRanks))) / lit(grainRanks)).cast("long")
-    val rows = base.withColumn("_t", tRank)
+    val rows = base.withColumn("_t", qnTargetRank(nTotal))
       .withColumn("_cell", cellOf(col("_t") - 1L))
     val cells = gridP.withColumn("_lo", col("_pc") - col("_c"))
       .withColumn("_cell",
@@ -4455,12 +4518,16 @@ object CoreOps {
     require(!emitted.exists(df.columns.contains),
       s"quantileNormalizeApprox emits/uses ${emitted.mkString(", ")}; " +
         "rename inputs")
-    // same keyed-prefix rank/size re-plan as the exact form
-    val filtered = df.filter(col(value).isNotNull).withColumn("_o1", lit(1L))
-    val base = joinGroupTotals(
-      orderedPrefixSumKeyed(filtered, col(group), col(value), tiebreak,
-        "_o1", "_r"),
-      filtered, group, ("_o1", "_n"))
+    // same fused keyed-prefix rank/size re-plan as the exact form
+    val base = qnRankedBase(df, group, value, tiebreak)
+    qnApproxFrom(base, df, group, value, tiebreak, gridQuantiles, accuracy)
+  }
+
+  /** The sketch-lookup tail of quantileNormalizeApprox from a precomputed
+    * base — shared with quantileNormalizeChecked. */
+  private def qnApproxFrom(base: DataFrame, df: DataFrame, group: String,
+                           value: String, tiebreak: String,
+                           gridQuantiles: Int, accuracy: Int): DataFrame = {
     val probs = (0 to gridQuantiles).map(j => lit(j.toDouble / gridQuantiles))
     val sketch = df.filter(col(value).isNotNull)
       .agg(percentile_approx(col(value), array(probs: _*),
@@ -4488,47 +4555,52 @@ object CoreOps {
     * slack = ⌈N/accuracy⌉ (sketch rank error) + ⌈N/gridQuantiles⌉
     * (quantile-grid quantization) + 4 (boundary conventions) — guaranteed
     * by the approx_percentile accuracy contract, so a FALSE here is an
-    * engine bug, not noise. Cost: the exact path + the sketch path + one
-    * equi-join of the approx values onto the grid — the TEST harness
-    * shape; production runs quantileNormalizeApprox alone. */
+    * engine bug, not noise. Cost: ONE fused keyed-prefix base and ONE
+    * grid prefix shared (checkpointed) across the exact map, the sketch
+    * lookup, and the verdict join — where the pre-fusion form re-derived
+    * the base three times and the grid twice (the r12 bench line item) —
+    * plus the approx-onto-grid equi-join; the TEST harness shape,
+    * production runs quantileNormalizeApprox alone. */
   def quantileNormalizeChecked(df: DataFrame, group: String, value: String,
                                tiebreak: String, gridQuantiles: Int = 1000,
                                accuracy: Int = 10000): DataFrame = {
-    val emitted = Seq("within_bound", "_qa", "_alo", "_apc", "_t2", "_o1")
+    require(gridQuantiles > 0,
+      s"gridQuantiles must be positive, got $gridQuantiles")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    require(integralTypes.contains(df.schema(value).dataType),
+      s"quantileNormalizeChecked ranks '$value' on an exact integer grid; " +
+        s"got ${df.schema(value).dataType} — scale to cents/int64 first")
+    val emitted = Seq("qn_value", "within_bound", "qn_approx",
+      "_r", "_n", "_v", "_c", "_pc", "_lo", "_t", "_cell", "_qs", "_idx",
+      "_qa", "_alo", "_apc", "_t2", "_o1")
     require(!emitted.exists(df.columns.contains),
       s"quantileNormalizeChecked emits/uses ${emitted.mkString(", ")}; " +
         "rename inputs")
-    val exact = quantileNormalize(df, group, value, tiebreak)
-    val approx = quantileNormalizeApprox(df, group, value, tiebreak,
-        gridQuantiles, accuracy)
-      .select(col(group), col(tiebreak), col("qn_approx").as("_qa"))
+    // the shared frames: both are read by 2-3 paths below — materialize
+    val base = qnRankedBase(df, group, value, tiebreak).localCheckpoint(true)
     val grid = df.filter(col(value).isNotNull)
       .groupBy(col(value).cast("long").as("_v"))
       .agg(count(lit(1)).as("_c"))
     val gridP = orderedPrefixSum(grid, col("_v"), "_v", "_c", "_pc")
-      .withColumn("_alo", col("_pc") - col("_c"))
-      .select(col("_v").as("_qa"), col("_alo"), col("_pc").as("_apc"))
-    val nTotal = grid.agg(coalesce(sum(col("_c")), lit(0L))).head().getLong(0)
+      .localCheckpoint(true)
+    // O(1) driver traffic, off the materialized grid prefix
+    val nTotal = gridP.agg(coalesce(sum(col("_c")), lit(0L))).head().getLong(0)
     if (nTotal == 0L)
-      return exact.withColumn("within_bound", lit(true))
+      return base.select(col(group), col(tiebreak), col(value),
+          lit(null).cast("long").as("qn_value"))
+        .withColumn("within_bound", lit(true))
+    val exact = qnExactFrom(base, gridP, nTotal, group, value, tiebreak,
+      1024L)
+    val approx = qnApproxFrom(base, df, group, value, tiebreak,
+        gridQuantiles, accuracy)
+      .select(col(group), col(tiebreak), col("qn_approx").as("_qa"))
+    val gridA = gridP.withColumn("_alo", col("_pc") - col("_c"))
+      .select(col("_v").as("_qa"), col("_alo"), col("_pc").as("_apc"))
     val slack = nTotal / accuracy + nTotal / gridQuantiles + 6L
-    // recompute the exact target rank on the joined frame: same integer
-    // formula as quantileNormalize (⌈r·N/n⌉ in decimal), same keyed-prefix
-    // rank/size re-plan (never PARTITION BY group windows)
-    val filtered = df.filter(col(value).isNotNull).withColumn("_o1", lit(1L))
-    val base = joinGroupTotals(
-      orderedPrefixSumKeyed(filtered, col(group), col(value), tiebreak,
-        "_o1", "_r"),
-      filtered, group, ("_o1", "_n"))
-    val dec = "decimal(38,0)"
-    val rN = col("_r").cast(dec) * lit(nTotal).cast(dec) +
-      col("_n").cast(dec) - 1
-    val tRank = ((rN - pmod(rN, col("_n").cast(dec))) / col("_n").cast(dec))
-      .cast("long")
     val verdicts = base.select(col(group), col(tiebreak),
-        tRank.as("_t2"))
+        qnTargetRank(nTotal).as("_t2"))
       .join(approx, Seq(group, tiebreak))
-      .join(gridP, Seq("_qa")) // sketch values are observed values → hit
+      .join(gridA, Seq("_qa")) // sketch values are observed values → hit
       .select(col(group), col(tiebreak),
         (col("_apc") >= col("_t2") - slack &&
           col("_alo") < col("_t2") + slack).as("within_bound"))

@@ -600,6 +600,18 @@ object StreamOps {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.operators.{Dedup, LogReg, TextOps, Unigram}
+    // fail-loud replay cap: this harness collects the corpus to the driver
+    // and recomputes the dedup gates over ALL accumulated docs per trigger
+    // (O(n²) total) — correct only at parity-test scale. An accidental
+    // large-sf invocation must error, not OOM the driver; the production
+    // ingest form is FunnelPipeline (state-store gate 1, standing band
+    // index, per-batch stores).
+    val nCorpus = docs.count()
+    require(nCorpus <= 100000L,
+      s"curationFunnelStream is the TEST-SCALE parity harness (driver " +
+        s"replay + per-trigger full-corpus dedup); got $nCorpus docs > " +
+        "100000 — run FunnelPipeline for production-scale ingest")
+    // driver-bounded: require(nCorpus <= 100000) above caps this collect
     val replay = docs
       .select(col("doc_id").cast("long"), col("lang"), col("text"))
       .orderBy(col("doc_id"))
