@@ -1480,34 +1480,7 @@ object SparkEntry {
     // plain re-joins of the EXISTING segmentations — no new training, no
     // new DP, two word-extraction passes. The row a data card prints when
     // choosing the tokenizer.
-    "q_tokenizer_compare" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // held-out slice: the full↔held join below is INNER, so a language
-      // with zero held-out docs drops from the decision card entirely
-      // (documented contract, mirrored by the oracle's inner joins) — a
-      // missing row means "no held-out evidence", not "absent from corpus"
-      val held = docs.filter(col("doc_id") % 7 === 3)
-      def side(tag: String, seg: DataFrame, w: Int): DataFrame = {
-        val full = TextOps.bpeFertilityFrom(docs, "text", "lang", seg, w)
-          .select(col("lang"), col("n_words").as(s"${tag}_n_words"),
-            col("fertility").as(s"${tag}_fertility"))
-        val hf = TextOps.bpeFertilityFrom(held, "text", "lang", seg, w)
-          .select(col("lang"),
-            col("fertility").as(s"${tag}_fertility_heldout"))
-        full.join(hf, Seq("lang"))
-          .withColumn(s"${tag}_gap",
-            floor((col(s"${tag}_fertility_heldout")
-              - col(s"${tag}_fertility")) * 1000000d) / 1000000d)
-      }
-      val bpe = side("bpe", bpeShared(s, dir)._2, BpeMaxWordLen)
-      val uni = side("uni", unigramApplySeg(s, dir), UniW)
-      val vocabs = bpeShared(s, dir)._2
-        .select(explode(split(col("pieces"), " ")).as("_p"))
-        .agg(countDistinct(col("_p")).as("bpe_vocab"))
-        .crossJoin(
-          unigramShared(s, dir)._1.agg(count(lit(1)).as("uni_vocab")))
-      bpe.join(uni, Seq("lang")).crossJoin(broadcast(vocabs))
-    }),
+    "q_tokenizer_compare" -> ((s, dir) => tokenizerCompareFrame(s, dir)),
     // per-doc PERPLEXITY under the self-trained unigram LM — the
     // CCNet-style quality filter (Wenzek et al. 2020): each doc's exact
     // µnat NLL and mean NLL per piece from the word-level Viterbi
@@ -1679,31 +1652,7 @@ object SparkEntry {
     // release card quotes — counts, language breadth, mean length, exact
     // duplication rate, corpus-level stopword ratio. Pure composition of
     // three existing aggregate passes joined on the source key
-    "q_data_card" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      def t6(x: org.apache.spark.sql.Column) = floor(x * 1000000d) / 1000000d
-      val base = docs.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        count_distinct(col("lang")).as("n_langs"),
-        sum(col("n_chars")).as("total_chars"))
-      val toks = TextOps.qualityScore(docs, "doc_id", "text", stopEn)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .groupBy(col("source"))
-        .agg(sum(col("n_tokens")).as("total_tokens"),
-          sum(col("n_stopwords")).as("total_stop"))
-      val dup = Dedup.dedupProfile(docs, "text", Seq("source"))
-        .select(col("source"), col("n_distinct"))
-      base.join(toks, Seq("source")).join(dup, Seq("source"))
-        .select(col("source"), col("n_docs"), col("n_langs"),
-          col("total_tokens"),
-          t6(col("total_chars").cast("double")
-            / col("n_docs").cast("double")).as("mean_chars"),
-          t6((col("n_docs") - col("n_distinct")).cast("double")
-            / col("n_docs").cast("double")).as("dup_rate"),
-          when(col("total_tokens") > 0L,
-            t6(col("total_stop").cast("double")
-              / col("total_tokens").cast("double"))).as("stop_ratio"))
-    }),
+    "q_data_card" -> ((s, dir) => dataCardFrame(s, dir)),
     // corpus semantic diversity: mean pairwise cosine distance over the
     // deterministic md5 quarter-sample (broadcast, fail-loud maxPoints)
     // — near-0 flags a templated/mode-collapsed corpus
@@ -2031,13 +1980,7 @@ object SparkEntry {
     // middle — per stage the surviving doc and token mass (the data-card
     // table a pipeline publishes); every stage rule is an already-
     // oracle-checked operator composed by semi/anti joins
-    "q_curation_funnel" -> ((s, dir) =>
-      funnelStages(s, dir)
-        .map { case (i, name, fr) =>
-          fr.agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
-            .select(lit(i).as("stage_idx"), lit(name).as("stage"),
-              col("n_docs"), col("n_tokens"))
-        }.reduce(_ unionByName _)),
+    "q_curation_funnel" -> ((s, dir) => funnelCardFrame(s, dir)),
     // the LAST MILE from curated corpus to training files: the funnel's
     // kept set assigned to md5-deterministic shards, ordered within each
     // shard by the same md5 key (a reproducible shuffle), and composed
@@ -2064,31 +2007,30 @@ object SparkEntry {
           expr(s"(_excl + _nt - 1) div $PackTokens").as("pack_last"),
           expr(s"_excl % $PackTokens").as("offset_in_pack"))
     }),
-    // the funnel COMPOSED as one live pipeline — the reference's E8 move
-    // (chapter6_exercise/AnalyzeBrowserEvents.java:28) on the curation
-    // tier: all five gates chained in ONE foreachBatch over a doc_id-
-    // ascending MemoryStream replay, cross-batch dedup state, frozen
-    // artifacts (weights / inventory / per-lang ppl boundary) as gate
-    // parameters; the accumulated six stage rows check against the SAME
+    // the funnel COMPOSED as one live PRODUCTION pipeline — the
+    // reference's E8 move (chapter6_exercise/AnalyzeBrowserEvents.java:28)
+    // on the curation tier with E6/E7's durability applied: gate 1 is the
+    // keep-first keyed state machine (checkpoint-restored GroupState),
+    // gate 2 probes the standing on-disk band index, gates 3-5 run
+    // per-row against frozen artifacts, stage accounting is one aggregate
+    // per trigger into a durable store (no driver counters, no replay
+    // collect), ingest is the FILE-MONITOR source over id-ascending
+    // slices. The accumulated six stage rows check against the SAME
     // oracle as q_curation_funnel, so batch/stream parity is the gate
-    "q_curation_funnel_stream" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val vocab = unigramShared(s, dir)._1
-      val cuts = CoreOps.ntileKeyed(
-          docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
-          col("lang"), col("_npp"), "doc_id", 3, "_b", nullsLast = true)
-        .filter(col("_b") =!= 3)
-        .groupBy(col("lang"))
-        .agg(max(struct(col("_npp"), col("doc_id"))).as("_c"))
-        .select(col("lang"), col("_c._npp").cast("long"),
-          col("_c.doc_id").cast("long"))
-        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
-        .toMap
-      graft.streaming.StreamOps.curationFunnelStream(s, docs,
-        docs.filter(col("doc_id") < 20), logregShared(s, dir)._2,
-        vocab, Unigram.zOf(vocab), cuts, MhK, MhBands, MhRows, 0.5,
-        WinnowW, 0.05, LrTokCap, UniW, UniL, numBatches = 4)
-    }),
+    "q_curation_funnel_stream" -> ((s, dir) =>
+      graft.streaming.FunnelPipeline.stageCard(s,
+        funnelPipelineShared(s, dir))),
+    // the INCREMENTAL training export the production funnel writes as it
+    // ingests: survivors append to the shard manifest per trigger with
+    // within-shard positions CONTINUED across batches (per-shard offsets
+    // carried in the pipeline's durable offset store, never recomputed
+    // from scratch) plus the physical writePartitioned corpus. The
+    // deterministic id-range slicing makes the arrival order — and so
+    // every position — oracle-checkable: within a shard the order is
+    // (slice, md5 key, doc_id), which the SQL window below reproduces
+    "q_shard_manifest_stream" -> ((s, dir) =>
+      graft.streaming.FunnelPipeline.exportManifest(s,
+        funnelPipelineShared(s, dir))),
     // the gate-REDUNDANCY card: for every pair of funnel rules, how many
     // ingested docs each would drop ON ITS OWN and how many both drop —
     // the overlap matrix a pipeline owner reads before re-ordering or
@@ -2121,16 +2063,54 @@ object SparkEntry {
     // packed-sequence count ((tokens + P − 1) div P — the concat-and-
     // chunk stream is contiguous within a shard). The md5 assignment's
     // evenness is what this row proves before a training run trusts it
-    "q_shard_summary" -> ((s, dir) =>
-      funnelStages(s, dir).last._3
-        .withColumn("shard",
-          graft.expressions.Md5Expressions.md5Long(
-            col("doc_id").cast("string")) % ShardCount)
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
-        .select(col("shard"), col("n_docs"), col("n_tokens"),
-          expr(s"(n_tokens + $PackTokens - 1) div $PackTokens")
-            .as("n_seqs"))),
+    "q_shard_summary" -> ((s, dir) => shardSummaryFrame(s, dir)),
+    // the corpus RELEASE card: the one long-format frame a dataset release
+    // ships — funnel stage masses, per-source corpus stats, the tokenizer
+    // decision (held-out fertility gap + which tokenizer wins), per-shard
+    // export balance, and the benchmark-contamination summary — PURE
+    // composition over the memoized frames behind q_curation_funnel /
+    // q_data_card / q_tokenizer_compare / q_shard_summary (near-zero new
+    // corpus passes; the one new pass is the contamination gram join,
+    // aggregated on exact int64 sums so the rolled-up rate is
+    // order-independent). Long format (section, item, metric, value) with
+    // every value a double: counts are < 2^53 (exact), ratios trunc6'd
+    "q_release_card" -> ((s, dir) => {
+      def row(section: String, item: org.apache.spark.sql.Column,
+              metric: String, value: org.apache.spark.sql.Column)
+          : DataFrame => DataFrame = df =>
+        df.select(lit(section).as("section"), item.as("item"),
+          lit(metric).as("metric"), value.cast("double").as("value"))
+      val funnel = funnelCardFrame(s, dir).localCheckpoint(true)
+      val dc = dataCardFrame(s, dir).localCheckpoint(true)
+      val tc = tokenizerCompareFrame(s, dir).localCheckpoint(true)
+      val sh = shardSummaryFrame(s, dir)
+      val docs = Tables.documents(s, dir)
+      val cr = Dedup.contaminationRate(docs,
+          docs.filter(col("doc_id") < 20), "doc_id", "text", MhK)
+        .agg(sum(col("n_grams")).as("_g"),
+          sum(col("n_contaminated")).as("_c"),
+          count(when(col("n_contaminated") > 0, lit(1))).as("_f"))
+        .localCheckpoint(true)
+      Seq(
+        row("funnel", col("stage"), "n_docs", col("n_docs"))(funnel),
+        row("funnel", col("stage"), "n_tokens", col("n_tokens"))(funnel),
+        row("source", col("source"), "n_docs", col("n_docs"))(dc),
+        row("source", col("source"), "dup_rate", col("dup_rate"))(dc),
+        row("source", col("source"), "stop_ratio", col("stop_ratio"))(dc),
+        row("tokenizer", col("lang"), "bpe_gap", col("bpe_gap"))(tc),
+        row("tokenizer", col("lang"), "uni_gap", col("uni_gap"))(tc),
+        row("tokenizer", col("lang"), "uni_wins",
+          when(col("uni_fertility_heldout") < col("bpe_fertility_heldout"),
+            1d).otherwise(0d))(tc),
+        row("shards", col("shard").cast("string"), "n_seqs",
+          col("n_seqs"))(sh),
+        row("contamination", lit("corpus"), "gram_rate",
+          floor(col("_c").cast("double") / col("_g").cast("double")
+            * 1000000d) / 1000000d)(cr),
+        row("contamination", lit("corpus"), "n_flagged_docs",
+          col("_f"))(cr)
+      ).reduce(_ unionByName _)
+    }),
     // the data-card number: every doc's share of distinct shingles seen
     // ANYWHERE in the benchmark — one gram-keyed shuffle join, zero-
     // overlap docs included (bench stand-in docs score 1.0 on themselves)
@@ -4905,6 +4885,125 @@ object SparkEntry {
         (4L, "quality_kept", s4), (5L, "ppl_head", s5))
     }
 
+  /** The six-row batch funnel data card (stage_idx, stage, n_docs,
+    * n_tokens) over the memoized stage frames — q_curation_funnel's body,
+    * shared with q_release_card. */
+  private def funnelCardFrame(s: SparkSession, dir: String): DataFrame =
+    funnelStages(s, dir)
+      .map { case (i, name, fr) =>
+        fr.agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      }.reduce(_ unionByName _)
+
+  /** The manifest's per-shard balance card — q_shard_summary's body,
+    * shared with q_release_card: the md5 assignment's evenness is what
+    * this row proves before a training run trusts it. */
+  private def shardSummaryFrame(s: SparkSession, dir: String): DataFrame =
+    funnelStages(s, dir).last._3
+      .withColumn("shard",
+        graft.expressions.Md5Expressions.md5Long(
+          col("doc_id").cast("string")) % ShardCount)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + $PackTokens - 1) div $PackTokens")
+          .as("n_seqs"))
+
+  /** The per-source corpus statistics card — q_data_card's body, shared
+    * with q_release_card. Three grouped passes joined on source; every
+    * ratio one floored division of exact integer sums. */
+  private def dataCardFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def t6(x: org.apache.spark.sql.Column) = floor(x * 1000000d) / 1000000d
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"))
+    val toks = TextOps.qualityScore(docs, "doc_id", "text", stopEn)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_stopwords")).as("total_stop"))
+    val dup = Dedup.dedupProfile(docs, "text", Seq("source"))
+      .select(col("source"), col("n_distinct"))
+    base.join(toks, Seq("source")).join(dup, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("total_tokens"),
+        t6(col("total_chars").cast("double")
+          / col("n_docs").cast("double")).as("mean_chars"),
+        t6((col("n_docs") - col("n_distinct")).cast("double")
+          / col("n_docs").cast("double")).as("dup_rate"),
+        when(col("total_tokens") > 0L,
+          t6(col("total_stop").cast("double")
+            / col("total_tokens").cast("double"))).as("stop_ratio"))
+  }
+
+  /** The BPE-vs-unigram tokenizer decision card — q_tokenizer_compare's
+    * body, shared with q_release_card: pure composition over the two
+    * MEMOIZED training runs. */
+  private def tokenizerCompareFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // held-out slice: the full↔held join below is INNER, so a language
+    // with zero held-out docs drops from the decision card entirely
+    // (documented contract, mirrored by the oracle's inner joins) — a
+    // missing row means "no held-out evidence", not "absent from corpus"
+    val held = docs.filter(col("doc_id") % 7 === 3)
+    def side(tag: String, seg: DataFrame, w: Int): DataFrame = {
+      val full = TextOps.bpeFertilityFrom(docs, "text", "lang", seg, w)
+        .select(col("lang"), col("n_words").as(s"${tag}_n_words"),
+          col("fertility").as(s"${tag}_fertility"))
+      val hf = TextOps.bpeFertilityFrom(held, "text", "lang", seg, w)
+        .select(col("lang"),
+          col("fertility").as(s"${tag}_fertility_heldout"))
+      full.join(hf, Seq("lang"))
+        .withColumn(s"${tag}_gap",
+          floor((col(s"${tag}_fertility_heldout")
+            - col(s"${tag}_fertility")) * 1000000d) / 1000000d)
+    }
+    val bpe = side("bpe", bpeShared(s, dir)._2, BpeMaxWordLen)
+    val uni = side("uni", unigramApplySeg(s, dir), UniW)
+    val vocabs = bpeShared(s, dir)._2
+      .select(explode(split(col("pieces"), " ")).as("_p"))
+      .agg(countDistinct(col("_p")).as("bpe_vocab"))
+      .crossJoin(
+        unigramShared(s, dir)._1.agg(count(lit(1)).as("uni_vocab")))
+    bpe.join(uni, Seq("lang")).crossJoin(broadcast(vocabs))
+  }
+
+  /** ONE completed production-funnel run per (session, sf dir) — the
+    * state-store-backed FunnelPipeline driven from the file-monitor
+    * source over the numBatches=4 id-range slicing, all pipeline state
+    * under a temp directory. q_curation_funnel_stream reads its durable
+    * stage store, q_shard_manifest_stream its export store — the
+    * funnelStages memo pattern applied to the streaming twin. The only
+    * driver traffic building the config is the O(languages) perplexity
+    * boundary fold. */
+  private val funnelPipeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private def funnelPipelineShared(s: SparkSession, dir: String): String =
+    memoShared(funnelPipeCache, s, dir) {
+      val docs = Tables.documents(s, dir)
+      val vocab = unigramShared(s, dir)._1
+      // driver-bounded: O(languages) — one (npp, doc_id) boundary per lang
+      val cuts = CoreOps.ntileKeyed(
+          docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
+          col("lang"), col("_npp"), "doc_id", 3, "_b", nullsLast = true)
+        .filter(col("_b") =!= 3)
+        .groupBy(col("lang"))
+        .agg(max(struct(col("_npp"), col("doc_id"))).as("_c"))
+        .select(col("lang"), col("_c._npp").cast("long"),
+          col("_c.doc_id").cast("long"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val cfg = graft.streaming.FunnelConfig(logregShared(s, dir)._2,
+        Unigram.zOf(vocab), cuts, MhK, MhBands, MhRows, 0.5, WinnowW, 0.05,
+        LrTokCap, UniW, UniL, ShardCount, PackTokens)
+      graft.streaming.FunnelPipeline.runSliced(s, docs,
+        docs.filter(col("doc_id") < 20), vocab, cfg, 4,
+        java.nio.file.Files.createTempDirectory("graft_funnel_").toString)
+    }
+
   /** Each funnel rule's INDEPENDENT drop verdict per ingested doc —
     * (doc_id, _nt, _d0.._d4 for exact/near/decontaminate/quality/ppl) —
     * the un-chained view behind q_gate_overlap. Same artifacts as
@@ -6030,6 +6129,122 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |UNION ALL SELECT 5::BIGINT, 'ppl_head', count(*)::BIGINT,
          |  sum(nt)::BIGINT FROM cs5""".stripMargin
 
+  /** q_data_card's oracle text — shared with the composed
+    * q_release_card oracle. */
+  private lazy val sqlDataCardOracle: String =
+      s"""WITH base AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |        count(DISTINCT lang)::BIGINT AS n_langs,
+         |        sum(n_chars)::BIGINT AS total_chars
+         |      FROM documents GROUP BY 1),
+         |tq AS (SELECT source,
+         |        sum(len($toksSql))::BIGINT AS total_tokens,
+         |        sum(len(list_filter($toksSql,
+         |          x -> x IN ${inList(stopEn)})))::BIGINT AS total_stop
+         |      FROM documents GROUP BY 1),
+         |dd AS (SELECT source,
+         |        count(DISTINCT md5($normSql))::BIGINT AS n_distinct
+         |      FROM documents GROUP BY 1)
+         |SELECT b.source, b.n_docs, b.n_langs, t.total_tokens,
+         |  floor(b.total_chars::DOUBLE / b.n_docs * 1000000) / 1000000
+         |    AS mean_chars,
+         |  floor((b.n_docs - d.n_distinct)::DOUBLE / b.n_docs * 1000000)
+         |    / 1000000 AS dup_rate,
+         |  CASE WHEN t.total_tokens > 0 THEN
+         |    floor(t.total_stop::DOUBLE / t.total_tokens * 1000000)
+         |      / 1000000
+         |  END AS stop_ratio
+         |FROM base b JOIN tq t USING (source) JOIN dd d USING (source)""".stripMargin
+
+  /** q_tokenizer_compare's oracle text — shared with q_release_card. */
+  private lazy val sqlTokenizerCompareOracle: String =
+      s"""WITH ${sqlBpeCtes(BpeIters)},
+         |$sqlUnigramCtes${sqlUnigramDp("ua", "uw", s"uvoc$UniRounds")},
+         |tcsgb AS (SELECT word, count(*)::BIGINT AS np
+         |        FROM bseg$BpeIters GROUP BY 1),
+         |tcsgu AS (SELECT word, len(pieces)::BIGINT AS np FROM uadp),
+         |tcwb AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $BpeMaxWordLen)) AS word
+         |    FROM documents) GROUP BY 1, 2),
+         |tchb AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $BpeMaxWordLen)) AS word
+         |    FROM documents WHERE doc_id % 7 = 3) GROUP BY 1, 2),
+         |tcwu AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM documents) GROUP BY 1, 2),
+         |tchu AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
+         |    SELECT lang, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^a-z]+'),
+         |      x -> x <> '' AND len(x) <= $UniW)) AS word
+         |    FROM documents WHERE doc_id % 7 = 3) GROUP BY 1, 2),
+         |tcfb AS (SELECT w.lang, sum(w.n)::BIGINT AS bpe_n_words,
+         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |              * 1000000) / 1000000 AS bpe_fertility
+         |      FROM tcwb w JOIN tcsgb s USING (word) GROUP BY 1),
+         |tcgb AS (SELECT w.lang,
+         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |              * 1000000) / 1000000 AS bpe_fertility_heldout
+         |      FROM tchb w JOIN tcsgb s USING (word) GROUP BY 1),
+         |tcfu AS (SELECT w.lang, sum(w.n)::BIGINT AS uni_n_words,
+         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |              * 1000000) / 1000000 AS uni_fertility
+         |      FROM tcwu w JOIN tcsgu s USING (word) GROUP BY 1),
+         |tcgu AS (SELECT w.lang,
+         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
+         |              * 1000000) / 1000000 AS uni_fertility_heldout
+         |      FROM tchu w JOIN tcsgu s USING (word) GROUP BY 1),
+         |tcv AS (SELECT
+         |        (SELECT count(DISTINCT sym) FROM bseg$BpeIters)::BIGINT
+         |          AS bpe_vocab,
+         |        (SELECT count(*) FROM uvoc$UniRounds)::BIGINT AS uni_vocab)
+         |SELECT b.lang, b.bpe_n_words, b.bpe_fertility,
+         |  gb.bpe_fertility_heldout,
+         |  floor((gb.bpe_fertility_heldout - b.bpe_fertility) * 1000000)
+         |    / 1000000 AS bpe_gap,
+         |  u.uni_n_words, u.uni_fertility, gu.uni_fertility_heldout,
+         |  floor((gu.uni_fertility_heldout - u.uni_fertility) * 1000000)
+         |    / 1000000 AS uni_gap,
+         |  v.bpe_vocab, v.uni_vocab
+         |FROM tcfb b JOIN tcgb gb USING (lang) JOIN tcfu u USING (lang)
+         |JOIN tcgu gu USING (lang) CROSS JOIN tcv v""".stripMargin
+
+  /** q_shard_summary's oracle text — shared with q_release_card. */
+  private lazy val sqlShardSummaryOracle: String =
+      s"""WITH $sqlCurationFunnelCtes,
+         |sms AS (SELECT ${sqlMd5Long("doc_id::VARCHAR")} % $ShardCount
+         |          AS shard, nt FROM cs5)
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |  sum(nt)::BIGINT AS n_tokens,
+         |  ((sum(nt) + $PackTokens - 1) // $PackTokens)::BIGINT AS n_seqs
+         |FROM sms GROUP BY 1""".stripMargin
+
+  /** q_contamination_rate's oracle text — shared with q_release_card. */
+  private lazy val sqlContaminationRateOracle: String =
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |ntk AS (SELECT doc_id, nt,
+         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
+         |nshg AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= $MhK
+         |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
+         |                   for i in range(0, len(toks)-$MhK+1)]
+         |             ELSE [nt] END AS shingles FROM ntk),
+         |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
+         |cg AS (SELECT doc_id, unnest(list_distinct(hs)) AS g FROM hsh),
+         |bg AS (SELECT DISTINCT g FROM (
+         |         SELECT unnest(list_distinct(hs)) AS g FROM hsh
+         |         WHERE doc_id < 20))
+         |SELECT c.doc_id, count(*)::BIGINT AS n_grams,
+         |  count(b.g)::BIGINT AS n_contaminated,
+         |  floor(count(b.g)::DOUBLE / count(*)::DOUBLE * 1000000) / 1000000
+         |    AS contamination_rate
+         |FROM cg c LEFT JOIN bg b ON c.g = b.g
+         |GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // residuals against the same unrolled fit; the coefficients are
     // trunc6'd doubles identical on both engines, so |y − ŷ| rows match
@@ -6716,62 +6931,7 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
     // the decision card: both training families' CTEs in one WITH
     // (disjoint name spaces, the q_source_quality composition move);
     // held-slice fertilities re-join the SAME frozen segmentations
-    "q_tokenizer_compare" ->
-      s"""WITH ${sqlBpeCtes(BpeIters)},
-         |$sqlUnigramCtes${sqlUnigramDp("ua", "uw", s"uvoc$UniRounds")},
-         |tcsgb AS (SELECT word, count(*)::BIGINT AS np
-         |        FROM bseg$BpeIters GROUP BY 1),
-         |tcsgu AS (SELECT word, len(pieces)::BIGINT AS np FROM uadp),
-         |tcwb AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
-         |    SELECT lang, unnest(list_filter(
-         |      regexp_split_to_array(lower(text), '[^a-z]+'),
-         |      x -> x <> '' AND len(x) <= $BpeMaxWordLen)) AS word
-         |    FROM documents) GROUP BY 1, 2),
-         |tchb AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
-         |    SELECT lang, unnest(list_filter(
-         |      regexp_split_to_array(lower(text), '[^a-z]+'),
-         |      x -> x <> '' AND len(x) <= $BpeMaxWordLen)) AS word
-         |    FROM documents WHERE doc_id % 7 = 3) GROUP BY 1, 2),
-         |tcwu AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
-         |    SELECT lang, unnest(list_filter(
-         |      regexp_split_to_array(lower(text), '[^a-z]+'),
-         |      x -> x <> '' AND len(x) <= $UniW)) AS word
-         |    FROM documents) GROUP BY 1, 2),
-         |tchu AS (SELECT lang, word, count(*)::BIGINT AS n FROM (
-         |    SELECT lang, unnest(list_filter(
-         |      regexp_split_to_array(lower(text), '[^a-z]+'),
-         |      x -> x <> '' AND len(x) <= $UniW)) AS word
-         |    FROM documents WHERE doc_id % 7 = 3) GROUP BY 1, 2),
-         |tcfb AS (SELECT w.lang, sum(w.n)::BIGINT AS bpe_n_words,
-         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
-         |              * 1000000) / 1000000 AS bpe_fertility
-         |      FROM tcwb w JOIN tcsgb s USING (word) GROUP BY 1),
-         |tcgb AS (SELECT w.lang,
-         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
-         |              * 1000000) / 1000000 AS bpe_fertility_heldout
-         |      FROM tchb w JOIN tcsgb s USING (word) GROUP BY 1),
-         |tcfu AS (SELECT w.lang, sum(w.n)::BIGINT AS uni_n_words,
-         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
-         |              * 1000000) / 1000000 AS uni_fertility
-         |      FROM tcwu w JOIN tcsgu s USING (word) GROUP BY 1),
-         |tcgu AS (SELECT w.lang,
-         |        floor(sum(w.n * s.np)::DOUBLE / sum(w.n)::DOUBLE
-         |              * 1000000) / 1000000 AS uni_fertility_heldout
-         |      FROM tchu w JOIN tcsgu s USING (word) GROUP BY 1),
-         |tcv AS (SELECT
-         |        (SELECT count(DISTINCT sym) FROM bseg$BpeIters)::BIGINT
-         |          AS bpe_vocab,
-         |        (SELECT count(*) FROM uvoc$UniRounds)::BIGINT AS uni_vocab)
-         |SELECT b.lang, b.bpe_n_words, b.bpe_fertility,
-         |  gb.bpe_fertility_heldout,
-         |  floor((gb.bpe_fertility_heldout - b.bpe_fertility) * 1000000)
-         |    / 1000000 AS bpe_gap,
-         |  u.uni_n_words, u.uni_fertility, gu.uni_fertility_heldout,
-         |  floor((gu.uni_fertility_heldout - u.uni_fertility) * 1000000)
-         |    / 1000000 AS uni_gap,
-         |  v.bpe_vocab, v.uni_vocab
-         |FROM tcfb b JOIN tcgb gb USING (lang) JOIN tcfu u USING (lang)
-         |JOIN tcgu gu USING (lang) CROSS JOIN tcv v""".stripMargin,
+    "q_tokenizer_compare" -> sqlTokenizerCompareOracle,
 
     // per-doc word counts joined onto the apply DP's exact per-word
     // Viterbi likelihoods; mean NLL floored at the µnat then scaled
@@ -7156,29 +7316,8 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
 
     // three grouped passes joined on source; every ratio one floored
     // division of exact integer sums
-    "q_data_card" ->
-      s"""WITH base AS (SELECT source, count(*)::BIGINT AS n_docs,
-         |        count(DISTINCT lang)::BIGINT AS n_langs,
-         |        sum(n_chars)::BIGINT AS total_chars
-         |      FROM documents GROUP BY 1),
-         |tq AS (SELECT source,
-         |        sum(len($toksSql))::BIGINT AS total_tokens,
-         |        sum(len(list_filter($toksSql,
-         |          x -> x IN ${inList(stopEn)})))::BIGINT AS total_stop
-         |      FROM documents GROUP BY 1),
-         |dd AS (SELECT source,
-         |        count(DISTINCT md5($normSql))::BIGINT AS n_distinct
-         |      FROM documents GROUP BY 1)
-         |SELECT b.source, b.n_docs, b.n_langs, t.total_tokens,
-         |  floor(b.total_chars::DOUBLE / b.n_docs * 1000000) / 1000000
-         |    AS mean_chars,
-         |  floor((b.n_docs - d.n_distinct)::DOUBLE / b.n_docs * 1000000)
-         |    / 1000000 AS dup_rate,
-         |  CASE WHEN t.total_tokens > 0 THEN
-         |    floor(t.total_stop::DOUBLE / t.total_tokens * 1000000)
-         |      / 1000000
-         |  END AS stop_ratio
-         |FROM base b JOIN tq t USING (source) JOIN dd d USING (source)""".stripMargin,
+    "q_data_card" -> sqlDataCardOracle,
+
 
     // the same md5 quarter-sample + brute pairs; per-pair distance
     // floored at 1e-6, one trunc6'd mean out
@@ -7805,6 +7944,31 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |  (excl % $PackTokens)::BIGINT AS offset_in_pack
          |FROM smo""".stripMargin,
 
+    // the INCREMENTAL manifest: same kept set and same md5 shard/pack
+    // arithmetic as q_shard_manifest, but positions follow the pipeline's
+    // arrival order — (slice, ok, doc_id) within each shard, where the
+    // slice is the deterministic id-range batch of the file-monitor
+    // replay (lo/span recomputed here exactly as FunnelPipeline.runSliced
+    // derives them, numBatches = 4)
+    "q_shard_manifest_stream" ->
+      s"""WITH $sqlCurationFunnelCtes,
+         |sbx AS (SELECT min(doc_id) AS lo,
+         |        (max(doc_id) - min(doc_id)) // 4 + 1 AS span
+         |      FROM documents),
+         |ssk AS (SELECT doc_id, nt, ${sqlMd5Long("doc_id::VARCHAR")} AS ok,
+         |        (doc_id - b.lo) // b.span AS slice
+         |      FROM cs5 CROSS JOIN sbx b),
+         |sso AS (SELECT doc_id, nt, ok % $ShardCount AS shard,
+         |        row_number() OVER ssw::BIGINT AS pos,
+         |        (sum(nt) OVER ssw - nt)::BIGINT AS excl
+         |      FROM ssk WINDOW ssw AS (PARTITION BY ok % $ShardCount
+         |        ORDER BY slice, ok, doc_id ROWS UNBOUNDED PRECEDING))
+         |SELECT doc_id, shard, pos, nt AS n_tokens,
+         |  (excl // $PackTokens)::BIGINT AS pack_first,
+         |  ((excl + nt - 1) // $PackTokens)::BIGINT AS pack_last,
+         |  (excl % $PackTokens)::BIGINT AS offset_in_pack
+         |FROM sso""".stripMargin,
+
     // the funnel rules un-chained: each gate's independent drop verdict
     // per ingested doc (EXISTS against the same rule CTEs), the 10 pairs
     // from a VALUES cross — counts engine-exact
@@ -7831,37 +7995,45 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |FROM gpx CROSS JOIN fge GROUP BY 1, 2""".stripMargin,
 
     // the same md5 assignment rolled up per shard
-    "q_shard_summary" ->
-      s"""WITH $sqlCurationFunnelCtes,
-         |sms AS (SELECT ${sqlMd5Long("doc_id::VARCHAR")} % $ShardCount
-         |          AS shard, nt FROM cs5)
-         |SELECT shard, count(*)::BIGINT AS n_docs,
-         |  sum(nt)::BIGINT AS n_tokens,
-         |  ((sum(nt) + $PackTokens - 1) // $PackTokens)::BIGINT AS n_seqs
-         |FROM sms GROUP BY 1""".stripMargin,
+    "q_shard_summary" -> sqlShardSummaryOracle,
+
+    // the release card: every section recomputed from the SAME oracle
+    // texts the individual queries check against, composed as
+    // independently-scoped CTE subqueries (each keeps its own WITH chain);
+    // counts cast to DOUBLE (< 2^53, exact), the contamination roll-up
+    // aggregated on exact int64 sums before its one trunc6'd division
+    "q_release_card" ->
+      s"""WITH rfu AS ($sqlCurationFunnelOracle),
+         |rdc AS ($sqlDataCardOracle),
+         |rtc AS ($sqlTokenizerCompareOracle),
+         |rsh AS ($sqlShardSummaryOracle),
+         |rcr AS ($sqlContaminationRateOracle)
+         |SELECT 'funnel' AS section, stage AS item, 'n_docs' AS metric,
+         |  n_docs::DOUBLE AS value FROM rfu
+         |UNION ALL SELECT 'funnel', stage, 'n_tokens', n_tokens::DOUBLE
+         |  FROM rfu
+         |UNION ALL SELECT 'source', source, 'n_docs', n_docs::DOUBLE
+         |  FROM rdc
+         |UNION ALL SELECT 'source', source, 'dup_rate', dup_rate FROM rdc
+         |UNION ALL SELECT 'source', source, 'stop_ratio', stop_ratio
+         |  FROM rdc
+         |UNION ALL SELECT 'tokenizer', lang, 'bpe_gap', bpe_gap FROM rtc
+         |UNION ALL SELECT 'tokenizer', lang, 'uni_gap', uni_gap FROM rtc
+         |UNION ALL SELECT 'tokenizer', lang, 'uni_wins',
+         |  CASE WHEN uni_fertility_heldout < bpe_fertility_heldout
+         |       THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END FROM rtc
+         |UNION ALL SELECT 'shards', shard::VARCHAR, 'n_seqs',
+         |  n_seqs::DOUBLE FROM rsh
+         |UNION ALL SELECT 'contamination', 'corpus', 'gram_rate',
+         |  floor(sum(n_contaminated)::DOUBLE / sum(n_grams)::DOUBLE
+         |        * 1000000) / 1000000 FROM rcr
+         |UNION ALL SELECT 'contamination', 'corpus', 'n_flagged_docs',
+         |  sum(CASE WHEN n_contaminated > 0 THEN 1 ELSE 0 END)::DOUBLE
+         |  FROM rcr""".stripMargin,
 
     // the same shingle-hash chain; per-doc distinct grams left-join the
     // benchmark's distinct gram set, rate = one floored division
-    "q_contamination_rate" ->
-      s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
-         |ntk AS (SELECT doc_id, nt,
-         |        list_filter(regexp_split_to_array(nt, '\\s+'), x -> x <> '') AS toks FROM nrm),
-         |nshg AS (SELECT doc_id,
-         |        CASE WHEN len(toks) >= $MhK
-         |             THEN [array_to_string(list_slice(toks, i+1, i+$MhK), ' ')
-         |                   for i in range(0, len(toks)-$MhK+1)]
-         |             ELSE [nt] END AS shingles FROM ntk),
-         |hsh AS (SELECT doc_id, list_transform(shingles, s -> ${sqlMd5Int("s")}) AS hs FROM nshg),
-         |cg AS (SELECT doc_id, unnest(list_distinct(hs)) AS g FROM hsh),
-         |bg AS (SELECT DISTINCT g FROM (
-         |         SELECT unnest(list_distinct(hs)) AS g FROM hsh
-         |         WHERE doc_id < 20))
-         |SELECT c.doc_id, count(*)::BIGINT AS n_grams,
-         |  count(b.g)::BIGINT AS n_contaminated,
-         |  floor(count(b.g)::DOUBLE / count(*)::DOUBLE * 1000000) / 1000000
-         |    AS contamination_rate
-         |FROM cg c LEFT JOIN bg b ON c.g = b.g
-         |GROUP BY 1""".stripMargin,
+    "q_contamination_rate" -> sqlContaminationRateOracle,
 
     // md5(path)-ordered window prefix sum (the oracle may use the plain
     // window; the Spark side must not), exclusive-prefix div target

@@ -2017,6 +2017,7 @@ object CoreOps {
     val bucket = timeRangeBucket(d, col("_ord"), n).getOrElse(lit(0))
     val b = d.withColumn("_b", bucket).localCheckpoint(true)
     val dec = col(value).cast("decimal(18,2)")
+    // driver-bounded: O(buckets) rows, like every bucket collect here
     val bucketSums = b.groupBy(col("_b")).agg(sum(dec).as("_t"))
       .collect()
       .map(r => (r.getInt(0), Option(r.getDecimal(1))))
@@ -3882,6 +3883,7 @@ object CoreOps {
     val b = clean.withColumn("_bucket", bucket)
     // exclusive SUFFIX max of y across buckets: later buckets hold
     // strictly larger x, so their max-y dominates by the strict rule
+    // driver-bounded: O(buckets) suffix maxima
     val bucketMax = b.groupBy(col("_bucket"))
       .agg(max(col(y).cast("double")).as("mx"))
       .collect().filter(!_.isNullAt(1))

@@ -774,6 +774,7 @@ object Similarity {
     val sub = dims / m
     (0 until m).map { mi =>
       val slicedEmb = emb.select(col(id), slice(col(vec), mi * sub + 1, sub).as(vec))
+      // driver-bounded: O(k · dims/m) codebook floats (config constants)
       kmeansCentroids(slicedEmb, id, vec, sub, k, iters)
         .orderBy(col(id))
         .select(col(vec))

@@ -877,6 +877,7 @@ object TextOps {
           col("freq"))
         .filter(col("nxt").isNotNull)
         .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("cnt"))
+      // driver-bounded: O(1) — the single winning merge row per round
       val win = pairs.orderBy(col("cnt").desc, col("sym"), col("nxt"))
         .limit(1).collect()
       require(win.nonEmpty,
@@ -977,6 +978,7 @@ object TextOps {
       require(merges.columns.contains(c),
         s"bpeEncode expects bpeLearn's merge table (merge_rank, lhs, " +
           s"rhs, ...); missing '$c'"))
+    // driver-bounded: O(merges) plan literals, capped at 4096 below
     val ms = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
       .orderBy(col("merge_rank")).collect()
       .map(r => (r.getString(1), r.getString(2)))

@@ -89,6 +89,13 @@ case class ThrottleDecision(key: String, tiebreak: Long, event_ms: Long,
 /** One remembered event per key — the twin of Flink's ValueState pair. */
 case class LastSeen(kind: String, tsMs: Long)
 
+/** A document keyed by its content fingerprint for the keep-first dedup
+  * machine; `th` is TextOps.fingerprint(text) computed upstream. */
+case class HashedDoc(th: String, doc_id: Long, lang: String, text: String)
+/** keepFirst's output: the document plus its gate-1 verdict. */
+case class GatedDoc(doc_id: Long, lang: String, text: String,
+                    is_first: Boolean)
+
 /** Page-Hinkley walk state per key: event count, value sum, the PH
   * statistic m, and its running minimum. */
 case class PhState(n: Long, s: Long, m: Long, mn: Long)
@@ -317,6 +324,37 @@ object StateMachines {
             case None    =>
           }
           out.iterator
+        }
+    }
+
+  implicit val hashedDocEnc: Encoder[HashedDoc] = Encoders.product[HashedDoc]
+  implicit val gatedDocEnc: Encoder[GatedDoc] = Encoders.product[GatedDoc]
+  private implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+
+  /** Exact-dedup keep-first as a keyed state machine — the state-store-
+    * backed form of the curation funnel's first gate (the reference's E7
+    * restorable ValueState, chapter5/StatefulOperations.java:88-100,
+    * applied to dedup): per content fingerprint, ONE boolean of state
+    * ("seen"), restored from the checkpoint across restarts. The first
+    * document of a fingerprint — by doc_id within a batch, by arrival
+    * across batches — emits `is_first = true`; every later duplicate
+    * emits `false` (emitting the verdict instead of dropping keeps the
+    * funnel's per-stage accounting downstream). Under an id-ascending
+    * replay keep-first IS exactDedup's min-id canonical rule, which is
+    * how FunnelPipeline proves this against the batch funnel oracle.
+    * State grows with DISTINCT fingerprints (RocksDB territory at 100 TB);
+    * the horizon-bounded alternative is StreamOps.dedupStream's
+    * dropDuplicatesWithinWatermark, which trades unbounded exactness for
+    * watermark-bounded state. */
+  def keepFirst(docs: Dataset[HashedDoc]): Dataset[GatedDoc] =
+    docs.groupByKey(_.th).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: String, it: Iterator[HashedDoc], state: GroupState[Boolean]) =>
+        val rows = it.toArray.sortBy(_.doc_id)
+        val seen = state.exists
+        if (!seen && rows.nonEmpty) state.update(true)
+        rows.iterator.zipWithIndex.map { case (d, i) =>
+          GatedDoc(d.doc_id, d.lang, d.text, !seen && i == 0)
         }
     }
 

@@ -214,6 +214,8 @@ object StreamOps {
                       ref: DataFrame, refCat: String): DataFrame = {
     require(!ref.isStreaming,
       "windowedKlDrift's baseline must be a static frame")
+    // driver-bounded: O(categories) — the static baseline folds to a
+    // plan literal (the windowedKlDrift contract)
     val refCounts = ref.filter(col(refCat).isNotNull)
       .groupBy(col(refCat).cast("string").as("c")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -238,6 +240,8 @@ object StreamOps {
                   ref: DataFrame, refCat: String): DataFrame = {
     require(!ref.isStreaming,
       "windowedPsi's baseline must be a static frame")
+    // driver-bounded: O(categories) — the static baseline folds to a
+    // plan literal (the windowedKlDrift contract)
     val refCounts = ref.filter(col(refCat).isNotNull)
       .groupBy(col(refCat).cast("string").as("c")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -264,6 +268,8 @@ object StreamOps {
                         ref: DataFrame, refCat: String): DataFrame = {
     require(!ref.isStreaming,
       "windowedHellinger's baseline must be a static frame")
+    // driver-bounded: O(categories) — the static baseline folds to a
+    // plan literal (the windowedKlDrift contract)
     val refCounts = ref.filter(col(refCat).isNotNull)
       .groupBy(col(refCat).cast("string").as("c")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -291,6 +297,8 @@ object StreamOps {
                   ref: DataFrame, refCat: String): DataFrame = {
     require(!ref.isStreaming,
       "windowedJsd's baseline must be a static frame")
+    // driver-bounded: O(categories) — the static baseline folds to a
+    // plan literal (the windowedKlDrift contract)
     val refCounts = ref.filter(col(refCat).isNotNull)
       .groupBy(col(refCat).cast("string").as("c")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -81,6 +81,34 @@ object StreamDemo {
       s" (observer counted $observed ingested records)")
     q1.stop(); q2.stop(); q2b.stop(); q2c.stop()
 
+    // E8 at the curation tier, PRODUCTION form: the composed five-gate
+    // funnel over a file-monitored doc directory — keep-first GroupState
+    // (checkpoint-restored), standing on-disk band index, durable stage/
+    // export stores; one doc file per trigger, dups arriving in later
+    // files dropped by the carried state
+    {
+      import spark.implicits._
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      val vocab = ('a' to 'z').map(c => (c.toString, 1L)).toDF("piece", "cnt")
+      val cfg = graft.streaming.FunnelConfig(Array(0L, 0L, 0L),
+        graft.operators.Unigram.zOf(vocab),
+        Map("en" -> ((Long.MaxValue, Long.MaxValue))),
+        3, 8, 2, 0.5, 4, 0.05, 127L, 12, 4, 8L, 512L)
+      val docs = Seq(
+        (1L, "en", base),
+        (2L, "en", "a completely different body of words right here"),
+        (3L, "en", base),             // exact dup of 1, a later trigger
+        (4L, "en", base + " extra"))  // near-dup of 1, a later trigger
+        .toDF("doc_id", "lang", "text")
+      val bench = docs.filter(col("doc_id") < 0)
+      val dir = Files.createTempDirectory("graft_demo_funnel").toString
+      graft.streaming.FunnelPipeline.runSliced(spark, docs, bench, vocab,
+        cfg, 4, dir)
+      println("[demo] production curation funnel, 4 file-monitored triggers:")
+      graft.streaming.FunnelPipeline.stageCard(spark, dir)
+        .orderBy("stage_idx").show(truncate = false)
+    }
+
     // E4 + E5 shapes on the in-engine rate source: continuous session
     // summaries and a windowed Create↔Delete self-join over the synthetic
     // audit stream, with per-batch observed metrics. Rate sources never
@@ -345,6 +373,7 @@ object StreamDemo {
         max(col("batch_duration_ms")).as("max_batch_ms"))
       .orderBy(col("query_name"))
     println("[demo] streaming-ops dashboard (from StreamObs.progressFrame):")
+    // driver-bounded: O(queries) dashboard rows
     rollup.collect().foreach(r => println(
       f"[demo]   ${r.getString(0)}%-18s rows_in=${r.getLong(1)}%-6d " +
         f"max_state_rows=${r.getLong(2)}%-5d late_drops=${r.getLong(3)}%-3d " +

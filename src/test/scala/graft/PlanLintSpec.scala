@@ -193,4 +193,45 @@ class PlanLintSpec extends SparkSpec {
       }
     }
   }
+
+  test("driver-collect lint: every .collect() in main source sits next to " +
+      "a documented driver-side bound, and the production funnel path " +
+      "collects nothing") {
+    // A .collect() folds a frame into the driver: fine for O(1)/O(buckets)/
+    // O(categories) frames, a scale bug for anything data-proportional
+    // (the round-12 verdict on the old q_curation_funnel_stream replay).
+    // The physical plan cannot expose collects — they happen at query
+    // CONSTRUCTION — so the lint is a source walk: each site must carry an
+    // explicit bound within the preceding lines ("driver-bounded" or an
+    // O(...) statement), which forces every new collect to argue its size
+    // in writing where the reviewer (and this lint) can see it.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val walk = java.nio.file.Files.walk(root)
+    val files = try walk.iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toList finally walk.close()
+    assert(files.nonEmpty, "no main sources found — wrong working dir?")
+    val marker = java.util.regex.Pattern.compile(
+      "driver-bounded|O\\(1\\)|O\\([A-Za-z√·×., ()/·+-]+\\)")
+    val violations = files.flatMap { f =>
+      val lines = java.nio.file.Files.readAllLines(f).asScala.toVector
+      lines.zipWithIndex.collect {
+        case (line, i) if line.contains(".collect()") &&
+            !line.trim.startsWith("//") =>
+          val window = lines.slice(math.max(0, i - 10), i + 1).mkString("\n")
+          if (marker.matcher(window).find()) None
+          else Some(s"$f:${i + 1}: $line")
+      }.flatten
+    }
+    assert(violations.isEmpty,
+      "undocumented driver collect(s) — state the bound (\"driver-bounded:" +
+        " O(...)\") within 10 lines above, or re-plan distributed:\n" +
+        violations.mkString("\n"))
+    // the production ingest path must not collect AT ALL — its stage
+    // accounting is relational (the round-13 contract)
+    val funnel = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "src/main/scala/graft/streaming/FunnelPipeline.scala"))
+    assert(!funnel.contains(".collect()"),
+      "FunnelPipeline must keep its accounting relational — no collects")
+  }
 }

@@ -193,4 +193,71 @@ class RecoverySpec extends SparkSpec {
       s"post-restart sketch diverged: $rec vs $straight")
     assert(rec.size == 2)
   }
+
+  test("FunnelPipeline: a restart restores the keep-first GroupState, the " +
+      "standing band index, and the durable stage/export stores — an exact " +
+      "dup and a near-dup of PRE-STOP originals arriving while DOWN are " +
+      "still dropped, and the card equals an uninterrupted run") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val batch1 = Seq(
+      (1L, "en", base),
+      (2L, "en", "completely different words here body text"),
+      (3L, "en", "another unrelated document body entirely fresh"))
+    val batch2 = Seq( // arrives while the pipeline is DOWN
+      (4L, "en", base),                         // exact dup of doc 1: drop
+                                                // needs the RESTORED
+                                                // fingerprint GroupState
+      (5L, "en", base + " with more tacked on"), // near-dup of doc 1: drop
+                                                 // needs the persisted
+                                                 // band index
+      (6L, "en", "a third standalone body of words entirely"))
+    val vocab = ('a' to 'z').map(c => (c.toString, 1L)).toDF("piece", "cnt")
+    val cfg = FunnelConfig(Array(0L, 0L, 0L),
+      graft.operators.Unigram.zOf(vocab),
+      Map("en" -> ((Long.MaxValue, Long.MaxValue))),
+      3, 8, 2, 0.5, 4, 0.05, 127L, 12, 4, 8L, 512L)
+    val bench = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    val schema = batch1.toDF("doc_id", "lang", "text").schema
+    def drain(dir: String): Unit = { // one process generation
+      val q = FunnelPipeline.start(spark,
+        spark.readStream.schema(schema).parquet(s"$dir/in"), dir, bench,
+        vocab, cfg)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def addFile(dir: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    def card(dir: String): Seq[(Long, String, Long, Option[Long])] =
+      FunnelPipeline.stageCard(spark, dir)
+        .as[(Long, String, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    val dir = tmp("graft_fprec")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    addFile(dir, batch1)
+    drain(dir)           // generation 1, then STOP
+    addFile(dir, batch2) // lands while down
+    drain(dir)           // generation 2: same checkpoint + stores
+    val recovered = card(dir)
+    val straightDir = tmp("graft_fprec2")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$straightDir/in"))
+    addFile(straightDir, batch1); addFile(straightDir, batch2)
+    drain(straightDir)   // uninterrupted twin over the same files
+    assert(recovered == card(straightDir),
+      s"recovered card diverged: $recovered vs ${card(straightDir)}")
+    assert(recovered.map(r => (r._2, r._3)) == Seq(
+      ("ingested", 6L), ("exact_dedup", 5L), ("near_dedup", 4L),
+      ("decontaminated", 4L), ("quality_kept", 4L), ("ppl_head", 4L)),
+      s"got $recovered")
+    // the export positions also continued across the restart
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val manifest = FunnelPipeline.exportManifest(spark, dir)
+    val perShard = manifest.groupBy(col("shard"))
+      .agg(max(col("pos")).as("mx"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    assert(perShard.forall(r => r._2 == r._3),
+      s"positions not dense per shard after restart: ${perShard.toSeq}")
+    assert(manifest.count() == 4L)
+  }
 }

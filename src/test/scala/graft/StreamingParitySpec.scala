@@ -1522,4 +1522,107 @@ class StreamingParitySpec extends SparkSpec {
       ("ingested", 5L), ("exact_dedup", 4L), ("near_dedup", 3L),
       ("decontaminated", 3L), ("quality_kept", 3L), ("ppl_head", 3L)))
   }
+
+  // ── the PRODUCTION funnel (FunnelPipeline): state-store gate 1,
+  // standing band index gate 2, durable stage/export stores ──
+
+  private val fpBase =
+    "the quick brown fox jumps over the lazy dog again and again"
+  private val fpDocs = Seq(
+    (1L, "en", fpBase),                                // kept
+    (2L, "en", fpBase + " extra"),                     // near-dup of 1 (same slice at nb=3)
+    (3L, "en", "completely different words here body text"), // kept
+    (4L, "en", fpBase),                                // exact dup of 1, LATER slice
+    (5L, "en", "another unrelated document body entirely fresh"), // kept
+    (6L, "en", null.asInstanceOf[String]),             // no text -> not ingested
+    (7L, "en", fpBase + " with more tacked on")        // near-dup of 1, LATER slice
+  )
+  private def fpConfig = {
+    // trivial frozen artifacts (the harness test's): zero weights score
+    // everything 500000 (pred true); single-char inventory segments any
+    // word; a +inf boundary keeps every scored doc — gates 3-5 pass all,
+    // isolating the two genuinely STATEFUL gates
+    val vocab = ('a' to 'z').map(c => (c.toString, 1L)).toDF("piece", "cnt")
+    (vocab, FunnelConfig(Array(0L, 0L, 0L),
+      graft.operators.Unigram.zOf(vocab),
+      Map("en" -> ((Long.MaxValue, Long.MaxValue))),
+      3, 8, 2, 0.5, 4, 0.05, 127L, 12, 4, 8L, 512L))
+  }
+
+  test("FunnelPipeline: the card is slice-invariant, the restored-state " +
+      "gates catch an exact dup and a near-dup arriving in LATER batches, " +
+      "and per-batch stage rows account one file at a time") {
+    val docs = fpDocs.toDF("doc_id", "lang", "text")
+    val bench = docs.filter(col("doc_id") < 0) // empty benchmark
+    val (vocab, cfg) = fpConfig
+    def run(nb: Int): (String, Seq[(Long, String, Long, Option[Long])]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+      FunnelPipeline.runSliced(spark, docs, bench, vocab, cfg, nb, dir)
+      (dir, FunnelPipeline.stageCard(spark, dir)
+        .as[(Long, String, Long, Option[Long])].collect().toSeq.sortBy(_._1))
+    }
+    val (_, whole) = run(1)
+    // nb=3 over ids 1..7: span = 3 → slices {1,2,3}, {4,5,6}, {7} — the
+    // exact dup (4) and one near-dup (7) arrive AFTER their originals,
+    // so dropping them requires the keep-first GroupState and the band
+    // index to carry across micro-batches
+    val (dir3, split) = run(3)
+    assert(whole == split, s"slice-variant funnel: $whole vs $split")
+    assert(whole.map(r => (r._2, r._3)) == Seq(
+      ("ingested", 6L), ("exact_dedup", 5L), ("near_dedup", 3L),
+      ("decontaminated", 3L), ("quality_kept", 3L), ("ppl_head", 3L)),
+      s"got $whole")
+    // one stage-store directory per FILE, each accounting only its slice
+    val perBatch = spark.read.parquet(s"$dir3/stages")
+      .filter(col("stage") === "ingested")
+      .select(col("b"), col("n_docs")).as[(Int, Long)].collect().toMap
+    assert(perBatch == Map(0 -> 3L, 1 -> 2L, 2 -> 1L), s"got $perBatch")
+    // and the physical corpus holds exactly the survivors, shard-partitioned
+    val corpus = spark.read.parquet(s"$dir3/corpus")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(corpus == Set(1L, 3L, 5L), s"got $corpus")
+  }
+
+  test("FunnelPipeline: the incremental shard export equals the " +
+      "from-scratch manifest at every trigger boundary") {
+    // distinct texts: every doc survives all five gates
+    val docs = (1L to 9L).map(i => (i, "en",
+      s"unique document number word$i with body words alpha$i beta$i " +
+        s"gamma$i delta$i")).toDF("doc_id", "lang", "text")
+    val bench = docs.filter(col("doc_id") < 0)
+    val (vocab, cfg0) = fpConfig
+    val cfg = cfg0.copy(packTokens = 7L) // small packs exercise the math
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpx").toString
+    FunnelPipeline.runSliced(spark, docs, bench, vocab, cfg, 3, dir)
+    val got = spark.read.parquet(s"$dir/export")
+      .select(col("b").cast("long"), col("doc_id"), col("shard"),
+        col("pos"), col("n_tokens"), col("pack_first"), col("pack_last"),
+        col("offset_in_pack"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.map(_._2).sorted == (1L to 9L), s"missing docs: $got")
+    // independent brute force: per shard, order by (batch, md5 key,
+    // doc_id) and replay positions/offsets in plain Scala — for EVERY
+    // batch prefix (positions of earlier batches must be final the
+    // moment they are written, not retroactively consistent)
+    val ok = docs.select(col("doc_id"),
+        graft.expressions.Md5Expressions.md5Long(col("doc_id")
+          .cast("string")).as("ok"))
+      .as[(Long, Long)].collect().toMap
+    for (prefix <- 1 to 3) {
+      val rows = got.filter(_._1 < prefix)
+      val expected = rows.groupBy(_._3).flatMap { case (_, members) =>
+        val sorted = members.sortBy(m => (m._1, ok(m._2), m._2))
+        var pos = 0L; var excl = 0L
+        sorted.map { m =>
+          pos += 1; val e = excl; excl += m._5
+          (m._1, m._2, m._3, pos, m._5,
+            e / 7L, (e + m._5 - 1) / 7L, e % 7L)
+        }
+      }.toSet
+      assert(rows.toSet == expected,
+        s"prefix $prefix: ${rows.toSet.diff(expected)} vs " +
+          s"${expected.diff(rows.toSet)}")
+    }
+  }
 }
