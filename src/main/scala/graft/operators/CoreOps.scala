@@ -4095,7 +4095,10 @@ object CoreOps {
       .filter(guard.isNull)
       .groupBy(col(group), col(value).cast("long").as("_v"))
       .agg(sum(col(weight).cast("long")).as("_w"))
-      .localCheckpoint(true) // feeds the cumulative and the totals join
+      // still checkpointed post-fusion: the scan's own bounds aggregate
+      // (timeRangeBucket) reads the input BEFORE its internal checkpoint,
+      // so dropping this would re-run the groupBy shuffle twice
+      .localCheckpoint(true)
     // cumulative weight AND group total from ONE keyed bucketed prefix
     // scan (the fused WithTotals form: the totals ride the same
     // O(keys × buckets) offsets frame and join) — never a PARTITION BY

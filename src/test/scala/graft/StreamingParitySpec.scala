@@ -1583,6 +1583,19 @@ class StreamingParitySpec extends SparkSpec {
     assert(corpus == Set(1L, 3L, 5L), s"got $corpus")
   }
 
+  test("FunnelPipeline: an empty corpus yields the all-zero six-row card " +
+      "with NULL token mass and an empty manifest (no crash, no rows)") {
+    val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val (vocab, cfg) = fpConfig
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpe").toString
+    FunnelPipeline.runSliced(spark, docs, docs, vocab, cfg, 2, dir)
+    val card = FunnelPipeline.stageCard(spark, dir)
+      .as[(Long, String, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(card.map(r => (r._3, r._4)) == Seq.fill(6)((0L, None)),
+      s"got $card")
+    assert(FunnelPipeline.exportManifest(spark, dir).count() == 0L)
+  }
+
   test("FunnelPipeline: the incremental shard export equals the " +
       "from-scratch manifest at every trigger boundary") {
     // distinct texts: every doc survives all five gates
