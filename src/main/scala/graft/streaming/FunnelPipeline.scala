@@ -78,6 +78,15 @@ object FunnelPipeline {
   private def committed(dir: String, bid: Long): Boolean =
     Files.exists(Paths.get(s"$dir/stages/b=$bid/_SUCCESS"))
 
+  /** TEST-ONLY fault injection: when set, processBatch throws ONCE right
+    * after the given batch id's export/offsets writes land but BEFORE the
+    * stages commit marker — the worst crash window (side stores written,
+    * batch uncommitted). RecoverySpec uses it to prove the replay
+    * contract: foreachBatch re-runs the batch with the SAME id, every
+    * per-batch directory is overwritten idempotently, and nothing
+    * double-counts. Never set outside tests. */
+  @volatile private[graft] var failBeforeCommitOnce: Option[Long] = None
+
   /** Start the composed funnel over any streaming frame with columns
     * (doc_id, lang, text). `bench` is the static decontamination
     * benchmark; `vocab` the frozen unigram inventory. All pipeline state
@@ -261,6 +270,12 @@ object FunnelPipeline {
         (coalesce(col("n_tokens"), lit(0L)) + coalesce(col("_bt"), lit(0L)))
           .as("n_tokens"))
       .write.mode("overwrite").parquet(s"$dir/offsets/b=$bid")
+
+    failBeforeCommitOnce.filter(_ == bid).foreach { _ =>
+      failBeforeCommitOnce = None
+      throw new IllegalStateException(
+        s"injected crash before the stages commit of batch $bid (test hook)")
+    }
 
     // ── stage accounting: ONE aggregate, reshaped relationally (no
     // driver-side counters, no collect), written LAST = the commit ──
