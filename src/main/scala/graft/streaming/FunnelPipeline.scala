@@ -297,6 +297,50 @@ object FunnelPipeline {
   private val stageNames = Seq("ingested", "exact_dedup", "near_dedup",
     "decontaminated", "quality_kept", "ppl_head")
 
+  /** OFFLINE maintenance for the standing band index: fold the
+    * per-trigger `b=<id>` delta directories of `index/bands` and
+    * `index/grams` into ONE consolidated snapshot (kept under the highest
+    * committed batch id, so the probe's read path never changes). The
+    * per-trigger appends are exactly the small-files failure
+    * CorpusLayout's scaladoc warns about — after N triggers every probe
+    * lists and opens N delta directories; compaction restores O(1).
+    * Contract: run while the pipeline is STOPPED (any offline compaction's
+    * contract). Crash-safe by semantics, not by atomicity: duplicate
+    * index rows are harmless (the probe dedups candidate pairs and the
+    * verified drop set), so a crash between the consolidated write and
+    * the delta deletes only leaves redundant rows — re-running heals.
+    * The snapshot materializes eagerly BEFORE any directory is touched
+    * (it reads the very directories it replaces). */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    Seq("bands", "grams").foreach { store =>
+      val root = Paths.get(s"$dir/index/$store")
+      if (Files.exists(root)) {
+        val listing = Files.list(root)
+        val deltas = try listing.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("b="))
+          .map(_.getFileName.toString.stripPrefix("b=").toLong)
+          .toList finally listing.close()
+        if (deltas.size > 1) {
+          val maxBid = deltas.max
+          val snap = spark.read.parquet(root.toString).drop("b")
+            .repartition(math.max(
+              spark.sessionState.conf.numShufflePartitions / 4, 1))
+            .localCheckpoint(true) // materialize before touching dirs
+          snap.write.mode("overwrite").parquet(s"$root/b=$maxBid")
+          deltas.filter(_ != maxBid).foreach { bid =>
+            val victim = root.resolve(s"b=$bid")
+            val walk = Files.walk(victim)
+            try walk.iterator().asScala.toList.reverse
+              .foreach(Files.deleteIfExists(_))
+            finally walk.close()
+          }
+        }
+      }
+    }
+  }
+
   /** The six-row data card accumulated across every committed trigger —
     * a sum over the durable stage store, so it reads the same after a
     * crash/restart as after an uninterrupted run. Empty stages carry

@@ -2177,4 +2177,39 @@ class CoreOpsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(multi == want)
   }
+
+  test("orderedPrefixSumsKeyedWithTotals: the fused grand totals equal the " +
+      "separate groupBy-sum join (NULL keys and NULL values included), " +
+      "the running sums are untouched, and unknown totals columns fail") {
+    val df = Seq((Some("a"), 1L, Some(10L), 1L), (Some("a"), 3L, None, 2L),
+        (Some("a"), 9L, Some(5L), 3L), (None, 2L, Some(7L), 4L),
+        (None, 4L, Some(2L), 5L), (Some("b"), 1L, None, 6L))
+      .toDF("k", "t", "v", "id")
+    val fused = CoreOps.orderedPrefixSumsKeyedWithTotals(df, col("k"),
+        col("t"), "id", Seq("v" -> "run"), Seq("v" -> "tot"))
+      .select("id", "run", "tot")
+      .as[(Long, Option[Long], Option[Long])].collect
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val runs = CoreOps.orderedPrefixSumKeyed(df, col("k"), col("t"), "id",
+        "v", "run")
+      .select("id", "run").as[(Long, Option[Long])].collect.toMap
+    // the unfused total: a grouped sum joined back NULL-SAFELY (the
+    // joinGroupTotals convention — a NULL key is a group of its own)
+    val tots = df.select(col("k"), col("id"))
+      .join(df.groupBy(col("k").as("k2")).agg(sum(col("v")).as("tot")),
+        col("k") <=> col("k2"), "left")
+      .select("id", "tot").as[(Long, Option[Long])].collect.toMap
+    df.select("id").as[Long].collect.foreach { id =>
+      assert(fused(id) == ((runs(id), tots(id))), s"row $id: ${fused(id)}")
+    }
+    // a NULL key is a group of its own: rows 4+5 share one total
+    assert(fused(4L)._2.contains(9L) && fused(5L)._2.contains(9L))
+    // key b has only NULL values: total stays NULL, not 0
+    assert(fused(6L)._2.isEmpty)
+    val bad = intercept[IllegalArgumentException] {
+      CoreOps.orderedPrefixSumsKeyedWithTotals(df, col("k"), col("t"), "id",
+        Seq("v" -> "run"), Seq("t" -> "tt"))
+    }
+    assert(bad.getMessage.contains("must also be a `sums` value column"))
+  }
 }

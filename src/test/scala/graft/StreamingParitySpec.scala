@@ -1583,6 +1583,45 @@ class StreamingParitySpec extends SparkSpec {
     assert(corpus == Set(1L, 3L, 5L), s"got $corpus")
   }
 
+  test("FunnelPipeline.compactIndex folds the per-trigger index deltas " +
+      "into one snapshot, and a near-dup of PRE-COMPACTION history is " +
+      "still dropped by a post-compaction restart") {
+    val docs = Seq(
+      (1L, "en", fpBase),
+      (2L, "en", "completely different words here body text"),
+      (3L, "en", "another unrelated document body entirely fresh"),
+      (4L, "en", "a fourth standalone body of words entirely its own"))
+      .toDF("doc_id", "lang", "text")
+    val bench = docs.filter(col("doc_id") < 0)
+    val (vocab, cfg) = fpConfig
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpc").toString
+    FunnelPipeline.runSliced(spark, docs, bench, vocab, cfg, 4, dir)
+    def deltaCount(store: String): Int =
+      new java.io.File(s"$dir/index/$store")
+        .listFiles().count(f => f.isDirectory && f.getName.startsWith("b="))
+    assert(deltaCount("bands") == 4 && deltaCount("grams") == 4)
+    FunnelPipeline.compactIndex(spark, dir)
+    assert(deltaCount("bands") == 1 && deltaCount("grams") == 1,
+      s"got ${deltaCount("bands")}/${deltaCount("grams")} deltas")
+    // resume ingest on the compacted index: a near-dup of doc 1 (which
+    // now lives only in the snapshot) must still be caught
+    Seq((9L, "en", fpBase + " with more tacked on"),
+        (10L, "en", "genuinely novel words appear in this one"))
+      .toDF("doc_id", "lang", "text").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val q = FunnelPipeline.start(spark,
+      spark.readStream.schema(docs.schema).parquet(s"$dir/in"), dir, bench,
+      vocab, cfg)
+    try q.processAllAvailable() finally q.stop()
+    val card = FunnelPipeline.stageCard(spark, dir)
+      .as[(Long, String, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    // 6 ingested total; no exact dups; doc 9 dropped at near-dedup
+    assert(card.map(r => (r._2, r._3)) == Seq(
+      ("ingested", 6L), ("exact_dedup", 6L), ("near_dedup", 5L),
+      ("decontaminated", 5L), ("quality_kept", 5L), ("ppl_head", 5L)),
+      s"got $card")
+  }
+
   test("FunnelPipeline: an empty corpus yields the all-zero six-row card " +
       "with NULL token mass and an empty manifest (no crash, no rows)") {
     val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
