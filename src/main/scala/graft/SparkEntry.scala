@@ -54,6 +54,13 @@ object SparkEntry {
   // adamic-adar: middle-degree cap (keeps part middles, excludes supplier
   // hubs on the co-sourcing graph) and emitted top pairs
   private val AaMaxDeg = 64; private val AaTopN = 100
+  // quality-gate what-if grid (logistic score_ppm cuts); 500000 IS the
+  // funnel's live boundary, so that row must reproduce stage ppl_head
+  private val GateSweepThrs = Seq(300000L, 400000L, 500000L, 600000L,
+    700000L)
+  // near-dup what-if grid (jaccard pct cuts); 50 IS the pipeline's
+  // verify floor, so that row must reproduce stage ppl_head too
+  private val NearDupSweepThrs = Seq(50, 60, 70, 80, 90)
   // Page-Hinkley drift tolerance / alarm threshold, in cents (δ=1.00,
   // λ=500.00 — fires ~37 alarms on the sf0.01 corpus, probed)
   private val PhDelta = 100L; private val PhLambda = 50000L
@@ -1216,8 +1223,9 @@ object SparkEntry {
         .select(col("event_id"), col("arr_ms"))),
 
     // ── extensions: dedup / text / similarity ─────────────────────────────
-    "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")),
+    // shared with the funnel's gate 1 and the rule flags (the fingerprint
+    // groupBy runs once per session — exactDedupShared)
+    "q_dedup_exact" -> ((s, dir) => exactDedupShared(s, dir)),
     // per-(source, lang) duplication profile — exact distinct fingerprints
     "q_dedup_profile" -> ((s, dir) =>
       Dedup.dedupProfile(Tables.documents(s, dir), "text", Seq("source", "lang"))),
@@ -1805,27 +1813,21 @@ object SparkEntry {
       dupClustersShared(s, dir)),
     // entity resolution end-to-end: edit-distance pairs (provable-recall
     // prefix filter) fed into the SAME pointer-jumping closure — records
-    // within 2 edits transitively collapse to one canonical id
-    "q_entity_clusters" -> ((s, dir) => {
-      val heads = Tables.documents(s, dir)
-        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
-        .filter(length(col("head")) >= 15)
-      Dedup.dupClusters(Dedup.fuzzyPairs(heads, "doc_id", "head", 5, 2),
-        "doc_a", "doc_b")
-    }),
+    // within 2 edits transitively collapse to one canonical id. The
+    // verified pair frame is shared with q_fuzzy_pairs/q_linkage_score
+    // (fuzzyPairsShared): the q-gram filter + banded verify runs once
+    "q_entity_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(fuzzyPairsShared(s, dir), "doc_a", "doc_b")),
     // Fellegi-Sunter log-odds over the SAME fuzzy candidates: field
     // agreement on (lang, source, 16-char length bucket) weighted by
     // data-estimated u-probabilities — rare-value agreement counts more
     "q_linkage_score" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val heads = docs
-        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
-        .filter(length(col("head")) >= 15)
       Dedup.linkageScore(
         docs.select(col("doc_id"), col("lang"), col("source"),
           expr("n_chars div 16").as("len_bucket")),
         "doc_id", Seq("lang", "source", "len_bucket"),
-        Dedup.fuzzyPairs(heads, "doc_id", "head", 5, 2),
+        fuzzyPairsShared(s, dir),
         "doc_a", "doc_b")
     }),
     // fuzzy string self-join: doc-head pairs within 2 edits via q-gram
@@ -1837,12 +1839,7 @@ object SparkEntry {
     // keep 1.1M for the same exact output (k never changes the result,
     // only the candidate set — the guard bound (maxDist+1)*k=15 still
     // clears every 24-char head)
-    "q_fuzzy_pairs" -> ((s, dir) => {
-      val heads = Tables.documents(s, dir)
-        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
-        .filter(length(col("head")) >= 15) // (maxDist+1)*k — the guard's bound
-      Dedup.fuzzyPairs(heads, "doc_id", "head", 5, 2)
-    }),
+    "q_fuzzy_pairs" -> ((s, dir) => fuzzyPairsShared(s, dir)),
     // the same pair set via the Pass-Join segment scheme (pigeonhole:
     // 2 edits can't touch all 3 segments) — 81k candidates where the
     // 5-gram prefix filter generates 1.1M at sf0.1. Same brute-force
@@ -1969,12 +1966,9 @@ object SparkEntry {
     // doc's content (winnow-fp candidates, shingle-set CONTAINMENT verify —
     // a short benchmark item inside a long doc scores 1.0 where Jaccard
     // stays near 0); the stand-in benchmark is the 20 lowest doc ids
-    "q_decontaminate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.contaminationPairs(docs, docs.filter(col("doc_id") < 20),
-          "doc_id", "text", MhK, WinnowW, 0.05)
-        .filter(col("doc_id") =!= col("bench_id")) // the stand-in overlaps itself
-    }),
+    // shared with the funnel's gate 3 and the rule flags (the winnowing +
+    // containment-verify pipeline runs once — contaminationPairsShared)
+    "q_decontaminate" -> ((s, dir) => contaminationPairsShared(s, dir)),
     // the WHOLE curation pipeline as one funnel: ingested → exact-dedup
     // canonical → decontaminated → classifier-kept → perplexity head/
     // middle — per stage the surviving doc and token mass (the data-card
@@ -2058,6 +2052,66 @@ object SparkEntry {
           col(s"_n${i}_$j").as("n_drop_both"))
       }
       row.select(explode(array(stacked: _*)).as("_p")).select(col("_p.*"))
+    }),
+    // the quality-cut WHAT-IF curve: where would the funnel land if the
+    // logistic gate moved? For each candidate score_ppm cut, the kept
+    // doc/token mass of the FULL funnel with only that knob changed —
+    // upstream gates (stage 3 frame) and the downstream ppl-head set are
+    // the memoized artifacts, so the sweep is one inner join, one semi
+    // join, ONE aggregate of conditional sums exploded to the grid (the
+    // q_dup_curve shape; never one pass per threshold). The 500000 row
+    // is the live boundary and must equal q_curation_funnel's ppl_head
+    // row — pinned in CurationSpec
+    "q_gate_sweep" -> ((s, dir) => {
+      val s3 = funnelStages(s, dir)(3)._3
+      val scored = qualityScoredShared(s, dir)
+        .select(col("doc_id"), col("score_ppm"))
+      val base = s3.join(scored, Seq("doc_id"))
+        .join(pplHeadShared(s, dir), Seq("doc_id"), "left_semi")
+      val aggs = GateSweepThrs.flatMap(t => Seq(
+        coalesce(sum(when(col("score_ppm") >= lit(t), 1L)
+          .otherwise(0L)), lit(0L)).as(s"_d$t"),
+        coalesce(sum(when(col("score_ppm") >= lit(t), col("_nt"))
+          .otherwise(0L)), lit(0L)).as(s"_t$t")))
+      base.groupBy().agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(GateSweepThrs.map(t =>
+          struct(lit(t).as("thr_ppm"), col(s"_d$t").as("n_docs"),
+            col(s"_t$t").as("n_tokens"))): _*)).as("_r"))
+        .select(col("_r.thr_ppm"), col("_r.n_docs"), col("_r.n_tokens"))
+    }),
+    // the dedup-aggressiveness WHAT-IF: the same funnel with only the
+    // near-dup verify threshold moved — per jaccard cut, the kept
+    // doc/token mass when a doc is dropped iff some LOWER-id verified
+    // neighbor reaches that similarity. All other gates ride the
+    // memoized per-doc rule flags (funnelRuleDrops); the per-doc max
+    // lower-id-neighbor jaccard is one agg over the memoized verified
+    // pair frame; the grid is ONE aggregate of conditional sums (the
+    // q_dup_curve shape). Thresholds live in [0.5, 0.9] — pairs BELOW
+    // the pipeline's 0.5 verify floor are unverified by design, so the
+    // 50 row is the live funnel (= q_curation_funnel's ppl_head row;
+    // spec-pinned with the sweep's monotonicity — LOOSENING the cut
+    // keeps more)
+    "q_neardup_sweep" -> ((s, dir) => {
+      val flags = funnelRuleDrops(s, dir)
+      val mj = nearDupPairs(s, dir)
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(max(col("jaccard")).as("_mj"))
+      val base = flags
+        .filter(!col("_d0") && !col("_d2") && !col("_d3") && !col("_d4"))
+        .join(mj, Seq("doc_id"), "left")
+      val keep = (t: Int) => col("_mj").isNull || col("_mj") < lit(t / 100d)
+      val aggs = NearDupSweepThrs.flatMap(t => Seq(
+        coalesce(sum(when(keep(t), 1L).otherwise(0L)), lit(0L))
+          .as(s"_d$t"),
+        coalesce(sum(when(keep(t), col("_nt")).otherwise(0L)), lit(0L))
+          .as(s"_t$t")))
+      base.groupBy().agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(NearDupSweepThrs.map(t =>
+          struct(lit(t.toLong).as("threshold_pct"),
+            col(s"_d$t").as("n_docs"),
+            col(s"_t$t").as("n_tokens"))): _*)).as("_r"))
+        .select(col("_r.threshold_pct"), col("_r.n_docs"),
+          col("_r.n_tokens"))
     }),
     // the manifest's balance card: per shard, kept docs / token mass /
     // packed-sequence count ((tokens + P − 1) div P — the concat-and-
@@ -3933,23 +3987,19 @@ object SparkEntry {
         BfsRounds)),
     // sampled harmonic centrality from the SAME seed set: per node,
     // Σ 10⁶ div d(seed, node) over the per-seed distance fields — the
-    // disconnection-safe closeness a 100 TB graph can actually afford
+    // disconnection-safe closeness a 100 TB graph can actually afford.
+    // harmonic and betweenness run on the same seeds at the same hop
+    // cap, so the per-seed BFS is memoized (centDistShared) and the two
+    // queries pay for it once
     "q_harmonic" -> ((s, dir) =>
-      Graph.harmonicCentrality(bidirected(s, dir), "src", "dst",
-        Tables.lineitem(s, dir)
-          .filter(pmod(col("l_suppkey"), lit(CentSeedMod)) === 0)
-          .select((col("l_suppkey") * 2).as("node")).distinct(),
-        CentRounds)),
+      Graph.harmonicCentralityFrom(centDistShared(s, dir))),
     // sampled Brandes betweenness from the same seeds: σ forward, δ
     // backward over each seed's shortest-path DAG, every δ term a
     // truncating decimal div to ppm — the bridge/broker gauge degree
-    // and PageRank both miss
+    // and PageRank both miss; shares centDistShared's BFS
     "q_betweenness" -> ((s, dir) =>
-      Graph.betweennessSampled(bidirected(s, dir), "src", "dst",
-        Tables.lineitem(s, dir)
-          .filter(pmod(col("l_suppkey"), lit(CentSeedMod)) === 0)
-          .select((col("l_suppkey") * 2).as("node")).distinct(),
-        CentRounds)),
+      Graph.betweennessSampledFrom(centDistShared(s, dir),
+        bidirected(s, dir), "src", "dst", CentRounds)),
     // how good is the tokens-per-char line? — per-language quantiles of
     // the absolute residual against q_regression's own fit: the
     // coefficients (trunc6'd, engine-identical) broadcast back onto the
@@ -4310,16 +4360,17 @@ object SparkEntry {
     // past AaMaxDeg are excluded BEFORE the wedge join (1/ln(deg) weight
     // vanishes exactly where the join would blow up), so at this corpus
     // the surfaced pairs are supplier-supplier co-purchase predictions
-    // through part middles (deg ≤ ~41)
+    // through part middles (deg ≤ ~41). AA and neighbor-Jaccard rank the
+    // SAME candidate pair frame — the wedge join runs once
+    // (commonNeighborStats, memoized+persisted) and each query is its
+    // own TakeOrderedAndProject over it
     "q_adamic_adar" -> ((s, dir) =>
-      Graph.adamicAdar(coSourcingEdges(s, dir), "src", "dst",
-        AaMaxDeg, AaTopN)),
+      Graph.adamicAdarFrom(commonNeighborShared(s, dir), AaTopN)),
     // the size-normalized sibling: what FRACTION of the combined
     // neighborhoods is shared — endpoint degrees exact, middles capped
-    // before the wedge join like AA
+    // before the wedge join like AA; same shared pair frame
     "q_neighbor_jaccard" -> ((s, dir) =>
-      Graph.neighborJaccard(coSourcingEdges(s, dir), "src", "dst",
-        AaMaxDeg, AaTopN)),
+      Graph.neighborJaccardFrom(commonNeighborShared(s, dir), AaTopN)),
     // TPC-H Q15 shape (top supplier by quarter revenue): grouped exact
     // cents, the max rides back as a 1-row broadcast, the tie-safe
     // equality compares the DECIMAL cents (never the derived double),
@@ -4625,6 +4676,60 @@ object SparkEntry {
       Dedup.lshJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         MhK, MhBands, MhRows, 0.5))
 
+  /** The exact-dedup canonical frame (fingerprint → min-id canonical +
+    * copy count) — q_dedup_exact emits it whole; the funnel's gate 1
+    * and the un-chained rule flags reduce it to the canonical id set.
+    * One fingerprint groupBy per (session, sf dir) instead of three. */
+  private val exactDedupCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def exactDedupShared(s: SparkSession, dir: String): DataFrame =
+    memoPersist(exactDedupCache, s, dir)(
+      Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text"))
+
+  /** The verified benchmark-contamination pair frame (self-overlap
+    * removed) — q_decontaminate emits it whole; the funnel's gate 3 and
+    * the rule flags reduce it to the flagged doc set. The winnowing +
+    * containment-verify pipeline runs once per (session, sf dir). */
+  private val contPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def contaminationPairsShared(s: SparkSession,
+                                       dir: String): DataFrame =
+    memoPersist(contPairsCache, s, dir)({
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationPairs(docs, docs.filter(col("doc_id") < 20),
+          "doc_id", "text", MhK, WinnowW, 0.05)
+        .filter(col("doc_id") =!= col("bench_id")) // the stand-in overlaps itself
+    })
+
+  /** The corpus scored under the frozen quality classifier —
+    * (doc_id, score_ppm, pred); the funnel's gate 4, the rule flags,
+    * and q_gate_sweep are all views over this one map-only pass. */
+  private val qualityScoredCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def qualityScoredShared(s: SparkSession,
+                                  dir: String): DataFrame =
+    memoShared(qualityScoredCache, s, dir)(
+      LogReg.score(logregFeatures(s, dir), "label", Seq("x_len", "x_div"),
+          logregShared(s, dir)._2, Seq("doc_id"))
+        .select(col("doc_id"), col("score_ppm"), col("pred"))
+        .localCheckpoint(true))
+
+  /** The verified 2-edit doc-head pair frame — q_fuzzy_pairs,
+    * q_entity_clusters, and q_linkage_score are all views over it, so
+    * the q-gram prefix filter + banded-levenshtein verify runs once per
+    * (session, sf dir) instead of three times (the nearDupPairs
+    * convention). k=5 / maxDist=2 / 24-char heads with the >= 15 length
+    * floor — (maxDist+1)*k = 15 is the prefix-filter guard's bound. */
+  private val fuzzyPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def fuzzyPairsShared(s: SparkSession, dir: String): DataFrame =
+    memoPersist(fuzzyPairsCache, s, dir)({
+      val heads = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+        .filter(length(col("head")) >= 15)
+      Dedup.fuzzyPairs(heads, "doc_id", "head", 5, 2)
+    })
+
   /** The (event_type, day-of-week) contingency frame shared by q_chi2 and
     * q_cramers_v: dow from floor-division of truncated epoch-ms (engine-
     * exact integer arithmetic, mirroring the oracle's `//` and `%`). */
@@ -4839,6 +4944,22 @@ object SparkEntry {
     * share ONE funnel run per (session, dir). */
   private val funnelCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(Long, String, DataFrame)]]
+  /** The funnel's ppl-head doc set (terciles 1–2 of per-lang bigram-LM
+    * perplexity) — the fifth gate's keep set, memoized because the gate
+    * sweep re-anchors on it at every alternative quality threshold.
+    * Tercile stage via the distributed keyed rank (ntileKeyed), never a
+    * per-lang window sort — same values, scale-safe plan; nullsLast pins
+    * the oracle's ORDER BY NULL default (moot: _npp never NULL). */
+  private val pplHeadCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def pplHeadShared(s: SparkSession, dir: String): DataFrame =
+    memoShared(pplHeadCache, s, dir)(
+      CoreOps.ntileKeyed(
+          docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
+          col("lang"), col("_npp"), "doc_id", 3, "_b", nullsLast = true)
+        .filter(col("_b") =!= 3).select(col("doc_id"))
+        .localCheckpoint(true))
+
   private def funnelStages(s: SparkSession,
                            dir: String): Seq[(Long, String, DataFrame)] =
     memoShared(funnelCache, s, dir) {
@@ -4848,7 +4969,7 @@ object SparkEntry {
           size(TextOps.tokens(lower(col("text")))).cast("long").as("_nt"))
         .filter(col("_nt") > 0L)
         .localCheckpoint(true) // every stage reads it
-      val canon = Dedup.exactDedup(all, "doc_id", "text")
+      val canon = exactDedupShared(s, dir)
         .select(col("canonical_id").as("doc_id"))
       val s1 = s0.join(canon, Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
@@ -4859,26 +4980,15 @@ object SparkEntry {
         .select(col("doc_b").as("doc_id")).distinct()
       val s2 = s1.join(nearDrop, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
-      val contaminated = Dedup.contaminationPairs(all,
-          all.filter(col("doc_id") < 20), "doc_id", "text", MhK, WinnowW,
-          0.05)
-        .filter(col("doc_id") =!= col("bench_id"))
+      val contaminated = contaminationPairsShared(s, dir)
         .select(col("doc_id")).distinct()
       val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
-      val quality = LogReg.score(logregFeatures(s, dir), "label",
-          Seq("x_len", "x_div"), logregShared(s, dir)._2, Seq("doc_id"))
+      val quality = qualityScoredShared(s, dir)
         .filter(col("pred")).select(col("doc_id"))
       val s4 = s3.join(quality, Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
-      // tercile stage via the distributed keyed rank (ntileKeyed), never
-      // a per-lang window sort — same values, scale-safe plan; nullsLast
-      // pins the oracle's ORDER BY NULL default (moot: _npp never NULL)
-      val headMid = CoreOps.ntileKeyed(
-          docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
-          col("lang"), col("_npp"), "doc_id", 3, "_b", nullsLast = true)
-        .filter(col("_b") =!= 3).select(col("doc_id"))
-      val s5 = s4.join(headMid, Seq("doc_id"), "left_semi")
+      val s5 = s4.join(pplHeadShared(s, dir), Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
       Seq((0L, "ingested", s0), (1L, "exact_dedup", s1),
         (2L, "near_dedup", s2), (3L, "decontaminated", s3),
@@ -5013,28 +5123,19 @@ object SparkEntry {
     .empty[(SparkSession, String), DataFrame]
   private def funnelRuleDrops(s: SparkSession, dir: String): DataFrame =
     memoPersist(funnelDropsCache, s, dir) {
-      val all = Tables.documents(s, dir)
       val s0 = funnelStages(s, dir).head._3
-      val canon = Dedup.exactDedup(all, "doc_id", "text")
+      val canon = exactDedupShared(s, dir)
         .select(col("canonical_id").as("doc_id"), lit(true).as("_k0"))
       val near = nearDupPairs(s, dir)
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("_x1", lit(true))
-      val cont = Dedup.contaminationPairs(all,
-          all.filter(col("doc_id") < 20), "doc_id", "text", MhK, WinnowW,
-          0.05)
-        .filter(col("doc_id") =!= col("bench_id"))
+      val cont = contaminationPairsShared(s, dir)
         .select(col("doc_id")).distinct()
         .withColumn("_x2", lit(true))
-      val qual = LogReg.score(logregFeatures(s, dir), "label",
-          Seq("x_len", "x_div"), logregShared(s, dir)._2, Seq("doc_id"))
+      val qual = qualityScoredShared(s, dir)
         .filter(col("pred")).select(col("doc_id"))
         .withColumn("_k3", lit(true))
-      val headMid = CoreOps.ntileKeyed(
-          docPpl(s, dir).withColumn("_npp", expr("nll_scaled div n_pieces")),
-          col("lang"), col("_npp"), "doc_id", 3, "_b", nullsLast = true)
-        .filter(col("_b") =!= 3).select(col("doc_id"))
-        .withColumn("_k4", lit(true))
+      val headMid = pplHeadShared(s, dir).withColumn("_k4", lit(true))
       s0.join(canon, Seq("doc_id"), "left")
         .join(near, Seq("doc_id"), "left")
         .join(cont, Seq("doc_id"), "left")
@@ -5146,6 +5247,31 @@ object SparkEntry {
         .select((col("l_suppkey") * 2).as("src"),
           (col("l_partkey") * 2 + 1).as("dst"))
         .distinct().localCheckpoint(true))
+
+  /** The fused common-neighbor pair frame q_adamic_adar and
+    * q_neighbor_jaccard both rank — the wedge self-join, anti join, and
+    * degree work run once (Graph.commonNeighborStats), persisted so the
+    * second score is a TakeOrderedAndProject over cached rows. */
+  private val cnStatsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def commonNeighborShared(s: SparkSession,
+                                   dir: String): DataFrame =
+    memoPersist(cnStatsCache, s, dir)(
+      Graph.commonNeighborStats(coSourcingEdges(s, dir), "src", "dst",
+        AaMaxDeg))
+
+  /** The per-seed BFS distance frame q_harmonic and q_betweenness both
+    * consume (same CentSeedMod seeds, same CentRounds hop cap) —
+    * checkpointed once, O(|seeds|·|reached|) rows. */
+  private val centDistCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def centDistShared(s: SparkSession, dir: String): DataFrame =
+    memoShared(centDistCache, s, dir)(
+      Graph.bfsDistancesPerSeed(bidirected(s, dir), "src", "dst",
+        Tables.lineitem(s, dir)
+          .filter(pmod(col("l_suppkey"), lit(CentSeedMod)) === 0)
+          .select((col("l_suppkey") * 2).as("node")).distinct(),
+        CentRounds).localCheckpoint(true))
 
   /** The synthesized (old, new) corpus snapshot pair for the diff
     * queries: v2 drops doc_id%11==3, appends " v2" to doc_id%7==2's
@@ -7993,6 +8119,55 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |  sum(CASE WHEN ds[ia] AND ds[ib] THEN 1 ELSE 0 END)::BIGINT
          |    AS n_drop_both
          |FROM gpx CROSS JOIN fge GROUP BY 1, 2""".stripMargin,
+
+    // the sweep re-anchors the funnel's quality cut: per-doc score_ppm is
+    // clq's sigmoid WITHOUT the 500000 filter; survivors at t = stage-3
+    // docs scoring >= t that sit in the ppl head
+    "q_gate_sweep" -> {
+      val sums = GateSweepThrs.map(t =>
+        s"""COALESCE(sum(CASE WHEN score_ppm >= $t THEN 1 ELSE 0 END), 0)::BIGINT AS d$t,
+           |  COALESCE(sum(CASE WHEN score_ppm >= $t THEN nt ELSE 0 END), 0)::BIGINT AS t$t""".stripMargin)
+        .mkString(",\n  ")
+      val rows = GateSweepThrs.map(t =>
+        s"SELECT CAST($t AS BIGINT) AS thr_ppm, d$t AS n_docs, t$t AS n_tokens FROM gsc")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $sqlCurationFunnelCtes,
+         |gsq AS (SELECT f.doc_id,
+         |    floor(1000000.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x_len + w.w2 * f.x_div)::DOUBLE) / 1000000.0)))::BIGINT AS score_ppm
+         |  FROM lf f CROSS JOIN lw$LrRounds w),
+         |gsb AS (SELECT s.nt, q.score_ppm FROM cs3 s JOIN gsq q USING (doc_id)
+         |  WHERE EXISTS (SELECT 1 FROM cph p WHERE p.doc_id = s.doc_id)),
+         |gsc AS (SELECT $sums
+         |FROM gsb)
+         |$rows""".stripMargin
+    },
+
+    // the dedup-aggressiveness sweep: per-doc max lower-id-neighbor
+    // jaccard over the verified pair set; all other gates as flags
+    "q_neardup_sweep" -> {
+      val j = "len(list_intersect(a.sh, b.sh))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
+      val sums = NearDupSweepThrs.map(t =>
+        s"""COALESCE(sum(CASE WHEN mj IS NULL OR mj < ${t / 100d} THEN 1 ELSE 0 END), 0)::BIGINT AS d$t,
+           |  COALESCE(sum(CASE WHEN mj IS NULL OR mj < ${t / 100d} THEN nt ELSE 0 END), 0)::BIGINT AS t$t""".stripMargin)
+        .mkString(",\n  ")
+      val rows = NearDupSweepThrs.map(t =>
+        s"SELECT CAST($t AS BIGINT) AS threshold_pct, d$t AS n_docs, t$t AS n_tokens FROM nsc")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $sqlCurationFunnelCtes,
+         |nsj AS (SELECT c.doc_b AS doc_id, max($j) AS mj
+         |  FROM mcand c JOIN mshs a ON c.doc_a = a.doc_id
+         |               JOIN mshs b ON c.doc_b = b.doc_id
+         |  WHERE $j >= 0.5 GROUP BY 1),
+         |nsb AS (SELECT f.nt, j.mj FROM cf0 f LEFT JOIN nsj j USING (doc_id)
+         |  WHERE EXISTS (SELECT 1 FROM cdd d WHERE d.doc_id = f.doc_id)
+         |    AND NOT EXISTS (SELECT 1 FROM ccont c WHERE c.doc_id = f.doc_id)
+         |    AND EXISTS (SELECT 1 FROM clq q WHERE q.doc_id = f.doc_id)
+         |    AND EXISTS (SELECT 1 FROM cph p WHERE p.doc_id = f.doc_id)),
+         |nsc AS (SELECT $sums
+         |FROM nsb)
+         |$rows""".stripMargin
+    },
 
     // the same md5 assignment rolled up per shard
     "q_shard_summary" -> sqlShardSummaryOracle,

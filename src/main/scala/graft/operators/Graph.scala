@@ -508,7 +508,14 @@ object Graph {
     * (node, n_reached, harmonic_ppm). */
   def harmonicCentrality(edges: DataFrame, src: String, dst: String,
                          seeds: DataFrame, rounds: Int): DataFrame =
-    bfsDistancesPerSeed(edges, src, dst, seeds, rounds)
+    harmonicCentralityFrom(bfsDistancesPerSeed(edges, src, dst, seeds,
+      rounds))
+
+  /** harmonicCentrality's aggregation view over a bfsDistancesPerSeed
+    * frame — lets a caller share ONE BFS between this and
+    * betweennessSampledFrom when both run on the same seeds/rounds. */
+  def harmonicCentralityFrom(dist: DataFrame): DataFrame =
+    dist
       .filter(col("dist") > 0L)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_reached"),
@@ -533,10 +540,22 @@ object Graph {
     * (node, bc_ppm) for every node some seed reaches at dist ≥ 1
     * (zeros kept: "on no shortest path" is a finding). */
   def betweennessSampled(edges: DataFrame, src: String, dst: String,
-                         seeds: DataFrame, rounds: Int): DataFrame = {
+                         seeds: DataFrame, rounds: Int): DataFrame =
+    betweennessSampledFrom(
+      bfsDistancesPerSeed(edges, src, dst, seeds, rounds),
+      edges, src, dst, rounds)
+
+  /** betweennessSampled's Brandes passes over a precomputed
+    * bfsDistancesPerSeed frame — the BFS is the piece harmonic
+    * centrality shares, so a caller running both memoizes `dist` and
+    * pays for it once. `rounds` must match the hop cap the frame was
+    * built with (levels past it simply don't exist in the frame). */
+  def betweennessSampledFrom(distIn: DataFrame, edges: DataFrame,
+                             src: String, dst: String,
+                             rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1,50], got $rounds")
-    val dist = bfsDistancesPerSeed(edges, src, dst, seeds, rounds)
+    val dist = distIn
       .localCheckpoint(true) // shared: DAG induction, σ seed, δ init
     val e = edges.select(col(src).as("_src"), col(dst).as("_dst"))
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
@@ -1293,14 +1312,36 @@ object Graph {
     * (aa_scaled DESC, node_a ASC, node_b ASC).
     * Emits topN × (node_a, node_b, n_common, aa_scaled). */
   def adamicAdar(edges: DataFrame, src: String, dst: String,
-                 maxMiddleDegree: Int, topN: Int): DataFrame = {
+                 maxMiddleDegree: Int, topN: Int): DataFrame =
+    adamicAdarFrom(
+      commonNeighborStats(edges, src, dst, maxMiddleDegree), topN)
+
+  /** The fused common-neighbor pair frame adamicAdar and neighborJaccard
+    * are both views over — ONE wedge self-join instead of two. The two
+    * scores rank the same candidate set (non-adjacent canonical pairs
+    * sharing >= 1 common neighbor of degree in [2, maxMiddleDegree]) and
+    * differ only in the per-pair arithmetic, so every heavy pass —
+    * distinct canonical edges, the degree aggregation, the capped
+    * adjacency build, the wedge self-join on the middle, the
+    * existing-edge anti join, and the pair-count aggregation — runs once
+    * here; each consumer is just its own TakeOrderedAndProject. A caller
+    * registering both scores should memoize THIS frame. Integer math is
+    * documented on the two consumers and is unchanged by the fusion: the
+    * same wedge rows feed the same aggregates. Emits one row per
+    * candidate pair: (node_a, node_b, n_common, aa_scaled, deg_a, deg_b,
+    * jac_scaled). The endpoint-degree joins can never drop a pair — a
+    * wedge endpoint is adjacent to its middle, so it always has a degree
+    * row. */
+  def commonNeighborStats(edges: DataFrame, src: String, dst: String,
+                          maxMiddleDegree: Int): DataFrame = {
     require(maxMiddleDegree >= 2, s"maxMiddleDegree must be >= 2 (a common" +
       s" neighbor has degree >= 2), got $maxMiddleDegree")
-    require(topN >= 1, s"topN must be >= 1, got $topN")
     val emitted = Seq("node_a", "node_b", "n_common", "aa_scaled",
+      "deg_a", "deg_b", "jac_scaled",
       "_a", "_b", "_w", "_dw", "_qw", "_n", "node", "deg")
     require(!emitted.contains(src) && !emitted.contains(dst),
-      s"adamicAdar emits/uses ${emitted.mkString(", ")}; rename inputs")
+      s"commonNeighborStats emits/uses ${emitted.mkString(", ")}; " +
+        "rename inputs")
     val sa = col(src).cast("string"); val sb = col(dst).cast("string")
     val und = edges
       .select(least(sa, sb).as("_a"), greatest(sa, sb).as("_b"))
@@ -1311,29 +1352,43 @@ object Graph {
     val deg = und.select(col("_a").as("node"))
       .union(und.select(col("_b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // middle cap + both endpoint joins
     // adjacency oriented middle→endpoint, middles capped BEFORE the join
     val adj = und.select(col("_a").as("_w"), col("_b").as("_n"))
       .union(und.select(col("_b").as("_w"), col("_a").as("_n")))
       .join(deg.filter(col("deg") >= 2 && col("deg") <= maxMiddleDegree)
         .select(col("node").as("_w"), col("deg").as("_dw")), Seq("_w"))
       .localCheckpoint(true)
-    val wedges = adj
-      .join(adj.select(col("_w"), col("_n").as("_b2"), col("_dw")
-        .as("_dw2")), Seq("_w"))
+    adj
+      .join(adj.select(col("_w"), col("_n").as("_b2")), Seq("_w"))
       .filter(col("_n") < col("_b2"))
       .select(col("_n").as("_a"), col("_b2").as("_b"),
         InfoTheory.qlog(col("_dw")).as("_qw"))
-    wedges
       .join(und, Seq("_a", "_b"), "left_anti")
       .groupBy(col("_a"), col("_b"))
       .agg(count(lit(1)).as("n_common"),
         // true integer division (`div`), NOT `/` — Column./ on integrals
         // promotes to double and a 1-ulp rounding could cross an integer
         sum(expr("CAST(1000000000000 AS BIGINT) div _qw")).as("aa_scaled"))
-      .orderBy(col("aa_scaled").desc, col("_a"), col("_b"))
-      .limit(topN)
+      .join(deg.select(col("node").as("_a"), col("deg").as("deg_a")),
+        Seq("_a"))
+      .join(deg.select(col("node").as("_b"), col("deg").as("deg_b")),
+        Seq("_b"))
+      .withColumn("jac_scaled", expr(
+        "(n_common * CAST(1000000 AS BIGINT)) div (deg_a + deg_b - n_common)"))
       .select(col("_a").as("node_a"), col("_b").as("node_b"),
-        col("n_common"), col("aa_scaled"))
+        col("n_common"), col("aa_scaled"), col("deg_a"), col("deg_b"),
+        col("jac_scaled"))
+  }
+
+  /** adamicAdar's ranking view over a commonNeighborStats frame. */
+  def adamicAdarFrom(stats: DataFrame, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    stats
+      .orderBy(col("aa_scaled").desc, col("node_a"), col("node_b"))
+      .limit(topN)
+      .select(col("node_a"), col("node_b"), col("n_common"),
+        col("aa_scaled"))
   }
 
   /** Neighborhood-Jaccard link prediction — Adamic-Adar's size-normalized
@@ -1350,46 +1405,18 @@ object Graph {
     * emitted `jaccard` is one double division. Emits
     * (node_a, node_b, n_common, deg_a, deg_b, jac_scaled, jaccard). */
   def neighborJaccard(edges: DataFrame, src: String, dst: String,
-                      maxMiddleDegree: Int, topN: Int): DataFrame = {
-    require(maxMiddleDegree >= 2, s"maxMiddleDegree must be >= 2 (a common" +
-      s" neighbor has degree >= 2), got $maxMiddleDegree")
+                      maxMiddleDegree: Int, topN: Int): DataFrame =
+    neighborJaccardFrom(
+      commonNeighborStats(edges, src, dst, maxMiddleDegree), topN)
+
+  /** neighborJaccard's ranking view over a commonNeighborStats frame. */
+  def neighborJaccardFrom(stats: DataFrame, topN: Int): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    val emitted = Seq("node_a", "node_b", "n_common", "deg_a", "deg_b",
-      "jac_scaled", "jaccard", "_a", "_b", "_w", "_dw", "_n", "node", "deg")
-    require(!emitted.contains(src) && !emitted.contains(dst),
-      s"neighborJaccard emits/uses ${emitted.mkString(", ")}; rename inputs")
-    val sa = col(src).cast("string"); val sb = col(dst).cast("string")
-    val und = edges
-      .select(least(sa, sb).as("_a"), greatest(sa, sb).as("_b"))
-      .filter(col("_a").isNotNull && col("_b").isNotNull
-        && col("_a") =!= col("_b"))
-      .distinct()
-      .localCheckpoint(true) // degrees, adjacency, and the anti join
-    val deg = und.select(col("_a").as("node"))
-      .union(und.select(col("_b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val adj = und.select(col("_a").as("_w"), col("_b").as("_n"))
-      .union(und.select(col("_b").as("_w"), col("_a").as("_n")))
-      .join(deg.filter(col("deg") >= 2 && col("deg") <= maxMiddleDegree)
-        .select(col("node").as("_w")), Seq("_w"))
-      .localCheckpoint(true)
-    adj
-      .join(adj.select(col("_w"), col("_n").as("_b2")), Seq("_w"))
-      .filter(col("_n") < col("_b2"))
-      .select(col("_n").as("_a"), col("_b2").as("_b"))
-      .join(und, Seq("_a", "_b"), "left_anti")
-      .groupBy(col("_a"), col("_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(deg.select(col("node").as("_a"), col("deg").as("deg_a")),
-        Seq("_a"))
-      .join(deg.select(col("node").as("_b"), col("deg").as("deg_b")),
-        Seq("_b"))
-      .withColumn("jac_scaled", expr(
-        "(n_common * CAST(1000000 AS BIGINT)) div (deg_a + deg_b - n_common)"))
-      .orderBy(col("jac_scaled").desc, col("_a"), col("_b"))
+    stats
+      .orderBy(col("jac_scaled").desc, col("node_a"), col("node_b"))
       .limit(topN)
-      .select(col("_a").as("node_a"), col("_b").as("node_b"),
-        col("n_common"), col("deg_a"), col("deg_b"), col("jac_scaled"),
+      .select(col("node_a"), col("node_b"), col("n_common"), col("deg_a"),
+        col("deg_b"), col("jac_scaled"),
         (col("jac_scaled").cast("double") / 1000000d).as("jaccard"))
   }
 }

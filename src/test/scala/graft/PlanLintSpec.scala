@@ -140,7 +140,10 @@ class PlanLintSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val expected = Map(
       "q_keyed_sum" -> Set("user_id", "value"),           // events has 6 cols
-      "q_dedup_exact" -> Set("doc_id", "text"),           // documents has more
+      // (q_dedup_exact now returns the memoized/persisted shared frame —
+      // its scan sits behind the InMemoryRelation boundary; q_dedup_profile
+      // proves the same documents-scan pruning on a live plan)
+      "q_dedup_profile" -> Set("source", "lang", "text"),
       "q_doc_sample" -> Set("doc_id", "source", "lang"),  // filter + 3-col project
       "q_simhash" -> Set("doc_id", "text"),
       // round-6 operators: every scan stays minimal

@@ -153,6 +153,44 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("q_gate_sweep: the 500000 row IS the live funnel (equals the " +
+      "ppl_head stage) and the keep-curve is monotone in the cut") {
+    val sweep = SparkEntry.queries("q_gate_sweep")(
+        spark, "/root/testdata/sf0.001")
+      .orderBy(col("thr_ppm")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val head = SparkEntry.queries("q_curation_funnel")(
+        spark, "/root/testdata/sf0.001")
+      .filter(col("stage") === "ppl_head").collect().head
+    val live = sweep.find(_._1 == 500000L).get
+    assert(live._2 === head.getLong(2) && live._3 === head.getLong(3),
+      s"500000 row ${live} != funnel ppl_head " +
+        s"(${head.getLong(2)}, ${head.getLong(3)})")
+    sweep.sliding(2).foreach { case Array((_, d0, t0), (t, d1, t1)) =>
+      assert(d1 <= d0 && t1 <= t0,
+        s"keep mass grew as the cut tightened at $t: $d0/$t0 -> $d1/$t1")
+    }
+  }
+
+  test("q_neardup_sweep: the 50 row IS the live funnel (the verify " +
+      "floor) and LOOSENING the jaccard cut keeps more") {
+    val sweep = SparkEntry.queries("q_neardup_sweep")(
+        spark, "/root/testdata/sf0.001")
+      .orderBy(col("threshold_pct")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val head = SparkEntry.queries("q_curation_funnel")(
+        spark, "/root/testdata/sf0.001")
+      .filter(col("stage") === "ppl_head").collect().head
+    val live = sweep.find(_._1 == 50L).get
+    assert(live._2 === head.getLong(2) && live._3 === head.getLong(3),
+      s"50 row ${live} != funnel ppl_head " +
+        s"(${head.getLong(2)}, ${head.getLong(3)})")
+    sweep.sliding(2).foreach { case Array((_, d0, t0), (t, d1, t1)) =>
+      assert(d1 >= d0 && t1 >= t0,
+        s"keep mass shrank as the cut loosened at $t: $d0/$t0 -> $d1/$t1")
+    }
+  }
+
   test("guards: bad rounds/seedK/shape fail loud") {
     assertThrows[IllegalArgumentException](
       Unigram.learn(docs, "text", 0, 64, 12, 4))
