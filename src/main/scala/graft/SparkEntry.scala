@@ -1975,6 +1975,24 @@ object SparkEntry {
     // table a pipeline publishes); every stage rule is an already-
     // oracle-checked operator composed by semi/anti joins
     "q_curation_funnel" -> ((s, dir) => funnelCardFrame(s, dir)),
+    // the same funnel ACCOUNTED PER SOURCE — which feed loses how much
+    // mass at which gate (the multi-source pipeline's curation ledger:
+    // a source bleeding at decontamination is a benchmark-leak feed, one
+    // bleeding at quality is a junk feed). Six joins+aggs over the
+    // memoized stage frames against the O(docs) (doc_id, source) map;
+    // a source with no survivors at a stage has no row (both engines'
+    // GROUP BY convention)
+    "q_funnel_by_source" -> ((s, dir) => {
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+      funnelStages(s, dir).map { case (i, name, fr) =>
+        fr.join(src, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+            col("source"), col("n_docs"), col("n_tokens"))
+      }.reduce(_ unionByName _)
+    }),
     // the LAST MILE from curated corpus to training files: the funnel's
     // kept set assigned to md5-deterministic shards, ordered within each
     // shard by the same md5 key (a reproducible shuffle), and composed
@@ -8046,6 +8064,21 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
     // spaces: contamination, logreg, unigram), stages chained by
     // EXISTS / NOT EXISTS, one aggregate row per stage
     "q_curation_funnel" -> sqlCurationFunnelOracle,
+    // the per-source ledger: the same stage CTEs grouped by the doc's
+    // source
+    "q_funnel_by_source" -> {
+      val stages = Seq("cf0" -> (0, "ingested"), "cs1" -> (1, "exact_dedup"),
+        "cs2" -> (2, "near_dedup"), "cs3" -> (3, "decontaminated"),
+        "cs4" -> (4, "quality_kept"), "cs5" -> (5, "ppl_head"))
+      val rows = stages.map { case (cte, (i, name)) =>
+        s"""SELECT $i::BIGINT AS stage_idx, '$name' AS stage, s.source,
+           |  count(*)::BIGINT AS n_docs, sum(f.nt)::BIGINT AS n_tokens
+           |FROM $cte f JOIN fbs s USING (doc_id) GROUP BY 3""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $sqlCurationFunnelCtes,
+         |fbs AS (SELECT doc_id, source FROM documents)
+         |$rows""".stripMargin
+    },
     // the streamed composition accumulates the SAME six rows — one oracle
     // text, two execution paths (batch joins vs five chained gates)
     "q_curation_funnel_stream" -> sqlCurationFunnelOracle,

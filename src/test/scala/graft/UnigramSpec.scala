@@ -153,6 +153,23 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("q_funnel_by_source sums back to the global funnel card at " +
+      "every stage") {
+    val bySrc = SparkEntry.queries("q_funnel_by_source")(
+        spark, "/root/testdata/sf0.001")
+      .groupBy(col("stage_idx"))
+      .agg(sum(col("n_docs")).as("d"), sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val card = SparkEntry.queries("q_curation_funnel")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+    card.foreach { case (i, (d, t)) =>
+      assert(bySrc(i) === ((d, t)),
+        s"stage $i: per-source sums ${bySrc(i)} != global card ($d, $t)")
+    }
+  }
+
   test("q_gate_sweep: the 500000 row IS the live funnel (equals the " +
       "ppl_head stage) and the keep-curve is monotone in the cut") {
     val sweep = SparkEntry.queries("q_gate_sweep")(
