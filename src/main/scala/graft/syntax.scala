@@ -461,6 +461,9 @@ object syntax {
     def adamicAdar(src: String, dst: String, maxMiddleDegree: Int,
                    topN: Int): DataFrame =
       Graph.adamicAdar(df, src, dst, maxMiddleDegree, topN)
+    def commonNeighborStats(src: String, dst: String,
+                            maxMiddleDegree: Int): DataFrame =
+      Graph.commonNeighborStats(df, src, dst, maxMiddleDegree)
     def modularity(src: String, dst: String, labels: DataFrame,
                    node: String, community: String): DataFrame =
       Graph.modularity(df, src, dst, labels, node, community)

@@ -86,6 +86,9 @@ class SyntaxSpec extends SparkSpec {
     assert(edges.adamicAdar("s", "d", 64, 10).collect().toSeq ==
       graft.operators.Graph.adamicAdar(edges, "s", "d", 64, 10)
         .collect().toSeq)
+    assert(edges.commonNeighborStats("s", "d", 64).collect().toSet ==
+      graft.operators.Graph.commonNeighborStats(edges, "s", "d", 64)
+        .collect().toSet)
     val pts = Seq((0L, 0L), (1L, 2L), (2L, 4L)).toDF("x", "y")
     assert(pts.theilSen("x", "y").head().toSeq ==
       graft.operators.CoreOps.theilSen(pts, "x", "y").head().toSeq)
