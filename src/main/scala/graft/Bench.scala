@@ -26,6 +26,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // one-time memoized builds FIRST, each timed once from cold as its own
+    // `_build:<name>` line item (single-shot: a rebuild would hit the memo
+    // cache, and the build IS the one-time cost being measured) — without
+    // these the shared-frame work hides in the warm-up pass and the fused
+    // consumers' ~0.1s readings understate the engine's real spend
+    val buildResults = SparkEntry.builds
+      .filter { case (n, _) => only.forall(_.contains(s"_build:$n")) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir)
+        s"_build:$name" -> (System.nanoTime() - t0) / 1e9
+      }
     // evaluate via the noop sink, not count(): count() lets Catalyst prune
     // unreferenced projections, so map-only queries would time as bare scans
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -52,18 +64,20 @@ object Bench {
     }
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
     val passes = Seq.fill(nPasses)(timed().toMap)
-    val results = queries.map { case (name, _) =>
+    // builds are single-shot: min = median = the one reading, spread 0
+    val results = buildResults ++ queries.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }
-    val medians = queries.map { case (name, _) =>
+    val medians = buildResults ++ queries.map { case (name, _) =>
       val ts = passes.map(_(name)).sorted
       val n = ts.size
       name -> (if (n % 2 == 1) ts(n / 2) else (ts(n / 2 - 1) + ts(n / 2)) / 2)
     }
-    val spreads = queries.map { case (name, _) =>
-      val ts = passes.map(_(name))
-      name -> (ts.max - ts.min)
-    }
+    val spreads = buildResults.map { case (n, _) => n -> 0.0 } ++
+      queries.map { case (name, _) =>
+        val ts = passes.map(_(name))
+        name -> (ts.max - ts.min)
+      }
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -54,10 +54,12 @@ object SparkEntry {
   // adamic-adar: middle-degree cap (keeps part middles, excludes supplier
   // hubs on the co-sourcing graph) and emitted top pairs
   private val AaMaxDeg = 64; private val AaTopN = 100
-  // quality-gate what-if grid (logistic score_ppm cuts); 500000 IS the
-  // funnel's live boundary, so that row must reproduce stage ppl_head
-  private val GateSweepThrs = Seq(300000L, 400000L, 500000L, 600000L,
-    700000L)
+  // quality-gate what-if grid (logistic score_ppm cuts), built AROUND the
+  // classifier's live boundary (LogReg.PredBoundaryPpm — the one shared
+  // constant, so the "live row must reproduce stage ppl_head" invariant
+  // can't silently split): boundary ± 2 grid steps
+  private val GateSweepThrs =
+    (-2 to 2).map(i => LogReg.PredBoundaryPpm + i * 100000L)
   // near-dup what-if grid (jaccard pct cuts); 50 IS the pipeline's
   // verify floor, so that row must reproduce stage ppl_head too
   private val NearDupSweepThrs = Seq(50, 60, 70, 80, 90)
@@ -2023,12 +2025,15 @@ object SparkEntry {
     // reference's E8 move (chapter6_exercise/AnalyzeBrowserEvents.java:28)
     // on the curation tier with E6/E7's durability applied: gate 1 is the
     // keep-first keyed state machine (checkpoint-restored GroupState),
-    // gate 2 probes the standing on-disk band index, gates 3-5 run
-    // per-row against frozen artifacts, stage accounting is one aggregate
-    // per trigger into a durable store (no driver counters, no replay
-    // collect), ingest is the FILE-MONITOR source over id-ascending
-    // slices. The accumulated six stage rows check against the SAME
-    // oracle as q_curation_funnel, so batch/stream parity is the gate
+    // gate 2 is the BUCKET-KEYED band-index state machine (the standing
+    // index AS RocksDB-backed GroupState — probe input O(batch +
+    // collisions), never O(corpus); round 14's close of the round-13
+    // full-index-scan weak), gates 3-5 run per-row against frozen
+    // artifacts, stage accounting is one aggregate per trigger into a
+    // durable store (no driver counters, no replay collect), ingest is
+    // the FILE-MONITOR source over id-ascending slices. The accumulated
+    // six stage rows check against the SAME oracle as q_curation_funnel,
+    // so batch/stream parity is the gate
     "q_curation_funnel_stream" -> ((s, dir) =>
       graft.streaming.FunnelPipeline.stageCard(s,
         funnelPipelineShared(s, dir))),
@@ -5350,6 +5355,76 @@ object SparkEntry {
   /** Memoize any per-(session, sf-dir) value with eviction when the owning
     * session's application ends — the generic core of memoPersist, also
     * used for multi-frame shares (the pagerank pair). */
+  /** Force a frame to materialize (and populate its persist cache if it
+    * has one) without letting Catalyst prune it down to a bare count —
+    * the Bench evaluation convention. */
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** The one-time memoized builds behind the fused/shared query families,
+    * in DEPENDENCY ORDER, each forced to full materialization — Bench
+    * times these as `_build:<name>` line items so the shared-frame work
+    * the consumer queries reuse is MEASURED instead of hidden in the
+    * warm-up pass (the round-13 bench-accounting debt: six fused
+    * consumers timed ~0.1s while ~18s of one-time build cost vanished
+    * from every total). Order matters for attribution: an entry's cost is
+    * its OWN work because everything it depends on was built by an
+    * earlier entry (e.g. `funnel_stages` reads the dedup/contamination/
+    * trainer artifacts built above it; `funnel_pipeline` is the full
+    * streaming ingest run). A consumer query that runs without its build
+    * entry (SPARK_GRAFT_ONLY subsets) simply builds lazily in warm-up,
+    * exactly as before. */
+  def builds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "late_flag" -> ((s, d) => force(flaggedEvents(s, d))),
+    "exact_dedup" -> ((s, d) => force(exactDedupShared(s, d))),
+    "neardup_pairs" -> ((s, d) => force(nearDupPairs(s, d))),
+    "dup_clusters" -> ((s, d) => force(dupClustersShared(s, d))),
+    "contamination_pairs" -> ((s, d) =>
+      force(contaminationPairsShared(s, d))),
+    "fuzzy_pairs" -> ((s, d) => force(fuzzyPairsShared(s, d))),
+    "coorder_pairs" -> ((s, d) => force(coorderPairs(s, d))),
+    "bpe_train" -> ((s, d) => {
+      val (merges, segments) = bpeShared(s, d)
+      force(merges); force(segments)
+    }),
+    "unigram_train" -> ((s, d) => force(unigramShared(s, d)._1)),
+    "unigram_heldout" -> ((s, d) => force(unigramHeldoutShared(s, d)._1)),
+    "unigram_apply_seg" -> ((s, d) => force(unigramApplySeg(s, d))),
+    "logreg_train" -> ((s, d) => { logregShared(s, d); () }),
+    "logreg_heldout" -> ((s, d) => { logregHeldoutShared(s, d); () }),
+    "classifier_scored" -> ((s, d) => force(qualityScoredShared(s, d))),
+    "doc_ppl" -> ((s, d) => force(docPpl(s, d))),
+    "ppl_head" -> ((s, d) => force(pplHeadShared(s, d))),
+    "funnel_stages" -> ((s, d) =>
+      funnelStages(s, d).foreach(t => force(t._3))),
+    "funnel_rule_drops" -> ((s, d) => force(funnelRuleDrops(s, d))),
+    "funnel_pipeline" -> ((s, d) => { funnelPipelineShared(s, d); () }),
+    "pagerank_fixpoint" -> ((s, d) => {
+      val (pr, res) = pagerankShared(s, d); force(pr); force(res)
+    }),
+    "hits_fixpoint" -> ((s, d) => {
+      val (h, res) = hitsShared(s, d); force(h); force(res)
+    }),
+    "lpa_labels" -> ((s, d) => {
+      val (labels, movement) = lpaShared(s, d)
+      force(labels); force(movement)
+    }),
+    "lpa_weighted" -> ((s, d) => force(lpaWeightedShared(s, d))),
+    "common_neighbor_stats" -> ((s, d) =>
+      force(commonNeighborShared(s, d))),
+    "cent_dist_bfs" -> ((s, d) => force(centDistShared(s, d))),
+    "image_dup_pairs" -> ((s, d) => force(imageDupPairsShared(s, d))),
+    "image_dup_clusters" -> ((s, d) =>
+      force(imageDupClustersShared(s, d))),
+    "audio_dup_pairs" -> ((s, d) => force(audioDupPairsShared(s, d))),
+    "audio_dup_clusters" -> ((s, d) =>
+      force(audioDupClustersShared(s, d))),
+    "pca_basis" -> ((s, d) => {
+      val (a, b) = pcaShared(s, d); force(a); force(b)
+    }),
+    "pq_topk" -> ((s, d) => force(pqTopKShared(s, d))),
+    "pq_topk_sample" -> ((s, d) => force(pqTopKSampleShared(s, d))))
+
   private def memoShared[T](
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), T],
       s: SparkSession, dir: String)(build: => T): T =

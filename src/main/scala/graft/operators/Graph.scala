@@ -542,21 +542,27 @@ object Graph {
   def betweennessSampled(edges: DataFrame, src: String, dst: String,
                          seeds: DataFrame, rounds: Int): DataFrame =
     betweennessSampledFrom(
-      bfsDistancesPerSeed(edges, src, dst, seeds, rounds),
+      // the one-shot path materializes its fresh BFS here; the shared
+      // path (centDistShared) passes an already-checkpointed frame and
+      // must not pay a second materialization of O(seeds×reached) rows
+      bfsDistancesPerSeed(edges, src, dst, seeds, rounds)
+        .localCheckpoint(true),
       edges, src, dst, rounds)
 
   /** betweennessSampled's Brandes passes over a precomputed
     * bfsDistancesPerSeed frame — the BFS is the piece harmonic
     * centrality shares, so a caller running both memoizes `dist` and
-    * pays for it once. `rounds` must match the hop cap the frame was
-    * built with (levels past it simply don't exist in the frame). */
+    * pays for it once. CONTRACT: `distIn` must already be materialized
+    * (cached/eagerly checkpointed) — it feeds the DAG induction, the σ
+    * seed rows, and the δ init, and an unmaterialized frame would re-run
+    * the whole BFS three times. `rounds` must match the hop cap the
+    * frame was built with (levels past it simply don't exist). */
   def betweennessSampledFrom(distIn: DataFrame, edges: DataFrame,
                              src: String, dst: String,
                              rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1,50], got $rounds")
-    val dist = distIn
-      .localCheckpoint(true) // shared: DAG induction, σ seed, δ init
+    val dist = distIn // see contract above: already materialized
     val e = edges.select(col(src).as("_src"), col(dst).as("_dst"))
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
       .distinct()

@@ -39,6 +39,13 @@ object LogReg {
 
   private val Ppm = 1000000L
 
+  /** The live decision boundary in quantized sigmoid units: pred ⇔
+    * score_ppm ≥ this (σ = 0.5 ⇔ margin 0). Public so every consumer
+    * that reasons about the boundary — the funnel's quality gate, the
+    * q_gate_sweep what-if grid — shares the ONE constant instead of
+    * re-hardcoding 500000 and drifting. */
+  val PredBoundaryPpm = 500000L
+
   /** floor(σ(z_ppm/10⁶)·10⁶) — the quantized sigmoid, operand order
     * pinned (10⁶ / (1 + exp(−z/10⁶)), NOT σ·10⁶) and mirrored verbatim
     * in the oracle SQL. exp overflow to ±Infinity is IEEE-defined and
@@ -157,7 +164,7 @@ object LogReg {
     guarded(df, label, features)
       .select((keep ++ Seq(label) ++ features).distinct.map(col): _*)
       .withColumn("score_ppm", sigmoidPpm(zPpm(weights, features)))
-      .withColumn("pred", col("score_ppm") >= 500000L)
+      .withColumn("pred", col("score_ppm") >= PredBoundaryPpm)
   }
 
   /** Label-free scoring — the INGEST form (arriving documents carry no
@@ -182,6 +189,6 @@ object LogReg {
       .filter(guard.isNull)
       .select((keep ++ features).distinct.map(col): _*)
       .withColumn("score_ppm", sigmoidPpm(zPpm(weights, features)))
-      .withColumn("pred", col("score_ppm") >= 500000L)
+      .withColumn("pred", col("score_ppm") >= PredBoundaryPpm)
   }
 }

@@ -96,6 +96,21 @@ case class HashedDoc(th: String, doc_id: Long, lang: String, text: String)
 case class GatedDoc(doc_id: Long, lang: String, text: String,
                     is_first: Boolean)
 
+/** One (band bucket, document) probe row for bandKeepFirst: the doc's id,
+  * its DISTINCT shingle-hash set (the exact-verify payload), and the
+  * funnel payload columns carried through to the per-doc collapse. */
+case class BandProbe(bucket: String, doc_id: Long, lang: String,
+                     text: String, is_first: Boolean, sh: Array[Long])
+
+/** bandKeepFirst's output: the carried document plus THIS bucket's
+  * verified near-dup verdict (OR-reduced per doc downstream). */
+case class BandVerdict(doc_id: Long, lang: String, text: String,
+                       is_first: Boolean, near_dup: Boolean)
+
+/** One band bucket's accumulated members as parallel arrays: doc ids and
+  * their distinct shingle-hash sets. */
+case class BandBucketState(ids: Array[Long], shs: Array[Array[Long]])
+
 /** Page-Hinkley walk state per key: event count, value sum, the PH
   * statistic m, and its running minimum. */
 case class PhState(n: Long, s: Long, m: Long, mn: Long)
@@ -357,6 +372,101 @@ object StateMachines {
           GatedDoc(d.doc_id, d.lang, d.text, !seen && i == 0)
         }
     }
+
+  implicit val bandProbeEnc: Encoder[BandProbe] = Encoders.product[BandProbe]
+  implicit val bandVerdictEnc: Encoder[BandVerdict] =
+    Encoders.product[BandVerdict]
+  private implicit val bandStateEnc: Encoder[BandBucketState] =
+    Encoders.product[BandBucketState]
+
+  /** Near-dup keep-first as the BUCKET-KEYED band-index state machine —
+    * the production funnel's gate 2. The reference's E7 lesson is that
+    * keyed state is LOOKED UP, never rescanned
+    * (chapter5/StatefulOperations.java:88-100); applied to the standing
+    * MinHash band index it means one GroupState entry per band bucket
+    * holding that bucket's members (doc_id + distinct shingle-hash set),
+    * so a trigger's probe reads exactly the buckets the batch touches:
+    * O(batch + collisions) state rows per trigger, NEVER O(corpus). (The
+    * round-13 form appended the index to parquet and re-read ALL of it
+    * every trigger — join work was O(batch + collisions) but scan IO was
+    * O(accumulated corpus), quadratic across an ingest.)
+    *
+    * Verdict contract, identical to the on-disk probe it replaces: a doc
+    * is `near_dup` iff SOME bucket it occupies holds a LOWER-id member
+    * whose exact shingle-set Jaccard reaches `minJaccard`. Candidates
+    * only ever expand inside shared buckets; verification is
+    * HashKernels.jaccardDistinct — the same kernel the batch funnel and
+    * its DuckDB-checked oracle path use, so stream and batch verify
+    * bit-identically. Within a batch the group's rows walk in doc_id
+    * order, so intra-batch lower-id pairs resolve exactly like the old
+    * probe's self-including index read. Docs with EMPTY shingle sets can
+    * never verify under minJaccard > 0 (their Jaccard is 0.0 against
+    * anything) — they pass through unflagged and are NOT stored, which
+    * keeps the degenerate all-null-signature buckets ("0_", "1_", …)
+    * from accumulating every empty doc in the corpus.
+    *
+    * `maxBucket` is the house FAIL-LOUD bound (Dedup.fuzzyPairs'
+    * convention) on one bucket's membership: a bucket past it means the
+    * banding no longer bounds per-arrival verify work — raise it
+    * deliberately or re-band (more rows per band); never silent. State
+    * is one (ids, gram sets) pair of arrays per bucket, checkpoint-
+    * restored across restarts; each doc's gram set is stored once per
+    * band (the price of point lookups), bounded per bucket and RocksDB-
+    * resident at scale (FunnelPipeline pins the provider). `probeMeter`,
+    * when set, accumulates the number of state members LOADED per group
+    * invocation — the probe-input gauge FunnelScaleSpec asserts does not
+    * grow with the accumulated corpus. */
+  def bandKeepFirst(probes: Dataset[BandProbe], minJaccard: Double,
+                    maxBucket: Int,
+                    probeMeter: Option[org.apache.spark.util.LongAccumulator]
+                      = None): Dataset[BandVerdict] = {
+    require(minJaccard > 0,
+      s"bandKeepFirst needs minJaccard > 0 (empty gram sets must never " +
+        s"verify); got $minJaccard")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    probes.groupByKey(_.bucket).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (bucket: String, it: Iterator[BandProbe],
+       state: GroupState[BandBucketState]) =>
+        val rows = it.toArray.sortBy(_.doc_id)
+        val st = state.getOption.getOrElse(
+          BandBucketState(Array.emptyLongArray, Array.empty))
+        probeMeter.foreach(_.add(st.ids.length))
+        val ids = ArrayBuffer.empty[Long]
+        ids ++= st.ids
+        val shs = ArrayBuffer.empty[
+          org.apache.spark.sql.catalyst.util.GenericArrayData]
+        st.shs.foreach(s => shs +=
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(s))
+        var stored = false
+        val out = rows.map { r =>
+          var dup = false
+          if (r.sh.nonEmpty) {
+            val rsh =
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(r.sh)
+            var i = 0
+            while (!dup && i < ids.length) {
+              if (ids(i) < r.doc_id &&
+                  graft.expressions.HashKernels.jaccardDistinct(
+                    shs(i), rsh) >= minJaccard) dup = true
+              i += 1
+            }
+            ids += r.doc_id
+            shs += rsh
+            stored = true
+          }
+          BandVerdict(r.doc_id, r.lang, r.text, r.is_first, dup)
+        }
+        if (ids.length > maxBucket) throw new IllegalStateException(
+          s"band bucket '$bucket' holds ${ids.length} members (> " +
+            s"maxBucket=$maxBucket) — per-arrival verify work in this " +
+            "bucket now grows with the corpus. Raise maxBucket " +
+            "deliberately or re-band (more rows per band).")
+        if (stored) state.update(BandBucketState(ids.toArray,
+          shs.map(_.toLongArray()).toArray))
+        out.iterator
+    }
+  }
 
   /** Streaming form of CoreOps.transitionMatrix's pair extraction: per key,
     * remember the last event's kind in state; each new event emits the

@@ -197,6 +197,28 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  test("Dedup.exactDedup's own scan prunes to (id, text) — the builder " +
+      "behind the memoized shared frame, lint-checked unmemoized because " +
+      "q_dedup_exact's plan hides it behind the InMemoryRelation boundary") {
+    // the trivially-true filter makes this plan DIFFERENT from the
+    // memoized exactDedupShared one — when the registry-wide lint above
+    // has already persisted that frame, Spark's cache manager would
+    // otherwise substitute the InMemoryRelation and hide the scan this
+    // test exists to check
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= Long.MinValue)
+    val all = nodes(graft.operators.Dedup
+      .exactDedup(docs, "doc_id", "text").queryExecution.executedPlan)
+    val scans = all.collect {
+      case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty, "exactDedup has no parquet scan")
+    scans.foreach { read =>
+      assert(read.subsetOf(Set("doc_id", "text")),
+        s"exactDedup scan reads unpruned columns: $read")
+    }
+  }
+
   test("driver-collect lint: every .collect() in main source sits next to " +
       "a documented driver-side bound, and the production funnel path " +
       "collects nothing") {

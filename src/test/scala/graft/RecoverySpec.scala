@@ -195,9 +195,10 @@ class RecoverySpec extends SparkSpec {
   }
 
   test("FunnelPipeline: a restart restores the keep-first GroupState, the " +
-      "standing band index, and the durable stage/export stores — an exact " +
-      "dup and a near-dup of PRE-STOP originals arriving while DOWN are " +
-      "still dropped, and the card equals an uninterrupted run") {
+      "bucket-keyed band-index GroupState, and the durable stage/export " +
+      "stores — ON THE ROCKSDB PROVIDER — an exact dup and a near-dup of " +
+      "PRE-STOP originals arriving while DOWN are still dropped, and the " +
+      "card equals an uninterrupted run") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val batch1 = Seq(
@@ -209,8 +210,8 @@ class RecoverySpec extends SparkSpec {
                                                 // needs the RESTORED
                                                 // fingerprint GroupState
       (5L, "en", base + " with more tacked on"), // near-dup of doc 1: drop
-                                                 // needs the persisted
-                                                 // band index
+                                                 // needs the restored
+                                                 // band-bucket GroupState
       (6L, "en", "a third standalone body of words entirely"))
     val vocab = ('a' to 'z').map(c => (c.toString, 1L)).toDF("piece", "cnt")
     val cfg = FunnelConfig(Array(0L, 0L, 0L),
@@ -250,6 +251,20 @@ class RecoverySpec extends SparkSpec {
       ("ingested", 6L), ("exact_dedup", 5L), ("near_dedup", 4L),
       ("decontaminated", 4L), ("quality_kept", 4L), ("ppl_head", 4L)),
       s"got $recovered")
+    // the recovery above ran on the RocksDB state store: FunnelPipeline
+    // pins the provider at first start and the checkpoint's offset
+    // metadata carries it into every later generation — so this restart
+    // proof IS the RocksDB restart proof, not the default provider's
+    val offsets0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/checkpoint/offsets/0"))
+    assert(offsets0.contains("RocksDBStateStoreProvider"),
+      s"funnel checkpoint not pinned to RocksDB: $offsets0")
+    // and the session conf was restored after start() — the pin must not
+    // leak onto unrelated queries in this session
+    assert(!spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")),
+      "FunnelPipeline.start leaked the RocksDB provider conf")
     // the export positions also continued across the restart
     import org.apache.spark.sql.functions.{col, count, lit, max}
     val manifest = FunnelPipeline.exportManifest(spark, dir)

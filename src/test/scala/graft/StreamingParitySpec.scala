@@ -1583,9 +1583,11 @@ class StreamingParitySpec extends SparkSpec {
     assert(corpus == Set(1L, 3L, 5L), s"got $corpus")
   }
 
-  test("FunnelPipeline.compactIndex folds the per-trigger index deltas " +
-      "into one snapshot, and a near-dup of PRE-COMPACTION history is " +
-      "still dropped by a post-compaction restart") {
+  test("FunnelPipeline.compactStores (ONLINE, mid-ingest) folds the " +
+      "per-trigger stage deltas into the consolidated base, GCs " +
+      "superseded offsets, leaves the card byte-identical, and a " +
+      "near-dup of PRE-COMPACTION history is still dropped by a " +
+      "post-compaction restart") {
     val docs = Seq(
       (1L, "en", fpBase),
       (2L, "en", "completely different words here body text"),
@@ -1593,18 +1595,36 @@ class StreamingParitySpec extends SparkSpec {
       (4L, "en", "a fourth standalone body of words entirely its own"))
       .toDF("doc_id", "lang", "text")
     val bench = docs.filter(col("doc_id") < 0)
-    val (vocab, cfg) = fpConfig
+    val (vocab, cfg0) = fpConfig
+    // compact every 2 batches, LIVE — batch 2 folds {0,1}, so the run
+    // itself exercises the between-triggers invocation the old offline
+    // compactIndex could not support
+    val cfg = cfg0.copy(compactEvery = 2)
     val dir = java.nio.file.Files.createTempDirectory("graft_fpc").toString
     FunnelPipeline.runSliced(spark, docs, bench, vocab, cfg, 4, dir)
     def deltaCount(store: String): Int =
-      new java.io.File(s"$dir/index/$store")
+      new java.io.File(s"$dir/$store")
         .listFiles().count(f => f.isDirectory && f.getName.startsWith("b="))
-    assert(deltaCount("bands") == 4 && deltaCount("grams") == 4)
-    FunnelPipeline.compactIndex(spark, dir)
-    assert(deltaCount("bands") == 1 && deltaCount("grams") == 1,
-      s"got ${deltaCount("bands")}/${deltaCount("grams")} deltas")
-    // resume ingest on the compacted index: a near-dup of doc 1 (which
-    // now lives only in the snapshot) must still be caught
+    // batch 2 folded stages {0,1}; batch 3's delta is still trailing
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/stages_base/_UPTO")))
+    assert(deltaCount("stages") < 4, s"got ${deltaCount("stages")} deltas")
+    // offsets GC kept only ids >= fold point - 1; another offline pass
+    // tightens both stores to the trailing minimum
+    FunnelPipeline.compactStores(spark, dir, 4L)
+    assert(deltaCount("stages") == 0, s"got ${deltaCount("stages")} deltas")
+    assert(deltaCount("offsets") == 1, s"got ${deltaCount("offsets")}")
+    def card(): Seq[(Long, String, Long, Option[Long])] =
+      FunnelPipeline.stageCard(spark, dir)
+        .as[(Long, String, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(card().map(r => (r._2, r._3)) == Seq(
+      ("ingested", 4L), ("exact_dedup", 4L), ("near_dedup", 4L),
+      ("decontaminated", 4L), ("quality_kept", 4L), ("ppl_head", 4L)),
+      s"got ${card()}")
+    // resume ingest post-compaction: a near-dup of doc 1 (whose band-
+    // bucket state lives only in the checkpoint now) must still be
+    // caught, and the new batch's stage rows must sum ON TOP of the
+    // consolidated base
     Seq((9L, "en", fpBase + " with more tacked on"),
         (10L, "en", "genuinely novel words appear in this one"))
       .toDF("doc_id", "lang", "text").coalesce(1)
@@ -1613,13 +1633,11 @@ class StreamingParitySpec extends SparkSpec {
       spark.readStream.schema(docs.schema).parquet(s"$dir/in"), dir, bench,
       vocab, cfg)
     try q.processAllAvailable() finally q.stop()
-    val card = FunnelPipeline.stageCard(spark, dir)
-      .as[(Long, String, Long, Option[Long])].collect().toSeq.sortBy(_._1)
     // 6 ingested total; no exact dups; doc 9 dropped at near-dedup
-    assert(card.map(r => (r._2, r._3)) == Seq(
+    assert(card().map(r => (r._2, r._3)) == Seq(
       ("ingested", 6L), ("exact_dedup", 6L), ("near_dedup", 5L),
       ("decontaminated", 5L), ("quality_kept", 5L), ("ppl_head", 5L)),
-      s"got $card")
+      s"got ${card()}")
   }
 
   test("FunnelPipeline: an empty corpus yields the all-zero six-row card " +
