@@ -357,19 +357,30 @@ object StateMachines {
     * funnel's per-stage accounting downstream). Under an id-ascending
     * replay keep-first IS exactDedup's min-id canonical rule, which is
     * how FunnelPipeline proves this against the batch funnel oracle.
-    * State grows with DISTINCT fingerprints (RocksDB territory at 100 TB);
-    * the horizon-bounded alternative is StreamOps.dedupStream's
-    * dropDuplicatesWithinWatermark, which trades unbounded exactness for
-    * watermark-bounded state. */
-  def keepFirst(docs: Dataset[HashedDoc]): Dataset[GatedDoc] =
+    * State grows with DISTINCT fingerprints (RocksDB territory at 100 TB —
+    * FunnelPipeline pins the provider); the horizon-bounded alternatives
+    * are `stateTtlMs` here (an idle fingerprint expires after the TTL, so
+    * a dup arriving later than the horizon is re-admitted as first — the
+    * standard TTL trade, the knob an ENDLESS ingest sets; the funnel
+    * itself stays NoTimeout because its oracle contract is exact) and
+    * StreamOps.dedupStream's dropDuplicatesWithinWatermark
+    * (watermark-bounded rather than wall-clock-bounded). Every arrival of
+    * a fingerprint re-arms its TTL — an actively-duplicated key stays
+    * remembered; only true idleness forgets. */
+  def keepFirst(docs: Dataset[HashedDoc],
+                stateTtlMs: Option[Long] = None): Dataset[GatedDoc] =
     docs.groupByKey(_.th).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
       (_: String, it: Iterator[HashedDoc], state: GroupState[Boolean]) =>
-        val rows = it.toArray.sortBy(_.doc_id)
-        val seen = state.exists
-        if (!seen && rows.nonEmpty) state.update(true)
-        rows.iterator.zipWithIndex.map { case (d, i) =>
-          GatedDoc(d.doc_id, d.lang, d.text, !seen && i == 0)
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val rows = it.toArray.sortBy(_.doc_id)
+          val seen = state.exists
+          if (!seen && rows.nonEmpty) state.update(true)
+          if (rows.nonEmpty) stateTtlMs.foreach(state.setTimeoutDuration)
+          rows.iterator.zipWithIndex.map { case (d, i) =>
+            GatedDoc(d.doc_id, d.lang, d.text, !seen && i == 0)
+          }
         }
     }
 
@@ -415,19 +426,40 @@ object StateMachines {
     * resident at scale (FunnelPipeline pins the provider). `probeMeter`,
     * when set, accumulates the number of state members LOADED per group
     * invocation — the probe-input gauge FunnelScaleSpec asserts does not
-    * grow with the accumulated corpus. */
+    * grow with the accumulated corpus.
+    *
+    * `stateTtlMs`: processing-time TTL per BUCKET — a bucket idle longer
+    * than the TTL forgets its members, so a near-dup arriving later than
+    * the horizon is re-admitted (keepFirst's TTL trade, bucket-grained).
+    * An endless ingest sets it to bound state by the dedup horizon it
+    * actually needs; the funnel's oracle-checked form stays NoTimeout.
+    * Any arrival touching a bucket re-arms that bucket's TTL. */
   def bandKeepFirst(probes: Dataset[BandProbe], minJaccard: Double,
                     maxBucket: Int,
                     probeMeter: Option[org.apache.spark.util.LongAccumulator]
-                      = None): Dataset[BandVerdict] = {
+                      = None,
+                    stateTtlMs: Option[Long] = None): Dataset[BandVerdict] = {
     require(minJaccard > 0,
       s"bandKeepFirst needs minJaccard > 0 (empty gram sets must never " +
         s"verify); got $minJaccard")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     probes.groupByKey(_.bucket).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      OutputMode.Append, timeoutConf(stateTtlMs)) {
       (bucket: String, it: Iterator[BandProbe],
        state: GroupState[BandBucketState]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty[BandVerdict] }
+        else bandWalk(bucket, it, state, minJaccard, maxBucket, probeMeter,
+          stateTtlMs)
+    }
+  }
+
+  /** One group invocation of bandKeepFirst's walk (split out so the
+    * timed-out branch above stays a two-liner). */
+  private def bandWalk(bucket: String, it: Iterator[BandProbe],
+                       state: GroupState[BandBucketState],
+                       minJaccard: Double, maxBucket: Int,
+                       probeMeter: Option[org.apache.spark.util.LongAccumulator],
+                       stateTtlMs: Option[Long]): Iterator[BandVerdict] = {
         val rows = it.toArray.sortBy(_.doc_id)
         val st = state.getOption.getOrElse(
           BandBucketState(Array.emptyLongArray, Array.empty))
@@ -464,8 +496,8 @@ object StateMachines {
             "deliberately or re-band (more rows per band).")
         if (stored) state.update(BandBucketState(ids.toArray,
           shs.map(_.toLongArray()).toArray))
+        if (state.exists) stateTtlMs.foreach(state.setTimeoutDuration)
         out.iterator
-    }
   }
 
   /** Streaming form of CoreOps.transitionMatrix's pair extraction: per key,

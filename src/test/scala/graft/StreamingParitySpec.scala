@@ -630,6 +630,83 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup TTL: an idle fingerprint AND an idle band bucket expire, so " +
+      "an exact dup and a near-dup arriving past the horizon are " +
+      "re-admitted; inside the horizon both still drop") {
+    import graft.streaming.{BandProbe, HashedDoc}
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    def doc(id: Long, text: String) = HashedDoc(
+      // the machine only needs th to be the content fingerprint — any
+      // deterministic digest works for the test
+      java.security.MessageDigest.getInstance("MD5").digest(text.getBytes)
+        .map("%02x".format(_)).mkString, id, "en", text)
+    val input = MemoryStream[HashedDoc]
+    val q = StateMachines.keepFirst(input.toDS(), stateTtlMs = Some(300L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kf_ttl").start()
+    def await(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("kf_ttl").count() < n &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.table("kf_ttl").count() >= n, s"timed out waiting for $n")
+    }
+    def awaitRemovals(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      def removed = Option(q.recentProgress).toSeq.flatten
+        .flatMap(p => p.stateOperators.map(_.numRowsRemoved)).sum
+      while (removed < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(removed >= n, s"timed out waiting for $n state removals")
+    }
+    try {
+      input.addData(doc(1, base))
+      input.addData(doc(2, base)) // inside the horizon: dropped
+      await(2)
+      Thread.sleep(1000)
+      awaitRemovals(1) // the idle fingerprint expired
+      input.addData(doc(3, base)) // past the horizon: re-admitted as first
+      await(3)
+      val got = spark.table("kf_ttl").as[GatedDoc].collect()
+        .map(g => g.doc_id -> g.is_first).toMap
+      assert(got == Map(1L -> true, 2L -> false, 3L -> true), s"got $got")
+    } finally q.stop()
+
+    // the band machine, same horizon semantics per BUCKET
+    val probes = MemoryStream[BandProbe]
+    def probe(id: Long, bucket: String, sh: Array[Long]) =
+      BandProbe(bucket, id, "en", "t", is_first = true, sh)
+    val q2 = StateMachines.bandKeepFirst(probes.toDS(), 0.5, 1000,
+        stateTtlMs = Some(300L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bk_ttl").start()
+    def await2(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("bk_ttl").count() < n &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.table("bk_ttl").count() >= n, s"timed out waiting for $n")
+    }
+    def awaitRemovals2(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      def removed = Option(q2.recentProgress).toSeq.flatten
+        .flatMap(p => p.stateOperators.map(_.numRowsRemoved)).sum
+      while (removed < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(removed >= n, s"timed out waiting for $n state removals")
+    }
+    try {
+      probes.addData(probe(1, "0_7", Array(1L, 2L, 3L)))
+      probes.addData(probe(2, "0_7", Array(1L, 2L, 3L, 4L))) // jacc 0.75: drop
+      await2(2)
+      Thread.sleep(1000)
+      awaitRemovals2(1) // the idle bucket expired
+      probes.addData(probe(3, "0_7", Array(1L, 2L, 3L))) // re-admitted
+      await2(3)
+      val got = spark.table("bk_ttl").as[BandVerdict].collect()
+        .map(v => v.doc_id -> v.near_dup).toMap
+      assert(got == Map(1L -> false, 2L -> true, 3L -> false), s"got $got")
+    } finally q2.stop()
+  }
+
   test("a TTL'd machine in batch mode emits exactly the no-TTL rows (oracle safety)") {
     val events = Seq(
       KeyedEvent("1", 1000, 1, "error"), KeyedEvent("1", 5000, 2, "error"),
