@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.StateMachines.BandBucketSeed
 import graft.operators.{CoreOps, Dedup, LogReg, TextOps, Unigram}
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
@@ -111,10 +112,22 @@ object FunnelPipeline {
     * benchmark; `vocab` the frozen unigram inventory. All pipeline state
     * lives under `dir` (checkpoint with both machines' keyed state,
     * stage/export/offset stores) — restart with the same `dir` to
-    * resume. `probeMeter` (tests) gauges gate-2 probe input. */
+    * resume. `probeMeter` (tests) gauges gate-2 probe input.
+    *
+    * `bootstrap`: an ALREADY-INGESTED corpus frame (doc_id, lang, text)
+    * whose dedup state seeds both machines before the first batch — the
+    * rebuild path when a pipeline must start without its checkpoint
+    * (state lost, or re-banding/re-fingerprinting invalidated it): dups
+    * and near-dups of the bootstrap corpus drop exactly as if the old
+    * checkpoint had survived. Bootstrap docs do NOT flow through the
+    * gates — they are state only, so the stage card and the export count
+    * NEW arrivals exclusively (history was already accounted/exported by
+    * the pipeline being replaced). Ignored on a restart that still holds
+    * checkpoint state (Spark's initial-state contract). */
   def start(spark: SparkSession, stream: DataFrame, dir: String,
             bench: DataFrame, vocab: DataFrame, cfg: FunnelConfig,
-            probeMeter: Option[org.apache.spark.util.LongAccumulator] = None)
+            probeMeter: Option[org.apache.spark.util.LongAccumulator] = None,
+            bootstrap: Option[DataFrame] = None)
       : StreamingQuery = {
     require(cfg.mhBands > 0 && cfg.mhRows > 0 && cfg.mhK > 0,
       s"need positive MinHash params, got k=${cfg.mhK} bands=${cfg.mhBands} " +
@@ -132,25 +145,29 @@ object FunnelPipeline {
       .select(TextOps.fingerprint(col("text")).as("th"),
         col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
       .as[HashedDoc]
-    val n = cfg.mhBands * cfg.mhRows
     // gate 1, then the band explosion feeding gate 2: each doc fans out to
     // its mhBands bucket rows (payload rides along — O(bands × batch) rows
     // through one keyed exchange, collapsed back per doc in foreachBatch)
-    val sigd = StateMachines.keepFirst(hashed).toDF()
-      .withColumn("_hs", Dedup.shingleHashes(col("text"), cfg.mhK))
-      .withColumn("sh", array_distinct(col("_hs")))
-      .withColumn("sig", Dedup.minhashFromHashes(col("_hs"), n))
-    val bucketCols = (0 until cfg.mhBands).map { bnd =>
-      concat(lit(s"${bnd}_"), concat_ws(",",
-        (0 until cfg.mhRows).map(j =>
-          col("sig")(bnd * cfg.mhRows + j).cast("string")): _*))
+    val gated = bootstrap match {
+      case Some(hist) =>
+        StateMachines.keepFirstSeeded(hashed,
+          hist.filter(col("text").isNotNull)
+            .select(TextOps.fingerprint(col("text")).as("th"))
+            .distinct().as[String])
+      case None => StateMachines.keepFirst(hashed)
     }
-    val probes = sigd.select(
-        explode(array(bucketCols: _*)).as("bucket"),
+    val probes = gated.toDF()
+      .transform(withSignatures(_, cfg))
+      .select(
+        explode(array(bucketColumns(cfg): _*)).as("bucket"),
         col("doc_id"), col("lang"), col("text"), col("is_first"), col("sh"))
       .as[BandProbe]
-    val verdicts = StateMachines.bandKeepFirst(probes, cfg.minJaccard,
-      cfg.maxBucket, probeMeter)
+    val verdicts = bootstrap match {
+      case Some(hist) => StateMachines.bandKeepFirstSeeded(probes,
+        cfg.minJaccard, cfg.maxBucket, bandSeeds(hist, cfg), probeMeter)
+      case None => StateMachines.bandKeepFirst(probes, cfg.minJaccard,
+        cfg.maxBucket, probeMeter)
+    }
     // pin RocksDB for THIS query: the conf is read when the stream
     // execution is constructed (inside .start(), synchronously) and then
     // persisted in the checkpoint's offset metadata, so restoring the
@@ -170,6 +187,53 @@ object FunnelPipeline {
       case Some(v) => spark.conf.set(ProviderKey, v)
       case None    => spark.conf.unset(ProviderKey)
     }
+  }
+
+  /** The staged signature columns — `_hs` (raw shingle hashes), `sh`
+    * (distinct, the exact-verify payload), `sig` (the MinHash signature) —
+    * shared by the live stream side and the bootstrap seed builder so
+    * the two stagings can never diverge. */
+  private def withSignatures(df: DataFrame, cfg: FunnelConfig): DataFrame =
+    df.withColumn("_hs", Dedup.shingleHashes(col("text"), cfg.mhK))
+      .withColumn("sh", array_distinct(col("_hs")))
+      .withColumn("sig", Dedup.minhashFromHashes(col("_hs"),
+        cfg.mhBands * cfg.mhRows))
+
+  /** One band-bucket string per band from the staged `sig` column. */
+  private def bucketColumns(cfg: FunnelConfig)
+      : Seq[org.apache.spark.sql.Column] =
+    (0 until cfg.mhBands).map { bnd =>
+      concat(lit(s"${bnd}_"), concat_ws(",",
+        (0 until cfg.mhRows).map(j =>
+          col("sig")(bnd * cfg.mhRows + j).cast("string")): _*))
+    }
+
+  /** Per-bucket membership seeds for bandKeepFirstSeeded, derived from an
+    * already-ingested corpus frame (doc_id, lang, text) with the SAME
+    * staging expressions the live stream uses: one row per bucket with
+    * member ids ascending and gram sets aligned. Docs with empty gram
+    * sets are excluded (bandKeepFirst never stores them — they cannot
+    * verify under minJaccard > 0); a bucket past `cfg.maxBucket` fails
+    * loudly HERE, before any state is installed. */
+  def bandSeeds(docs: DataFrame,
+                cfg: FunnelConfig): Dataset[BandBucketSeed] = {
+    val staged = withSignatures(docs.filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text")), cfg)
+      .filter(size(col("sh")) > 0)
+    val guard = assert_true(size(col("_m")) <= cfg.maxBucket,
+      concat(lit("bandSeeds: bucket '"), col("bucket"),
+        lit(s"' holds more than maxBucket=${cfg.maxBucket} members — " +
+          "re-band or raise maxBucket deliberately")))
+    staged.select(col("doc_id"), col("sh"),
+        explode(array(bucketColumns(cfg): _*)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
+        .as("_m"))
+      .filter(guard.isNull)
+      .select(col("bucket"),
+        expr("transform(_m, x -> x.doc_id)").as("ids"),
+        expr("transform(_m, x -> x.sh)").as("shs"))
+      .as[BandBucketSeed](StateMachines.bandSeedEnc)
   }
 
   /** One trigger: per-doc collapse of the gate-1/2 verdicts → gates 3-5

@@ -370,19 +370,39 @@ object StateMachines {
   def keepFirst(docs: Dataset[HashedDoc],
                 stateTtlMs: Option[Long] = None): Dataset[GatedDoc] =
     docs.groupByKey(_.th).flatMapGroupsWithState(
-      OutputMode.Append, timeoutConf(stateTtlMs)) {
-      (_: String, it: Iterator[HashedDoc], state: GroupState[Boolean]) =>
-        if (state.hasTimedOut) { state.remove(); Iterator.empty }
-        else {
-          val rows = it.toArray.sortBy(_.doc_id)
-          val seen = state.exists
-          if (!seen && rows.nonEmpty) state.update(true)
-          if (rows.nonEmpty) stateTtlMs.foreach(state.setTimeoutDuration)
-          rows.iterator.zipWithIndex.map { case (d, i) =>
-            GatedDoc(d.doc_id, d.lang, d.text, !seen && i == 0)
-          }
+      OutputMode.Append, timeoutConf(stateTtlMs))(keepFirstWalk(stateTtlMs))
+
+  /** keepFirst with PRE-SEEDED state — the REBUILD path for a pipeline
+    * that must start over without its checkpoint (state lost, or the
+    * fingerprint/normalization changed so the old state is invalid)
+    * above a corpus that was already ingested: `seenFingerprints` (one
+    * row per known content fingerprint) installs as each key's initial
+    * GroupState before the first batch, so a dup of history drops
+    * exactly as if the original checkpoint had survived. Spark applies
+    * the initial state only when the checkpoint holds none for the
+    * query — a restart with live state ignores the seed. */
+  def keepFirstSeeded(docs: Dataset[HashedDoc],
+                      seenFingerprints: Dataset[String],
+                      stateTtlMs: Option[Long] = None): Dataset[GatedDoc] =
+    docs.groupByKey(_.th).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs),
+      seenFingerprints.groupByKey(identity).mapValues(_ => true))(
+      keepFirstWalk(stateTtlMs))
+
+  private def keepFirstWalk(stateTtlMs: Option[Long])
+      : (String, Iterator[HashedDoc], GroupState[Boolean]) =>
+        Iterator[GatedDoc] =
+    (_: String, it: Iterator[HashedDoc], state: GroupState[Boolean]) =>
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val rows = it.toArray.sortBy(_.doc_id)
+        val seen = state.exists
+        if (!seen && rows.nonEmpty) state.update(true)
+        if (rows.nonEmpty) stateTtlMs.foreach(state.setTimeoutDuration)
+        rows.iterator.zipWithIndex.map { case (d, i) =>
+          GatedDoc(d.doc_id, d.lang, d.text, !seen && i == 0)
         }
-    }
+      }
 
   implicit val bandProbeEnc: Encoder[BandProbe] = Encoders.product[BandProbe]
   implicit val bandVerdictEnc: Encoder[BandVerdict] =
@@ -444,14 +464,54 @@ object StateMachines {
         s"verify); got $minJaccard")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     probes.groupByKey(_.bucket).flatMapGroupsWithState(
-      OutputMode.Append, timeoutConf(stateTtlMs)) {
-      (bucket: String, it: Iterator[BandProbe],
-       state: GroupState[BandBucketState]) =>
-        if (state.hasTimedOut) { state.remove(); Iterator.empty[BandVerdict] }
-        else bandWalk(bucket, it, state, minJaccard, maxBucket, probeMeter,
-          stateTtlMs)
-    }
+      OutputMode.Append, timeoutConf(stateTtlMs))(
+      bandWalkOrExpire(minJaccard, maxBucket, probeMeter, stateTtlMs))
   }
+
+  /** One row of pre-aggregated bucket membership for bandKeepFirstSeeded:
+    * the bucket's member ids (ASCENDING) and their aligned gram sets. */
+  case class BandBucketSeed(bucket: String, ids: Array[Long],
+                            shs: Array[Array[Long]])
+  implicit val bandSeedEnc: Encoder[BandBucketSeed] =
+    Encoders.product[BandBucketSeed]
+
+  /** bandKeepFirst with PRE-SEEDED bucket state — keepFirstSeeded's twin
+    * for the standing band index: `seeds` carries one row per bucket of
+    * already-ingested history (ids ascending, gram sets aligned —
+    * FunnelPipeline.bandSeeds builds it from a corpus frame with the
+    * SAME staging expressions the stream side uses), installed as the
+    * bucket's initial GroupState before the first batch. A near-dup of
+    * history then drops exactly as if the original checkpoint had
+    * survived — the operational answer to a lost checkpoint or a
+    * re-banding (changed k/bands/rows invalidates old state; re-derive
+    * the seeds from the corpus under the NEW parameters and start
+    * fresh). Ignored on restarts that still hold state. */
+  def bandKeepFirstSeeded(probes: Dataset[BandProbe], minJaccard: Double,
+                          maxBucket: Int, seeds: Dataset[BandBucketSeed],
+                          probeMeter: Option[org.apache.spark.util.LongAccumulator]
+                            = None,
+                          stateTtlMs: Option[Long] = None)
+      : Dataset[BandVerdict] = {
+    require(minJaccard > 0,
+      s"bandKeepFirstSeeded needs minJaccard > 0; got $minJaccard")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    probes.groupByKey(_.bucket).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs),
+      seeds.groupByKey(_.bucket)
+        .mapValues(s => BandBucketState(s.ids, s.shs)))(
+      bandWalkOrExpire(minJaccard, maxBucket, probeMeter, stateTtlMs))
+  }
+
+  private def bandWalkOrExpire(minJaccard: Double, maxBucket: Int,
+                               probeMeter: Option[org.apache.spark.util.LongAccumulator],
+                               stateTtlMs: Option[Long])
+      : (String, Iterator[BandProbe], GroupState[BandBucketState]) =>
+        Iterator[BandVerdict] =
+    (bucket: String, it: Iterator[BandProbe],
+     state: GroupState[BandBucketState]) =>
+      if (state.hasTimedOut) { state.remove(); Iterator.empty[BandVerdict] }
+      else bandWalk(bucket, it, state, minJaccard, maxBucket, probeMeter,
+        stateTtlMs)
 
   /** One group invocation of bandKeepFirst's walk (split out so the
     * timed-out branch above stays a two-liner). */

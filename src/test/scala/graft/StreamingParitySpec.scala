@@ -1717,6 +1717,59 @@ class StreamingParitySpec extends SparkSpec {
       s"got ${card()}")
   }
 
+  test("FunnelPipeline bootstrap: a pipeline started WITHOUT its " +
+      "checkpoint but seeded from the already-ingested corpus drops an " +
+      "exact dup AND a near-dup of history, and its card equals the full " +
+      "run's trailing per-batch stage rows (new arrivals only)") {
+    val history = Seq(
+      (1L, "en", fpBase),
+      (2L, "en", "completely different words here body text"),
+      (3L, "en", "another unrelated document body entirely fresh"))
+    val fresh = Seq(
+      (5L, "en", fpBase),                        // exact dup of history
+      (6L, "en", fpBase + " extra"),             // near-dup of history
+      (7L, "en", "genuinely novel words appear in this one"))
+    val (vocab, cfg) = fpConfig
+    val bench = history.toDF("doc_id", "lang", "text")
+      .filter(col("doc_id") < 0)
+    // the reference run: one pipeline over BOTH slices (ids 1-3 land in
+    // batch 0, ids 5-7 in batch 1 under runSliced's span arithmetic)
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_fb1").toString
+    FunnelPipeline.runSliced(spark,
+      (history ++ fresh).toDF("doc_id", "lang", "text"), bench, vocab, cfg,
+      2, fullDir)
+    val wantNew = spark.read.parquet(s"$fullDir/stages")
+      .filter(col("b") === 1)
+      .select(col("stage_idx"), col("stage"), col("n_docs"),
+        col("n_tokens"))
+      .as[(Long, String, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(wantNew.map(r => (r._2, r._3)) == Seq(
+      ("ingested", 3L), ("exact_dedup", 2L), ("near_dedup", 1L),
+      ("decontaminated", 1L), ("quality_kept", 1L), ("ppl_head", 1L)),
+      s"full run's trailing batch surprised: $wantNew")
+    // the bootstrapped run: FRESH dir (no checkpoint), history installed
+    // as initial state only, the new slice as the only streamed file
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb2").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    fresh.toDF("doc_id", "lang", "text").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val schema = fresh.toDF("doc_id", "lang", "text").schema
+    val q = FunnelPipeline.start(spark,
+      spark.readStream.schema(schema).parquet(s"$dir/in"), dir, bench,
+      vocab, cfg,
+      bootstrap = Some(history.toDF("doc_id", "lang", "text")))
+    try q.processAllAvailable() finally q.stop()
+    val got = FunnelPipeline.stageCard(spark, dir)
+      .as[(Long, String, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(got == wantNew,
+      s"bootstrapped card diverged from the full run's trailing batch: " +
+        s"$got vs $wantNew")
+    // the export is RE-BASED: only the new survivor, position 1
+    val export = FunnelPipeline.exportManifest(spark, dir)
+      .select(col("doc_id"), col("pos")).as[(Long, Long)].collect().toSeq
+    assert(export == Seq((7L, 1L)), s"got $export")
+  }
+
   test("FunnelPipeline: an empty corpus yields the all-zero six-row card " +
       "with NULL token mass and an empty manifest (no crash, no rows)") {
     val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
