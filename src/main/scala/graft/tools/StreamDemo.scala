@@ -83,7 +83,7 @@ object StreamDemo {
 
     // E8 at the curation tier, PRODUCTION form: the composed five-gate
     // funnel over a file-monitored doc directory — keep-first GroupState
-    // (checkpoint-restored), standing on-disk band index, durable stage/
+    // (checkpoint-restored), bucket-keyed band-index GroupState, durable stage/
     // export stores; one doc file per trigger, dups arriving in later
     // files dropped by the carried state
     {

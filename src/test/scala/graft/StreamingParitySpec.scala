@@ -1601,7 +1601,7 @@ class StreamingParitySpec extends SparkSpec {
   }
 
   // ── the PRODUCTION funnel (FunnelPipeline): state-store gate 1,
-  // standing band index gate 2, durable stage/export stores ──
+  // bucket-keyed band-index state machine gate 2, durable stage/export stores ──
 
   private val fpBase =
     "the quick brown fox jumps over the lazy dog again and again"
