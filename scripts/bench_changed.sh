@@ -23,6 +23,19 @@ changed=$(git diff "$ref" -- src/main/scala/graft/SparkEntry.scala \
   | grep -oE '"q[a-z0-9_]+"' \
   | tr -d '"' | sort -u | paste -sd, - || true)
 
+# one-time memoized builds: changed lines in the SparkEntry `builds` block
+# register as _build:<name> (the builder bodies live in operator files the
+# q-literal harvest can't see, so a touched operator still needs a full
+# bench — but a touched builds WIRING is caught here)
+builds=$(git diff "$ref" -- src/main/scala/graft/SparkEntry.scala \
+  | grep -E '^[+-]' \
+  | grep -oE '"[a-z0-9_]+" -> \(\(s, d\)' \
+  | grep -oE '"[a-z0-9_]+"' \
+  | tr -d '"' | sed 's/^/_build:/' | sort -u | paste -sd, - || true)
+if [ -n "$builds" ]; then
+  changed="${changed:+$changed,}$builds"
+fi
+
 if [ -z "$changed" ]; then
   echo "bench_changed: no query registrations/oracles changed vs $ref" >&2
   exit 0

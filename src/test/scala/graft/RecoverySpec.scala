@@ -276,6 +276,66 @@ class RecoverySpec extends SparkSpec {
     assert(manifest.count() == 4L)
   }
 
+  test("FunnelPipeline bootstrap + restart: generation 1 starts from " +
+      "SEEDED state (no checkpoint); generation 2 restarts on the live " +
+      "checkpoint — which now holds both the seed AND generation 1's " +
+      "arrivals — and drops dups/near-dups of BOTH") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val history = Seq(
+      (1L, "en", base),
+      (2L, "en", "completely different words here body text"))
+    val gen1 = Seq(
+      (5L, "en", "a brand new body of words arriving on the stream"))
+    val gen2 = Seq( // arrives while DOWN, replayed by generation 2
+      (6L, "en", base),                         // exact dup of HISTORY
+      (7L, "en", base + " extra"),              // near-dup of HISTORY
+      (8L, "en", gen1.head._3),                 // exact dup of GEN-1 arrival
+      (9L, "en", gen1.head._3 + " extra"),      // near-dup of GEN-1 arrival
+      (10L, "en", "wholly fresh words that survive the gates"))
+    val vocab = ('a' to 'z').map(c => (c.toString, 1L)).toDF("piece", "cnt")
+    val cfg = FunnelConfig(Array(0L, 0L, 0L),
+      graft.operators.Unigram.zOf(vocab),
+      Map("en" -> ((Long.MaxValue, Long.MaxValue))),
+      3, 8, 2, 0.5, 4, 0.05, 127L, 12, 4, 8L, 512L)
+    val bench = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    val schema = gen1.toDF("doc_id", "lang", "text").schema
+    val dir = tmp("graft_fboot")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def addFile(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    def drain(): Unit = {
+      // the SAME bootstrap arg both generations — generation 2's live
+      // checkpoint must override it (Spark's initial-state contract);
+      // were the seed re-applied verbatim, gen-1's arrival (doc 5) would
+      // be forgotten and docs 8/9 would sail through
+      val q = FunnelPipeline.start(spark,
+        spark.readStream.schema(schema).parquet(s"$dir/in"), dir, bench,
+        vocab, cfg,
+        bootstrap = Some(history.toDF("doc_id", "lang", "text")))
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile(gen1)
+    drain() // generation 1: seeded start
+    addFile(gen2)
+    drain() // generation 2: restart on the live checkpoint
+    val card = FunnelPipeline.stageCard(spark, dir)
+      .as[(Long, String, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    // 6 streamed docs; 6 and 8 drop at gate 1 (one vs history's seed, one
+    // vs gen-1's own state), 7 and 9 drop at gate 2 likewise; 5 and 10
+    // survive
+    assert(card.map(r => (r._2, r._3)) == Seq(
+      ("ingested", 6L), ("exact_dedup", 4L), ("near_dedup", 2L),
+      ("decontaminated", 2L), ("quality_kept", 2L), ("ppl_head", 2L)),
+      s"got $card")
+    val kept = FunnelPipeline.exportManifest(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .as[Long].collect().toSet
+    assert(kept == Set(5L, 10L), s"got $kept")
+  }
+
   test("FunnelPipeline: a crash in the WORST window — export and offsets " +
       "written, stages commit marker not — replays the batch idempotently: " +
       "no double counts, no duplicate export rows, card equals a clean run") {
