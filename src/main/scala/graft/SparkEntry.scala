@@ -12820,13 +12820,16 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
         |  sv::DOUBLE / ((tp + k)::DOUBLE * (tq + k)::DOUBLE * 1000000)
         |    AS psi
         |FROM s""".stripMargin,
-    // the identical md5-drawn Poisson multiplicities, 2·B sums in one
+    // the identical md5-drawn Poisson multiplicities — resample b's
+    // uniform is word (b mod 4) of md5(id:boot:⌊b/4⌋), mirroring
+    // Md5Hash.words4's per-digest four-uniform split — 2·B sums in one
     // aggregate, the B means unnested through quantile_cont
     "q_bootstrap_ci" -> {
       val B = 32
       val ths = Sampling.poissonOneThresholds(8)
       def u(b: Int) =
-        s"${sqlMd5Int(s"(event_id::VARCHAR || ':boot:$b')")} % 1000000"
+        s"('0x' || substr(md5(event_id::VARCHAR || ':boot:${b / 4}'), " +
+          s"${1 + 8 * (b % 4)}, 8))::BIGINT % 1000000"
       def wgt(b: Int) = ths.map(t =>
         s"(CASE WHEN u$b >= $t THEN 1 ELSE 0 END)").mkString("(", " + ", s")::BIGINT")
       s"""WITH base AS (SELECT floor(value * 100)::BIGINT AS v,

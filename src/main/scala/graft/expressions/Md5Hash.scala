@@ -24,6 +24,8 @@ object Md5Hash {
   private val digests = ThreadLocal.withInitial[MessageDigest](
     () => MessageDigest.getInstance("MD5"))
 
+  private[expressions] def threadDigest(): MessageDigest = digests.get()
+
   /** First 4 digest bytes as an unsigned big-endian int (< 2^32) —
     * ≡ conv(substring(md5(x),1,8),16,10). */
   def first32(s: UTF8String): Long = {
@@ -42,6 +44,25 @@ object Md5Hash {
     var i = 0
     while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
     (v << 4) | ((dig(7) >> 4) & 0xfL)
+  }
+
+  /** ALL FOUR 32-bit big-endian words of the digest as array<long> —
+    * word g ≡ conv(substring(md5(x), 1+8·g, 8),16,10). One digest yields
+    * four independent uniforms, so a draw-heavy consumer (the Poisson
+    * bootstrap's B multiplicities per row) hashes B/4 times instead of B:
+    * md5 + the per-draw string concat dominate that pass. */
+  def words4(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val d = digests.get(); d.reset()
+    val dig = d.digest(s.getBytes)
+    val out = new Array[Long](4)
+    var g = 0
+    while (g < 4) {
+      val o = 4 * g
+      out(g) = ((dig(o) & 0xffL) << 24) | ((dig(o + 1) & 0xffL) << 16) |
+        ((dig(o + 2) & 0xffL) << 8) | (dig(o + 3) & 0xffL)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -71,12 +92,97 @@ case class Md5Long(child: Expression) extends Md5HashExpression {
   override def prettyName: String = "graft_md5long"
 }
 
+/** All `groups`·4 Poisson-bootstrap multiplicities of one id in a single
+  * tight JVM loop — the hot projection of Sampling.bootstrapMeanCI, where
+  * the equivalent Column form (B sums of 9 CASE terms over md5Words
+  * elements) generated so much per-row expression code that the weights
+  * pass alone cost ~4× the md5 work it wraps. Slot b (0-based) =
+  * #{k : thresholds(k) ≤ u_b} with u_b = (32-bit word (b mod 4) of
+  * md5(id ++ ":salt:" ++ (b div 4))) mod 10⁶ — bit-identical to
+  * pmod(md5Words(concat(id, ':salt:g'))(w), 10⁶) walked through the
+  * ascending thresholds, which is exactly what Md5ExprSpec pins. The
+  * per-group suffix bytes precompute once per expression instance; the
+  * thresholds array rides into generated code as a referenced object
+  * (the BloomProbeExpr convention). NULL id → NULL out. */
+case class BootstrapWeights(child: Expression, salt: String, groups: Int,
+                            thresholds: Seq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(groups >= 1 && groups <= 4096,
+    s"groups must be in [1, 4096], got $groups")
+  require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+    "thresholds must be non-empty ascending")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  @transient private lazy val thArr: Array[Long] = thresholds.toArray
+  @transient private lazy val sfx: Array[Array[Byte]] =
+    Array.tabulate(groups)(g =>
+      s":$salt:$g".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def compute(id: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val d = Md5Hash.threadDigest()
+    val idB = id.getBytes
+    val out = new Array[Long](groups * 4)
+    var g = 0
+    while (g < groups) {
+      d.reset()
+      d.update(idB)
+      d.update(sfx(g))
+      val dig = d.digest()
+      var w = 0
+      while (w < 4) {
+        val o = 4 * w
+        val word = ((dig(o) & 0xffL) << 24) | ((dig(o + 1) & 0xffL) << 16) |
+          ((dig(o + 2) & 0xffL) << 8) | (dig(o + 3) & 0xffL)
+        val u = word % 1000000L
+        var cnt = 0L
+        var k = 0
+        while (k < thArr.length && thArr(k) <= u) { cnt += 1; k += 1 }
+        out(g * 4 + w) = cnt
+        w += 1
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBootW", this,
+      classOf[BootstrapWeights].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BootstrapWeights =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bootstrap_weights"
+}
+
+/** array<long> of all four 32-bit digest words (see Md5Hash.words4). */
+case class Md5Words(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Hash.words4(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5Hash.words4($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Words =
+    copy(child = newChild)
+  override def prettyName: String = "graft_md5words"
+}
+
 object Md5Expressions {
   /** Column wrappers (work everywhere, including inside HOF lambdas). */
   def md5Int(c: Column): Column =
     GraftColumnBridge.column(Md5Int(GraftColumnBridge.expression(c)))
   def md5Long(c: Column): Column =
     GraftColumnBridge.column(Md5Long(GraftColumnBridge.expression(c)))
+  def md5Words(c: Column): Column =
+    GraftColumnBridge.column(Md5Words(GraftColumnBridge.expression(c)))
+  def bootstrapWeights(id: Column, salt: String, groups: Int,
+                       thresholds: Seq[Long]): Column =
+    GraftColumnBridge.column(BootstrapWeights(
+      GraftColumnBridge.expression(id), salt, groups, thresholds))
 }
 
 /** SQL-surface registration:
@@ -108,6 +214,8 @@ object GraftExtensions {
   val usage: Map[String, String] = Map(
     "graft_md5int" -> "graft_md5int(str) - first 32 bits of md5(str) as a non-negative BIGINT (< 2^32).",
     "graft_md5long" -> "graft_md5long(str) - first 60 bits of md5(str) as a non-negative BIGINT (< 2^60).",
+    "graft_md5words" -> ("graft_md5words(str) - all four 32-bit words of md5(str) as array<bigint> " +
+      "(word g = conv(substring(md5(str),1+8*g,8),16,10)): one digest, four independent uniforms."),
     "graft_shingle_hashes" ->
       ("graft_shingle_hashes(norm, k) - graft_md5int of every word k-shingle. " +
         "PRECONDITION: `norm` must be normalized text — trimmed, tokens separated by " +
@@ -160,6 +268,7 @@ object GraftExtensions {
   val builders: Map[String, (Class[_], Seq[Expression] => Expression)] = Map(
     "graft_md5int" -> (classOf[Md5Int], (args: Seq[Expression]) => Md5Int(args.head)),
     "graft_md5long" -> (classOf[Md5Long], (args: Seq[Expression]) => Md5Long(args.head)),
+    "graft_md5words" -> (classOf[Md5Words], (args: Seq[Expression]) => Md5Words(args.head)),
     "graft_shingle_hashes" -> (classOf[ShingleHashes], (args: Seq[Expression]) =>
       ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes"))),
     "graft_token_hashes" -> (classOf[TokenHashes], (args: Seq[Expression]) =>

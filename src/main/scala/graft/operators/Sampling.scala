@@ -331,11 +331,14 @@ object Sampling {
   /** Poisson-bootstrap confidence interval for the mean of an integral
     * column — the resampling-free bootstrap (Chamberlain/Owen; the
     * standard distributed form): each row enters resample b with
-    * multiplicity ~ Poisson(1), drawn DETERMINISTICALLY from
-    * md5(id:salt:b) through the quantized CDF thresholds above, so the
-    * "randomness" is a pure function of (ids, salt) — identical on any
-    * engine, partitioning, or rerun, and the whole statistic is
-    * oracle-checkable where a seeded RNG bootstrap never is.
+    * multiplicity ~ Poisson(1), drawn DETERMINISTICALLY through the
+    * quantized CDF thresholds above from word (b mod 4) of
+    * md5(id:salt:⌊b/4⌋) — the digest's four 32-bit words are four
+    * independent uniforms, so B resamples cost B/4 digests (+ B/4
+    * per-row string concats) instead of B; md5 and the concat dominate
+    * this pass. The "randomness" stays a pure function of (ids, salt) —
+    * identical on any engine, partitioning, or rerun, and the whole
+    * statistic is oracle-checkable where a seeded RNG bootstrap never is.
     *
     * Shape: ONE partial-agg'd pass computes all 2·B resample sums as
     * separate aggregate expressions over per-row integer weights — no
@@ -357,14 +360,19 @@ object Sampling {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
       s"need 0 <= loQ < hiQ <= 1, got $loQ/$hiQ")
     val ths = poissonOneThresholds(maxK)
-    def wgt(b: Int): Column = {
-      val u = pmod(graft.expressions.Md5Expressions.md5Int(
-        concat(col(id).cast("string"), lit(s":$salt:$b"))), lit(1000000L))
-      ths.map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
-    }
-    val base = df.filter(col(id).isNotNull && col(value).isNotNull)
-      .select(Seq(col(value).cast("long").as("_v")) ++
-        (0 until resamples).map(b => wgt(b).as(s"_w$b")): _*)
+    val groups = (resamples + 3) / 4
+    // ALL B multiplicities per row from ONE native kernel call
+    // (BootstrapWeights: digest + word split + threshold walk in a tight
+    // JVM loop) — the equivalent Column form (B sums of |ths| CASE terms)
+    // generated ~300 expression nodes per row and dominated the pass;
+    // Md5ExprSpec pins the kernel to that Column form bit for bit
+    val staged = df.filter(col(id).isNotNull && col(value).isNotNull)
+      .select(col(value).cast("long").as("_v"),
+        graft.expressions.Md5Expressions.bootstrapWeights(
+          col(id).cast("string"), salt, groups, ths).as("_ws"))
+    val base = staged
+      .select(Seq(col("_v")) ++
+        (0 until resamples).map(b => col("_ws")(b).as(s"_w$b")): _*)
     val aggs =
       (0 until resamples).flatMap(b => Seq(
         sum(col(s"_w$b") * col("_v")).as(s"_swx$b"),

@@ -30,6 +30,47 @@ class Md5ExprSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("property: md5Words' four 32-bit words equal the conv/substring " +
+      "forms at offsets 1/9/17/25 (the bootstrap draw's oracle contract)") {
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    val gen = Gen.listOfN(30, Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.listOfN(4, Gen.oneOf("héllo", "世界", ":boot:0", "", "🚀"))
+        .map(_.mkString(" "))))
+    def legacyWord(c: org.apache.spark.sql.Column, g: Int) =
+      conv(substring(md5(c), 1 + 8 * g, 8), 16, 10).cast("long")
+    val r = SCTest.check(params, Prop.forAll(gen) { strs =>
+      val df = strs.toDF("s")
+      df.select((0 until 4).map(g =>
+          Md5Expressions.md5Words(col("s"))(g) === legacyWord(col("s"), g))
+          .reduce(_ && _))
+        .as[Boolean].collect().forall(identity)
+    })
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: bootstrapWeights equals the md5Words Column form walked " +
+      "through the thresholds (the q_bootstrap_ci draw, kernel vs Columns)") {
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    val ths = graft.operators.Sampling.poissonOneThresholds(8)
+    val gen = Gen.listOfN(25, Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr, Gen.posNum[Long].map(_.toString)))
+    val r = SCTest.check(params, Prop.forAll(gen) { strs =>
+      val df = strs.toDF("s")
+      val groups = 3 // 12 slots — exercises every word position
+      def columnForm(b: Int) = {
+        val u = pmod(Md5Expressions.md5Words(
+          concat(col("s"), lit(s":boot:${b / 4}")))(b % 4), lit(1000000L))
+        ths.map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
+      }
+      val kernel = Md5Expressions.bootstrapWeights(col("s"), "boot", groups, ths)
+      df.select((0 until groups * 4).map(b =>
+          kernel(b) === columnForm(b)).reduce(_ && _))
+        .as[Boolean].collect().forall(identity)
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("native expressions participate in whole-stage codegen outside lambdas") {
     // a range source keeps the project out of ConvertToLocalRelation's reach
     val df = spark.range(4)
