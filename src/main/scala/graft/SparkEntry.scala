@@ -22,6 +22,7 @@ object SparkEntry {
 
   private val H  = 3600000L  // 1 hour in ms
   private val D  = 86400000L // 1 day in ms
+  private val HorizonMs = 21600000L // 6 h: q_dedup_horizon's event-time bound
   private val RangeWindowMs = 600000L // 10-min incident window (range join)
   private val RangeDayMs    = D       // 1-day keyed incident window
   private val BmTerms = Seq("join", "scan", "window") // BM25 query terms
@@ -1210,6 +1211,29 @@ object SparkEntry {
         col("user_id"), unix_millis(col("ts")), col("event_id"), col("event_type"))
       graft.streaming.StateMachines.actionDurations(ke, "signup", "purchase")
         .select(col("key").cast("long").as("user_id"), col("action"), col("duration_ms"))
+    }),
+    // event-time horizon dedup (alert suppression): a (user, type) event is
+    // admitted iff its predecessor lies > 6 h earlier BY EVENT TIME — the
+    // replay-deterministic form of the dedup machines' wall-clock TTL. The
+    // lag twin and the EventTimeTimeout machine hash-match the same oracle.
+    "q_dedup_horizon" -> ((s, dir) =>
+      StatefulTwins.horizonKeepFirst(
+          Tables.events(s, dir).withColumn("_k",
+            concat(col("user_id").cast("string"), lit(":"),
+              col("event_type"))),
+          "_k", "ts", "event_id", HorizonMs)
+        .select(col("event_id"), col("is_first"))),
+    "q_dedup_horizon_stream" -> ((s, dir) => {
+      val docs = Tables.events(s, dir).select(
+          concat(col("user_id").cast("string"), lit(":"),
+            col("event_type")).as("th"),
+          col("event_id").cast("long").as("doc_id"),
+          lit("").as("lang"), lit("").as("text"),
+          unix_millis(col("ts")).as("tsMs"))
+        .as[graft.streaming.TimedHashedDoc](
+          graft.streaming.StateMachines.timedHashedDocEnc)
+      graft.streaming.StateMachines.keepFirstEventTime(docs, HorizonMs, 0L)
+        .select(col("doc_id").as("event_id"), col("is_first"))
     }),
 
     // ── §2.10 event time, watermarks, late data (E6) ──────────────────────
@@ -6647,6 +6671,26 @@ uvoc$r AS MATERIALIZED (SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
          |      FROM d)
          |SELECT user_id, ms AS ts_ms, ms - prev AS gap_ms
          |FROM l WHERE prev IS NOT NULL AND ms - prev < 86400000""".stripMargin,
+
+    "q_dedup_horizon" ->
+      s"""WITH e AS (SELECT user_id::VARCHAR || ':' || event_type AS k,
+         |        $evMs AS ms, event_id FROM events),
+         |l AS (SELECT event_id,
+         |        ms - lag(ms) OVER (PARTITION BY k ORDER BY ms, event_id)
+         |          AS gap
+         |      FROM e)
+         |SELECT event_id, (gap IS NULL OR gap > $HorizonMs) AS is_first
+         |FROM l""".stripMargin,
+
+    "q_dedup_horizon_stream" ->
+      s"""WITH e AS (SELECT user_id::VARCHAR || ':' || event_type AS k,
+         |        $evMs AS ms, event_id FROM events),
+         |l AS (SELECT event_id,
+         |        ms - lag(ms) OVER (PARTITION BY k ORDER BY ms, event_id)
+         |          AS gap
+         |      FROM e)
+         |SELECT event_id, (gap IS NULL OR gap > $HorizonMs) AS is_first
+         |FROM l""".stripMargin,
 
     "q_action_durations" ->
       s"""WITH l AS (SELECT user_id, event_type, $evMs AS ms,

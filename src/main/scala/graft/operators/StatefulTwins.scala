@@ -57,6 +57,26 @@ object StatefulTwins {
         (ms(col(ts)) - col("prev_ms")).as("duration_ms"))
   }
 
+  /** Event-time horizon dedup — the batch twin of
+    * StateMachines.keepFirstEventTime (the replay-deterministic form of
+    * the dedup machines' processing-time TTL): per key, a row is
+    * ADMITTED (`is_first`) iff it is the key's first row in
+    * (ts, tiebreak) order or lies more than `horizonMs` after its
+    * PREDECESSOR — the alert-suppression / re-admission rule. Every
+    * event refreshes the horizon anchor (last SEEN, the TTL re-arm
+    * rule), so the anchor is always the previous row's ts and lag() is
+    * the machine's fold exactly — the same DuckDB oracle checks both
+    * (q_dedup_horizon / q_dedup_horizon_stream). */
+  def horizonKeepFirst(df: DataFrame, key: String, ts: String,
+                       tiebreak: String, horizonMs: Long): DataFrame = {
+    require(horizonMs > 0, s"horizonMs must be > 0, got $horizonMs")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    df.withColumn("_prev_ms", lag(ms(col(ts)), 1).over(w))
+      .withColumn("is_first", col("_prev_ms").isNull ||
+        ms(col(ts)) - col("_prev_ms") > horizonMs)
+      .drop("_prev_ms")
+  }
+
   /** Watermark / late-data twin (chapter4/EventTimeOperations.java:102-134,146):
     * the reference tags an event late when its event time is older than the
     * watermark = (max event time seen so far) - lateness. In arrival order

@@ -35,7 +35,7 @@ case class FunnelConfig(weights: Array[Long], zQ: Long,
   * piece of pipeline state survives the process, and every piece of
   * per-trigger state is LOOKED UP by key, never rescanned.
   *
-  * One streaming query, two chained keyed state machines (both
+  * One streaming query, three chained keyed state machines (all
   * flatMapGroupsWithState in Append mode — the combination Spark's
   * unsupported-operations checker explicitly allows), then foreachBatch:
   *
@@ -43,15 +43,19 @@ case class FunnelConfig(weights: Array[Long], zQ: Long,
   *     boolean of GroupState per content fingerprint, restored from
   *     `checkpoint/` across restarts; O(batch) work per trigger.
   *   - gate 2 (near-dup keep-first): StateMachines.bandKeepFirst — the
-  *     band index AS keyed state, one GroupState entry per MinHash band
-  *     bucket holding that bucket's members (doc_id + distinct
-  *     shingle-hash set, fail-loud `maxBucket` cap). A trigger reads
-  *     exactly the buckets its batch touches — probe input is
-  *     O(batch + collisions) in both WORK and IO, never O(corpus).
-  *     (Round 13 kept the index in per-trigger parquet deltas and
-  *     re-read ALL of them every trigger: join work was O(batch +
-  *     collisions) but scan IO was O(accumulated corpus), quadratic
-  *     across an ingest — the round-13 verdict's one named weak.)
+  *     band index AS keyed state, split across two machines so the
+  *     verify payload is stored ONCE per doc: the bucket machine holds
+  *     one GroupState entry per MinHash band bucket with member doc IDS
+  *     ONLY (fail-loud `maxBucket` cap) and emits cross-batch candidate
+  *     probes; the doc-keyed gram machine stores each doc's distinct
+  *     shingle-hash set once and verifies the probes against it. A
+  *     trigger reads exactly the buckets + members its batch touches —
+  *     probe input is O(batch + collisions) in both WORK and IO, never
+  *     O(corpus). (Round 13 kept the index in per-trigger parquet
+  *     deltas and re-read ALL of them every trigger — quadratic scan IO
+  *     across an ingest; round 14 moved it into keyed state but stored
+  *     each doc's gram set once PER BAND — measured ≈870 B/doc/version,
+  *     an ×bands duplication this split removes.)
   *   - gates 3-5 (decontamination / trained quality / perplexity): per-row
   *     against frozen artifacts inside foreachBatch.
   *   - stage accounting: ONE aggregate per trigger reshaped to six rows
@@ -146,8 +150,11 @@ object FunnelPipeline {
         col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
       .as[HashedDoc]
     // gate 1, then the band explosion feeding gate 2: each doc fans out to
-    // its mhBands bucket rows (payload rides along — O(bands × batch) rows
-    // through one keyed exchange, collapsed back per doc in foreachBatch)
+    // its mhBands bucket rows. Band 0 is the doc's CARRIER (payload +
+    // gram set for the doc-keyed store); the other bands ship null
+    // payload, so text crosses the keyed exchange once per doc, the gram
+    // set ×bands (it is every band row's verify input), and the gram
+    // machine collapses the carrier back to ONE payload row per doc.
     val gated = bootstrap match {
       case Some(hist) =>
         StateMachines.keepFirstSeeded(hashed,
@@ -158,13 +165,17 @@ object FunnelPipeline {
     }
     val probes = gated.toDF()
       .transform(withSignatures(_, cfg))
-      .select(
-        explode(array(bucketColumns(cfg): _*)).as("bucket"),
+      .select(posexplode(array(bucketColumns(cfg): _*)).as(Seq("_band", "bucket")),
         col("doc_id"), col("lang"), col("text"), col("is_first"), col("sh"))
+      .select(col("bucket"), col("doc_id"),
+        when(col("_band") === 0, col("lang")).as("lang"),
+        when(col("_band") === 0, col("text")).as("text"),
+        col("is_first"), (col("_band") === 0).as("carrier"), col("sh"))
       .as[BandProbe]
     val verdicts = bootstrap match {
       case Some(hist) => StateMachines.bandKeepFirstSeeded(probes,
-        cfg.minJaccard, cfg.maxBucket, bandSeeds(hist, cfg), probeMeter)
+        cfg.minJaccard, cfg.maxBucket, bandSeeds(hist, cfg),
+        gramSeeds(hist, cfg), probeMeter)
       case None => StateMachines.bandKeepFirst(probes, cfg.minJaccard,
         cfg.maxBucket, probeMeter)
     }
@@ -172,7 +183,13 @@ object FunnelPipeline {
     // execution is constructed (inside .start(), synchronously) and then
     // persisted in the checkpoint's offset metadata, so restoring the
     // session conf afterwards cannot race the query and restarts resume
-    // on RocksDB even from a session that never set it
+    // on RocksDB even from a session that never set it. The set/restore
+    // window IS session-global, though: an unrelated streaming query
+    // started CONCURRENTLY on this session during .start() would capture
+    // the RocksDB provider into its own checkpoint — start() assumes
+    // single-threaded query starts (the house convention); a deployment
+    // starting queries concurrently should give the funnel its own
+    // spark.newSession()
     val prevProvider = spark.conf.getOption(ProviderKey)
     spark.conf.set(ProviderKey, RocksDbProvider)
     try {
@@ -208,32 +225,52 @@ object FunnelPipeline {
           col("sig")(bnd * cfg.mhRows + j).cast("string")): _*))
     }
 
-  /** Per-bucket membership seeds for bandKeepFirstSeeded, derived from an
-    * already-ingested corpus frame (doc_id, lang, text) with the SAME
-    * staging expressions the live stream uses: one row per bucket with
-    * member ids ascending and gram sets aligned. Docs with empty gram
-    * sets are excluded (bandKeepFirst never stores them — they cannot
-    * verify under minJaccard > 0); a bucket past `cfg.maxBucket` fails
-    * loudly HERE, before any state is installed. */
-  def bandSeeds(docs: DataFrame,
-                cfg: FunnelConfig): Dataset[BandBucketSeed] = {
-    val staged = withSignatures(docs.filter(col("text").isNotNull)
+  /** The bootstrap corpus staged for seeding: (doc_id, sh) for every doc
+    * with a non-empty gram set, under the SAME staging expressions the
+    * live stream uses (so seed and stream can never diverge). */
+  private def seedStaged(docs: DataFrame, cfg: FunnelConfig): DataFrame =
+    withSignatures(docs.filter(col("text").isNotNull)
         .select(col("doc_id").cast("long").as("doc_id"), col("text")), cfg)
       .filter(size(col("sh")) > 0)
-    val guard = assert_true(size(col("_m")) <= cfg.maxBucket,
+
+  /** Per-bucket membership seeds (ids only) for bandKeepFirstSeeded,
+    * derived from an already-ingested corpus frame (doc_id, lang, text).
+    * Docs with empty gram sets are excluded (bandKeepFirst never stores
+    * them — they cannot verify under minJaccard > 0); a bucket past
+    * `cfg.maxBucket` fails loudly HERE, before any state is installed.
+    * The gram sets seed the doc-keyed store separately (gramSeeds). */
+  def bandSeeds(docs: DataFrame,
+                cfg: FunnelConfig): Dataset[BandBucketSeed] = {
+    val guard = assert_true(size(col("ids")) <= cfg.maxBucket,
       concat(lit("bandSeeds: bucket '"), col("bucket"),
         lit(s"' holds more than maxBucket=${cfg.maxBucket} members — " +
           "re-band or raise maxBucket deliberately")))
-    staged.select(col("doc_id"), col("sh"),
+    seedStaged(docs, cfg).select(col("doc_id"),
         explode(array(bucketColumns(cfg): _*)).as("bucket"))
       .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
-        .as("_m"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(guard.isNull)
-      .select(col("bucket"),
-        expr("transform(_m, x -> x.doc_id)").as("ids"),
-        expr("transform(_m, x -> x.sh)").as("shs"))
       .as[BandBucketSeed](StateMachines.bandSeedEnc)
+  }
+
+  /** Per-doc gram-store seeds for bandKeepFirstSeeded's second machine:
+    * one row per bootstrap doc with its distinct shingle-hash set.
+    * Duplicate doc_ids with IDENTICAL content collapse to one row (an
+    * already-deduped corpus re-listed is fine); conflicting contents
+    * under one id fail loud — the id keys the store, exactly the gram
+    * machine's own contract. */
+  def gramSeeds(docs: DataFrame,
+                cfg: FunnelConfig): Dataset[graft.streaming.GramSeed] = {
+    val guard = assert_true(col("_nd") === 1,
+      concat(lit("gramSeeds: doc_id "), col("gkey"),
+        lit(" carries conflicting gram sets in the bootstrap corpus — " +
+          "ids must be stable per content")))
+    seedStaged(docs, cfg)
+      .groupBy(col("doc_id").as("gkey"))
+      .agg(first(col("sh")).as("sh"), countDistinct(col("sh")).as("_nd"))
+      .filter(guard.isNull)
+      .select(col("gkey"), col("sh"))
+      .as[graft.streaming.GramSeed](StateMachines.gramSeedEnc)
   }
 
   /** One trigger: per-doc collapse of the gate-1/2 verdicts → gates 3-5
@@ -245,13 +282,25 @@ object FunnelPipeline {
     if (committed(dir, bid)) return // fully processed before a restart
     if (cfg.compactEvery > 0 && bid > 0 && bid % cfg.compactEvery == 0)
       compactStores(spark, dir, bid) // touches only batch ids < bid
-    // collapse the per-(doc, band-bucket) verdict rows to one row per doc:
-    // near_dup is an OR over the doc's bands; the payload columns are
-    // identical copies on every band row, so first() is deterministic
+    // collapse the gate-2 output to one row per doc: the payload lives on
+    // the doc's single carrier row; near_dup is an OR over the carrier
+    // and the slim dup rows (other buckets' intra hits + verified
+    // probes). Exactly ONE carrier per doc is the gram machine's
+    // invariant (it merges exact redeliveries and fails loud on
+    // conflicting contents under one id) — asserted here so a regression
+    // can never silently merge two documents into one verdict row
+    val guard = assert_true(col("_nc") === 1,
+      concat(lit("curation funnel: doc_id "), col("doc_id"),
+        lit(" produced "), col("_nc"),
+        lit(" carrier rows in one batch (exactly 1 expected)")))
     val b = batch.groupBy(col("doc_id"))
-      .agg(first(col("lang")).as("lang"), first(col("text")).as("text"),
-        max(col("is_first")).as("is_first"),
-        max(col("near_dup")).as("_d2"))
+      .agg(max(when(col("carrier"), col("lang"))).as("lang"),
+        max(when(col("carrier"), col("text"))).as("text"),
+        max(when(col("carrier"), col("is_first"))).as("is_first"),
+        max(col("near_dup")).as("_d2"),
+        sum(when(col("carrier"), lit(1L)).otherwise(lit(0L))).as("_nc"))
+      .filter(guard.isNull)
+      .drop("_nc")
 
     // ── gate flags over the ingested slice ──
     val s0 = b
@@ -529,7 +578,16 @@ object FunnelPipeline {
     * a sum over the durable stage store (consolidated base + trailing
     * deltas), so it reads the same after a crash/restart — or mid-
     * compaction — as after an uninterrupted run. Empty stages carry
-    * NULL token mass (SQL sum-over-nothing), matching the batch oracle. */
+    * NULL token mass (SQL sum-over-nothing), matching the batch oracle.
+    *
+    * Concurrency: every CRASH window of a compaction swap reads
+    * correctly (the base/old/UPTO protocol above), but a card read must
+    * not RACE a LIVE compactStores on another thread — the swap may
+    * delete `stages_base_old` or a folded delta after this reader
+    * resolved its directory listing but before the scan, surfacing as a
+    * FileNotFoundException (retry the read). In-pipeline callers are
+    * safe by construction: processBatch compacts between triggers and
+    * the card is read between triggers. */
   def stageCard(spark: SparkSession, dir: String): DataFrame =
     rawStages(spark, dir)
       .groupBy(col("stage_idx"), col("stage"))

@@ -96,20 +96,75 @@ case class HashedDoc(th: String, doc_id: Long, lang: String, text: String)
 case class GatedDoc(doc_id: Long, lang: String, text: String,
                     is_first: Boolean)
 
-/** One (band bucket, document) probe row for bandKeepFirst: the doc's id,
-  * its DISTINCT shingle-hash set (the exact-verify payload), and the
-  * funnel payload columns carried through to the per-doc collapse. */
+/** One (band bucket, document) probe row for bandKeepFirst: the doc's id
+  * and its DISTINCT shingle-hash set (the exact-verify payload). Exactly
+  * ONE of a doc's band rows is its CARRIER (the funnel marks band 0) and
+  * carries the payload columns through to the per-doc collapse; the
+  * other bands ship null payload, so text crosses the bucket exchange
+  * once per doc, not ×bands. */
 case class BandProbe(bucket: String, doc_id: Long, lang: String,
-                     text: String, is_first: Boolean, sh: Array[Long])
+                     text: String, is_first: Boolean, carrier: Boolean,
+                     sh: Array[Long])
 
-/** bandKeepFirst's output: the carried document plus THIS bucket's
-  * verified near-dup verdict (OR-reduced per doc downstream). */
+/** bandKeepFirst's output: per doc, ONE `carrier = true` row with the
+  * payload (its near_dup is the carrier bucket's intra-batch verdict),
+  * plus zero or more `carrier = false` slim rows (near_dup = true only)
+  * from the doc's other buckets' intra-batch hits and its verified
+  * cross-batch probes. The per-doc verdict downstream is max(near_dup)
+  * grouped by doc_id. */
 case class BandVerdict(doc_id: Long, lang: String, text: String,
-                       is_first: Boolean, near_dup: Boolean)
+                       is_first: Boolean, near_dup: Boolean,
+                       carrier: Boolean)
 
-/** One band bucket's accumulated members as parallel arrays: doc ids and
-  * their distinct shingle-hash sets. */
-case class BandBucketState(ids: Array[Long], shs: Array[Array[Long]])
+/** One band bucket's accumulated member doc ids — IDS ONLY. The gram
+  * sets live once per doc in the doc-keyed gram store (GramState), not
+  * once per band per doc: the round-14 form stored each doc's shingle
+  * set in every band bucket it occupied (×bands duplication, measured
+  * ≈870 B/doc/version at sf0.001 vs ~110 B of unique payload). */
+case class BandBucketState(ids: Array[Long])
+
+/** The doc-keyed gram store's state: one distinct shingle-hash set per
+  * stored doc (the exact-verify payload, stored ONCE). */
+case class GramState(sh: Array[Long])
+
+/** bandKeepFirst's intermediate row between the bucket machine and the
+  * doc-keyed gram machine. `kind` 0 = CARRIER (gkey = own doc_id;
+  * payload + the band-0 bucket's intra-batch verdict + the doc's gram
+  * set for the store), 1 = intra-batch dup FLAG from a non-carrier
+  * bucket (gkey = own doc_id, passes through), 2 = cross-batch
+  * candidate PROBE (gkey = the STORED member's doc_id; `sh` is the
+  * ARRIVING doc's gram set, verified against the member's stored one). */
+case class BandCand(gkey: Long, doc_id: Long, lang: String, text: String,
+                    is_first: Boolean, near_dup: Boolean, kind: Int,
+                    sh: Array[Long])
+
+/** One doc's gram-store seed for bandKeepFirstSeeded (ids must be unique;
+  * the builder fails loud on conflicting duplicates). */
+case class GramSeed(gkey: Long, sh: Array[Long])
+
+/** keepFirstEventTime's input: a content-fingerprinted doc with its
+  * EVENT-TIME position (`tsMs`, epoch ms) — the horizon anchor. */
+case class TimedHashedDoc(th: String, doc_id: Long, lang: String,
+                          text: String, tsMs: Long)
+/** keepFirstEventTime's output: the doc plus its horizon-dedup verdict. */
+case class TimedGatedDoc(doc_id: Long, lang: String, text: String,
+                         tsMs: Long, is_first: Boolean)
+
+/** bandKeepFirstEventTime's probe row — BandProbe with an event-time
+  * position instead of the funnel payload (join columns back by doc_id). */
+case class TimedBandProbe(bucket: String, doc_id: Long, tsMs: Long,
+                          carrier: Boolean, sh: Array[Long])
+/** bandKeepFirstEventTime's output: one carrier row per doc plus slim
+  * dup rows; per-doc verdict = max(near_dup) grouped by doc_id. */
+case class TimedBandVerdict(doc_id: Long, tsMs: Long, near_dup: Boolean,
+                            carrier: Boolean)
+/** One band bucket's members under an event-time horizon: ids, each
+  * member's event time (the horizon anchor), and its gram set —
+  * parallel arrays. Unlike BandBucketState this stores grams ×bands;
+  * the horizon bounds the window the duplication multiplies (see
+  * bandKeepFirstEventTime's scaladoc). */
+case class TimedBucketState(ids: Array[Long], tss: Array[Long],
+                            shs: Array[Array[Long]])
 
 /** Page-Hinkley walk state per key: event count, value sum, the PH
   * statistic m, and its running minimum. */
@@ -158,6 +213,7 @@ object StateMachines {
   implicit val lastSeenEnc: Encoder[LastSeen]           = Encoders.product[LastSeen]
   implicit val transitionPairEnc: Encoder[TransitionPair] = Encoders.product[TransitionPair]
   implicit val stringEnc: Encoder[String]               = Encoders.STRING
+  implicit val longEnc: Encoder[Long]                   = Encoders.scalaLong
 
   /** Project any DataFrame (batch or streaming) onto the canonical shape. */
   def keyedEvents(df: DataFrame, key: Column, tsMs: Column, tiebreak: Column,
@@ -407,53 +463,85 @@ object StateMachines {
   implicit val bandProbeEnc: Encoder[BandProbe] = Encoders.product[BandProbe]
   implicit val bandVerdictEnc: Encoder[BandVerdict] =
     Encoders.product[BandVerdict]
+  implicit val bandCandEnc: Encoder[BandCand] = Encoders.product[BandCand]
+  implicit val gramSeedEnc: Encoder[GramSeed] = Encoders.product[GramSeed]
   private implicit val bandStateEnc: Encoder[BandBucketState] =
     Encoders.product[BandBucketState]
+  private implicit val gramStateEnc: Encoder[GramState] =
+    Encoders.product[GramState]
 
-  /** Near-dup keep-first as the BUCKET-KEYED band-index state machine —
-    * the production funnel's gate 2. The reference's E7 lesson is that
-    * keyed state is LOOKED UP, never rescanned
-    * (chapter5/StatefulOperations.java:88-100); applied to the standing
-    * MinHash band index it means one GroupState entry per band bucket
-    * holding that bucket's members (doc_id + distinct shingle-hash set),
-    * so a trigger's probe reads exactly the buckets the batch touches:
-    * O(batch + collisions) state rows per trigger, NEVER O(corpus). (The
-    * round-13 form appended the index to parquet and re-read ALL of it
-    * every trigger — join work was O(batch + collisions) but scan IO was
-    * O(accumulated corpus), quadratic across an ingest.)
+  private val KindCarrier = 0
+  private val KindFlag    = 1
+  private val KindProbe   = 2
+
+  /** Near-dup keep-first as TWO chained keyed state machines — the
+    * production funnel's gate 2. The reference's E7 lesson is twofold:
+    * keyed state is LOOKED UP, never rescanned, and the state is the
+    * MINIMAL FACT, not the record
+    * (chapter5/StatefulOperations.java:88-100 stores one Long, not the
+    * event). Applied to the standing MinHash band index:
     *
-    * Verdict contract, identical to the on-disk probe it replaces: a doc
-    * is `near_dup` iff SOME bucket it occupies holds a LOWER-id member
-    * whose exact shingle-set Jaccard reaches `minJaccard`. Candidates
-    * only ever expand inside shared buckets; verification is
-    * HashKernels.jaccardDistinct — the same kernel the batch funnel and
-    * its DuckDB-checked oracle path use, so stream and batch verify
-    * bit-identically. Within a batch the group's rows walk in doc_id
-    * order, so intra-batch lower-id pairs resolve exactly like the old
-    * probe's self-including index read. Docs with EMPTY shingle sets can
-    * never verify under minJaccard > 0 (their Jaccard is 0.0 against
-    * anything) — they pass through unflagged and are NOT stored, which
-    * keeps the degenerate all-null-signature buckets ("0_", "1_", …)
-    * from accumulating every empty doc in the corpus.
+    *   1. the BUCKET machine (one GroupState entry per band bucket,
+    *      member doc IDS ONLY — 8 B each): verifies intra-batch pairs
+    *      directly (both gram sets are in the batch) and emits one
+    *      cross-batch candidate PROBE per (state member < arriving doc);
+    *   2. the doc-keyed GRAM machine (one GroupState entry per stored
+    *      doc: its distinct shingle-hash set, stored ONCE): persists
+    *      each carrier's gram set and verifies the probes against the
+    *      member's stored grams.
+    *
+    * The round-14 single-machine form stored each doc's gram set once
+    * PER BAND (measured ≈870 B/doc/version at sf0.001 vs ~110 B of
+    * unique payload — an ×bands duplication); this split keeps the point
+    * lookups (a trigger still reads exactly the buckets + members its
+    * batch touches: O(batch + collisions) state rows, NEVER O(corpus))
+    * while storing the verify payload once. The trade: cross-batch
+    * verification cannot short-circuit inside a bucket (all candidate
+    * probes of an arriving doc are emitted and verified, where the old
+    * walk stopped at the first hit) — per-arrival work is still bounded
+    * by `maxBucket`, and a doc already flagged intra-batch in a bucket
+    * emits no probes from that bucket.
+    *
+    * Verdict contract, identical to the single-machine form: a doc is
+    * `near_dup` iff SOME bucket it occupies holds a LOWER-id member
+    * whose exact shingle-set Jaccard reaches `minJaccard` — the per-doc
+    * verdict is max(near_dup) over the doc's output rows (the funnel's
+    * collapse). Verification is HashKernels.jaccardDistinct — the same
+    * kernel the batch funnel and its DuckDB-checked oracle path use, so
+    * stream and batch verify bit-identically. In BATCH mode a probe's
+    * target arrives in the same gram-machine invocation as its carrier;
+    * carriers store before probes verify, so the one-shot execution
+    * equals the incremental one. Docs with EMPTY shingle sets can never
+    * verify under minJaccard > 0 — they pass through unflagged and are
+    * NOT stored in either machine, which keeps the degenerate
+    * all-null-signature buckets ("0_", "1_", …) from accumulating every
+    * empty doc in the corpus.
+    *
+    * Exact redelivery (Kafka at-least-once) is tolerated by
+    * construction: a redelivered carrier re-stores the SAME gram set
+    * (idempotent overwrite; duplicate bucket ids only duplicate probes,
+    * whose verdicts OR). Two DIFFERENT documents sharing a doc_id in
+    * one batch fail LOUD in the gram machine (conflicting gram sets) —
+    * the id is the store's key, so the collision would otherwise
+    * silently corrupt every later verify against it.
     *
     * `maxBucket` is the house FAIL-LOUD bound (Dedup.fuzzyPairs'
     * convention) on one bucket's membership: a bucket past it means the
     * banding no longer bounds per-arrival verify work — raise it
-    * deliberately or re-band (more rows per band); never silent. State
-    * is one (ids, gram sets) pair of arrays per bucket, checkpoint-
-    * restored across restarts; each doc's gram set is stored once per
-    * band (the price of point lookups), bounded per bucket and RocksDB-
-    * resident at scale (FunnelPipeline pins the provider). `probeMeter`,
-    * when set, accumulates the number of state members LOADED per group
-    * invocation — the probe-input gauge FunnelScaleSpec asserts does not
-    * grow with the accumulated corpus.
+    * deliberately or re-band (more rows per band); never silent.
+    * `probeMeter`, when set, accumulates the number of state members
+    * LOADED per bucket invocation — the probe-input gauge
+    * FunnelScaleSpec asserts does not grow with the accumulated corpus.
     *
-    * `stateTtlMs`: processing-time TTL per BUCKET — a bucket idle longer
-    * than the TTL forgets its members, so a near-dup arriving later than
-    * the horizon is re-admitted (keepFirst's TTL trade, bucket-grained).
-    * An endless ingest sets it to bound state by the dedup horizon it
-    * actually needs; the funnel's oracle-checked form stays NoTimeout.
-    * Any arrival touching a bucket re-arms that bucket's TTL. */
+    * `stateTtlMs`: processing-time TTL on BOTH stores — a bucket idle
+    * longer than the TTL forgets its member ids, and a stored doc whose
+    * gram entry goes untouched (no carrier, no probe targeting it)
+    * expires independently; a probe that finds its member's grams
+    * expired counts as NOT a dup (the member is past the horizon — the
+    * TTL trade, member-grained). With no TTL (the funnel's
+    * oracle-checked form) a probe with no stored grams is an invariant
+    * violation and fails loud. Any arrival touching a bucket or a gram
+    * entry re-arms that entry's TTL. */
   def bandKeepFirst(probes: Dataset[BandProbe], minJaccard: Double,
                     maxBucket: Int,
                     probeMeter: Option[org.apache.spark.util.LongAccumulator]
@@ -463,31 +551,36 @@ object StateMachines {
       s"bandKeepFirst needs minJaccard > 0 (empty gram sets must never " +
         s"verify); got $minJaccard")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    probes.groupByKey(_.bucket).flatMapGroupsWithState(
+    val cands = probes.groupByKey(_.bucket).flatMapGroupsWithState(
       OutputMode.Append, timeoutConf(stateTtlMs))(
-      bandWalkOrExpire(minJaccard, maxBucket, probeMeter, stateTtlMs))
+      bucketWalkOrExpire(minJaccard, maxBucket, probeMeter, stateTtlMs))
+    cands.groupByKey(_.gkey).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs))(
+      gramWalkOrExpire(minJaccard, stateTtlMs))
   }
 
   /** One row of pre-aggregated bucket membership for bandKeepFirstSeeded:
-    * the bucket's member ids (ASCENDING) and their aligned gram sets. */
-  case class BandBucketSeed(bucket: String, ids: Array[Long],
-                            shs: Array[Array[Long]])
+    * the bucket's member doc ids, ASCENDING (ids only — the gram sets
+    * seed the doc-keyed gram store via GramSeed rows). */
+  case class BandBucketSeed(bucket: String, ids: Array[Long])
   implicit val bandSeedEnc: Encoder[BandBucketSeed] =
     Encoders.product[BandBucketSeed]
 
-  /** bandKeepFirst with PRE-SEEDED bucket state — keepFirstSeeded's twin
-    * for the standing band index: `seeds` carries one row per bucket of
-    * already-ingested history (ids ascending, gram sets aligned —
-    * FunnelPipeline.bandSeeds builds it from a corpus frame with the
-    * SAME staging expressions the stream side uses), installed as the
-    * bucket's initial GroupState before the first batch. A near-dup of
-    * history then drops exactly as if the original checkpoint had
-    * survived — the operational answer to a lost checkpoint or a
-    * re-banding (changed k/bands/rows invalidates old state; re-derive
-    * the seeds from the corpus under the NEW parameters and start
-    * fresh). Ignored on restarts that still hold state. */
+  /** bandKeepFirst with PRE-SEEDED state in BOTH machines —
+    * keepFirstSeeded's twin for the standing band index: `bucketSeeds`
+    * carries one row per bucket of already-ingested history (member ids
+    * ascending) and `gramSeeds` one row per stored doc (its gram set) —
+    * FunnelPipeline.bandSeeds builds both from a corpus frame with the
+    * SAME staging expressions the stream side uses — installed as
+    * initial GroupState before the first batch. A near-dup of history
+    * then drops exactly as if the original checkpoint had survived —
+    * the operational answer to a lost checkpoint or a re-banding
+    * (changed k/bands/rows invalidates old state; re-derive the seeds
+    * from the corpus under the NEW parameters and start fresh).
+    * Ignored on restarts that still hold state. */
   def bandKeepFirstSeeded(probes: Dataset[BandProbe], minJaccard: Double,
-                          maxBucket: Int, seeds: Dataset[BandBucketSeed],
+                          maxBucket: Int, bucketSeeds: Dataset[BandBucketSeed],
+                          gramSeeds: Dataset[GramSeed],
                           probeMeter: Option[org.apache.spark.util.LongAccumulator]
                             = None,
                           stateTtlMs: Option[Long] = None)
@@ -495,43 +588,313 @@ object StateMachines {
     require(minJaccard > 0,
       s"bandKeepFirstSeeded needs minJaccard > 0; got $minJaccard")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    probes.groupByKey(_.bucket).flatMapGroupsWithState(
+    val cands = probes.groupByKey(_.bucket).flatMapGroupsWithState(
       OutputMode.Append, timeoutConf(stateTtlMs),
-      seeds.groupByKey(_.bucket)
-        .mapValues(s => BandBucketState(s.ids, s.shs)))(
-      bandWalkOrExpire(minJaccard, maxBucket, probeMeter, stateTtlMs))
+      bucketSeeds.groupByKey(_.bucket).mapValues(s => BandBucketState(s.ids)))(
+      bucketWalkOrExpire(minJaccard, maxBucket, probeMeter, stateTtlMs))
+    cands.groupByKey(_.gkey).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf(stateTtlMs),
+      gramSeeds.groupByKey(_.gkey).mapValues(s => GramState(s.sh)))(
+      gramWalkOrExpire(minJaccard, stateTtlMs))
   }
 
-  private def bandWalkOrExpire(minJaccard: Double, maxBucket: Int,
-                               probeMeter: Option[org.apache.spark.util.LongAccumulator],
-                               stateTtlMs: Option[Long])
+  private def bucketWalkOrExpire(minJaccard: Double, maxBucket: Int,
+                                 probeMeter: Option[org.apache.spark.util.LongAccumulator],
+                                 stateTtlMs: Option[Long])
       : (String, Iterator[BandProbe], GroupState[BandBucketState]) =>
-        Iterator[BandVerdict] =
+        Iterator[BandCand] =
     (bucket: String, it: Iterator[BandProbe],
      state: GroupState[BandBucketState]) =>
-      if (state.hasTimedOut) { state.remove(); Iterator.empty[BandVerdict] }
-      else bandWalk(bucket, it, state, minJaccard, maxBucket, probeMeter,
+      if (state.hasTimedOut) { state.remove(); Iterator.empty[BandCand] }
+      else bucketWalk(bucket, it, state, minJaccard, maxBucket, probeMeter,
         stateTtlMs)
 
-  /** One group invocation of bandKeepFirst's walk (split out so the
-    * timed-out branch above stays a two-liner). */
-  private def bandWalk(bucket: String, it: Iterator[BandProbe],
-                       state: GroupState[BandBucketState],
-                       minJaccard: Double, maxBucket: Int,
-                       probeMeter: Option[org.apache.spark.util.LongAccumulator],
+  /** One group invocation of the BUCKET machine's walk: intra-batch
+    * verify in place (both gram sets at hand), one probe row per
+    * (stored member < arriving doc) for the gram machine, ids-only
+    * state append. */
+  private def bucketWalk(bucket: String, it: Iterator[BandProbe],
+                         state: GroupState[BandBucketState],
+                         minJaccard: Double, maxBucket: Int,
+                         probeMeter: Option[org.apache.spark.util.LongAccumulator],
+                         stateTtlMs: Option[Long]): Iterator[BandCand] = {
+    val rows = it.toArray.sortBy(_.doc_id)
+    val stIds = state.getOption.map(_.ids).getOrElse(Array.emptyLongArray)
+    probeMeter.foreach(_.add(stIds.length))
+    val localIds = ArrayBuffer.empty[Long]
+    val localShs = ArrayBuffer.empty[
+      org.apache.spark.sql.catalyst.util.GenericArrayData]
+    val out = ArrayBuffer.empty[BandCand]
+    rows.foreach { r =>
+      var intra = false
+      if (r.sh.nonEmpty) {
+        // an exact redelivery adjacent in the sorted batch: the first
+        // copy already stored, probed, and verified — skip the repeats
+        val isAdjacentDup = localIds.nonEmpty && localIds.last == r.doc_id
+        val rsh =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(r.sh)
+        var i = 0
+        while (!intra && i < localIds.length) {
+          if (localIds(i) < r.doc_id &&
+              graft.expressions.HashKernels.jaccardDistinct(
+                localShs(i), rsh) >= minJaccard) intra = true
+          i += 1
+        }
+        if (!intra && !isAdjacentDup) {
+          var j = 0
+          while (j < stIds.length) {
+            if (stIds(j) < r.doc_id)
+              out += BandCand(stIds(j), r.doc_id, null, null,
+                is_first = false, near_dup = false, KindProbe, r.sh)
+            j += 1
+          }
+        }
+        if (!isAdjacentDup) { localIds += r.doc_id; localShs += rsh }
+      }
+      if (r.carrier)
+        out += BandCand(r.doc_id, r.doc_id, r.lang, r.text, r.is_first,
+          near_dup = intra, KindCarrier, r.sh)
+      else if (intra)
+        out += BandCand(r.doc_id, r.doc_id, null, null, is_first = false,
+          near_dup = true, KindFlag, Array.emptyLongArray)
+    }
+    val total = stIds.length + localIds.length
+    if (total > maxBucket) throw new IllegalStateException(
+      s"band bucket '$bucket' holds $total members (> " +
+        s"maxBucket=$maxBucket) — per-arrival verify work in this " +
+        "bucket now grows with the corpus. Raise maxBucket " +
+        "deliberately or re-band (more rows per band).")
+    if (localIds.nonEmpty)
+      state.update(BandBucketState(stIds ++ localIds))
+    if (state.exists) stateTtlMs.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
+  private def gramWalkOrExpire(minJaccard: Double, stateTtlMs: Option[Long])
+      : (Long, Iterator[BandCand], GroupState[GramState]) =>
+        Iterator[BandVerdict] =
+    (gkey: Long, it: Iterator[BandCand], state: GroupState[GramState]) =>
+      if (state.hasTimedOut) { state.remove(); Iterator.empty[BandVerdict] }
+      else gramWalk(gkey, it, state, minJaccard, stateTtlMs)
+
+  /** One group invocation of the doc-keyed GRAM machine: store the
+    * carrier's gram set (once — the whole point), verify the probes
+    * against the stored member's grams, pass intra-batch flags through.
+    * Carriers process FIRST: in batch mode a probe's target doc arrives
+    * in the same invocation, and its grams must be stored before the
+    * verify. */
+  private def gramWalk(gkey: Long, it: Iterator[BandCand],
+                       state: GroupState[GramState], minJaccard: Double,
                        stateTtlMs: Option[Long]): Iterator[BandVerdict] = {
-        val rows = it.toArray.sortBy(_.doc_id)
+    val rows = it.toArray
+    val out = ArrayBuffer.empty[BandVerdict]
+    val carriers = rows.filter(_.kind == KindCarrier)
+    if (carriers.nonEmpty) {
+      val c0 = carriers.head
+      carriers.iterator.drop(1).foreach { c =>
+        if (!java.util.Arrays.equals(c.sh, c0.sh))
+          throw new IllegalStateException(
+            s"two DIFFERENT documents share doc_id $gkey in one batch — " +
+              "the doc id keys the gram store, so the collision would " +
+              "silently corrupt later near-dup verifies. Exact " +
+              "redeliveries are fine; distinct contents must not share " +
+              "an id.")
+      }
+      if (c0.sh.nonEmpty) {
+        // cross-batch: a redelivery re-stores the same grams (idempotent);
+        // a DIFFERENT doc under a stored id is the same corruption as the
+        // in-batch case and fails loud — except under a TTL, where an id
+        // reused past the horizon legitimately overwrites
+        state.getOption.foreach { g =>
+          if (stateTtlMs.isEmpty && !java.util.Arrays.equals(g.sh, c0.sh))
+            throw new IllegalStateException(
+              s"doc_id $gkey re-arrived with DIFFERENT content than its " +
+                "stored gram set — ids must be stable per content " +
+                "(exact redeliveries are fine)")
+        }
+        state.update(GramState(c0.sh))
+      }
+      out += BandVerdict(c0.doc_id, c0.lang, c0.text,
+        carriers.exists(_.is_first), carriers.exists(_.near_dup),
+        carrier = true)
+    }
+    rows.foreach { r =>
+      if (r.kind == KindFlag)
+        out += BandVerdict(r.doc_id, null, null, is_first = false,
+          near_dup = true, carrier = false)
+      else if (r.kind == KindProbe) state.getOption match {
+        case Some(g) =>
+          if (graft.expressions.HashKernels.jaccardDistinct(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(g.sh),
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(r.sh))
+              >= minJaccard)
+            out += BandVerdict(r.doc_id, null, null, is_first = false,
+              near_dup = true, carrier = false)
+        case None =>
+          // with a TTL the member's grams expired — past the horizon,
+          // not a dup (the bucket id may outlive the gram entry; the
+          // verdict is the same as if the bucket had expired first)
+          if (stateTtlMs.isEmpty) throw new IllegalStateException(
+            s"probe for member $gkey found no stored gram set — the " +
+              "bucket index and the gram store disagree (invariant " +
+              "violation: every stored bucket member's carrier stored " +
+              "its grams in the same trigger)")
+      }
+    }
+    if (state.exists) stateTtlMs.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
+  implicit val timedHashedDocEnc: Encoder[TimedHashedDoc] =
+    Encoders.product[TimedHashedDoc]
+  implicit val timedGatedDocEnc: Encoder[TimedGatedDoc] =
+    Encoders.product[TimedGatedDoc]
+  implicit val timedBandProbeEnc: Encoder[TimedBandProbe] =
+    Encoders.product[TimedBandProbe]
+  implicit val timedBandVerdictEnc: Encoder[TimedBandVerdict] =
+    Encoders.product[TimedBandVerdict]
+  private implicit val timedBucketStateEnc: Encoder[TimedBucketState] =
+    Encoders.product[TimedBucketState]
+
+  /** Exact dedup bounded by an EVENT-TIME horizon — the
+    * replay-deterministic form of keepFirst's `stateTtlMs`. The
+    * processing-time TTL expires state by WALL clock, so a historical
+    * backfill ages dedup state by replay speed: the same events replayed
+    * faster re-admit fewer dups. Here the verdict is decided by
+    * event-time arithmetic IN THE WALK — a doc is admitted (`is_first`)
+    * iff its fingerprint was never seen or last seen more than
+    * `horizonMs` EARLIER BY EVENT TIME — so the keep/drop decisions
+    * depend only on the event sequence, not on how triggers grouped it
+    * (EventTtlSpec pins grouping-invariance). Every arrival refreshes
+    * the horizon anchor (last SEEN, the TTL re-arm rule), which is what
+    * makes the batch lag() twin exact (StatefulTwins.horizonKeepFirst —
+    * the same DuckDB oracle checks both).
+    *
+    * The EventTimeTimeout timer is pure GARBAGE COLLECTION, never the
+    * verdict: state drops when the watermark passes
+    * lastSeen + horizon + delay, and any event arriving after that has
+    * ts ≥ watermark − delay > lastSeen + horizon (rows later than
+    * `delayMs` behind the max event time are dropped by the watermark),
+    * so it would have been admitted with the state present too — GC
+    * cannot change a verdict. Out-of-order arrivals WITHIN the delay
+    * follow arrival order across triggers (the transitionPairs
+    * contract); in-order streams are fully grouping-invariant. */
+  def keepFirstEventTime(docs: Dataset[TimedHashedDoc], horizonMs: Long,
+                         delayMs: Long): Dataset[TimedGatedDoc] = {
+    require(horizonMs > 0, s"horizonMs must be > 0, got $horizonMs")
+    require(delayMs >= 0, s"delayMs must be >= 0, got $delayMs")
+    docs.toDF()
+      .withColumn("_ets", timestamp_millis(col("tsMs")))
+      .withWatermark("_ets", s"$delayMs milliseconds")
+      .as[TimedHashedDoc]
+      .groupByKey(_.th).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[TimedHashedDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption.getOrElse(Long.MinValue)
+            val out = it.toArray.sortBy(d => (d.tsMs, d.doc_id)).map { d =>
+              val first = last == Long.MinValue || d.tsMs - last > horizonMs
+              last = math.max(last, d.tsMs)
+              TimedGatedDoc(d.doc_id, d.lang, d.text, d.tsMs, first)
+            }
+            state.update(last)
+            armEventGc(state, last + horizonMs + delayMs + 1)
+            out.iterator
+          }
+      }
+  }
+
+  /** The current watermark, or Long.MinValue in BATCH mode (batch
+    * execution wires no watermark into GroupState and the accessor
+    * throws — there, nothing ever expires, which is exactly the
+    * one-shot semantics the oracle checks). */
+  private def watermarkOrMin(state: GroupState[_]): Long =
+    try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => Long.MinValue }
+
+  /** Arm an event-time GC timer, clamped above the current watermark
+    * (Spark rejects timeout timestamps at or below it). Batch mode
+    * ignores timeouts — skip arming there. */
+  private def armEventGc(state: GroupState[_], targetMs: Long): Unit = {
+    val wm = watermarkOrMin(state)
+    if (wm != Long.MinValue)
+      state.setTimeoutTimestamp(math.max(targetMs, wm + 1))
+  }
+
+  /** Near-dup keep-first bounded by an EVENT-TIME horizon —
+    * keepFirstEventTime's twin for the band gate, as ONE bucket-keyed
+    * machine (not bandKeepFirst's two-machine split): a second
+    * watermark-anchored stateful stage downstream of the first trips
+    * Spark's global-watermark correctness check — under delay > 0 the
+    * bucket stage can emit a row the gram stage's later watermark would
+    * discard as late — so the horizon variant stores each member's gram
+    * set in its buckets directly. That re-pays the ×bands gram
+    * duplication the unbounded bandKeepFirst eliminated, but here the
+    * duplication multiplies a HORIZON-BOUNDED window (expired members
+    * prune), not the corpus, and verification regains the first-hit
+    * short-circuit the split had to give up.
+    *
+    * The horizon is decided IN THE WALK (replay-deterministic, the
+    * keepFirstEventTime contract): a stored member is a candidate for an
+    * arriving doc iff its id is lower AND the two event times lie within
+    * `horizonMs` of each other (|Δts| — the lower-id member may carry
+    * the later timestamp under out-of-order arrival). Members the
+    * watermark has passed (ts + horizon + delay) prune lazily when their
+    * bucket is next touched — by the keepFirstEventTime GC argument no
+    * future arrival can pair with them, so pruning cannot change a
+    * verdict; idle buckets drop whole by their GC timer. Payload is
+    * (doc_id, tsMs) only — a horizon deployment joins its columns back
+    * by doc_id; the un-bounded funnel path keeps the payload-carrying
+    * bandKeepFirst. */
+  def bandKeepFirstEventTime(probes: Dataset[TimedBandProbe],
+                             minJaccard: Double, maxBucket: Int,
+                             horizonMs: Long, delayMs: Long)
+      : Dataset[TimedBandVerdict] = {
+    require(minJaccard > 0,
+      s"bandKeepFirstEventTime needs minJaccard > 0; got $minJaccard")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    require(horizonMs > 0, s"horizonMs must be > 0, got $horizonMs")
+    require(delayMs >= 0, s"delayMs must be >= 0, got $delayMs")
+    probes.toDF()
+      .withColumn("_ets", timestamp_millis(col("tsMs")))
+      .withWatermark("_ets", s"$delayMs milliseconds")
+      .as[TimedBandProbe]
+      .groupByKey(_.bucket).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        timedBucketWalk(minJaccard, maxBucket, horizonMs, delayMs))
+  }
+
+  private def timedBucketWalk(minJaccard: Double, maxBucket: Int,
+                              horizonMs: Long, delayMs: Long)
+      : (String, Iterator[TimedBandProbe], GroupState[TimedBucketState]) =>
+        Iterator[TimedBandVerdict] =
+    (bucket: String, it: Iterator[TimedBandProbe],
+     state: GroupState[TimedBucketState]) =>
+      if (state.hasTimedOut) { state.remove(); Iterator.empty[TimedBandVerdict] }
+      else {
+        val rows = it.toArray.sortBy(r => (r.doc_id, r.tsMs))
         val st = state.getOption.getOrElse(
-          BandBucketState(Array.emptyLongArray, Array.empty))
-        probeMeter.foreach(_.add(st.ids.length))
+          TimedBucketState(Array.emptyLongArray, Array.emptyLongArray,
+            Array.empty))
+        // lazy prune: members no future arrival can pair with (watermark
+        // already past ts + horizon + delay) go now
+        val wm = watermarkOrMin(state)
+        val keep = st.ids.indices.filter(i =>
+          wm == Long.MinValue || st.tss(i) + horizonMs + delayMs >= wm)
+        val pruned = keep.length != st.ids.length
         val ids = ArrayBuffer.empty[Long]
-        ids ++= st.ids
+        val tss = ArrayBuffer.empty[Long]
         val shs = ArrayBuffer.empty[
           org.apache.spark.sql.catalyst.util.GenericArrayData]
-        st.shs.foreach(s => shs +=
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(s))
+        keep.foreach { i =>
+          ids += st.ids(i); tss += st.tss(i)
+          shs += new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            st.shs(i))
+        }
         var stored = false
-        val out = rows.map { r =>
+        val out = ArrayBuffer.empty[TimedBandVerdict]
+        rows.foreach { r =>
           var dup = false
           if (r.sh.nonEmpty) {
             val rsh =
@@ -539,26 +902,34 @@ object StateMachines {
             var i = 0
             while (!dup && i < ids.length) {
               if (ids(i) < r.doc_id &&
+                  math.abs(r.tsMs - tss(i)) <= horizonMs &&
                   graft.expressions.HashKernels.jaccardDistinct(
                     shs(i), rsh) >= minJaccard) dup = true
               i += 1
             }
-            ids += r.doc_id
-            shs += rsh
+            ids += r.doc_id; tss += r.tsMs; shs += rsh
             stored = true
           }
-          BandVerdict(r.doc_id, r.lang, r.text, r.is_first, dup)
+          if (r.carrier)
+            out += TimedBandVerdict(r.doc_id, r.tsMs, near_dup = dup,
+              carrier = true)
+          else if (dup)
+            out += TimedBandVerdict(r.doc_id, r.tsMs, near_dup = true,
+              carrier = false)
         }
         if (ids.length > maxBucket) throw new IllegalStateException(
           s"band bucket '$bucket' holds ${ids.length} members (> " +
-            s"maxBucket=$maxBucket) — per-arrival verify work in this " +
-            "bucket now grows with the corpus. Raise maxBucket " +
-            "deliberately or re-band (more rows per band).")
-        if (stored) state.update(BandBucketState(ids.toArray,
-          shs.map(_.toLongArray()).toArray))
-        if (state.exists) stateTtlMs.foreach(state.setTimeoutDuration)
+            s"maxBucket=$maxBucket) — re-band or raise maxBucket " +
+            "deliberately.")
+        if (ids.isEmpty) { if (state.exists) state.remove() }
+        else {
+          if (stored || pruned)
+            state.update(TimedBucketState(ids.toArray, tss.toArray,
+              shs.map(_.toLongArray()).toArray))
+          armEventGc(state, tss.max + horizonMs + delayMs + 1)
+        }
         out.iterator
-  }
+      }
 
   /** Streaming form of CoreOps.transitionMatrix's pair extraction: per key,
     * remember the last event's kind in state; each new event emits the

@@ -102,7 +102,7 @@ class CompactionSpec extends SparkSpec {
     // 4 docs whose shingle sets are IDENTICAL → same buckets, 4 members
     val probes = (1L to 4L).map(i =>
       BandProbe("0_42", i, "en", "same text", is_first = i == 1L,
-        Array(7L, 8L, 9L))).toDS()
+        carrier = true, Array(7L, 8L, 9L))).toDS()
     val e = intercept[Exception] {
       StateMachines.bandKeepFirst(probes, 0.5, maxBucket = 3)
         .collect()

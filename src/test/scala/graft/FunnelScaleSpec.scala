@@ -79,7 +79,11 @@ class FunnelScaleSpec extends SparkSpec {
     // worth per run, and emphatically not growing with the corpus
     assert(deltas.take(10).sum <= cfg.mhBands,
       s"probe input grew with the corpus: $deltas")
-    assert(deltas.take(10).last <= deltas.take(10).max,
+    // the LAST fresh trigger, probing the largest corpus, must not exceed
+    // the early-trigger baseline (corpus-proportional growth would put
+    // trigger 10's probe input at ~9 batches × 20 docs × 8 bands; the
+    // docs and the hashing are deterministic, so this cannot flake)
+    assert(deltas(9) <= deltas.take(3).max,
       s"probe input trended upward: $deltas")
     // the near-dup trigger reads its original's buckets only: ≤ bands
     // members (+ the same chance floor); the old design's trigger-11 scan

@@ -671,12 +671,19 @@ class StreamingParitySpec extends SparkSpec {
       assert(got == Map(1L -> true, 2L -> false, 3L -> true), s"got $got")
     } finally q.stop()
 
-    // the band machine, same horizon semantics per BUCKET
+    // the band machine, same horizon semantics per BUCKET (and per gram
+    // entry — the doc-keyed store expires independently; either expiry
+    // alone already re-admits, see bandKeepFirst's TTL contract)
     val probes = MemoryStream[BandProbe]
     def probe(id: Long, bucket: String, sh: Array[Long]) =
-      BandProbe(bucket, id, "en", "t", is_first = true, sh)
+      BandProbe(bucket, id, "en", "t", is_first = true, carrier = true, sh)
+    // a WIDER horizon than the fingerprint machine's: the engine spins
+    // micro-batches ~300 ms apart under ProcessingTimeTimeout, and the
+    // cross-batch dup catch needs doc 1's bucket AND gram entries alive
+    // when doc 2's batch runs — 2 s makes that robust, and the expiry
+    // phase just sleeps past it
     val q2 = StateMachines.bandKeepFirst(probes.toDS(), 0.5, 1000,
-        stateTtlMs = Some(300L))
+        stateTtlMs = Some(2000L))
       .writeStream.outputMode("append").format("memory")
       .queryName("bk_ttl").start()
     def await2(n: Long): Unit = {
@@ -695,14 +702,19 @@ class StreamingParitySpec extends SparkSpec {
     }
     try {
       probes.addData(probe(1, "0_7", Array(1L, 2L, 3L)))
-      probes.addData(probe(2, "0_7", Array(1L, 2L, 3L, 4L))) // jacc 0.75: drop
-      await2(2)
-      Thread.sleep(1000)
-      awaitRemovals2(1) // the idle bucket expired
-      probes.addData(probe(3, "0_7", Array(1L, 2L, 3L))) // re-admitted
+      await2(1) // doc 1's batch commits before doc 2 arrives: the dup
+      // catch below is genuinely CROSS-batch (probe + gram store), and
+      // its verified slim row lands next to doc 2's carrier (3 rows)
+      probes.addData(probe(2, "0_7", Array(1L, 2L, 3L, 4L))) // jacc 0.75
       await2(3)
+      Thread.sleep(3000) // sleep past the 2 s horizon
+      awaitRemovals2(1) // the idle bucket (and gram entries) expired
+      probes.addData(probe(3, "0_7", Array(1L, 2L, 3L))) // re-admitted
+      await2(4)
+      // per-doc verdict = OR over the doc's carrier + slim rows (the
+      // funnel's collapse contract)
       val got = spark.table("bk_ttl").as[BandVerdict].collect()
-        .map(v => v.doc_id -> v.near_dup).toMap
+        .groupMapReduce(_.doc_id)(_.near_dup)(_ || _)
       assert(got == Map(1L -> false, 2L -> true, 3L -> false), s"got $got")
     } finally q2.stop()
   }
