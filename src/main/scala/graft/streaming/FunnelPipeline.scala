@@ -14,10 +14,28 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * stream. `cutNppByLang` maps lang → (npp, doc_id) of the LAST head/middle
   * doc: boundary membership IS tercile membership, because the kept docs
   * are a prefix of each language's total (npp, doc_id) order.
+  *
   * `maxBucket` is the fail-loud bound on one band bucket's membership
-  * (StateMachines.bandKeepFirst); `compactEvery` > 0 folds the durable
-  * stage store and GCs superseded offsets every that many batches,
-  * ONLINE (0 disables — compactStores can still run offline). */
+  * (StateMachines.bandKeepFirst). What actually fills a bucket: the
+  * MinHash band signature space at `mhRows` rows is ~(2³¹)^rows, so
+  * CHANCE collisions are vanishingly rare for rows ≥ 2 (expected
+  * n²/2 · (2³¹)^-rows ≪ 1 below 10⁹ docs) — a bucket's size therefore
+  * tracks the corpus's LARGEST NEAR-DUP CLUSTER (boilerplate, templates),
+  * not the corpus size or the banding. The default is
+  * `FunnelConfig.maxBucketFor(1024)` = 4096: a 4× safety margin over a
+  * generous 1k-member boilerplate cluster. Cost anchors per member: the
+  * bucket stores 8 B (ids only — gram sets live once per doc in the gram
+  * store), so the largest state value is ~32 KB and per-arrival verify
+  * work is ≤ maxBucket gram probes. (Round 14's flat 100,000 default
+  * guarded a state value of tens of MB and 10⁵ verifies per arrival —
+  * an order of magnitude past where banding has already degenerated.)
+  * A corpus with genuinely larger duplicate clusters should raise it
+  * DELIBERATELY via `maxBucketFor` — the machine fails loud naming the
+  * hot bucket, never silently.
+  *
+  * `compactEvery` > 0 folds the durable stage store and GCs superseded
+  * offsets every that many batches, ONLINE (0 disables — compactStores
+  * can still run offline). */
 case class FunnelConfig(weights: Array[Long], zQ: Long,
                         cutNppByLang: Map[String, (Long, Long)],
                         mhK: Int, mhBands: Int, mhRows: Int,
@@ -25,7 +43,20 @@ case class FunnelConfig(weights: Array[Long], zQ: Long,
                         minContainment: Double, tokCap: Long,
                         uniW: Int, uniL: Int,
                         shardCount: Long, packTokens: Long,
-                        maxBucket: Int = 100000, compactEvery: Int = 16)
+                        maxBucket: Int = FunnelConfig.maxBucketFor(1024),
+                        compactEvery: Int = 16)
+
+object FunnelConfig {
+  /** The bucket cap for a corpus whose largest expected near-dup cluster
+    * is `maxDupCluster` docs: 4× headroom over the cluster (chance
+    * collisions are negligible at mhRows ≥ 2 — see the case-class
+    * scaladoc), floored at the machine's own minimum of 2. */
+  def maxBucketFor(maxDupCluster: Int): Int = {
+    require(maxDupCluster >= 1,
+      s"maxDupCluster must be >= 1, got $maxDupCluster")
+    math.max(2, 4 * maxDupCluster)
+  }
+}
 
 /** The PRODUCTION form of the composed five-gate curation funnel — the
   * reference's E8 move (compose the whole chapter into one program,
@@ -131,7 +162,8 @@ object FunnelPipeline {
   def start(spark: SparkSession, stream: DataFrame, dir: String,
             bench: DataFrame, vocab: DataFrame, cfg: FunnelConfig,
             probeMeter: Option[org.apache.spark.util.LongAccumulator] = None,
-            bootstrap: Option[DataFrame] = None)
+            bootstrap: Option[DataFrame] = None,
+            trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : StreamingQuery = {
     require(cfg.mhBands > 0 && cfg.mhRows > 0 && cfg.mhK > 0,
       s"need positive MinHash params, got k=${cfg.mhK} bands=${cfg.mhBands} " +
@@ -193,13 +225,19 @@ object FunnelPipeline {
     val prevProvider = spark.conf.getOption(ProviderKey)
     spark.conf.set(ProviderKey, RocksDbProvider)
     try {
-      verdicts.toDF()
+      val writer = verdicts.toDF()
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$dir/checkpoint")
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           processBatch(spark, batch, bid, dir, benchS, vocabS, cuts, cfg)
         }
-        .start()
+      // bounded catch-up: a restart behind a backlog passes
+      // Trigger.AvailableNow (and bounds each trigger at the SOURCE with
+      // maxFilesPerTrigger / maxOffsetsPerTrigger on `stream`) so the
+      // backlog drains in bounded batches — state, memory, and the
+      // exactly-once commit protocol all see ordinary-sized triggers
+      // instead of one giant batch — then stops when caught up
+      trigger.map(writer.trigger).getOrElse(writer).start()
     } finally prevProvider match {
       case Some(v) => spark.conf.set(ProviderKey, v)
       case None    => spark.conf.unset(ProviderKey)

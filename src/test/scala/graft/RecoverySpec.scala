@@ -400,4 +400,83 @@ class RecoverySpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSeq
     assert(export.sorted == Seq(1L, 2L, 3L, 4L), s"got $export")
   }
+
+  test("FunnelPipeline bounded catch-up: a restart behind a 5-file backlog " +
+      "under Trigger.AvailableNow + maxFilesPerTrigger=1 drains it in one " +
+      "bounded trigger PER FILE (never one giant batch), stops by itself " +
+      "when caught up, still drops dups/near-dups of pre-stop history, " +
+      "and the card equals an uninterrupted run") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    def fresh(id: Long) =
+      (id, "en", (1 to 8).map(j => s"cu${id}word$j").mkString(" "))
+    val live = Seq(fresh(1).copy(_3 = base), fresh(2), fresh(3))
+    val backlog = Seq(
+      (4L, "en", base),           // exact dup of PRE-STOP doc 1: drop
+      (5L, "en", base + " extra"), // near-dup of pre-stop doc 1: drop
+      fresh(6), fresh(7), fresh(8))
+    val vocab = ('a' to 'z').map(c => (c.toString, 1L)).toDF("piece", "cnt")
+    val cfg = FunnelConfig(Array(0L, 0L, 0L),
+      graft.operators.Unigram.zOf(vocab),
+      Map("en" -> ((Long.MaxValue, Long.MaxValue))),
+      3, 8, 2, 0.5, 4, 0.05, 127L, 12, 4, 8L, 512L)
+    val bench = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    val schema = live.toDF("doc_id", "lang", "text").schema
+    def addFile(dir: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    def card(dir: String): Seq[(Long, String, Long, Option[Long])] =
+      FunnelPipeline.stageCard(spark, dir)
+        .as[(Long, String, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    def batches(dir: String): Int = {
+      val r = java.nio.file.Paths.get(s"$dir/stages")
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(r)
+      try l.iterator().asScala.count(
+        _.getFileName.toString.startsWith("b="))
+      finally l.close()
+    }
+    val dir = tmp("graft_fpcu")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // generation 1: live ingest, then STOP
+    addFile(dir, live)
+    val q1 = FunnelPipeline.start(spark,
+      spark.readStream.schema(schema).parquet(s"$dir/in"), dir, bench,
+      vocab, cfg)
+    try q1.processAllAvailable() finally q1.stop()
+    val preBatches = batches(dir)
+    // a 5-file backlog lands while DOWN
+    backlog.foreach(d => addFile(dir, Seq(d)))
+    // generation 2: CATCH-UP MODE — the source bounds each trigger at one
+    // file and AvailableNow stops the query once the backlog is drained
+    val q2 = FunnelPipeline.start(spark,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in"),
+      dir, bench, vocab, cfg,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    try assert(q2.awaitTermination(120000),
+      "AvailableNow catch-up did not stop by itself")
+    finally q2.stop()
+    assert(batches(dir) - preBatches == backlog.size,
+      s"backlog not drained one bounded trigger per file: " +
+        s"${batches(dir) - preBatches} new batches for ${backlog.size} files")
+    // verdicts right across the downtime: dup + near-dup of doc 1 dropped
+    val got = card(dir)
+    assert(got.map(r => (r._2, r._3)) == Seq(
+      ("ingested", 8L), ("exact_dedup", 7L), ("near_dedup", 6L),
+      ("decontaminated", 6L), ("quality_kept", 6L), ("ppl_head", 6L)),
+      s"got $got")
+    // and the card equals an uninterrupted live run over the same files
+    val straightDir = tmp("graft_fpcu2")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$straightDir/in"))
+    addFile(straightDir, live); backlog.foreach(d => addFile(straightDir, Seq(d)))
+    val q3 = FunnelPipeline.start(spark,
+      spark.readStream.schema(schema).parquet(s"$straightDir/in"),
+      straightDir, bench, vocab, cfg)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(got == card(straightDir),
+      s"catch-up card diverged: $got vs ${card(straightDir)}")
+  }
 }
