@@ -554,12 +554,29 @@ object Dedup {
     * O(|edges| + |nodes|) through its shuffles — and localCheckpoint(eager)
     * cuts the lineage like the k-means trainer. */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
-                  maxIters: Int = 30): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+                  maxIters: Int = 30): DataFrame =
+    dupClustersTagged(pairs.withColumn("_ctag", lit(0)), "_ctag", aCol,
+      bCol, maxIters).select(col("doc_id"), col("cluster_id"))
+
+  /** Transitive closure of SEVERAL independent pair graphs in ONE
+    * pointer-jumping loop: `tagCol` separates the graphs (node ids may
+    * repeat across tags — every join keys on (tag, node), so components
+    * can never merge across graphs); returns (tag, doc_id, cluster_id)
+    * with cluster_id = the component's min doc id WITHIN its tag,
+    * exactly dupClusters' contract per graph. The point is the bench
+    * bill: each pointer-jumping round pays two joins, an eager
+    * checkpoint, and a convergence action — three cluster builds as
+    * three loops paid that fixed cost three times over graphs that are
+    * each a few hundred edges; one loop over the tagged union pays it
+    * once, converging in max-over-graphs rounds. */
+  def dupClustersTagged(pairs: DataFrame, tagCol: String, aCol: String,
+                        bCol: String, maxIters: Int = 30): DataFrame = {
+    val tag = col(tagCol).as("_g")
+    val edges = pairs.select(tag, col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(tag, col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true) // reused every round: never recompute the pair source
-    var labels = edges.select(col("src").as("node")).distinct()
+    var labels = edges.select(col("_g"), col("src").as("node")).distinct()
       .withColumn("cluster_id", col("node"))
       .localCheckpoint(true)
     def labelSum(l: DataFrame): java.math.BigDecimal = {
@@ -572,18 +589,20 @@ object Dedup {
     while (!converged && it < maxIters) {
       val nbMin = edges
         .join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("cluster_id", "nb_label"), Seq("dst"))
-        .groupBy(col("src").as("node"))
+          .withColumnRenamed("cluster_id", "nb_label"), Seq("_g", "dst"))
+        .groupBy(col("_g"), col("src").as("node"))
         .agg(min(col("nb_label")).as("nb_min"))
       // pointer jump: label(label(n)) — labels always point at nodes, so
       // the self-join hits; left join guards the root's self-label anyway
       val jump = labels.join(
-        labels.select(col("node").as("cluster_id"), col("cluster_id").as("jl")),
-        Seq("cluster_id"), "left")
-        .select(col("node"), coalesce(col("jl"), col("cluster_id")).as("jump_label"))
-      val next = labels.join(nbMin, Seq("node"))
-        .join(jump, Seq("node"))
-        .select(col("node"),
+        labels.select(col("_g"), col("node").as("cluster_id"),
+          col("cluster_id").as("jl")),
+        Seq("_g", "cluster_id"), "left")
+        .select(col("_g"), col("node"),
+          coalesce(col("jl"), col("cluster_id")).as("jump_label"))
+      val next = labels.join(nbMin, Seq("_g", "node"))
+        .join(jump, Seq("_g", "node"))
+        .select(col("_g"), col("node"),
           least(col("cluster_id"), col("nb_min"), col("jump_label")).as("cluster_id"))
         .localCheckpoint(true)
       // RESET the size-in-bytes stats each round: checkpoint keeps the
@@ -611,7 +630,7 @@ object Dedup {
         s"dupClusters stopped at maxIters=$maxIters before the label " +
           "fixpoint; cluster ids are partially propagated and downstream " +
           "canonical-keep will under-collapse. Raise maxIters.")
-    labels.select(col("node").as("doc_id"), col("cluster_id"))
+    labels.select(col("_g"), col("node").as("doc_id"), col("cluster_id"))
   }
 
   /** The retained corpus after near-dup clustering: drop every cluster

@@ -99,13 +99,21 @@ object Unigram {
       .withColumn("piece",
         expr("substr(word, cast(s + 1 as int), cast(l as int))"))
     // unknown single chars score qlog(1) = 0 − Z (coverage guarantee);
-    // unknown multi-char pieces stay NULL (unusable)
+    // unknown multi-char pieces stay NULL (unusable). Z enters ONLY
+    // through the broadcast sides (the piece scores, pre-shifted, and a
+    // one-row frame for the unknown-char branch) — the big DP plan is
+    // then LITERAL-FREE across EM rounds, so round 2's whole-stage
+    // codegen is a cache hit instead of a multi-second recompile of the
+    // ~W·L-column generated class (only zQ changes between rounds).
+    val zdf = broadcast(wordsDf.sparkSession.range(1)
+      .select(lit(zQ).as("_zq")))
     val scored = subs
-      .join(broadcast(vocab.select(col("piece"), col("cnt"))),
+      .join(broadcast(vocab.select(col("piece"),
+        (InfoTheory.qlog(col("cnt") + 1L) - lit(zQ)).as("_qsc"))),
         Seq("piece"), "left")
+      .crossJoin(zdf)
       .withColumn("score",
-        coalesce(InfoTheory.qlog(col("cnt") + 1L),
-          when(col("l") === 1, lit(0L))) - lit(zQ))
+        coalesce(col("_qsc"), when(col("l") === 1, -col("_zq"))))
     val scCols = for { s <- 0 until W; l <- 1 to L if s + l <= W }
       yield max(when(col("s") === s && col("l") === l, col("score")))
         .as(s"sc_${s}_$l")
@@ -175,13 +183,26 @@ object Unigram {
     var vocab = seedVocab(cands, seedK).localCheckpoint(true)
     val lls = Seq.newBuilder[(Long, Long)]
     for (r <- 1 to rounds) {
-      val seg = viterbi(w, vocab, zOf(vocab), maxWordLen, maxPieceLen)
+      val zq = zOf(vocab)
+      val seg = viterbi(w, vocab, zq, maxWordLen, maxPieceLen)
         .localCheckpoint(true)
-      val ll = seg.agg(sum(col("freq") * col("best_qll"))).head().getLong(0)
-      lls += ((r.toLong, ll))
       val usage = seg
         .select(col("freq"), explode(col("pieces")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .localCheckpoint(true) // the round's ll AND the M-step read it
+      // the round's total Viterbi likelihood WITHOUT re-scanning seg:
+      // best_qll(word) = Σ score(chosen pieces), so Σ freq·best_qll =
+      // Σ_piece usage(piece)·score(piece) — a vocab-sized join-agg. The
+      // left join + coalesce mirrors viterbi's unknown-single-char branch
+      // (score 0 − Z) exactly, so the value is bit-identical to the old
+      // per-word fold (UnigramSpec pins the monotone trail on it).
+      val ll = usage
+        .join(vocab.select(col("piece"), col("cnt").as("_pc")),
+          Seq("piece"), "left")
+        .agg(sum(col("cnt") *
+          (coalesce(InfoTheory.qlog(col("_pc") + 1L), lit(0L)) - lit(zq))))
+        .head().getLong(0)
+      lls += ((r.toLong, ll))
       vocab = chars.select(col("piece"))
         .join(usage, Seq("piece"), "left")
         .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
