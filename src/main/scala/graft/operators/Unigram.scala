@@ -71,10 +71,37 @@ object Unigram {
         .orderBy(col("cnt").desc, col("piece")).limit(seedK))
 
   /** Viterbi segmentation of every word under a frozen inventory:
-    * (word, freq, pieces array, n_pieces, best_qll). zQ is the round's
-    * quantized normalizer (driver-collected, a plan literal). Pure
-    * fixed-width Column algebra — the oracle mirrors it one CTE per DP
-    * level.
+    * (word, freq, pieces array, n_pieces, best_qll). Since round 15 this
+    * is ONE native kernel projection (expressions.UnigramViterbi): the
+    * inventory folds into the kernel as a reference object, so the pass
+    * is map-only — no explode, no broadcast join, no pivot SHUFFLE — and
+    * the generated code is identical across EM rounds (codegen cache
+    * hits). Scores are computed by the SAME qlog expression the Column
+    * form used, and UnigramKernelSpec pins the kernel bit-identical to
+    * viterbiColumnAlgebra on real corpus words. */
+  def viterbi(wordsDf: DataFrame, vocab: DataFrame, zQ: Long,
+              maxWordLen: Int, maxPieceLen: Int): DataFrame = {
+    val W = maxWordLen; val L = maxPieceLen
+    require(W >= 1 && W <= 16, s"maxWordLen must be in [1,16], got $W")
+    require(L >= 1 && L <= W, s"maxPieceLen must be in [1,$W], got $L")
+    // the inventory rides into the kernel via ONE driver fold —
+    // driver-bounded: O(vocab) rows (every single char + the bounded
+    // multi-char inventory: ≤ alphabet + seedK for the trainer, the
+    // frozen inventory for appliers) — the zOf convention
+    val scores = vocab.select(col("piece"),
+        (InfoTheory.qlog(col("cnt") + 1L) - lit(zQ)).as("_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    wordsDf.withColumn("_v", graft.expressions.UnigramKernel.viterbi(
+        col("word"), scores, -zQ, W, L))
+      .select(col("word"), col("freq"), col("_v.pieces").as("pieces"),
+        col("_v.best_qll").as("best_qll"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+  }
+
+  /** The pure Column-algebra DP the kernel replaced — RETAINED as the
+    * kernel's differential oracle (UnigramKernelSpec runs both over real
+    * corpus words and asserts identical rows; the DuckDB oracle mirrors
+    * this form one CTE per DP level).
     *
     * CONSUMER WARNING (probed): materialize (localCheckpoint/persist)
     * before FILTERING on `pieces` or `best_qll`. A predicate referencing
@@ -82,10 +109,9 @@ object Unigram {
     * chain, re-substituting the whole piece-construction expression at
     * every level — the Spark-optimizer twin of the DuckDB lateral-alias
     * blowup (OOMs the driver on a 31-row input). Aggregations and
-    * equi-joins over the outputs are safe; every registered consumer
-    * goes through the memoized checkpointed frame. */
-  def viterbi(wordsDf: DataFrame, vocab: DataFrame, zQ: Long,
-              maxWordLen: Int, maxPieceLen: Int): DataFrame = {
+    * equi-joins over the outputs are safe. */
+  def viterbiColumnAlgebra(wordsDf: DataFrame, vocab: DataFrame, zQ: Long,
+                           maxWordLen: Int, maxPieceLen: Int): DataFrame = {
     val W = maxWordLen; val L = maxPieceLen
     require(W >= 1 && W <= 16, s"maxWordLen must be in [1,16], got $W")
     require(L >= 1 && L <= W, s"maxPieceLen must be in [1,$W], got $L")
