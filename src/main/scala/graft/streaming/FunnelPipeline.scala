@@ -670,9 +670,15 @@ object FunnelPipeline {
     * arrivals rather than unique records. */
   def startFromKafka(spark: SparkSession, kafka: KafkaSourceConfig,
                      dir: String, bench: DataFrame, vocab: DataFrame,
-                     cfg: FunnelConfig): StreamingQuery =
+                     cfg: FunnelConfig,
+                     trigger: Option[org.apache.spark.sql.streaming.Trigger]
+                       = None): StreamingQuery =
     start(spark, docLines(KafkaIO.source(spark, kafka)), dir, bench, vocab,
-      cfg)
+      cfg, trigger = trigger)
+    // catch-up parity with the file path: pass Trigger.AvailableNow here
+    // and bound each trigger with maxOffsetsPerTrigger in the Kafka
+    // source options (KafkaSourceConfig.extra) — a restart behind a
+    // large topic backlog then drains in bounded batches and stops
 
   /** Drive the funnel from the FILE-MONITOR source over a deterministic
     * id-ascending slicing of a static corpus — the reference's actual
