@@ -165,6 +165,56 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: the split band gate (ids-only buckets + doc-keyed gram " +
+      "store) equals the brute-force lower-id shared-bucket jaccard " +
+      "verdict, and the event-time variant under an effectively infinite " +
+      "horizon agrees") {
+    import graft.streaming.{BandProbe, StateMachines, TimedBandProbe}
+    // random small gram sets from a 12-element universe, two buckets per
+    // doc from two 6-bucket pools — dense enough that shared buckets,
+    // true near-dups, AND empty-gram docs all occur
+    val docsGen: Gen[List[(Long, Int, Int, Array[Long])]] = for {
+      n <- Gen.choose(1, 22)
+      ds <- Gen.listOfN(n, for {
+        b1 <- Gen.choose(0, 5); b2 <- Gen.choose(0, 5)
+        sh <- Gen.someOf(0L to 11L)
+      } yield (b1, b2, sh.toArray.sorted))
+    } yield ds.zipWithIndex.map { case ((b1, b2, sh), i) =>
+      (i + 1L, b1, b2, sh)
+    }
+    check(Prop.forAll(docsGen) { docs =>
+      val probes = docs.flatMap { case (id, b1, b2, sh) =>
+        Seq(BandProbe(s"b$b1", id, "en", "t", is_first = true,
+            carrier = true, sh),
+          BandProbe(s"c$b2", id, "en", "t", is_first = true,
+            carrier = false, sh))
+      }
+      def jac(a: Array[Long], b: Array[Long]): Double = {
+        val (sa, sb) = (a.toSet, b.toSet)
+        if (sa.isEmpty || sb.isEmpty) 0.0
+        else (sa & sb).size.toDouble / (sa | sb).size
+      }
+      // brute force: dup iff SOME lower-id doc shares a bucket slot and
+      // verifies at >= 0.5 exact jaccard (the slot prefixes b/c never
+      // collide across slots)
+      val expected = docs.map { case (id, b1, b2, sh) =>
+        id -> docs.exists { case (m, mb1, mb2, msh) =>
+          m < id && (b1 == mb1 || b2 == mb2) && jac(msh, sh) >= 0.5
+        }
+      }.toMap
+      val got = StateMachines.bandKeepFirst(probes.toDS(), 0.5, 1000)
+        .collect().groupMapReduce(_.doc_id)(_.near_dup)(_ || _)
+      // the event-time variant with every pair inside the horizon must
+      // make the identical verdicts (ts ascending with id)
+      val tgot = StateMachines.bandKeepFirstEventTime(
+          probes.map(p => TimedBandProbe(p.bucket, p.doc_id,
+            1000000L + p.doc_id, p.carrier, p.sh)).toDS(),
+          0.5, 1000, 1000000000L, 0L)
+        .collect().groupMapReduce(_.doc_id)(_.near_dup)(_ || _)
+      got == expected && tgot == expected
+    })
+  }
+
   test("property: quantileProfileChecked's bound verdict holds on adversarial value sets") {
     // heavy duplicates, huge order-statistic gaps, tiny groups — the shapes
     // that break value-interval bounds; the rank-window check must stay true
