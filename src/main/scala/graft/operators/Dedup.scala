@@ -576,8 +576,14 @@ object Dedup {
       .unionByName(pairs.select(tag, col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true) // reused every round: never recompute the pair source
-    var labels = edges.select(col("_g"), col("src").as("node")).distinct()
-      .withColumn("cluster_id", col("node"))
+    // seed labels at min(node, min neighbor) — round 1's neighbor-min
+    // fused into initialization: the node list needs a hash aggregate
+    // either way (distinct), so taking min(dst) alongside is free and
+    // the loop starts one propagation round ahead
+    var labels = edges.groupBy(col("_g"), col("src").as("node"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("_g"), col("node"),
+        least(col("node"), col("_mn")).as("cluster_id"))
       .localCheckpoint(true)
     def labelSum(l: DataFrame): java.math.BigDecimal = {
       val r = l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
