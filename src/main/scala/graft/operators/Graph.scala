@@ -580,45 +580,63 @@ object Graph {
       .filter(col("_dv") === col("_du") + 1L)
       .select(col("seed"), col("_u"), col("_v"), col("_dv"))
       .localCheckpoint(true) // consumed per level, both passes
-    var sigma = dist.filter(col("dist") === 0L)
+    // both passes are LEVEL-SYNCHRONOUS over level SLICES: every DAG edge
+    // spans adjacent levels and a node sits at exactly one level per seed,
+    // so σ is complete after the one forward step that consumes its
+    // predecessor slice, and δ is FINALIZED by the one backward step that
+    // consumes its successor slice. A running whole-frame accumulator
+    // (re-joined and re-checkpointed every round) would cost
+    // O(rounds·|dist|) join + write work; the slices cost
+    // O(|dag| + |dist|) total.
+    var sigLvl = dist.filter(col("dist") === 0L)
       .select(col("seed"), col("node"),
         lit(1L).cast("decimal(38,0)").as("_sig"))
+    val sigLevels = scala.collection.mutable.ArrayBuffer(sigLvl)
     for (d <- 1 to rounds) {
-      val nxt = dag.filter(col("_dv") === lit(d.toLong))
-        .join(sigma.select(col("seed"), col("node").as("_u"),
+      sigLvl = dag.filter(col("_dv") === lit(d.toLong))
+        .join(sigLvl.select(col("seed"), col("node").as("_u"),
           col("_sig")), Seq("seed", "_u"))
         .groupBy(col("seed"), col("_v"))
         .agg(sum(col("_sig")).as("_sig"))
         .select(col("seed"), col("_v").as("node"), col("_sig"))
-      sigma = sigma.unionByName(nxt).localCheckpoint(true)
+        .localCheckpoint(true)
+      sigLevels += sigLvl
     }
+    val sigma = sigLevels.reduce(_.unionByName(_))
     // σ attaches per backward LEVEL SLICE, not to the whole DAG — the
     // full-DAG double join (and its checkpoint) would dominate the pass
     val sigU = sigma.select(col("seed"), col("node").as("_u"),
       col("_sig").as("_sigu"))
     val sigV = sigma.select(col("seed"), col("node").as("_v"),
       col("_sig").as("_sigv"))
-    var delta = dist.select(col("seed"), col("node"), col("dist"),
-      lit(0L).as("_del"))
+    var prevDel: DataFrame = null // δ of the current successor-level slice
+    val delLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (d <- rounds to 1 by -1) {
-      val contrib = dag.filter(col("_dv") === lit(d.toLong))
+      val lvl = dag.filter(col("_dv") === lit(d.toLong))
         .join(sigU, Seq("seed", "_u"))
         .join(sigV, Seq("seed", "_v"))
-        .join(delta.select(col("seed"), col("node").as("_v"),
-          col("_del").as("_delv")), Seq("seed", "_v"))
+      // δ_v: zero at the deepest level (no successors); otherwise the
+      // previous backward slice, zero-defaulted for leaves of level d
+      val withDel =
+        if (prevDel == null) lvl.withColumn("_delv", lit(0L))
+        else lvl.join(prevDel.select(col("seed"), col("node").as("_v"),
+            col("_del").as("_delv")), Seq("seed", "_v"), "left")
+          .withColumn("_delv", coalesce(col("_delv"), lit(0L)))
+      prevDel = withDel
         .groupBy(col("seed"), col("_u"))
         .agg(sum(expr("(_sigu * (CAST(1000000 AS DECIMAL(38,0))"
           + " + CAST(_delv AS DECIMAL(38,0)))) div _sigv")).as("_c"))
         .select(col("seed"), col("_u").as("node"),
-          col("_c").cast("long").as("_c"))
-      delta = delta.join(contrib, Seq("seed", "node"), "left")
-        .select(col("seed"), col("node"), col("dist"),
-          (col("_del") + coalesce(col("_c"), lit(0L))).as("_del"))
+          col("_c").cast("long").as("_del"))
         .localCheckpoint(true)
+      delLevels += prevDel
     }
-    delta.filter(col("dist") > 0L)
+    // zeros kept: reached nodes on no shortest path still emit bc_ppm = 0
+    val contribs = delLevels.reduce(_.unionByName(_))
+    dist.filter(col("dist") > 0L).select(col("seed"), col("node"))
+      .join(contribs, Seq("seed", "node"), "left")
       .groupBy(col("node"))
-      .agg(sum(col("_del")).as("bc_ppm"))
+      .agg(sum(coalesce(col("_del"), lit(0L))).as("bc_ppm"))
   }
 
   /** Global triangle census of an undirected graph — node/edge/wedge/triangle
