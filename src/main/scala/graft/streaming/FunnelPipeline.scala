@@ -132,6 +132,8 @@ object FunnelPipeline {
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ChangelogKey = "spark.sql.streaming.stateStore.rocksdb" +
+    ".changelogCheckpointing.enabled"
 
   /** TEST-ONLY fault injection: when set, processBatch throws ONCE right
     * after the given batch id's export/offsets writes land but BEFORE the
@@ -223,7 +225,19 @@ object FunnelPipeline {
     // starting queries concurrently should give the funnel its own
     // spark.newSession()
     val prevProvider = spark.conf.getOption(ProviderKey)
+    val prevChangelog = spark.conf.getOption(ChangelogKey)
     spark.conf.set(ProviderKey, RocksDbProvider)
+    // changelog checkpointing: a commit uploads the batch's CHANGES (an
+    // append-only changelog file) instead of snapshotting every store's
+    // full SST set synchronously — snapshots move to the background
+    // maintenance thread. With three stateful operators × the state
+    // partition count, synchronous per-batch snapshots are the dominant
+    // commit cost (measured via tools/FunnelProfile: commitTimeMs was
+    // ~3× allUpdatesTimeMs per trigger); a changelog commit is O(batch
+    // changes), the scale-correct shape for corpus-sized state. Restart
+    // compatibility is Spark's own: the checkpoint records per-version
+    // format and replays changelogs over the last background snapshot.
+    spark.conf.set(ChangelogKey, "true")
     try {
       val writer = verdicts.toDF()
         .writeStream.outputMode("append")
@@ -238,9 +252,15 @@ object FunnelPipeline {
       // exactly-once commit protocol all see ordinary-sized triggers
       // instead of one giant batch — then stops when caught up
       trigger.map(writer.trigger).getOrElse(writer).start()
-    } finally prevProvider match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None    => spark.conf.unset(ProviderKey)
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+      prevChangelog match {
+        case Some(v) => spark.conf.set(ChangelogKey, v)
+        case None    => spark.conf.unset(ChangelogKey)
+      }
     }
   }
 
