@@ -854,29 +854,35 @@ object TextOps {
     * rule; validated against the hand fold on the aaaa/abab corpus).
     *
     * Distributed shape: ONE corpus-sized word-count agg up front, then all
-    * loop state is vocab-sized long format (word, freq, pos, sym) — at
+    * loop state is the vocab-sized ARRAY form (word, freq, syms) — at
     * 100 TB the vocab is ~10⁷ distinct words, not the corpus. Each round:
-    * one word-partitioned window pass (<= maxWordLen rows per key, never
-    * unpartitioned), one pair agg, ONE 1-row driver fold (the argmax — the
-    * O(1)-per-round blessed collect), per-round eager localCheckpoint
-    * truncating lineage (the LPA discipline). Fails loud if the pair space
-    * exhausts before `iters` rounds (a silent early stop would diverge from
-    * the unrolled oracle). Returns (merge table rows, final segmentation). */
+    * one adjacent-pair explode + agg, ONE 1-row driver fold (the argmax —
+    * the O(1)-per-round blessed collect), one MAP-ONLY merge application
+    * (the native BpeApplyMerges kernel — no window sort; the retained
+    * window-rule form is BpeKernelSpec's bit-parity oracle), per-round
+    * eager localCheckpoint truncating lineage (the LPA discipline). Fails
+    * loud if the pair space exhausts before `iters` rounds (a silent early
+    * stop would diverge from the unrolled oracle). Returns
+    * (merge table rows, final segmentation). */
   private def bpeLoop(docs: DataFrame, text: String, iters: Int,
                       maxWordLen: Int): (Seq[(Int, String, String, Long)],
                                          DataFrame) = {
     require(iters >= 1 && iters <= 64, s"need 1 <= iters <= 64, got $iters")
     require(maxWordLen >= 1, s"maxWordLen must be >= 1, got $maxWordLen")
-    val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
-    var seg = initialSeg(docs, text, maxWordLen)
+    var seg = initialSegArr(docs, text, maxWordLen)
     val winners = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, Long)]
     for (r <- 1 to iters) {
-      val pairs = seg
-        .select(col("sym"), lead(col("sym"), 1).over(wWin).as("nxt"),
-          col("freq"))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("cnt"))
+      // adjacent-pair counts straight off the symbol arrays: one explode +
+      // one agg per round, no window sort (single-symbol words have no
+      // pairs — the filter also keeps sequence() away from a -1 stop)
+      val pairs = seg.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("sym"),
+              element_at(col("syms"), i + 2).as("nxt")))).as("p"))
+        .groupBy(col("p.sym").as("sym"), col("p.nxt").as("nxt"))
+        .agg(sum(col("freq")).as("cnt"))
       // driver-bounded: O(1) — the single winning merge row per round
       val win = pairs.orderBy(col("cnt").desc, col("sym"), col("nxt"))
         .limit(1).collect()
@@ -887,15 +893,53 @@ object TextOps {
       val l = win(0).getString(0)
       val rr = win(0).getString(1)
       winners += ((r, l, rr, win(0).getLong(2)))
-      seg = applyMerge(seg, l, rr)
+      // map-only merge application (the native kernel); the per-round
+      // eager cut stays — the next round's pair count is an ACTION over
+      // this state, and without the cut round r would re-apply rounds
+      // 1..r-1 inside every subsequent job
+      seg = seg.select(col("word"), col("freq"),
+          graft.expressions.BpeKernel.applyMerges(col("syms"), Seq((l, rr)))
+            .as("syms"))
+        .localCheckpoint(true)
     }
     (winners.toList, seg)
   }
 
+  /** Char-level initial segmentation in ARRAY form — (word, freq, syms),
+    * the state the kernel loop and kernel inference run on. */
+  private def initialSegArr(docs: DataFrame, text: String,
+                            maxWordLen: Int): DataFrame =
+    bpeWords(docs, text, maxWordLen)
+      .select(col("word"), col("freq"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+      .localCheckpoint(true)
+
+  /** segmentsOf for the array state: a pure projection — no group, no
+    * sort (the array IS already in word order). */
+  private def segmentsOfArr(seg: DataFrame): DataFrame =
+    seg.select(col("word"), col("freq"),
+      size(col("syms")).cast("long").as("n_pieces"),
+      array_join(col("syms"), " ").as("pieces"))
+
+  /** The retained WINDOW-RULE replay — BpeKernelSpec's bit-parity oracle
+    * (the form the run-parity scaladoc above derives and the one the
+    * DuckDB oracle mirrors): replays `merges` in order via the original
+    * five-window applyMerge over the long-format state. */
+  private[graft] def bpeReplayWindowForm(docs: DataFrame, text: String,
+                                         merges: Seq[(String, String)],
+                                         maxWordLen: Int): DataFrame = {
+    var seg = initialSeg(docs, text, maxWordLen)
+    merges.foreach { case (l, rr) => seg = applyMerge(seg, l, rr) }
+    segmentsOf(seg)
+  }
+
   /** One greedy-L2R merge application over the (word, freq, pos, sym)
-    * long format — the run-parity window rule (see bpeLoop's scaladoc),
-    * shared by training (bpeLoop) and inference (bpeEncode). Eagerly
-    * localCheckpoints the result (one cut per merge keeps the loop
+    * long format — the run-parity window rule (see bpeLearn's scaladoc).
+    * RETAINED solely as BpeKernelSpec's bit-parity oracle for the native
+    * BpeApplyMerges kernel that training and inference now run on
+    * (the minhashFromHashesColumnForm convention). Eagerly
+    * localCheckpoints the result (one cut per merge keeps the replay
     * linear in rounds). */
   private def applyMerge(seg: DataFrame, l: String, rr: String): DataFrame = {
     val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
@@ -946,7 +990,7 @@ object TextOps {
     val merges = ws
       .map { case (rk, l, r, cnt) => (rk.toLong, l, r, l + r, cnt) }
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
-    (merges, segmentsOf(seg))
+    (merges, segmentsOfArr(seg))
   }
 
   /** The (word, freq, n_pieces, pieces) view of a long-format
@@ -966,12 +1010,14 @@ object TextOps {
     * a held-out word simply stops merging where its pairs never appear,
     * canonical BPE OOV behavior, no failure). The merge table is the
     * trained artifact: O(rank) rows, collected as an O(iters) driver
-    * fold (the blessed pattern) and applied as plan literals through the
-    * same run-parity window rule as training. Per merge: one
-    * word-partitioned window pass over the vocab-sized state + an eager
-    * localCheckpoint — inference cost is linear in the table length,
-    * independent of corpus size beyond the one word-count pass. Emits
-    * the bpeSegments shape (word, freq, n_pieces, pieces). */
+    * fold (the blessed pattern) and applied by the native
+    * BpeApplyMerges kernel — the WHOLE table in one map-only projection
+    * over the vocab-sized word frame (no window pass, no checkpoint per
+    * merge; the merges ride as a reference object so the generated code
+    * is table-independent). Inference cost is linear in the table
+    * length per word, independent of corpus size beyond the one
+    * word-count pass. Emits the bpeSegments shape
+    * (word, freq, n_pieces, pieces). */
   def bpeEncode(docs: DataFrame, text: String, merges: DataFrame,
                 maxWordLen: Int = 32): DataFrame = {
     Seq("merge_rank", "lhs", "rhs").foreach(c =>
@@ -987,9 +1033,12 @@ object TextOps {
         "this large is not a plausible trained artifact (vocab learning " +
         "here is fixed-round); cap the table or raise this guard " +
         "deliberately")
-    var seg = initialSeg(docs, text, maxWordLen)
-    ms.foreach { case (l, rr) => seg = applyMerge(seg, l, rr) }
-    segmentsOf(seg)
+    // the ENTIRE table applies in one map-only kernel projection over the
+    // vocab-sized word frame — no window pass, no checkpoint per merge
+    segmentsOfArr(initialSegArr(docs, text, maxWordLen)
+      .select(col("word"), col("freq"),
+        graft.expressions.BpeKernel.applyMerges(col("syms"), ms.toSeq)
+          .as("syms")))
   }
 
   /** The learned BPE merge table alone (one training run). */

@@ -641,7 +641,11 @@ class StreamingParitySpec extends SparkSpec {
       java.security.MessageDigest.getInstance("MD5").digest(text.getBytes)
         .map("%02x".format(_)).mkString, id, "en", text)
     val input = MemoryStream[HashedDoc]
-    val q = StateMachines.keepFirst(input.toDS(), stateTtlMs = Some(300L))
+    // the horizon must comfortably exceed the trigger gap between doc 1's
+    // batch and doc 2's under a LOADED box (parallel suites): 2 s, not a
+    // few hundred ms — a too-tight horizon expires doc 1 before doc 2's
+    // batch runs and the drop below can never happen (observed flake)
+    val q = StateMachines.keepFirst(input.toDS(), stateTtlMs = Some(2000L))
       .writeStream.outputMode("append").format("memory")
       .queryName("kf_ttl").start()
     def await(n: Long): Unit = {
@@ -662,7 +666,7 @@ class StreamingParitySpec extends SparkSpec {
       input.addData(doc(1, base))
       input.addData(doc(2, base)) // inside the horizon: dropped
       await(2)
-      Thread.sleep(1000)
+      Thread.sleep(2500) // sleep past the 2 s horizon
       awaitRemovals(1) // the idle fingerprint expired
       input.addData(doc(3, base)) // past the horizon: re-admitted as first
       await(3)
@@ -677,13 +681,14 @@ class StreamingParitySpec extends SparkSpec {
     val probes = MemoryStream[BandProbe]
     def probe(id: Long, bucket: String, sh: Array[Long]) =
       BandProbe(bucket, id, "en", "t", is_first = true, carrier = true, sh)
-    // a WIDER horizon than the fingerprint machine's: the engine spins
-    // micro-batches ~300 ms apart under ProcessingTimeTimeout, and the
-    // cross-batch dup catch needs doc 1's bucket AND gram entries alive
-    // when doc 2's batch runs — 2 s makes that robust, and the expiry
-    // phase just sleeps past it
+    // the cross-batch dup catch needs doc 1's bucket AND gram entries
+    // alive when doc 2's batch runs; micro-batches are ~300 ms apart
+    // unloaded but a box running parallel suites can stall a trigger for
+    // seconds (observed: a 2 s horizon expired doc 1 before doc 2's
+    // batch, so the slim dup row never appeared) — 6 s buys the slack,
+    // and the expiry phase just sleeps past it
     val q2 = StateMachines.bandKeepFirst(probes.toDS(), 0.5, 1000,
-        stateTtlMs = Some(2000L))
+        stateTtlMs = Some(6000L))
       .writeStream.outputMode("append").format("memory")
       .queryName("bk_ttl").start()
     def await2(n: Long): Unit = {
@@ -707,7 +712,7 @@ class StreamingParitySpec extends SparkSpec {
       // its verified slim row lands next to doc 2's carrier (3 rows)
       probes.addData(probe(2, "0_7", Array(1L, 2L, 3L, 4L))) // jacc 0.75
       await2(3)
-      Thread.sleep(3000) // sleep past the 2 s horizon
+      Thread.sleep(7000) // sleep past the 6 s horizon
       awaitRemovals2(1) // the idle bucket (and gram entries) expired
       probes.addData(probe(3, "0_7", Array(1L, 2L, 3L))) // re-admitted
       await2(4)
