@@ -5168,9 +5168,15 @@ object SparkEntry {
           col("_c.doc_id").cast("long"))
         .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
         .toMap
+      // statePartitions: bench-scale state is KB-sized, so the store
+      // count is sized for overhead, not volume — 8 stores/operator
+      // (FunnelConfig's sizing rule; the session's 32 CPU-oriented
+      // shuffle partitions would pay 4x the per-store open/commit tax
+      // for no parallelism the tiny batches can use)
       val cfg = graft.streaming.FunnelConfig(logregShared(s, dir)._2,
         Unigram.zOf(vocab), cuts, MhK, MhBands, MhRows, 0.5, WinnowW, 0.05,
-        LrTokCap, UniW, UniL, ShardCount, PackTokens)
+        LrTokCap, UniW, UniL, ShardCount, PackTokens,
+        statePartitions = Some(8))
       graft.streaming.FunnelPipeline.runSliced(s, docs,
         docs.filter(col("doc_id") < 20), vocab, cfg, 2,
         java.nio.file.Files.createTempDirectory("graft_funnel_").toString)

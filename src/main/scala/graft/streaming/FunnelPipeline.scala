@@ -35,7 +35,23 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *
   * `compactEvery` > 0 folds the durable stage store and GCs superseded
   * offsets every that many batches, ONLINE (0 disables — compactStores
-  * can still run offline). */
+  * can still run offline).
+  *
+  * `statePartitions` pins the stateful operators' state-store partition
+  * count for THIS query at FIRST start (None inherits the session's
+  * `spark.sql.shuffle.partitions`). Spark records the count in the
+  * checkpoint's offset metadata, so every restart resumes on the pinned
+  * value regardless of the restarting session's conf — and it CANNOT be
+  * changed after the first start without discarding the checkpoint
+  * (Spark's own state-partitioning contract). Sizing: each stateful
+  * operator opens one store per partition per trigger, and every store
+  * pays a fixed open/commit overhead regardless of how few rows it
+  * touches (measured via tools/FunnelProfile: 3 operators × 32 stores at
+  * ~80 rows each were commit-overhead-bound). Pick the partition count
+  * from TARGET STATE SIZE (~0.5–2 GB of state per store is comfortable
+  * for RocksDB), not from the session's CPU-oriented shuffle setting —
+  * a 100 TB deployment wants hundreds of partitions, a bench-scale
+  * corpus single digits. */
 case class FunnelConfig(weights: Array[Long], zQ: Long,
                         cutNppByLang: Map[String, (Long, Long)],
                         mhK: Int, mhBands: Int, mhRows: Int,
@@ -44,7 +60,8 @@ case class FunnelConfig(weights: Array[Long], zQ: Long,
                         uniW: Int, uniL: Int,
                         shardCount: Long, packTokens: Long,
                         maxBucket: Int = FunnelConfig.maxBucketFor(1024),
-                        compactEvery: Int = 16)
+                        compactEvery: Int = 16,
+                        statePartitions: Option[Int] = None)
 
 object FunnelConfig {
   /** The bucket cap for a corpus whose largest expected near-dup cluster
@@ -130,6 +147,7 @@ object FunnelPipeline {
     Files.exists(Paths.get(s"$dir/stages/b=$bid/_SUCCESS"))
 
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val ShufflePartitionsKey = "spark.sql.shuffle.partitions"
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
   private val ChangelogKey = "spark.sql.streaming.stateStore.rocksdb" +
@@ -226,6 +244,16 @@ object FunnelPipeline {
     // spark.newSession()
     val prevProvider = spark.conf.getOption(ProviderKey)
     val prevChangelog = spark.conf.getOption(ChangelogKey)
+    val prevShuffle = spark.conf.getOption(ShufflePartitionsKey)
+    // state-store partition count, pinned the same way as the provider:
+    // read at stream-execution construction (inside .start()), recorded
+    // in the checkpoint's offset metadata, honored by every restart —
+    // see FunnelConfig.statePartitions for the sizing argument. The pin
+    // governs the streaming query end to end, INCLUDING plans derived
+    // from the foreachBatch `batch` frame (bound to the query's cloned
+    // session); frames built from the outer session keep its setting.
+    cfg.statePartitions.foreach(n =>
+      spark.conf.set(ShufflePartitionsKey, n.toString))
     spark.conf.set(ProviderKey, RocksDbProvider)
     // changelog checkpointing: a commit uploads the batch's CHANGES (an
     // append-only changelog file) instead of snapshotting every store's
@@ -260,6 +288,10 @@ object FunnelPipeline {
       prevChangelog match {
         case Some(v) => spark.conf.set(ChangelogKey, v)
         case None    => spark.conf.unset(ChangelogKey)
+      }
+      if (cfg.statePartitions.isDefined) prevShuffle match {
+        case Some(v) => spark.conf.set(ShufflePartitionsKey, v)
+        case None    => spark.conf.unset(ShufflePartitionsKey)
       }
     }
   }

@@ -214,10 +214,14 @@ class RecoverySpec extends SparkSpec {
                                                  // band-bucket GroupState
       (6L, "en", "a third standalone body of words entirely"))
     val vocab = ('a' to 'z').map(c => (c.toString, 1L)).toDF("piece", "cnt")
+    // statePartitions = 3 deliberately differs from the session's conf:
+    // generation 2's drain below proves the checkpoint-pinned count (not
+    // the restarting session's setting) is what the restart resumes on
     val cfg = FunnelConfig(Array(0L, 0L, 0L),
       graft.operators.Unigram.zOf(vocab),
       Map("en" -> ((Long.MaxValue, Long.MaxValue))),
-      3, 8, 2, 0.5, 4, 0.05, 127L, 12, 4, 8L, 512L)
+      3, 8, 2, 0.5, 4, 0.05, 127L, 12, 4, 8L, 512L,
+      statePartitions = Some(3))
     val bench = Seq.empty[(Long, String, String)]
       .toDF("doc_id", "lang", "text")
     val schema = batch1.toDF("doc_id", "lang", "text").schema
@@ -259,12 +263,20 @@ class RecoverySpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/checkpoint/offsets/0"))
     assert(offsets0.contains("RocksDBStateStoreProvider"),
       s"funnel checkpoint not pinned to RocksDB: $offsets0")
+    // the statePartitions pin is ALSO in the offset metadata — the
+    // restart above resumed on 3 state-store partitions even though the
+    // restarting session's own shuffle setting differs (this is the
+    // cross-generation proof the FunnelConfig scaladoc promises)
+    assert(offsets0.contains("\"spark.sql.shuffle.partitions\":\"3\""),
+      s"funnel checkpoint not pinned to 3 state partitions: $offsets0")
     // and the session conf was restored after start() — the pin must not
     // leak onto unrelated queries in this session
     assert(!spark.conf.getOption(
         "spark.sql.streaming.stateStore.providerClass")
       .exists(_.contains("RocksDB")),
       "FunnelPipeline.start leaked the RocksDB provider conf")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "3",
+      "FunnelPipeline.start leaked the statePartitions pin onto the session")
     // the export positions also continued across the restart
     import org.apache.spark.sql.functions.{col, count, lit, max}
     val manifest = FunnelPipeline.exportManifest(spark, dir)
