@@ -5411,7 +5411,34 @@ object SparkEntry {
     * streaming ingest run). A consumer query that runs without its build
     * entry (SPARK_GRAFT_ONLY subsets) simply builds lazily in warm-up,
     * exactly as before. */
+  /** Synthetic cold-JVM warm-up (guide §1: time the computation, not JVM
+    * startup): the FIRST Spark action in a cold JVM pays classloading,
+    * Catalyst/codegen bring-up and JIT — measured ~5 s on the bench VM,
+    * which used to land on whichever single-shot `_build:*` entry ran
+    * first (`_build:late_flag` read 6.9-16.6 s across recordings for
+    * ~4.5 s of actual work). Runs scan → join → agg → window → sort →
+    * hash over `spark.range` rows ONLY — no input data is touched and
+    * nothing is kept — mirroring the warm-up pass Bench has always run
+    * for the query loop. Registered as the FIRST `_build:*` entry so the
+    * startup cost stays a visible line item in the bench total instead
+    * of polluting a real build's single-shot reading; declared as a
+    * round-15 measurement fix in OPTIMIZATION_r15.md (with before/after
+    * recordings kept). */
+  def jvmWarmup(s: SparkSession): Unit = {
+    val n = s.range(0, 200000L, 1, 8).toDF("id")
+      .withColumn("k", pmod(col("id"), lit(97L)))
+    val agg = n.groupBy(col("k")).agg(sum(col("id")).as("v"),
+      count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("id"))
+    force(n.join(agg, Seq("k")).withColumn("rn", row_number().over(w))
+      .withColumn("h", md5(concat_ws(":", col("id"), col("k"))))
+      .orderBy(col("k"), col("rn")).limit(1000))
+  }
+
   def builds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    // MUST stay first: absorbs cold-JVM bring-up as its own line item
+    "jvm_warmup" -> ((s, _) => jvmWarmup(s)),
     "late_flag" -> ((s, d) => force(flaggedEvents(s, d))),
     "exact_dedup" -> ((s, d) => force(exactDedupShared(s, d))),
     "neardup_pairs" -> ((s, d) => force(nearDupPairs(s, d))),
@@ -5420,6 +5447,12 @@ object SparkEntry {
     // ONE tagged pointer-jumping loop closes all three dup graphs (text /
     // image / audio) — the per-round fixed cost is paid once, not thrice
     "dup_clusters_all" -> ((s, d) => force(allDupClustersShared(s, d))),
+    // the three pre-round-15 names stay registered (bench contract: never
+    // remove an entry); each now times its per-modality view over the
+    // shared frame built above — residual cost, not a second loop
+    "dup_clusters" -> ((s, d) => force(dupClustersShared(s, d))),
+    "image_dup_clusters" -> ((s, d) => force(imageDupClustersShared(s, d))),
+    "audio_dup_clusters" -> ((s, d) => force(audioDupClustersShared(s, d))),
     "contamination_pairs" -> ((s, d) =>
       force(contaminationPairsShared(s, d))),
     "fuzzy_pairs" -> ((s, d) => force(fuzzyPairsShared(s, d))),

@@ -580,63 +580,126 @@ object Dedup {
     // fused into initialization: the node list needs a hash aggregate
     // either way (distinct), so taking min(dst) alongside is free and
     // the loop starts one propagation round ahead
-    var labels = edges.groupBy(col("_g"), col("src").as("node"))
+    val labels = edges.groupBy(col("_g"), col("src").as("node"))
       .agg(min(col("dst")).as("_mn"))
       .select(col("_g"), col("node"),
         least(col("node"), col("_mn")).as("cluster_id"))
       .localCheckpoint(true)
-    def labelSum(l: DataFrame): java.math.BigDecimal = {
-      val r = l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
+    // Stats-reset round trip (kept from the pointer-jumping form): a
+    // localCheckpoint keeps its ORIGIN plan's estimated stats, and a
+    // convergence loop multiplies them round over round until the
+    // BigInteger size products dominate DRIVER time (found at sf0.1 on
+    // the image-dup graph). Re-entering through a fresh LogicalRDD gives
+    // default leaf stats; frames are O(nodes)/O(edges) rows, so the Row
+    // round trip is noise.
+    def rddReset(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    // CONTRACTION rounds, not label-chasing (round-15 optimization):
+    // min-label propagation with pointer jumping needs O(graph diameter)
+    // rounds whenever the label map goes FLAT (every node already points
+    // at a local-min root, so label(label(n)) = label(n) and the global
+    // min can only enter one edge per round — measured 17 rounds at
+    // sf0.1 on a frame-sequence chain component, pointer jumps never
+    // firing). Contraction instead RELABELS THE EDGE SET through the
+    // current map each round: edges (u,v) become (lab(u), lab(v)), loops
+    // drop, duplicates collapse — every round at least merges each label
+    // class with its min neighbor class, so the quotient graph (and the
+    // remaining round count) shrinks geometrically: O(log n) rounds on
+    // ANY id layout, and the per-round edge frame only gets smaller
+    // (same sf0.1 union: 5 rounds). Invariants proving the UNCHANGED
+    // output: lab(n) is always a node id inside n's own component and
+    // only decreases; the component's global min m always keeps lab(m) =
+    // m (nothing in its component is smaller); the loop ends when the
+    // contracted edge set is EMPTY ⇔ lab is constant on every component,
+    // and that constant is ≤ m and a member id, hence exactly m — the
+    // same (doc_id, cluster_id = component min) frame the pointer-
+    // jumping form emitted, just in geometrically fewer rounds.
+    // relabel a quotient edge frame through a representative map `m`
+    // ((_g, cluster_id) → _nl): every endpoint of `q` is a representative
+    // with at least one edge, and the frame is bidirected, so both inner
+    // map joins always hit; loops drop, duplicates collapse
+    def contract(q: DataFrame, m: DataFrame): DataFrame =
+      rddReset(q
+        .join(m.select(col("_g"), col("cluster_id").as("src"),
+          col("_nl").as("_ls")), Seq("_g", "src"))
+        .join(m.select(col("_g"), col("cluster_id").as("dst"),
+          col("_nl").as("_ld")), Seq("_g", "dst"))
+        .select(col("_g"), col("_ls").as("src"), col("_ld").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true))
+    def sumOf(m: DataFrame, c: String): java.math.BigDecimal = {
+      val r = m.agg(sum(col(c).cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    var prev = labelSum(labels)
+    var lab = labels
+    // round 0's quotient: the original edges under the init partition
+    // (the init map is keyed by node — same shape as a rep map)
+    var e = contract(edges, labels.select(col("_g"),
+      col("node").as("cluster_id"), col("cluster_id").as("_nl")))
     var it = 0
-    var converged = false
-    while (!converged && it < maxIters) {
-      val nbMin = edges
-        .join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("cluster_id", "nb_label"), Seq("_g", "dst"))
-        .groupBy(col("_g"), col("src").as("node"))
-        .agg(min(col("nb_label")).as("nb_min"))
-      // pointer jump: label(label(n)) — labels always point at nodes, so
-      // the self-join hits; left join guards the root's self-label anyway
-      val jump = labels.join(
-        labels.select(col("_g"), col("node").as("cluster_id"),
-          col("cluster_id").as("jl")),
-        Seq("_g", "cluster_id"), "left")
+    var done = e.isEmpty
+    while (!done && it < maxIters) {
+      // hook: every representative points at min(self, min neighbor)
+      // over the CURRENT quotient edges. The raw hook map can be a long
+      // pointer CHAIN (a monotone-id chain graph hooks k → k−1, an
+      // injective map that merges nothing), so contracting through it
+      // directly degenerates to one node per round — it must first be
+      // COMPRESSED TO A STAR.
+      var l = rddReset(e.groupBy(col("_g"), col("src").as("node"))
+        .agg(min(col("dst")).as("_mn"))
         .select(col("_g"), col("node"),
-          coalesce(col("jl"), col("cluster_id")).as("jump_label"))
-      val next = labels.join(nbMin, Seq("_g", "node"))
-        .join(jump, Seq("_g", "node"))
+          least(col("node"), col("_mn")).as("root"))
+        .localCheckpoint(true))
+      // compress: pointer-double root(n) ← root(root(n)) until
+      // idempotent. Root values only decrease, so the O(1)-row sum is a
+      // monotone convergence gauge (the labelSum idiom); each doubling
+      // is one self-join of the O(current reps) map — the map frame,
+      // not the edge frame — and chain depth halves per doubling.
+      var prevSum = sumOf(l, "root")
+      var flat = false
+      var innerGuard = 0
+      while (!flat && innerGuard < 64) {
+        val l2 = rddReset(l.join(
+            l.select(col("_g"), col("node").as("root"),
+              col("root").as("_r2")),
+            Seq("_g", "root"), "left")
+          .select(col("_g"), col("node"),
+            coalesce(col("_r2"), col("root")).as("root"))
+          .localCheckpoint(true))
+        val s = sumOf(l2, "root")
+        flat = s.compareTo(prevSum) == 0
+        prevSum = s
+        l = l2
+        innerGuard += 1
+      }
+      // apply the STAR map to members (lab'(n) = l(lab(n))) and to the
+      // quotient edges (endpoints are representatives, so they relabel
+      // through l itself — relabeling them through the member map was
+      // the subtle wrong move: once a representative is itself merged
+      // away, member map and representative map disagree and the
+      // partition silently splits)
+      lab = rddReset(lab
+        .join(l.select(col("_g"), col("node").as("cluster_id"),
+          col("root").as("_nl")), Seq("_g", "cluster_id"), "left")
         .select(col("_g"), col("node"),
-          least(col("cluster_id"), col("nb_min"), col("jump_label")).as("cluster_id"))
-        .localCheckpoint(true)
-      // RESET the size-in-bytes stats each round: checkpoint keeps the
-      // ORIGIN plan's estimated stats, and this round's plan multiplies
-      // the previous labels frame's estimate FOUR times (labels ⋈ nbMin
-      // ⋈ jump, with jump itself a labels⋈labels self-join), so the
-      // BigInt estimate grows as s^(4^i) — by ~12 pointer-jumping rounds
-      // the stats rewrite inside checkpoint() is doing million-digit
-      // BigInteger products on the DRIVER and dominates wall time (found
-      // at sf0.1 on the image-dup graph). The RDD round-trip re-enters
-      // through a fresh LogicalRDD with default leaf stats; the frame is
-      // O(clustered nodes) rows, so the Row conversion is noise, and no
-      // join below ever broadcasts labels.
-      labels = next.sparkSession.createDataFrame(next.rdd, next.schema)
-      val cur = labelSum(labels)
-      converged = cur.compareTo(prev) == 0
-      prev = cur
+          coalesce(col("_nl"), col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true))
+      e = contract(e, l.select(col("_g"), col("node").as("cluster_id"),
+        col("root").as("_nl")))
+      done = e.isEmpty
       it += 1
     }
-    // pointer jumping converges in O(log diameter) rounds, so hitting the
-    // cap means the graph is pathologically deep for maxIters — the labels
-    // are then only partially collapsed and keepCanonical would under-drop
-    if (!converged)
+    // contraction halves+ the quotient graph per round, so hitting the
+    // cap means maxIters << log2(n) — labels are then only partially
+    // collapsed and downstream canonical-keep would under-drop
+    if (!done)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dupClusters stopped at maxIters=$maxIters before the label " +
-          "fixpoint; cluster ids are partially propagated and downstream " +
-          "canonical-keep will under-collapse. Raise maxIters.")
-    labels.select(col("_g"), col("node").as("doc_id"), col("cluster_id"))
+        s"dupClusters stopped at maxIters=$maxIters before contraction " +
+          "emptied the quotient graph; cluster ids are partially " +
+          "propagated and downstream canonical-keep will under-collapse. " +
+          "Raise maxIters.")
+    lab.select(col("_g"), col("node").as("doc_id"), col("cluster_id"))
   }
 
   /** The retained corpus after near-dup clustering: drop every cluster

@@ -750,12 +750,30 @@ object Graph {
         .filter(col("_bsize") <= maxBasketSize)
         .select(col("_bk")),
       Seq("_bk"))
-    val totals = kept.groupBy()
-      .agg(count_distinct(col("_bk")).as("n_baskets")) // 1 row
-    val freq = kept.groupBy(col("_it")).agg(count(lit(1)).as("_n"))
-    val pairs = kept.select(col("_bk"), col("_it").as("item_a"))
-      .join(kept.select(col("_bk"), col("_it").as("item_b")), Seq("_bk"))
-      .filter(col("item_a") < col("item_b"))
+    // Round-15 (§2.3 aggregate-before-shuffle, §2.4 share the exchange):
+    // the pair expansion used to be a self-join of `kept` with itself on
+    // the basket key — n² generated rows per basket with the a<b filter
+    // throwing half away, and a second full shuffle of the item rows.
+    // Instead collect each surviving basket's item set ONCE (arrays are
+    // bounded by `maxBasketSize` — the size filter runs BEFORE the
+    // collect, so a degenerate mega-basket never materializes a row) and
+    // expand the exact a<b combinations inside the array with
+    // codegen'd higher-order functions: n·(n−1)/2 rows, zero join. The
+    // size-cap aggregation, the cap join, and the basket collect all key
+    // on _bk, so they ride one exchange of the item rows; totals and
+    // freq fold off the same collected frame. Identical output: pairs
+    // are the same a<b set (sort_array uses the engine's own ordering,
+    // the ordering the old `item_a < item_b` filter used), counts and
+    // probabilities unchanged.
+    val bk = kept.groupBy(col("_bk"))
+      .agg(sort_array(collect_list(col("_it"))).as("_its"))
+    val totals = bk.groupBy().agg(count(lit(1)).as("n_baskets")) // 1 row
+    val freq = bk.select(explode(col("_its")).as("_it"))
+      .groupBy(col("_it")).agg(count(lit(1)).as("_n"))
+    val pairs = bk
+      .select(col("_its"), posexplode(col("_its")).as(Seq("_i", "item_a")))
+      .select(col("item_a"),
+        explode(expr("slice(_its, _i + 2, size(_its))")).as("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
     pairs
@@ -1180,14 +1198,19 @@ object Graph {
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val cnt = adj.join(labels, adj("_s") === labels("node"))
+      // argmax-weight with min-label tie-break as ONE second aggregation:
+      // min(struct(-votes, label)) picks the highest vote total, then the
+      // smallest label — exactly the old max-join + equality filter +
+      // min-agg, minus one join and one exchange per round (§2.4). The
+      // vote frame now has a single consumer, so the per-round
+      // localCheckpoint (which existed to stop the max/tie-break double
+      // execution) is gone too: the whole fixed-round fixpoint is one
+      // lazy linear plan, materialized once by the consumer.
+      labels = adj.join(labels, adj("_s") === labels("node"))
         .groupBy(col("_d"), col("label")).agg(sum(col("_w")).as("_n"))
-        .localCheckpoint(true) // two consumers: the max and the tie-break
-      val mx = cnt.groupBy(col("_d")).agg(max(col("_n")).as("_mn"))
-      labels = cnt.join(mx, Seq("_d"))
-        .filter(col("_n") === col("_mn"))
-        .groupBy(col("_d")).agg(min(col("label")).as("label"))
-        .withColumnRenamed("_d", "node")
+        .groupBy(col("_d"))
+        .agg(min(struct((-col("_n")).as("_neg"), col("label"))).as("_m"))
+        .select(col("_d").as("node"), col("_m.label").as("label"))
     }
     labels
   }
@@ -1294,15 +1317,20 @@ object Graph {
       .localCheckpoint(true)
     var prev = labels
     for (i <- 1 to iters) {
-      if (i == iters) prev = labels.localCheckpoint(true) // diff + final round
-      val cnt = adj.join(labels, adj("_s") === labels("node"))
+      // two consumers (movement diff + the final round), so materialize
+      // once and let BOTH read the checkpoint — without the reassignment
+      // the final round would lazily re-execute the whole prefix chain
+      if (i == iters) { prev = labels.localCheckpoint(true); labels = prev }
+      // same single-aggregation argmax as labelPropagationWeighted (see
+      // there): min(struct(-count, label)) replaces the max-join +
+      // tie-break and retires the per-round checkpoint — the vote frame's
+      // two consumers collapsed to one, so nothing double-executes and
+      // the fixed-round loop stays one lazy linear plan.
+      labels = adj.join(labels, adj("_s") === labels("node"))
         .groupBy(col("_d"), col("label")).agg(count(lit(1)).as("_n"))
-        .localCheckpoint(true) // two consumers: the max and the tie-break
-      val mx = cnt.groupBy(col("_d")).agg(max(col("_n")).as("_mn"))
-      labels = cnt.join(mx, Seq("_d"))
-        .filter(col("_n") === col("_mn"))
-        .groupBy(col("_d")).agg(min(col("label")).as("label"))
-        .withColumnRenamed("_d", "node")
+        .groupBy(col("_d"))
+        .agg(min(struct((-col("_n")).as("_neg"), col("label"))).as("_m"))
+        .select(col("_d").as("node"), col("_m.label").as("label"))
     }
     (labels, prev)
   }

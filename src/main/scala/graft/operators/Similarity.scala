@@ -957,8 +957,20 @@ object Similarity {
       .agg(sum(floor(col("_xi") * 1000000d).cast("long")).as("_ms"),
         count(lit(1)).as("_n"))
       .select(col("i"), expr("_ms div _n").as("_mu"), col("_n"))
-    v.select(col("_v"), posexplode(col("_v")).as(Seq("i", "_xi")))
-      .select(col("i"), col("_xi"), posexplode(col("_v")).as(Seq("j", "_xj")))
+    // Round-15: generate only the UPPER TRIANGLE (j >= i) — the second
+    // explode runs over slice(_v, i+1, …), so each row fans out to
+    // d·(d+1)/2 products instead of d², halving the one heavy pass. The
+    // mirror is EXACT, not approximate: IEEE multiplication is
+    // commutative, so floor((xᵢ−μᵢ)(xⱼ−μⱼ)·10⁶) is bit-equal to its
+    // transposed term and the (j,i) cell is the (i,j) sum verbatim —
+    // the emitted d² grid (and the oracle hash) is unchanged.
+    val upper = v
+      .select(col("_v"), posexplode(col("_v")).as(Seq("i", "_xi")))
+      .select(col("_v"), col("i"), col("_xi"),
+        posexplode(expr("slice(_v, i + 1, size(_v) - i)"))
+          .as(Seq("_jo", "_xj")))
+      .select(col("i"), col("_xi"), (col("i") + col("_jo")).as("j"),
+        col("_xj"))
       .join(broadcast(means.select(col("i"), col("_mu").as("_mui"))), Seq("i"))
       .join(broadcast(means.select(col("i").as("j"), col("_mu").as("_muj"),
         col("_n"))), Seq("j"))
@@ -969,6 +981,10 @@ object Similarity {
           * 1000000d).cast("long")).as("cov_scaled"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("_n").as("n_rows"), col("cov_scaled"))
+      .localCheckpoint(true) // two consumers below: itself + its mirror
+    upper.unionByName(upper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("n_rows"),
+        col("cov_scaled")))
   }
 
   /** Top principal direction by FIXED-ROUND power iteration over the
@@ -986,24 +1002,54 @@ object Similarity {
     * (dim, loading_ppm) — the unit-∞ direction in ppm. */
   def pcaPowerDirection(cov: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
-    val c = cov.select(col("i"), col("j"),
-        col("cov_scaled").cast("decimal(38,0)").as("_c"))
-      .localCheckpoint(true) // consumed every round
-    var v = c.select(col("j").as("dim")).distinct()
-      .select(col("dim"), lit(1000000L).cast("decimal(38,0)").as("_w"))
-    for (r <- 1 to iters) {
-      val w = c.join(v, c("j") === v("dim"))
-        .groupBy(col("i"))
-        .agg(sum(col("_c") * col("_w")).as("_s"))
-      val m = w.agg(max(abs(col("_s"))).as("_m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("i").as("dim"),
-          when(col("_m") > 0,
-            expr("(_s * CAST(1000000 AS DECIMAL(38,0))) div _m"))
-            .otherwise(lit(0L)).cast("decimal(38,0)").as("_w"))
-        .localCheckpoint(true)
+    // Round-15 optimization (guide §1.2: fix the distributed algorithm
+    // first): the iteration never touches the corpus — covarianceScaled
+    // already reduced it to the d²-row quantized matrix — yet the old
+    // per-round DataFrame form paid one localCheckpoint action, one
+    // broadcast and ~6 scheduler jobs per round (61 jobs for 10 rounds,
+    // pure fixed overhead at any scale). The matrix is BOUNDED (d² rows,
+    // d = the embedding dimension — O(4096) here, never data-sized), so
+    // the rounds run on the DRIVER in exact integer arithmetic instead:
+    // one bounded collect (the documented-bound driver-collect rule —
+    // O(d²) rows, never corpus), BigInteger products/sums, and the same
+    // truncating `div` normalization. Every operation mirrors the old
+    // Column algebra exactly (decimal(38,0) ≡ unbounded integer here;
+    // Spark's decimal `div` and BigInteger.divide both truncate toward
+    // zero; matmul sum order is exact integer addition, so associativity
+    // cannot flip a bit) — the emitted frame is bit-identical, as the
+    // unchanged DuckDB oracle checks.
+    import java.math.BigInteger
+    val rows = cov.select(col("i").cast("int"), col("j").cast("int"),
+      col("cov_scaled").cast("decimal(38,0)"))
+      .collect() // driver-bounded: O(dims·dims) covariance cells, never corpus
+    val dims = rows.map(_.getInt(1)).distinct.sorted
+    val idx = dims.zipWithIndex.toMap
+    val d = dims.length
+    val c = Array.ofDim[BigInteger](d, d)
+    for (x <- 0 until d; y <- 0 until d) c(x)(y) = BigInteger.ZERO
+    rows.foreach { r =>
+      c(idx(r.getInt(0)))(idx(r.getInt(1))) =
+        r.getDecimal(2).toBigInteger
     }
-    v.select(col("dim"), col("_w").cast("long").as("loading_ppm"))
+    val scaleM = BigInteger.valueOf(1000000L)
+    var v = Array.fill(d)(scaleM)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { x =>
+        var s = BigInteger.ZERO
+        var y = 0
+        while (y < d) { s = s.add(c(x)(y).multiply(v(y))); y += 1 }
+        s
+      }
+      val m = w.map(_.abs).foldLeft(BigInteger.ZERO)(_.max(_))
+      v =
+        if (m.signum > 0) w.map(_.multiply(scaleM).divide(m))
+        else Array.fill(d)(BigInteger.ZERO)
+    }
+    val spark = cov.sparkSession
+    import spark.implicits._
+    dims.zipWithIndex
+      .map { case (dim, x) => (dim.toLong, v(x).longValueExact) }
+      .toSeq.toDF("dim", "loading_ppm")
   }
 
   /** Explained-variance share of the pcaPowerDirection axis: the Rayleigh
