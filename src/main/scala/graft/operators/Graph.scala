@@ -389,6 +389,13 @@ object Graph {
         .select(col(aggKey).as("_t"), col("_sc"))
         .groupBy(col("_t")).agg(sum(col("_sc")).as("_s"))
         .localCheckpoint(true)
+      // NOTE (round-15, measured): inlining the 1-row normalizer as a
+      // driver literal cuts one broadcast job per half-step but changes
+      // the plan TEXT every round, so whole-stage codegen recompiles all
+      // 2·iters half-steps instead of reusing one cached class — measured
+      // 12.3s vs 6.8s at sf0.1/32. The broadcast crossJoin keeps every
+      // round's generated code identical (only LogicalRDD identities
+      // differ), which is worth more than the extra job. Kept.
       val total = sums.groupBy()
         .agg(coalesce(sum(col("_s")), lit(0L)).as("_tot")) // 1 row
       nodes.join(sums, nodes("node") === sums("_t"), "left")
@@ -867,14 +874,21 @@ object Graph {
     * core (the semantics are "after R peels" — peeling converges in a
     * handful of rounds on real graphs; raise `rounds` deliberately):
     * pure integer degree comparisons, bit-identical everywhere.
-    * Shape per round: the ORIGINAL checkpointed edge frame re-restricted
-    * by two semi joins on the checkpointed survivor frame (so each
-    * round's edge frame has exactly one consumer — no recompute
-    * fan-out), one degree agg, one filter; survivor frames are
-    * checkpointed per round (O(|V|) each). Emits (node, deg) over the
-    * round-R survivor-restricted edges — survivors that lost their
-    * last edge inside round R are absent (deg 0 has nothing to stand
-    * on; one more round would peel them anyway). */
+    * Shape per round (round-15 form, guide §2.3/§2.4 — restrict a
+    * SHRINKING frame, not the original): the LIVE edge frame is carried
+    * forward and re-restricted by two semi joins on the round's
+    * survivors — peeling only removes nodes, so filtering the previous
+    * round's live frame equals re-filtering the full edge set, and every
+    * round's degree agg and semi joins run over a frame that only gets
+    * smaller instead of re-scanning all edges. Rounds also EXIT EARLY at
+    * the fixpoint: survivors only shrink, so an unchanged survivor
+    * COUNT means an unchanged survivor SET, every remaining round is the
+    * identity, and the emitted frame is already final — "after R peels"
+    * semantics are unchanged, the identity rounds are just not paid for.
+    * Emits (node, deg) over the round-R survivor-restricted edges —
+    * survivors that lost their last edge inside round R are absent
+    * (deg 0 has nothing to stand on; one more round would peel them
+    * anyway). */
   def kcoreSurvivors(edges: DataFrame, src: String, dst: String,
                      k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -884,30 +898,39 @@ object Graph {
     require(!emitted.contains(src) && !emitted.contains(dst),
       s"kcoreSurvivors emits/uses ${emitted.mkString(", ")}; rename inputs")
     val sa = col(src).cast("string"); val sb = col(dst).cast("string")
-    val und = edges
+    var live = edges
       .select(least(sa, sb).as("_a"), greatest(sa, sb).as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull
         && col("_a") =!= col("_b"))
       .distinct()
       .localCheckpoint(true)
-    def degrees(alive: DataFrame): DataFrame = {
-      val live = und
-        .join(alive.select(col("node").as("_a")), Seq("_a"), "left_semi")
-        .join(alive.select(col("node").as("_b")), Seq("_b"), "left_semi")
-      live.select(col("_a").as("node"))
-        .union(live.select(col("_b").as("node")))
+    def degrees(of: DataFrame): DataFrame =
+      of.select(col("_a").as("node"))
+        .union(of.select(col("_b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    }
-    var alive = und.select(col("_a").as("node"))
-      .union(und.select(col("_b").as("node")))
-      .distinct()
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      alive = degrees(alive).filter(col("deg") >= k)
+    // every node in `live` has deg >= 1 by construction, so round 1's
+    // input ("all endpoints") needs no explicit survivor frame
+    var prevAlive = -1L
+    var it = 0
+    var fixed = false
+    while (!fixed && it < rounds) {
+      // checkpointed: consumed by both endpoint semi joins AND the count
+      val alive = degrees(live).filter(col("deg") >= k)
         .select(col("node"))
         .localCheckpoint(true)
+      val n = alive.count()
+      // survivors are monotone-shrinking: an equal count IS an equal set
+      fixed = n == prevAlive
+      prevAlive = n
+      if (!fixed) {
+        live = live
+          .join(alive.select(col("node").as("_a")), Seq("_a"), "left_semi")
+          .join(alive.select(col("node").as("_b")), Seq("_b"), "left_semi")
+          .localCheckpoint(true)
+        it += 1
+      }
     }
-    degrees(alive)
+    degrees(live)
   }
 
   /** Per-node triangle counts and local clustering coefficients —
@@ -1410,12 +1433,25 @@ object Graph {
       .union(und.select(col("_b").as("_w"), col("_a").as("_n")))
       .join(deg.filter(col("deg") >= 2 && col("deg") <= maxMiddleDegree)
         .select(col("node").as("_w"), col("deg").as("_dw")), Seq("_w"))
-      .localCheckpoint(true)
+    // Round-15 (guide §2.3 aggregate-before-shuffle, §2.4 share the
+    // exchange — the q_basket_lift rewrite applied to the wedge join):
+    // instead of self-joining `adj` on the middle (which shuffles the
+    // adjacency twice and generates d_w² rows per middle, the a<b filter
+    // discarding half), collect each CAPPED middle's neighbor list once —
+    // bounded by `maxMiddleDegree`, enforced before the collect, so a hub
+    // never materializes a row — and expand the exact a<b combinations
+    // with generator expressions: d_w·(d_w−1)/2 rows, one exchange, no
+    // join. sort_array orders neighbors by the engine ordering, the SAME
+    // ordering the old `_n < _b2` filter used, so the emitted pair set is
+    // identical; _qw is the same per-middle qlog weight. `adj` now has a
+    // single consumer, so its checkpoint is gone too.
     adj
-      .join(adj.select(col("_w"), col("_n").as("_b2")), Seq("_w"))
-      .filter(col("_n") < col("_b2"))
-      .select(col("_n").as("_a"), col("_b2").as("_b"),
-        InfoTheory.qlog(col("_dw")).as("_qw"))
+      .groupBy(col("_w"), col("_dw"))
+      .agg(sort_array(collect_list(col("_n"))).as("_ns"))
+      .select(InfoTheory.qlog(col("_dw")).as("_qw"),
+        col("_ns"), posexplode(col("_ns")).as(Seq("_i", "_a")))
+      .select(col("_qw"), col("_a"),
+        explode(expr("slice(_ns, _i + 2, size(_ns))")).as("_b"))
       .join(und, Seq("_a", "_b"), "left_anti")
       .groupBy(col("_a"), col("_b"))
       .agg(count(lit(1)).as("n_common"),

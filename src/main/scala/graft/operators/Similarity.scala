@@ -772,14 +772,48 @@ object Similarity {
                   m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sub = dims / m
+    // Round-15 (the dup_clusters_all tagged-union trick applied to
+    // training): ONE Lloyd's fixpoint runs all m subspaces at once —
+    // every vector explodes into m sliced rows tagged with their
+    // subspace index, assignment joins the broadcast codebooks on the
+    // tag, and each round's argmax/collect/mean keys on (subspace, …).
+    // The per-round fixed cost (broadcast build, checkpoint, scheduler
+    // round) is paid `iters` times instead of m·iters, and the
+    // per-subspace arithmetic is UNCHANGED: each (subspace, vector)
+    // group sees exactly the candidate cells of its own subspace, ties
+    // break toward the smaller cell id as before, and each cell's mean
+    // still folds its members' components in sorted-id order — every
+    // trained double is the IEEE value the per-subspace chains (and the
+    // chained-CTE oracle) produce.
+    val tagged = emb.select(col(id).as("_pid"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          mi => slice(col(vec), mi * lit(sub) + 1, lit(sub))))
+          .as(Seq("_pq", "_pv")))
+    var cent = tagged.filter(col("_pid") < k) // seedCentroids, per subspace
+      .select(col("_pq"), col("_pid").as("_cell"),
+        col("_pv").cast("array<double>").as("_cv"))
+    for (_ <- 1 to iters) {
+      val assigned = tagged.join(broadcast(cent), Seq("_pq"))
+        .withColumn("_cs", cosine(col("_pv"), col("_cv")))
+        .groupBy(col("_pq"), col("_pid"))
+        .agg(max_by(col("_cell"), struct(col("_cs"), -col("_cell")))
+            .as("_cell"),
+          first(col("_pv")).as("_pv"))
+      val members = assigned.groupBy(col("_pq"), col("_cell"))
+        .agg(sort_array(collect_list(struct(col("_pid").as("i"),
+          col("_pv").as("v")))).as("ms"))
+      val mean = transform(sequence(lit(0), lit(sub - 1)), d =>
+        aggregate(col("ms"), lit(0.0d),
+          (acc, mm) => acc + element_at(mm.getField("v"), d + 1).cast("double"))
+          / size(col("ms")).cast("double"))
+      // same per-round lineage cut as kmeansCentroids (see there)
+      cent = members.select(col("_pq"), col("_cell"), mean.as("_cv"))
+        .localCheckpoint(true)
+    }
+    // driver-bounded: O(m · k · dims/m) codebook floats (config constants)
+    val rows = cent.orderBy(col("_pq"), col("_cell")).collect()
     (0 until m).map { mi =>
-      val slicedEmb = emb.select(col(id), slice(col(vec), mi * sub + 1, sub).as(vec))
-      // driver-bounded: O(k · dims/m) codebook floats (config constants)
-      kmeansCentroids(slicedEmb, id, vec, sub, k, iters)
-        .orderBy(col(id))
-        .select(col(vec))
-        .collect()
-        .map(_.getSeq[Double](0).toSeq).toSeq
+      rows.filter(_.getInt(0) == mi).map(_.getSeq[Double](2).toSeq).toSeq
     }
   }
 
