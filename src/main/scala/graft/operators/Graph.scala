@@ -694,7 +694,15 @@ object Graph {
       .join(deg.select(col("node").as("_b"), col("_da").as("_db")), Seq("_b"))
       .select(when(lower, col("_a")).otherwise(col("_b")).as("_u"),
         when(lower, col("_b")).otherwise(col("_a")).as("_v"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // two consumers: wedge self-join + closure
+    // NOTE (round-15, measured): expanding wedges from a collected
+    // out-neighbor array (the localClustering rewrite) REGRESSED here —
+    // q_triangles runs on the support-filtered co-order graph, small
+    // enough that both the self-join and the closure plan as broadcast
+    // joins with near-zero shuffle (0.4 MB), so the array form's groupBy
+    // exchange was pure added cost (1.0s → 2.6s at sf0.1). The self-join
+    // stays; localClustering keeps the array form because its co-sourcing
+    // graph genuinely shuffles (24.7 MB, task time halved there).
     val wedgePairs = oriented
       .join(oriented.select(col("_u"), col("_v").as("_y")), Seq("_u"))
       .select(col("_v").as("_x"), col("_y"))
@@ -774,9 +782,14 @@ object Graph {
     // probabilities unchanged.
     val bk = kept.groupBy(col("_bk"))
       .agg(sort_array(collect_list(col("_it"))).as("_its"))
+      // THREE consumers (totals, freq, pairs) — materialize once, or the
+      // distinct + size-cap join + collect upstream re-executes down every
+      // path (profiled: 5× the task time of a single pass at sf0.1)
+      .localCheckpoint(true)
     val totals = bk.groupBy().agg(count(lit(1)).as("n_baskets")) // 1 row
     val freq = bk.select(explode(col("_its")).as("_it"))
       .groupBy(col("_it")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true) // two consumers: the n_a and n_b joins
     val pairs = bk
       .select(col("_its"), posexplode(col("_its")).as(Seq("_i", "item_a")))
       .select(col("item_a"),
@@ -969,13 +982,24 @@ object Graph {
       .join(deg.select(col("node").as("_b"), col("_da").as("_db")), Seq("_b"))
       .select(when(lower, col("_a")).otherwise(col("_b")).as("_u"),
         when(lower, col("_b")).otherwise(col("_a")).as("_v"))
-      .localCheckpoint(true)
-    // each wedge pair once (_v < _y matches und's canonical order), so
-    // the left-semi closure finds every triangle exactly once — from its
-    // unique lowest-degree-oriented middle
+    // single consumer since the array-expansion rewrite — no checkpoint
+    // each wedge pair once (ascending-array expansion ≡ the old _v < _y
+    // filter — both use the engine's string order, matching und's
+    // canonical order), so the left-semi closure finds every triangle
+    // exactly once — from its unique lowest-degree-oriented middle.
+    // Round-15: the wedge comes from ONE collected out-neighbor array
+    // per oriented root instead of the oriented⋈oriented self-join —
+    // degree orientation bounds every out-list at ~√(2|E|) (see
+    // triangleStats), so the collect is hub-safe, one shuffle of the
+    // oriented frame replaces two, and only the d(d−1)/2 ordered pairs
+    // are ever generated.
     val closed = oriented
-      .join(oriented.select(col("_u"), col("_v").as("_y")), Seq("_u"))
-      .filter(col("_v") < col("_y"))
+      .groupBy(col("_u"))
+      .agg(sort_array(collect_list(col("_v"))).as("_vs"))
+      .select(col("_u"), col("_vs"),
+        posexplode(col("_vs")).as(Seq("_i", "_v")))
+      .select(col("_u"), col("_v"),
+        explode(expr("slice(_vs, _i + 2, size(_vs))")).as("_y"))
       .join(und.select(col("_a").as("_v"), col("_b").as("_y")),
         Seq("_v", "_y"), "left_semi")
       .localCheckpoint(true) // three corner projections read it

@@ -252,6 +252,12 @@ object FunnelPipeline {
     // governs the streaming query end to end, INCLUDING plans derived
     // from the foreachBatch `batch` frame (bound to the query's cloned
     // session); frames built from the outer session keep its setting.
+    // SINGLE-THREADED-START assumption: these are session-conf mutations
+    // restored in the finally below, so another streaming query started
+    // CONCURRENTLY on the same SparkSession during this window would
+    // capture the RocksDB provider / partition pin in its own checkpoint.
+    // Start funnel queries one at a time, or from an isolated
+    // spark.newSession(), if concurrent starts are ever needed.
     cfg.statePartitions.foreach(n =>
       spark.conf.set(ShufflePartitionsKey, n.toString))
     spark.conf.set(ProviderKey, RocksDbProvider)
@@ -678,6 +684,12 @@ object FunnelPipeline {
     * FileNotFoundException (retry the read). In-pipeline callers are
     * safe by construction: processBatch compacts between triggers and
     * the card is read between triggers. */
+  /** NOTE: reads the stage store non-transactionally — do not race a LIVE
+    * compactStores/heal on the same dir (the atomic-rename swap can move
+    * `stages_base` mid-listing and fail the read with a missing-directory
+    * error; crash windows are covered, a concurrent reader is not). Every
+    * in-repo caller reads between triggers, where processBatch guarantees
+    * no compaction is in flight. */
   def stageCard(spark: SparkSession, dir: String): DataFrame =
     rawStages(spark, dir)
       .groupBy(col("stage_idx"), col("stage"))

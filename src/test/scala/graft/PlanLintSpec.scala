@@ -180,7 +180,12 @@ class PlanLintSpec extends SparkSpec {
       // remaining plan's scans still prune)
       "q_funnel_timed" -> Set("user_id", "ts", "event_type"),
       "q_asof_tolerant" -> Set("user_id", "ts", "event_id", "event_type"),
-      "q_token_lift" -> Set("doc_id", "text"),
+      // q_token_lift: basketLift eagerly checkpoints the collected-basket
+      // frame since round 15 (three consumers re-executed the upstream 5×
+      // without it), so its parquet scan sits upstream of the final plan —
+      // pruned the same way (the registration projects (doc_id, text)
+      // before basketLift ever sees rows), but not assertable from here;
+      // the q_chi2 caveat above
       "q_regression2" ->
         Set("l_returnflag", "l_extendedprice", "l_quantity", "l_discount"),
       "q_centroid_drift" -> Set("vec_id", "embedding", "label"),
